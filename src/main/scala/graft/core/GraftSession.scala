@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Settings mirror the production posture described in SURVEY.md §4:
+  * UTC session time zone (oracle parity with the reference's
+  * timestamp-without-tz columns, `lambda/bike_lambda.py:45`), AQE on
+  * (skew handling — per-bike snapshot skew is real in the reference's
+  * domain), shuffle partitions sized for the local harness rather than
+  * the 200 default. On a real cluster the same builder is used with
+  * `master` unset and shuffle partitions sized to ~2-3× total cores.
+  */
+object GraftSession {
+
+  def builder(cores: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName("graft")
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests and ad-hoc runs. */
+  def local(cores: Int = 4): SparkSession = {
+    val spark = builder(cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

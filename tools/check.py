@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs DuckDB on oracle_sql.json produced by graft.Verify, loads the
+parquet each query wrote, normalizes (columns sorted by name, rows
+sorted by all columns), and compares. Reports per-query: shape match,
+exact match, and max float deviation (we aim for bit-exact; anything
+nonzero is flagged).
+
+Usage: python3 tools/check.py [sfdir] [outdir] [query ...]
+(Run `sbt "runMain graft.Verify <sfdir> <outdir>"` first.)
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort",
+                            na_position="first").reset_index(drop=True)
+    return df
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    rows_only = []
+    for name in sorted(set(glob.glob(f"{outdir}/*/")
+                           and [p.rstrip("/").split("/")[-1]
+                                for p in glob.glob(f"{outdir}/*/")])):
+        if only and name not in only:
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read result: {e}")
+            n_fail += 1
+            continue
+        if name not in oracle:
+            rows_only.append((name, len(got)))
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        g, e_ = norm(got), norm(exp)
+        if list(g.columns) != list(e_.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(e_.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(e_):
+            print(f"FAIL {name}: rows {len(g)} != {len(e_)}")
+            n_fail += 1
+            continue
+        bad = None
+        maxdev = 0.0
+        for c in g.columns:
+            gv, ev = g[c], e_[c]
+            if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
+                a = gv.astype(float).to_numpy()
+                b = ev.astype(float).to_numpy()
+                both_nan = np.isnan(a) & np.isnan(b)
+                neq = ~both_nan & (a != b)
+                if neq.any():
+                    dev = np.nanmax(np.abs(a[neq] - b[neq]))
+                    maxdev = max(maxdev, dev)
+                    bad = bad or (c, dev, a[neq][:3], b[neq][:3])
+            else:
+                try:
+                    same = gv.equals(ev)
+                except Exception:
+                    same = (gv.astype(str) == ev.astype(str)).all()
+                if not same:
+                    mism = (gv.astype(str) != ev.astype(str))
+                    bad = bad or (c, None, gv[mism][:3].tolist(),
+                                  e_[c][mism][:3].tolist())
+        if bad is None:
+            print(f"PASS {name}: {len(g)} rows, bit-exact")
+            n_pass += 1
+        else:
+            c, dev, a, b = bad
+            print(f"FAIL {name}: col {c} dev={dev} got={a} exp={b}")
+            n_fail += 1
+    for name, n in rows_only:
+        print(f"ROWS-ONLY {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(rows_only)} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
