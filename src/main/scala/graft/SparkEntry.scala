@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
-    (analytics.Relational.queries, analytics.Relational.oracle))
+    (analytics.Relational.queries, analytics.Relational.oracle),
+    (analytics.Windowed.queries, analytics.Windowed.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

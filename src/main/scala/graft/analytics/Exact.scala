@@ -53,6 +53,17 @@ object Exact {
   /** Timestamp truncated to whole seconds (cross-engine stable). */
   def sec(c: Column): Column = date_trunc("second", c)
 
+  /** Second-truncated timestamp from a raw event-time column that may
+    * be LongType nanoseconds: Spark cannot read parquet
+    * TIMESTAMP(NANOS) natively, so sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and this converts. */
+  def secFromAny(df: org.apache.spark.sql.DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_seconds(floor(col(name) / 1000000000L).cast("long"))
+      case _ => date_trunc("second", col(name))
+    }
+
   /** Epoch seconds as a long, after second-truncation. */
   def epochS(c: Column): Column = date_trunc("second", c).cast("long")
 

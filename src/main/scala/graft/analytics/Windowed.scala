@@ -1,0 +1,275 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{AsOfJoin, Sessionize}
+import Exact._
+
+/** Window-function / sessionization / as-of query suite.
+  *
+  * This is the reference's analytical core re-expressed on the driver
+  * tables: the LAG self-pairing (W1, `lambda/trips_lambda.py:102-104`),
+  * the gap-bounded segment filter and grouped trip aggregate
+  * (`:127-162`), plus the ranking/running-total surface the analytics
+  * layer needs (SURVEY.md §2.5 "not in reference").
+  *
+  * events.ts is ns-precision parquet; every query truncates to whole
+  * seconds (see [[Exact]]) and orders by (ts, event_id) so Spark and
+  * DuckDB agree bit-for-bit.
+  */
+object Windowed {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.withColumn("ts_s", Exact.secFromAny(e, "ts")).drop("ts")
+  }
+
+  // ---------------------------------------------------------------------
+  // q11 — ranking windows: top-3 customers by balance per nation.
+  // ---------------------------------------------------------------------
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("n_name"), col("rn"))
+  }
+
+  private val q11Sql =
+    """SELECT * FROM (
+      |  SELECT n_name, c_custkey, c_acctbal,
+      |    row_number() OVER w AS rn,
+      |    rank()       OVER w AS rnk,
+      |    dense_rank() OVER w AS drnk
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  WINDOW w AS (PARTITION BY n_name
+      |               ORDER BY c_acctbal DESC, c_custkey ASC)
+      |) WHERE rn <= 3
+      |ORDER BY n_name, rn""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q12 — running total per customer (frame-spec window; exact via
+  // scaled-long accumulation inside the frame).
+  // ---------------------------------------------------------------------
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        (sum(round(col("o_totalprice") * 100).cast("long")).over(w) / 100.0)
+          .as("running_total"),
+        row_number().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey")))
+          .cast("long").as("order_seq"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  private val q12Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+      |       AS BIGINT) / 100.0 AS running_total,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |                     ORDER BY o_orderdate, o_orderkey) AS order_seq
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q13 — LAG self-pairing (W1/J1, `trips_lambda.py:102-104` verbatim
+  // shape): each event with its predecessor per user and the gap.
+  // ---------------------------------------------------------------------
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_s"), col("value"),
+        lag("ts_s", 1).over(w).as("prev_ts_s"),
+        lag("value", 1).over(w).as("prev_value"),
+        (col("ts_s").cast("long") - lag("ts_s", 1).over(w).cast("long"))
+          .as("gap_s"))
+      .orderBy(col("user_id"), col("ts_s"), col("event_id"))
+  }
+
+  private val q13Sql =
+    s"""SELECT user_id, event_id, ${secSql("ts")} AS ts_s, value,
+       |  lag(${secSql("ts")}) OVER w AS prev_ts_s,
+       |  lag(value) OVER w AS prev_value,
+       |  ${epochSSql("ts")} - lag(${epochSSql("ts")}) OVER w AS gap_s
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ${secSql("ts")}, event_id)
+       |ORDER BY user_id, ts_s, event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q14 — gap-based sessionization (§2.9 "session-ish windowing",
+  // corrected semantics: one row per session). 30-minute gap.
+  // ---------------------------------------------------------------------
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val sessions = Sessionize.byGap(
+      ev(s, dir), Seq("user_id"), col("ts_s"), col("event_id"), 1800L)
+    sessions
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_s")).as("session_start"),
+        max(col("ts_s")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        ((max(col("ts_s")).cast("long") - min(col("ts_s")).cast("long")) / 60.0)
+          .as("duration_min"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q14Sql =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ${secSql("ts")} AS ts_s,
+       |    CASE WHEN ${epochSSql("ts")} - lag(${epochSSql("ts")})
+       |      OVER (PARTITION BY user_id ORDER BY ${secSql("ts")}, event_id)
+       |      <= 1800 THEN 0 ELSE 1 END AS boundary
+       |  FROM events),
+       |sessioned AS (
+       |  SELECT user_id, ts_s,
+       |    CAST(sum(boundary) OVER (PARTITION BY user_id
+       |      ORDER BY ts_s, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id,
+       |  min(ts_s) AS session_start, max(ts_s) AS session_end,
+       |  count(*) AS n_events,
+       |  (CAST(epoch(max(ts_s)) AS BIGINT)
+       |   - CAST(epoch(min(ts_s)) AS BIGINT)) / 60.0 AS duration_min
+       |FROM sessioned
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q15 — the reference trip-derivation pipeline shape
+  // (`trips_lambda.py:94-163`) on events: user≈bike, value≈position.
+  // lag×2 → gap/movement filters (inclusive BETWEEN, exact !=) →
+  // grouped aggregate with min/max endpoints → HAVING. Gap band widened
+  // to [60 s, 24 h] because driver events are sparser than bike pings.
+  // ---------------------------------------------------------------------
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val moves = ev(s, dir).select(
+      col("user_id"), col("event_id"), col("ts_s"), col("value"),
+      lag("ts_s", 1).over(w).as("prev_ts_s"),
+      lag("value", 1).over(w).as("prev_value"))
+    val gapS = col("ts_s").cast("long") - col("prev_ts_s").cast("long")
+    val segments = moves
+      .filter(col("prev_ts_s").isNotNull &&
+        gapS.between(60L, 86400L) &&
+        col("value") =!= col("prev_value"))
+      .select(col("user_id"),
+        col("prev_ts_s").as("start_ts"), col("ts_s").as("end_ts"),
+        gapS.as("gap_s"),
+        abs(col("value") - col("prev_value")).as("move"))
+    segments
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("start_ts")).as("trip_start"),
+        max(col("end_ts")).as("trip_end"),
+        (sum(col("gap_s")) / 60.0).as("total_duration_min"),
+        fixedSum(col("move")).as("total_move"),
+        count(lit(1)).as("segment_count"))
+      .filter(col("total_duration_min").between(1.0, 43200.0) &&
+        col("total_move") > 0 && col("segment_count") >= 2)
+      .orderBy(col("user_id"))
+  }
+
+  private val q15Sql =
+    s"""WITH moves AS (
+       |  SELECT user_id, event_id, ${secSql("ts")} AS ts_s, value,
+       |    lag(${secSql("ts")}) OVER w AS prev_ts_s,
+       |    lag(value) OVER w AS prev_value
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ${secSql("ts")}, event_id)),
+       |segments AS (
+       |  SELECT user_id, prev_ts_s AS start_ts, ts_s AS end_ts,
+       |    CAST(epoch(ts_s) AS BIGINT) - CAST(epoch(prev_ts_s) AS BIGINT)
+       |      AS gap_s,
+       |    abs(value - prev_value) AS move
+       |  FROM moves
+       |  WHERE prev_ts_s IS NOT NULL
+       |    AND CAST(epoch(ts_s) AS BIGINT) - CAST(epoch(prev_ts_s) AS BIGINT)
+       |        BETWEEN 60 AND 86400
+       |    AND value != prev_value)
+       |SELECT user_id,
+       |  min(start_ts) AS trip_start,
+       |  max(end_ts) AS trip_end,
+       |  CAST(sum(gap_s) AS BIGINT) / 60.0 AS total_duration_min,
+       |  ${fixedSumSql("move")} AS total_move,
+       |  count(*) AS segment_count
+       |FROM segments
+       |GROUP BY user_id
+       |HAVING CAST(sum(gap_s) AS BIGINT) / 60.0 BETWEEN 1.0 AND 43200.0
+       |  AND ${fixedSumSql("move")} > 0 AND count(*) >= 2
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q16 — as-of join (J2): each click event enriched with the latest
+  // error event at-or-before it for the same user, via the
+  // union-and-carry-forward operator (one shuffle, no range join).
+  // ---------------------------------------------------------------------
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_s"))
+    val errors = e.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts_s").as("err_ts_s"))
+      .agg(max(col("value")).as("err_value"))
+    AsOfJoin.lastBefore(clicks, errors, Seq("user_id"),
+        leftTs = "ts_s", rightTs = "err_ts_s",
+        payload = Seq("err_ts_s", "err_value"))
+      .orderBy(col("user_id"), col("ts_s"), col("event_id"))
+  }
+
+  private val q16Sql =
+    s"""WITH clicks AS (
+       |  SELECT user_id, event_id, ${secSql("ts")} AS ts_s
+       |  FROM events WHERE event_type = 'click'),
+       |errors AS (
+       |  SELECT user_id, ${secSql("ts")} AS err_ts_s,
+       |         max(value) AS err_value
+       |  FROM events WHERE event_type = 'error'
+       |  GROUP BY user_id, ${secSql("ts")})
+       |SELECT c.user_id, c.event_id, c.ts_s,
+       |  (SELECT max(e.err_ts_s) FROM errors e
+       |   WHERE e.user_id = c.user_id AND e.err_ts_s <= c.ts_s) AS err_ts_s,
+       |  (SELECT e.err_value FROM errors e
+       |   WHERE e.user_id = c.user_id AND e.err_ts_s <= c.ts_s
+       |   ORDER BY e.err_ts_s DESC LIMIT 1) AS err_value
+       |FROM clicks c
+       |ORDER BY c.user_id, c.ts_s, c.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_window_rank" -> (q11 _),
+    "q12_window_running" -> (q12 _),
+    "q13_lag_gap" -> (q13 _),
+    "q14_sessionize" -> (q14 _),
+    "q15_trips_derive" -> (q15 _),
+    "q16_asof_join" -> (q16 _))
+
+  val oracle: Map[String, String] = Map(
+    "q11_window_rank" -> q11Sql,
+    "q12_window_running" -> q12Sql,
+    "q13_lag_gap" -> q13Sql,
+    "q14_sessionize" -> q14Sql,
+    "q15_trips_derive" -> q15Sql,
+    "q16_asof_join" -> q16Sql)
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-earlier) join — the enrichment join the reference's
+  * schema implies but never ships (J2 in SURVEY.md §2.3: `all_trips`
+  * carries weather columns `lambda/trips_lambda.py:68-72` that some
+  * absent `lambda_etl_main.py` must fill by "weather for this city at
+  * this time").
+  *
+  * Instead of a range join (quadratic blow-up) or a per-row subquery
+  * (driver loop), this is the union-and-carry-forward formulation:
+  * tag right rows 0 and left rows 1, union them, and per key take
+  * `last(right_payload, ignoreNulls)` over an ordered running window.
+  * Right rows sort before left rows at equal timestamps, so the match
+  * is inclusive (right.ts <= left.ts).
+  *
+  * Cost: one shuffle on the key for the union — the same price as a
+  * plain equi-join, independent of how many right rows precede each
+  * left row. This is the formulation that survives 100 TB; Spark's
+  * range-join would re-scan the right side per time bucket.
+  */
+object AsOfJoin {
+
+  /** For each left row, attach the payload of the latest right row
+    * with the same key and `rightTs <= leftTs`.
+    *
+    * @param left     probe side
+    * @param right    reference side (e.g. weather observations)
+    * @param keys     equi-join key columns (must exist on both sides)
+    * @param leftTs   left event-time column name
+    * @param rightTs  right event-time column name
+    * @param payload  right columns to carry (appear in the output;
+    *                 must not clash with left column names)
+    */
+  def lastBefore(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTs: String, rightTs: String,
+                 payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val ordTs = "__asof_ts"
+    val tag = "__asof_tag"
+    val pay = "__asof_payload"
+
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as(ordTs), lit(0).as(tag),
+        struct((rightTs +: payload).distinct.map(col): _*).as(pay)) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as(ordTs), lit(1).as(tag), lit(null).as(pay)) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ordTs), col(tag))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = r.unionByName(l)
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+    carried.filter(col(tag) === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"$pay.$c").as(c)): _*)
+  }
+}

@@ -66,29 +66,41 @@ def main():
             n_fail += 1
             continue
         bad = None
-        maxdev = 0.0
+        dtype_notes = []
         for c in g.columns:
             gv, ev = g[c], e_[c]
-            if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
+            if str(gv.dtype) != str(ev.dtype):
+                dtype_notes.append(f"{c}: {gv.dtype} vs {ev.dtype}")
+            if pd.api.types.is_datetime64_any_dtype(gv) or \
+               pd.api.types.is_datetime64_any_dtype(ev):
+                a = pd.to_datetime(gv).astype("datetime64[ns]")
+                b = pd.to_datetime(ev).astype("datetime64[ns]")
+                neq = ~((a == b) | (a.isna() & b.isna()))
+                if neq.any():
+                    bad = bad or (c, None, a[neq][:3].tolist(),
+                                  b[neq][:3].tolist())
+            elif pd.api.types.is_numeric_dtype(gv) and \
+                 pd.api.types.is_numeric_dtype(ev):
                 a = gv.astype(float).to_numpy()
                 b = ev.astype(float).to_numpy()
                 both_nan = np.isnan(a) & np.isnan(b)
                 neq = ~both_nan & (a != b)
                 if neq.any():
                     dev = np.nanmax(np.abs(a[neq] - b[neq]))
-                    maxdev = max(maxdev, dev)
                     bad = bad or (c, dev, a[neq][:3], b[neq][:3])
             else:
                 try:
                     same = gv.equals(ev)
                 except Exception:
-                    same = (gv.astype(str) == ev.astype(str)).all()
+                    same = False
                 if not same:
                     mism = (gv.astype(str) != ev.astype(str))
-                    bad = bad or (c, None, gv[mism][:3].tolist(),
-                                  e_[c][mism][:3].tolist())
+                    if mism.any():
+                        bad = bad or (c, None, gv[mism][:3].tolist(),
+                                      e_[c][mism][:3].tolist())
         if bad is None:
-            print(f"PASS {name}: {len(g)} rows, bit-exact")
+            note = f" [dtype: {'; '.join(dtype_notes)}]" if dtype_notes else ""
+            print(f"PASS {name}: {len(g)} rows, bit-exact{note}")
             n_pass += 1
         else:
             c, dev, a, b = bad
