@@ -14,7 +14,9 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
     (analytics.Relational.queries, analytics.Relational.oracle),
-    (analytics.Windowed.queries, analytics.Windowed.oracle))
+    (analytics.Windowed.queries, analytics.Windowed.oracle),
+    (analytics.Scalars.queries, analytics.Scalars.oracle),
+    (analytics.LlmOps.queries, analytics.LlmOps.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

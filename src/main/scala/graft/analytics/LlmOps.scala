@@ -1,0 +1,302 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{Text, Vectors}
+import graft.operators.{Dedup, Similarity}
+import Exact._
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (SURVEY.md §2.12; BASELINE.json north star). Queries marked
+  * "rows-only" use Spark-specific hashing (xxhash64) that no DuckDB
+  * oracle can reproduce; their ground truth is the exact-Jaccard query
+  * q23 (cross-checked in the test suite) and the scalatest specs.
+  */
+object LlmOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // ---------------------------------------------------------------------
+  // q21 — exact deduplication: hash-groupBy on normalized text. One
+  // shuffle on the normalized key; at 100 TB the key would be
+  // xxhash64(text) to keep shuffle rows narrow (same plan shape).
+  // ---------------------------------------------------------------------
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), Seq(lower(col("text"))), col("doc_id"))
+      .select(col("representative"), col("dup_count"))
+      .orderBy(col("representative"))
+
+  private val q21Sql =
+    """SELECT min(doc_id) AS representative, count(*) AS dup_count
+      |FROM documents
+      |GROUP BY lower(text)
+      |ORDER BY representative""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q23 — exact n-gram Jaccard near-dup pairs via shingle inverted
+  // index (no cross join: the self-join is on the shingle key). Ground
+  // truth for MinHash/SimHash.
+  // ---------------------------------------------------------------------
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3)
+    Dedup.jaccardPairs(sh, 0.2)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("size_a"), col("size_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q23Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents),
+      |shing AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(w) - 2),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      |  FROM toks WHERE len(w) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+      |  FROM shing x JOIN shing y
+      |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+      |  inter / (sa.sz + sb.sz - inter) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q22 — MinHash + LSH near-dup (rows-only: xxhash64 signatures).
+  // Candidates from banded signatures, verified by exact Jaccard.
+  // ---------------------------------------------------------------------
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.2)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---------------------------------------------------------------------
+  // q24 — SimHash fingerprints (rows-only: xxhash64 bit votes).
+  // ---------------------------------------------------------------------
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat_ws("", Text.simhashBits(
+          "filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"))
+          .as("simhash_bits"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
+  // q25 — brute-force cosine top-k ANN baseline. Corpus is scanned,
+  // never shuffled; queries broadcast. Cosines rounded to 4 decimals
+  // before ranking (cross-engine determinism).
+  // ---------------------------------------------------------------------
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q25Sql = {
+    val cos = Vectors.cosineSql("q.qv", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT query_id, e.vec_id, round($cos, 4) AS cos
+       |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q26 — sign-LSH bucketed ANN (the scale path: only same-bucket
+  // vectors are scored, ~1/256 of the corpus per query).
+  // ---------------------------------------------------------------------
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q26Sql = {
+    val cos = Vectors.cosineSql("q.qv", "c.embedding")
+    val bucket = Vectors.signBucketSql("embedding")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+       |      FROM b WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    round($cos, 4) AS cos
+       |  FROM q JOIN b c USING (bucket) WHERE c.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q27 — per-document text statistics + language heuristic (pure
+  // per-row scalars; zero shuffles beyond the output sort).
+  // ---------------------------------------------------------------------
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(Text.words(col("text")))).cast("long")
+          .as("n_distinct_tokens"),
+        Text.stopwordCount(col("text")).as("n_stopwords"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"),
+        Text.avgTokenLen(col("text")).as("avg_token_len"),
+        Text.qualityScore(col("text")).as("quality"),
+        Text.langIdHeuristic(col("text")).as("lang_guess"))
+      .orderBy(col("doc_id"))
+
+  private val q27Sql = {
+    val w = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+    val nTok = s"CAST(len($w) AS BIGINT)"
+    val stops = Text.EnglishStopwords.map(x => s"'$x'").mkString(", ")
+    val nStop = s"CAST(len(list_filter($w, t -> t IN ($stops))) AS BIGINT)"
+    val sumLen = s"CAST(list_sum(list_transform($w, t -> length(t))) AS BIGINT)"
+    val alnum = "list_filter(regexp_split_to_array(lower(text), " +
+      "'[^a-z0-9]+'), t -> length(t) > 0)"
+    def hits(set: Seq[String]) =
+      s"len(list_filter($alnum, t -> t IN (${set.map(x => s"'$x'").mkString(", ")})))"
+    val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
+    val es = hits(Seq("el", "la", "de", "que", "y", "en", "un"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "ein", "zu"))
+    val fr = hits(Seq("le", "la", "de", "et", "un", "est", "que"))
+    s"""SELECT doc_id,
+       |  $nTok AS n_tokens,
+       |  CAST(len(list_distinct($w)) AS BIGINT) AS n_distinct_tokens,
+       |  $nStop AS n_stopwords,
+       |  $nStop / nullif($nTok, 0) AS stopword_ratio,
+       |  $sumLen / nullif($nTok, 0) AS avg_token_len,
+       |  0.4 * least(1.0, $nTok / 100.0)
+       |    + 0.3 * (1.0 - coalesce($nStop / nullif($nTok, 0), 1.0))
+       |    + 0.3 * least(1.0, coalesce($sumLen / nullif($nTok, 0), 0.0) / 8.0)
+       |    AS quality,
+       |  CASE WHEN greatest($en, $es, $de, $fr) = 0 THEN 'unk'
+       |       WHEN $fr = greatest($en, $es, $de, $fr) THEN 'fr'
+       |       WHEN $es = greatest($en, $es, $de, $fr) THEN 'es'
+       |       WHEN $en = greatest($en, $es, $de, $fr) THEN 'en'
+       |       ELSE 'de' END AS lang_guess
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q28 — corpus quality profile by (lang, source): counts, exact char
+  // sums, scaled-exact mean quality.
+  // ---------------------------------------------------------------------
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")) / count(lit(1))).as("avg_chars"),
+        sum(Text.tokenCount(col("text"))).as("total_tokens"),
+        (fixedSum(Text.qualityScore(col("text")), 6) / count(lit(1)))
+          .as("avg_quality"))
+      .orderBy(col("lang"), col("source"))
+
+  private val q28Sql = {
+    val w = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+    val nTok = s"CAST(len($w) AS BIGINT)"
+    val stops = Text.EnglishStopwords.map(x => s"'$x'").mkString(", ")
+    val nStop = s"CAST(len(list_filter($w, t -> t IN ($stops))) AS BIGINT)"
+    val sumLen = s"CAST(list_sum(list_transform($w, t -> length(t))) AS BIGINT)"
+    val q = s"0.4 * least(1.0, $nTok / 100.0)" +
+      s" + 0.3 * (1.0 - coalesce($nStop / nullif($nTok, 0), 1.0))" +
+      s" + 0.3 * least(1.0, coalesce($sumLen / nullif($nTok, 0), 0.0) / 8.0)"
+    s"""SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars,
+       |  CAST(sum($nTok) AS BIGINT) AS total_tokens,
+       |  (${fixedSumSql(q, 6)}) / count(*) AS avg_quality
+       |FROM documents
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q29 — corpus token accounting per source (BPE-ish alnum runs).
+  // ---------------------------------------------------------------------
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val perDoc = d.select(col("source"),
+      Text.alnumTokens(col("text")).as("toks"))
+    val totals = perDoc.groupBy("source")
+      .agg(sum(size(col("toks")).cast("long")).as("total_tokens"))
+    val distincts = perDoc.select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy("source").agg(countDistinct(col("tok")).as("n_distinct_tokens"))
+    totals.join(distincts, "source").orderBy(col("source"))
+  }
+
+  private val q29Sql = {
+    val alnum = "list_filter(regexp_split_to_array(lower(text), " +
+      "'[^a-z0-9]+'), t -> length(t) > 0)"
+    s"""WITH perdoc AS (SELECT source, $alnum AS toks FROM documents)
+       |SELECT source,
+       |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+       |  (SELECT count(DISTINCT tok) FROM
+       |     (SELECT unnest(p2.toks) AS tok FROM perdoc p2
+       |      WHERE p2.source = perdoc.source))
+       |    AS n_distinct_tokens
+       |FROM perdoc
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q30 — document fingerprints (rows-only: xxhash64 rolling shingle
+  // signature).
+  // ---------------------------------------------------------------------
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"),
+        Text.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_dedup_exact" -> (q21 _),
+    "q22_dedup_minhash_lsh" -> (q22 _),
+    "q23_dedup_jaccard" -> (q23 _),
+    "q24_simhash" -> (q24 _),
+    "q25_ann_brute" -> (q25 _),
+    "q26_ann_lsh" -> (q26 _),
+    "q27_text_stats" -> (q27 _),
+    "q28_lang_quality" -> (q28 _),
+    "q29_token_count" -> (q29 _),
+    "q30_fingerprint" -> (q30 _))
+
+  val oracle: Map[String, String] = Map(
+    "q21_dedup_exact" -> q21Sql,
+    "q23_dedup_jaccard" -> q23Sql,
+    "q25_ann_brute" -> q25Sql,
+    "q26_ann_lsh" -> q26Sql,
+    "q27_text_stats" -> q27Sql,
+    "q28_lang_quality" -> q28Sql,
+    "q29_token_count" -> q29Sql)
+}

@@ -1,0 +1,209 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Geo
+import Exact._
+
+/** Scalar-function surface (SURVEY.md §2.8): haversine (F3), JSON
+  * extraction (F8 / P2 generalized), string manipulation, date/time
+  * formatting (F1/F7), cube, and tumbling-window aggregation.
+  *
+  * All per-row arithmetic is deterministic IEEE and hashes bit-exact;
+  * transcendental outputs (haversine) are rounded to 4 decimals on
+  * both sides because java.lang.Math and libm may differ in the last
+  * ulp.
+  */
+object Scalars {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.withColumn("ts_s", Exact.secFromAny(e, "ts")).drop("ts")
+  }
+
+  // ---------------------------------------------------------------------
+  // q17 — haversine great-circle distance (F3,
+  // `lambda/trips_lambda.py:119-125`), coordinates synthesized from
+  // numeric columns. Composed from built-ins → stays in whole-stage
+  // codegen, no UDF serialization.
+  // ---------------------------------------------------------------------
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val lat1 = abs(col("c_acctbal")) % 90
+    val lon1 = (col("c_custkey").cast("double") * 7.1) % 180
+    val lat2 = (abs(col("c_acctbal")) * 1.3) % 90
+    val lon2 = (col("c_custkey").cast("double") * 3.7) % 180
+    c.select(col("c_custkey"),
+        round(lat1, 4).as("lat1"), round(lon1, 4).as("lon1"),
+        round(Geo.haversineKm(lat1, lon1, lat2, lon2), 4).as("dist_km"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q17Sql = {
+    val lat1 = "fmod(abs(c_acctbal), 90)"
+    val lon1 = "fmod(CAST(c_custkey AS DOUBLE) * 7.1, 180)"
+    val lat2 = "fmod(abs(c_acctbal) * 1.3, 90)"
+    val lon2 = "fmod(CAST(c_custkey AS DOUBLE) * 3.7, 180)"
+    s"""SELECT c_custkey,
+       |  round($lat1, 4) AS lat1, round($lon1, 4) AS lon1,
+       |  round(${Geo.haversineKmSql(lat1, lon1, lat2, lon2)}, 4) AS dist_km
+       |FROM customer
+       |ORDER BY c_custkey""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q18 — JSON field extraction (P2 `air_lambda.py:55-61` generalized:
+  // null-tolerant nested access over events.props).
+  // ---------------------------------------------------------------------
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"), floor(col("k") / 10).as("k_decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        fixedSum(col("value")).as("value_total"))
+      .orderBy(col("event_type"), col("k_decile"))
+
+  private val q18Sql =
+    s"""SELECT event_type,
+       |  CAST(floor(CAST(json_extract_string(props, '$$.k') AS BIGINT) / 10)
+       |       AS BIGINT) AS k_decile,
+       |  count(*) AS n,
+       |  min(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS k_min,
+       |  max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS k_max,
+       |  ${fixedSumSql("value")} AS value_total
+       |FROM events
+       |GROUP BY event_type, k_decile
+       |ORDER BY event_type, k_decile""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q19 — string functions (F6/F7 surface: the analytics layer's
+  // string toolkit; exercised on part names/brands/types).
+  // ---------------------------------------------------------------------
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        upper(col("p_brand")).as("brand_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        reverse(col("p_brand")).as("brand_rev"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        levenshtein(col("p_brand"), lit("Brand#13")).cast("long")
+          .as("brand_edit_dist"),
+        when(col("p_type").startsWith("STANDARD"), lit("std"))
+          .when(col("p_type").contains("BRUSHED"), lit("brushed"))
+          .otherwise(lit("other")).as("type_class"))
+      .orderBy(col("p_partkey"))
+
+  private val q19Sql =
+    """SELECT p_partkey,
+      |  lower(p_name) AS name_lower,
+      |  upper(p_brand) AS brand_upper,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  substr(p_type, 1, 5) AS type_prefix,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  reverse(p_brand) AS brand_rev,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+      |  CAST(levenshtein(p_brand, 'Brand#13') AS BIGINT) AS brand_edit_dist,
+      |  CASE WHEN starts_with(p_type, 'STANDARD') THEN 'std'
+      |       WHEN contains(p_type, 'BRUSHED') THEN 'brushed'
+      |       ELSE 'other' END AS type_class
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q20 — date/time functions (F1/F7: `strftime` formatting, month
+  // truncation, day deltas) + monthly aggregate.
+  // ---------------------------------------------------------------------
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month_key"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        datediff(to_date(lit("2000-01-01")), to_date(col("o_orderdate")))
+          .cast("long").as("days_to_y2k"))
+      .groupBy(col("month_start"), col("month_key"), col("yr"), col("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        fixedSum(col("o_totalprice")).as("month_total"),
+        min(col("days_to_y2k")).as("min_days_to_y2k"))
+      .orderBy(col("month_start"))
+
+  private val q20Sql =
+    s"""SELECT date_trunc('month', o_orderdate) AS month_start,
+       |  strftime(o_orderdate, '%Y-%m') AS month_key,
+       |  CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+       |  CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+       |  count(*) AS n_orders,
+       |  ${fixedSumSql("o_totalprice")} AS month_total,
+       |  min(CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+       |      AS BIGINT)) AS min_days_to_y2k
+       |FROM orders
+       |GROUP BY ALL
+       |ORDER BY month_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q33 — cube (SURVEY §2.4 north-star: grouping sets).
+  // ---------------------------------------------------------------------
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), fixedSum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val q33Sql =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       |  ${fixedSumSql("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus ASC NULLS FIRST,
+       |         o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q34 — tumbling event-time window (§2.9: the streaming-shaped
+  // aggregation, batch form). window() start aligns with
+  // date_trunc('hour') for 1-hour tumbling windows.
+  // ---------------------------------------------------------------------
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts_s"), "1 hour").getField("start")
+        .as("hour_start"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        fixedSum(col("value")).as("value_total"))
+      .orderBy(col("hour_start"))
+
+  private val q34Sql =
+    s"""SELECT date_trunc('hour', ts) AS hour_start,
+       |  count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  ${fixedSumSql("value")} AS value_total
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY hour_start""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_haversine" -> (q17 _),
+    "q18_json_extract" -> (q18 _),
+    "q19_string_funcs" -> (q19 _),
+    "q20_date_agg" -> (q20 _),
+    "q33_cube" -> (q33 _),
+    "q34_tumbling_window" -> (q34 _))
+
+  val oracle: Map[String, String] = Map(
+    "q17_haversine" -> q17Sql,
+    "q18_json_extract" -> q18Sql,
+    "q19_string_funcs" -> q19Sql,
+    "q20_date_agg" -> q20Sql,
+    "q33_cube" -> q33Sql,
+    "q34_tumbling_window" -> q34Sql)
+}

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for training-data pipelines
+  * (BASELINE.json north star; no reference analogue — SURVEY.md §2.12).
+  *
+  * Everything here is composed from built-in codegen'd expressions
+  * (split/filter/transform/aggregate higher-order functions), so the
+  * whole text pipeline stays in whole-stage codegen and distributes
+  * trivially: these are per-row scalars with no shuffle at all.
+  */
+object Text {
+
+  /** Common-word list used for stopword ratios and the language
+    * heuristic. Deliberately tiny and embedded: at 100 TB a real list
+    * would be a broadcast lookup, but the operator shape is the same. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Whitespace word tokens, empties dropped. */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  /** Lowercased alphanumeric tokens (BPE-ish pre-tokenization: runs
+    * of [a-z0-9] after lowercasing, everything else is a boundary). */
+  def alnumTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
+
+  def tokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  def stopwordCount(text: Column, stop: Seq[String] = EnglishStopwords): Column =
+    size(filter(words(text), w => w.isInCollection(stop))).cast("long")
+
+  /** stopwords / tokens as double; null-safe for empty docs. */
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text) / nullif(tokenCount(text), lit(0L))
+
+  /** Mean token length = total token chars / token count. */
+  def avgTokenLen(text: Column): Column =
+    aggregate(words(text), lit(0L), (acc, w) => acc + length(w)) /
+      nullif(tokenCount(text), lit(0L))
+
+  /** Heuristic quality score in [0,1]: rewards length (saturating at
+    * 100 tokens), non-stopword density, and longer words (saturating
+    * at mean length 8). All inputs are exact integers, so the score is
+    * a deterministic double on any engine. */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * least(lit(1.0), tokenCount(text) / 100.0) +
+      lit(0.3) * (lit(1.0) - coalesce(stopwordRatio(text), lit(1.0))) +
+      lit(0.3) * least(lit(1.0), coalesce(avgTokenLen(text), lit(0.0)) / 8.0)
+
+  /** Word n-gram shingles ("w1 w2 w3"), empty array when the doc has
+    * fewer than n words. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = words(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** 64-bit SimHash as an array of 64 bits (index i = bit i of the
+    * hash). Bit i is 1 when the sum over tokens of ±1 votes (bit i of
+    * the token's xxhash64) is non-negative. Kept as a bit array rather
+    * than a packed long so LSH banding can slice it directly.
+    *
+    * Written as a SQL expression because the Scala `shiftright` helper
+    * only accepts a literal shift, while the SQL form shifts by the
+    * lambda-bound bit index. `tokensCol` is a SQL expression yielding
+    * array<string>.
+    */
+  def simhashBits(tokensCol: String): Column = expr(
+    s"""transform(sequence(0, 63), i ->
+       |  IF(aggregate(transform($tokensCol, t -> xxhash64(t)), 0L,
+       |       (acc, h) -> acc + ((shiftright(h, i) & 1L) * 2 - 1)) >= 0,
+       |     1, 0))""".stripMargin)
+
+  /** Hamming distance between two equal-length bit arrays. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (acc, x) => acc + x).cast("long")
+
+  /** Document fingerprint: min-hash of word 3-gram shingles — a
+    * winnowing-style content signature that is stable under small
+    * edits at the ends of the document. */
+  def fingerprint(text: Column): Column =
+    array_min(transform(shingles(text, 3), s => xxhash64(s)))
+
+  /** Language-ID heuristic: stopword-hit ratio against per-language
+    * common-word lists; returns the argmax language or "unk" when
+    * nothing matches. N-gram-frequency models would slot in the same
+    * way (per-row scalar, broadcast tables). */
+  def langIdHeuristic(text: Column): Column = {
+    val langs: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+      "fr" -> Seq("le", "la", "de", "et", "un", "est", "que"))
+    val toks = alnumTokens(text)
+    val scores = langs.map { case (l, stop) =>
+      struct(size(filter(toks, w => w.isInCollection(stop))).as("hits"),
+        lit(l).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("unk"))
+  }
+}

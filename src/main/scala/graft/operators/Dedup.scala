@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Deduplication operators for training-data pipelines (SURVEY.md
+  * §2.12 / BASELINE.json north star). Four tiers, in increasing
+  * fuzziness:
+  *
+  *  1. exact        — hash groupBy on a normalization of the content;
+  *  2. n-gram Jaccard — exact set similarity via a shingle inverted
+  *                     index (ground truth for the fuzzy tiers);
+  *  3. MinHash + LSH — banded signatures, near-linear candidate
+  *                     generation, then exact verification;
+  *  4. SimHash      — 64-bit fingerprints, banded Hamming buckets.
+  *
+  * Scale design: every step is a hash shuffle on doc ids, shingles, or
+  * band buckets — no cross join ever materializes. The quadratic
+  * danger is hot buckets (an ultra-common shingle joins every doc
+  * containing it); `dfPrune` drops shingles whose document frequency
+  * exceeds a cap, which is both the standard trick at 100 TB scale and
+  * a quality win (boilerplate shingles carry no signal).
+  */
+object Dedup {
+
+  /** Exact dedup: one representative row (min of `idCol`) per distinct
+    * value of `keyCols`, plus the duplicate count. */
+  def exact(df: DataFrame, keyCols: Seq[Column], idCol: Column): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(min(idCol).as("representative"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word-`n`-gram shingles per document: (id, shingle).
+    * The base relation for Jaccard and MinHash. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
+
+  /** Drop shingles appearing in more than `maxDocFrac` of `totalDocs`
+    * documents (document-frequency pruning). */
+  def dfPrune(shingled: DataFrame, totalDocs: Long,
+              maxDocFrac: Double): DataFrame = {
+    val cap = math.max(2L, (totalDocs * maxDocFrac).toLong)
+    val hot = shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("shingle")
+    shingled.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  /** Exact pairwise Jaccard over shingle sets, via inverted-index
+    * self-join. Returns (id_a, id_b, inter, size_a, size_b, jaccard)
+    * for pairs with jaccard >= threshold and id_a < id_b. */
+  def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingled.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = shingled.as("x")
+      .join(shingled.as("y"), col("x.shingle") === col("y.shingle") &&
+        col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sz", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: (id, h, minhash) for h in [0, numHashes).
+    * Hash family h is xxhash64(shingle, h) — independent-enough and
+    * reproducible everywhere Spark runs. */
+  def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame =
+    shingled
+      .select(col("id"), col("shingle"),
+        explode(lit((0 until numHashes).toArray)).as("h"))
+      .groupBy("id", "h")
+      .agg(min(xxhash64(col("shingle"), col("h"))).as("minhash"))
+
+  /** LSH banding: signature rows → (id, band, bucket) where bucket
+    * hashes the band's minhashes in h-order. Docs sharing any band
+    * bucket are candidates. */
+  def lshBuckets(signatures: DataFrame, rowsPerBand: Int): DataFrame =
+    signatures
+      .withColumn("band", floor(col("h") / rowsPerBand))
+      .groupBy("id", "band")
+      .agg(xxhash64(col("band"),
+        sort_array(collect_list(struct(col("h"), col("minhash")))))
+        .as("bucket"))
+
+  /** Candidate pairs from shared band buckets (deduplicated). */
+  def lshCandidates(buckets: DataFrame): DataFrame =
+    buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    * candidates → exact-Jaccard verification. Output matches
+    * [[jaccardPairs]] schema, restricted to LSH candidates. */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 32,
+                   rowsPerBand: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val shingled = shingleTable(docs, idCol, textCol, shingleN).cache()
+    val candidates = lshCandidates(
+      lshBuckets(minhashSignatures(shingled, numHashes), rowsPerBand))
+    val verified = jaccardPairs(
+      shingled.join(
+        broadcast(candidates.select(explode(array(col("id_a"), col("id_b")))
+          .as("id")).distinct()), Seq("id")),
+      threshold)
+    verified.join(candidates, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  /** SimHash near-dup: 64-bit fingerprint per doc, banded into four
+    * 16-bit buckets; pairs sharing a band are verified by Hamming
+    * distance <= maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val withBits = docs.select(col(idCol).as("id"),
+      Text.simhashBits(s"filter(split(lower($textCol), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)").as("bits"))
+    val banded = withBits.select(col("id"), col("bits"),
+      explode(lit((0 until 4).toArray)).as("band"))
+      .withColumn("bucket",
+        xxhash64(col("band"), slice(col("bits"), col("band") * 16 + 1, lit(16))))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        Text.hamming(col("x.bits"), col("y.bits")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup: sign-LSH bucket join then cosine
+    * threshold. See [[graft.functions.Vectors.signBucket]]. */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    import graft.functions.Vectors
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Vectors.signBucket(col(vecCol)).as("bucket"))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        Vectors.cosine(col("x.v"), col("y.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}
