@@ -16,7 +16,8 @@ object SparkEntry {
     (analytics.Relational.queries, analytics.Relational.oracle),
     (analytics.Windowed.queries, analytics.Windowed.oracle),
     (analytics.Scalars.queries, analytics.Scalars.oracle),
-    (analytics.LlmOps.queries, analytics.LlmOps.oracle))
+    (analytics.LlmOps.queries, analytics.LlmOps.oracle),
+    (analytics.Pipeline.queries, analytics.Pipeline.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Schema-enforced readers and layout-policy writers (S4–S8 in
+  * SURVEY.md §2.1, §4 "layout policy").
+  *
+  * Readers never `inferSchema` — production paths declare their
+  * StructType (the reference's create-on-write DDL, relocated to read
+  * time). Writers encode the physical-design answer to the
+  * reference's B-tree indexes (`trips_lambda.py:81-84`): partition
+  * directories give partition pruning (the reference's `trip_start`
+  * index), sortWithinPartitions gives parquet min/max row-group
+  * pruning on the sort keys (the `bike_id` index).
+  */
+object Ingest {
+
+  /** CSV with header (S7), explicit schema, PERMISSIVE parse with a
+    * rejects channel: malformed lines land in `_corrupt_record`. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val df = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache() // corrupt-record column requires referencing the same scan
+    (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      df.filter(col("_corrupt_record").isNotNull))
+  }
+
+  /** JSON-lines with explicit schema + rejects channel. */
+  def readJson(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val df = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .json(path)
+      .cache()
+    (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      df.filter(col("_corrupt_record").isNotNull))
+  }
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Layout-policy writer: hash-partition to `files` writer tasks,
+    * directory-partition by `partitionCols`, sort rows within each
+    * file by `sortCols` so parquet row-group stats prune point/range
+    * lookups on those keys. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String], sortCols: Seq[String],
+                       files: Int = 0): Unit = {
+    val sized = if (files > 0)
+      df.repartition(files, partitionCols.map(col): _*) else df
+    val sorted = if (sortCols.nonEmpty)
+      sized.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    else sized
+    val w = sorted.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** CSV sink with header (S7, notebook cells 0-1). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}

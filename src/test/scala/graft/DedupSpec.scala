@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup tiers against constructed near-duplicates. */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat sleeps near the warm fire in the old house"
+  private val nearDup = base.replace("old house", "new house")
+  private val unrelated = "completely different words about spark " +
+    "catalyst optimizer plans and shuffle partitions at scale"
+
+  private val docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, Seq(col("text")), col("doc_id"))
+      .orderBy("representative").collect()
+    assert(out.length == 3)
+    val rep = out.map(r => (r.getAs[Long]("representative"),
+      r.getAs[Long]("dup_count")))
+    assert(rep.contains((1L, 2L))) // docs 1 and 4 collapse
+  }
+
+  test("jaccard pairs find near-dups, not unrelated docs") {
+    val sh = Dedup.shingleTable(docs.filter(col("doc_id") < 4),
+      "doc_id", "text", 3)
+    val pairs = Dedup.jaccardPairs(sh, 0.5).collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet == Set((1L, 2L)))
+    val j = pairs.head.getAs[Double]("jaccard")
+    assert(j > 0.5 && j < 1.0)
+  }
+
+  test("minhash LSH recalls the same near-dup pair") {
+    val out = Dedup.minhashDedup(docs.filter(col("doc_id") < 4),
+      "doc_id", "text", threshold = 0.5).collect()
+    assert(out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs at distance 0, near-dups close, " +
+       "unrelated docs far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 64).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 4L)) == 0)                  // identical
+    assert(pairs.get((1L, 2L)).forall(_ <= 10))   // near-dup: close
+  }
+
+  test("df-pruning drops shingles present in nearly all docs") {
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 1)
+    val pruned = Dedup.dfPrune(sh, totalDocs = 4, maxDocFrac = 0.6)
+    val remaining = pruned.select("shingle").distinct()
+      .as[String].collect().toSet
+    assert(!remaining.contains("the")) // in all docs -> pruned
+    assert(remaining.nonEmpty)
+  }
+
+  test("embedding near-dup finds a duplicated vector") {
+    val v1 = Array(1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f,
+      1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f,
+      1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f,
+      1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f,
+      1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f,
+      1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f,
+      1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f,
+      1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f)
+    val v2 = v1.map(_ * 1.001f)               // same direction
+    val v3 = v1.map(x => -x)                   // opposite
+    val emb = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.99)
+      .collect()
+    assert(out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet == Set((1L, 2L)))
+  }
+}

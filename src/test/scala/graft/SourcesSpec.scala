@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{Ingest, JsonSources}
+
+/** Source-adapter semantics: GBFS/WAQI/OpenWeather flattening with
+  * the reference's null-tolerant nested access (P2), reject channels,
+  * CSV round-trip. Payload shapes from FIXTURES.md. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val batchTs = Timestamp.valueOf("2024-01-15 11:45:00")
+
+  test("GBFS: one row per bike, batch timestamp stamped once") {
+    val payload =
+      """{"data":{"bikes":[
+        |{"bike_id":"b1","provider_id":"p1","lat":47.37,"lon":8.54,
+        | "is_reserved":false,"is_disabled":false,"extra_field":1},
+        |{"bike_id":"b2","provider_id":"p1","lat":46.94,"lon":7.44,
+        | "is_reserved":true,"is_disabled":false}]}}""".stripMargin
+        .replace("\n", "")
+    val out = JsonSources.parseGbfs(Seq(payload).toDF("raw"), "raw", batchTs)
+      .orderBy("bike_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("bike_id") == "b1")
+    assert(out(0).getAs[Boolean]("is_reserved") == false)
+    assert(out.forall(_.getAs[Timestamp]("timestamp") == batchTs))
+  }
+
+  test("WAQI: absent iaqi fields become nulls (.get chains)") {
+    val full = """{"status":"ok","data":{"aqi":42,"iaqi":{
+      |"t":{"v":11.5},"h":{"v":78.0},"pm25":{"v":12.0}}}}"""
+      .stripMargin.replace("\n", "")
+    val partial = """{"status":"ok","data":{"aqi":17,"iaqi":{"t":{"v":9.0}}}}"""
+    val out = JsonSources.parseWaqi(
+      Seq(("zurich", full), ("bern", partial)).toDF("city", "raw"),
+      "city", "raw").orderBy("city").collect()
+    val bern = out(0)
+    assert(bern.getAs[Int]("aqi") == 17)
+    assert(bern.getAs[Double]("temperature") == 9.0)
+    assert(bern.isNullAt(bern.fieldIndex("humidity")))
+    assert(bern.isNullAt(bern.fieldIndex("pm25")))
+  }
+
+  test("OpenWeather: empty pollution list yields null aqi/pm25") {
+    val weather = """{"name":"Zurich","main":{"temp":11.2,"humidity":81},
+      |"weather":[{"description":"mist"}],"wind":{"speed":2.5}}"""
+      .stripMargin.replace("\n", "")
+    val pollutionOk = """{"list":[{"main":{"aqi":2},"components":{"pm2_5":7.1}}]}"""
+    val pollutionEmpty = """{"list":[]}"""
+    val out = JsonSources.parseWeather(
+      Seq(("zurich", weather, pollutionOk), ("bern", weather, pollutionEmpty))
+        .toDF("city", "w", "p"), "city", "w", "p", batchTs)
+      .orderBy("city").collect()
+    assert(out(1).getAs[Int]("aqi") == 2)          // zurich
+    assert(out(1).getAs[Double]("pm25") == 7.1)
+    assert(out(0).isNullAt(out(0).fieldIndex("aqi")))  // bern: empty list
+    assert(out(0).getAs[Double]("temperature") == 11.2)
+  }
+
+  test("reject channel splits malformed documents") {
+    val rows = Seq("""{"data":{"bikes":[]}}""", "not json at all")
+    val (good, rejects) = JsonSources.withRejects(
+      rows.toDF("raw"), "raw", JsonSources.gbfsSchema, "data")
+    assert(good.count() == 1)
+    assert(rejects.count() == 1)
+    assert(rejects.select("raw").as[String].head() == "not json at all")
+  }
+
+  test("CSV round-trip with header; corrupt lines land in rejects") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val schema = StructType(Seq(
+      StructField("city", StringType), StructField("temp", DoubleType)))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "city,temp\nzurich,11.5\nbern,notanumber\nbasel,9.0\n")
+    val (good, rejects) = Ingest.readCsv(spark, s"$dir/in.csv", schema)
+    assert(good.count() == 2)
+    assert(rejects.count() == 1)
+
+    Ingest.writeCsv(good, s"$dir/out")
+    val back = spark.read.option("header", "true").schema(schema)
+      .csv(s"$dir/out")
+    assert(back.count() == 2)
+  }
+
+  test("layout-policy writer partitions directories and keeps data") {
+    val dir = Files.createTempDirectory("graft_layout").toString + "/t"
+    val df = Seq((1L, "2024-01-01", "b1"), (2L, "2024-01-02", "b2"))
+      .toDF("id", "day", "bike")
+    Ingest.writePartitioned(df, dir, Seq("day"), Seq("bike"), files = 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2)
+    assert(Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).exists(_.contains("day=2024-01-01")))
+  }
+}

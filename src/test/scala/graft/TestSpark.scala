@@ -1,0 +1,13 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole forked test JVM. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = graft.core.GraftSession.builder(4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf001 = "/root/testdata/sf0.001"
+}
