@@ -40,7 +40,9 @@ object Scalars {
     val lon2 = (col("c_custkey").cast("double") * 3.7) % 180
     c.select(col("c_custkey"),
         round(lat1, 4).as("lat1"), round(lon1, 4).as("lon1"),
-        round(Geo.haversineKm(lat1, lon1, lat2, lon2), 4).as("dist_km"))
+        // native fused Catalyst expression (graftx.Haversine) — the
+        // oracle cross-checks it against DuckDB's composed formula
+        round(Geo.haversineNative(lat1, lon1, lat2, lon2), 4).as("dist_km"))
       .orderBy(col("c_custkey"))
   }
 

@@ -28,6 +28,12 @@ object Geo {
     lit(EarthRadiusKm) * lit(2.0) * asin(sqrt(a))
   }
 
+  /** Fused native-Expression variant (whole-stage codegen'd single
+    * call); see org.apache.spark.sql.graftx.Haversine. */
+  def haversineNative(lat1: Column, lon1: Column,
+                      lat2: Column, lon2: Column): Column =
+    org.apache.spark.sql.graftx.Haversine.col(lat1, lon1, lat2, lon2)
+
   /** DuckDB SQL fragment computing the same value (for oracles). */
   def haversineKmSql(lat1: String, lon1: String,
                      lat2: String, lon2: String): String =

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+/** Streaming twins vs their batch formulations on the same data. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_stream").toString
+    val e = graft.core.Tables.load(spark, TestSpark.sf001, "events")
+    e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
+      .select("event_id", "ts_s", "user_id", "value")
+      .write.parquet(s"$d/events")
+    s"$d/events"
+  }
+
+  test("streaming tumbling window == batch tumbling window") {
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streaming.fileStream(spark, dir, schema)
+    val got = Streaming.runToMemory(
+      Streaming.tumblingStats(stream, "ts_s", "value", "1 hour", "0 seconds"),
+      "tumbling_out", outputMode = "complete")
+
+    val batch = spark.read.parquet(dir)
+      .groupBy(window(col("ts_s"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_total"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("value_total"))
+
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("streaming session windows == batch session windows") {
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streaming.fileStream(spark, dir, schema)
+    val got = Streaming.runToMemory(
+      Streaming.sessionStats(stream, "ts_s", "user_id",
+        "30 minutes", "0 seconds"),
+      "session_out", outputMode = "complete")
+
+    val batch = spark.read.parquet(dir)
+      .groupBy(col("user_id"), session_window(col("ts_s"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+
+    // and session_window agrees with the batch Sessionize operator on
+    // session counts per user
+    val viaOperator = graft.operators.Sessionize.byGap(
+      spark.read.parquet(dir), Seq("user_id"), col("ts_s"),
+      col("event_id"), 1800L)
+      .groupBy("user_id").agg(max("session_id").as("n_sessions"))
+    val viaWindow = got.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"))
+    assert(viaOperator.join(viaWindow, "user_id")
+      .filter(viaOperator("n_sessions") =!= viaWindow("n_sessions"))
+      .count() == 0)
+  }
+}
