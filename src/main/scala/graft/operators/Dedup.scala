@@ -32,21 +32,26 @@ object Dedup {
     df.groupBy(keyCols: _*)
       .agg(min(idCol).as("representative"), count(lit(1)).as("dup_count"))
 
-  /** Distinct word-`n`-gram shingles per document: (id, shingle).
-    * The base relation for Jaccard and MinHash. */
+  /** Distinct word-`n`-gram shingles per document: (id, shingle,
+    * sh = xxhash64(shingle)). The base relation for Jaccard and
+    * MinHash. Downstream set operations join on `sh` (an 8-byte key)
+    * instead of the shingle string — at 100 TB the inverted-index
+    * shuffle carries longs, not 25-byte strings, and the equi-join is
+    * a long compare. (64-bit collisions are ~n²/2⁶⁴ — negligible.) */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame =
     docs.select(col(idCol).as("id"),
         explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
+      .withColumn("sh", xxhash64(col("shingle")))
 
   /** Drop shingles appearing in more than `maxDocFrac` of `totalDocs`
     * documents (document-frequency pruning). */
   def dfPrune(shingled: DataFrame, totalDocs: Long,
               maxDocFrac: Double): DataFrame = {
     val cap = math.max(2L, (totalDocs * maxDocFrac).toLong)
-    val hot = shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select("shingle")
-    shingled.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val hot = shingled.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("sh")
+    shingled.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
   /** Exact pairwise Jaccard over shingle sets, via inverted-index
@@ -54,8 +59,9 @@ object Dedup {
     * for pairs with jaccard >= threshold and id_a < id_b. */
   def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame = {
     val sizes = shingled.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = shingled.as("x")
-      .join(shingled.as("y"), col("x.shingle") === col("y.shingle") &&
+    val narrow = shingled.select("id", "sh")
+    val inter = narrow.as("x")
+      .join(narrow.as("y"), col("x.sh") === col("y.sh") &&
         col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -69,26 +75,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signatures: (id, h, minhash) for h in [0, numHashes).
-    * Hash family h is xxhash64(shingle, h) — independent-enough and
-    * reproducible everywhere Spark runs. */
-  def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame =
-    shingled
-      .select(col("id"), col("shingle"),
-        explode(lit((0 until numHashes).toArray)).as("h"))
-      .groupBy("id", "h")
-      .agg(min(xxhash64(col("shingle"), col("h"))).as("minhash"))
+  /** MinHash signatures as ONE wide row per doc: (id, m0..m{n-1})
+    * where m_h = min over shingles of xxhash64(shingle, h).
+    *
+    * Deliberately NOT the explode-by-hash-index formulation: that
+    * shuffles |shingles| × numHashes rows. Here each hash function is
+    * its own `min` aggregate, so Spark's partial (map-side)
+    * aggregation collapses every partition to one row per doc before
+    * the single shuffle — the shuffle carries |docs| rows of 32
+    * longs, independent of shingle count. */
+  def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    // rehash the 8-byte shingle hash per function, not the string:
+    // 32 hash evaluations over a long are ~free next to 32 string
+    // digests, and the family quality is unchanged
+    val mins = (0 until numHashes).map(h =>
+      min(xxhash64(col("sh"), lit(h))).as(s"m$h"))
+    shingled.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
 
-  /** LSH banding: signature rows → (id, band, bucket) where bucket
-    * hashes the band's minhashes in h-order. Docs sharing any band
-    * bucket are candidates. */
-  def lshBuckets(signatures: DataFrame, rowsPerBand: Int): DataFrame =
-    signatures
-      .withColumn("band", floor(col("h") / rowsPerBand))
-      .groupBy("id", "band")
-      .agg(xxhash64(col("band"),
-        sort_array(collect_list(struct(col("h"), col("minhash")))))
-        .as("bucket"))
+  /** LSH banding over wide signatures: (id, band, bucket), bucket =
+    * hash of the band's minhash columns in order. Row explosion is
+    * |docs| × bands (tiny). Docs sharing any band bucket are
+    * candidates. */
+  def lshBuckets(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    val numHashes = signatures.columns.count(_.startsWith("m"))
+    val bands = numHashes / rowsPerBand
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(h => col(s"m$h"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bucket"))
+    }
+    signatures.select(col("id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
 
   /** Candidate pairs from shared band buckets (deduplicated). */
   def lshCandidates(buckets: DataFrame): DataFrame =

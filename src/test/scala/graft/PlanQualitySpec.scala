@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these
+  * plans survive a 100× scale-up. If someone's refactor drops a
+  * pushed filter or turns a broadcast join into a shuffle, this is
+  * the spec that goes red. */
+class PlanQualitySpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf001)
+      .queryExecution.executedPlan.toString
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("l_shipdate") && p.contains("l_discount"))
+    // pruned read schema: none of the untouched lineitem columns
+    assert(!p.contains("l_returnflag") && !p.contains("l_suppkey"))
+  }
+
+  test("q03: dimension side is broadcast, not shuffled") {
+    val p = plan("q03_star_join_agg")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q04: snowflake dims broadcast; no sort-merge join") {
+    val p = plan("q04_dim_snowflake")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q25: ANN corpus is scanned once, queries broadcast — corpus " +
+       "side never exchanged before the join") {
+    val p = plan("q25_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q01: aggregate is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("trips pipeline: window and groupBy share one partitioning " +
+       "(no third exchange)") {
+    val p = plan("q15_trips_derive")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    // window shuffle on user_id + final output sort; the groupBy on
+    // user_id must reuse the window's hash partitioning
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
+    assert(p.contains("WindowExec") || p.contains("Window"))
+  }
+
+  test("q21: exact dedup is a single-shuffle hash aggregate") {
+    val p = plan("q21_dedup_exact")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"got $exchanges exchanges\n$p")
+  }
+
+  test("q34: tumbling window aggregates with partial combine " +
+       "before the shuffle") {
+    val p = plan("q34_tumbling_window")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial"))
+  }
+}
