@@ -17,7 +17,8 @@ object SparkEntry {
     (analytics.Windowed.queries, analytics.Windowed.oracle),
     (analytics.Scalars.queries, analytics.Scalars.oracle),
     (analytics.LlmOps.queries, analytics.LlmOps.oracle),
-    (analytics.Pipeline.queries, analytics.Pipeline.oracle))
+    (analytics.Pipeline.queries, analytics.Pipeline.oracle),
+    (analytics.Advanced.queries, analytics.Advanced.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

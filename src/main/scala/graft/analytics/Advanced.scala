@@ -1,0 +1,234 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Vectors
+import graft.operators.Dedup
+import Exact._
+
+/** Advanced analytics surface: the SQL frontend, corrected-mode
+  * endpoint aggregates, exact percentiles, grouping sets, IVF-shaped
+  * ANN, embedding near-dup, and approximate distinct counting.
+  */
+object Advanced {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.withColumn("ts_s", Exact.secFromAny(e, "ts")).drop("ts")
+  }
+
+  // ---------------------------------------------------------------------
+  // q35 — the SQL frontend: one dialect-neutral ANSI string executed
+  // verbatim by BOTH Spark (spark.sql over registered views) and the
+  // DuckDB oracle. TPC-H Q3 shape (segment revenue top-k).
+  // ---------------------------------------------------------------------
+  private val q35Sql =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000)
+      |      AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.registerTestTables(s, dir)
+    s.sql(q35Sql)
+  }
+
+  // ---------------------------------------------------------------------
+  // q36 — corrected-mode endpoints (SURVEY §2.4 A1 quirk, fixed): the
+  // value AT the first/last event via min_by/max_by over a unique
+  // ordering key, instead of the reference's numeric MIN/MAX.
+  // ---------------------------------------------------------------------
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val ord = col("ts_s").cast("long") * 1000000L + col("event_id")
+    ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(col("value"), ord).as("first_value"),
+        max_by(col("value"), ord).as("last_value"),
+        min_by(col("event_type"), ord).as("first_type"),
+        min(col("ts_s")).as("first_ts"),
+        max(col("ts_s")).as("last_ts"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q36Sql = {
+    val ord = s"${epochSSql("ts")} * 1000000 + event_id"
+    s"""SELECT user_id,
+       |  arg_min(value, $ord) AS first_value,
+       |  arg_max(value, $ord) AS last_value,
+       |  arg_min(event_type, $ord) AS first_type,
+       |  min(${secSql("ts")}) AS first_ts,
+       |  max(${secSql("ts")}) AS last_ts,
+       |  count(*) AS n_events
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q37 — exact interpolated percentiles (Spark `percentile` and
+  // DuckDB `quantile_cont` share the linear-interpolation definition;
+  // rounded to 4 decimals to absorb last-ulp interpolation ordering).
+  // ---------------------------------------------------------------------
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q37Sql =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q38 — grouping sets (explicit set list, beyond rollup/cube).
+  // ---------------------------------------------------------------------
+  private val q38Sql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST,
+      |         o_orderpriority ASC NULLS FIRST, n""".stripMargin
+
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.registerTestTables(s, dir)
+    s.sql(q38Sql)
+  }
+
+  // ---------------------------------------------------------------------
+  // q39 — IVF-shaped ANN: 8 fixed "centroids" (vec_id < 8 — standing
+  // in for trained k-means cells), corpus assigned to nearest cell by
+  // L2, queries probe their own cell, cosine top-3 within it. The
+  // operator shape of a real IVF index: cell assignment is one
+  // broadcast join + argmin, probing touches |corpus|/cells vectors.
+  // ---------------------------------------------------------------------
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    // nearest cell per vector (rounded distance + id tiebreak)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+    val assigned = e.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        round(Vectors.l2(col("embedding"), col("cv")), 4).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cell"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(Vectors.cosine(col("qv"), col("embedding")), 4).as("cos"))
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q39Sql = {
+    val l2 = "round(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])" +
+      " - 2 * list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])" +
+      " + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])), 4)"
+    val cos = Vectors.cosineSql("q.qv", "a.embedding")
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv
+       |               FROM embeddings WHERE vec_id < 8),
+       |dists AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id, $l2 AS d2
+       |  FROM embeddings e, cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, cent_id) AS rn FROM dists) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, cell
+       |      FROM assigned WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id, a.cell, round($cos, 4) AS cos
+       |  FROM q JOIN assigned a USING (cell)
+       |  WHERE a.vec_id != q.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, vec_id ASC) AS rank FROM scored)
+       |SELECT query_id, vec_id, cell, cos, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q40 — embedding-cosine similar pairs via sign-LSH buckets
+  // (SURVEY §2.12 "embedding-cosine near-dup"; threshold tuned to the
+  // synthetic corpus where no true near-dups exist).
+  // ---------------------------------------------------------------------
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.0)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q40Sql = {
+    val bucket = Vectors.signBucketSql("embedding")
+    val cos = Vectors.cosineSql("a.embedding", "b.embedding")
+    s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket
+       |           FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 4) AS cos
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round($cos, 4) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q41 — approximate distinct counting (HLL++; rows-only: sketch
+  // internals differ from any oracle). The spec asserts the relative
+  // error against the exact count.
+  // ---------------------------------------------------------------------
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_sql_frontend" -> (q35 _),
+    "q36_minmax_by" -> (q36 _),
+    "q37_percentiles" -> (q37 _),
+    "q38_grouping_sets" -> (q38 _),
+    "q39_ann_ivf" -> (q39 _),
+    "q40_embedding_pairs" -> (q40 _),
+    "q41_approx_distinct" -> (q41 _))
+
+  val oracle: Map[String, String] = Map(
+    "q35_sql_frontend" -> q35Sql,
+    "q36_minmax_by" -> q36Sql,
+    "q37_percentiles" -> q37Sql,
+    "q38_grouping_sets" -> q38Sql,
+    "q39_ann_ivf" -> q39Sql,
+    "q40_embedding_pairs" -> q40Sql)
+}

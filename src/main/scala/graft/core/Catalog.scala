@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Idempotent DDL (S8 in SURVEY.md §2.1: the reference creates every
+  * table with CREATE TABLE IF NOT EXISTS at runtime,
+  * `bike_lambda.py:36-50`, `trips_lambda.py:49-89`).
+  *
+  * Spark mapping: external parquet tables registered in the session
+  * catalog. Indexes have no direct equivalent — their query-pruning
+  * role is carried by partition columns (directory pruning) and
+  * sort-within-partition (row-group min/max), see Ingest.
+  */
+object Catalog {
+
+  /** CREATE TABLE IF NOT EXISTS over a parquet location. */
+  def ensureTable(spark: SparkSession, name: String, schema: StructType,
+                  path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val ddlCols = schema.toDDL
+    val partClause =
+      if (partitionCols.nonEmpty)
+        s"PARTITIONED BY (${partitionCols.mkString(", ")})"
+      else ""
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $name ($ddlCols)
+         |USING parquet $partClause LOCATION '$path'""".stripMargin)
+  }
+
+  /** Register every driver test table as a temp view (the session's
+    * SQL surface; used by the spark.sql queries). */
+  def registerTestTables(spark: SparkSession, dir: String): Unit =
+    Tables.registerAll(spark, dir)
+
+  def tableExists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name)
+
+  def dropTable(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BikeStatus, MergeByKey, TripParams, Trips}
+
+/** Property-based invariants (SURVEY.md §5.3): trip bounds hold on
+  * random snapshot streams with duplicates and out-of-order arrivals;
+  * merge is idempotent and last-writer-wins on random batches.
+  * (scalacheck Gens driven by fixed seeds — the scalatest bridge
+  * module isn't in the offline dependency cache.) */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic sampler: n cases from a Gen. */
+  private def cases[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val base = Timestamp.valueOf("2024-06-10 00:00:00").getTime
+  private val winStart = Timestamp.valueOf("2024-06-10 00:00:00")
+  private val winEnd = Timestamp.valueOf("2024-06-11 00:00:00")
+
+  private val genSnapshot: Gen[BikeStatus] = for {
+    bike <- Gen.oneOf("b1", "b2", "b3")
+    // offsets quantized to 30s so duplicates and exact-boundary gaps
+    // actually occur
+    offS <- Gen.choose(0L, 20L * 3600).map(_ / 30 * 30)
+    lat <- Gen.choose(46.0, 48.0)
+    lon <- Gen.choose(6.0, 9.0)
+  } yield BikeStatus(bike, "p", lat, lon, false, false,
+    new Timestamp(base + offS * 1000))
+
+  test("trip invariants hold on arbitrary snapshot streams") {
+    cases(Gen.listOfN(60, genSnapshot), 8).foreach { snaps =>
+      val p = TripParams()
+      val trips = Trips.deriveTrips(snaps.toDS(), winStart, winEnd, p)
+        .collect()
+      trips.foreach { t =>
+        assert(!t.trip_start.after(t.trip_end))
+        assert(t.total_duration >= p.minTripMinutes &&
+          t.total_duration <= p.maxTripMinutes)
+        assert(t.segment_count >= p.minSegments)
+        assert(t.total_distance > 0)
+      }
+      // derivation is deterministic under shuffling of input order
+      val shuffled = scala.util.Random.shuffle(snaps)
+      val again = Trips.deriveTrips(shuffled.toDS(), winStart, winEnd, p)
+        .collect()
+      assert(trips.sortBy(_.bike_id).toSeq.map(_.bike_id) ==
+        again.sortBy(_.bike_id).toSeq.map(_.bike_id))
+    }
+  }
+
+  private val genBatch: Gen[List[(Long, Long)]] =
+    Gen.listOfN(40, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 1000L)))
+
+  test("merge: idempotent and update-wins on random batches") {
+    cases(Gen.zip(genBatch, genBatch), 8).foreach { case (t, u) =>
+      // dedupe within batch deterministically (max value per key), as
+      // a well-formed upsert batch would be
+      val target = t.toDF("id", "v").groupBy("id").agg(max("v").as("v"))
+      val updates = u.toDF("id", "v").groupBy("id").agg(max("v").as("v"))
+      val m1 = MergeByKey.merge(target, updates, Seq("id"))
+      val m2 = MergeByKey.merge(m1, updates, Seq("id"))
+      assert(m1.exceptAll(m2).isEmpty && m2.exceptAll(m1).isEmpty)
+      // every update key carries the update's value
+      val uMap = updates.as[(Long, Long)].collect().toMap
+      m1.as[(Long, Long)].collect().foreach { case (k, v) =>
+        uMap.get(k).foreach(uv => assert(v == uv))
+      }
+      // key set is the union
+      assert(m1.select("id").as[Long].collect().toSet ==
+        (target.select("id").as[Long].collect().toSet ++ uMap.keySet))
+    }
+  }
+
+  test("approx_count_distinct lands within its error bound") {
+    val got = SparkEntry.queries("q41_approx_distinct")(
+      spark, TestSpark.sf001).collect()
+    got.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx $approx vs exact $exact")
+    }
+  }
+}
