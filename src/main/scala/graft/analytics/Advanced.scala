@@ -215,6 +215,30 @@ object Advanced {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------------
+  // q42 — salted two-phase aggregation over the (skewed) events user
+  // activity. Results are identical to a plain groupBy — which is
+  // exactly what the plain-SQL oracle checks; the salting only changes
+  // the physical distribution of work.
+  // ---------------------------------------------------------------------
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Salt.aggregate(
+        ev(s, dir).select(col("user_id"), col("value"),
+          round(col("value") * 100).cast("long").as("cents")),
+        Seq("user_id"), buckets = 8,
+        sums = Seq("cents"), mins = Seq("value"), maxs = Seq("value"))
+      .select(col("user_id"),
+        (col("sum_cents") / 100.0).as("sum_value"), col("cnt"),
+        col("min_value"), col("max_value"))
+      .orderBy(col("user_id"))
+
+  private val q42Sql =
+    s"""SELECT user_id, ${fixedSumSql("value")} AS sum_value,
+       |  count(*) AS cnt, min(value) AS min_value, max(value) AS max_value
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_frontend" -> (q35 _),
     "q36_minmax_by" -> (q36 _),
@@ -222,7 +246,8 @@ object Advanced {
     "q38_grouping_sets" -> (q38 _),
     "q39_ann_ivf" -> (q39 _),
     "q40_embedding_pairs" -> (q40 _),
-    "q41_approx_distinct" -> (q41 _))
+    "q41_approx_distinct" -> (q41 _),
+    "q42_salted_agg" -> (q42 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -230,5 +255,6 @@ object Advanced {
     "q37_percentiles" -> q37Sql,
     "q38_grouping_sets" -> q38Sql,
     "q39_ann_ivf" -> q39Sql,
-    "q40_embedding_pairs" -> q40Sql)
+    "q40_embedding_pairs" -> q40Sql,
+    "q42_salted_agg" -> q42Sql)
 }

@@ -67,6 +67,21 @@ object Ingest {
       .parquet(path)
   }
 
+  /** Bucketed managed table: co-locates join/agg keys at write time
+    * so later equi-joins between tables bucketed on the same key need
+    * NO exchange (asserted in BucketingSpec). This is the Spark
+    * answer to "pre-partition the big fact tables once, join cheap
+    * forever" — at 100 TB the one-time bucketed write amortizes over
+    * every downstream join. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String], sortCols: Seq[String] = Nil)
+      : Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
+
   /** CSV sink with header (S7, notebook cells 0-1). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)

@@ -60,6 +60,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 2, s"got $exchanges exchanges\n$p")
   }
 
+  test("q42: salted aggregate is two-phase - an exchange on " +
+       "(key, salt) then one on key") {
+    val p = plan("q42_salted_agg")
+    assert("Exchange hashpartitioning\\(user_id#\\d+L, __salt".r
+      .findFirstIn(p).isDefined, p)
+    assert("Exchange hashpartitioning\\(user_id#\\d+L, 4\\)".r
+      .findFirstIn(p).isDefined ||
+      "Exchange hashpartitioning\\(user_id#\\d+L, \\d+\\)".r
+        .findAllIn(p).length >= 1, p)
+  }
+
   test("q34: tumbling window aggregates with partial combine " +
        "before the shuffle") {
     val p = plan("q34_tumbling_window")
