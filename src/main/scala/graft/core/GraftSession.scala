@@ -17,6 +17,7 @@ object GraftSession {
   def builder(cores: Int = 32): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
       .appName("graft")
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)

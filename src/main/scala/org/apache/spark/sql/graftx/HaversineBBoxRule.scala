@@ -1,0 +1,80 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Optimizer rule (the SURVEY.md §4 showcase): rewrites a radius
+  * predicate `haversine(lat1, lon1, lat2, lon2) <= r` into
+  * `latitude-band AND original`.
+  *
+  * Any two points within r km satisfy |Δlat| <= r/110.574°, so the
+  * band is a NECESSARY condition — adding it as a conjunct never
+  * changes results. The win: when the query center is a literal
+  * ("bikes within 5 km of Zurich"), the band becomes plain
+  * col-vs-literal comparisons, which Spark pushes into the parquet
+  * scan (row-group min/max pruning) — the trig evaluates only for
+  * rows that survive. With a non-literal center the band is still a
+  * cheap short-circuit ahead of four trig calls per row.
+  *
+  * Registered through [[GraftExtensions]]
+  * (`SparkSession.builder.withExtensions`). Idempotence: the rule
+  * tags rewritten comparisons by wrapping them once; a band guard
+  * matching the same operands is never added twice (checked
+  * structurally, so the fixed-point optimizer batch converges).
+  */
+object HaversineBBoxRule extends Rule[LogicalPlan] {
+
+  // conservative: 1° latitude >= 110.0 km everywhere
+  private val KmPerLatDegree = 110.0
+
+  private def bandFor(latC: Expression, latV: Expression,
+                      rKm: Double): Expression = {
+    val d = Literal(rKm / KmPerLatDegree, DoubleType)
+    if (latC.foldable) {
+      val c = latC.eval(null)
+      if (c == null) Literal.TrueLiteral
+      else {
+        val cd = c.asInstanceOf[Double]
+        And(
+          GreaterThanOrEqual(latV, Literal(cd - rKm / KmPerLatDegree)),
+          LessThanOrEqual(latV, Literal(cd + rKm / KmPerLatDegree)))
+      }
+    } else LessThanOrEqual(Abs(Subtract(latV, latC)), d)
+  }
+
+  /** Structural idempotence: does `cond` already contain this band? */
+  private def hasBand(cond: Expression, band: Expression): Boolean =
+    cond.exists(_.semanticEquals(band))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val newCond = cond.transformUp {
+        case cmp @ LessThanOrEqual(
+              Haversine(lat1, _, lat2, _), r @ Literal(rv, DoubleType))
+            if rv != null =>
+          val band = bandFor(lat1, lat2, rv.asInstanceOf[Double])
+          if (band == Literal.TrueLiteral || hasBand(cond, band)) cmp
+          else And(band, cmp)
+        case cmp @ LessThan(
+              Haversine(lat1, _, lat2, _), r @ Literal(rv, DoubleType))
+            if rv != null =>
+          val band = bandFor(lat1, lat2, rv.asInstanceOf[Double])
+          if (band == Literal.TrueLiteral || hasBand(cond, band)) cmp
+          else And(band, cmp)
+      }
+      if (newCond fastEquals cond) f else Filter(newCond, child)
+  }
+}
+
+/** Session extension registering the graft Catalyst surface
+  * (`SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=org.apache.spark.sql.graftx.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => HaversineBBoxRule)
+  }
+}
