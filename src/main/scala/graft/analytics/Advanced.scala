@@ -239,6 +239,82 @@ object Advanced {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q43 — pivot: event types to columns per day. Spark's pivot() with
+  // an explicit value list (never the implicit distinct scan at
+  // scale); the oracle is the equivalent conditional aggregation.
+  // ---------------------------------------------------------------------
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("day", date_trunc("day", col("ts_s")))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("click", "view", "purchase", "error"))
+      // "view" is a reserved word in most engines — prefix all pivot
+      // columns for oracle-name parity
+      .withColumnRenamed("click", "n_click")
+      .withColumnRenamed("view", "n_view")
+      .withColumnRenamed("purchase", "n_purchase")
+      .withColumnRenamed("error", "n_error")
+      .orderBy(col("day"))
+
+  private val q43Sql =
+    """SELECT date_trunc('day', ts) AS day,
+      |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  count(*) FILTER (WHERE event_type = 'error') AS n_error
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q44 — positional explode (posexplode / zipped unnest): token
+  // positions feed positional shingle features.
+  // ---------------------------------------------------------------------
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.Text.words(col("text"))))
+      .filter(col("pos") < 5)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  private val q44Sql =
+    """SELECT doc_id, CAST(pos AS BIGINT) AS pos, token FROM (
+      |  SELECT doc_id,
+      |    unnest(range(len(list_filter(string_split(text, ' '),
+      |      w -> length(w) > 0)))) AS pos,
+      |    unnest(list_filter(string_split(text, ' '),
+      |      w -> length(w) > 0)) AS token
+      |  FROM documents)
+      |WHERE pos < 5
+      |ORDER BY doc_id, pos""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q45 — array aggregation: per-user sorted distinct event-type
+  // profile, serialized for cross-engine comparison.
+  // ---------------------------------------------------------------------
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(sort_array(collect_set(col("event_type"))), ",")
+          .as("type_profile"),
+        size(collect_set(col("event_type"))).cast("long").as("n_types"))
+      .orderBy(col("user_id"))
+
+  private val q45Sql =
+    """SELECT user_id,
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',')
+      |    AS type_profile,
+      |  count(DISTINCT event_type) AS n_types
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_frontend" -> (q35 _),
     "q36_minmax_by" -> (q36 _),
@@ -247,7 +323,10 @@ object Advanced {
     "q39_ann_ivf" -> (q39 _),
     "q40_embedding_pairs" -> (q40 _),
     "q41_approx_distinct" -> (q41 _),
-    "q42_salted_agg" -> (q42 _))
+    "q42_salted_agg" -> (q42 _),
+    "q43_pivot" -> (q43 _),
+    "q44_posexplode" -> (q44 _),
+    "q45_array_agg" -> (q45 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -256,5 +335,8 @@ object Advanced {
     "q38_grouping_sets" -> q38Sql,
     "q39_ann_ivf" -> q39Sql,
     "q40_embedding_pairs" -> q40Sql,
-    "q42_salted_agg" -> q42Sql)
+    "q42_salted_agg" -> q42Sql,
+    "q43_pivot" -> q43Sql,
+    "q44_posexplode" -> q44Sql,
+    "q45_array_agg" -> q45Sql)
 }
