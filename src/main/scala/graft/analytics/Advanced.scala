@@ -315,6 +315,63 @@ object Advanced {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q46 — bounded range join: clicks within 10 minutes after an error
+  // by the same user, via the time-bucketed formulation (each row
+  // meets ~2 buckets of candidates, never the whole key group).
+  // ---------------------------------------------------------------------
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("ts_l", col("ts_s").cast("long"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("ts_l").as("err_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_l").as("click_ts"))
+    graft.operators.RangeJoin.followingWithin(
+        errors, clicks, Seq("user_id"),
+        leftTs = "err_ts", rightTs = "click_ts", maxDeltaS = 600L)
+      .select(col("user_id"), col("error_id"), col("click_id"),
+        (col("click_ts") - col("err_ts")).as("delta_s"))
+      .orderBy(col("user_id"), col("error_id"), col("click_id"))
+  }
+
+  private val q46Sql =
+    s"""WITH e AS (SELECT user_id, event_id, ${epochSSql("ts")} AS ts_l,
+       |                  event_type FROM events)
+       |SELECT err.user_id, err.event_id AS error_id,
+       |  c.event_id AS click_id, c.ts_l - err.ts_l AS delta_s
+       |FROM e err JOIN e c
+       |  ON err.user_id = c.user_id
+       |  AND err.event_type = 'error' AND c.event_type = 'click'
+       |  AND c.ts_l > err.ts_l AND c.ts_l <= err.ts_l + 600
+       |ORDER BY err.user_id, error_id, click_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q47 — unpivot/melt: wide lineitem measures to long format
+  // (dialect-neutral UNION ALL oracle).
+  // ---------------------------------------------------------------------
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("stack(3, 'quantity', l_quantity, 'price', l_extendedprice," +
+          " 'discount', l_discount) AS (measure, value)"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  private val q47Sql =
+    """SELECT l_orderkey, l_linenumber, measure, value FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    'quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      |  FROM lineitem)
+      |WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_frontend" -> (q35 _),
     "q36_minmax_by" -> (q36 _),
@@ -326,7 +383,9 @@ object Advanced {
     "q42_salted_agg" -> (q42 _),
     "q43_pivot" -> (q43 _),
     "q44_posexplode" -> (q44 _),
-    "q45_array_agg" -> (q45 _))
+    "q45_array_agg" -> (q45 _),
+    "q46_range_join" -> (q46 _),
+    "q47_unpivot" -> (q47 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -338,5 +397,7 @@ object Advanced {
     "q42_salted_agg" -> q42Sql,
     "q43_pivot" -> q43Sql,
     "q44_posexplode" -> q44Sql,
-    "q45_array_agg" -> q45Sql)
+    "q45_array_agg" -> q45Sql,
+    "q46_range_join" -> q46Sql,
+    "q47_unpivot" -> q47Sql)
 }
