@@ -60,7 +60,11 @@ object Exact {
   def secFromAny(df: org.apache.spark.sql.DataFrame, name: String): Column =
     df.schema(name).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        timestamp_seconds(floor(col(name) / 1000000000L).cast("long"))
+        // integer `div`, never double division: a 2024-epoch ns value
+        // exceeds 2^53, so double rounding can shift the quotient
+        // across a whole-second boundary and disagree with the
+        // oracle's date_trunc by one second
+        timestamp_seconds(expr(s"$name div 1000000000L"))
       case _ => date_trunc("second", col(name))
     }
 

@@ -75,8 +75,7 @@ object Pipeline {
   private def q32(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        graft.operators.Multimodal.kindFor(col("doc_id")).as("kind"),
         encode(col("text"), "UTF-8").as("content"))
       .select(col("doc_id"), col("lang"), col("kind"),
         length(col("content")).cast("long").as("n_bytes"),

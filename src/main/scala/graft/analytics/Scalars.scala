@@ -21,10 +21,8 @@ object Scalars {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private def ev(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-    e.withColumn("ts_s", Exact.secFromAny(e, "ts")).drop("ts")
-  }
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsSec(s, dir)
 
   // ---------------------------------------------------------------------
   // q17 — haversine great-circle distance (F3,

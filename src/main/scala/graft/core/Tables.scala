@@ -18,6 +18,16 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table with its nanosecond `ts` normalized to a
+    * second-truncated `ts_s` timestamp (cross-engine stable; see
+    * graft.analytics.Exact). The single loader every query module
+    * uses — the ns handling must not fork. */
+  def eventsSec(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "events")
+    e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
+      .drop("ts")
+  }
+
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

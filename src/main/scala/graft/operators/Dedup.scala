@@ -126,7 +126,12 @@ object Dedup {
                    shingleN: Int = 3, numHashes: Int = 32,
                    rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
-    val shingled = shingleTable(docs, idCol, textCol, shingleN).cache()
+    // not cached: the result is returned lazily so there is no safe
+    // unpersist point, and a session-lifetime cache of every shingle
+    // leaks executor storage across repeated calls; O(n) shingling
+    // makes the recompute cheap, and at real scale the caller
+    // materializes the shingle table explicitly once
+    val shingled = shingleTable(docs, idCol, textCol, shingleN)
     val candidates = lshCandidates(
       lshBuckets(minhashSignatures(shingled, numHashes), rowsPerBand))
     val verified = jaccardPairs(

@@ -56,7 +56,18 @@ object MergeByKey {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(targetPath).getFileSystem(hconf)
     val tmp = new Path(targetPath + "__merge_tmp")
+    val old = new Path(targetPath + "__merge_old")
     val dest = new Path(targetPath)
+
+    // crash recovery: a previous run that died mid-swap left the
+    // whole table at __merge_old (dest renamed away, tmp not yet
+    // promoted) — restore it before reading, or the merge below would
+    // treat the target as empty and silently drop all history.
+    if (!fs.exists(dest) && fs.exists(old)) {
+      if (!fs.rename(old, dest))
+        sys.error(s"mergeWrite: failed to recover $old -> $dest")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
 
     val merged =
       if (fs.exists(dest)) {
@@ -67,9 +78,16 @@ object MergeByKey {
       } else updates
 
     merged.write.mode("overwrite").parquet(tmp.toString)
-    // swap: atomic-enough for a single writer (the reference's Lambda
-    // is also single-writer); multi-writer needs a table format's log.
-    if (fs.exists(dest)) fs.delete(dest, true)
-    fs.rename(tmp, dest)
+    // swap via rename-aside, never delete-before-promote: at every
+    // instant the full table exists at dest, old, or tmp, and the
+    // recovery branch above can always find it. Single-writer only
+    // (like the reference's Lambda); multi-writer needs a table
+    // format's commit log.
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dest) && !fs.rename(dest, old))
+      sys.error(s"mergeWrite: failed to retire $dest")
+    if (!fs.rename(tmp, dest))
+      sys.error(s"mergeWrite: failed to promote $tmp -> $dest")
+    fs.delete(old, true)
   }
 }

@@ -73,6 +73,13 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_bytes")
   }
 
+  /** Round-robin media kind for a numeric id — the single definition
+    * shared by [[syntheticMedia]] and the q32 binary query (and its
+    * oracle's `(['image','audio','video'])[(doc_id % 3) + 1]`). */
+  def kindFor(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(id, lit(3)) + 1).cast("int"))
+
   /** Synthesize a deterministic binary corpus from the documents
     * table (the container ships no real media): utf-8 bytes of the
     * text, with a kind assigned round-robin. Used by tests and the
@@ -80,8 +87,7 @@ object Multimodal {
   def syntheticMedia(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        kindFor(col("doc_id")).as("kind"),
         encode(col("text"), "UTF-8").as("content"))
       .as[MediaRow]
   }

@@ -128,10 +128,15 @@ object Trips {
     * endpoint coordinates via min_by/max_by. */
   def deriveTripsSessioned(snapshots: Dataset[BikeStatus],
                            p: TripParams = TripParams()): DataFrame = {
+    // tiebreak on (lat, lon) too: (bike_id, timestamp) duplicates are
+    // a real at-least-once-ingest case and byGap requires a total
+    // order for deterministic lag()
+    val tiebreak = struct(col("timestamp"), col("lat"), col("lon"))
     val withSession = Sessionize.byGap(
-      snapshots.toDF(), Seq("bike_id"), col("timestamp"), col("timestamp"),
+      snapshots.toDF(), Seq("bike_id"), col("timestamp"), tiebreak,
       p.maxGapSeconds)
-    val w = Window.partitionBy("bike_id", "session_id").orderBy("timestamp")
+    val w = Window.partitionBy("bike_id", "session_id")
+      .orderBy(col("timestamp"), col("lat"), col("lon"))
     val gapMinutes =
       (col("timestamp").cast("double") - col("prev_time").cast("double")) / 60.0
     withSession

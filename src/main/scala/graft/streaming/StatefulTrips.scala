@@ -66,12 +66,23 @@ object StatefulTrips {
             open = Some(OpenTrip(ts, s.lat, s.lon, s.provider_id,
               ts, s.lat, s.lon, 0.0, 0.0, 0L))
           } else if (gap >= p.minGapSeconds && moved) {
-            open = Some(t.copy(
+            // first VALID segment anchors the trip start at its
+            // predecessor snapshot — matching the batch sessioned
+            // derivation's min(prev_time)/min_by(prev_pos) over valid
+            // segments, not the session's first (possibly invalid)
+            // snapshot
+            val anchored =
+              if (t.segments == 0L)
+                t.copy(startTs = t.lastTs,
+                  startLat = t.lastLat, startLon = t.lastLon)
+              else t
+            open = Some(anchored.copy(
               lastTs = ts, lastLat = s.lat, lastLon = s.lon,
-              durationMin = t.durationMin + gap / 60.0,
-              distanceKm = t.distanceKm +
-                Haversine.compute(t.lastLat, t.lastLon, s.lat, s.lon),
-              segments = t.segments + 1))
+              durationMin = anchored.durationMin + gap / 60.0,
+              distanceKm = anchored.distanceKm +
+                Haversine.compute(anchored.lastLat, anchored.lastLon,
+                  s.lat, s.lon),
+              segments = anchored.segments + 1))
           } else {
             // too-fast ping or stationary: advance position only
             open = Some(t.copy(lastTs = ts, lastLat = s.lat, lastLon = s.lon))

@@ -56,6 +56,18 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming exact dedup with bounded state: duplicates of `keys`
+    * are dropped as long as they arrive within the watermark delay of
+    * each other; key state older than the watermark is evicted. The
+    * streaming twin of Dedup.exact for at-least-once sources (the
+    * reference's re-ingested snapshots, PK `(bike_id, timestamp)` at
+    * `bike_lambda.py:46`). */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           keys: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Drain a (bounded) stream into an in-memory table and return its
     * content — the synchronous harness for tests and AvailableNow
     * incremental runs. */

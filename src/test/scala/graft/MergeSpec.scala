@@ -54,6 +54,31 @@ class MergeSpec extends AnyFunSuite {
     assert(after2 == after1)
   }
 
+  test("mergeWrite recovers a crash between retire and promote " +
+       "without losing history") {
+    val dir = Files.createTempDirectory("graft_merge_crash").toString + "/t"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq((1L, 100L, "x"), (2L, 100L, "y")).toDF("id", "day", "tag")
+      .write.parquet(dir)
+    // simulate the crash window: dest retired to __merge_old, promote
+    // never happened, a stale tmp is lying around
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__merge_old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "__merge_tmp"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+
+    val updates = Seq((2L, 100L, "y2")).toDF("id", "day", "tag")
+    MergeByKey.mergeWrite(spark, dir, updates, Seq("id"),
+      col("day") === 100L)
+    val rows = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    // history recovered AND update applied — the pre-fix swap would
+    // have written only the update row
+    assert(rows == Seq((1L, "x"), (2L, "y2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__merge_old")))
+  }
+
   test("mergeWrite creates the target when absent") {
     val dir = Files.createTempDirectory("graft_merge_new").toString + "/t"
     val updates = Seq((1L, 1L, "a")).toDF("id", "day", "tag")

@@ -37,6 +37,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("streaming dedup within watermark drops re-ingested rows") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_dedup").toString + "/in"
+    // the same snapshot batch ingested twice (at-least-once source)
+    val batch = Seq(
+      ("b1", java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 1.0),
+      ("b2", java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 2.0))
+      .toDF("bike_id", "ts", "v")
+    batch.union(batch).write.parquet(d)
+    val stream = Streaming.fileStream(spark, d,
+      spark.read.parquet(d).schema)
+    val got = Streaming.runToMemory(
+      Streaming.dedupWithinWatermark(stream, "ts",
+        Seq("bike_id", "ts"), "1 hour"),
+      "dedup_out")
+    assert(got.count() == 2)
+    assert(got.select("bike_id").as[String].collect().toSet ==
+      Set("b1", "b2"))
+  }
+
   test("streaming session windows == batch session windows") {
     val schema = spark.read.parquet(dir).schema
     val stream = Streaming.fileStream(spark, dir, schema)
