@@ -15,7 +15,11 @@ object Bench {
     // One warmup pass (JIT + codegen compilation + parquet footer
     // cache), then the measured pass — steady-state throughput, which
     // is what a long-running cluster job actually sees.
+    // optional diagnostic subset, e.g. SPARK_GRAFT_BENCH_ONLY=q22,q23
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }

@@ -370,6 +370,65 @@ object Advanced {
       |WHERE l_orderkey < 100
       |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q48 — correlated scalar subquery (SURVEY §4: "subquery
+  // decorrelation ... free in Catalyst"). One dialect-neutral ANSI
+  // string run verbatim by both engines; Catalyst decorrelates it
+  // into an aggregate + join.
+  // ---------------------------------------------------------------------
+  private val q48Sql =
+    """SELECT n_name, c_custkey, c_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) * 1.5 FROM customer c2
+      |                   WHERE c2.c_nationkey = c_nationkey)
+      |ORDER BY n_name, c_custkey""".stripMargin
+
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.registerTestTables(s, dir)
+    s.sql(q48Sql)
+  }
+
+  // ---------------------------------------------------------------------
+  // q49 — multi-band sign-LSH ANN: 4 independent 6-bit bucketings,
+  // candidates = union of band collisions. Higher recall than the
+  // single-bucket q26 at ~4x the candidate cost; cross-checked against
+  // brute force in SimilaritySpec.
+  // ---------------------------------------------------------------------
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.operators.Similarity.multiBandTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q49Sql = {
+    val bandSelects = graft.operators.Similarity.DefaultBands
+      .map(dims => Vectors.signBucketSql("embedding", dims))
+      .zipWithIndex.map { case (b, i) =>
+        s"SELECT vec_id, $i AS band, $b AS bucket FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+    val cos = Vectors.cosineSql("q.embedding", "c.embedding")
+    s"""WITH banded AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+       |  FROM banded qb JOIN banded cb
+       |    ON qb.band = cb.band AND qb.bucket = cb.bucket
+       |  WHERE qb.vec_id < 10 AND cb.vec_id != qb.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    round($cos, 4) AS cos
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.query_id
+       |  JOIN embeddings c ON c.vec_id = cand.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_frontend" -> (q35 _),
     "q36_minmax_by" -> (q36 _),
@@ -383,7 +442,9 @@ object Advanced {
     "q44_posexplode" -> (q44 _),
     "q45_array_agg" -> (q45 _),
     "q46_range_join" -> (q46 _),
-    "q47_unpivot" -> (q47 _))
+    "q47_unpivot" -> (q47 _),
+    "q48_scalar_subquery" -> (q48 _),
+    "q49_ann_multiband" -> (q49 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -397,5 +458,7 @@ object Advanced {
     "q44_posexplode" -> q44Sql,
     "q45_array_agg" -> q45Sql,
     "q46_range_join" -> q46Sql,
-    "q47_unpivot" -> q47Sql)
+    "q47_unpivot" -> q47Sql,
+    "q48_scalar_subquery" -> q48Sql,
+    "q49_ann_multiband" -> q49Sql)
 }

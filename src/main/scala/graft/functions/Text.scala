@@ -51,19 +51,32 @@ object Text {
       lit(0.3) * (lit(1.0) - coalesce(stopwordRatio(text), lit(1.0))) +
       lit(0.3) * least(lit(1.0), coalesce(avgTokenLen(text), lit(0.0)) / 8.0)
 
-  /** Word n-gram shingles ("w1 w2 w3"), empty array when the doc has
-    * fewer than n words. Built with element_at, not slice: slice
-    * copies an O(len) subarray per shingle, turning shingling into
-    * O(len²) per document — measurable even at bench scale and fatal
-    * on 100 TB of long documents. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = words(text)
+  /** Shingles from an ALREADY-MATERIALIZED tokens column (a bound
+    * attribute, not a tokenizer expression). This distinction is the
+    * whole performance story: expressions inside higher-order lambdas
+    * are NOT subexpression-eliminated, so passing `words(text)` here
+    * re-runs split+filter for every element_at — O(len²) per document
+    * and a ~10× slowdown on the dedup suite. Callers project tokens
+    * to a column first (see Dedup.shingleTable). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ",
           (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
-  }
+
+  /** Word n-gram shingles ("w1 w2 w3"), empty array when the doc has
+    * fewer than n words. Convenience form for one-shot use; hot paths
+    * should project tokens once and call [[shinglesFromTokens]]. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(words(text), n)
+
+  /** Token-hash array for [[simhashBits]]; project this to its own
+    * column before calling simhashBits — expressions inside lambdas
+    * are not subexpression-eliminated, so an inline tokenizer+hash
+    * would re-run 64× per row (once per bit). */
+  def tokenHashes(tokens: Column): Column =
+    transform(tokens, t => xxhash64(t))
 
   /** 64-bit SimHash as an array of 64 bits (index i = bit i of the
     * hash). Bit i is 1 when the sum over tokens of ±1 votes (bit i of
@@ -72,12 +85,12 @@ object Text {
     *
     * Written as a SQL expression because the Scala `shiftright` helper
     * only accepts a literal shift, while the SQL form shifts by the
-    * lambda-bound bit index. `tokensCol` is a SQL expression yielding
-    * array<string>.
+    * lambda-bound bit index. `hashesCol` must be the NAME of a
+    * materialized array<long> column (see [[tokenHashes]]).
     */
-  def simhashBits(tokensCol: String): Column = expr(
+  def simhashBits(hashesCol: String): Column = expr(
     s"""transform(sequence(0, 63), i ->
-       |  IF(aggregate(transform($tokensCol, t -> xxhash64(t)), 0L,
+       |  IF(aggregate($hashesCol, 0L,
        |       (acc, h) -> acc + ((shiftright(h, i) & 1L) * 2 - 1)) >= 0,
        |     1, 0))""".stripMargin)
 

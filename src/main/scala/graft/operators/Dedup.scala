@@ -40,8 +40,14 @@ object Dedup {
     * a long compare. (64-bit collisions are ~n²/2⁶⁴ — negligible.) */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
+    docs
+      // tokens as a materialized column FIRST: lambda bodies are not
+      // subexpression-eliminated, so shingling straight off
+      // words(text) re-tokenizes the document per shingle element
+      .select(col(idCol).as("id"), Text.words(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(array_distinct(Text.shinglesFromTokens(col("__toks"), n)))
+          .as("shingle"))
       .withColumn("sh", xxhash64(col("shingle")))
 
   /** Drop shingles appearing in more than `maxDocFrac` of `totalDocs`
@@ -147,9 +153,10 @@ object Dedup {
     * distance <= maxHamming. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6): DataFrame = {
-    val withBits = docs.select(col(idCol).as("id"),
-      Text.simhashBits(s"filter(split(lower($textCol), '[^a-z0-9]+'), " +
-        "t -> length(t) > 0)").as("bits"))
+    val withBits = docs
+      .select(col(idCol).as("id"),
+        Text.tokenHashes(Text.alnumTokens(col(textCol))).as("__th"))
+      .select(col("id"), Text.simhashBits("__th").as("bits"))
     val banded = withBits.select(col("id"), col("bits"),
       explode(lit((0 until 4).toArray)).as("band"))
       .withColumn("bucket",

@@ -27,6 +27,12 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** Four disjoint 6-bit dimension sets for multi-band LSH over
+    * 64-dim embeddings (64 buckets per band). */
+  val DefaultBands: Seq[Seq[Int]] = Seq(
+    Seq(0, 4, 8, 12, 16, 20), Seq(1, 5, 9, 13, 17, 21),
+    Seq(2, 6, 10, 14, 18, 22), Seq(3, 7, 11, 15, 19, 23))
+
   private def cos4(a: Column, b: Column): Column =
     round(Vectors.cosine(a, b), 4)
 
@@ -37,6 +43,48 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cos4(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-band sign-LSH ANN: `bands` independent bucketings over
+    * disjoint dimension sets; a corpus vector is a candidate when it
+    * shares ANY band's bucket with the query. Recall grows with each
+    * band (1-(1-p)^bands for per-band collision p) while per-query
+    * cost stays ~bands × corpus/2^bits — the standard knob between
+    * the single-bucket LSH and brute force. */
+  def multiBandTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    bands: Seq[Seq[Int]] = Similarity.DefaultBands)
+      : DataFrame = {
+    val bandCols = bands.zipWithIndex.map { case (dims, i) =>
+      struct(lit(i).as("band"),
+        Vectors.signBucket(col(vecCol), dims).as("bucket")).as(s"b$i")
+    }
+    def withBands(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+          explode(array(bandCols: _*)).as("bb"))
+        .select(col(id), col(v),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val q = withBands(queries, "query_id", "qv")
+    val c = withBands(corpus, "vec_id", "cv")
+    // dedupe candidate PAIRS (a pair can collide in several bands) on
+    // the narrow id columns, then join the vectors back — the distinct
+    // shuffle never carries embeddings
+    val candidates = c.drop("cv").join(broadcast(q.drop("qv")),
+        Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val scored = candidates
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), Seq("query_id"))
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv")),
+        Seq("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cos4(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id")
