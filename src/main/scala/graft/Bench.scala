@@ -16,10 +16,14 @@ object Bench {
     // cache), then the measured pass — steady-state throughput, which
     // is what a long-running cluster job actually sees.
     // optional diagnostic subset, e.g. SPARK_GRAFT_BENCH_ONLY=q22,q23
+    // (prefix match up to '_' so 'q22' selects q22_dedup_minhash_lsh
+    // but 'q2' selects nothing; entries trimmed; blank = full suite)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.exists(n.startsWith)))
+      .filter(n => only.forall(_.exists(p =>
+        n == p || n.startsWith(p + "_"))))
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }

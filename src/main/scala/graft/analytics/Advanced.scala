@@ -376,12 +376,21 @@ object Advanced {
   // string run verbatim by both engines; Catalyst decorrelates it
   // into an aggregate + join.
   // ---------------------------------------------------------------------
+  // The outer table MUST be aliased and the correlation written
+  // c2.col = c.col: an unqualified `c_nationkey` inside the subquery
+  // binds to the INNER c2 (innermost scope wins, identically in both
+  // engines), silently turning this into an uncorrelated global
+  // average. The per-nation average itself uses the scaled-long exact
+  // form so the threshold is bit-identical across engines.
   private val q48Sql =
-    """SELECT n_name, c_custkey, c_acctbal
-      |FROM customer JOIN nation ON c_nationkey = n_nationkey
-      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) * 1.5 FROM customer c2
-      |                   WHERE c2.c_nationkey = c_nationkey)
-      |ORDER BY n_name, c_custkey""".stripMargin
+    s"""SELECT n_name, c.c_custkey, c.c_acctbal
+       |FROM customer c JOIN nation ON c.c_nationkey = n_nationkey
+       |WHERE c.c_acctbal > (
+       |  SELECT 1.5 * CAST(SUM(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT))
+       |               AS BIGINT) / 100.0 / COUNT(*)
+       |  FROM customer c2
+       |  WHERE c2.c_nationkey = c.c_nationkey)
+       |ORDER BY n_name, c.c_custkey""".stripMargin
 
   private def q48(s: SparkSession, dir: String): DataFrame = {
     graft.core.Catalog.registerTestTables(s, dir)
@@ -391,8 +400,8 @@ object Advanced {
   // ---------------------------------------------------------------------
   // q49 — multi-band sign-LSH ANN: 4 independent 6-bit bucketings,
   // candidates = union of band collisions. Higher recall than the
-  // single-bucket q26 at ~4x the candidate cost; cross-checked against
-  // brute force in SimilaritySpec.
+  // single-bucket q26 at ~4x the candidate cost; recall ordering vs
+  // brute force is asserted in SimilaritySpec.
   // ---------------------------------------------------------------------
   private def q49(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")

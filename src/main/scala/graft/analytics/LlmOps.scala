@@ -90,9 +90,9 @@ object LlmOps {
   private def q24(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
-        Text.tokenHashes(Text.alnumTokens(col("text"))).as("__th"))
-      .select(col("doc_id"),
-        concat_ws("", Text.simhashBits("__th")).as("simhash_bits"))
+        concat_ws("", Text.simhashBits(
+          "filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"))
+          .as("simhash_bits"))
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------------

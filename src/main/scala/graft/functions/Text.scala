@@ -51,48 +51,57 @@ object Text {
       lit(0.3) * (lit(1.0) - coalesce(stopwordRatio(text), lit(1.0))) +
       lit(0.3) * least(lit(1.0), coalesce(avgTokenLen(text), lit(0.0)) / 8.0)
 
-  /** Shingles from an ALREADY-MATERIALIZED tokens column (a bound
-    * attribute, not a tokenizer expression). This distinction is the
-    * whole performance story: expressions inside higher-order lambdas
-    * are NOT subexpression-eliminated, so passing `words(text)` here
-    * re-runs split+filter for every element_at — O(len²) per document
-    * and a ~10× slowdown on the dedup suite. Callers project tokens
-    * to a column first (see Dedup.shingleTable). */
-  def shinglesFromTokens(toks: Column, n: Int): Column =
+  /** Word n-gram shingles from a tokens array.
+    *
+    * Built by zipping the array with its k-shifted selves rather than
+    * indexing with element_at inside a lambda: lambda bodies are NOT
+    * subexpression-eliminated (and CollapseProject re-inlines
+    * "materialized" helper columns), so an element_at formulation
+    * re-evaluates the tokens expression once per element — O(len²)
+    * per document, a measured ~10× slowdown on the dedup suite. Here
+    * every input is referenced O(n) times total, so the cost is
+    * O(n·len) regardless of what the optimizer inlines. */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    // fold: after step k, elem i = toks[i..i+k] joined; tail elements
+    // are partial (concat_ws skips the nulls zip_with pads with) and
+    // are cut by the final slice
+    val zipped = (1 until n).foldLeft(toks)((acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), size(toks)),
+        (a, b) => concat_ws(" ", a, b)))
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ",
-          (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(slice(zipped, lit(1), size(toks) - (n - 1)))
+  }
 
   /** Word n-gram shingles ("w1 w2 w3"), empty array when the doc has
-    * fewer than n words. Convenience form for one-shot use; hot paths
-    * should project tokens once and call [[shinglesFromTokens]]. */
+    * fewer than n words. */
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(words(text), n)
-
-  /** Token-hash array for [[simhashBits]]; project this to its own
-    * column before calling simhashBits — expressions inside lambdas
-    * are not subexpression-eliminated, so an inline tokenizer+hash
-    * would re-run 64× per row (once per bit). */
-  def tokenHashes(tokens: Column): Column =
-    transform(tokens, t => xxhash64(t))
 
   /** 64-bit SimHash as an array of 64 bits (index i = bit i of the
     * hash). Bit i is 1 when the sum over tokens of ±1 votes (bit i of
     * the token's xxhash64) is non-negative. Kept as a bit array rather
     * than a packed long so LSH banding can slice it directly.
     *
-    * Written as a SQL expression because the Scala `shiftright` helper
-    * only accepts a literal shift, while the SQL form shifts by the
-    * lambda-bound bit index. `hashesCol` must be the NAME of a
-    * materialized array<long> column (see [[tokenHashes]]).
+    * Single-pass fold: ONE aggregate over the token hashes with a
+    * 64-long vote accumulator, then a sign pass. The earlier
+    * per-bit formulation (transform over 64 bits, aggregate inside)
+    * re-evaluated the tokenize+hash input 64× per row — and
+    * "materialize it to a column first" does not survive
+    * CollapseProject, which re-inlines single-use aliases. Here the
+    * input expression is the aggregate's single input, evaluated
+    * once no matter what the optimizer inlines.
+    *
+    * Written as a SQL expression because the Scala `shiftright`
+    * helper only accepts a literal shift. `tokensExpr` is any SQL
+    * expression yielding array<string>.
     */
-  def simhashBits(hashesCol: String): Column = expr(
-    s"""transform(sequence(0, 63), i ->
-       |  IF(aggregate($hashesCol, 0L,
-       |       (acc, h) -> acc + ((shiftright(h, i) & 1L) * 2 - 1)) >= 0,
-       |     1, 0))""".stripMargin)
+  def simhashBits(tokensExpr: String): Column = expr(
+    s"""transform(
+       |  aggregate(transform($tokensExpr, t -> xxhash64(t)),
+       |    array_repeat(0L, 64),
+       |    (acc, h) -> zip_with(acc, sequence(0L, 63L),
+       |      (a, i) -> a + ((shiftright(h, CAST(i AS INT)) & 1L) * 2 - 1))),
+       |  v -> IF(v >= 0, 1, 0))""".stripMargin)
 
   /** Hamming distance between two equal-length bit arrays. */
   def hamming(a: Column, b: Column): Column =

@@ -153,10 +153,9 @@ object Dedup {
     * distance <= maxHamming. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6): DataFrame = {
-    val withBits = docs
-      .select(col(idCol).as("id"),
-        Text.tokenHashes(Text.alnumTokens(col(textCol))).as("__th"))
-      .select(col("id"), Text.simhashBits("__th").as("bits"))
+    val withBits = docs.select(col(idCol).as("id"),
+      Text.simhashBits(s"filter(split(lower($textCol), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)").as("bits"))
     val banded = withBits.select(col("id"), col("bits"),
       explode(lit((0 until 4).toArray)).as("band"))
       .withColumn("bucket",

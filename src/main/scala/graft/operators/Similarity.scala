@@ -36,6 +36,16 @@ object Similarity {
   private def cos4(a: Column, b: Column): Column =
     round(Vectors.cosine(a, b), 4)
 
+  /** The shared ranking contract of every ANN variant: top-k per
+    * query by (cos desc, vec_id asc), rank as long. One definition so
+    * the three operators can never diverge on tiebreak or rounding. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact top-k neighbors per query by cosine. Output:
     * (query_id, vec_id, cos, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
@@ -45,10 +55,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cos4(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Multi-band sign-LSH ANN: `bands` independent bucketings over
@@ -87,10 +94,7 @@ object Similarity {
         Seq("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cos4(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Bucketed ANN: score only corpus vectors in the query's sign-LSH
@@ -106,9 +110,6 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cos4(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 }

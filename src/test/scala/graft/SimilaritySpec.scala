@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** ANN variants: brute-force correctness and the recall ordering
+  * brute >= multi-band >= single-bucket on real embeddings. */
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("multi-band LSH recall beats single-bucket LSH on real data") {
+    val e = graft.core.Tables.load(TestSpark.spark, TestSpark.sf001,
+      "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rank") === 1)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val brute = top1(Similarity.bruteForceTopK(e, q, "vec_id",
+      "embedding", 1))
+    val single = top1(Similarity.lshTopK(e, q, "vec_id", "embedding", 1))
+    val multi = top1(Similarity.multiBandTopK(e, q, "vec_id",
+      "embedding", 1))
+    def recall(m: Map[Long, Long]) =
+      brute.count { case (k, v) => m.get(k).contains(v) }
+    assert(recall(multi) >= recall(single))
+    assert(multi.size >= single.size) // at least as many queries served
+  }
+
+  test("brute-force top-k: correct neighbors, self excluded, k bound") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 1),
+      "vec_id", "embedding", 2).orderBy("rank")
+      .select("vec_id").as[Long].collect()
+    assert(out.toSeq == Seq(2L, 3L)) // nearest then orthogonal; self and
+                                     // antipode excluded by k
+  }
+}

@@ -66,9 +66,8 @@ class TextFunctionsSpec extends AnyFunSuite {
   test("simhash bits: 64 bits, identical text -> identical bits") {
     val df = Seq("spark catalyst tungsten", "spark catalyst tungsten")
       .toDF("text")
-    val bits = df
-      .select(Text.tokenHashes(Text.alnumTokens(col("text"))).as("__th"))
-      .select(Text.simhashBits("__th"))
+    val bits = df.select(Text.simhashBits(
+      "filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"))
       .as[Seq[Int]].collect()
     assert(bits(0).length == 64 && bits(0) == bits(1))
     assert(bits(0).forall(b => b == 0 || b == 1))
