@@ -27,8 +27,9 @@ object Advanced {
   // ---------------------------------------------------------------------
   private val q35Sql =
     """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000)
-      |      AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    / 10000.0 AS revenue
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'
       |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
