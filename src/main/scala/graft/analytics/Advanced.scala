@@ -201,18 +201,39 @@ object Advanced {
   }
 
   // ---------------------------------------------------------------------
-  // q41 — approximate distinct counting (HLL++; rows-only: sketch
-  // internals differ from any oracle). The spec asserts the relative
-  // error against the exact count.
+  // q41 — approximate distinct counting (HLL++). Sketch internals
+  // differ from any oracle, so the oracle checks the *semantic
+  // contract* instead: exact counts bit-match, and the sketch
+  // estimates land within the advertised error bound (flag columns
+  // the oracle expects to be constant 1). HLL is deterministic for a
+  // fixed input, so this is a stable gate, not a flaky one.
   // ---------------------------------------------------------------------
   private def q41(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("ao"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        when(abs(col("ao") - col("exact_orders")) <=
+          col("exact_orders") * 0.15, 1L).otherwise(0L).cast("long")
+          .as("approx_orders_ok"),
+        when(abs(col("ap") - col("exact_parts")) <=
+          col("exact_parts") * 0.06, 1L).otherwise(0L).cast("long")
+          .as("approx_parts_ok"))
       .orderBy(col("l_returnflag"))
+
+  private val q41Sql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  CAST(1 AS BIGINT) AS approx_orders_ok,
+      |  CAST(1 AS BIGINT) AS approx_parts_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
   // q42 — salted two-phase aggregation over the (skewed) events user
@@ -458,6 +479,7 @@ object Advanced {
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
+    "q41_approx_distinct" -> q41Sql,
     "q36_minmax_by" -> q36Sql,
     "q37_percentiles" -> q37Sql,
     "q38_grouping_sets" -> q38Sql,

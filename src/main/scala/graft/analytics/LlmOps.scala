@@ -9,10 +9,12 @@ import graft.operators.{Dedup, Similarity}
 import Exact._
 
 /** Training-data pipeline operators over `documents` / `embeddings`
-  * (SURVEY.md §2.12; BASELINE.json north star). Queries marked
-  * "rows-only" use Spark-specific hashing (xxhash64) that no DuckDB
-  * oracle can reproduce; their ground truth is the exact-Jaccard query
-  * q23 (cross-checked in the test suite) and the scalatest specs.
+  * (SURVEY.md §2.12; BASELINE.json north star). Every query here is
+  * DuckDB-oracle-checked bit-for-bit: the fuzzy-dedup tier (minhash,
+  * simhash, fingerprints) uses the engine-portable md5-derived hash
+  * family ([[graft.functions.PortableHash]]); the xxhash64 variants
+  * of the same operators remain as the scale path, covered by
+  * scalatest specs and cross-checked against exact Jaccard (q23).
   */
 object LlmOps {
 
@@ -75,25 +77,103 @@ object LlmOps {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q22 — MinHash + LSH near-dup (rows-only: xxhash64 signatures).
-  // Candidates from banded signatures, verified by exact Jaccard.
+  // q22 — MinHash + LSH near-dup. Candidates from banded signatures,
+  // verified by exact Jaccard. Oracle-checkable end to end: the
+  // portable md5-derived hash family (PortableHash) makes every
+  // signature, band bucket, and candidate pair reproducible in DuckDB.
   // ---------------------------------------------------------------------
   private def q22(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.2)
+        shingleN = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.2,
+        portable = true)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  private val q22Sql: String = {
+    import graft.functions.PortableHash
+    val numHashes = 32
+    val rowsPerBand = 4
+    val bands = numHashes / rowsPerBand
+    val sigCols = (0 until numHashes)
+      .map(h => s"min(${PortableHash.permDuckSql(h, "sh")}) AS m$h")
+      .mkString(",\n      |    ")
+    val bandStructs = (0 until bands).map { b =>
+      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand).map(h => s"m$h")
+      s"{'band': $b, 'bucket': ${PortableHash.bandBucketDuckSql(b, ms)}}"
+    }.mkString(",\n      |      ")
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents),
+      |shing AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(w) - 2),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      |  FROM toks WHERE len(w) >= 3),
+      |hashed AS (
+      |  SELECT doc_id, ${PortableHash.hash60DuckSql("shingle")} AS sh
+      |  FROM shing),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $sigCols
+      |  FROM hashed GROUP BY doc_id),
+      |buckets AS (
+      |  SELECT doc_id, bb['band'] AS band, bb['bucket'] AS bucket
+      |  FROM (SELECT doc_id, unnest([
+      |      $bandStructs
+      |    ]) AS bb FROM sig)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM buckets x JOIN buckets y
+      |    ON x.band = y.band AND x.bucket = y.bucket
+      |      AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+      |  FROM shing x JOIN shing y
+      |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT c.id_a, c.id_b,
+      |  i.inter / (sa.sz + sb.sz - i.inter) AS jaccard
+      |FROM cand c
+      |JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      |JOIN sizes sa ON sa.doc_id = c.id_a
+      |JOIN sizes sb ON sb.doc_id = c.id_b
+      |WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.2
+      |ORDER BY 1, 2""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
-  // q24 — SimHash fingerprints (rows-only: xxhash64 bit votes).
+  // q24 — SimHash fingerprints, 32-bit portable variant: md5-derived
+  // token hashes make the bit votes oracle-reproducible. (The 64-bit
+  // xxhash64 variant remains the scale path — Dedup.simhashPairs.)
   // ---------------------------------------------------------------------
   private def q24(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
-        concat_ws("", Text.simhashBits(
-          "filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"))
+        concat_ws("", Text.simhashBitsPortable(
+          "filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)", 32))
           .as("simhash_bits"))
       .orderBy(col("doc_id"))
+
+  private val q24Sql: String = {
+    import graft.functions.PortableHash
+    val alnum = "list_filter(regexp_split_to_array(lower(text), " +
+      "'[^a-z0-9]+'), t -> length(t) > 0)"
+    // coalesce: empty token lists sum to NULL in DuckDB but to the
+    // 0-initialized accumulator (→ all-ones) in the Spark fold
+    s"""WITH hs AS (
+      |  SELECT doc_id,
+      |    list_transform($alnum, t -> ${PortableHash.hash60DuckSql("t")}) AS h
+      |  FROM documents)
+      |SELECT doc_id,
+      |  array_to_string(list_transform(range(32), i ->
+      |    CASE WHEN coalesce(list_sum(
+      |        list_transform(h, x -> ((x >> i) & 1) * 2 - 1)), 0) >= 0
+      |      THEN 1 ELSE 0 END), '') AS simhash_bits
+      |FROM hs
+      |ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q25 — brute-force cosine top-k ANN baseline. Corpus is scanned,
@@ -270,14 +350,34 @@ object LlmOps {
   }
 
   // ---------------------------------------------------------------------
-  // q30 — document fingerprints (rows-only: xxhash64 rolling shingle
-  // signature).
+  // q30 — document fingerprints: min-hash over word 3-gram shingles
+  // with the portable hash (oracle-checkable); null for docs under 3
+  // words on both engines.
   // ---------------------------------------------------------------------
   private def q30(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"),
+      .select(col("doc_id"),
+        Text.fingerprintPortable(col("text")).as("fingerprint"),
         Text.tokenCount(col("text")).as("n_tokens"))
       .orderBy(col("doc_id"))
+
+  private val q30Sql: String = {
+    import graft.functions.PortableHash
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN len(w) >= 3 THEN
+      |    list_min(list_transform(
+      |      list_transform(range(len(w) - 2),
+      |        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]),
+      |      s -> ${PortableHash.hash60DuckSql("s")}))
+      |  ELSE NULL END AS fingerprint,
+      |  CAST(len(w) AS BIGINT) AS n_tokens
+      |FROM toks
+      |ORDER BY doc_id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
@@ -293,7 +393,10 @@ object LlmOps {
 
   val oracle: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Sql,
+    "q22_dedup_minhash_lsh" -> q22Sql,
     "q23_dedup_jaccard" -> q23Sql,
+    "q24_simhash" -> q24Sql,
+    "q30_fingerprint" -> q30Sql,
     "q25_ann_brute" -> q25Sql,
     "q26_ann_lsh" -> q26Sql,
     "q27_text_stats" -> q27Sql,

@@ -103,6 +103,20 @@ object Text {
        |      (a, i) -> a + ((shiftright(h, CAST(i AS INT)) & 1L) * 2 - 1))),
        |  v -> IF(v >= 0, 1, 0))""".stripMargin)
 
+  /** [[simhashBits]] with the engine-portable md5-derived hash and a
+    * configurable width (≤ 60 usable bits), so a DuckDB oracle can
+    * reproduce the fingerprint bit-for-bit. Same single-pass vote
+    * fold; empty token lists yield all-ones (votes start at 0 and
+    * 0 >= 0), which the oracle must coalesce to match. */
+  def simhashBitsPortable(tokensExpr: String, bits: Int): Column = expr(
+    s"""transform(
+       |  aggregate(transform($tokensExpr,
+       |      t -> ${PortableHash.hash60SparkSql("t")}),
+       |    array_repeat(0L, $bits),
+       |    (acc, h) -> zip_with(acc, sequence(0L, ${bits - 1}L),
+       |      (a, i) -> a + ((shiftright(h, CAST(i AS INT)) & 1L) * 2 - 1))),
+       |  v -> IF(v >= 0, 1, 0))""".stripMargin)
+
   /** Hamming distance between two equal-length bit arrays. */
   def hamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x === y, 0).otherwise(1)),
@@ -113,6 +127,11 @@ object Text {
     * edits at the ends of the document. */
   def fingerprint(text: Column): Column =
     array_min(transform(shingles(text, 3), s => xxhash64(s)))
+
+  /** [[fingerprint]] with the engine-portable hash (oracle-checkable;
+    * see [[PortableHash]]). Null for docs with fewer than 3 words. */
+  def fingerprintPortable(text: Column): Column =
+    array_min(transform(shingles(text, 3), s => PortableHash.hash60(s)))
 
   /** Language-ID heuristic: stopword-hit ratio against per-language
     * common-word lists; returns the argmax language or "unk" when

@@ -40,6 +40,20 @@ object Dedup {
     * a long compare. (64-bit collisions are ~n²/2⁶⁴ — negligible.) */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame =
+    shingleBase(docs, idCol, textCol, n)
+      .withColumn("sh", xxhash64(col("shingle")))
+
+  /** [[shingleTable]] with the engine-portable md5-derived hash
+    * ([[graft.functions.PortableHash]]) so the whole minhash pipeline
+    * is reproducible by a DuckDB oracle. ~2× the hash cost of
+    * xxhash64; same plan shape. */
+  def shingleTablePortable(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    shingleBase(docs, idCol, textCol, n)
+      .withColumn("sh", graft.functions.PortableHash.hash60(col("shingle")))
+
+  private def shingleBase(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
     docs
       // tokens as a materialized column FIRST: lambda bodies are not
       // subexpression-eliminated, so shingling straight off
@@ -48,7 +62,6 @@ object Dedup {
       .select(col("id"),
         explode(array_distinct(Text.shinglesFromTokens(col("__toks"), n)))
           .as("shingle"))
-      .withColumn("sh", xxhash64(col("shingle")))
 
   /** Drop shingles appearing in more than `maxDocFrac` of `totalDocs`
     * documents (document-frequency pruning). */
@@ -99,6 +112,17 @@ object Dedup {
     shingled.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
+  /** [[minhashSignatures]] over the portable universal-hash family
+    * (a_h·x + b_h mod P). Same partial-aggregation shape: the shuffle
+    * still carries one row of `numHashes` longs per doc. */
+  def minhashSignaturesPortable(shingled: DataFrame,
+                                numHashes: Int): DataFrame = {
+    import graft.functions.PortableHash
+    val mins = (0 until numHashes).map(h =>
+      min(PortableHash.perm(h, col("sh"))).as(s"m$h"))
+    shingled.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
   /** LSH banding over wide signatures: (id, band, bucket), bucket =
     * hash of the band's minhash columns in order. Row explosion is
     * |docs| × bands (tiny). Docs sharing any band bucket are
@@ -110,6 +134,23 @@ object Dedup {
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(h => col(s"m$h"))
       struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bucket"))
+    }
+    signatures.select(col("id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** [[lshBuckets]] with the portable polynomial bucket combine
+    * (oracle-reproducible integer arithmetic instead of xxhash64). */
+  def lshBucketsPortable(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    import graft.functions.PortableHash
+    val numHashes = signatures.columns.count(_.startsWith("m"))
+    val bands = numHashes / rowsPerBand
+    val bandStructs = (0 until bands).map { b =>
+      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(h => col(s"m$h"))
+      struct(lit(b).as("band"),
+        PortableHash.bandBucket(b, ms).as("bucket"))
     }
     signatures.select(col("id"),
         explode(array(bandStructs: _*)).as("bb"))
@@ -131,15 +172,22 @@ object Dedup {
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 32,
                    rowsPerBand: Int = 4,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   portable: Boolean = false): DataFrame = {
     // not cached: the result is returned lazily so there is no safe
     // unpersist point, and a session-lifetime cache of every shingle
     // leaks executor storage across repeated calls; O(n) shingling
     // makes the recompute cheap, and at real scale the caller
     // materializes the shingle table explicitly once
-    val shingled = shingleTable(docs, idCol, textCol, shingleN)
+    val shingled =
+      if (portable) shingleTablePortable(docs, idCol, textCol, shingleN)
+      else shingleTable(docs, idCol, textCol, shingleN)
+    val signatures =
+      if (portable) minhashSignaturesPortable(shingled, numHashes)
+      else minhashSignatures(shingled, numHashes)
     val candidates = lshCandidates(
-      lshBuckets(minhashSignatures(shingled, numHashes), rowsPerBand))
+      if (portable) lshBucketsPortable(signatures, rowsPerBand)
+      else lshBuckets(signatures, rowsPerBand))
     val verified = jaccardPairs(
       shingled.join(
         broadcast(candidates.select(explode(array(col("id_a"), col("id_b")))
