@@ -208,14 +208,19 @@ object Advanced {
   // the oracle expects to be constant 1). HLL is deterministic for a
   // fixed input, so this is a stable gate, not a flaky one.
   // ---------------------------------------------------------------------
-  private def q41(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey")).as("ao"),
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    // exact and approx distincts in SEPARATE aggregations, joined on
+    // the 3-row group key: one combined agg makes Catalyst expand the
+    // scan 4-ways (one replica per distinct-expression) — measured 4×
+    // slower than two scans + a broadcast join of 3-row results
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("ao"),
         approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+    exact.join(approx, "l_returnflag")
       .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
         when(abs(col("ao") - col("exact_orders")) <=
           col("exact_orders") * 0.15, 1L).otherwise(0L).cast("long")
@@ -224,6 +229,7 @@ object Advanced {
           col("exact_parts") * 0.06, 1L).otherwise(0L).cast("long")
           .as("approx_parts_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   private val q41Sql =
     """SELECT l_returnflag,

@@ -242,15 +242,10 @@ object LlmOps {
   // ---------------------------------------------------------------------
   private def q27(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"),
-        Text.tokenCount(col("text")).as("n_tokens"),
-        size(array_distinct(Text.words(col("text")))).cast("long")
-          .as("n_distinct_tokens"),
-        Text.stopwordCount(col("text")).as("n_stopwords"),
-        Text.stopwordRatio(col("text")).as("stopword_ratio"),
-        Text.avgTokenLen(col("text")).as("avg_token_len"),
-        Text.qualityScore(col("text")).as("quality"),
-        Text.langIdHeuristic(col("text")).as("lang_guess"))
+      // one struct through a Generate barrier: both tokenizations run
+      // once per row total, and the per-field Projects above extract
+      // from a real attribute (CollapseProject cannot re-inline)
+      .select(col("doc_id"), inline(array(Text.docStats(col("text")))))
       .orderBy(col("doc_id"))
 
   private val q27Sql = {

@@ -28,6 +28,29 @@ object Text {
   def alnumTokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
 
+  // ----- token-array-level forms: `w` is a BOUND tokens value (a
+  // lambda variable from Lambdas.bindOnce), so referencing it many
+  // times costs nothing — the tokenizer runs once per row -----
+
+  private def tokenCountT(w: Column): Column = size(w).cast("long")
+
+  private def stopwordCountT(w: Column, stop: Seq[String]): Column =
+    size(filter(w, t => t.isInCollection(stop))).cast("long")
+
+  private def sumTokenLenT(w: Column): Column =
+    aggregate(w, lit(0L), (acc, t) => acc + length(t))
+
+  private def stopwordRatioT(w: Column, stop: Seq[String]): Column =
+    stopwordCountT(w, stop) / nullif(tokenCountT(w), lit(0L))
+
+  private def avgTokenLenT(w: Column): Column =
+    sumTokenLenT(w) / nullif(tokenCountT(w), lit(0L))
+
+  private def qualityScoreT(w: Column, stop: Seq[String]): Column =
+    lit(0.4) * least(lit(1.0), tokenCountT(w) / 100.0) +
+      lit(0.3) * (lit(1.0) - coalesce(stopwordRatioT(w, stop), lit(1.0))) +
+      lit(0.3) * least(lit(1.0), coalesce(avgTokenLenT(w), lit(0.0)) / 8.0)
+
   def tokenCount(text: Column): Column = size(words(text)).cast("long")
 
   def stopwordCount(text: Column, stop: Seq[String] = EnglishStopwords): Column =
@@ -35,21 +58,37 @@ object Text {
 
   /** stopwords / tokens as double; null-safe for empty docs. */
   def stopwordRatio(text: Column): Column =
-    stopwordCount(text) / nullif(tokenCount(text), lit(0L))
+    Lambdas.bindOnce(words(text))(stopwordRatioT(_, EnglishStopwords))
 
   /** Mean token length = total token chars / token count. */
   def avgTokenLen(text: Column): Column =
-    aggregate(words(text), lit(0L), (acc, w) => acc + length(w)) /
-      nullif(tokenCount(text), lit(0L))
+    Lambdas.bindOnce(words(text))(avgTokenLenT)
 
   /** Heuristic quality score in [0,1]: rewards length (saturating at
     * 100 tokens), non-stopword density, and longer words (saturating
     * at mean length 8). All inputs are exact integers, so the score is
-    * a deterministic double on any engine. */
+    * a deterministic double on any engine. Tokenizes once per row
+    * (let-bound tokens), not once per sub-term. */
   def qualityScore(text: Column): Column =
-    lit(0.4) * least(lit(1.0), tokenCount(text) / 100.0) +
-      lit(0.3) * (lit(1.0) - coalesce(stopwordRatio(text), lit(1.0))) +
-      lit(0.3) * least(lit(1.0), coalesce(avgTokenLen(text), lit(0.0)) / 8.0)
+    Lambdas.bindOnce(words(text))(qualityScoreT(_, EnglishStopwords))
+
+  /** Every per-document statistic q27 reports, computed from ONE
+    * whitespace tokenization and ONE alnum tokenization per row,
+    * returned as a struct. Callers should explode it through a
+    * Generate barrier — `select(inline(array(docStats(text))))` — so
+    * downstream field references attach to a real attribute instead
+    * of re-inlining this whole tree per field. */
+  def docStats(text: Column): Column =
+    Lambdas.bindOnce2(words(text), alnumTokens(text)) { (w, a) =>
+      struct(
+        tokenCountT(w).as("n_tokens"),
+        size(array_distinct(w)).cast("long").as("n_distinct_tokens"),
+        stopwordCountT(w, EnglishStopwords).as("n_stopwords"),
+        stopwordRatioT(w, EnglishStopwords).as("stopword_ratio"),
+        avgTokenLenT(w).as("avg_token_len"),
+        qualityScoreT(w, EnglishStopwords).as("quality"),
+        langIdT(a).as("lang_guess"))
+    }
 
   /** Word n-gram shingles from a tokens array.
     *
@@ -73,9 +112,11 @@ object Text {
   }
 
   /** Word n-gram shingles ("w1 w2 w3"), empty array when the doc has
-    * fewer than n words. */
+    * fewer than n words. Tokens are let-bound: [[shinglesFromTokens]]
+    * references its input ~6 times, which would otherwise re-tokenize
+    * per reference. */
   def shingles(text: Column, n: Int): Column =
-    shinglesFromTokens(words(text), n)
+    Lambdas.bindOnce(words(text))(shinglesFromTokens(_, n))
 
   /** 64-bit SimHash as an array of 64 bits (index i = bit i of the
     * hash). Bit i is 1 when the sum over tokens of ±1 votes (bit i of
@@ -126,24 +167,28 @@ object Text {
     * winnowing-style content signature that is stable under small
     * edits at the ends of the document. */
   def fingerprint(text: Column): Column =
-    array_min(transform(shingles(text, 3), s => xxhash64(s)))
+    Lambdas.bindOnce(words(text))(w =>
+      array_min(transform(shinglesFromTokens(w, 3), s => xxhash64(s))))
 
   /** [[fingerprint]] with the engine-portable hash (oracle-checkable;
     * see [[PortableHash]]). Null for docs with fewer than 3 words. */
   def fingerprintPortable(text: Column): Column =
-    array_min(transform(shingles(text, 3), s => PortableHash.hash60(s)))
+    Lambdas.bindOnce(words(text))(w =>
+      array_min(transform(shinglesFromTokens(w, 3), s => PortableHash.hash60(s))))
 
   /** Language-ID heuristic: stopword-hit ratio against per-language
     * common-word lists; returns the argmax language or "unk" when
     * nothing matches. N-gram-frequency models would slot in the same
     * way (per-row scalar, broadcast tables). */
-  def langIdHeuristic(text: Column): Column = {
+  def langIdHeuristic(text: Column): Column =
+    Lambdas.bindOnce(alnumTokens(text))(langIdT)
+
+  private def langIdT(toks: Column): Column = {
     val langs: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
       "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
       "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
       "fr" -> Seq("le", "la", "de", "et", "un", "est", "que"))
-    val toks = alnumTokens(text)
     val scores = langs.map { case (l, stop) =>
       struct(size(filter(toks, w => w.isInCollection(stop))).as("hits"),
         lit(l).as("lang"))

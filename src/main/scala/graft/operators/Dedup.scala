@@ -73,25 +73,47 @@ object Dedup {
     shingled.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
-  /** Exact pairwise Jaccard over shingle sets, via inverted-index
-    * self-join. Returns (id_a, id_b, inter, size_a, size_b, jaccard)
-    * for pairs with jaccard >= threshold and id_a < id_b. */
+  /** Exact pairwise Jaccard over shingle sets. Returns (id_a, id_b,
+    * inter, size_a, size_b, jaccard) for pairs with jaccard >=
+    * threshold and id_a < id_b.
+    *
+    * Implemented as groupBy-shingle pair generation, not an
+    * inverted-index self-join: group the postings by shingle hash,
+    * sort each posting list, and emit the C(k,2) ordered pairs with a
+    * codegen'd nested-transform — the shingle table is evaluated ONCE
+    * (a self-join evaluates its un-reusable subtree once per side),
+    * singleton shingles are dropped before any pair materializes, and
+    * there is no join at all until the final (tiny, broadcast) size
+    * lookups. Hot-shingle skew (a posting list of k docs emits k²/2
+    * pairs from one row) is the known quadratic edge of all-pairs
+    * exact Jaccard; at scale [[dfPrune]] caps it, which is also a
+    * quality win. */
   def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame = {
-    val sizes = shingled.groupBy("id").agg(count(lit(1)).as("sz"))
-    val narrow = shingled.select("id", "sh")
-    val inter = narrow.as("x")
-      .join(narrow.as("y"), col("x.sh") === col("y.sh") &&
-        col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // per-doc set size rides along as a window count (one hash
+    // shuffle over the postings), so the shingle table — the only
+    // expensive subtree — is evaluated exactly once and no size
+    // lookup join is needed afterwards
+    val withSz = shingled.select(col("id"), col("sh"),
+      count(lit(1)).over(Window.partitionBy("id")).as("sz"))
+    val pairs = withSz
+      .groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    b -> struct(a.id AS id_a, b.id AS id_b,
+          |                a.sz AS size_a, b.sz AS size_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
+    pairs
+      .groupBy("id_a", "id_b", "size_a", "size_b")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("sz", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("sz", "size_b"), "id_b")
       .withColumn("jaccard",
         col("inter") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
   }
 
   /** MinHash signatures as ONE wide row per doc: (id, m0..m{n-1})
@@ -174,26 +196,39 @@ object Dedup {
                    rowsPerBand: Int = 4,
                    threshold: Double = 0.5,
                    portable: Boolean = false): DataFrame = {
-    // not cached: the result is returned lazily so there is no safe
-    // unpersist point, and a session-lifetime cache of every shingle
-    // leaks executor storage across repeated calls; O(n) shingling
-    // makes the recompute cheap, and at real scale the caller
-    // materializes the shingle table explicitly once
-    val shingled =
-      if (portable) shingleTablePortable(docs, idCol, textCol, shingleN)
-      else shingleTable(docs, idCol, textCol, shingleN)
-    val signatures =
-      if (portable) minhashSignaturesPortable(shingled, numHashes)
-      else minhashSignatures(shingled, numHashes)
-    val candidates = lshCandidates(
-      if (portable) lshBucketsPortable(signatures, rowsPerBand)
-      else lshBuckets(signatures, rowsPerBand))
-    val verified = jaccardPairs(
-      shingled.join(
-        broadcast(candidates.select(explode(array(col("id_a"), col("id_b")))
-          .as("id")).distinct()), Seq("id")),
-      threshold)
-    verified.join(candidates, Seq("id_a", "id_b"), "left_semi")
+    // Band buckets: the portable path is the zero-shuffle per-row
+    // fold; the xxhash64 path keeps the wide-signature aggregation.
+    // Materialized once via localCheckpoint — the bucket table is
+    // referenced by both sides of the candidate self-join and (via
+    // candidates) by the verification stage, and without a
+    // checkpoint each reference re-runs the full tokenize→shingle→
+    // sign chain over the corpus. Buckets are |docs| × bands rows of
+    // three longs — cheap to store at any scale (on a cluster this
+    // would be a temp-table write; local block storage is the
+    // single-JVM equivalent).
+    val buckets =
+      (if (portable)
+        lshBucketsPortable(minhashSignaturesPortable(
+          shingleTablePortable(docs, idCol, textCol, shingleN), numHashes),
+          rowsPerBand)
+      else
+        lshBuckets(minhashSignatures(
+          shingleTable(docs, idCol, textCol, shingleN), numHashes),
+          rowsPerBand)).localCheckpoint()
+    val candidates = lshCandidates(buckets)
+    // Re-shingle ONLY candidate docs for verification: the candidate
+    // id set is a tiny broadcast filter pushed below the tokenizer,
+    // so exact-Jaccard verification tokenizes a few hundred docs, not
+    // the corpus.
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candDocs = docs.join(broadcast(candIds),
+      docs(idCol) === candIds("id"), "left_semi")
+    val candShingled =
+      if (portable) shingleTablePortable(candDocs, idCol, textCol, shingleN)
+      else shingleTable(candDocs, idCol, textCol, shingleN)
+    jaccardPairs(candShingled, threshold)
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
   }
 
   /** SimHash near-dup: 64-bit fingerprint per doc, banded into four
