@@ -52,8 +52,11 @@ object LlmOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private val q23Sql =
-    """WITH toks AS (
+  /** Exact-Jaccard oracle, threshold-parameterized: ground truth for
+    * q23 (inverted-index form) and q52 (PPJoin form — different Spark
+    * plan, identical answer by the prefix-filtering lemma). */
+  private def jaccardOracleSql(threshold: Double): String =
+    s"""WITH toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
       |  FROM documents),
@@ -73,8 +76,23 @@ object LlmOps {
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = id_a
       |JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+      |WHERE inter / (sa.sz + sb.sz - inter) >= $threshold
       |ORDER BY id_a, id_b""".stripMargin
+
+  private val q23Sql = jaccardOracleSql(0.2)
+
+  // ---------------------------------------------------------------------
+  // q52 — PPJoin prefix-filtered exact similarity join: only prefix
+  // tokens enter the inverted index, candidates verified by sorted-
+  // array intersection. Same answer as the full inverted index at the
+  // same threshold — checked against the identical oracle shape.
+  // ---------------------------------------------------------------------
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Dedup.ppjoinPairs(
+      Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3), 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q52Sql = jaccardOracleSql(0.3)
 
   // ---------------------------------------------------------------------
   // q22 — MinHash + LSH near-dup. Candidates from banded signatures,
@@ -374,6 +392,39 @@ object LlmOps {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q51 — custom typed UDAF (Aggregator): exact per-label embedding
+  // centroid. Scaled-long accumulation makes the partial aggregation
+  // exact and associative (bit-stable under any partitioning — the
+  // property that lets a custom UDAF pass the same hash gate as
+  // built-ins) and map-side combine ships one 64-long buffer per
+  // (partition, label) instead of the vectors.
+  // ---------------------------------------------------------------------
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.VectorAggregates.centroidUdaf(4)(col("embedding"))
+          .as("centroid"))
+      .orderBy(col("label"))
+
+  private val q51Sql =
+    """WITH ex0 AS (
+      |  SELECT label,
+      |    unnest(list_zip(range(len(embedding)), embedding)) AS z
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT label, z[1] AS i,
+      |    CAST(sum(CAST(round(CAST(z[2] AS DOUBLE) * 10000.0)
+      |      AS BIGINT)) AS BIGINT) AS s,
+      |    count(*) AS n
+      |  FROM ex0 GROUP BY label, i)
+      |SELECT label, any_value(n) AS n_vecs,
+      |  list(s / 10000.0 / n ORDER BY i) AS centroid
+      |FROM ex
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_dedup_minhash_lsh" -> (q22 _),
@@ -384,7 +435,9 @@ object LlmOps {
     "q27_text_stats" -> (q27 _),
     "q28_lang_quality" -> (q28 _),
     "q29_token_count" -> (q29 _),
-    "q30_fingerprint" -> (q30 _))
+    "q30_fingerprint" -> (q30 _),
+    "q51_centroid_udaf" -> (q51 _),
+    "q52_ppjoin" -> (q52 _))
 
   val oracle: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Sql,
@@ -396,5 +449,7 @@ object LlmOps {
     "q26_ann_lsh" -> q26Sql,
     "q27_text_stats" -> q27Sql,
     "q28_lang_quality" -> q28Sql,
-    "q29_token_count" -> q29Sql)
+    "q29_token_count" -> q29Sql,
+    "q51_centroid_udaf" -> q51Sql,
+    "q52_ppjoin" -> q52Sql)
 }

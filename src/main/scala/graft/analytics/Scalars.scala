@@ -191,13 +191,54 @@ object Scalars {
        |GROUP BY 1
        |ORDER BY hour_start""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q50 — spatial point-in-polygon join (J3, the municipality
+  // enrichment inferred from the reference's all_trips schema):
+  // customers get synthetic coordinates (q17's derived-coordinate
+  // parity), are classified against the literal demo polygon set by
+  // unrolled ray-cast expressions, then aggregated per region. The
+  // polygon side is dimension-sized → pure per-row scalar work, zero
+  // extra shuffles beyond the final group-count.
+  // ---------------------------------------------------------------------
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Spatial
+    val c = t(s, dir, "customer")
+    val lat = abs(col("c_acctbal")) % 90
+    val lon = (col("c_custkey").cast("double") * 7.1) % 180
+    c.select(col("c_acctbal"),
+        Spatial.classifyExpr(Spatial.DemoMunicipalities, lat, lon).as("m"))
+      .groupBy(col("m.municipality").as("municipality"),
+        col("m.canton").as("canton"))
+      .agg(count(lit(1)).as("n_points"),
+        fixedSum(col("c_acctbal"), 2).as("total_bal"))
+      .orderBy(col("municipality"), col("canton"))
+  }
+
+  private val q50Sql = {
+    import graft.operators.Spatial
+    val lat = "fmod(abs(c_acctbal), 90)"
+    val lon = "fmod(CAST(c_custkey AS DOUBLE) * 7.1, 180)"
+    def pick(f: graft.operators.Municipality => String) =
+      Spatial.DemoMunicipalities.map(m =>
+        s"WHEN ${Spatial.insideSql(m, lat, lon)} THEN '${f(m)}'")
+        .mkString("CASE ", " ", " ELSE 'none' END")
+    s"""SELECT ${pick(_.name)} AS municipality,
+       |  ${pick(_.canton)} AS canton,
+       |  count(*) AS n_points,
+       |  ${fixedSumSql("c_acctbal")} AS total_bal
+       |FROM customer
+       |GROUP BY 1, 2
+       |ORDER BY municipality, canton""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_haversine" -> (q17 _),
     "q18_json_extract" -> (q18 _),
     "q19_string_funcs" -> (q19 _),
     "q20_date_agg" -> (q20 _),
     "q33_cube" -> (q33 _),
-    "q34_tumbling_window" -> (q34 _))
+    "q34_tumbling_window" -> (q34 _),
+    "q50_spatial_join" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
     "q17_haversine" -> q17Sql,
@@ -205,5 +246,6 @@ object Scalars {
     "q19_string_funcs" -> q19Sql,
     "q20_date_agg" -> q20Sql,
     "q33_cube" -> q33Sql,
-    "q34_tumbling_window" -> q34Sql)
+    "q34_tumbling_window" -> q34Sql,
+    "q50_spatial_join" -> q50Sql)
 }

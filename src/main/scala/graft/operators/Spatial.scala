@@ -46,6 +46,75 @@ case class Municipality(name: String, canton: String,
   */
 object Spatial {
 
+  import org.apache.spark.sql.Column
+
+  /** Fixed demo polygon set over the synthetic coordinate space
+    * (lat ∈ [0,90], lon ∈ [0,180] — the q17 derived-coordinate
+    * domain): two axis-aligned boxes, a triangle, a concave L, and a
+    * diamond; "epsilon" overlaps "alpha" to exercise first-match-wins
+    * priority. Literal data shared by the Spark plan and the
+    * generated DuckDB oracle. */
+  val DemoMunicipalities: Seq[Municipality] = Seq(
+    Municipality("alpha", "A",
+      Seq((10.0, 10.0), (40.0, 10.0), (40.0, 60.0), (10.0, 60.0))),
+    Municipality("epsilon", "B",
+      Seq((30.0, 50.0), (45.0, 50.0), (45.0, 75.0), (30.0, 75.0))),
+    Municipality("beta", "B",
+      Seq((50.0, 20.0), (80.0, 40.0), (55.0, 90.0))),
+    Municipality("gamma", "A",
+      Seq((5.0, 100.0), (35.0, 100.0), (35.0, 130.0), (20.0, 130.0),
+        (20.0, 160.0), (5.0, 160.0))),
+    Municipality("delta", "C",
+      Seq((45.0, 120.0), (60.0, 100.0), (75.0, 120.0), (60.0, 140.0))))
+
+  /** Ray-cast point-in-polygon as a composed Catalyst expression —
+    * the polygon is a literal, so every edge test unrolls into
+    * codegen'd comparisons (no UDF boundary, no array scan). Mirrors
+    * [[Municipality.contains]] operation-for-operation so the UDF
+    * path, this path, and the generated oracle SQL agree bitwise
+    * (per-row IEEE arithmetic is engine-stable). */
+  def insideExpr(m: Municipality, lat: Column, lon: Column): Column = {
+    val n = m.ring.length
+    val crossings = (0 until n).map { i =>
+      val (yi, xi) = m.ring(i)
+      val (yj, xj) = m.ring((i + n - 1) % n)
+      when((lit(yi) > lat) =!= (lit(yj) > lat) &&
+        lon < (lit(xj) - lit(xi)) * (lat - lit(yi)) / (lit(yj) - lit(yi))
+          + lit(xi), 1).otherwise(0)
+    }.reduce(_ + _)
+    lat >= m.minLat && lat <= m.maxLat &&
+      lon >= m.minLon && lon <= m.maxLon && crossings % 2 === 1
+  }
+
+  /** DuckDB twin of [[insideExpr]] over SQL fragments `lat`/`lon`.
+    * Vertex doubles are rendered with Java's round-trip formatting,
+    * so both engines parse identical values. */
+  def insideSql(m: Municipality, lat: String, lon: String): String = {
+    val n = m.ring.length
+    val crossings = (0 until n).map { i =>
+      val (yi, xi) = m.ring(i)
+      val (yj, xj) = m.ring((i + n - 1) % n)
+      s"(CASE WHEN (($yi > $lat) != ($yj > $lat)) AND " +
+        s"$lon < ($xj - $xi) * ($lat - $yi) / ($yj - $yi) + $xi " +
+        "THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"($lat >= ${m.minLat} AND $lat <= ${m.maxLat} AND " +
+      s"$lon >= ${m.minLon} AND $lon <= ${m.maxLon} AND " +
+      s"($crossings) % 2 = 1)"
+  }
+
+  /** First-match-wins (municipality, canton) struct from a literal
+    * polygon list, as a pure expression; ("none","none") when no
+    * polygon contains the point. For dimension-sized polygon sets
+    * (~10³) prefer [[enrich]]'s broadcast lookup — an unrolled
+    * expression tree stops paying off past a few dozen polygons. */
+  def classifyExpr(munis: Seq[Municipality], lat: Column,
+                   lon: Column): Column =
+    coalesce(munis.map(m =>
+      when(insideExpr(m, lat, lon),
+        struct(lit(m.name).as("municipality"), lit(m.canton).as("canton"))))
+      :+ struct(lit("none").as("municipality"), lit("none").as("canton")): _*)
+
   /** Adds `municipality` and `canton` columns resolved from
     * (latCol, lonCol); unmatched points get nulls. First matching
     * polygon in input order wins (callers order by priority). */

@@ -18,8 +18,20 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+def _hashable(v):
+    # array-valued cells (list/ndarray) must become tuples so pandas
+    # can factorize them as sort keys and compare elementwise
+    if isinstance(v, np.ndarray):
+        return tuple(_hashable(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_hashable(x) for x in v)
+    return v
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(_hashable)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort",
                             na_position="first").reset_index(drop=True)
