@@ -255,13 +255,53 @@ object Windowed {
        |FROM clicks c
        |ORDER BY c.user_id, c.ts_s, c.event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q53 — Structured Streaming in the correctness gate: watermarked
+  // session_window over a bounded file-stream replay of `events`
+  // (two AvailableNow runs; the second — the reference's daily
+  // incremental re-run — flushes trailing sessions past the
+  // watermark). Oracle: batch gaps-and-islands with session_window's
+  // INCLUSIVE boundary — a gap of exactly 30 min stays in the same
+  // session (verified empirically: sf0.1 has one exactly-1800 s gap,
+  // and session_window merges it), matching q14's byGap.
+  // ---------------------------------------------------------------------
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.sessionReplayFromParquet(
+        s, s"$dir/events.parquet", "user_id", "30 minutes")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val q53Sql =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('second', ts) AS ts_s FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_s,
+      |    CASE WHEN lag(ts_s) OVER w IS NULL
+      |      OR CAST(epoch(ts_s) AS BIGINT)
+      |         - CAST(epoch(lag(ts_s) OVER w) AS BIGINT) > 1800
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+      |s AS (
+      |  SELECT user_id, ts_s,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts_s) AS session_start,
+      |  max(ts_s) + INTERVAL 1800 SECOND AS session_end,
+      |  count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_window_rank" -> (q11 _),
     "q12_window_running" -> (q12 _),
     "q13_lag_gap" -> (q13 _),
     "q14_sessionize" -> (q14 _),
     "q15_trips_derive" -> (q15 _),
-    "q16_asof_join" -> (q16 _))
+    "q16_asof_join" -> (q16 _),
+    "q53_stream_session" -> (q53 _))
 
   val oracle: Map[String, String] = Map(
     "q11_window_rank" -> q11Sql,
@@ -269,5 +309,6 @@ object Windowed {
     "q13_lag_gap" -> q13Sql,
     "q14_sessionize" -> q14Sql,
     "q15_trips_derive" -> q15Sql,
-    "q16_asof_join" -> q16Sql)
+    "q16_asof_join" -> q16Sql,
+    "q53_stream_session" -> q53Sql)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -38,13 +38,14 @@ object Streaming {
   /** Session windows per key with an inactivity gap — the streaming
     * formulation of trip/session derivation.
     *
-    * Boundary semantics caveat: `session_window` windows are
-    * half-open, so an event exactly `gap` after its predecessor
-    * starts a NEW session (strict <), while the batch
-    * Sessionize.byGap keeps it (inclusive <=, matching the
-    * reference's inclusive BETWEEN at `trips_lambda.py:128`). The two
-    * agree on every gap != exactly `gap`; pass byGap `gap - 1` when
-    * exact parity with session_window is required. */
+    * Boundary semantics: `session_window` is INCLUSIVE at the gap —
+    * an event exactly `gap` after its predecessor stays in the same
+    * session (verified against the one exactly-at-gap pair in the
+    * sf0.1 events data, and consistent with the merge rule "sessions
+    * overlap when next.start <= prev.end"). This matches the batch
+    * Sessionize.byGap (inclusive <=, the reference's inclusive
+    * BETWEEN at `trips_lambda.py:128`), so the streaming and batch
+    * formulations agree on every input. */
   def sessionStats(events: DataFrame, tsCol: String, keyCol: String,
                    gap: String, watermark: String): DataFrame =
     events
@@ -67,6 +68,72 @@ object Streaming {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Bounded two-phase streaming replay of the events table through a
+    * watermarked `session_window`, returning the finalized sessions —
+    * Structured Streaming running inside the batch correctness gate.
+    *
+    * Phase 1 streams the real file (Trigger.AvailableNow, parquet
+    * sink + checkpoint). Append-mode session aggregation only emits a
+    * session once the watermark passes its end, so the trailing
+    * session of every key is still in state when a bounded run
+    * drains. Phase 2 is the reference's own answer to late/trailing
+    * data (the daily re-run at `trips_lambda.py:218-221`): a second
+    * AvailableNow run over one new file — a far-future sentinel row —
+    * resumes from the checkpoint, advances the global watermark past
+    * every real session, and flushes them to the sink. The sentinel's
+    * own session never finalizes and is filtered on read-back.
+    *
+    * Everything stays distributed: driver-side work is two temp dirs,
+    * one symlink, and a one-row DataFrame write. */
+  def sessionReplayFromParquet(spark: SparkSession, srcParquet: String,
+                               userCol: String, gap: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("graft_stream_in")
+    val out = Files.createTempDirectory("graft_stream_out")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt")
+    Files.createSymbolicLink(in.resolve("batch1.parquet"),
+      Paths.get(srcParquet))
+    val batch = spark.read.parquet(srcParquet)
+
+    def runOnce(): Unit = {
+      val e = fileStream(spark, in.toString, batch.schema)
+      val eSec =
+        e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
+      val q = sessionStats(eSec, "ts_s", userCol, gap, "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    // sentinel: one row 30 days past the max event time, schema-typed
+    // like the source (ts may be raw nanoseconds)
+    val isNs = batch.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val maxTs = batch.agg(max(col("ts"))).head.get(0)
+    val sentinelTs: Column =
+      if (isNs) lit(maxTs.asInstanceOf[Long] + 30L * 86400 * 1000000000L)
+      else lit(new java.sql.Timestamp(
+        maxTs.asInstanceOf[java.sql.Timestamp].getTime + 30L * 86400 * 1000))
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
+      lit("sentinel").as("event_type"), lit(0.0).as("value"),
+      lit("{}").as("props"))
+    val tmp = Files.createTempDirectory("graft_stream_sentinel")
+    sentinel.coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("w").toString)
+    val part = Files.list(tmp.resolve("w")).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet")).head
+    Files.move(Paths.get(part), in.resolve("batch2.parquet"))
+    runOnce()
+
+    spark.read.parquet(out.toString).filter(col(userCol) =!= -1L)
+  }
 
   /** Drain a (bounded) stream into an in-memory table and return its
     * content — the synchronous harness for tests and AvailableNow
