@@ -98,15 +98,26 @@ object Relational {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
     val li = t(s, dir, "lineitem")
+    // two-phase: pre-aggregate per (segment, orderkey), then count
+    // groups — a mixed countDistinct+sum aggregate makes Catalyst
+    // Expand-replicate the whole joined scan per distinct expression
+    // (measured 2×); this shape is one scan, no Expand, and the
+    // second shuffle carries one row per order. Exactness holds:
+    // quantities are integral doubles and revenue is scaled-long
+    // summed in both phases (associative).
     broadcast(c)
       .join(o, col("c_custkey") === col("o_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderkey"))
+      .agg(
+        sum(col("l_quantity")).as("q1"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000).cast("long")).as("r1"))
       .groupBy(col("c_mktsegment"))
       .agg(
-        countDistinct(col("o_orderkey")).as("order_cnt"),
-        sum(col("l_quantity")).as("total_qty"),
-        fixedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-          .as("revenue"))
+        count(lit(1)).as("order_cnt"),
+        sum(col("q1")).as("total_qty"),
+        (sum(col("r1")) / 10000.0).as("revenue"))
       .orderBy(col("c_mktsegment"))
   }
 

@@ -28,9 +28,21 @@ object Catalog {
   }
 
   /** Register every driver test table as a temp view (the session's
-    * SQL surface; used by the spark.sql queries). */
+    * SQL surface; used by the spark.sql queries). Memoized per
+    * (session, dir): re-registration re-reads ten parquet footers
+    * (~0.5 s) for identical views, which multiplies across the SQL
+    * queries in a bench pass. Temp views live for the session, so
+    * one registration per dir suffices. */
   def registerTestTables(spark: SparkSession, dir: String): Unit =
-    Tables.registerAll(spark, dir)
+    registered.synchronized {
+      val key = (System.identityHashCode(spark), dir)
+      if (!registered.contains(key)) {
+        Tables.registerAll(spark, dir)
+        registered += key
+      }
+    }
+
+  private val registered = scala.collection.mutable.Set.empty[(Int, String)]
 
   def tableExists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(name)
