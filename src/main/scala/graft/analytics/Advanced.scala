@@ -466,6 +466,56 @@ object Advanced {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q54 — six-table star join (TPC-H Q5 shape): revenue by supplier
+  // nation for intra-nation trade in one region and one order year.
+  // The canonical warehouse join-planning exercise: three dimension
+  // chains broadcast (region→nation→supplier is dim-sized), the only
+  // shuffles are fact-side on orderkey; the date filter pushes to the
+  // orders scan. Revenue via per-column scaled-int arithmetic (q35's
+  // exactness pattern).
+  // ---------------------------------------------------------------------
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val discBp = round(col("l_discount") * 100).cast("long")
+    val asia = broadcast(
+      t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .join(t(s, dir, "nation"),
+          col("r_regionkey") === col("n_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    val sup = broadcast(
+      t(s, dir, "supplier").join(asia,
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(cents * (lit(100L) - discBp)) / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q54Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    / 10000.0 AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_frontend" -> (q35 _),
     "q36_minmax_by" -> (q36 _),
@@ -481,7 +531,8 @@ object Advanced {
     "q46_range_join" -> (q46 _),
     "q47_unpivot" -> (q47 _),
     "q48_scalar_subquery" -> (q48 _),
-    "q49_ann_multiband" -> (q49 _))
+    "q49_ann_multiband" -> (q49 _),
+    "q54_tpch_q5" -> (q54 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -498,5 +549,6 @@ object Advanced {
     "q46_range_join" -> q46Sql,
     "q47_unpivot" -> q47Sql,
     "q48_scalar_subquery" -> q48Sql,
-    "q49_ann_multiband" -> q49Sql)
+    "q49_ann_multiband" -> q49Sql,
+    "q54_tpch_q5" -> q54Sql)
 }
