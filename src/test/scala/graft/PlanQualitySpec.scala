@@ -77,4 +77,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
     assert(p.contains("partial"))
   }
+
+  test("q54: all dimension chains broadcast — the fact side crosses " +
+       "no exchange before the final aggregate") {
+    val p = plan("q54_tpch_q5")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    // the date filter reaches the orders scan
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+  }
+
+  test("q50: spatial classify is pure per-row work — only the " +
+       "aggregate and sort exchange") {
+    val p = plan("q50_spatial_join")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"got $exchanges exchanges\n$p")
+    assert(!p.contains("Join"), p) // no join: polygons are literals
+  }
+
+  test("q24: simhash votes partially aggregate map-side (shuffle " +
+       "carries one row per doc, not per token)") {
+    val p = plan("q24_simhash")
+    assert(p.contains("partial"), p)
+    assert(p.contains("Generate"), p) // exploded-token codegen shape
+  }
 }
