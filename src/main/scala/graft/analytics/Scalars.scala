@@ -231,6 +231,49 @@ object Scalars {
        |ORDER BY municipality, canton""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q55 — CSV round-trip through the ingest boundary (S7 sink +
+  // enforced-schema PERMISSIVE source with a rejects channel): write
+  // customer to CSV, read it back, aggregate. The oracle aggregates
+  // the PARQUET directly, so the gate proves the text round-trip is
+  // lossless — doubles serialize with round-trip-safe Java formatting
+  // and parse back to the identical bits.
+  // ---------------------------------------------------------------------
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Ingest
+    val src = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_csv_roundtrip").toString
+    Ingest.writeCsv(src, tmp)
+    val (clean, rejects) = Ingest.readCsv(s, tmp,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_acctbal",
+          org.apache.spark.sql.types.DoubleType))))
+    clean
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        fixedSum(col("c_acctbal"), 2).as("total_bal"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+      // fold the reject count in so a lossy parse can never pass
+      .withColumn("n_rejects", lit(rejects.count()))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q55Sql =
+    s"""SELECT c_mktsegment, count(*) AS n,
+       |  ${fixedSumSql("c_acctbal")} AS total_bal,
+       |  min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+       |  CAST(0 AS BIGINT) AS n_rejects
+       |FROM customer
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_haversine" -> (q17 _),
     "q18_json_extract" -> (q18 _),
@@ -238,7 +281,8 @@ object Scalars {
     "q20_date_agg" -> (q20 _),
     "q33_cube" -> (q33 _),
     "q34_tumbling_window" -> (q34 _),
-    "q50_spatial_join" -> (q50 _))
+    "q50_spatial_join" -> (q50 _),
+    "q55_csv_roundtrip" -> (q55 _))
 
   val oracle: Map[String, String] = Map(
     "q17_haversine" -> q17Sql,
@@ -247,5 +291,6 @@ object Scalars {
     "q20_date_agg" -> q20Sql,
     "q33_cube" -> q33Sql,
     "q34_tumbling_window" -> q34Sql,
-    "q50_spatial_join" -> q50Sql)
+    "q50_spatial_join" -> q50Sql,
+    "q55_csv_roundtrip" -> q55Sql)
 }
