@@ -96,21 +96,6 @@ object Streaming {
       Paths.get(srcParquet))
     val batch = spark.read.parquet(srcParquet)
 
-    def runOnce(): Unit = {
-      val e = fileStream(spark, in.toString, batch.schema)
-      val eSec =
-        e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
-      val q = sessionStats(eSec, "ts_s", userCol, gap, "0 seconds")
-        .writeStream.format("parquet")
-        .option("path", out.toString)
-        .option("checkpointLocation", ckpt.toString)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-
-    runOnce()
     // sentinel: one row 30 days past the max event time, schema-typed
     // like the source (ts may be raw nanoseconds)
     val isNs = batch.schema("ts").dataType ==
@@ -130,7 +115,29 @@ object Streaming {
     val part = Files.list(tmp.resolve("w")).toArray.map(_.toString)
       .filter(p => p.endsWith(".parquet")).head
     Files.move(Paths.get(part), in.resolve("batch2.parquet"))
-    runOnce()
+
+    // ONE AvailableNow run, rate-limited to one file per micro-batch:
+    // the file source drains oldest-modification-time first, so the
+    // real data (the symlink inherits the old target mtime) forms
+    // micro-batch 1, the watermark advances on commit, and the
+    // sentinel's micro-batch 2 flushes every real session. A second
+    // restarted run (the reference's daily re-run) would behave
+    // identically via the checkpoint — StreamingSpec covers that
+    // resume path; here one lifecycle halves the fixed streaming
+    // startup cost.
+    val e = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    val eSec =
+      e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
+    val q = sessionStats(eSec, "ts_s", userCol, gap, "0 seconds")
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
 
     spark.read.parquet(out.toString).filter(col(userCol) =!= -1L)
   }
