@@ -100,11 +100,85 @@ object Pipeline {
       |GROUP BY kind, lang
       |ORDER BY kind, lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q56 — SCD Type-2 dimension merge: a synthetic "day 2" snapshot of
+  // customer (every key ending in 3 moves its balance; keys ending in
+  // 4 re-arrive unchanged; a shifted-key cohort is brand new) applied
+  // to a freshly-initialized versioned dimension. The gate checks the
+  // full versioned table: closed rows keep their original validity
+  // start and close at the effective date, unchanged keys stay open
+  // and untouched, new keys open at the effective date.
+  // ---------------------------------------------------------------------
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MergeByKey
+    val c = Tables.load(s, dir, "customer")
+    val current = c.select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .withColumn("valid_from", lit("2000-01-01").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val updates =
+      c.filter(col("c_custkey") % 10 === 3 || col("c_custkey") % 10 === 4)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          when(col("c_custkey") % 10 === 3, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionByName(c.filter(col("c_custkey") % 100 === 7)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal")))
+    MergeByKey.scd2(current, updates, Seq("c_custkey"),
+        Seq("c_mktsegment", "c_acctbal"),
+        effective = lit("2005-06-15").cast("timestamp"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  private val q56Sql =
+    """WITH cur AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal,
+      |    TIMESTAMP '2000-01-01' AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+      |  FROM customer),
+      |upd AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100.0
+      |         ELSE c_acctbal END AS c_acctbal
+      |  FROM customer WHERE c_custkey % 10 IN (3, 4)
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+      |  FROM customer WHERE c_custkey % 100 = 7),
+      |changed AS (
+      |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal, c.valid_from
+      |  FROM upd u JOIN cur c USING (c_custkey)
+      |  WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
+      |     OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment),
+      |closed AS (
+      |  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, c.valid_from,
+      |    TIMESTAMP '2005-06-15' AS valid_to, false AS is_current
+      |  FROM cur c JOIN changed ch USING (c_custkey)),
+      |kept AS (
+      |  SELECT c.* FROM cur c LEFT JOIN changed ch USING (c_custkey)
+      |  WHERE ch.c_custkey IS NULL),
+      |fresh AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal,
+      |    TIMESTAMP '2005-06-15' AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+      |  FROM changed
+      |  UNION ALL
+      |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+      |    TIMESTAMP '2005-06-15', NULL, true
+      |  FROM upd u LEFT JOIN cur c USING (c_custkey)
+      |  WHERE c.c_custkey IS NULL)
+      |SELECT * FROM closed
+      |UNION ALL SELECT * FROM kept
+      |UNION ALL SELECT * FROM fresh
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_merge_upsert" -> (q31 _),
-    "q32_multimodal_binary" -> (q32 _))
+    "q32_multimodal_binary" -> (q32 _),
+    "q56_scd2_merge" -> (q56 _))
 
   val oracle: Map[String, String] = Map(
     "q31_merge_upsert" -> q31Sql,
-    "q32_multimodal_binary" -> q32Sql)
+    "q32_multimodal_binary" -> q32Sql,
+    "q56_scd2_merge" -> q56Sql)
 }

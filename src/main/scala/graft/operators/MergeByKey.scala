@@ -42,6 +42,55 @@ object MergeByKey {
       .select(cols.map(col): _*)
   }
 
+  /** SCD Type-2 merge: apply a snapshot of dimension attributes to a
+    * versioned dimension table, preserving history.
+    *
+    * `current` must carry `keys ++ tracked ++ (valid_from, valid_to,
+    * is_current)`; `updates` carries `keys ++ tracked` (the new
+    * snapshot). For each key in `updates` whose tracked attributes
+    * differ (null-safely) from the open row, the open row is closed
+    * at `effective` and a new open row starts there; unchanged keys
+    * and closed history pass through untouched; unseen keys insert
+    * as new open rows. Pure function of its inputs — the caller
+    * persists via [[mergeWrite]]'s scope-pruned rewrite.
+    *
+    * Scale shape: every step is an equi-join or anti-join on the
+    * dimension key (broadcast-able for dim-sized tables, shuffled
+    * hash beyond), plus unions — no window over the full dimension,
+    * so history depth does not affect the merge cost. */
+  def scd2(current: DataFrame, updates: DataFrame, keys: Seq[String],
+           tracked: Seq[String],
+           effective: org.apache.spark.sql.Column): DataFrame = {
+    val cols = current.columns.toSeq
+    val open = current.filter(col("is_current"))
+    val hist = current.filter(!col("is_current"))
+    val uCols = keys.map(col) ++ tracked.map(c => col(c).as(s"__u_$c"))
+    val u = updates.select(uCols: _*)
+    val changed = open.join(u, keys)
+      .filter(tracked.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _))
+    val changedKeys = changed.select(keys.map(col): _*)
+    val closed = open.join(changedKeys, keys, "left_semi")
+      .withColumn("valid_to", effective.cast("timestamp"))
+      .withColumn("is_current", lit(false))
+    val keptOpen = open.join(changedKeys, keys, "left_anti")
+    def fresh(df: DataFrame): DataFrame = {
+      val renamed = keys.map(col) ++
+        tracked.map(c => col(s"__u_$c").as(c))
+      df.select(renamed: _*)
+        .withColumn("valid_from", effective.cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+        .select(cols.map(col): _*)
+    }
+    val freshChanged = fresh(changed)
+    val freshNew = fresh(u.join(open, keys, "left_anti"))
+    hist.select(cols.map(col): _*)
+      .unionByName(closed.select(cols.map(col): _*))
+      .unionByName(keptOpen.select(cols.map(col): _*))
+      .unionByName(freshChanged)
+      .unionByName(freshNew)
+  }
+
   /** Incremental merge into a Parquet directory. Reads only the slice
     * of the target matching `scope` (partition-prunable predicate),
     * merges `updates` into it, writes the merged slice to a temp dir,

@@ -57,6 +57,30 @@ class RoundTwoOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq("alpha", "none"))
   }
 
+  // --- SCD2 -------------------------------------------------------------
+
+  test("scd2 re-applying the same snapshot is a no-op; history is kept") {
+    import graft.operators.MergeByKey
+    val current = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("k", "seg", "bal")
+      .withColumn("valid_from", lit("2000-01-01").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val snapshot = Seq((1L, "A", 11.0), (2L, "B", 20.0), (4L, "D", 40.0))
+      .toDF("k", "seg", "bal")
+    val eff = lit("2001-01-01").cast("timestamp")
+    val once = MergeByKey.scd2(current, snapshot, Seq("k"),
+      Seq("seg", "bal"), eff)
+    // k=1 changed (2 versions), k=2 unchanged, k=3 untouched, k=4 new
+    assert(once.count() == 5)
+    assert(once.filter(col("k") === 1 && !col("is_current")).count() == 1)
+    assert(once.filter(col("is_current")).count() == 4)
+    val twice = MergeByKey.scd2(once, snapshot, Seq("k"),
+      Seq("seg", "bal"), lit("2002-01-01").cast("timestamp"))
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty,
+      "re-applying an identical snapshot must not create versions")
+  }
+
   // --- exact centroid UDAF ----------------------------------------------
 
   test("centroid is exact and invariant to partitioning") {
