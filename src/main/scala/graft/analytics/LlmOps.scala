@@ -459,6 +459,122 @@ object LlmOps {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q57 — stratified sampling (per-language Bernoulli fractions via
+  // sampleBy): the training-mix downsampling step. Sampling is
+  // engine-specific, so the oracle gates the CONTRACT: exact
+  // population counts hash-match, and each stratum's sample size
+  // lands within ±4σ of its expectation (seeded → deterministic,
+  // verified at both SFs — a stable gate, not a flaky one).
+  // ---------------------------------------------------------------------
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val fractions = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3,
+      "es" -> 0.3, "zh" -> 0.2)
+    val sampled = d.stat.sampleBy("lang", fractions, seed = 42L)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    val pop = d.groupBy(col("lang")).agg(count(lit(1)).as("n_pop"))
+    pop.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_pop"), {
+        val f = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+          when(col("lang") === k, lit(v)).otherwise(acc)
+        }
+        val exp = col("n_pop") * f
+        val sd = sqrt(exp * (lit(1.0) - f))
+        when(coalesce(col("n_sampled"), lit(0L)) >= exp - sd * 4 &&
+          coalesce(col("n_sampled"), lit(0L)) <= exp + sd * 4, 1L)
+          .otherwise(0L).as("sample_in_bounds")
+      })
+      .orderBy(col("lang"))
+  }
+
+  private val q57Sql =
+    """SELECT lang, count(*) AS n_pop,
+      |  CAST(1 AS BIGINT) AS sample_in_bounds
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q58 — deterministic train/val/test split by portable content-key
+  // hash (80/10/10): the reproducible-split primitive every training
+  // pipeline needs — membership is a pure function of the key, stable
+  // across runs, engines, and cluster layouts, proven by the id-sum
+  // checksum per split hash-matching the oracle.
+  // ---------------------------------------------------------------------
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val bucket = PortableHash.hash60(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    docs(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+  }
+
+  private val q58Sql = {
+    import graft.functions.PortableHash
+    val h = PortableHash.hash60DuckSql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT CASE WHEN $h % 100 < 80 THEN 'train'
+       |            WHEN $h % 100 < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY split""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q59 — quality-decile binning (ntile over the q27 quality score
+  // with a unique tiebreak): the curriculum/quality-mix shape —
+  // band the corpus by quality, then account tokens per band.
+  // ---------------------------------------------------------------------
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        Text.qualityScore(col("text")).as("quality"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("q_min"),
+        max(col("quality")).as("q_max"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("decile"))
+  }
+
+  private val q59Sql = {
+    val w = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+    val nTok = s"CAST(len($w) AS BIGINT)"
+    val stops = Text.EnglishStopwords.map(x => s"'$x'").mkString(", ")
+    val nStop = s"CAST(len(list_filter($w, t -> t IN ($stops))) AS BIGINT)"
+    val sumLen = s"CAST(list_sum(list_transform($w, t -> length(t))) AS BIGINT)"
+    val q = s"0.4 * least(1.0, $nTok / 100.0)" +
+      s" + 0.3 * (1.0 - coalesce($nStop / nullif($nTok, 0), 1.0))" +
+      s" + 0.3 * least(1.0, coalesce($sumLen / nullif($nTok, 0), 0.0) / 8.0)"
+    s"""WITH scored AS (
+       |  SELECT doc_id, n_chars, $q AS quality FROM documents),
+       |binned AS (
+       |  SELECT doc_id, n_chars, quality,
+       |    CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS BIGINT)
+       |      AS decile
+       |  FROM scored)
+       |SELECT decile, count(*) AS n_docs,
+       |  min(quality) AS q_min, max(quality) AS q_max,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM binned
+       |GROUP BY decile
+       |ORDER BY decile""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_dedup_minhash_lsh" -> (q22 _),
@@ -471,7 +587,10 @@ object LlmOps {
     "q29_token_count" -> (q29 _),
     "q30_fingerprint" -> (q30 _),
     "q51_centroid_udaf" -> (q51 _),
-    "q52_ppjoin" -> (q52 _))
+    "q52_ppjoin" -> (q52 _),
+    "q57_stratified_sample" -> (q57 _),
+    "q58_hash_split" -> (q58 _),
+    "q59_quality_bins" -> (q59 _))
 
   val oracle: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Sql,
@@ -485,5 +604,8 @@ object LlmOps {
     "q28_lang_quality" -> q28Sql,
     "q29_token_count" -> q29Sql,
     "q51_centroid_udaf" -> q51Sql,
-    "q52_ppjoin" -> q52Sql)
+    "q52_ppjoin" -> q52Sql,
+    "q57_stratified_sample" -> q57Sql,
+    "q58_hash_split" -> q58Sql,
+    "q59_quality_bins" -> q59Sql)
 }
