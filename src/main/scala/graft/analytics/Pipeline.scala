@@ -172,13 +172,50 @@ object Pipeline {
       |UNION ALL SELECT * FROM fresh
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q60 — incremental recomputation (the reference's operating model:
+  // a daily job reprocesses a trailing window and upserts,
+  // `trips_lambda.py:218-221` + ON CONFLICT): two OVERLAPPING
+  // day-aligned incremental runs merged by key must equal one full
+  // recompute — the oracle IS the full recompute, so the gate proves
+  // the incremental path converges to batch truth. Day alignment is
+  // the load-bearing detail: a window cutting a day in half would
+  // upsert a partial aggregate; re-deriving whole days makes the
+  // merge idempotent (why the reference reprocesses full 24 h).
+  // ---------------------------------------------------------------------
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MergeByKey
+    val e = Tables.eventsSec(s, dir)
+    def dailyAgg(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"), to_date(col("ts_s")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        fixedSum(col("value")).as("value_total"))
+    val run1 = dailyAgg(
+      e.filter(col("ts_s") < lit("2024-01-16").cast("timestamp")))
+    val run2 = dailyAgg(
+      e.filter(col("ts_s") >= lit("2024-01-14").cast("timestamp")))
+    MergeByKey.merge(run1, run2, Seq("user_id", "day"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val q60Sql =
+    s"""SELECT user_id,
+       |  CAST(date_trunc('day', ts) AS DATE) AS day,
+       |  count(*) AS n_events,
+       |  ${Exact.fixedSumSql("value")} AS value_total
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_merge_upsert" -> (q31 _),
     "q32_multimodal_binary" -> (q32 _),
-    "q56_scd2_merge" -> (q56 _))
+    "q56_scd2_merge" -> (q56 _),
+    "q60_incremental_merge" -> (q60 _))
 
   val oracle: Map[String, String] = Map(
     "q31_merge_upsert" -> q31Sql,
     "q32_multimodal_binary" -> q32Sql,
-    "q56_scd2_merge" -> q56Sql)
+    "q56_scd2_merge" -> q56Sql,
+    "q60_incremental_merge" -> q60Sql)
 }
