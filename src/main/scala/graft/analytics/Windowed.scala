@@ -294,6 +294,47 @@ object Windowed {
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q61 — RANGE frame (value-based window, vs q12's ROWS frame): per
+  // order, the trailing-30-day order count and exact revenue within
+  // its priority class. RANGE frames are order-independent within
+  // ties, and the windowed sum runs over scaled longs, so the frame
+  // aggregate is deterministic and bit-exact on any engine.
+  // ---------------------------------------------------------------------
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")),
+      to_date(lit("1995-01-01")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        day.as("day"), col("o_totalprice"))
+      .withColumn("n_trailing_30d", count(lit(1)).over(w))
+      .withColumn("rev_trailing_30d",
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w) / 100.0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("day").cast("long").as("day"),
+        col("n_trailing_30d"), col("rev_trailing_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q61Sql =
+    """WITH d AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |      AS day,
+      |    o_totalprice
+      |  FROM orders)
+      |SELECT o_orderkey, o_orderpriority, CAST(day AS BIGINT) AS day,
+      |  count(*) OVER w AS n_trailing_30d,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+      |    AS BIGINT) / 100.0 AS rev_trailing_30d
+      |FROM d
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+      |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_window_rank" -> (q11 _),
     "q12_window_running" -> (q12 _),
@@ -301,7 +342,8 @@ object Windowed {
     "q14_sessionize" -> (q14 _),
     "q15_trips_derive" -> (q15 _),
     "q16_asof_join" -> (q16 _),
-    "q53_stream_session" -> (q53 _))
+    "q53_stream_session" -> (q53 _),
+    "q61_range_frame" -> (q61 _))
 
   val oracle: Map[String, String] = Map(
     "q11_window_rank" -> q11Sql,
@@ -310,5 +352,6 @@ object Windowed {
     "q14_sessionize" -> q14Sql,
     "q15_trips_derive" -> q15Sql,
     "q16_asof_join" -> q16Sql,
-    "q53_stream_session" -> q53Sql)
+    "q53_stream_session" -> q53Sql,
+    "q61_range_frame" -> q61Sql)
 }
