@@ -516,6 +516,44 @@ object Advanced {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q62 — the custom Catalyst expression through the SQL frontend:
+  // `haversine_km` is registered by GraftExtensions (injectFunction),
+  // so plain SQL reaches the fused codegen'd native expression.
+  // Distance-to-Zurich bands over synthesized customer coordinates;
+  // the oracle recomputes with DuckDB's composed trig formula — a
+  // cross-check of the native expression, the SQL registration, and
+  // the band bucketing at once.
+  // ---------------------------------------------------------------------
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.registerTestTables(s, dir)
+    s.sql(
+      """SELECT CAST(floor(round(haversine_km(
+        |    abs(c_acctbal) % 90,
+        |    (CAST(c_custkey AS DOUBLE) * 7.1) % 180,
+        |    47.3769, 8.5417), 4) / 2000) AS BIGINT) AS dist_band,
+        |  count(*) AS n,
+        |  min(c_custkey) AS min_key,
+        |  max(c_custkey) AS max_key
+        |FROM customer
+        |GROUP BY 1
+        |ORDER BY dist_band""".stripMargin)
+  }
+
+  private val q62Sql = {
+    val lat = "fmod(abs(c_acctbal), 90)"
+    val lon = "fmod(CAST(c_custkey AS DOUBLE) * 7.1, 180)"
+    s"""SELECT CAST(floor(round(
+       |    ${graft.functions.Geo.haversineKmSql(lat, lon, "47.3769", "8.5417")}, 4)
+       |    / 2000) AS BIGINT) AS dist_band,
+       |  count(*) AS n,
+       |  min(c_custkey) AS min_key,
+       |  max(c_custkey) AS max_key
+       |FROM customer
+       |GROUP BY 1
+       |ORDER BY dist_band""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_frontend" -> (q35 _),
     "q36_minmax_by" -> (q36 _),
@@ -532,7 +570,8 @@ object Advanced {
     "q47_unpivot" -> (q47 _),
     "q48_scalar_subquery" -> (q48 _),
     "q49_ann_multiband" -> (q49 _),
-    "q54_tpch_q5" -> (q54 _))
+    "q54_tpch_q5" -> (q54 _),
+    "q62_sql_native_fn" -> (q62 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -550,5 +589,6 @@ object Advanced {
     "q47_unpivot" -> q47Sql,
     "q48_scalar_subquery" -> q48Sql,
     "q49_ann_multiband" -> q49Sql,
-    "q54_tpch_q5" -> q54Sql)
+    "q54_tpch_q5" -> q54Sql,
+    "q62_sql_native_fn" -> q62Sql)
 }

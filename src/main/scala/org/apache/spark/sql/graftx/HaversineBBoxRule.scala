@@ -71,10 +71,25 @@ object HaversineBBoxRule extends Rule[LogicalPlan] {
 
 /** Session extension registering the graft Catalyst surface
   * (`SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=org.apache.spark.sql.graftx.GraftExtensions`).
+  * `spark.sql.extensions=org.apache.spark.sql.graftx.GraftExtensions`):
+  * the bounding-box optimizer rule plus `haversine_km` as a SQL
+  * function, so the SQL frontend reaches the codegen'd native
+  * expression (and the rule fires on SQL-authored predicates too).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => HaversineBBoxRule)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("haversine_km"),
+      new ExpressionInfo(classOf[Haversine].getName, "haversine_km"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"haversine_km expects 4 arguments, got ${children.length}")
+        // SQL numeric literals arrive as DECIMAL; the native
+        // expression is DOUBLE-only, so coerce here (no-op casts are
+        // optimized away)
+        val Seq(a, b, c, d) = children.map(Cast(_, DoubleType))
+        Haversine(a, b, c, d)
+      }))
   }
 }
