@@ -142,6 +142,27 @@ object Streaming {
     spark.read.parquet(out.toString).filter(col(userCol) =!= -1L)
   }
 
+  /** Watermarked stream-stream interval join: match each left event
+    * with right events for the same key whose timestamp falls within
+    * [leftTs, leftTs + windowSec]. Both sides carry watermarks and
+    * the join condition bounds event-time on both sides, so Spark can
+    * evict join state older than the watermark — state stays
+    * O(in-flight window), not O(stream history), which is what makes
+    * a stream-stream join survive an unbounded 100 TB/day feed.
+    * Inner-join matches emit as soon as both sides arrive (no
+    * watermark wait); the watermark only bounds state and late data. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, windowSec: Long,
+                   watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+        l(key) === r(key) &&
+          r(rightTs) >= l(leftTs) &&
+          r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowSec SECONDS"))
+      .drop(r(key))
+  }
+
   /** Drain a (bounded) stream into an in-memory table and return its
     * content — the synchronous harness for tests and AvailableNow
     * incremental runs. */

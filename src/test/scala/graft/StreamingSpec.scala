@@ -11,6 +11,40 @@ import graft.streaming.Streaming
 class StreamingSpec extends AnyFunSuite {
   import TestSpark.spark
 
+  test("stream-stream interval join matches the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // clicks (user, sec) joined to buys within 600 s
+    val clicksData = Seq((1L, 100L), (1L, 900L), (2L, 100L), (3L, 50L))
+    val buysData = Seq((1L, 400L), (1L, 1000L), (2L, 800L), (4L, 60L))
+    val cs = MemoryStream[(Long, Long)]
+    val bs = MemoryStream[(Long, Long)]
+    def shape(df: org.apache.spark.sql.DataFrame,
+              ts: String): org.apache.spark.sql.DataFrame =
+      df.select(col("_1").as("user"), timestamp_seconds(col("_2")).as(ts))
+    val joined = Streaming.intervalJoin(
+      shape(cs.toDF, "click_ts"), shape(bs.toDF, "buy_ts"),
+      "user", "click_ts", "buy_ts", 600L, "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    cs.addData(clicksData: _*)
+    bs.addData(buysData: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj")
+      .select(col("user"), col("click_ts").cast("long"),
+        col("buy_ts").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    // batch truth
+    val expect = (for {
+      (cu, ct) <- clicksData
+      (bu, bt) <- buysData
+      if cu == bu && bt >= ct && bt <= ct + 600
+    } yield (cu, ct, bt)).toSet
+    assert(got == expect)
+  }
+
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft_stream").toString
     val e = graft.core.Tables.load(spark, TestSpark.sf001, "events")
