@@ -96,15 +96,15 @@ object Streaming {
       Paths.get(srcParquet))
     val batch = spark.read.parquet(srcParquet)
 
-    // sentinel: one row 30 days past the max event time, schema-typed
-    // like the source (ts may be raw nanoseconds)
+    // sentinel: one row far past any event time (fixed 2100-01-01 —
+    // no max-scan of the source needed, which also matters at 100 TB),
+    // schema-typed like the source (ts may be raw nanoseconds)
     val isNs = batch.schema("ts").dataType ==
       org.apache.spark.sql.types.LongType
-    val maxTs = batch.agg(max(col("ts"))).head.get(0)
+    val sentinelEpochS = 4102444800L // 2100-01-01T00:00:00Z
     val sentinelTs: Column =
-      if (isNs) lit(maxTs.asInstanceOf[Long] + 30L * 86400 * 1000000000L)
-      else lit(new java.sql.Timestamp(
-        maxTs.asInstanceOf[java.sql.Timestamp].getTime + 30L * 86400 * 1000))
+      if (isNs) lit(sentinelEpochS * 1000000000L)
+      else lit(new java.sql.Timestamp(sentinelEpochS * 1000L))
     val sentinel = spark.range(1).select(
       lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
       lit("sentinel").as("event_type"), lit(0.0).as("value"),
