@@ -35,14 +35,17 @@ object Catalog {
     * one registration per dir suffices. */
   def registerTestTables(spark: SparkSession, dir: String): Unit =
     registered.synchronized {
-      val key = (System.identityHashCode(spark), dir)
-      if (!registered.contains(key)) {
+      val id = System.identityHashCode(spark)
+      // track the CURRENT dir per session, not a seen-set: alternating
+      // dirs overwrite the same view names, so "was registered once"
+      // is not "is registered now"
+      if (!registered.get(id).contains(dir)) {
         Tables.registerAll(spark, dir)
-        registered += key
+        registered(id) = dir
       }
     }
 
-  private val registered = scala.collection.mutable.Set.empty[(Int, String)]
+  private val registered = scala.collection.mutable.Map.empty[Int, String]
 
   def tableExists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(name)
