@@ -25,18 +25,22 @@ object Advanced {
   // verbatim by BOTH Spark (spark.sql over registered views) and the
   // DuckDB oracle. TPC-H Q3 shape (segment revenue top-k).
   // ---------------------------------------------------------------------
+  // Output types are harness-proof on purpose: integer ten-thousandths
+  // of a dollar (no float division — DuckDB's `x / 10000.0` is DECIMAL
+  // division, Spark's is DOUBLE) and the date as a 'YYYY-MM-DD' string.
   private val q35Sql =
-    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_date,
       |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
       |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
-      |    / 10000.0 AS revenue
+      |    AS revenue_e4
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'
       |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND o_orderdate < TIMESTAMP '1995-03-15'
       |  AND l_shipdate > TIMESTAMP '1995-03-15'
       |GROUP BY o_orderkey, o_orderdate
-      |ORDER BY revenue DESC, o_orderkey
+      |ORDER BY revenue_e4 DESC, o_orderkey
       |LIMIT 20""".stripMargin
 
   private def q35(s: SparkSession, dir: String): DataFrame = {

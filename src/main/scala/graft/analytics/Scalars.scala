@@ -260,8 +260,11 @@ object Scalars {
         fixedSum(col("c_acctbal"), 2).as("total_bal"),
         min(col("c_custkey")).as("min_key"),
         max(col("c_custkey")).as("max_key"))
-      // fold the reject count in so a lossy parse can never pass
-      .withColumn("n_rejects", lit(rejects.count()))
+      // fold the reject count in so a lossy parse can never pass —
+      // as a 1-row broadcast aggregate INSIDE the returned plan (an
+      // eager rejects.count() here would run an extra job at
+      // plan-construction time and re-run under any retry)
+      .crossJoin(broadcast(rejects.agg(count(lit(1)).as("n_rejects"))))
       .orderBy(col("c_mktsegment"))
   }
 

@@ -73,6 +73,31 @@ object Dedup {
     shingled.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
+  /** [[dfPrune]] with the document count taken from the postings
+    * themselves, entirely inside the plan (no driver-side `count()` at
+    * construction): the cap is max(2, nDocs·maxDocFrac) where nDocs =
+    * distinct ids in `shingled`. The hot-shingle list is tiny by
+    * definition (each survivor of `df > frac·N` is rare), so it
+    * broadcasts, and the anti-join never shuffles the postings. */
+  def dfPruneFrac(shingled: DataFrame, maxDocFrac: Double): DataFrame =
+    dfPruneFrac(shingled, maxDocFrac,
+      shingled.select(col("id")).distinct())
+
+  /** [[dfPruneFrac]] with the corpus size taken from `corpusIds`
+    * (any one-row-per-document frame, e.g. the raw documents table):
+    * counting that is a near-free parquet metadata scan, where
+    * re-deriving it from the postings would tokenize the corpus a
+    * third time. */
+  def dfPruneFrac(shingled: DataFrame, maxDocFrac: Double,
+                  corpusIds: DataFrame): DataFrame = {
+    val tot = corpusIds
+      .agg(greatest(lit(2.0), count(lit(1)) * maxDocFrac).as("__cap"))
+    val hot = shingled.groupBy("sh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(tot))
+      .filter(col("df") > col("__cap")).select("sh")
+    shingled.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
+
   /** Exact pairwise Jaccard over shingle sets. Returns (id_a, id_b,
     * inter, size_a, size_b, jaccard) for pairs with jaccard >=
     * threshold and id_a < id_b.
@@ -286,37 +311,64 @@ object Dedup {
 
   /** SimHash near-dup: 64-bit fingerprint per doc, banded into four
     * 16-bit buckets; pairs sharing a band are verified by Hamming
-    * distance <= maxHamming. */
+    * distance <= maxHamming.
+    *
+    * The fingerprint travels as ONE packed long, not the 64-int bit
+    * array: the bucket is a 16-bit shift-mask of it and the Hamming
+    * verification is `bit_count(a ^ b)` in codegen — so the band
+    * self-join's payload is 8 bytes/side and nothing wide ever
+    * shuffles (the earlier formulation carried both bit arrays
+    * through the join). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6): DataFrame = {
-    val withBits = docs.select(col(idCol).as("id"),
-      Text.simhashBits(s"filter(split(lower($textCol), '[^a-z0-9]+'), " +
-        "t -> length(t) > 0)").as("bits"))
-    val banded = withBits.select(col("id"), col("bits"),
-      explode(lit((0 until 4).toArray)).as("band"))
-      .withColumn("bucket",
-        xxhash64(col("band"), slice(col("bits"), col("band") * 16 + 1, lit(16))))
+    val withSig = docs
+      .select(col(idCol).as("id"),
+        Text.simhashBits(s"filter(split(lower($textCol), '[^a-z0-9]+'), " +
+          "t -> length(t) > 0)").as("bits"))
+      .select(col("id"), expr(
+        """aggregate(zip_with(bits, sequence(0, 63),
+          |  (b, i) -> shiftleft(CAST(b AS BIGINT), CAST(i AS INT))),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+        .as("sig"))
+    val banded = withSig
+      .select(col("id"), col("sig"),
+        explode(lit((0 until 4).toArray)).as("band"))
+      .withColumn("bucket", expr("shiftright(sig, band * 16) & 65535"))
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        Text.hamming(col("x.bits"), col("y.bits")).as("hamming"))
+        expr("CAST(bit_count(x.sig ^ y.sig) AS BIGINT)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding-cosine near-dup: sign-LSH bucket join then cosine
-    * threshold. See [[graft.functions.Vectors.signBucket]]. */
+    * threshold. See [[graft.functions.Vectors.signBucket]].
+    *
+    * Same candidate shape as [[Similarity.multiBandTopK]]: the bucket
+    * self-join runs on (id, bucket) only and the pair list is
+    * de-duplicated on the narrow id columns BEFORE the embeddings are
+    * joined back — the wide vectors never ride through the bucket
+    * shuffle, and with AQE the (small) candidate side broadcasts into
+    * the vector joins. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
     import graft.functions.Vectors
-    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val ids = emb.select(col(idCol).as("id"),
       Vectors.signBucket(col(vecCol)).as("bucket"))
-    b.as("x").join(b.as("y"),
+    val pairs = ids.as("x")
+      .join(ids.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        Vectors.cosine(col("x.v"), col("y.v")).as("cos"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -65,6 +65,30 @@ class DedupSpec extends AnyFunSuite {
     assert(remaining.nonEmpty)
   }
 
+  test("dfPruneFrac caps the hot-shingle quadratic edge: a shingle " +
+       "shared by the whole corpus emits NO pairs after the prune") {
+    // 40 docs that share one boilerplate sentence (the hot shingles)
+    // but are otherwise disjoint; plus one true near-dup pair. All
+    // C(40,2)=780 boilerplate pairs must vanish; the planted pair
+    // must survive on its non-boilerplate shingles.
+    val boiler = "subscribe to our newsletter for updates today"
+    val hot = (1L to 40L).map(i =>
+      (i, s"$boiler unique alpha$i beta$i gamma$i delta$i epsilon$i"))
+    val pair = Seq(
+      (100L, "galaxies collide slowly over eons forming new bright stars"),
+      (101L, "galaxies collide slowly over eons forming many bright stars"))
+    val corpus = (hot ++ pair).toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(corpus, "doc_id", "text", 3)
+    val pruned = Dedup.dfPruneFrac(sh, maxDocFrac = 0.1)
+    val pairs = Dedup.jaccardPairs(pruned, 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)), s"got $pairs")
+    // unpruned ground truth really is quadratic in the hot docs
+    val unpruned = Dedup.jaccardPairs(sh, 0.2)
+      .filter(col("id_a") <= 40 && col("id_b") <= 40).count()
+    assert(unpruned > 100L)
+  }
+
   test("embedding near-dup finds a duplicated vector") {
     val v1 = Array(1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f,
       1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f,

@@ -101,4 +101,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial"), p)
     assert(p.contains("Generate"), p) // exploded-token codegen shape
   }
+
+  test("q59: global decile binning has NO Window — and in particular " +
+       "no single-partition exchange funneling the corpus into one task") {
+    val p = plan("q59_quality_bins")
+    assert(!p.contains("Window"), p)
+    assert(!"Exchange SinglePartition[^,)]*\\)\\s*\\n\\s*.*Window".r
+      .findFirstIn(p).isDefined, p)
+    // the rank pass reuses the size pass's range exchange
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q40: embedding near-dup dedupes candidate pairs on ids " +
+       "before any vector-carrying join") {
+    val qe = SparkEntry.queries("q40_embedding_pairs")(spark, TestSpark.sf001)
+      .queryExecution.executedPlan.toString
+    // the bucket self-join's output feeds an aggregate (the distinct)
+    // whose grouping is just the two id columns — no embedding column
+    // in any exchange below the vector joins
+    assert(qe.contains("BroadcastHashJoin") || qe.contains("SortMergeJoin"), qe)
+    assert("Exchange hashpartitioning\\(id_a#\\d+L, id_b#\\d+L".r
+      .findFirstIn(qe).isDefined || qe.contains("HashAggregate(keys=[id_a"),
+      qe)
+  }
 }
