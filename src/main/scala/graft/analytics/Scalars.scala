@@ -232,6 +232,48 @@ object Scalars {
   }
 
   // ---------------------------------------------------------------------
+  // q64 — spatial enrichment at dimension scale: 100 synthetic
+  // polygons through Spatial.enrichGrid (broadcast grid index, per-row
+  // candidate ray-cast — the J3 shape that holds at ~2 100 real
+  // municipalities, where q50's unrolled literal expressions stop
+  // paying off). Oracle: the same 100 polygons unrolled into a
+  // priority-ordered CASE chain — proving the grid index prunes
+  // without changing a single assignment.
+  // ---------------------------------------------------------------------
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Spatial
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        (abs(col("c_acctbal")) % 90).as("lat"),
+        ((col("c_custkey").cast("double") * 7.1) % 180).as("lon"))
+    Spatial.enrichGrid(c, "lat", "lon", Spatial.SyntheticMunicipalities)
+      .select(col("c_acctbal"),
+        coalesce(col("municipality"), lit("none")).as("municipality"),
+        coalesce(col("canton"), lit("none")).as("canton"))
+      .groupBy(col("municipality"), col("canton"))
+      .agg(count(lit(1)).as("n_points"),
+        fixedSum(col("c_acctbal"), 2).as("total_bal"))
+      .orderBy(col("municipality"), col("canton"))
+  }
+
+  private val q64Sql = {
+    import graft.operators.Spatial
+    val lat = "fmod(abs(c_acctbal), 90)"
+    val lon = "fmod(CAST(c_custkey AS DOUBLE) * 7.1, 180)"
+    def pick(f: graft.operators.Municipality => String) =
+      Spatial.SyntheticMunicipalities.map(m =>
+        s"WHEN ${Spatial.insideSql(m, lat, lon)} THEN '${f(m)}'")
+        .mkString("CASE ", " ", " ELSE 'none' END")
+    s"""SELECT ${pick(_.name)} AS municipality,
+       |  ${pick(_.canton)} AS canton,
+       |  count(*) AS n_points,
+       |  ${fixedSumSql("c_acctbal")} AS total_bal
+       |FROM customer
+       |GROUP BY 1, 2
+       |ORDER BY municipality, canton""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q55 — CSV round-trip through the ingest boundary (S7 sink +
   // enforced-schema PERMISSIVE source with a rejects channel): write
   // customer to CSV, read it back, aggregate. The oracle aggregates
@@ -285,7 +327,8 @@ object Scalars {
     "q33_cube" -> (q33 _),
     "q34_tumbling_window" -> (q34 _),
     "q50_spatial_join" -> (q50 _),
-    "q55_csv_roundtrip" -> (q55 _))
+    "q55_csv_roundtrip" -> (q55 _),
+    "q64_spatial_grid" -> (q64 _))
 
   val oracle: Map[String, String] = Map(
     "q17_haversine" -> q17Sql,
@@ -295,5 +338,6 @@ object Scalars {
     "q33_cube" -> q33Sql,
     "q34_tumbling_window" -> q34Sql,
     "q50_spatial_join" -> q50Sql,
-    "q55_csv_roundtrip" -> q55Sql)
+    "q55_csv_roundtrip" -> q55Sql,
+    "q64_spatial_grid" -> q64Sql)
 }

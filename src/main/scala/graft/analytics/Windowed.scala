@@ -335,6 +335,35 @@ object Windowed {
       |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q63 — stream-stream watermarked interval join in the correctness
+  // gate: both join sides are independent file streams over `events`
+  // (errors → clicks within 600 s by the same user, the q46 contract
+  // with the interval join's inclusive-at-zero boundary), drained in
+  // one AvailableNow run. Oracle: the equivalent batch range join —
+  // proving the streaming join's state machine reproduces batch truth
+  // on every pair. The watermark bounds join state, which is what the
+  // unbounded production form relies on at 100 TB/day.
+  // ---------------------------------------------------------------------
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.intervalJoinReplayFromParquet(
+        s, s"$dir/events.parquet", "error", "click", 600L)
+      .select(col("user_id"), col("error_id"), col("click_id"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("err_ts")))
+          .as("delta_s"))
+      .orderBy(col("user_id"), col("error_id"), col("click_id"))
+
+  private val q63Sql =
+    s"""WITH e AS (SELECT user_id, event_id, ${epochSSql("ts")} AS ts_l,
+       |                  event_type FROM events)
+       |SELECT err.user_id, err.event_id AS error_id,
+       |  c.event_id AS click_id, c.ts_l - err.ts_l AS delta_s
+       |FROM e err JOIN e c
+       |  ON err.user_id = c.user_id
+       |  AND err.event_type = 'error' AND c.event_type = 'click'
+       |  AND c.ts_l >= err.ts_l AND c.ts_l <= err.ts_l + 600
+       |ORDER BY err.user_id, error_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_window_rank" -> (q11 _),
     "q12_window_running" -> (q12 _),
@@ -343,7 +372,8 @@ object Windowed {
     "q15_trips_derive" -> (q15 _),
     "q16_asof_join" -> (q16 _),
     "q53_stream_session" -> (q53 _),
-    "q61_range_frame" -> (q61 _))
+    "q61_range_frame" -> (q61 _),
+    "q63_stream_interval_join" -> (q63 _))
 
   val oracle: Map[String, String] = Map(
     "q11_window_rank" -> q11Sql,
@@ -353,5 +383,6 @@ object Windowed {
     "q15_trips_derive" -> q15Sql,
     "q16_asof_join" -> q16Sql,
     "q53_stream_session" -> q53Sql,
-    "q61_range_frame" -> q61Sql)
+    "q61_range_frame" -> q61Sql,
+    "q63_stream_interval_join" -> q63Sql)
 }

@@ -163,6 +163,51 @@ object Streaming {
       .drop(r(key))
   }
 
+  /** Bounded replay of a parquet events table through the watermarked
+    * stream-stream [[intervalJoin]]: both sides stream the SAME file
+    * independently (two file sources), are filtered to their event
+    * type, joined within the interval, and drained with one
+    * AvailableNow run to a parquet sink. Inner-join matches emit as
+    * soon as both sides arrive, so no sentinel flush is needed (unlike
+    * the append-mode session aggregation in
+    * [[sessionReplayFromParquet]]); the watermark exists to bound join
+    * state, which is what the production unbounded form relies on.
+    *
+    * Returns (user_id, error_id, err_ts, click_id, click_ts). */
+  def intervalJoinReplayFromParquet(spark: SparkSession, srcParquet: String,
+                                    leftType: String, rightType: String,
+                                    windowSec: Long): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("graft_ssj_in")
+    val out = Files.createTempDirectory("graft_ssj_out")
+    val ckpt = Files.createTempDirectory("graft_ssj_ckpt")
+    Files.createSymbolicLink(in.resolve("batch1.parquet"),
+      Paths.get(srcParquet))
+    val schema = spark.read.parquet(srcParquet).schema
+
+    def side(): DataFrame = {
+      val e = spark.readStream.schema(schema).parquet(in.toString)
+      e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
+    }
+    val left = side().filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("ts_s").as("err_ts"))
+    val right = side().filter(col("event_type") === rightType)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_s").as("click_ts"))
+    val joined = intervalJoin(left, right, "user_id",
+      "err_ts", "click_ts", windowSec, "0 seconds")
+
+    val q = joined.writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out.toString)
+  }
+
   /** Drain a (bounded) stream into an in-memory table and return its
     * content — the synchronous harness for tests and AvailableNow
     * incremental runs. */
