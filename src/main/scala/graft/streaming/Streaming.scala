@@ -208,6 +208,33 @@ object Streaming {
     spark.read.parquet(out.toString)
   }
 
+  /** Streaming upsert sink: drive [[graft.operators.MergeByKey
+    * .mergeWrite]] from a stream via foreachBatch — the reference's
+    * daily ON CONFLICT upsert (`lambda/trips_lambda.py:180-206`)
+    * running continuously instead of on a schedule. Each micro-batch
+    * is transformed (e.g. reduced to one state row per key — the
+    * transform must make keys unique within the batch) and merged
+    * into the parquet target by key.
+    *
+    * Exactly-once effect from at-least-once machinery: foreachBatch
+    * may replay a batch after a crash, and the keyed merge is
+    * idempotent, so the target converges to batch truth — the same
+    * contract [[graft.operators.Incremental.run]] gives the scheduled
+    * form. Single-writer, like the sink it wraps. */
+  def mergeStream(updates: DataFrame, targetPath: String, ckptPath: String,
+                  keys: Seq[String],
+                  transform: DataFrame => DataFrame = identity)
+      : StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = transform(batch)
+        graft.operators.MergeByKey.mergeWrite(
+          rows.sparkSession, targetPath, rows, keys, lit(true))
+      }
+      .option("checkpointLocation", ckptPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Drain a (bounded) stream into an in-memory table and return its
     * content — the synchronous harness for tests and AvailableNow
     * incremental runs. */

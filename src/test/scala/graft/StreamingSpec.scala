@@ -91,6 +91,51 @@ class StreamingSpec extends AnyFunSuite {
       Set("b1", "b2"))
   }
 
+  test("foreachBatch merge stream converges to the batch " +
+       "Incremental.run target (the daily upsert, live)") {
+    val base = Files.createTempDirectory("graft_mergestream").toString
+    val src = spark.read.parquet(dir)
+    val mid = src.agg(percentile_approx(col("ts_s").cast("long"),
+      lit(0.5), lit(100))).head.getLong(0)
+    // two arrivals of the same feed: first half, then second half
+    val in = s"$base/in"
+    // one file per arrival so each maxFilesPerTrigger=1 micro-batch
+    // is exactly one incremental window
+    src.filter(col("ts_s").cast("long") <= mid)
+      .coalesce(1).write.parquet(in)
+    src.filter(col("ts_s").cast("long") > mid)
+      .coalesce(1).write.mode("append").parquet(in)
+    // per-slice state row: latest (ts, value) per user — keys unique
+    // within every batch, the contract mergeStream documents
+    def latestPerUser(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(col("ts_s").cast("long")).as("last_ts"),
+          max_by(col("value"), struct(col("ts_s"), col("event_id")))
+            .as("last_value"))
+
+    // stream form: every parquet file is its own micro-batch
+    val streamTarget = s"$base/stream_target"
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = Streaming.mergeStream(stream, streamTarget,
+      s"$base/ckpt", Seq("user_id"), latestPerUser)
+    q.awaitTermination()
+
+    // batch truth: two scheduled Incremental.run windows
+    val batchTarget = s"$base/batch_target"
+    val eventsL = src.withColumn("ts_l", col("ts_s").cast("long"))
+    Seq(mid, Long.MaxValue).foreach { hi =>
+      graft.operators.Incremental.run(spark, eventsL, "ts_l", hi,
+        latestPerUser, batchTarget, Seq("user_id"), s"$base/bookmark")
+    }
+
+    val got = spark.read.parquet(streamTarget)
+    val want = spark.read.parquet(batchTarget)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming session windows == batch session windows") {
     val schema = spark.read.parquet(dir).schema
     val stream = Streaming.fileStream(spark, dir, schema)
