@@ -185,14 +185,16 @@ object Streaming {
       Paths.get(srcParquet))
     val schema = spark.read.parquet(srcParquet).schema
 
-    def side(): DataFrame = {
-      val e = spark.readStream.schema(schema).parquet(in.toString)
-      e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
-    }
-    val left = side().filter(col("event_type") === leftType)
+    // ONE file source, both join sides derived from it (stream
+    // self-join): halves the source tracking/scan machinery vs two
+    // independent readStreams of the same file
+    val e0 = spark.readStream.schema(schema).parquet(in.toString)
+    val e = e0.withColumn("ts_s",
+      graft.analytics.Exact.secFromAny(e0, "ts"))
+    val left = e.filter(col("event_type") === leftType)
       .select(col("user_id"), col("event_id").as("error_id"),
         col("ts_s").as("err_ts"))
-    val right = side().filter(col("event_type") === rightType)
+    val right = e.filter(col("event_type") === rightType)
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts_s").as("click_ts"))
     val joined = intervalJoin(left, right, "user_id",
