@@ -645,7 +645,79 @@ object LlmOps {
        |ORDER BY decile""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q65 — within-document repetition (the Gopher-style duplicate
+  // 3-gram quality filter): pure per-row scalar — a repetition gate
+  // over 100 TB costs zero shuffles. dup_frac is one IEEE division of
+  // exact integers; the flag uses a strict > on that stable value.
+  // ---------------------------------------------------------------------
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        inline(array(Text.repetitionStats(col("text"), 3))))
+      .withColumn("is_repetitive",
+        when(col("dup_frac") > 0.2, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+
+  private val q65Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 3 THEN
+      |      list_transform(range(len(w) - 2),
+      |        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+      |    ELSE [] END AS grams
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+      |  CASE WHEN len(grams) > 0
+      |    THEN 1.0 - len(list_distinct(grams)) / len(grams) END AS dup_frac,
+      |  CAST(CASE WHEN len(grams) > 0
+      |        AND 1.0 - len(list_distinct(grams)) / len(grams) > 0.2
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q66 — TF-IDF top-3 keywords per document (metadata extraction).
+  // The df table is vocabulary-sized → broadcast; idf is the only
+  // transcendental and is rounded to 4 decimals on both engines, so
+  // tf·idf and its ranking reproduce bit-for-bit.
+  // ---------------------------------------------------------------------
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.topTerms(docs(s, dir), "doc_id", "text", 3)
+      .orderBy(col("doc_id"), col("term_rank"))
+
+  private val q66Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '),
+      |      w -> length(w) > 0)) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf
+      |       FROM toks GROUP BY doc_id, token),
+      |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |ranked AS (
+      |  SELECT t.doc_id, t.token, t.tf,
+      |    t.tf * round(ln(n_docs / df), 4) AS score,
+      |    row_number() OVER (PARTITION BY t.doc_id
+      |      ORDER BY t.tf * round(ln(n_docs / df), 4) DESC, t.token)
+      |      AS term_rank
+      |  FROM tf t JOIN dfq USING (token), n)
+      |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, token, tf,
+      |  score
+      |FROM ranked
+      |WHERE term_rank <= 3
+      |ORDER BY doc_id, term_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_repetition" -> (q65 _),
+    "q66_tfidf_keywords" -> (q66 _),
     "q21_dedup_exact" -> (q21 _),
     "q22_dedup_minhash_lsh" -> (q22 _),
     "q23_dedup_jaccard" -> (q23 _),
@@ -677,5 +749,7 @@ object LlmOps {
     "q52_ppjoin" -> q52Sql,
     "q57_stratified_sample" -> q57Sql,
     "q58_hash_split" -> q58Sql,
-    "q59_quality_bins" -> q59Sql)
+    "q59_quality_bins" -> q59Sql,
+    "q65_repetition" -> q65Sql,
+    "q66_tfidf_keywords" -> q66Sql)
 }

@@ -118,6 +118,21 @@ object Text {
   def shingles(text: Column, n: Int): Column =
     Lambdas.bindOnce(words(text))(shinglesFromTokens(_, n))
 
+  /** Within-document repetition signal (the Gopher-style
+    * duplicate-n-gram quality filter): a struct of total n-gram
+    * occurrences, distinct n-grams, and the duplicate fraction
+    * 1 - distinct/total (null when the doc has no n-grams). All
+    * inputs are exact integers, so the fraction is one IEEE division
+    * — engine-stable. Pure per-row scalar: filters at this stage cost
+    * zero shuffles at any corpus size. */
+  def repetitionStats(text: Column, n: Int): Column =
+    Lambdas.bindOnce(shingles(text, n)) { g =>
+      val ng = size(g).cast("long")
+      val nd = size(array_distinct(g)).cast("long")
+      struct(ng.as("n_grams"), nd.as("n_distinct_grams"),
+        when(ng > 0, lit(1.0) - nd / ng).as("dup_frac"))
+    }
+
   /** 64-bit SimHash as an array of 64 bits (index i = bit i of the
     * hash). Bit i is 1 when the sum over tokens of ±1 votes (bit i of
     * the token's xxhash64) is non-negative. Kept as a bit array rather

@@ -98,6 +98,35 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out(1).isNullAt(0))
   }
 
+  test("repetitionStats flags the looped doc, not the varied one") {
+    val df = Seq(
+      ("loop", Seq.fill(20)("buy now click here").mkString(" ")),
+      ("varied", (1 to 80).map(i => s"tok$i").mkString(" ")),
+      ("tiny", "one two")) // fewer words than the n-gram width
+      .toDF("k", "t")
+    val out = df.select(col("k"),
+        inline(array(Text.repetitionStats(col("t"), 3))))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct_grams"),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    val (ng, nd, frac) = out("loop")
+    assert(ng == 78 && nd <= 4 && frac.exists(_ > 0.9))
+    assert(out("varied")._3.exists(_ == 0.0))
+    assert(out("tiny") == ((0L, 0L, None)))
+  }
+
+  test("tf-idf ranks distinctive terms above corpus-wide ones") {
+    val docs = Seq(
+      (1L, "shared shared zebra zebra zebra"),
+      (2L, "shared shared quark"),
+      (3L, "shared shared shared")).toDF("doc_id", "text")
+    val top = graft.operators.TfIdf.topTerms(docs, "doc_id", "text", 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    assert(top(1L) == "zebra") // df=1, high tf
+    assert(top(2L) == "quark") // df=1
+    assert(top(3L) == "shared") // only term; idf 0, still ranked
+  }
+
   test("fingerprint is stable under trailing edits") {
     val df = Seq(
       ("a", "alpha beta gamma delta epsilon zeta eta theta"),
