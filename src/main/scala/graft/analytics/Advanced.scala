@@ -149,7 +149,7 @@ object Advanced {
     assigned.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cell"),
-        round(Vectors.cosine(col("qv"), col("embedding")), 4).as("cos"))
+        round(Vectors.cosineNative(col("qv"), col("embedding")), 4).as("cos"))
       .withColumn("rank", row_number().over(wq).cast("long"))
       .filter(col("rank") <= 3)
       .orderBy(col("query_id"), col("rank"))

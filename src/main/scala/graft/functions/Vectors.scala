@@ -29,6 +29,17 @@ object Vectors {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(sqrt(norm2(a) * norm2(b)), lit(0.0))
 
+  /** [[cosine]] as ONE fused whole-stage-codegen expression (custom
+    * Catalyst `Expression` with `doGenCode`): one generated loop,
+    * three accumulators, zero intermediate arrays — versus three
+    * interpreted higher-order folds. Bit-identical to [[cosine]] by
+    * construction (same per-accumulator IEEE sequence; CosineExprSpec
+    * asserts it), so the two are interchangeable under the oracle
+    * gate. Use this in hot paths (the ANN/near-dup tier scores
+    * millions of candidate pairs per query). */
+  def cosineNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftx.CosineSimilarity.col(a, b)
+
   /** Euclidean (L2) distance. */
   def l2(a: Column, b: Column): Column =
     sqrt(aggregate(

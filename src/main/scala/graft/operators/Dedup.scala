@@ -368,7 +368,7 @@ object Dedup {
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        Vectors.cosine(col("va"), col("vb")).as("cos"))
+        Vectors.cosineNative(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

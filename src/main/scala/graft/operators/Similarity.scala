@@ -34,7 +34,7 @@ object Similarity {
     Seq(2, 6, 10, 14, 18, 22), Seq(3, 7, 11, 15, 19, 23))
 
   private def cos4(a: Column, b: Column): Column =
-    round(Vectors.cosine(a, b), 4)
+    round(Vectors.cosineNative(a, b), 4)
 
   /** The shared ranking contract of every ANN variant: top-k per
     * query by (cos desc, vec_id asc), rank as long. One definition so
