@@ -170,15 +170,30 @@ object Dedup {
       .localCheckpoint()
     val prefixLen =
       (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
-    val prefixes = docSets.select(col("id"),
-      explode(slice(col("shs"), lit(1), prefixLen)).as("sh"))
+    // postings carry (id, sz, pos): the POSITIONAL filter (classic
+    // PPJoin) upper-bounds the achievable overlap from where the
+    // shared token sits in each sorted set — ub = min(|x|-px, |y|-py)
+    // — and drops the pair when ub < ceil(t/(1+t)·(|x|+|y|)), the
+    // minimum intersection J >= t requires. Pairs are pruned BEFORE
+    // the distinct and before any verification work; the filter is
+    // conservative (keep if ANY shared prefix token passes), so the
+    // exact verification below still sees every true pair.
+    val prefixes = docSets.select(col("id"), col("sz"),
+      posexplode(slice(col("shs"), lit(1), prefixLen)).as(Seq("pos", "sh")))
+    val minIsect = threshold / (1.0 + threshold)
     val cand = prefixes.groupBy("sh")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(sort_array(collect_list(
+        struct(col("id"), col("sz"), col("pos")))).as("xs"))
+      .filter(size(col("xs")) > 1)
       .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    b -> struct(a AS id_a, b AS id_b))))""".stripMargin)).as("p"))
+        s"""flatten(transform(xs, (a, i) ->
+           |  filter(
+           |    transform(slice(xs, i + 2, size(xs) - i - 1),
+           |      b -> struct(a.id AS id_a, b.id AS id_b,
+           |        least(a.sz - a.pos, b.sz - b.pos) AS ub,
+           |        a.sz + b.sz AS szsum)),
+           |    p -> p.ub >= ceil($minIsect * p.szsum))))""".stripMargin))
+        .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     // verification by co-occurrence counting over ONLY the candidate
