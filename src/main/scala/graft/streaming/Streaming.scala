@@ -130,16 +130,35 @@ object Streaming {
       .parquet(in.toString)
     val eSec =
       e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
-    val q = sessionStats(eSec, "ts_s", userCol, gap, "0 seconds")
-      .writeStream.format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = sessionStats(eSec, "ts_s", userCol, gap, "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.read.parquet(out.toString).filter(col(userCol) =!= -1L)
+  }
+
+  /** Run `body` (which starts and drains a stateful streaming query)
+    * with a reduced shuffle-partition count: each state partition is
+    * a state store with per-micro-batch checkpoint files, so a
+    * bounded replay with 32 partitions pays 32× the commit fsyncs for
+    * state that fits in a handful. Stateful queries pin the partition
+    * count from the conf AT START into the checkpoint; batch plans
+    * built afterwards are unaffected (the previous value is
+    * restored). Production unbounded streams keep the session
+    * default. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int = 8)
+      (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
   }
 
   /** Watermarked stream-stream interval join: match each left event
@@ -200,13 +219,15 @@ object Streaming {
     val joined = intervalJoin(left, right, "user_id",
       "err_ts", "click_ts", windowSec, "0 seconds")
 
-    val q = joined.writeStream.format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = joined.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out.toString)
   }
 
