@@ -715,9 +715,103 @@ object LlmOps {
       |WHERE term_rank <= 3
       |ORDER BY doc_id, term_rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q67 — benchmark decontamination (the train/eval overlap check
+  // every training pipeline runs before shipping a dataset): flag
+  // corpus documents sharing any non-boilerplate 3-gram with the
+  // held-out benchmark slice. The benchmark's shingle set is tiny →
+  // broadcast; document-frequency pruning (q23's cap) keeps
+  // corpus-wide boilerplate from flagging everything; the corpus side
+  // is touched once.
+  // ---------------------------------------------------------------------
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sh = Dedup.dfPruneFrac(
+      Dedup.shingleTable(d, "doc_id", "text", 3).localCheckpoint(),
+      0.1, d)
+    val bench = sh.filter(col("id") % 20 === 0)
+      .select(col("id").as("bench_id"), col("sh"))
+    val corpus = sh.filter(col("id") % 20 =!= 0)
+    corpus.join(broadcast(bench), Seq("sh"))
+      .select(col("id").as("doc_id"), col("sh"), col("bench_id"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q67Sql = {
+    val gram = "w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]"
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents),
+      |shing AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(w) - 2), i -> $gram)) AS shingle
+      |  FROM toks WHERE len(w) >= 3),
+      |freq AS (SELECT shingle, count(*) AS df FROM shing GROUP BY shingle),
+      |tot AS (SELECT count(*) AS nd FROM documents),
+      |pruned AS (
+      |  SELECT s.doc_id, s.shingle
+      |  FROM shing s JOIN freq f ON f.shingle = s.shingle, tot
+      |  WHERE f.df <= greatest(2.0, nd * 0.1))
+      |SELECT c.doc_id AS doc_id,
+      |  count(DISTINCT c.shingle) AS n_shared_grams,
+      |  count(DISTINCT b.doc_id) AS n_bench_docs
+      |FROM pruned c JOIN pruned b ON c.shingle = b.shingle
+      |WHERE c.doc_id % 20 != 0 AND b.doc_id % 20 = 0
+      |GROUP BY c.doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q68 — unigram-surprisal quality filter (the CCNet-style language-
+  // model score, reduced to its distributable core): per-token
+  // surprisal -ln(freq/N) from corpus-wide unigram counts, averaged
+  // per document. The vocabulary table broadcasts; per-token terms
+  // are rounded to 4 decimals and accumulated as scaled longs, so the
+  // float-order-dependent SUM becomes exact and associative (the
+  // fixedSum discipline) and both engines agree bit-for-bit.
+  // ---------------------------------------------------------------------
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      explode(Text.words(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val tot = vocab.agg(sum(col("freq")).as("n_total"))
+    toks
+      .join(broadcast(vocab), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_e4",
+        round(round(-log(col("freq") / col("n_total")), 4) * 10000)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("term_e4")) / 10000.0 / count(lit(1)))
+          .as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q68Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '),
+      |      w -> length(w) > 0)) AS token
+      |  FROM documents),
+      |vocab AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+      |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM vocab)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CAST(round(round(-ln(freq / n_total), 4) * 10000)
+      |    AS BIGINT)) AS BIGINT) / 10000.0 / count(*) AS avg_surprisal
+      |FROM toks JOIN vocab USING (token), tot
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_repetition" -> (q65 _),
     "q66_tfidf_keywords" -> (q66 _),
+    "q67_decontaminate" -> (q67 _),
+    "q68_surprisal" -> (q68 _),
     "q21_dedup_exact" -> (q21 _),
     "q22_dedup_minhash_lsh" -> (q22 _),
     "q23_dedup_jaccard" -> (q23 _),
@@ -751,5 +845,7 @@ object LlmOps {
     "q58_hash_split" -> q58Sql,
     "q59_quality_bins" -> q59Sql,
     "q65_repetition" -> q65Sql,
-    "q66_tfidf_keywords" -> q66Sql)
+    "q66_tfidf_keywords" -> q66Sql,
+    "q67_decontaminate" -> q67Sql,
+    "q68_surprisal" -> q68Sql)
 }
