@@ -91,5 +91,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val Seq(a, b, c, d) = children.map(Cast(_, DoubleType))
         Haversine(a, b, c, d)
       }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cosine_sim expects 2 arguments, got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
   }
 }

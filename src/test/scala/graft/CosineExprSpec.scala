@@ -60,6 +60,13 @@ class CosineExprSpec extends AnyFunSuite {
     assert(r.getDouble(0) == r.getDouble(1))
   }
 
+  test("cosine_sim is reachable from the SQL frontend") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head.getDouble(0)
+    assert(r == 1.0)
+  }
+
   test("native cosine stays inside WholeStageCodegen") {
     val emb = graft.core.Tables.load(spark, TestSpark.sf001, "embeddings")
     val df = emb.select(
