@@ -205,7 +205,46 @@ object Advanced {
   }
 
   // ---------------------------------------------------------------------
-  // q41 — approximate distinct counting (HLL++). Sketch internals
+  // q69 — near-dup clustering: connected components over the q40
+  // embedding pair list (pairs → transitive closure → one canonical
+  // min-id representative per duplicate group, the step that turns
+  // pairwise dedup output into an actual keep/drop decision). Spark
+  // side is iterative min-label propagation; the oracle computes the
+  // same closure with a recursive CTE — engine-independent truth for
+  // an iterative distributed algorithm.
+  // ---------------------------------------------------------------------
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.embeddingNearDup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.0)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(pairs)
+    cc.join(cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size")), Seq("cluster"))
+      .select(col("id").as("vec_id"), col("cluster"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q69Sql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |$q40Sql
+       |  ) q),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS cluster
+       |  FROM reach GROUP BY src),
+       |sizes AS (
+       |  SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+       |SELECT vec_id, cluster, cluster_size
+       |FROM comp JOIN sizes USING (cluster)
+       |ORDER BY vec_id""".stripMargin
   // differ from any oracle, so the oracle checks the *semantic
   // contract* instead: exact counts bit-match, and the sketch
   // estimates land within the advertised error bound (flag columns
@@ -575,7 +614,8 @@ object Advanced {
     "q48_scalar_subquery" -> (q48 _),
     "q49_ann_multiband" -> (q49 _),
     "q54_tpch_q5" -> (q54 _),
-    "q62_sql_native_fn" -> (q62 _))
+    "q62_sql_native_fn" -> (q62 _),
+    "q69_dedup_clusters" -> (q69 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -594,5 +634,6 @@ object Advanced {
     "q48_scalar_subquery" -> q48Sql,
     "q49_ann_multiband" -> q49Sql,
     "q54_tpch_q5" -> q54Sql,
-    "q62_sql_native_fn" -> q62Sql)
+    "q62_sql_native_fn" -> q62Sql,
+    "q69_dedup_clusters" -> q69Sql)
 }

@@ -359,6 +359,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair list — the dedup
+    * endgame: pairs only say "these two match"; keeping one document
+    * per duplicate GROUP needs the transitive closure (A~B, B~C ⇒
+    * one cluster {A,B,C}).
+    *
+    * Iterative min-label propagation: every node starts labeled with
+    * its own id; each round takes the min of its own and its
+    * neighbors' labels; at convergence every node carries the min id
+    * of its component — a deterministic canonical representative.
+    * Rounds = graph diameter, and near-dup graphs are shallow (dup
+    * clusters are cliques or short chains), so convergence is a
+    * handful of small joins. Each round localCheckpoints to cut the
+    * lineage (mandatory for iterative plans) and the convergence test
+    * is an isEmpty probe. At extreme scale the same loop tightens
+    * into the large-star/small-star formulation (Kiveris et al.) —
+    * identical join shapes, fewer rounds.
+    *
+    * Returns (id, cluster) for every id that appears in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nb = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")),
+          Seq("b"))
+        .groupBy(col("a")).agg(min(col("nl")).as("nmin"))
+        .select(col("a").as("id"), col("nmin"))
+      val next = labels.join(nb, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"connectedComponents: no convergence in $maxIter")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Embedding-cosine near-dup: sign-LSH bucket join then cosine
     * threshold. See [[graft.functions.Vectors.signBucket]].
     *

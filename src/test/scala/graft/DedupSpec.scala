@@ -89,6 +89,20 @@ class DedupSpec extends AnyFunSuite {
     assert(unpruned > 100L)
   }
 
+  test("connectedComponents: chain, clique, and pair collapse to " +
+       "min-id clusters") {
+    // chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+    assert(cc.size == 9)
+  }
+
   test("embedding near-dup finds a duplicated vector") {
     val v1 = Array(1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f,
       1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f,
