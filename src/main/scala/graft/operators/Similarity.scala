@@ -38,13 +38,18 @@ object Similarity {
 
   /** The shared ranking contract of every ANN variant: top-k per
     * query by (cos desc, vec_id asc), rank as long. One definition so
-    * the three operators can never diverge on tiebreak or rounding. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-  }
+    * the operators can never diverge on tiebreak or rounding.
+    *
+    * Runs on the custom two-phase TopKPerKey plan, not
+    * `row_number().over(window)`: the window form shuffles EVERY
+    * scored candidate to its query's reducer and sorts the full group
+    * before dropping all but k; the custom plan bounds each map task
+    * to k survivors per query before the exchange, so shuffle volume
+    * is k·queries·partitions regardless of candidate count
+    * (TopKPerKeySpec pins row-for-row equivalence incl. ties). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    org.apache.spark.sql.graftx.TopKPerKeyPlan.topK(scored,
+      Seq("query_id"), Seq("cos" -> true, "vec_id" -> false), k)
 
   /** Exact top-k neighbors per query by cosine. Output:
     * (query_id, vec_id, cos, rank). */

@@ -79,6 +79,7 @@ object HaversineBBoxRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => HaversineBBoxRule)
+    e.injectPlannerStrategy(_ => TopKPerKeyPlan.TopKPerKeyStrategy)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("haversine_km"),
       new ExpressionInfo(classOf[Haversine].getName, "haversine_km"),
