@@ -36,6 +36,9 @@ class PlanQualitySpec extends AnyFunSuite {
        "side never exchanged before the join") {
     val p = plan("q25_ann_brute")
     assert(p.contains("BroadcastNestedLoopJoin"))
+    // ranking runs on the two-phase custom plan: bounded map-side
+    // top-k below the exchange, merge+rank above it
+    assert(p.contains("TopKPartial") && p.contains("TopKFinal"), p)
   }
 
   test("q01: aggregate is partial+final (map-side combine)") {

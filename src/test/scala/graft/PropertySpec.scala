@@ -81,6 +81,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKPerKey == window row_number on random keyed data with " +
+       "heavy ties and tiny/huge groups") {
+    import org.apache.spark.sql.expressions.Window
+    val genRow = for {
+      key <- Gen.choose(0L, 5L)       // few keys -> big groups
+      score <- Gen.choose(0, 4)       // tiny domain -> many ties
+      id <- Gen.choose(0L, 10000L)
+    } yield (key, id, score.toDouble)
+    cases(Gen.listOfN(400, genRow), 4).foreach { rows =>
+      val df = rows.distinct.toDF("query_id", "vec_id", "cos")
+        .repartition(7)
+      val custom = org.apache.spark.sql.graftx.TopKPerKeyPlan
+        .topK(df, Seq("query_id"), Seq("cos" -> true, "vec_id" -> false), 3)
+        .select("query_id", "vec_id", "cos", "rank")
+        .as[(Long, Long, Double, Long)].collect().sorted.toSeq
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val window = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("query_id", "vec_id", "cos", "rank")
+        .as[(Long, Long, Double, Long)].collect().sorted.toSeq
+      assert(custom == window)
+    }
+  }
+
   test("approx_count_distinct lands within its error bound") {
     val got = SparkEntry.queries("q41_approx_distinct")(
       spark, TestSpark.sf001).collect()
