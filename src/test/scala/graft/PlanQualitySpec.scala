@@ -105,6 +105,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Generate"), p) // exploded-token codegen shape
   }
 
+  test("q66/q67/q68: vocabulary/benchmark side broadcasts; no " +
+       "single-partition funnel anywhere") {
+    for (q <- Seq("q66_tfidf_keywords", "q67_decontaminate",
+        "q68_surprisal")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastExchange"), s"$q:\n$p")
+      assert(!p.contains("Exchange SinglePartition\n"), s"$q:\n$p")
+    }
+  }
+
   test("q59: global decile binning has NO Window — and in particular " +
        "no single-partition exchange funneling the corpus into one task") {
     val p = plan("q59_quality_bins")
