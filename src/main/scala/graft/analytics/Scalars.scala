@@ -274,6 +274,44 @@ object Scalars {
   }
 
   // ---------------------------------------------------------------------
+  // q70 — declarative data-quality profile (the reference's absent
+  // utils/data_validation.py, evidenced by README.md:22): N rules,
+  // ONE scan, map-side-combined conditional sums — the violation
+  // report costs a single pass regardless of rule count.
+  // ---------------------------------------------------------------------
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY",
+      "HOUSEHOLD")
+    Validate.profile(t(s, dir, "customer"), Seq(
+        Validate.Rule("acctbal_range",
+          col("c_acctbal").between(-1000.0, 10000.0)),
+        Validate.Rule("key_positive", col("c_custkey") > 0),
+        Validate.Rule("nation_range", col("c_nationkey").between(0, 24)),
+        Validate.Rule("name_len", length(col("c_name")).between(1, 25)),
+        Validate.Rule("segment_known",
+          col("c_mktsegment").isInCollection(segs))))
+      .orderBy(col("rule"))
+  }
+
+  private val q70Sql = {
+    def row(name: String, pred: String) =
+      s"""SELECT '$name' AS rule,
+         |  CAST(sum(CASE WHEN NOT coalesce($pred, FALSE) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_violations,
+         |  count(*) AS n_rows
+         |FROM customer""".stripMargin
+    Seq(
+      row("acctbal_range", "c_acctbal BETWEEN -1000 AND 10000"),
+      row("key_positive", "c_custkey > 0"),
+      row("nation_range", "c_nationkey BETWEEN 0 AND 24"),
+      row("name_len", "length(c_name) BETWEEN 1 AND 25"),
+      row("segment_known", "c_mktsegment IN ('AUTOMOBILE', 'BUILDING', " +
+        "'FURNITURE', 'MACHINERY', 'HOUSEHOLD')"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+  }
+
+  // ---------------------------------------------------------------------
   // q55 — CSV round-trip through the ingest boundary (S7 sink +
   // enforced-schema PERMISSIVE source with a rejects channel): write
   // customer to CSV, read it back, aggregate. The oracle aggregates
@@ -328,7 +366,8 @@ object Scalars {
     "q34_tumbling_window" -> (q34 _),
     "q50_spatial_join" -> (q50 _),
     "q55_csv_roundtrip" -> (q55 _),
-    "q64_spatial_grid" -> (q64 _))
+    "q64_spatial_grid" -> (q64 _),
+    "q70_data_quality" -> (q70 _))
 
   val oracle: Map[String, String] = Map(
     "q17_haversine" -> q17Sql,
@@ -339,5 +378,6 @@ object Scalars {
     "q34_tumbling_window" -> q34Sql,
     "q50_spatial_join" -> q50Sql,
     "q55_csv_roundtrip" -> q55Sql,
-    "q64_spatial_grid" -> q64Sql)
+    "q64_spatial_grid" -> q64Sql,
+    "q70_data_quality" -> q70Sql)
 }

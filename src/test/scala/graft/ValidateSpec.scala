@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Validate
+
+/** Declarative DQ rules: profile counts and the clean/rejects split
+  * must agree, nulls count as violations, rejects name every failed
+  * rule in rule order. */
+class ValidateSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val rules = Seq(
+    Validate.Rule("v_pos", col("v") > 0),
+    Validate.Rule("name_short", length(col("name")) <= 3))
+
+  private val df = Seq(
+    (1L, 5, "ab"),            // clean
+    (2L, -1, "ab"),           // v_pos
+    (3L, 5, "abcd"),          // name_short
+    (4L, -2, "abcde"),        // both
+    (5L, 5, "xyz")            // clean
+  ).toDF("id", "v", "name")
+    .union(Seq((6L, null.asInstanceOf[Integer], "ok"))
+      .toDF("id", "v", "name")) // null predicate -> violation
+
+  test("profile counts per rule in one scan") {
+    val p = Validate.profile(df, rules)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(p("v_pos") == ((3L, 6L)))
+    assert(p("name_short") == ((2L, 6L)))
+  }
+
+  test("split partitions the input; rejects carry failed rule names " +
+       "in rule order") {
+    val (clean, rejects) = Validate.split(df, rules)
+    assert(clean.select("id").as[Long].collect().toSet == Set(1L, 5L))
+    val v = rejects.select("id", "violated").as[(Long, String)]
+      .collect().toMap
+    assert(v == Map(2L -> "v_pos", 3L -> "name_short",
+      4L -> "v_pos,name_short", 6L -> "v_pos"))
+    assert(clean.count() + rejects.count() == df.count())
+  }
+}
