@@ -18,7 +18,8 @@ object SparkEntry {
     (analytics.Scalars.queries, analytics.Scalars.oracle),
     (analytics.LlmOps.queries, analytics.LlmOps.oracle),
     (analytics.Pipeline.queries, analytics.Pipeline.oracle),
-    (analytics.Advanced.queries, analytics.Advanced.oracle))
+    (analytics.Advanced.queries, analytics.Advanced.oracle),
+    (analytics.Curation.queries, analytics.Curation.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -109,7 +109,10 @@ object Pipeline {
   // start and close at the effective date, unchanged keys stay open
   // and untouched, new keys open at the effective date.
   // ---------------------------------------------------------------------
-  private def q56(s: SparkSession, dir: String): DataFrame = {
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    scd2Versioned(s, dir).orderBy(col("c_custkey"), col("valid_from"))
+
+  private def scd2Versioned(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.MergeByKey
     val c = Tables.load(s, dir, "customer")
     val current = c.select(col("c_custkey"), col("c_mktsegment"),
@@ -128,11 +131,10 @@ object Pipeline {
     MergeByKey.scd2(current, updates, Seq("c_custkey"),
         Seq("c_mktsegment", "c_acctbal"),
         effective = lit("2005-06-15").cast("timestamp"))
-      .orderBy(col("c_custkey"), col("valid_from"))
   }
 
-  private val q56Sql =
-    """WITH cur AS (
+  private val scd2Body =
+    """cur AS (
       |  SELECT c_custkey, c_mktsegment, c_acctbal,
       |    TIMESTAMP '2000-01-01' AS valid_from,
       |    CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
@@ -167,10 +169,37 @@ object Pipeline {
       |    TIMESTAMP '2005-06-15', NULL, true
       |  FROM upd u LEFT JOIN cur c USING (c_custkey)
       |  WHERE c.c_custkey IS NULL)
-      |SELECT * FROM closed
-      |UNION ALL SELECT * FROM kept
-      |UNION ALL SELECT * FROM fresh
-      |ORDER BY c_custkey, valid_from""".stripMargin
+      |,scd AS (
+      |  SELECT * FROM closed
+      |  UNION ALL SELECT * FROM kept
+      |  UNION ALL SELECT * FROM fresh)""".stripMargin
+
+  private val q56Sql =
+    s"""WITH $scd2Body
+       |SELECT * FROM scd
+       |ORDER BY c_custkey, valid_from""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q75 — SCD2 time-travel: reconstruct the dimension as of an
+  // instant from the versioned table q56 builds. Snapshot at the
+  // merge's effective date = the post-merge current state (closed
+  // rows fall out via the half-open [from, to) validity; rows opened
+  // at that instant are in). One prunable filter over the versioned
+  // table — history depth is free.
+  // ---------------------------------------------------------------------
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MergeByKey
+    MergeByKey.snapshotAt(scd2Versioned(s, dir),
+        lit("2005-06-15").cast("timestamp"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q75Sql =
+    s"""WITH $scd2Body
+       |SELECT * FROM scd
+       |WHERE valid_from <= TIMESTAMP '2005-06-15'
+       |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2005-06-15')
+       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------------
   // q60 — incremental recomputation (the reference's operating model:
@@ -211,11 +240,13 @@ object Pipeline {
     "q31_merge_upsert" -> (q31 _),
     "q32_multimodal_binary" -> (q32 _),
     "q56_scd2_merge" -> (q56 _),
-    "q60_incremental_merge" -> (q60 _))
+    "q60_incremental_merge" -> (q60 _),
+    "q75_scd2_snapshot" -> (q75 _))
 
   val oracle: Map[String, String] = Map(
     "q31_merge_upsert" -> q31Sql,
     "q32_multimodal_binary" -> q32Sql,
     "q56_scd2_merge" -> q56Sql,
-    "q60_incremental_merge" -> q60Sql)
+    "q60_incremental_merge" -> q60Sql,
+    "q75_scd2_snapshot" -> q75Sql)
 }

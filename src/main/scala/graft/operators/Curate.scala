@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableHash, Text, Vectors}
+
+/** Corpus-curation operators for training-data pipelines: weighted
+  * sampling, exact shared-span detection, and centroid assignment
+  * (SURVEY.md §2.12 follow-ons; no reference analogue — the reference
+  * delegates all set-level work to SQL, cf. `lambda/trips_lambda.py`).
+  *
+  * Everything here is shaped for the 100 TB case first:
+  * per-row decisions against broadcast scalars (sampling), banded
+  * candidate generation with document-frequency pruning (spans), and
+  * a broadcast dimension with a single map-side-combinable aggregate
+  * (assignment). No operator shuffles the corpus more than once.
+  */
+object Curate {
+
+  /** 2^60 as an exact double (power of two — no rounding). */
+  private val Pow60: Double = 1152921504606846976L.toDouble
+
+  /** Deterministic weighted Bernoulli sample: keep a row iff
+    * u(id) · W < k · w, where u(id) is a uniform-in-[0,1) hash of the
+    * row key, w the row's weight, and W the total weight. Expected
+    * sample size is k (rows with w ≥ W/k are always kept); inclusion
+    * is a pure function of (key, weight, W), so the sample is
+    * reproducible across runs, engines, and layouts — re-running on a
+    * re-partitioned corpus selects the same rows.
+    *
+    * Scale: ONE tiny aggregate for W (map-side combined, broadcast
+    * back as a scalar) and a per-row filter — the corpus itself never
+    * shuffles. This is the sampler you can afford on 100 TB: weighting
+    * by n_chars ≈ token-budget-proportional selection.
+    */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+                     expectedK: Double): DataFrame = {
+    val tot = df.agg(sum(weightCol.cast("long")).as("__w_total"))
+    df.crossJoin(broadcast(tot))
+      .withColumn("__u",
+        PortableHash.hash60(concat(lit("ws:"), keyCol.cast("string")))
+          .cast("double") / lit(Pow60))
+      .filter(col("__u") * col("__w_total").cast("double") <
+        lit(expectedK) * weightCol.cast("double"))
+      .drop("__u", "__w_total")
+  }
+
+  /** Content-defined anchor windows: the exact-substring-dedup
+    * primitive. A window of `win` consecutive tokens starts at every
+    * position whose FIRST token hashes to 0 mod `modulus` — anchors
+    * are chosen by content, not position, so two documents sharing a
+    * run of ≥ `win` + a few tokens produce the *same* window strings
+    * regardless of where the run sits in each document (the
+    * content-defined-chunking property; a fixed-stride grid would only
+    * match runs at equal offsets mod stride).
+    *
+    * Returns (id, sh) with sh = portable 60-bit hash of the window —
+    * the postings shuffle carries 16 bytes/row, never window text.
+    * Expected postings per doc ≈ tokens/modulus.
+    */
+  def anchorWindowTable(docs: DataFrame, idCol: String, textCol: String,
+                        win: Int, modulus: Int): DataFrame = {
+    val toks = col("__toks")
+    val anchors = filter(
+      sequence(lit(1), size(toks) - lit(win - 1)),
+      i => pmod(PortableHash.hash60(element_at(toks, i)), lit(modulus)) === 0)
+    val windows = transform(anchors,
+      i => array_join(slice(toks, i, lit(win)), " "))
+    docs
+      .select(col(idCol).as("id"), Text.words(col(textCol)).as("__toks"))
+      .filter(size(toks) >= win)
+      .select(col("id"),
+        explode(array_distinct(windows)).as("win"))
+      .select(col("id"), PortableHash.hash60(col("win")).as("sh"))
+  }
+
+  /** Document pairs sharing at least one anchor window: (id_a, id_b,
+    * n_shared) with id_a < id_b. Same posting-list pair emission as
+    * [[Dedup.jaccardPairs]] — group by window hash, emit C(k,2)
+    * ordered pairs from each list — so the corpus is scanned once and
+    * no join carries text. Callers should df-prune the postings first
+    * ([[Dedup.dfPruneFrac]]): a boilerplate window shared by 10⁵ docs
+    * is the quadratic edge, and dropping it is a quality win (shared
+    * boilerplate is not shared authorship).
+    */
+  def sharedSpanPairs(windows: DataFrame): DataFrame =
+    windows
+      .groupBy("sh")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    b -> struct(a AS id_a, b AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+
+  /** Nearest-centroid assignment (the k-means E-step, and the
+    * semantic-dedup/clustering primitive): assign every vector to the
+    * centers row with the highest cosine similarity, ties broken by
+    * the smallest center id. Returns the input ids plus (center_id,
+    * cos).
+    *
+    * Scale: `centers` is k rows — broadcast nested-loop against the
+    * corpus (which is scanned in place, never shuffled), cosine runs
+    * in the fused codegen expression ([[Vectors.cosineNative]]), and
+    * the argmax is a struct-max aggregate, so it partial-aggregates
+    * map-side: the only shuffle is k·#partitions pre-combined rows on
+    * the vector id. Lexicographic struct max over (cos, -center, center)
+    * == "highest cosine, then lowest center id" — deterministic under
+    * any execution order.
+    */
+  def assignToCenters(vectors: DataFrame, idCol: String, vecCol: String,
+                      centers: DataFrame, centerIdCol: String,
+                      centerVecCol: String): DataFrame =
+    vectors
+      .crossJoin(broadcast(centers))
+      .withColumn("__cos", Vectors.cosineNative(col(vecCol), col(centerVecCol)))
+      .groupBy(col(idCol))
+      .agg(max(struct(
+        col("__cos").as("cos"),
+        (-col(centerIdCol)).as("__neg"),
+        col(centerIdCol).as("center_id"))).as("best"))
+      .select(col(idCol), col("best.center_id").as("center_id"),
+        col("best.cos").as("cos"))
+}

@@ -91,6 +91,17 @@ object MergeByKey {
       .unionByName(freshNew)
   }
 
+  /** Time-travel over an [[scd2]]-shaped versioned dimension: the
+    * rows valid at instant `at` — `valid_from <= at` and not yet
+    * closed (`valid_to` null or after `at`). A version closed exactly
+    * at `at` is superseded by the row opened at `at` (validity is
+    * [from, to)). Pure partition-prunable filter: snapshotting any
+    * point in history scans once, regardless of version depth. */
+  def snapshotAt(versioned: DataFrame,
+                 at: org.apache.spark.sql.Column): DataFrame =
+    versioned.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+
   /** Incremental merge into a Parquet directory. Reads only the slice
     * of the target matching `scope` (partition-prunable predicate),
     * merges `updates` into it, writes the merged slice to a temp dir,

@@ -126,6 +126,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("q71: weighted sampling never hash-shuffles the corpus — one " +
+       "broadcast scalar, per-row filter") {
+    val p = plan("q71_weighted_sample")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q72: global heavy hitters = partial agg + TakeOrdered, " +
+       "never a global sort") {
+    val p = plan("q72_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("q73: span pairs via posting lists — no cartesian, no " +
+       "sort-merge self-join") {
+    val p = plan("q73_span_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q74: centers broadcast; the argmax partial-aggregates " +
+       "map-side") {
+    val p = plan("q74_kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("q76: the bloom probe sits on the lineitem scan, below the " +
+       "join, and the cohort side broadcasts") {
+    val p = plan("q76_bloom_join")
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q40: embedding near-dup dedupes candidate pairs on ids " +
        "before any vector-carrying join") {
     val qe = SparkEntry.queries("q40_embedding_pairs")(spark, TestSpark.sf001)
