@@ -6,7 +6,7 @@ import org.apache.spark.sql.graftx.BloomFilterX
 
 import graft.core.Tables
 import graft.functions.{PortableHash, Text}
-import graft.operators.{Curate, Dedup}
+import graft.operators.{Curate, Dedup, Layout, Salt}
 import Exact._
 
 /** Corpus-curation gate queries: deterministic weighted sampling,
@@ -206,17 +206,193 @@ object Curation {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q77 — Z-order layout keys: interleave (user bucket, hour-of-day)
+  // into a Morton key and aggregate per aligned 8×8 tile (z >> 6).
+  // The key is the clustering column Layout.zorderWrite sorts files
+  // by — min/max row-group stats then prune 2-D (entity, time) box
+  // queries, the layout that matters when the table is 100 TB. Pure
+  // codegen'd integer arithmetic; zero extra shuffle beyond the tile
+  // aggregate.
+  // ---------------------------------------------------------------------
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsSec(s, dir)
+      .withColumn("z", Layout.zorder2(
+        pmod(col("user_id"), lit(32L)), hour(col("ts_s")), bits = 5))
+      .withColumn("tile", shiftright(col("z"), 6).cast("long"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+        fixedSum(col("value")).as("value_total"))
+      .orderBy(col("tile"))
+
+  private val q77Sql = {
+    val z = Layout.zorder2DuckSql("user_id % 32",
+      "EXTRACT(hour FROM date_trunc('second', ts))", 5)
+    s"""WITH zed AS (SELECT $z AS z, value FROM events)
+       |SELECT CAST(z >> 6 AS BIGINT) AS tile,
+       |  count(*) AS n_events,
+       |  CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max,
+       |  ${fixedSumSql("value")} AS value_total
+       |FROM zed
+       |GROUP BY tile
+       |ORDER BY tile""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q78 — one full k-means step (E + M): per-row nearest-centroid
+  // assignment fused with the exact-centroid UDAF recomputation.
+  // Assignment happens per row against the broadcast center pack
+  // (NO corpus shuffle — cf. q74's plan), so the only exchange in
+  // the whole step is k scaled-long buffers per partition: the
+  // iteration cost at 100 TB is one scan. Centroids serialize like
+  // q51 (the driver's checker cannot sort array cells).
+  // ---------------------------------------------------------------------
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centers = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("center_id"), col("embedding").as("cvec"))
+    Curate.assignRows(e.select(col("vec_id"), col("embedding")),
+        "embedding", centers, "center_id", "cvec")
+      .groupBy(col("center_id"))
+      .agg(count(lit(1)).as("n_members"),
+        graft.functions.VectorAggregates.centroidUdaf(4)(col("embedding"))
+          .as("centroid"))
+      .withColumn("centroid_e4",
+        array_join(transform(col("centroid"),
+          x => round(x * 10000).cast("long").cast("string")), ","))
+      .drop("centroid")
+      .orderBy(col("center_id"))
+  }
+
+  private val q78Sql = {
+    val cos = "list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) / " +
+      "nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) * " +
+      "list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[])), 0)"
+    s"""WITH centers AS (
+       |  SELECT vec_id AS center_id, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT e.vec_id, c.center_id, $cos AS cos
+       |  FROM embeddings e, centers c),
+       |assigned AS (
+       |  SELECT vec_id, center_id
+       |  FROM (SELECT vec_id, center_id,
+       |          row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY cos DESC, center_id) AS rn
+       |        FROM scored) WHERE rn = 1),
+       |ex0 AS (
+       |  SELECT a.center_id,
+       |    unnest(list_zip(range(len(e.embedding)), e.embedding)) AS zz
+       |  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id),
+       |ex AS (
+       |  SELECT center_id, zz[1] AS i,
+       |    CAST(sum(CAST(round(CAST(zz[2] AS DOUBLE) * 10000.0)
+       |      AS BIGINT)) AS BIGINT) AS s2,
+       |    count(*) AS n
+       |  FROM ex0 GROUP BY center_id, i)
+       |SELECT center_id, any_value(n) AS n_members,
+       |  array_to_string(
+       |    list_transform(list(CAST(s2 AS DOUBLE) / 10000.0 / n ORDER BY i),
+       |      v -> CAST(CAST(round(v * 10000) AS BIGINT) AS VARCHAR)),
+       |    ',') AS centroid_e4
+       |FROM ex
+       |GROUP BY center_id
+       |ORDER BY center_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q79 — salted join under key skew: half of all events collapse
+  // onto one hot key, then join to a derived dimension. Salt.join
+  // spreads the hot key's probe rows over 8 salt buckets (the dim
+  // side replicates 8×), so no single task serializes the hot key —
+  // the explicit fix when AQE's post-hoc skew split isn't enough.
+  // Bit-identical to the plain join by construction.
+  // ---------------------------------------------------------------------
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.eventsSec(s, dir)
+      .select(
+        when(col("user_id") % 10 < 5, 0L).otherwise(col("user_id")).as("k"),
+        col("value"))
+    // derived, tiny, referenced as the join's build side: checkpoint
+    // so the events scan isn't repeated inside the replicated dim
+    val dim = fact.select(col("k")).distinct()
+      .withColumn("grp", concat(lit("g"), (col("k") % 7).cast("string")))
+      .localCheckpoint()
+    Salt.join(fact, dim, Seq("k"), buckets = 8)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), fixedSum(col("value")).as("value_total"))
+      .orderBy(col("grp"))
+  }
+
+  private val q79Sql =
+    s"""WITH fact AS (
+       |  SELECT CASE WHEN user_id % 10 < 5 THEN 0
+       |              ELSE user_id END AS k,
+       |    value
+       |  FROM events),
+       |dim AS (
+       |  SELECT k, 'g' || CAST(k % 7 AS VARCHAR) AS grp
+       |  FROM (SELECT DISTINCT k FROM fact))
+       |SELECT grp, count(*) AS n,
+       |  ${fixedSumSql("value")} AS value_total
+       |FROM fact JOIN dim USING (k)
+       |GROUP BY grp
+       |ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q80 — sliding event-time windows (1 h length, 15 min slide): the
+  // overlapping-window aggregation q34's tumbling form cannot
+  // express — each event contributes to 4 windows. Spark's window()
+  // expands in place (a Generate, no join), then the aggregate
+  // partial-combines map-side; the oracle derives the same 4
+  // epoch-aligned window starts arithmetically.
+  // ---------------------------------------------------------------------
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsSec(s, dir)
+      .groupBy(
+        window(col("ts_s"), "1 hour", "15 minutes").getField("start")
+          .as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        fixedSum(col("value")).as("value_total"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val q80Sql =
+    s"""WITH e AS (
+       |  SELECT date_trunc('second', ts) AS ts_s, event_type, value
+       |  FROM events),
+       |w AS (
+       |  SELECT make_timestamp(
+       |      ((CAST(epoch(ts_s) AS BIGINT) // 900) - k) * 900 * 1000000)
+       |      AS window_start,
+       |    event_type, value
+       |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS k))
+       |SELECT window_start, event_type, count(*) AS n_events,
+       |  ${fixedSumSql("value")} AS value_total
+       |FROM w
+       |GROUP BY window_start, event_type
+       |ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_weighted_sample" -> (q71 _),
     "q72_top_ngrams" -> (q72 _),
     "q73_span_dedup" -> (q73 _),
     "q74_kmeans_assign" -> (q74 _),
-    "q76_bloom_join" -> (q76 _))
+    "q76_bloom_join" -> (q76 _),
+    "q77_zorder_tiles" -> (q77 _),
+    "q78_kmeans_step" -> (q78 _),
+    "q79_salted_join" -> (q79 _),
+    "q80_sliding_window" -> (q80 _))
 
   val oracle: Map[String, String] = Map(
     "q71_weighted_sample" -> q71Sql,
     "q72_top_ngrams" -> q72Sql,
     "q73_span_dedup" -> q73Sql,
     "q74_kmeans_assign" -> q74Sql,
-    "q76_bloom_join" -> q76Sql)
+    "q76_bloom_join" -> q76Sql,
+    "q77_zorder_tiles" -> q77Sql,
+    "q78_kmeans_step" -> q78Sql,
+    "q79_salted_join" -> q79Sql,
+    "q80_sliding_window" -> q80Sql)
 }

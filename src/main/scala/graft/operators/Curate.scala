@@ -97,32 +97,44 @@ object Curate {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
 
-  /** Nearest-centroid assignment (the k-means E-step, and the
-    * semantic-dedup/clustering primitive): assign every vector to the
-    * centers row with the highest cosine similarity, ties broken by
-    * the smallest center id. Returns the input ids plus (center_id,
-    * cos).
+  /** Nearest-centroid assignment per ROW (the k-means E-step, and
+    * the semantic-dedup/clustering primitive): appends (center_id,
+    * cos) — the centers row with the highest cosine similarity, ties
+    * broken by the smallest center id — to every input row, vector
+    * column intact.
     *
-    * Scale: `centers` is k rows — broadcast nested-loop against the
-    * corpus (which is scanned in place, never shuffled), cosine runs
-    * in the fused codegen expression ([[Vectors.cosineNative]]), and
-    * the argmax is a struct-max aggregate, so it partial-aggregates
-    * map-side: the only shuffle is k·#partitions pre-combined rows on
-    * the vector id. Lexicographic struct max over (cos, -center, center)
-    * == "highest cosine, then lowest center id" — deterministic under
-    * any execution order.
+    * Scale: the k centers are collapsed into ONE broadcast row
+    * holding an array of (id, vector) structs, and the argmax is a
+    * per-row `array_max` over the k cosines — the corpus is scanned
+    * in place with NO shuffle at all (a crossJoin + groupBy(id)
+    * formulation would re-shuffle one row per vector just to pick
+    * the max). Cosine runs in the fused codegen expression
+    * ([[Vectors.cosineNative]]). Lexicographic struct max over
+    * (cos, -center, center) == "highest cosine, then lowest center
+    * id" — deterministic under any execution order.
     */
+  def assignRows(vectors: DataFrame, vecCol: String,
+                 centers: DataFrame, centerIdCol: String,
+                 centerVecCol: String): DataFrame = {
+    val packed = centers.agg(collect_list(
+      struct(col(centerIdCol).cast("long").as("cid"),
+        col(centerVecCol).as("cvec"))).as("__centers"))
+    vectors
+      .crossJoin(broadcast(packed))
+      .withColumn("__best", array_max(transform(col("__centers"), c =>
+        struct(
+          Vectors.cosineNative(col(vecCol), c.getField("cvec")).as("cos"),
+          (-c.getField("cid")).as("__neg"),
+          c.getField("cid").as("center_id")))))
+      .withColumn("center_id", col("__best.center_id"))
+      .withColumn("cos", col("__best.cos"))
+      .drop("__centers", "__best")
+  }
+
+  /** [[assignRows]] projected to (id, center_id, cos). */
   def assignToCenters(vectors: DataFrame, idCol: String, vecCol: String,
                       centers: DataFrame, centerIdCol: String,
                       centerVecCol: String): DataFrame =
-    vectors
-      .crossJoin(broadcast(centers))
-      .withColumn("__cos", Vectors.cosineNative(col(vecCol), col(centerVecCol)))
-      .groupBy(col(idCol))
-      .agg(max(struct(
-        col("__cos").as("cos"),
-        (-col(centerIdCol)).as("__neg"),
-        col(centerIdCol).as("center_id"))).as("best"))
-      .select(col(idCol), col("best.center_id").as("center_id"),
-        col("best.cos").as("cos"))
+    assignRows(vectors, vecCol, centers, centerIdCol, centerVecCol)
+      .select(col(idCol), col("center_id"), col("cos"))
 }

@@ -47,4 +47,27 @@ object Salt {
       .groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Salted (replicate-fact-spread) inner equi-join for skewed join
+    * keys: every fact row gets a deterministic salt in [0, buckets),
+    * the dimension side is replicated once per salt value, and the
+    * join runs on (keys, salt) — a hot key's probe rows spread over
+    * `buckets` tasks instead of serializing into one.
+    *
+    * Cost model: the dimension is multiplied by `buckets` (apply to
+    * dim-sized sides only, or pre-filter to the hot keys and union
+    * with a plain join for the cold ones); the fact side's shuffle is
+    * unchanged in volume, only better distributed. AQE's skew-join
+    * split covers sort-merge cases after the fact; this form fixes
+    * the partitioning itself, which also helps the downstream
+    * aggregate. Results are exactly the plain join's rows: each fact
+    * row matches the single dim replica carrying its salt. */
+  def join(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+           buckets: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(buckets)))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
 }

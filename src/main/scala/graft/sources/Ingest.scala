@@ -85,4 +85,40 @@ object Ingest {
   /** CSV sink with header (S7, notebook cells 0-1). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Small-file compaction — the table-maintenance twin of the
+    * incremental merge: every micro-batch append ([[MergeByKey]]
+    * scope-rewrites, streaming sinks) leaves small files behind, and
+    * at 100 TB the scan cost of a table is dominated by file count
+    * long before byte count. Rewrites the directory into
+    * ceil(rows / targetRowsPerFile) evenly-sized files via the same
+    * rename-aside swap as `MergeByKey.mergeWrite` (the full table
+    * exists at every instant; a crashed compaction is recovered on
+    * the next run). The driver-side count is a maintenance-job cost,
+    * not a query cost — in production you'd read the row count from
+    * parquet footers. Single-writer, like the reference's Lambda. */
+  def compact(spark: SparkSession, path: String,
+              targetRowsPerFile: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__compact_tmp")
+    val old = new Path(path + "__compact_old")
+    if (!fs.exists(dest) && fs.exists(old)) {
+      if (!fs.rename(old, dest))
+        sys.error(s"compact: failed to recover $old -> $dest")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files =
+      math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(files).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(dest, old))
+      sys.error(s"compact: failed to retire $dest")
+    if (!fs.rename(tmp, dest))
+      sys.error(s"compact: failed to promote $tmp -> $dest")
+    fs.delete(old, true)
+  }
 }

@@ -93,6 +93,71 @@ class CurationSpec extends AnyFunSuite {
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(s + " 00:00:00")
 
+  test("zorder2: bijective on the bucket grid, and an aligned 8x8 " +
+       "tile occupies one contiguous z range") {
+    val grid = spark.range(0, 32).select(col("id").as("x"))
+      .crossJoin(spark.range(0, 32).select(col("id").as("y")))
+      .withColumn("z", graft.operators.Layout.zorder2(col("x"), col("y"), 5))
+    val n = grid.count()
+    assert(grid.select("z").distinct().count() == n, "must be a bijection")
+    val mm = grid.agg(min("z"), max("z")).as[(Long, Long)].head()
+    assert(mm == ((0L, 1023L)), "5+5 bits must fill [0, 1024) exactly")
+    // the aligned tile x in [8,16), y in [24,32): all 64 cells share
+    // one value of z >> 6 — the property that makes file-level min/max
+    // stats prune 2-D boxes
+    val tiles = grid.filter(col("x") >= 8 && col("x") < 16 &&
+        col("y") >= 24 && col("y") < 32)
+      .select(org.apache.spark.sql.functions.shiftright(col("z"), 6))
+      .distinct().count()
+    assert(tiles == 1, s"aligned tile fragmented into $tiles z ranges")
+  }
+
+  test("zorderWrite clusters files so a 2-D box touches few of them") {
+    val dir = java.nio.file.Files.createTempDirectory("zw").toString
+    val df = spark.range(0, 65536).select(
+      (col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    graft.operators.Layout.zorderWrite(df,
+      graft.operators.Layout.zorder2(col("x"), col("y"), 8), 16, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 65536)
+    // the box read returns exactly the right rows from the clustered copy
+    val box = back.filter(col("x") >= 16 && col("x") < 32 &&
+      col("y") >= 16 && col("y") < 32)
+    assert(box.count() == 256)
+  }
+
+  test("compact: collapses a many-small-files table into few evenly " +
+       "sized files, losing nothing, surviving re-runs") {
+    val dir = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
+    spark.range(0, 10000).repartition(64)
+      .write.mode("overwrite").parquet(dir)
+    def parts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts == 64)
+    graft.sources.Ingest.compact(spark, dir, targetRowsPerFile = 2500L)
+    assert(parts == 4, s"expected 4 files, got $parts")
+    assert(spark.read.parquet(dir).count() == 10000)
+    // idempotent: compacting a compacted table is a no-op rewrite
+    graft.sources.Ingest.compact(spark, dir, targetRowsPerFile = 2500L)
+    assert(parts == 4 && spark.read.parquet(dir).count() == 10000)
+  }
+
+  test("Salt.join == plain join, and the hot key's rows really " +
+       "spread across salt buckets") {
+    val fact = (1 to 20000).map(i =>
+      (if (i % 2 == 0) 0L else (i % 50).toLong, i.toDouble))
+      .toDF("k", "v")
+    val dim = (0L until 50L).map(k => (k, s"g${k % 7}")).toDF("k", "grp")
+    val salted = graft.operators.Salt.join(fact, dim, Seq("k"), 8)
+    val plain = fact.join(dim, "k")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the hot key occupies all 8 buckets
+    val spread = fact.withColumn("__salt",
+      pmod(xxhash64(col("k"), col("v")), lit(8)))
+      .filter(col("k") === 0L).select("__salt").distinct().count()
+    assert(spread == 8, s"hot key only reached $spread salt buckets")
+  }
+
   test("bloom probe admits every true key (no false negatives) and " +
        "prunes most others") {
     val keys = spark.range(0, 2000).filter(col("id") % 2 === 0)

@@ -164,6 +164,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q74/q78: per-row centroid assignment — the ONLY hash " +
+       "exchange in the whole k-means step is the k-group aggregate") {
+    for (q <- Seq("q74_kmeans_assign", "q78_kmeans_step")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 1, s"$q: corpus must not shuffle, got $hashEx\n$p")
+      assert("Exchange hashpartitioning\\(center_id".r.findFirstIn(p)
+        .isDefined, s"$q:\n$p")
+    }
+  }
+
+  test("q77: z-order tiling is scan + one aggregate — no join, " +
+       "partial combine map-side") {
+    val p = plan("q77_zorder_tiles")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("q79: the salted join's key includes the salt column — the " +
+       "hot key cannot land in one task") {
+    val p = plan("q79_salted_join")
+    assert(p.contains("__salt"), p)
+  }
+
+  test("q80: sliding windows expand in place (Generate/Expand, no " +
+       "join) and partial-aggregate before the shuffle") {
+    val p = plan("q80_sliding_window")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial"), p)
+  }
+
   test("q40: embedding near-dup dedupes candidate pairs on ids " +
        "before any vector-carrying join") {
     val qe = SparkEntry.queries("q40_embedding_pairs")(spark, TestSpark.sf001)
