@@ -38,8 +38,14 @@ object PortableHash {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Spark SQL-text twin of [[hash60]] for use inside `expr(...)`
-    * lambda bodies (higher-order functions take SQL fragments). */
-  def hash60SparkSql(x: String): String =
+    * lambda bodies (higher-order functions take SQL fragments).
+    * Resolves to the fused expression through the `md5_60` SQL
+    * function `GraftExtensions` registers; a session without the
+    * extensions should embed [[hash60ComposedSql]] instead. */
+  def hash60SparkSql(x: String): String = s"md5_60($x)"
+
+  /** Registry-free SQL-text twin (the composed chain). */
+  def hash60ComposedSql(x: String): String =
     s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
 
   /** DuckDB twin of [[hash60]]: same md5 hex prefix, folded to an

@@ -100,5 +100,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_sim expects 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
       }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("md5_60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"md5_60 expects 1 argument, got ${children.length}")
+        Md5Prefix60(children.head)
+      }))
   }
 }
