@@ -374,6 +374,55 @@ object Curation {
        |GROUP BY window_start, event_type
        |ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q81 — gap-filled resampling (the time-series completeness op):
+  // per-user hourly event counts with every missing hour inside the
+  // user's own [first, last] span filled with zeros. The grid is
+  // GENERATED per key (sequence + explode inside the user's span
+  // row) — never a calendar cross join — so grid size is bounded per
+  // key and the only shuffles are the aggregate and the (user, hour)
+  // equi-join back.
+  // ---------------------------------------------------------------------
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts_s")).as("h"),
+        col("value"))
+    val agg = e.groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n_events"),
+        fixedSum(col("value")).as("value_total"))
+    val grid = agg.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("h"))
+    grid.join(agg, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("value_total"), lit(0.0)).as("value_total"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  private val q81Sql =
+    s"""WITH e AS (
+       |  SELECT user_id,
+       |    date_trunc('hour', date_trunc('second', ts)) AS h, value
+       |  FROM events),
+       |agg AS (
+       |  SELECT user_id, h, count(*) AS n_events,
+       |    ${fixedSumSql("value")} AS value_total
+       |  FROM e GROUP BY user_id, h),
+       |grid AS (
+       |  SELECT user_id,
+       |    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR))
+       |      AS hour
+       |  FROM agg GROUP BY user_id)
+       |SELECT g.user_id, g.hour,
+       |  coalesce(a.n_events, 0) AS n_events,
+       |  coalesce(a.value_total, CAST(0 AS DOUBLE)) AS value_total
+       |FROM grid g
+       |LEFT JOIN agg a ON a.user_id = g.user_id AND a.h = g.hour
+       |ORDER BY g.user_id, g.hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_weighted_sample" -> (q71 _),
     "q72_top_ngrams" -> (q72 _),
@@ -383,7 +432,8 @@ object Curation {
     "q77_zorder_tiles" -> (q77 _),
     "q78_kmeans_step" -> (q78 _),
     "q79_salted_join" -> (q79 _),
-    "q80_sliding_window" -> (q80 _))
+    "q80_sliding_window" -> (q80 _),
+    "q81_resample" -> (q81 _))
 
   val oracle: Map[String, String] = Map(
     "q71_weighted_sample" -> q71Sql,
@@ -394,5 +444,6 @@ object Curation {
     "q77_zorder_tiles" -> q77Sql,
     "q78_kmeans_step" -> q78Sql,
     "q79_salted_join" -> q79Sql,
-    "q80_sliding_window" -> q80Sql)
+    "q80_sliding_window" -> q80Sql,
+    "q81_resample" -> q81Sql)
 }

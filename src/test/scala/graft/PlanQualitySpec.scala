@@ -196,6 +196,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial"), p)
   }
 
+  test("q81: the gap-fill grid is generated per key — no calendar " +
+       "cross join") {
+    val p = plan("q81_resample")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("Generate"), p) // sequence-explode inside the span row
+  }
+
   test("q40: embedding near-dup dedupes candidate pairs on ids " +
        "before any vector-carrying join") {
     val qe = SparkEntry.queries("q40_embedding_pairs")(spark, TestSpark.sf001)
