@@ -423,6 +423,48 @@ object Curation {
        |LEFT JOIN agg a ON a.user_id = g.user_id AND a.h = g.hour
        |ORDER BY g.user_id, g.hour""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q82 — the full ranking-window family in one gate (rank,
+  // dense_rank, percent_rank, cume_dist, ntile, lag, lead,
+  // first_value): every function shares ONE window spec, so the plan
+  // carries a single sort+window pass — adding the ninth function to
+  // a dashboard costs nothing. percent_rank/cume_dist are ratios of
+  // exact integers (engine-stable); the (value, event_id) ordering is
+  // unique, which makes RANGE and ROWS frames agree across engines.
+  // ---------------------------------------------------------------------
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.eventsSec(s, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"), col("value"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first_value(col("value")).over(w).as("min_value"))
+      .orderBy(col("user_id"), col("rnk"))
+  }
+
+  private val q82Sql =
+    """SELECT user_id, event_id, value,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  first_value(value) OVER w AS min_value
+      |FROM events
+      |WHERE user_id < 50
+      |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+      |ORDER BY user_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_weighted_sample" -> (q71 _),
     "q72_top_ngrams" -> (q72 _),
@@ -433,7 +475,8 @@ object Curation {
     "q78_kmeans_step" -> (q78 _),
     "q79_salted_join" -> (q79 _),
     "q80_sliding_window" -> (q80 _),
-    "q81_resample" -> (q81 _))
+    "q81_resample" -> (q81 _),
+    "q82_window_suite" -> (q82 _))
 
   val oracle: Map[String, String] = Map(
     "q71_weighted_sample" -> q71Sql,
@@ -445,5 +488,6 @@ object Curation {
     "q78_kmeans_step" -> q78Sql,
     "q79_salted_join" -> q79Sql,
     "q80_sliding_window" -> q80Sql,
-    "q81_resample" -> q81Sql)
+    "q81_resample" -> q81Sql,
+    "q82_window_suite" -> q82Sql)
 }
