@@ -35,6 +35,22 @@ object Streaming {
       .select(col("window.start").as("window_start"),
         col("n_events"), col("value_total"))
 
+  /** Sliding-window counts/sums (streaming twin of q80): every event
+    * lands in window/slide overlapping windows; `window()` expands
+    * them in place (a streaming-safe Generate, no join) and the
+    * watermark bounds how long a window's partial state lives. */
+  def slidingStats(events: DataFrame, tsCol: String, valueCol: String,
+                   window: String, slide: String,
+                   watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions
+        .window(col(tsCol), window, slide))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("value_total"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("value_total"))
+
   /** Session windows per key with an inactivity gap — the streaming
     * formulation of trip/session derivation.
     *

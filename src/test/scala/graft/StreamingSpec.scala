@@ -71,6 +71,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("streaming sliding windows == batch sliding windows (q80's " +
+       "overlap semantics, live)") {
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streaming.fileStream(spark, dir, schema)
+    val got = Streaming.runToMemory(
+      Streaming.slidingStats(stream, "ts_s", "value",
+        "1 hour", "15 minutes", "0 seconds"),
+      "sliding_out", outputMode = "complete")
+    val batch = spark.read.parquet(dir)
+      .groupBy(window(col("ts_s"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_total"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("value_total"))
+    assert(got.count() > 0)
+    // 4 overlapping windows per tumbling hour
+    assert(got.count() > spark.read.parquet(dir)
+      .select(date_trunc("hour", col("ts_s"))).distinct().count() * 3)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("streaming dedup within watermark drops re-ingested rows") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_dedup").toString + "/in"
