@@ -12,7 +12,15 @@ object Verify {
     // + bounding-box rule) — the same posture queries ship with
     val spark = graft.core.GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional diagnostic subset (same contract as Bench's
+    // SPARK_GRAFT_BENCH_ONLY; absent/blank = full suite, the driver's mode)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.exists(p =>
+        n == p || n.startsWith(p + "_"))) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -465,6 +465,113 @@ object Curation {
       |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
       |ORDER BY user_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q83 — overlapping token-window chunking (documents → fixed-size
+  // training windows, 20-token windows every 15 tokens). Pure per-row
+  // Generate: tokenize once, explode the window starts, slice — the
+  // corpus pass with NO shuffle at all (see Curate.chunkWindows).
+  // ---------------------------------------------------------------------
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    Curate.chunkWindows(docs(s, dir), "doc_id", "text",
+        win = 20, stride = 15)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q83Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents),
+      |starts AS (
+      |  SELECT doc_id, w,
+      |    unnest(range(0, len(w), 15)) AS chunk_start
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CAST(chunk_start // 15 AS BIGINT) AS chunk_idx,
+      |  CAST(chunk_start AS BIGINT) AS chunk_start,
+      |  CAST(len(list_slice(w, chunk_start + 1, chunk_start + 20))
+      |    AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(list_slice(w, chunk_start + 1, chunk_start + 20),
+      |    ' ') AS chunk_text
+      |FROM starts
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q84 — BM25 retrieval scoring (Okapi k1=1.2 b=0.75) for a 3-term
+  // query, top-25 documents. One stats row (N, Σdl, per-term df)
+  // broadcast into per-row scoring; ln rounded to 4 decimals (the only
+  // transcendental), score emitted as e4 fixed-point — cross-engine
+  // bit parity by construction. Top-k = TakeOrderedAndProject.
+  // ---------------------------------------------------------------------
+  private val bm25Terms = Seq("spark", "merge", "window")
+
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.bm25(docs(s, dir), "doc_id", "text",
+      bm25Terms, k1 = 1.2, b = 0.75, k = 25)
+
+  private val q84Sql = {
+    val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, t -> t = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n      |    ")
+    val dfs = bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val terms = bm25Terms.indices.map { i =>
+      s"""round(ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+         |      / (CAST(df$i AS DOUBLE) + 0.5) + 1.0), 4)
+         |    * (CAST(tf$i AS DOUBLE) * 2.2)
+         |    / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25
+         |      + 0.75 * CAST(dl * n AS DOUBLE) / CAST(sumdl AS DOUBLE)))"""
+        .stripMargin
+    }.mkString("\n      |  + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM toks),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS BIGINT) AS sumdl, $dfs
+       |  FROM base)
+       |SELECT doc_id, dl,
+       |  CAST(round(($terms) * 10000.0) AS BIGINT) AS score_e4
+       |FROM base, stats
+       |ORDER BY score_e4 DESC, doc_id
+       |LIMIT 25""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q86 — temperature-balanced multilingual sampling (p_l^α corpus
+  // mixing, α=0.5, expected 150 docs): per-language budgets from one
+  // language-sized aggregate, inclusion a pure function of the row +
+  // two broadcast scalars — deterministic on any engine or layout,
+  // corpus never shuffles (see Curate.temperatureSample).
+  // ---------------------------------------------------------------------
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    Curate.temperatureSample(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        col("doc_id"), col("lang"), col("n_chars"),
+        alpha = 0.5, totalK = 150.0)
+      .orderBy(col("doc_id"))
+
+  private val q86Sql =
+    s"""WITH g AS (
+       |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS c,
+       |    CAST(round(pow(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE),
+       |      0.5) * 10000.0) AS BIGINT) AS p_e4
+       |  FROM documents GROUP BY lang),
+       |s AS (SELECT CAST(sum(p_e4) AS BIGINT) AS s_tot FROM g)
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d JOIN g ON d.lang = g.lang, s
+       |WHERE ((CAST(${h60Duck("'ts:' || CAST(d.doc_id AS VARCHAR)")}
+       |      AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))
+       |    * CAST(c AS DOUBLE)) * CAST(s_tot AS DOUBLE)
+       |  < (CAST(150.0 AS DOUBLE) * CAST(p_e4 AS DOUBLE))
+       |    * CAST(d.n_chars AS DOUBLE)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_weighted_sample" -> (q71 _),
     "q72_top_ngrams" -> (q72 _),
@@ -476,7 +583,10 @@ object Curation {
     "q79_salted_join" -> (q79 _),
     "q80_sliding_window" -> (q80 _),
     "q81_resample" -> (q81 _),
-    "q82_window_suite" -> (q82 _))
+    "q82_window_suite" -> (q82 _),
+    "q83_chunk_windows" -> (q83 _),
+    "q84_bm25" -> (q84 _),
+    "q86_temperature_mix" -> (q86 _))
 
   val oracle: Map[String, String] = Map(
     "q71_weighted_sample" -> q71Sql,
@@ -489,5 +599,8 @@ object Curation {
     "q79_salted_join" -> q79Sql,
     "q80_sliding_window" -> q80Sql,
     "q81_resample" -> q81Sql,
-    "q82_window_suite" -> q82Sql)
+    "q82_window_suite" -> q82Sql,
+    "q83_chunk_windows" -> q83Sql,
+    "q84_bm25" -> q84Sql,
+    "q86_temperature_mix" -> q86Sql)
 }

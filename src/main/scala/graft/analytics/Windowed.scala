@@ -364,6 +364,37 @@ object Windowed {
        |  AND c.ts_l >= err.ts_l AND c.ts_l <= err.ts_l + 600
        |ORDER BY err.user_id, error_id, click_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q85 — stream–static broadcast enrichment in the gate: events
+  // replayed as a file stream, inner-joined per micro-batch to the
+  // static customer dimension (explicitly broadcast — a stateless
+  // BroadcastHashJoin, no watermark, no join state), then the drained
+  // output is reduced to per-segment totals. Oracle: the equivalent
+  // batch join — streaming enrichment must reproduce batch truth.
+  // Values are summed as e4 fixed-point BIGINTs so the aggregate is
+  // order-independent and exact.
+  // ---------------------------------------------------------------------
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.streaming.Streaming.staticEnrichReplayFromParquet(
+        s, s"$dir/events.parquet", dim, "user_id", "c_custkey")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 10000).cast("long")).as("value_e4_total"))
+      .select(col("segment"), col("n_events"), col("value_e4_total"))
+      .orderBy(col("segment"))
+  }
+
+  private val q85Sql =
+    """SELECT c_mktsegment AS segment,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+      |    AS value_e4_total
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_window_rank" -> (q11 _),
     "q12_window_running" -> (q12 _),
@@ -373,7 +404,8 @@ object Windowed {
     "q16_asof_join" -> (q16 _),
     "q53_stream_session" -> (q53 _),
     "q61_range_frame" -> (q61 _),
-    "q63_stream_interval_join" -> (q63 _))
+    "q63_stream_interval_join" -> (q63 _),
+    "q85_stream_static_join" -> (q85 _))
 
   val oracle: Map[String, String] = Map(
     "q11_window_rank" -> q11Sql,
@@ -384,5 +416,6 @@ object Windowed {
     "q16_asof_join" -> q16Sql,
     "q53_stream_session" -> q53Sql,
     "q61_range_frame" -> q61Sql,
-    "q63_stream_interval_join" -> q63Sql)
+    "q63_stream_interval_join" -> q63Sql,
+    "q85_stream_static_join" -> q85Sql)
 }

@@ -137,4 +137,80 @@ object Curate {
                       centerVecCol: String): DataFrame =
     assignRows(vectors, vecCol, centers, centerIdCol, centerVecCol)
       .select(col(idCol), col("center_id"), col("cos"))
+
+  /** Overlapping token-window chunking — the step that turns documents
+    * into fixed-size training windows. Each document is tokenized once
+    * and split into windows of `win` tokens starting every `stride`
+    * tokens (stride < win ⇒ overlapping context windows; stride == win
+    * ⇒ a partition of the token sequence; the final window may be
+    * short). Documents with no tokens produce no chunks.
+    *
+    * Returns (doc_id, chunk_idx, chunk_start, n_chunk_tokens,
+    * chunk_text) with chunk_idx dense from 0 per document.
+    *
+    * Scale: a pure per-row Generate (tokenize → sequence of starts →
+    * explode → slice) — NO shuffle, no join, no window function. The
+    * chunker is the one corpus pass a 100 TB pipeline cannot afford to
+    * shuffle, and this one never does; downstream repartitioning (by
+    * chunk hash for dedup, by size for packing) composes on top.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   win: Int, stride: Int): DataFrame = {
+    require(win > 0 && stride > 0, s"win=$win stride=$stride must be > 0")
+    docs
+      .select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col("doc_id"), col("__w"),
+        posexplode(sequence(lit(0), size(col("__w")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("chunk_start"),
+        slice(col("__w"), col("col") + 1, lit(win)).as("__c"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Temperature-balanced multilingual sampling (the `p_l^α` corpus
+    * mixing rule): draw an expected `totalK` documents with per-group
+    * budgets proportional to `C_l^α`, where `C_l` is group *l*'s total
+    * weight and α ∈ (0,1] flattens the distribution (α = 1 ⇒
+    * weight-proportional, α → 0 ⇒ uniform across groups — the standard
+    * upsampling of low-resource languages). Within a group, inclusion
+    * is the same deterministic weighted Bernoulli rule as
+    * [[weightedSample]]: keep iff u(key)·C_l·S < totalK·p̂_l·w, a pure
+    * function of the row and two broadcast-scalar group statistics.
+    *
+    * Exact-parity discipline: the only transcendental (`pow(C_l, α)`)
+    * is rounded to an integer e4 fixed-point (`p̂_l`), so the budget
+    * share and the keep predicate are reproducible bit-for-bit on any
+    * engine; everything else is integer arithmetic plus one fixed-order
+    * double comparison.
+    *
+    * Scale: one vocabulary-of-groups-sized aggregate (map-side
+    * combined), one broadcast join back — the corpus itself never
+    * shuffles, same property as [[weightedSample]].
+    */
+  def temperatureSample(df: DataFrame, keyCol: Column, groupCol: Column,
+                        weightCol: Column, alpha: Double,
+                        totalK: Double): DataFrame = {
+    // materialized once (localCheckpoint): the Σp̂ scalar derives from
+    // the SAME group table — without it Catalyst re-expands the
+    // aggregate and scans the corpus a third time
+    val groups = df.groupBy(groupCol.as("__g"))
+      .agg(sum(weightCol.cast("long")).as("__c"))
+      .withColumn("__p_e4",
+        round(pow(col("__c").cast("double"), alpha) * 1e4)
+          .cast("long"))
+      .localCheckpoint()
+    val s = groups.agg(sum(col("__p_e4")).as("__s"))
+    df.join(broadcast(groups), groupCol === col("__g"))
+      .crossJoin(broadcast(s))
+      .withColumn("__u",
+        PortableHash.hash60(concat(lit("ts:"), keyCol.cast("string")))
+          .cast("double") / lit(Pow60))
+      .filter(col("__u") * col("__c").cast("double") * col("__s").cast("double") <
+        lit(totalK) * col("__p_e4").cast("double") * weightCol.cast("double"))
+      .drop("__g", "__c", "__p_e4", "__s", "__u")
+  }
 }

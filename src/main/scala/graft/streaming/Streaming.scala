@@ -247,6 +247,47 @@ object Streaming {
     spark.read.parquet(out.toString)
   }
 
+  /** Bounded replay of a parquet table through a stream–static
+    * broadcast-dimension join — the continuous form of fact-side
+    * enrichment (the reference's weather/municipality enrichments,
+    * `lambda/trips_lambda.py:68-72`, applied to a live feed). The
+    * dimension is a plain batch DataFrame, explicitly broadcast, so
+    * each micro-batch plans a stateless BroadcastHashJoin: no join
+    * state, no watermark needed, nothing accumulates — the one
+    * streaming join shape that is trivially safe at any volume.
+    *
+    * Returns the drained enriched rows (all stream columns + all dim
+    * columns, inner-joined on streamKey == dimKey). */
+  def staticEnrichReplayFromParquet(spark: SparkSession, srcParquet: String,
+                                    dim: DataFrame, streamKey: String,
+                                    dimKey: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft_ssd_out")
+    val ckpt = Files.createTempDirectory("graft_ssd_ckpt")
+    // a parquet DIRECTORY streams as-is; a single file is linked into
+    // a fresh source dir (the file-stream source lists directories)
+    val srcDir =
+      if (Files.isDirectory(Paths.get(srcParquet))) srcParquet
+      else {
+        val in = Files.createTempDirectory("graft_ssd_in")
+        Files.createSymbolicLink(in.resolve("batch1.parquet"),
+          Paths.get(srcParquet))
+        in.toString
+      }
+    val schema = spark.read.parquet(srcParquet).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val joined = stream.join(broadcast(dim),
+      stream(streamKey) === dim(dimKey), "inner")
+    val q = joined.writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out.toString)
+  }
+
   /** Streaming upsert sink: drive [[graft.operators.MergeByKey
     * .mergeWrite]] from a stream via foreachBatch — the reference's
     * daily ON CONFLICT upsert (`lambda/trips_lambda.py:180-206`)

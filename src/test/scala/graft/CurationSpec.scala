@@ -158,6 +158,69 @@ class CurationSpec extends AnyFunSuite {
     assert(spread == 8, s"hot key only reached $spread salt buckets")
   }
 
+  test("chunkWindows: stride==win partitions the token stream exactly; " +
+       "stride<win overlaps; empty docs vanish") {
+    val docs = Seq(
+      (1L, (1 to 47).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"),
+      (3L, "   ")).toDF("doc_id", "text")
+    // partition mode: reassembling the chunks reproduces the doc
+    val part = Curate.chunkWindows(docs, "doc_id", "text", 10, 10)
+    val rebuilt = part.orderBy("doc_id", "chunk_idx")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list(col("chunk_text"))).as("re"))
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt(1L) == (1 to 47).map(i => s"t$i").mkString(" "))
+    assert(rebuilt(2L) == "a b c")
+    assert(!rebuilt.contains(3L), "token-less doc must produce no chunks")
+    // overlap mode: ceil(47/15)=4 chunks, all but the last full-width,
+    // consecutive chunks share win-stride tokens
+    val over = Curate.chunkWindows(docs, "doc_id", "text", 20, 15)
+      .filter(col("doc_id") === 1L)
+      .orderBy("chunk_idx")
+      .select("chunk_start", "n_chunk_tokens").as[(Long, Long)].collect()
+    assert(over.map(_._1).sameElements(Array(0L, 15L, 30L, 45L)))
+    assert(over.map(_._2).sameElements(Array(20L, 20L, 17L, 2L)))
+  }
+
+  test("temperatureSample: deterministic; α=1 is weight-proportional; " +
+       "α→0 flattens toward uniform group budgets") {
+    val df = ((1 to 900).map(i => (i.toLong, "big", 100L)) ++
+      (901 to 1000).map(i => (i.toLong, "small", 100L)))
+      .toDF("k", "g", "w")
+    def share(alpha: Double): (Long, Long) = {
+      val kept = Curate.temperatureSample(df, col("k"), col("g"),
+        col("w"), alpha, 200.0)
+      val m = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+      (m.getOrElse("big", 0L), m.getOrElse("small", 0L))
+    }
+    val (b1, s1) = share(1.0)
+    val (b2, s2) = share(0.2)
+    // α=1: budgets ∝ totals (9:1) → small ≈ 20 of 200
+    assert(s1 < 60, s"α=1 small-group share should stay near 20, got $s1")
+    // flattening must strictly boost the small group's share
+    assert(s2.toDouble / (b2 + s2) > 2.0 * s1.toDouble / (b1 + s1),
+      s"α=0.2 must upsample the small group: α1=($b1,$s1) α0.2=($b2,$s2)")
+    val again = share(0.2)
+    assert(again == ((b2, s2)), "resampling must be deterministic")
+  }
+
+  test("bm25: term hits dominate, length normalization favors the " +
+       "shorter doc at equal tf, non-matching docs score zero") {
+    val filler = (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, "spark spark merge window short doc"),
+      (2L, s"spark spark merge window $filler"),
+      (3L, s"nothing relevant here $filler")).toDF("doc_id", "text")
+    val r = graft.operators.TfIdf.bm25(docs, "doc_id", "text",
+        Seq("spark", "merge", "window"), k = 10)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(r(1L) > r(2L),
+      "same tf in a shorter doc must outscore the longer doc")
+    assert(r(2L) > r(3L), "matching doc must outscore non-matching")
+    assert(r(3L) == 0L, "no query term ⇒ zero score")
+  }
+
   test("bloom probe admits every true key (no false negatives) and " +
        "prunes most others") {
     val keys = spark.range(0, 2000).filter(col("id") % 2 === 0)

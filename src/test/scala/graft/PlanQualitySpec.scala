@@ -176,6 +176,32 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q83: chunking is a pure per-row Generate — no join, no hash " +
+       "shuffle of the corpus at any point") {
+    val p = plan("q83_chunk_windows")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q84: BM25 — one broadcast stats row into per-row scoring; " +
+       "corpus never shuffles; top-k is TakeOrderedAndProject") {
+    val p = plan("q84_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q86: temperature sampling — group stats materialized once and " +
+       "broadcast back; the corpus pass has ZERO hash exchanges") {
+    val p = plan("q86_temperature_mix")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 0, s"corpus must not shuffle, got $hashEx\n$p")
+  }
+
   test("q77: z-order tiling is scan + one aggregate — no join, " +
        "partial combine map-side") {
     val p = plan("q77_zorder_tiles")

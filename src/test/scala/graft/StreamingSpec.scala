@@ -54,6 +54,23 @@ class StreamingSpec extends AnyFunSuite {
     s"$d/events"
   }
 
+  test("stream-static broadcast enrichment == batch join (stateless, " +
+       "every event enriched exactly once)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_ssd_spec").toString
+    val events = (1L to 500L).map(i => (i, i % 7, i * 1.5))
+      .toDF("event_id", "k", "v")
+    events.write.parquet(s"$d/events")
+    val dim = (0L until 7L).map(k => (k, s"seg${k % 3}")).toDF("dk", "seg")
+    val got = Streaming.staticEnrichReplayFromParquet(
+      spark, s"$d/events", dim, "k", "dk")
+    val expect = spark.read.parquet(s"$d/events")
+      .join(dim, col("k") === col("dk"))
+    assert(got.count() == 500L, "inner join on a total key keeps all rows")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "streamed enrichment must reproduce the batch join row-for-row")
+  }
+
   test("streaming tumbling window == batch tumbling window") {
     val schema = spark.read.parquet(dir).schema
     val stream = Streaming.fileStream(spark, dir, schema)
