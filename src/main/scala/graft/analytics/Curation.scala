@@ -572,6 +572,60 @@ object Curation {
        |    * CAST(d.n_chars AS DOUBLE)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q88 — sequence packing: 20-token chunks (q83's partition mode)
+  // packed into 240-token training bins by running prefix sum, 8 hash
+  // buckets packing independently (the parallelism knob — packing is
+  // sequential WITHIN a bucket, and only there; see
+  // Curate.packSequences). Bin composition is a pure function of the
+  // bucketed order — bit-identical on any engine.
+  // ---------------------------------------------------------------------
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Curate.chunkWindows(docs(s, dir), "doc_id", "text",
+        win = 20, stride = 20)
+      .withColumn("bucket",
+        PortableHash.hash60(concat(lit("pk:"), col("doc_id").cast("string")))
+          % 8)
+    Curate.packSequences(chunks, col("bucket"),
+        Seq(col("doc_id"), col("chunk_idx")), col("n_chunk_tokens"),
+        budget = 240L)
+      .groupBy(col("bucket"), col("bin_idx"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bucket"), col("bin_idx"))
+  }
+
+  private val q88Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    CAST(chunk_start // 20 AS BIGINT) AS chunk_idx,
+       |    CAST(len(list_slice(w, chunk_start + 1, chunk_start + 20))
+       |      AS BIGINT) AS nt,
+       |    CAST(${h60Duck("'pk:' || CAST(doc_id AS VARCHAR)")} % 8
+       |      AS BIGINT) AS bucket
+       |  FROM (SELECT doc_id, w, unnest(range(0, len(w), 20))
+       |          AS chunk_start FROM toks)),
+       |packed AS (
+       |  SELECT bucket, doc_id, chunk_idx, nt,
+       |    COALESCE(sum(nt) OVER (PARTITION BY bucket
+       |      ORDER BY doc_id, chunk_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS tokens_before
+       |  FROM chunks)
+       |SELECT bucket, CAST(tokens_before // 240 AS BIGINT) AS bin_idx,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM packed
+       |GROUP BY bucket, tokens_before // 240
+       |ORDER BY bucket, bin_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_weighted_sample" -> (q71 _),
     "q72_top_ngrams" -> (q72 _),
@@ -586,7 +640,8 @@ object Curation {
     "q82_window_suite" -> (q82 _),
     "q83_chunk_windows" -> (q83 _),
     "q84_bm25" -> (q84 _),
-    "q86_temperature_mix" -> (q86 _))
+    "q86_temperature_mix" -> (q86 _),
+    "q88_pack_sequences" -> (q88 _))
 
   val oracle: Map[String, String] = Map(
     "q71_weighted_sample" -> q71Sql,
@@ -602,5 +657,6 @@ object Curation {
     "q82_window_suite" -> q82Sql,
     "q83_chunk_windows" -> q83Sql,
     "q84_bm25" -> q84Sql,
-    "q86_temperature_mix" -> q86Sql)
+    "q86_temperature_mix" -> q86Sql,
+    "q88_pack_sequences" -> q88Sql)
 }

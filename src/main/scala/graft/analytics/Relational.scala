@@ -298,6 +298,51 @@ object Relational {
       |  FROM (SELECT custkey FROM rich EXCEPT SELECT custkey FROM buyers)
       |ORDER BY op, custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q87 — FULL OUTER join (the one join type the suite didn't gate):
+  // year-over-year customer activity, 1994 vs 1995 — customers present
+  // in either year survive, absent sides coalesce to zero. Both sides
+  // are already-aggregated (one row per customer-year), so the outer
+  // join's shuffle carries reduced rows, never the orders fact.
+  // Spend summed as e2 fixed-point BIGINT (order-independent, exact).
+  // ---------------------------------------------------------------------
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def yr(y: Int): DataFrame =
+      o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as(s"ck$y"))
+        .agg(count(lit(1)).as(s"n_$y"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as(s"spend_e2_$y"))
+    yr(1994).join(yr(1995), col("ck1994") === col("ck1995"), "full_outer")
+      .select(
+        coalesce(col("ck1994"), col("ck1995")).as("custkey"),
+        coalesce(col("n_1994"), lit(0L)).as("n_1994"),
+        coalesce(col("spend_e2_1994"), lit(0L)).as("spend_e2_1994"),
+        coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+        coalesce(col("spend_e2_1995"), lit(0L)).as("spend_e2_1995"))
+      .orderBy(col("custkey"))
+  }
+
+  private val q87Sql =
+    """WITH y94 AS (
+      |  SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS sp
+      |  FROM orders WHERE year(o_orderdate) = 1994 GROUP BY o_custkey),
+      |y95 AS (
+      |  SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS sp
+      |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey)
+      |SELECT COALESCE(y94.ck, y95.ck) AS custkey,
+      |  COALESCE(y94.n, 0) AS n_1994,
+      |  COALESCE(y94.sp, 0) AS spend_e2_1994,
+      |  COALESCE(y95.n, 0) AS n_1995,
+      |  COALESCE(y95.sp, 0) AS spend_e2_1995
+      |FROM y94 FULL OUTER JOIN y95 ON y94.ck = y95.ck
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -308,7 +353,8 @@ object Relational {
     "q07_topk" -> (q07 _),
     "q08_distinct_agg" -> (q08 _),
     "q09_rollup" -> (q09 _),
-    "q10_setops" -> (q10 _))
+    "q10_setops" -> (q10 _),
+    "q87_full_outer" -> (q87 _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -320,5 +366,6 @@ object Relational {
     "q07_topk" -> q07Sql,
     "q08_distinct_agg" -> q08Sql,
     "q09_rollup" -> q09Sql,
-    "q10_setops" -> q10Sql)
+    "q10_setops" -> q10Sql,
+    "q87_full_outer" -> q87Sql)
 }

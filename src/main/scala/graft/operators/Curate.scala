@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PortableHash, Text, Vectors}
@@ -169,6 +170,34 @@ object Curate {
       .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
         size(col("__c")).cast("long").as("n_chunk_tokens"),
         array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Sequence packing: assign chunks to fixed token-budget training
+    * bins by a running prefix sum — the batch-assembly step between
+    * chunking ([[chunkWindows]]) and the trainer. A chunk lands in bin
+    * ⌊(tokens before it)/budget⌋ of its bucket, so bins fill
+    * contiguously in (orderCols) order, chunks never split, and the
+    * assignment is a pure function of the bucketed order — identical
+    * on any engine or layout.
+    *
+    * Packing is inherently sequential (each row's bin depends on every
+    * predecessor), so `bucketCol` IS the parallelism: each bucket
+    * packs independently in one partitioned-window pass. At 100 TB you
+    * size the bucket count to the cluster (thousands of hash buckets),
+    * never pack in one global ordering — a global `Window.orderBy`
+    * here would be the q59 single-task funnel.
+    *
+    * Returns the input plus (tokens_before, bin_idx). */
+  def packSequences(chunks: DataFrame, bucketCol: Column,
+                    orderCols: Seq[Column], tokenCol: Column,
+                    budget: Long): DataFrame = {
+    require(budget > 0, s"budget=$budget must be > 0")
+    val w = Window.partitionBy(bucketCol).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("tokens_before",
+        coalesce(sum(tokenCol.cast("long")).over(w), lit(0L)))
+      .withColumn("bin_idx", expr(s"tokens_before div $budget"))
   }
 
   /** Temperature-balanced multilingual sampling (the `p_l^α` corpus

@@ -205,6 +205,30 @@ class CurationSpec extends AnyFunSuite {
     assert(again == ((b2, s2)), "resampling must be deterministic")
   }
 
+  test("packSequences: chunks preserved, bins contiguous per bucket, " +
+       "every non-final bin crosses its budget boundary") {
+    val chunks = (1L to 200L).map(i =>
+      (i % 4, i, 7L + i % 5)).toDF("bucket", "ord", "nt")
+    val packed = Curate.packSequences(chunks, col("bucket"),
+      Seq(col("ord")), col("nt"), budget = 50L)
+    assert(packed.count() == 200L, "packing must not drop or dup chunks")
+    val bins = packed.groupBy("bucket", "bin_idx")
+      .agg(sum(col("nt")).as("tok"))
+      .orderBy("bucket", "bin_idx")
+      .as[(Long, Long, Long)].collect()
+    for ((bkt, grp) <- bins.groupBy(_._1)) {
+      val idx = grp.map(_._2)
+      assert(idx.sameElements(idx.indices.map(_.toLong)),
+        s"bucket $bkt bins not dense: ${idx.mkString(",")}")
+      // prefix property: cumulative tokens through every non-final
+      // bin k reach past (k+1)·budget (bins fill before a new one opens)
+      val cum = grp.map(_._3).scanLeft(0L)(_ + _).tail
+      for (k <- 0 until grp.length - 1)
+        assert(cum(k) >= (k + 1) * 50L,
+          s"bucket $bkt bin $k closed at ${cum(k)} < ${(k + 1) * 50}")
+    }
+  }
+
   test("bm25: term hits dominate, length normalization favors the " +
        "shorter doc at equal tf, non-matching docs score zero") {
     val filler = (1 to 40).map(i => s"x$i").mkString(" ")
