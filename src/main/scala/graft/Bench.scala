@@ -31,6 +31,15 @@ object Bench {
           .write.mode("overwrite").format("noop").save()
         true
       } catch { case _: Throwable => false }
+      finally {
+        // drop THIS run's leftovers (localCheckpoint RDDs): each
+        // invocation builds its own, so without this 3 passes × 86
+        // queries accumulate dead blocks and the tail of the suite
+        // pays their GC/memory pressure. Nothing is reused across
+        // runs — this is cleanup, not caching.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     names.foreach(run)
     names.foreach(run)
     // a throwing query records -1, never a fast "success": a broken

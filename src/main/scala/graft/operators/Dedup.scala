@@ -385,6 +385,15 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // labels only ever DECREASE (least of self and neighbors), so
+    // Σlabel is strictly monotone until fixpoint — comparing it across
+    // rounds is a one-row aggregate per round, not a join+filter probe
+    def metric(df: DataFrame): (Long, Long) = {
+      val r = df.agg(coalesce(sum(col("label")), lit(0L)),
+        count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = metric(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -398,9 +407,9 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
         .localCheckpoint()
-      converged = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
+      val m = metric(next)
+      converged = m == prev
+      prev = m
       labels = next
       i += 1
     }
