@@ -101,6 +101,45 @@ object Pipeline {
       |ORDER BY kind, lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q89 — REAL media decode in the gate: a RIFF/WAVE PCM16 blob per
+  // document (closed-form waveform, see Multimodal.syntheticWav) is
+  // byte-encoded, then parsed back by the chunk-walking WAV decoder
+  // in a mapPartitions batch, extracting integer-exact features
+  // (peak, zero crossings, energy). The oracle recomputes every
+  // feature analytically from the waveform's closed form WITHOUT
+  // parsing a byte — if header layout, chunk walking, or PCM16
+  // little-endian decoding were wrong anywhere, the features would
+  // not match. This replaces "decode is stubbed" for the one media
+  // container that needs no external codec library.
+  // ---------------------------------------------------------------------
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeWav(
+        graft.operators.Multimodal.syntheticWav(t(s, dir, "documents")))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  private val q89Sql =
+    """WITH d AS (
+      |  SELECT doc_id, 160 + (doc_id % 23) * 8 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+      |v AS (
+      |  SELECT doc_id, n, i,
+      |    ((doc_id * 31 + i * 37) % 2003) - 1001 AS v,
+      |    ((doc_id * 31 + (i - 1) * 37) % 2003) - 1001 AS vp
+      |  FROM s)
+      |SELECT doc_id AS media_id,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(max(n) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak,
+      |  CAST(sum(CASE WHEN i > 0 AND v * vp < 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_zero_cross,
+      |  CAST(sum(v * v) AS BIGINT) AS energy
+      |FROM v
+      |GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q56 — SCD Type-2 dimension merge: a synthetic "day 2" snapshot of
   // customer (every key ending in 3 moves its balance; keys ending in
   // 4 re-arrive unchanged; a shifted-key cohort is brand new) applied
@@ -241,12 +280,14 @@ object Pipeline {
     "q32_multimodal_binary" -> (q32 _),
     "q56_scd2_merge" -> (q56 _),
     "q60_incremental_merge" -> (q60 _),
-    "q75_scd2_snapshot" -> (q75 _))
+    "q75_scd2_snapshot" -> (q75 _),
+    "q89_wav_decode" -> (q89 _))
 
   val oracle: Map[String, String] = Map(
     "q31_merge_upsert" -> q31Sql,
     "q32_multimodal_binary" -> q32Sql,
     "q56_scd2_merge" -> q56Sql,
     "q60_incremental_merge" -> q60Sql,
-    "q75_scd2_snapshot" -> q75Sql)
+    "q75_scd2_snapshot" -> q75Sql,
+    "q89_wav_decode" -> q89Sql)
 }

@@ -91,4 +91,112 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("content"))
       .as[MediaRow]
   }
+
+  // ------------------------------------------------------------------
+  // Real codec path: RIFF/WAVE PCM16 — the one mainstream media
+  // container that needs no external library, so the decode step can
+  // be REAL bytes-to-samples work (not a stub) while keeping the
+  // distributed shape identical to decodeStub's. A corpus of WAV
+  // blobs flows through the same mapPartitions batch iteration; only
+  // the inner function differs.
+  // ------------------------------------------------------------------
+
+  /** Decoded PCM16 audio: header metadata + extracted features. */
+  case class WavRow(
+      media_id: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      peak: Long,
+      n_zero_cross: Long,
+      energy: Long)
+
+  /** Encode mono PCM16 samples as a standards-conformant RIFF/WAVE
+    * blob (44-byte canonical header + little-endian samples). */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                 // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16)                // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Parse a RIFF/WAVE PCM16 mono blob by walking its chunk list (a
+    * real parser: finds `fmt `/`data` wherever they sit, skips
+    * unknown chunks, validates magic and format) and extract features
+    * in the same pass: peak |amplitude|, strict zero crossings
+    * (s·s' < 0), and total energy Σs² — all integer-exact, so the
+    * result is engine- and layout-independent. */
+  def decodeWavPcm16(mediaId: Long, bytes: Array[Byte]): WavRow = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(tag4() == "RIFF", "not a RIFF container")
+    bb.getInt() // riff size
+    require(tag4() == "WAVE", "not a WAVE form")
+    var sampleRate = -1L
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8 && (sampleRate < 0 || samples == null)) {
+      val tag = tag4()
+      val len = bb.getInt()
+      tag match {
+        case "fmt " =>
+          val fmt = bb.getShort(); val ch = bb.getShort()
+          sampleRate = bb.getInt().toLong
+          bb.getInt(); bb.getShort()
+          val bits = bb.getShort()
+          require(fmt == 1 && ch == 1 && bits == 16,
+            s"unsupported WAV: fmt=$fmt channels=$ch bits=$bits")
+          bb.position(bb.position() + (len - 16))
+        case "data" =>
+          samples = new Array[Short](len / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = bb.getShort(); i += 1 }
+        case _ =>
+          bb.position(bb.position() + len + (len & 1)) // chunks pad to even
+      }
+    }
+    require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+    var peak = 0L; var zc = 0L; var energy = 0L
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toLong
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && v * samples(i - 1).toLong < 0) zc += 1
+      energy += v * v
+      i += 1
+    }
+    WavRow(mediaId, sampleRate, samples.length.toLong, peak, zc, energy)
+  }
+
+  /** Distributed WAV decode: same batch shape as [[decode]], real
+    * codec inside. */
+  def decodeWav(media: Dataset[MediaRow]): Dataset[WavRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => decodeWavPcm16(m.media_id, m.content)))
+  }
+
+  /** Deterministic synthetic PCM corpus: one WAV blob per document,
+    * n = 160 + (id mod 23)·8 samples of the closed-form waveform
+    * s_i = ((id·31 + i·37) mod 2003) − 1001 at 8 kHz. The closed form
+    * is the point: an oracle can recompute every decoded feature
+    * analytically without parsing a byte, so the REAL decoder is
+    * gate-checked end to end. */
+  def syntheticWav(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("id")).as[Long].map { id =>
+      val n = 160 + (id % 23).toInt * 8
+      val samples = Array.tabulate(n)(i =>
+        (((id * 31 + i.toLong * 37) % 2003) - 1001).toShort)
+      MediaRow(id, "audio", encodeWavPcm16(samples, 8000))
+    }
+  }
 }

@@ -52,4 +52,56 @@ class MultimodalSpec extends AnyFunSuite {
       .selectExpr("length(frame_bytes)").collect()
       .forall(_.getInt(0) == 64))
   }
+
+  test("WAV codec: encode→decode round-trips header and every sample") {
+    val samples = Array.tabulate(333)(i =>
+      ((i * 977) % 65536 - 32768).toShort)
+    val bytes = Multimodal.encodeWavPcm16(samples, 44100)
+    assert(bytes.length == 44 + 666)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val row = Multimodal.decodeWavPcm16(7L, bytes)
+    assert(row.sample_rate == 44100L && row.n_samples == 333L)
+    // features recomputed independently from the source samples
+    val peak = samples.map(s => math.abs(s.toLong)).max
+    val zc = (1 until 333).count(i =>
+      samples(i).toLong * samples(i - 1).toLong < 0).toLong
+    val energy = samples.map(s => s.toLong * s.toLong).sum
+    assert((row.peak, row.n_zero_cross, row.energy) == ((peak, zc, energy)))
+  }
+
+  test("WAV parser walks chunks: tolerates an unknown chunk before " +
+       "data, rejects a corrupted container") {
+    val samples = Array[Short](100, -200, 300, -400)
+    val canonical = Multimodal.encodeWavPcm16(samples, 8000)
+    // splice an unknown 6-byte 'LIST' chunk (padded to even) between
+    // 'fmt ' and 'data': a compliant parser must skip it
+    val bb = java.nio.ByteBuffer.allocate(canonical.length + 8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(canonical, 0, 36)                    // through end of fmt
+    bb.put("LIST".getBytes("US-ASCII")).putInt(5)
+    bb.put(Array[Byte](1, 2, 3, 4, 5, 0))       // 5 bytes + pad
+    bb.put(canonical, 36, canonical.length - 36) // data chunk
+    val spliced = bb.array()
+    val row = Multimodal.decodeWavPcm16(1L, spliced)
+    assert(row.n_samples == 4L && row.peak == 400L && row.n_zero_cross == 3L)
+    val bad = canonical.clone(); bad(0) = 'X'
+    assertThrows[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16(2L, bad)
+    }
+  }
+
+  test("distributed WAV decode matches the closed-form waveform") {
+    val docs = Tables.load(spark, sf001, "documents").limit(50)
+    val rows = Multimodal.decodeWav(Multimodal.syntheticWav(docs)).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val n = 160 + (r.media_id % 23).toInt * 8
+      val s = Array.tabulate(n)(i =>
+        ((r.media_id * 31 + i.toLong * 37) % 2003) - 1001)
+      assert(r.n_samples == n.toLong)
+      assert(r.peak == s.map(math.abs).max)
+      assert(r.energy == s.map(v => v * v).sum)
+    }
+  }
 }
