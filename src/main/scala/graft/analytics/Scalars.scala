@@ -312,6 +312,36 @@ object Scalars {
   }
 
   // ---------------------------------------------------------------------
+  // q90 — numeric histogram profile: 20 fixed-width bins over
+  // events.value, integer-exact binning (e4 fixed-point values,
+  // integer bin width, integer division) so every engine bins
+  // boundary values identically. One broadcast (min,max) scalar +
+  // a 20-row groupBy — see Validate.histogram.
+  // ---------------------------------------------------------------------
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Validate.histogram(
+        t(s, dir, "events"), col("value"), bins = 20)
+      .orderBy(col("bin_idx"))
+
+  private val q90Sql =
+    """WITH v AS (
+      |  SELECT CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+      |w AS (
+      |  SELECT min(v) AS lo, max(v) AS hi,
+      |    (max(v) - min(v) + 20) // 20 AS w
+      |  FROM v),
+      |binned AS (
+      |  SELECT v, (v - lo) // w AS bin_idx, lo, w FROM v, w)
+      |SELECT CAST(bin_idx AS BIGINT) AS bin_idx,
+      |  CAST(min(lo + bin_idx * w) AS BIGINT) AS lo_e4,
+      |  count(*) AS n,
+      |  CAST(min(v) AS BIGINT) AS min_e4,
+      |  CAST(max(v) AS BIGINT) AS max_e4
+      |FROM binned
+      |GROUP BY bin_idx
+      |ORDER BY bin_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q55 — CSV round-trip through the ingest boundary (S7 sink +
   // enforced-schema PERMISSIVE source with a rejects channel): write
   // customer to CSV, read it back, aggregate. The oracle aggregates
@@ -367,7 +397,8 @@ object Scalars {
     "q50_spatial_join" -> (q50 _),
     "q55_csv_roundtrip" -> (q55 _),
     "q64_spatial_grid" -> (q64 _),
-    "q70_data_quality" -> (q70 _))
+    "q70_data_quality" -> (q70 _),
+    "q90_histogram" -> (q90 _))
 
   val oracle: Map[String, String] = Map(
     "q17_haversine" -> q17Sql,
@@ -379,5 +410,6 @@ object Scalars {
     "q50_spatial_join" -> q50Sql,
     "q55_csv_roundtrip" -> q55Sql,
     "q64_spatial_grid" -> q64Sql,
-    "q70_data_quality" -> q70Sql)
+    "q70_data_quality" -> q70Sql,
+    "q90_histogram" -> q90Sql)
 }

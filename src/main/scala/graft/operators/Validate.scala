@@ -37,6 +37,36 @@ object Validate {
       .select(col("rule"), col("n_violations"), col("n_rows"))
   }
 
+  /** Fixed-width numeric histogram for profiling — integer-exact by
+    * construction: values are first scaled to e4 fixed-point BIGINTs,
+    * the bin width is the integer ⌈range/bins⌉, and bin assignment is
+    * integer division — so the SAME bins come out of any engine,
+    * layout, or float library (a double-width histogram puts
+    * boundary values in different bins at 1 ulp of divergence).
+    *
+    * Scale: one tiny (min,max) aggregate broadcast back, then a
+    * per-row bin id and a `bins`-row groupBy — two scans, the second
+    * shuffling only `bins` partial rows per task.
+    *
+    * Returns (bin_idx, lo_e4, n, min_e4, max_e4): bin k covers
+    * [lo + k·w, lo + (k+1)·w) in e4 units; empty bins are absent. */
+  def histogram(df: DataFrame, valueCol: Column, bins: Int): DataFrame = {
+    require(bins > 0, s"bins=$bins must be > 0")
+    val e4 = round(valueCol * 10000).cast("long")
+    val bounds = df.agg(min(e4).as("__lo"), max(e4).as("__hi"))
+    df.select(e4.as("__v"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("__w",
+        expr(s"(__hi - __lo + $bins) div $bins")) // ceil((hi-lo+1)/bins)
+      .withColumn("bin_idx", expr("(__v - __lo) div __w"))
+      .groupBy(col("bin_idx"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("min_e4"), max(col("__v")).as("max_e4"),
+        min(col("__lo") + col("bin_idx") * col("__w")).as("lo_e4"))
+      .select(col("bin_idx"), col("lo_e4"), col("n"),
+        col("min_e4"), col("max_e4"))
+  }
+
   /** (clean, rejects): rejects carry a `violated` column with the
     * names of every failed rule, comma-joined in rule order. */
   def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {

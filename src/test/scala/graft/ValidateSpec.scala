@@ -44,4 +44,21 @@ class ValidateSpec extends AnyFunSuite {
       4L -> "v_pos,name_short", 6L -> "v_pos"))
     assert(clean.count() + rejects.count() == df.count())
   }
+
+  test("histogram: every row binned exactly once, bins integer-exact, " +
+       "extremes land in first and last bin") {
+    val vals = Seq(-2.5, -1.0, 0.0, 0.5, 1.0, 2.5, 2.5, 7.5)
+    val data = vals.toDF("v")
+    val h = Validate.histogram(data, col("v"), bins = 4)
+      .orderBy("bin_idx")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(h.map(_._3).sum == vals.length, "every row in exactly one bin")
+    // lo = -25000, hi = 75000, w = ceil(100001/4) = 25001
+    assert(h.head._1 == 0L && h.head._4 == -25000L)
+    assert(h.last._4 <= 75000L && h.last._5 == 75000L)
+    // bin bounds: each bin's values fall in [lo_e4, lo_e4 + w)
+    h.foreach { case (_, lo, _, mn, mx) =>
+      assert(mn >= lo && mx < lo + 25001L)
+    }
+  }
 }
