@@ -169,7 +169,7 @@ object Streaming {
     * built afterwards are unaffected (the previous value is
     * restored). Production unbounded streams keep the session
     * default. */
-  private def withStatePartitions[T](spark: SparkSession, n: Int = 8)
+  private def withStatePartitions[T](spark: SparkSession, n: Int = 4)
       (body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
