@@ -365,6 +365,46 @@ object Windowed {
        |ORDER BY err.user_id, error_id, click_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q91 — FORWARD as-of join with tolerance (pandas merge_asof
+  // direction='forward'): each click attaches the EARLIEST error of
+  // the same user within the next 300 s, or null. Same single-shuffle
+  // union-and-carry formulation as q16, traversed in reverse time
+  // order; the tolerance nulls matches beyond the bound (see
+  // AsOfJoin.firstAfterWithin).
+  // ---------------------------------------------------------------------
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        Exact.epochS(col("ts_s")).as("ts_l"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), Exact.epochS(col("ts_s")).as("err_ts_l"))
+      .distinct()
+    AsOfJoin.firstAfterWithin(clicks, errors, Seq("user_id"),
+        leftTs = "ts_l", rightTs = "err_ts_l",
+        payload = Seq("err_ts_l"), tolerance = lit(300L))
+      .withColumn("wait_s", col("err_ts_l") - col("ts_l"))
+      .orderBy(col("user_id"), col("ts_l"), col("event_id"))
+  }
+
+  private val q91Sql =
+    s"""WITH clicks AS (
+       |  SELECT user_id, event_id, ${epochSSql("ts")} AS ts_l
+       |  FROM events WHERE event_type = 'click'),
+       |errors AS (
+       |  SELECT DISTINCT user_id, ${epochSSql("ts")} AS err_ts_l
+       |  FROM events WHERE event_type = 'error')
+       |SELECT user_id, event_id, ts_l, err_ts_l,
+       |  err_ts_l - ts_l AS wait_s
+       |FROM (
+       |  SELECT c.user_id, c.event_id, c.ts_l,
+       |    (SELECT min(e.err_ts_l) FROM errors e
+       |     WHERE e.user_id = c.user_id AND e.err_ts_l >= c.ts_l
+       |       AND e.err_ts_l <= c.ts_l + 300) AS err_ts_l
+       |  FROM clicks c)
+       |ORDER BY user_id, ts_l, event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q85 — stream–static broadcast enrichment in the gate: events
   // replayed as a file stream, inner-joined per micro-batch to the
   // static customer dimension (explicitly broadcast — a stateless
@@ -405,7 +445,8 @@ object Windowed {
     "q53_stream_session" -> (q53 _),
     "q61_range_frame" -> (q61 _),
     "q63_stream_interval_join" -> (q63 _),
-    "q85_stream_static_join" -> (q85 _))
+    "q85_stream_static_join" -> (q85 _),
+    "q91_asof_forward" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
     "q11_window_rank" -> q11Sql,
@@ -417,5 +458,6 @@ object Windowed {
     "q53_stream_session" -> q53Sql,
     "q61_range_frame" -> q61Sql,
     "q63_stream_interval_join" -> q63Sql,
-    "q85_stream_static_join" -> q85Sql)
+    "q85_stream_static_join" -> q85Sql,
+    "q91_asof_forward" -> q91Sql)
 }

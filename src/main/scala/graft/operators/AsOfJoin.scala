@@ -37,7 +37,46 @@ object AsOfJoin {
     */
   def lastBefore(left: DataFrame, right: DataFrame, keys: Seq[String],
                  leftTs: String, rightTs: String,
-                 payload: Seq[String]): DataFrame = {
+                 payload: Seq[String]): DataFrame =
+    asOf(left, right, keys, leftTs, rightTs, payload,
+      forward = false, tolerance = None)
+
+  /** [[lastBefore]] with a match tolerance: the carried right row is
+    * nulled out when it is older than `tolerance` (same units as the
+    * ts columns) — pandas `merge_asof(tolerance=...)` semantics. */
+  def lastBeforeWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       payload: Seq[String], tolerance: Column): DataFrame =
+    asOf(left, right, keys, leftTs, rightTs, payload,
+      forward = false, tolerance = Some(tolerance))
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * the same key and `rightTs >= leftTs` (pandas
+    * `merge_asof(direction='forward')`). Same union-and-carry
+    * formulation traversed in reverse time order — same single
+    * shuffle, no range explosion. */
+  def firstAfter(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTs: String, rightTs: String,
+                 payload: Seq[String]): DataFrame =
+    asOf(left, right, keys, leftTs, rightTs, payload,
+      forward = true, tolerance = None)
+
+  /** [[firstAfter]] bounded by a tolerance: matches farther than
+    * `tolerance` ahead are nulled out. */
+  def firstAfterWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       payload: Seq[String], tolerance: Column): DataFrame =
+    asOf(left, right, keys, leftTs, rightTs, payload,
+      forward = true, tolerance = Some(tolerance))
+
+  /** Shared union-and-carry core. Ties: right rows sharing the match
+    * timestamp are disambiguated by the payload struct itself
+    * (lexicographic max for backward, min for forward), so the result
+    * is deterministic under any execution order. */
+  private def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, payload: Seq[String],
+                   forward: Boolean,
+                   tolerance: Option[Column]): DataFrame = {
     val leftCols = left.columns.toSeq
     val ordTs = "__asof_ts"
     val tag = "__asof_tag"
@@ -53,11 +92,22 @@ object AsOfJoin {
         col(leftTs).as(ordTs), lit(1).as(tag), lit(null).as(pay)) ++
         leftCols.filterNot(keys.contains).map(col): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ordTs), col(tag))
+    val ord =
+      if (forward) Seq(col(ordTs).desc, col(tag).asc, col(pay).desc)
+      else Seq(col(ordTs).asc, col(tag).asc, col(pay).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = r.unionByName(l)
       .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
-    carried.filter(col(tag) === 1)
+    val bounded = tolerance match {
+      case None => carried
+      case Some(tol) =>
+        val diff =
+          if (forward) col(s"$pay.$rightTs") - col(ordTs)
+          else col(ordTs) - col(s"$pay.$rightTs")
+        carried.withColumn(pay, when(diff <= tol, col(pay)))
+    }
+    bounded.filter(col(tag) === 1)
       .select(leftCols.map(col) ++
         payload.map(c => col(s"$pay.$c").as(c)): _*)
   }

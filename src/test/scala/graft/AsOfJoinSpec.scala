@@ -48,4 +48,39 @@ class AsOfJoinSpec extends AnyFunSuite {
     // basel has no weather at all -> null, row kept
     assert(out(1).isNullAt(out(1).fieldIndex("temp")))
   }
+
+  test("firstAfter picks the EARLIEST right row at or after the left " +
+       "timestamp; null when none follows") {
+    def temp(ts: Long): Option[Double] = {
+      val left = Seq(("zurich", ts)).toDF("city", "trip_ts")
+      val row = AsOfJoin.firstAfter(left, right, Seq("city"),
+        "trip_ts", "obs_ts", Seq("temp")).collect().head
+      if (row.isNullAt(row.fieldIndex("temp"))) None
+      else Some(row.getAs[Double]("temp"))
+    }
+    assert(temp(50L) == Some(10.0), "earliest follower, not latest")
+    assert(temp(100L) == Some(10.0), "inclusive at equality")
+    assert(temp(150L) == Some(20.0))
+    assert(temp(250L) == None, "nothing follows")
+  }
+
+  test("tolerance nulls matches beyond the bound, both directions") {
+    val left = Seq(("zurich", 240L)).toDF("city", "trip_ts")
+    val back = AsOfJoin.lastBeforeWithin(left, right, Seq("city"),
+      "trip_ts", "obs_ts", Seq("temp"),
+      org.apache.spark.sql.functions.lit(50L)).collect().head
+    assert(!back.isNullAt(back.fieldIndex("temp")), "200 is within 50 of 240")
+    val backFar = AsOfJoin.lastBeforeWithin(
+      Seq(("zurich", 400L)).toDF("city", "trip_ts"), right, Seq("city"),
+      "trip_ts", "obs_ts", Seq("temp"),
+      org.apache.spark.sql.functions.lit(50L)).collect().head
+    assert(backFar.isNullAt(backFar.fieldIndex("temp")),
+      "200 is farther than 50 behind 400")
+    val fwd = AsOfJoin.firstAfterWithin(
+      Seq(("zurich", 30L)).toDF("city", "trip_ts"), right, Seq("city"),
+      "trip_ts", "obs_ts", Seq("temp"),
+      org.apache.spark.sql.functions.lit(50L)).collect().head
+    assert(fwd.isNullAt(fwd.fieldIndex("temp")),
+      "100 is farther than 50 ahead of 30")
+  }
 }
