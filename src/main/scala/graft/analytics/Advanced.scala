@@ -518,6 +518,74 @@ object Advanced {
   // orders scan. Revenue via per-column scaled-int arithmetic (q35's
   // exactness pattern).
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // q92 — integer-exact PageRank (3 damped iterations) over the
+  // nation-level trade graph (supplier-nation → customer-nation,
+  // weighted by lineitem count). Ranks are e9 fixed-point longs and
+  // every transfer is integer multiply-then-div, so the iterative
+  // result is bit-identical on any engine or execution order —
+  // floating-point PageRank is not (float sums reorder under
+  // parallelism). Oracle: the same three iterations unrolled as CTEs.
+  // Scale: node-sized rank table broadcast into the edge scan each
+  // round; one map-side-combined shuffle per iteration (see
+  // operators.Graph).
+  // ---------------------------------------------------------------------
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.operators.Graph.pageRankIntExact(edges, iterations = 3)
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("node"), col("n_name"))), Seq("node"))
+      .select(col("node").as("nationkey"), col("n_name"), col("rank_e9"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q92Sql = {
+    def iter(prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT nd.node,
+         |    CAST(150000000 // n + (850 * COALESCE(ct.c, 0)) // 1000
+         |      AS BIGINT) AS r
+         |  FROM nodes nd CROSS JOIN cnt
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum(($prev.r * e.w) // o.ow) AS BIGINT) AS c
+         |    FROM edges e JOIN outw o ON e.src = o.src
+         |    JOIN $prev ON $prev.node = e.src
+         |    GROUP BY e.dst) ct ON ct.node = nd.node)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT s_nationkey AS src, c_nationkey AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+       |         FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges
+       |  UNION ALL SELECT dst FROM edges)),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN cnt),
+       |${iter("r0", "it1")},
+       |${iter("it1", "it2")},
+       |${iter("it2", "it3")}
+       |SELECT CAST(it3.node AS BIGINT) AS nationkey, n_name,
+       |  it3.r AS rank_e9
+       |FROM it3 JOIN nation ON n_nationkey = it3.node
+       |ORDER BY nationkey""".stripMargin
+  }
+
   private def q54(s: SparkSession, dir: String): DataFrame = {
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val discBp = round(col("l_discount") * 100).cast("long")
@@ -614,6 +682,7 @@ object Advanced {
     "q48_scalar_subquery" -> (q48 _),
     "q49_ann_multiband" -> (q49 _),
     "q54_tpch_q5" -> (q54 _),
+    "q92_pagerank" -> (q92 _),
     "q62_sql_native_fn" -> (q62 _),
     "q69_dedup_clusters" -> (q69 _))
 
@@ -634,6 +703,7 @@ object Advanced {
     "q48_scalar_subquery" -> q48Sql,
     "q49_ann_multiband" -> q49Sql,
     "q54_tpch_q5" -> q54Sql,
+    "q92_pagerank" -> q92Sql,
     "q62_sql_native_fn" -> q62Sql,
     "q69_dedup_clusters" -> q69Sql)
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph propagation operators (SURVEY.md §2.12 follow-on; the
+  * iterative-analytics tier next to [[Dedup.connectedComponents]]).
+  *
+  * PageRank here is formulated INTEGER-EXACT: ranks are e9
+  * fixed-point longs, every transfer is integer multiply-then-`div`,
+  * and per-node contributions sum associatively — so the result is
+  * bit-identical on any engine, partitioning, or execution order
+  * (floating-point PageRank is not: float sums reorder under
+  * parallelism). The truncation bias is ≤1e-9 per edge per step —
+  * irrelevant for ranking, decisive for verifiability.
+  *
+  * Scale shape: the rank table is node-sized (≪ edges) and is
+  * broadcast into the edge scan each iteration; contributions
+  * partial-aggregate map-side before the one per-iteration shuffle on
+  * dst. Edges are materialized once (localCheckpoint) and re-scanned,
+  * never re-derived, per iteration.
+  */
+object Graph {
+
+  /** `iterations` rounds of damped PageRank over weighted directed
+    * `edges` (columns: src, dst, w — positive long weights).
+    *
+    * rank⁰ = E9 div n for every node appearing as src or dst;
+    * rankᵏ⁺¹(v) = (0.15·E9 div n) + 0.85·Σ_{(u,v)} (rankᵏ(u)·w div
+    * out_w(u)), all in integer arithmetic (damping as ·850 div 1000).
+    * Dangling nodes (no out-edges) simply contribute nothing — the
+    * standard simplification, mirrored exactly by the oracle.
+    *
+    * Returns (node, rank_e9). */
+  def pageRankIntExact(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    val E9 = 1000000000L
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long")).localCheckpoint()
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // out-weight rides along each edge once, up front: per-iteration
+    // work is then a single broadcast of the current ranks
+    val eOut = e.join(broadcast(outW), Seq("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    var ranks = nodes.withColumn("rank_e9", lit(E9 / n))
+    for (_ <- 1 to iterations) {
+      val contrib = eOut
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_e9 * w div ow").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000000L / n) +
+            expr("850 * coalesce(contrib, 0L) div 1000")).as("rank_e9"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}
