@@ -435,6 +435,109 @@ object Windowed {
       |GROUP BY c_mktsegment
       |ORDER BY segment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q93 — ordered funnel (view → click-after-view → purchase-after-
+  // click, per user): the classic product-analytics sequence query.
+  // Three aggregates all keyed on user_id — Spark reuses the hash
+  // partitioning across the join+agg chain, so the fact crosses the
+  // wire once (the q15 discipline). Output is one row per stage with
+  // the surviving-user count.
+  // ---------------------------------------------------------------------
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"),
+      Exact.epochS(col("ts_s")).as("ts_l"))
+    val tv = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_l"))).as("tv"))
+    val tc = e.join(tv, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "click" &&
+        col("ts_l") >= col("tv"), col("ts_l"))).as("tc"),
+        min(col("tv")).as("tv"))
+    val tp = e.join(tc, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("ts_l") >= col("tc"), col("ts_l"))).as("tp"),
+        min(col("tv")).as("tv"), min(col("tc")).as("tc"))
+    tp.agg(
+        sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("tc").isNotNull, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("tp").isNotNull, 1L).otherwise(0L)).as("n3"))
+      .select(expr(
+        "stack(3, '1_view', n1, '2_click_after_view', n2, " +
+          "'3_purchase_after_click', n3) AS (stage, n_users)"))
+      .orderBy(col("stage"))
+  }
+
+  private val q93Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, ${epochSSql("ts")} AS ts_l
+       |  FROM events),
+       |tv AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'view' THEN ts_l END) AS tv
+       |  FROM e GROUP BY user_id),
+       |tc AS (
+       |  SELECT e.user_id,
+       |    min(CASE WHEN event_type = 'click' AND ts_l >= tv
+       |        THEN ts_l END) AS tc,
+       |    min(tv) AS tv
+       |  FROM e JOIN tv USING (user_id) GROUP BY e.user_id),
+       |tp AS (
+       |  SELECT e.user_id,
+       |    min(CASE WHEN event_type = 'purchase' AND ts_l >= tc
+       |        THEN ts_l END) AS tp,
+       |    min(tv) AS tv, min(tc) AS tc
+       |  FROM e JOIN tc USING (user_id) GROUP BY e.user_id),
+       |wide AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n1,
+       |    CAST(sum(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n2,
+       |    CAST(sum(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n3
+       |  FROM tp)
+       |SELECT '1_view' AS stage, n1 AS n_users FROM wide
+       |UNION ALL SELECT '2_click_after_view', n2 FROM wide
+       |UNION ALL SELECT '3_purchase_after_click', n3 FROM wide
+       |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q94 — retention cohorts: users grouped by first-activity day, the
+  // count still active at each day offset 0–7. Two aggregates keyed
+  // on user_id (cohort assignment) then a (cohort, offset) rollup —
+  // the fact shuffles once on user, the rollup input is
+  // user-day-sized. Integer counts throughout.
+  // ---------------------------------------------------------------------
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"),
+      to_date(col("ts_s")).as("day"))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    e.distinct()
+      .join(cohort, Seq("user_id"))
+      .withColumn("offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("offset") <= 7)
+      .groupBy(col("cohort_day"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("offset"))
+  }
+
+  private val q94Sql =
+    s"""WITH e AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(${secSql("ts")} AS DATE) AS day
+       |  FROM events),
+       |cohort AS (
+       |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+       |SELECT cohort_day,
+       |  CAST(datediff('day', cohort_day, day) AS BIGINT) AS "offset",
+       |  count(*) AS n_users
+       |FROM e JOIN cohort USING (user_id)
+       |WHERE datediff('day', cohort_day, day) <= 7
+       |GROUP BY cohort_day, "offset"
+       |ORDER BY cohort_day, "offset"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_window_rank" -> (q11 _),
     "q12_window_running" -> (q12 _),
@@ -446,7 +549,9 @@ object Windowed {
     "q61_range_frame" -> (q61 _),
     "q63_stream_interval_join" -> (q63 _),
     "q85_stream_static_join" -> (q85 _),
-    "q91_asof_forward" -> (q91 _))
+    "q91_asof_forward" -> (q91 _),
+    "q93_funnel" -> (q93 _),
+    "q94_retention" -> (q94 _))
 
   val oracle: Map[String, String] = Map(
     "q11_window_rank" -> q11Sql,
@@ -459,5 +564,7 @@ object Windowed {
     "q61_range_frame" -> q61Sql,
     "q63_stream_interval_join" -> q63Sql,
     "q85_stream_static_join" -> q85Sql,
-    "q91_asof_forward" -> q91Sql)
+    "q91_asof_forward" -> q91Sql,
+    "q93_funnel" -> q93Sql,
+    "q94_retention" -> q94Sql)
 }
