@@ -202,6 +202,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashEx == 0, s"corpus must not shuffle, got $hashEx\n$p")
   }
 
+  test("q92: PageRank — ranks broadcast into the edge scan (no " +
+       "sort-merge join anywhere in the iteration chain)") {
+    val p = plan("q92_pagerank")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q93: funnel — the fact's hash partitioning on user_id is " +
+       "reused across the whole aggregate/join chain") {
+    val p = plan("q93_funnel")
+    // one exchange per source scan of the chain (re-scans share the
+    // key) plus the final 1-row stack: no partitioning other than
+    // user_id may appear before the global aggregate
+    val ex = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+?),"
+      .r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(ex.nonEmpty && ex.forall(_.startsWith("user_id")),
+      s"non-user_id exchange in funnel chain: $ex\n$p")
+  }
+
   test("q77: z-order tiling is scan + one aggregate — no join, " +
        "partial combine map-side") {
     val p = plan("q77_zorder_tiles")
