@@ -112,10 +112,17 @@ object Text {
   }
 
   /** Word n-gram shingles ("w1 w2 w3"), empty array when the doc has
-    * fewer than n words. Tokens are let-bound: [[shinglesFromTokens]]
-    * references its input ~6 times, which would otherwise re-tokenize
-    * per reference. */
+    * fewer than n words. Backed by the fused codegen expression
+    * ([[org.apache.spark.sql.graftx.WordNgrams]]) — one compiled
+    * per-row pass instead of the interpreted HOF chain; bit-identical
+    * to [[shinglesComposed]] (locked by TextFunctionsSpec). */
   def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftx.WordNgrams.col(text, n)
+
+  /** The composed-from-built-ins formulation of [[shingles]], kept as
+    * the executable reference the native expression is verified
+    * against. */
+  def shinglesComposed(text: Column, n: Int): Column =
     Lambdas.bindOnce(words(text))(shinglesFromTokens(_, n))
 
   /** Within-document repetition signal (the Gopher-style

@@ -55,12 +55,11 @@ object Dedup {
   private def shingleBase(docs: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame =
     docs
-      // tokens as a materialized column FIRST: lambda bodies are not
-      // subexpression-eliminated, so shingling straight off
-      // words(text) re-tokenizes the document per shingle element
-      .select(col(idCol).as("id"), Text.words(col(textCol)).as("__toks"))
-      .select(col("id"),
-        explode(array_distinct(Text.shinglesFromTokens(col("__toks"), n)))
+      // fused codegen n-gram generator (graftx.WordNgrams): one
+      // compiled pass per row, no interpreted HOF chain, no
+      // re-tokenization concerns
+      .select(col(idCol).as("id"),
+        explode(array_distinct(Text.shingles(col(textCol), n)))
           .as("shingle"))
 
   /** Drop shingles appearing in more than `maxDocFrac` of `totalDocs`

@@ -41,6 +41,22 @@ class TextFunctionsSpec extends AnyFunSuite {
       .as[Seq[String]].head().isEmpty)
   }
 
+  test("native shingles == composed shingles bit-for-bit on real docs " +
+       "and adversarial inputs") {
+    val real = graft.core.Tables.load(spark, TestSpark.sf001, "documents")
+      .select(col("text").as("t"))
+    val adversarial = Seq("", " ", "  a  b  ", "a", "a b", "a b c",
+      " leading", "trailing ", "x  y   z", "a b c d e").toDF("t")
+    for (df <- Seq(real, adversarial); n <- Seq(1, 3, 8)) {
+      val mismatches = df.select(
+          Text.shingles(col("t"), n).as("nat"),
+          Text.shinglesComposed(col("t"), n).as("ref"))
+        .filter(not(col("nat") <=> col("ref")))
+        .count()
+      assert(mismatches == 0, s"n=$n: $mismatches rows differ")
+    }
+  }
+
   test("quality score is within [0,1] and orders sensibly") {
     val df = Seq(
       ("good", ("meaningful document describing catalyst optimizer " +
