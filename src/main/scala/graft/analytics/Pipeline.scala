@@ -140,6 +140,44 @@ object Pipeline {
       |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q96 — frame sampling in the gate: every 2nd 64-byte window of
+  // each media blob becomes a row (the video-demux fan-out shape,
+  // Multimodal.sampleFrames), aggregated back per media. The oracle
+  // recomputes frame counts, the last sampled index, and total
+  // sampled bytes from octet_length alone — closed-form, no byte
+  // parsing — so the distributed flatMap slicer is gate-checked.
+  // ---------------------------------------------------------------------
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.syntheticMedia(t(s, dir, "documents")),
+        everyN = 2, frameBytes = 64)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("frame_no")).cast("long").as("last_frame"),
+        sum(length(col("frame_bytes"))).as("sampled_bytes"))
+      .orderBy(col("media_id"))
+
+  private val q96Sql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+      |    (CAST(octet_length(encode(text)) AS BIGINT) + 63) // 64
+      |      AS windows
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, nb, windows,
+      |    (windows + 1) // 2 AS n_frames
+      |  FROM m)
+      |SELECT media_id,
+      |  CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(2 * (n_frames - 1) AS BIGINT) AS last_frame,
+      |  CAST(64 * (n_frames - 1) +
+      |    CASE WHEN windows % 2 = 1 THEN nb - 64 * (windows - 1)
+      |         ELSE 64 END AS BIGINT) AS sampled_bytes
+      |FROM f
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q56 — SCD Type-2 dimension merge: a synthetic "day 2" snapshot of
   // customer (every key ending in 3 moves its balance; keys ending in
   // 4 re-arrive unchanged; a shifted-key cohort is brand new) applied
@@ -281,7 +319,8 @@ object Pipeline {
     "q56_scd2_merge" -> (q56 _),
     "q60_incremental_merge" -> (q60 _),
     "q75_scd2_snapshot" -> (q75 _),
-    "q89_wav_decode" -> (q89 _))
+    "q89_wav_decode" -> (q89 _),
+    "q96_frame_sampling" -> (q96 _))
 
   val oracle: Map[String, String] = Map(
     "q31_merge_upsert" -> q31Sql,
@@ -289,5 +328,6 @@ object Pipeline {
     "q56_scd2_merge" -> q56Sql,
     "q60_incremental_merge" -> q60Sql,
     "q75_scd2_snapshot" -> q75Sql,
-    "q89_wav_decode" -> q89Sql)
+    "q89_wav_decode" -> q89Sql,
+    "q96_frame_sampling" -> q96Sql)
 }

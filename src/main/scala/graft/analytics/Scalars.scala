@@ -192,6 +192,29 @@ object Scalars {
        |ORDER BY hour_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q95 — streaming tumbling windows in the gate: events replayed
+  // through the watermarked window() aggregate (sentinel-flushed
+  // AvailableNow lifecycle, the q53 machinery), values summed as e4
+  // fixed-point longs. Oracle: the equivalent batch hourly aggregate
+  // — streaming windowed state must reproduce batch truth.
+  // ---------------------------------------------------------------------
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.tumblingReplayFromParquet(
+        s, s"$dir/events.parquet", "1 hour")
+      .select(col("window_start").as("hour_start"), col("n_events"),
+        col("value_e4_total"))
+      .orderBy(col("hour_start"))
+
+  private val q95Sql =
+    """SELECT date_trunc('hour', ts) AS hour_start,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+      |    AS value_e4_total
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY hour_start""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q50 — spatial point-in-polygon join (J3, the municipality
   // enrichment inferred from the reference's all_trips schema):
   // customers get synthetic coordinates (q17's derived-coordinate
@@ -398,7 +421,8 @@ object Scalars {
     "q55_csv_roundtrip" -> (q55 _),
     "q64_spatial_grid" -> (q64 _),
     "q70_data_quality" -> (q70 _),
-    "q90_histogram" -> (q90 _))
+    "q90_histogram" -> (q90 _),
+    "q95_stream_tumbling" -> (q95 _))
 
   val oracle: Map[String, String] = Map(
     "q17_haversine" -> q17Sql,
@@ -411,5 +435,6 @@ object Scalars {
     "q55_csv_roundtrip" -> q55Sql,
     "q64_spatial_grid" -> q64Sql,
     "q70_data_quality" -> q70Sql,
-    "q90_histogram" -> q90Sql)
+    "q90_histogram" -> q90Sql,
+    "q95_stream_tumbling" -> q95Sql)
 }

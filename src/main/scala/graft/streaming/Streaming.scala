@@ -103,7 +103,42 @@ object Streaming {
     * Everything stays distributed: driver-side work is two temp dirs,
     * one symlink, and a one-row DataFrame write. */
   def sessionReplayFromParquet(spark: SparkSession, srcParquet: String,
-                               userCol: String, gap: String): DataFrame = {
+                               userCol: String, gap: String): DataFrame =
+    sentinelReplay(spark, srcParquet)(eSec =>
+      sessionStats(eSec, "ts_s", userCol, gap, "0 seconds"))
+      .filter(col(userCol) =!= -1L)
+
+  /** Bounded two-phase replay through a watermarked TUMBLING window
+    * (the streaming twin of q34, in the gate): same sentinel-flush
+    * machinery as [[sessionReplayFromParquet]]. Values are summed as
+    * e4 fixed-point longs so the windowed aggregate is exact and
+    * order-independent. Returns (window_start, n_events,
+    * value_e4_total) for every real window (the sentinel's own window
+    * is filtered on read-back). */
+  def tumblingReplayFromParquet(spark: SparkSession, srcParquet: String,
+                                window: String): DataFrame =
+    sentinelReplay(spark, srcParquet)(eSec =>
+      tumblingStats(
+        eSec.withColumn("value_e4",
+          round(col("value") * 10000).cast("long")),
+        "ts_s", "value_e4", window, "0 seconds"))
+      .filter(col("window_start") <
+        lit(new java.sql.Timestamp(4070908800L * 1000L))) // < 2099-01-01
+      .withColumnRenamed("value_total", "value_e4_total")
+
+  /** The sentinel-flush replay harness shared by the windowed
+    * streaming gate queries: stream the real parquet as micro-batch 1,
+    * a far-future sentinel row as micro-batch 2 (advancing the global
+    * watermark past every real window so append mode flushes them),
+    * drain with one AvailableNow lifecycle, and hand back the sink.
+    *
+    * The sentinel is a fixed 2100-01-01 row — no max-scan of the
+    * source needed, which also matters at 100 TB. A second restarted
+    * run (the reference's daily re-run) would behave identically via
+    * the checkpoint — StreamingSpec covers that resume path; one
+    * lifecycle halves the fixed streaming startup cost. */
+  private def sentinelReplay(spark: SparkSession, srcParquet: String)
+                            (aggStream: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     val in = Files.createTempDirectory("graft_stream_in")
     val out = Files.createTempDirectory("graft_stream_out")
@@ -112,9 +147,7 @@ object Streaming {
       Paths.get(srcParquet))
     val batch = spark.read.parquet(srcParquet)
 
-    // sentinel: one row far past any event time (fixed 2100-01-01 —
-    // no max-scan of the source needed, which also matters at 100 TB),
-    // schema-typed like the source (ts may be raw nanoseconds)
+    // sentinel typed like the source (ts may be raw nanoseconds)
     val isNs = batch.schema("ts").dataType ==
       org.apache.spark.sql.types.LongType
     val sentinelEpochS = 4102444800L // 2100-01-01T00:00:00Z
@@ -136,18 +169,14 @@ object Streaming {
     // the file source drains oldest-modification-time first, so the
     // real data (the symlink inherits the old target mtime) forms
     // micro-batch 1, the watermark advances on commit, and the
-    // sentinel's micro-batch 2 flushes every real session. A second
-    // restarted run (the reference's daily re-run) would behave
-    // identically via the checkpoint — StreamingSpec covers that
-    // resume path; here one lifecycle halves the fixed streaming
-    // startup cost.
+    // sentinel's micro-batch 2 flushes every real window.
     val e = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(in.toString)
     val eSec =
       e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
     withStatePartitions(spark) {
-      val q = sessionStats(eSec, "ts_s", userCol, gap, "0 seconds")
+      val q = aggStream(eSec)
         .writeStream.format("parquet")
         .option("path", out.toString)
         .option("checkpointLocation", ckpt.toString)
@@ -156,8 +185,7 @@ object Streaming {
         .start()
       q.awaitTermination()
     }
-
-    spark.read.parquet(out.toString).filter(col(userCol) =!= -1L)
+    spark.read.parquet(out.toString)
   }
 
   /** Run `body` (which starts and drains a stateful streaming query)
