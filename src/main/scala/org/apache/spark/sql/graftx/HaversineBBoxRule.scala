@@ -108,5 +108,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"md5_60 expects 1 argument, got ${children.length}")
         Md5Prefix60(children.head)
       }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"word_ngrams expects 2 arguments, got ${children.length}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(v, t) if t.isInstanceOf[org.apache.spark.sql.types
+              .DecimalType] => v.asInstanceOf[org.apache.spark.sql.types
+              .Decimal].toInt
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams(text, n): n must be an integer literal, got $other")
+        }
+        WordNgrams(children.head, n)
+      }))
   }
 }

@@ -57,6 +57,13 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("word_ngrams is registered as a SQL function and matches the " +
+       "Column API") {
+    val got = spark.sql(
+      "SELECT word_ngrams('a b c d', 2) AS g").as[Seq[String]].head()
+    assert(got == Seq("a b", "b c", "c d"))
+  }
+
   test("quality score is within [0,1] and orders sensibly") {
     val df = Seq(
       ("good", ("meaningful document describing catalyst optimizer " +
