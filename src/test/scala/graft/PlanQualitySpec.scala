@@ -202,6 +202,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashEx == 0, s"corpus must not shuffle, got $hashEx\n$p")
   }
 
+  test("q88: sequence packing — the only window is partitioned by " +
+       "bucket (never a global single-task ordering)") {
+    val p = plan("q88_pack_sequences")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q90: histogram — one broadcast bounds row; the corpus never " +
+       "hash-shuffles (bins-row aggregate only)") {
+    val p = plan("q90_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q91: forward as-of — single union+window pass, no range " +
+       "join, no cartesian") {
+    val p = plan("q91_asof_forward")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
   test("q92: PageRank — ranks broadcast into the edge scan (no " +
        "sort-merge join anywhere in the iteration chain)") {
     val p = plan("q92_pagerank")
