@@ -626,7 +626,57 @@ object Curation {
        |GROUP BY bucket, tokens_before // 240
        |ORDER BY bucket, bin_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q97 — per-source document cap (the per-domain quota of web-corpus
+  // curation): at most 20 docs per source, longest-first with doc_id
+  // as the unique tiebreaker, through the two-phase TopKPerKey custom
+  // plan — map-side bounded heaps mean the shuffle carries at most
+  // k·sources·partitions rows however large the corpus is. Oracle:
+  // the row_number window formulation, which must agree rank-for-rank
+  // under the same total order.
+  // ---------------------------------------------------------------------
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    Curate.capPerGroup(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("source"), Seq(("n_chars", true), ("doc_id", false)), k = 20)
+      .orderBy(col("source"), col("rank"))
+
+  private val q97Sql =
+    """SELECT doc_id, source, n_chars, rank FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rank
+      |  FROM documents)
+      |WHERE rank <= 20
+      |ORDER BY source, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q100 — regex scrub/redaction (the PII-masking shape): mask every
+  // vowel run, audit the per-row match count, and prove the masked
+  // strings identical on both engines via md5 — rewrite and count are
+  // codegen'd per-row expressions over one scan, zero shuffle.
+  // ---------------------------------------------------------------------
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    Curate.redact(docs(s, dir).select(col("doc_id"), col("text")),
+        "text", "[aeiou]+", "*")
+      .select(col("doc_id"), col("n_matches"),
+        length(col("text")).cast("long").as("masked_len"),
+        md5(col("text").cast("binary")).as("masked_md5"))
+      .orderBy(col("doc_id"))
+
+  private val q100Sql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+      |    AS n_matches,
+      |  CAST(length(regexp_replace(text, '[aeiou]+', '*', 'g'))
+      |    AS BIGINT) AS masked_len,
+      |  md5(regexp_replace(text, '[aeiou]+', '*', 'g')) AS masked_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_source_cap" -> (q97 _),
+    "q100_regex_scrub" -> (q100 _),
     "q71_weighted_sample" -> (q71 _),
     "q72_top_ngrams" -> (q72 _),
     "q73_span_dedup" -> (q73 _),
@@ -644,6 +694,8 @@ object Curation {
     "q88_pack_sequences" -> (q88 _))
 
   val oracle: Map[String, String] = Map(
+    "q97_source_cap" -> q97Sql,
+    "q100_regex_scrub" -> q100Sql,
     "q71_weighted_sample" -> q71Sql,
     "q72_top_ngrams" -> q72Sql,
     "q73_span_dedup" -> q73Sql,

@@ -401,6 +401,48 @@ object Scalars {
       .orderBy(col("c_mktsegment"))
   }
 
+  // ---------------------------------------------------------------------
+  // q98 — JSON-lines round-trip through the ingest boundary (the
+  // interchange format every crawl/annotation pipeline speaks): write
+  // documents to JSONL, read back under an ENFORCED schema (no
+  // inference pass — at scale schema inference is a full extra scan)
+  // with the PERMISSIVE rejects channel, aggregate. The oracle
+  // aggregates the parquet directly, so the gate proves JSON string
+  // escaping and integer serialization round-trip losslessly; the
+  // rejects count rides inside the plan as a 1-row broadcast.
+  // ---------------------------------------------------------------------
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Ingest
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_jsonl_roundtrip").toString
+    Ingest.writeJson(src, tmp)
+    val (clean, rejects) = Ingest.readJson(s, tmp, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("text", StringType))))
+    clean
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text")).cast("long")).as("text_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .crossJoin(broadcast(rejects.agg(count(lit(1)).as("n_rejects"))))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val q98Sql =
+    """SELECT lang, source, count(*) AS n,
+      |  CAST(sum(length(text)) AS BIGINT) AS text_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  CAST(0 AS BIGINT) AS n_rejects
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   private val q55Sql =
     s"""SELECT c_mktsegment, count(*) AS n,
        |  ${fixedSumSql("c_acctbal")} AS total_bal,
@@ -419,6 +461,7 @@ object Scalars {
     "q34_tumbling_window" -> (q34 _),
     "q50_spatial_join" -> (q50 _),
     "q55_csv_roundtrip" -> (q55 _),
+    "q98_jsonl_roundtrip" -> (q98 _),
     "q64_spatial_grid" -> (q64 _),
     "q70_data_quality" -> (q70 _),
     "q90_histogram" -> (q90 _),
@@ -433,6 +476,7 @@ object Scalars {
     "q34_tumbling_window" -> q34Sql,
     "q50_spatial_join" -> q50Sql,
     "q55_csv_roundtrip" -> q55Sql,
+    "q98_jsonl_roundtrip" -> q98Sql,
     "q64_spatial_grid" -> q64Sql,
     "q70_data_quality" -> q70Sql,
     "q90_histogram" -> q90Sql,

@@ -295,6 +295,33 @@ object Windowed {
       |ORDER BY user_id, session_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q99 — streaming dedup in the gate: events streamed TWICE through
+  // dropDuplicatesWithinWatermark (two micro-batches of the same
+  // file), so every event's second copy must be suppressed by the
+  // state store — the at-least-once ingestion dedup, previously
+  // spec-only. The oracle aggregates the events table once: if the
+  // streaming state failed to drop even one duplicate, every count
+  // and fixed-point sum would shift.
+  // ---------------------------------------------------------------------
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.dedupReplayFromParquet(
+        s, s"$dir/events.parquet", Seq("event_id"), "366 days")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 10000).cast("long")).as("value_e4_total"))
+      .orderBy(col("event_type"))
+
+  private val q99Sql =
+    """SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+      |    AS value_e4_total
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q61 — RANGE frame (value-based window, vs q12's ROWS frame): per
   // order, the trailing-30-day order count and exact revenue within
   // its priority class. RANGE frames are order-independent within
@@ -549,6 +576,7 @@ object Windowed {
     "q61_range_frame" -> (q61 _),
     "q63_stream_interval_join" -> (q63 _),
     "q85_stream_static_join" -> (q85 _),
+    "q99_stream_dedup" -> (q99 _),
     "q91_asof_forward" -> (q91 _),
     "q93_funnel" -> (q93 _),
     "q94_retention" -> (q94 _))
@@ -564,6 +592,7 @@ object Windowed {
     "q61_range_frame" -> q61Sql,
     "q63_stream_interval_join" -> q63Sql,
     "q85_stream_static_join" -> q85Sql,
+    "q99_stream_dedup" -> q99Sql,
     "q91_asof_forward" -> q91Sql,
     "q93_funnel" -> q93Sql,
     "q94_retention" -> q94Sql)

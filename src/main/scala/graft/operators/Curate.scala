@@ -242,4 +242,31 @@ object Curate {
         lit(totalK) * col("__p_e4").cast("double") * weightCol.cast("double"))
       .drop("__g", "__c", "__p_e4", "__s", "__u")
   }
+
+  /** Per-group cap (crawl curation: keep at most k documents per
+    * source/domain, best-first by `orderSpec` — the per-domain quota
+    * every web-corpus pipeline applies before training). Delegates to
+    * the two-phase [[org.apache.spark.sql.graftx.TopKPerKeyPlan]]
+    * custom plan: each map task keeps a bounded k-heap per group, so
+    * shuffle volume is ≤ k·groups·partitions rows regardless of corpus
+    * size — the `row_number().over(Window)` formulation would shuffle
+    * and sort EVERY row of every group. Output = input columns plus a
+    * 1-based `rank` identical to `row_number` under the same total
+    * order (orderSpec must be total — include a unique tiebreaker). */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String],
+                  orderSpec: Seq[(String, Boolean)], k: Int): DataFrame =
+    org.apache.spark.sql.graftx.TopKPerKeyPlan
+      .topK(df, groupCols, orderSpec, k, "rank")
+
+  /** Regex scrub/redaction pass (the PII-masking shape: mask every
+    * match of `pattern`, keep an audit count per row). Both the
+    * rewrite and the count are codegen'd per-row expressions over one
+    * scan — zero shuffle, embarrassingly parallel, the only shape a
+    * full-corpus scrub can afford at 100 TB. Returns the input with
+    * `textCol` masked in place plus a `n_matches` audit column. */
+  def redact(df: DataFrame, textCol: String, pattern: String,
+             repl: String): DataFrame =
+    df.withColumn("n_matches",
+        regexp_count(col(textCol), lit(pattern)).cast("long"))
+      .withColumn(textCol, regexp_replace(col(textCol), pattern, repl))
 }

@@ -86,6 +86,13 @@ object Ingest {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** JSON-lines sink — the interchange twin of [[readJson]]: one
+    * object per line, schema re-imposed by the reader (JSONL carries
+    * no schema; inferring one at read time would cost a full extra
+    * pass over the data at scale). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Small-file compaction — the table-maintenance twin of the
     * incremental merge: every micro-batch append ([[MergeByKey]]
     * scope-rewrites, streaming sinks) leaves small files behind, and

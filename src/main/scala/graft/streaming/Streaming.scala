@@ -85,6 +85,48 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Bounded streaming-dedup replay: the source parquet is streamed
+    * TWICE (two symlinks drained as separate micro-batches under
+    * `maxFilesPerTrigger=1`), so every key's second copy arrives
+    * against state populated by the first micro-batch and
+    * [[dedupWithinWatermark]] must suppress it through the state
+    * store — the at-least-once ingestion dedup an idempotent daily
+    * re-run needs (the reference replays its whole window daily,
+    * `lambda/trips_lambda.py:218-221`). `delay` must cover the
+    * replayed span so no real row is late-dropped here; in an
+    * unbounded production stream the same delay is exactly what
+    * bounds state size (keys older than watermark−delay are
+    * evicted). Returns the drained sink: the first-seen copy of every
+    * key, with a `ts_s` second-truncated event-time column added. */
+  def dedupReplayFromParquet(spark: SparkSession, srcParquet: String,
+                             keys: Seq[String], delay: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("graft_dedup_in")
+    val out = Files.createTempDirectory("graft_dedup_out")
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt")
+    Files.createSymbolicLink(in.resolve("batch1.parquet"),
+      Paths.get(srcParquet))
+    Files.createSymbolicLink(in.resolve("batch2.parquet"),
+      Paths.get(srcParquet))
+    val schema = spark.read.parquet(srcParquet).schema
+    val e = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    val eSec =
+      e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
+    withStatePartitions(spark) {
+      val q = dedupWithinWatermark(eSec, "ts_s", keys, delay)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out.toString)
+  }
+
   /** Bounded two-phase streaming replay of the events table through a
     * watermarked `session_window`, returning the finalized sessions —
     * Structured Streaming running inside the batch correctness gate.

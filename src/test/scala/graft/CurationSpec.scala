@@ -245,6 +245,33 @@ class CurationSpec extends AnyFunSuite {
     assert(r(3L) == 0L, "no query term ⇒ zero score")
   }
 
+  test("capPerGroup == the row_number window formulation, rank for " +
+       "rank, on tie-heavy data") {
+    val df = (1L to 400L)
+      .map(i => (i, s"src${i % 5}", i % 7)) // heavy order-key ties
+      .toDF("id", "src", "score")
+    val got = Curate.capPerGroup(df, Seq("src"),
+        Seq(("score", true), ("id", false)), k = 10)
+      .select("src", "id", "rank")
+      .as[(String, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("src", "id", "rank")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("redact masks every pattern match and counts them per row") {
+    val df = Seq((1L, "aaa bcd eee"), (2L, "xyz"), (3L, ""))
+      .toDF("id", "text")
+    val got = Curate.redact(df, "text", "[ae]+", "#")
+      .select("id", "text", "n_matches")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "# bcd #", 2L), (2L, "xyz", 0L), (3L, "", 0L)))
+  }
+
   test("bloom probe admits every true key (no false negatives) and " +
        "prunes most others") {
     val keys = spark.range(0, 2000).filter(col("id") % 2 === 0)

@@ -284,4 +284,20 @@ class PlanQualitySpec extends AnyFunSuite {
       .findFirstIn(qe).isDefined || qe.contains("HashAggregate(keys=[id_a"),
       qe)
   }
+
+  test("q97: per-source cap plans as the two-phase bounded-heap TopK, " +
+       "not a full-shuffle window") {
+    val p = plan("q97_source_cap")
+    assert(p.contains("TopKPartial") && p.contains("TopKFinal"), p)
+    // the window formulation would appear as WindowExec over a full
+    // row shuffle — the custom plan must have replaced it entirely
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("q100: regex scrub is a pure per-row scan — zero hash " +
+       "exchanges below the output sort") {
+    val p = plan("q100_regex_scrub")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
 }

@@ -90,6 +90,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 
+  test("JSONL round-trip under an enforced schema; corrupt lines " +
+       "land in rejects") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType)))
+    val src = Seq((1L, "plain"), (2L, "quotes \" and \\ slashes"),
+      (3L, "tabs\tand\nnewlines")).toDF("id", "txt")
+    Ingest.writeJson(src, s"$dir/out")
+    val (good, rejects) = Ingest.readJson(spark, s"$dir/out", schema)
+    assert(rejects.count() == 0)
+    // escaping must round-trip bit-for-bit, including the newline
+    assert(good.orderBy("id").as[(Long, String)].collect().toSeq ==
+      src.orderBy("id").as[(Long, String)].collect().toSeq)
+
+    Files.writeString(java.nio.file.Paths.get(s"$dir/bad.json"),
+      """{"id": 9, "txt": "fine"}""" + "\nnot json at all\n")
+    val (g2, r2) = Ingest.readJson(spark, s"$dir/bad.json", schema)
+    assert(g2.count() == 1 && r2.count() == 1)
+  }
+
   test("layout-policy writer partitions directories and keeps data") {
     val dir = Files.createTempDirectory("graft_layout").toString + "/t"
     val df = Seq((1L, "2024-01-01", "b1"), (2L, "2024-01-02", "b2"))

@@ -128,6 +128,22 @@ class StreamingSpec extends AnyFunSuite {
       Set("b1", "b2"))
   }
 
+  test("dedup replay (same file as two micro-batches) == batch " +
+       "distinct: state suppresses every second copy") {
+    import spark.implicits._
+    val got = Streaming.dedupReplayFromParquet(spark,
+      s"${TestSpark.sf001}/events.parquet", Seq("event_id"), "366 days")
+    val src = spark.read.parquet(s"${TestSpark.sf001}/events.parquet")
+    assert(got.count() == src.count(),
+      "sink must hold exactly one copy of every event")
+    assert(got.select("event_id").distinct().count() == src.count())
+    assert(got.agg(sum(round(col("value") * 10000).cast("long")))
+      .as[Long].head() ==
+      src.agg(sum(round(col("value") * 10000).cast("long")))
+        .as[Long].head(),
+      "fixed-point value total must match the single-copy source")
+  }
+
   test("foreachBatch merge stream converges to the batch " +
        "Incremental.run target (the daily upsert, live)") {
     val base = Files.createTempDirectory("graft_mergestream").toString
