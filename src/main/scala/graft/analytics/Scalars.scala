@@ -402,6 +402,38 @@ object Scalars {
   }
 
   // ---------------------------------------------------------------------
+  // q101 — order-independent table checksum (the migration audit op):
+  // per-source (count, bit_xor, modular-sum) over a portable 60-bit
+  // digest of each row's canonical serialization. The oracle computes
+  // the identical triple in DuckDB — the exact cross-engine
+  // comparison you run after any copy/merge/engine switch, and the
+  // cheapest full-fidelity one: a single scan, map-side-combined
+  // aggregates, one row per (source × task) on the wire.
+  // ---------------------------------------------------------------------
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate
+    Validate.tableChecksum(
+        t(s, dir, "documents"),
+        concat_ws("|", col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text")),
+        Seq(col("source")))
+      .orderBy(col("source"))
+  }
+
+  private val q101Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "concat_ws('|', doc_id, lang, source, n_chars, text)")
+    s"""WITH hashed AS (
+       |  SELECT source, $h AS h FROM documents)
+       |SELECT source, count(*) AS n,
+       |  bit_xor(h) AS xor_checksum,
+       |  CAST(sum(h % 1000003) AS BIGINT) AS sum_mod
+       |FROM hashed
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q98 — JSON-lines round-trip through the ingest boundary (the
   // interchange format every crawl/annotation pipeline speaks): write
   // documents to JSONL, read back under an ENFORCED schema (no
@@ -462,6 +494,7 @@ object Scalars {
     "q50_spatial_join" -> (q50 _),
     "q55_csv_roundtrip" -> (q55 _),
     "q98_jsonl_roundtrip" -> (q98 _),
+    "q101_table_checksum" -> (q101 _),
     "q64_spatial_grid" -> (q64 _),
     "q70_data_quality" -> (q70 _),
     "q90_histogram" -> (q90 _),
@@ -477,6 +510,7 @@ object Scalars {
     "q50_spatial_join" -> q50Sql,
     "q55_csv_roundtrip" -> q55Sql,
     "q98_jsonl_roundtrip" -> q98Sql,
+    "q101_table_checksum" -> q101Sql,
     "q64_spatial_grid" -> q64Sql,
     "q70_data_quality" -> q70Sql,
     "q90_histogram" -> q90Sql,

@@ -322,6 +322,64 @@ object Windowed {
       |ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q103 — CUSTOM STATE in the gate: the hand-rolled
+  // flatMapGroupsWithState sessionizer with an event-time timeout
+  // (Streaming.statefulSessions) replayed over events, checked
+  // against the SAME batch gaps-and-islands oracle as q53's built-in
+  // session_window — the two formulations must agree session for
+  // session, including every trailing session flushed by timer.
+  // ---------------------------------------------------------------------
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.statefulSessionReplayFromParquet(
+        s, s"$dir/events.parquet", gapSec = 1800L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  // ---------------------------------------------------------------------
+  // q102 — event-transition matrix (Markov bigram counts): per user,
+  // each event paired with its predecessor via ONE window pass (two
+  // lags share the same WindowExec), then a tiny (types × types)
+  // aggregate — the product-analytics path-analysis primitive. The
+  // window shuffle on user_id is the only corpus-sized exchange; the
+  // groupBy shuffles at most |types|² partial rows per task.
+  // ---------------------------------------------------------------------
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_s"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_s",
+        Exact.epochS(col("ts_s")) -
+          Exact.epochS(lag(col("ts_s"), 1).over(w)))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("gap_s_total"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  private val q102Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    date_trunc('second', ts) AS ts_s
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER w AS prev_type,
+      |    CAST(epoch(ts_s) AS BIGINT)
+      |      - CAST(epoch(lag(ts_s) OVER w) AS BIGINT) AS gap_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id
+      |                      ORDER BY ts_s, event_id))
+      |SELECT prev_type, event_type, count(*) AS n,
+      |  CAST(sum(gap_s) AS BIGINT) AS gap_s_total
+      |FROM p
+      |WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, event_type
+      |ORDER BY prev_type, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q61 — RANGE frame (value-based window, vs q12's ROWS frame): per
   // order, the trailing-30-day order count and exact revenue within
   // its priority class. RANGE frames are order-independent within
@@ -577,6 +635,8 @@ object Windowed {
     "q63_stream_interval_join" -> (q63 _),
     "q85_stream_static_join" -> (q85 _),
     "q99_stream_dedup" -> (q99 _),
+    "q102_transitions" -> (q102 _),
+    "q103_stateful_sessions" -> (q103 _),
     "q91_asof_forward" -> (q91 _),
     "q93_funnel" -> (q93 _),
     "q94_retention" -> (q94 _))
@@ -593,6 +653,8 @@ object Windowed {
     "q63_stream_interval_join" -> q63Sql,
     "q85_stream_static_join" -> q85Sql,
     "q99_stream_dedup" -> q99Sql,
+    "q102_transitions" -> q102Sql,
+    "q103_stateful_sessions" -> q53Sql, // must equal the built-in's oracle
     "q91_asof_forward" -> q91Sql,
     "q93_funnel" -> q93Sql,
     "q94_retention" -> q94Sql)

@@ -67,6 +67,28 @@ object Validate {
         col("min_e4"), col("max_e4"))
   }
 
+  /** Order-independent table checksum — the migration/integrity audit
+    * op: after any copy, merge, compaction, or engine switch, two
+    * sides agree iff their (count, xor, modular-sum) triples agree
+    * per group. The row digest is the portable 60-bit hash of a
+    * caller-built canonical serialization, so ANY engine (the DuckDB
+    * oracle, a second Spark cluster, the source warehouse) reproduces
+    * it bit-for-bit. `bit_xor` alone cancels duplicated row PAIRS;
+    * the modular sum catches exactly that case — together with the
+    * count they detect any single-row divergence.
+    *
+    * Scale: all three aggregates are commutative-associative, so they
+    * partial-aggregate map-side; the shuffle carries one row per
+    * (group × task). This is the cheapest full-fidelity comparison
+    * two 100 TB tables can have — no sort, no join, one scan each. */
+  def tableChecksum(df: DataFrame, rowKey: Column,
+                    groupCols: Seq[Column]): DataFrame =
+    df.withColumn("__h", graft.functions.PortableHash.hash60(rowKey))
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(__h)").as("xor_checksum"),
+        sum(col("__h") % lit(1000003L)).as("sum_mod"))
+
   /** (clean, rejects): rejects carry a `violated` column with the
     * names of every failed rule, comma-joined in rule order. */
   def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {

@@ -230,6 +230,93 @@ object Streaming {
     spark.read.parquet(out.toString)
   }
 
+  /** Open-session accumulator for [[statefulSessions]] (epoch
+    * seconds; pure integers so the fold is exact). */
+  case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Finalized session emitted by [[statefulSessions]]. */
+  case class SessionOut(user_id: Long,
+                        session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp,
+                        n_events: Long)
+
+  /** Hand-rolled sessionizer over `flatMapGroupsWithState` with an
+    * EVENT-TIME timeout — the custom-state formulation of
+    * [[sessionStats]]'s built-in `session_window` (same inclusive
+    * gap boundary: a gap of exactly `gapSec` continues the session).
+    * A session closes either inline (a new event arrives past the
+    * gap) or by timer (the watermark passes last+gap with no new
+    * event — Spark invokes the function for the timed-out key, the
+    * state is emitted and removed). State is O(1) per active key:
+    * (start, last, n), never the event history.
+    *
+    * This is the template for session logic `session_window` cannot
+    * express (per-key dynamic gaps, emit-on-update, enrichment
+    * carried in state) — gate-checked against the same batch
+    * gaps-and-islands oracle as the built-in. */
+  def statefulSessions(eSec: DataFrame, gapSec: Long)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.{Dataset, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val pairEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.TIMESTAMP)
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    val typed: Dataset[(Long, java.sql.Timestamp)] = eSec
+      .withWatermark("ts_s", "0 seconds")
+      .select(col("user_id").cast("long"), col("ts_s"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          def close(s: SessionState) = SessionOut(user,
+            new java.sql.Timestamp(s.start * 1000),
+            new java.sql.Timestamp((s.last + gapSec) * 1000), s.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close)
+            state.remove()
+            out.iterator
+          } else {
+            // one micro-batch may deliver a key's events unsorted
+            val sorted = rows.map(_._2.getTime / 1000).toSeq.sorted
+            var st = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { ts =>
+              st match {
+                case None => st = Some(SessionState(ts, ts, 1L))
+                case Some(s) if ts - s.last > gapSec =>
+                  out += close(s)
+                  st = Some(SessionState(ts, ts, 1L))
+                case Some(s) =>
+                  st = Some(s.copy(last = math.max(s.last, ts), n = s.n + 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // fires once the watermark passes the session's gap edge
+              state.setTimeoutTimestamp((s.last + gapSec) * 1000 + 1)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Bounded replay of the events table through [[statefulSessions]]:
+    * same sentinel-flush harness as the windowed gates — the
+    * sentinel's 2100 timestamp advances the watermark past every real
+    * session's timeout timer, so the no-data batch after it fires all
+    * timers and flushes every trailing session. The sentinel's own
+    * key (-1) never times out and is filtered on read-back. */
+  def statefulSessionReplayFromParquet(spark: SparkSession,
+                                       srcParquet: String,
+                                       gapSec: Long): DataFrame =
+    sentinelReplay(spark, srcParquet)(eSec =>
+      statefulSessions(eSec, gapSec).toDF())
+      .filter(col("user_id") =!= -1L)
+
   /** Run `body` (which starts and drains a stateful streaming query)
     * with a reduced shuffle-partition count: each state partition is
     * a state store with per-micro-batch checkpoint files, so a

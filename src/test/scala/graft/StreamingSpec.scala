@@ -128,6 +128,20 @@ class StreamingSpec extends AnyFunSuite {
       Set("b1", "b2"))
   }
 
+  test("custom-state flatMapGroupsWithState sessionizer == built-in " +
+       "session_window replay, session for session") {
+    val cols = Seq("user_id", "session_start", "session_end", "n_events")
+    val a = Streaming.statefulSessionReplayFromParquet(spark,
+        s"${TestSpark.sf001}/events.parquet", gapSec = 1800L)
+      .select(cols.map(col): _*)
+    val b = Streaming.sessionReplayFromParquet(spark,
+        s"${TestSpark.sf001}/events.parquet", "user_id", "30 minutes")
+      .select(cols.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "the two session formulations must produce identical rows")
+    assert(a.count() > 0)
+  }
+
   test("dedup replay (same file as two micro-batches) == batch " +
        "distinct: state suppresses every second copy") {
     import spark.implicits._

@@ -61,4 +61,27 @@ class ValidateSpec extends AnyFunSuite {
       assert(mn >= lo && mx < lo + 25001L)
     }
   }
+
+  test("tableChecksum: layout-invariant; detects a single changed " +
+       "row; modular sum catches what xor cancels") {
+    def ck(d: org.apache.spark.sql.DataFrame) =
+      Validate.tableChecksum(d,
+          concat_ws("|", col("id"), col("s")), Seq(col("g")))
+        .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    val base = Seq((1L, "a", "g1"), (2L, "b", "g1"), (3L, "c", "g2"))
+      .toDF("id", "s", "g")
+    assert(ck(base) == ck(base.repartition(7).sortWithinPartitions("s")),
+      "checksum must not depend on partitioning or row order")
+    val edited = Seq((1L, "a", "g1"), (2L, "B", "g1"), (3L, "c", "g2"))
+      .toDF("id", "s", "g")
+    assert(ck(base) != ck(edited), "one changed row must change the triple")
+    // a row duplicated twice xor-cancels back to the ORIGINAL xor —
+    // count and modular sum must still flag the divergence
+    val duped = base.union(Seq((2L, "b", "g1"), (2L, "b", "g1"))
+      .toDF("id", "s", "g"))
+    val (b1, d1) = (ck(base).head, ck(duped).head)
+    assert(d1._3 == b1._3, "xor alone is blind to a duplicated pair")
+    assert(d1._2 != b1._2 && d1._4 != b1._4,
+      "count and modular sum must catch the duplicated pair")
+  }
 }
