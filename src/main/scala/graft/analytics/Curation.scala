@@ -651,6 +651,35 @@ object Curation {
       |ORDER BY source, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q104 — class-balanced uniform downsample: exactly 10 docs per
+  // language, uniformly without replacement (rank over a
+  // deterministic per-row hash — a random permutation both engines
+  // reproduce), through the same bounded-heap TopKPerKey plan as
+  // q97. The class-rebalancing primitive: cap over-represented
+  // languages at a fixed per-class budget.
+  // ---------------------------------------------------------------------
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    Curate.balancedSample(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        Seq("lang"), "doc_id", k = 10)
+      .drop("__u")
+      .orderBy(col("lang"), col("rank"))
+
+  private val q104Sql =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    ${h60Duck("'bs:' || CAST(doc_id AS VARCHAR)")} AS u
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id)
+       |      AS rank
+       |  FROM h)
+       |SELECT doc_id, lang, rank FROM r
+       |WHERE rank <= 10
+       |ORDER BY lang, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q100 — regex scrub/redaction (the PII-masking shape): mask every
   // vowel run, audit the per-row match count, and prove the masked
   // strings identical on both engines via md5 — rewrite and count are
@@ -677,6 +706,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_source_cap" -> (q97 _),
     "q100_regex_scrub" -> (q100 _),
+    "q104_balanced_sample" -> (q104 _),
     "q71_weighted_sample" -> (q71 _),
     "q72_top_ngrams" -> (q72 _),
     "q73_span_dedup" -> (q73 _),
@@ -696,6 +726,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q97_source_cap" -> q97Sql,
     "q100_regex_scrub" -> q100Sql,
+    "q104_balanced_sample" -> q104Sql,
     "q71_weighted_sample" -> q71Sql,
     "q72_top_ngrams" -> q72Sql,
     "q73_span_dedup" -> q73Sql,

@@ -434,6 +434,35 @@ object Scalars {
   }
 
   // ---------------------------------------------------------------------
+  // q105 — exact distributed moments (profiling at 100 TB without a
+  // float-drift or overflow cliff): per event type, (n, Σv, Σv²) with
+  // the second moment as DECIMAL(38,0) — a BIGINT sum of squares
+  // silently wraps around ~10⁶ mid-sized rows; 128-bit decimal is the
+  // price of exactness, paid only in the accumulator. Emitted as a
+  // string so both engines hash the identical digits; mean/variance
+  // derive at the edge in one float step.
+  // ---------------------------------------------------------------------
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate
+    Validate.momentsExact(t(s, dir, "events"), col("value"),
+        Seq(col("event_type")))
+      .select(col("event_type"), col("n"), col("sum_e4"),
+        col("sumsq_e8").cast("string").as("sumsq_e8"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q105Sql =
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(v) AS BIGINT) AS sum_e4,
+      |  CAST(sum(CAST(v AS HUGEINT) * v) AS VARCHAR) AS sumsq_e8
+      |FROM v
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q98 — JSON-lines round-trip through the ingest boundary (the
   // interchange format every crawl/annotation pipeline speaks): write
   // documents to JSONL, read back under an ENFORCED schema (no
@@ -495,6 +524,7 @@ object Scalars {
     "q55_csv_roundtrip" -> (q55 _),
     "q98_jsonl_roundtrip" -> (q98 _),
     "q101_table_checksum" -> (q101 _),
+    "q105_moments_exact" -> (q105 _),
     "q64_spatial_grid" -> (q64 _),
     "q70_data_quality" -> (q70 _),
     "q90_histogram" -> (q90 _),
@@ -511,6 +541,7 @@ object Scalars {
     "q55_csv_roundtrip" -> q55Sql,
     "q98_jsonl_roundtrip" -> q98Sql,
     "q101_table_checksum" -> q101Sql,
+    "q105_moments_exact" -> q105Sql,
     "q64_spatial_grid" -> q64Sql,
     "q70_data_quality" -> q70Sql,
     "q90_histogram" -> q90Sql,

@@ -258,6 +258,24 @@ object Curate {
     org.apache.spark.sql.graftx.TopKPerKeyPlan
       .topK(df, groupCols, orderSpec, k, "rank")
 
+  /** Class-balanced uniform downsample: exactly min(k, |group|) rows
+    * per group, chosen uniformly WITHOUT replacement — order by a
+    * deterministic per-row hash and keep the k smallest (a hash of a
+    * unique key is a random permutation, so rank ≤ k is a uniform
+    * k-subset, reproducible on any engine or layout). The class-
+    * rebalancing primitive (cap the over-represented language/source/
+    * label classes); contrast [[weightedSample]], which controls the
+    * EXPECTED count but not per-group exactness. Same bounded-heap
+    * TopKPerKey plan as [[capPerGroup]] — shuffle ≤ k·groups·
+    * partitions rows. Output keeps the `__u` hash and `rank` columns
+    * (droppable by the caller). */
+  def balancedSample(df: DataFrame, groupCols: Seq[String],
+                     keyCol: String, k: Int): DataFrame =
+    capPerGroup(
+      df.withColumn("__u",
+        PortableHash.hash60(concat(lit("bs:"), col(keyCol).cast("string")))),
+      groupCols, Seq(("__u", false), (keyCol, false)), k)
+
   /** Regex scrub/redaction pass (the PII-masking shape: mask every
     * match of `pattern`, keep an audit count per row). Both the
     * rewrite and the count are codegen'd per-row expressions over one

@@ -89,6 +89,28 @@ object Validate {
         expr("bit_xor(__h)").as("xor_checksum"),
         sum(col("__h") % lit(1000003L)).as("sum_mod"))
 
+  /** Exact distributed moments — the mean/variance/stddev profiling
+    * op with NO float drift and NO overflow cliff: values are e4
+    * fixed-point BIGINTs, the second moment accumulates as
+    * DECIMAL(38,0) (128-bit — a 9.2e18 BIGINT sum-of-squares would
+    * overflow silently near ~10⁶ rows of mid-size values; at 100 TB
+    * that is a certainty, and Spark long arithmetic wraps rather
+    * than errors). Both sums are commutative-associative, so they
+    * partial-aggregate map-side and the result is identical on any
+    * engine, partitioning, or row order — derive mean/variance from
+    * (n, sum_e4, sumsq_e8) at the edge, in one float step, where
+    * drift can no longer compound. */
+  def momentsExact(df: DataFrame, valueCol: Column,
+                   groupCols: Seq[Column]): DataFrame = {
+    val e4 = round(valueCol * 10000).cast("long")
+    df.withColumn("__v", e4)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v")).as("sum_e4"),
+        sum(col("__v").cast("decimal(38,0)") *
+          col("__v").cast("decimal(38,0)")).as("sumsq_e8"))
+  }
+
   /** (clean, rejects): rejects carry a `violated` column with the
     * names of every failed rule, comma-joined in rule order. */
   def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {

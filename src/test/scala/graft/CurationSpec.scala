@@ -263,6 +263,21 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("balancedSample: exactly min(k, |class|) per class, " +
+       "deterministic, and a different k is a prefix of the same " +
+       "permutation") {
+    val df = ((1L to 300L).map(i => (i, "big")) ++
+      (301L to 306L).map(i => (i, "small"))).toDF("id", "cls")
+    def sample(k: Int) = Curate.balancedSample(df, Seq("cls"), "id", k)
+      .select("cls", "id").as[(String, Long)].collect().toSet
+    val s10 = sample(10)
+    assert(s10.count(_._1 == "big") == 10)
+    assert(s10.count(_._1 == "small") == 6, "small class kept whole")
+    assert(sample(10) == s10, "resampling must select identical rows")
+    assert(sample(5).subsetOf(s10),
+      "k=5 must be a prefix of the k=10 hash permutation")
+  }
+
   test("redact masks every pattern match and counts them per row") {
     val df = Seq((1L, "aaa bcd eee"), (2L, "xyz"), (3L, ""))
       .toDF("id", "text")

@@ -62,6 +62,21 @@ class ValidateSpec extends AnyFunSuite {
     }
   }
 
+  test("momentsExact: second moment survives where a BIGINT " +
+       "accumulator would overflow") {
+    // 200 rows of value 3e5 -> v=3e9 e4-units, v^2=9e18 > Long.Max:
+    // TWO rows already wrap a long accumulator
+    val big = Seq.fill(200)(300000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val r = Validate.momentsExact(big, col("v"), Seq(lit(1).as("g")))
+      .select(col("n"), col("sum_e4"), col("sumsq_e8").cast("string"))
+      .as[(Long, Long, String)].head()
+    val v = BigInt(3000000000L)
+    assert(r._1 == 200L && r._2 == 200L * 3000000000L)
+    assert(BigInt(r._3) == v * v * 200,
+      s"exact 128-bit sum of squares expected, got ${r._3}")
+  }
+
   test("tableChecksum: layout-invariant; detects a single changed " +
        "row; modular sum catches what xor cancels") {
     def ck(d: org.apache.spark.sql.DataFrame) =
