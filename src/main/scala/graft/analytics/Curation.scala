@@ -651,6 +651,46 @@ object Curation {
       |ORDER BY source, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q107 — per-class heavy hitters: top-3 word 3-grams per language
+  // by document frequency. q72's global TakeOrdered cannot express a
+  // per-group limit; the TopKPerKey plan runs on the AGGREGATED
+  // (lang, shingle, df) rows — partial heaps on the agg output, one
+  // bounded exchange on lang — so neither the corpus nor the full
+  // n-gram vocabulary ever sorts globally.
+  // ---------------------------------------------------------------------
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    Curate.capPerGroup(
+        docs(s, dir)
+          .select(col("lang"), col("doc_id"),
+            explode(array_distinct(Text.shingles(col("text"), 3)))
+              .as("shingle"))
+          .groupBy(col("lang"), col("shingle"))
+          .agg(count(lit(1)).as("df")),
+        Seq("lang"), Seq(("df", true), ("shingle", false)), k = 3)
+      .orderBy(col("lang"), col("rank"))
+
+  private val q107Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents),
+      |shing AS (
+      |  SELECT DISTINCT doc_id, lang,
+      |    unnest(list_transform(range(len(w) - 2),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      |  FROM toks WHERE len(w) >= 3),
+      |df AS (
+      |  SELECT lang, shingle, count(*) AS df
+      |  FROM shing GROUP BY lang, shingle)
+      |SELECT lang, shingle, df, rank FROM (
+      |  SELECT lang, shingle, df,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY df DESC, shingle) AS rank
+      |  FROM df)
+      |WHERE rank <= 3
+      |ORDER BY lang, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q104 — class-balanced uniform downsample: exactly 10 docs per
   // language, uniformly without replacement (rank over a
   // deterministic per-row hash — a random permutation both engines
@@ -707,6 +747,7 @@ object Curation {
     "q97_source_cap" -> (q97 _),
     "q100_regex_scrub" -> (q100 _),
     "q104_balanced_sample" -> (q104 _),
+    "q107_group_ngrams" -> (q107 _),
     "q71_weighted_sample" -> (q71 _),
     "q72_top_ngrams" -> (q72 _),
     "q73_span_dedup" -> (q73 _),
@@ -727,6 +768,7 @@ object Curation {
     "q97_source_cap" -> q97Sql,
     "q100_regex_scrub" -> q100Sql,
     "q104_balanced_sample" -> q104Sql,
+    "q107_group_ngrams" -> q107Sql,
     "q71_weighted_sample" -> q71Sql,
     "q72_top_ngrams" -> q72Sql,
     "q73_span_dedup" -> q73Sql,

@@ -337,6 +337,52 @@ object Windowed {
       .orderBy(col("user_id"), col("session_start"))
 
   // ---------------------------------------------------------------------
+  // q106 — interval-overlap temporal join with NO equality key:
+  // error intervals [ts, ts+round(value) s] overlapped against click
+  // intervals across ALL users, via the bucket-grid operator — a
+  // hash equi-join on 600 s buckets with each pair emitted exactly
+  // once, where the naive theta join could only plan nested-loop.
+  // The oracle IS that naive theta join (DuckDB IEJoins it), so the
+  // gate proves the grid loses no pair, duplicates no pair, and
+  // keeps zero-length touches. Reduced to per-day overlap counts and
+  // exact total overlap seconds.
+  // ---------------------------------------------------------------------
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_id"), col("event_type"),
+      Exact.epochS(col("ts_s")).as("s"),
+      (Exact.epochS(col("ts_s")) +
+        round(col("value")).cast("long")).as("e2"))
+    def side(t: String, p: String) = e.filter(col("event_type") === t)
+      .select(col("event_id").as(s"${p}_id"), col("s").as(s"${p}_start"),
+        col("e2").as(s"${p}_end"))
+    graft.operators.RangeJoin.intervalOverlap(
+        side("error", "l"), side("click", "r"), bucketSec = 600L)
+      .groupBy(expr("l_start div 86400").as("day_idx"))
+      .agg(count(lit(1)).as("n"),
+        sum(least(col("l_end"), col("r_end")) -
+          greatest(col("l_start"), col("r_start"))).as("overlap_s_total"))
+      .orderBy(col("day_idx"))
+  }
+
+  private val q106Sql =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+      |      + CAST(round(value) AS BIGINT) AS e2
+      |  FROM events),
+      |l AS (SELECT event_id AS l_id, s AS l_start, e2 AS l_end
+      |      FROM e WHERE event_type = 'error'),
+      |r AS (SELECT event_id AS r_id, s AS r_start, e2 AS r_end
+      |      FROM e WHERE event_type = 'click')
+      |SELECT l_start // 86400 AS day_idx, count(*) AS n,
+      |  CAST(sum(least(l_end, r_end) - greatest(l_start, r_start))
+      |    AS BIGINT) AS overlap_s_total
+      |FROM l JOIN r ON l_start <= r_end AND r_start <= l_end
+      |GROUP BY 1
+      |ORDER BY day_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q102 — event-transition matrix (Markov bigram counts): per user,
   // each event paired with its predecessor via ONE window pass (two
   // lags share the same WindowExec), then a tiny (types × types)
@@ -637,6 +683,7 @@ object Windowed {
     "q99_stream_dedup" -> (q99 _),
     "q102_transitions" -> (q102 _),
     "q103_stateful_sessions" -> (q103 _),
+    "q106_interval_overlap" -> (q106 _),
     "q91_asof_forward" -> (q91 _),
     "q93_funnel" -> (q93 _),
     "q94_retention" -> (q94 _))
@@ -655,6 +702,7 @@ object Windowed {
     "q99_stream_dedup" -> q99Sql,
     "q102_transitions" -> q102Sql,
     "q103_stateful_sessions" -> q53Sql, // must equal the built-in's oracle
+    "q106_interval_overlap" -> q106Sql,
     "q91_asof_forward" -> q91Sql,
     "q93_funnel" -> q93Sql,
     "q94_retention" -> q94Sql)

@@ -37,4 +37,35 @@ object RangeJoin {
         col(rightTs) <= col(leftTs) + maxDeltaS)
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join with no equality key — the temporal join
+    * (SCD2 validity intersection, concurrent-session detection,
+    * error/click co-occurrence). The naive formulation is a pure
+    * theta join: Spark can only plan it as a nested-loop cross
+    * product, O(n·m) at any scale. This operator imposes the standard
+    * grid: each interval explodes into the `bucketSec`-wide buckets
+    * it covers, the join runs as a hash equi-join on bucket, and a
+    * qualifying pair is emitted EXACTLY once — in the bucket holding
+    * the later of the two starts (every overlapping pair shares that
+    * bucket, and only that one is kept) — so no post-join distinct is
+    * needed. Cost: O(candidates per bucket), AQE-splittable on the
+    * bucket key; size `bucketSec` near the typical interval length so
+    * explosion stays O(1) per row.
+    *
+    * Inputs carry epoch-second long columns `l_start`/`l_end` and
+    * `r_start`/`r_end` (inclusive bounds; touching intervals overlap
+    * with zero duration). Other column names must not clash. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"bucketSec=$bucketSec must be > 0")
+    val lb = left.withColumn("__b", explode(sequence(
+      expr(s"l_start div $bucketSec"), expr(s"l_end div $bucketSec"))))
+    val rb = right.withColumn("__rb", explode(sequence(
+      expr(s"r_start div $bucketSec"), expr(s"r_end div $bucketSec"))))
+    lb.join(rb,
+        col("__b") === col("__rb") &&
+        col("l_start") <= col("r_end") && col("r_start") <= col("l_end") &&
+        col("__b") === expr(s"greatest(l_start, r_start) div $bucketSec"))
+      .drop("__b", "__rb")
+  }
 }

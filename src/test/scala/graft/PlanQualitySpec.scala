@@ -294,6 +294,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("WindowExec"), p)
   }
 
+  test("q106: interval overlap joins on the bucket grid — hash join, " +
+       "never a nested-loop cross product") {
+    val p = plan("q106_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("q100: regex scrub is a pure per-row scan — zero hash " +
        "exchanges below the output sort") {
     val p = plan("q100_regex_scrub")

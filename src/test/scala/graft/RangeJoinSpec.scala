@@ -50,4 +50,29 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("eid", "cid").as[(Long, Long)].collect().toSet
     assert(bucketed == naive && bucketed.nonEmpty)
   }
+
+  test("intervalOverlap: exactly-once emission across bucket spans, " +
+       "zero-length touches kept, equals the naive theta join") {
+    val l = Seq(
+      (1L, 100L, 250L),    // spans buckets 1..2 (w=100)
+      (2L, 900L, 905L),
+      (3L, 5000L, 5010L))  // no partner
+      .toDF("l_id", "l_start", "l_end")
+    val r = Seq(
+      (10L, 120L, 380L),  // overlaps #1 across a bucket boundary
+      (11L, 250L, 260L),  // touches #1 at a single point (0-length)
+      (12L, 906L, 950L),  // gap of 1s to #2: NOT an overlap
+      (13L, 0L, 9999L))   // spans everything: overlaps all three
+      .toDF("r_id", "r_start", "r_end")
+    val got = RangeJoin.intervalOverlap(l, r, bucketSec = 100L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toList
+    assert(got.size == got.toSet.size, s"pair emitted twice: $got")
+    val naive = l.crossJoin(r)
+      .filter(col("l_start") <= col("r_end") &&
+        col("r_start") <= col("l_end"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got.toSet == naive)
+    assert(naive == Set((1L, 10L), (1L, 11L), (1L, 13L), (2L, 13L),
+      (3L, 13L)))
+  }
 }
