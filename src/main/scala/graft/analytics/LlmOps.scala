@@ -807,7 +807,45 @@ object LlmOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q108 — blocked record linkage: candidate pairs only within the
+  // blocking key (source, n_chars div 100 — the cheap invariant), then
+  // Levenshtein on a 60-char prefix, pairs kept under a distance cap
+  // and reduced per source. The oracle is the identical blocked
+  // self-join in DuckDB — both engines implement classic Levenshtein,
+  // and the gate proves it. All-pairs would be O(n²); blocking bounds
+  // the work at Σ C(block,2), the entity-resolution discipline.
+  // ---------------------------------------------------------------------
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockedEditDistance(docs(s, dir), "doc_id", "text",
+        Seq(col("source"), expr("n_chars div 100")),
+        prefixLen = 60, maxDist = 40)
+      .groupBy(col("__bk0").as("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("dist")).cast("long").as("min_dist"),
+        sum(col("dist")).cast("long").as("dist_total"))
+      .orderBy(col("source"))
+
+  private val q108Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars // 100 AS lb,
+      |    substring(text, 1, 60) AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.source, levenshtein(a.t, b.t) AS dist
+      |  FROM d a JOIN d b
+      |    ON a.source = b.source AND a.lb = b.lb
+      |   AND a.doc_id < b.doc_id)
+      |SELECT source, count(*) AS n_pairs,
+      |  CAST(min(dist) AS BIGINT) AS min_dist,
+      |  CAST(sum(dist) AS BIGINT) AS dist_total
+      |FROM pairs
+      |WHERE dist <= 40
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_record_linkage" -> (q108 _),
     "q65_repetition" -> (q65 _),
     "q66_tfidf_keywords" -> (q66 _),
     "q67_decontaminate" -> (q67 _),
@@ -829,6 +867,7 @@ object LlmOps {
     "q59_quality_bins" -> (q59 _))
 
   val oracle: Map[String, String] = Map(
+    "q108_record_linkage" -> q108Sql,
     "q21_dedup_exact" -> q21Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q23_dedup_jaccard" -> q23Sql,

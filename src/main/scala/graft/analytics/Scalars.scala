@@ -434,6 +434,43 @@ object Scalars {
   }
 
   // ---------------------------------------------------------------------
+  // q109 — schema evolution at the scan: two parquet batches with
+  // DIFFERENT schemas (v2 adds n_chars) read as one table via
+  // mergeSchema; v1 rows surface the new column as NULL. This is the
+  // drifting-producer reality of any long-lived lake — the gate
+  // proves merged-read semantics (counts split by schema version,
+  // null-filled sum) against the single-schema source of truth. At
+  // scale you pin the merged schema in a catalog instead of paying
+  // footer-merge on every read; the read semantics are identical.
+  // ---------------------------------------------------------------------
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_schema_evo").toString
+    d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        count(col("n_chars")).as("n_v2"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("chars_v2"))
+      .orderBy(col("lang"))
+  }
+
+  private val q109Sql =
+    """SELECT lang, count(*) AS n,
+      |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_v2,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+      |    AS BIGINT) AS chars_v2
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q105 — exact distributed moments (profiling at 100 TB without a
   // float-drift or overflow cliff): per event type, (n, Σv, Σv²) with
   // the second moment as DECIMAL(38,0) — a BIGINT sum of squares
@@ -525,6 +562,7 @@ object Scalars {
     "q98_jsonl_roundtrip" -> (q98 _),
     "q101_table_checksum" -> (q101 _),
     "q105_moments_exact" -> (q105 _),
+    "q109_schema_evolution" -> (q109 _),
     "q64_spatial_grid" -> (q64 _),
     "q70_data_quality" -> (q70 _),
     "q90_histogram" -> (q90 _),
@@ -542,6 +580,7 @@ object Scalars {
     "q98_jsonl_roundtrip" -> q98Sql,
     "q101_table_checksum" -> q101Sql,
     "q105_moments_exact" -> q105Sql,
+    "q109_schema_evolution" -> q109Sql,
     "q64_spatial_grid" -> q64Sql,
     "q70_data_quality" -> q70Sql,
     "q90_histogram" -> q90Sql,

@@ -26,6 +26,35 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Blocked record-linkage join — the entity-resolution primitive:
+    * candidate pairs are generated ONLY within a blocking key (the
+    * caller's cheap invariant: same source + similar length, same
+    * normalized name initial, …), then scored by edit distance on a
+    * bounded prefix. All-pairs comparison is O(n²) and impossible at
+    * corpus scale; blocking bounds work at Σ C(block,2), and the
+    * prefix cap bounds the per-pair Levenshtein DP at O(prefix²).
+    * Pairs are ordered (idCol_a < idCol_b) so each is emitted once.
+    *
+    * Returns (id_a, id_b, block cols…, dist). */
+  def blockedEditDistance(docs: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[Column], prefixLen: Int,
+                          maxDist: Int): DataFrame = {
+    val names = blockCols.indices.map(i => s"__bk$i")
+    val a = docs.select(
+      (blockCols.zip(names).map { case (c, n) => c.as(n) }) ++
+        Seq(col(idCol).as("id_a"),
+          substring(col(textCol), 1, prefixLen).as("__ta")): _*)
+    val b = docs.select(
+      (blockCols.zip(names).map { case (c, n) => c.as(n) }) ++
+        Seq(col(idCol).as("id_b"),
+          substring(col(textCol), 1, prefixLen).as("__tb")): _*)
+    a.join(b, names)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("dist") <= maxDist)
+      .drop("__ta", "__tb")
+  }
+
   /** Exact dedup: one representative row (min of `idCol`) per distinct
     * value of `keyCols`, plus the duplicate count. */
   def exact(df: DataFrame, keyCols: Seq[Column], idCol: Column): DataFrame =

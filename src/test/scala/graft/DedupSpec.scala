@@ -120,4 +120,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
       .toSet == Set((1L, 2L)))
   }
+
+  test("blockedEditDistance: pairs only within the block, emitted " +
+       "once, scored by prefix Levenshtein") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "hello world"),
+      (2L, "s1", "hello warld"),  // dist 1 from #1, same block
+      (3L, "s2", "hello world"),  // identical text, DIFFERENT block
+      (4L, "s1", "zzzzzzzzzzz"))  // same block, far from #1/#2
+      .toDF("doc_id", "src", "text")
+    val out = graft.operators.Dedup.blockedEditDistance(
+        docs, "doc_id", "text", Seq(col("src")),
+        prefixLen = 60, maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 1L)),
+      s"only the in-block near pair qualifies, got $out")
+  }
 }
