@@ -809,7 +809,7 @@ object LlmOps {
 
   // ---------------------------------------------------------------------
   // q108 — blocked record linkage: candidate pairs only within the
-  // blocking key (source, n_chars div 100 — the cheap invariant), then
+  // blocking key (source, n_chars div 25 — the cheap invariant), then
   // Levenshtein on a 60-char prefix, pairs kept under a distance cap
   // and reduced per source. The oracle is the identical blocked
   // self-join in DuckDB — both engines implement classic Levenshtein,
@@ -818,7 +818,7 @@ object LlmOps {
   // ---------------------------------------------------------------------
   private def q108(s: SparkSession, dir: String): DataFrame =
     Dedup.blockedEditDistance(docs(s, dir), "doc_id", "text",
-        Seq(col("source"), expr("n_chars div 100")),
+        Seq(col("source"), expr("n_chars div 25")),
         prefixLen = 60, maxDist = 40)
       .groupBy(col("__bk0").as("source"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -828,7 +828,7 @@ object LlmOps {
 
   private val q108Sql =
     """WITH d AS (
-      |  SELECT doc_id, source, n_chars // 100 AS lb,
+      |  SELECT doc_id, source, n_chars // 25 AS lb,
       |    substring(text, 1, 60) AS t
       |  FROM documents),
       |pairs AS (

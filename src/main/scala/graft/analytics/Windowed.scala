@@ -337,6 +337,34 @@ object Windowed {
       .orderBy(col("user_id"), col("session_start"))
 
   // ---------------------------------------------------------------------
+  // q110 — the foreachBatch → keyed-merge sink in the gate: events
+  // replayed as TWO identical micro-batches, each recomputing the
+  // per-user aggregate and upserting it into the parquet target (the
+  // reference's daily ON-CONFLICT run, live). The second batch must
+  // leave the target exactly where the first did — idempotent re-run
+  // — so the final target equals the batch truth over ONE copy,
+  // which is precisely what the oracle computes.
+  // ---------------------------------------------------------------------
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.upsertReplayFromParquet(
+        s, s"$dir/events.parquet", Seq("user_id"),
+        batch => batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 10000).cast("long"))
+              .as("value_e4_total"),
+            max(col("ts_s")).as("last_ts")))
+      .orderBy(col("user_id"))
+
+  private val q110Sql =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+      |    AS value_e4_total,
+      |  max(date_trunc('second', ts)) AS last_ts
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q106 — interval-overlap temporal join with NO equality key:
   // error intervals [ts, ts+round(value) s] overlapped against click
   // intervals across ALL users, via the bucket-grid operator — a
@@ -684,6 +712,7 @@ object Windowed {
     "q102_transitions" -> (q102 _),
     "q103_stateful_sessions" -> (q103 _),
     "q106_interval_overlap" -> (q106 _),
+    "q110_upsert_stream" -> (q110 _),
     "q91_asof_forward" -> (q91 _),
     "q93_funnel" -> (q93 _),
     "q94_retention" -> (q94 _))
@@ -703,6 +732,7 @@ object Windowed {
     "q102_transitions" -> q102Sql,
     "q103_stateful_sessions" -> q53Sql, // must equal the built-in's oracle
     "q106_interval_overlap" -> q106Sql,
+    "q110_upsert_stream" -> q110Sql,
     "q91_asof_forward" -> q91Sql,
     "q93_funnel" -> q93Sql,
     "q94_retention" -> q94Sql)

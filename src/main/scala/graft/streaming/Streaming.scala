@@ -472,6 +472,39 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Bounded replay of the events table through the foreachBatch →
+    * keyed-merge sink ([[mergeStream]]) — the reference's daily
+    * upsert run LIVE (`lambda/trips_lambda.py:180-206`: recompute the
+    * window's aggregate, ON CONFLICT replace). The same file drains
+    * as TWO micro-batches; each recomputes the per-key aggregate and
+    * upserts it, so the second batch must leave the target exactly
+    * where the first did — the idempotent re-run property the
+    * reference's scheduler depends on, now gate-checkable: the final
+    * target equals the batch aggregate of ONE copy. */
+  def upsertReplayFromParquet(spark: SparkSession, srcParquet: String,
+                              keys: Seq[String],
+                              perBatchAgg: DataFrame => DataFrame)
+      : DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("graft_upsert_in")
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt")
+    val target = Files.createTempDirectory("graft_upsert_tgt")
+      .resolve("target").toString
+    Files.createSymbolicLink(in.resolve("batch1.parquet"),
+      Paths.get(srcParquet))
+    Files.createSymbolicLink(in.resolve("batch2.parquet"),
+      Paths.get(srcParquet))
+    val schema = spark.read.parquet(srcParquet).schema
+    val e = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    val eSec =
+      e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
+    val q = mergeStream(eSec, target, ckpt.toString, keys, perBatchAgg)
+    q.awaitTermination()
+    spark.read.parquet(target)
+  }
+
   /** Drain a (bounded) stream into an in-memory table and return its
     * content — the synchronous harness for tests and AvailableNow
     * incremental runs. */

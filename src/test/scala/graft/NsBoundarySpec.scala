@@ -6,15 +6,23 @@ import graft.core.Tables
 
 /** Nanosecond→second conversion at the boundary: a ns value 100 ns
   * below a whole second (2024 epoch, above 2^53 where double division
-  * rounds) must truncate DOWN like DuckDB's date_trunc — the crafted
-  * parquet at /tmp/nsedge is written by the check tooling; skip when
-  * absent. */
+  * rounds) must truncate DOWN like DuckDB's date_trunc. The crafted
+  * fixture is written here as a raw INT64 `ts` — exactly what the
+  * nanosAsLong reader surfaces for ns-precision parquet. */
 class NsBoundarySpec extends AnyFunSuite {
   import TestSpark.spark
+  import spark.implicits._
 
   test("integer div truncation matches date_trunc at the ns boundary") {
-    assume(new java.io.File("/tmp/nsedge/events.parquet").exists())
-    val out = Tables.eventsSec(spark, "/tmp/nsedge")
+    // 2024-01-15T09:50:00Z; ×1e9 ns is ~1.7e18, far above 2^53
+    val nsBase = 1705312200L * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsedge")
+      .toString
+    Seq((1L, nsBase - 100L), (2L, nsBase), (3L, nsBase + 100L))
+      .toDF("event_id", "ts")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = Tables.eventsSec(spark, dir)
       .orderBy("event_id")
       .select("event_id", "ts_s")
       .collect()
