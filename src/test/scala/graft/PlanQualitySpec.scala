@@ -294,6 +294,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("WindowExec"), p)
   }
 
+  test("q101: table checksum is one scan into a partial+final " +
+       "aggregate — no join, no window") {
+    val p = plan("q101_table_checksum")
+    assert(!p.contains("Join") && !p.contains("WindowExec"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("q104/q107: per-class sampling and heavy hitters run on the " +
+       "two-phase TopK plan, never a window shuffle") {
+    Seq("q104_balanced_sample", "q107_group_ngrams").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TopKPartial") && p.contains("TopKFinal"), s"$q\n$p")
+      assert(!p.contains("WindowExec"), s"$q\n$p")
+    }
+  }
+
   test("q106: interval overlap joins on the bucket grid — hash join, " +
        "never a nested-loop cross product") {
     val p = plan("q106_interval_overlap")

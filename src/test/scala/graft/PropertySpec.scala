@@ -107,6 +107,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("intervalOverlap == the naive theta join on random interval " +
+       "sets (boundary-heavy, bucket-straddling)") {
+    val genIv: Gen[(Long, Long, Long)] = for {
+      start <- Gen.choose(0L, 5000L)
+      len <- Gen.frequency(3 -> Gen.choose(0L, 50L),  // short + points
+        2 -> Gen.choose(50L, 400L),                    // bucket-straddling
+        1 -> Gen.const(0L))                            // zero-length
+    } yield (0L, start, start + len)
+    cases(Gen.listOfN(60, genIv), 3).zipWithIndex.foreach {
+      case (sampled, round) =>
+      val ivs = sampled.zipWithIndex
+        .map { case ((_, s, e), i) => (i.toLong + round * 1000, s, e) }
+      val l = ivs.toDF("l_id", "l_start", "l_end")
+      val r = ivs.map { case (i, s, e) => (i + 500000, s, e) }
+        .toDF("r_id", "r_start", "r_end")
+      val got = graft.operators.RangeJoin
+        .intervalOverlap(l, r, bucketSec = 100L)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toList
+      assert(got.size == got.toSet.size, "duplicate pair emitted")
+      val naive = l.crossJoin(r)
+        .filter(col("l_start") <= col("r_end") &&
+          col("r_start") <= col("l_end"))
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(got.toSet == naive,
+        s"round $round: grid join diverged from naive theta join")
+    }
+  }
+
   test("approx_count_distinct lands within its error bound") {
     val got = SparkEntry.queries("q41_approx_distinct")(
       spark, TestSpark.sf001).collect()
