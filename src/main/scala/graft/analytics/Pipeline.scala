@@ -313,7 +313,52 @@ object Pipeline {
        |GROUP BY 1, 2
        |ORDER BY user_id, day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q111 — CDC changelog application (the replication consumer):
+  // orders is split into a base snapshot (keys %3 ∉ {0}) and a
+  // deterministic changelog — inserts (%3=0), updates (+111 at seq 1
+  // for %3=1), deletes (%3=2), and a second-generation update (+222
+  // at seq 2 for %9=1) that must override the first by LATEST-WINS
+  // sequencing. The changelog collapses via max_by (map-side
+  // combinable — no window sort over the change stream), then
+  // anti-join + union applies it. Oracle: the closed-form CASE over
+  // the source table.
+  // ---------------------------------------------------------------------
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MergeByKey
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_e2"))
+    val base = o.filter(col("o_orderkey") % 3 =!= 0)
+    def ch(flt: org.apache.spark.sql.Column, price: org.apache.spark.sql.Column,
+           op: String, seq: Long) =
+      o.filter(flt).select(col("o_orderkey"), price.as("price_e2"),
+        lit(op).as("op"), lit(seq).as("seq"))
+    val changes =
+      ch(col("o_orderkey") % 3 === 0, col("price_e2"), "I", 1L)
+        .unionByName(ch(col("o_orderkey") % 3 === 1,
+          col("price_e2") + 111L, "U", 1L))
+        .unionByName(ch(col("o_orderkey") % 3 === 2, lit(0L), "D", 1L))
+        .unionByName(ch(col("o_orderkey") % 9 === 1,
+          col("price_e2") + 222L, "U", 2L))
+    MergeByKey.applyChangeLog(base, changes, Seq("o_orderkey"),
+        "op", "seq")
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q111Sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 9 = 1
+      |         THEN CAST(round(o_totalprice * 100) AS BIGINT) + 222
+      |       WHEN o_orderkey % 3 = 1
+      |         THEN CAST(round(o_totalprice * 100) AS BIGINT) + 111
+      |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+      |    AS price_e2
+      |FROM orders
+      |WHERE o_orderkey % 3 != 2
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_cdc_apply" -> (q111 _),
     "q31_merge_upsert" -> (q31 _),
     "q32_multimodal_binary" -> (q32 _),
     "q56_scd2_merge" -> (q56 _),
@@ -323,6 +368,7 @@ object Pipeline {
     "q96_frame_sampling" -> (q96 _))
 
   val oracle: Map[String, String] = Map(
+    "q111_cdc_apply" -> q111Sql,
     "q31_merge_upsert" -> q31Sql,
     "q32_multimodal_binary" -> q32Sql,
     "q56_scd2_merge" -> q56Sql,

@@ -42,6 +42,36 @@ object MergeByKey {
       .select(cols.map(col): _*)
   }
 
+  /** CDC changelog application — the replication-consumer op
+    * [[merge]] cannot express: a stream of (op ∈ I/U/D, seq, payload)
+    * rows applied to a snapshot with LATEST-WINS sequencing (a key
+    * updated at seq 3 and deleted at seq 7 is deleted; re-inserted at
+    * seq 9 it exists). Two steps, both one-shuffle shapes:
+    *
+    *  1. collapse the changelog to each key's latest row via
+    *     `max_by(struct(payload), seq)` — a map-side-combinable
+    *     aggregate, NOT a window sort: at 100 TB a day's changelog is
+    *     billions of rows but only |changed keys| survive;
+    *  2. anti-join the target against all changed keys (removes
+    *     updated + deleted rows), union back the non-delete latest
+    *     payloads. Broadcastable when the day's key set is small.
+    *
+    * `changes` must carry the target's columns plus `opCol`/`seqCol`.
+    * Output schema = target schema. */
+  def applyChangeLog(target: DataFrame, changes: DataFrame,
+                     keys: Seq[String], opCol: String, seqCol: String)
+      : DataFrame = {
+    val cols = target.columns.toSeq
+    val payload = struct((cols :+ opCol).map(col): _*)
+    val latest = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(payload, col(seqCol)).as("__last"))
+      .select(col("__last.*"))
+    target.join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(latest.filter(col(opCol) =!= "D")
+        .select(cols.map(col): _*))
+  }
+
   /** SCD Type-2 merge: apply a snapshot of dimension attributes to a
     * versioned dimension table, preserving history.
     *

@@ -85,4 +85,20 @@ class MergeSpec extends AnyFunSuite {
     MergeByKey.mergeWrite(spark, dir, updates, Seq("id"), col("day") === 1L)
     assert(spark.read.parquet(dir).count() == 1)
   }
+
+  test("applyChangeLog: latest-wins sequencing — update-then-delete " +
+       "deletes, delete-then-reinsert exists, stale update loses") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    val changes = Seq(
+      (1L, "a2", "U", 1L), (1L, "x", "D", 2L),   // U then D -> gone
+      (2L, "zz", "D", 1L), (2L, "b9", "I", 2L),  // D then I -> b9
+      (3L, "c9", "U", 2L), (3L, "c1", "U", 1L),  // stale seq-1 loses
+      (5L, "e1", "I", 1L))                        // plain insert
+      .toDF("id", "v", "op", "seq")
+    val got = MergeByKey.applyChangeLog(target, changes, Seq("id"),
+        "op", "seq")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "b9"), (3L, "c9"), (4L, "d"), (5L, "e1")))
+  }
 }
