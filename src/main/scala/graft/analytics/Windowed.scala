@@ -337,6 +337,50 @@ object Windowed {
       .orderBy(col("user_id"), col("session_start"))
 
   // ---------------------------------------------------------------------
+  // q112 — the higher-order-function surface over nested arrays:
+  // per-user event values collected into a sorted e4 array, then
+  // reduced entirely with array lambdas — aggregate (fold), filter,
+  // transform — matching DuckDB's list lambdas element for element.
+  // Nested-data pipelines live on this API; the gate pins Spark's
+  // lambda semantics (ordering, empty arrays, fold identity) to an
+  // independent engine's.
+  // ---------------------------------------------------------------------
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(col("user_id"),
+        round(col("value") * 10000).cast("long").as("v"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("v"))).as("arr"))
+      .select(col("user_id"),
+        size(col("arr")).cast("long").as("n"),
+        aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("total"),
+        size(filter(col("arr"), _ > lit(2000000L))).cast("long")
+          .as("n_large"),
+        aggregate(transform(col("arr"), x => x % 97L), lit(0L),
+          (acc, x) => acc + x).as("mod_total"),
+        element_at(col("arr"), 1).as("v_min"),
+        element_at(col("arr"), -1).as("v_max"))
+      .orderBy(col("user_id"))
+
+  private val q112Sql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    list_sort(list(CAST(round(value * 10000) AS BIGINT))) AS arr
+      |  FROM events
+      |  GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(len(arr) AS BIGINT) AS n,
+      |  CAST(list_aggregate(arr, 'sum') AS BIGINT) AS total,
+      |  CAST(len(list_filter(arr, x -> x > 2000000)) AS BIGINT)
+      |    AS n_large,
+      |  CAST(list_aggregate(list_transform(arr, x -> x % 97), 'sum')
+      |    AS BIGINT) AS mod_total,
+      |  arr[1] AS v_min,
+      |  arr[-1] AS v_max
+      |FROM u
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q110 — the foreachBatch → keyed-merge sink in the gate: events
   // replayed as TWO identical micro-batches, each recomputing the
   // per-user aggregate and upserting it into the parquet target (the
@@ -713,6 +757,7 @@ object Windowed {
     "q103_stateful_sessions" -> (q103 _),
     "q106_interval_overlap" -> (q106 _),
     "q110_upsert_stream" -> (q110 _),
+    "q112_array_hof" -> (q112 _),
     "q91_asof_forward" -> (q91 _),
     "q93_funnel" -> (q93 _),
     "q94_retention" -> (q94 _))
@@ -733,6 +778,7 @@ object Windowed {
     "q103_stateful_sessions" -> q53Sql, // must equal the built-in's oracle
     "q106_interval_overlap" -> q106Sql,
     "q110_upsert_stream" -> q110Sql,
+    "q112_array_hof" -> q112Sql,
     "q91_asof_forward" -> q91Sql,
     "q93_funnel" -> q93Sql,
     "q94_retention" -> q94Sql)
