@@ -720,6 +720,33 @@ object Curation {
        |ORDER BY lang, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q115 — categorical dictionary encoding (string interning): lang
+  // and source interned to dense 1-based ids ordered by value; the
+  // ONLY windows run over the distinct vocabularies (5 and 20 rows),
+  // the corpus sees two broadcast joins and zero shuffles. Oracle:
+  // dense_rank over the full table, which assigns the identical id
+  // to every equal value.
+  // ---------------------------------------------------------------------
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    Curate.dictEncode(
+        Curate.dictEncode(
+          docs(s, dir).select(col("doc_id"), col("lang"), col("source")),
+          "lang", "lang_id"),
+        "source", "source_id")
+      .groupBy(col("lang"), col("lang_id"), col("source"),
+        col("source_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang_id"), col("source_id"))
+
+  private val q115Sql =
+    """SELECT lang, dense_rank() OVER (ORDER BY lang) AS lang_id,
+      |  source, dense_rank() OVER (ORDER BY source) AS source_id,
+      |  count(*) AS n
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang_id, source_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q100 — regex scrub/redaction (the PII-masking shape): mask every
   // vowel run, audit the per-row match count, and prove the masked
   // strings identical on both engines via md5 — rewrite and count are
@@ -748,6 +775,7 @@ object Curation {
     "q100_regex_scrub" -> (q100 _),
     "q104_balanced_sample" -> (q104 _),
     "q107_group_ngrams" -> (q107 _),
+    "q115_dict_encode" -> (q115 _),
     "q71_weighted_sample" -> (q71 _),
     "q72_top_ngrams" -> (q72 _),
     "q73_span_dedup" -> (q73 _),
@@ -769,6 +797,7 @@ object Curation {
     "q100_regex_scrub" -> q100Sql,
     "q104_balanced_sample" -> q104Sql,
     "q107_group_ngrams" -> q107Sql,
+    "q115_dict_encode" -> q115Sql,
     "q71_weighted_sample" -> q71Sql,
     "q72_top_ngrams" -> q72Sql,
     "q73_span_dedup" -> q73Sql,

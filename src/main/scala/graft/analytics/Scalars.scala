@@ -434,6 +434,86 @@ object Scalars {
   }
 
   // ---------------------------------------------------------------------
+  // q113 — winsorization: global p01/p99 bounds from ONE exact-
+  // percentile aggregate (rounded 4dp, the q37 cross-engine
+  // discipline), broadcast back, per-row integer clip, per-type
+  // exact totals. The feature-hygiene op: outliers clipped, sums
+  // still bit-exact BIGINTs.
+  // ---------------------------------------------------------------------
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate
+    Validate.winsorize(Tables.eventsSec(s, dir),
+        round(col("value") * 10000).cast("long"), 0.01, 0.99)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("is_lo").cast("long")).as("n_lo"),
+        sum(col("is_hi").cast("long")).as("n_hi"),
+        sum(col("clipped")).as("clipped_e4_total"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q113Sql =
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
+      |  FROM events),
+      |b AS (
+      |  SELECT round(quantile_cont(v, 0.01), 4) AS lo,
+      |    round(quantile_cont(v, 0.99), 4) AS hi
+      |  FROM v)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |  CAST(sum(CASE WHEN v < lo THEN CAST(ceil(lo) AS BIGINT)
+      |                WHEN v > hi THEN CAST(floor(hi) AS BIGINT)
+      |                ELSE v END) AS BIGINT) AS clipped_e4_total
+      |FROM v, b
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q114 — referential-integrity audit: lineitem→orders under the
+  // full parent (zero orphans — the clean case must read exactly
+  // zero) and under a partial dimension load (orders keys %7=0
+  // withheld — the late-arriving-dim case), one left-anti join each,
+  // reduced to one audit row per relation.
+  // ---------------------------------------------------------------------
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    Validate.refIntegrity("li_orders_full", li, col("l_orderkey"),
+        o, col("o_orderkey"))
+      .unionByName(Validate.refIntegrity("li_orders_partial",
+        li, col("l_orderkey"),
+        o.filter(col("o_orderkey") % 7 =!= 0), col("o_orderkey")))
+      .orderBy(col("relation"))
+  }
+
+  private val q114Sql =
+    """WITH full_o AS (
+      |  SELECT 'li_orders_full' AS relation,
+      |    count(*) AS n_child,
+      |    count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_orphans,
+      |    COALESCE(min(CASE WHEN o.o_orderkey IS NULL THEN l_orderkey END),
+      |      -1) AS min_orphan,
+      |    COALESCE(max(CASE WHEN o.o_orderkey IS NULL THEN l_orderkey END),
+      |      -1) AS max_orphan
+      |  FROM lineitem l LEFT JOIN orders o ON l_orderkey = o_orderkey),
+      |part_o AS (
+      |  SELECT 'li_orders_partial' AS relation,
+      |    count(*) AS n_child,
+      |    count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_orphans,
+      |    COALESCE(min(CASE WHEN o.o_orderkey IS NULL THEN l_orderkey END),
+      |      -1) AS min_orphan,
+      |    COALESCE(max(CASE WHEN o.o_orderkey IS NULL THEN l_orderkey END),
+      |      -1) AS max_orphan
+      |  FROM lineitem l LEFT JOIN
+      |    (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 != 0) o
+      |    ON l_orderkey = o.o_orderkey)
+      |SELECT * FROM full_o UNION ALL SELECT * FROM part_o
+      |ORDER BY relation""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q109 — schema evolution at the scan: two parquet batches with
   // DIFFERENT schemas (v2 adds n_chars) read as one table via
   // mergeSchema; v1 rows surface the new column as NULL. This is the
@@ -563,6 +643,8 @@ object Scalars {
     "q101_table_checksum" -> (q101 _),
     "q105_moments_exact" -> (q105 _),
     "q109_schema_evolution" -> (q109 _),
+    "q113_winsorize" -> (q113 _),
+    "q114_ref_integrity" -> (q114 _),
     "q64_spatial_grid" -> (q64 _),
     "q70_data_quality" -> (q70 _),
     "q90_histogram" -> (q90 _),
@@ -581,6 +663,8 @@ object Scalars {
     "q101_table_checksum" -> q101Sql,
     "q105_moments_exact" -> q105Sql,
     "q109_schema_evolution" -> q109Sql,
+    "q113_winsorize" -> q113Sql,
+    "q114_ref_integrity" -> q114Sql,
     "q64_spatial_grid" -> q64Sql,
     "q70_data_quality" -> q70Sql,
     "q90_histogram" -> q90Sql,

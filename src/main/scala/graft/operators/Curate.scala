@@ -276,6 +276,22 @@ object Curate {
         PortableHash.hash60(concat(lit("bs:"), col(keyCol).cast("string")))),
       groupCols, Seq(("__u", false), (keyCol, false)), k)
 
+  /** Categorical dictionary encoding (string interning): build a
+    * vocabulary of distinct values with dense ids (1-based, ordered
+    * by value — deterministic on any engine), broadcast it, and
+    * encode the corpus by join. The feature-pipeline primitive that
+    * turns repeated strings into ints before training. The only
+    * window runs over the DISTINCT vocabulary (vocabulary-sized, not
+    * corpus-sized); the corpus itself sees one broadcast hash join
+    * per encoded column, zero shuffles. */
+  def dictEncode(df: DataFrame, valueCol: String,
+                 idName: String): DataFrame = {
+    val w = Window.orderBy(col(valueCol))
+    val vocab = df.select(col(valueCol)).distinct()
+      .withColumn(idName, row_number().over(w).cast("long"))
+    df.join(broadcast(vocab), Seq(valueCol))
+  }
+
   /** Regex scrub/redaction pass (the PII-masking shape: mask every
     * match of `pattern`, keep an audit count per row). Both the
     * rewrite and the count are codegen'd per-row expressions over one

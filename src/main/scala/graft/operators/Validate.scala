@@ -111,6 +111,52 @@ object Validate {
           col("__v").cast("decimal(38,0)")).as("sumsq_e8"))
   }
 
+  /** Winsorization (percentile outlier clipping) — the feature-
+    * hygiene op: values below the pLo / above the pHi percentile are
+    * clipped to the bound. Bounds are ONE tiny exact-percentile
+    * aggregate broadcast back (rounded to 4 decimals to absorb
+    * last-ulp interpolation-order differences across engines — the
+    * q37 discipline); clipped values stay integer e4 (ceil/floor of
+    * the bound), so downstream sums remain exact. The corpus never
+    * shuffles: one pass for bounds, one codegen'd per-row CASE.
+    *
+    * Input must carry the e4-long `valueE4`; output adds `clipped`
+    * plus `is_lo`/`is_hi` flags. */
+  def winsorize(df: DataFrame, valueE4: Column,
+                pLo: Double, pHi: Double): DataFrame = {
+    val tagged = df.withColumn("__v", valueE4)
+    val bounds = tagged.agg(
+      round(expr(s"percentile(__v, $pLo)"), 4).as("__lo"),
+      round(expr(s"percentile(__v, $pHi)"), 4).as("__hi"))
+    tagged.crossJoin(broadcast(bounds))
+      .withColumn("is_lo", col("__v") < col("__lo"))
+      .withColumn("is_hi", col("__v") > col("__hi"))
+      .withColumn("clipped",
+        when(col("is_lo"), ceil(col("__lo")).cast("long"))
+          .when(col("is_hi"), floor(col("__hi")).cast("long"))
+          .otherwise(col("__v")))
+      .drop("__v", "__lo", "__hi")
+  }
+
+  /** Referential-integrity audit: orphan child keys under a parent
+    * relation (the FK check a warehouse load runs after every batch —
+    * late-arriving dimensions make nonzero counts routine). One
+    * left-anti join per relation — broadcastable when the parent key
+    * set is dimension-sized — reduced to a single audit row. */
+  def refIntegrity(relation: String, child: DataFrame, childKey: Column,
+                   parent: DataFrame, parentKey: Column): DataFrame = {
+    val orphans = child.select(childKey.as("__k"))
+      .join(parent.select(parentKey.as("__k")), Seq("__k"), "left_anti")
+    child.select(childKey.as("__k")).agg(count(lit(1)).as("n_child"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"),
+        // -1, not NULL, for the clean-relation case: the audit row
+        // stays fully integer-typed on any engine
+        coalesce(min(col("__k")), lit(-1L)).as("min_orphan"),
+        coalesce(max(col("__k")), lit(-1L)).as("max_orphan")))
+      .select(lit(relation).as("relation"), col("n_child"),
+        col("n_orphans"), col("min_orphan"), col("max_orphan"))
+  }
+
   /** (clean, rejects): rejects carry a `violated` column with the
     * names of every failed rule, comma-joined in rule order. */
   def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {

@@ -278,6 +278,18 @@ class CurationSpec extends AnyFunSuite {
       "k=5 must be a prefix of the k=10 hash permutation")
   }
 
+  test("dictEncode: dense 1-based ids ordered by value, identical " +
+       "id for equal values, no corpus shuffle") {
+    val df = Seq((1L, "fr"), (2L, "de"), (3L, "fr"), (4L, "en"))
+      .toDF("id", "lang")
+    val enc = Curate.dictEncode(df, "lang", "lang_id")
+    val got = enc.select("id", "lang_id").as[(Long, Long)]
+      .collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 3L, 4L -> 2L))
+    assert(!enc.queryExecution.executedPlan.toString
+      .contains("SortMergeJoin"), "vocab must broadcast")
+  }
+
   test("redact masks every pattern match and counts them per row") {
     val df = Seq((1L, "aaa bcd eee"), (2L, "xyz"), (3L, ""))
       .toDF("id", "text")

@@ -77,6 +77,21 @@ class ValidateSpec extends AnyFunSuite {
       s"exact 128-bit sum of squares expected, got ${r._3}")
   }
 
+  test("winsorize clips to integer bounds and flags exactly the " +
+       "outlier rows") {
+    // 100 rows 1..100 (e4 units): p01=1.99, p99=99.01 under linear
+    // interpolation -> lows clip to ceil(1.99)=2, highs to floor=99
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val r = Validate.winsorize(df, col("v"), 0.01, 0.99)
+      .select(col("id"), col("clipped"), col("is_lo"), col("is_hi"))
+      .as[(Long, Long, Boolean, Boolean)].collect()
+      .sortBy(_._1)
+    assert(r.count(_._3) == 1 && r.count(_._4) == 1)
+    assert(r.head == ((1L, 2L, true, false)))
+    assert(r.last == ((100L, 99L, false, true)))
+    assert(r(49) == ((50L, 50L, false, false)))
+  }
+
   test("tableChecksum: layout-invariant; detects a single changed " +
        "row; modular sum catches what xor cancels") {
     def ck(d: org.apache.spark.sql.DataFrame) =
