@@ -285,6 +285,46 @@ object Advanced {
       |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q116 — approximate-percentile sketch gated on its CONTRACT (the
+  // q41 discipline for quantiles): percentile_approx(accuracy=100)
+  // guarantees rank error ≤ n/100; the query computes the sketch
+  // value's true rank with a second pass and flags whether it lands
+  // within 2× the advertised bound. Exact medians hash-compare
+  // against DuckDB; the sketch is deterministic for fixed input, so
+  // the flag is stable. At 100 TB the sketch is the only affordable
+  // quantile — this gate is what makes it trustworthy.
+  // ---------------------------------------------------------------------
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 10000).cast("long").as("v"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(v, 0.5)"), 4).as("p50_exact"),
+        percentile_approx(col("v"), lit(0.5), lit(100)).as("__pa"))
+    e.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("n")).as("n"), min(col("p50_exact")).as("p50_exact"),
+        // true rank of the sketch's answer, counted distributively
+        sum(when(col("v") <= col("__pa"), 1L).otherwise(0L)).as("__rank"))
+      .select(col("event_type"), col("n"), col("p50_exact"),
+        when(abs(col("__rank") - col("n") * 0.5) <= col("n") * 0.02, 1L)
+          .otherwise(0L).as("p50_rank_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q116Sql =
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  round(quantile_cont(v, 0.5), 4) AS p50_exact,
+      |  CAST(1 AS BIGINT) AS p50_rank_ok
+      |FROM v
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q42 — salted two-phase aggregation over the (skewed) events user
   // activity. Results are identical to a plain groupBy — which is
   // exactly what the plain-SQL oracle checks; the salting only changes
@@ -673,6 +713,7 @@ object Advanced {
     "q39_ann_ivf" -> (q39 _),
     "q40_embedding_pairs" -> (q40 _),
     "q41_approx_distinct" -> (q41 _),
+    "q116_approx_quantile" -> (q116 _),
     "q42_salted_agg" -> (q42 _),
     "q43_pivot" -> (q43 _),
     "q44_posexplode" -> (q44 _),
@@ -689,6 +730,7 @@ object Advanced {
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
     "q41_approx_distinct" -> q41Sql,
+    "q116_approx_quantile" -> q116Sql,
     "q36_minmax_by" -> q36Sql,
     "q37_percentiles" -> q37Sql,
     "q38_grouping_sets" -> q38Sql,
