@@ -19,7 +19,8 @@ object SparkEntry {
     (analytics.LlmOps.queries, analytics.LlmOps.oracle),
     (analytics.Pipeline.queries, analytics.Pipeline.oracle),
     (analytics.Advanced.queries, analytics.Advanced.oracle),
-    (analytics.Curation.queries, analytics.Curation.oracle))
+    (analytics.Curation.queries, analytics.Curation.oracle),
+    (analytics.Lakehouse.queries, analytics.Lakehouse.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,602 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{AsOfJoin, Layout, MergeByKey, Validate}
+import Exact._
+
+/** Lakehouse-maintenance and feature-hygiene gate queries (round 3
+  * closing tier): bucketed co-located joins, sketch-state maintenance,
+  * snapshot reconciliation, attribution, survivorship, dynamic
+  * partition overwrite, decayed time-series features, exact-sums
+  * regression, and null-safe joins.
+  *
+  * Reference anchors: the layout/maintenance ops generalize the
+  * reference's index strategy (`lambda/trips_lambda.py:81-84` — at
+  * Spark scale an "index" is a layout) and its daily partition
+  * re-derivation (`lambda/trips_lambda.py:218-221`); the rest extends
+  * the warehouse surface per SURVEY.md §2.12.
+  */
+object Lakehouse {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Per-invocation-stable suffix so concurrent sessions on different
+    * sf dirs never collide on table names or temp paths. */
+  private def tag(dir: String): String =
+    (dir.hashCode.toLong & 0x7fffffffL).toString
+
+  private def tmp(name: String, dir: String): String =
+    sys.props("java.io.tmpdir").stripSuffix("/") +
+      s"/graft_${name}_${tag(dir)}"
+
+  // ---------------------------------------------------------------------
+  // q117 — bucketed co-located join: both tables are written
+  // hash-bucketed by their join key (8 buckets, bucket-sorted), then
+  // joined through the catalog. The scans report hash distribution +
+  // sort order, so the sort-merge join consumes them with ZERO
+  // exchange and zero sort on either side (plan-locked in
+  // PlanQualitySpec). This is the 100 TB play: pay one layout shuffle
+  // at write time, never shuffle the fact table at query time again.
+  // The write is part of the measured op — this is an ingest-boundary
+  // gate like q55, and the layout cost is the honest price of the op.
+  // ---------------------------------------------------------------------
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val tg = tag(dir)
+    val (tOrders, tLine) = (s"graft_bo_$tg", s"graft_bl_$tg")
+    s.sql(s"DROP TABLE IF EXISTS $tOrders")
+    s.sql(s"DROP TABLE IF EXISTS $tLine")
+    val base = tmp("bucketed", dir)
+    Layout.bucketedWrite(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+      tOrders, s"$base/orders", "o_orderkey", numBuckets = 8)
+    Layout.bucketedWrite(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+      tLine, s"$base/lineitem", "l_orderkey", numBuckets = 8)
+    Layout.bucketedJoin(s, tOrders, "o_orderkey", tLine, "l_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        fixedSum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q117Sql =
+    s"""SELECT o_orderpriority,
+       |  count(*) AS n_items,
+       |  ${fixedSumSql("l_extendedprice")} AS revenue
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q118 — HLL sketch-state maintenance (the q41 discipline for
+  // PARTIAL sketches): per-(priority, month) HLL sketches are built
+  // independently — the incremental-load shape, one sketch per batch
+  // — then merged with hll_union_agg per priority. The merged
+  // estimate must land within the sketch's error envelope of the
+  // exact distributed count. At 100 TB nobody recounts distincts from
+  // raw on every load; maintained sketch state is the standard
+  // answer, and this gate proves merge-then-estimate works.
+  // ---------------------------------------------------------------------
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val partials = o
+      .groupBy(col("o_orderpriority"), month(col("o_orderdate")).as("m"))
+      .agg(expr("hll_sketch_agg(o_custkey, 12)").as("sk"))
+    val merged = partials
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+    val exact = o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+    exact.join(merged, "o_orderpriority")
+      .select(col("o_orderpriority"), col("exact_custs"),
+        when(abs(col("est") - col("exact_custs")) <=
+          col("exact_custs") * 0.1, 1L).otherwise(0L).as("merged_est_ok"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q118Sql =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS exact_custs,
+      |  CAST(1 AS BIGINT) AS merged_est_ok
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q119 — snapshot reconciliation: v2 is v1 with a deterministic
+  // perturbation (keys ≡0 mod 97 dropped, ≡0 mod 101 repriced, ≡0
+  // mod 103 cloned under new keys), and the diff must classify every
+  // key. One full-outer join on the key comparing a 60-bit row
+  // digest — the repair-plan companion to q101's table checksum
+  // (which only says WHETHER the copies diverged).
+  // ---------------------------------------------------------------------
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "orders").select(
+      col("o_orderkey").as("key"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderstatus").as("status"))
+    val v2 = v1.filter(col("key") % 97 =!= 0)
+      .withColumn("cents",
+        when(col("key") % 101 === 0, col("cents") + 100)
+          .otherwise(col("cents")))
+      .unionByName(v1.filter(col("key") % 103 === 0)
+        .withColumn("key", col("key") + 1000000000L))
+    Validate.tableDiff(v1, v2, col("key"),
+        concat_ws("|", col("cents"), col("status")))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("key") % 1000003).as("key_checksum"))
+      .orderBy(col("change_type"))
+  }
+
+  private val q119Sql =
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS key,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderstatus AS status
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT key,
+      |    cents + CASE WHEN key % 101 = 0 THEN 100 ELSE 0 END AS cents,
+      |    status
+      |  FROM v1 WHERE key % 97 <> 0
+      |  UNION ALL
+      |  SELECT key + 1000000000, cents, status FROM v1 WHERE key % 103 = 0),
+      |d AS (
+      |  SELECT coalesce(a.key, b.key) AS key,
+      |    CASE WHEN a.key IS NULL THEN 'added'
+      |         WHEN b.key IS NULL THEN 'removed'
+      |         WHEN a.cents = b.cents AND a.status = b.status
+      |           THEN 'unchanged'
+      |         ELSE 'changed' END AS change_type
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.key = b.key)
+      |SELECT change_type, count(*) AS n,
+      |  CAST(sum(key % 1000003) AS BIGINT) AS key_checksum
+      |FROM d
+      |GROUP BY change_type
+      |ORDER BY change_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q120 — last-touch attribution: each purchase is attributed to the
+  // same user's most recent click/view no older than 3600 s. The
+  // backward as-of join with tolerance (AsOfJoin's single-shuffle
+  // union-and-carry core — never a range join) applied to a
+  // self-derived event split: the marketing-analytics twin of the
+  // reference's weather-by-time enrichment (inferred J2,
+  // `lambda/trips_lambda.py:68-72`).
+  // ---------------------------------------------------------------------
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir)
+      .withColumn("s", epochS(col("ts_s")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("s").as("p_s"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("s").as("t_s"), col("event_type").as("t_type"))
+    AsOfJoin.lastBeforeWithin(purchases, touches, Seq("user_id"),
+        "p_s", "t_s", Seq("t_s", "t_id", "t_type"), lit(3600L))
+      .select(col("user_id"), col("p_id"), col("p_s"),
+        coalesce(col("t_id"), lit(-1L)).as("t_id"),
+        coalesce(col("t_type"), lit("none")).as("t_type"),
+        coalesce(col("p_s") - col("t_s"), lit(-1L)).as("lag_s"))
+      .orderBy(col("p_id"))
+  }
+
+  private val q120Sql =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type,
+       |    ${epochSSql("ts")} AS s
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id, event_id AS p_id, s AS p_s
+       |  FROM ev WHERE event_type = 'purchase'),
+       |tch AS (
+       |  SELECT user_id, event_id AS t_id, s AS t_s, event_type AS t_type
+       |  FROM ev WHERE event_type IN ('click', 'view')),
+       |j AS (
+       |  SELECT p.user_id, p.p_id, p.p_s, tch.t_id, tch.t_type, tch.t_s,
+       |    row_number() OVER (PARTITION BY p.p_id
+       |      ORDER BY tch.t_s DESC, tch.t_id DESC) AS rn
+       |  FROM p LEFT JOIN tch
+       |    ON p.user_id = tch.user_id AND tch.t_s <= p.p_s
+       |    AND p.p_s - tch.t_s <= 3600)
+       |SELECT user_id, p_id, p_s,
+       |  coalesce(t_id, -1) AS t_id,
+       |  coalesce(t_type, 'none') AS t_type,
+       |  coalesce(p_s - t_s, -1) AS lag_s
+       |FROM j WHERE rn = 1
+       |ORDER BY p_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q121 — survivorship (golden record): every user's observations
+  // collapse to one row where EACH attribute keeps the value from its
+  // own latest non-null observation — per-column provenance, the MDM
+  // consolidation step after record linkage (q108). One hash
+  // aggregate of FILTER'd max_by's: commutative-associative, so the
+  // observation history partial-aggregates map-side and never
+  // shuffles. The ordering key packs (epoch, event_id) into one
+  // BIGINT (event_id < 10^7 in this corpus — the caller-owned
+  // contract MergeByKey.survivor documents).
+  // ---------------------------------------------------------------------
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir)
+    val obs = ev.select(col("user_id"),
+      (epochS(col("ts_s")) * 10000000L + col("event_id")).as("ord"),
+      when(col("event_type") =!= "error",
+        round(col("value") * 10000).cast("long")).as("value_e4"),
+      when(col("event_type") === "click",
+        get_json_object(col("props"), "$.k").cast("long")).as("k_click"),
+      when(col("event_type").isin("signup", "purchase"),
+        col("event_type")).as("sig_type"))
+    MergeByKey.survivor(obs, Seq("user_id"), "ord",
+        Seq("value_e4", "k_click", "sig_type"))
+      .select(col("user_id"),
+        coalesce(col("value_e4"), lit(-1L)).as("value_e4"),
+        coalesce(col("k_click"), lit(-1L)).as("k_click"),
+        coalesce(col("sig_type"), lit("none")).as("sig_type"),
+        col("n_obs"), col("last_ord"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q121Sql =
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    ${epochSSql("ts")} * 10000000 + event_id AS ord,
+       |    CASE WHEN event_type <> 'error'
+       |      THEN CAST(round(value * 10000) AS BIGINT) END AS value_e4,
+       |    CASE WHEN event_type = 'click'
+       |      THEN CAST(json_extract_string(props, '$$.k') AS BIGINT)
+       |      END AS k_click,
+       |    CASE WHEN event_type IN ('signup', 'purchase')
+       |      THEN event_type END AS sig_type
+       |  FROM events)
+       |SELECT user_id,
+       |  coalesce(arg_max(value_e4, ord)
+       |    FILTER (WHERE value_e4 IS NOT NULL), -1) AS value_e4,
+       |  coalesce(arg_max(k_click, ord)
+       |    FILTER (WHERE k_click IS NOT NULL), -1) AS k_click,
+       |  coalesce(arg_max(sig_type, ord)
+       |    FILTER (WHERE sig_type IS NOT NULL), 'none') AS sig_type,
+       |  count(*) AS n_obs,
+       |  max(ord) AS last_ord
+       |FROM ev
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q122 — dynamic partition overwrite: a full base load partitioned
+  // by event_type, then a re-derived 'click' batch (cents doubled)
+  // overwritten in DYNAMIC mode — only the click partition is
+  // replaced, every other partition's files stay byte-untouched
+  // (asserted file-by-file in LakehouseSpec). This is the reference's
+  // daily 24 h re-derivation (`lambda/trips_lambda.py:218-221`) done
+  // the way a 100 TB table requires: rewrite one partition, not the
+  // table. Like q55/q117, the writes are the op being gated.
+  // ---------------------------------------------------------------------
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val base = tmp("dynpart", dir)
+    val ev = Tables.eventsSec(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    Layout.dynamicOverwrite(
+      ev.filter(col("event_type") === "click")
+        .withColumn("cents", col("cents") * 2),
+      "event_type", base)
+    s.read.parquet(base)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q122Sql =
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 2 * c ELSE c END)
+      |    AS BIGINT) AS cents_total
+      |FROM v
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q123 — exponentially decayed engagement (EWMA with α = 1/2, zero
+  // prior): per user, fold s ← s/2 + x/2 over value_e4 in
+  // (epoch, event_id) order. Both engines run the IDENTICAL
+  // left-fold over identically sorted lists, so every IEEE operation
+  // matches bit-for-bit — order-sensitive floating-point made
+  // deterministic by pinning the order, the one case where exact
+  // integer sums can't help. Scale: per-key history is bounded by
+  // the feature's retention window; the corpus shuffles once on the
+  // key.
+  // ---------------------------------------------------------------------
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir).select(col("user_id"),
+      epochS(col("ts_s")).as("s"), col("event_id"),
+      round(col("value") * 10000).as("v"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("s"), col("event_id"),
+              col("v")))),
+            r => r.getField("v")),
+          lit(0.0),
+          (acc, x) => acc * lit(0.5) + x * lit(0.5)).as("ewma_e4"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q123Sql =
+    s"""WITH ev AS (
+       |  SELECT user_id, ${epochSSql("ts")} AS s, event_id,
+       |    round(value * 10000) AS v
+       |  FROM events)
+       |SELECT user_id, count(*) AS n_events,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list((s, event_id, v))),
+       |        r -> r[3]::DOUBLE)),
+       |    (acc, x) -> acc * 0.5::DOUBLE + x * 0.5::DOUBLE) AS ewma_e4
+       |FROM ev
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q124 — regression profile from exact sums: per return flag, OLS
+  // slope/intercept/r² of extendedprice on quantity. The five power
+  // sums accumulate as exact 128-bit integers (map-side-combinable,
+  // order-independent — Validate.regressionExact); only the final
+  // slope arithmetic runs in doubles, the same IEEE expression over
+  // the same integers on both engines. The correlation audit that
+  // never drifts, at any scale or partitioning.
+  // ---------------------------------------------------------------------
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "lineitem").select(col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    Validate.regressionExact(v, col("x"), col("y"),
+        Seq(col("l_returnflag")))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q124Sql =
+    """WITH v AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT rf, count(*) AS n_raw,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+      |      AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE)
+      |      AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+      |      AS syy
+      |  FROM v GROUP BY rf),
+      |c AS (
+      |  SELECT rf, n_raw, n, sx, sy,
+      |    n * sxy - sx * sy AS covn,
+      |    n * sxx - sx * sx AS varxn,
+      |    n * syy - sy * sy AS varyn
+      |  FROM s)
+      |SELECT rf AS l_returnflag, n_raw AS n,
+      |  CAST(round((covn / varxn) * 1000000) AS BIGINT) AS slope_e6,
+      |  CAST(round(((sy - (covn / varxn) * sx) / n / CAST(100 AS DOUBLE))
+      |    * 1000000) AS BIGINT) AS intercept_e6,
+      |  CAST(round(((covn * covn) / (varxn * varyn)) * 1000000) AS BIGINT)
+      |    AS r2_e6
+      |FROM c
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q125 — null-safe equi-join: customer and supplier nation buckets
+  // with bucket 0 nullified — NULL is a legitimate join class
+  // (unknown-matches-unknown), the semantics `=` silently drops.
+  // Spark's EqualNullSafe remains a hash-join key (plan-locked: no
+  // nested-loop fallback), so the null class costs the same as any
+  // other key instead of degenerating to a cross product.
+  // ---------------------------------------------------------------------
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      expr("nullif(c_nationkey % 8, 0)").as("cb"), col("c_acctbal"))
+    val sup = t(s, dir, "supplier").select(
+      expr("nullif(s_nationkey % 8, 0)").as("sb"), col("s_acctbal"))
+    c.join(sup, col("cb") <=> col("sb"))
+      .groupBy(coalesce(col("cb"), lit(-1)).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        fixedSum(col("c_acctbal") + col("s_acctbal")).as("bal_total"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q125Sql =
+    s"""WITH c AS (
+       |  SELECT nullif(c_nationkey % 8, 0) AS cb, c_acctbal FROM customer),
+       |sup AS (
+       |  SELECT nullif(s_nationkey % 8, 0) AS sb, s_acctbal FROM supplier)
+       |SELECT coalesce(cb, -1) AS bucket,
+       |  count(*) AS n_pairs,
+       |  ${fixedSumSql("c_acctbal + s_acctbal")} AS bal_total
+       |FROM c JOIN sup ON cb IS NOT DISTINCT FROM sb
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q126 — EXACT z-score outlier detection: flag events where
+  // (v − μ)² > 9σ² per event type, evaluated as the cross-multiplied
+  // integer inequality (n·v − s)² > 9·(n·q − s²) — no division, no
+  // sqrt, no doubles anywhere, so the flag is bit-stable on any
+  // engine or partitioning (a float z-score wobbles rows sitting ON
+  // the 3σ boundary). Stats are one tiny broadcast row per type; the
+  // corpus pass is a per-row comparison. The anomaly-detection twin
+  // of q113's percentile clipping.
+  // ---------------------------------------------------------------------
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = Tables.eventsSec(s, dir).select(col("event_type"),
+      round(col("value") * 10000).cast("long").as("v"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec).as("sn"),
+        sum(col("v")).cast(dec).as("ss"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("sq"))
+    val lhs = (col("sn") * col("v").cast(dec) - col("ss")) *
+      (col("sn") * col("v").cast(dec) - col("ss"))
+    val rhs = lit(9).cast(dec) *
+      (col("sn") * col("sq") - col("ss") * col("ss"))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("is_out", lhs > rhs)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        coalesce(sum(when(col("is_out"), col("v"))), lit(0L))
+          .as("outlier_v_sum"),
+        coalesce(max(when(col("is_out"), col("v"))), lit(-1L))
+          .as("outlier_v_max"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q126Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS sn,
+      |    CAST(sum(v) AS HUGEINT) AS ss,
+      |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sq
+      |  FROM e GROUP BY event_type),
+      |f AS (
+      |  SELECT e.event_type, e.v,
+      |    (st.sn * e.v - st.ss) * (st.sn * e.v - st.ss)
+      |      > 9 * (st.sn * st.sq - st.ss * st.ss) AS is_out
+      |  FROM e JOIN st USING (event_type))
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  CAST(coalesce(sum(CASE WHEN is_out THEN v END), 0) AS BIGINT)
+      |    AS outlier_v_sum,
+      |  coalesce(max(CASE WHEN is_out THEN v END), -1) AS outlier_v_max
+      |FROM f
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q127 — per-group equi-depth binning: each event type's values are
+  // cut at that type's OWN exact quartiles (broadcast back, rounded
+  // e4 — the q37/q113 boundary discipline), then binned per row. The
+  // grouped generalization of q59's global deciles: per-class feature
+  // normalization where every class gets comparable bin populations
+  // regardless of its scale. The corpus never sorts and never
+  // window-shuffles — one stats aggregate, one broadcast join, one
+  // binned aggregate.
+  // ---------------------------------------------------------------------
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir).select(col("event_type"),
+      round(col("value") * 10000).cast("long").as("v"))
+    val bounds = e.groupBy(col("event_type"))
+      .agg(round(expr("percentile(v, 0.25)"), 4).as("b1"),
+        round(expr("percentile(v, 0.5)"), 4).as("b2"),
+        round(expr("percentile(v, 0.75)"), 4).as("b3"))
+    e.join(broadcast(bounds), "event_type")
+      .withColumn("bin",
+        when(col("v") <= col("b1"), 0)
+          .when(col("v") <= col("b2"), 1)
+          .when(col("v") <= col("b3"), 2)
+          .otherwise(3))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  private val q127Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type,
+      |    round(quantile_cont(v, 0.25), 4) AS b1,
+      |    round(quantile_cont(v, 0.5), 4) AS b2,
+      |    round(quantile_cont(v, 0.75), 4) AS b3
+      |  FROM e GROUP BY event_type),
+      |f AS (
+      |  SELECT e.event_type, e.v,
+      |    CASE WHEN e.v <= st.b1 THEN 0
+      |         WHEN e.v <= st.b2 THEN 1
+      |         WHEN e.v <= st.b3 THEN 2
+      |         ELSE 3 END AS bin
+      |  FROM e JOIN st USING (event_type))
+      |SELECT event_type, bin, count(*) AS n,
+      |  CAST(sum(v) AS BIGINT) AS v_sum
+      |FROM f
+      |GROUP BY event_type, bin
+      |ORDER BY event_type, bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q128 — bucket-pruned point lookup: the read-side payoff of q117's
+  // layout. A key-set filter over the bucketed table scans ONLY the
+  // buckets those keys hash into (SelectedBucketsCount < total,
+  // plan-locked in LakehouseSpec) — the "index lookup" of a
+  // bucket-laid-out lake table, where an unbucketed scan reads every
+  // file. Same catalog-table machinery as q117, own table so the
+  // query stands alone.
+  // ---------------------------------------------------------------------
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val tg = tag(dir)
+    val tbl = s"graft_bp_$tg"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    Layout.bucketedWrite(
+      t(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus")),
+      tbl, s"${tmp("bucketlookup", dir)}/orders", "o_orderkey",
+      numBuckets = 8)
+    s.table(tbl)
+      .filter(col("o_orderkey").isin(1L, 5L, 9L))
+      .select(col("o_orderkey"), col("cents"),
+        col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q128Sql =
+    """SELECT o_orderkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |  o_orderstatus
+      |FROM orders
+      |WHERE o_orderkey IN (1, 5, 9)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_bucketed_join" -> (q117 _),
+    "q118_hll_partials" -> (q118 _),
+    "q119_table_diff" -> (q119 _),
+    "q120_attribution" -> (q120 _),
+    "q121_survivorship" -> (q121 _),
+    "q122_dynamic_overwrite" -> (q122 _),
+    "q123_ewma_decay" -> (q123 _),
+    "q124_regression_exact" -> (q124 _),
+    "q125_null_safe_join" -> (q125 _),
+    "q126_outlier_exact" -> (q126 _),
+    "q127_group_bins" -> (q127 _),
+    "q128_bucket_lookup" -> (q128 _))
+
+  val oracle: Map[String, String] = Map(
+    "q117_bucketed_join" -> q117Sql,
+    "q118_hll_partials" -> q118Sql,
+    "q119_table_diff" -> q119Sql,
+    "q120_attribution" -> q120Sql,
+    "q121_survivorship" -> q121Sql,
+    "q122_dynamic_overwrite" -> q122Sql,
+    "q123_ewma_decay" -> q123Sql,
+    "q124_regression_exact" -> q124Sql,
+    "q125_null_safe_join" -> q125Sql,
+    "q126_outlier_exact" -> q126Sql,
+    "q127_group_bins" -> q127Sql,
+    "q128_bucket_lookup" -> q128Sql)
+}

@@ -25,6 +25,17 @@ object GraftSession {
       // driver testdata events.parquet is TIMESTAMP(NANOS); Spark has
       // no nanosecond type — read as long (converted by Exact.secFromAny)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucket-sorted scans (Layout.bucketedWrite guarantees exactly
+      // one file per bucket, the case this flag is safe for): lets a
+      // co-located sort-merge join consume bucketed tables with zero
+      // sort as well as zero exchange
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // always honor bucket layout at the scan: the auto heuristic
+      // only keeps bucketing when it removes an exchange, which drops
+      // bucket PRUNING for key-filter point lookups (q128) — for
+      // tables this engine bucketed deliberately, reading 1/N of the
+      // files beats scan parallelism
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -48,4 +48,51 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Write `df` as a hash-bucketed, bucket-sorted catalog table at
+    * `path`. Two tables bucketed the same way on their join key
+    * equi-join with ZERO exchange and zero sort — the layout
+    * investment that pays for itself on every subsequent join. At
+    * 100 TB this is the difference between re-shuffling the fact
+    * table per query and never shuffling it: the bucket id pins each
+    * row's file, so Spark's scan reports hash distribution + sort
+    * order and the sort-merge join consumes both as-is.
+    *
+    * The write itself shuffles once (`repartition` on the bucket
+    * column, matching the bucket spec so each task writes whole
+    * buckets instead of numBuckets files each). */
+  def bucketedWrite(df: DataFrame, table: String, path: String,
+                    bucketCol: String, numBuckets: Int): Unit =
+    df.repartition(numBuckets, col(bucketCol))
+      .write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Co-located equi-join of two same-bucketed catalog tables (each
+    * bucketed by its own join key, same bucket count). The merge hint
+    * commits to sort-merge — the strategy that can consume the
+    * bucketed distribution directly — so neither side exchanges
+    * regardless of size-based broadcast heuristics. */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+                   leftTable: String, leftKey: String,
+                   rightTable: String, rightKey: String): DataFrame =
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+
+  /** Partition-scoped overwrite (dynamic mode): only the partitions
+    * present in `df` are replaced; all others are left byte-untouched.
+    * The reference re-derives a 24 h window daily into a table holding
+    * years (`lambda/trips_lambda.py:218-221`) — at scale that MUST
+    * rewrite one day's partition, not the table. Spark's static
+    * overwrite mode would truncate everything first; `dynamic` scopes
+    * the delete to partitions the incoming frame actually carries. */
+  def dynamicOverwrite(df: DataFrame, partitionCol: String,
+                       path: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

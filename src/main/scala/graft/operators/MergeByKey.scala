@@ -180,4 +180,26 @@ object MergeByKey {
       sys.error(s"mergeWrite: failed to promote $tmp -> $dest")
     fs.delete(old, true)
   }
+
+  /** Survivorship (golden-record consolidation): collapse every
+    * observation of an entity into one row carrying, per attribute,
+    * the value from the LATEST observation where that attribute is
+    * non-null — each column keeps its own best provenance, which is
+    * what distinguishes this from [[merge]]'s whole-row latest-wins.
+    * The ordering key must be a totally-ordering BIGINT (callers pack
+    * ties away, e.g. `ts * 10^7 + seq`).
+    *
+    * Scale shape: one hash aggregate — every `max_by ... FILTER` is
+    * commutative-associative, so attributes partial-aggregate
+    * map-side and the shuffle carries one row per (entity × task),
+    * never the observation history. */
+  def survivor(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+               ordCol: String, attrs: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val aggs =
+      attrs.map(a => expr(
+        s"max_by($a, $ordCol) FILTER (WHERE $a IS NOT NULL)").as(a)) ++
+        Seq(count(lit(1)).as("n_obs"), max(col(ordCol)).as("last_ord"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -157,6 +157,66 @@ object Validate {
         col("n_orphans"), col("min_orphan"), col("max_orphan"))
   }
 
+  /** Snapshot reconciliation — classify every key of two table
+    * versions as added / removed / changed / unchanged (the audit run
+    * after any backfill, migration, or CDC replay; [[tableChecksum]]
+    * says WHETHER two tables diverged, this says WHERE). One full
+    * outer join on the key — hash-shuffled both sides, no sort, no
+    * window — comparing a caller-built canonical row digest, so the
+    * comparison cost per row is one long equality regardless of
+    * column count.
+    *
+    * Returns one row per key: (key, change_type). Aggregate downstream
+    * for counts; keep row-level for repair joins. */
+  def tableDiff(v1: DataFrame, v2: DataFrame,
+                key: Column, digest: Column): DataFrame = {
+    val a = v1.select(key.as("key"),
+      graft.functions.PortableHash.hash60(digest).as("__d1"))
+    val b = v2.select(key.as("key"),
+      graft.functions.PortableHash.hash60(digest).as("__d2"))
+    a.join(b, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("__d1").isNull, "added")
+          .when(col("__d2").isNull, "removed")
+          .when(col("__d1") === col("__d2"), "unchanged")
+          .otherwise("changed").as("change_type"))
+  }
+
+  /** Per-group simple linear regression (slope / intercept / r²) from
+    * EXACT integer sums — the feature-correlation audit with no float
+    * drift: x and y are e2 fixed-point BIGINTs, the five power sums
+    * accumulate as DECIMAL(38,0) (exact, map-side-combinable,
+    * order-independent), and only the final slope/intercept/r²
+    * arithmetic runs in doubles — one deterministic IEEE expression
+    * over identical integers on any engine or topology. Emits e6
+    * fixed-point BIGINT stats. */
+  def regressionExact(df: DataFrame, xE2: Column, yE2: Column,
+                      groupCols: Seq[Column]): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sums = df
+      .withColumn("__x", xE2.cast(dec)).withColumn("__y", yE2.cast(dec))
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val (n, sx, sy, sxy, sxx, syy) =
+      (col("n").cast("double"), col("__sx").cast("double"),
+        col("__sy").cast("double"), col("__sxy").cast("double"),
+        col("__sxx").cast("double"), col("__syy").cast("double"))
+    val covN = n * sxy - sx * sy     // n² · covariance
+    val varXN = n * sxx - sx * sx    // n² · variance(x)
+    val varYN = n * syy - sy * sy
+    val slope = covN / varXN         // e2 scales cancel
+    val intercept = (sy - slope * sx) / n / lit(100.0) // back to units
+    val r2 = (covN * covN) / (varXN * varYN)
+    sums.select(groupCols.map(c => c) :+ col("n") :+
+      round(slope * 1000000).cast("long").as("slope_e6") :+
+      round(intercept * 1000000).cast("long").as("intercept_e6") :+
+      round(r2 * 1000000).cast("long").as("r2_e6"): _*)
+  }
+
   /** (clean, rejects): rejects carry a `violated` column with the
     * names of every failed rule, comma-joined in rule order. */
   def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
