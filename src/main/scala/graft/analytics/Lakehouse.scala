@@ -572,6 +572,132 @@ object Lakehouse {
       |WHERE o_orderkey IN (1, 5, 9)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q129 — time-weighted average (TWAP / time-in-state): a user's
+  // event value is a step function sampled at irregular times; the
+  // per-sample mean over-weights busy periods, the TWAP integrates
+  // the steps. Exact integer areas (e4 value × whole-second
+  // duration), one lead-window shuffle, map-side-combined sums — and
+  // one final double division (TimeSeries.twap). This is the
+  // reference's snapshot semantics (`bike_status` holds until the
+  // next poll) made into an aggregate.
+  // ---------------------------------------------------------------------
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir).select(col("user_id"),
+      epochS(col("ts_s")).as("es"), col("event_id"),
+      round(col("value") * 10000).cast("long").as("v"))
+    graft.operators.TimeSeries.twap(ev, Seq("user_id"),
+        col("es"), col("event_id"), col("v"))
+      .filter(col("span_s") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  private val q129Sql =
+    s"""WITH ev AS (
+       |  SELECT user_id, ${epochSSql("ts")} AS es, event_id,
+       |    CAST(round(value * 10000) AS BIGINT) AS v
+       |  FROM events),
+       |stepped AS (
+       |  SELECT user_id, v,
+       |    lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+       |      - es AS dt
+       |  FROM ev),
+       |agg AS (
+       |  SELECT user_id, count(*) + 1 AS n_samples,
+       |    CAST(sum(dt) AS BIGINT) AS span_s,
+       |    CAST(sum(v * dt) AS BIGINT) AS area_e4s
+       |  FROM stepped WHERE dt IS NOT NULL
+       |  GROUP BY user_id)
+       |SELECT user_id, n_samples, span_s, area_e4s,
+       |  CAST(area_e4s AS DOUBLE) / CAST(span_s AS DOUBLE) AS twap_e4
+       |FROM agg
+       |WHERE span_s > 0
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q130 — activity bitmaps: each (user, day) compresses to one
+  // 24-bit mask of active hours (bit_or of 1<<hour — the
+  // bitmap-index trick for engagement features: 24 booleans in one
+  // BIGINT, mergeable with pure OR, popcounted for free). Per-day
+  // masks partial-aggregate map-side; the per-user rollup counts
+  // days and popcounts hours without ever touching raw events again.
+  // ---------------------------------------------------------------------
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir).select(col("user_id"),
+      to_date(col("ts_s")).as("day"),
+      expr("shiftleft(CAST(1 AS BIGINT), hour(ts_s))").as("hbit"))
+    ev.groupBy(col("user_id"), col("day"))
+      .agg(expr("bit_or(hbit)").as("mask"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr("CAST(bit_count(mask) AS BIGINT)")).as("active_hours"),
+        max(expr("CAST(bit_count(mask) AS BIGINT)")).as("max_hours_day"),
+        expr("bit_or(mask)").as("ever_mask"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q130Sql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    (CAST(1 AS BIGINT) << EXTRACT(hour FROM
+      |      date_trunc('second', ts))) AS hbit
+      |  FROM events),
+      |daily AS (
+      |  SELECT user_id, day, bit_or(hbit) AS mask
+      |  FROM ev GROUP BY user_id, day)
+      |SELECT user_id, count(*) AS n_days,
+      |  CAST(sum(bit_count(mask)) AS BIGINT) AS active_hours,
+      |  CAST(max(bit_count(mask)) AS BIGINT) AS max_hours_day,
+      |  bit_or(mask) AS ever_mask
+      |FROM daily
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q131 — deterministic Poisson bootstrap: 8 replicates, each row
+  // weighted by inverse-CDF Poisson(1) of a portable per-(row,
+  // replicate) uniform. THE variance-estimation technique at 100 TB
+  // — no resampling pass, no global state, weights recomputed
+  // identically on any engine or retry (Curate.poissonWeight), and
+  // the replicate spread of the weighted sums estimates the sampling
+  // error of the true sum. One explode (×8) and one aggregate.
+  // ---------------------------------------------------------------------
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val u = graft.functions.PortableHash.hash60(
+        concat(lit("pb:"), col("event_id"), lit(":"), col("rep")))
+      .cast("double") / lit(1.152921504606846976e18)
+    val ev = Tables.eventsSec(s, dir).select(col("event_id"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rep", explode(sequence(lit(0), lit(7))))
+      .withColumn("w", graft.operators.Curate.poissonWeight(u).cast("long"))
+    ev.groupBy(col("event_type"), col("rep"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("n_eff"),
+        sum(col("w") * col("cents")).as("wsum_cents"))
+      .orderBy(col("event_type"), col("rep"))
+  }
+
+  private val q131Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "'pb:' || CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)")
+    val w = graft.operators.Curate.poissonWeightDuckSql(
+      s"CAST($h AS DOUBLE) / 1.152921504606846976e18")
+    s"""WITH ev AS (
+       |  SELECT event_id, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    unnest(range(8)) AS rep
+       |  FROM events),
+       |wtd AS (
+       |  SELECT event_type, rep, cents, CAST($w AS BIGINT) AS w
+       |  FROM ev)
+       |SELECT event_type, CAST(rep AS INTEGER) AS rep, count(*) AS n,
+       |  CAST(sum(w) AS BIGINT) AS n_eff,
+       |  CAST(sum(w * cents) AS BIGINT) AS wsum_cents
+       |FROM wtd
+       |GROUP BY event_type, rep
+       |ORDER BY event_type, rep""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_bucketed_join" -> (q117 _),
     "q118_hll_partials" -> (q118 _),
@@ -584,7 +710,10 @@ object Lakehouse {
     "q125_null_safe_join" -> (q125 _),
     "q126_outlier_exact" -> (q126 _),
     "q127_group_bins" -> (q127 _),
-    "q128_bucket_lookup" -> (q128 _))
+    "q128_bucket_lookup" -> (q128 _),
+    "q129_twap" -> (q129 _),
+    "q130_activity_bitmap" -> (q130 _),
+    "q131_poisson_bootstrap" -> (q131 _))
 
   val oracle: Map[String, String] = Map(
     "q117_bucketed_join" -> q117Sql,
@@ -598,5 +727,8 @@ object Lakehouse {
     "q125_null_safe_join" -> q125Sql,
     "q126_outlier_exact" -> q126Sql,
     "q127_group_bins" -> q127Sql,
-    "q128_bucket_lookup" -> q128Sql)
+    "q128_bucket_lookup" -> q128Sql,
+    "q129_twap" -> q129Sql,
+    "q130_activity_bitmap" -> q130Sql,
+    "q131_poisson_bootstrap" -> q131Sql)
 }

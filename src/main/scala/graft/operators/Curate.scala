@@ -303,4 +303,31 @@ object Curate {
     df.withColumn("n_matches",
         regexp_count(col(textCol), lit(pattern)).cast("long"))
       .withColumn(textCol, regexp_replace(col(textCol), pattern, repl))
+
+  /** Poisson(1) CDF steps for [[poissonWeight]]: P(X <= k). The
+    * decimal literals parse to identical doubles on every engine
+    * (correct rounding), so the inverse-CDF thresholds — and with
+    * them every bootstrap weight — are engine-portable constants. */
+  val poissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  /** Deterministic Poisson-bootstrap replicate weight: inverse-CDF of
+    * Poisson(1) applied to a portable uniform u ∈ [0,1). The
+    * bootstrap that actually runs at 100 TB: resampling n rows with
+    * replacement is impossible, but per-row independent Poisson(1)
+    * weights approximate the multinomial exactly as n grows, need no
+    * global state, and — derived from the portable hash — pick the
+    * SAME replicate weights on any engine, so a DuckDB oracle reruns
+    * the "randomness" bit-for-bit. */
+  def poissonWeight(u: Column): Column =
+    poissonCdf1.zipWithIndex.foldRight(lit(poissonCdf1.length): Column) {
+      case ((p, k), rest) => when(u < p, k).otherwise(rest)
+    }
+
+  /** DuckDB twin of [[poissonWeight]] over fragment `u`. */
+  def poissonWeightDuckSql(u: String): String =
+    "CASE " + poissonCdf1.zipWithIndex.map { case (p, k) =>
+      s"WHEN ($u) < $p THEN $k"
+    }.mkString(" ") + s" ELSE ${poissonCdf1.length} END"
 }

@@ -168,6 +168,40 @@ class LakehouseSpec extends AnyFunSuite {
       s"expected bucket pruning, read ${m.get.group(1)}/${m.get.group(2)}\n$plan")
   }
 
+  // -------------------------------------------------------------- q129
+  test("TWAP integrates the step function exactly") {
+    val ev = Seq((1L, 0L, 1L, 10L), (1L, 10L, 2L, 20L), (1L, 30L, 3L, 0L))
+      .toDF("user_id", "es", "event_id", "v")
+    val r = graft.operators.TimeSeries.twap(ev, Seq("user_id"),
+      $"es", $"event_id", $"v").collect()(0)
+    // area = 10*10 + 20*20 = 500 over span 30
+    assert(r.getAs[Long]("n_samples") == 3L)
+    assert(r.getAs[Long]("span_s") == 30L)
+    assert(r.getAs[Long]("area_e4s") == 500L)
+    assert(r.getAs[Double]("twap_e4") == 500.0 / 30.0)
+  }
+
+  // -------------------------------------------------------------- q130
+  test("activity bitmap ORs hours and popcounts them") {
+    val ev = Seq((0, 0), (0, 0), (0, 1), (0, 23)).map { case (u, h) =>
+      (u.toLong, h) }.toDF("user_id", "h")
+      .withColumn("hbit", expr("shiftleft(CAST(1 AS BIGINT), h)"))
+    val mask = ev.groupBy($"user_id").agg(expr("bit_or(hbit)").as("mask"))
+      .collect()(0).getLong(1)
+    assert(mask == ((1L << 0) | (1L << 1) | (1L << 23)))
+    assert(java.lang.Long.bitCount(mask) == 3)
+  }
+
+  // -------------------------------------------------------------- q131
+  test("poissonWeight inverts the Poisson(1) CDF at the thresholds") {
+    import graft.operators.Curate
+    val us = Seq(0.0, 0.3, 0.4, 0.8, 0.95, 0.99, 0.999, 0.99999)
+    val out = us.map(u => (u, 0)).toDF("u", "z")
+      .select(Curate.poissonWeight($"u").as("w"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(0, 0, 1, 2, 3, 4, 5, 6))
+  }
+
   // -------------------------------------------------------------- q120
   test("attribution: ties at the same second resolve to the larger " +
        "event id; out-of-window touches do not attribute") {
