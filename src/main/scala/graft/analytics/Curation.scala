@@ -377,11 +377,12 @@ object Curation {
   // ---------------------------------------------------------------------
   // q81 — gap-filled resampling (the time-series completeness op):
   // per-user hourly event counts with every missing hour inside the
-  // user's own [first, last] span filled with zeros. The grid is
-  // GENERATED per key (sequence + explode inside the user's span
-  // row) — never a calendar cross join — so grid size is bounded per
-  // key and the only shuffles are the aggregate and the (user, hour)
-  // equi-join back.
+  // user's own [first, last] span filled with zeros. Each aggregated
+  // hour row generates ITS OWN gap (sequence up to the next hour with
+  // data, via lead) — never a calendar cross join, never a grid
+  // self-join, and the raw events are scanned exactly once; the only
+  // exchanges after the aggregate move the hours-sized frame, not
+  // the corpus.
   // ---------------------------------------------------------------------
   private def q81(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.eventsSec(s, dir)
@@ -390,15 +391,18 @@ object Curation {
     val agg = e.groupBy(col("user_id"), col("h"))
       .agg(count(lit(1)).as("n_events"),
         fixedSum(col("value")).as("value_total"))
-    val grid = agg.groupBy(col("user_id"))
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      .select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
-          .as("h"))
-    grid.join(agg, Seq("user_id", "h"), "left")
-      .select(col("user_id"), col("h").as("hour"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        coalesce(col("value_total"), lit(0.0)).as("value_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("h"))
+    agg.withColumn("next_h", lead(col("h"), 1).over(w))
+      .select(col("user_id"), col("h"), col("n_events"), col("value_total"),
+        explode(sequence(col("h"),
+          coalesce(col("next_h") - expr("INTERVAL 1 HOUR"), col("h")),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      .select(col("user_id"), col("hour"),
+        when(col("hour") === col("h"), col("n_events")).otherwise(0L)
+          .as("n_events"),
+        when(col("hour") === col("h"), col("value_total")).otherwise(0.0)
+          .as("value_total"))
       .orderBy(col("user_id"), col("hour"))
   }
 
