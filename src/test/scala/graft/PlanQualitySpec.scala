@@ -324,4 +324,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q120: attribution as-of join is the union+carry shape — no " +
+       "range join, no cartesian, one window") {
+    val p = plan("q120_attribution")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Union"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q126/q127: per-class stats broadcast back into a per-row " +
+       "pass — the corpus never sort-merge joins") {
+    for (q <- Seq("q126_outlier_exact", "q127_group_bins")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q129: TWAP is one lead-window pass — no join, no collect") {
+    val p = plan("q129_twap")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q130: activity bitmaps are two chained aggregates — no join, " +
+       "partial combine map-side") {
+    val p = plan("q130_activity_bitmap")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("q131: bootstrap weights are per-row expressions — no join, " +
+       "no window, one aggregate over the exploded replicates") {
+    val p = plan("q131_poisson_bootstrap")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("WindowExec"), p)
+    assert(p.contains("Generate"), p)
+    assert(p.contains("partial"), p)
+  }
 }
