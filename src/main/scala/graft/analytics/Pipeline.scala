@@ -140,6 +140,49 @@ object Pipeline {
       |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q132 — REAL image decode in the gate: a 24bpp BMP per document
+  // (closed-form gradient, see Multimodal.syntheticBmp) is
+  // byte-encoded — bottom-up BGR rows, 4-byte stride padding, the
+  // parts implementations get wrong — then parsed back by the
+  // validating BMP decoder in a mapPartitions batch. Features are
+  // integer-exact channel sums plus a per-PIXEL max luma (not
+  // derivable from sums: proves every pixel was visited). The oracle
+  // recomputes all of it from the gradient's closed form without
+  // parsing a byte — q89's discipline extended to the image
+  // modality.
+  // ---------------------------------------------------------------------
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeBmp(
+        graft.operators.Multimodal.syntheticBmp(t(s, dir, "documents")))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  private val q132Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+      |    CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |v AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id * 7 + 3 * x + 5 * y) % 256 AS r,
+      |    (doc_id * 11 + 13 * x + 17 * y) % 256 AS g,
+      |    (doc_id * 19 + 23 * x + 29 * y) % 256 AS b
+      |  FROM px)
+      |SELECT doc_id AS media_id,
+      |  CAST(max(w) AS INTEGER) AS width,
+      |  CAST(max(h) AS INTEGER) AS height,
+      |  CAST(sum(r) AS BIGINT) AS r_sum,
+      |  CAST(sum(g) AS BIGINT) AS g_sum,
+      |  CAST(sum(b) AS BIGINT) AS b_sum,
+      |  CAST(max(2126 * r + 7152 * g + 722 * b) AS BIGINT) AS lum_max
+      |FROM v
+      |GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q96 — frame sampling in the gate: every 2nd 64-byte window of
   // each media blob becomes a row (the video-demux fan-out shape,
   // Multimodal.sampleFrames), aggregated back per media. The oracle
@@ -365,7 +408,8 @@ object Pipeline {
     "q60_incremental_merge" -> (q60 _),
     "q75_scd2_snapshot" -> (q75 _),
     "q89_wav_decode" -> (q89 _),
-    "q96_frame_sampling" -> (q96 _))
+    "q96_frame_sampling" -> (q96 _),
+    "q132_bmp_decode" -> (q132 _))
 
   val oracle: Map[String, String] = Map(
     "q111_cdc_apply" -> q111Sql,
@@ -375,5 +419,6 @@ object Pipeline {
     "q60_incremental_merge" -> q60Sql,
     "q75_scd2_snapshot" -> q75Sql,
     "q89_wav_decode" -> q89Sql,
-    "q96_frame_sampling" -> q96Sql)
+    "q96_frame_sampling" -> q96Sql,
+    "q132_bmp_decode" -> q132Sql)
 }

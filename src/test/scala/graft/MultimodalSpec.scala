@@ -104,4 +104,54 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.energy == s.map(v => v * v).sum)
     }
   }
+
+  test("BMP round-trip: a hand-built 2x2 image decodes to its exact " +
+       "pixels") {
+    // px(x,y): distinct channel values per corner
+    val img = Map((0, 0) -> (10, 20, 30), (1, 0) -> (40, 50, 60),
+      (0, 1) -> (70, 80, 90), (1, 1) -> (200, 100, 50))
+    val bytes = Multimodal.encodeBmp24(2, 2, (x, y) => img((x, y)))
+    val r = Multimodal.decodeBmp24(7L, bytes)
+    assert((r.width, r.height) == ((2, 2)))
+    assert(r.r_sum == 10 + 40 + 70 + 200)
+    assert(r.g_sum == 20 + 50 + 80 + 100)
+    assert(r.b_sum == 30 + 60 + 90 + 50)
+    // per-pixel max luma: corner (1,1) = 2126*200 + 7152*100 + 722*50
+    assert(r.lum_max == 2126L * 200 + 7152L * 100 + 722L * 50)
+  }
+
+  test("BMP rows pad to 4-byte strides: odd widths decode exactly") {
+    // width 3 -> 9 row bytes -> stride 12 (3 pad bytes per row);
+    // if the decoder ignored the stride the channel sums would shift
+    val bytes = Multimodal.encodeBmp24(3, 2, (x, y) => (x + 1, y + 1, 9))
+    assert(bytes.length == 54 + 12 * 2)
+    val r = Multimodal.decodeBmp24(1L, bytes)
+    assert(r.r_sum == (1 + 2 + 3) * 2)
+    assert(r.g_sum == (1 + 2) * 3)
+    assert(r.b_sum == 9 * 6)
+    val bad = bytes.clone(); bad(0) = 'X'
+    assertThrows[IllegalArgumentException] {
+      Multimodal.decodeBmp24(2L, bad)
+    }
+  }
+
+  test("distributed BMP decode matches the closed-form gradient") {
+    val docs = Tables.load(spark, sf001, "documents").limit(40)
+    val rows = Multimodal.decodeBmp(Multimodal.syntheticBmp(docs)).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val id = r.media_id
+      val (w, h) = (8 + (id % 9).toInt, 8 + ((id / 9) % 7).toInt)
+      assert((r.width, r.height) == ((w, h)))
+      val px = for (x <- 0 until w; y <- 0 until h) yield (
+        (id * 7 + 3L * x + 5L * y) % 256,
+        (id * 11 + 13L * x + 17L * y) % 256,
+        (id * 19 + 23L * x + 29L * y) % 256)
+      assert(r.r_sum == px.map(_._1).sum)
+      assert(r.g_sum == px.map(_._2).sum)
+      assert(r.b_sum == px.map(_._3).sum)
+      assert(r.lum_max ==
+        px.map(p => 2126 * p._1 + 7152 * p._2 + 722 * p._3).max)
+    }
+  }
 }
