@@ -698,6 +698,45 @@ object Lakehouse {
        |ORDER BY event_type, rep""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q133 — dynamic partition pruning: the fact table is laid out
+  // partitioned by event_type; the dimension side arrives with a
+  // selective filter; Catalyst injects a runtime pruning subquery
+  // into the fact scan (dynamicpruningexpression in PartitionFilters,
+  // plan-locked in LakehouseSpec) so only the partitions the dim
+  // actually selects are ever read. THE partition-layout payoff at
+  // 100 TB — static pruning can't see through a join, DPP can. Like
+  // q117/q122, the partitioned write is part of the gated op.
+  // ---------------------------------------------------------------------
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val base = tmp("dpp", dir)
+    val ev = Tables.eventsSec(s, dir).select(col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"), col("event_type"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    val fact = s.read.parquet(base)
+    val dim = Tables.eventsSec(s, dir).select(col("event_type")).distinct()
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("weight",
+        when(col("event_type") === "click", 2L).otherwise(5L))
+    fact.join(broadcast(dim), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents") * col("weight")).as("wsum_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q133Sql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(c * CASE event_type WHEN 'click' THEN 2 ELSE 5 END)
+      |    AS BIGINT) AS wsum_cents
+      |FROM ev
+      |WHERE event_type IN ('click', 'purchase')
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_bucketed_join" -> (q117 _),
     "q118_hll_partials" -> (q118 _),
@@ -713,7 +752,8 @@ object Lakehouse {
     "q128_bucket_lookup" -> (q128 _),
     "q129_twap" -> (q129 _),
     "q130_activity_bitmap" -> (q130 _),
-    "q131_poisson_bootstrap" -> (q131 _))
+    "q131_poisson_bootstrap" -> (q131 _),
+    "q133_dynamic_pruning" -> (q133 _))
 
   val oracle: Map[String, String] = Map(
     "q117_bucketed_join" -> q117Sql,
@@ -730,5 +770,6 @@ object Lakehouse {
     "q128_bucket_lookup" -> q128Sql,
     "q129_twap" -> q129Sql,
     "q130_activity_bitmap" -> q130Sql,
-    "q131_poisson_bootstrap" -> q131Sql)
+    "q131_poisson_bootstrap" -> q131Sql,
+    "q133_dynamic_pruning" -> q133Sql)
 }

@@ -202,6 +202,15 @@ class LakehouseSpec extends AnyFunSuite {
     assert(out == Seq(0, 0, 1, 2, 3, 4, 5, 6))
   }
 
+  // -------------------------------------------------------------- q133
+  test("dynamic partition pruning: the fact scan carries a runtime " +
+       "pruning expression from the dim side") {
+    val plan = SparkEntry.queries("q133_dynamic_pruning")(spark, TestSpark.sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must be runtime-pruned by the dim filter\n$plan")
+  }
+
   // -------------------------------------------------------------- q120
   test("attribution: ties at the same second resolve to the larger " +
        "event id; out-of-window touches do not attribute") {
