@@ -568,6 +568,39 @@ object Windowed {
        |ORDER BY err.user_id, error_id, click_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q134 — LEFT OUTER stream-stream interval join in the gate: q63's
+  // contract plus the rows a stream can only emit via watermark
+  // eviction — an error with NO click in its 600 s window surfaces
+  // (null-matched) once the watermark proves no match can still
+  // arrive. Inner matches don't exercise that path at all; this gate
+  // checks the state-expiry machinery itself against the batch LEFT
+  // JOIN truth.
+  // ---------------------------------------------------------------------
+  private def q134(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.leftOuterIntervalJoinReplayFromParquet(
+        s, s"$dir/events.parquet", "error", "click", 600L)
+      .select(col("user_id"), col("error_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_timestamp(col("click_ts")) -
+          unix_timestamp(col("err_ts")), lit(-1L)).as("delta_s"))
+      .orderBy(col("user_id"), col("error_id"), col("click_id"))
+
+  private val q134Sql =
+    s"""WITH e AS (SELECT user_id, event_id, ${epochSSql("ts")} AS ts_l,
+       |                  event_type FROM events),
+       |err AS (SELECT user_id, event_id, ts_l FROM e
+       |        WHERE event_type = 'error'),
+       |c AS (SELECT user_id, event_id, ts_l FROM e
+       |      WHERE event_type = 'click')
+       |SELECT err.user_id, err.event_id AS error_id,
+       |  coalesce(c.event_id, -1) AS click_id,
+       |  coalesce(c.ts_l - err.ts_l, -1) AS delta_s
+       |FROM err LEFT JOIN c
+       |  ON err.user_id = c.user_id
+       |  AND c.ts_l >= err.ts_l AND c.ts_l <= err.ts_l + 600
+       |ORDER BY err.user_id, error_id, click_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q91 — FORWARD as-of join with tolerance (pandas merge_asof
   // direction='forward'): each click attaches the EARLIEST error of
   // the same user within the next 300 s, or null. Same single-shuffle
@@ -751,6 +784,7 @@ object Windowed {
     "q53_stream_session" -> (q53 _),
     "q61_range_frame" -> (q61 _),
     "q63_stream_interval_join" -> (q63 _),
+    "q134_stream_outer_join" -> (q134 _),
     "q85_stream_static_join" -> (q85 _),
     "q99_stream_dedup" -> (q99 _),
     "q102_transitions" -> (q102 _),
@@ -772,6 +806,7 @@ object Windowed {
     "q53_stream_session" -> q53Sql,
     "q61_range_frame" -> q61Sql,
     "q63_stream_interval_join" -> q63Sql,
+    "q134_stream_outer_join" -> q134Sql,
     "q85_stream_static_join" -> q85Sql,
     "q99_stream_dedup" -> q99Sql,
     "q102_transitions" -> q102Sql,

@@ -404,6 +404,49 @@ object Streaming {
     spark.read.parquet(out.toString)
   }
 
+  /** LEFT OUTER watermarked stream-stream interval join, bounded
+    * replay: like [[intervalJoinReplayFromParquet]] but every left
+    * event without a match in its window must ALSO emit (with null
+    * right columns) — and in a stream that can only happen once the
+    * watermark proves no match can still arrive. That eviction is the
+    * semantics under test, and it needs the sentinel flush: a bounded
+    * inner join emits matches eagerly, but outer-unmatched rows sit
+    * in state until a later batch advances the watermark past
+    * leftTs + window. The sentinel (event_type 'sentinel') is let
+    * through BOTH side filters so both watermark operators advance;
+    * its own rows are filtered on read-back by user_id.
+    *
+    * Returns (user_id, error_id, err_ts, click_id, click_ts) with
+    * null click columns for unmatched errors. */
+  def leftOuterIntervalJoinReplayFromParquet(spark: SparkSession,
+                                             srcParquet: String,
+                                             leftType: String,
+                                             rightType: String,
+                                             windowSec: Long): DataFrame =
+    sentinelReplay(spark, srcParquet) { eSec =>
+      // every column renamed apart BEFORE the join: both sides share
+      // one source lineage, and Dataset self-join disambiguation of
+      // `left(c) === right(c)` resolves the key equality to a
+      // trivially-true self-reference — which an inner join survives
+      // (the rewriter fixes it) but silently breaks outer-state
+      // eviction. Distinct names make the condition unambiguous.
+      val left = eSec.filter(col("event_type").isin(leftType, "sentinel"))
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts_s").as("err_ts"))
+        .withWatermark("err_ts", "0 seconds")
+      val right = eSec.filter(col("event_type").isin(rightType, "sentinel"))
+        .select(col("user_id").as("r_user"),
+          col("event_id").as("click_id"), col("ts_s").as("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+      left.join(right,
+          col("user_id") === col("r_user") &&
+            col("click_ts") >= col("err_ts") &&
+            col("click_ts") <= col("err_ts") +
+              expr(s"INTERVAL $windowSec SECONDS"),
+          "left_outer")
+        .drop("r_user")
+    }.filter(col("user_id") =!= -1L)
+
   /** Bounded replay of a parquet table through a stream–static
     * broadcast-dimension join — the continuous form of fact-side
     * enrichment (the reference's weather/municipality enrichments,

@@ -234,4 +234,20 @@ class StreamingSpec extends AnyFunSuite {
       .filter(viaOperator("n_sessions") =!= viaWindow("n_sessions"))
       .count() == 0)
   }
+
+  test("left-outer interval join emits watermark-evicted unmatched " +
+       "rows, not just inner matches") {
+    val src = s"${TestSpark.sf001}/events.parquet"
+    val got = graft.streaming.Streaming
+      .leftOuterIntervalJoinReplayFromParquet(spark, src,
+        "error", "click", 600L)
+    val e = spark.read.parquet(src)
+    val eSec = e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
+    val nErrors = eSec.filter(col("event_type") === "error").count()
+    // every error must appear (matched or null-matched); the
+    // unmatched majority only exists if state eviction emitted them
+    assert(got.count() >= nErrors, s"got ${got.count()} of $nErrors errors")
+    val unmatched = got.filter(col("click_id").isNull).count()
+    assert(unmatched > 0, "no watermark-evicted unmatched rows emitted")
+  }
 }
