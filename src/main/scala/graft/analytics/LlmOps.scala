@@ -50,8 +50,12 @@ object LlmOps {
     // pair generation: checkpoint it so the corpus is tokenized once
     // (the materialization is inside the measured query, and at scale
     // a dedup job materializes its postings for exactly this reason).
+    // Only (id, sh) is materialized — carrying the shingle STRING
+    // through the checkpoint would triple the bytes for a column no
+    // downstream operator reads.
     val sh = Dedup.dfPruneFrac(
-      Dedup.shingleTable(d, "doc_id", "text", 3).localCheckpoint(),
+      Dedup.shingleTable(d, "doc_id", "text", 3).select("id", "sh")
+        .localCheckpoint(),
       0.1, d)
     Dedup.jaccardPairs(sh, 0.2)
       .select(col("id_a"), col("id_b"), col("inter"),
@@ -727,7 +731,8 @@ object LlmOps {
   private def q67(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val sh = Dedup.dfPruneFrac(
-      Dedup.shingleTable(d, "doc_id", "text", 3).localCheckpoint(),
+      Dedup.shingleTable(d, "doc_id", "text", 3).select("id", "sh")
+        .localCheckpoint(),
       0.1, d)
     val bench = sh.filter(col("id") % 20 === 0)
       .select(col("id").as("bench_id"), col("sh"))
