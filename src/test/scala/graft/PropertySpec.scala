@@ -145,4 +145,111 @@ class PropertySpec extends AnyFunSuite {
         s"HLL parts estimate out of bound for ${r.getAs[String]("l_returnflag")}")
     }
   }
+
+  test("tableDiff recovers a random perturbation's exact classification") {
+    import graft.operators.Validate
+    val genRows: Gen[List[(Long, Long)]] =
+      Gen.listOfN(200, Gen.zip(Gen.choose(0L, 300L), Gen.choose(0L, 9L)))
+    cases(genRows, 4).foreach { raw =>
+      val v1rows = raw.toMap.toSeq // unique keys
+      // deterministic perturbation with known ground truth
+      val removed = v1rows.filter(_._1 % 11 == 0).map(_._1).toSet
+      val changed = v1rows.filter(r => r._1 % 11 != 0 && r._1 % 7 == 0)
+        .map(_._1).toSet
+      val added = v1rows.filter(_._1 % 13 == 0).map { case (k, v) =>
+        (k + 100000L, v) }
+      val v2rows = v1rows.collect {
+        case (k, v) if !removed.contains(k) =>
+          (k, if (changed.contains(k)) v + 1 else v)
+      } ++ added
+      val d = Validate.tableDiff(
+          v1rows.toDF("key", "v"), v2rows.toDF("key", "v"),
+          col("key"), col("v").cast("string"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      v1rows.foreach { case (k, _) =>
+        val expect =
+          if (removed.contains(k)) "removed"
+          else if (changed.contains(k)) "changed" else "unchanged"
+        assert(d(k) == expect, s"key $k")
+      }
+      added.foreach { case (k, _) => assert(d(k) == "added", s"key $k") }
+    }
+  }
+
+  test("survivor keeps, per attribute, exactly the latest non-null " +
+       "on random observation histories") {
+    val genObs: Gen[List[(Long, Long, Option[Long], Option[String])]] =
+      Gen.listOfN(120, for {
+        key <- Gen.choose(0L, 5L)
+        ord <- Gen.choose(0L, 1000000L)
+        a <- Gen.option(Gen.choose(0L, 99L))
+        b <- Gen.option(Gen.oneOf("x", "y", "z"))
+      } yield (key, ord, a, b))
+    cases(genObs, 4).foreach { raw =>
+      // unique ord per key (survivor's documented contract)
+      val obs = raw.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val out = MergeByKey.survivor(
+          obs.toDF("k", "ord", "a", "b"), Seq("k"), "ord", Seq("a", "b"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Any]("a"), r.getAs[Any]("b"), r.getAs[Long]("n_obs")))
+        .toMap
+      obs.groupBy(_._1).foreach { case (k, rows) =>
+        val expectA = rows.filter(_._3.isDefined).sortBy(_._2).lastOption
+          .flatMap(_._3).map(Long.box).orNull
+        val expectB = rows.filter(_._4.isDefined).sortBy(_._2).lastOption
+          .flatMap(_._4).orNull
+        val (a, b, n) = out(k)
+        assert(a == expectA && b == expectB, s"key $k")
+        assert(n == rows.length.toLong)
+      }
+    }
+  }
+
+  test("TWAP equals brute-force step-function integration on random " +
+       "series") {
+    import graft.operators.TimeSeries
+    val genSeries: Gen[List[(Long, Long, Long)]] =
+      Gen.listOfN(80, for {
+        key <- Gen.choose(0L, 3L)
+        t <- Gen.choose(0L, 5000L)
+        v <- Gen.choose(-1000L, 1000L)
+      } yield (key, t, v))
+    cases(genSeries, 4).foreach { raw =>
+      // unique (key, t) then a synthetic unique tiebreak id
+      val series = raw.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        .zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val out = TimeSeries.twap(series.toDF("k", "es", "tie", "v"),
+          Seq("k"), col("es"), col("tie"), col("v"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("span_s"), r.getAs[Long]("area_e4s"))).toMap
+      series.groupBy(_._1).foreach { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        if (sorted.length >= 2) {
+          val area = sorted.sliding(2).map { case Seq(a, b) =>
+            a._4 * (b._2 - a._2) }.sum
+          val span = sorted.last._2 - sorted.head._2
+          assert(out(k) == ((span, area)), s"key $k")
+        } else assert(!out.contains(k), s"key $k: single sample must drop")
+      }
+    }
+  }
+
+  test("Poisson bootstrap weights have unit mean within sampling " +
+       "error and reproduce exactly on recompute") {
+    import graft.operators.Curate
+    import graft.functions.PortableHash
+    val n = 20000
+    val u = PortableHash.hash60(concat(lit("p:"), col("id")))
+      .cast("double") / lit(1.152921504606846976e18)
+    val w = spark.range(n).select(Curate.poissonWeight(u).as("w"))
+    val stats = w.agg(sum(col("w")).cast("double").as("s"),
+      sum(col("w") * col("w")).cast("double").as("ss")).collect()(0)
+    val mean = stats.getDouble(0) / n
+    // Poisson(1): mean 1, var 1 -> mean in 1 +- 4/sqrt(n)
+    assert(math.abs(mean - 1.0) < 4.0 / math.sqrt(n.toDouble), s"mean=$mean")
+    // determinism: the same hash -> the same weights, bit for bit
+    val again = spark.range(n).select(Curate.poissonWeight(u).as("w"))
+      .agg(sum(col("w")).cast("double")).collect()(0).getDouble(0)
+    assert(again == stats.getDouble(0))
+  }
 }
