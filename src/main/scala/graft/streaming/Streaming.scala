@@ -383,14 +383,26 @@ object Streaming {
     val e0 = spark.readStream.schema(schema).parquet(in.toString)
     val e = e0.withColumn("ts_s",
       graft.analytics.Exact.secFromAny(e0, "ts"))
+    // right key renamed apart BEFORE the join: both sides share one
+    // source lineage, and Dataset self-join disambiguation of
+    // `l(key) === r(key)` degrades to a trivially-true self-reference
+    // (the inner-join rewriter happens to repair it — with a logged
+    // warning — but the left-outer variant proved the hazard real;
+    // distinct names make the condition unambiguous by construction)
     val left = e.filter(col("event_type") === leftType)
       .select(col("user_id"), col("event_id").as("error_id"),
         col("ts_s").as("err_ts"))
+      .withWatermark("err_ts", "0 seconds")
     val right = e.filter(col("event_type") === rightType)
-      .select(col("user_id"), col("event_id").as("click_id"),
+      .select(col("user_id").as("r_user"), col("event_id").as("click_id"),
         col("ts_s").as("click_ts"))
-    val joined = intervalJoin(left, right, "user_id",
-      "err_ts", "click_ts", windowSec, "0 seconds")
+      .withWatermark("click_ts", "0 seconds")
+    val joined = left.join(right,
+        col("user_id") === col("r_user") &&
+          col("click_ts") >= col("err_ts") &&
+          col("click_ts") <= col("err_ts") +
+            expr(s"INTERVAL $windowSec SECONDS"))
+      .drop("r_user")
 
     withStatePartitions(spark) {
       val q = joined.writeStream.format("parquet")
