@@ -737,6 +737,89 @@ object Lakehouse {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q135 — hard-negative mining for contrastive training: per query
+  // vector, the 3 most-cosine-similar vectors with a DIFFERENT label
+  // (similar-but-wrong is what the loss needs to push apart; random
+  // negatives teach nothing). Corpus scanned in place, queries
+  // broadcast, label inequality inside the join, ranking on the
+  // bounded-heap TopK plan — the q25 scan shape with a supervision
+  // twist.
+  // ---------------------------------------------------------------------
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.operators.Similarity.hardNegatives(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", "label", 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q135Sql = {
+    val cos = graft.functions.Vectors.cosineSql("q.qv", "e.embedding")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+       |  FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT query_id, e.vec_id, e.label AS neg_label,
+       |    round($cos, 4) AS cos
+       |  FROM q, embeddings e
+       |  WHERE e.vec_id != q.query_id AND e.label IS DISTINCT FROM q.ql),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, neg_label, cos, rank FROM ranked
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q136 — containment (subset-duplicate) detection: pairs with
+  // inter / min(|A|, |B|) ≥ 0.4 — the partial-copy/quotation case
+  // Jaccard structurally misses (a short doc fully inside a long one
+  // scores Jaccard ≈ |A|/|B| but containment 1.0). Same df-pruned
+  // posting-list pair generation as q23; only the normalization
+  // differs (Dedup.containmentPairs).
+  // ---------------------------------------------------------------------
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sh = graft.operators.Dedup.dfPruneFrac(
+      graft.operators.Dedup.shingleTable(d, "doc_id", "text", 3)
+        .select("id", "sh").localCheckpoint(),
+      0.1, d)
+    graft.operators.Dedup.containmentPairs(sh, 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q136Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents),
+      |shing AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(w) - 2),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      |  FROM toks WHERE len(w) >= 3),
+      |freq AS (SELECT shingle, count(*) AS df FROM shing GROUP BY shingle),
+      |tot AS (SELECT count(*) AS nd FROM documents),
+      |pruned AS (
+      |  SELECT s.doc_id, s.shingle
+      |  FROM shing s JOIN freq f ON f.shingle = s.shingle, tot
+      |  WHERE f.df <= greatest(2.0, nd * 0.1)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM pruned a JOIN pruned b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+      |  inter / least(sa.sz, sb.sz) AS containment
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE inter / least(sa.sz, sb.sz) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_bucketed_join" -> (q117 _),
     "q118_hll_partials" -> (q118 _),
@@ -753,7 +836,9 @@ object Lakehouse {
     "q129_twap" -> (q129 _),
     "q130_activity_bitmap" -> (q130 _),
     "q131_poisson_bootstrap" -> (q131 _),
-    "q133_dynamic_pruning" -> (q133 _))
+    "q133_dynamic_pruning" -> (q133 _),
+    "q135_hard_negatives" -> (q135 _),
+    "q136_containment" -> (q136 _))
 
   val oracle: Map[String, String] = Map(
     "q117_bucketed_join" -> q117Sql,
@@ -771,5 +856,7 @@ object Lakehouse {
     "q129_twap" -> q129Sql,
     "q130_activity_bitmap" -> q130Sql,
     "q131_poisson_bootstrap" -> q131Sql,
-    "q133_dynamic_pruning" -> q133Sql)
+    "q133_dynamic_pruning" -> q133Sql,
+    "q135_hard_negatives" -> q135Sql,
+    "q136_containment" -> q136Sql)
 }

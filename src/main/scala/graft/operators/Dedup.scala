@@ -141,14 +141,17 @@ object Dedup {
     * pairs from one row) is the known quadratic edge of all-pairs
     * exact Jaccard; at scale [[dfPrune]] caps it, which is also a
     * quality win. */
-  def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame = {
-    // per-doc set size rides along as a window count (one hash
-    // shuffle over the postings), so the shingle table — the only
-    // expensive subtree — is evaluated exactly once and no size
-    // lookup join is needed afterwards
+  /** (id_a, id_b, size_a, size_b, inter) for every document pair
+    * sharing at least one posting — the shared core of
+    * [[jaccardPairs]] and [[containmentPairs]]. Per-doc set size
+    * rides along as a window count (one hash shuffle over the
+    * postings), so the shingle table — the only expensive subtree —
+    * is evaluated exactly once and no size lookup join is needed
+    * afterwards. */
+  private def intersectionCounts(shingled: DataFrame): DataFrame = {
     val withSz = shingled.select(col("id"), col("sh"),
       count(lit(1)).over(Window.partitionBy("id")).as("sz"))
-    val pairs = withSz
+    withSz
       .groupBy("sh")
       .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -160,14 +163,29 @@ object Dedup {
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
-    pairs
       .groupBy("id_a", "id_b", "size_a", "size_b")
       .agg(count(lit(1)).as("inter"))
+  }
+
+  def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame =
+    intersectionCounts(shingled)
       .withColumn("jaccard",
         col("inter") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
-  }
+
+  /** Max-containment pairs: inter / min(|A|, |B|) ≥ threshold — the
+    * SUBSET-duplicate detector Jaccard structurally misses: a short
+    * document fully quoted inside a long one has Jaccard
+    * ≈ |A|/|B| (tiny) but containment 1.0. Same posting-list pair
+    * generation and df-prune discipline as [[jaccardPairs]]; only the
+    * normalization differs. */
+  def containmentPairs(shingled: DataFrame, threshold: Double): DataFrame =
+    intersectionCounts(shingled)
+      .withColumn("containment",
+        col("inter") / least(col("size_a"), col("size_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "containment")
 
   /** PPJoin-style prefix-filtered exact Jaccard join — same output
     * contract as [[jaccardPairs]], different scale profile.

@@ -63,6 +63,29 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for
+    * each query, the top-k most similar corpus vectors with a
+    * DIFFERENT label (similar-but-wrong is exactly what a contrastive
+    * loss needs to push apart; easy random negatives teach nothing).
+    * Same scan shape as [[bruteForceTopK]] — corpus scanned in place,
+    * queries broadcast, bounded-heap TopK plan — plus a null-safe
+    * label-inequality predicate evaluated inside the join.
+    * Output: (query_id, vec_id, neg_label, cos, rank). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neg_label"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("vec_id") &&
+          !(col("q_label") <=> col("neg_label")))
+      .select(col("query_id"), col("vec_id"), col("neg_label"),
+        cos4(col("qv"), col("cv")).as("cos"))
+    org.apache.spark.sql.graftx.TopKPerKeyPlan.topK(scored,
+      Seq("query_id"), Seq("cos" -> true, "vec_id" -> false), k)
+  }
+
   /** Multi-band sign-LSH ANN: `bands` independent bucketings over
     * disjoint dimension sets; a corpus vector is a candidate when it
     * shares ANY band's bucket with the query. Recall grows with each
