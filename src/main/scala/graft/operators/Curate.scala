@@ -156,7 +156,17 @@ object Curate {
     * chunk hash for dedup, by size for packing) composes on top.
     */
   def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
-                   win: Int, stride: Int): DataFrame = {
+                   win: Int, stride: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graftx.WordWindows.col(col(textCol), win, stride))
+
+  /** The registry-free composed formulation of [[chunkWindows]]
+    * (sequence → posexplode → slice → array_join): four generic
+    * expression layers and two array allocations per chunk where the
+    * generator writes rows directly. Kept as the parity reference —
+    * CurationSpec pins the two row-for-row equal. */
+  def chunkWindowsComposed(docs: DataFrame, idCol: String, textCol: String,
+                           win: Int, stride: Int): DataFrame = {
     require(win > 0 && stride > 0, s"win=$win stride=$stride must be > 0")
     docs
       .select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__w"))

@@ -299,6 +299,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq((1L, "# bcd #", 2L), (2L, "xyz", 0L), (3L, "", 0L)))
   }
 
+  test("WordWindows generator is row-for-row identical to the " +
+       "composed chunking chain") {
+    val real = graft.core.Tables.load(spark, TestSpark.sf001, "documents")
+      .limit(120).select(col("doc_id"), col("text"))
+    val adversarial = Seq(
+      (9001L, ""), (9002L, " "), (9003L, "  double  spaces  "),
+      (9004L, "one"), (9005L, "exactly ten tokens a b c d e f g"),
+      (9006L, (1 to 47).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = real.unionByName(adversarial)
+    for ((win, stride) <- Seq((10, 10), (20, 15), (8, 3), (1, 1))) {
+      val gen = graft.operators.Curate
+        .chunkWindows(docs, "doc_id", "text", win, stride)
+      val composed = graft.operators.Curate
+        .chunkWindowsComposed(docs, "doc_id", "text", win, stride)
+      assert(gen.exceptAll(composed).isEmpty &&
+        composed.exceptAll(gen).isEmpty,
+        s"win=$win stride=$stride diverged")
+    }
+  }
+
   test("bloom probe admits every true key (no false negatives) and " +
        "prunes most others") {
     val keys = spark.range(0, 2000).filter(col("id") % 2 === 0)
