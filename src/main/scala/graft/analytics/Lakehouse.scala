@@ -820,6 +820,57 @@ object Lakehouse {
       |WHERE inter / least(sa.sz, sb.sz) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q137 — incremental dedup: a 10% "new batch" (doc_id ≡ 7 mod 10)
+  // is near-dup-checked against the WHOLE corpus without re-pairing
+  // old-old documents — only the batch's postings join the posting
+  // table, so the daily cost scales with the batch, not the corpus
+  // (q60's incremental-merge discipline applied to dedup). The
+  // oracle recomputes all pairs and restricts to new-involving ones:
+  // equality proves the delta path loses nothing.
+  // ---------------------------------------------------------------------
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sh = graft.operators.Dedup.dfPruneFrac(
+      graft.operators.Dedup.shingleTable(d, "doc_id", "text", 3)
+        .select("id", "sh").localCheckpoint(),
+      0.1, d)
+    graft.operators.Dedup.incrementalJaccardPairs(
+        sh, id => id % 10 === 7, 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q137Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents),
+      |shing AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(w) - 2),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      |  FROM toks WHERE len(w) >= 3),
+      |freq AS (SELECT shingle, count(*) AS df FROM shing GROUP BY shingle),
+      |tot AS (SELECT count(*) AS nd FROM documents),
+      |pruned AS (
+      |  SELECT s.doc_id, s.shingle
+      |  FROM shing s JOIN freq f ON f.shingle = s.shingle, tot
+      |  WHERE f.df <= greatest(2.0, nd * 0.1)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM pruned a JOIN pruned b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 10 = 7 OR b.doc_id % 10 = 7
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+      |  inter / (sa.sz + sb.sz - inter) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_bucketed_join" -> (q117 _),
     "q118_hll_partials" -> (q118 _),
@@ -838,7 +889,8 @@ object Lakehouse {
     "q131_poisson_bootstrap" -> (q131 _),
     "q133_dynamic_pruning" -> (q133 _),
     "q135_hard_negatives" -> (q135 _),
-    "q136_containment" -> (q136 _))
+    "q136_containment" -> (q136 _),
+    "q137_incremental_dedup" -> (q137 _))
 
   val oracle: Map[String, String] = Map(
     "q117_bucketed_join" -> q117Sql,
@@ -858,5 +910,6 @@ object Lakehouse {
     "q131_poisson_bootstrap" -> q131Sql,
     "q133_dynamic_pruning" -> q133Sql,
     "q135_hard_negatives" -> q135Sql,
-    "q136_containment" -> q136Sql)
+    "q136_containment" -> q136Sql,
+    "q137_incremental_dedup" -> q137Sql)
 }

@@ -174,6 +174,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
+  /** Incremental near-dup detection: pairs involving at least one NEW
+    * document, computed WITHOUT re-pairing the existing corpus — the
+    * daily-ingest reality at 100 TB (re-running [[jaccardPairs]] over
+    * corpus ∪ batch re-derives every old-old pair; this joins only
+    * the batch's postings against the full posting table, so work
+    * scales with the batch). Old-old pairs never form; both-new pairs
+    * emit exactly once (kept only on the `nid < oid` orientation).
+    * Result equals the full recompute restricted to new-involving
+    * pairs — the q60 incremental-merge discipline applied to dedup.
+    *
+    * `isNew` classifies a document id (applied to both join sides —
+    * must be a pure function of the id). */
+  def incrementalJaccardPairs(shingled: DataFrame, isNew: Column => Column,
+                              threshold: Double): DataFrame = {
+    val withSz = shingled.select(col("id"), col("sh"),
+      count(lit(1)).over(Window.partitionBy("id")).as("sz"))
+    val newPost = withSz.filter(isNew(col("id")))
+      .select(col("id").as("nid"), col("sh"), col("sz").as("nsz"))
+    val allPost = withSz
+      .select(col("id").as("oid"), col("sh"), col("sz").as("osz"))
+    newPost.join(allPost, Seq("sh"))
+      .filter(col("nid") =!= col("oid") &&
+        (!isNew(col("oid")) || col("nid") < col("oid")))
+      .select(
+        least(col("nid"), col("oid")).as("id_a"),
+        greatest(col("nid"), col("oid")).as("id_b"),
+        when(col("nid") < col("oid"), col("nsz")).otherwise(col("osz"))
+          .as("size_a"),
+        when(col("nid") < col("oid"), col("osz")).otherwise(col("nsz"))
+          .as("size_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
   /** Max-containment pairs: inter / min(|A|, |B|) ≥ threshold — the
     * SUBSET-duplicate detector Jaccard structurally misses: a short
     * document fully quoted inside a long one has Jaccard

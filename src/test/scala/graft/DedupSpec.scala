@@ -138,4 +138,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 1L)),
       s"only the in-block near pair qualifies, got $out")
   }
+
+  test("incrementalJaccardPairs equals the full recompute restricted " +
+       "to new-involving pairs, and emits both-new pairs once") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, TestSpark.sf001, "documents")
+      .limit(200)
+    val sh = graft.operators.Dedup
+      .shingleTable(docs, "doc_id", "text", 3).select("id", "sh")
+    val isNew = (id: org.apache.spark.sql.Column) => id % 4 === 1
+    val incr = graft.operators.Dedup
+      .incrementalJaccardPairs(sh, isNew, 0.1)
+      .select("id_a", "id_b", "inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val full = graft.operators.Dedup.jaccardPairs(sh, 0.1)
+      .filter(col("id_a") % 4 === 1 || col("id_b") % 4 === 1)
+      .select("id_a", "id_b", "inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(incr == full, s"incremental diverged: ${incr.diff(full)} / ${full.diff(incr)}")
+    // single emission: no (a,b)/(b,a) duplicates
+    assert(incr.size == incr.map(p => (p._1, p._2)).size)
+  }
 }
