@@ -871,6 +871,81 @@ object Lakehouse {
       |WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q138 — join-key skew profile: the top-10 heaviest keys with their
+  // exact parts-per-million share of the table — the diagnosis that
+  // decides whether a join needs q79's salting or AQE can handle it.
+  // One partial-aggregated key count, a TakeOrdered top-k, a 1-row
+  // broadcast total; share as exact integer division (no float
+  // drift on the boundary). At 100 TB you run this BEFORE the join
+  // that would have died.
+  // ---------------------------------------------------------------------
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"))
+    val total = li.agg(count(lit(1)).as("total"))
+    li.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_suppkey"))
+      .limit(10)
+      .crossJoin(broadcast(total))
+      .select(col("l_suppkey"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"))
+      .orderBy(col("n").desc, col("l_suppkey"))
+  }
+
+  private val q138Sql =
+    """WITH tot AS (SELECT count(*) AS total FROM lineitem),
+      |top AS (
+      |  SELECT l_suppkey, count(*) AS n
+      |  FROM lineitem
+      |  GROUP BY l_suppkey
+      |  ORDER BY n DESC, l_suppkey
+      |  LIMIT 10)
+      |SELECT l_suppkey, n,
+      |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+      |FROM top, tot
+      |ORDER BY n DESC, l_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q139 — rolling 7-day active users (the WAU curve): each (user,
+  // active-day) pair is deduplicated ONCE, then fans out to the 7
+  // window-end days it supports; a second distinct collapses
+  // multi-day activity inside a window. Work scales with
+  // |distinct (user, day)| × 7 — never with raw events — which is
+  // the only affordable exact rolling-distinct at 100 TB (sliding
+  // DISTINCT windows don't partial-aggregate; this expansion does).
+  // ---------------------------------------------------------------------
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.eventsSec(s, dir)
+      .select(col("user_id"),
+        (epochS(col("ts_s")) / 86400L).cast("long").as("day"))
+      .distinct()
+    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .filter(col("wday") >= col("d0") && col("wday") <= col("d1"))
+      .groupBy(col("wday"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("wday"))
+  }
+
+  private val q139Sql =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id,
+       |    ${epochSSql("ts")} // 86400 AS day
+       |  FROM events),
+       |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+       |expanded AS (
+       |  SELECT DISTINCT user_id, day + x AS wday
+       |  FROM ud, (SELECT unnest(range(7)) AS x))
+       |SELECT CAST(wday AS BIGINT) AS wday, count(*) AS n_active
+       |FROM expanded, bounds
+       |WHERE wday >= d0 AND wday <= d1
+       |GROUP BY wday
+       |ORDER BY wday""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_bucketed_join" -> (q117 _),
     "q118_hll_partials" -> (q118 _),
@@ -890,7 +965,9 @@ object Lakehouse {
     "q133_dynamic_pruning" -> (q133 _),
     "q135_hard_negatives" -> (q135 _),
     "q136_containment" -> (q136 _),
-    "q137_incremental_dedup" -> (q137 _))
+    "q137_incremental_dedup" -> (q137 _),
+    "q138_skew_profile" -> (q138 _),
+    "q139_rolling_active" -> (q139 _))
 
   val oracle: Map[String, String] = Map(
     "q117_bucketed_join" -> q117Sql,
@@ -911,5 +988,7 @@ object Lakehouse {
     "q133_dynamic_pruning" -> q133Sql,
     "q135_hard_negatives" -> q135Sql,
     "q136_containment" -> q136Sql,
-    "q137_incremental_dedup" -> q137Sql)
+    "q137_incremental_dedup" -> q137Sql,
+    "q138_skew_profile" -> q138Sql,
+    "q139_rolling_active" -> q139Sql)
 }
