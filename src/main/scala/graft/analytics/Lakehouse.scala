@@ -946,6 +946,55 @@ object Lakehouse {
        |GROUP BY wday
        |ORDER BY wday""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q140 — share-of-total (ratio-to-report): each supplier nation's
+  // exact parts-per-million share of its region's revenue — the BI
+  // staple that turns absolutes into comparable mixes. Cents sums are
+  // exact longs; the share is 128-bit integer arithmetic
+  // (DECIMAL(38) / HUGEINT) so cents × 10⁶ cannot overflow at any
+  // scale factor, and the window total rides the same partitioning
+  // as the (region, nation) aggregate.
+  // ---------------------------------------------------------------------
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("cents")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+    rev.withColumn("region_cents", sum(col("cents")).over(w))
+      .select(col("r_name"), col("n_name"), col("cents"),
+        expr("CAST(cents AS DECIMAL(38,0)) * 1000000 div region_cents")
+          .cast("long").as("share_ppm"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q140Sql =
+    """WITH rev AS (
+      |  SELECT r_name, n_name,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name),
+      |tot AS (
+      |  SELECT *, sum(cents) OVER (PARTITION BY r_name) AS region_cents
+      |  FROM rev)
+      |SELECT r_name, n_name, cents,
+      |  CAST(CAST(cents AS HUGEINT) * 1000000 // region_cents AS BIGINT)
+      |    AS share_ppm
+      |FROM tot
+      |ORDER BY r_name, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_bucketed_join" -> (q117 _),
     "q118_hll_partials" -> (q118 _),
@@ -967,7 +1016,8 @@ object Lakehouse {
     "q136_containment" -> (q136 _),
     "q137_incremental_dedup" -> (q137 _),
     "q138_skew_profile" -> (q138 _),
-    "q139_rolling_active" -> (q139 _))
+    "q139_rolling_active" -> (q139 _),
+    "q140_share_of_total" -> (q140 _))
 
   val oracle: Map[String, String] = Map(
     "q117_bucketed_join" -> q117Sql,
@@ -990,5 +1040,6 @@ object Lakehouse {
     "q136_containment" -> q136Sql,
     "q137_incremental_dedup" -> q137Sql,
     "q138_skew_profile" -> q138Sql,
-    "q139_rolling_active" -> q139Sql)
+    "q139_rolling_active" -> q139Sql,
+    "q140_share_of_total" -> q140Sql)
 }
