@@ -995,6 +995,57 @@ object Lakehouse {
       |FROM tot
       |ORDER BY r_name, n_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q141 — header-vs-lines reconciliation: each order's stated total
+  // against the exact cents sum of its line items, rolled up per
+  // status — the balance audit every warehouse load runs after the
+  // FK check (q114 asks "do the children exist", this asks "do they
+  // add up"). All integer arithmetic (Validate.balanceAudit); one
+  // child pre-aggregate, one key join.
+  // ---------------------------------------------------------------------
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val audited = Validate.balanceAudit(
+      o.select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("pe")),
+      col("o_orderkey"), col("pe"),
+      t(s, dir, "lineitem"), col("l_orderkey"),
+      round(col("l_extendedprice") * 100).cast("long"))
+    audited.join(o.select(col("o_orderkey").as("key"),
+        col("o_orderstatus")), Seq("key"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("n_children") === 0, 1L).otherwise(0L))
+          .as("n_childless"),
+        sum(when(abs(col("imbalance_e")) <= 100, 1L).otherwise(0L))
+          .as("n_balanced"),
+        sum(abs(col("imbalance_e"))).as("abs_imbalance_total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q141Sql =
+    """WITH kids AS (
+      |  SELECT l_orderkey AS key,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS child_e,
+      |    count(*) AS n_children
+      |  FROM lineitem GROUP BY l_orderkey),
+      |audited AS (
+      |  SELECT o_orderkey AS key, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT)
+      |      - coalesce(child_e, 0) AS imbalance_e,
+      |    coalesce(n_children, 0) AS n_children
+      |  FROM orders LEFT JOIN kids ON o_orderkey = kids.key)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN n_children = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_childless,
+      |  CAST(sum(CASE WHEN abs(imbalance_e) <= 100 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_balanced,
+      |  CAST(sum(abs(imbalance_e)) AS BIGINT) AS abs_imbalance_total
+      |FROM audited
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_bucketed_join" -> (q117 _),
     "q118_hll_partials" -> (q118 _),
@@ -1017,7 +1068,8 @@ object Lakehouse {
     "q137_incremental_dedup" -> (q137 _),
     "q138_skew_profile" -> (q138 _),
     "q139_rolling_active" -> (q139 _),
-    "q140_share_of_total" -> (q140 _))
+    "q140_share_of_total" -> (q140 _),
+    "q141_balance_audit" -> (q141 _))
 
   val oracle: Map[String, String] = Map(
     "q117_bucketed_join" -> q117Sql,
@@ -1041,5 +1093,6 @@ object Lakehouse {
     "q137_incremental_dedup" -> q137Sql,
     "q138_skew_profile" -> q138Sql,
     "q139_rolling_active" -> q139Sql,
-    "q140_share_of_total" -> q140Sql)
+    "q140_share_of_total" -> q140Sql,
+    "q141_balance_audit" -> q141Sql)
 }

@@ -217,6 +217,30 @@ object Validate {
       round(r2 * 1000000).cast("long").as("r2_e6"): _*)
   }
 
+  /** Parent–child balance audit — the NUMERIC sibling of
+    * [[refIntegrity]]'s key-existence check: for every parent row,
+    * the exact fixed-point imbalance between its own value and the
+    * sum of its children's (header-vs-lines reconciliation: invoice
+    * totals, ledger rollups, order totals). Child values pre-aggregate
+    * map-side before one key-partitioned left join; parents with no
+    * children surface with `n_children = 0` rather than vanishing.
+    * All arithmetic is exact integer — an audit that can drift is
+    * worse than no audit. */
+  def balanceAudit(parent: DataFrame, parentKey: Column, parentValE: Column,
+                   child: DataFrame, childKey: Column,
+                   childValE: Column): DataFrame = {
+    val kids = child.select(childKey.as("key"), childValE.as("__cv"))
+      .groupBy("key")
+      .agg(sum(col("__cv")).as("child_e"), count(lit(1)).as("n_children"))
+    parent.select(parentKey.as("key"), parentValE.as("parent_e"))
+      .join(kids, Seq("key"), "left")
+      .select(col("key"), col("parent_e"),
+        coalesce(col("child_e"), lit(0L)).as("child_e"),
+        coalesce(col("n_children"), lit(0L)).as("n_children"),
+        (col("parent_e") - coalesce(col("child_e"), lit(0L)))
+          .as("imbalance_e"))
+  }
+
   /** (clean, rejects): rejects carry a `violated` column with the
     * names of every failed rule, comma-joined in rule order. */
   def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
