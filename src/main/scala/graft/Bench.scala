@@ -56,10 +56,30 @@ object Bench {
     val m1 = measure()
     val m2 = measure()
     val results = names.map(n => n -> math.min(m1(n), m2(n))).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness that collects this output keeps only the last ~2 kB
+    // of stdout; a single JSON line with ~142 per-query timings is
+    // ~5 kB and gets truncated mid-object (unparseable). So: the FULL
+    // per-query map goes to a file, and stdout carries exactly one
+    // short (<1 kB) summary line — total, mean, slowest-5, and the
+    // path to the full dump.
+    val qs = names.map(n => s"\"" + n + "\":" + results(n))
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
+    java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val mean = if (results.nonEmpty) total / results.size else 0.0
+    val failed = results.count(_._2 < 0)
+    // "queries" here is the slowest-5 subset (driver-schema-compatible
+    // map); the complete map lives in the file named by queries_full.
+    val slowest = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"mean":${r3(mean)},"failed":$failed,"queries":$slowest,"queries_full":"${outPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,9 +25,14 @@ object Lakehouse {
     Tables.load(s, dir, name)
 
   /** Per-invocation-stable suffix so concurrent sessions on different
-    * sf dirs never collide on table names or temp paths. */
+    * sf dirs never collide on table names or temp paths. 64 bits of
+    * md5, not `String.hashCode`: a 31-bit hash makes a cross-session
+    * collision (two sf dirs, same suffix, catalog tables overwriting
+    * each other) plausible; 64 bits does not. */
   private def tag(dir: String): String =
-    (dir.hashCode.toLong & 0x7fffffffL).toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
 
   private def tmp(name: String, dir: String): String =
     sys.props("java.io.tmpdir").stripSuffix("/") +

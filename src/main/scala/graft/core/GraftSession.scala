@@ -25,10 +25,12 @@ object GraftSession {
       // driver testdata events.parquet is TIMESTAMP(NANOS); Spark has
       // no nanosecond type — read as long (converted by Exact.secFromAny)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // bucket-sorted scans (Layout.bucketedWrite guarantees exactly
-      // one file per bucket, the case this flag is safe for): lets a
-      // co-located sort-merge join consume bucketed tables with zero
-      // sort as well as zero exchange
+      // bucket-sorted scans (Layout.bucketedWrite guarantees — and
+      // post-write ASSERTS — exactly one file per bucket, the only
+      // case this flag is safe for; writes that bypass bucketedWrite
+      // must not rely on scan ordering): lets a co-located sort-merge
+      // join consume bucketed tables with zero sort as well as zero
+      // exchange
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // always honor bucket layout at the scan: the auto heuristic
       // only keeps bucketing when it removes an exchange, which drops

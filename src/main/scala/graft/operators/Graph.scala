@@ -22,6 +22,36 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Node count at or below which the per-iteration rank table (and
+    * the one-time out-weight table) is broadcast into the edge scan.
+    * 1M (long, long) rows is ~30 MB in executor memory — comfortably
+    * inside broadcast capacity. Above it, a forced broadcast of a
+    * node-sized table is a scale-killer (a 1B-node rank table is
+    * ~16 GB on the wire), so the hint is dropped and the join
+    * degrades to a shuffle join on src — AQE picks shuffle-hash at
+    * runtime. Same ranks either way (integer arithmetic is
+    * order-insensitive here); only the physical plan changes. */
+  val BroadcastMaxNodes: Long = 1000000L
+
+  /** One damped-PageRank step: rankᵏ⁺¹(v) = (0.15·E9 div n) +
+    * 0.85·Σ_{(u,v)} (rankᵏ(u)·w div out_w(u)). Exposed so plan tests
+    * can assert the non-broadcast shape without the localCheckpoint
+    * in [[pageRankIntExact]] truncating the lineage. */
+  private[graft] def pageRankStep(eOut: DataFrame, nodes: DataFrame,
+      ranks: DataFrame, n: Long, small: Boolean): DataFrame = {
+    val r = ranks.withColumnRenamed("node", "src")
+    val contrib = eOut
+      .join(if (small) broadcast(r) else r, Seq("src"))
+      .select(col("dst").as("node"),
+        expr("rank_e9 * w div ow").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+    nodes
+      .join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(150000000L / n) +
+          expr("850 * coalesce(contrib, 0L) div 1000")).as("rank_e9"))
+  }
+
   /** `iterations` rounds of damped PageRank over weighted directed
     * `edges` (columns: src, dst, w — positive long weights).
     *
@@ -31,32 +61,28 @@ object Graph {
     * Dangling nodes (no out-edges) simply contribute nothing — the
     * standard simplification, mirrored exactly by the oracle.
     *
+    * `broadcastMaxNodes` gates the per-iteration broadcast (see
+    * [[BroadcastMaxNodes]]); pass 0 to force the shuffle-join path.
+    *
     * Returns (node, rank_e9). */
-  def pageRankIntExact(edges: DataFrame, iterations: Int): DataFrame = {
+  def pageRankIntExact(edges: DataFrame, iterations: Int,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     val E9 = 1000000000L
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long")).localCheckpoint()
-    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    // out-weight rides along each edge once, up front: per-iteration
-    // work is then a single broadcast of the current ranks
-    val eOut = e.join(broadcast(outW), Seq("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
+    val small = n <= broadcastMaxNodes
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // out-weight rides along each edge once, up front: per-iteration
+    // work is then a single join against the current ranks
+    val eOut = e.join(if (small) broadcast(outW) else outW, Seq("src"))
+      .localCheckpoint()
     var ranks = nodes.withColumn("rank_e9", lit(E9 / n))
     for (_ <- 1 to iterations) {
-      val contrib = eOut
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
-        .select(col("dst").as("node"),
-          expr("rank_e9 * w div ow").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
-      ranks = nodes
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000000L / n) +
-            expr("850 * coalesce(contrib, 0L) div 1000")).as("rank_e9"))
-        .localCheckpoint()
+      ranks = pageRankStep(eOut, nodes, ranks, n, small).localCheckpoint()
     }
     ranks
   }

@@ -60,9 +60,22 @@ object Layout {
     *
     * The write itself shuffles once (`repartition` on the bucket
     * column, matching the bucket spec so each task writes whole
-    * buckets instead of numBuckets files each). */
+    * buckets instead of numBuckets files each).
+    *
+    * SAFETY COUPLING: the session sets
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`, which
+    * is only sound when every bucket holds EXACTLY ONE data file (two
+    * files per bucket would be concatenated, not merged, and the scan
+    * would claim a sort order it doesn't have — silently corrupting
+    * sort-merge joins). One-file-per-bucket holds here because
+    * `repartition(n, col)` and the bucket spec use the SAME hash
+    * (murmur3 pmod n), so each write task owns whole buckets. That
+    * coincidence is an implementation detail of Spark, so the write
+    * VERIFIES the invariant post-hoc and fails loudly rather than
+    * letting a future Spark change (or a bypassing writer) corrupt
+    * joins downstream. */
   def bucketedWrite(df: DataFrame, table: String, path: String,
-                    bucketCol: String, numBuckets: Int): Unit =
+                    bucketCol: String, numBuckets: Int): Unit = {
     df.repartition(numBuckets, col(bucketCol))
       .write.mode("overwrite")
       .format("parquet")
@@ -70,6 +83,22 @@ object Layout {
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+    // bucket files are named part-<task>_<...>.c000.snappy.parquet with
+    // the bucket id embedded as _NNNNN before the extension; assert no
+    // bucket id appears on two data files
+    val dir = new java.io.File(
+      if (path.startsWith("file:")) new java.net.URI(path).getPath
+      else path)
+    val bucketIds = Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.startsWith("part-") && !n.endsWith(".crc"))
+      .flatMap(n => "_(\\d{5})\\.".r.findFirstMatchIn(n).map(_.group(1)))
+    val dupes = bucketIds.groupBy(identity).filter(_._2.length > 1).keys
+    require(dupes.isEmpty,
+      s"bucketedWrite($table): buckets ${dupes.mkString(",")} have >1 " +
+        "data file — the one-file-per-bucket invariant that makes " +
+        "legacy.bucketedTableScan.outputOrdering safe is broken")
+  }
 
   /** Co-located equi-join of two same-bucketed catalog tables (each
     * bucketed by its own join key, same bucket count). The merge hint

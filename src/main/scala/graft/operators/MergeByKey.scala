@@ -196,9 +196,15 @@ object MergeByKey {
   def survivor(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
                ordCol: String, attrs: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    // identifiers are backtick-quoted (with embedded backticks
+    // doubled) so column names needing quoting — spaces, dots,
+    // hyphens — parse as the intended single identifier instead of
+    // failing or resolving to a nested field
+    def q(id: String): String = "`" + id.replace("`", "``") + "`"
     val aggs =
       attrs.map(a => expr(
-        s"max_by($a, $ordCol) FILTER (WHERE $a IS NOT NULL)").as(a)) ++
+        s"max_by(${q(a)}, ${q(ordCol)}) FILTER (WHERE ${q(a)} IS NOT NULL)")
+        .as(a)) ++
         Seq(count(lit(1)).as("n_obs"), max(col(ordCol)).as("last_ord"))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

@@ -36,6 +36,31 @@ object Similarity {
   private def cos4(a: Column, b: Column): Column =
     round(Vectors.cosineNative(a, b), 4)
 
+  /** Default ceiling on the broadcast-side query-set size of the
+    * brute-force tier. The brute plan is a BroadcastNestedLoopJoin of
+    * corpus × queries: correct and cheap for a dimension-sized query
+    * set, a silent cartesian explosion for a corpus-sized one (10M
+    * queries × 1B corpus rows = 10¹⁶ cosines). The guard turns that
+    * silent cliff into a loud, actionable error at plan-construction
+    * time. */
+  val MaxBroadcastQueries: Long = 100000L
+
+  /** Contract check for the brute-force tier: one cheap count of the
+    * (by-contract small) query side; fails fast with the scale-path
+    * alternative named. Callers who KNOW they want a bigger broadcast
+    * raise `maxQueries` explicitly — a conscious override, not a
+    * default. */
+  private def requireSmallQuerySet(queries: DataFrame, maxQueries: Long,
+                                   op: String): Unit = {
+    val nq = queries.count()
+    require(nq <= maxQueries,
+      s"$op: query set has $nq rows > maxQueries=$maxQueries; the " +
+        "brute-force tier broadcasts the query set and scores " +
+        "corpus × queries — at this size use the bucketed scale path " +
+        "(Similarity.multiBandTopK / lshTopK) or raise maxQueries " +
+        "explicitly if the cartesian cost is intended")
+  }
+
   /** The shared ranking contract of every ANN variant: top-k per
     * query by (cos desc, vec_id asc), rank as long. One definition so
     * the operators can never diverge on tiebreak or rounding.
@@ -54,7 +79,9 @@ object Similarity {
   /** Exact top-k neighbors per query by cosine. Output:
     * (query_id, vec_id, cos, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
+                     idCol: String, vecCol: String, k: Int,
+                     maxQueries: Long = MaxBroadcastQueries): DataFrame = {
+    requireSmallQuerySet(queries, maxQueries, "bruteForceTopK")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
@@ -72,7 +99,9 @@ object Similarity {
     * label-inequality predicate evaluated inside the join.
     * Output: (query_id, vec_id, neg_label, cos, rank). */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
-                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+                    vecCol: String, labelCol: String, k: Int,
+                    maxQueries: Long = MaxBroadcastQueries): DataFrame = {
+    requireSmallQuerySet(queries, maxQueries, "hardNegatives")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       col(labelCol).as("q_label"))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),

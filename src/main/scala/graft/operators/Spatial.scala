@@ -117,20 +117,25 @@ object Spatial {
 
   /** Adds `municipality` and `canton` columns resolved from
     * (latCol, lonCol); unmatched points get nulls. First matching
-    * polygon in input order wins (callers order by priority). */
+    * polygon in input order wins (callers order by priority).
+    *
+    * Routes through [[enrichGrid]] with cell sizes derived from the
+    * polygon set's overall bounding box (≈√n cells per axis), so the
+    * obvious entry point gets the indexed per-row cost
+    * O(candidates-in-cell) — NOT a linear scan of all ~2 100
+    * municipalities per point. Identical results by construction:
+    * the grid preserves input-order priority within each cell. */
   def enrich(points: DataFrame, latCol: String, lonCol: String,
              municipalities: Seq[Municipality]): DataFrame = {
-    val spark = points.sparkSession
-    val bc = spark.sparkContext.broadcast(municipalities)
-    val lookup = udf((lat: Double, lon: Double) => {
-      bc.value.find(_.contains(lat, lon))
-        .map(m => (m.name, m.canton))
-    })
-    points
-      .withColumn("__muni", lookup(col(latCol), col(lonCol)))
-      .withColumn("municipality", col("__muni._1"))
-      .withColumn("canton", col("__muni._2"))
-      .drop("__muni")
+    require(municipalities.nonEmpty, "enrich: empty polygon set")
+    val g = math.max(1.0, math.ceil(math.sqrt(municipalities.length)))
+    val latSpan =
+      municipalities.map(_.maxLat).max - municipalities.map(_.minLat).min
+    val lonSpan =
+      municipalities.map(_.maxLon).max - municipalities.map(_.minLon).min
+    enrichGrid(points, latCol, lonCol, municipalities,
+      cellLat = math.max(latSpan / g, 1e-6),
+      cellLon = math.max(lonSpan / g, 1e-6))
   }
 
   /** Deterministic synthetic municipality set tiling the derived

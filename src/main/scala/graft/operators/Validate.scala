@@ -113,21 +113,86 @@ object Validate {
 
   /** Winsorization (percentile outlier clipping) — the feature-
     * hygiene op: values below the pLo / above the pHi percentile are
-    * clipped to the bound. Bounds are ONE tiny exact-percentile
-    * aggregate broadcast back (rounded to 4 decimals to absorb
-    * last-ulp interpolation-order differences across engines — the
-    * q37 discipline); clipped values stay integer e4 (ceil/floor of
-    * the bound), so downstream sums remain exact. The corpus never
-    * shuffles: one pass for bounds, one codegen'd per-row CASE.
+    * clipped to the bound. Clipped values stay integer e4 (ceil/floor
+    * of the bound), so downstream sums remain exact.
+    *
+    * The bounds are EXACT interpolated percentiles (`quantile_cont`
+    * semantics, rounded to 4 decimals to absorb last-ulp
+    * interpolation-order differences across engines — the q37
+    * discipline) computed WITHOUT buffering the column: a naive
+    * `percentile(col, p)` holds every value in one aggregation buffer
+    * and OOMs at 100× scale. Instead:
+    *
+    *   1. one sketch pass: `percentile_approx` (GK summary, rank
+    *      error ≤ n/accuracy by construction) probes p ± 3/accuracy
+    *      ± 4/n, yielding VALUES that provably bracket the target
+    *      order statistics;
+    *   2. one exact boundary pass: count rows below the bracket and
+    *      collect-sorted ONLY the rows inside it — a buffer of
+    *      ~8n/accuracy + O(1) values (n/1250 at the default, and
+    *      shrinking with higher accuracy), not n;
+    *   3. the k-th / (k+1)-th order statistics are indexed out of the
+    *      window and interpolated with Spark's own `percentile`
+    *      formula `lower + frac * (higher - lower)`, so the result is
+    *      bit-identical to the single-buffer exact aggregate.
+    *
+    * A coverage violation (can't happen under the GK guarantee, but
+    * belt-and-braces) surfaces as a loud ANSI out-of-bounds
+    * `element_at` error, never a silently-wrong bound. The corpus
+    * never shuffles: two aggregate passes for bounds, one codegen'd
+    * per-row CASE. Runs one `count()` action at construction time to
+    * place the probe percentiles (foldable literals by Spark's
+    * `percentile_approx` contract).
     *
     * Input must carry the e4-long `valueE4`; output adds `clipped`
     * plus `is_lo`/`is_hi` flags. */
   def winsorize(df: DataFrame, valueE4: Column,
-                pLo: Double, pHi: Double): DataFrame = {
+                pLo: Double, pHi: Double,
+                accuracy: Int = 10000): DataFrame = {
     val tagged = df.withColumn("__v", valueE4)
-    val bounds = tagged.agg(
-      round(expr(s"percentile(__v, $pLo)"), 4).as("__lo"),
-      round(expr(s"percentile(__v, $pHi)"), 4).as("__hi"))
+    val n = tagged.count()
+    if (n == 0) return tagged.drop("__v") // nothing to clip
+      .withColumn("is_lo", lit(false)).withColumn("is_hi", lit(false))
+      .withColumn("clipped", valueE4)
+    // probe margins: 3/accuracy absorbs the sketch's rank error
+    // (≤ n/accuracy) with room to spare at scale; 4/n covers the
+    // small-n regime where a 1-rank error exceeds the relative margin
+    val m = 3.0 / accuracy + 4.0 / n
+    def clamp(p: Double) = math.min(1.0, math.max(0.0, p))
+    val probes = Seq(clamp(pLo - m), clamp(pLo + m),
+      clamp(pHi - m), clamp(pHi + m))
+    val sketch = tagged.agg(percentile_approx(col("__v"),
+      array(probes.map(lit): _*), lit(accuracy)).as("pa"))
+    // exact boundary pass: rows below each bracket are only COUNTED;
+    // rows inside it (a ~8n/accuracy rank window) are the only ones
+    // ever collected into a buffer
+    def cntLt(b: Column) = sum(when(col("__v") < b, 1L).otherwise(0L))
+    def window(a: Column, b: Column) =
+      sort_array(collect_list(when(col("__v").between(a, b), col("__v"))))
+    val cand = tagged.crossJoin(broadcast(sketch)).agg(
+      cntLt(col("pa")(0)).as("cnt_lo"),
+      window(col("pa")(0), col("pa")(1)).as("win_lo"),
+      cntLt(col("pa")(2)).as("cnt_hi"),
+      window(col("pa")(2), col("pa")(3)).as("win_hi"))
+    // order-statistic indexing + Spark's percentile interpolation,
+    // with the fractional position computed driver-side in the same
+    // double arithmetic both engines use: h = (n-1)·p
+    def bound(p: Double, cnt: Column, win: Column): Column = {
+      val h = (n - 1).toDouble * p
+      val kLo = math.floor(h).toLong
+      val frac = h - kLo
+      val sLo = element_at(win, (lit(kLo + 1) - cnt).cast("int"))
+        .cast("double")
+      if (frac == 0.0) round(sLo, 4)
+      else {
+        val sHi = element_at(win, (lit(kLo + 2) - cnt).cast("int"))
+          .cast("double")
+        round(sLo + lit(frac) * (sHi - sLo), 4)
+      }
+    }
+    val bounds = cand.select(
+      bound(pLo, col("cnt_lo"), col("win_lo")).as("__lo"),
+      bound(pHi, col("cnt_hi"), col("win_hi")).as("__hi"))
     tagged.crossJoin(broadcast(bounds))
       .withColumn("is_lo", col("__v") < col("__lo"))
       .withColumn("is_hi", col("__v") > col("__hi"))
@@ -165,6 +230,13 @@ object Validate {
     * window — comparing a caller-built canonical row digest, so the
     * comparison cost per row is one long equality regardless of
     * column count.
+    *
+    * PROBABILISTIC caveat: rows compare by a 60-bit digest, so a
+    * changed row whose v1/v2 digests collide is misclassified
+    * "unchanged" with probability ~2⁻⁶⁰ per changed row — negligible
+    * (a billion changed rows ⇒ ~10⁻⁹ chance of one miss), but this
+    * audit is a screen, not a proof; re-verify flagged-clean tables
+    * with a full-column comparison where a guarantee is required.
     *
     * Returns one row per key: (key, change_type). Aggregate downstream
     * for counts; keep row-level for repair joins. */

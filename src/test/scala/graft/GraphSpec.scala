@@ -31,6 +31,40 @@ class GraphSpec extends AnyFunSuite {
       Map(1L -> 75000000L, 2L -> 138750000L))
   }
 
+  test("forced shuffle-join path (broadcastMaxNodes=0) produces " +
+       "identical ranks to the broadcast path") {
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (3L, 1L, 1L), (4L, 1L, 5L))
+    val bc = Graph.pageRankIntExact(edges.toDF("src", "dst", "w"), 4)
+      .as[(Long, Long)].collect().toMap
+    val sh = Graph.pageRankIntExact(edges.toDF("src", "dst", "w"), 4,
+      broadcastMaxNodes = 0L).as[(Long, Long)].collect().toMap
+    assert(bc == sh)
+  }
+
+  test("non-broadcast step plan contains no broadcast of the rank " +
+       "table (scale posture: node-sized tables must not be forced " +
+       "onto the wire)") {
+    val e = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct()
+    val eOut = e.join(
+      e.groupBy($"src").agg(org.apache.spark.sql.functions.sum($"w").as("ow")),
+      Seq("src"))
+    val ranks = nodes.withColumn("rank_e9",
+      org.apache.spark.sql.functions.lit(500000000L))
+    val step = Graph.pageRankStep(eOut, nodes, ranks, 2L, small = false)
+    step.collect() // materialize so AQE finalizes the physical plan
+    val plan = step.queryExecution.executedPlan.toString
+    // AQE may still broadcast tiny test inputs on its own size
+    // estimates; the property under test is the LOGICAL one — no
+    // forced hint. Assert on the optimized logical plan instead.
+    val logical = step.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("ResolvedHint") &&
+        !logical.contains("strategy=broadcast"),
+      s"rank-table broadcast hint leaked into non-broadcast path:\n$logical\n$plan")
+  }
+
   test("weights split a source's rank proportionally (integer div)") {
     // n=3 ⇒ r0 = 333_333_333 each, teleport floor = 50M; ow(a)=4
     // contrib(b) = (333333333·3) div 4 = 249_999_999

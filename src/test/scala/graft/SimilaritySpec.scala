@@ -40,4 +40,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq == Seq(2L, 3L)) // nearest then orthogonal; self and
                                      // antipode excluded by k
   }
+
+  test("brute-force tier fails loudly when the query set exceeds the " +
+       "broadcast contract instead of building a silent cartesian") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 1,
+        maxQueries = 2)
+    }
+    assert(e1.getMessage.contains("multiBandTopK"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(
+        emb.withColumn("label", col("vec_id") % 2),
+        emb.withColumn("label", col("vec_id") % 2),
+        "vec_id", "embedding", "label", 1, maxQueries = 2)
+    }
+    assert(e2.getMessage.contains("hardNegatives"))
+    // explicit override: the same call succeeds when the caller raises
+    // the ceiling consciously
+    assert(Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 1,
+      maxQueries = 10).count() > 0)
+  }
 }
