@@ -400,7 +400,149 @@ object Pipeline {
       |WHERE o_orderkey % 3 != 2
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q142 — the reference's HEADLINE capability end-to-end (`/root/
+  // reference/README.md:1-3,80-83`): the composed mobility pipeline
+  // ingest → trip derivation → spatial enrichment → weather as-of →
+  // idempotent upsert → carbon-savings rollup, every stage the actual
+  // library operator (Trips.deriveTripsExact, Spatial.enrich's grid
+  // index, AsOfJoin.lastBefore, MobilityPipeline.upsert/mergeWrite,
+  // MobilityPipeline.carbonSavings verbatim). Events play bike
+  // snapshots (user≈bike, per-row IEEE coordinate derivation — the
+  // q50/q64 parity); 'error' events play weather observations keyed
+  // by synthetic city names matching the municipality grid. The
+  // upsert runs TWICE with the same window — the reference's daily
+  // re-derivation — so the gate also proves merge idempotence: the
+  // oracle computes the chain once. Distances are e4-integer by the
+  // deriveTripsExact discipline, so carbonSavings' float sum runs
+  // over integer-valued doubles (exact in any order) and its
+  // kg_co2 = sum·0.12 is ONE IEEE multiply over an exact integer —
+  // bit-identical on both engines.
+  // ---------------------------------------------------------------------
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{MobilityPipeline, Spatial}
+    val e = Tables.eventsSec(s, dir)
+    val snapshots = e.select(
+      concat(lit("b"), col("user_id")).as("bike_id"),
+      concat(lit("p"), col("user_id") % 3).as("provider_id"),
+      (abs(col("value") * 13.7) % 90).as("lat"),
+      ((col("event_id").cast("double") * 3.3) % 180).as("lon"),
+      col("event_id").as("snap_id"),
+      (col("ts_s") + expr("INTERVAL 1 HOUR")).as("local_ts"))
+    val weather = e.filter(col("event_type") === "error")
+      .groupBy(
+        concat(lit("m_"), expr("user_id % 10"), lit("_"),
+          expr("user_id div 10 % 10")).as("city"),
+        col("ts_s").as("obs_time"))
+      .agg(max(col("value")).as("temperature"))
+    val wStart = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val wEnd = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // gap band widened to [60 s, 24 h] and trip cap to 30 days — the
+    // q15 adjustment: driver events are sparser than bike pings
+    val params = graft.operators.TripParams(minGapSeconds = 60,
+      maxGapSeconds = 86400, minTripMinutes = 1, maxTripMinutes = 43200,
+      minSegments = 2)
+    val enriched = MobilityPipeline.enrichedTripsExact(snapshots, weather,
+      Spatial.SyntheticMunicipalities, wStart, wEnd, params)
+    val path = java.nio.file.Files.createTempDirectory("graft_q142")
+      .toString + "/all_trips"
+    MobilityPipeline.upsert(s, path, enriched, wStart, wEnd)
+    // the daily re-run: same window, same derivation — must be a no-op
+    MobilityPipeline.upsert(s, path, enriched, wStart, wEnd)
+    val allTrips = s.read.parquet(path)
+    val carbon = MobilityPipeline.carbonSavings(
+      allTrips.withColumn("total_distance",
+        col("total_distance_e4").cast("double")))
+    val wx = allTrips.groupBy(col("municipality"))
+      .agg(max(col("temperature")).as("max_temp"),
+        sum(col("temperature").isNotNull.cast("long")).as("n_with_weather"))
+    carbon.join(wx, Seq("municipality"))
+      .select(col("municipality"), col("n_trips"),
+        col("total_km").cast("long").as("total_km_e4"),
+        col("kg_co2_saved").as("kg_co2_saved_e4kg"),
+        col("max_temp"), col("n_with_weather"))
+      .orderBy(col("municipality"))
+  }
+
+  private val q142Sql = {
+    import graft.operators.Spatial
+    val hav = graft.functions.Geo.haversineKmSql(
+      "prev_lat", "prev_lon", "lat", "lon")
+    val muniCase = Spatial.SyntheticMunicipalities.map(m =>
+      s"WHEN ${Spatial.insideSql(m, "start_lat", "start_lon")} " +
+        s"THEN '${m.name}'")
+      .mkString("CASE ", " ", " ELSE 'none' END")
+    s"""WITH snaps AS (
+       |  SELECT 'b' || CAST(user_id AS VARCHAR) AS bike_id,
+       |    'p' || CAST(user_id % 3 AS VARCHAR) AS provider_id,
+       |    fmod(abs(value * 13.7), 90) AS lat,
+       |    fmod(CAST(event_id AS DOUBLE) * 3.3, 180) AS lon,
+       |    event_id AS snap_id,
+       |    ${Exact.secSql("ts")} + INTERVAL 1 HOUR AS local_ts
+       |  FROM events),
+       |filtered AS (
+       |  SELECT * FROM snaps
+       |  WHERE local_ts >= TIMESTAMP '2024-01-01 00:00:00'
+       |    AND local_ts < TIMESTAMP '2026-01-01 00:00:00'),
+       |moves AS (
+       |  SELECT bike_id, provider_id, lat, lon, local_ts,
+       |    lag(local_ts) OVER w AS prev_ts,
+       |    lag(lat) OVER w AS prev_lat,
+       |    lag(lon) OVER w AS prev_lon
+       |  FROM filtered
+       |  WINDOW w AS (PARTITION BY bike_id ORDER BY local_ts, snap_id)),
+       |segments AS (
+       |  SELECT bike_id, provider_id,
+       |    prev_ts AS start_ts, local_ts AS end_ts,
+       |    prev_lat AS s_lat, prev_lon AS s_lon,
+       |    CAST(epoch(local_ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT)
+       |      AS gap_s,
+       |    CAST(round(($hav) * 10000) AS BIGINT) AS dist_e4
+       |  FROM moves
+       |  WHERE prev_ts IS NOT NULL
+       |    AND CAST(epoch(local_ts) AS BIGINT) -
+       |        CAST(epoch(prev_ts) AS BIGINT) BETWEEN 60 AND 86400
+       |    AND (prev_lat != lat OR prev_lon != lon)),
+       |trips AS (
+       |  SELECT bike_id, provider_id,
+       |    min(start_ts) AS trip_start,
+       |    min(s_lat) AS start_lat, min(s_lon) AS start_lon,
+       |    CAST(sum(dist_e4) AS BIGINT) AS total_distance_e4
+       |  FROM segments
+       |  GROUP BY bike_id, provider_id
+       |  HAVING CAST(sum(gap_s) AS BIGINT) BETWEEN 60 AND 2592000
+       |    AND CAST(sum(dist_e4) AS BIGINT) > 0 AND count(*) >= 2),
+       |classified AS (
+       |  SELECT bike_id, trip_start, total_distance_e4,
+       |    $muniCase AS municipality
+       |  FROM trips),
+       |weather AS (
+       |  SELECT 'm_' || CAST(user_id % 10 AS VARCHAR) || '_' ||
+       |      CAST((user_id // 10) % 10 AS VARCHAR) AS city,
+       |    ${Exact.secSql("ts")} AS obs_time,
+       |    max(value) AS temperature
+       |  FROM events WHERE event_type = 'error'
+       |  GROUP BY 1, 2),
+       |enriched AS (
+       |  SELECT t.municipality, t.total_distance_e4,
+       |    (SELECT w.temperature FROM weather w
+       |     WHERE w.city = t.municipality AND w.obs_time <= t.trip_start
+       |     ORDER BY w.obs_time DESC LIMIT 1) AS temperature
+       |  FROM classified t)
+       |SELECT municipality, count(*) AS n_trips,
+       |  CAST(sum(total_distance_e4) AS BIGINT) AS total_km_e4,
+       |  CAST(CAST(sum(total_distance_e4) AS BIGINT) AS DOUBLE) *
+       |    CAST(0.12 AS DOUBLE) AS kg_co2_saved_e4kg,
+       |  max(temperature) AS max_temp,
+       |  CAST(sum(CASE WHEN temperature IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_with_weather
+       |FROM enriched
+       |GROUP BY municipality
+       |ORDER BY municipality""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_mobility_pipeline" -> (q142 _),
     "q111_cdc_apply" -> (q111 _),
     "q31_merge_upsert" -> (q31 _),
     "q32_multimodal_binary" -> (q32 _),
@@ -412,6 +554,7 @@ object Pipeline {
     "q132_bmp_decode" -> (q132 _))
 
   val oracle: Map[String, String] = Map(
+    "q142_mobility_pipeline" -> q142Sql,
     "q111_cdc_apply" -> q111Sql,
     "q31_merge_upsert" -> q31Sql,
     "q32_multimodal_binary" -> q32Sql,

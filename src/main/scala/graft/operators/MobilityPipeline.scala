@@ -59,4 +59,31 @@ object MobilityPipeline {
         sum(col("total_distance")).as("total_km"),
         (sum(col("total_distance")) * CarKgCo2PerKm).as("kg_co2_saved"))
       .orderBy(col("municipality").asc_nulls_first)
+
+  /** The composed pipeline in its verifiability-disciplined form —
+    * the same stage chain as [[enrichedTrips]] (derive → spatial →
+    * weather as-of), built for the correctness gate: trips come from
+    * [[Trips.deriveTripsExact]] (integer durations, e4-integer
+    * distances — order-independent, so the whole chain hash-compares
+    * bit-exact against a single-threaded oracle), spatial enrichment
+    * uses the grid-indexed [[Spatial.enrich]], and weather attaches
+    * via the same [[AsOfJoin.lastBefore]]. `snapshots` carries
+    * (bike_id, provider_id, lat, lon, snap_id, local_ts); `weather`
+    * carries (city, obs_time, temperature). Unenriched trips keep
+    * city='none' so the as-of join's no-match path stays live. */
+  def enrichedTripsExact(snapshots: DataFrame, weather: DataFrame,
+                         municipalities: Seq[Municipality],
+                         windowStart: Timestamp, windowEnd: Timestamp,
+                         params: TripParams = TripParams()): DataFrame = {
+    val trips = Trips.deriveTripsExact(snapshots, windowStart, windowEnd,
+      params)
+    val withCity = Spatial.enrich(trips, "start_lat", "start_lon",
+      municipalities)
+      .withColumn("municipality", coalesce(col("municipality"), lit("none")))
+      .withColumn("canton", coalesce(col("canton"), lit("none")))
+      .withColumn("city", col("municipality"))
+    AsOfJoin.lastBefore(withCity, weather, Seq("city"),
+      leftTs = "trip_start", rightTs = "obs_time",
+      payload = Seq("temperature"))
+  }
 }

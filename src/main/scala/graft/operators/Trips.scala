@@ -123,6 +123,73 @@ object Trips {
       .as[Trip]
   }
 
+  /** Verifiability-disciplined variant of [[deriveTrips]] for the
+    * composed-pipeline correctness gate, over a generic snapshots
+    * DataFrame (columns: bike_id, provider_id, lat, lon, snap_id,
+    * local_ts — caller applies the timezone shift so the gate can
+    * mirror it engine-portably). Reference semantics are preserved
+    * EXACTLY for integer-second timestamps, with three disciplines
+    * that make the output bit-identical on any engine, partitioning,
+    * or summation order:
+    *  - the gap and trip-duration BETWEENs move from fractional
+    *    minutes to integer seconds — equivalent at the reference's
+    *    60 s-multiple boundaries (`trips_lambda.py:128,160`) because
+    *    gap_s/60.0 ≥ 1.0 ⟺ gap_s ≥ 60 for integer gap_s;
+    *  - per-segment distances round to e4-km BIGINTs BEFORE the trip
+    *    sum (the q17 per-row rounding discipline, moved inside the
+    *    aggregate so trip totals are order-independent integers — a
+    *    float sum of haversines is not);
+    *  - the lag window totally orders on (local_ts, snap_id) — the
+    *    reference orders on timestamp alone, which is nondeterministic
+    *    under same-second duplicates.
+    * Output: bike_id, provider_id, trip_start, trip_end, start_lat,
+    * start_lon, end_lat, end_lon, total_duration_s, total_distance_e4,
+    * segment_count — the [[deriveTrips]] quirks (numeric min/max
+    * endpoints, one row per bike per window, exact-`!=` movement test)
+    * intact. */
+  def deriveTripsExact(snapshots: DataFrame,
+                       windowStart: Timestamp, windowEnd: Timestamp,
+                       p: TripParams = TripParams()): DataFrame = {
+    val w = Window.partitionBy("bike_id")
+      .orderBy(col("local_ts"), col("snap_id"))
+    val moves = snapshots
+      .filter(col("local_ts") >= lit(windowStart) &&
+        col("local_ts") < lit(windowEnd))
+      .select(col("bike_id"), col("provider_id"), col("lat"), col("lon"),
+        col("local_ts"),
+        lag("local_ts", 1).over(w).as("prev_ts"),
+        lag("lat", 1).over(w).as("prev_lat"),
+        lag("lon", 1).over(w).as("prev_lon"))
+    val gapS = col("local_ts").cast("long") - col("prev_ts").cast("long")
+    val segments = moves
+      .filter(col("prev_ts").isNotNull &&
+        gapS.between(p.minGapSeconds, p.maxGapSeconds) &&
+        (col("prev_lat") =!= col("lat") || col("prev_lon") =!= col("lon")))
+      .select(col("bike_id"), col("provider_id"),
+        col("prev_ts").as("start_ts"), col("local_ts").as("end_ts"),
+        col("prev_lat").as("s_lat"), col("prev_lon").as("s_lon"),
+        col("lat").as("e_lat"), col("lon").as("e_lon"),
+        gapS.as("gap_s"),
+        round(Geo.haversineKm(col("prev_lat"), col("prev_lon"),
+          col("lat"), col("lon")) * 10000).cast("long").as("dist_e4"))
+    segments
+      .groupBy("bike_id", "provider_id")
+      .agg(
+        min("start_ts").as("trip_start"),
+        max("end_ts").as("trip_end"),
+        min("s_lat").as("start_lat"),
+        min("s_lon").as("start_lon"),
+        max("e_lat").as("end_lat"),
+        max("e_lon").as("end_lon"),
+        sum("gap_s").as("total_duration_s"),
+        sum("dist_e4").as("total_distance_e4"),
+        count(lit(1)).as("segment_count"))
+      .filter(col("total_duration_s").between(
+          (p.minTripMinutes * 60).toLong, (p.maxTripMinutes * 60).toLong) &&
+        col("total_distance_e4") > 0 &&
+        col("segment_count") >= p.minSegments)
+  }
+
   /** Corrected variant: sessionize first (gap > maxGapSeconds starts a
     * new trip), so a bike yields one row per actual trip, with true
     * endpoint coordinates via min_by/max_by. */

@@ -57,6 +57,37 @@ class MobilityPipelineSpec extends AnyFunSuite {
     assert(b2.isNullAt(b2.fieldIndex("temperature")))
   }
 
+  test("deriveTripsExact reproduces deriveTrips semantics with " +
+       "integer durations and e4-integer distances") {
+    // generic snapshots frame: local_ts pre-shifted (+1 h), snap_id
+    // total-orders same-second duplicates
+    val exactSnaps = snaps.toDF()
+      .select(col("bike_id"), col("provider_id"), col("lat"), col("lon"),
+        monotonically_increasing_id().as("snap_id"),
+        (col("timestamp") + expr("INTERVAL 1 HOUR")).as("local_ts"))
+    val exact = Trips.deriveTripsExact(exactSnaps, winStart, winEnd)
+      .orderBy("bike_id").collect()
+    val ref = Trips.deriveTrips(snaps, winStart, winEnd,
+        TripParams(timeZone = "+01:00"))
+      .toDF().orderBy("bike_id").collect()
+    assert(exact.length == ref.length && exact.length == 2)
+    exact.zip(ref).foreach { case (e, r) =>
+      assert(e.getAs[String]("bike_id") == r.getAs[String]("bike_id"))
+      assert(e.getAs[Timestamp]("trip_start") ==
+        r.getAs[Timestamp]("trip_start"))
+      assert(e.getAs[Double]("start_lat") == r.getAs[Double]("start_lat"))
+      // integer seconds = 60 × the reference's fractional minutes
+      assert(e.getAs[Long]("total_duration_s") ==
+        math.round(r.getAs[Double]("total_duration") * 60))
+      // e4 distance within per-segment rounding (±0.5e-4 per segment)
+      // of the reference's float-summed km
+      val segs = e.getAs[Long]("segment_count")
+      assert(math.abs(e.getAs[Long]("total_distance_e4") -
+        r.getAs[Double]("total_distance") * 10000) <= segs)
+      assert(segs == r.getAs[Long]("segment_count"))
+    }
+  }
+
   test("upsert into all_trips is idempotent across reruns") {
     val dir = Files.createTempDirectory("graft_alltrips").toString + "/t"
     val trips = MobilityPipeline.enrichedTrips(
