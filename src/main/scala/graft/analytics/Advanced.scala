@@ -226,6 +226,28 @@ object Advanced {
       .orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // q143 — the same near-dup clustering through the large-star /
+  // small-star formulation (Kiveris et al.): O(log n) rounds
+  // regardless of component diameter, vs the naive loop's
+  // diameter-many. Identical output contract, same recursive-CTE
+  // oracle as q69 — the gate proves the scale-path algorithm agrees
+  // bit-for-bit with both the naive loop and the engine-independent
+  // closure.
+  // ---------------------------------------------------------------------
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.embeddingNearDup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.0)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponentsStar(pairs)
+    cc.join(cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size")), Seq("cluster"))
+      .select(col("id").as("vec_id"), col("cluster"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
   private val q69Sql =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT id_a, id_b FROM (
@@ -588,6 +610,60 @@ object Advanced {
       .orderBy(col("nationkey"))
   }
 
+  // ---------------------------------------------------------------------
+  // q144 — per-node triangle counts (the cohesion / spam-cluster
+  // metric) over a synthetic lineitem projection graph
+  // (l_partkey%5000 ↔ l_suppkey%5000, one shared id space).
+  // Degree-oriented wedge enumeration: each edge directed from its
+  // lower-(degree,id) endpoint, wedges built only from each
+  // triangle's lowest corner — O(m^1.5) candidates with NO skew
+  // cliff (a degree-10⁶ hub emits zero wedges from its own corner).
+  // All-integer, so the oracle's identical join chain is bit-exact.
+  // ---------------------------------------------------------------------
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem").select(
+      (col("l_partkey") % 5000).as("id_a"),
+      (col("l_suppkey") % 5000).as("id_b"))
+    graft.operators.Graph.triangleCounts(pairs)
+      .orderBy(col("node"))
+  }
+
+  private val q144Sql =
+    """WITH raw AS (
+      |  SELECT greatest(l_partkey % 5000, l_suppkey % 5000) AS x,
+      |         least(l_partkey % 5000, l_suppkey % 5000) AS y
+      |  FROM lineitem),
+      |e AS (SELECT DISTINCT x, y FROM raw WHERE x != y),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |  SELECT x AS node FROM e UNION ALL SELECT y FROM e)),
+      |deg AS (
+      |  SELECT n, CAST(count(*) AS BIGINT) * 1000000000 + n AS k
+      |  FROM (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e)
+      |  GROUP BY n),
+      |oriented AS (
+      |  SELECT CASE WHEN dx.k < dy.k THEN e.x ELSE e.y END AS src,
+      |         CASE WHEN dx.k < dy.k THEN e.y ELSE e.x END AS dst,
+      |         greatest(dx.k, dy.k) AS kdst
+      |  FROM e JOIN deg dx ON dx.n = e.x JOIN deg dy ON dy.n = e.y),
+      |wedges AS (
+      |  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+      |  FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+      |  WHERE o1.kdst < o2.kdst),
+      |tris AS (
+      |  SELECT wd.u, wd.v, wd.w FROM wedges wd
+      |  WHERE EXISTS (SELECT 1 FROM oriented o
+      |                WHERE o.src = wd.v AND o.dst = wd.w)),
+      |per AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+      |    SELECT u AS node FROM tris
+      |    UNION ALL SELECT v FROM tris
+      |    UNION ALL SELECT w FROM tris)
+      |  GROUP BY node)
+      |SELECT n.node, CAST(COALESCE(p.n_triangles, 0) AS BIGINT)
+      |  AS n_triangles
+      |FROM nodes n LEFT JOIN per p USING (node)
+      |ORDER BY node""".stripMargin
+
   private val q92Sql = {
     def iter(prev: String, name: String) =
       s"""$name AS (
@@ -725,7 +801,9 @@ object Advanced {
     "q54_tpch_q5" -> (q54 _),
     "q92_pagerank" -> (q92 _),
     "q62_sql_native_fn" -> (q62 _),
-    "q69_dedup_clusters" -> (q69 _))
+    "q69_dedup_clusters" -> (q69 _),
+    "q143_cc_star" -> (q143 _),
+    "q144_triangles" -> (q144 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -747,5 +825,7 @@ object Advanced {
     "q54_tpch_q5" -> q54Sql,
     "q92_pagerank" -> q92Sql,
     "q62_sql_native_fn" -> q62Sql,
-    "q69_dedup_clusters" -> q69Sql)
+    "q69_dedup_clusters" -> q69Sql,
+    "q143_cc_star" -> q69Sql,
+    "q144_triangles" -> q144Sql)
 }

@@ -501,6 +501,82 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14 — public algorithm) — the scale path next to
+    * [[connectedComponents]]: the naive min-label loop runs
+    * diameter-many rounds (a 10⁶-long chain needs 10⁶ joins), the
+    * star loop contracts greedily toward each component's minimum in
+    * O(log n) rounds regardless of diameter. Per round:
+    *
+    *  - LARGE-STAR: every node u links each strictly-larger neighbor
+    *    to m = min(N(u) ∪ u) — long tails fold onto local minima;
+    *  - SMALL-STAR: every node u links its smaller-or-equal neighbors
+    *    (and itself) to their minimum — stars flatten.
+    *
+    * Both steps are one groupBy-min plus one narrow join on (node,
+    * node) pairs; edges stay canonical (hi, lo) and deduped, so the
+    * working set only shrinks. Convergence is a one-row checksum
+    * aggregate per round (count + two modular sums), not a join
+    * probe. Fixpoint: every edge points directly at its component's
+    * minimum id.
+    *
+    * Returns (id, cluster) for every id in `pairs` — identical output
+    * to [[connectedComponents]] (same contract, fewer rounds). */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30)
+      : DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+    var edges = canon(pairs.select(col("id_a").as("a"),
+      col("id_b").as("b"))).localCheckpoint()
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct().localCheckpoint()
+    // multiset fingerprint of the canonical edge set: modular sums
+    // (no overflow cliff) + count — equal across a full round ⇒
+    // fixpoint. One scalar row per probe.
+    def checksum(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(pmod(col("hi") * 31 + col("lo"), lit(1000003L))),
+          lit(0L)),
+        coalesce(sum(pmod(col("lo") * 17 + col("hi"), lit(999983L))),
+          lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var prev = checksum(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetric neighbor view
+      val nbr = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbr.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = canon(nbr.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))).localCheckpoint()
+      // small-star over the canonical (hi → smaller neighbors) view
+      val minsS = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val ss = canon(ls.join(minsS, Seq("hi"))
+        .select(col("lo").as("a"), col("m").as("b"))
+        .unionByName(minsS.select(col("hi").as("a"), col("m").as("b"))))
+        .localCheckpoint()
+      val m = checksum(ss)
+      converged = m == prev
+      prev = m
+      edges = ss
+      i += 1
+    }
+    require(converged, s"connectedComponentsStar: no convergence in $maxIter")
+    nodes
+      .join(edges.select(col("hi").as("id"), col("lo")).groupBy(col("id"))
+        .agg(min(col("lo")).as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
+  }
+
   /** Embedding-cosine near-dup: sign-LSH bucket join then cosine
     * threshold. See [[graft.functions.Vectors.signBucket]].
     *

@@ -52,6 +52,65 @@ object Graph {
           expr("850 * coalesce(contrib, 0L) div 1000")).as("rank_e9"))
   }
 
+  /** Per-node triangle counts over an undirected simple graph
+    * (`pairs`: id_a, id_b; self-loops and duplicate/reversed pairs
+    * tolerated) — the classic cohesion/spam-cluster metric.
+    *
+    * Uses the standard degree orientation (each edge directed from
+    * its lower-(degree, id) endpoint), so every wedge is enumerated
+    * exactly once FROM its lowest-degree corner: per-node out-degree
+    * is O(√m), which bounds the wedge join to O(m^1.5) candidates
+    * regardless of skew — a star node of degree 10⁶ generates ZERO
+    * wedges from its own corner instead of 10¹². The orientation key
+    * packs (degree, id) into one BIGINT so ordering is a single long
+    * comparison; ids must be in [0, 10⁹) for the packing (callers
+    * with larger ids hash-remap first).
+    *
+    * Shape: one groupBy for degrees, two narrow joins (wedge build +
+    * closing-edge semi-join), one final groupBy — everything integer,
+    * so the result is engine-exact. Returns (node, n_triangles) for
+    * every node of the graph, zeros included. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("x"),
+        least(col("id_a"), col("id_b")).as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("x").as("node"))
+      .unionByName(e.select(col("y").as("node"))).distinct()
+    val deg = e.select(col("x").as("n"))
+      .unionByName(e.select(col("y").as("n")))
+      .groupBy(col("n"))
+      .agg((count(lit(1)) * lit(1000000000L) + col("n")).as("k"))
+    // orient each edge from the smaller (degree, id) key
+    val oriented = e
+      .join(deg.select(col("n").as("x"), col("k").as("kx")), Seq("x"))
+      .join(deg.select(col("n").as("y"), col("k").as("ky")), Seq("y"))
+      .select(
+        when(col("kx") < col("ky"), col("x")).otherwise(col("y")).as("src"),
+        when(col("kx") < col("ky"), col("y")).otherwise(col("x")).as("dst"),
+        greatest(col("kx"), col("ky")).as("kdst"))
+      .localCheckpoint()
+    // wedges (u; v, w) with k(v) < k(w): the closing edge, if present,
+    // is oriented v → w by the same total order
+    val wedges = oriented.select(col("src"), col("dst").as("v"),
+        col("kdst").as("kv"))
+      .join(oriented.select(col("src"), col("dst").as("w"),
+        col("kdst").as("kw")), Seq("src"))
+      .filter(col("kv") < col("kw"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_semi")
+    val perNode = tris.select(col("u").as("node"))
+      .unionByName(tris.select(col("v").as("node")))
+      .unionByName(tris.select(col("w").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** `iterations` rounds of damped PageRank over weighted directed
     * `edges` (columns: src, dst, w — positive long weights).
     *

@@ -103,6 +103,25 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.size == 9)
   }
 
+  test("connectedComponentsStar matches the naive loop on mixed " +
+       "topology and converges on a 120-long chain the naive round " +
+       "budget cannot reach") {
+    val mixed = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val naive = Dedup.connectedComponents(mixed)
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStar(mixed)
+      .as[(Long, Long)].collect().toMap
+    assert(star == naive)
+    // a path graph of diameter 120: naive needs ~120 rounds (> its
+    // default 25-round budget); the star loop contracts in O(log n)
+    val chain = (1L until 121L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 121 && cc.values.forall(_ == 1L))
+  }
+
   test("embedding near-dup finds a duplicated vector") {
     val v1 = Array(1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f,
       1.0f, 2.0f, 3.0f, 4.0f, 1.0f, 2.0f, 3.0f, 4.0f,

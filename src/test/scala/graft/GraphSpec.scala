@@ -65,6 +65,22 @@ class GraphSpec extends AnyFunSuite {
       s"rank-table broadcast hint leaked into non-broadcast path:\n$logical\n$plan")
   }
 
+  test("triangleCounts: K4 has 3 per node, squares and stars have " +
+       "none, duplicate/reversed/self pairs are tolerated") {
+    // K4 on {1,2,3,4} with noisy input (dups, reversals, self-loop),
+    // a 4-cycle {10,11,12,13} (no diagonals), a star center 20
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), (1L, 1L), // noise
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("id_a", "id_b")
+    val r = graft.operators.Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(r(_) == 3L))
+    assert(Seq(10L, 11L, 12L, 13L, 20L, 21L, 22L, 23L).forall(r(_) == 0L))
+    assert(r.size == 12)
+  }
+
   test("weights split a source's rank proportionally (integer div)") {
     // n=3 ⇒ r0 = 333_333_333 each, teleport floor = 50M; ow(a)=4
     // contrib(b) = (333333333·3) div 4 = 249_999_999
