@@ -664,6 +664,42 @@ object Advanced {
       |FROM nodes n LEFT JOIN per p USING (node)
       |ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q146 — Spearman rank correlation (monotonic trend of value over
+  // time, per event type): row_number ranks with an event_id tiebreak
+  // make both orders total, so the no-ties closed form
+  // ρ = 1 − 6Σd²/(n(n²−1)) applies with Σd² an exact integer; the
+  // single float step runs over exact integers on both engines.
+  // ---------------------------------------------------------------------
+  private def q146(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Validate.spearmanExact(
+        ev(s, dir), Seq("event_type"),
+        x = col("ts_s"), y = col("value"), tie = col("event_id"))
+      .orderBy(col("event_type"))
+
+  private val q146Sql =
+    s"""WITH ranked AS (
+       |  SELECT event_type,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY ${secSql("ts")} ASC NULLS FIRST, event_id) AS rx,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value ASC NULLS FIRST, event_id) AS ry
+       |  FROM events),
+       |sums AS (
+       |  SELECT event_type, count(*) AS n,
+       |    CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+       |  FROM ranked
+       |  GROUP BY event_type
+       |  HAVING count(*) > 1)
+       |SELECT event_type, n, sum_d2,
+       |  CAST(round((CAST(1 AS DOUBLE) - CAST(6 AS DOUBLE)
+       |      * CAST(sum_d2 AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       |         - CAST(1 AS DOUBLE))))
+       |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS rho_e6
+       |FROM sums
+       |ORDER BY event_type""".stripMargin
+
   private val q92Sql = {
     def iter(prev: String, name: String) =
       s"""$name AS (
@@ -803,7 +839,8 @@ object Advanced {
     "q62_sql_native_fn" -> (q62 _),
     "q69_dedup_clusters" -> (q69 _),
     "q143_cc_star" -> (q143 _),
-    "q144_triangles" -> (q144 _))
+    "q144_triangles" -> (q144 _),
+    "q146_spearman" -> (q146 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -827,5 +864,6 @@ object Advanced {
     "q62_sql_native_fn" -> q62Sql,
     "q69_dedup_clusters" -> q69Sql,
     "q143_cc_star" -> q69Sql,
-    "q144_triangles" -> q144Sql)
+    "q144_triangles" -> q144Sql,
+    "q146_spearman" -> q146Sql)
 }

@@ -384,6 +384,61 @@ object Curation {
   // exchanges after the aggregate move the hours-sized frame, not
   // the corpus.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // q145 — LINEAR interpolation onto the hourly grid (q81 fills gaps
+  // with zeros/carry semantics; this draws the straight line between
+  // surrounding observations — the sensor-regularization op). Same
+  // single-scan shape: one lead window, each observation explodes
+  // only its own span; the fill value is one fixed IEEE expression
+  // over the two surrounding observations (no sums), so Spark and
+  // DuckDB agree bitwise with no rounding step. Observations
+  // pre-aggregate per hour via arg_max(value, event_id) — a
+  // deterministic selection, not an order-dependent average.
+  // ---------------------------------------------------------------------
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.eventsSec(s, dir)
+      .filter(col("user_id") < 50 &&
+        col("ts_s") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts_s") < lit("2024-02-01").cast("timestamp"))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts_s")).as("h"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    graft.operators.TimeSeries
+      .interpolateHourlyLinear(obs, Seq("user_id"), "h", "v")
+      .orderBy(col("user_id"), col("grid_hour"))
+  }
+
+  private val q145Sql =
+    s"""WITH obs AS (
+       |  SELECT user_id,
+       |    date_trunc('hour', date_trunc('second', ts)) AS h,
+       |    arg_max(value, event_id) AS v
+       |  FROM events
+       |  WHERE user_id < 50
+       |    AND date_trunc('second', ts) >= TIMESTAMP '2024-01-01'
+       |    AND date_trunc('second', ts) < TIMESTAMP '2024-02-01'
+       |  GROUP BY 1, 2),
+       |led AS (
+       |  SELECT user_id, h, v,
+       |    lead(h) OVER (PARTITION BY user_id ORDER BY h) AS hn,
+       |    lead(v) OVER (PARTITION BY user_id ORDER BY h) AS vn
+       |  FROM obs),
+       |grid AS (
+       |  SELECT user_id, h, v, hn, vn,
+       |    unnest(generate_series(h,
+       |      coalesce(hn - INTERVAL 1 HOUR, h), INTERVAL 1 HOUR))
+       |      AS grid_hour
+       |  FROM led)
+       |SELECT user_id, grid_hour,
+       |  CASE WHEN grid_hour = h THEN v
+       |       ELSE v + (vn - v) *
+       |         (CAST(epoch(grid_hour) - epoch(h) AS DOUBLE)
+       |          / CAST(epoch(hn) - epoch(h) AS DOUBLE)) END
+       |    AS value_interp,
+       |  CAST(CASE WHEN grid_hour = h THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_observed
+       |FROM grid
+       |ORDER BY user_id, grid_hour""".stripMargin
+
   private def q81(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.eventsSec(s, dir)
       .select(col("user_id"), date_trunc("hour", col("ts_s")).as("h"),
@@ -790,6 +845,7 @@ object Curation {
     "q79_salted_join" -> (q79 _),
     "q80_sliding_window" -> (q80 _),
     "q81_resample" -> (q81 _),
+    "q145_interpolate" -> (q145 _),
     "q82_window_suite" -> (q82 _),
     "q83_chunk_windows" -> (q83 _),
     "q84_bm25" -> (q84 _),
@@ -812,6 +868,7 @@ object Curation {
     "q79_salted_join" -> q79Sql,
     "q80_sliding_window" -> q80Sql,
     "q81_resample" -> q81Sql,
+    "q145_interpolate" -> q145Sql,
     "q82_window_suite" -> q82Sql,
     "q83_chunk_windows" -> q83Sql,
     "q84_bm25" -> q84Sql,

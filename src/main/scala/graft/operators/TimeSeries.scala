@@ -47,4 +47,47 @@ object TimeSeries {
       .withColumn("twap_e4",
         col("area_e4s").cast("double") / col("span_s").cast("double"))
   }
+
+  /** Per-key linear interpolation onto a dense hourly grid — the
+    * sensor-stream regularization next to the carry-forward resample
+    * (q81): observed hours keep their value, missing hours get the
+    * straight line between the surrounding observations
+    * v + (v_next − v) · Δt/Δspan.
+    *
+    * Same single-scan shape as the resampler: ONE lead window per key
+    * brings the next observation onto each row, and each row explodes
+    * only its own [h, next_h) span — no dense-grid build followed by
+    * a second join, and no shuffle of the generated rows at all. The
+    * per-row interpolation is one fixed IEEE expression over the two
+    * surrounding observations, so the filled values are deterministic
+    * on any engine or partitioning (sums never enter).
+    *
+    * `obs` must be one row per (keys, hourCol) — pre-aggregate
+    * observations to the grid step first (e.g. `max_by(value, id)`).
+    * Output: (keys..., grid_hour, value_interp, is_observed). */
+  def interpolateHourlyLinear(obs: DataFrame, keys: Seq[String],
+                              hourCol: String, valueCol: String)
+      : DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(hourCol))
+    val ratio =
+      (col("grid_hour").cast("long") - col("__h").cast("long"))
+        .cast("double") /
+        (col("__hn").cast("long") - col("__h").cast("long")).cast("double")
+    obs
+      .withColumn("__hn", lead(col(hourCol), 1).over(w))
+      .withColumn("__vn", lead(col(valueCol), 1).over(w))
+      .select(keys.map(col) ++ Seq(
+        col(hourCol).as("__h"), col(valueCol).as("__v"),
+        col("__hn"), col("__vn"),
+        explode(sequence(col(hourCol),
+          coalesce(col("__hn") - expr("INTERVAL 1 HOUR"), col(hourCol)),
+          expr("INTERVAL 1 HOUR"))).as("grid_hour")): _*)
+      .select(keys.map(col) ++ Seq(
+        col("grid_hour"),
+        when(col("grid_hour") === col("__h"), col("__v"))
+          .otherwise(col("__v") + (col("__vn") - col("__v")) * ratio)
+          .as("value_interp"),
+        (col("grid_hour") === col("__h")).cast("long")
+          .as("is_observed")): _*)
+  }
 }

@@ -289,6 +289,44 @@ object Validate {
       round(r2 * 1000000).cast("long").as("r2_e6"): _*)
   }
 
+  /** Per-group Spearman rank correlation from EXACT integer ranks —
+    * the monotonic-association audit next to [[regressionExact]]'s
+    * linear fit (a feature can be perfectly rank-correlated with
+    * target drift while its linear r² is near zero).
+    *
+    * Ranks are `row_number` over (x, tie) and (y, tie) — `tie` makes
+    * both orders total, so the ranks are a permutation of 1..n and
+    * the no-ties closed form applies: ρ = 1 − 6·Σd²/(n(n²−1)), with
+    * d = rank_x − rank_y. Σd² accumulates as DECIMAL(38,0) (exact,
+    * map-side-combinable); only the final ρ is one deterministic IEEE
+    * expression over those exact integers, emitted e6 fixed-point.
+    *
+    * Shape: two sorts per group partition (the two rank windows on
+    * the same key — one exchange, reused), then a hash aggregate.
+    * Groups of a single row are dropped (ρ undefined).
+    * Output: (groupCols..., n, sum_d2, rho_e6). */
+  def spearmanExact(df: DataFrame, groupCols: Seq[String],
+                    x: Column, y: Column, tie: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wx = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(x.asc_nulls_first, tie.asc)
+    val wy = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(y.asc_nulls_first, tie.asc)
+    val ranked = df.select(groupCols.map(col) ++ Seq(
+      row_number().over(wx).cast("long").as("__rx"),
+      row_number().over(wy).cast("long").as("__ry")): _*)
+    val d = (col("__rx") - col("__ry")).cast("decimal(38,0)")
+    val sums = ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(d * d).as("__d2"))
+      .filter(col("n") > 1)
+    val nd = col("n").cast("double")
+    val rho = (lit(1.0) - lit(6.0) * col("__d2").cast("double") /
+      (nd * (nd * nd - lit(1.0)))) * lit(1000000.0)
+    sums.select(groupCols.map(col) ++ Seq(col("n"),
+      col("__d2").cast("long").as("sum_d2"),
+      round(rho).cast("long").as("rho_e6")): _*)
+  }
+
   /** Parent–child balance audit — the NUMERIC sibling of
     * [[refIntegrity]]'s key-existence check: for every parent row,
     * the exact fixed-point imbalance between its own value and the
