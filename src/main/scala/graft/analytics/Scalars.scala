@@ -335,6 +335,49 @@ object Scalars {
   }
 
   // ---------------------------------------------------------------------
+  // q147 — per-column Shannon entropy profile (feature selection /
+  // constant-column and join-key-health detection) over four derived
+  // events columns. The q68 exactness pattern: each distinct value's
+  // c·ln(c) rounds to an e6 integer BEFORE the sum, so the
+  // order-dependent float sum becomes exact; only the final H is one
+  // IEEE expression over exact integers. One distinct-values-sized
+  // aggregate per column — rows never shuffle.
+  // ---------------------------------------------------------------------
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir).select(
+      col("event_type"),
+      col("user_id"),
+      round(col("value") * 100).cast("long").as("value_e2"),
+      date_trunc("day", col("ts_s")).as("day"))
+    graft.operators.Validate.entropyProfile(e,
+        Seq("event_type", "user_id", "value_e2", "day"))
+      .orderBy(col("column_name"))
+  }
+
+  private val q147Sql = {
+    def one(name: String, sqlExpr: String) =
+      s"""SELECT '$name' AS column_name,
+         |  CAST(sum(c) AS BIGINT) AS n_rows,
+         |  count(*) AS n_distinct,
+         |  CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * c * 1000000)
+         |    AS BIGINT)) AS BIGINT) AS sum_clnc_e6,
+         |  CAST(round((ln(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE))
+         |      - CAST(CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * c
+         |          * 1000000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |        / CAST(1000000 AS DOUBLE)
+         |        / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE))
+         |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS entropy_e6
+         |FROM (SELECT v, count(*) AS c
+         |      FROM (SELECT $sqlExpr AS v FROM events) GROUP BY v)""".stripMargin
+    Seq(
+      one("event_type", "event_type"),
+      one("user_id", "user_id"),
+      one("value_e2", "CAST(round(value * 100) AS BIGINT)"),
+      one("day", "date_trunc('day', date_trunc('second', ts))"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  // ---------------------------------------------------------------------
   // q90 — numeric histogram profile: 20 fixed-width bins over
   // events.value, integer-exact binning (e4 fixed-point values,
   // integer bin width, integer division) so every engine bins
@@ -647,6 +690,7 @@ object Scalars {
     "q114_ref_integrity" -> (q114 _),
     "q64_spatial_grid" -> (q64 _),
     "q70_data_quality" -> (q70 _),
+    "q147_entropy" -> (q147 _),
     "q90_histogram" -> (q90 _),
     "q95_stream_tumbling" -> (q95 _))
 
@@ -667,6 +711,7 @@ object Scalars {
     "q114_ref_integrity" -> q114Sql,
     "q64_spatial_grid" -> q64Sql,
     "q70_data_quality" -> q70Sql,
+    "q147_entropy" -> q147Sql,
     "q90_histogram" -> q90Sql,
     "q95_stream_tumbling" -> q95Sql)
 }

@@ -289,6 +289,38 @@ object Validate {
       round(r2 * 1000000).cast("long").as("r2_e6"): _*)
   }
 
+  /** Per-column Shannon entropy — the distribution-profiling op
+    * (feature selection, leak/constant-column detection, join-key
+    * cardinality health): H = ln(n) − (Σ c·ln c)/n over each column's
+    * value counts.
+    *
+    * Exactness discipline (the q68 pattern): the order-dependent float
+    * sum is eliminated by rounding each distinct value's c·ln(c) term
+    * to an e6 integer BEFORE summing — the sum is then exact and
+    * associative, and only the final H is one deterministic IEEE
+    * expression over exact integers. Scale shape: one
+    * map-side-combined count aggregate per column (shuffle sized by
+    * distinct values, never rows) and a one-row reduction on top.
+    *
+    * Output per column: (column_name, n_rows, n_distinct,
+    * sum_clnc_e6, entropy_e6). Nulls count as a regular value. */
+  def entropyProfile(df: DataFrame, colNames: Seq[String]): DataFrame =
+    colNames.map { c =>
+      val counts = df.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      counts.agg(
+          count(lit(1)).as("n_distinct"),
+          sum(col("__c")).as("n_rows"),
+          sum(round(log(col("__c").cast("double")) * col("__c") *
+            lit(1000000)).cast("long")).as("sum_clnc_e6"))
+        .select(lit(c).as("column_name"), col("n_rows"),
+          col("n_distinct"), col("sum_clnc_e6"),
+          round((log(col("n_rows").cast("double")) -
+            col("sum_clnc_e6").cast("double") / lit(1000000.0) /
+              col("n_rows").cast("double")) * lit(1000000.0))
+            .cast("long").as("entropy_e6"))
+    }.reduce(_ unionByName _)
+
   /** Per-group Spearman rank correlation from EXACT integer ranks —
     * the monotonic-association audit next to [[regressionExact]]'s
     * linear fit (a feature can be perfectly rank-correlated with
