@@ -49,6 +49,35 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q148 — weighted sampling WITHOUT replacement, exactly k
+  // (Efraimidis–Spirakis): rank = −ln(u)/w rounded e9 (one IEEE
+  // expression per row, rounding absorbs libm ln ulps), k smallest
+  // kept. q71's Bernoulli design concentrates AROUND k; this is the
+  // exact-budget variant a token-capped corpus selection needs. The
+  // global k-smallest plans as TakeOrderedAndProject — the corpus
+  // never shuffles.
+  // ---------------------------------------------------------------------
+  private def q148(s: SparkSession, dir: String): DataFrame =
+    Curate.weightedTopKSample(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars"), k = 100)
+      .orderBy(col("aes_rank_e9"), col("doc_id"))
+
+  private val q148Sql = {
+    val u = s"CAST(${h60Duck("'aes:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)" +
+      " / CAST(1152921504606846976 AS DOUBLE)"
+    s"""WITH ranked AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(round(-ln($u) / CAST(n_chars AS DOUBLE)
+       |      * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS aes_rank_e9
+       |  FROM documents)
+       |SELECT doc_id, n_chars, aes_rank_e9
+       |FROM ranked
+       |ORDER BY aes_rank_e9, doc_id
+       |LIMIT 100""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q72 — corpus-wide heavy hitters: top-25 word 3-grams by document
   // frequency (boilerplate discovery — what df-pruning will cut, what
   // a dedup pass should inspect first). Shape at 100 TB: the explode
@@ -846,6 +875,7 @@ object Curation {
     "q80_sliding_window" -> (q80 _),
     "q81_resample" -> (q81 _),
     "q145_interpolate" -> (q145 _),
+    "q148_aes_sample" -> (q148 _),
     "q82_window_suite" -> (q82 _),
     "q83_chunk_windows" -> (q83 _),
     "q84_bm25" -> (q84 _),
@@ -869,6 +899,7 @@ object Curation {
     "q80_sliding_window" -> q80Sql,
     "q81_resample" -> q81Sql,
     "q145_interpolate" -> q145Sql,
+    "q148_aes_sample" -> q148Sql,
     "q82_window_suite" -> q82Sql,
     "q83_chunk_windows" -> q83Sql,
     "q84_bm25" -> q84Sql,

@@ -47,6 +47,32 @@ object Curate {
       .drop("__u", "__w_total")
   }
 
+  /** Weighted sampling WITHOUT replacement, exactly k rows
+    * (Efraimidis–Spirakis A-ES, public algorithm): each row draws the
+    * deterministic uniform u(key) and ranks by −ln(u)/w — the k
+    * smallest ranks are a weight-proportional sample without
+    * replacement, unlike [[weightedSample]]'s Bernoulli design whose
+    * size only CONCENTRATES around k. The rank is rounded to an e9
+    * integer (one fixed IEEE expression per row; the rounding absorbs
+    * the last-ulp `ln` divergence between libms) with the key as
+    * tiebreak, so selection is reproducible bit-for-bit on any
+    * engine.
+    *
+    * Scale shape: zero shuffles of the corpus — the global k-smallest
+    * plans as TakeOrderedAndProject (each task keeps k rows, the
+    * driver merges #partitions·k). Returns the selected rows plus
+    * `aes_rank_e9`. */
+  def weightedTopKSample(df: DataFrame, keyCol: Column, weightCol: Column,
+                         k: Int): DataFrame = {
+    val u = PortableHash.hash60(concat(lit("aes:"), keyCol.cast("string")))
+      .cast("double") / lit(Pow60)
+    df.withColumn("aes_rank_e9",
+        round(-log(u) / weightCol.cast("double") * lit(1000000000.0))
+          .cast("long"))
+      .orderBy(col("aes_rank_e9").asc, keyCol.asc)
+      .limit(k)
+  }
+
   /** Content-defined anchor windows: the exact-substring-dedup
     * primitive. A window of `win` consecutive tokens starts at every
     * position whose FIRST token hashes to 0 mod `modulus` — anchors
