@@ -364,4 +364,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Generate"), p)
     assert(p.contains("partial"), p)
   }
+
+  test("q145: interpolation is one lead window + its own-span " +
+       "Generate — no dense-grid join after the generate") {
+    val p = plan("q145_interpolate")
+    assert(p.contains("Generate"), p)
+    assert(p.contains("Window"), p)
+    // the generated grid must not be joined back to anything
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashJoin"), p)
+  }
+
+  test("q148: exactly-k weighted sample plans as TakeOrdered — " +
+       "bounded per-task heap, no global sort, no shuffle of the " +
+       "corpus") {
+    val p = plan("q148_aes_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange") || p.contains("TakeOrdered"), p)
+  }
+
+  test("q144: triangle counting carries no cartesian or " +
+       "nested-loop join — all equi-joins on narrow int pairs") {
+    val p = plan("q144_triangles")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q146: spearman's two rank windows share one partitioning " +
+       "on the group key") {
+    val p = plan("q146_spearman")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    // one hash exchange for the windows (+AQE reads); the aggregate
+    // reuses it; final orderBy adds a range exchange
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
+  }
 }
