@@ -445,6 +445,44 @@ object Scalars {
   }
 
   // ---------------------------------------------------------------------
+  // q149 — ORC round-trip (the columnar interchange sibling of q55's
+  // CSV and q98's JSONL gates): a lineitem projection written as ORC,
+  // read back under an enforced schema, aggregated — the oracle
+  // computes the same aggregate from the parquet source, so any
+  // write/read fidelity loss (doubles, longs, nulls) breaks the hash.
+  // ORC is binary: the round-trip must be bit-exact with no e-scaling
+  // concessions at the format boundary.
+  // ---------------------------------------------------------------------
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Ingest
+    import org.apache.spark.sql.types._
+    val src = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_orc_roundtrip").toString
+    Ingest.writeOrc(src, tmp)
+    Ingest.readOrc(s, tmp, StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_returnflag", StringType),
+        StructField("l_quantity", DoubleType))))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        fixedSum(col("l_quantity"), 2).as("qty_total"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q149Sql =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  ${fixedSumSql("l_quantity")} AS qty_total,
+       |  min(l_orderkey) AS min_key,
+       |  max(l_orderkey) AS max_key
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q101 — order-independent table checksum (the migration audit op):
   // per-source (count, bit_xor, modular-sum) over a portable 60-bit
   // digest of each row's canonical serialization. The oracle computes
@@ -691,6 +729,7 @@ object Scalars {
     "q64_spatial_grid" -> (q64 _),
     "q70_data_quality" -> (q70 _),
     "q147_entropy" -> (q147 _),
+    "q149_orc_roundtrip" -> (q149 _),
     "q90_histogram" -> (q90 _),
     "q95_stream_tumbling" -> (q95 _))
 
@@ -712,6 +751,7 @@ object Scalars {
     "q64_spatial_grid" -> q64Sql,
     "q70_data_quality" -> q70Sql,
     "q147_entropy" -> q147Sql,
+    "q149_orc_roundtrip" -> q149Sql,
     "q90_histogram" -> q90Sql,
     "q95_stream_tumbling" -> q95Sql)
 }

@@ -93,6 +93,19 @@ object Ingest {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC sink/scan pair — the columnar interchange format next to
+    * parquet (vectorized reader, predicate pushdown and column
+    * pruning work the same way; schema passed explicitly so the
+    * reader never pays a footer-inference pass across a large
+    * directory). Binary round-trip: doubles and longs come back
+    * bit-identical. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Small-file compaction — the table-maintenance twin of the
     * incremental merge: every micro-batch append ([[MergeByKey]]
     * scope-rewrites, streaming sinks) leaves small files behind, and
