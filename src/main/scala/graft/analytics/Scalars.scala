@@ -192,6 +192,38 @@ object Scalars {
        |ORDER BY hour_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q150 — streaming SLIDING (hopping) windows in the gate: 1-hour
+  // windows every 30 minutes — each event lands in exactly two
+  // overlapping windows, expanded in place by window() (a
+  // streaming-safe Generate, no join), flushed by the sentinel batch.
+  // Oracle: the batch expansion — each event contributes to the two
+  // 30-min-aligned starts covering it. Streaming overlapping-window
+  // state must reproduce batch truth.
+  // ---------------------------------------------------------------------
+  private def q150(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.slidingReplayFromParquet(
+        s, s"$dir/events.parquet", "1 hour", "30 minutes")
+      .select(col("window_start"), col("n_events"), col("value_e4_total"))
+      .orderBy(col("window_start"))
+
+  private val q150Sql =
+    """WITH e AS (
+      |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+      |    CAST(round(value * 10000) AS BIGINT) AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT unnest([(s // 1800) * 1800, (s // 1800) * 1800 - 1800])
+      |      AS ws,
+      |    v
+      |  FROM e)
+      |SELECT make_timestamp(ws * 1000000) AS window_start,
+      |  count(*) AS n_events,
+      |  CAST(sum(v) AS BIGINT) AS value_e4_total
+      |FROM w
+      |GROUP BY ws
+      |ORDER BY window_start""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q95 — streaming tumbling windows in the gate: events replayed
   // through the watermarked window() aggregate (sentinel-flushed
   // AvailableNow lifecycle, the q53 machinery), values summed as e4
@@ -730,6 +762,7 @@ object Scalars {
     "q70_data_quality" -> (q70 _),
     "q147_entropy" -> (q147 _),
     "q149_orc_roundtrip" -> (q149 _),
+    "q150_stream_sliding" -> (q150 _),
     "q90_histogram" -> (q90 _),
     "q95_stream_tumbling" -> (q95 _))
 
@@ -752,6 +785,7 @@ object Scalars {
     "q70_data_quality" -> q70Sql,
     "q147_entropy" -> q147Sql,
     "q149_orc_roundtrip" -> q149Sql,
+    "q150_stream_sliding" -> q150Sql,
     "q90_histogram" -> q90Sql,
     "q95_stream_tumbling" -> q95Sql)
 }

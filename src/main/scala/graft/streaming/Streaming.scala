@@ -168,6 +168,23 @@ object Streaming {
         lit(new java.sql.Timestamp(4070908800L * 1000L))) // < 2099-01-01
       .withColumnRenamed("value_total", "value_e4_total")
 
+  /** Bounded sliding-window replay — [[slidingStats]] through the
+    * same sentinel-flush lifecycle as [[tumblingReplayFromParquet]]:
+    * every event expands into window/slide overlapping windows in
+    * place (a streaming-safe Generate, no join), the sentinel batch
+    * advances the watermark so append mode flushes every real
+    * window. */
+  def slidingReplayFromParquet(spark: SparkSession, srcParquet: String,
+                               window: String, slide: String): DataFrame =
+    sentinelReplay(spark, srcParquet)(eSec =>
+      slidingStats(
+        eSec.withColumn("value_e4",
+          round(col("value") * 10000).cast("long")),
+        "ts_s", "value_e4", window, slide, "0 seconds"))
+      .filter(col("window_start") <
+        lit(new java.sql.Timestamp(4070908800L * 1000L))) // < 2099-01-01
+      .withColumnRenamed("value_total", "value_e4_total")
+
   /** The sentinel-flush replay harness shared by the windowed
     * streaming gate queries: stream the real parquet as micro-batch 1,
     * a far-future sentinel row as micro-batch 2 (advancing the global
