@@ -477,6 +477,92 @@ object Scalars {
   }
 
   // ---------------------------------------------------------------------
+  // q151 — per-group MODE (most frequent value): counts per (group,
+  // bucket), then one arg-max with frequency and value packed into a
+  // single orderable BIGINT (larger count wins, ties break to the
+  // smaller bucket) — deterministic on any engine, map-side
+  // combinable, never a window sort over the counts.
+  // ---------------------------------------------------------------------
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_type"),
+      round(col("value")).cast("long").as("vb"))
+    e.groupBy(col("event_type"), col("vb"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("vb"),
+          col("n") * lit(10000000L) + (lit(1000000L) - col("vb")))
+          .as("mode_bucket"),
+        max(col("n")).as("n_mode"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q151Sql =
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value) AS BIGINT) AS vb,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |  arg_max(vb, n * 10000000 + (1000000 - vb)) AS mode_bucket,
+      |  max(n) AS n_mode,
+      |  count(*) AS n_buckets
+      |FROM c
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q152 — exact weighted median (lower median: smallest value whose
+  // doubled running weight reaches the total): weights aggregate per
+  // distinct value first, so the cumulative window runs over the
+  // distinct-values table, never the rows — the grouped-median shape
+  // that holds when values repeat heavily (and the winsorize
+  // approx-bracket pattern is the fallback when they don't). All
+  // integer comparisons — bit-exact by construction.
+  // ---------------------------------------------------------------------
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_type"),
+      round(col("value") * 10000).cast("long").as("v"),
+      (col("event_id") % 7 + 1).as("w"))
+    val agg = e.groupBy(col("event_type"), col("v"))
+      .agg(sum(col("w")).as("wv"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = agg.groupBy(col("event_type"))
+      .agg(sum(col("wv")).as("w_total"))
+    agg.withColumn("cw", sum(col("wv")).over(win))
+      .join(tot, Seq("event_type"))
+      .filter(col("cw") * 2 >= col("w_total"))
+      .groupBy(col("event_type"))
+      .agg(min(col("v")).as("wmedian_e4"), min(col("w_total")).as("w_total"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q152Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v,
+      |    event_id % 7 + 1 AS w
+      |  FROM events),
+      |agg AS (
+      |  SELECT event_type, v, CAST(sum(w) AS BIGINT) AS wv
+      |  FROM e GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, v, wv,
+      |    CAST(sum(wv) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cw
+      |  FROM agg),
+      |tot AS (
+      |  SELECT event_type, CAST(sum(wv) AS BIGINT) AS w_total
+      |  FROM agg GROUP BY 1)
+      |SELECT c.event_type, min(c.v) AS wmedian_e4, min(t.w_total) AS w_total
+      |FROM cum c JOIN tot t ON c.event_type = t.event_type
+      |WHERE c.cw * 2 >= t.w_total
+      |GROUP BY c.event_type
+      |ORDER BY c.event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q149 — ORC round-trip (the columnar interchange sibling of q55's
   // CSV and q98's JSONL gates): a lineitem projection written as ORC,
   // read back under an enforced schema, aggregated — the oracle
@@ -763,6 +849,8 @@ object Scalars {
     "q147_entropy" -> (q147 _),
     "q149_orc_roundtrip" -> (q149 _),
     "q150_stream_sliding" -> (q150 _),
+    "q151_group_mode" -> (q151 _),
+    "q152_weighted_median" -> (q152 _),
     "q90_histogram" -> (q90 _),
     "q95_stream_tumbling" -> (q95 _))
 
@@ -786,6 +874,8 @@ object Scalars {
     "q147_entropy" -> q147Sql,
     "q149_orc_roundtrip" -> q149Sql,
     "q150_stream_sliding" -> q150Sql,
+    "q151_group_mode" -> q151Sql,
+    "q152_weighted_median" -> q152Sql,
     "q90_histogram" -> q90Sql,
     "q95_stream_tumbling" -> q95Sql)
 }
