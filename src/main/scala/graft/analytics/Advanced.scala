@@ -672,6 +672,112 @@ object Advanced {
       |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q153 — bipartite co-occurrence projection (the recommender /
+  // related-items op): users × item-buckets projected onto item-item
+  // co-occurrence counts. The quadratic edge is capped INSIDE the
+  // plan: each user contributes at most their top-8 items (by
+  // engagement count, deterministic tiebreak) through the
+  // bounded-heap TopKPerKey plan, so a power user yields C(8,2)=28
+  // pairs instead of degree² — the cap real recommender pipelines
+  // apply for exactly this reason. Keys renamed apart before the
+  // self-join (the Dataset self-join ambiguity trap).
+  // ---------------------------------------------------------------------
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curate
+    val e = ev(s, dir).select(col("user_id"),
+      (abs(round(col("value"))).cast("long") % 50).as("item"))
+    val ui = e.groupBy(col("user_id"), col("item"))
+      .agg(count(lit(1)).as("n"))
+    val capped = Curate.capPerGroup(ui, Seq("user_id"),
+        Seq("n" -> true, "item" -> false), 8)
+      .select(col("user_id"), col("item"))
+    val a = capped.select(col("user_id").as("u"), col("item").as("item_a"))
+    val b = capped.select(col("user_id").as("u2"), col("item").as("item_b"))
+    a.join(b, col("u") === col("u2") && col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= 3)
+      .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
+  }
+
+  private val q153Sql =
+    """WITH ui AS (
+      |  SELECT user_id, abs(CAST(round(value) AS BIGINT)) % 50 AS item,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |capped AS (
+      |  SELECT user_id, item FROM (
+      |    SELECT user_id, item,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY n DESC, item) AS rn
+      |    FROM ui) WHERE rn <= 8)
+      |SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
+      |FROM capped a JOIN capped b
+      |  ON a.user_id = b.user_id AND a.item < b.item
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 3
+      |ORDER BY n_users DESC, item_a, item_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q154 — A/B experiment readout with Welch's t: variants from user
+  // parity, metric sums exact (e4 longs; second moment DECIMAL(38)
+  // emitted as a BIGINT e8), the t statistic ONE IEEE expression over
+  // those exact integers (sqrt is correctly-rounded by IEEE-754, so
+  // it is engine-stable, unlike ln/sin). One conditional-aggregate
+  // pass — no shuffle beyond the single reduction.
+  // ---------------------------------------------------------------------
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select((col("user_id") % 2).as("variant"),
+      round(col("value") * 10000).cast("long").as("v"))
+    def side(i: Int, c: org.apache.spark.sql.Column) =
+      sum(when(col("variant") === i, c).otherwise(lit(null)))
+    val sums = e.agg(
+      side(0, lit(1L)).as("n0"), side(1, lit(1L)).as("n1"),
+      side(0, col("v")).as("s0_e4"), side(1, col("v")).as("s1_e4"),
+      side(0, col("v").cast("decimal(38,0)") * col("v").cast("decimal(38,0)"))
+        .cast("long").as("ss0_e8"),
+      side(1, col("v").cast("decimal(38,0)") * col("v").cast("decimal(38,0)"))
+        .cast("long").as("ss1_e8"))
+    def d(c: String) = col(c).cast("double")
+    def se(n: String, sm: String, ss: String) =
+      (d(ss) - d(sm) * d(sm) / d(n)) / (d(n) - lit(1.0)) / d(n)
+    val t = (d("s0_e4") / d("n0") - d("s1_e4") / d("n1")) /
+      sqrt(se("n0", "s0_e4", "ss0_e8") + se("n1", "s1_e4", "ss1_e8"))
+    sums.select(col("n0"), col("n1"), col("s0_e4"), col("s1_e4"),
+      col("ss0_e8"), col("ss1_e8"),
+      round(t * lit(1000000.0)).cast("long").as("t_e6"))
+  }
+
+  private val q154Sql = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    def se(n: String, sm: String, ss: String) =
+      s"(${dd(ss)} - ${dd(sm)} * ${dd(sm)} / ${dd(n)}) / " +
+        s"(${dd(n)} - ${dd("1")}) / ${dd(n)}"
+    s"""WITH e AS (
+       |  SELECT user_id % 2 AS variant,
+       |    CAST(round(value * 10000) AS BIGINT) AS v
+       |  FROM events),
+       |sums AS (
+       |  SELECT
+       |    CAST(count(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n0,
+       |    CAST(count(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN variant = 0 THEN v END) AS BIGINT) AS s0_e4,
+       |    CAST(sum(CASE WHEN variant = 1 THEN v END) AS BIGINT) AS s1_e4,
+       |    CAST(sum(CASE WHEN variant = 0 THEN v * v END) AS BIGINT)
+       |      AS ss0_e8,
+       |    CAST(sum(CASE WHEN variant = 1 THEN v * v END) AS BIGINT)
+       |      AS ss1_e8
+       |  FROM e)
+       |SELECT n0, n1, s0_e4, s1_e4, ss0_e8, ss1_e8,
+       |  CAST(round((${dd("s0_e4")} / ${dd("n0")} - ${dd("s1_e4")} /
+       |      ${dd("n1")}) /
+       |    sqrt(${se("n0", "s0_e4", "ss0_e8")} +
+       |      ${se("n1", "s1_e4", "ss1_e8")})
+       |    * ${dd("1000000")}) AS BIGINT) AS t_e6
+       |FROM sums""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q146 — Spearman rank correlation (monotonic trend of value over
   // time, per event type): row_number ranks with an event_id tiebreak
   // make both orders total, so the no-ties closed form
@@ -847,7 +953,9 @@ object Advanced {
     "q69_dedup_clusters" -> (q69 _),
     "q143_cc_star" -> (q143 _),
     "q144_triangles" -> (q144 _),
-    "q146_spearman" -> (q146 _))
+    "q146_spearman" -> (q146 _),
+    "q153_cooccurrence" -> (q153 _),
+    "q154_ab_welch" -> (q154 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -872,5 +980,7 @@ object Advanced {
     "q69_dedup_clusters" -> q69Sql,
     "q143_cc_star" -> q69Sql,
     "q144_triangles" -> q144Sql,
-    "q146_spearman" -> q146Sql)
+    "q146_spearman" -> q146Sql,
+    "q153_cooccurrence" -> q153Sql,
+    "q154_ab_welch" -> q154Sql)
 }
