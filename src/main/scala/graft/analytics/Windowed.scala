@@ -601,6 +601,39 @@ object Windowed {
        |ORDER BY err.user_id, error_id, click_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q155 — FULL OUTER stream-stream interval join: the join-type
+  // matrix completed (inner q63, left outer q134). Unmatched rows on
+  // BOTH sides exist only via each side's watermark eviction — the
+  // right-side state expiry is machinery q134 never exercises. The
+  // oracle is the batch FULL JOIN of the same interval condition.
+  // ---------------------------------------------------------------------
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.fullOuterIntervalJoinReplayFromParquet(
+        s, s"$dir/events.parquet", "error", "click", 600L)
+      .select(col("user_id"),
+        coalesce(col("error_id"), lit(-1L)).as("error_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_timestamp(col("click_ts")) -
+          unix_timestamp(col("err_ts")), lit(-1L)).as("delta_s"))
+      .orderBy(col("user_id"), col("error_id"), col("click_id"))
+
+  private val q155Sql =
+    s"""WITH e AS (SELECT user_id, event_id, ${epochSSql("ts")} AS ts_l,
+       |                  event_type FROM events),
+       |err AS (SELECT user_id, event_id, ts_l FROM e
+       |        WHERE event_type = 'error'),
+       |c AS (SELECT user_id, event_id, ts_l FROM e
+       |      WHERE event_type = 'click')
+       |SELECT coalesce(err.user_id, c.user_id) AS user_id,
+       |  coalesce(err.event_id, -1) AS error_id,
+       |  coalesce(c.event_id, -1) AS click_id,
+       |  coalesce(c.ts_l - err.ts_l, -1) AS delta_s
+       |FROM err FULL JOIN c
+       |  ON err.user_id = c.user_id
+       |  AND c.ts_l >= err.ts_l AND c.ts_l <= err.ts_l + 600
+       |ORDER BY user_id, error_id, click_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q91 — FORWARD as-of join with tolerance (pandas merge_asof
   // direction='forward'): each click attaches the EARLIEST error of
   // the same user within the next 300 s, or null. Same single-shuffle
@@ -785,6 +818,7 @@ object Windowed {
     "q61_range_frame" -> (q61 _),
     "q63_stream_interval_join" -> (q63 _),
     "q134_stream_outer_join" -> (q134 _),
+    "q155_stream_full_outer" -> (q155 _),
     "q85_stream_static_join" -> (q85 _),
     "q99_stream_dedup" -> (q99 _),
     "q102_transitions" -> (q102 _),
@@ -807,6 +841,7 @@ object Windowed {
     "q61_range_frame" -> q61Sql,
     "q63_stream_interval_join" -> q63Sql,
     "q134_stream_outer_join" -> q134Sql,
+    "q155_stream_full_outer" -> q155Sql,
     "q85_stream_static_join" -> q85Sql,
     "q99_stream_dedup" -> q99Sql,
     "q102_transitions" -> q102Sql,

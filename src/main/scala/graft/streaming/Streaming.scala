@@ -476,6 +476,42 @@ object Streaming {
         .drop("r_user")
     }.filter(col("user_id") =!= -1L)
 
+  /** FULL OUTER watermarked stream-stream interval join, bounded
+    * replay — the completion of the join-type matrix (inner: q63,
+    * left outer: q134): unmatched rows on BOTH sides emit with null
+    * opposite columns, each only after its own watermark proves no
+    * match can still arrive. Both state stores must evict — the
+    * sentinel advances both watermark operators (it passes both side
+    * filters), and the read-back drops its rows by user_id.
+    *
+    * Returns (user_id, error_id, err_ts, click_id, click_ts) with
+    * nulls on whichever side is unmatched. */
+  def fullOuterIntervalJoinReplayFromParquet(spark: SparkSession,
+                                             srcParquet: String,
+                                             leftType: String,
+                                             rightType: String,
+                                             windowSec: Long): DataFrame =
+    sentinelReplay(spark, srcParquet) { eSec =>
+      // columns renamed apart BEFORE the join (see the left-outer
+      // variant: shared lineage + outer state eviction)
+      val left = eSec.filter(col("event_type").isin(leftType, "sentinel"))
+        .select(col("user_id").as("l_user"),
+          col("event_id").as("error_id"), col("ts_s").as("err_ts"))
+        .withWatermark("err_ts", "0 seconds")
+      val right = eSec.filter(col("event_type").isin(rightType, "sentinel"))
+        .select(col("user_id").as("r_user"),
+          col("event_id").as("click_id"), col("ts_s").as("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+      left.join(right,
+          col("l_user") === col("r_user") &&
+            col("click_ts") >= col("err_ts") &&
+            col("click_ts") <= col("err_ts") +
+              expr(s"INTERVAL $windowSec SECONDS"),
+          "full_outer")
+        .select(coalesce(col("l_user"), col("r_user")).as("user_id"),
+          col("error_id"), col("err_ts"), col("click_id"), col("click_ts"))
+    }.filter(col("user_id") =!= -1L)
+
   /** Bounded replay of a parquet table through a stream–static
     * broadcast-dimension join — the continuous form of fact-side
     * enrichment (the reference's weather/municipality enrichments,
