@@ -672,6 +672,46 @@ object Advanced {
       |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q156 — single-source BFS shortest-hop distances over the q92
+  // nation trade graph: frontier expansion (per-round cost is
+  // frontier-sized, not graph-sized; rounds = source eccentricity),
+  // all-integer. Oracle: a depth-bounded recursive CTE reduced by
+  // min(d) — engine-independent truth for an iterative traversal.
+  // ---------------------------------------------------------------------
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .distinct()
+    graft.operators.Graph.bfsDistances(edges, source = 0L)
+      .orderBy(col("node"))
+  }
+
+  private val q156Sql =
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey),
+      |reach(node, d) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+      |  UNION
+      |  SELECT CAST(e.dst AS BIGINT), r.d + 1
+      |  FROM reach r JOIN edges e ON r.node = e.src
+      |  WHERE r.d < 30)
+      |SELECT node, CAST(min(d) AS BIGINT) AS dist
+      |FROM reach
+      |GROUP BY node
+      |ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q153 — bipartite co-occurrence projection (the recommender /
   // related-items op): users × item-buckets projected onto item-item
   // co-occurrence counts. The quadratic edge is capped INSIDE the
@@ -955,7 +995,8 @@ object Advanced {
     "q144_triangles" -> (q144 _),
     "q146_spearman" -> (q146 _),
     "q153_cooccurrence" -> (q153 _),
-    "q154_ab_welch" -> (q154 _))
+    "q154_ab_welch" -> (q154 _),
+    "q156_bfs_sssp" -> (q156 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -982,5 +1023,6 @@ object Advanced {
     "q144_triangles" -> q144Sql,
     "q146_spearman" -> q146Sql,
     "q153_cooccurrence" -> q153Sql,
-    "q154_ab_welch" -> q154Sql)
+    "q154_ab_welch" -> q154Sql,
+    "q156_bfs_sssp" -> q156Sql)
 }

@@ -22,6 +22,41 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Single-source BFS distances (unweighted shortest hops) over
+    * directed `edges` (src, dst) — frontier-expansion formulation:
+    * each round joins ONLY the newly-reached frontier against the
+    * edge table and anti-joins the settled set, so per-round cost is
+    * frontier-sized, not graph-sized, and rounds = eccentricity of
+    * the source. Edges materialize once; every frontier
+    * localCheckpoints to cut iterative lineage. All-integer →
+    * engine-exact. Returns (node, dist) for REACHED nodes only. */
+  def bfsDistances(edges: DataFrame, source: Long,
+                   maxDepth: Int = 50): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint()
+    val spark = edges.sparkSession
+    var dist = spark.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      depth += 1
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth.toLong))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    dist
+  }
+
   /** Node count at or below which the per-iteration rank table (and
     * the one-time out-weight table) is broadcast into the edge scan.
     * 1M (long, long) rows is ~30 MB in executor memory — comfortably
