@@ -672,6 +672,49 @@ object Advanced {
       |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q157 — ORDERED string aggregation (listagg / string_agg ... ORDER
+  // BY): top-5 customer names per nation by balance, comma-joined in
+  // rank order. collect_list is order-NONDETERMINISTIC under
+  // parallelism, so the order key rides inside the collected struct
+  // and array_sort imposes it after collection — deterministic on any
+  // partitioning; the top-5 cut runs through the bounded-heap
+  // TopKPerKey plan, not a window sort. Balances are exact 2-decimal
+  // values, so the e2-long sort key introduces no ties the double
+  // order doesn't have.
+  // ---------------------------------------------------------------------
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curate
+    val c = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_e2"))
+    Curate.capPerGroup(c, Seq("n_name"),
+        Seq("bal_e2" -> true, "c_custkey" -> false), 5)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_top"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(-bal_e2 AS k1, c_custkey AS k2, c_name AS nm))), " +
+          "x -> x.nm), ',')").as("top_names"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q157Sql =
+    """WITH ranked AS (
+      |  SELECT n_name, c_custkey, c_name,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2,
+      |    row_number() OVER (PARTITION BY n_name
+      |      ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+      |        c_custkey) AS rn
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT n_name, count(*) AS n_top,
+      |  string_agg(c_name, ',' ORDER BY bal_e2 DESC, c_custkey)
+      |    AS top_names
+      |FROM ranked WHERE rn <= 5
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q156 — single-source BFS shortest-hop distances over the q92
   // nation trade graph: frontier expansion (per-round cost is
   // frontier-sized, not graph-sized; rounds = source eccentricity),
@@ -996,7 +1039,8 @@ object Advanced {
     "q146_spearman" -> (q146 _),
     "q153_cooccurrence" -> (q153 _),
     "q154_ab_welch" -> (q154 _),
-    "q156_bfs_sssp" -> (q156 _))
+    "q156_bfs_sssp" -> (q156 _),
+    "q157_listagg" -> (q157 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -1024,5 +1068,6 @@ object Advanced {
     "q146_spearman" -> q146Sql,
     "q153_cooccurrence" -> q153Sql,
     "q154_ab_welch" -> q154Sql,
-    "q156_bfs_sssp" -> q156Sql)
+    "q156_bfs_sssp" -> q156Sql,
+    "q157_listagg" -> q157Sql)
 }
