@@ -672,6 +672,40 @@ object Advanced {
       |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q158 — join-key cardinality histogram: per-key frequencies
+  // bucketed into log2 bands (1, 2-3, 4-7, ...) with exact counts and
+  // row mass per band — the one-scan diagnosis of whether a join key
+  // is uniform, long-tailed, or hub-dominated (q138 names the top
+  // keys; this shows the whole distribution). Two chained
+  // map-side-combined aggregates; the second input is keys-sized.
+  // floor(log2(n)) computed as integer bit-length, no float log.
+  // ---------------------------------------------------------------------
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val perKey = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    perKey
+      // floor(log2(n)) as the BIGINT bit length minus one — a pure
+      // integer/string computation, no float log to misround at
+      // power-of-two boundaries
+      .withColumn("band", (length(bin(col("n"))) - 1).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+        min(col("n")).as("min_freq"), max(col("n")).as("max_freq"))
+      .orderBy(col("band"))
+  }
+
+  private val q158Sql =
+    """WITH perkey AS (
+      |  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1)
+      |SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS band,
+      |  count(*) AS n_keys,
+      |  CAST(sum(n) AS BIGINT) AS n_rows,
+      |  min(n) AS min_freq, max(n) AS max_freq
+      |FROM perkey
+      |GROUP BY 1
+      |ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q157 — ORDERED string aggregation (listagg / string_agg ... ORDER
   // BY): top-5 customer names per nation by balance, comma-joined in
   // rank order. collect_list is order-NONDETERMINISTIC under
@@ -1040,7 +1074,8 @@ object Advanced {
     "q153_cooccurrence" -> (q153 _),
     "q154_ab_welch" -> (q154 _),
     "q156_bfs_sssp" -> (q156 _),
-    "q157_listagg" -> (q157 _))
+    "q157_listagg" -> (q157 _),
+    "q158_key_cardinality" -> (q158 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -1069,5 +1104,6 @@ object Advanced {
     "q153_cooccurrence" -> q153Sql,
     "q154_ab_welch" -> q154Sql,
     "q156_bfs_sssp" -> q156Sql,
-    "q157_listagg" -> q157Sql)
+    "q157_listagg" -> q157Sql,
+    "q158_key_cardinality" -> q158Sql)
 }
