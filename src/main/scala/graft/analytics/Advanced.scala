@@ -672,6 +672,137 @@ object Advanced {
       |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q159 — Benford first-digit audit (the fraud/forensics op: natural
+  // multiplicative data follows P(d)=log10(1+1/d); fabricated numbers
+  // don't): exact first-digit counts in one aggregate, the expected
+  // probabilities are SCALA-computed literals (no engine
+  // transcendentals), and the chi² statistic is one IEEE expression
+  // over exact integers and those literals — engine-stable.
+  // ---------------------------------------------------------------------
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    // explicit floor on BOTH engines: DuckDB's double→BIGINT cast
+    // ROUNDS where Spark's truncates — 999.6 must read digit 9, not 1
+    val digit = substring(floor(col("o_totalprice")).cast("long")
+      .cast("string"), 1, 1).cast("long")
+    val counts = t(s, dir, "orders")
+      .filter(col("o_totalprice") >= 1.0)
+      .groupBy(digit.as("d")).agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum(col("n_obs")).as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("d"), col("n_obs"), col("n_total"),
+        // p(d) rendered as a literal double computed in Scala: both
+        // engines parse the identical round-trip value
+        round((col("n_obs").cast("double") / col("n_total").cast("double"))
+          * lit(1000000.0)).cast("long").as("share_e6"),
+        round(((col("n_obs").cast("double") -
+          col("n_total").cast("double") * benfordP(col("d"))) *
+          (col("n_obs").cast("double") -
+            col("n_total").cast("double") * benfordP(col("d"))) /
+          (col("n_total").cast("double") * benfordP(col("d")))) *
+          lit(1000000.0)).cast("long").as("chi2_term_e6"))
+      .orderBy(col("d"))
+  }
+
+  /** log10(1+1/d) as a CASE over literal doubles — computed once in
+    * Scala so neither engine runs a transcendental. */
+  private def benfordP(d: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    (1 to 9).foldLeft(lit(0.0)) { (acc, k) =>
+      when(d === k, lit(math.log10(1.0 + 1.0 / k))).otherwise(acc)
+    }
+  }
+
+  private val q159Sql = {
+    // literals CAST to DOUBLE: a bare decimal literal is DECIMAL in
+    // DuckDB; the cast pins the same nearest-double both engines use
+    val pCase = (1 to 9).map(k =>
+      s"WHEN d = $k THEN CAST(${math.log10(1.0 + 1.0 / k)} AS DOUBLE)")
+      .mkString("CASE ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+    s"""WITH c AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS BIGINT) AS d,
+       |    count(*) AS n_obs
+       |  FROM orders WHERE o_totalprice >= 1.0
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM c)
+       |SELECT d, n_obs, n_total,
+       |  CAST(round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+       |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS share_e6,
+       |  CAST(round((CAST(n_obs AS DOUBLE)
+       |      - CAST(n_total AS DOUBLE) * ($pCase))
+       |    * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * ($pCase))
+       |    / (CAST(n_total AS DOUBLE) * ($pCase))
+       |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS chi2_term_e6
+       |FROM c, tot
+       |ORDER BY d""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q160 — exact two-sample Kolmogorov–Smirnov drift statistic (the
+  // distribution-drift monitor an ML feature pipeline runs between
+  // yesterday's and today's data): split events at the time midpoint,
+  // compare value CDFs on the e1-quantized grid (~10³ bins — the
+  // standard binned-ECDF drift monitor; binning bounds the global
+  // cumulative window to the BIN table, so the one ordered window
+  // runs over ~10³ rows regardless of data volume). The KS
+  // sup-distance is a pure INTEGER maximum — max |cumA·nB − cumB·nA|
+  // over the bins — so the decision quantity is bit-exact; only the
+  // final normalized ks_e6 divides once.
+  // ---------------------------------------------------------------------
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(
+      round(col("value") * 10).cast("long").as("v"),
+      (col("ts_s") < lit("2024-01-16 00:00:00").cast("timestamp"))
+        .cast("long").as("is_a"))
+    val perV = e.groupBy(col("v"))
+      .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        0)
+    val cum = perV
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+    val tot = perV.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))
+        .as("diff_scaled"), col("na"), col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(col("diff_scaled")).as("ks_scaled"))
+      .select(col("na"), col("nb"), col("ks_scaled"),
+        round(col("ks_scaled").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")) *
+          lit(1000000.0)).cast("long").as("ks_e6"))
+  }
+
+  private val q160Sql =
+    """WITH e AS (
+      |  SELECT CAST(round(value * 10) AS BIGINT) AS v,
+      |    CASE WHEN date_trunc('second', ts) <
+      |      TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_a
+      |  FROM events),
+      |perv AS (
+      |  SELECT v, CAST(sum(is_a) AS BIGINT) AS ca,
+      |    CAST(sum(1 - is_a) AS BIGINT) AS cb
+      |  FROM e GROUP BY v),
+      |cum AS (
+      |  SELECT v, ca, cb,
+      |    CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+      |    CAST(sum(cb) OVER w AS BIGINT) AS cum_b
+      |  FROM perv
+      |  WINDOW w AS (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      |  FROM perv)
+      |SELECT na, nb,
+      |  max(abs(cum_a * nb - cum_b * na)) AS ks_scaled,
+      |  CAST(round(CAST(max(abs(cum_a * nb - cum_b * na)) AS DOUBLE)
+      |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ks_e6
+      |FROM cum, tot
+      |GROUP BY na, nb""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q158 — join-key cardinality histogram: per-key frequencies
   // bucketed into log2 bands (1, 2-3, 4-7, ...) with exact counts and
   // row mass per band — the one-scan diagnosis of whether a join key
@@ -1075,7 +1206,9 @@ object Advanced {
     "q154_ab_welch" -> (q154 _),
     "q156_bfs_sssp" -> (q156 _),
     "q157_listagg" -> (q157 _),
-    "q158_key_cardinality" -> (q158 _))
+    "q158_key_cardinality" -> (q158 _),
+    "q159_benford" -> (q159 _),
+    "q160_ks_drift" -> (q160 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -1105,5 +1238,7 @@ object Advanced {
     "q154_ab_welch" -> q154Sql,
     "q156_bfs_sssp" -> q156Sql,
     "q157_listagg" -> q157Sql,
-    "q158_key_cardinality" -> q158Sql)
+    "q158_key_cardinality" -> q158Sql,
+    "q159_benford" -> q159Sql,
+    "q160_ks_drift" -> q160Sql)
 }
