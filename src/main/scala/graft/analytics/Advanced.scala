@@ -672,6 +672,71 @@ object Advanced {
       |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q161 — interval coalescing (union of overlapping intervals per
+  // key — the "coverage time" op: each event opens a 30-minute
+  // activity interval; overlapping/adjacent intervals merge, and the
+  // answer is exact covered seconds + merged-interval count per
+  // user). Gaps-and-islands: one lag window flags starts where the
+  // new interval begins after the running maximum end; a running sum
+  // of flags numbers the islands. All integer epochs — bit-exact.
+  // ---------------------------------------------------------------------
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val span = 1800L
+    val e = ev(s, dir).select(col("user_id"),
+      Exact.epochS(col("ts_s")).as("st"))
+      .distinct()
+      .withColumn("en", col("st") + span)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("st"))
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val flagged = e
+      .withColumn("prev_max_en", max(col("en")).over(wRun))
+      .withColumn("is_start",
+        when(col("prev_max_en").isNull ||
+          col("st") > col("prev_max_en"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("is_start")).over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("ivl_start"), max(col("en")).as("ivl_end"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("ivl_end") - col("ivl_start")).as("covered_s"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q161Sql =
+    s"""WITH iv AS (
+       |  SELECT DISTINCT user_id, ${epochSSql("ts")} AS st,
+       |    ${epochSSql("ts")} + 1800 AS en
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, st, en,
+       |    CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY st
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR st > max(en) OVER (PARTITION BY user_id ORDER BY st
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS is_start
+       |  FROM iv),
+       |islands AS (
+       |  SELECT user_id, st, en,
+       |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY st
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS island
+       |  FROM flagged),
+       |merged AS (
+       |  SELECT user_id, island,
+       |    min(st) AS ivl_start, max(en) AS ivl_end
+       |  FROM islands GROUP BY 1, 2)
+       |SELECT user_id, count(*) AS n_intervals,
+       |  CAST(sum(ivl_end - ivl_start) AS BIGINT) AS covered_s
+       |FROM merged
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q159 — Benford first-digit audit (the fraud/forensics op: natural
   // multiplicative data follows P(d)=log10(1+1/d); fabricated numbers
   // don't): exact first-digit counts in one aggregate, the expected
@@ -1208,7 +1273,8 @@ object Advanced {
     "q157_listagg" -> (q157 _),
     "q158_key_cardinality" -> (q158 _),
     "q159_benford" -> (q159 _),
-    "q160_ks_drift" -> (q160 _))
+    "q160_ks_drift" -> (q160 _),
+    "q161_interval_coalesce" -> (q161 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -1240,5 +1306,6 @@ object Advanced {
     "q157_listagg" -> q157Sql,
     "q158_key_cardinality" -> q158Sql,
     "q159_benford" -> q159Sql,
-    "q160_ks_drift" -> q160Sql)
+    "q160_ks_drift" -> q160Sql,
+    "q161_interval_coalesce" -> q161Sql)
 }
