@@ -672,6 +672,55 @@ object Advanced {
       |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q162 — exact rank normalization (the quantile-normalize feature
+  // transform): per group, each value mapped to its ppm position
+  // (rank−1)·10⁶ div (n−1) — PURE integer arithmetic, so the
+  // normalized feature is bit-stable on any engine (percent_rank()
+  // is a float division per row; div makes it exact). Total order
+  // via event_id tiebreak; summarized per (group, decile) to keep the
+  // gate output bounded while pinning every row's normalized value
+  // through the sum.
+  // ---------------------------------------------------------------------
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").asc_nulls_first, col("event_id"))
+    val n = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("event_type")))
+    ev(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        ((row_number().over(w).cast("long") - 1L) * 1000000L).as("num"),
+        (n.cast("long") - 1L).as("den"))
+      .select(col("event_type"), col("event_id"),
+        expr("num div den").as("rank_ppm"))
+      .groupBy(col("event_type"), expr("rank_ppm div 100000").as("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rank_ppm")).as("ppm_sum"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  private val q162Sql =
+    s"""WITH ranked AS (
+       |  SELECT event_type, event_id,
+       |    (CAST(row_number() OVER (PARTITION BY event_type
+       |        ORDER BY value ASC NULLS FIRST, event_id) AS BIGINT) - 1)
+       |      * 1000000 AS num,
+       |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) - 1
+       |      AS den
+       |  FROM events),
+       |ppm AS (
+       |  SELECT event_type, event_id, num // den AS rank_ppm
+       |  FROM ranked)
+       |SELECT event_type, rank_ppm // 100000 AS decile,
+       |  count(*) AS n,
+       |  CAST(sum(rank_ppm) AS BIGINT) AS ppm_sum,
+       |  CAST(sum(event_id) AS BIGINT) AS id_checksum
+       |FROM ppm
+       |GROUP BY 1, 2
+       |ORDER BY event_type, decile""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q161 — interval coalescing (union of overlapping intervals per
   // key — the "coverage time" op: each event opens a 30-minute
   // activity interval; overlapping/adjacent intervals merge, and the
@@ -1274,7 +1323,8 @@ object Advanced {
     "q158_key_cardinality" -> (q158 _),
     "q159_benford" -> (q159 _),
     "q160_ks_drift" -> (q160 _),
-    "q161_interval_coalesce" -> (q161 _))
+    "q161_interval_coalesce" -> (q161 _),
+    "q162_rank_normalize" -> (q162 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -1307,5 +1357,6 @@ object Advanced {
     "q158_key_cardinality" -> q158Sql,
     "q159_benford" -> q159Sql,
     "q160_ks_drift" -> q160Sql,
-    "q161_interval_coalesce" -> q161Sql)
+    "q161_interval_coalesce" -> q161Sql,
+    "q162_rank_normalize" -> q162Sql)
 }
