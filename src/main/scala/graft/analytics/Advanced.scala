@@ -672,6 +672,112 @@ object Advanced {
       |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q163 — Gini coefficient per nation (inequality profiling of
+  // customer balances): G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+  // ascending-sorted positive balances. Ranks and both sums are
+  // exact integers (rank windows are per-nation partitions — never a
+  // global sort); only the final G is one IEEE expression over exact
+  // integers, emitted e6.
+  // ---------------------------------------------------------------------
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_acctbal") > 0)
+      .select(col("n_name"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_name")).orderBy(col("x"), col("c_custkey"))
+    val sums = base
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"),
+        sum(col("i").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+          .cast("long").as("sum_ix"))
+    def d(c: String) = col(c).cast("double")
+    val gini = (lit(2.0) * d("sum_ix") / (d("n") * d("sum_x")) -
+      (d("n") + lit(1.0)) / d("n")) * lit(1000000.0)
+    sums.select(col("n_name"), col("n"), col("sum_x"), col("sum_ix"),
+        round(gini).cast("long").as("gini_e6"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q163Sql = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    s"""WITH base AS (
+       |  SELECT n_name, c_custkey,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS x
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE c_acctbal > 0),
+       |ranked AS (
+       |  SELECT n_name, x,
+       |    CAST(row_number() OVER (PARTITION BY n_name
+       |      ORDER BY x, c_custkey) AS BIGINT) AS i
+       |  FROM base),
+       |sums AS (
+       |  SELECT n_name, count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sum_x,
+       |    CAST(sum(i * x) AS BIGINT) AS sum_ix
+       |  FROM ranked GROUP BY n_name)
+       |SELECT n_name, n, sum_x, sum_ix,
+       |  CAST(round((${dd("2")} * ${dd("sum_ix")}
+       |      / (${dd("n")} * ${dd("sum_x")})
+       |    - (${dd("n")} + ${dd("1")}) / ${dd("n")})
+       |    * ${dd("1000000")}) AS BIGINT) AS gini_e6
+       |FROM sums
+       |ORDER BY n_name""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q164 — churn classification (period-over-period user movement):
+  // users active in Jan 1-15 vs Jan 16-31 classified
+  // retained / churned / new via one full-outer join of the two
+  // per-user activity sets; counts plus id checksums pin exact
+  // membership, not just cardinality. Both sides pre-aggregate to
+  // user grain before the join — the join moves users, never events.
+  // ---------------------------------------------------------------------
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    // cut so BOTH classes are populated in the fixture (the last two
+    // days catch only ~90% of users — 17 churn at sf0.01)
+    val cut = lit("2024-01-30 00:00:00").cast("timestamp")
+    val a = e.filter(col("ts_s") < cut)
+      .select(col("user_id")).distinct().withColumn("in_a", lit(1L))
+    val b = e.filter(col("ts_s") >= cut)
+      .select(col("user_id")).distinct().withColumn("in_b", lit(1L))
+    a.join(b, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("in_a").isNotNull && col("in_b").isNotNull, "retained")
+          .when(col("in_a").isNotNull, "churned")
+          .otherwise("new").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("user_id")).as("id_checksum"))
+      .orderBy(col("status"))
+  }
+
+  private val q164Sql =
+    s"""WITH a AS (
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE ${secSql("ts")} < TIMESTAMP '2024-01-30 00:00:00'),
+       |b AS (
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE ${secSql("ts")} >= TIMESTAMP '2024-01-30 00:00:00'),
+       |classed AS (
+       |  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       |    CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+       |           THEN 'retained'
+       |         WHEN a.user_id IS NOT NULL THEN 'churned'
+       |         ELSE 'new' END AS status
+       |  FROM a FULL JOIN b ON a.user_id = b.user_id)
+       |SELECT status, count(*) AS n_users,
+       |  CAST(sum(user_id) AS BIGINT) AS id_checksum
+       |FROM classed
+       |GROUP BY status
+       |ORDER BY status""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q162 — exact rank normalization (the quantile-normalize feature
   // transform): per group, each value mapped to its ppm position
   // (rank−1)·10⁶ div (n−1) — PURE integer arithmetic, so the
@@ -1324,7 +1430,9 @@ object Advanced {
     "q159_benford" -> (q159 _),
     "q160_ks_drift" -> (q160 _),
     "q161_interval_coalesce" -> (q161 _),
-    "q162_rank_normalize" -> (q162 _))
+    "q162_rank_normalize" -> (q162 _),
+    "q163_gini" -> (q163 _),
+    "q164_churn" -> (q164 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -1358,5 +1466,7 @@ object Advanced {
     "q159_benford" -> q159Sql,
     "q160_ks_drift" -> q160Sql,
     "q161_interval_coalesce" -> q161Sql,
-    "q162_rank_normalize" -> q162Sql)
+    "q162_rank_normalize" -> q162Sql,
+    "q163_gini" -> q163Sql,
+    "q164_churn" -> q164Sql)
 }
