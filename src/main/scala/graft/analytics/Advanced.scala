@@ -672,6 +672,131 @@ object Advanced {
       |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q165 — pointwise mutual information over the q153 co-occurrence
+  // pairs (the collocation / related-items strength score):
+  // PMI = ln(n·c_ab / (c_a·c_b)). All counts are exact integers from
+  // the same capped projection; the single ln runs once per PAIR
+  // (not per row) and is rounded e4 at the edge — the q17/q68
+  // transcendental discipline. Item marginals broadcast back.
+  // ---------------------------------------------------------------------
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curate
+    val e = ev(s, dir).select(col("user_id"),
+      (abs(round(col("value"))).cast("long") % 50).as("item"))
+    val ui = e.groupBy(col("user_id"), col("item"))
+      .agg(count(lit(1)).as("n"))
+    val capped = Curate.capPerGroup(ui, Seq("user_id"),
+        Seq("n" -> true, "item" -> false), 8)
+      .select(col("user_id"), col("item")).localCheckpoint()
+    val nUsers = capped.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val marg = capped.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val a = capped.select(col("user_id").as("u"), col("item").as("item_a"))
+    val b = capped.select(col("user_id").as("u2"), col("item").as("item_b"))
+    val pairs = a.join(b, col("u") === col("u2") &&
+        col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    pairs
+      .join(broadcast(marg.select(col("item").as("item_a"),
+        col("c").as("c_a"))), Seq("item_a"))
+      .join(broadcast(marg.select(col("item").as("item_b"),
+        col("c").as("c_b"))), Seq("item_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("item_a"), col("item_b"), col("c_ab"), col("c_a"),
+        col("c_b"),
+        round(log(col("n_total").cast("double") *
+          col("c_ab").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double"))) *
+          lit(10000.0)).cast("long").as("pmi_e4"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  private val q165Sql = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    """WITH ui AS (
+      |  SELECT user_id, abs(CAST(round(value) AS BIGINT)) % 50 AS item,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |capped AS (
+      |  SELECT user_id, item FROM (
+      |    SELECT user_id, item,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY n DESC, item) AS rn
+      |    FROM ui) WHERE rn <= 8),
+      |tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total
+      |        FROM capped),
+      |marg AS (SELECT item, count(*) AS c FROM capped GROUP BY item),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS c_ab
+      |  FROM capped a JOIN capped b
+      |    ON a.user_id = b.user_id AND a.item < b.item
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 5)
+      |SELECT item_a, item_b, c_ab, ma.c AS c_a, mb.c AS c_b,
+      |""".stripMargin +
+    s"""  CAST(round(ln(${dd("n_total")} * ${dd("c_ab")}
+       |      / (${dd("ma.c")} * ${dd("mb.c")}))
+       |    * ${dd("10000")}) AS BIGINT) AS pmi_e4
+       |FROM pairs
+       |JOIN marg ma ON ma.item = pairs.item_a
+       |JOIN marg mb ON mb.item = pairs.item_b
+       |CROSS JOIN tot
+       |ORDER BY item_a, item_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q166 — chi-square test of independence (event_type × user
+  // parity): the contingency table is exact integers in ONE
+  // conditional-aggregate pass; expected counts and the chi²
+  // statistic are one IEEE expression per cell over those integers
+  // (multiply/divide only — no transcendentals), summed AFTER
+  // per-cell e6 rounding so the total is order-independent.
+  // ---------------------------------------------------------------------
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_type"),
+      (col("user_id") % 2).as("par"))
+    val cells = e.groupBy(col("event_type"), col("par"))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("obs")).as("rt"))
+    val colT = cells.groupBy(col("par")).agg(sum(col("obs")).as("ct"))
+    val tot = cells.agg(sum(col("obs")).as("n"))
+    def d(c: String) = col(c).cast("double")
+    val expd = d("rt") * d("ct") / d("n")
+    cells
+      .join(broadcast(rowT), Seq("event_type"))
+      .join(broadcast(colT), Seq("par"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("par"), col("obs"),
+        round((d("obs") - expd) * (d("obs") - expd) / expd * lit(1000000.0))
+          .cast("long").as("chi2_cell_e6"))
+      .orderBy(col("event_type"), col("par"))
+  }
+
+  private val q166Sql = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    s"""WITH cells AS (
+       |  SELECT event_type, user_id % 2 AS par, count(*) AS obs
+       |  FROM events GROUP BY 1, 2),
+       |rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt
+       |       FROM cells GROUP BY 1),
+       |ct AS (SELECT par, CAST(sum(obs) AS BIGINT) AS ct
+       |       FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells)
+       |SELECT cells.event_type, cells.par, obs,
+       |  CAST(round((${dd("obs")} - ${dd("rt")} * ${dd("ct")} / ${dd("n")})
+       |    * (${dd("obs")} - ${dd("rt")} * ${dd("ct")} / ${dd("n")})
+       |    / (${dd("rt")} * ${dd("ct")} / ${dd("n")})
+       |    * ${dd("1000000")}) AS BIGINT) AS chi2_cell_e6
+       |FROM cells
+       |JOIN rt ON rt.event_type = cells.event_type
+       |JOIN ct ON ct.par = cells.par
+       |CROSS JOIN tot
+       |ORDER BY cells.event_type, cells.par""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q163 — Gini coefficient per nation (inequality profiling of
   // customer balances): G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
   // ascending-sorted positive balances. Ranks and both sums are
@@ -1432,7 +1557,9 @@ object Advanced {
     "q161_interval_coalesce" -> (q161 _),
     "q162_rank_normalize" -> (q162 _),
     "q163_gini" -> (q163 _),
-    "q164_churn" -> (q164 _))
+    "q164_churn" -> (q164 _),
+    "q165_pmi" -> (q165 _),
+    "q166_chi2" -> (q166 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -1468,5 +1595,7 @@ object Advanced {
     "q161_interval_coalesce" -> q161Sql,
     "q162_rank_normalize" -> q162Sql,
     "q163_gini" -> q163Sql,
-    "q164_churn" -> q164Sql)
+    "q164_churn" -> q164Sql,
+    "q165_pmi" -> q165Sql,
+    "q166_chi2" -> q166Sql)
 }
