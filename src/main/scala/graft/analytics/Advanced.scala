@@ -672,6 +672,113 @@ object Advanced {
       |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q167 — audience-overlap matrix (exact Jaccard between event-type
+  // user sets): per-type user sets pre-aggregated to (type, user)
+  // grain, pair intersection via one self-join on user, union sizes
+  // by inclusion-exclusion — all integers; jaccard_ppm is one integer
+  // division. The every-pair shape is types², bounded by the (tiny)
+  // type vocabulary, never by users.
+  // ---------------------------------------------------------------------
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val tu = ev(s, dir).select(col("event_type"), col("user_id"))
+      .distinct().localCheckpoint()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("sz"))
+    val a = tu.select(col("event_type").as("type_a"),
+      col("user_id").as("u"))
+    val b = tu.select(col("event_type").as("type_b"),
+      col("user_id").as("u2"))
+    val inter = a.join(b, col("u") === col("u2") &&
+        col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("sz").as("sz_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("sz").as("sz_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_inter"),
+        (col("sz_a") + col("sz_b") - col("n_inter")).as("n_union"),
+        expr("n_inter * 1000000 div (sz_a + sz_b - n_inter)")
+          .as("jaccard_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private val q167Sql =
+    """WITH tu AS (
+      |  SELECT DISTINCT event_type, user_id FROM events),
+      |sizes AS (
+      |  SELECT event_type, count(*) AS sz FROM tu GROUP BY 1),
+      |inter AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n_inter
+      |  FROM tu a JOIN tu b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_inter,
+      |  sa.sz + sb.sz - n_inter AS n_union,
+      |  (n_inter * 1000000) // (sa.sz + sb.sz - n_inter) AS jaccard_ppm
+      |FROM inter
+      |JOIN sizes sa ON sa.event_type = type_a
+      |JOIN sizes sb ON sb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q168 — longest consecutive-active-day streak per user
+  // (gaps-and-islands on the day grid): distinct (user, day), a lag
+  // window flags breaks (gap ≠ 1 day), a running flag-sum numbers
+  // streaks, two grouped max/count steps finish. Pure integer date
+  // arithmetic; the windows run over (user, day) pairs, never events.
+  // ---------------------------------------------------------------------
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val ud = ev(s, dir)
+      .select(col("user_id"), to_date(col("ts_s")).as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val streaks = ud
+      .withColumn("brk",
+        when(datediff(col("day"), lag(col("day"), 1).over(w)) === 1, 0L)
+          .otherwise(1L))
+      .withColumn("streak_id", sum(col("brk")).over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("streak_id"))
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q168Sql =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(date_trunc('day', date_trunc('second', ts)) AS DATE) AS day
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, day,
+       |    CASE WHEN datediff('day',
+       |        lag(day) OVER (PARTITION BY user_id ORDER BY day), day) = 1
+       |      THEN 0 ELSE 1 END AS brk
+       |  FROM ud),
+       |streaks AS (
+       |  SELECT user_id,
+       |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS streak_id
+       |  FROM flagged),
+       |lens AS (
+       |  SELECT user_id, streak_id, count(*) AS len
+       |  FROM streaks GROUP BY 1, 2)
+       |SELECT user_id, max(len) AS longest_streak,
+       |  count(*) AS n_streaks,
+       |  CAST(sum(len) AS BIGINT) AS active_days
+       |FROM lens
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q165 — pointwise mutual information over the q153 co-occurrence
   // pairs (the collocation / related-items strength score):
   // PMI = ln(n·c_ab / (c_a·c_b)). All counts are exact integers from
@@ -1559,7 +1666,9 @@ object Advanced {
     "q163_gini" -> (q163 _),
     "q164_churn" -> (q164 _),
     "q165_pmi" -> (q165 _),
-    "q166_chi2" -> (q166 _))
+    "q166_chi2" -> (q166 _),
+    "q167_audience_overlap" -> (q167 _),
+    "q168_streaks" -> (q168 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -1597,5 +1706,7 @@ object Advanced {
     "q163_gini" -> q163Sql,
     "q164_churn" -> q164Sql,
     "q165_pmi" -> q165Sql,
-    "q166_chi2" -> q166Sql)
+    "q166_chi2" -> q166Sql,
+    "q167_audience_overlap" -> q167Sql,
+    "q168_streaks" -> q168Sql)
 }
