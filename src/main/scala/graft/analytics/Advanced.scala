@@ -672,6 +672,72 @@ object Advanced {
       |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q169 — burst detection (peak request rate): for each user, the
+  // maximum number of events inside ANY trailing 1-hour window — a
+  // RANGE frame over integer epoch seconds (every event's frame is
+  // value-bounded, so the window state is the trailing hour, not the
+  // partition), reduced to one peak row per user. Pure integers.
+  // ---------------------------------------------------------------------
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_l"))
+      .rangeBetween(-3599L, 0L)
+    ev(s, dir)
+      .select(col("user_id"), Exact.epochS(col("ts_s")).as("ts_l"))
+      .withColumn("in_hour", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("in_hour")).as("peak_hour_events"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q169Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, ${epochSSql("ts")} AS ts_l FROM events),
+       |counted AS (
+       |  SELECT user_id,
+       |    count(*) OVER (PARTITION BY user_id ORDER BY ts_l
+       |      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS in_hour
+       |  FROM e)
+       |SELECT user_id, max(in_hour) AS peak_hour_events,
+       |  count(*) AS n_events
+       |FROM counted
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q170 — hour-of-day seasonality fingerprint: per event type, the
+  // 24-hour activity profile as exact ppm shares (integer division
+  // against the type total) — the shape used to detect bot traffic
+  // (flat profile) vs organic (diurnal). One aggregate + a broadcast
+  // totals join; all integers.
+  // ---------------------------------------------------------------------
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_type"),
+      hour(col("ts_s")).cast("long").as("hr"))
+    val counts = e.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+    counts.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("hr"), col("n"),
+        expr("n * 1000000 div nt").as("share_ppm"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  private val q170Sql =
+    s"""WITH c AS (
+       |  SELECT event_type,
+       |    CAST(extract(hour FROM ${secSql("ts")}) AS BIGINT) AS hr,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT event_type, CAST(sum(n) AS BIGINT) AS nt
+       |  FROM c GROUP BY 1)
+       |SELECT c.event_type, hr, n, (n * 1000000) // nt AS share_ppm
+       |FROM c JOIN tot ON tot.event_type = c.event_type
+       |ORDER BY c.event_type, hr""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q167 — audience-overlap matrix (exact Jaccard between event-type
   // user sets): per-type user sets pre-aggregated to (type, user)
   // grain, pair intersection via one self-join on user, union sizes
@@ -1668,7 +1734,9 @@ object Advanced {
     "q165_pmi" -> (q165 _),
     "q166_chi2" -> (q166 _),
     "q167_audience_overlap" -> (q167 _),
-    "q168_streaks" -> (q168 _))
+    "q168_streaks" -> (q168 _),
+    "q169_burst_detect" -> (q169 _),
+    "q170_seasonality" -> (q170 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -1708,5 +1776,7 @@ object Advanced {
     "q165_pmi" -> q165Sql,
     "q166_chi2" -> q166Sql,
     "q167_audience_overlap" -> q167Sql,
-    "q168_streaks" -> q168Sql)
+    "q168_streaks" -> q168Sql,
+    "q169_burst_detect" -> q169Sql,
+    "q170_seasonality" -> q170Sql)
 }
