@@ -65,6 +65,18 @@ class GraphSpec extends AnyFunSuite {
       s"rank-table broadcast hint leaked into non-broadcast path:\n$logical\n$plan")
   }
 
+  test("bfsDistances: chain distances, branch minimum, unreachable " +
+       "nodes absent") {
+    // 0→1→2→3 chain, plus shortcut 0→5→3 (still 2 hops... 5 at 1,
+    // 3 at min(3 via chain, 2 via shortcut) = 2), and 9→0 (9 is
+    // UPSTREAM of the source — unreachable from 0)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 5L), (5L, 3L),
+      (9L, 0L)).toDF("src", "dst")
+    val d = graft.operators.Graph.bfsDistances(edges, source = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 5L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("triangleCounts: K4 has 3 per node, squares and stars have " +
        "none, duplicate/reversed/self pairs are tolerated") {
     // K4 on {1,2,3,4} with noisy input (dups, reversals, self-loop),
