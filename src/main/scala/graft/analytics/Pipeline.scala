@@ -541,7 +541,105 @@ object Pipeline {
        |ORDER BY municipality""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q171 — the STREAMING trip derivation in the gate: bike snapshots
+  // (the q142 derivation from events) replayed through the
+  // `flatMapGroupsWithState` fold (`streaming/StatefulTrips.scala`,
+  // the streaming twin of `lambda/trips_lambda.py:94-163`), flushed
+  // by per-bike sentinel rows, drained AvailableNow to parquet. The
+  // oracle mirrors the fold's exact session semantics in SQL: gap >
+  // maxGap splits sessions (gaps-and-islands), a segment is valid iff
+  // gap ∈ [minGap, maxGap] AND the position moved, the trip start
+  // anchors at the FIRST valid segment's predecessor snapshot, the
+  // trip end is the session's LAST snapshot (even if its closing
+  // segment was invalid — the stateful fold advances position on
+  // invalid segments), durations sum integer seconds, distances sum
+  // per-segment e4-rounded integers (the deriveTripsExact
+  // discipline). Every output number is an integer or a pass-through
+  // input double — bit-identical across engines and batch orders.
+  // ---------------------------------------------------------------------
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+    val snaps = e.select(
+      concat(lit("b"), col("user_id")).as("bike_id"),
+      concat(lit("p"), col("user_id") % 3).as("provider_id"),
+      (abs(col("value") * 13.7) % 90).as("lat"),
+      ((col("event_id").cast("double") * 3.3) % 180).as("lon"),
+      col("ts_s").as("ts"))
+    val p = graft.operators.TripParams(minGapSeconds = 60,
+      maxGapSeconds = 86400, minTripMinutes = 1,
+      maxTripMinutes = 1000000000d, minSegments = 2)
+    graft.streaming.StatefulTrips.replayE4FromSnapshots(s, snaps, p)
+      .orderBy("bike_id", "trip_start")
+  }
+
+  private val q171Sql = {
+    val hav = graft.functions.Geo.haversineKmSql(
+      "prev_lat", "prev_lon", "lat", "lon")
+    s"""WITH snaps AS (
+       |  SELECT 'b' || CAST(user_id AS VARCHAR) AS bike_id,
+       |    'p' || CAST(user_id % 3 AS VARCHAR) AS provider_id,
+       |    fmod(abs(value * 13.7), 90) AS lat,
+       |    fmod(CAST(event_id AS DOUBLE) * 3.3, 180) AS lon,
+       |    ${Exact.secSql("ts")} AS ts
+       |  FROM events),
+       |moves AS (
+       |  SELECT bike_id, provider_id, lat, lon, ts,
+       |    lag(ts) OVER w AS prev_ts,
+       |    lag(lat) OVER w AS prev_lat,
+       |    lag(lon) OVER w AS prev_lon
+       |  FROM snaps
+       |  WINDOW w AS (PARTITION BY bike_id ORDER BY ts, lat, lon)),
+       |sess AS (
+       |  SELECT *,
+       |    CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT)
+       |      AS gap_s,
+       |    SUM(CASE WHEN prev_ts IS NULL
+       |          OR CAST(epoch(ts) AS BIGINT)
+       |             - CAST(epoch(prev_ts) AS BIGINT) > 86400
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY bike_id ORDER BY ts, lat, lon
+       |            ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM moves),
+       |segs AS (
+       |  SELECT *, CAST(round(($hav) * 10000) AS BIGINT) AS dist_e4
+       |  FROM sess
+       |  WHERE gap_s BETWEEN 60 AND 86400
+       |    AND (prev_lat != lat OR prev_lon != lon)),
+       |firstseg AS (
+       |  SELECT bike_id, session_id, prev_ts AS a_ts,
+       |    prev_lat AS a_lat, prev_lon AS a_lon
+       |  FROM segs
+       |  QUALIFY row_number() OVER (PARTITION BY bike_id, session_id
+       |    ORDER BY ts, lat, lon) = 1),
+       |lastsnap AS (
+       |  SELECT bike_id, session_id, ts AS z_ts, lat AS z_lat,
+       |    lon AS z_lon
+       |  FROM sess
+       |  QUALIFY row_number() OVER (PARTITION BY bike_id, session_id
+       |    ORDER BY ts DESC, lat DESC, lon DESC) = 1),
+       |trips AS (
+       |  SELECT bike_id, session_id, min(provider_id) AS provider_id,
+       |    CAST(sum(gap_s) AS BIGINT) AS duration_s,
+       |    CAST(sum(dist_e4) AS BIGINT) AS distance_e4,
+       |    count(*) AS segment_count
+       |  FROM segs
+       |  GROUP BY bike_id, session_id
+       |  HAVING CAST(sum(gap_s) AS BIGINT) BETWEEN 60 AND 60000000000
+       |    AND CAST(sum(dist_e4) AS BIGINT) > 0 AND count(*) >= 2)
+       |SELECT t.bike_id, t.provider_id,
+       |  f.a_ts AS trip_start, l.z_ts AS trip_end,
+       |  f.a_lat AS start_lat, f.a_lon AS start_lon,
+       |  l.z_lat AS end_lat, l.z_lon AS end_lon,
+       |  t.duration_s, t.distance_e4, t.segment_count
+       |FROM trips t
+       |JOIN firstseg f USING (bike_id, session_id)
+       |JOIN lastsnap l USING (bike_id, session_id)
+       |ORDER BY t.bike_id, trip_start""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_streaming_trips" -> (q171 _),
     "q142_mobility_pipeline" -> (q142 _),
     "q111_cdc_apply" -> (q111 _),
     "q31_merge_upsert" -> (q31 _),
@@ -554,6 +652,7 @@ object Pipeline {
     "q132_bmp_decode" -> (q132 _))
 
   val oracle: Map[String, String] = Map(
+    "q171_streaming_trips" -> q171Sql,
     "q142_mobility_pipeline" -> q142Sql,
     "q111_cdc_apply" -> q111Sql,
     "q31_merge_upsert" -> q31Sql,
