@@ -499,16 +499,22 @@ object Lakehouse {
   // grouped generalization of q59's global deciles: per-class feature
   // normalization where every class gets comparable bin populations
   // regardless of its scale. The corpus never sorts and never
-  // window-shuffles — one stats aggregate, one broadcast join, one
-  // binned aggregate.
+  // window-shuffles — and the quartiles come from
+  // Validate.groupedPercentilesExact (approx bracket + exact boundary
+  // pass), so no group ever buffers its full column: a sketch
+  // aggregate, a ~8n/accuracy boundary aggregate, one broadcast join,
+  // one binned aggregate.
   // ---------------------------------------------------------------------
   private def q127(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.eventsSec(s, dir).select(col("event_type"),
       round(col("value") * 10000).cast("long").as("v"))
-    val bounds = e.groupBy(col("event_type"))
-      .agg(round(expr("percentile(v, 0.25)"), 4).as("b1"),
-        round(expr("percentile(v, 0.5)"), 4).as("b2"),
-        round(expr("percentile(v, 0.75)"), 4).as("b3"))
+    // exact quartiles WITHOUT per-group full-column buffers: the q113
+    // approx-bracket + exact-boundary-pass machinery, grouped
+    val bounds = graft.operators.Validate.groupedPercentilesExact(
+        e, col("event_type"), "event_type", col("v"),
+        Seq(0.25, 0.5, 0.75), Seq("r1", "r2", "r3"))
+      .select(col("event_type"), round(col("r1"), 4).as("b1"),
+        round(col("r2"), 4).as("b2"), round(col("r3"), 4).as("b3"))
     e.join(broadcast(bounds), "event_type")
       .withColumn("bin",
         when(col("v") <= col("b1"), 0)

@@ -203,6 +203,74 @@ object Validate {
       .drop("__v", "__lo", "__hi")
   }
 
+  /** Exact per-GROUP interpolated percentiles WITHOUT a per-group
+    * full-column buffer — the grouped generalization of
+    * [[winsorize]]'s approx-bracket + exact-boundary-pass machinery
+    * (same three steps, same coverage guarantee, same loud ANSI
+    * `element_at` failure mode), for per-class feature normalization
+    * where a plain `percentile(v, p)` would buffer every group's
+    * whole column in its aggregation buffer.
+    *
+    * Differences from the global form, forced by per-group sizes:
+    *  - probe margins use the SMALLEST group's n (one scalar
+    *    pre-aggregate), so every group's bracket coverage holds:
+    *    m·n_g = 3n_g/accuracy + 4n_g/n_min ≥ n_g/accuracy + 4;
+    *    larger groups just get slightly wider (still ~8n_g/accuracy)
+    *    windows;
+    *  - the fractional position h = (n_g−1)·p is a per-group COLUMN,
+    *    interpolated with Spark's own `percentile` formula in the
+    *    identical IEEE expression, so results are bit-equal to the
+    *    single-buffer exact aggregate (GroupedPercentileSpec proves
+    *    it per group).
+    *
+    * Returns one row per group: (groupName, outNames...), each output
+    * the exact `percentile(value, p)` as a double. */
+  def groupedPercentilesExact(df: DataFrame, group: Column,
+                              groupName: String, value: Column,
+                              ps: Seq[Double], outNames: Seq[String],
+                              accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.length == outNames.length,
+      "one output name per probe percentile")
+    val tagged = df.select(group.as(groupName), value.as("__v"))
+    val nMinRow = tagged.groupBy(groupName).count()
+      .agg(min("count")).head()
+    if (nMinRow.isNullAt(0)) // empty input: no groups, empty result
+      return tagged.groupBy(groupName)
+        .agg(count(lit(1)).as("__n"))
+        .select(col(groupName) +: outNames.map(lit(0.0).as(_)): _*)
+    val nMin = nMinRow.getLong(0)
+    val m = 3.0 / accuracy + 4.0 / nMin
+    def clamp(p: Double) = math.min(1.0, math.max(0.0, p))
+    val probes = ps.flatMap(p => Seq(clamp(p - m), clamp(p + m)))
+    val sketch = tagged.groupBy(groupName)
+      .agg(percentile_approx(col("__v"),
+        array(probes.map(lit): _*), lit(accuracy)).as("__pa"))
+    val aggs = ps.indices.flatMap { i =>
+      Seq(
+        sum(when(col("__v") < col("__pa")(2 * i), 1L).otherwise(0L))
+          .as(s"__cnt_$i"),
+        sort_array(collect_list(when(col("__v")
+            .between(col("__pa")(2 * i), col("__pa")(2 * i + 1)),
+          col("__v")))).as(s"__win_$i"))
+    } :+ count(lit(1)).as("__n")
+    val cand = tagged.join(broadcast(sketch), groupName)
+      .groupBy(groupName).agg(aggs.head, aggs.tail: _*)
+    val outs = ps.zipWithIndex.map { case (p, i) =>
+      val h = (col("__n") - 1).cast("double") * lit(p)
+      val kLo = floor(h).cast("long")
+      val frac = h - kLo.cast("double")
+      val sLo = element_at(col(s"__win_$i"),
+        (kLo + 1 - col(s"__cnt_$i")).cast("int")).cast("double")
+      // CaseWhen evaluates branches lazily, so the (k+2)-th index is
+      // only read when interpolation actually needs it
+      val sHi = element_at(col(s"__win_$i"),
+        (kLo + 2 - col(s"__cnt_$i")).cast("int")).cast("double")
+      when(frac === 0.0, sLo)
+        .otherwise(sLo + frac * (sHi - sLo)).as(outNames(i))
+    }
+    cand.select(col(groupName) +: outs: _*)
+  }
+
   /** Referential-integrity audit: orphan child keys under a parent
     * relation (the FK check a warehouse load runs after every batch —
     * late-arriving dimensions make nonzero counts routine). One

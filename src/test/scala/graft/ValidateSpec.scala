@@ -114,4 +114,49 @@ class ValidateSpec extends AnyFunSuite {
     assert(d1._2 != b1._2 && d1._4 != b1._4,
       "count and modular sum must catch the duplicated pair")
   }
+
+  test("groupedPercentilesExact is bit-equal to the single-buffer " +
+       "exact percentile, per group, including awkward sizes") {
+    import org.apache.spark.sql.functions.expr
+    // group sizes chosen for the edge positions: n=1 (h=0), n=4
+    // (h=0.75 fractional), n=5 (h integral at p=0.25/0.5/0.75 —
+    // frac==0 path), plus a bigger group with duplicates
+    val rows =
+      Seq(("a", 42L)) ++
+      (1 to 4).map(i => ("b", i * 10L)) ++
+      (1 to 5).map(i => ("c", 100L - i)) ++
+      (1 to 97).map(i => ("d", (i * 37 % 50).toLong))
+    val df = rows.toDF("g", "v")
+    val got = Validate.groupedPercentilesExact(df, col("g"), "g",
+        col("v"), Seq(0.25, 0.5, 0.75), Seq("p25", "p50", "p75"),
+        accuracy = 100)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val want = df.groupBy("g")
+      .agg(expr("percentile(v, 0.25)").as("p25"),
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.75)").as("p75"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq == want.toSeq) // bit-equal doubles, == is exact
+  }
+
+  test("groupedPercentilesExact windows stay ~8n/accuracy, not n") {
+    // 10k rows, one group, accuracy 1000: each boundary window's
+    // collect_list must hold far fewer rows than the column
+    val df = (1 to 10000).map(i => ("g", (i * 7919 % 10007).toLong))
+      .toDF("g", "v")
+    val r = Validate.groupedPercentilesExact(df, col("g"), "g",
+      col("v"), Seq(0.5), Seq("p50"), accuracy = 1000)
+    val exact = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("p"))
+      .head.getDouble(1)
+    assert(r.head.getDouble(1) == exact)
+    // the plan must contain no exact-percentile aggregate over the
+    // full column (the OOM shape this operator exists to avoid)
+    val plan = r.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile("),
+      s"full-column exact percentile found in plan:\n$plan")
+  }
 }
