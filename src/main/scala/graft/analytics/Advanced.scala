@@ -738,6 +738,75 @@ object Advanced {
        |ORDER BY c.event_type, hr""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q172 — robust outlier detection (median/MAD): the outlier screen
+  // that, unlike q126's mean/σ, is immune to the outliers it hunts.
+  // Per event type: med = median(v), MAD = median(|v − med|), flag
+  // |v − med| > 3·1.4826·MAD (the normal-consistent 3σ equivalent).
+  // Exactness: for p=0.5 over integers the interpolation is
+  // a + 0.5·(b−a) — exact in doubles whichever way an engine
+  // associates it — so 2·median is an integer; |4v − 2·med2| keeps
+  // deviations integer, 2·median(dev4) = 8·MAD is an integer, and the
+  // threshold compares as 20000·dev4 > 44478·mad8 — pure integers
+  // end-to-end, no float boundary anywhere. Both medians come from
+  // Validate.groupedPercentilesExact (approx bracket + exact boundary
+  // pass), so no group ever buffers its full column — the q113/q127
+  // scale posture.
+  // ---------------------------------------------------------------------
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate
+    val e = ev(s, dir).select(col("event_type"),
+      round(col("value") * 10000).cast("long").as("v"))
+    val med = Validate.groupedPercentilesExact(e, col("event_type"),
+        "event_type", col("v"), Seq(0.5), Seq("m"))
+      .select(col("event_type"),
+        round(col("m") * 2).cast("long").as("med2"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev4", abs(lit(4) * col("v") - lit(2) * col("med2")))
+    val mad = Validate.groupedPercentilesExact(dev, col("event_type"),
+        "event_type", col("dev4"), Seq(0.5), Seq("md"))
+      .select(col("event_type"),
+        round(col("md") * 2).cast("long").as("mad8"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("is_out",
+        lit(20000L) * col("dev4") > lit(44478L) * col("mad8"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med2")).as("med2"), min(col("mad8")).as("mad8"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        coalesce(sum(when(col("is_out"), col("v"))), lit(0L))
+          .as("outlier_v_sum"),
+        max(col("dev4")).as("max_dev4"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q172Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type,
+      |    CAST(round(quantile_cont(v, 0.5) * 2) AS BIGINT) AS med2
+      |  FROM e GROUP BY 1),
+      |d AS (
+      |  SELECT e.event_type, e.v, abs(4 * e.v - 2 * m.med2) AS dev4,
+      |    m.med2
+      |  FROM e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type,
+      |    CAST(round(quantile_cont(dev4, 0.5) * 2) AS BIGINT) AS mad8
+      |  FROM d GROUP BY 1)
+      |SELECT d.event_type, count(*) AS n,
+      |  min(d.med2) AS med2, min(mad.mad8) AS mad8,
+      |  CAST(sum(CASE WHEN 20000 * d.dev4 > 44478 * mad.mad8
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(coalesce(sum(CASE WHEN 20000 * d.dev4 > 44478 * mad.mad8
+      |    THEN d.v END), 0) AS BIGINT) AS outlier_v_sum,
+      |  max(d.dev4) AS max_dev4
+      |FROM d JOIN mad USING (event_type)
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q167 — audience-overlap matrix (exact Jaccard between event-type
   // user sets): per-type user sets pre-aggregated to (type, user)
   // grain, pair intersection via one self-join on user, union sizes
@@ -1736,7 +1805,8 @@ object Advanced {
     "q167_audience_overlap" -> (q167 _),
     "q168_streaks" -> (q168 _),
     "q169_burst_detect" -> (q169 _),
-    "q170_seasonality" -> (q170 _))
+    "q170_seasonality" -> (q170 _),
+    "q172_mad_outliers" -> (q172 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -1778,5 +1848,6 @@ object Advanced {
     "q167_audience_overlap" -> q167Sql,
     "q168_streaks" -> q168Sql,
     "q169_burst_detect" -> q169Sql,
-    "q170_seasonality" -> q170Sql)
+    "q170_seasonality" -> q170Sql,
+    "q172_mad_outliers" -> q172Sql)
 }

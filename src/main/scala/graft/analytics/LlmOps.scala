@@ -592,6 +592,16 @@ object LlmOps {
     val scored = docs(s, dir)
       .select(col("doc_id"), col("n_chars"),
         Text.qualityScore(col("text")).as("quality"))
+    // localCheckpoint pins ONE materialization of the range exchange:
+    // the size pass and the rank pass below both branch off `base`,
+    // and if Catalyst fails to reuse the exchange (observed at the
+    // ×10 scale smoke once the range sampler goes lossy), each branch
+    // re-runs RangePartitioner with a different RDD-id-derived seed —
+    // different pid boundaries per branch, offsets joined against the
+    // wrong sizes, ranks no longer a permutation. Checkpointing the
+    // narrow projection makes pid/local_idx literal data instead of a
+    // recomputable lineage, which is the only way the two-branch
+    // global-rank trick is sound.
     val base = scored
       .repartitionByRange(32, col("quality"), col("doc_id"))
       .sortWithinPartitions(col("quality"), col("doc_id"))
@@ -599,6 +609,7 @@ object LlmOps {
         spark_partition_id().as("pid"),
         monotonically_increasing_id()
           .bitwiseAND(lit((1L << 33) - 1)).as("local_idx"))
+      .localCheckpoint()
     val sizes = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
     // Cumulative offsets over ~32 rows via a broadcast self-join
     // (deliberately no Window: keeps the whole plan Window-free).

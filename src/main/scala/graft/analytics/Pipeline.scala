@@ -581,15 +581,16 @@ object Pipeline {
        |    'p' || CAST(user_id % 3 AS VARCHAR) AS provider_id,
        |    fmod(abs(value * 13.7), 90) AS lat,
        |    fmod(CAST(event_id AS DOUBLE) * 3.3, 180) AS lon,
-       |    ${Exact.secSql("ts")} AS ts
+       |    ${Exact.secSql("ts")} AS ts, event_id AS snap_id
        |  FROM events),
        |moves AS (
-       |  SELECT bike_id, provider_id, lat, lon, ts,
+       |  SELECT bike_id, provider_id, lat, lon, ts, snap_id,
        |    lag(ts) OVER w AS prev_ts,
        |    lag(lat) OVER w AS prev_lat,
        |    lag(lon) OVER w AS prev_lon
        |  FROM snaps
-       |  WINDOW w AS (PARTITION BY bike_id ORDER BY ts, lat, lon)),
+       |  WINDOW w AS (PARTITION BY bike_id
+       |                ORDER BY ts, lat, lon, snap_id)),
        |sess AS (
        |  SELECT *,
        |    CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT)
@@ -598,7 +599,7 @@ object Pipeline {
        |          OR CAST(epoch(ts) AS BIGINT)
        |             - CAST(epoch(prev_ts) AS BIGINT) > 86400
        |        THEN 1 ELSE 0 END)
-       |      OVER (PARTITION BY bike_id ORDER BY ts, lat, lon
+       |      OVER (PARTITION BY bike_id ORDER BY ts, lat, lon, snap_id
        |            ROWS UNBOUNDED PRECEDING) AS session_id
        |  FROM moves),
        |segs AS (
@@ -611,13 +612,13 @@ object Pipeline {
        |    prev_lat AS a_lat, prev_lon AS a_lon
        |  FROM segs
        |  QUALIFY row_number() OVER (PARTITION BY bike_id, session_id
-       |    ORDER BY ts, lat, lon) = 1),
+       |    ORDER BY ts, lat, lon, snap_id) = 1),
        |lastsnap AS (
        |  SELECT bike_id, session_id, ts AS z_ts, lat AS z_lat,
        |    lon AS z_lon
        |  FROM sess
        |  QUALIFY row_number() OVER (PARTITION BY bike_id, session_id
-       |    ORDER BY ts DESC, lat DESC, lon DESC) = 1),
+       |    ORDER BY ts DESC, lat DESC, lon DESC, snap_id DESC) = 1),
        |trips AS (
        |  SELECT bike_id, session_id, min(provider_id) AS provider_id,
        |    CAST(sum(gap_s) AS BIGINT) AS duration_s,

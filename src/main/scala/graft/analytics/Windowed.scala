@@ -272,19 +272,27 @@ object Windowed {
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  // Window ORDER BYs carry the event_id tiebreak: session semantics
+  // are tie-invariant (duplicate ts ⇒ gap 0), but DuckDB's PARALLEL
+  // window execution can split an ORDER-BY tie group across threads,
+  // making lag()/running sums nondeterministic — observed at the ×10
+  // scale smoke where every ts is duplicated. A unique total order
+  // removes the hazard; with unique ts it changes nothing.
   private val q53Sql =
     """WITH e AS (
-      |  SELECT user_id, date_trunc('second', ts) AS ts_s FROM events),
+      |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id
+      |  FROM events),
       |flagged AS (
       |  SELECT user_id, ts_s,
       |    CASE WHEN lag(ts_s) OVER w IS NULL
       |      OR CAST(epoch(ts_s) AS BIGINT)
       |         - CAST(epoch(lag(ts_s) OVER w) AS BIGINT) > 1800
-      |    THEN 1 ELSE 0 END AS new_s
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+      |    THEN 1 ELSE 0 END AS new_s, event_id
+      |  FROM e WINDOW w AS (PARTITION BY user_id
+      |                      ORDER BY ts_s, event_id)),
       |s AS (
       |  SELECT user_id, ts_s,
-      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
       |      ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM flagged)
       |SELECT user_id, min(ts_s) AS session_start,
