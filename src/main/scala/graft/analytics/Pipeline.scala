@@ -639,7 +639,76 @@ object Pipeline {
        |ORDER BY t.bike_id, trip_start""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q173 — point-in-time feature assembly (the feature-store join):
+  // for every label event (purchase), attach each feature table's
+  // LATEST observation at-or-before the label timestamp — the
+  // leakage-free training-set construction every supervised pipeline
+  // needs. Two chained AsOfJoin.lastBefore passes (one shuffle each,
+  // no range explosion); feature tables are pre-aggregated to one row
+  // per (user, second) so the at-tie payload is unambiguous on any
+  // engine. Ages and values emit as integers; absent features as -1
+  // sentinels (keeps every output column BIGINT-typed).
+  // ---------------------------------------------------------------------
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val e = Tables.eventsSec(s, dir)
+    val labels = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("label_id"), col("user_id"),
+        col("ts_s").as("label_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_s").as("click_ts"))
+      .agg(round(max(col("value")) * 10000).cast("long").as("click_v_e4"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_s").as("err_ts")).distinct()
+    val f1 = AsOfJoin.lastBefore(labels, clicks, Seq("user_id"),
+      "label_ts", "click_ts", Seq("click_ts", "click_v_e4"))
+    val f2 = AsOfJoin.lastBefore(f1, errors, Seq("user_id"),
+      "label_ts", "err_ts", Seq("err_ts"))
+    f2.select(col("label_id"), col("user_id"),
+        Exact.epochS(col("label_ts")).as("ts_l"),
+        coalesce(col("label_ts").cast("long")
+          - col("click_ts").cast("long"), lit(-1L)).as("click_age_s"),
+        coalesce(col("click_v_e4"), lit(-1L)).as("click_v_e4"),
+        coalesce(col("label_ts").cast("long")
+          - col("err_ts").cast("long"), lit(-1L)).as("err_age_s"))
+      .orderBy(col("label_id"))
+  }
+
+  private val q173Sql =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, ${Exact.secSql("ts")} AS ts_s,
+       |    event_type, value
+       |  FROM events),
+       |labels AS (
+       |  SELECT event_id AS label_id, user_id, ts_s AS label_ts
+       |  FROM e WHERE event_type = 'purchase'),
+       |clicks AS (
+       |  SELECT user_id, ts_s AS click_ts,
+       |    CAST(round(max(value) * 10000) AS BIGINT) AS click_v_e4
+       |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+       |errors AS (
+       |  SELECT DISTINCT user_id, ts_s AS err_ts
+       |  FROM e WHERE event_type = 'error')
+       |SELECT l.label_id, l.user_id,
+       |  CAST(epoch(l.label_ts) AS BIGINT) AS ts_l,
+       |  coalesce(CAST(epoch(l.label_ts) AS BIGINT) -
+       |    (SELECT CAST(epoch(c.click_ts) AS BIGINT) FROM clicks c
+       |     WHERE c.user_id = l.user_id AND c.click_ts <= l.label_ts
+       |     ORDER BY c.click_ts DESC LIMIT 1), -1) AS click_age_s,
+       |  coalesce(
+       |    (SELECT c.click_v_e4 FROM clicks c
+       |     WHERE c.user_id = l.user_id AND c.click_ts <= l.label_ts
+       |     ORDER BY c.click_ts DESC LIMIT 1), -1) AS click_v_e4,
+       |  coalesce(CAST(epoch(l.label_ts) AS BIGINT) -
+       |    (SELECT CAST(epoch(er.err_ts) AS BIGINT) FROM errors er
+       |     WHERE er.user_id = l.user_id AND er.err_ts <= l.label_ts
+       |     ORDER BY er.err_ts DESC LIMIT 1), -1) AS err_age_s
+       |FROM labels l
+       |ORDER BY l.label_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_pit_features" -> (q173 _),
     "q171_streaming_trips" -> (q171 _),
     "q142_mobility_pipeline" -> (q142 _),
     "q111_cdc_apply" -> (q111 _),
@@ -653,6 +722,7 @@ object Pipeline {
     "q132_bmp_decode" -> (q132 _))
 
   val oracle: Map[String, String] = Map(
+    "q173_pit_features" -> q173Sql,
     "q171_streaming_trips" -> q171Sql,
     "q142_mobility_pipeline" -> q142Sql,
     "q111_cdc_apply" -> q111Sql,

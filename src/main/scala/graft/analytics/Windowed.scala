@@ -345,6 +345,48 @@ object Windowed {
       .orderBy(col("user_id"), col("session_start"))
 
   // ---------------------------------------------------------------------
+  // q174 — PER-KEY DYNAMIC-GAP sessions in the gate: each user
+  // sessionizes under their own inactivity threshold
+  // (1800 + (user % 3)·900 s — the per-tier policy shape). This is
+  // exactly the session logic `session_window` CANNOT express (q103's
+  // scaladoc claim, now gate-checked): the gap is a function of the
+  // KEY, so only the custom flatMapGroupsWithState fold can run it.
+  // Oracle: the q53 gaps-and-islands SQL with the same per-user gap
+  // expression (and the q53 unique-tiebreak discipline).
+  // ---------------------------------------------------------------------
+  private def q174(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.dynamicSessionReplayFromParquet(
+        s, s"$dir/events.parquet", u => 1800L + (u % 3) * 900L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val q174Sql =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id,
+      |    1800 + (user_id % 3) * 900 AS gap
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_s, gap,
+      |    CASE WHEN lag(ts_s) OVER w IS NULL
+      |      OR CAST(epoch(ts_s) AS BIGINT)
+      |         - CAST(epoch(lag(ts_s) OVER w) AS BIGINT) > gap
+      |    THEN 1 ELSE 0 END AS new_s, event_id
+      |  FROM e WINDOW w AS (PARTITION BY user_id
+      |                      ORDER BY ts_s, event_id)),
+      |s AS (
+      |  SELECT user_id, ts_s, gap,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts_s) AS session_start,
+      |  max(ts_s) + to_seconds(CAST(min(gap) AS BIGINT)) AS session_end,
+      |  count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q112 — the higher-order-function surface over nested arrays:
   // per-user event values collected into a sorted e4 array, then
   // reduced entirely with array lambdas — aggregate (fold), filter,
@@ -831,6 +873,7 @@ object Windowed {
     "q99_stream_dedup" -> (q99 _),
     "q102_transitions" -> (q102 _),
     "q103_stateful_sessions" -> (q103 _),
+    "q174_dynamic_sessions" -> (q174 _),
     "q106_interval_overlap" -> (q106 _),
     "q110_upsert_stream" -> (q110 _),
     "q112_array_hof" -> (q112 _),
@@ -854,6 +897,7 @@ object Windowed {
     "q99_stream_dedup" -> q99Sql,
     "q102_transitions" -> q102Sql,
     "q103_stateful_sessions" -> q53Sql, // must equal the built-in's oracle
+    "q174_dynamic_sessions" -> q174Sql,
     "q106_interval_overlap" -> q106Sql,
     "q110_upsert_stream" -> q110Sql,
     "q112_array_hof" -> q112Sql,

@@ -334,6 +334,71 @@ object Streaming {
       statefulSessions(eSec, gapSec).toDF())
       .filter(col("user_id") =!= -1L)
 
+  /** [[statefulSessions]] with a PER-KEY dynamic gap — the session
+    * logic `session_window` cannot express (its gap is one expression
+    * of the current row, not of the key): each user sessionizes under
+    * their own inactivity threshold (per-tier policies, bot vs human
+    * cadence). Identical fold and timer structure; only the gap is
+    * `gapOf(key)`. State stays O(1) per active key. */
+  def statefulSessionsDynamic(eSec: DataFrame, gapOf: Long => Long)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.{Dataset, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val pairEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.TIMESTAMP)
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    val typed: Dataset[(Long, java.sql.Timestamp)] = eSec
+      .withWatermark("ts_s", "0 seconds")
+      .select(col("user_id").cast("long"), col("ts_s"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          val gapSec = gapOf(user)
+          def close(s: SessionState) = SessionOut(user,
+            new java.sql.Timestamp(s.start * 1000),
+            new java.sql.Timestamp((s.last + gapSec) * 1000), s.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close)
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.map(_._2.getTime / 1000).toSeq.sorted
+            var st = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { ts =>
+              st match {
+                case None => st = Some(SessionState(ts, ts, 1L))
+                case Some(s) if ts - s.last > gapSec =>
+                  out += close(s)
+                  st = Some(SessionState(ts, ts, 1L))
+                case Some(s) =>
+                  st = Some(s.copy(last = math.max(s.last, ts), n = s.n + 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapSec) * 1000 + 1)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Bounded replay through [[statefulSessionsDynamic]] — the
+    * [[statefulSessionReplayFromParquet]] harness with a per-key
+    * gap. */
+  def dynamicSessionReplayFromParquet(spark: SparkSession,
+                                      srcParquet: String,
+                                      gapOf: Long => Long): DataFrame =
+    sentinelReplay(spark, srcParquet)(eSec =>
+      statefulSessionsDynamic(eSec, gapOf).toDF())
+      .filter(col("user_id") =!= -1L)
+
   /** Run `body` (which starts and drains a stateful streaming query)
     * with a reduced shuffle-partition count: each state partition is
     * a state store with per-micro-batch checkpoint files, so a
