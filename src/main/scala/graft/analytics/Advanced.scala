@@ -807,6 +807,129 @@ object Advanced {
       |ORDER BY d.event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q175 — product quantization (the PQ of IVF-PQ): every 64-dim
+  // embedding compressed to four 4-bit codes against a 16-entry
+  // codebook (here: the corpus' first 16 vectors — a valid PQ
+  // codebook init; training it is q51/q74/q78's k-means machinery).
+  // Nearest-centroid per 16-dim subspace under squared L2; distances
+  // are identical left folds of per-dimension double squares on both
+  // engines (the q123 pinned-order discipline), so even the argmin
+  // TIE behavior matches (lowest code id). Reconstruction error
+  // rounds per subspace to e6 before the sum. The corpus never
+  // shuffles — one broadcast codebook row, all per-row lambdas.
+  // ---------------------------------------------------------------------
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = t(s, dir, "embeddings")
+    val cb = e.filter(col("vec_id") < 16)
+    Similarity.pqEncode(e, "embedding", 64, 4, cb, "vec_id", "embedding")
+      .groupBy(col("pq_code"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("err_e6")).as("err_e6_total"),
+        min(col("vec_id")).as("min_vec_id"),
+        sum(col("vec_id")).as("id_checksum"))
+      .orderBy(col("pq_code"))
+  }
+
+  private val q175Sql = {
+    val sq = "(ve[j*16+i]::DOUBLE - ce[j*16+i]::DOUBLE) * " +
+      "(ve[j*16+i]::DOUBLE - ce[j*16+i]::DOUBLE)"
+    s"""WITH cb AS (
+       |  SELECT vec_id AS c, embedding AS ce FROM embeddings
+       |  WHERE vec_id < 16),
+       |v AS (SELECT vec_id, embedding AS ve FROM embeddings),
+       |dists AS (
+       |  SELECT v.vec_id, cb.c, js.j,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(1, 17), i -> $sq)),
+       |      (a, x) -> a + x) AS d
+       |  FROM v CROSS JOIN cb
+       |  CROSS JOIN (SELECT unnest(range(4)) AS j) js),
+       |best AS (
+       |  SELECT vec_id, j, c, CAST(round(d * 1000000) AS BIGINT) AS e6
+       |  FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+       |    ORDER BY d, c) = 1),
+       |coded AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE j WHEN 0 THEN c * 4096 WHEN 1 THEN c * 256
+       |      WHEN 2 THEN c * 16 ELSE c END) AS BIGINT) AS pq_code,
+       |    CAST(sum(e6) AS BIGINT) AS err_e6
+       |  FROM best GROUP BY vec_id)
+       |SELECT pq_code, count(*) AS n_vectors,
+       |  CAST(sum(err_e6) AS BIGINT) AS err_e6_total,
+       |  min(vec_id) AS min_vec_id,
+       |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
+       |FROM coded
+       |GROUP BY pq_code
+       |ORDER BY pq_code""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q176 — exact ROC-AUC per cohort (the model-eval metric at corpus
+  // scale): score = e4 value, positive = 'purchase', negatives =
+  // 'view', cohort = user_id % 10. Mann-Whitney formulation with
+  // tie-averaged ranks kept INTEGER throughout: per distinct score,
+  // twice the positives' average-rank sum is
+  // cp · (2·C_before + c + 1); AUC_ppm = (ΣR₂ − np(np+1)) · 10⁶ div
+  // (2·np·nn). The corpus aggregates to the (cohort, score) grain
+  // map-side FIRST; the rank window runs over that (vastly smaller)
+  // table — the q152 shape, never a corpus-wide sort. Fits BIGINT to
+  // ~10⁹ rows per cohort; beyond that the sums go DECIMAL(38).
+  // ---------------------------------------------------------------------
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select((col("user_id") % 10).as("cohort"),
+        round(col("value") * 10000).cast("long").as("score"),
+        (col("event_type") === "purchase").cast("long").as("pos"))
+    val byScore = e.groupBy(col("cohort"), col("score"))
+      .agg(sum(col("pos")).as("cp"), count(lit(1)).as("ct"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort")).orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("c_before", coalesce(sum(col("ct")).over(w), lit(0L)))
+      .withColumn("r2", col("cp") * (lit(2L) * col("c_before")
+        + col("ct") + lit(1L)))
+      .groupBy(col("cohort"))
+      .agg(sum(col("cp")).as("np"),
+        (sum(col("ct")) - sum(col("cp"))).as("nn"),
+        sum(col("r2")).as("r2sum"))
+      .select(col("cohort"), col("np"), col("nn"),
+        expr("(r2sum - np * (np + 1)) * 1000000 div (2 * np * nn)")
+          .as("auc_ppm"))
+      .orderBy(col("cohort"))
+  }
+
+  private val q176Sql =
+    """WITH e AS (
+      |  SELECT user_id % 10 AS cohort,
+      |    CAST(round(value * 10000) AS BIGINT) AS score,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |by_score AS (
+      |  SELECT cohort, score, CAST(sum(pos) AS BIGINT) AS cp,
+      |    count(*) AS ct
+      |  FROM e GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT cohort, cp, ct,
+      |    CAST(coalesce(sum(ct) OVER (PARTITION BY cohort ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS c_before
+      |  FROM by_score),
+      |agg AS (
+      |  SELECT cohort, CAST(sum(cp) AS BIGINT) AS np,
+      |    CAST(sum(ct) - sum(cp) AS BIGINT) AS nn,
+      |    CAST(sum(cp * (2 * c_before + ct + 1)) AS BIGINT) AS r2sum
+      |  FROM ranked GROUP BY cohort)
+      |SELECT cohort, np, nn,
+      |  (r2sum - np * (np + 1)) * 1000000 // (2 * np * nn) AS auc_ppm
+      |FROM agg
+      |ORDER BY cohort""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q167 — audience-overlap matrix (exact Jaccard between event-type
   // user sets): per-type user sets pre-aggregated to (type, user)
   // grain, pair intersection via one self-join on user, union sizes
@@ -1806,7 +1929,9 @@ object Advanced {
     "q168_streaks" -> (q168 _),
     "q169_burst_detect" -> (q169 _),
     "q170_seasonality" -> (q170 _),
-    "q172_mad_outliers" -> (q172 _))
+    "q172_mad_outliers" -> (q172 _),
+    "q175_pq_encode" -> (q175 _),
+    "q176_roc_auc" -> (q176 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -1849,5 +1974,7 @@ object Advanced {
     "q168_streaks" -> q168Sql,
     "q169_burst_detect" -> q169Sql,
     "q170_seasonality" -> q170Sql,
-    "q172_mad_outliers" -> q172Sql)
+    "q172_mad_outliers" -> q172Sql,
+    "q175_pq_encode" -> q175Sql,
+    "q176_roc_auc" -> q176Sql)
 }

@@ -169,4 +169,64 @@ object Similarity {
         cos4(col("qv"), col("cv")).as("cos"))
     rankTopK(scored, k)
   }
+
+  /** Product quantization: compress each `dim`-dimensional vector to
+    * `m` sub-codes by assigning every length-(dim/m) subvector to its
+    * nearest codebook centroid (squared L2) — the memory leg of
+    * IVF-PQ ANN: a 64-dim float vector (256 B) becomes m 4-bit codes
+    * (2 B at m=4, |codebook|=16), letting a 100 TB embedding corpus'
+    * index live in RAM while [[lshTopK]]/IVF handle candidate
+    * selection. The codebook (k rows: id, vector) is dimension-sized:
+    * collected once into a single broadcast row — the corpus is only
+    * scanned, never shuffled, and the per-row work is codegen'd
+    * array lambdas.
+    *
+    * Determinism: distances are identical LEFT FOLDS of per-dimension
+    * double squares on both engines (the q123 pinned-order
+    * discipline), argmin tie-breaks on the lowest code id
+    * (`array_position` returns the FIRST index achieving the min),
+    * and the reconstruction error rounds each subspace distance to
+    * e6 BEFORE the cross-subspace sum.
+    *
+    * Output: input columns + `code_0..code_{m-1}` (long),
+    * `pq_code` (the codes base-|codebook| packed, long),
+    * `err_e6` (long). */
+  def pqEncode(df: DataFrame, vecCol: String, dim: Int, m: Int,
+               codebook: DataFrame, cbIdCol: String,
+               cbVecCol: String): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val cb = codebook
+      .select(struct(col(cbIdCol).cast("long").as("cid"),
+        col(cbVecCol).as("cv")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("cbs"))
+      .select(transform(col("cbs"), r => r.getField("cv")).as("__cb"))
+    val k = codebook.count()
+    val joined = df.crossJoin(broadcast(cb))
+    def distsFor(j: Int): Column = transform(col("__cb"), ce =>
+      aggregate(
+        zip_with(
+          slice(col(vecCol), j * sub + 1, sub),
+          slice(ce, j * sub + 1, sub),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => a + x))
+    val withCodes = (0 until m).foldLeft(joined) { (acc, j) =>
+      acc
+        .withColumn(s"__d_$j", distsFor(j))
+        .withColumn(s"code_$j",
+          (array_position(col(s"__d_$j"), array_min(col(s"__d_$j")))
+            - 1).cast("long"))
+        .withColumn(s"__e_$j",
+          round(array_min(col(s"__d_$j")) * 1e6).cast("long"))
+    }
+    val packed = (0 until m).map(j =>
+      col(s"code_$j") * math.pow(k.toDouble, (m - 1 - j).toDouble).toLong)
+      .reduce(_ + _)
+    val err = (0 until m).map(j => col(s"__e_$j")).reduce(_ + _)
+    withCodes
+      .withColumn("pq_code", packed)
+      .withColumn("err_e6", err)
+      .drop((0 until m).flatMap(j => Seq(s"__d_$j", s"__e_$j")) :+ "__cb": _*)
+  }
 }

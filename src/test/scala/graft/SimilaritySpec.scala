@@ -64,4 +64,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 1,
       maxQueries = 10).count() > 0)
   }
+
+  test("pqEncode assigns each subvector to its nearest centroid, " +
+       "breaks exact ties on the lowest code id, and packs codes") {
+    // dim 4, m 2 -> two 2-dim subspaces; codebook of 3
+    val cb = Seq(
+      (0L, Array(0.0f, 0.0f, 10.0f, 10.0f)),
+      (1L, Array(5.0f, 5.0f, 0.0f, 0.0f)),
+      (2L, Array(5.0f, 5.0f, 20.0f, 20.0f))) // subspace 0 TIES with c1
+      .toDF("cid", "cv")
+    val vecs = Seq(
+      (100L, Array(1.0f, 1.0f, 0.5f, 0.5f)),   // sub0 -> c0, sub1 -> c1
+      (101L, Array(5.0f, 5.0f, 19.0f, 19.0f))) // sub0 tie c1/c2 -> c1
+      .toDF("vec_id", "embedding")
+    val r = Similarity.pqEncode(vecs, "embedding", 4, 2, cb, "cid", "cv")
+      .select("vec_id", "code_0", "code_1", "pq_code", "err_e6")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(100L)._2 == 0L && r(100L)._3 == 1L)
+    assert(r(100L)._4 == 0L * 3 + 1L) // base-k packing
+    // err: sub0 = 1+1 = 2.0, sub1 = .25+.25 = 0.5 -> 2.5e6
+    assert(r(100L)._5 == 2500000L)
+    // exact distance tie between c1 and c2 in subspace 0 -> lowest id
+    assert(r(101L)._2 == 1L)
+  }
 }
