@@ -930,6 +930,137 @@ object Advanced {
       |ORDER BY cohort""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q177 — TPC-H Q8-shaped national market share: the deepest join in
+  // the suite (lineitem → orders → customer → nation → region, and
+  // lineitem → supplier → nation again, and lineitem → part — seven
+  // relations, nation joined TWICE under different roles). The
+  // optimizer-stress gate: every dimension broadcasts, the fact
+  // shuffles once for the final (year) aggregate, and the doubled
+  // nation dim must resolve without ambiguity. Revenue is exact e4
+  // integers; the share is one integer ppm division.
+  // ---------------------------------------------------------------------
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val rev = (round(col("l_extendedprice") * 100).cast("long")
+      * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+    val nCust = t(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"),
+        col("n_regionkey").as("cn_region"))
+    val nSupp = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val vol = li
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(t(s, dir, "region")),
+        col("cn_region") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_type") === "PROMO")
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        rev.as("rev_e4"), col("supp_nation"))
+    vol.groupBy(col("o_year"))
+      .agg(sum(col("rev_e4")).as("total_e4"),
+        sum(when(col("supp_nation") === "NATION_7", col("rev_e4"))
+          .otherwise(0L)).as("nation_e4"),
+        count(lit(1)).as("n_lines"))
+      .select(col("o_year"), col("total_e4"), col("nation_e4"),
+        expr("nation_e4 * 1000000 div total_e4").as("share_ppm"),
+        col("n_lines"))
+      .orderBy(col("o_year"))
+  }
+
+  private val q177Sql =
+    """WITH vol AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+      |    ns.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  JOIN region   ON nc.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  JOIN part     ON l_partkey = p_partkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO')
+      |SELECT o_year, CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_e4
+      |    ELSE 0 END) AS BIGINT) AS nation_e4,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_e4
+      |    ELSE 0 END) AS BIGINT) * 1000000
+      |    // CAST(sum(rev_e4) AS BIGINT) AS share_ppm,
+      |  count(*) AS n_lines
+      |FROM vol
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q178 — ADC search over the PQ index (q175's codes at query time):
+  // each query precomputes a 4×16 subspace-distance lookup table;
+  // every corpus vector's approximate distance is FOUR integer table
+  // lookups summed — the IVF-PQ query path, completing brute (q25) /
+  // LSH (q26) / IVF (q39) / multi-band (q49) with the
+  // compressed-index tier. Integer e6 distances end-to-end, ties on
+  // vec_id, TopKPerKey-bounded ranking.
+  // ---------------------------------------------------------------------
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = t(s, dir, "embeddings")
+    val cb = e.filter(col("vec_id") < 16)
+    val q = e.filter(col("vec_id").between(16, 23))
+    Similarity.adcTopK(e, q, "vec_id", "embedding", 64, 4,
+        cb, "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q178Sql = {
+    def sq(vec: String) =
+      s"($vec[j*16+i]::DOUBLE - ce[j*16+i]::DOUBLE) * " +
+        s"($vec[j*16+i]::DOUBLE - ce[j*16+i]::DOUBLE)"
+    def fold(vec: String) =
+      s"""list_reduce(
+         |      list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(range(1, 17), i -> ${sq(vec)})),
+         |      (a, x) -> a + x)""".stripMargin
+    s"""WITH cb AS (
+       |  SELECT vec_id AS c, embedding AS ce FROM embeddings
+       |  WHERE vec_id < 16),
+       |js AS (SELECT unnest(range(4)) AS j),
+       |v AS (SELECT vec_id, embedding AS ve FROM embeddings),
+       |dists AS (
+       |  SELECT v.vec_id, cb.c, js.j, ${fold("ve")} AS d
+       |  FROM v CROSS JOIN cb CROSS JOIN js),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+       |    ORDER BY d, c) = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id BETWEEN 16 AND 23),
+       |qlut AS (
+       |  SELECT q.query_id, cb.c, js.j,
+       |    CAST(round((${fold("qe")}) * 1000000) AS BIGINT) AS e6
+       |  FROM q CROSS JOIN cb CROSS JOIN js),
+       |adist AS (
+       |  SELECT ql.query_id, co.vec_id,
+       |    CAST(sum(ql.e6) AS BIGINT) AS adist_e6
+       |  FROM codes co JOIN qlut ql ON ql.j = co.j AND ql.c = co.c
+       |  GROUP BY 1, 2)
+       |SELECT query_id, vec_id, adist_e6, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist_e6, vec_id) AS rank
+       |  FROM adist)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q167 — audience-overlap matrix (exact Jaccard between event-type
   // user sets): per-type user sets pre-aggregated to (type, user)
   // grain, pair intersection via one self-join on user, union sizes
@@ -1931,7 +2062,9 @@ object Advanced {
     "q170_seasonality" -> (q170 _),
     "q172_mad_outliers" -> (q172 _),
     "q175_pq_encode" -> (q175 _),
-    "q176_roc_auc" -> (q176 _))
+    "q176_roc_auc" -> (q176 _),
+    "q177_market_share" -> (q177 _),
+    "q178_adc_search" -> (q178 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -1976,5 +2109,7 @@ object Advanced {
     "q170_seasonality" -> q170Sql,
     "q172_mad_outliers" -> q172Sql,
     "q175_pq_encode" -> q175Sql,
-    "q176_roc_auc" -> q176Sql)
+    "q176_roc_auc" -> q176Sql,
+    "q177_market_share" -> q177Sql,
+    "q178_adc_search" -> q178Sql)
 }

@@ -229,4 +229,50 @@ object Similarity {
       .withColumn("err_e6", err)
       .drop((0 until m).flatMap(j => Seq(s"__d_$j", s"__e_$j")) :+ "__cb": _*)
   }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * query leg of IVF-PQ: the corpus is represented ONLY by its
+    * [[pqEncode]] codes; each query precomputes an m×|codebook|
+    * lookup table of subspace distances (e6-rounded, the pqEncode
+    * discipline), and a vector's approximate distance is m integer
+    * table lookups summed — no vector arithmetic per corpus row at
+    * query time, which is what makes a RAM-resident 100 TB index
+    * answerable. Queries broadcast; the corpus never shuffles; the
+    * per-query ranking runs on the bounded-heap TopKPerKey plan
+    * (shuffle ≤ k·queries·partitions rows). Ties break on the lower
+    * vec_id. Output: (query_id, vec_id, adist_e6, rank). */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, m: Int,
+              codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+              k: Int,
+              maxQueries: Long = MaxBroadcastQueries): DataFrame = {
+    requireSmallQuerySet(queries, maxQueries, "adcTopK")
+    val sub = dim / m
+    val enc = pqEncode(corpus, vecCol, dim, m, codebook, cbIdCol, cbVecCol)
+      .select(col(idCol).as("vec_id") +:
+        (0 until m).map(j => col(s"code_$j")): _*)
+    val cb = codebook
+      .select(struct(col(cbIdCol).cast("long").as("cid"),
+        col(cbVecCol).as("cv")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("cbs"))
+      .select(transform(col("cbs"), r => r.getField("cv")).as("__cb"))
+    def lutFor(j: Int): Column = transform(col("__cb"), ce =>
+      round(aggregate(
+        zip_with(
+          slice(col(vecCol), j * sub + 1, sub),
+          slice(ce, j * sub + 1, sub),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => a + x) * 1e6).cast("long"))
+    val luts = queries.crossJoin(broadcast(cb))
+      .select(col(idCol).as("query_id") +:
+        (0 until m).map(j => lutFor(j).as(s"__lut_$j")): _*)
+    val scored = enc.crossJoin(broadcast(luts))
+      .withColumn("adist_e6", (0 until m).map(j =>
+        element_at(col(s"__lut_$j"), (col(s"code_$j") + 1).cast("int")))
+        .reduce(_ + _))
+      .select(col("query_id"), col("vec_id"), col("adist_e6"))
+    org.apache.spark.sql.graftx.TopKPerKeyPlan.topK(scored,
+      Seq("query_id"), Seq("adist_e6" -> false, "vec_id" -> false), k)
+  }
 }
