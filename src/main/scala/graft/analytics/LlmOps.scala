@@ -824,6 +824,68 @@ object LlmOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q179 — bigram-LM surprisal (q68's conditional sibling): score
+  // every document by its mean negative log-probability under the
+  // corpus' own add-one-smoothed bigram model,
+  // p(w₂|w₁) = (c₂+1)/(c₁+V) — the fluency/perplexity quality signal
+  // an n-gram LM gives before any neural scorer exists. History
+  // counts come from the bigram table itself (c₁ = Σ_w₂ c₂), V is
+  // the full unigram vocabulary. Each −ln term rounds e4 BEFORE the
+  // per-doc sum (ln is not correctly-rounded; the q68/q147
+  // discipline). Counts join on (w₁,w₂)/(w₁) — vocabulary-sized
+  // tables, AQE broadcasts them; the corpus token stream shuffles
+  // once for the bigram grouping.
+  // ---------------------------------------------------------------------
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, dir).select(col("doc_id"),
+      posexplode(Text.words(col("text"))).as(Seq("pos", "token")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = toks
+      .withColumn("w1", lag("token", 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("w1"), col("token").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vsz = toks.agg(countDistinct(col("token")).as("v"))
+    big
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vsz))
+      .withColumn("term_e4",
+        round(round(-log((col("c2") + 1) / (col("c1") + col("v"))), 4)
+          * 10000).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("term_e4")) / 10000.0 / count(lit(1)))
+          .as("avg_bigram_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q179Sql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+      |  FROM documents),
+      |bigz AS (
+      |  SELECT doc_id,
+      |    unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
+      |  FROM w WHERE len(ws) >= 2),
+      |big AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM bigz),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+      |vsz AS (
+      |  SELECT count(DISTINCT x) AS v FROM (
+      |    SELECT unnest(ws) AS x FROM w))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CAST(round(round(-ln((c2.c2 + 1) / (c1.c1 + vsz.v)), 4)
+      |    * 10000) AS BIGINT)) AS BIGINT) / 10000.0 / count(*)
+      |    AS avg_bigram_nll
+      |FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vsz
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q108 — blocked record linkage: candidate pairs only within the
   // blocking key (source, n_chars div 25 — the cheap invariant), then
   // Levenshtein on a 60-char prefix, pairs kept under a distance cap
@@ -880,7 +942,8 @@ object LlmOps {
     "q52_ppjoin" -> (q52 _),
     "q57_stratified_sample" -> (q57 _),
     "q58_hash_split" -> (q58 _),
-    "q59_quality_bins" -> (q59 _))
+    "q59_quality_bins" -> (q59 _),
+    "q179_bigram_lm" -> (q179 _))
 
   val oracle: Map[String, String] = Map(
     "q108_record_linkage" -> q108Sql,
@@ -902,5 +965,6 @@ object LlmOps {
     "q65_repetition" -> q65Sql,
     "q66_tfidf_keywords" -> q66Sql,
     "q67_decontaminate" -> q67Sql,
-    "q68_surprisal" -> q68Sql)
+    "q68_surprisal" -> q68Sql,
+    "q179_bigram_lm" -> q179Sql)
 }
