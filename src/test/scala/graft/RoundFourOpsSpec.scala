@@ -66,4 +66,25 @@ class RoundFourOpsSpec extends AnyFunSuite {
       .select("g", "rho_e6").as[(String, Long)].collect().toMap
     assert(r == Map("up" -> 1000000L, "down" -> -1000000L))
   }
+
+  test("q176's tie-averaged rank AUC equals brute-force pair counting") {
+    // scores with heavy ties across both classes
+    val rows = Seq(
+      (1L, 5L), (1L, 5L), (1L, 3L), (1L, 9L), (1L, 7L),
+      (0L, 5L), (0L, 2L), (0L, 3L), (0L, 1L), (0L, 7L), (0L, 7L))
+    // brute force: pairs (pos, neg): 1 if s_p > s_n, 0.5 if equal
+    val pos = rows.filter(_._1 == 1L).map(_._2)
+    val neg = rows.filter(_._1 == 0L).map(_._2)
+    val brute = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.size * neg.size)
+    // the q176 integer formulation
+    val byScore = rows.groupBy(_._2).map { case (s, g) =>
+      (s, g.count(_._1 == 1L).toLong, g.size.toLong) }.toSeq.sortBy(_._1)
+    var cBefore = 0L; var r2 = 0L
+    byScore.foreach { case (_, cp, ct) =>
+      r2 += cp * (2 * cBefore + ct + 1); cBefore += ct }
+    val np = pos.size.toLong; val nn = neg.size.toLong
+    val aucPpm = (r2 - np * (np + 1)) * 1000000L / (2 * np * nn)
+    assert(aucPpm == math.floor(brute * 1000000).toLong)
+  }
 }
