@@ -396,4 +396,29 @@ class PlanQualitySpec extends AnyFunSuite {
     // reuses it; final orderBy adds a range exchange
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
   }
+
+  test("q177: seven-relation star resolves every dimension as a " +
+       "broadcast join — no sort-merge join anywhere") {
+    val p = plan("q177_market_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q175: PQ encoding never shuffles the corpus before the " +
+       "final code aggregate") {
+    val p = plan("q175_pq_encode")
+    // one broadcast (the codebook row); corpus-side exchanges are
+    // only the final groupBy(pq_code) + orderBy
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    val exchanges = "Exchange hash".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges\n$p")
+  }
+
+  test("q178: ADC search ranks on the bounded-heap TopKPerKey plan " +
+       "with the corpus never hash-exchanged") {
+    val p = plan("q178_adc_search")
+    assert(p.contains("TopKPartial") && p.contains("TopKFinal"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
