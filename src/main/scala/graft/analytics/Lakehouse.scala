@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -350,6 +350,78 @@ object Lakehouse {
        |FROM ev
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q180 — Holt double-exponential smoothing (level + trend,
+  // α = β = 1/2) with a one-step-ahead forecast per user: q123's
+  // pinned-order fold discipline carried to a STRUCTURED accumulator
+  // — the fold state is a 3-element double array [level, trend, n],
+  // updated with the identical IEEE expressions on both engines over
+  // identically sorted lists, so the whole recursion is bit-exact.
+  // First observation initializes (level = x, trend = 0); outputs
+  // round e4 at the very end only. The forecasting primitive every
+  // capacity/demand pipeline wants, with zero float drift.
+  // ---------------------------------------------------------------------
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir).select(col("user_id"),
+      epochS(col("ts_s")).as("s"), col("event_id"),
+      round(col("value") * 10000).as("v"))
+    def l(acc: Column) = element_at(acc, 1)
+    def tr(acc: Column) = element_at(acc, 2)
+    def n(acc: Column) = element_at(acc, 3)
+    def newL(acc: Column, x: Column) =
+      when(n(acc) === 0.0, x)
+        .otherwise(x * lit(0.5) + (l(acc) + tr(acc)) * lit(0.5))
+    def newT(acc: Column, x: Column) =
+      when(n(acc) === 0.0, lit(0.0))
+        .otherwise((newL(acc, x) - l(acc)) * lit(0.5) + tr(acc) * lit(0.5))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_obs"),
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("s"), col("event_id"),
+              col("v")))),
+            r => r.getField("v")),
+          array(lit(0.0), lit(0.0), lit(0.0)),
+          (acc, x) => array(newL(acc, x), newT(acc, x),
+            n(acc) + lit(1.0))).as("st"))
+      .select(col("user_id"), col("n_obs"),
+        round(element_at(col("st"), 1) * 10000).cast("long")
+          .as("level_e8"),
+        round(element_at(col("st"), 2) * 10000).cast("long")
+          .as("trend_e8"),
+        round((element_at(col("st"), 1) + element_at(col("st"), 2))
+          * 10000).cast("long").as("forecast_e8"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q180Sql = {
+    // accumulator and element share one type in list_reduce, so both
+    // are 3-lists; x = xs[1], inlined everywhere (newL recomputed
+    // inside newT — same IEEE ops, same value)
+    val newL = "CASE WHEN acc[3] = 0 THEN xs[1] " +
+      "ELSE xs[1] * 0.5::DOUBLE + (acc[1] + acc[2]) * 0.5::DOUBLE END"
+    val newT = "CASE WHEN acc[3] = 0 THEN 0.0::DOUBLE " +
+      s"ELSE (($newL) - acc[1]) * 0.5::DOUBLE + acc[2] * 0.5::DOUBLE END"
+    s"""WITH ev AS (
+       |  SELECT user_id, ${epochSSql("ts")} AS s, event_id,
+       |    round(value * 10000) AS v
+       |  FROM events),
+       |folded AS (
+       |  SELECT user_id, count(*) AS n_obs,
+       |    list_reduce(
+       |      list_prepend([0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE],
+       |        list_transform(list_sort(list((s, event_id, v))),
+       |          r -> [r[3]::DOUBLE, r[3]::DOUBLE, r[3]::DOUBLE])),
+       |      (acc, xs) -> [$newL, $newT, acc[3] + 1.0::DOUBLE]) AS st
+       |  FROM ev GROUP BY user_id)
+       |SELECT user_id, n_obs,
+       |  CAST(round(st[1] * 10000) AS BIGINT) AS level_e8,
+       |  CAST(round(st[2] * 10000) AS BIGINT) AS trend_e8,
+       |  CAST(round((st[1] + st[2]) * 10000) AS BIGINT) AS forecast_e8
+       |FROM folded
+       |ORDER BY user_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q124 — regression profile from exact sums: per return flag, OLS
@@ -1069,6 +1141,7 @@ object Lakehouse {
     "q125_null_safe_join" -> (q125 _),
     "q126_outlier_exact" -> (q126 _),
     "q127_group_bins" -> (q127 _),
+    "q180_holt_forecast" -> (q180 _),
     "q128_bucket_lookup" -> (q128 _),
     "q129_twap" -> (q129 _),
     "q130_activity_bitmap" -> (q130 _),
@@ -1094,6 +1167,7 @@ object Lakehouse {
     "q125_null_safe_join" -> q125Sql,
     "q126_outlier_exact" -> q126Sql,
     "q127_group_bins" -> q127Sql,
+    "q180_holt_forecast" -> q180Sql,
     "q128_bucket_lookup" -> q128Sql,
     "q129_twap" -> q129Sql,
     "q130_activity_bitmap" -> q130Sql,
