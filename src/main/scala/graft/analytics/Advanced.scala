@@ -1061,6 +1061,66 @@ object Advanced {
   }
 
   // ---------------------------------------------------------------------
+  // q181 — CUSUM change-point localization per user: where in the
+  // sequence did the value level shift? The scaled deviation
+  // d_i = |n·cum_i − i·cum_n| (the integer cross-multiplied form of
+  // |cum_i − i·mean|) peaks at the most likely change point. All
+  // integers: prefix sums from one ordered window per user, the
+  // peak's POSITION recovered as min(i) where d_i equals the
+  // per-user max — two window passes sharing one hash partitioning,
+  // then one aggregate; no floats anywhere, so the argmax is
+  // tie-stable by construction. q160 says WHETHER two samples drifted;
+  // this says WHERE a stream shifted.
+  // ---------------------------------------------------------------------
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir).select(col("user_id"),
+      Exact.epochS(col("ts_s")).as("ts_l"), col("event_id"),
+      round(col("value") * 10000).cast("long").as("v"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_l"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    val pre = e
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("v")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("v")).over(wAll))
+      .withColumn("d", abs(col("n") * col("cum") - col("i") * col("tot")))
+      .withColumn("dmax", max(col("d")).over(wAll))
+    pre.groupBy(col("user_id"))
+      .agg(max(col("n")).as("n"),
+        max(col("dmax")).as("max_dev"),
+        min(when(col("d") === col("dmax"), col("i"))).as("peak_pos"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q181Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, ${epochSSql("ts")} AS ts_l, event_id,
+       |    CAST(round(value * 10000) AS BIGINT) AS v
+       |  FROM events),
+       |pre AS (
+       |  SELECT user_id,
+       |    CAST(row_number() OVER w AS BIGINT) AS i,
+       |    CAST(sum(v) OVER w AS BIGINT) AS cum,
+       |    CAST(count(*) OVER wa AS BIGINT) AS n,
+       |    CAST(sum(v) OVER wa AS BIGINT) AS tot
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_l, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         wa AS (PARTITION BY user_id)),
+       |dev AS (
+       |  SELECT user_id, i, n, abs(n * cum - i * tot) AS d,
+       |    max(abs(n * cum - i * tot))
+       |      OVER (PARTITION BY user_id) AS dmax
+       |  FROM pre)
+       |SELECT user_id, max(n) AS n, CAST(max(dmax) AS BIGINT) AS max_dev,
+       |  CAST(min(CASE WHEN d = dmax THEN i END) AS BIGINT) AS peak_pos
+       |FROM dev
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q167 — audience-overlap matrix (exact Jaccard between event-type
   // user sets): per-type user sets pre-aggregated to (type, user)
   // grain, pair intersection via one self-join on user, union sizes
@@ -2064,7 +2124,8 @@ object Advanced {
     "q175_pq_encode" -> (q175 _),
     "q176_roc_auc" -> (q176 _),
     "q177_market_share" -> (q177 _),
-    "q178_adc_search" -> (q178 _))
+    "q178_adc_search" -> (q178 _),
+    "q181_cusum" -> (q181 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -2111,5 +2172,6 @@ object Advanced {
     "q175_pq_encode" -> q175Sql,
     "q176_roc_auc" -> q176Sql,
     "q177_market_share" -> q177Sql,
-    "q178_adc_search" -> q178Sql)
+    "q178_adc_search" -> q178Sql,
+    "q181_cusum" -> q181Sql)
 }
