@@ -183,6 +183,52 @@ object Pipeline {
       |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q182 — image RESIZE in the gate (multimodal transform leg):
+  // every synthetic gradient BMP is decoded, nearest-neighbor
+  // downsampled ×2 (output (x,y) samples source (2x,2y)), re-encoded
+  // as a real BMP — fresh header, stride, bottom-up rows — and
+  // decoded AGAIN for features. The oracle computes the resized
+  // image's channel sums and max luma from the gradient's closed
+  // form at the sampled coordinates without parsing a byte: if the
+  // resampling grid, orientation handling, or either codec pass were
+  // wrong anywhere, the sums would not match.
+  // ---------------------------------------------------------------------
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.decodeBmp(Multimodal.resizeBmp(
+        Multimodal.syntheticBmp(t(s, dir, "documents")), 2))
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  private val q182Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+      |    CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS h
+      |  FROM documents),
+      |dims AS (
+      |  SELECT doc_id, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM d),
+      |xs AS (SELECT doc_id, w2, h2, unnest(range(0, w2)) AS x FROM dims),
+      |px AS (SELECT doc_id, w2, h2, x, unnest(range(0, h2)) AS y FROM xs),
+      |v AS (
+      |  SELECT doc_id, w2, h2,
+      |    (doc_id * 7 + 3 * (2 * x) + 5 * (2 * y)) % 256 AS r,
+      |    (doc_id * 11 + 13 * (2 * x) + 17 * (2 * y)) % 256 AS g,
+      |    (doc_id * 19 + 23 * (2 * x) + 29 * (2 * y)) % 256 AS b
+      |  FROM px)
+      |SELECT doc_id AS media_id,
+      |  CAST(max(w2) AS INTEGER) AS width,
+      |  CAST(max(h2) AS INTEGER) AS height,
+      |  CAST(sum(r) AS BIGINT) AS r_sum,
+      |  CAST(sum(g) AS BIGINT) AS g_sum,
+      |  CAST(sum(b) AS BIGINT) AS b_sum,
+      |  CAST(max(2126 * r + 7152 * g + 722 * b) AS BIGINT) AS lum_max
+      |FROM v
+      |GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q96 — frame sampling in the gate: every 2nd 64-byte window of
   // each media blob becomes a row (the video-demux fan-out shape,
   // Multimodal.sampleFrames), aggregated back per media. The oracle
@@ -719,7 +765,8 @@ object Pipeline {
     "q75_scd2_snapshot" -> (q75 _),
     "q89_wav_decode" -> (q89 _),
     "q96_frame_sampling" -> (q96 _),
-    "q132_bmp_decode" -> (q132 _))
+    "q132_bmp_decode" -> (q132 _),
+    "q182_bmp_resize" -> (q182 _))
 
   val oracle: Map[String, String] = Map(
     "q173_pit_features" -> q173Sql,
@@ -733,5 +780,6 @@ object Pipeline {
     "q75_scd2_snapshot" -> q75Sql,
     "q89_wav_decode" -> q89Sql,
     "q96_frame_sampling" -> q96Sql,
-    "q132_bmp_decode" -> q132Sql)
+    "q132_bmp_decode" -> q132Sql,
+    "q182_bmp_resize" -> q182Sql)
 }

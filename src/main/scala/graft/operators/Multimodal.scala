@@ -296,6 +296,50 @@ object Multimodal {
     media.mapPartitions(_.map(m => decodeBmp24(m.media_id, m.content)))
   }
 
+  /** Parse a 24bpp BMP into (width, height, logical pixel accessor) —
+    * same validation as [[decodeBmp24]]; the accessor uses the same
+    * top-down (x, y) convention as [[encodeBmp24]]'s callback (file
+    * rows are stored bottom-up; logical y = height − 1 − fileRow), so
+    * encode(readBmp24(bytes)) round-trips orientation exactly. */
+  private[operators] def readBmp24(bytes: Array[Byte])
+      : (Int, Int, (Int, Int) => (Int, Int, Int)) = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, "not a BMP")
+    bb.getInt(); bb.getInt()
+    val dataOff = bb.getInt()
+    require(bb.getInt() >= 40, "not a BITMAPINFOHEADER")
+    val width = bb.getInt(); val height = bb.getInt()
+    require(bb.getShort() == 1, "bad plane count")
+    require(bb.getShort() == 24, "unsupported bpp")
+    require(bb.getInt() == 0, "compressed BMP unsupported")
+    val stride = (width * 3 + 3) / 4 * 4
+    val px = (x: Int, y: Int) => {
+      val base = dataOff + (height - 1 - y) * stride + 3 * x
+      ((bytes(base + 2) & 0xff, bytes(base + 1) & 0xff,
+        bytes(base) & 0xff))
+    }
+    (width, height, px)
+  }
+
+  /** Nearest-neighbor downsample by an integer factor: output pixel
+    * (x, y) samples source (x·f, y·f); output dims are ⌈w/f⌉×⌈h/f⌉.
+    * Decode → transform → re-encode per row inside one mapPartitions
+    * batch — the image-transform leg of the multimodal pipeline
+    * (thumbnailing before feature extraction), with the same
+    * zero-shuffle batch shape as the codecs. */
+  def resizeBmp(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(factor >= 1, "factor must be >= 1")
+    media.mapPartitions(_.map { m =>
+      val (w, h, px) = readBmp24(m.content)
+      val nw = (w + factor - 1) / factor
+      val nh = (h + factor - 1) / factor
+      MediaRow(m.media_id, m.kind,
+        encodeBmp24(nw, nh, (x, y) => px(x * factor, y * factor)))
+    })
+  }
+
   /** Deterministic synthetic image corpus: one w×h gradient BMP per
     * document (w = 8 + id mod 9 — exercising every row-padding
     * class — h = 8 + (id div 9) mod 7), channel values linear in

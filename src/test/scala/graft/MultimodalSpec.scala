@@ -154,4 +154,22 @@ class MultimodalSpec extends AnyFunSuite {
         px.map(p => 2126 * p._1 + 7152 * p._2 + 722 * p._3).max)
     }
   }
+
+  test("resizeBmp: factor 1 is a byte-exact round-trip (orientation " +
+       "preserved); factor 2 samples exactly the even grid") {
+    import spark.implicits._
+    // asymmetric gradient so any orientation flip changes the sums
+    val src = Multimodal.MediaRow(7L, "image",
+      Multimodal.encodeBmp24(5, 4, (x, y) => (x, y * 10, x + y)))
+    val same = Multimodal.resizeBmp(Seq(src).toDS(), 1).head()
+    assert(same.content.sameElements(src.content))
+    val half = Multimodal.decodeBmp(
+      Multimodal.resizeBmp(Seq(src).toDS(), 2)).head()
+    // sampled coords: x in {0,2,4}, y in {0,2}
+    val pts = for (x <- Seq(0, 2, 4); y <- Seq(0, 2)) yield (x, y * 10, x + y)
+    assert((half.width, half.height) == ((3, 2)))
+    assert(half.r_sum == pts.map(_._1).sum)
+    assert(half.g_sum == pts.map(_._2).sum)
+    assert(half.b_sum == pts.map(_._3).sum)
+  }
 }
