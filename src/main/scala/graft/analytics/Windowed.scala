@@ -387,6 +387,87 @@ object Windowed {
       |ORDER BY user_id, session_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q183 — session-scoped STRICT funnel: view → click → purchase must
+  // happen in order WITHIN one session (q93's global funnel ignores
+  // session boundaries; conversion analysis usually must not). The
+  // ordered-stage chain is three narrow per-(user, session)
+  // aggregates — t₁ = first view, t₂ = first click after t₁,
+  // t₃ = first purchase after t₂ — each a groupBy over the session
+  // table sharing the same key partitioning; all timestamps integer
+  // seconds, counts exact.
+  // ---------------------------------------------------------------------
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.byGap(
+      ev(s, dir), Seq("user_id"), col("ts_s"), col("event_id"), 1800L)
+      .select(col("user_id"), col("session_id"), col("event_type"),
+        col("ts_s").cast("long").as("ts_l"))
+    val keys = Seq("user_id", "session_id")
+    val t1 = sess.filter(col("event_type") === "view")
+      .groupBy(keys.map(col): _*).agg(min(col("ts_l")).as("t1"))
+    val t2 = sess.filter(col("event_type") === "click")
+      .join(t1, keys).filter(col("ts_l") > col("t1"))
+      .groupBy(keys.map(col): _*).agg(min(col("ts_l")).as("t2"))
+    val t3 = sess.filter(col("event_type") === "purchase")
+      .join(t2, keys).filter(col("ts_l") > col("t2"))
+      .groupBy(keys.map(col): _*).agg(min(col("ts_l")).as("t3"))
+    sess.groupBy(col("user_id"))
+      .agg(countDistinct(col("session_id")).as("n_sessions"))
+      .join(t1.groupBy(col("user_id")).agg(count(lit(1)).as("n_v")),
+        Seq("user_id"), "left")
+      .join(t2.groupBy(col("user_id")).agg(count(lit(1)).as("n_vc")),
+        Seq("user_id"), "left")
+      .join(t3.groupBy(col("user_id")).agg(count(lit(1)).as("n_vcp")),
+        Seq("user_id"), "left")
+      .select(col("user_id"), col("n_sessions"),
+        coalesce(col("n_v"), lit(0L)).as("n_v"),
+        coalesce(col("n_vc"), lit(0L)).as("n_vc"),
+        coalesce(col("n_vcp"), lit(0L)).as("n_vcp"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q183Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |    ${epochSSql("ts")} AS ts_l, ${secSql("ts")} AS ts_s
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN lag(ts_l) OVER w IS NULL
+       |      OR ts_l - lag(ts_l) OVER w > 1800 THEN 1 ELSE 0 END AS b
+       |  FROM e WINDOW w AS (PARTITION BY user_id
+       |                      ORDER BY ts_s, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_type, ts_l,
+       |    sum(b) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM flagged),
+       |t1 AS (
+       |  SELECT user_id, session_id, min(ts_l) AS t1 FROM sess
+       |  WHERE event_type = 'view' GROUP BY 1, 2),
+       |t2 AS (
+       |  SELECT s.user_id, s.session_id, min(s.ts_l) AS t2
+       |  FROM sess s JOIN t1 USING (user_id, session_id)
+       |  WHERE s.event_type = 'click' AND s.ts_l > t1.t1
+       |  GROUP BY 1, 2),
+       |t3 AS (
+       |  SELECT s.user_id, s.session_id, min(s.ts_l) AS t3
+       |  FROM sess s JOIN t2 USING (user_id, session_id)
+       |  WHERE s.event_type = 'purchase' AND s.ts_l > t2.t2
+       |  GROUP BY 1, 2)
+       |SELECT n.user_id, n.n_sessions,
+       |  coalesce(v.n_v, 0) AS n_v,
+       |  coalesce(c.n_vc, 0) AS n_vc,
+       |  coalesce(p.n_vcp, 0) AS n_vcp
+       |FROM (SELECT user_id, count(DISTINCT session_id) AS n_sessions
+       |      FROM sess GROUP BY 1) n
+       |LEFT JOIN (SELECT user_id, count(*) AS n_v FROM t1 GROUP BY 1) v
+       |  USING (user_id)
+       |LEFT JOIN (SELECT user_id, count(*) AS n_vc FROM t2 GROUP BY 1) c
+       |  USING (user_id)
+       |LEFT JOIN (SELECT user_id, count(*) AS n_vcp FROM t3 GROUP BY 1) p
+       |  USING (user_id)
+       |ORDER BY n.user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q112 — the higher-order-function surface over nested arrays:
   // per-user event values collected into a sorted e4 array, then
   // reduced entirely with array lambdas — aggregate (fold), filter,
@@ -874,6 +955,7 @@ object Windowed {
     "q102_transitions" -> (q102 _),
     "q103_stateful_sessions" -> (q103 _),
     "q174_dynamic_sessions" -> (q174 _),
+    "q183_session_funnel" -> (q183 _),
     "q106_interval_overlap" -> (q106 _),
     "q110_upsert_stream" -> (q110 _),
     "q112_array_hof" -> (q112 _),
@@ -898,6 +980,7 @@ object Windowed {
     "q102_transitions" -> q102Sql,
     "q103_stateful_sessions" -> q53Sql, // must equal the built-in's oracle
     "q174_dynamic_sessions" -> q174Sql,
+    "q183_session_funnel" -> q183Sql,
     "q106_interval_overlap" -> q106Sql,
     "q110_upsert_stream" -> q110Sql,
     "q112_array_hof" -> q112Sql,
