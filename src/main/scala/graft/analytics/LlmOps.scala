@@ -886,6 +886,77 @@ object LlmOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q184 — the DEDUP PIPELINE COMPOSED end-to-end (the q142
+  // discipline applied to the LLM-curation flow): MinHash-LSH
+  // candidate pairs (q22's portable-hash machinery) → large-star/
+  // small-star connected components (q143's O(log n) clustering) →
+  // min-id representative per cluster → corpus survivorship stats.
+  // One row: how big was the corpus, how many docs sat in dup
+  // clusters, how many clusters, how many docs a dedup pass removes,
+  // and the kept-id checksum proving WHICH docs survive. The oracle
+  // recomputes the identical chain — LSH pairs bit-for-bit via the
+  // portable hash family, components via a recursive CTE.
+  // ---------------------------------------------------------------------
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashDedup(d, "doc_id", "text",
+        shingleN = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.2,
+        portable = true)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.connectedComponentsStar(pairs)
+    val clusters = comp.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("sz"), min(col("id")).as("rep"))
+    val removed = comp
+      .join(clusters.select(col("cluster"), col("rep")), Seq("cluster"))
+      .filter(col("id") =!= col("rep"))
+      .agg(coalesce(sum(col("id")), lit(0L)).as("removed_id_sum"),
+        count(lit(1)).as("docs_removed"))
+    val tot = d.agg(count(lit(1)).as("n_docs"),
+      sum(col("doc_id")).as("id_sum"))
+    tot
+      .crossJoin(broadcast(clusters.agg(
+        count(lit(1)).as("n_clusters"),
+        coalesce(sum(col("sz")), lit(0L)).as("docs_in_clusters"))))
+      .crossJoin(broadcast(removed))
+      .select(col("n_docs"), col("docs_in_clusters"), col("n_clusters"),
+        col("docs_removed"),
+        (col("id_sum") - col("removed_id_sum")).as("kept_id_sum"))
+  }
+
+  private val q184Sql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |$q22Sql
+       |  ) z),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (
+       |  SELECT src AS id, least(src, min(dst)) AS cluster
+       |  FROM reach GROUP BY src),
+       |cl AS (
+       |  SELECT cluster, count(*) AS sz, min(id) AS rep
+       |  FROM comp GROUP BY cluster),
+       |rem AS (
+       |  SELECT CAST(coalesce(sum(c.id), 0) AS BIGINT) AS removed_id_sum,
+       |    CAST(count(*) AS BIGINT) AS docs_removed
+       |  FROM comp c JOIN cl ON c.cluster = cl.cluster
+       |  WHERE c.id <> cl.rep),
+       |tot AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents),
+       |cc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       |    CAST(coalesce(sum(sz), 0) AS BIGINT) AS docs_in_clusters
+       |  FROM cl)
+       |SELECT n_docs, docs_in_clusters, n_clusters, docs_removed,
+       |  CAST(id_sum - removed_id_sum AS BIGINT) AS kept_id_sum
+       |FROM tot, cc, rem""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q108 — blocked record linkage: candidate pairs only within the
   // blocking key (source, n_chars div 25 — the cheap invariant), then
   // Levenshtein on a 60-char prefix, pairs kept under a distance cap
@@ -943,7 +1014,8 @@ object LlmOps {
     "q57_stratified_sample" -> (q57 _),
     "q58_hash_split" -> (q58 _),
     "q59_quality_bins" -> (q59 _),
-    "q179_bigram_lm" -> (q179 _))
+    "q179_bigram_lm" -> (q179 _),
+    "q184_dedup_pipeline" -> (q184 _))
 
   val oracle: Map[String, String] = Map(
     "q108_record_linkage" -> q108Sql,
@@ -966,5 +1038,6 @@ object LlmOps {
     "q66_tfidf_keywords" -> q66Sql,
     "q67_decontaminate" -> q67Sql,
     "q68_surprisal" -> q68Sql,
-    "q179_bigram_lm" -> q179Sql)
+    "q179_bigram_lm" -> q179Sql,
+    "q184_dedup_pipeline" -> q184Sql)
 }
