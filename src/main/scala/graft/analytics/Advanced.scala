@@ -1121,6 +1121,116 @@ object Advanced {
        |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q185 — the SLA report: p50/p90/p99 per event type in ONE
+  // operator call — groupedPercentilesExact's multi-probe form (three
+  // percentiles share the two aggregate passes; a naive
+  // percentile(v, array(...)) buffers every group's column). Exact
+  // interpolated values, e4-rounded (the q37 boundary discipline),
+  // plus the integer max for the tail beyond p99.
+  // ---------------------------------------------------------------------
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate
+    val e = ev(s, dir).select(col("event_type"),
+      round(col("value") * 10000).cast("long").as("v"))
+    val ps = Validate.groupedPercentilesExact(e, col("event_type"),
+        "event_type", col("v"), Seq(0.5, 0.9, 0.99),
+        Seq("r50", "r90", "r99"))
+      .select(col("event_type"), round(col("r50"), 4).as("p50"),
+        round(col("r90"), 4).as("p90"), round(col("r99"), 4).as("p99"))
+    val mx = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("v")).as("v_max"))
+    mx.join(broadcast(ps), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("p50"), col("p90"),
+        col("p99"), col("v_max"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q185Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  round(quantile_cont(v, 0.5), 4) AS p50,
+      |  round(quantile_cont(v, 0.9), 4) AS p90,
+      |  round(quantile_cont(v, 0.99), 4) AS p99,
+      |  max(v) AS v_max
+      |FROM e
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q186 — degree assortativity (does the q144 graph wire hubs to
+  // hubs or hubs to leaves?): the degree-degree regression over the
+  // directed edge list (each undirected edge counted both ways, the
+  // standard convention), computed by Validate.regressionExact — the
+  // five power sums are exact DECIMAL(38) integers, so slope and r²
+  // are one IEEE expression over identical integers on both engines.
+  // The graph-health companion to q144/q158: assortativity < 0 means
+  // hub-leaf wiring (dedup clusters, star schemas), > 0 means
+  // core-periphery.
+  // ---------------------------------------------------------------------
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate
+    val raw = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 6 === 0)
+      .select(greatest(col("l_partkey") % 4000, col("l_suppkey") % 4000)
+        .as("x"),
+        least(col("l_partkey") % 4000, col("l_suppkey") % 4000).as("y"))
+    val e = raw.filter(col("x") =!= col("y")).distinct()
+    val dirE = e.select(col("x").as("u"), col("y").as("v"))
+      .unionByName(e.select(col("y").as("u"), col("x").as("v")))
+    val deg = dirE.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val pairs = dirE
+      .join(deg.select(col("u").as("uu"), col("d").as("du")),
+        col("u") === col("uu"))
+      .join(deg.select(col("u").as("vv"), col("d").as("dv")),
+        col("v") === col("vv"))
+      .select(lit("deg").as("g"), (col("du") * 100).as("dx"),
+        (col("dv") * 100).as("dy"))
+    Validate.regressionExact(pairs, col("dx"), col("dy"), Seq(col("g")))
+  }
+
+  private val q186Sql =
+    """WITH raw AS (
+      |  SELECT greatest(l_partkey % 4000, l_suppkey % 4000) AS x,
+      |         least(l_partkey % 4000, l_suppkey % 4000) AS y
+      |  FROM lineitem WHERE l_orderkey % 6 = 0),
+      |e AS (SELECT DISTINCT x, y FROM raw WHERE x != y),
+      |dire AS (SELECT x AS u, y AS v FROM e
+      |         UNION ALL SELECT y, x FROM e),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+      |        FROM dire GROUP BY u),
+      |pairs AS (
+      |  SELECT du.d * 100 AS px, dv.d * 100 AS py
+      |  FROM dire
+      |  JOIN deg du ON dire.u = du.u
+      |  JOIN deg dv ON dire.v = dv.u),
+      |s AS (
+      |  SELECT count(*) AS n_raw, CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(px AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(py AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(px AS HUGEINT) * CAST(py AS HUGEINT)) AS DOUBLE)
+      |      AS sxy,
+      |    CAST(sum(CAST(px AS HUGEINT) * CAST(px AS HUGEINT)) AS DOUBLE)
+      |      AS sxx,
+      |    CAST(sum(CAST(py AS HUGEINT) * CAST(py AS HUGEINT)) AS DOUBLE)
+      |      AS syy
+      |  FROM pairs),
+      |c AS (
+      |  SELECT n_raw, n, sx, sy,
+      |    n * sxy - sx * sy AS covn,
+      |    n * sxx - sx * sx AS varxn,
+      |    n * syy - sy * sy AS varyn
+      |  FROM s)
+      |SELECT 'deg' AS g, n_raw AS n,
+      |  CAST(round((covn / varxn) * 1000000) AS BIGINT) AS slope_e6,
+      |  CAST(round(((sy - (covn / varxn) * sx) / n / CAST(100 AS DOUBLE))
+      |    * 1000000) AS BIGINT) AS intercept_e6,
+      |  CAST(round(((covn * covn) / (varxn * varyn)) * 1000000) AS BIGINT)
+      |    AS r2_e6
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q167 — audience-overlap matrix (exact Jaccard between event-type
   // user sets): per-type user sets pre-aggregated to (type, user)
   // grain, pair intersection via one self-join on user, union sizes
@@ -2125,7 +2235,9 @@ object Advanced {
     "q176_roc_auc" -> (q176 _),
     "q177_market_share" -> (q177 _),
     "q178_adc_search" -> (q178 _),
-    "q181_cusum" -> (q181 _))
+    "q181_cusum" -> (q181 _),
+    "q185_sla_report" -> (q185 _),
+    "q186_assortativity" -> (q186 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -2173,5 +2285,7 @@ object Advanced {
     "q176_roc_auc" -> q176Sql,
     "q177_market_share" -> q177Sql,
     "q178_adc_search" -> q178Sql,
-    "q181_cusum" -> q181Sql)
+    "q181_cusum" -> q181Sql,
+    "q185_sla_report" -> q185Sql,
+    "q186_assortativity" -> q186Sql)
 }
