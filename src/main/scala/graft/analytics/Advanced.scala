@@ -1231,6 +1231,92 @@ object Advanced {
       |FROM c""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q187 — IVF-PQ COMPOSED: the full compressed-index ANN query.
+  // Coarse quantizer = pqEncode with m=1 over 8 centroids (IVF cell
+  // assignment IS product quantization with one subspace); fine
+  // quantizer = the q175 4×16 codes; search = q178's ADC restricted
+  // to the query's OWN cell (adcTopK restrictCols) — the inverted
+  // file bounds candidates, the codes make each candidate four
+  // integer lookups. Everything integer/fold-exact, ties on vec_id.
+  // ---------------------------------------------------------------------
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = t(s, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < 8)
+    val cb = e.filter(col("vec_id") < 16)
+    val withCell = Similarity.pqEncode(e, "embedding", 64, 1,
+        cents, "vec_id", "embedding")
+      .withColumnRenamed("code_0", "cell")
+      .drop("pq_code", "err_e6")
+    val q = withCell.filter(col("vec_id").between(16, 23))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    Similarity.adcTopK(withCell, q, "vec_id", "embedding", 64, 4,
+        cb, "vec_id", "embedding", k = 3, restrictCols = Seq("cell"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q187Sql = {
+    def sq(vec: String) =
+      s"($vec[j*16+i]::DOUBLE - ce[j*16+i]::DOUBLE) * " +
+        s"($vec[j*16+i]::DOUBLE - ce[j*16+i]::DOUBLE)"
+    def fold(vec: String) =
+      s"""list_reduce(
+         |      list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(range(1, 17), i -> ${sq(vec)})),
+         |      (a, x) -> a + x)""".stripMargin
+    val sqFull = "(ve[i]::DOUBLE - cv[i]::DOUBLE) * " +
+      "(ve[i]::DOUBLE - cv[i]::DOUBLE)"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id < 8),
+       |cb AS (
+       |  SELECT vec_id AS c, embedding AS ce FROM embeddings
+       |  WHERE vec_id < 16),
+       |js AS (SELECT unnest(range(4)) AS j),
+       |v AS (SELECT vec_id, embedding AS ve FROM embeddings),
+       |celld AS (
+       |  SELECT v.vec_id, cents.cid,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(1, 65), i -> $sqFull)),
+       |      (a, x) -> a + x) AS d
+       |  FROM v CROSS JOIN cents),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM celld
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d, cid) = 1),
+       |dists AS (
+       |  SELECT v.vec_id, cb.c, js.j, ${fold("ve")} AS d
+       |  FROM v CROSS JOIN cb CROSS JOIN js),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+       |    ORDER BY d, c) = 1),
+       |q AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS qe, cl.cell
+       |  FROM embeddings e JOIN cells cl USING (vec_id)
+       |  WHERE e.vec_id BETWEEN 16 AND 23),
+       |qlut AS (
+       |  SELECT q.query_id, q.cell, cb.c, js.j,
+       |    CAST(round((${fold("qe")}) * 1000000) AS BIGINT) AS e6
+       |  FROM q CROSS JOIN cb CROSS JOIN js),
+       |adist AS (
+       |  SELECT ql.query_id, co.vec_id,
+       |    CAST(sum(ql.e6) AS BIGINT) AS adist_e6
+       |  FROM codes co
+       |  JOIN cells cl ON cl.vec_id = co.vec_id
+       |  JOIN qlut ql ON ql.j = co.j AND ql.c = co.c
+       |    AND ql.cell = cl.cell
+       |  GROUP BY 1, 2)
+       |SELECT query_id, vec_id, adist_e6, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist_e6, vec_id) AS rank
+       |  FROM adist)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q167 — audience-overlap matrix (exact Jaccard between event-type
   // user sets): per-type user sets pre-aggregated to (type, user)
   // grain, pair intersection via one self-join on user, union sizes
@@ -2237,7 +2323,8 @@ object Advanced {
     "q178_adc_search" -> (q178 _),
     "q181_cusum" -> (q181 _),
     "q185_sla_report" -> (q185 _),
-    "q186_assortativity" -> (q186 _))
+    "q186_assortativity" -> (q186 _),
+    "q187_ivf_pq" -> (q187 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -2287,5 +2374,6 @@ object Advanced {
     "q178_adc_search" -> q178Sql,
     "q181_cusum" -> q181Sql,
     "q185_sla_report" -> q185Sql,
-    "q186_assortativity" -> q186Sql)
+    "q186_assortativity" -> q186Sql,
+    "q187_ivf_pq" -> q187Sql)
 }

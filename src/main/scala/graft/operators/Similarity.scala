@@ -245,12 +245,14 @@ object Similarity {
               vecCol: String, dim: Int, m: Int,
               codebook: DataFrame, cbIdCol: String, cbVecCol: String,
               k: Int,
-              maxQueries: Long = MaxBroadcastQueries): DataFrame = {
+              maxQueries: Long = MaxBroadcastQueries,
+              restrictCols: Seq[String] = Nil): DataFrame = {
     requireSmallQuerySet(queries, maxQueries, "adcTopK")
     val sub = dim / m
     val enc = pqEncode(corpus, vecCol, dim, m, codebook, cbIdCol, cbVecCol)
       .select(col(idCol).as("vec_id") +:
-        (0 until m).map(j => col(s"code_$j")): _*)
+        (restrictCols.map(col) ++
+          (0 until m).map(j => col(s"code_$j"))): _*)
     val cb = codebook
       .select(struct(col(cbIdCol).cast("long").as("cid"),
         col(cbVecCol).as("cv")).as("e"))
@@ -266,8 +268,14 @@ object Similarity {
         lit(0.0), (a, x) => a + x) * 1e6).cast("long"))
     val luts = queries.crossJoin(broadcast(cb))
       .select(col(idCol).as("query_id") +:
-        (0 until m).map(j => lutFor(j).as(s"__lut_$j")): _*)
-    val scored = enc.crossJoin(broadcast(luts))
+        (restrictCols.map(col) ++
+          (0 until m).map(j => lutFor(j).as(s"__lut_$j"))): _*)
+    // restrictCols (e.g. an IVF cell id): candidates are only corpus
+    // rows sharing the query's value — the IVF-PQ composition, where
+    // the inverted file bounds the candidate set and the PQ codes
+    // make each candidate a k-lookup integer add
+    val scored = (if (restrictCols.isEmpty) enc.crossJoin(broadcast(luts))
+      else enc.join(broadcast(luts), restrictCols))
       .withColumn("adist_e6", (0 until m).map(j =>
         element_at(col(s"__lut_$j"), (col(s"code_$j") + 1).cast("int")))
         .reduce(_ + _))
