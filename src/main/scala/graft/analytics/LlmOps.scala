@@ -957,6 +957,64 @@ object LlmOps {
        |FROM tot, cc, rem""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q188 — train/test split LEAKAGE audit (q58's split × q21's exact
+  // dedup): an eval doc whose normalized text also appears in train
+  // is contamination even when the split itself is clean, because
+  // duplicates straddle the hash boundary. One semi-join of the
+  // non-train side against the distinct train text set (at 100 TB:
+  // xxhash64 the text first so the join carries 8-byte keys — same
+  // plan). Output per split: docs, leaked docs, leaked-id checksum.
+  // ---------------------------------------------------------------------
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val bucket = PortableHash.hash60(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val d = docs(s, dir).select(col("doc_id"),
+      lower(col("text")).as("norm"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+    val trainTexts = d.filter(col("split") === "train")
+      .select(col("norm")).distinct()
+    val leaked = d.filter(col("split") =!= "train")
+      .join(trainTexts, Seq("norm"), "left_semi")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_leaked"),
+        sum(col("doc_id")).as("leaked_id_sum"))
+    d.filter(col("split") =!= "train")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(leaked, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("leaked_id_sum"), lit(0L)).as("leaked_id_sum"))
+      .orderBy(col("split"))
+  }
+
+  private val q188Sql = {
+    import graft.functions.PortableHash
+    val h = PortableHash.hash60DuckSql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, lower(text) AS norm,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |train_texts AS (
+       |  SELECT DISTINCT norm FROM d WHERE split = 'train'),
+       |ev AS (SELECT * FROM d WHERE split <> 'train'),
+       |leaked AS (
+       |  SELECT split, count(*) AS n_leaked,
+       |    CAST(sum(doc_id) AS BIGINT) AS leaked_id_sum
+       |  FROM ev SEMI JOIN train_texts USING (norm)
+       |  GROUP BY split)
+       |SELECT ev.split, count(*) AS n_docs,
+       |  coalesce(min(leaked.n_leaked), 0) AS n_leaked,
+       |  coalesce(min(leaked.leaked_id_sum), 0) AS leaked_id_sum
+       |FROM ev LEFT JOIN leaked ON ev.split = leaked.split
+       |GROUP BY ev.split
+       |ORDER BY ev.split""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q108 — blocked record linkage: candidate pairs only within the
   // blocking key (source, n_chars div 25 — the cheap invariant), then
   // Levenshtein on a 60-char prefix, pairs kept under a distance cap
@@ -1015,7 +1073,8 @@ object LlmOps {
     "q58_hash_split" -> (q58 _),
     "q59_quality_bins" -> (q59 _),
     "q179_bigram_lm" -> (q179 _),
-    "q184_dedup_pipeline" -> (q184 _))
+    "q184_dedup_pipeline" -> (q184 _),
+    "q188_split_leakage" -> (q188 _))
 
   val oracle: Map[String, String] = Map(
     "q108_record_linkage" -> q108Sql,
@@ -1039,5 +1098,6 @@ object LlmOps {
     "q67_decontaminate" -> q67Sql,
     "q68_surprisal" -> q68Sql,
     "q179_bigram_lm" -> q179Sql,
-    "q184_dedup_pipeline" -> q184Sql)
+    "q184_dedup_pipeline" -> q184Sql,
+    "q188_split_leakage" -> q188Sql)
 }
