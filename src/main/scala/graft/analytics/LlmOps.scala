@@ -1015,6 +1015,44 @@ object LlmOps {
   }
 
   // ---------------------------------------------------------------------
+  // q189 — the corpus MIX PLAN (q86's temperature sampling turned
+  // into the allocation table a training run actually consumes):
+  // per-source character counts c_i reweighted as
+  // w_i = √c_i / Σ√c_j (α = 0.5 temperature — upweights tails), each
+  // source's share of a 10M-char budget in exact ppm. √ is
+  // IEEE-correctly-rounded (engine-stable on identical integers);
+  // each √c rounds e6 to an integer BEFORE the cross-source sum, so
+  // the denominator is an exact integer and every share is one
+  // integer division. One aggregate + one broadcast total.
+  // ---------------------------------------------------------------------
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = docs(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .withColumn("sqrt_e6",
+        round(sqrt(col("chars").cast("double")) * 1e6).cast("long"))
+    val tot = bySrc.agg(sum(col("sqrt_e6")).as("denom"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("chars"),
+        expr("sqrt_e6 * 1000000 div denom").as("weight_ppm"),
+        expr("sqrt_e6 * 10000000 div denom").as("budget_chars_e3"))
+      .orderBy(col("source"))
+  }
+
+  private val q189Sql =
+    """WITH by_src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars,
+      |    CAST(round(sqrt(CAST(sum(n_chars) AS BIGINT)::DOUBLE) * 1000000)
+      |      AS BIGINT) AS sqrt_e6
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(sqrt_e6) AS BIGINT) AS denom FROM by_src)
+      |SELECT source, n_docs, chars,
+      |  sqrt_e6 * 1000000 // denom AS weight_ppm,
+      |  sqrt_e6 * 10000000 // denom AS budget_chars_e3
+      |FROM by_src, tot
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q108 — blocked record linkage: candidate pairs only within the
   // blocking key (source, n_chars div 25 — the cheap invariant), then
   // Levenshtein on a 60-char prefix, pairs kept under a distance cap
@@ -1074,7 +1112,8 @@ object LlmOps {
     "q59_quality_bins" -> (q59 _),
     "q179_bigram_lm" -> (q179 _),
     "q184_dedup_pipeline" -> (q184 _),
-    "q188_split_leakage" -> (q188 _))
+    "q188_split_leakage" -> (q188 _),
+    "q189_mix_plan" -> (q189 _))
 
   val oracle: Map[String, String] = Map(
     "q108_record_linkage" -> q108Sql,
@@ -1099,5 +1138,6 @@ object LlmOps {
     "q68_surprisal" -> q68Sql,
     "q179_bigram_lm" -> q179Sql,
     "q184_dedup_pipeline" -> q184Sql,
-    "q188_split_leakage" -> q188Sql)
+    "q188_split_leakage" -> q188Sql,
+    "q189_mix_plan" -> q189Sql)
 }
