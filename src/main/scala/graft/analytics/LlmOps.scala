@@ -1053,6 +1053,53 @@ object LlmOps {
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q190 — hierarchical PATH rollup (the per-domain accounting every
+  // web-corpus pipeline runs): each doc files under
+  // corpus/<source>/<lang>, and every PREFIX level of that path gets
+  // exact doc/char totals — 'corpus', 'corpus/web',
+  // 'corpus/web/en', ... One Generate expands each row into its
+  // ≤3 prefixes (no join, no explode-to-tokens), then a single
+  // aggregate; the rollup over a 100 TB crawl costs one shuffle at
+  // the (tiny) prefix cardinality.
+  // ---------------------------------------------------------------------
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(
+      concat(lit("corpus/"), col("source"), lit("/"), col("lang"))
+        .as("path"),
+      col("doc_id"), col("n_chars"))
+    val parts = split(col("path"), "/")
+    val prefixes = transform(
+      sequence(lit(1), size(parts)),
+      k => array_join(slice(parts, lit(1), k), "/"))
+    d.select(explode(prefixes).as("prefix"), col("doc_id"),
+        col("n_chars"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("prefix"))
+  }
+
+  private val q190Sql =
+    """WITH d AS (
+      |  SELECT 'corpus/' || source || '/' || lang AS path,
+      |    doc_id, n_chars
+      |  FROM documents),
+      |pref AS (
+      |  SELECT doc_id, n_chars,
+      |    unnest(list_transform(
+      |      range(1, len(string_split(path, '/')) + 1),
+      |      k -> array_to_string(string_split(path, '/')[1:k], '/')))
+      |      AS prefix
+      |  FROM d)
+      |SELECT prefix, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM pref
+      |GROUP BY prefix
+      |ORDER BY prefix""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q108 — blocked record linkage: candidate pairs only within the
   // blocking key (source, n_chars div 25 — the cheap invariant), then
   // Levenshtein on a 60-char prefix, pairs kept under a distance cap
@@ -1113,7 +1160,8 @@ object LlmOps {
     "q179_bigram_lm" -> (q179 _),
     "q184_dedup_pipeline" -> (q184 _),
     "q188_split_leakage" -> (q188 _),
-    "q189_mix_plan" -> (q189 _))
+    "q189_mix_plan" -> (q189 _),
+    "q190_path_rollup" -> (q190 _))
 
   val oracle: Map[String, String] = Map(
     "q108_record_linkage" -> q108Sql,
@@ -1139,5 +1187,6 @@ object LlmOps {
     "q179_bigram_lm" -> q179Sql,
     "q184_dedup_pipeline" -> q184Sql,
     "q188_split_leakage" -> q188Sql,
-    "q189_mix_plan" -> q189Sql)
+    "q189_mix_plan" -> q189Sql,
+    "q190_path_rollup" -> q190Sql)
 }
