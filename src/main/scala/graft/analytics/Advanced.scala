@@ -672,6 +672,130 @@ object Advanced {
       |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q191 — per-node local clustering coefficient: n_triangles(v) /
+  // C(deg(v),2) as exact ppm over the same synthetic co-purchase graph
+  // family as q144 (sparser slice: ~25 avg degree at sf0.1, so the
+  // oriented-wedge m^1.5 term stays bounded). Everything integer —
+  // counts, wedges, and a `div`-emitted ratio — so engine-exact.
+  // ---------------------------------------------------------------------
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 12 === 1)
+      .select(
+        (col("l_partkey") % 4000).as("id_a"),
+        (col("l_suppkey") % 4000).as("id_b"))
+    graft.operators.Graph.localClustering(pairs)
+      .orderBy(col("node"))
+  }
+
+  private val q191Sql =
+    """WITH raw AS (
+      |  SELECT greatest(l_partkey % 4000, l_suppkey % 4000) AS x,
+      |         least(l_partkey % 4000, l_suppkey % 4000) AS y
+      |  FROM lineitem WHERE l_orderkey % 12 = 1),
+      |e AS (SELECT DISTINCT x, y FROM raw WHERE x != y),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |  SELECT x AS node FROM e UNION ALL SELECT y FROM e)),
+      |deg AS (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS degree,
+      |         CAST(count(*) AS BIGINT) * 1000000000 + n AS k
+      |  FROM (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e)
+      |  GROUP BY n),
+      |oriented AS (
+      |  SELECT CASE WHEN dx.k < dy.k THEN e.x ELSE e.y END AS src,
+      |         CASE WHEN dx.k < dy.k THEN e.y ELSE e.x END AS dst,
+      |         greatest(dx.k, dy.k) AS kdst
+      |  FROM e JOIN deg dx ON dx.n = e.x JOIN deg dy ON dy.n = e.y),
+      |wedges AS (
+      |  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+      |  FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+      |  WHERE o1.kdst < o2.kdst),
+      |tris AS (
+      |  SELECT wd.u, wd.v, wd.w FROM wedges wd
+      |  WHERE EXISTS (SELECT 1 FROM oriented o
+      |                WHERE o.src = wd.v AND o.dst = wd.w)),
+      |per AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+      |    SELECT u AS node FROM tris
+      |    UNION ALL SELECT v FROM tris
+      |    UNION ALL SELECT w FROM tris)
+      |  GROUP BY node)
+      |SELECT n.node, d.degree,
+      |  CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+      |  d.degree * (d.degree - 1) // 2 AS n_wedges,
+      |  CASE WHEN d.degree < 2 THEN 0
+      |       ELSE COALESCE(p.n_triangles, 0) * 1000000
+      |            // (d.degree * (d.degree - 1) // 2) END AS lcc_ppm
+      |FROM nodes n
+      |JOIN deg d ON d.n = n.node
+      |LEFT JOIN per p USING (node)
+      |ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q193 — autocorrelation profile of the daily-revenue series at lags
+  // 1..3 (the seasonality screen next to q170's weekday profile): the
+  // series is exact e2 daily sums, each lag is a calendar-day
+  // self-join (both branches read one localCheckpointed 2.5k-row
+  // aggregate — never the fact table twice), and the correlation
+  // reduces to Validate.regressionExact's DECIMAL(38,0) sufficient
+  // sums, so r² is one deterministic IEEE expression per lag.
+  // ---------------------------------------------------------------------
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "lineitem")
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("rev"))
+      .localCheckpoint()
+    val lags = (1 to 3).map { k =>
+      daily.select(col("day"), col("rev").as("x"))
+        .join(daily.select(date_sub(col("day"), k).as("day"),
+          col("rev").as("y")), Seq("day"))
+        .select(lit(k.toLong).as("lag"), col("x"), col("y"))
+    }.reduce(_ unionByName _)
+    graft.operators.Validate.regressionExact(lags, col("x"), col("y"),
+        Seq(col("lag")))
+      .orderBy(col("lag"))
+  }
+
+  private val q193Sql =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |pairs AS (
+      |  SELECT k.lag, a.rev AS x, b.rev AS y
+      |  FROM (VALUES (1), (2), (3)) k(lag)
+      |  JOIN daily a ON true
+      |  JOIN daily b ON b.day = a.day + k.lag),
+      |s AS (
+      |  SELECT lag, count(*) AS n_raw,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+      |      AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE)
+      |      AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+      |      AS syy
+      |  FROM pairs GROUP BY lag),
+      |c AS (
+      |  SELECT lag, n_raw, n, sx, sy,
+      |    n * sxy - sx * sy AS covn,
+      |    n * sxx - sx * sx AS varxn,
+      |    n * syy - sy * sy AS varyn
+      |  FROM s)
+      |SELECT CAST(lag AS BIGINT) AS lag, n_raw AS n,
+      |  CAST(round((covn / varxn) * 1000000) AS BIGINT) AS slope_e6,
+      |  CAST(round(((sy - (covn / varxn) * sx) / n / CAST(100 AS DOUBLE))
+      |    * 1000000) AS BIGINT) AS intercept_e6,
+      |  CAST(round(((covn * covn) / (varxn * varyn)) * 1000000) AS BIGINT)
+      |    AS r2_e6
+      |FROM c
+      |ORDER BY lag""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q169 — burst detection (peak request rate): for each user, the
   // maximum number of events inside ANY trailing 1-hour window — a
   // RANGE frame over integer epoch seconds (every event's frame is
@@ -2324,7 +2448,9 @@ object Advanced {
     "q181_cusum" -> (q181 _),
     "q185_sla_report" -> (q185 _),
     "q186_assortativity" -> (q186 _),
-    "q187_ivf_pq" -> (q187 _))
+    "q187_ivf_pq" -> (q187 _),
+    "q191_local_clustering" -> (q191 _),
+    "q193_acf" -> (q193 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -2375,5 +2501,7 @@ object Advanced {
     "q181_cusum" -> q181Sql,
     "q185_sla_report" -> q185Sql,
     "q186_assortativity" -> q186Sql,
-    "q187_ivf_pq" -> q187Sql)
+    "q187_ivf_pq" -> q187Sql,
+    "q191_local_clustering" -> q191Sql,
+    "q193_acf" -> q193Sql)
 }

@@ -938,6 +938,64 @@ object Windowed {
        |GROUP BY cohort_day, "offset"
        |ORDER BY cohort_day, "offset"""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q192 — nearest-match join (merge_asof direction='nearest'): each
+  // click attaches the purchase by the SAME user closest in time,
+  // either direction, distance ties breaking backward. One shuffle on
+  // user_id, two sorts inside it (AsOfJoin.nearest) — never a range
+  // join. The oracle mirrors the packed (ts·1e9+id) min/max carries.
+  // ---------------------------------------------------------------------
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("ts", col("ts_s").cast("long"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"))
+    AsOfJoin.nearest(clicks, buys, Seq("user_id"), "ts", "p_ts",
+        Seq("p_ts", "p_event_id"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("p_event_id"), lit(-1L)).as("nearest_purchase"),
+        coalesce(abs(col("ts") - col("p_ts")), lit(-1L)).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q192Sql =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type,
+       |    ${epochSSql("ts")} AS ts_s,
+       |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag
+       |  FROM events WHERE event_type IN ('click', 'purchase')),
+       |win AS (
+       |  SELECT e.*,
+       |    max(CASE WHEN tag = 0
+       |             THEN ts_s * 1000000000 + event_id END)
+       |      OVER (PARTITION BY user_id
+       |            ORDER BY ts_s, tag, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS bp,
+       |    min(CASE WHEN tag = 0
+       |             THEN ts_s * 1000000000 + event_id END)
+       |      OVER (PARTITION BY user_id
+       |            ORDER BY ts_s DESC, tag DESC, event_id DESC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS fp
+       |  FROM e),
+       |pick AS (
+       |  SELECT event_id, user_id, ts_s,
+       |    CASE WHEN bp IS NULL THEN fp
+       |         WHEN fp IS NULL THEN bp
+       |         WHEN ts_s - bp // 1000000000
+       |              <= fp // 1000000000 - ts_s THEN bp
+       |         ELSE fp END AS sel
+       |  FROM win WHERE event_type = 'click')
+       |SELECT event_id, user_id,
+       |  COALESCE(sel % 1000000000, -1) AS nearest_purchase,
+       |  CASE WHEN sel IS NULL THEN -1
+       |       ELSE abs(ts_s - sel // 1000000000) END AS gap_s
+       |FROM pick
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_window_rank" -> (q11 _),
     "q12_window_running" -> (q12 _),
@@ -961,7 +1019,8 @@ object Windowed {
     "q112_array_hof" -> (q112 _),
     "q91_asof_forward" -> (q91 _),
     "q93_funnel" -> (q93 _),
-    "q94_retention" -> (q94 _))
+    "q94_retention" -> (q94 _),
+    "q192_nearest_join" -> (q192 _))
 
   val oracle: Map[String, String] = Map(
     "q11_window_rank" -> q11Sql,
@@ -986,5 +1045,6 @@ object Windowed {
     "q112_array_hof" -> q112Sql,
     "q91_asof_forward" -> q91Sql,
     "q93_funnel" -> q93Sql,
-    "q94_retention" -> q94Sql)
+    "q94_retention" -> q94Sql,
+    "q192_nearest_join" -> q192Sql)
 }

@@ -69,6 +69,65 @@ object AsOfJoin {
     asOf(left, right, keys, leftTs, rightTs, payload,
       forward = true, tolerance = Some(tolerance))
 
+  /** Nearest-match join: for each left row, the right row with the
+    * same key minimizing |rightTs − leftTs|, either direction —
+    * pandas `merge_asof(direction='nearest')`. Distance ties break
+    * BACKWARD (the earlier right row wins); right rows sharing the
+    * left timestamp count as backward matches at distance zero.
+    * Within one timestamp the payload struct disambiguates
+    * (lexicographic max backward, min forward), mirroring [[asOf]].
+    *
+    * Shape: ONE shuffle on the keys (the union sorts twice inside the
+    * same exchange — ascending for the backward carry, descending for
+    * the forward carry), never a range join or per-row scan. Both ts
+    * columns must be numeric (epoch units) so the distance compare is
+    * a long subtraction. Unmatched left rows carry nulls. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String,
+              payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val ordTs = "__near_ts"
+    val tag = "__near_tag"
+    val pay = "__near_pay"
+    val payCols = (rightTs +: payload).distinct
+
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as(ordTs), lit(0).as(tag),
+        struct(payCols.map(col): _*).as(pay)) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as(ordTs), lit(1).as(tag), lit(null).as(pay)) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+
+    // asc: same-ts right rows (tag 0) precede the left row → they are
+    // inside the backward frame. desc: tag desc puts them after the
+    // left row → outside the forward frame. Exactly one side claims a
+    // zero-distance match.
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ordTs).asc, col(tag).asc, col(pay).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ordTs).desc, col(tag).desc, col(pay).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val back = "__near_back"
+    val fwd = "__near_fwd"
+    val gapB = col(ordTs) - col(s"$back.$rightTs")
+    val gapF = col(s"$fwd.$rightTs") - col(ordTs)
+    val chosen = when(col(back).isNull, col(fwd))
+      .when(col(fwd).isNull, col(back))
+      .when(gapB <= gapF, col(back))
+      .otherwise(col(fwd))
+    r.unionByName(l)
+      .withColumn(back, last(col(pay), ignoreNulls = true).over(wB))
+      .withColumn(fwd, last(col(pay), ignoreNulls = true).over(wF))
+      .filter(col(tag) === 1)
+      .withColumn(pay, chosen)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"$pay.$c").as(c)): _*)
+  }
+
   /** Shared union-and-carry core. Ties: right rows sharing the match
     * timestamp are disambiguated by the payload struct itself
     * (lexicographic max for backward, min for forward), so the result

@@ -146,6 +146,39 @@ object Graph {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient: how close each node's
+    * neighborhood is to a clique — n_triangles(v) / C(deg(v), 2).
+    * The community-structure probe next to [[triangleCounts]]'s
+    * closure census (a node can sit on many triangles yet have a
+    * sparse neighborhood when its degree is large).
+    *
+    * All-integer: triangles and wedges (deg·(deg−1)/2) are exact
+    * counts, and the coefficient is emitted as ppm via integer
+    * division (0 for degree-<2 nodes, where it is undefined), so the
+    * result is engine-exact — no float ratio ever forms.
+    *
+    * Shape: [[triangleCounts]]'s oriented-wedge pipeline plus one
+    * degree aggregate over the same deduped edge set — the m^1.5
+    * wedge bound is unchanged and the extra join is node-sized.
+    * Returns (node, degree, n_triangles, n_wedges, lcc_ppm). */
+  def localClustering(pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("x"),
+        least(col("id_a"), col("id_b")).as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct()
+    val deg = e.select(col("x").as("node"))
+      .unionByName(e.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    triangleCounts(pairs)
+      .join(deg, Seq("node"))
+      .select(col("node"), col("degree"), col("n_triangles"),
+        expr("degree * (degree - 1) div 2").as("n_wedges"),
+        when(col("degree") < 2, lit(0L))
+          .otherwise(expr("n_triangles * 1000000 div " +
+            "(degree * (degree - 1) div 2)")).as("lcc_ppm"))
+  }
+
   /** `iterations` rounds of damped PageRank over weighted directed
     * `edges` (columns: src, dst, w — positive long weights).
     *

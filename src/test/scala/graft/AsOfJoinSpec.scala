@@ -83,4 +83,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(fwd.isNullAt(fwd.fieldIndex("temp")),
       "100 is farther than 50 ahead of 30")
   }
+
+  test("nearest: picks the closer side, ties break backward, " +
+       "same-ts counts as backward, unmatched keys carry null") {
+    val probes = Seq(
+      ("zurich", 130L), // 100 at -30 vs 200 at +70 → back
+      ("zurich", 150L), // equidistant (±50) → back (100)
+      ("zurich", 180L), // 200 at +20 closer than 100 at -80 → fwd
+      ("zurich", 100L), // exact hit → distance 0 backward
+      ("basel", 500L)   // no obs for key → null
+    ).toDF("city", "trip_ts")
+    val r = AsOfJoin.nearest(probes, right, Seq("city"),
+        "trip_ts", "obs_ts", Seq("obs_ts", "temp"))
+      .collect().map(row => (row.getString(0), row.getLong(1)) ->
+        (if (row.isNullAt(2)) -1L else row.getLong(2))).toMap
+    assert(r(("zurich", 130L)) == 100L)
+    assert(r(("zurich", 150L)) == 100L)
+    assert(r(("zurich", 180L)) == 200L)
+    assert(r(("zurich", 100L)) == 100L)
+    assert(r(("basel", 500L)) == -1L)
+  }
 }

@@ -93,6 +93,23 @@ class GraphSpec extends AnyFunSuite {
     assert(r.size == 12)
   }
 
+  test("localClustering: K4 corner is fully closed (1.0), a square " +
+       "corner is open, leaves have zero wedges") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val r = graft.operators.Graph.localClustering(edges)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    // K4 node: deg 3, 3 triangles, 3 wedges → ppm 1_000_000
+    assert(r(1L) == ((3L, 3L, 3L, 1000000L)))
+    // square node: deg 2, 0 triangles, 1 wedge → 0
+    assert(r(10L) == ((2L, 0L, 1L, 0L)))
+    // leaf: deg 1, no wedge, coefficient defined as 0
+    assert(r(20L) == ((1L, 0L, 0L, 0L)))
+  }
+
   test("weights split a source's rank proportionally (integer div)") {
     // n=3 ⇒ r0 = 333_333_333 each, teleport floor = 50M; ow(a)=4
     // contrib(b) = (333333333·3) div 4 = 249_999_999
