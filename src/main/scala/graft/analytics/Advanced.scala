@@ -796,6 +796,45 @@ object Advanced {
       |ORDER BY lag""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q194 — classifier reliability report (calibration bins, the
+  // companion to q176's ROC-AUC): purchase-vs-view outcomes against a
+  // bounded e4 pseudo-score, rolled into equal-width deciles with the
+  // observed positive rate, mean predicted mass, and the exact Brier
+  // contribution — every column an integer (ppm/e4/e8), so the
+  // reliability diagram is engine-exact. One hash aggregate.
+  // ---------------------------------------------------------------------
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(
+        expr("CAST(round(value * 100) AS BIGINT) % 10001").as("p_e4"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+    e.groupBy(expr("p_e4 div 1000").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"),
+        sum(col("p_e4")).as("sum_p_e4"),
+        sum(expr("(p_e4 - y * 10000) * (p_e4 - y * 10000)"))
+          .as("brier_e8_sum"))
+      .withColumn("obs_ppm", expr("n_pos * 1000000 div n"))
+      .withColumn("pred_ppm", expr("sum_p_e4 * 100 div n"))
+      .orderBy(col("bin"))
+  }
+
+  private val q194Sql =
+    """WITH e AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) % 10001 AS p_e4,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE event_type IN ('purchase', 'view'))
+      |SELECT p_e4 // 1000 AS bin, count(*) AS n,
+      |  CAST(sum(y) AS BIGINT) AS n_pos,
+      |  CAST(sum(p_e4) AS BIGINT) AS sum_p_e4,
+      |  CAST(sum((p_e4 - y * 10000) * (p_e4 - y * 10000)) AS BIGINT)
+      |    AS brier_e8_sum,
+      |  CAST(sum(y) AS BIGINT) * 1000000 // count(*) AS obs_ppm,
+      |  CAST(sum(p_e4) AS BIGINT) * 100 // count(*) AS pred_ppm
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q169 — burst detection (peak request rate): for each user, the
   // maximum number of events inside ANY trailing 1-hour window — a
   // RANGE frame over integer epoch seconds (every event's frame is
@@ -2450,7 +2489,8 @@ object Advanced {
     "q186_assortativity" -> (q186 _),
     "q187_ivf_pq" -> (q187 _),
     "q191_local_clustering" -> (q191 _),
-    "q193_acf" -> (q193 _))
+    "q193_acf" -> (q193 _),
+    "q194_calibration" -> (q194 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -2503,5 +2543,6 @@ object Advanced {
     "q186_assortativity" -> q186Sql,
     "q187_ivf_pq" -> q187Sql,
     "q191_local_clustering" -> q191Sql,
-    "q193_acf" -> q193Sql)
+    "q193_acf" -> q193Sql,
+    "q194_calibration" -> q194Sql)
 }

@@ -198,6 +198,85 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // q195 — adjusted Rand index between two clusterings of the
+  // embedding corpus (q74's nearest-center assignment vs the ground-
+  // truth labels): the clustering-agreement audit a curation pipeline
+  // runs before trusting k-means buckets for balanced sampling. The
+  // contingency table is one (center × label) hash aggregate; every
+  // pair count C(n,2) and the ARI numerator/denominator (scaled by
+  // 2·C(n,2) to stay rational-free) are exact BIGINTs.
+  // ---------------------------------------------------------------------
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centers = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("center_id"), col("embedding").as("cvec"))
+    val assigned = Curate.assignToCenters(
+      e.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", centers, "center_id", "cvec")
+    val cells = assigned
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("center_id"), col("label"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // three scalar reductions share one pass
+    val p = cells.agg(
+      sum(expr("nij * (nij - 1) div 2")).as("sum_pairs_cells"),
+      sum(col("nij")).as("n"))
+    val a = cells.groupBy(col("center_id"))
+      .agg(sum(col("nij")).as("ai"))
+      .agg(sum(expr("ai * (ai - 1) div 2")).as("sum_pairs_pred"))
+    val b = cells.groupBy(col("label"))
+      .agg(sum(col("nij")).as("bj"))
+      .agg(sum(expr("bj * (bj - 1) div 2")).as("sum_pairs_true"))
+    p.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .select(col("n"), col("sum_pairs_cells"), col("sum_pairs_pred"),
+        col("sum_pairs_true"),
+        expr("2 * (n * (n - 1) div 2) * sum_pairs_cells - " +
+          "2 * sum_pairs_pred * sum_pairs_true").as("ari_num"),
+        expr("(n * (n - 1) div 2) * (sum_pairs_pred + sum_pairs_true) - " +
+          "2 * sum_pairs_pred * sum_pairs_true").as("ari_den"))
+  }
+
+  private val q195Sql = {
+    val cos = "list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) / " +
+      "nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) * " +
+      "list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[])), 0)"
+    s"""WITH centers AS (
+       |  SELECT vec_id AS center_id, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT e.vec_id, c.center_id, $cos AS cos
+       |  FROM embeddings e, centers c),
+       |assigned AS (
+       |  SELECT vec_id, center_id FROM (
+       |    SELECT vec_id, center_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC, center_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |cells AS (
+       |  SELECT a.center_id, e.label, CAST(count(*) AS BIGINT) AS nij
+       |  FROM assigned a JOIN embeddings e USING (vec_id)
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT)
+       |      AS sum_pairs_cells,
+       |    CAST(sum(nij) AS BIGINT) AS n FROM cells),
+       |aa AS (
+       |  SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS sum_pairs_pred
+       |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS ai
+       |        FROM cells GROUP BY center_id)),
+       |bb AS (
+       |  SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS sum_pairs_true
+       |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS bj
+       |        FROM cells GROUP BY label))
+       |SELECT n, sum_pairs_cells, sum_pairs_pred, sum_pairs_true,
+       |  2 * (n * (n - 1) // 2) * sum_pairs_cells
+       |    - 2 * sum_pairs_pred * sum_pairs_true AS ari_num,
+       |  (n * (n - 1) // 2) * (sum_pairs_pred + sum_pairs_true)
+       |    - 2 * sum_pairs_pred * sum_pairs_true AS ari_den
+       |FROM p, aa, bb""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q76 — explicit bloom-filter join pruning: revenue by order
   // priority for a date-windowed order cohort, with the lineitem scan
   // pre-filtered by a bloom built over the cohort's keys (the
@@ -880,7 +959,8 @@ object Curation {
     "q83_chunk_windows" -> (q83 _),
     "q84_bm25" -> (q84 _),
     "q86_temperature_mix" -> (q86 _),
-    "q88_pack_sequences" -> (q88 _))
+    "q88_pack_sequences" -> (q88 _),
+    "q195_ari" -> (q195 _))
 
   val oracle: Map[String, String] = Map(
     "q97_source_cap" -> q97Sql,
@@ -904,5 +984,6 @@ object Curation {
     "q83_chunk_windows" -> q83Sql,
     "q84_bm25" -> q84Sql,
     "q86_temperature_mix" -> q86Sql,
-    "q88_pack_sequences" -> q88Sql)
+    "q88_pack_sequences" -> q88Sql,
+    "q195_ari" -> q195Sql)
 }

@@ -1136,6 +1136,105 @@ object LlmOps {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q196 — one BPE-trainer merge step (the inner loop of tokenizer
+  // training): count freq-weighted adjacent character pairs across the
+  // word inventory, pick the most frequent pair (tie → lexicographic),
+  // APPLY the merge by a greedy left-to-right fold over each word's
+  // symbol list, and recount pairs over the merged symbols. Output is
+  // the top-15 pairs of both stages, so the gate pins the full
+  // count → select → apply → recount cycle.
+  //
+  // Scale shape: words aggregate once (one shuffle, vocabulary-sized
+  // thereafter), the winning pair is a broadcast 1-row scalar, and the
+  // merge fold is a per-row expression — no shuffle touches the corpus
+  // twice. 100 TB posture: the whole iteration loop re-reads only the
+  // vocab aggregate, exactly how real BPE trainers batch.
+  // ---------------------------------------------------------------------
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    def top(pairs: DataFrame, stage: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(stage))
+        .orderBy(col("cnt").desc, col("pair").asc)
+      pairs.groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 15)
+        .select(lit(stage.toLong).as("stage"), col("rk"), col("pair"),
+          col("cnt"))
+    }
+    val pairs0 = words.select(col("freq"), explode(expr(
+      "transform(sequence(1, length(w) - 1), " +
+        "i -> concat(substring(w, i, 1), '+', substring(w, i + 1, 1)))"))
+      .as("pair"))
+    val best = pairs0.groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+      .select(regexp_replace(col("pair"), "\\+", "").as("bp"))
+    val merged = words.crossJoin(broadcast(best)).select(col("freq"), expr(
+      """aggregate(
+        |  transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+        |  CAST(array() AS array<string>),
+        |  (acc, c) -> CASE
+        |    WHEN size(acc) > 0
+        |         AND concat(element_at(acc, size(acc)), c) = bp
+        |      THEN concat(slice(acc, 1, size(acc) - 1), array(bp))
+        |    ELSE concat(acc, array(c)) END)""".stripMargin).as("ss"))
+    val pairs1 = merged.select(col("freq"), explode(expr(
+      "transform(sequence(1, size(ss) - 1), " +
+        "i -> concat(element_at(ss, i), '+', element_at(ss, i + 1)))"))
+      .as("pair"))
+    top(pairs0, 0).unionByName(top(pairs1, 1))
+      .orderBy(col("stage"), col("rk"))
+  }
+
+  private val q196Sql =
+    """WITH words AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) >= 2 GROUP BY w),
+      |pairs0 AS (
+      |  SELECT freq, unnest(list_transform(range(1, len(w)),
+      |    i -> substring(w, CAST(i AS INT), 1) || '+'
+      |         || substring(w, CAST(i AS INT) + 1, 1))) AS pair
+      |  FROM words),
+      |agg0 AS (
+      |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM pairs0 GROUP BY pair),
+      |best AS (
+      |  SELECT replace(pair, '+', '') AS bp FROM agg0
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |merged AS (
+      |  SELECT freq, list_reduce(
+      |    list_prepend(CAST([] AS VARCHAR[]),
+      |      list_transform(range(1, len(w) + 1),
+      |        i -> [substring(w, CAST(i AS INT), 1)])),
+      |    (acc, x) -> CASE
+      |      WHEN len(acc) > 0 AND acc[-1] || x[1] = bp
+      |        THEN list_append(list_slice(acc, 1, len(acc) - 1), bp)
+      |      ELSE list_concat(acc, x) END) AS ss
+      |  FROM words, best),
+      |pairs1 AS (
+      |  SELECT freq, unnest(list_transform(range(1, len(ss)),
+      |    i -> ss[i] || '+' || ss[i + 1])) AS pair
+      |  FROM merged),
+      |agg1 AS (
+      |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM pairs1 GROUP BY pair),
+      |ranked AS (
+      |  SELECT 0 AS stage, pair, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM agg0
+      |  UNION ALL
+      |  SELECT 1, pair, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM agg1)
+      |SELECT CAST(stage AS BIGINT) AS stage, CAST(rk AS BIGINT) AS rk,
+      |  pair, cnt
+      |FROM ranked WHERE rk <= 15
+      |ORDER BY stage, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_record_linkage" -> (q108 _),
     "q65_repetition" -> (q65 _),
@@ -1161,7 +1260,8 @@ object LlmOps {
     "q184_dedup_pipeline" -> (q184 _),
     "q188_split_leakage" -> (q188 _),
     "q189_mix_plan" -> (q189 _),
-    "q190_path_rollup" -> (q190 _))
+    "q190_path_rollup" -> (q190 _),
+    "q196_bpe_step" -> (q196 _))
 
   val oracle: Map[String, String] = Map(
     "q108_record_linkage" -> q108Sql,
@@ -1188,5 +1288,6 @@ object LlmOps {
     "q184_dedup_pipeline" -> q184Sql,
     "q188_split_leakage" -> q188Sql,
     "q189_mix_plan" -> q189Sql,
-    "q190_path_rollup" -> q190Sql)
+    "q190_path_rollup" -> q190Sql,
+    "q196_bpe_step" -> q196Sql)
 }
