@@ -835,6 +835,63 @@ object Advanced {
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q200 — association rules (market-basket): top-25 part pairs
+  // co-occurring in the same order, with support, confidence and lift
+  // as integer ppm (numerators never leave BIGINT). Baskets are tiny
+  // (≈4 items) so the within-basket self-join emits C(4,2) pairs per
+  // order — linear in the fact table, never quadratic in the
+  // catalogue. Both sides of the self-join are renamed apart before
+  // joining (Spark self-join ambiguity discipline).
+  // ---------------------------------------------------------------------
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().localCheckpoint()
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val pairs = items
+      .join(items.select(col("ok"), col("pk").as("pk_b")), Seq("ok"))
+      .filter(col("pk") < col("pk_b"))
+      .groupBy(col("pk").as("pa"), col("pk_b").as("pb"))
+      .agg(count(lit(1)).as("pair_cnt"))
+    pairs
+      .join(broadcast(cnt.select(col("pk").as("pa"), col("cnt").as("cnt_a"))),
+        Seq("pa"))
+      .join(broadcast(cnt.select(col("pk").as("pb"), col("cnt").as("cnt_b"))),
+        Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("pair_cnt"), col("cnt_a"),
+        col("cnt_b"),
+        expr("pair_cnt * 1000000 div cnt_a").as("conf_ppm"),
+        expr("pair_cnt * n_orders * 1000000 div (cnt_a * cnt_b)")
+          .as("lift_ppm"))
+      .orderBy(col("pair_cnt").desc, col("pa"), col("pb"))
+      .limit(25)
+  }
+
+  private val q200Sql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (
+      |  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+      |cnt AS (
+      |  SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY pk),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT)
+      |      AS pair_cnt
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2)
+      |SELECT pa, pb, pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+      |  pair_cnt * 1000000 // ca.cnt AS conf_ppm,
+      |  pair_cnt * n.n_orders * 1000000 // (ca.cnt * cb.cnt) AS lift_ppm
+      |FROM pairs
+      |JOIN cnt ca ON ca.pk = pa
+      |JOIN cnt cb ON cb.pk = pb, n
+      |ORDER BY pair_cnt DESC, pa, pb
+      |LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q169 — burst detection (peak request rate): for each user, the
   // maximum number of events inside ANY trailing 1-hour window — a
   // RANGE frame over integer epoch seconds (every event's frame is
@@ -2490,7 +2547,8 @@ object Advanced {
     "q187_ivf_pq" -> (q187 _),
     "q191_local_clustering" -> (q191 _),
     "q193_acf" -> (q193 _),
-    "q194_calibration" -> (q194 _))
+    "q194_calibration" -> (q194 _),
+    "q200_assoc_rules" -> (q200 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -2544,5 +2602,6 @@ object Advanced {
     "q187_ivf_pq" -> q187Sql,
     "q191_local_clustering" -> q191Sql,
     "q193_acf" -> q193Sql,
-    "q194_calibration" -> q194Sql)
+    "q194_calibration" -> q194Sql,
+    "q200_assoc_rules" -> q200Sql)
 }

@@ -198,6 +198,53 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // q199 — round-robin curriculum interleave: a global training order
+  // that alternates sources WITHOUT a global sort — position =
+  // rank_within_source · n_sources + source_index, so each source is
+  // ranked independently (per-source window, quality-descending) and
+  // the interleaved position is pure arithmetic. The 100 TB shape:
+  // per-source sorts parallelize and the "global" order never
+  // materializes on one node; a schedule writer just sorts each
+  // output partition by the position column.
+  // ---------------------------------------------------------------------
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val srcIdx = d.select(col("source")).distinct()
+      .withColumn("src_idx",
+        (row_number().over(Window.orderBy(col("source"))) - 1)
+          .cast("long"))
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+    val ranked = d
+      .withColumn("r", (row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)) - 1)
+        .cast("long"))
+    ranked.join(broadcast(srcIdx), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"),
+        (col("r") * col("n_src") + col("src_idx")).as("position"))
+      .orderBy(col("position"))
+  }
+
+  private val q199Sql =
+    """WITH src AS (
+      |  SELECT source,
+      |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+      |      AS src_idx
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM src),
+      |ranked AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS r
+      |  FROM documents)
+      |SELECT ranked.doc_id, ranked.source,
+      |  ranked.r * n.n_src + src.src_idx AS position
+      |FROM ranked JOIN src USING (source), n
+      |ORDER BY position""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q195 — adjusted Rand index between two clusterings of the
   // embedding corpus (q74's nearest-center assignment vs the ground-
   // truth labels): the clustering-agreement audit a curation pipeline
@@ -960,7 +1007,8 @@ object Curation {
     "q84_bm25" -> (q84 _),
     "q86_temperature_mix" -> (q86 _),
     "q88_pack_sequences" -> (q88 _),
-    "q195_ari" -> (q195 _))
+    "q195_ari" -> (q195 _),
+    "q199_interleave" -> (q199 _))
 
   val oracle: Map[String, String] = Map(
     "q97_source_cap" -> q97Sql,
@@ -985,5 +1033,6 @@ object Curation {
     "q84_bm25" -> q84Sql,
     "q86_temperature_mix" -> q86Sql,
     "q88_pack_sequences" -> q88Sql,
-    "q195_ari" -> q195Sql)
+    "q195_ari" -> q195Sql,
+    "q199_interleave" -> q199Sql)
 }

@@ -1137,6 +1137,50 @@ object LlmOps {
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q197 — n-gram novelty attribution: for each document, how many of
+  // its distinct 3-gram shingles appear for the FIRST time in the
+  // corpus there (first = lowest doc_id) — the marginal-contribution
+  // score a curation pipeline uses to rank near-redundant documents
+  // before dropping them. Postings → min-id per shingle → join back:
+  // two shuffles on the shingle key, counts and an integer-div ppm,
+  // engine-exact. At 100 TB the join key would be xxhash64(shingle)
+  // (the q23 discipline) — same plan, narrower shuffle.
+  // ---------------------------------------------------------------------
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3)
+      .select(col("id"), col("shingle")).localCheckpoint()
+    val first = sh.groupBy(col("shingle")).agg(min(col("id")).as("fid"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("id") === col("fid")).cast("long")).as("n_novel"))
+      .withColumn("novel_ppm",
+        expr("n_novel * 1000000 div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q197Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents),
+      |shing AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(w) - 2),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      |  FROM toks WHERE len(w) >= 3),
+      |first AS (
+      |  SELECT shingle, min(doc_id) AS fid FROM shing GROUP BY shingle)
+      |SELECT s.doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN s.doc_id = f.fid THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(sum(CASE WHEN s.doc_id = f.fid THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // count(*) AS novel_ppm
+      |FROM shing s JOIN first f USING (shingle)
+      |GROUP BY s.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q196 — one BPE-trainer merge step (the inner loop of tokenizer
   // training): count freq-weighted adjacent character pairs across the
   // word inventory, pick the most frequent pair (tie → lexicographic),
@@ -1261,7 +1305,8 @@ object LlmOps {
     "q188_split_leakage" -> (q188 _),
     "q189_mix_plan" -> (q189 _),
     "q190_path_rollup" -> (q190 _),
-    "q196_bpe_step" -> (q196 _))
+    "q196_bpe_step" -> (q196 _),
+    "q197_ngram_novelty" -> (q197 _))
 
   val oracle: Map[String, String] = Map(
     "q108_record_linkage" -> q108Sql,
@@ -1289,5 +1334,6 @@ object LlmOps {
     "q188_split_leakage" -> q188Sql,
     "q189_mix_plan" -> q189Sql,
     "q190_path_rollup" -> q190Sql,
-    "q196_bpe_step" -> q196Sql)
+    "q196_bpe_step" -> q196Sql,
+    "q197_ngram_novelty" -> q197Sql)
 }
