@@ -892,6 +892,47 @@ object Advanced {
       |LIMIT 25""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q203 — trailing-7-day distinct actives (rolling DAU/WAU): exact
+  // windowed COUNT DISTINCT without a distinct-in-window (Spark lacks
+  // it and a collect_set frame buffers the partition): each distinct
+  // (user, day) contributes itself to the 7 windows it belongs to via
+  // a sequence-explode, then one hash distinct + count per window day.
+  // Shuffle volume is 7× the (user, day) table — bounded, partition-
+  // parallel, no per-row frame state; the standard 100 TB shape for
+  // sliding distinct counts.
+  // ---------------------------------------------------------------------
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val ud = ev(s, dir)
+      .select(expr("CAST(ts_s AS LONG) div 86400").as("day"),
+        col("user_id"))
+      .distinct().localCheckpoint()
+    val days = ud.select(col("day")).distinct()
+    val wau = ud
+      .select(explode(expr("sequence(day, day + 6)")).as("day"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau7"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    days.join(dau, Seq("day")).join(wau, Seq("day"))
+      .orderBy(col("day"))
+  }
+
+  private val q203Sql =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT ${epochSSql("ts")} // 86400 AS day, user_id
+       |  FROM events),
+       |days AS (SELECT DISTINCT day FROM ud),
+       |wau AS (
+       |  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau7
+       |  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+       |  GROUP BY d.day),
+       |dau AS (
+       |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day)
+       |SELECT day, dau.dau, wau.wau7
+       |FROM days JOIN dau USING (day) JOIN wau USING (day)
+       |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q169 — burst detection (peak request rate): for each user, the
   // maximum number of events inside ANY trailing 1-hour window — a
   // RANGE frame over integer epoch seconds (every event's frame is
@@ -2548,7 +2589,8 @@ object Advanced {
     "q191_local_clustering" -> (q191 _),
     "q193_acf" -> (q193 _),
     "q194_calibration" -> (q194 _),
-    "q200_assoc_rules" -> (q200 _))
+    "q200_assoc_rules" -> (q200 _),
+    "q203_rolling_distinct" -> (q203 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -2603,5 +2645,6 @@ object Advanced {
     "q191_local_clustering" -> q191Sql,
     "q193_acf" -> q193Sql,
     "q194_calibration" -> q194Sql,
-    "q200_assoc_rules" -> q200Sql)
+    "q200_assoc_rules" -> q200Sql,
+    "q203_rolling_distinct" -> q203Sql)
 }

@@ -245,6 +245,46 @@ object Curation {
       |ORDER BY position""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q204 — embedding gram matrix (the d×d second-moment table behind
+  // PCA whitening, feature-correlation audits, and OOD screens): each
+  // row emits its upper-triangle outer product as e4-int cell
+  // contributions, one hash aggregate reduces to d(d+1)/2 = 2080
+  // cells. Map-side partial aggregation collapses the explode before
+  // it ever shuffles — the shuffle carries ~cells × partitions rows
+  // regardless of corpus size, which is why this shape (not a
+  // driver-side matrix) survives 100 TB.
+  // ---------------------------------------------------------------------
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "embeddings").select(expr(
+      "transform(embedding, v -> " +
+        "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))").as("xe"))
+    x.select(explode(expr(
+      """flatten(transform(sequence(1, size(xe)), i ->
+        |  transform(sequence(i, size(xe)), j -> named_struct(
+        |    'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+        |    'p', element_at(xe, i) * element_at(xe, j)))))""".stripMargin))
+        .as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("c.p")).as("dot_e8"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  // dim is 64 at every SF (TESTDATA.md); the engine side stays
+  // dimension-agnostic via size(xe), the oracle pins the fixture dim.
+  private val q204Sql =
+    """WITH cells AS (
+      |  SELECT CAST(ii AS BIGINT) AS i, CAST(jj AS BIGINT) AS j,
+      |    CAST(round(CAST(embedding[CAST(ii AS INT)] AS DOUBLE) * 10000)
+      |      AS BIGINT)
+      |    * CAST(round(CAST(embedding[CAST(jj AS INT)] AS DOUBLE) * 10000)
+      |      AS BIGINT) AS p
+      |  FROM embeddings, range(1, 65) r1(ii), range(1, 65) r2(jj)
+      |  WHERE jj >= ii)
+      |SELECT i, j, count(*) AS n, CAST(sum(p) AS BIGINT) AS dot_e8
+      |FROM cells GROUP BY i, j
+      |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q195 — adjusted Rand index between two clusterings of the
   // embedding corpus (q74's nearest-center assignment vs the ground-
   // truth labels): the clustering-agreement audit a curation pipeline
@@ -1008,7 +1048,8 @@ object Curation {
     "q86_temperature_mix" -> (q86 _),
     "q88_pack_sequences" -> (q88 _),
     "q195_ari" -> (q195 _),
-    "q199_interleave" -> (q199 _))
+    "q199_interleave" -> (q199 _),
+    "q204_gram_matrix" -> (q204 _))
 
   val oracle: Map[String, String] = Map(
     "q97_source_cap" -> q97Sql,
@@ -1034,5 +1075,6 @@ object Curation {
     "q86_temperature_mix" -> q86Sql,
     "q88_pack_sequences" -> q88Sql,
     "q195_ari" -> q195Sql,
-    "q199_interleave" -> q199Sql)
+    "q199_interleave" -> q199Sql,
+    "q204_gram_matrix" -> q204Sql)
 }

@@ -1129,7 +1129,91 @@ object Lakehouse {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q201 — compaction planner: the table-maintenance step that groups
+  // a partition's small files into target-sized rewrite bins. Files
+  // (here: one per ship-day, sized by exact e0 revenue) sort largest-
+  // first within their partition, then a greedy left-to-right fold
+  // closes a bin whenever adding the next file would exceed the cap
+  // (2× the partition's largest file — scale-free, so the plan is
+  // meaningful at every SF). The fold state is a BIGINT array
+  // [fill, bin, assignment...] — engine-exact, and per-partition
+  // (never a global sort): exactly how a 100 TB table compacts, one
+  // partition's manifest at a time.
+  // ---------------------------------------------------------------------
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val files = t(s, dir, "lineitem")
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("yyyymm"),
+        dayofmonth(col("l_shipdate")).cast("long").as("file_id"))
+      .agg(sum(expr("CAST(round(l_extendedprice) AS BIGINT)")).as("bytes"))
+    val parts = files
+      .groupBy(col("yyyymm"))
+      .agg(sort_array(collect_list(expr("bytes * 100 + (99 - file_id)")),
+          asc = false).as("fl"),
+        (max(col("bytes")) * 2).as("cap"))
+    parts
+      .withColumn("acc", expr(
+        """aggregate(fl, CAST(array(0, 0) AS array<bigint>),
+          |  (acc, p) -> CASE
+          |    WHEN element_at(acc, 1) > 0
+          |         AND element_at(acc, 1) + p div 100 > cap
+          |      THEN concat(array(p div 100, element_at(acc, 2) + 1),
+          |             slice(acc, 3, size(acc) - 2),
+          |             array(element_at(acc, 2) + 1))
+          |    ELSE concat(
+          |           array(element_at(acc, 1) + p div 100,
+          |             element_at(acc, 2)),
+          |           slice(acc, 3, size(acc) - 2),
+          |           array(element_at(acc, 2))) END)""".stripMargin))
+      .select(col("yyyymm"), explode(expr(
+        "transform(sequence(1, size(fl)), i -> named_struct(" +
+          "'p', element_at(fl, i), 'bin', element_at(acc, i + 2)))"))
+        .as("e"))
+      .select(col("yyyymm"),
+        expr("99 - e.p % 100").as("file_id"),
+        expr("e.p div 100").as("bytes"),
+        col("e.bin").as("bin"))
+      .orderBy(col("yyyymm"), col("bin"), col("file_id"))
+  }
+
+  private val q201Sql =
+    """WITH files AS (
+      |  SELECT year(l_shipdate) * 100 + month(l_shipdate) AS yyyymm,
+      |    CAST(day(l_shipdate) AS BIGINT) AS file_id,
+      |    CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)
+      |      AS bytes
+      |  FROM lineitem GROUP BY 1, 2),
+      |parts AS (
+      |  SELECT yyyymm,
+      |    list_sort(list(bytes * 100 + (99 - file_id)), 'DESC') AS fl,
+      |    CAST(max(bytes) * 2 AS BIGINT) AS cap
+      |  FROM files GROUP BY yyyymm),
+      |folded AS (
+      |  SELECT yyyymm, fl, list_reduce(
+      |    list_prepend([0, 0]::BIGINT[], list_transform(fl, p -> [p])),
+      |    (acc, x) -> CASE
+      |      WHEN acc[1] > 0 AND acc[1] + x[1] // 100 > cap
+      |        THEN list_concat(
+      |               list_concat([x[1] // 100, acc[2] + 1],
+      |                 list_slice(acc, 3, len(acc))),
+      |               [acc[2] + 1])
+      |      ELSE list_concat(
+      |             list_concat([acc[1] + x[1] // 100, acc[2]],
+      |               list_slice(acc, 3, len(acc))),
+      |             [acc[2]]) END) AS acc
+      |  FROM parts),
+      |exploded AS (
+      |  SELECT yyyymm, unnest(list_transform(range(1, len(fl) + 1),
+      |    i -> {'p': fl[i], 'bin': acc[i + 2]})) AS e
+      |  FROM folded)
+      |SELECT yyyymm, 99 - e['p'] % 100 AS file_id,
+      |  e['p'] // 100 AS bytes, e['bin'] AS bin
+      |FROM exploded
+      |ORDER BY yyyymm, bin, file_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_compaction_plan" -> (q201 _),
     "q117_bucketed_join" -> (q117 _),
     "q118_hll_partials" -> (q118 _),
     "q119_table_diff" -> (q119 _),
@@ -1156,6 +1240,7 @@ object Lakehouse {
     "q141_balance_audit" -> (q141 _))
 
   val oracle: Map[String, String] = Map(
+    "q201_compaction_plan" -> q201Sql,
     "q117_bucketed_join" -> q117Sql,
     "q118_hll_partials" -> q118Sql,
     "q119_table_diff" -> q119Sql,

@@ -1137,6 +1137,95 @@ object LlmOps {
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q198 — LSH quality audit: recall of the MinHash-LSH candidate
+  // generator (q22's 32-hash × 8-band config) against the df-pruned
+  // exact-Jaccard ground truth (q23's config) — the measurement a
+  // pipeline owner runs before trusting approximate dedup at scale.
+  // One shared postings checkpoint feeds both branches; the output is
+  // a single row of exact counts plus an integer-div recall ppm.
+  // ---------------------------------------------------------------------
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = Dedup.shingleTablePortable(d, "doc_id", "text", 3)
+      .select(col("id"), col("sh")).localCheckpoint()
+    val truth = Dedup.jaccardPairs(Dedup.dfPruneFrac(base, 0.1, d), 0.2)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val cand = Dedup.lshCandidates(Dedup.lshBucketsPortable(
+        Dedup.minhashSignaturesPortable(base, 32), 4)).localCheckpoint()
+    val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN -1 " +
+          "ELSE n_hit * 1000000 div n_truth END").as("recall_ppm"))
+  }
+
+  private val q198Sql: String = {
+    import graft.functions.PortableHash
+    val numHashes = 32
+    val rowsPerBand = 4
+    val bands = numHashes / rowsPerBand
+    val sigCols = (0 until numHashes)
+      .map(h => s"min(${PortableHash.permDuckSql(h, "sh")}) AS m$h")
+      .mkString(",\n      |    ")
+    val bandStructs = (0 until bands).map { b =>
+      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand).map(h => s"m$h")
+      s"{'band': $b, 'bucket': ${PortableHash.bandBucketDuckSql(b, ms)}}"
+    }.mkString(",\n      |      ")
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents),
+      |shing AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(w) - 2),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      |  FROM toks WHERE len(w) >= 3),
+      |freq AS (SELECT shingle, count(*) AS df FROM shing GROUP BY shingle),
+      |tot AS (SELECT count(*) AS nd FROM documents),
+      |pruned AS (
+      |  SELECT s.doc_id, s.shingle
+      |  FROM shing s JOIN freq f ON f.shingle = s.shingle, tot
+      |  WHERE f.df <= greatest(2.0, nd * 0.1)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+      |  FROM pruned x JOIN pruned y
+      |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT id_a, id_b FROM inter i
+      |  JOIN sizes sa ON sa.doc_id = i.id_a
+      |  JOIN sizes sb ON sb.doc_id = i.id_b
+      |  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.2),
+      |hashed AS (
+      |  SELECT doc_id, ${PortableHash.hash60DuckSql("shingle")} AS sh
+      |  FROM shing),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $sigCols
+      |  FROM hashed GROUP BY doc_id),
+      |buckets AS (
+      |  SELECT doc_id, bb['band'] AS band, bb['bucket'] AS bucket
+      |  FROM (SELECT doc_id, unnest([
+      |      $bandStructs
+      |    ]) AS bb FROM sig)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM buckets x JOIN buckets y
+      |    ON x.band = y.band AND x.bucket = y.bucket
+      |      AND x.doc_id < y.doc_id)
+      |SELECT t.n_truth, c.n_cand, h.n_hit,
+      |  CASE WHEN t.n_truth = 0 THEN -1
+      |       ELSE h.n_hit * 1000000 // t.n_truth END AS recall_ppm
+      |FROM (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth) t,
+      |     (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand) c,
+      |     (SELECT CAST(count(*) AS BIGINT) AS n_hit
+      |      FROM truth JOIN cand USING (id_a, id_b)) h""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q197 — n-gram novelty attribution: for each document, how many of
   // its distinct 3-gram shingles appear for the FIRST time in the
   // corpus there (first = lowest doc_id) — the marginal-contribution
@@ -1306,7 +1395,8 @@ object LlmOps {
     "q189_mix_plan" -> (q189 _),
     "q190_path_rollup" -> (q190 _),
     "q196_bpe_step" -> (q196 _),
-    "q197_ngram_novelty" -> (q197 _))
+    "q197_ngram_novelty" -> (q197 _),
+    "q198_lsh_recall" -> (q198 _))
 
   val oracle: Map[String, String] = Map(
     "q108_record_linkage" -> q108Sql,
@@ -1335,5 +1425,6 @@ object LlmOps {
     "q189_mix_plan" -> q189Sql,
     "q190_path_rollup" -> q190Sql,
     "q196_bpe_step" -> q196Sql,
-    "q197_ngram_novelty" -> q197Sql)
+    "q197_ngram_novelty" -> q197Sql,
+    "q198_lsh_recall" -> q198Sql)
 }
