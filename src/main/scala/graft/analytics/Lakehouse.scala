@@ -1130,6 +1130,134 @@ object Lakehouse {
       |ORDER BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q202 — partition-stats pruning audit: for each candidate scan
+  // predicate, how many month-partitions a min/max zone map would
+  // skip, how many rows the surviving partitions force the scan to
+  // read, and how many rows actually match — the skipped/scanned/
+  // matched triple that tells a table owner whether the current
+  // partition layout earns its keep. Stats come from one grouped
+  // pass; predicates are a broadcast 3-row table; everything integer.
+  // ---------------------------------------------------------------------
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dtab = t(s, dir, "lineitem")
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("ym"),
+        (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100
+          + dayofmonth(col("l_shipdate"))).cast("long").as("dk"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val stats = dtab.groupBy(col("ym"))
+      .agg(min(col("dk")).as("min_dk"), max(col("dk")).as("max_dk"),
+        sum(col("n")).as("n_rows"))
+    val preds = Seq((1L, 19960205L, 19960318L), (2L, 19951120L, 19960110L),
+      (3L, 20030101L, 20031231L)).toDF("pid", "lo", "hi")
+    val pruned = col("max_dk") < col("lo") || col("min_dk") > col("hi")
+    val audit = stats.crossJoin(broadcast(preds))
+      .groupBy(col("pid"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(pruned.cast("long")).as("n_pruned"),
+        sum(when(pruned, 0L).otherwise(col("n_rows"))).as("rows_scanned"))
+    val matched = dtab.crossJoin(broadcast(preds))
+      .filter(col("dk") >= col("lo") && col("dk") <= col("hi"))
+      .groupBy(col("pid")).agg(sum(col("n")).as("rows_matched"))
+    audit.join(matched, Seq("pid"), "left")
+      .select(col("pid"), col("lo"), col("hi"), col("n_parts"),
+        col("n_pruned"), col("rows_scanned"),
+        coalesce(col("rows_matched"), lit(0L)).as("rows_matched"))
+      .orderBy(col("pid"))
+  }
+
+  private val q202Sql =
+    """WITH dtab AS (
+      |  SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+      |    year(l_shipdate) * 10000 + month(l_shipdate) * 100
+      |      + day(l_shipdate) AS dk,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT ym, min(dk) AS min_dk, max(dk) AS max_dk,
+      |    CAST(sum(n) AS BIGINT) AS n_rows
+      |  FROM dtab GROUP BY ym),
+      |preds AS (
+      |  SELECT * FROM (VALUES
+      |    (CAST(1 AS BIGINT), CAST(19960205 AS BIGINT),
+      |     CAST(19960318 AS BIGINT)),
+      |    (2, 19951120, 19960110),
+      |    (3, 20030101, 20031231)) p(pid, lo, hi)),
+      |audit AS (
+      |  SELECT pid, lo, hi, count(*) AS n_parts,
+      |    CAST(sum(CASE WHEN max_dk < lo OR min_dk > hi
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+      |    CAST(sum(CASE WHEN max_dk < lo OR min_dk > hi
+      |      THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned
+      |  FROM stats, preds GROUP BY 1, 2, 3),
+      |matched AS (
+      |  SELECT pid, CAST(sum(n) AS BIGINT) AS rows_matched
+      |  FROM dtab, preds WHERE dk BETWEEN lo AND hi GROUP BY pid)
+      |SELECT a.pid, a.lo, a.hi, a.n_parts, a.n_pruned, a.rows_scanned,
+      |  COALESCE(m.rows_matched, 0) AS rows_matched
+      |FROM audit a LEFT JOIN matched m USING (pid)
+      |ORDER BY pid""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q205 — RFM segmentation (recency / frequency / monetary): each
+  // customer scores 1–5 on all three axes via per-NATION quintiles —
+  // partition-parallel windows with a unique (metric, custkey)
+  // tiebreak, never a global sort — then segments aggregate to
+  // (r, f, m) cells with exact e2 revenue. One shuffle on custkey for
+  // the order rollup, one on nationkey for the three rank windows
+  // (three sorts inside one exchange).
+  // ---------------------------------------------------------------------
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(unix_date(col("o_orderdate").cast("date"))).as("r_day"),
+        count(lit(1)).as("f_cnt"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m_e2"))
+    val withNat = per.join(
+      t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey").as("nk")), Seq("o_custkey"))
+    def score(metric: org.apache.spark.sql.Column) =
+      ntile(5).over(Window.partitionBy(col("nk"))
+        .orderBy(metric.asc, col("o_custkey").asc)).cast("long")
+    withNat
+      .select(col("o_custkey"), col("m_e2"),
+        score(col("r_day")).as("r_score"),
+        score(col("f_cnt")).as("f_score"),
+        score(col("m_e2")).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("m_e2")).as("m_total_e2"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  private val q205Sql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS r_day,
+      |    count(*) AS f_cnt,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS m_e2
+      |  FROM orders GROUP BY o_custkey),
+      |wn AS (
+      |  SELECT p.*, c.c_nationkey AS nk
+      |  FROM per p JOIN customer c ON c.c_custkey = p.o_custkey),
+      |scored AS (
+      |  SELECT o_custkey, m_e2,
+      |    CAST(ntile(5) OVER (PARTITION BY nk
+      |      ORDER BY r_day, o_custkey) AS BIGINT) AS r_score,
+      |    CAST(ntile(5) OVER (PARTITION BY nk
+      |      ORDER BY f_cnt, o_custkey) AS BIGINT) AS f_score,
+      |    CAST(ntile(5) OVER (PARTITION BY nk
+      |      ORDER BY m_e2, o_custkey) AS BIGINT) AS m_score
+      |  FROM wn)
+      |SELECT r_score, f_score, m_score, count(*) AS n_cust,
+      |  CAST(sum(m_e2) AS BIGINT) AS m_total_e2
+      |FROM scored
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q201 — compaction planner: the table-maintenance step that groups
   // a partition's small files into target-sized rewrite bins. Files
   // (here: one per ship-day, sized by exact e0 revenue) sort largest-
@@ -1214,6 +1342,8 @@ object Lakehouse {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_compaction_plan" -> (q201 _),
+    "q202_stats_pruning" -> (q202 _),
+    "q205_rfm_segments" -> (q205 _),
     "q117_bucketed_join" -> (q117 _),
     "q118_hll_partials" -> (q118 _),
     "q119_table_diff" -> (q119 _),
@@ -1241,6 +1371,8 @@ object Lakehouse {
 
   val oracle: Map[String, String] = Map(
     "q201_compaction_plan" -> q201Sql,
+    "q202_stats_pruning" -> q202Sql,
+    "q205_rfm_segments" -> q205Sql,
     "q117_bucketed_join" -> q117Sql,
     "q118_hll_partials" -> q118Sql,
     "q119_table_diff" -> q119Sql,

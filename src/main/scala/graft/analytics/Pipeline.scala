@@ -193,6 +193,80 @@ object Pipeline {
   // resampling grid, orientation handling, or either codec pass were
   // wrong anywhere, the sums would not match.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // q206 — frame-level audio features (the granularity VAD / energy
+  // gating actually trains on): every synthetic WAV decodes through
+  // the real RIFF parser, then emits per-40-sample-frame peak, strict
+  // zero crossings (within-frame pairs only) and Σs² energy. The
+  // oracle recomputes each frame from the waveform's closed form —
+  // frame boundaries, the short final frame, and the boundary-pair
+  // exclusion all have to match exactly.
+  // ---------------------------------------------------------------------
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.wavFrameFeatures(
+        Multimodal.syntheticWav(t(s, dir, "documents")), 40)
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val q206Sql =
+    """WITH d AS (
+      |  SELECT doc_id, 160 + (doc_id % 23) * 8 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+      |v AS (
+      |  SELECT doc_id, i, i // 40 AS frame_idx,
+      |    ((doc_id * 31 + i * 37) % 2003) - 1001 AS v,
+      |    ((doc_id * 31 + (i - 1) * 37) % 2003) - 1001 AS vp
+      |  FROM s)
+      |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  count(*) AS n,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak,
+      |  CAST(sum(CASE WHEN i % 40 > 0 AND v * vp < 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_zero_cross,
+      |  CAST(sum(v * v) AS BIGINT) AS energy
+      |FROM v
+      |GROUP BY 1, 2
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q207 — per-image luma histogram (the exposure-profile feature an
+  // image-curation pipeline filters on): every gradient BMP decodes
+  // through the real parser and bins its pixels by integer Rec. 709
+  // luma into 8 equal-width bins; only occupied bins emit. The oracle
+  // rebuilds the histogram from the gradient closed form — binning
+  // arithmetic and sparse-emission semantics must match bit-for-bit.
+  // ---------------------------------------------------------------------
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.bmpLumaHistogram(
+        Multimodal.syntheticBmp(t(s, dir, "documents")), 8)
+      .toDF()
+      .orderBy(col("media_id"), col("bin"))
+  }
+
+  private val q207Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+      |    CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |v AS (
+      |  SELECT doc_id,
+      |    (doc_id * 7 + 3 * x + 5 * y) % 256 AS r,
+      |    (doc_id * 11 + 13 * x + 17 * y) % 256 AS g,
+      |    (doc_id * 19 + 23 * x + 29 * y) % 256 AS b
+      |  FROM px)
+      |SELECT doc_id AS media_id,
+      |  (2126 * r + 7152 * g + 722 * b) * 8 // 2550001 AS bin,
+      |  count(*) AS n_px
+      |FROM v
+      |GROUP BY 1, 2
+      |ORDER BY media_id, bin""".stripMargin
+
   private def q182(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
     Multimodal.decodeBmp(Multimodal.resizeBmp(
@@ -766,7 +840,9 @@ object Pipeline {
     "q89_wav_decode" -> (q89 _),
     "q96_frame_sampling" -> (q96 _),
     "q132_bmp_decode" -> (q132 _),
-    "q182_bmp_resize" -> (q182 _))
+    "q182_bmp_resize" -> (q182 _),
+    "q206_wav_frames" -> (q206 _),
+    "q207_luma_histogram" -> (q207 _))
 
   val oracle: Map[String, String] = Map(
     "q173_pit_features" -> q173Sql,
@@ -781,5 +857,7 @@ object Pipeline {
     "q89_wav_decode" -> q89Sql,
     "q96_frame_sampling" -> q96Sql,
     "q132_bmp_decode" -> q132Sql,
-    "q182_bmp_resize" -> q182Sql)
+    "q182_bmp_resize" -> q182Sql,
+    "q206_wav_frames" -> q206Sql,
+    "q207_luma_histogram" -> q207Sql)
 }

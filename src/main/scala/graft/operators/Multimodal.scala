@@ -134,6 +134,23 @@ object Multimodal {
     * (s·s' < 0), and total energy Σs² — all integer-exact, so the
     * result is engine- and layout-independent. */
   def decodeWavPcm16(mediaId: Long, bytes: Array[Byte]): WavRow = {
+    val (sampleRate, samples) = parseWavPcm16(bytes)
+    var peak = 0L; var zc = 0L; var energy = 0L
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toLong
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && v * samples(i - 1).toLong < 0) zc += 1
+      energy += v * v
+      i += 1
+    }
+    WavRow(mediaId, sampleRate, samples.length.toLong, peak, zc, energy)
+  }
+
+  /** Chunk-walking RIFF/WAVE parser shared by the whole-clip and
+    * per-frame decoders: returns (sampleRate, PCM16 samples). */
+  private[operators] def parseWavPcm16(
+      bytes: Array[Byte]): (Long, Array[Short]) = {
     import java.nio.{ByteBuffer, ByteOrder}
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def tag4(): String = {
@@ -165,16 +182,36 @@ object Multimodal {
       }
     }
     require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
-    var peak = 0L; var zc = 0L; var energy = 0L
-    var i = 0
-    while (i < samples.length) {
-      val v = samples(i).toLong
-      if (math.abs(v) > peak) peak = math.abs(v)
-      if (i > 0 && v * samples(i - 1).toLong < 0) zc += 1
-      energy += v * v
-      i += 1
-    }
-    WavRow(mediaId, sampleRate, samples.length.toLong, peak, zc, energy)
+    (sampleRate, samples)
+  }
+
+  /** One row per fixed-length analysis frame: the feature-extraction
+    * granularity speech/audio pipelines actually train on (VAD,
+    * energy gating, diarization windows), where [[decodeWav]] is the
+    * clip-level summary. The final frame may be short; zero crossings
+    * count only sample pairs INSIDE the frame, so every frame's
+    * features are a pure function of its own samples. Same
+    * zero-shuffle mapPartitions batch shape as the codecs. */
+  case class WavFrameRow(media_id: Long, frame_idx: Long, n: Long,
+      peak: Long, n_zero_cross: Long, energy: Long)
+
+  def wavFrameFeatures(media: Dataset[MediaRow],
+                       frameLen: Int): Dataset[WavFrameRow] = {
+    import media.sparkSession.implicits._
+    require(frameLen >= 2, s"frameLen=$frameLen must be >= 2")
+    media.mapPartitions(_.flatMap { m =>
+      val (_, samples) = parseWavPcm16(m.content)
+      samples.indices.grouped(frameLen).zipWithIndex.map { case (idx, f) =>
+        var peak = 0L; var zc = 0L; var en = 0L
+        idx.foreach { i =>
+          val v = samples(i).toLong
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > idx.head && v * samples(i - 1).toLong < 0) zc += 1
+          en += v * v
+        }
+        WavFrameRow(m.media_id, f.toLong, idx.size.toLong, peak, zc, en)
+      }
+    })
   }
 
   /** Distributed WAV decode: same batch shape as [[decode]], real
@@ -320,6 +357,40 @@ object Multimodal {
         bytes(base) & 0xff))
     }
     (width, height, px)
+  }
+
+  /** Sparse per-image luma histogram: pixels binned by integer
+    * Rec. 709 luma (2126·R + 7152·G + 722·B, ×10⁴ — the [[BmpRow]]
+    * weighting) into `nBins` equal-width bins via pure integer
+    * arithmetic (lum·nBins div 2 550 001 — the divisor is one past
+    * the all-white maximum 2 550 000, so the brightest pixel lands
+    * INSIDE the last bin instead of indexing one past it). Only
+    * occupied bins emit, so the output is exposure-profile-sized,
+    * not resolution-sized. Zero-shuffle mapPartitions, like every
+    * codec batch here. */
+  case class LumaBinRow(media_id: Long, bin: Long, n_px: Long)
+
+  def bmpLumaHistogram(media: Dataset[MediaRow],
+                       nBins: Int = 8): Dataset[LumaBinRow] = {
+    import media.sparkSession.implicits._
+    require(nBins >= 1, s"nBins=$nBins must be >= 1")
+    media.mapPartitions(_.flatMap { m =>
+      val (w, h, px) = readBmp24(m.content)
+      val counts = new Array[Long](nBins)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = px(x, y)
+          val lum = 2126L * r + 7152L * g + 722L * b
+          counts(((lum * nBins) / 2550001L).toInt) += 1
+          x += 1
+        }
+        y += 1
+      }
+      counts.indices.withFilter(counts(_) > 0)
+        .map(b => LumaBinRow(m.media_id, b.toLong, counts(b)))
+    })
   }
 
   /** Nearest-neighbor downsample by an integer factor: output pixel

@@ -172,4 +172,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(half.g_sum == pts.map(_._2).sum)
     assert(half.b_sum == pts.map(_._3).sum)
   }
+
+  test("wavFrameFeatures: frame boundaries, short final frame, and " +
+       "within-frame-only zero crossings") {
+    import spark.implicits._
+    // 7 samples, frames of 3: [1,-1,2], [-2,3,-3], [4]
+    val samples = Array[Short](1, -1, 2, -2, 3, -3, 4)
+    val media = Seq(Multimodal.MediaRow(5L, "audio",
+      Multimodal.encodeWavPcm16(samples, 8000))).toDS()
+    val fr = Multimodal.wavFrameFeatures(media, 3).collect()
+      .sortBy(_.frame_idx)
+    assert(fr.map(f => (f.frame_idx, f.n, f.peak, f.n_zero_cross,
+      f.energy)).toSeq == Seq(
+      (0L, 3L, 2L, 2L, 6L),  // 1,-1,2: crossings at both pairs
+      (1L, 3L, 3L, 2L, 22L), // -2,3,-3: the 2→-2 boundary pair NOT counted
+      (2L, 1L, 4L, 0L, 16L)))
+  }
+
+  test("bmpLumaHistogram: bins partition the pixels, black and white " +
+       "land in the outer bins") {
+    import spark.implicits._
+    // 2x2: black, white, mid gray, green-ish
+    val colors = Map((0, 0) -> (0, 0, 0), (1, 0) -> (255, 255, 255),
+      (0, 1) -> (128, 128, 128), (1, 1) -> (0, 255, 0))
+    val media = Seq(Multimodal.MediaRow(9L, "image",
+      Multimodal.encodeBmp24(2, 2, (x, y) => colors((x, y))))).toDS()
+    val bins = Multimodal.bmpLumaHistogram(media, 8).collect()
+      .map(r => r.bin -> r.n_px).toMap
+    assert(bins(0L) == 1)                    // black
+    assert(bins(7L) == 1)                    // white (max luma, last bin)
+    assert(bins(4L) == 1)                    // gray 128 → bin 4
+    assert(bins(5L) == 1)                    // pure green: 7152*255 → bin 5
+    assert(bins.values.sum == 4)
+  }
 }
