@@ -933,6 +933,83 @@ object Advanced {
        |ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q209 — multi-resolution rollup with Haar detail coefficients (the
+  // change-detection screen at dyadic scales): the exact e2 daily
+  // revenue series aggregates at bucket widths 2/4/8 days, each
+  // bucket carrying its total AND the unnormalized Haar detail
+  // (left-half sum − right-half sum). Pure integer signed sums — one
+  // explode ×3 + one hash aggregate, no window, engine-exact.
+  // ---------------------------------------------------------------------
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "lineitem")
+      .groupBy(unix_date(col("l_shipdate").cast("date")).as("dk"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("rev"))
+    daily
+      .select(col("dk"), col("rev"),
+        explode(expr("array(1, 2, 3)")).as("lvl"))
+      .groupBy(col("lvl").cast("long").as("lvl"),
+        expr("dk div CAST(pow(2, lvl) AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("rev")).as("total_e2"),
+        sum(when(
+          expr("(dk div CAST(pow(2, lvl - 1) AS BIGINT)) % 2 = 0"),
+          col("rev")).otherwise(-col("rev"))).as("detail_e2"))
+      .orderBy(col("lvl"), col("bucket"))
+  }
+
+  private val q209Sql =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS dk,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |lv AS (SELECT unnest([1, 2, 3]) AS lvl)
+      |SELECT CAST(lvl AS BIGINT) AS lvl,
+      |  dk // CAST(pow(2, lvl) AS BIGINT) AS bucket,
+      |  count(*) AS n_days,
+      |  CAST(sum(rev) AS BIGINT) AS total_e2,
+      |  CAST(sum(CASE WHEN (dk // CAST(pow(2, lvl - 1) AS BIGINT)) % 2 = 0
+      |    THEN rev ELSE -rev END) AS BIGINT) AS detail_e2
+      |FROM daily, lv
+      |GROUP BY 1, 2
+      |ORDER BY lvl, bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q210 — 2-D Pareto skyline: the orders no other order beats on
+  // BOTH (cheaper price, more recent date) — Skyline.paretoFront2D's
+  // per-cost collapse + strict prefix max over range partitions (the
+  // q59 discipline), never an all-pairs dominance anti-join and never
+  // a corpus-wide window. Equal-optimum duplicates all survive.
+  // ---------------------------------------------------------------------
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_e2"),
+      unix_date(col("o_orderdate").cast("date")).cast("long").as("day"))
+    graft.operators.Skyline.paretoFront2D(o, "price_e2", "day")
+      .orderBy(col("price_e2"), col("o_orderkey"))
+  }
+
+  private val q210Sql =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |      AS day
+      |  FROM orders),
+      |pm AS (SELECT price_e2, max(day) AS dmax FROM o GROUP BY price_e2),
+      |pref AS (
+      |  SELECT price_e2, dmax,
+      |    max(dmax) OVER (ORDER BY price_e2
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      |  FROM pm)
+      |SELECT o.o_orderkey, o.price_e2, o.day
+      |FROM o JOIN pref ON o.price_e2 = pref.price_e2
+      |WHERE o.day = pref.dmax
+      |  AND (pref.prevmax IS NULL OR pref.prevmax < pref.dmax)
+      |ORDER BY o.price_e2, o.o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q169 — burst detection (peak request rate): for each user, the
   // maximum number of events inside ANY trailing 1-hour window — a
   // RANGE frame over integer epoch seconds (every event's frame is
@@ -2590,7 +2667,9 @@ object Advanced {
     "q193_acf" -> (q193 _),
     "q194_calibration" -> (q194 _),
     "q200_assoc_rules" -> (q200 _),
-    "q203_rolling_distinct" -> (q203 _))
+    "q203_rolling_distinct" -> (q203 _),
+    "q209_haar_rollup" -> (q209 _),
+    "q210_skyline" -> (q210 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -2646,5 +2725,7 @@ object Advanced {
     "q193_acf" -> q193Sql,
     "q194_calibration" -> q194Sql,
     "q200_assoc_rules" -> q200Sql,
-    "q203_rolling_distinct" -> q203Sql)
+    "q203_rolling_distinct" -> q203Sql,
+    "q209_haar_rollup" -> q209Sql,
+    "q210_skyline" -> q210Sql)
 }

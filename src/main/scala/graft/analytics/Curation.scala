@@ -245,6 +245,107 @@ object Curation {
       |ORDER BY position""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q208 — reciprocal-rank-fusion hybrid search (the lexical+dense
+  // merge every retrieval stack runs): BM25 top-50 (TakeOrdered, no
+  // global window over the corpus) fuses with brute-cosine top-50 for
+  // one query vector via RRF = Σ 1/(60+rank), summed in one fixed
+  // IEEE expression and emitted e9. Items missing from one ranking
+  // contribute only the other's term — the standard RRF convention.
+  // ---------------------------------------------------------------------
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.operators.TfIdf.bm25(docs(s, dir), "doc_id", "text",
+        bm25Terms, k1 = 1.2, b = 0.75, k = 50)
+      .select(col("doc_id"), col("score_e4"))
+      // 50-row post-top-k table: the global window is bounded by k,
+      // not the corpus
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score_e4").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    val e = t(s, dir, "embeddings")
+    val dense = graft.operators.Similarity.bruteForceTopK(
+        e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 50)
+      .select(col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("r_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(-1L)).as("r_lex"),
+        coalesce(col("r_dense"), lit(-1L)).as("r_dense"),
+        round((coalesce(lit(1.0) / (lit(60.0) + col("r_lex").cast("double")),
+            lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("r_dense").cast("double")),
+            lit(0.0))) * lit(1000000000.0)).cast("long").as("rrf_e9"))
+      .orderBy(col("rrf_e9").desc, col("doc_id")).limit(15)
+  }
+
+  // lazy: bm25Terms declares later in the file; strict init order
+  // would read it as null
+  private lazy val q208Sql = {
+    val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, t -> t = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n      |    ")
+    val dfs = bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val terms = bm25Terms.indices.map { i =>
+      s"""round(ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+         |      / (CAST(df$i AS DOUBLE) + 0.5) + 1.0), 4)
+         |    * (CAST(tf$i AS DOUBLE) * 2.2)
+         |    / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25
+         |      + 0.75 * CAST(dl * n AS DOUBLE) / CAST(sumdl AS DOUBLE)))"""
+        .stripMargin
+    }.mkString("\n      |  + ")
+    val cos = graft.functions.Vectors.cosineSql("q.qv", "e.embedding")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM toks),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS BIGINT) AS sumdl, $dfs
+       |  FROM base),
+       |lexall AS (
+       |  SELECT doc_id,
+       |    CAST(round(($terms) * 10000.0) AS BIGINT) AS score_e4
+       |  FROM base, stats),
+       |lex AS (
+       |  SELECT doc_id, r_lex FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (
+       |      ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS r_lex
+       |    FROM lexall)
+       |  WHERE r_lex <= 50),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |dscored AS (
+       |  SELECT e.vec_id AS doc_id, round($cos, 4) AS cos
+       |  FROM q, embeddings e WHERE e.vec_id != 0),
+       |dense AS (
+       |  SELECT doc_id, r_dense FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (
+       |      ORDER BY cos DESC, doc_id) AS BIGINT) AS r_dense
+       |    FROM dscored)
+       |  WHERE r_dense <= 50),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense,
+       |    CAST(round((COALESCE(CAST(1 AS DOUBLE)
+       |        / (CAST(60 AS DOUBLE) + CAST(l.r_lex AS DOUBLE)),
+       |        CAST(0 AS DOUBLE))
+       |      + COALESCE(CAST(1 AS DOUBLE)
+       |        / (CAST(60 AS DOUBLE) + CAST(d.r_dense AS DOUBLE)),
+       |        CAST(0 AS DOUBLE))) * CAST(1000000000 AS DOUBLE))
+       |      AS BIGINT) AS rrf_e9
+       |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+       |SELECT doc_id, COALESCE(r_lex, -1) AS r_lex,
+       |  COALESCE(r_dense, -1) AS r_dense, rrf_e9
+       |FROM fused
+       |ORDER BY rrf_e9 DESC, doc_id
+       |LIMIT 15""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q204 — embedding gram matrix (the d×d second-moment table behind
   // PCA whitening, feature-correlation audits, and OOD screens): each
   // row emits its upper-triangle outer product as e4-int cell
@@ -1049,7 +1150,8 @@ object Curation {
     "q88_pack_sequences" -> (q88 _),
     "q195_ari" -> (q195 _),
     "q199_interleave" -> (q199 _),
-    "q204_gram_matrix" -> (q204 _))
+    "q204_gram_matrix" -> (q204 _),
+    "q208_rrf_fusion" -> (q208 _))
 
   val oracle: Map[String, String] = Map(
     "q97_source_cap" -> q97Sql,
@@ -1076,5 +1178,6 @@ object Curation {
     "q88_pack_sequences" -> q88Sql,
     "q195_ari" -> q195Sql,
     "q199_interleave" -> q199Sql,
-    "q204_gram_matrix" -> q204Sql)
+    "q204_gram_matrix" -> q204Sql,
+    "q208_rrf_fusion" -> q208Sql)
 }
