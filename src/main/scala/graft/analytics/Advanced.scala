@@ -1010,6 +1010,127 @@ object Advanced {
       |ORDER BY o.price_e2, o.o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q212 — clamped running inventory (the non-linear recurrence no
+  // window frame can express: stock_t = clamp(stock_{t-1} + Δ, 0,
+  // cap)): per part, ship events fold in exact (date, order, line)
+  // order through a [stock, n_floor, n_ceil] BIGINT-array state. The
+  // per-key event list is bounded (collect + fold, the q180 Holt
+  // discipline); keys partition-parallelize, so scale-out is by part,
+  // never by history length on one node.
+  // ---------------------------------------------------------------------
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val evs = t(s, dir, "lineitem")
+      .select((col("l_partkey") % 2000).as("part"),
+        ((unix_date(col("l_shipdate").cast("date")).cast("long")
+          * lit(100000000L))
+          + (col("l_orderkey") % 10000000L) * lit(10L)
+          + col("l_linenumber")).as("pk"),
+        when(col("l_returnflag") === "R",
+          -col("l_quantity").cast("long"))
+          .otherwise(col("l_quantity").cast("long")).as("delta"))
+    evs.groupBy(col("part"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(array(col("pk"), col("delta"))))
+          .as("evs"))
+      .withColumn("st", expr(
+        """aggregate(evs, CAST(array(0, 0, 0) AS array<bigint>),
+          |  (acc, e) -> CASE
+          |    WHEN element_at(acc, 1) + element_at(e, 2) < 0L
+          |      THEN array(0L, element_at(acc, 2) + 1L,
+          |             element_at(acc, 3))
+          |    WHEN element_at(acc, 1) + element_at(e, 2) > 500L
+          |      THEN array(500L, element_at(acc, 2),
+          |             element_at(acc, 3) + 1L)
+          |    ELSE array(element_at(acc, 1) + element_at(e, 2),
+          |           element_at(acc, 2), element_at(acc, 3)) END)"""
+          .stripMargin))
+      .select(col("part"), col("n_events"),
+        expr("element_at(st, 1)").as("final_stock"),
+        expr("element_at(st, 2)").as("n_clamped_lo"),
+        expr("element_at(st, 3)").as("n_clamped_hi"))
+      .orderBy(col("part"))
+  }
+
+  private val q212Sql =
+    """WITH ev AS (
+      |  SELECT l_partkey % 2000 AS part,
+      |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |      * 100000000
+      |      + (l_orderkey % 10000000) * 10 + l_linenumber AS pk,
+      |    CASE WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT)
+      |         ELSE CAST(l_quantity AS BIGINT) END AS delta
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT part, count(*) AS n, list_sort(list([pk, delta])) AS evs
+      |  FROM ev GROUP BY part),
+      |f AS (
+      |  SELECT part, n, list_reduce(
+      |    list_prepend([0, 0, 0]::BIGINT[], evs),
+      |    (acc, e) -> CASE
+      |      WHEN acc[1] + e[2] < 0 THEN [0, acc[2] + 1, acc[3]]
+      |      WHEN acc[1] + e[2] > 500 THEN [500, acc[2], acc[3] + 1]
+      |      ELSE [acc[1] + e[2], acc[2], acc[3]] END) AS st
+      |  FROM g)
+      |SELECT part, CAST(n AS BIGINT) AS n_events, st[1] AS final_stock,
+      |  st[2] AS n_clamped_lo, st[3] AS n_clamped_hi
+      |FROM f
+      |ORDER BY part""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q214 — two-hop reach (friend-of-friend audience size): per node,
+  // the count of distinct nodes exactly two hops away — mid-join over
+  // the symmetrized adjacency, dedup, anti-join direct edges. Volume
+  // is Σ deg² (the fixture keeps avg degree ~25), and every stage is
+  // a plain shuffle op — the standard distributed 2-hop shape.
+  // ---------------------------------------------------------------------
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 3)
+      .select((col("l_partkey") % 4000).as("a"),
+        (col("l_suppkey") % 4000).as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = raw
+      .unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val two = und.select(col("a").as("src"), col("b").as("mid"))
+      .join(und.select(col("a").as("mid"), col("b").as("dst")), Seq("mid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val reach = two
+      .join(und.select(col("a").as("src"), col("b").as("dst")),
+        Seq("src", "dst"), "left_anti")
+      .groupBy(col("src")).agg(count(lit(1)).as("two_hop"))
+    und.select(col("a").as("src")).distinct()
+      .join(reach, Seq("src"), "left")
+      .select(col("src").as("node"),
+        coalesce(col("two_hop"), lit(0L)).as("two_hop"))
+      .orderBy(col("node"))
+  }
+
+  private val q214Sql =
+    """WITH raw AS (
+      |  SELECT l_partkey % 4000 AS a, l_suppkey % 4000 AS b
+      |  FROM lineitem WHERE l_orderkey % 10 = 3),
+      |und AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT a, b FROM raw WHERE a != b
+      |    UNION ALL SELECT b, a FROM raw WHERE a != b)),
+      |two AS (
+      |  SELECT DISTINCT x.a AS src, y.b AS dst
+      |  FROM und x JOIN und y ON x.b = y.a
+      |  WHERE x.a != y.b),
+      |reach AS (
+      |  SELECT src, CAST(count(*) AS BIGINT) AS two_hop
+      |  FROM two t
+      |  WHERE NOT EXISTS (SELECT 1 FROM und e
+      |                    WHERE e.a = t.src AND e.b = t.dst)
+      |  GROUP BY src)
+      |SELECT n.a AS node, COALESCE(r.two_hop, 0) AS two_hop
+      |FROM (SELECT DISTINCT a FROM und) n
+      |LEFT JOIN reach r ON r.src = n.a
+      |ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q169 — burst detection (peak request rate): for each user, the
   // maximum number of events inside ANY trailing 1-hour window — a
   // RANGE frame over integer epoch seconds (every event's frame is
@@ -2669,7 +2790,9 @@ object Advanced {
     "q200_assoc_rules" -> (q200 _),
     "q203_rolling_distinct" -> (q203 _),
     "q209_haar_rollup" -> (q209 _),
-    "q210_skyline" -> (q210 _))
+    "q210_skyline" -> (q210 _),
+    "q212_clamped_stock" -> (q212 _),
+    "q214_two_hop" -> (q214 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -2727,5 +2850,7 @@ object Advanced {
     "q200_assoc_rules" -> q200Sql,
     "q203_rolling_distinct" -> q203Sql,
     "q209_haar_rollup" -> q209Sql,
-    "q210_skyline" -> q210Sql)
+    "q210_skyline" -> q210Sql,
+    "q212_clamped_stock" -> q212Sql,
+    "q214_two_hop" -> q214Sql)
 }

@@ -1137,6 +1137,120 @@ object LlmOps {
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q211 — span-corruption mask plan (the T5-style objective layout):
+  // deterministic "randomness" via the portable md5 hash family —
+  // position p opens a 3-token span when h(doc:p) % 10 == 0; a token
+  // is masked when any of the last three positions opened a span, and
+  // a sentinel (span id) starts where a masked run begins. All of it
+  // is three lags over one per-document window — no self-join, no
+  // content scan — and every output is an exact integer.
+  // ---------------------------------------------------------------------
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs(s, dir)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, size(split(text, ' ')))")).as("p"))
+    val sel = pos.withColumn("sel",
+      (graft.functions.PortableHash.hash60(
+        concat(col("doc_id"), lit(":"), col("p"))) % 10 === 0)
+        .cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    sel
+      .withColumn("l1", lag(col("sel"), 1, 0L).over(w))
+      .withColumn("l2", lag(col("sel"), 2, 0L).over(w))
+      .withColumn("l3", lag(col("sel"), 3, 0L).over(w))
+      .withColumn("masked",
+        (col("sel") === 1 || col("l1") === 1 || col("l2") === 1)
+          .cast("long"))
+      .withColumn("run_start",
+        (col("masked") === 1 &&
+          !(col("l1") === 1 || col("l2") === 1 || col("l3") === 1))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("sel")).as("n_starts"),
+        sum(col("masked")).as("n_masked"),
+        sum(col("run_start")).as("n_spans"))
+      .withColumn("mask_ppm", expr("n_masked * 1000000 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q211Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "doc_id || ':' || p")
+    s"""WITH d AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS nt
+       |  FROM documents),
+       |pos AS (SELECT doc_id, unnest(range(1, nt + 1)) AS p FROM d),
+       |sel AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN ($h) % 10 = 0 THEN 1 ELSE 0 END AS sel
+       |  FROM pos),
+       |lagged AS (
+       |  SELECT doc_id, sel,
+       |    lag(sel, 1, 0) OVER w AS l1,
+       |    lag(sel, 2, 0) OVER w AS l2,
+       |    lag(sel, 3, 0) OVER w AS l3
+       |  FROM sel WINDOW w AS (PARTITION BY doc_id ORDER BY p))
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(sel) AS BIGINT) AS n_starts,
+       |  CAST(sum(CASE WHEN sel = 1 OR l1 = 1 OR l2 = 1
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |  CAST(sum(CASE WHEN (sel = 1 OR l1 = 1 OR l2 = 1)
+       |    AND NOT (l1 = 1 OR l2 = 1 OR l3 = 1)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN sel = 1 OR l1 = 1 OR l2 = 1
+       |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS mask_ppm
+       |FROM lagged
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q213 — dataset card: the per-(source, lang) corpus summary a data
+  // release ships with — document/char/token totals, exact-duplicate
+  // share, mean length — composed from one duplicate-group aggregate
+  // joined back to the corpus. The join key here is the normalized
+  // text itself (gate-sized); at 100 TB it would be xxhash64(text)
+  // with identical plan shape (the q21 discipline).
+  // ---------------------------------------------------------------------
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+      col("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      lower(col("text")).as("key"))
+    val dupGroups = d.groupBy(col("key")).agg(count(lit(1)).as("gsz"))
+    d.join(dupGroups, Seq("key"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum((col("gsz") > 1).cast("long")).as("n_dup_docs"))
+      .withColumn("dup_ppm", expr("n_dup_docs * 1000000 div n_docs"))
+      .withColumn("mean_chars", expr("total_chars div n_docs"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val q213Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    lower(text) AS key
+      |  FROM documents),
+      |g AS (SELECT key, count(*) AS gsz FROM d GROUP BY key)
+      |SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs,
+      |  CAST(sum(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // count(*) AS dup_ppm,
+      |  CAST(sum(n_chars) AS BIGINT) // count(*) AS mean_chars
+      |FROM d JOIN g USING (key)
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q198 — LSH quality audit: recall of the MinHash-LSH candidate
   // generator (q22's 32-hash × 8-band config) against the df-pruned
   // exact-Jaccard ground truth (q23's config) — the measurement a
@@ -1396,7 +1510,9 @@ object LlmOps {
     "q190_path_rollup" -> (q190 _),
     "q196_bpe_step" -> (q196 _),
     "q197_ngram_novelty" -> (q197 _),
-    "q198_lsh_recall" -> (q198 _))
+    "q198_lsh_recall" -> (q198 _),
+    "q211_span_mask" -> (q211 _),
+    "q213_dataset_card" -> (q213 _))
 
   val oracle: Map[String, String] = Map(
     "q108_record_linkage" -> q108Sql,
@@ -1426,5 +1542,7 @@ object LlmOps {
     "q190_path_rollup" -> q190Sql,
     "q196_bpe_step" -> q196Sql,
     "q197_ngram_novelty" -> q197Sql,
-    "q198_lsh_recall" -> q198Sql)
+    "q198_lsh_recall" -> q198Sql,
+    "q211_span_mask" -> q211Sql,
+    "q213_dataset_card" -> q213Sql)
 }
