@@ -1131,6 +1131,73 @@ object Advanced {
       |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q216 — rolling 30-day correlation between daily revenue and daily
+  // order-line volume (the co-movement drift monitor): five exact
+  // integer sufficient sums accumulate in one value-bounded RANGE
+  // frame over the calendar-sized daily series (≤ one row per day —
+  // dimension-sized, never corpus-sized, so the single-partition
+  // window is bounded by the calendar, not the data), and Pearson r
+  // forms in one deterministic IEEE expression (sqrt is correctly
+  // rounded, so e6 output is engine-exact).
+  // ---------------------------------------------------------------------
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "lineitem")
+      .groupBy(unix_date(col("l_shipdate").cast("date")).cast("long")
+        .as("day"))
+      .agg(sum(expr("CAST(round(l_extendedprice) AS BIGINT)")).as("x"),
+        count(lit(1)).as("y"))
+    val w = Window.orderBy(col("day")).rangeBetween(-29, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .filter(col("n") === 30)
+      .select(col("day"), col("n"),
+        expr("""CAST(round(
+          |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          |  * 1000000) AS BIGINT)""".stripMargin).as("corr_e6"))
+      .orderBy(col("day"))
+  }
+
+  private val q216Sql =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+      |      AS BIGINT) AS day,
+      |    CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)
+      |      AS x,
+      |    count(*) AS y
+      |  FROM lineitem GROUP BY 1),
+      |win AS (
+      |  SELECT day,
+      |    count(*) OVER w AS n,
+      |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+      |    sum(x * y) OVER w AS sxy,
+      |    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day
+      |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+      |SELECT day, CAST(n AS BIGINT) AS n,
+      |  CAST(round(
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS corr_e6
+      |FROM win WHERE n = 30
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q169 — burst detection (peak request rate): for each user, the
   // maximum number of events inside ANY trailing 1-hour window — a
   // RANGE frame over integer epoch seconds (every event's frame is
@@ -2792,7 +2859,8 @@ object Advanced {
     "q209_haar_rollup" -> (q209 _),
     "q210_skyline" -> (q210 _),
     "q212_clamped_stock" -> (q212 _),
-    "q214_two_hop" -> (q214 _))
+    "q214_two_hop" -> (q214 _),
+    "q216_rolling_corr" -> (q216 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -2852,5 +2920,6 @@ object Advanced {
     "q209_haar_rollup" -> q209Sql,
     "q210_skyline" -> q210Sql,
     "q212_clamped_stock" -> q212Sql,
-    "q214_two_hop" -> q214Sql)
+    "q214_two_hop" -> q214Sql,
+    "q216_rolling_corr" -> q216Sql)
 }

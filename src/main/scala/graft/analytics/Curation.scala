@@ -245,6 +245,115 @@ object Curation {
       |ORDER BY position""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q215 — decile quantile normalization: align a feature (document
+  // length) across sources by mapping each within-source decile to
+  // the pooled cross-source decile mean — the rank-based batch-effect
+  // correction (quantile normalization) at decile granularity. Ranks
+  // are per-source ntile windows (partition-parallel, unique
+  // tiebreak); the reference row is one integer-div mean per decile.
+  // ---------------------------------------------------------------------
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ntile(10).over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").asc, col("doc_id").asc))
+          .cast("long").as("decile"))
+      .localCheckpoint() // the per-source and pooled passes share it
+    val ref = ranked.groupBy(col("decile"))
+      .agg(expr("sum(n_chars) div count(1)").as("ref_mean"))
+    ranked.groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(n_chars) div count(1)").as("src_mean"))
+      .join(broadcast(ref), Seq("decile"))
+      .select(col("source"), col("decile"), col("n_docs"),
+        col("src_mean"), col("ref_mean"),
+        (col("ref_mean") - col("src_mean")).as("shift"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  private val q215Sql =
+    """WITH ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(ntile(10) OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+      |  FROM documents),
+      |ref AS (
+      |  SELECT decile,
+      |    CAST(sum(n_chars) AS BIGINT) // count(*) AS ref_mean
+      |  FROM ranked GROUP BY decile)
+      |SELECT source, decile, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) // count(*) AS src_mean,
+      |  max(ref.ref_mean) AS ref_mean,
+      |  max(ref.ref_mean) - CAST(sum(n_chars) AS BIGINT) // count(*)
+      |    AS shift
+      |FROM ranked JOIN ref USING (decile)
+      |GROUP BY source, decile
+      |ORDER BY source, decile""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q217 — consistent-hash ring rebalance audit: 10 shards × 64
+  // virtual nodes hashed onto the 60-bit ring (portable md5 family);
+  // every order key takes the first boundary at-or-above its hash
+  // (wrapping to the ring minimum). The 640-entry boundary table
+  // rides as ONE broadcast array row and each key resolves with a
+  // per-row filter — no explode, no join fan-out — then per-shard
+  // loads compare against naive mod-10 placement. The load profile
+  // and the mod-vs-ring disagreement rate are what an operator checks
+  // before a shard-count change.
+  // ---------------------------------------------------------------------
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    val boundaries = s.range(10).crossJoin(s.range(64).select(
+        col("id").as("v")))
+      .select(h.hash60(concat(lit("shard:"), col("id"), lit(":"),
+        col("v"))).as("bh"), col("id").as("shard"))
+      .agg(sort_array(collect_list(array(col("bh"), col("shard"))))
+        .as("ring"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        h.hash60(concat(lit("key:"), col("o_orderkey"))).as("kh"))
+      .crossJoin(broadcast(boundaries))
+      .select(col("o_orderkey"), col("kh"),
+        expr("""element_at(coalesce(
+          |  array_min(filter(ring, p -> element_at(p, 1) >= kh)),
+          |  array_min(ring)), 2)""".stripMargin).as("ring_shard"),
+        (col("kh") % 10).as("mod_shard"))
+      .groupBy(col("ring_shard"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum((col("ring_shard") === col("mod_shard")).cast("long"))
+          .as("n_mod_agree"))
+      .orderBy(col("ring_shard"))
+  }
+
+  private val q217Sql = {
+    val bh = graft.functions.PortableHash.hash60DuckSql(
+      "'shard:' || s || ':' || v")
+    val kh = graft.functions.PortableHash.hash60DuckSql(
+      "'key:' || o_orderkey")
+    s"""WITH vs AS (SELECT unnest(range(0, 10)) AS s),
+       |vn AS (SELECT unnest(range(0, 64)) AS v),
+       |ring AS (
+       |  SELECT list_sort(list([$bh, s])) AS ring
+       |  FROM vs, vn),
+       |keys AS (
+       |  SELECT o_orderkey, $kh AS kh FROM orders),
+       |assigned AS (
+       |  SELECT o_orderkey, kh,
+       |    COALESCE(
+       |      list_min(list_filter(ring, p -> p[1] >= kh)),
+       |      list_min(ring))[2] AS ring_shard,
+       |    kh % 10 AS mod_shard
+       |  FROM keys, ring)
+       |SELECT ring_shard, count(*) AS n_keys,
+       |  CAST(sum(CASE WHEN ring_shard = mod_shard THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_mod_agree
+       |FROM assigned
+       |GROUP BY ring_shard
+       |ORDER BY ring_shard""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q208 — reciprocal-rank-fusion hybrid search (the lexical+dense
   // merge every retrieval stack runs): BM25 top-50 (TakeOrdered, no
   // global window over the corpus) fuses with brute-cosine top-50 for
@@ -1151,7 +1260,9 @@ object Curation {
     "q195_ari" -> (q195 _),
     "q199_interleave" -> (q199 _),
     "q204_gram_matrix" -> (q204 _),
-    "q208_rrf_fusion" -> (q208 _))
+    "q208_rrf_fusion" -> (q208 _),
+    "q215_quantile_norm" -> (q215 _),
+    "q217_hash_ring" -> (q217 _))
 
   val oracle: Map[String, String] = Map(
     "q97_source_cap" -> q97Sql,
@@ -1179,5 +1290,7 @@ object Curation {
     "q195_ari" -> q195Sql,
     "q199_interleave" -> q199Sql,
     "q204_gram_matrix" -> q204Sql,
-    "q208_rrf_fusion" -> q208Sql)
+    "q208_rrf_fusion" -> q208Sql,
+    "q215_quantile_norm" -> q215Sql,
+    "q217_hash_ring" -> q217Sql)
 }
