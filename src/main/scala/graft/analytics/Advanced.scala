@@ -1198,6 +1198,141 @@ object Advanced {
       |ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q218 — grid-bucketed spatial neighbor pairs: all point pairs
+  // within radius r, via the cell-join shape that replaces the O(n²)
+  // distance join at scale — each point lands in one ⌈r⌉-sized cell,
+  // the LEFT side explodes to its 3×3 cell neighborhood, the join is
+  // a plain equi-join on cell coordinates, and the exact integer
+  // dx²+dy² ≤ r² filter runs only inside candidate cells. Synthetic
+  // integer coordinates keep every comparison engine-exact.
+  // ---------------------------------------------------------------------
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    val r = 5000L
+    val h = graft.functions.PortableHash
+    // hash-scattered coordinates: arithmetic progressions would put
+    // consecutive keys on a lattice line and make every point ~70
+    // near-collinear neighbors
+    val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
+        (h.hash60(concat(lit("px:"), col("c_custkey"))) % 1000000L)
+          .as("x"),
+        (h.hash60(concat(lit("py:"), col("c_custkey"))) % 1000000L)
+          .as("y"))
+      .withColumn("cx", expr(s"x div $r")).withColumn("cy",
+        expr(s"y div $r"))
+      .localCheckpoint()
+    val probe = pts.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(expr("array(-1, 0, 1)")).as("dx"), col("cx"), col("cy"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("cx") + col("dx")).as("cx"),
+        explode(expr("array(-1, 0, 1)")).as("dy"), col("cy"))
+      .select(col("id_a"), col("xa"), col("ya"), col("cx"),
+        (col("cy") + col("dy")).as("cy"))
+    probe.join(pts.select(col("id").as("id_b"), col("x").as("xb"),
+        col("y").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb"))
+          + (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= lit(r * r))
+      .select(col("id_a"), col("id_b"), col("dist2"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private lazy val q218Sql = {
+    val hx = graft.functions.PortableHash.hash60DuckSql("'px:' || c_custkey")
+    val hy = graft.functions.PortableHash.hash60DuckSql("'py:' || c_custkey")
+    s"""WITH pts AS (
+      |  SELECT c_custkey AS id, ($hx) % 1000000 AS x,
+      |    ($hy) % 1000000 AS y
+      |  FROM customer),
+      |cells AS (
+      |  SELECT id, x, y, x // 5000 AS cx, y // 5000 AS cy FROM pts),
+      |offs AS (SELECT unnest([-1, 0, 1]) AS dx),
+      |offs2 AS (SELECT unnest([-1, 0, 1]) AS dy),
+      |probe AS (
+      |  SELECT id AS id_a, x AS xa, y AS ya,
+      |    cx + dx AS cx, cy + dy AS cy
+      |  FROM cells, offs, offs2)
+      |SELECT p.id_a, c.id AS id_b,
+      |  (p.xa - c.x) * (p.xa - c.x) + (p.ya - c.y) * (p.ya - c.y)
+      |    AS dist2
+      |FROM probe p JOIN cells c ON p.cx = c.cx AND p.cy = c.cy
+      |WHERE p.id_a < c.id
+      |  AND (p.xa - c.x) * (p.xa - c.x) + (p.ya - c.y) * (p.ya - c.y)
+      |      <= 25000000
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q219 — time-decayed popularity: per part, Σ 1e6/(1+age_days) over
+  // its order lines (harmonic decay — integer division per row, so
+  // the decayed score is exact with no transcendental in sight),
+  // anchored at the corpus max ship date (one broadcast scalar).
+  // Top-25 by decayed score with full tiebreaks.
+  // ---------------------------------------------------------------------
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("part"),
+        unix_date(col("l_shipdate").cast("date")).cast("long").as("dk"))
+    val anchor = li.agg(max(col("dk")).as("mx"))
+    li.crossJoin(broadcast(anchor))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("1000000 div (1 + mx - dk)")).as("decayed_e6"))
+      .orderBy(col("decayed_e6").desc, col("part"))
+      .limit(25)
+  }
+
+  private val q219Sql =
+    """WITH li AS (
+      |  SELECT l_partkey AS part,
+      |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |      AS dk
+      |  FROM lineitem),
+      |a AS (SELECT max(dk) AS mx FROM li)
+      |SELECT part, count(*) AS n_lines,
+      |  CAST(sum(1000000 // (1 + mx - dk)) AS BIGINT) AS decayed_e6
+      |FROM li, a
+      |GROUP BY part
+      |ORDER BY decayed_e6 DESC, part
+      |LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q220 — winning-supplier census (TPC-H Q20's nested-aggregate
+  // shape without partsupp): per part, the supplier shipping the
+  // largest total quantity wins (ties → lowest suppkey, expressed as
+  // a second aggregate — no vendor argmax function), then suppliers
+  // count their wins. Aggregate-over-aggregate + deterministic argmax
+  // in pure ANSI, executed VERBATIM by both engines through the SQL
+  // frontend (the q35 discipline: one dialect-neutral string).
+  // ---------------------------------------------------------------------
+  private val q220Sql =
+    """WITH sp AS (
+      |  SELECT l_suppkey AS sk, l_partkey AS pk,
+      |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+      |best AS (SELECT pk, MAX(q) AS mq FROM sp GROUP BY pk),
+      |winner AS (
+      |  SELECT sp.pk, MIN(sp.sk) AS sk, MAX(best.mq) AS mq
+      |  FROM sp JOIN best ON sp.pk = best.pk AND sp.q = best.mq
+      |  GROUP BY sp.pk)
+      |SELECT s_name, COUNT(*) AS n_top_parts,
+      |  CAST(SUM(winner.mq) AS BIGINT) AS winning_qty
+      |FROM winner
+      |JOIN supplier ON s_suppkey = winner.sk
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE n_name = 'NATION_7'
+      |GROUP BY s_name
+      |ORDER BY n_top_parts DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.registerTestTables(s, dir)
+    s.sql(q220Sql)
+  }
+
+  // ---------------------------------------------------------------------
   // q169 — burst detection (peak request rate): for each user, the
   // maximum number of events inside ANY trailing 1-hour window — a
   // RANGE frame over integer epoch seconds (every event's frame is
@@ -2860,7 +2995,10 @@ object Advanced {
     "q210_skyline" -> (q210 _),
     "q212_clamped_stock" -> (q212 _),
     "q214_two_hop" -> (q214 _),
-    "q216_rolling_corr" -> (q216 _))
+    "q216_rolling_corr" -> (q216 _),
+    "q218_point_neighbors" -> (q218 _),
+    "q219_decayed_popularity" -> (q219 _),
+    "q220_share_dominance" -> (q220 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -2921,5 +3059,8 @@ object Advanced {
     "q210_skyline" -> q210Sql,
     "q212_clamped_stock" -> q212Sql,
     "q214_two_hop" -> q214Sql,
-    "q216_rolling_corr" -> q216Sql)
+    "q216_rolling_corr" -> q216Sql,
+    "q218_point_neighbors" -> q218Sql,
+    "q219_decayed_popularity" -> q219Sql,
+    "q220_share_dominance" -> q220Sql)
 }
