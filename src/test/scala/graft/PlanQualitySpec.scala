@@ -421,4 +421,55 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TopKPartial") && p.contains("TopKFinal"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q200: item counts and the order total join in as broadcasts " +
+       "— only the basket self-join shuffles") {
+    val p = plan("q200_assoc_rules")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q204: gram-matrix explode partial-aggregates below the " +
+       "exchange — the shuffle carries cells, not pixels") {
+    val p = plan("q204_gram_matrix")
+    assert(p.contains("partial"), p)
+    val exchanges = "Exchange hash".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges\n$p")
+  }
+
+  test("q210: skyline dominance resolves as a broadcast semi-join " +
+       "and windows only over __pid partitions — no cartesian, no " +
+       "corpus-global window") {
+    val p = plan("q210_skyline")
+    assert(!p.contains("CartesianProduct"), p)
+    // the input survives through one broadcast LeftSemi against the
+    // per-cost winners (the only BNLJ allowed is the ≤32-row pid
+    // prefix triangle, which never touches input rows)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("Window [") ||
+      p.contains("windowspecdefinition(__pid"), p)
+  }
+
+  test("q218: neighbor pairs resolve through an equi-join on cell " +
+       "coordinates — no distance cross-join anywhere") {
+    val p = plan("q218_point_neighbors")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q192: nearest join is ONE exchange on user_id with both " +
+       "direction sorts inside it") {
+    val p = plan("q192_nearest_join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected 1 hash exchange, got $exchanges\n$p")
+  }
+
+  test("q217: the hash ring rides as one broadcast row — keys are " +
+       "never exploded per boundary") {
+    val p = plan("q217_hash_ring")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
