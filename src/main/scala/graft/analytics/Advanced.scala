@@ -1333,6 +1333,71 @@ object Advanced {
   }
 
   // ---------------------------------------------------------------------
+  // q221 — personalized PageRank (random-walk-with-restart proximity,
+  // the related-items recommender primitive): q92's trade-flow nation
+  // graph, with ALL teleport mass restarting at nations 0–4. Same
+  // integer-exact e9 fixed-point iteration — engine-exact under any
+  // execution order — with the teleport vector concentrated on the
+  // source set.
+  // ---------------------------------------------------------------------
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val edges = li
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.operators.Graph.personalizedPageRankIntExact(
+        edges, node => node < 5, iterations = 3)
+      .join(broadcast(t(s, dir, "nation")),
+        col("node") === col("n_nationkey"))
+      .select(col("node").as("nationkey"), col("n_name"), col("rank_e9"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q221Sql = {
+    def iter(prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT nd.node,
+         |    CAST(CASE WHEN nd.node < 5 THEN 150000000 // ns ELSE 0 END
+         |      + (850 * COALESCE(ct.c, 0)) // 1000 AS BIGINT) AS r
+         |  FROM nodes nd CROSS JOIN scnt
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum(($prev.r * e.w) // o.ow) AS BIGINT) AS c
+         |    FROM edges e JOIN outw o ON e.src = o.src
+         |    JOIN $prev ON $prev.node = e.src
+         |    GROUP BY e.dst) ct ON ct.node = nd.node)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT s_nationkey AS src, c_nationkey AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+       |         FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges
+       |  UNION ALL SELECT dst FROM edges)),
+       |scnt AS (SELECT CAST(count(*) AS BIGINT) AS ns
+       |         FROM nodes WHERE node < 5),
+       |r0 AS (SELECT node,
+       |         CAST(CASE WHEN node < 5 THEN 1000000000 // ns
+       |              ELSE 0 END AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN scnt),
+       |${iter("r0", "it1")},
+       |${iter("it1", "it2")},
+       |${iter("it2", "it3")}
+       |SELECT CAST(it3.node AS BIGINT) AS nationkey, n_name,
+       |  it3.r AS rank_e9
+       |FROM it3 JOIN nation ON n_nationkey = it3.node
+       |ORDER BY nationkey""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q169 — burst detection (peak request rate): for each user, the
   // maximum number of events inside ANY trailing 1-hour window — a
   // RANGE frame over integer epoch seconds (every event's frame is
@@ -2998,7 +3063,8 @@ object Advanced {
     "q216_rolling_corr" -> (q216 _),
     "q218_point_neighbors" -> (q218 _),
     "q219_decayed_popularity" -> (q219 _),
-    "q220_share_dominance" -> (q220 _))
+    "q220_share_dominance" -> (q220 _),
+    "q221_personalized_pagerank" -> (q221 _))
 
   val oracle: Map[String, String] = Map(
     "q35_sql_frontend" -> q35Sql,
@@ -3062,5 +3128,6 @@ object Advanced {
     "q216_rolling_corr" -> q216Sql,
     "q218_point_neighbors" -> q218Sql,
     "q219_decayed_popularity" -> q219Sql,
-    "q220_share_dominance" -> q220Sql)
+    "q220_share_dominance" -> q220Sql,
+    "q221_personalized_pagerank" -> q221Sql)
 }

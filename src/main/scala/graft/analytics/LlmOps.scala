@@ -1137,6 +1137,169 @@ object LlmOps {
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q222 — MinHash estimator error audit (the companion to q198's
+  // recall audit): for every LSH candidate pair, the signature-match
+  // estimate (matching minhashes / 32, integer e4) against the exact
+  // Jaccard — the per-pair error a sketch consumer budgets around.
+  // Signatures join back by id (narrow), the exact side re-verifies
+  // only candidate docs (the q22 broadcast-prune discipline).
+  // ---------------------------------------------------------------------
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val verified = Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
+      shingleN = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.0,
+      portable = true)
+    val sig = Dedup.minhashSignaturesPortable(
+      Dedup.shingleTablePortable(docs(s, dir), "doc_id", "text", 3)
+        .select(col("id"), col("sh")), 32).localCheckpoint()
+    val sa = sig.toDF(sig.columns.map(c =>
+      if (c == "id") "id_a" else s"${c}_a"): _*)
+    val sb = sig.toDF(sig.columns.map(c =>
+      if (c == "id") "id_b" else s"${c}_b"): _*)
+    val est = (0 until 32).map(h =>
+      when(col(s"m${h}_a") === col(s"m${h}_b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    verified.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_matches"),
+        expr("CAST(round(jaccard * 10000) AS BIGINT)").as("jacc_e4"))
+      .withColumn("est_e4", expr("est_matches * 10000 div 32"))
+      .withColumn("abs_err_e4", abs(col("est_e4") - col("jacc_e4")))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q222Sql: String = {
+    import graft.functions.PortableHash
+    val numHashes = 32
+    val rowsPerBand = 4
+    val bands = numHashes / rowsPerBand
+    val sigCols = (0 until numHashes)
+      .map(h => s"min(${PortableHash.permDuckSql(h, "sh")}) AS m$h")
+      .mkString(",\n      |    ")
+    val bandStructs = (0 until bands).map { b =>
+      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand).map(h => s"m$h")
+      s"{'band': $b, 'bucket': ${PortableHash.bandBucketDuckSql(b, ms)}}"
+    }.mkString(",\n      |      ")
+    val est = (0 until numHashes)
+      .map(h => s"(CASE WHEN sa.m$h = sb.m$h THEN 1 ELSE 0 END)")
+      .mkString("\n      |    + ")
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents),
+      |shing AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(w) - 2),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      |  FROM toks WHERE len(w) >= 3),
+      |hashed AS (
+      |  SELECT doc_id, ${PortableHash.hash60DuckSql("shingle")} AS sh
+      |  FROM shing),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $sigCols
+      |  FROM hashed GROUP BY doc_id),
+      |buckets AS (
+      |  SELECT doc_id, bb['band'] AS band, bb['bucket'] AS bucket
+      |  FROM (SELECT doc_id, unnest([
+      |      $bandStructs
+      |    ]) AS bb FROM sig)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM buckets x JOIN buckets y
+      |    ON x.band = y.band AND x.bucket = y.bucket
+      |      AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+      |  FROM shing x JOIN shing y
+      |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |v AS (
+      |  SELECT c.id_a, c.id_b,
+      |    i.inter / (sa2.sz + sb2.sz - i.inter) AS jaccard
+      |  FROM cand c
+      |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      |  JOIN sizes sa2 ON sa2.doc_id = c.id_a
+      |  JOIN sizes sb2 ON sb2.doc_id = c.id_b)
+      |SELECT v.id_a, v.id_b,
+      |  CAST($est AS BIGINT) AS est_matches,
+      |  CAST(round(v.jaccard * 10000) AS BIGINT) AS jacc_e4,
+      |  CAST($est AS BIGINT) * 10000 // 32 AS est_e4,
+      |  abs(CAST($est AS BIGINT) * 10000 // 32
+      |    - CAST(round(v.jaccard * 10000) AS BIGINT)) AS abs_err_e4
+      |FROM v
+      |JOIN sig sa ON sa.doc_id = v.id_a
+      |JOIN sig sb ON sb.doc_id = v.id_b
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q224 — Zipf fit of the word-frequency curve (the corpus-health
+  // check that catches template spam and boilerplate floods): log-log
+  // OLS over the top-1000 words, with ln() rounded e4 PER ROW before
+  // any aggregation (the q68 transcendental discipline) and the fit
+  // itself from DECIMAL(38,0) exact sums. The rank window runs over
+  // the top-k result of a TakeOrdered, never the vocabulary.
+  // ---------------------------------------------------------------------
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc).limit(1000)
+    val pts = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("w").asc)).cast("long"))
+      .select(lit(1L).as("g"),
+        expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 10000) AS BIGINT)")
+          .as("lx"),
+        expr("CAST(round(ln(CAST(freq AS DOUBLE)) * 10000) AS BIGINT)")
+          .as("ly"))
+    graft.operators.Validate.regressionExact(pts, col("lx"), col("ly"),
+      Seq(col("g")))
+  }
+
+  private val q224Sql =
+    """WITH wc AS (
+      |  SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |top AS (SELECT w, freq FROM wc ORDER BY freq DESC, w LIMIT 1000),
+      |ranked AS (
+      |  SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rank
+      |  FROM top),
+      |v AS (
+      |  SELECT CAST(1 AS BIGINT) AS g,
+      |    CAST(round(ln(CAST(rank AS DOUBLE)) * 10000) AS BIGINT) AS x,
+      |    CAST(round(ln(CAST(freq AS DOUBLE)) * 10000) AS BIGINT) AS y
+      |  FROM ranked),
+      |s AS (
+      |  SELECT g, count(*) AS n_raw,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+      |      AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE)
+      |      AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+      |      AS syy
+      |  FROM v GROUP BY g),
+      |c AS (
+      |  SELECT g, n_raw, n, sx, sy,
+      |    n * sxy - sx * sy AS covn,
+      |    n * sxx - sx * sx AS varxn,
+      |    n * syy - sy * sy AS varyn
+      |  FROM s)
+      |SELECT g, n_raw AS n,
+      |  CAST(round((covn / varxn) * 1000000) AS BIGINT) AS slope_e6,
+      |  CAST(round(((sy - (covn / varxn) * sx) / n / CAST(100 AS DOUBLE))
+      |    * 1000000) AS BIGINT) AS intercept_e6,
+      |  CAST(round(((covn * covn) / (varxn * varyn)) * 1000000) AS BIGINT)
+      |    AS r2_e6
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q211 — span-corruption mask plan (the T5-style objective layout):
   // deterministic "randomness" via the portable md5 hash family —
   // position p opens a 3-token span when h(doc:p) % 10 == 0; a token
@@ -1512,7 +1675,9 @@ object LlmOps {
     "q197_ngram_novelty" -> (q197 _),
     "q198_lsh_recall" -> (q198 _),
     "q211_span_mask" -> (q211 _),
-    "q213_dataset_card" -> (q213 _))
+    "q213_dataset_card" -> (q213 _),
+    "q222_minhash_error" -> (q222 _),
+    "q224_zipf_slope" -> (q224 _))
 
   val oracle: Map[String, String] = Map(
     "q108_record_linkage" -> q108Sql,
@@ -1544,5 +1709,7 @@ object LlmOps {
     "q197_ngram_novelty" -> q197Sql,
     "q198_lsh_recall" -> q198Sql,
     "q211_span_mask" -> q211Sql,
-    "q213_dataset_card" -> q213Sql)
+    "q213_dataset_card" -> q213Sql,
+    "q222_minhash_error" -> q222Sql,
+    "q224_zipf_slope" -> q224Sql)
 }

@@ -939,6 +939,60 @@ object Windowed {
        |ORDER BY cohort_day, "offset"""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q223 — session entry-path analysis (the UX funnel's "how do
+  // sessions start" census): 30-minute-gap sessions per user, the
+  // first three event types joined into a path string, counted across
+  // the corpus. Sessionization is two per-user windows (gap flag +
+  // running session id — one exchange), the path head is a bounded
+  // slice of the per-session sorted event list.
+  // ---------------------------------------------------------------------
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_id"),
+      col("ts_s").cast("long").as("ts"), col("event_type").as("et"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    e
+      .withColumn("new_sess",
+        when(col("ts") - lag(col("ts"), 1).over(w) <= 1800, 0L)
+          .otherwise(1L))
+      .withColumn("sid", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("et")))).as("evs"))
+      .select(expr(
+        "array_join(transform(slice(evs, 1, 3), x -> x.et), '>')")
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+  }
+
+  private val q223Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ${epochSSql("ts")} AS ts,
+       |    event_type AS et
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN ts - lag(ts) OVER w <= 1800 THEN 0
+       |    ELSE 1 END AS new_sess
+       |  FROM e WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged),
+       |paths AS (
+       |  SELECT array_to_string(
+       |    list_slice(list(et ORDER BY ts, event_id), 1, 3), '>')
+       |    AS path
+       |  FROM sessions GROUP BY user_id, sid)
+       |SELECT path, count(*) AS n_sessions
+       |FROM paths GROUP BY path
+       |ORDER BY n_sessions DESC, path""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q192 — nearest-match join (merge_asof direction='nearest'): each
   // click attaches the purchase by the SAME user closest in time,
   // either direction, distance ties breaking backward. One shuffle on
@@ -1020,7 +1074,8 @@ object Windowed {
     "q91_asof_forward" -> (q91 _),
     "q93_funnel" -> (q93 _),
     "q94_retention" -> (q94 _),
-    "q192_nearest_join" -> (q192 _))
+    "q192_nearest_join" -> (q192 _),
+    "q223_session_paths" -> (q223 _))
 
   val oracle: Map[String, String] = Map(
     "q11_window_rank" -> q11Sql,
@@ -1046,5 +1101,6 @@ object Windowed {
     "q91_asof_forward" -> q91Sql,
     "q93_funnel" -> q93Sql,
     "q94_retention" -> q94Sql,
-    "q192_nearest_join" -> q192Sql)
+    "q192_nearest_join" -> q192Sql,
+    "q223_session_paths" -> q223Sql)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph propagation operators (SURVEY.md §2.12 follow-on; the
@@ -210,6 +210,49 @@ object Graph {
     var ranks = nodes.withColumn("rank_e9", lit(E9 / n))
     for (_ <- 1 to iterations) {
       ranks = pageRankStep(eOut, nodes, ranks, n, small).localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Personalized PageRank: identical integer-exact formulation to
+    * [[pageRankIntExact]], but ALL teleport mass returns to the
+    * source set (`isSource` over the node id — must be a pure
+    * function), so ranks measure proximity to the sources instead of
+    * global centrality — the random-walk recommender / related-items
+    * primitive. Initial mass and the 0.15 teleport split E9 div |S|
+    * across sources; non-sources get contribution mass only. Same
+    * per-iteration shape and the same conditional broadcast guard. */
+  def personalizedPageRankIntExact(edges: DataFrame,
+      isSource: Column => Column, iterations: Int,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    val E9 = 1000000000L
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val nSrc = nodes.filter(isSource(col("node"))).count()
+    require(nSrc > 0, "source set matches no graph node")
+    val small = nodes.count() <= broadcastMaxNodes
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val eOut = e.join(if (small) broadcast(outW) else outW, Seq("src"))
+      .localCheckpoint()
+    val teleport = when(isSource(col("node")), lit(150000000L / nSrc))
+      .otherwise(lit(0L))
+    var ranks = nodes.withColumn("rank_e9",
+      when(isSource(col("node")), lit(E9 / nSrc)).otherwise(lit(0L)))
+    for (_ <- 1 to iterations) {
+      val r = ranks.withColumnRenamed("node", "src")
+      val contrib = eOut
+        .join(if (small) broadcast(r) else r, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_e9 * w div ow").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (teleport + expr("850 * coalesce(contrib, 0L) div 1000"))
+            .as("rank_e9"))
+        .localCheckpoint()
     }
     ranks
   }
