@@ -1137,6 +1137,176 @@ object LlmOps {
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q225 — Kneser–Ney smoothed bigram probabilities (the LM-quality
+  // step above q179's add-one model): absolute discount d = 3/4 with
+  // the continuation-probability backoff, formulated ENTIRELY in
+  // integer arithmetic — every division is an integer `div` applied
+  // in the same order by both engines, so the e6 probabilities are
+  // engine-exact without a float forming anywhere. Counts are four
+  // vocabulary-bounded aggregates; output is top-5 continuations for
+  // the top-5 head words.
+  // ---------------------------------------------------------------------
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = docs(s, dir)
+      .select(expr("split(text, ' ')").as("ws"))
+      .select(explode(expr(
+        """filter(transform(sequence(1, size(ws) - 1),
+          |  i -> struct(element_at(ws, i) AS w1,
+          |              element_at(ws, i + 1) AS w2)),
+          |  p -> length(p.w1) > 0 AND length(p.w2) > 0)"""
+          .stripMargin)).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // four count views + ranking share one pass
+    val c1 = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n1f"))
+    val n1b = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val n1tot = bi.agg(count(lit(1)).as("n1tot"))
+    val heads = c1.orderBy(col("c1").desc, col("w1").asc).limit(5)
+    val scored = bi
+      .join(broadcast(heads), Seq("w1"))
+      .join(n1b, Seq("w2"))
+      .crossJoin(broadcast(n1tot))
+      .select(col("w1"), col("w2"), col("c12"),
+        (when(col("c12") * 4 > 3,
+          expr("(4 * c12 - 3) * 1000000 div (4 * c1)")).otherwise(0L)
+          + expr("3 * n1f * (n1b * 1000000 div n1tot) div (4 * c1)"))
+          .as("p_e6"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("w1"))
+        .orderBy(col("p_e6").desc, col("w2").asc)).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("w1"), col("rk"), col("w2"), col("c12"), col("p_e6"))
+      .orderBy(col("w1"), col("rk"))
+  }
+
+  private val q225Sql =
+    """WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |bi AS (
+      |  SELECT b['w1'] AS w1, b['w2'] AS w2,
+      |    CAST(count(*) AS BIGINT) AS c12
+      |  FROM (
+      |    SELECT unnest(list_filter(
+      |      list_transform(range(1, len(ws)),
+      |        i -> {'w1': ws[i], 'w2': ws[i + 1]}),
+      |      p -> length(p['w1']) > 0 AND length(p['w2']) > 0)) AS b
+      |    FROM ws)
+      |  GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+      |    CAST(count(*) AS BIGINT) AS n1f
+      |  FROM bi GROUP BY w1),
+      |nb AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+      |       FROM bi GROUP BY w2),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n1tot FROM bi),
+      |heads AS (SELECT w1, c1, n1f FROM c1
+      |          ORDER BY c1 DESC, w1 LIMIT 5),
+      |scored AS (
+      |  SELECT bi.w1, bi.w2, bi.c12,
+      |    (CASE WHEN bi.c12 * 4 > 3
+      |       THEN (4 * bi.c12 - 3) * 1000000 // (4 * h.c1)
+      |       ELSE 0 END)
+      |    + 3 * h.n1f * (nb.n1b * 1000000 // nt.n1tot) // (4 * h.c1)
+      |      AS p_e6
+      |  FROM bi JOIN heads h ON bi.w1 = h.w1
+      |  JOIN nb ON nb.w2 = bi.w2, nt),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY w1
+      |    ORDER BY p_e6 DESC, w2) AS BIGINT) AS rk
+      |  FROM scored)
+      |SELECT w1, rk, w2, c12, p_e6
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY w1, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q226 — hashed feature-cross audit (the "hashing trick" a feature
+  // pipeline uses for categorical crosses): (event_type × hour) pairs
+  // hash into 64 buckets via the portable family; the audit reports
+  // per-bucket load and how many DISTINCT crosses collided there —
+  // the collision budget that decides the hash width. Two bounded
+  // aggregates, everything integer.
+  // ---------------------------------------------------------------------
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type").as("et"),
+        expr("(CAST(ts_s AS LONG) div 3600) % 24").as("hour"))
+    val crossed = e.withColumn("bucket",
+      graft.functions.PortableHash.hash60(
+        concat(col("et"), lit("#"), col("hour"))) % 64)
+    val perCross = crossed.groupBy(col("bucket"), col("et"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    perCross.groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_crosses"),
+        max(col("n")).as("max_cross_rows"))
+      .withColumn("collided", (col("n_crosses") > 1).cast("long"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q226Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql("et || '#' || hour")
+    s"""WITH e AS (
+       |  SELECT event_type AS et,
+       |    (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) % 24
+       |      AS hour
+       |  FROM events),
+       |crossed AS (SELECT et, hour, ($h) % 64 AS bucket FROM e),
+       |per_cross AS (
+       |  SELECT bucket, et, hour, CAST(count(*) AS BIGINT) AS n
+       |  FROM crossed GROUP BY 1, 2, 3)
+       |SELECT bucket, CAST(sum(n) AS BIGINT) AS n_rows,
+       |  count(*) AS n_crosses,
+       |  CAST(max(n) AS BIGINT) AS max_cross_rows,
+       |  CAST(CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS collided
+       |FROM per_cross
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q227 — tokenizer vocabulary coverage (the OOV-rate screen run
+  // before committing to a vocab): the top-256 words become the
+  // "vocabulary" (TakeOrdered — never a vocabulary-wide window), and
+  // each document reports its out-of-vocabulary token share. The
+  // vocab joins in as one broadcast; per-document accounting is a
+  // posting aggregate.
+  // ---------------------------------------------------------------------
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc).limit(256)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q227Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |t2 AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+      |vocab AS (
+      |  SELECT w FROM (
+      |    SELECT w, count(*) AS freq FROM t2 GROUP BY w)
+      |  ORDER BY freq DESC, w LIMIT 256)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // count(*) AS oov_ppm
+      |FROM t2 LEFT JOIN vocab v ON t2.w = v.w
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q222 — MinHash estimator error audit (the companion to q198's
   // recall audit): for every LSH candidate pair, the signature-match
   // estimate (matching minhashes / 32, integer e4) against the exact
@@ -1677,7 +1847,10 @@ object LlmOps {
     "q211_span_mask" -> (q211 _),
     "q213_dataset_card" -> (q213 _),
     "q222_minhash_error" -> (q222 _),
-    "q224_zipf_slope" -> (q224 _))
+    "q224_zipf_slope" -> (q224 _),
+    "q225_kneser_ney" -> (q225 _),
+    "q226_feature_cross" -> (q226 _),
+    "q227_vocab_coverage" -> (q227 _))
 
   val oracle: Map[String, String] = Map(
     "q108_record_linkage" -> q108Sql,
@@ -1711,5 +1884,8 @@ object LlmOps {
     "q211_span_mask" -> q211Sql,
     "q213_dataset_card" -> q213Sql,
     "q222_minhash_error" -> q222Sql,
-    "q224_zipf_slope" -> q224Sql)
+    "q224_zipf_slope" -> q224Sql,
+    "q225_kneser_ney" -> q225Sql,
+    "q226_feature_cross" -> q226Sql,
+    "q227_vocab_coverage" -> q227Sql)
 }
