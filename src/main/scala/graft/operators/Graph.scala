@@ -256,4 +256,107 @@ object Graph {
     }
     ranks
   }
+
+  /** Single-source WEIGHTED shortest paths (Bellman–Ford with a
+    * delta frontier) over directed `edges` (src, dst, w), positive
+    * integer weights — the weighted companion to [[bfsDistances]].
+    *
+    * Per round, only nodes whose tentative distance IMPROVED last
+    * round re-relax their out-edges (the frontier), so round cost is
+    * frontier×degree, not graph-sized; rounds are bounded by the
+    * hop-length of the longest shortest path (≤ the classic V−1, in
+    * practice the weighted eccentricity). All arithmetic is long
+    * integer — engine-exact under any execution order. Edges
+    * materialize once; each round's frontier and the distance table
+    * localCheckpoint to cut iterative lineage.
+    *
+    * Returns (node, dist) for REACHED nodes only. */
+  def bellmanFord(edges: DataFrame, source: Long,
+                  maxRounds: Int = 100,
+                  broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long")).localCheckpoint()
+    // node-sized tables (frontier, tentative distances) broadcast
+    // into the edge scan below this bound — the [[BroadcastMaxNodes]]
+    // posture: never force a broadcast of something that grows with
+    // the graph; above the bound the joins degrade to shuffles
+    val small =
+      e.select(col("dst").as("node")).distinct().count() <= broadcastMaxNodes
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val spark = edges.sparkSession
+    var dist = spark.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val cand = e
+        .join(bc(frontier), frontier("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      val improved = cand
+        .join(bc(dist.select(col("node").as("n0"), col("dist").as("old"))),
+          cand("node") === col("n0"), "left_outer")
+        .filter(col("old").isNull || col("nd") < col("old"))
+        .select(col("node"), col("nd").as("dist"))
+        .localCheckpoint()
+      if (improved.isEmpty) done = true
+      else {
+        dist = dist
+          .join(bc(improved.select(col("node").as("n1"))),
+            dist("node") === col("n1"), "left_anti")
+          .unionByName(improved)
+          .localCheckpoint()
+        frontier = improved
+      }
+    }
+    dist
+  }
+
+  /** k-core membership: the maximal subgraph where every node keeps
+    * at least `k` neighbors — iterative peel (drop nodes with
+    * in-core degree < k, recompute, repeat) to the fixpoint.
+    *
+    * `adj` is the SYMMETRIZED adjacency (u, v) — pass both
+    * directions for an undirected graph. Each round is one join of
+    * the (narrow, id-only) survivor set against the adjacency plus a
+    * degree aggregate; cost is edges-among-survivors, monotonically
+    * shrinking. The convergence probe compares survivor COUNTS
+    * (peeling is monotone, so equal counts ⇔ fixpoint) — one scalar
+    * action per round, the [[Dedup.connectedComponents]] discipline.
+    *
+    * Throws if the peel hasn't converged within `maxRounds`, rather
+    * than silently returning a non-core — callers pin `maxRounds`
+    * to what their oracle unrolls. Returns (node, core_deg) for
+    * members, core_deg the node's degree INSIDE the core. */
+  def kCore(adj: DataFrame, k: Int, maxRounds: Int = 10,
+            broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val a = adj.select(col("u").cast("long"), col("v").cast("long"))
+      .distinct().localCheckpoint()
+    var surv = a.select(col("u").as("node")).distinct().localCheckpoint()
+    var nSurv = surv.count()
+    // the id-only survivor set broadcasts into the adjacency scan
+    // while node-sized (same conditional posture as PageRank's rank
+    // table); above the bound both semi-joins degrade to shuffles
+    def bc(df: DataFrame): DataFrame =
+      if (nSurv <= broadcastMaxNodes) broadcast(df) else df
+    def among(surviving: DataFrame): DataFrame = a
+      .join(bc(surviving.select(col("node").as("su"))), col("u") === col("su"))
+      .join(bc(surviving.select(col("node").as("sv"))), col("v") === col("sv"))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = among(surv).filter(col("deg") >= k)
+        .select(col("u").as("node")).localCheckpoint()
+      val nNext = next.count()
+      if (nNext == nSurv) converged = true
+      else { surv = next; nSurv = nNext }
+    }
+    require(converged, s"kCore(k=$k) did not converge in $maxRounds rounds")
+    among(surv).select(col("u").as("node"), col("deg").as("core_deg"))
+  }
 }

@@ -121,4 +121,42 @@ class GraphSpec extends AnyFunSuite {
     assert(r(3L) == 120833333L)
     assert(r(1L) == 50000000L)
   }
+
+  test("bellmanFord: cheap multi-hop route beats the expensive " +
+       "direct edge; unreachable nodes are absent") {
+    // 1→4 direct costs 10; 1→2→3→4 costs 3; node 5 feeds 1 only
+    val e = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (5L, 1L, 7L)).toDF("src", "dst", "w")
+    val d = Graph.bellmanFord(e, source = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bellmanFord: a later-found longer-hop path still wins when " +
+       "cheaper (relaxation past the BFS distance)") {
+    // direct hop w=9; 3-hop chain w=1 each → dist 3
+    val e = Seq((1L, 9L, 9L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 9L, 1L)).toDF("src", "dst", "w")
+    val d = Graph.bellmanFord(e, 1L).as[(Long, Long)].collect().toMap
+    assert(d(9L) == 3L)
+  }
+
+  test("kCore: a chain peels completely, a cycle survives as its " +
+       "own 2-core, and peeling cascades through tails") {
+    // square 1-2-3-4 (2-core) with a tail 4-5-6 (peels in 2 rounds)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (4L, 5L), (5L, 6L))
+    val adj = (und ++ und.map(p => (p._2, p._1))).toDF("u", "v")
+    val core = Graph.kCore(adj, k = 2).as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("kCore: k above the max degree empties; k=1 keeps every " +
+       "non-isolated node") {
+    val und = Seq((1L, 2L), (2L, 3L))
+    val adj = (und ++ und.map(p => (p._2, p._1))).toDF("u", "v")
+    assert(Graph.kCore(adj, k = 3).isEmpty)
+    val k1 = Graph.kCore(adj, k = 1).as[(Long, Long)].collect().toMap
+    assert(k1 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
 }
