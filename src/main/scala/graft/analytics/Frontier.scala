@@ -315,15 +315,310 @@ object Frontier {
        |ORDER BY ntype, id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q232 — chunk-level duplication audit (the RAG-ingest hygiene
+  // check q21's document-level dedup misses: boilerplate chunks
+  // shared ACROSS distinct documents): q83's 20/15 token windows,
+  // each chunk's corpus-wide occurrence count joined back, per-doc
+  // duplicated-chunk share. Composition gate: Generate (zero
+  // shuffle) → chunk-text aggregate → join-back → doc rollup.
+  //
+  // Scale shape: the only wide exchange is at chunk-text grain; at
+  // 100 TB the join key would be xxhash64(chunk_text) to keep
+  // shuffle rows narrow (the q21/q213 note) — same plan shape.
+  // ---------------------------------------------------------------------
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    val ch = graft.operators.Curate
+      .chunkWindows(docs(s, dir), "doc_id", "text", win = 20, stride = 15)
+      .select(col("doc_id"), col("chunk_text"))
+    val occ = ch.groupBy(col("chunk_text"))
+      .agg(count(lit(1)).as("n_occ"))
+    ch.join(occ, Seq("chunk_text"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ppm",
+        expr("n_dup_chunks * 1000000 div n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q232Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_slice(w, chunk_start + 1, chunk_start + 20),
+      |      ' ') AS chunk_text
+      |  FROM (SELECT doc_id, w, unnest(range(0, len(w), 15)) AS chunk_start
+      |        FROM toks)),
+      |occ AS (
+      |  SELECT chunk_text, count(*) AS n_occ FROM ch GROUP BY 1)
+      |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN occ.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_chunks,
+      |  CAST(sum(CASE WHEN occ.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // count(*) AS dup_ppm
+      |FROM ch JOIN occ USING (chunk_text)
+      |GROUP BY ch.doc_id
+      |ORDER BY ch.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q233 — HITS hubs & authorities on the trade graph (the
+  // bipartite-tendency centrality next to q92's PageRank: exporters
+  // score as hubs, importers as authorities): 3 iterations of
+  // [[graft.operators.Graph.hitsIntExact]]'s e9 integer fixed-point
+  // with L1 renormalization each half-step. Oracle: the identical
+  // recurrence unrolled as chained CTEs (the q92 pattern) — raw
+  // transfer, total, renormalize, per half-step.
+  // ---------------------------------------------------------------------
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir)
+      .select(col("src"), col("dst"), col("cnt").as("w"))
+    val nat = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name")))
+    graft.operators.Graph.hitsIntExact(edges, iterations = 3)
+      .join(nat, col("node") === col("n_nationkey"))
+      .select(col("node").as("nationkey"), col("n_name"),
+        col("hub_e9"), col("auth_e9"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q233Sql = {
+    def half(prev: String, from: String, to: String, out: String) =
+      s"""${out}r AS (
+         |  SELECT e.$to AS node, CAST(sum($prev.s * e.w) AS BIGINT) AS raw
+         |  FROM edges e JOIN $prev ON $prev.node = e.$from
+         |  GROUP BY 1),
+         |${out}t AS (SELECT CAST(sum(raw) AS BIGINT) AS t FROM ${out}r),
+         |$out AS (
+         |  SELECT nd.node,
+         |    CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT) * 1000000000
+         |      // tt.t AS BIGINT) AS s
+         |  FROM nodes nd CROSS JOIN ${out}t tt
+         |  LEFT JOIN ${out}r r ON r.node = nd.node)""".stripMargin
+    val steps = (1 to 3).map { i =>
+      half(s"h${i - 1}", "src", "dst", s"a$i") + ",\n" +
+        half(s"a$i", "dst", "src", s"h$i")
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT src, dst, cnt AS w FROM (
+       |  $tradeEdgesSql)),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |h0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS s
+       |       FROM nodes CROSS JOIN cnt),
+       |$steps
+       |SELECT CAST(h3.node AS BIGINT) AS nationkey, n_name,
+       |  h3.s AS hub_e9, a3.s AS auth_e9
+       |FROM h3 JOIN a3 ON a3.node = h3.node
+       |JOIN nation ON n_nationkey = h3.node
+       |ORDER BY nationkey""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q234 — grouped median imputation (the feature-hygiene fill step
+  // before training): a value is "missing" under a deterministic
+  // rule (event_id % 7 = 0 — synthetic missingness both engines
+  // derive identically); each event type fills its holes with the
+  // EXACT median of its present values. Medians use the
+  // doubled-integer trick (med2 = 2·median is an integer for p=0.5
+  // over integers — the q172 discipline) through
+  // Validate.groupedPercentilesExact, so no group buffers its full
+  // column; the audit total sums 2×imputed values — pure integers
+  // end-to-end.
+  // ---------------------------------------------------------------------
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 10000).cast("long").as("v"))
+      .withColumn("miss", (col("event_id") % 7 === 0).cast("long"))
+    val med = Validate.groupedPercentilesExact(
+        e.filter(col("miss") === 0), col("event_type"), "event_type",
+        col("v"), Seq(0.5), Seq("m"))
+      .select(col("event_type"), round(col("m") * 2).cast("long").as("med2"))
+    e.join(broadcast(med), Seq("event_type"))
+      .withColumn("imp2",
+        when(col("miss") === 1, col("med2")).otherwise(lit(2L) * col("v")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("miss")).as("n_missing"),
+        min(col("med2")).as("med2"),
+        sum(col("imp2")).as("imputed_sum2"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q234Sql =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 10000) AS BIGINT) AS v,
+      |    CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS miss
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type,
+      |    CAST(round(quantile_cont(v, 0.5) * 2) AS BIGINT) AS med2
+      |  FROM e WHERE miss = 0 GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(sum(e.miss) AS BIGINT) AS n_missing,
+      |  min(m.med2) AS med2,
+      |  CAST(sum(CASE WHEN e.miss = 1 THEN m.med2 ELSE 2 * e.v END)
+      |    AS BIGINT) AS imputed_sum2
+      |FROM e JOIN med m USING (event_type)
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q235 — FIFO supply allocation (the warehouse-classic lot
+  // matching: demand consumes supply lots strictly in order): per
+  // part, demand lines (ship order) and synthetic supply lots each
+  // carry cumulative [lo, hi) integer intervals; a line draws
+  // min(hi,hi)−max(lo,lo) from every lot its interval overlaps —
+  // exactly FIFO, with no iterative matching. The join is an
+  // equi-join on partkey with an overlap post-filter: ≤ lots-per-
+  // part candidates per line, never a range blowup.
+  //
+  // Scale shape: two running-sum windows (one exchange each, keyed
+  // by part) + one keyed join; allocation output is lots × parts.
+  // ---------------------------------------------------------------------
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dw = Window.partitionBy(col("pk"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val demand = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("pk"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("q"))
+      .withColumn("dhi", sum(col("q")).over(dw))
+      .withColumn("dlo", col("dhi") - col("q"))
+    val lots = t(s, dir, "part")
+      .select(col("p_partkey").as("pk2"), explode(expr(
+        "transform(sequence(1, 3), " +
+          "i -> struct(CAST(i AS BIGINT) AS lot, " +
+          "CAST(i * 100 + p_partkey % 97 AS BIGINT) AS sq))")).as("l"))
+      .select(col("pk2"), col("l.lot").as("lot"), col("l.sq").as("sq"))
+      .withColumn("shi", expr(
+        "((lot * (lot + 1)) div 2) * 100 + lot * (pk2 % 97)"))
+      .withColumn("slo", col("shi") - col("sq"))
+    demand
+      .join(lots, col("pk") === col("pk2") &&
+        col("dlo") < col("shi") && col("slo") < col("dhi"))
+      .select(col("pk").as("partkey"), col("lot"),
+        (least(col("dhi"), col("shi")) -
+          greatest(col("dlo"), col("slo"))).as("alloc"))
+      .groupBy(col("partkey"), col("lot"))
+      .agg(sum(col("alloc")).as("alloc_qty"), count(lit(1)).as("n_lines"))
+      .orderBy(col("partkey"), col("lot"))
+  }
+
+  private val q235Sql =
+    """WITH demand AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+      |      PARTITION BY l_partkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS dhi
+      |  FROM lineitem),
+      |d2 AS (SELECT pk, q, dhi, dhi - q AS dlo FROM demand),
+      |lots AS (
+      |  SELECT p_partkey AS pk, CAST(i AS BIGINT) AS lot,
+      |    CAST(i * 100 + p_partkey % 97 AS BIGINT) AS sq,
+      |    CAST(((i * (i + 1)) // 2) * 100 + i * (p_partkey % 97)
+      |      AS BIGINT) AS shi
+      |  FROM part, unnest(range(1, 4)) AS t(i)),
+      |l2 AS (SELECT pk, lot, sq, shi, shi - sq AS slo FROM lots)
+      |SELECT d2.pk AS partkey, l2.lot,
+      |  CAST(sum(least(d2.dhi, l2.shi) - greatest(d2.dlo, l2.slo))
+      |    AS BIGINT) AS alloc_qty,
+      |  count(*) AS n_lines
+      |FROM d2 JOIN l2 ON d2.pk = l2.pk
+      |  AND d2.dlo < l2.shi AND l2.slo < d2.dhi
+      |GROUP BY d2.pk, l2.lot
+      |ORDER BY partkey, lot""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q236 — Hill tail-index estimator over per-source word
+  // frequencies (the heavy-tail health check next to q224's Zipf
+  // slope — α ≈ 1/slope, estimated from order statistics instead of
+  // a regression): per source, the top-20 frequencies against the
+  // 21st (the synthetic vocab is ~31 words/source), H = mean(ln c_(i) − ln c_(k+1)), α = 1/H. The top-21
+  // per source come from the bounded-heap TopKPerKey plan (never a
+  // vocabulary-wide window); ln is e4-rounded per row on
+  // integer-derived doubles; the final α is one integer division.
+  // ---------------------------------------------------------------------
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    val wc = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+    val top = graft.operators.Curate.capPerGroup(wc, Seq("source"),
+      Seq("freq" -> true, "w" -> false), 21)
+    val tail = top.filter(col("rank") === 21)
+      .select(col("source").as("s2"), col("freq").as("f_tail"))
+    top.filter(col("rank") <= 20)
+      .join(broadcast(tail), col("source") === col("s2"))
+      .select(col("source"), expr(
+        "CAST(round(ln(CAST(freq AS DOUBLE)) * 10000) AS BIGINT) - " +
+          "CAST(round(ln(CAST(f_tail AS DOUBLE)) * 10000) AS BIGINT)")
+        .as("d_e4"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("k"), sum(col("d_e4")).as("h_sum_e4"))
+      .withColumn("alpha_e6",
+        expr("k * 10000 * 1000000 div h_sum_e4"))
+      .orderBy(col("source"))
+  }
+
+  private val q236Sql =
+    """WITH wc AS (
+      |  SELECT source, w, count(*) AS freq FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  WHERE len(w) > 0 GROUP BY source, w),
+      |ranked AS (
+      |  SELECT source, w, freq, row_number() OVER (
+      |    PARTITION BY source ORDER BY freq DESC, w) AS rank
+      |  FROM wc),
+      |tail AS (
+      |  SELECT source, freq AS f_tail FROM ranked WHERE rank = 21),
+      |d AS (
+      |  SELECT r.source,
+      |    CAST(round(ln(CAST(r.freq AS DOUBLE)) * 10000) AS BIGINT)
+      |    - CAST(round(ln(CAST(t.f_tail AS DOUBLE)) * 10000) AS BIGINT)
+      |      AS d_e4
+      |  FROM ranked r JOIN tail t USING (source)
+      |  WHERE r.rank <= 20)
+      |SELECT source, count(*) AS k,
+      |  CAST(sum(d_e4) AS BIGINT) AS h_sum_e4,
+      |  count(*) * 10000 * 1000000 // CAST(sum(d_e4) AS BIGINT)
+      |    AS alpha_e6
+      |FROM d
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q228_countmin" -> (q228 _),
     "q229_bellman_ford" -> (q229 _),
     "q230_vocab_kl" -> (q230 _),
-    "q231_kcore" -> (q231 _))
+    "q231_kcore" -> (q231 _),
+    "q232_chunk_dedup" -> (q232 _),
+    "q233_hits" -> (q233 _),
+    "q234_impute" -> (q234 _),
+    "q235_fifo_alloc" -> (q235 _),
+    "q236_hill_tail" -> (q236 _))
 
   val oracle: Map[String, String] = Map(
     "q228_countmin" -> q228Sql,
     "q229_bellman_ford" -> q229Sql,
     "q230_vocab_kl" -> q230Sql,
-    "q231_kcore" -> q231Sql)
+    "q231_kcore" -> q231Sql,
+    "q232_chunk_dedup" -> q232Sql,
+    "q233_hits" -> q233Sql,
+    "q234_impute" -> q234Sql,
+    "q235_fifo_alloc" -> q235Sql,
+    "q236_hill_tail" -> q236Sql)
 }

@@ -359,4 +359,61 @@ object Graph {
     require(converged, s"kCore(k=$k) did not converge in $maxRounds rounds")
     among(surv).select(col("u").as("node"), col("deg").as("core_deg"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg), INTEGER-EXACT like
+    * [[pageRankIntExact]]: scores are e9 fixed-point longs
+    * renormalized to sum 1e9 after every half-step (auth from hubs,
+    * then hubs from auths), every transfer an integer
+    * multiply-then-sum and every normalization one integer `div` —
+    * bit-identical on any engine or execution order.
+    *
+    * Scale shape: per half-step one edge↔score join (score table
+    * node-sized, broadcast under `broadcastMaxNodes`, shuffle-join
+    * above) + one aggregate on the opposite endpoint; the
+    * normalizing total rides as a broadcast 1-row cross join, never
+    * a collect. Returns (node, hub_e9, auth_e9). */
+  def hitsIntExact(edges: DataFrame, iterations: Int,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    val E9 = 1000000000L
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val small = n <= broadcastMaxNodes
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // raw scores renormalized to Σ=1e9: node-sized aggregate, one
+    // broadcast scalar row — integer div floors identically anywhere
+    // raw·1e9 can exceed 2^63 (raw is bounded by t, itself up to
+    // score-scale × total edge weight) — the multiply runs in
+    // DECIMAL(38,0), the q140 128-bit discipline; the quotient is
+    // < 1e9 so the final long cast is exact
+    def normalized(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("t"))
+      nodes.join(bc(raw), Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr("CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) * 1000000000 div t")
+            .cast("long").as("s"))
+    }
+    var hubs = nodes.withColumn("s", lit(E9 / n))
+    var auths = hubs
+    for (_ <- 1 to iterations) {
+      auths = normalized(e
+        .join(bc(hubs.select(col("node").as("src"), col("s").as("hs"))),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("hs") * col("w")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("raw")))
+        .localCheckpoint()
+      hubs = normalized(e
+        .join(bc(auths.select(col("node").as("dst"), col("s").as("as_"))),
+          Seq("dst"))
+        .select(col("src").as("node"), (col("as_") * col("w")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("raw")))
+        .localCheckpoint()
+    }
+    hubs.select(col("node"), col("s").as("hub_e9"))
+      .join(auths.select(col("node"), col("s").as("auth_e9")), Seq("node"))
+  }
 }

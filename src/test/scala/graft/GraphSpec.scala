@@ -151,6 +151,29 @@ class GraphSpec extends AnyFunSuite {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
 
+  test("hitsIntExact: two pure hubs feeding one authority — exact " +
+       "L1-normalized fixed point") {
+    // 1→2, 3→2: authority mass all on 2, hub mass split between 1,3
+    val e = Seq((1L, 2L, 1L), (3L, 2L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.hitsIntExact(e, iterations = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L) == ((500000000L, 0L)))
+    assert(r(3L) == ((500000000L, 0L)))
+    assert(r(2L) == ((0L, 1000000000L)))
+  }
+
+  test("hitsIntExact: edge weights split authority 3:1 (exact " +
+       "integer division)") {
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.hitsIntExact(e, 3)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L) == ((1000000000L, 0L)))
+    assert(r(2L) == ((0L, 750000000L)))
+    assert(r(3L) == ((0L, 250000000L)))
+  }
+
   test("kCore: k above the max degree empties; k=1 keeps every " +
        "non-isolated node") {
     val und = Seq((1L, 2L), (2L, 3L))
