@@ -600,6 +600,48 @@ object Frontier {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q237 — streaming late-data accounting, in the gate: the
+  // watermark's DROP path (every other streaming gate picks delays
+  // that drop nothing). Four pinned micro-batches — on-time bulk
+  // (even users ≠ 0), a user-0 nudge batch (Spark's late-event
+  // filter lags the eviction watermark by one batch), late half
+  // (odd users), sentinel — through a 6-hour-watermark hourly
+  // aggregate: an odd-user row survives iff its hourly window's END
+  // is later than max(even, non-zero user ts) − 6h (the filter is
+  // window-end-based, probed in StreamingSpec). That condition is
+  // pure SQL, so the drop semantics themselves are oracle-checked.
+  // Values sum as e4 longs (exact); windows are hour-aligned.
+  // ---------------------------------------------------------------------
+  private def q237(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.lateDataReplayFromParquet(
+        s, s"$dir/events.parquet", window = "1 hour", delay = "6 hours")
+      .select(col("window_start").as("hour_start"), col("n_events"),
+        col("value_e4_total"))
+      .orderBy(col("hour_start"))
+
+  private val q237Sql =
+    """WITH e AS (
+      |  SELECT date_trunc('second', ts) AS ts_s, user_id,
+      |    CAST(round(value * 10000) AS BIGINT) AS v
+      |  FROM events),
+      |wm AS (
+      |  SELECT COALESCE(max(ts_s) - INTERVAL 6 HOUR,
+      |    TIMESTAMP '1900-01-01') AS w
+      |  FROM e WHERE user_id % 2 = 0 AND user_id <> 0),
+      |kept AS (
+      |  SELECT ts_s, v FROM e WHERE user_id % 2 = 0
+      |  UNION ALL
+      |  SELECT ts_s, v FROM e, wm
+      |  WHERE user_id % 2 <> 0
+      |    AND date_trunc('hour', ts_s) + INTERVAL 1 HOUR > wm.w)
+      |SELECT date_trunc('hour', ts_s) AS hour_start,
+      |  count(*) AS n_events,
+      |  CAST(sum(v) AS BIGINT) AS value_e4_total
+      |FROM kept
+      |GROUP BY 1
+      |ORDER BY hour_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q228_countmin" -> (q228 _),
     "q229_bellman_ford" -> (q229 _),
@@ -609,7 +651,8 @@ object Frontier {
     "q233_hits" -> (q233 _),
     "q234_impute" -> (q234 _),
     "q235_fifo_alloc" -> (q235 _),
-    "q236_hill_tail" -> (q236 _))
+    "q236_hill_tail" -> (q236 _),
+    "q237_late_data" -> (q237 _))
 
   val oracle: Map[String, String] = Map(
     "q228_countmin" -> q228Sql,
@@ -620,5 +663,6 @@ object Frontier {
     "q233_hits" -> q233Sql,
     "q234_impute" -> q234Sql,
     "q235_fifo_alloc" -> q235Sql,
-    "q236_hill_tail" -> q236Sql)
+    "q236_hill_tail" -> q236Sql,
+    "q237_late_data" -> q237Sql)
 }

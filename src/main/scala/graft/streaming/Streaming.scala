@@ -678,6 +678,95 @@ object Streaming {
     spark.read.parquet(target)
   }
 
+  /** Late-data accounting replay: the watermark DROP path exercised
+    * deterministically, in the gate. Spark (3.4+) tracks TWO
+    * watermarks per stateful operator: eviction (emit windows whose
+    * end passed the wm computed through batch N−1) and LATE-EVENT
+    * FILTERING, which lags one batch further — batch N's input is
+    * filtered with the wm computed through batch N−2, and the
+    * predicate is on the WINDOW END, not the row timestamp (probed
+    * empirically: a row older than the watermark still lands in a
+    * window whose end exceeds it, and is absorbed). Four pinned
+    * micro-batches (mtime-ordered under `maxFilesPerTrigger=1`)
+    * make a deterministic drop set:
+    *   1. even user_ids except user 0 — the on-time bulk; its max
+    *      event time defines the filtering watermark two batches on;
+    *   2. user 0's rows — the nudge batch that ages batch 1's
+    *      watermark into the late-filter position;
+    *   3. odd user_ids — the late half: a row survives iff its
+    *      tumbling window's end > max(batch-1 ts) − `delay`;
+    *   4. the far-future sentinel — flushes every surviving window.
+    *
+    * The surviving set is pure SQL (hour_end > max(even, non-zero
+    * user ts) − delay), so the drop semantics themselves are
+    * oracle-checked — every other streaming gate picks delays that
+    * drop nothing. In production this accounting is what bounds
+    * state: `delay` is the lateness SLA.
+    *
+    * Returns (window_start, n_events, value_e4_total); the
+    * sentinel's own window is filtered on read-back. */
+  def lateDataReplayFromParquet(spark: SparkSession, srcParquet: String,
+                                window: String,
+                                delay: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val in = Files.createTempDirectory("graft_late_in")
+    val out = Files.createTempDirectory("graft_late_out")
+    val ckpt = Files.createTempDirectory("graft_late_ckpt")
+    val batch = spark.read.parquet(srcParquet)
+
+    val isNs = batch.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val sentinelEpochS = 4102444800L // 2100-01-01T00:00:00Z
+    val sentinelTs: Column =
+      if (isNs) lit(sentinelEpochS * 1000000000L)
+      else lit(new java.sql.Timestamp(sentinelEpochS * 1000L))
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
+      lit("sentinel").as("event_type"), lit(0.0).as("value"),
+      lit("{}").as("props"))
+
+    // one parquet file per micro-batch, mtimes pinned 10 s apart so
+    // the file source's oldest-first ordering is unambiguous
+    def writeBatch(df: DataFrame, name: String, mtimeS: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_late_$name")
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("w").toString)
+      val part = Files.list(tmp.resolve("w")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = in.resolve(s"$name.parquet")
+      Files.move(Paths.get(part), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeS * 1000L))
+    }
+    val t0 = System.currentTimeMillis() / 1000L - 1000L
+    writeBatch(batch.filter(col("user_id") % 2 === 0 &&
+      col("user_id") =!= 0), "batch1", t0)
+    writeBatch(batch.filter(col("user_id") === 0), "batch2", t0 + 10)
+    writeBatch(batch.filter(col("user_id") % 2 =!= 0), "batch3", t0 + 20)
+    writeBatch(sentinel, "batch4", t0 + 30)
+
+    val e = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    val eSec = e
+      .withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
+      .withColumn("value_e4", round(col("value") * 10000).cast("long"))
+    withStatePartitions(spark) {
+      val q = tumblingStats(eSec, "ts_s", "value_e4", window, delay)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out.toString)
+      .filter(col("window_start") <
+        lit(new java.sql.Timestamp(4070908800L * 1000L))) // < 2099-01-01
+      .withColumnRenamed("value_total", "value_e4_total")
+  }
+
   /** Drain a (bounded) stream into an in-memory table and return its
     * content — the synchronous harness for tests and AvailableNow
     * incremental runs. */

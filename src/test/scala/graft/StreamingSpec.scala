@@ -250,4 +250,34 @@ class StreamingSpec extends AnyFunSuite {
     val unmatched = got.filter(col("click_id").isNull).count()
     assert(unmatched > 0, "no watermark-evicted unmatched rows emitted")
   }
+
+  test("late-data replay: the window-end late filter with its " +
+       "one-batch lag behind eviction — hand-computed drop set") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // on-time bulk = user 2 (max ts 12:23 → late-filter wm 10:23);
+    // nudge = user 0; late = user 1:
+    //   10:05 → window [10,11) end 11:00 > 10:23 → ABSORBED even
+    //           though its ts is older than the watermark
+    //   09:05 → window [09,10) end 10:00 ≤ 10:23 → DROPPED
+    //   12:40 → open window → absorbed
+    val rows = Seq(
+      (1L, ts("2024-01-01 08:10:00"), 2L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 12:23:00"), 2L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 12:30:00"), 0L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:05:00"), 1L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-01 09:05:00"), 1L, "view", 1.0, "{}"),
+      (6L, ts("2024-01-01 12:40:00"), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = Files.createTempDirectory("graft_late_spec").toString + "/ev"
+    rows.write.parquet(d)
+    val got = Streaming
+      .lateDataReplayFromParquet(spark, d, "1 hour", "2 hours")
+      .select(col("window_start").cast("string"), col("n_events"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "2024-01-01 08:00:00" -> 1L,
+      "2024-01-01 10:00:00" -> 1L,
+      "2024-01-01 12:00:00" -> 3L))
+  }
 }
