@@ -187,9 +187,12 @@ object Frontier {
       .withColumn("part",
         PortableHash.hash60(concat(lit("split:"),
           col("doc_id").cast("string"))) % 10)
+    // pinned: wc feeds both the scalar row and the scored rows —
+    // without the checkpoint each branch re-tokenizes the corpus
     val wc = tok.groupBy(col("w")).agg(
       sum(when(col("part") < 8, 1L).otherwise(0L)).as("c_train"),
       sum(when(col("part") >= 8, 1L).otherwise(0L)).as("c_hold"))
+      .localCheckpoint()
     val scal = wc.agg(sum(col("c_train")).as("nt"),
       sum(col("c_hold")).as("nh"), count(lit(1)).as("v"))
     wc.crossJoin(broadcast(scal))
@@ -556,8 +559,12 @@ object Frontier {
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+    // pinned: both the head rows and the tail threshold read the one
+    // TopK result — without the checkpoint the corpus aggregate and
+    // the bounded-heap pass would run twice
     val top = graft.operators.Curate.capPerGroup(wc, Seq("source"),
       Seq("freq" -> true, "w" -> false), 21)
+      .localCheckpoint()
     val tail = top.filter(col("rank") === 21)
       .select(col("source").as("s2"), col("freq").as("f_tail"))
     top.filter(col("rank") <= 20)

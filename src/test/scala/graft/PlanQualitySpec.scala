@@ -472,4 +472,39 @@ class PlanQualitySpec extends AnyFunSuite {
       p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q228: count-min estimates join the 512-row sketch as a " +
+       "broadcast; the corpus shuffles once to key grain") {
+    val p = plan("q228_countmin")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges\n$p")
+  }
+
+  test("q235: FIFO allocation — the lot table broadcasts into the " +
+       "overlap join; the demand window is the only corpus exchange") {
+    val p = plan("q235_fifo_alloc")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected 1 hash exchange, got $exchanges\n$p")
+  }
+
+  test("q232: chunking stays a per-row Generate; the occurrence " +
+       "join-back is never a cartesian") {
+    val p = plan("q232_chunk_dedup")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q236: per-source top-k runs on the bounded-heap TopK plan " +
+       "once (pinned), never a vocabulary-wide window") {
+    val p = plan("q236_hill_tail")
+    // the pinned checkpoint means the visible plan reads the TopK
+    // result as a scan; no ranking window may appear downstream
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
