@@ -295,29 +295,47 @@ object Curation {
   // q217 — consistent-hash ring rebalance audit: 10 shards × 64
   // virtual nodes hashed onto the 60-bit ring (portable md5 family);
   // every order key takes the first boundary at-or-above its hash
-  // (wrapping to the ring minimum). The 640-entry boundary table
-  // rides as ONE broadcast array row and each key resolves with a
-  // per-row filter — no explode, no join fan-out — then per-shard
-  // loads compare against naive mod-10 placement. The load profile
-  // and the mod-vs-ring disagreement rate are what an operator checks
-  // before a shard-count change.
+  // (wrapping to the ring minimum). The 640 boundaries become 641
+  // half-open segments (lo, hi] → shard (a lag window over the tiny
+  // dimension, plus one wrap segment back to the ring minimum), each
+  // exploded into the ~2^50-wide coarse buckets it overlaps (~1.6
+  // buckets/segment). Keys then resolve their shard via a broadcast
+  // HASH join on bucket(kh) with the (lo, hi] range as the join
+  // residual — fully codegen'd, one candidate segment per key, no
+  // per-row lambda over the ring (the previous interpreted
+  // filter+array_min scan was ~96 M lambda evals and 16% of the whole
+  // bench). Per-shard loads then compare against naive mod-10
+  // placement: the load profile and the mod-vs-ring disagreement rate
+  // are what an operator checks before a shard-count change.
   // ---------------------------------------------------------------------
   private def q217(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val h = graft.functions.PortableHash
-    val boundaries = s.range(10).crossJoin(s.range(64).select(
+    val bucketBits = 50 // 2^60 ring / 2^50 → 1024 coarse buckets
+    val bounds = s.range(10).crossJoin(s.range(64).select(
         col("id").as("v")))
       .select(h.hash60(concat(lit("shard:"), col("id"), lit(":"),
         col("v"))).as("bh"), col("id").as("shard"))
-      .agg(sort_array(collect_list(array(col("bh"), col("shard"))))
-        .as("ring"))
-    t(s, dir, "orders")
+    // 640 rows: the unpartitioned window is dimension-side only
+    val segs = bounds
+      .withColumn("lo", coalesce(
+        lag(col("bh"), 1).over(Window.orderBy(col("bh"))), lit(-1L)))
+      .select(col("lo"), col("bh").as("hi"), col("shard"))
+    val wrap = bounds.agg(max(col("bh")).as("lo"),
+      lit(1L << 60).as("hi"),
+      min_by(col("shard"), col("bh")).as("shard"))
+    val segB = segs.unionByName(wrap)
+      .withColumn("bkt", explode(sequence(
+        shiftright(col("lo") + 1, bucketBits),
+        shiftright(col("hi"), bucketBits))))
+    val keys = t(s, dir, "orders")
       .select(col("o_orderkey"),
         h.hash60(concat(lit("key:"), col("o_orderkey"))).as("kh"))
-      .crossJoin(broadcast(boundaries))
-      .select(col("o_orderkey"), col("kh"),
-        expr("""element_at(coalesce(
-          |  array_min(filter(ring, p -> element_at(p, 1) >= kh)),
-          |  array_min(ring)), 2)""".stripMargin).as("ring_shard"),
+      .withColumn("bkt", shiftright(col("kh"), bucketBits))
+    keys.join(broadcast(segB),
+        keys("bkt") === segB("bkt") &&
+          col("kh") > col("lo") && col("kh") <= col("hi"))
+      .select(col("o_orderkey"), col("shard").as("ring_shard"),
         (col("kh") % 10).as("mod_shard"))
       .groupBy(col("ring_shard"))
       .agg(count(lit(1)).as("n_keys"),

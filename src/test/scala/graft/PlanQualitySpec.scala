@@ -465,12 +465,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected 1 hash exchange, got $exchanges\n$p")
   }
 
-  test("q217: the hash ring rides as one broadcast row — keys are " +
-       "never exploded per boundary") {
-    val p = plan("q217_hash_ring")
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+  test("q217: ring segments broadcast-HASH-join keys on the coarse " +
+       "bucket — no interpreted lambda over the ring in the per-key " +
+       "path, no sort-merge, no cartesian") {
+    val p2 = plan("q217_hash_ring")
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    // (the 10×64 virtual-node cross on the 640-row dimension side is
+    // a legitimate BNLJ; only the fact-side join shape matters)
+    assert(!p2.contains("SortMergeJoin") &&
+      !p2.contains("CartesianProduct"), p2)
+    // the round-4 pathology: a per-row HOF scan of the 640-entry ring
+    assert(!p2.toLowerCase.contains("lambdafunction"), p2)
   }
 
   test("q228: count-min estimates join the 512-row sketch as a " +
