@@ -1078,10 +1078,13 @@ object Advanced {
 
   // ---------------------------------------------------------------------
   // q214 — two-hop reach (friend-of-friend audience size): per node,
-  // the count of distinct nodes exactly two hops away — mid-join over
-  // the symmetrized adjacency, dedup, anti-join direct edges. Volume
-  // is Σ deg² (the fixture keeps avg degree ~25), and every stage is
-  // a plain shuffle op — the standard distributed 2-hop shape.
+  // the count of distinct nodes exactly two hops away, via
+  // [[graft.operators.Graph.twoHopReach]] — mid-join over the
+  // symmetrized adjacency, dedup, anti-join direct edges. Volume is
+  // Σ deg² (the fixture keeps avg degree ~25); mids at degree ≥ 512
+  // route through the salted hot path so one hub can't serialize its
+  // d² pairs into a single task (GraphSpec pins salted/plain parity
+  // on a deliberate-hub fixture).
   // ---------------------------------------------------------------------
   private def q214(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "lineitem")
@@ -1091,20 +1094,8 @@ object Advanced {
       .filter(col("a") =!= col("b"))
     val und = raw
       .unionByName(raw.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
-    val two = und.select(col("a").as("src"), col("b").as("mid"))
-      .join(und.select(col("a").as("mid"), col("b").as("dst")), Seq("mid"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
-    val reach = two
-      .join(und.select(col("a").as("src"), col("b").as("dst")),
-        Seq("src", "dst"), "left_anti")
-      .groupBy(col("src")).agg(count(lit(1)).as("two_hop"))
-    und.select(col("a").as("src")).distinct()
-      .join(reach, Seq("src"), "left")
-      .select(col("src").as("node"),
-        coalesce(col("two_hop"), lit(0L)).as("two_hop"))
-      .orderBy(col("node"))
+      .distinct()
+    graft.operators.Graph.twoHopReach(und).orderBy(col("node"))
   }
 
   private val q214Sql =

@@ -416,4 +416,60 @@ object Graph {
     hubs.select(col("node"), col("s").as("hub_e9"))
       .join(auths.select(col("node"), col("s").as("auth_e9")), Seq("node"))
   }
+
+  /** Two-hop reach (friend-of-friend audience size) over a symmetric
+    * edge set `und` (a, b): per node, the count of distinct nodes
+    * exactly two hops away — mid-join, dedup, anti-join direct edges.
+    *
+    * Volume is inherently Σ deg²(mid), but on a power-law graph the
+    * plain `join(..., "mid")` serializes one hub of degree d into a
+    * single d²-pair task — the classic skew cliff. Mitigation: mids
+    * with degree ≥ `hubThreshold` split off into a [[Salt.join]]
+    * (fact side salted, hub-restricted dim side replicated ×
+    * `buckets`), so a hub's d² pairs spread over `buckets` tasks; the
+    * cold mids take the plain co-partitioned join. The hub set is at
+    * most 2·|E|/hubThreshold nodes — broadcast-sized by construction
+    * — so the hot/cold routing is two broadcast (anti-)semi-joins,
+    * never a shuffle. Replication cost is buckets·deg(hot) rows
+    * against a d² ≥ hubThreshold·deg output — strictly amortized.
+    * Results are exactly the plain join's: the mid partition is
+    * disjoint and the pair-level `distinct` runs over the union.
+    * Returns (node, two_hop) for every node, 0 when none. */
+  def twoHopReach(und: DataFrame, hubThreshold: Int = 512,
+                  buckets: Int = 16): DataFrame = {
+    require(hubThreshold > 0 && buckets > 0,
+      "hubThreshold and buckets must be positive")
+    // repartition (with an EXPLICIT count — column-only repartition
+    // is AQE-coalescible) BEFORE the checkpoint: AQE shrinks a small
+    // edge set to one partition, and the mid-join's Σ deg² output
+    // inherits the stream side's partitioning — without this the
+    // downstream pair-distinct partial-aggregates the entire Σ deg²
+    // blow-up in a single task
+    val shufflePartitions =
+      und.sparkSession.sessionState.conf.numShufflePartitions
+    val e = und.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b"))
+      .repartition(shufflePartitions, col("a")).localCheckpoint()
+    val hot = e.groupBy(col("a").as("mid")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= hubThreshold).select("mid")
+    val l = e.select(col("a").as("src"), col("b").as("mid"))
+    val r = e.select(col("a").as("mid"), col("b").as("dst"))
+    val twoCold = l.join(broadcast(hot), Seq("mid"), "left_anti")
+      .join(r.join(broadcast(hot), Seq("mid"), "left_anti"), Seq("mid"))
+    val twoHot = Salt.join(
+      l.join(broadcast(hot), Seq("mid"), "left_semi"),
+      r.join(broadcast(hot), Seq("mid"), "left_semi"),
+      Seq("mid"), buckets)
+    val two = twoCold.select(col("src"), col("dst"))
+      .unionByName(twoHot.select(col("src"), col("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val reach = two
+      .join(e.select(col("a").as("src"), col("b").as("dst")),
+        Seq("src", "dst"), "left_anti")
+      .groupBy(col("src")).agg(count(lit(1)).as("two_hop"))
+    e.select(col("a").as("src")).distinct()
+      .join(reach, Seq("src"), "left")
+      .select(col("src").as("node"),
+        coalesce(col("two_hop"), lit(0L)).as("two_hop"))
+  }
 }

@@ -182,4 +182,32 @@ class GraphSpec extends AnyFunSuite {
     val k1 = Graph.kCore(adj, k = 1).as[(Long, Long)].collect().toMap
     assert(k1 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
+
+  private def sym(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).distinct.toDF("a", "b")
+
+  test("twoHopReach: path counts one node at distance 2, triangle " +
+       "counts none (all neighbors direct)") {
+    // path 1-2-3-4 + triangle 5-6-7
+    val und = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L)))
+    val r = Graph.twoHopReach(und).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L))
+  }
+
+  test("twoHopReach: deliberate hub — salted hot path (threshold " +
+       "below hub degree) is row-identical to the plain cold path") {
+    // star: hub 0 ↔ leaves 1..100, plus a chord 1-2 (so leaves 1, 2
+    // see each other at distance 1 — two_hop = 98, not 99)
+    val und = sym((1L to 100L).map(l => (0L, l)) :+ (1L, 2L))
+    val plain = Graph.twoHopReach(und, hubThreshold = 1 << 20)
+      .as[(Long, Long)].collect().toMap
+    val salted = Graph.twoHopReach(und, hubThreshold = 16, buckets = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(plain == salted)
+    assert(plain(0L) == 0L) // hub's 2-hop closes back on itself only
+    assert(plain(1L) == 98L && plain(2L) == 98L)
+    assert(plain(3L) == 99L) // all other 99 leaves via the hub
+  }
 }
