@@ -125,6 +125,13 @@ object Graph {
         when(col("kx") < col("ky"), col("x")).otherwise(col("y")).as("src"),
         when(col("kx") < col("ky"), col("y")).otherwise(col("x")).as("dst"),
         greatest(col("kx"), col("ky")).as("kdst"))
+      // explicit-count repartition: AQE would coalesce a small edge
+      // set to one partition, and the wedge self-join's m^1.5 output
+      // inherits the stream side's partitioning — a single-task wedge
+      // blow-up (same hazard fixed in [[twoHopReach]])
+      .repartition(
+        pairs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("src"))
       .localCheckpoint()
     // wedges (u; v, w) with k(v) < k(w): the closing edge, if present,
     // is oriented v → w by the same total order
