@@ -78,8 +78,16 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"mean":${r3(mean)},"failed":$failed,"queries":$slowest,"queries_full":"${outPath.toAbsolutePath}","sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"mean":${r3(mean)},"failed":$failed,"queries":$slowest,"queries_full":"${outPath.toAbsolutePath}","sf":"$sfDir"}"""
+    // sidecar twin of the stdout line: a parser that misses the tail
+    // (sbt banners, truncation) can read this file instead
+    java.nio.file.Files.write(
+      outPath.resolveSibling("BENCH_SUMMARY.json"),
+      summary.getBytes("UTF-8"))
     spark.stop()
+    // AFTER spark.stop(): no executor/shutdown logging can interleave
+    // behind it — this is the final stdout line of the run
+    println(summary)
   }
 }
