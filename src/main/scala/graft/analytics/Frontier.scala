@@ -575,8 +575,11 @@ object Frontier {
         .as("d_e4"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("k"), sum(col("d_e4")).as("h_sum_e4"))
+      // h_sum_e4 = 0 (all top-20 freqs equal the 21st) → NULL alpha
+      // on BOTH engines: DuckDB // raises on zero where Spark div
+      // yields NULL, so the zero case must never reach the divide
       .withColumn("alpha_e6",
-        expr("k * 10000 * 1000000 div h_sum_e4"))
+        expr("k * 10000 * 1000000 div nullif(h_sum_e4, 0)"))
       .orderBy(col("source"))
   }
 
@@ -601,8 +604,8 @@ object Frontier {
       |  WHERE r.rank <= 20)
       |SELECT source, count(*) AS k,
       |  CAST(sum(d_e4) AS BIGINT) AS h_sum_e4,
-      |  count(*) * 10000 * 1000000 // CAST(sum(d_e4) AS BIGINT)
-      |    AS alpha_e6
+      |  count(*) * 10000 * 1000000
+      |    // NULLIF(CAST(sum(d_e4) AS BIGINT), 0) AS alpha_e6
       |FROM d
       |GROUP BY source
       |ORDER BY source""".stripMargin

@@ -318,6 +318,12 @@ object Graph {
         frontier = improved
       }
     }
+    // loud, not silently non-optimal: a deeper graph than maxRounds
+    // would otherwise return truncated distances that fail the oracle
+    // downstream with no hint of why (kCore discipline)
+    require(done,
+      s"bellmanFord did not converge within $maxRounds rounds — " +
+        "raise maxRounds (longest shortest-path exceeds it)")
     dist
   }
 
@@ -388,6 +394,7 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
+    require(n > 0, "hitsIntExact: edges must be non-empty")
     val small = n <= broadcastMaxNodes
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // raw scores renormalized to Σ=1e9: node-sized aggregate, one

@@ -705,6 +705,20 @@ object Streaming {
     *
     * Returns (window_start, n_events, value_e4_total); the
     * sentinel's own window is filtered on read-back. */
+  /** Depth-first removal of a replay scratch directory — the temp
+    * trees here hold corpus copies, so leaking one per gate run
+    * compounds across a full suite pass. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val listing = Files.list(p)
+      try listing.toArray.foreach(c =>
+        deleteRecursively(c.asInstanceOf[java.nio.file.Path]))
+      finally listing.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
   def lateDataReplayFromParquet(spark: SparkSession, srcParquet: String,
                                 window: String,
                                 delay: String): DataFrame = {
@@ -732,11 +746,15 @@ object Streaming {
       val tmp = Files.createTempDirectory(s"graft_late_$name")
       df.coalesce(1).write.mode("overwrite")
         .parquet(tmp.resolve("w").toString)
-      val part = Files.list(tmp.resolve("w")).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
+      val listing = Files.list(tmp.resolve("w"))
+      val part =
+        try listing.toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        finally listing.close()
       val dst = in.resolve(s"$name.parquet")
       Files.move(Paths.get(part), dst)
       Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeS * 1000L))
+      deleteRecursively(tmp)
     }
     val t0 = System.currentTimeMillis() / 1000L - 1000L
     writeBatch(batch.filter(col("user_id") % 2 === 0 &&
@@ -761,10 +779,15 @@ object Streaming {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out.toString)
+    // eager materialization (localCheckpoint) so the scratch trees —
+    // each holding a corpus copy — can be removed before returning
+    val result = spark.read.parquet(out.toString)
       .filter(col("window_start") <
         lit(new java.sql.Timestamp(4070908800L * 1000L))) // < 2099-01-01
       .withColumnRenamed("value_total", "value_e4_total")
+      .localCheckpoint()
+    Seq(in, out, ckpt).foreach(deleteRecursively)
+    result
   }
 
   /** Drain a (bounded) stream into an in-memory table and return its
