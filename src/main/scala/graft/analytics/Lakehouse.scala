@@ -584,7 +584,7 @@ object Lakehouse {
     // approx-bracket + exact-boundary-pass machinery, grouped
     val bounds = graft.operators.Validate.groupedPercentilesExact(
         e, col("event_type"), "event_type", col("v"),
-        Seq(0.25, 0.5, 0.75), Seq("r1", "r2", "r3"))
+        Seq(0.25, 0.5, 0.75), Seq("r1", "r2", "r3"), accuracy = 1000)
       .select(col("event_type"), round(col("r1"), 4).as("b1"),
         round(col("r2"), 4).as("b2"), round(col("r3"), 4).as("b3"))
     e.join(broadcast(bounds), "event_type")

@@ -478,6 +478,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p2.toLowerCase.contains("lambdafunction"), p2)
   }
 
+  test("q127: grouped exact percentiles scan events once per PASS " +
+       "(sketch, boundary, binning) — never once per probe " +
+       "percentile") {
+    val p = plan("q127_group_bins")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 3, s"expected <=3 event scans, got $scans\n$p")
+  }
+
   test("q228: count-min estimates join the 512-row sketch as a " +
        "broadcast; the corpus shuffles once to key grain") {
     val p = plan("q228_countmin")
