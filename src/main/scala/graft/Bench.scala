@@ -65,8 +65,25 @@ object Bench {
     // path to the full dump.
     val qs = names.map(n => s"\"" + n + "\":" + results(n))
       .mkString("{", ",", "}")
+    // plan fingerprints for the slowest 10: exchange/broadcast counts
+    // + interpreted-HOF presence, so a q217-style pathology (one
+    // query dominating the bench via a per-row lambda) is visible in
+    // this run's own artifact, not only in a later judge pass.
+    // Fingerprinting builds the plan without executing it.
+    val fingerprints = results.toSeq.sortBy(-_._2).take(10).map {
+      case (name, _) =>
+        val fp = try {
+          val p = SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.executedPlan.toString
+          val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+          val bc = "BroadcastExchange".r.findAllIn(p).length
+          val hof = p.toLowerCase.contains("lambdafunction")
+          s"""{"exchanges":$ex,"broadcasts":$bc,"interpreted_hof":$hof}"""
+        } catch { case _: Throwable => """{"err":true}""" }
+        s"\"" + name + "\":" + fp
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans_slowest":$fingerprints,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))

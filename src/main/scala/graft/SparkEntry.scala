@@ -21,7 +21,8 @@ object SparkEntry {
     (analytics.Advanced.queries, analytics.Advanced.oracle),
     (analytics.Curation.queries, analytics.Curation.oracle),
     (analytics.Lakehouse.queries, analytics.Lakehouse.oracle),
-    (analytics.Frontier.queries, analytics.Frontier.oracle))
+    (analytics.Frontier.queries, analytics.Frontier.oracle),
+    (analytics.Governance.queries, analytics.Governance.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,247 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Governance / corpus-planning surface (session 5): privacy audits,
+  * collocation mining, and token-budget allocation — the operational
+  * queries a training-data platform runs AROUND its curation tier
+  * (what q222/q228/q232 are to the sketch tier, these are to the
+  * compliance/planning tier). Integer-exact outputs throughout.
+  */
+object Governance {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---------------------------------------------------------------------
+  // q238 — k-anonymity audit: group events by a quasi-identifier
+  // tuple (event_type, day, floored value) and report, for each
+  // candidate k, how many equivalence classes and records fall below
+  // it — the suppression cost a privacy review reads before release.
+  //
+  // Scale shape: ONE shuffle to QI grain (map-side partial count);
+  // the per-k rollup runs on the class-grain table crossed with a
+  // 4-row threshold dim — class cardinality is bounded by the QI
+  // domain, not the corpus, so the second stage is corpus-free at any
+  // scale.
+  // ---------------------------------------------------------------------
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts_s")).as("day"),
+        floor(col("value")).cast("long").as("v"))
+    val classes = e.groupBy(col("event_type"), col("day"), col("v"))
+      .agg(count(lit(1)).as("n"))
+    val ks = s.range(4).select(element_at(
+      array(lit(2L), lit(5L), lit(10L), lit(20L)),
+      col("id").cast("int") + 1).as("k"))
+    classes.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < col("k"), 1L).otherwise(0L))
+          .as("n_classes_below"),
+        sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+          .as("n_records_below"),
+        min(col("n")).as("min_class"),
+        sum(col("n")).as("n_records"))
+      .orderBy(col("k"))
+  }
+
+  private val q238Sql =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(floor(value) AS BIGINT) AS v
+      |  FROM events),
+      |classes AS (
+      |  SELECT event_type, day, v, count(*) AS n
+      |  FROM e GROUP BY 1, 2, 3),
+      |ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  count(*) AS n_classes,
+      |  CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_classes_below,
+      |  CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_records_below,
+      |  CAST(min(n) AS BIGINT) AS min_class,
+      |  CAST(sum(n) AS BIGINT) AS n_records
+      |FROM classes CROSS JOIN ks
+      |GROUP BY k
+      |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q239 — word-pair PMI collocations: distinct word pairs
+  // co-occurring in a document, df-pruned to mid-frequency words
+  // (the q136 posting discipline — ubiquitous and near-hapax words
+  // never enter pair generation, which is what bounds the per-doc
+  // pair blow-up), scored by pointwise mutual information
+  // ln(n12·N / (n1·n2)) at e4, top-25 by (pmi, pair). The df window
+  // is CORPUS-RELATIVE — [max(5, N/50), 4N/5] — so the same query is
+  // meaningful at any scale (by Heaps' law the ≥2%-of-docs band is a
+  // small, broadcastable slice of the vocabulary).
+  //
+  // Scale shape: the corpus tokenizes once; df is a word-grain
+  // aggregate; pair generation is the in-bucket sorted-list
+  // transform (per-doc eligible-word lists, bounded by the df
+  // window); the pair table aggregates on (w1, w2) with map-side
+  // partials, joins the word-grain counts, and ranks via
+  // TakeOrdered — no global window, no cartesian.
+  // ---------------------------------------------------------------------
+  private val PmiMinPairs = 5L
+  private val PmiTopK = 25
+
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    val wd = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val df = wd.groupBy(col("w")).agg(count(lit(1)).as("nd"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val eligible = df.crossJoin(broadcast(nDocs))
+      .filter(col("nd") >= greatest(lit(5L), expr("n_docs div 50")) &&
+        col("nd") <= expr("n_docs * 4 div 5"))
+      .select(col("w"), col("nd"))
+      .localCheckpoint()
+    val pairs = wd.join(broadcast(eligible.select("w")), Seq("w"),
+        "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("w"))).as("ws"))
+      .filter(size(col("ws")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ws, (a, i) ->
+          |  transform(slice(ws, i + 2, size(ws) - i - 1),
+          |    b -> struct(a AS w1, b AS w2))))""".stripMargin)).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= PmiMinPairs)
+    pairs
+      .join(broadcast(eligible.select(col("w").as("w1"),
+        col("nd").as("n1"))), Seq("w1"))
+      .join(broadcast(eligible.select(col("w").as("w2"),
+        col("nd").as("n2"))), Seq("w2"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w1"), col("w2"), col("n12"),
+        expr("CAST(round(ln(CAST(n12 * n_docs AS DOUBLE) / " +
+          "CAST(n1 * n2 AS DOUBLE)) * 10000) AS BIGINT)").as("pmi_e4"))
+      .orderBy(col("pmi_e4").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  private val q239Sql =
+    s"""WITH wd AS (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  WHERE len(w) > 0),
+       |df AS (SELECT w, count(*) AS nd FROM wd GROUP BY w),
+       |nd0 AS (SELECT count(*) AS n_docs FROM documents),
+       |el AS (SELECT w, nd FROM df, nd0
+       |       WHERE nd >= greatest(5, n_docs // 50)
+       |         AND nd <= n_docs * 4 // 5),
+       |we AS (SELECT doc_id, wd.w FROM wd JOIN el ON wd.w = el.w),
+       |p AS (
+       |  SELECT a.w AS w1, b.w AS w2, count(*) AS n12
+       |  FROM we a JOIN we b
+       |    ON a.doc_id = b.doc_id AND a.w < b.w
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $PmiMinPairs),
+       |nd AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+       |  CAST(round(ln(CAST(n12 * n_docs AS DOUBLE) /
+       |    CAST(e1.nd * e2.nd AS DOUBLE)) * 10000) AS BIGINT) AS pmi_e4
+       |FROM p
+       |JOIN el e1 ON p.w1 = e1.w
+       |JOIN el e2 ON p.w2 = e2.w
+       |CROSS JOIN nd
+       |ORDER BY pmi_e4 DESC, w1, w2
+       |LIMIT $PmiTopK""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q240 — token-budget waterfilling: allocate a global training
+  // budget (40% of total corpus chars) across sources, each capped
+  // at its own size — the max-min fair allocation (water level L
+  // with Σ min(cap, L) ≤ B) every corpus-mix plan starts from before
+  // temperature reweighting (q86). All-integer: the level is an
+  // integer div at the boundary rank, so the result is engine-exact.
+  //
+  // Scale shape: the corpus aggregates ONCE to source grain; the
+  // waterfill itself (sort + prefix sums + boundary pick) runs
+  // entirely on the source-sized dimension — the unpartitioned
+  // window is |sources| rows, never the corpus.
+  // ---------------------------------------------------------------------
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint the source-grain table: it feeds tot, the ranked
+    // window, the boundary pick AND the final projection — without
+    // this the corpus would be re-aggregated once per consumer
+    val caps = docs(s, dir).groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("cap")).localCheckpoint()
+    val tot = caps.agg(sum(col("cap")).as("tot"),
+      count(lit(1)).as("ns"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val ranked = caps.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("pre", coalesce(sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("b", expr("tot * 2 div 5"))
+      .withColumn("nrem", col("ns") - col("rn") + 1)
+    // the boundary rank: first (by rn) source whose cap exceeds the
+    // water level — min_by over the ≤|sources| candidate rows; empty
+    // (B ≥ total) → null struct → every source fully allocated
+    val boundary = ranked
+      .filter(col("pre") + col("nrem") * col("cap") >= col("b"))
+      .agg(min_by(struct(col("pre").as("bpre"), col("nrem").as("bnrem")),
+        col("rn")).as("s"))
+      .select(col("s.bpre").as("bpre"), col("s.bnrem").as("bnrem"))
+    ranked.crossJoin(broadcast(boundary))
+      .withColumn("lvl", expr("(b - bpre) div bnrem"))
+      .select(col("source"), col("cap"),
+        when(col("lvl").isNull, col("cap"))
+          .otherwise(least(col("cap"), col("lvl"))).as("alloc"),
+        when(col("lvl").isNull || col("cap") <= col("lvl"), 1L)
+          .otherwise(0L).as("capped"))
+      .orderBy(col("source"))
+  }
+
+  private val q240Sql =
+    """WITH caps AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS cap
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(cap) AS BIGINT) AS tot,
+      |        count(*) AS ns FROM caps),
+      |r AS (
+      |  SELECT source, cap,
+      |    row_number() OVER (ORDER BY cap, source) AS rn,
+      |    COALESCE(CAST(SUM(cap) OVER (ORDER BY cap, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS BIGINT), 0) AS pre
+      |  FROM caps),
+      |p AS (
+      |  SELECT r.*, t.tot * 2 // 5 AS b, t.ns - r.rn + 1 AS nrem
+      |  FROM r, t),
+      |bd AS (SELECT min(rn) AS brn FROM p
+      |       WHERE pre + nrem * cap >= b),
+      |lvl AS (
+      |  SELECT (SELECT (b - pre) // nrem FROM p, bd WHERE rn = bd.brn)
+      |    AS lvl)
+      |SELECT source, cap,
+      |  CASE WHEN lvl IS NULL THEN cap
+      |       ELSE LEAST(cap, lvl) END AS alloc,
+      |  CAST(CASE WHEN lvl IS NULL OR cap <= lvl THEN 1 ELSE 0 END
+      |    AS BIGINT) AS capped
+      |FROM p, lvl
+      |ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_k_anonymity" -> (q238 _),
+    "q239_pmi_collocations" -> (q239 _),
+    "q240_waterfill" -> (q240 _))
+
+  val oracle: Map[String, String] = Map(
+    "q238_k_anonymity" -> q238Sql,
+    "q239_pmi_collocations" -> q239Sql,
+    "q240_waterfill" -> q240Sql)
+}

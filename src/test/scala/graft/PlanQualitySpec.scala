@@ -486,6 +486,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans <= 3, s"expected <=3 event scans, got $scans\n$p")
   }
 
+  test("q238: k-anonymity rolls up at class grain — one corpus " +
+       "shuffle to the QI tuple, the per-k pass is class-sized") {
+    val p = plan("q238_k_anonymity")
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges\n$p")
+  }
+
+  test("q239: PMI pair generation is df-pruned and per-doc; the " +
+       "word-count joins broadcast the eligible band") {
+    val p = plan("q239_pmi_collocations")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("q240: waterfilling windows run on the source dimension — " +
+       "the corpus contributes one source-grain aggregate only") {
+    val p = plan("q240_waterfill")
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges\n$p")
+  }
+
   test("q228: count-min estimates join the 512-row sketch as a " +
        "broadcast; the corpus shuffles once to key grain") {
     val p = plan("q228_countmin")
