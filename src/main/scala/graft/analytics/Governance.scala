@@ -235,13 +235,57 @@ object Governance {
       |FROM p, lvl
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q241 — strongly connected components of the part→supplier
+  // digraph (who can route influence back to whom through the supply
+  // relation), via [[graft.operators.Graph.stronglyConnectedComponents]]
+  // — trim (acyclic periphery peels as singletons) + FW-BW min-label
+  // coloring (cyclic cores). Deterministic min-label ids, so the
+  // whole iterative computation is engine-exact against a DuckDB
+  // recursive-CTE transitive closure — the oracle pays the O(n·reach)
+  // closure price at gate scale precisely so the distributed
+  // algorithm never has to at any scale.
+  // ---------------------------------------------------------------------
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 3)
+      .select((col("l_partkey") % 1000).as("src"),
+        (col("l_suppkey") % 1000).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.operators.Graph.stronglyConnectedComponents(e)
+      .orderBy(col("node"))
+  }
+
+  private val q241Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT l_partkey % 1000 AS src,
+      |    l_suppkey % 1000 AS dst
+      |  FROM lineitem
+      |  WHERE l_orderkey % 10 = 3 AND l_partkey % 1000 <> l_suppkey % 1000),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src),
+      |nodes AS (
+      |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |mutual AS (
+      |  SELECT r1.a, r1.b FROM reach r1
+      |  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+      |SELECT node,
+      |  CAST(LEAST(node, COALESCE(min(m.b), node)) AS BIGINT) AS scc_id
+      |FROM nodes n LEFT JOIN mutual m ON m.a = n.node
+      |GROUP BY node
+      |ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q238_k_anonymity" -> (q238 _),
     "q239_pmi_collocations" -> (q239 _),
-    "q240_waterfill" -> (q240 _))
+    "q240_waterfill" -> (q240 _),
+    "q241_scc" -> (q241 _))
 
   val oracle: Map[String, String] = Map(
     "q238_k_anonymity" -> q238Sql,
     "q239_pmi_collocations" -> q239Sql,
-    "q240_waterfill" -> q240Sql)
+    "q240_waterfill" -> q240Sql,
+    "q241_scc" -> q241Sql)
 }

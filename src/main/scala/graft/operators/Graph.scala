@@ -431,6 +431,143 @@ object Graph {
       .join(auths.select(col("node"), col("s").as("auth_e9")), Seq("node"))
   }
 
+  /** Strongly connected components of a directed graph — the FW-BW
+    * coloring formulation (Orzan), fully deterministic:
+    *
+    * Each outer round (1) propagates MIN labels forward along edges
+    * to a fixpoint, so c(v) = the smallest node that can reach v in
+    * the still-active subgraph (frontier-optimized: only improved
+    * labels re-join the edge table, the Bellman–Ford shape); (2)
+    * runs a backward BFS from each color's pivot (the node p with
+    * c(p) = p — the color class IS "nodes whose min reacher is p")
+    * restricted to the pivot's color, which yields exactly
+    * SCC(p) = forward-reach(p) ∩ backward-reach(p); (3) removes the
+    * settled SCCs and repeats on the remainder. ALL colors process
+    * their pivots in the same round — one multi-source BFS keyed by
+    * color — so a round settles as many SCCs as there are colors,
+    * and outer rounds are bounded by the depth of the condensation
+    * DAG along min-label chains, not by the SCC count.
+    *
+    * Min-label fixpoints are order-independent → engine-exact.
+    * Every per-round table is frontier- or node-sized; edges
+    * repartition once per outer round (explicit count — the
+    * AQE-coalesce posture from [[twoHopReach]]) and re-scan from a
+    * localCheckpoint. Loud failure (kCore discipline) if either
+    * fixpoint exhausts its round budget.
+    *
+    * Returns (node, scc_id = min node of the component). */
+  def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 30,
+                                  maxInner: Int = 80): DataFrame = {
+    val sp = edges.sparkSession.sessionState.conf.numShufflePartitions
+    var e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(sp, col("src")).localCheckpoint()
+    var nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var result: DataFrame = null
+    var outer = 0
+    while (!nodes.isEmpty && outer < maxOuter) {
+      outer += 1
+      // (0) trim: a node with no in-edges or no out-edges in the
+      // active subgraph is its own SCC — peel to a fixpoint (each
+      // settled SCC exposes new periphery). This is what keeps
+      // DAG-heavy graphs from serializing one color per round
+      // through the coloring phase: the acyclic periphery settles
+      // here, coloring only ever sees the cyclic cores.
+      var peeling = true
+      var pr = 0
+      while (peeling && pr < maxInner && !nodes.isEmpty) {
+        pr += 1
+        val core = e.select(col("src").as("node")).distinct()
+          .join(e.select(col("dst").as("node")).distinct(),
+            Seq("node"), "left_semi")
+        val singles = nodes.join(core, Seq("node"), "left_anti")
+          .localCheckpoint()
+        if (singles.isEmpty) peeling = false
+        else {
+          val settled = singles.select(col("node"),
+            col("node").as("lbl"))
+          result =
+            (if (result == null) settled else result.unionByName(settled))
+              .localCheckpoint()
+          nodes = nodes.join(singles, Seq("node"), "left_anti")
+            .localCheckpoint()
+          e = e.join(singles.select(col("node").as("src")), Seq("src"),
+              "left_anti")
+            .join(singles.select(col("node").as("dst")), Seq("dst"),
+              "left_anti")
+            .repartition(sp, col("src")).localCheckpoint()
+        }
+      }
+      require(!peeling || pr < maxInner,
+        s"SCC trim did not reach a fixpoint within $maxInner rounds")
+      if (nodes.isEmpty) {
+        // everything peeled — no cyclic core left this round
+      } else {
+      // (1) forward min-label fixpoint on the active subgraph
+      var c = nodes.select(col("node"), col("node").as("lbl"))
+        .localCheckpoint()
+      var frontier = c
+      var inner = 0
+      while (!frontier.isEmpty && inner < maxInner) {
+        inner += 1
+        val cand = e
+          .join(frontier.select(col("node").as("src"),
+            col("lbl").as("plbl")), Seq("src"))
+          .select(col("dst").as("node"), col("plbl"))
+          .groupBy(col("node")).agg(min(col("plbl")).as("plbl"))
+        val improved = cand.join(c, Seq("node"))
+          .filter(col("plbl") < col("lbl"))
+          .select(col("node"), col("plbl").as("lbl")).localCheckpoint()
+        if (improved.isEmpty) frontier = improved
+        else {
+          c = c.join(improved.select(col("node").as("n1")),
+              col("node") === col("n1"), "left_anti")
+            .unionByName(improved).localCheckpoint()
+          frontier = improved
+        }
+      }
+      require(frontier.isEmpty,
+        s"SCC forward pass did not converge within $maxInner rounds")
+      // (2) multi-source backward BFS from every pivot, color-locked
+      var reached = c.filter(col("node") === col("lbl")).localCheckpoint()
+      var bf = reached
+      var bRounds = 0
+      while (!bf.isEmpty && bRounds < maxInner) {
+        bRounds += 1
+        val cand = e
+          .join(bf.select(col("node").as("dst"), col("lbl").as("flbl")),
+            Seq("dst"))
+          .select(col("src").as("node"), col("flbl")).distinct()
+          .join(c, Seq("node"))
+          .filter(col("lbl") === col("flbl"))
+          .select(col("node"), col("lbl"))
+        bf = cand.join(reached, Seq("node"), "left_anti").localCheckpoint()
+        if (!bf.isEmpty)
+          reached = reached.unionByName(bf).localCheckpoint()
+      }
+      require(bf.isEmpty,
+        s"SCC backward pass did not converge within $maxInner rounds")
+      // (3) settle and shrink
+      result =
+        (if (result == null) reached else result.unionByName(reached))
+          .localCheckpoint()
+      nodes = nodes.join(reached.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      e = e.join(reached.select(col("node").as("src")), Seq("src"),
+          "left_anti")
+        .join(reached.select(col("node").as("dst")), Seq("dst"),
+          "left_anti")
+        .repartition(sp, col("src")).localCheckpoint()
+      }
+    }
+    require(nodes.isEmpty,
+      s"SCC did not settle every node within $maxOuter outer rounds")
+    result.select(col("node"), col("lbl").as("scc_id"))
+  }
+
   /** Two-hop reach (friend-of-friend audience size) over a symmetric
     * edge set `und` (a, b): per node, the count of distinct nodes
     * exactly two hops away — mid-join, dedup, anti-join direct edges.

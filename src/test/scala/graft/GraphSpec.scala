@@ -183,6 +183,30 @@ class GraphSpec extends AnyFunSuite {
     assert(k1 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("stronglyConnectedComponents: two cycles joined by a one-way " +
+       "bridge stay separate components; the tail is singletons") {
+    // cycle {1,2,3}, bridge 3→5, cycle {5,6,7}, tail 7→9→10
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (7L, 9L), (9L, 10L))
+      .toDF("src", "dst")
+    val r = Graph.stronglyConnectedComponents(e)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L, 10L -> 10L))
+  }
+
+  test("stronglyConnectedComponents: a pure path is all singletons " +
+       "(trim-only), a full cycle is one component (coloring-only)") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rp = Graph.stronglyConnectedComponents(path)
+      .as[(Long, Long)].collect().toMap
+    assert(rp == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val cycle = (0L to 9L).map(i => (i, (i + 1) % 10)).toDF("src", "dst")
+    val rc = Graph.stronglyConnectedComponents(cycle)
+      .as[(Long, Long)].collect().toMap
+    assert(rc == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
   private def sym(pairs: Seq[(Long, Long)]) =
     (pairs ++ pairs.map(p => (p._2, p._1))).distinct.toDF("a", "b")
 
