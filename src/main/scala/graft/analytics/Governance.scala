@@ -277,15 +277,138 @@ object Governance {
       |GROUP BY node
       |ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q242 — first/last-touch attribution: every purchase is credited
+  // to the earliest and the latest view/click by the same user in the
+  // preceding 7 days (the marketing-attribution join every revenue
+  // warehouse runs), rolled up per touch channel. min_by/max_by over
+  // a (ts, event_id) struct — the unique tiebreak keeps the pick
+  // engine-exact when touches share a timestamp.
+  //
+  // Scale shape: purchases and touches co-shuffle ONCE on user_id;
+  // the pair blow-up is per-user purchases × touches inside the 7-day
+  // window (session-bounded, not corpus-bounded), immediately
+  // aggregated back to purchase grain map-side.
+  // ---------------------------------------------------------------------
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_s").as("pts"),
+        round(col("value") * 10000).cast("long").as("value_e4"))
+    val touches = e
+      .filter(col("event_type") === "view" || col("event_type") === "click")
+      .select(col("user_id"), col("ts_s").as("tts"),
+        col("event_type").as("channel"), col("event_id").as("tid"))
+    // one BIGINT touch key (epoch·1e8 + event_id) — a composite both
+    // engines' arg_min/arg_max accept, unique by construction
+    val attributed = purchases.join(touches, Seq("user_id"))
+      .filter(col("tts") <= col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+      .withColumn("tkey",
+        col("tts").cast("long") * lit(100000000L) + col("tid"))
+      .groupBy(col("event_id"))
+      .agg(min_by(col("channel"), col("tkey")).as("first_channel"),
+        max_by(col("channel"), col("tkey")).as("last_channel"),
+        first(col("value_e4")).as("value_e4"))
+    val byFirst = attributed.groupBy(col("first_channel").as("channel"))
+      .agg(count(lit(1)).as("n_first"),
+        sum(col("value_e4")).as("value_e4_first"))
+    val byLast = attributed.groupBy(col("last_channel").as("channel"))
+      .agg(count(lit(1)).as("n_last"),
+        sum(col("value_e4")).as("value_e4_last"))
+    byFirst.join(byLast, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("value_e4_first"), lit(0L)).as("value_e4_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        coalesce(col("value_e4_last"), lit(0L)).as("value_e4_last"))
+      .orderBy(col("channel"))
+  }
+
+  private val q242Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    date_trunc('second', ts) AS ts_s,
+      |    CAST(round(value * 10000) AS BIGINT) AS value_e4
+      |  FROM events),
+      |p AS (SELECT event_id, user_id, ts_s AS pts, value_e4
+      |      FROM e WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, ts_s AS tts, event_type AS channel,
+      |        event_id AS tid
+      |      FROM e WHERE event_type IN ('view', 'click')),
+      |a AS (
+      |  SELECT p.event_id,
+      |    arg_min(channel, CAST(epoch(tts) AS BIGINT) * 100000000
+      |      + tid) AS first_channel,
+      |    arg_max(channel, CAST(epoch(tts) AS BIGINT) * 100000000
+      |      + tid) AS last_channel,
+      |    any_value(p.value_e4) AS value_e4
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |    AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 7 DAY
+      |  GROUP BY p.event_id),
+      |f AS (SELECT first_channel AS channel, count(*) AS n_first,
+      |        CAST(sum(value_e4) AS BIGINT) AS value_e4_first
+      |      FROM a GROUP BY 1),
+      |l AS (SELECT last_channel AS channel, count(*) AS n_last,
+      |        CAST(sum(value_e4) AS BIGINT) AS value_e4_last
+      |      FROM a GROUP BY 1)
+      |SELECT COALESCE(f.channel, l.channel) AS channel,
+      |  COALESCE(n_first, 0) AS n_first,
+      |  COALESCE(value_e4_first, 0) AS value_e4_first,
+      |  COALESCE(n_last, 0) AS n_last,
+      |  COALESCE(value_e4_last, 0) AS value_e4_last
+      |FROM f FULL OUTER JOIN l ON f.channel = l.channel
+      |ORDER BY channel""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q243 — cumulative distinct users by day: exact running uniques
+  // WITHOUT any running-distinct state — a user contributes to the
+  // cumulative count from their first-activity day on, so the answer
+  // is first_day per user (one user-grain aggregate), new-user counts
+  // per day, and a cumulative sum over the DAY dimension (the window
+  // runs over ~30 rows, never the corpus). The exact twin of a
+  // running-HLL union, and the standard growth-dashboard query.
+  // ---------------------------------------------------------------------
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.eventsSec(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(date_trunc("day", min(col("ts_s"))).as("day"))
+    val perDay = firstDay.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    perDay
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val q243Sql =
+    """WITH f AS (
+      |  SELECT user_id, event_type,
+      |    date_trunc('day', min(date_trunc('second', ts))) AS day
+      |  FROM events GROUP BY user_id, event_type),
+      |d AS (SELECT event_type, day, count(*) AS new_users
+      |      FROM f GROUP BY 1, 2)
+      |SELECT event_type, day, new_users,
+      |  CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum_users
+      |FROM d
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q238_k_anonymity" -> (q238 _),
     "q239_pmi_collocations" -> (q239 _),
     "q240_waterfill" -> (q240 _),
-    "q241_scc" -> (q241 _))
+    "q241_scc" -> (q241 _),
+    "q242_attribution" -> (q242 _),
+    "q243_cumulative_uniques" -> (q243 _))
 
   val oracle: Map[String, String] = Map(
     "q238_k_anonymity" -> q238Sql,
     "q239_pmi_collocations" -> q239Sql,
     "q240_waterfill" -> q240Sql,
-    "q241_scc" -> q241Sql)
+    "q241_scc" -> q241Sql,
+    "q242_attribution" -> q242Sql,
+    "q243_cumulative_uniques" -> q243Sql)
 }
