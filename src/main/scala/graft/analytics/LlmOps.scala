@@ -923,20 +923,56 @@ object LlmOps {
         (col("id_sum") - col("removed_id_sum")).as("kept_id_sum"))
   }
 
-  private val q184Sql =
-    s"""WITH RECURSIVE pairs AS (
+  // The component labeling contracts FOUR min-label rounds before
+  // the recursive closure: a raw closure is Σ|component|² rows, and
+  // at low thresholds on adversarially-replicated corpora (the ×10
+  // smoke) one giant near-dup component made DuckDB spill >78 GB.
+  // Each round maps every node to the min of its closed neighborhood
+  // and rewrites edges to label grain — dense near-dup clusters
+  // collapse to a point immediately, chains at least halve — so the
+  // closure only ever sees the contracted residual. Composition of
+  // the label maps (COALESCE: a node absent from a later level is
+  // already final) lifts the residual clustering back to doc grain.
+  private val q184Sql = {
+    // every CTE here is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and the contraction chain references each level
+    // several times — inlined, the pairs subtree would re-expand
+    // exponentially (and re-open the parquet per copy)
+    def contract(i: Int): String = {
+      val (ep, en, ln) = (s"e${i - 1}d", s"e$i", s"l$i")
+      s"""$ln AS MATERIALIZED (SELECT a AS id, LEAST(a, MIN(b)) AS l
+         |       FROM $ep GROUP BY a),
+         |$en AS MATERIALIZED (SELECT DISTINCT la.l AS a, lb.l AS b
+         |       FROM $ep e JOIN $ln la ON la.id = e.a
+         |       JOIN $ln lb ON lb.id = e.b WHERE la.l <> lb.l),
+         |${en}d AS MATERIALIZED (SELECT a, b FROM $en
+         |          UNION SELECT b, a FROM $en)""".stripMargin
+    }
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |  SELECT id_a, id_b FROM (
        |$q22Sql
        |  ) z),
-       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |e0d AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |${contract(1)},
+       |${contract(2)},
+       |${contract(3)},
+       |${contract(4)},
        |reach(src, dst) AS (
-       |  SELECT a, b FROM edges
+       |  SELECT a, b FROM e4d
        |  UNION
-       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-       |comp AS (
+       |  SELECT r.src, e.b FROM reach r JOIN e4d e ON r.dst = e.a),
+       |c4 AS (
        |  SELECT src AS id, least(src, min(dst)) AS cluster
        |  FROM reach GROUP BY src),
+       |comp AS (
+       |  SELECT l1.id,
+       |    COALESCE(c4.cluster, l4.l, l3.l, l2.l, l1.l) AS cluster
+       |  FROM l1
+       |  LEFT JOIN l2 ON l2.id = l1.l
+       |  LEFT JOIN l3 ON l3.id = COALESCE(l2.l, l1.l)
+       |  LEFT JOIN l4 ON l4.id = COALESCE(l3.l, l2.l, l1.l)
+       |  LEFT JOIN c4 ON c4.id = COALESCE(l4.l, l3.l, l2.l, l1.l)),
        |cl AS (
        |  SELECT cluster, count(*) AS sz, min(id) AS rep
        |  FROM comp GROUP BY cluster),
@@ -955,6 +991,7 @@ object LlmOps {
        |SELECT n_docs, docs_in_clusters, n_clusters, docs_removed,
        |  CAST(id_sum - removed_id_sum AS BIGINT) AS kept_id_sum
        |FROM tot, cc, rem""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q188 — train/test split LEAKAGE audit (q58's split × q21's exact
