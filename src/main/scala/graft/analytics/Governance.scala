@@ -396,7 +396,122 @@ object Governance {
       |FROM d
       |ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q244 — time-weighted average value (TWAP) per (event_type, day):
+  // each observation holds until the next one (LEAD over a unique
+  // (ts, event_id) order; the last holds to midnight), so the mean
+  // weights each value by its holding duration — the correct
+  // continuous-signal aggregate where a plain AVG over-weights bursts.
+  // Integer-exact: value_e4 × seconds summed in DECIMAL(38,0), one
+  // integer div at the end.
+  //
+  // Scale shape: ONE hash shuffle to (event_type, day) — the window
+  // and the aggregate share it; nothing else touches the corpus.
+  // ---------------------------------------------------------------------
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type"), col("ts_s"), col("event_id"),
+        round(col("value") * 10000).cast("long").as("value_e4"))
+      .withColumn("day", date_trunc("day", col("ts_s")))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts_s"), col("event_id"))
+    e.withColumn("next_ts",
+        coalesce(lead(col("ts_s"), 1).over(w),
+          col("day") + expr("INTERVAL 1 DAY")))
+      .withColumn("dur_s",
+        col("next_ts").cast("long") - col("ts_s").cast("long"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("dur_s")).as("covered_s"),
+        expr("CAST(sum(CAST(value_e4 AS DECIMAL(38,0)) * dur_s) " +
+          "div sum(dur_s) AS BIGINT)").as("twap_e4"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val q244Sql =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('second', ts) AS ts_s, event_id,
+      |    CAST(round(value * 10000) AS BIGINT) AS value_e4,
+      |    date_trunc('day', ts) AS day
+      |  FROM events),
+      |d AS (
+      |  SELECT event_type, day, value_e4,
+      |    CAST(epoch(COALESCE(
+      |      LEAD(ts_s) OVER (PARTITION BY event_type, day
+      |        ORDER BY ts_s, event_id),
+      |      day + INTERVAL 1 DAY)) AS BIGINT)
+      |    - CAST(epoch(ts_s) AS BIGINT) AS dur_s
+      |  FROM e)
+      |SELECT event_type, day, count(*) AS n_obs,
+      |  CAST(sum(dur_s) AS BIGINT) AS covered_s,
+      |  CAST(sum(CAST(value_e4 AS HUGEINT) * dur_s)
+      |    // CAST(sum(dur_s) AS HUGEINT) AS BIGINT) AS twap_e4
+      |FROM d
+      |GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q245 — embedding drift between cohorts: per-element EXACT sums of
+  // e6-scaled embeddings per cohort (the float vectors become longs
+  // BEFORE any aggregation — float sums reorder under parallelism,
+  // scaled-long sums don't), then consecutive cohorts compare by
+  // mean-absolute-difference of their mean vectors, cross-multiplied
+  // to avoid any division until the final e6 emit:
+  // mad_e6 = Σ_pos |s_a·n_b − s_b·n_a| div (n_a·n_b·dims). The
+  // monitoring query a production embedding pipeline runs per
+  // ingest batch — a jump means the encoder or the corpus moved.
+  //
+  // Scale shape: posexplode → one shuffle to (cohort, pos) grain
+  // (64·cohorts rows out); the cohort-pair compare is dimension-sized.
+  // ---------------------------------------------------------------------
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val sums = t(s, dir, "embeddings")
+      .select((col("vec_id") % 7).as("cohort"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cohort"), col("pos"),
+        round(col("v") * 1000000).cast("long").as("v_e6"))
+      .groupBy(col("cohort"), col("pos"))
+      .agg(sum(col("v_e6")).as("s"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    sums.select(col("cohort").as("cohort_a"), col("pos"),
+        col("s").as("sa"), col("n").as("na"))
+      .join(sums.select((col("cohort") - 1).as("cohort_a"), col("pos"),
+        col("s").as("sb"), col("n").as("nb")), Seq("cohort_a", "pos"))
+      .groupBy(col("cohort_a"))
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        expr("CAST(sum(abs(CAST(sa AS DECIMAL(38,0)) * nb - " +
+          s"CAST(sb AS DECIMAL(38,0)) * na)) div " +
+          s"(first(na) * first(nb) * $dims) AS BIGINT)").as("mad_e6"))
+      .select(col("cohort_a"), (col("cohort_a") + 1).as("cohort_b"),
+        col("n_a"), col("n_b"), col("mad_e6"))
+      .orderBy(col("cohort_a"))
+  }
+
+  private val q245Sql =
+    """WITH x AS (
+      |  SELECT vec_id % 7 AS cohort, pos - 1 AS pos,
+      |    CAST(round(v * 1000000) AS BIGINT) AS v_e6
+      |  FROM (SELECT vec_id, unnest(embedding) AS v,
+      |          generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings)),
+      |s AS (
+      |  SELECT cohort, pos, CAST(sum(v_e6) AS BIGINT) AS s,
+      |    count(*) AS n
+      |  FROM x GROUP BY 1, 2)
+      |SELECT a.cohort AS cohort_a, a.cohort + 1 AS cohort_b,
+      |  CAST(any_value(a.n) AS BIGINT) AS n_a,
+      |  CAST(any_value(b.n) AS BIGINT) AS n_b,
+      |  CAST(sum(abs(CAST(a.s AS HUGEINT) * b.n
+      |    - CAST(b.s AS HUGEINT) * a.n))
+      |    // (any_value(a.n) * any_value(b.n) * 64) AS BIGINT) AS mad_e6
+      |FROM s a JOIN s b ON b.cohort = a.cohort + 1 AND b.pos = a.pos
+      |GROUP BY a.cohort
+      |ORDER BY cohort_a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_twap" -> (q244 _),
+    "q245_embedding_drift" -> (q245 _),
     "q238_k_anonymity" -> (q238 _),
     "q239_pmi_collocations" -> (q239 _),
     "q240_waterfill" -> (q240 _),
@@ -405,6 +520,8 @@ object Governance {
     "q243_cumulative_uniques" -> (q243 _))
 
   val oracle: Map[String, String] = Map(
+    "q244_twap" -> q244Sql,
+    "q245_embedding_drift" -> q245Sql,
     "q238_k_anonymity" -> q238Sql,
     "q239_pmi_collocations" -> q239Sql,
     "q240_waterfill" -> q240Sql,
