@@ -22,7 +22,8 @@ object SparkEntry {
     (analytics.Curation.queries, analytics.Curation.oracle),
     (analytics.Lakehouse.queries, analytics.Lakehouse.oracle),
     (analytics.Frontier.queries, analytics.Frontier.oracle),
-    (analytics.Governance.queries, analytics.Governance.oracle))
+    (analytics.Governance.queries, analytics.Governance.oracle),
+    (analytics.Platform.queries, analytics.Platform.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

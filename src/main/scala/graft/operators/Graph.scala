@@ -623,4 +623,94 @@ object Graph {
       .select(col("src").as("node"),
         coalesce(col("two_hop"), lit(0L)).as("two_hop"))
   }
+
+  /** Adamic–Adar link prediction over a symmetric edge set `und`
+    * (a, b): for every NON-adjacent pair (u < v), the sum over common
+    * neighbors w of 1/ln(deg(w)) — the classic common-neighbor score
+    * weighted so that promiscuous mids count less.
+    *
+    * Mids are restricted to 2 ≤ deg ≤ `degCap`. The lower bound is
+    * definitional (a degree-1 node has no wedges; ln(1) = 0 would
+    * divide by zero); the cap is the operator's scale contract: a
+    * hub's 1/ln(deg) weight is already near-noise, and capping bounds
+    * the per-mid wedge fan-out at degCap² — so the wedge join needs
+    * NO salting to survive a power-law graph (contrast
+    * [[twoHopReach]], whose unweighted semantics force it to keep
+    * hubs and salt them). Scores are e6 fixed-point longs —
+    * round(1e6/ln(deg)) per mid, integer-summed, engine-exact
+    * (ln over the ≤ degCap distinct degree values is IEEE-identical
+    * everywhere).
+    *
+    * Returns (u, v, n_common, aa_e6) for candidate pairs only
+    * (non-adjacent, ≥1 eligible common neighbor). */
+  def adamicAdar(und: DataFrame, degCap: Int = 64): DataFrame = {
+    require(degCap >= 2, "degCap must be at least 2")
+    val shufflePartitions =
+      und.sparkSession.sessionState.conf.numShufflePartitions
+    val e = und.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b"))
+      .repartition(shufflePartitions, col("a")).localCheckpoint()
+    // node-grain weights ride the wedge join attached to the right
+    // leg (one co-partitioned join on mid) — NOT broadcast: the
+    // weight table grows with the graph
+    val w = e.groupBy(col("a").as("mid")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg").between(2, degCap))
+      .select(col("mid"),
+        round(lit(1000000.0) / log(col("deg"))).cast("long").as("w_e6"))
+    val l = e.select(col("b").as("mid"), col("a").as("u"))
+    val r = e.select(col("a").as("mid"), col("b").as("v"))
+      .join(w, Seq("mid"))
+    val scored = l.join(r, Seq("mid"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_e6")).as("aa_e6"))
+    scored.join(
+      e.select(col("a").as("u"), col("b").as("v")),
+      Seq("u", "v"), "left_anti")
+  }
+
+  /** Synchronous label propagation over a symmetric edge set `und`
+    * (a, b), `rounds` fixed rounds: every node starts as its own
+    * label; each round every node adopts the most frequent label
+    * among its neighbors, ties broken by smallest label. The round
+    * count is part of the operator contract (synchronous LPA need not
+    * converge — it can 2-cycle on bipartite structures — so a fixed
+    * horizon is what makes the computation deterministic and
+    * engine-exact, not a convergence loop).
+    *
+    * The pick is a single integer arg-max — key = c·10^7 + (10^7−1−lab)
+    * — so it is reproducible under any aggregation order; labels must
+    * be < 10^7 (checked).
+    *
+    * Scale shape: per round, ONE co-partitioned join of the
+    * edge table against the node-sized label table (both hash-
+    * partitioned on the same key count), a (node, lab) partial-
+    * aggregating count, and a node-grain arg-max; label tables
+    * localCheckpoint per round to cut iterative lineage. Returns
+    * (node, lab). */
+  def labelPropagation(und: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds must be in [1, 20]")
+    val shufflePartitions =
+      und.sparkSession.sessionState.conf.numShufflePartitions
+    val e = und.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b"))
+      .repartition(shufflePartitions, col("b")).localCheckpoint()
+    val maxLab = e.agg(max(greatest(col("a"), col("b")))).head().getLong(0)
+    require(maxLab < 10000000L,
+      s"labelPropagation: labels must be < 1e7 (got $maxLab) — the " +
+        "tie-break arg-max packs (count, label) into one long")
+    var lab = e.select(col("a").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .repartition(shufflePartitions, col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      lab = e.join(lab.select(col("node").as("b"), col("lab")), Seq("b"))
+        .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("a")).agg(max_by(col("lab"),
+          col("c") * lit(10000000L) + (lit(9999999L) - col("lab")))
+          .as("lab"))
+        .select(col("a").as("node"), col("lab"))
+        .repartition(shufflePartitions, col("node")).localCheckpoint()
+    }
+    lab
+  }
 }

@@ -234,4 +234,60 @@ class GraphSpec extends AnyFunSuite {
     assert(plain(1L) == 98L && plain(2L) == 98L)
     assert(plain(3L) == 99L) // all other 99 leaves via the hub
   }
+
+  test("adamicAdar: path endpoints score 1/ln(2) through the shared " +
+       "mid, adjacent pairs are excluded, capped hubs contribute " +
+       "no wedges") {
+    // path 1-2-3 (mid 2 has deg 2) + hub 0 ↔ 10..20 (deg 11 > cap 8)
+    val und = sym(Seq((1L, 2L), (2L, 3L)) ++
+      (10L to 20L).map(l => (0L, l)))
+    val r = Graph.adamicAdar(und, degCap = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, v, n, aa) => ((u, v), (n, aa)) }.toMap
+    val w2 = math.round(1000000.0 / math.log(2.0)) // 1442695
+    assert(r == Map((1L, 3L) -> (1L, w2)),
+      s"expected only the (1,3) wedge through mid 2, got $r")
+  }
+
+  test("adamicAdar: triangle pairs are adjacent so no candidates; " +
+       "square diagonals score through both shared mids") {
+    val und = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle
+      (11L, 12L), (12L, 13L), (13L, 14L), (14L, 11L))) // square
+    val r = Graph.adamicAdar(und, degCap = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, v, n, aa) => ((u, v), (n, aa)) }.toMap
+    val w2 = math.round(1000000.0 / math.log(2.0))
+    assert(r == Map((11L, 13L) -> (2L, 2 * w2),
+      (12L, 14L) -> (2L, 2 * w2)))
+  }
+
+  test("labelPropagation: two cliques joined by one bridge edge " +
+       "settle to two communities labeled by their min node") {
+    val clique = (of: Long) => for {
+      i <- 0L to 3L; j <- 0L to 3L if i < j
+    } yield (of + i, of + j)
+    val und = sym(clique(0L) ++ clique(10L) :+ (3L, 10L))
+    val r = Graph.labelPropagation(und, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val communities = r.groupBy(_._2).view.mapValues(_.keySet).toMap
+    assert(r.keySet == ((0L to 3L) ++ (10L to 13L)).toSet)
+    // each clique converges to ONE label (the bridge may pull node 3
+    // or 10 across, but the cores must be uniform)
+    assert(communities.size <= 3,
+      s"cliques failed to coalesce: $communities")
+    assert((0L to 2L).map(r).toSet.size == 1, "clique A core split")
+    assert((11L to 13L).map(r).toSet.size == 1, "clique B core split")
+  }
+
+  test("labelPropagation: fixed rounds are deterministic — two runs " +
+       "agree exactly; labels over 1e7 are rejected") {
+    val und = sym(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    val a = Graph.labelPropagation(und, 3).as[(Long, Long)].collect().toMap
+    val b = Graph.labelPropagation(und, 3).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    val big = sym(Seq((10000001L, 2L)))
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(big, 2).collect()
+    }
+  }
 }
