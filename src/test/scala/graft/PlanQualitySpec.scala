@@ -546,4 +546,63 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q246: Adamic-Adar wedge join is equi on mid with the weight " +
+       "table riding it — no cartesian, no global window") {
+    val p = plan("q246_adamic_adar")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q249: DSIR bucket LM rides as a broadcast into the doc-grain " +
+       "scan; no fact-sized sort-merge") {
+    val p = plan("q249_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q250: month-grain allocation is a Generate + one aggregate — " +
+       "no window, no cartesian, and the explode is month-sized") {
+    val p = plan("q250_ship_allocation")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("windowspecdefinition") &&
+      !p.contains("CartesianProduct"), p)
+    // month arithmetic must stay on DateType (int ops), never
+    // round-trip through zone-aware timestamps in the hot path
+    assert(p.contains("sequence(trunc("), p)
+  }
+
+  test("q251: both snapshot sides fold to 256-leaf aggregates before " +
+       "the diff join — the full-outer runs at leaf grain") {
+    val p = plan("q251_merkle_diff")
+    assert(!p.contains("CartesianProduct"), p)
+    // the leaf-grain full outer join may be broadcast or shuffled —
+    // but never a fact-sized sort-merge on the row tables (rows fold
+    // map-side via partial bit_xor first)
+    assert(p.contains("partial_bit_xor") || p.contains("partial"), p)
+  }
+
+  test("q255: density-cluster adjacency is a 9-probe equi-join on " +
+       "cell coords, never a non-equi neighbor join") {
+    val p = plan("q255_density_clusters")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q256: band migration is two user-grain aggregates and one " +
+       "join — no global rank window anywhere") {
+    val p = plan("q256_spend_migration")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q257: edge-Jaccard wedges stay equi-joined on mid over the " +
+       "hub-pruned backbone; ranking is bounded top-k") {
+    val p = plan("q257_edge_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
