@@ -23,7 +23,8 @@ object SparkEntry {
     (analytics.Lakehouse.queries, analytics.Lakehouse.oracle),
     (analytics.Frontier.queries, analytics.Frontier.oracle),
     (analytics.Governance.queries, analytics.Governance.oracle),
-    (analytics.Platform.queries, analytics.Platform.oracle))
+    (analytics.Platform.queries, analytics.Platform.oracle),
+    (analytics.Robust.queries, analytics.Robust.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -303,6 +303,24 @@ object Windowed {
       |ORDER BY user_id, session_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q266 — the q53 sessionization re-run under the ROCKSDB state store
+  // provider (off-heap state + changelog checkpoints — the provider a
+  // production deployment runs, because HDFS-backed state lives on the
+  // JVM heap and billions of live sessions OOM it). Same sentinel
+  // replay, same watermarked session_window, same gaps-and-islands
+  // oracle as q53: the gate proves the state backend is semantically
+  // invisible — swap providers, bit-identical sessions.
+  // ---------------------------------------------------------------------
+  private def q266(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.withRocksDbStateStore(s) {
+      graft.streaming.Streaming.sessionReplayFromParquet(
+          s, s"$dir/events.parquet", "user_id", "30 minutes")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }
+
+  // ---------------------------------------------------------------------
   // q99 — streaming dedup in the gate: events streamed TWICE through
   // dropDuplicatesWithinWatermark (two micro-batches of the same
   // file), so every event's second copy must be suppressed by the
@@ -1058,6 +1076,7 @@ object Windowed {
     "q15_trips_derive" -> (q15 _),
     "q16_asof_join" -> (q16 _),
     "q53_stream_session" -> (q53 _),
+    "q266_rocksdb_sessions" -> (q266 _),
     "q61_range_frame" -> (q61 _),
     "q63_stream_interval_join" -> (q63 _),
     "q134_stream_outer_join" -> (q134 _),
@@ -1079,6 +1098,7 @@ object Windowed {
 
   val oracle: Map[String, String] = Map(
     "q11_window_rank" -> q11Sql,
+    "q266_rocksdb_sessions" -> q53Sql,
     "q12_window_running" -> q12Sql,
     "q13_lag_gap" -> q13Sql,
     "q14_sessionize" -> q14Sql,

@@ -416,6 +416,26 @@ object Streaming {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Run `body` with the RocksDB state store provider active, then
+    * restore the previous provider. The default HDFS-backed provider
+    * keeps every key's state as JVM heap objects — at 100 TB/day of
+    * stream state (billions of live sessions) that heap residency is
+    * the first thing that falls over; RocksDB keeps state off-heap
+    * with changelog checkpointing, which is the posture a production
+    * deployment runs. The aggregation semantics must be IDENTICAL
+    * under either provider — [[graft.analytics.Windowed]]'s q266
+    * gates exactly that (same oracle as the default-provider q53). */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Watermarked stream-stream interval join: match each left event
     * with right events for the same key whose timestamp falls within
     * [leftTs, leftTs + windowSec]. Both sides carry watermarks and

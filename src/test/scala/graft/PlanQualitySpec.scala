@@ -605,4 +605,58 @@ class PlanQualitySpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q258: linkage candidates come from a block equi-join and the " +
+       "argmax is a hash aggregate — no sort of the scored pair set") {
+    val p = plan("q258_jw_linkage")
+    assert(!p.contains("CartesianProduct"), p)
+    // the scorer is the native codegen expression, not a UDF
+    assert(p.contains("jarowinklere6") || p.contains("JaroWinklerE6"), p)
+    // best-candidate selection is aggregate-shaped (map-side combine),
+    // not a row_number window over every scored pair
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("q259: Theil-Sen pairs are generated from the DAY-grain " +
+       "aggregate (equi-join on the group key), never the fact table") {
+    val p = plan("q259_theil_sen")
+    assert(!p.contains("CartesianProduct"), p)
+    // both self-join branches sit above an aggregate of the scan
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q260: Mann-Whitney runs on per-value counts — one fact scan, " +
+       "window over the distinct-value axis only") {
+    val p = plan("q260_mann_whitney")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+  }
+
+  test("q261: chi-square margins ride as broadcasts over the pinned " +
+       "cell aggregate — the fact table is never rescanned") {
+    val p = plan("q261_chi_square")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    // cells is localCheckpointed: margins derive from the checkpoint,
+    // so no parquet scan appears anywhere in this plan
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected margins over the checkpoint, " +
+      s"got $scans parquet scans\n$p")
+  }
+
+  test("q264: Kendall pairs come from the bounded 150-row sample " +
+       "(row_number cap), joined equi on the cohort key") {
+    val p = plan("q264_kendall_tau")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition"), p) // the sample cap
+  }
+
+  test("q265: stay-points are one window pass + one aggregate over a " +
+       "single events scan") {
+    val p = plan("q265_staypoints")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
