@@ -520,7 +520,147 @@ object Robust {
        |ORDER BY user_id, stay_start""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q267 — isotonic calibration curve: the monotone fit a quality-
+  // classifier's scores get before their probabilities are trusted
+  // (Zadrozny & Elkan's method; the standard alternative to Platt
+  // scaling). A synthetic score (40 bins over orders) predicts a
+  // deterministic pseudo-label whose rate trends up with the score but
+  // carries hash noise; the isotonic fit is computed via the CLOSED
+  // FORM fitted(t) = max_{i≤t} min_{j≥t} mean(i..j) — equivalent to
+  // PAVA but expressible as two grouped extremes over the interval
+  // table, no sequential pooling loop. Everything downstream of the
+  // one fact scan is bin-grain: 40 bins → 820 intervals → 40 fitted
+  // values; interval means are single e6-rounded divisions of exact
+  // long sums, so both engines agree bit-for-bit.
+  // ---------------------------------------------------------------------
+  private def q267(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val bins = t(s, dir, "orders")
+      .select((col("o_orderkey") % 40).as("bin"),
+        (PortableHash.hash60(col("o_orderkey").cast("string")) % 100 <
+          col("o_orderkey") % 40 + 20).cast("long").as("lbl"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("lbl").as("pos"))
+      .localCheckpoint() // 40 rows; pin so the interval join never rescans
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("cp", sum("pos").over(w))
+    val lo = cum.select(col("bin").as("i"),
+      (col("cn") - col("n")).as("cn_lo"), (col("cp") - col("pos")).as("cp_lo"))
+    val hi = cum.select(col("bin").as("j"), col("cn").as("cn_hi"),
+      col("cp").as("cp_hi"))
+    val intervals = lo.crossJoin(hi).filter(col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        round((col("cp_hi") - col("cp_lo")).cast("double") /
+          (col("cn_hi") - col("cn_lo")).cast("double") * 1000000.0)
+          .cast("long").as("avg_e6"))
+    val fitted = bins.select(col("bin").as("t"))
+      .join(intervals, col("i") <= col("t") && col("j") >= col("t"))
+      .groupBy(col("t"), col("i")).agg(min("avg_e6").as("m"))
+      .groupBy(col("t")).agg(max("m").as("fitted_e6"))
+    bins.join(fitted, col("bin") === col("t"))
+      .select(col("bin"), col("n"), col("pos"),
+        round(col("pos").cast("double") / col("n").cast("double")
+          * 1000000.0).cast("long").as("raw_rate_e6"),
+        col("fitted_e6"))
+      .orderBy("bin")
+  }
+
+  private val q267Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "CAST(o_orderkey AS VARCHAR)")
+    s"""WITH bins AS (
+       |  SELECT o_orderkey % 40 AS bin,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN $h % 100 < o_orderkey % 40 + 20
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM orders GROUP BY 1),
+       |cum AS (
+       |  SELECT bin, n, pos,
+       |    CAST(sum(n) OVER (ORDER BY bin
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+       |    CAST(sum(pos) OVER (ORDER BY bin
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+       |  FROM bins),
+       |iv AS (
+       |  SELECT lo.bin AS i, hi.bin AS j,
+       |    CAST(round(CAST(hi.cp - (lo.cp - lo.pos) AS DOUBLE)
+       |      / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) * 1000000.0)
+       |      AS BIGINT) AS avg_e6
+       |  FROM cum lo JOIN cum hi ON lo.bin <= hi.bin),
+       |inner_min AS (
+       |  SELECT b.bin AS t, iv.i, min(iv.avg_e6) AS m
+       |  FROM bins b JOIN iv ON iv.i <= b.bin AND iv.j >= b.bin
+       |  GROUP BY 1, 2),
+       |fit AS (SELECT t, CAST(max(m) AS BIGINT) AS fitted_e6
+       |        FROM inner_min GROUP BY t)
+       |SELECT bin, n, pos,
+       |  CAST(round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+       |    AS BIGINT) AS raw_rate_e6,
+       |  fitted_e6
+       |FROM bins JOIN fit ON fit.t = bins.bin
+       |ORDER BY bin""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q268 — rolling-origin backtest of a seasonal-naive forecaster:
+  // forecast(day) = revenue(day - 7), evaluated per (priority, month)
+  // over 2001 — the walk-forward evaluation harness every production
+  // forecast runs before deployment (each month is a later origin; no
+  // future data leaks into any forecast because the predictor is a
+  // pure calendar lag). The lag is a CALENDAR self-join on day - 7
+  // (a row-offset lag() would silently skip across missing days), both
+  // branches reading the pinned day-grain aggregate. MAE and bias are
+  // exact e2 longs; the final mean is one rounded division.
+  // ---------------------------------------------------------------------
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01"))
+      .groupBy(col("o_orderpriority").as("prio"),
+        datediff(col("o_orderdate"), lit("2001-01-01")).as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y_e2"))
+      .localCheckpoint() // ~1k rows; both join branches read this once
+    val lag7 = daily.select(col("prio"), (col("x") + 7).as("x"),
+      col("y_e2").as("f_e2"))
+    daily.join(lag7, Seq("prio", "x"))
+      .groupBy(col("prio"), (col("x") / 30).cast("long").as("fold"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("y_e2") - col("f_e2"))).as("abs_err_e2"),
+        sum(col("y_e2") - col("f_e2")).as("bias_e2"))
+      .withColumn("mae_e2",
+        round(col("abs_err_e2").cast("double") /
+          col("n_days").cast("double")).cast("long"))
+      .orderBy("prio", "fold")
+  }
+
+  private val q268Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio,
+      |    datediff('day', TIMESTAMP '2001-01-01', o_orderdate) AS x,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS y_e2
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+      |  GROUP BY 1, 2),
+      |joined AS (
+      |  SELECT a.prio, a.x, a.y_e2, b.y_e2 AS f_e2
+      |  FROM daily a JOIN daily b ON a.prio = b.prio AND b.x = a.x - 7),
+      |folds AS (
+      |  SELECT prio, CAST(x // 30 AS BIGINT) AS fold,
+      |    CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(abs(y_e2 - f_e2)) AS BIGINT) AS abs_err_e2,
+      |    CAST(sum(y_e2 - f_e2) AS BIGINT) AS bias_e2
+      |  FROM joined GROUP BY 1, 2)
+      |SELECT prio, fold, n_days, abs_err_e2, bias_e2,
+      |  CAST(round(CAST(abs_err_e2 AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |    AS BIGINT) AS mae_e2
+      |FROM folds ORDER BY prio, fold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_isotonic" -> (q267 _),
+    "q268_backtest" -> (q268 _),
     "q258_jw_linkage" -> (q258 _),
     "q259_theil_sen" -> (q259 _),
     "q260_mann_whitney" -> (q260 _),
@@ -531,6 +671,8 @@ object Robust {
     "q265_staypoints" -> (q265 _))
 
   val oracle: Map[String, String] = Map(
+    "q267_isotonic" -> q267Sql,
+    "q268_backtest" -> q268Sql,
     "q258_jw_linkage" -> q258Sql,
     "q259_theil_sen" -> q259Sql,
     "q260_mann_whitney" -> q260Sql,

@@ -321,6 +321,57 @@ object Windowed {
     }
 
   // ---------------------------------------------------------------------
+  // q269 — the SAME sessions a third way: `transformWithState`, the
+  // arbitrary-state API that supersedes flatMapGroupsWithState (typed
+  // state variables, first-class re-registrable timers, RocksDB-only
+  // state). q53 (built-in session_window), q103
+  // (flatMapGroupsWithState), and this all face one batch
+  // gaps-and-islands oracle — three state machines, one answer.
+  // ---------------------------------------------------------------------
+  private def q269(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.TwsSessions.replayFromParquet(
+        s, s"$dir/events.parquet", 1800L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  // ---------------------------------------------------------------------
+  // q270/q271 — the other two transformWithState state shapes, both on
+  // the EMIT-ON-CLOSE pattern (state absorbs every micro-batch; one
+  // flush timer per key fires when the sentinel advances the
+  // watermark): q270 keeps per-user top-3 event values in a ListState
+  // truncated to k on every update (state O(k) per key for an
+  // unbounded stream), q271 keeps per-user event-type counts in a
+  // MapState (state O(categories) per key). Oracles are the plain
+  // batch formulations — if the stream state dropped or double-counted
+  // anything, the hash shifts.
+  // ---------------------------------------------------------------------
+  private def q270(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.TwsSessions.topKReplayFromParquet(
+        s, s"$dir/events.parquet", 3)
+      .orderBy(col("user_id"), col("rank"))
+
+  private val q270Sql =
+    """SELECT user_id, CAST(rn AS INTEGER) AS rank, value_e4
+      |FROM (
+      |  SELECT user_id, CAST(round(value * 10000) AS BIGINT) AS value_e4,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(round(value * 10000) AS BIGINT) DESC) AS rn
+      |  FROM events)
+      |WHERE rn <= 3
+      |ORDER BY user_id, rn""".stripMargin
+
+  private def q271(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.TwsSessions.categoryCountsReplayFromParquet(
+        s, s"$dir/events.parquet")
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val q271Sql =
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q99 — streaming dedup in the gate: events streamed TWICE through
   // dropDuplicatesWithinWatermark (two micro-batches of the same
   // file), so every event's second copy must be suppressed by the
@@ -1077,6 +1128,9 @@ object Windowed {
     "q16_asof_join" -> (q16 _),
     "q53_stream_session" -> (q53 _),
     "q266_rocksdb_sessions" -> (q266 _),
+    "q269_tws_sessions" -> (q269 _),
+    "q270_tws_topk" -> (q270 _),
+    "q271_tws_mapstate" -> (q271 _),
     "q61_range_frame" -> (q61 _),
     "q63_stream_interval_join" -> (q63 _),
     "q134_stream_outer_join" -> (q134 _),
@@ -1099,6 +1153,9 @@ object Windowed {
   val oracle: Map[String, String] = Map(
     "q11_window_rank" -> q11Sql,
     "q266_rocksdb_sessions" -> q53Sql,
+    "q269_tws_sessions" -> q53Sql,
+    "q270_tws_topk" -> q270Sql,
+    "q271_tws_mapstate" -> q271Sql,
     "q12_window_running" -> q12Sql,
     "q13_lag_gap" -> q13Sql,
     "q14_sessionize" -> q14Sql,

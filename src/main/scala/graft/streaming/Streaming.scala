@@ -196,8 +196,9 @@ object Streaming {
     * run (the reference's daily re-run) would behave identically via
     * the checkpoint — StreamingSpec covers that resume path; one
     * lifecycle halves the fixed streaming startup cost. */
-  private def sentinelReplay(spark: SparkSession, srcParquet: String)
-                            (aggStream: DataFrame => DataFrame): DataFrame = {
+  private[streaming] def sentinelReplay(
+      spark: SparkSession, srcParquet: String)
+      (aggStream: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     val in = Files.createTempDirectory("graft_stream_in")
     val out = Files.createTempDirectory("graft_stream_out")

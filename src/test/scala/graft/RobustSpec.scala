@@ -80,6 +80,43 @@ class RobustSpec extends AnyFunSuite {
     assert(formula == brute)
   }
 
+  test("isotonic minimax closed form equals sequential PAVA") {
+    // weighted PAVA (pool adjacent violators), the textbook algorithm
+    def pava(ns: Seq[Long], ps: Seq[Long]): Seq[Double] = {
+      case class Block(n: Long, p: Long) { def avg: Double = p.toDouble / n }
+      val blocks = scala.collection.mutable.ArrayBuffer[Block]()
+      val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+      ns.indices.foreach { i =>
+        blocks += Block(ns(i), ps(i)); sizes += 1
+        while (blocks.size > 1 &&
+               blocks(blocks.size - 2).avg >= blocks.last.avg) {
+          val b = blocks.remove(blocks.size - 1)
+          val a = blocks.remove(blocks.size - 1)
+          blocks += Block(a.n + b.n, a.p + b.p)
+          val s2 = sizes.remove(sizes.size - 1)
+          val s1 = sizes.remove(sizes.size - 1)
+          sizes += s1 + s2
+        }
+      }
+      blocks.toSeq.zip(sizes).flatMap { case (b, s) => Seq.fill(s)(b.avg) }
+    }
+    // minimax: fitted(t) = max_{i<=t} min_{j>=t} mean(i..j)
+    def minimax(ns: Seq[Long], ps: Seq[Long]): Seq[Double] =
+      ns.indices.map { t =>
+        (0 to t).map { i =>
+          (t until ns.size).map { j =>
+            ps.slice(i, j + 1).sum.toDouble / ns.slice(i, j + 1).sum
+          }.min
+        }.max
+      }
+    val ns = Seq(10L, 5L, 8L, 12L, 6L, 9L)
+    val ps = Seq(1L, 3L, 2L, 9L, 3L, 8L)
+    val (a, b) = (pava(ns, ps), minimax(ns, ps))
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    // and the fit is monotone nondecreasing
+    assert(b.sliding(2).forall(w => w.head <= w.last + 1e-12))
+  }
+
   test("Kendall tau-b: perfect concordance is 1e6, reversal is -1e6") {
     def taub(xs: Seq[Long], ys: Seq[Long]): Long = {
       val idx = xs.indices
