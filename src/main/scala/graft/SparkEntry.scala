@@ -24,7 +24,8 @@ object SparkEntry {
     (analytics.Frontier.queries, analytics.Frontier.oracle),
     (analytics.Governance.queries, analytics.Governance.oracle),
     (analytics.Platform.queries, analytics.Platform.oracle),
-    (analytics.Robust.queries, analytics.Robust.oracle))
+    (analytics.Robust.queries, analytics.Robust.oracle),
+    (analytics.Evaluation.queries, analytics.Evaluation.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

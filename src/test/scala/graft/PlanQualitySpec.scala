@@ -652,6 +652,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition"), p) // the sample cap
   }
 
+  test("q272: the 35-row policy rides as a broadcast into the eval " +
+       "scan; both period scans carry pushed date filters") {
+    val p = plan("q272_bandit_replay")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q273: conformal split runs entirely on the pinned week-grain " +
+       "aggregate — no parquet rescan after the checkpoint") {
+    val p = plan("q273_conformal")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected checkpoint-only plan, got $scans\n$p")
+  }
+
+  test("q274: Kaplan-Meier is one events scan to user grain; the " +
+       "curve windows run on the <=31-row lifetime aggregate") {
+    val p = plan("q274_kaplan_meier")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+    assert(!p.contains("Join"), p) // curve is aggregates + windows only
+  }
+
   test("q265: stay-points are one window pass + one aggregate over a " +
        "single events scan") {
     val p = plan("q265_staypoints")
