@@ -681,4 +681,47 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans == 1, s"expected one events scan, got $scans\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q275: both NDCG rankings and the gain aggregate share ONE " +
+       "user_id partitioning — a single exchange over one events scan") {
+    val p = plan("q275_ndcg")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected one user_id shuffle, got $shuffles\n$p")
+    assert(!p.contains("Join"), p) // weight table is an array literal
+  }
+
+  test("q279: KMV rank window and the per-type aggregate share one " +
+       "event_type partitioning over a single events scan — no joins") {
+    val p = plan("q279_kmv_sketch")
+    assert(!p.contains("Join"), p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+  }
+
+  test("q280: EWMA range-join runs entirely on the pinned day-grain " +
+       "aggregate — no parquet rescan after the checkpoint") {
+    val p = plan("q280_ewma")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected checkpoint-only plan, got $scans\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q281: negative candidates equi-join the corpus hash-to-hash " +
+       "(no corpus broadcast); the size scalar is the only broadcast") {
+    val p = plan("q281_negative_sampling")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p) // the 1-row n_docs scalar
+  }
+
+  test("q282: fold audit is one fact scan, partial+final aggregate, " +
+       "then windows on the 25-row grain") {
+    val p = plan("q282_fold_balance")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one orders scan, got $scans\n$p")
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
