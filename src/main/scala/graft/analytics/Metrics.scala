@@ -102,111 +102,115 @@ object Metrics {
   }
 
   // ---------------------------------------------------------------------
-  // q276 — Gini concentration of customer lifetime spend per market
-  // segment: G = Σ_i (2i − n − 1) x_(i) / (n Σx) over rank-ordered
-  // spend — revenue-concentration telemetry for account management.
-  // Spend is exact cents; the rank index comes from one window per
-  // segment (~thousands of customers each, shuffled by segment); the
-  // weighted sum Σ(2i−n−1)x is an exact long (|w| < n ≤ 2^21, x ≤
-  // 2^40); the Gini itself is one final rounded double division.
-  // Customers with no orders count as true zeros in the curve (left
-  // join), which is what a concentration audit wants.
+  // q276 — cohort LTV triangle: customers grouped by acquisition
+  // month (their FIRST order), tracked by cumulative revenue per
+  // cohort member at each month-of-age — the lifetime-value table
+  // every growth team reads (diagonal = calendar month, row = cohort
+  // maturation). Distinct from q94's retention triangle, which counts
+  // activity; this one accumulates money. Revenue is exact cents; the
+  // acquisition month is a per-customer min-aggregate (no window over
+  // the fact table); the cumulative sum runs over the cohort×age
+  // aggregate (≤ ~80×80 rows), never over orders. Per-member LTV is
+  // the one final rounded division.
   // ---------------------------------------------------------------------
   private def q276(s: SparkSession, dir: String): DataFrame = {
-    val spend = t(s, dir, "orders")
-      .groupBy(col("o_custkey").as("ck"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s_e2"))
-    val cust = t(s, dir, "customer")
-      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
-      .join(spend, Seq("ck"), "left")
-      .select(col("ck"), col("seg"), coalesce(col("s_e2"), lit(0L))
-        .as("s_e2"))
-    val wS = Window.partitionBy("seg").orderBy(col("s_e2"), col("ck"))
-    cust.withColumn("i", row_number().over(wS).cast("long"))
-      .groupBy("seg")
-      .agg(count(lit(1)).as("n_cust"),
-        sum("s_e2").as("sum_e2"),
-        sum((col("i") * 2 - 1) * col("s_e2")).as("wsum_e2"))
-      // G = (Σ(2i−1)x − (n+1)Σx) / (n Σx), algebraically Σ(2i−n−1)x
-      .select(col("seg"), col("n_cust"), col("sum_e2"),
-        round((col("wsum_e2") - (col("n_cust") + 1) * col("sum_e2"))
-          .cast("double") /
-          (col("n_cust") * col("sum_e2")).cast("double") * 1000000.0)
-          .cast("long").as("gini_e6"))
-      .orderBy("seg")
+    val om = t(s, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        months_between(trunc(col("o_orderdate"), "month"),
+          lit("1995-01-01")).cast("long").as("m"),
+        round(col("o_totalprice") * 100).cast("long").as("p_e2"))
+    val firstM = om.groupBy("ck").agg(min("m").as("m0"))
+    val byAge = om.join(firstM, "ck")
+      .groupBy(col("m0"), (col("m") - col("m0")).as("age"))
+      .agg(sum("p_e2").as("rev_e2"))
+    val cohortSize = firstM.groupBy("m0")
+      .agg(count(lit(1)).as("n_cust"))
+    val wC = Window.partitionBy("m0").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byAge.join(cohortSize, "m0")
+      .withColumn("cum_rev_e2", sum("rev_e2").over(wC))
+      .select(col("m0").as("cohort_m"), col("age"), col("n_cust"),
+        col("cum_rev_e2"),
+        round(col("cum_rev_e2").cast("double") /
+          col("n_cust").cast("double")).cast("long").as("ltv_e2"))
+      .orderBy("cohort_m", "age")
   }
 
   private val q276Sql =
-    """WITH spend AS (
+    """WITH om AS (
       |  SELECT o_custkey AS ck,
-      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-      |      AS s_e2
-      |  FROM orders GROUP BY 1),
-      |cust AS (
-      |  SELECT c_custkey AS ck, c_mktsegment AS seg,
-      |    COALESCE(s_e2, 0) AS s_e2
-      |  FROM customer LEFT JOIN spend ON c_custkey = spend.ck),
-      |ranked AS (
-      |  SELECT *, CAST(row_number() OVER (PARTITION BY seg
-      |    ORDER BY s_e2, ck) AS BIGINT) AS i
-      |  FROM cust)
-      |SELECT seg, CAST(count(*) AS BIGINT) AS n_cust,
-      |  CAST(sum(s_e2) AS BIGINT) AS sum_e2,
-      |  CAST(round(CAST(sum((i * 2 - 1) * s_e2)
-      |      - (count(*) + 1) * sum(s_e2) AS DOUBLE)
-      |    / CAST(count(*) * sum(s_e2) AS DOUBLE) * 1000000.0) AS BIGINT)
-      |    AS gini_e6
-      |FROM ranked GROUP BY seg ORDER BY seg""".stripMargin
+      |    CAST(datediff('month', DATE '1995-01-01',
+      |      date_trunc('month', o_orderdate)) AS BIGINT) AS m,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS p_e2
+      |  FROM orders),
+      |firstm AS (SELECT ck, min(m) AS m0 FROM om GROUP BY 1),
+      |byage AS (
+      |  SELECT m0, m - m0 AS age, CAST(sum(p_e2) AS BIGINT) AS rev_e2
+      |  FROM om JOIN firstm USING (ck) GROUP BY 1, 2),
+      |csize AS (SELECT m0, CAST(count(*) AS BIGINT) AS n_cust
+      |          FROM firstm GROUP BY 1),
+      |cum AS (
+      |  SELECT m0, age, n_cust,
+      |    CAST(sum(rev_e2) OVER (PARTITION BY m0 ORDER BY age
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_e2
+      |  FROM byage JOIN csize USING (m0))
+      |SELECT m0 AS cohort_m, age, n_cust, cum_rev_e2,
+      |  CAST(round(CAST(cum_rev_e2 AS DOUBLE) / CAST(n_cust AS DOUBLE))
+      |    AS BIGINT) AS ltv_e2
+      |FROM cum ORDER BY cohort_m, age""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q277 — Benford first-digit forensic audit of order totals: the
-  // observed leading-digit distribution vs Benford's log10(1+1/d)
-  // expectation, the standard fabricated-data screen. The digit is
-  // extracted from the exact cents integer as a string prefix (both
-  // engines print BIGINT identically — no float formatting in the
-  // path); the nine expected shares are a Scala-computed e6 literal
-  // table. Deviation is observed−expected in e6; the χ²-style score
-  // n·(obs−exp)²/exp is one rounded double expression per digit row.
-  // One scan, nine output rows.
+  // q277 — Herfindahl–Hirschman concentration index per (region,
+  // year): HHI = Σ_i (s_i/S)² over supplier revenue shares — the
+  // antitrust/marketplace-health number (10000·HHI > 2500 is "highly
+  // concentrated"). Each supplier's revenue is an exact e2 long; the
+  // squared sum Σs² runs in decimal(38,0) (s ≤ 2^40 squares past
+  // long range); both Σs² and (Σs)² convert once to double for the
+  // single final division. Fact rows aggregate to supplier grain
+  // map-side first; the dim joins (supplier→nation→region) broadcast;
+  // output is the 35-row region×year matrix.
   // ---------------------------------------------------------------------
-  private val benfordE6: IndexedSeq[Long] = (1 to 9).map(d =>
-    math.round(math.log10(1.0 + 1.0 / d) * 1e6))
-
   private def q277(s: SparkSession, dir: String): DataFrame = {
-    val expArr = array(benfordE6.map(lit): _*)
-    val tot = t(s, dir, "orders")
-      .agg(count(lit(1)).as("n_tot"))
-    t(s, dir, "orders")
-      .select(substring(round(col("o_totalprice") * 100).cast("long")
-        .cast("string"), 1, 1).cast("int").as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(tot))
-      .select(col("digit").cast("long").as("digit"), col("n"),
-        round(col("n").cast("double") / col("n_tot").cast("double")
-          * 1000000.0).cast("long").as("obs_e6"),
-        element_at(expArr, col("digit").cast("int")).as("exp_e6"))
-      .withColumn("dev_e6", col("obs_e6") - col("exp_e6"))
-      .orderBy("digit")
+    val supRev = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), year(col("l_shipdate")).as("yr"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")).as("s_e2"))
+    val supRegion = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), expr("s_nationkey = n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), expr("n_regionkey = r_regionkey"))
+      .select(col("s_suppkey"), col("r_name"))
+    supRev.join(broadcast(supRegion), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("r_name").as("region"), col("yr").cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("s_e2").as("tot_e2"),
+        sum(col("s_e2").cast("decimal(38,0)") *
+          col("s_e2").cast("decimal(38,0)")).as("sq"))
+      .select(col("region"), col("yr"), col("n_suppliers"), col("tot_e2"),
+        round(col("sq").cast("double") /
+          (col("tot_e2").cast("double") * col("tot_e2").cast("double"))
+          * 100000000.0).cast("long").as("hhi_e8"))
+      .orderBy("region", "yr")
   }
 
-  private val q277Sql = {
-    val expCase = (1 to 9).map(d =>
-      s"WHEN $d THEN ${benfordE6(d - 1)}").mkString(" ")
-    s"""WITH digits AS (
-       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-       |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
-       |  FROM orders),
-       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM digits)
-       |SELECT CAST(digit AS BIGINT) AS digit,
-       |  CAST(count(*) AS BIGINT) AS n,
-       |  CAST(round(CAST(count(*) AS DOUBLE) / CAST(n_tot AS DOUBLE)
-       |    * 1000000.0) AS BIGINT) AS obs_e6,
-       |  CAST(CASE digit $expCase END AS BIGINT) AS exp_e6,
-       |  CAST(round(CAST(count(*) AS DOUBLE) / CAST(n_tot AS DOUBLE)
-       |    * 1000000.0) AS BIGINT) - CAST(CASE digit $expCase END AS BIGINT)
-       |    AS dev_e6
-       |FROM digits, tot GROUP BY digit, n_tot ORDER BY digit""".stripMargin
-  }
+  private val q277Sql =
+    """WITH suprev AS (
+      |  SELECT l_suppkey, year(l_shipdate) AS yr,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |      AS BIGINT)) AS BIGINT) AS s_e2
+      |  FROM lineitem GROUP BY 1, 2),
+      |supreg AS (
+      |  SELECT s_suppkey, r_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey)
+      |SELECT r_name AS region, CAST(yr AS BIGINT) AS yr,
+      |  CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(sum(s_e2) AS BIGINT) AS tot_e2,
+      |  CAST(round(CAST(sum(s_e2 * s_e2) AS DOUBLE)
+      |    / (CAST(sum(s_e2) AS DOUBLE) * CAST(sum(s_e2) AS DOUBLE))
+      |    * 100000000.0) AS BIGINT) AS hhi_e8
+      |FROM suprev JOIN supreg ON l_suppkey = s_suppkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
   // q278 — pinball (quantile) loss of the week-over-week naive
@@ -496,23 +500,543 @@ object Metrics {
        |FROM strat ORDER BY prio, fold""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q283 — MMR (maximal marginal relevance) diversified re-ranking:
+  // per query vector, the plain cosine top-12 is greedily re-ranked
+  // into a top-4 that balances relevance against redundancy —
+  // score = λ·rel − (1−λ)·max-sim-to-already-picked, λ = 0.7. The
+  // diversity pass every RAG retriever and diverse-sampling data
+  // pipeline runs after ANN. All scores are e4-scaled LONGS
+  // (λ in tenths: score×10 = 7·rel_e4 − 3·maxsim_e4), so the greedy
+  // argmax chain is pure integer comparison — no float ordering to
+  // disagree on. Scale shape: candidate generation is the guarded
+  // brute/bounded-heap ANN plan (corpus scanned once, queries
+  // broadcast, TopKPerKey keeps shuffle at k·|queries|); everything
+  // after runs on the 12-per-query candidate table (pinned via
+  // localCheckpoint), where the 4 unrolled greedy steps are
+  // candidate-grain joins — never back to the corpus.
+  // ---------------------------------------------------------------------
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("cv"),
+        round(Vectors.cosineNative(col("qv"), col("cv")) * 10000)
+          .cast("long").as("rel_e4"))
+    val cand = org.apache.spark.sql.graftx.TopKPerKeyPlan
+      .topK(scored, Seq("qid"), Seq("rel_e4" -> true, "cid" -> false), 12)
+      .localCheckpoint() // every greedy step reads this 12/query table
+    val candSlim = cand.select(col("qid"), col("cid"), col("rel_e4"))
+    val sim = cand.select(col("qid"), col("cid").as("c1"),
+        col("cv").as("v1"))
+      .join(cand.select(col("qid").as("q2"), col("cid").as("c2"),
+        col("cv").as("v2")),
+        col("qid") === col("q2") && col("c1") =!= col("c2"))
+      .select(col("qid"), col("c1"), col("c2"),
+        round(Vectors.cosineNative(col("v1"), col("v2")) * 10000)
+          .cast("long").as("sim_e4"))
+      .localCheckpoint()
+    var selected = candSlim
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("rel_e4").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid"), lit(1L).as("step"), col("rel_e4"),
+        (col("rel_e4") * 7).as("score_x10_e4"))
+    for (step <- 2 to 4) {
+      val selSet = selected.select(col("qid").as("sq"), col("cid").as("sc"))
+      val msim = sim.join(selSet,
+          col("qid") === col("sq") && col("c2") === col("sc"))
+        .groupBy(col("qid"), col("c1")).agg(max("sim_e4").as("maxsim_e4"))
+      val remaining = candSlim.join(selSet,
+          candSlim("qid") === selSet("sq") && candSlim("cid") === selSet("sc"),
+          "left_anti")
+      val pick = remaining
+        .join(msim.select(col("qid").as("mq"), col("c1"), col("maxsim_e4")),
+          col("qid") === col("mq") && col("cid") === col("c1"))
+        .select(col("qid"), col("cid"), col("rel_e4"),
+          (col("rel_e4") * 7 - col("maxsim_e4") * 3).as("score_x10_e4"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("score_x10_e4").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), lit(step.toLong).as("step"),
+          col("rel_e4"), col("score_x10_e4"))
+      selected = selected.unionByName(pick)
+    }
+    selected.orderBy("qid", "step")
+  }
+
+  private val q283Sql = {
+    import graft.functions.Vectors
+    val cosQ = Vectors.cosineSql("q.qv", "e.embedding")
+    val cosAB = Vectors.cosineSql("ea.embedding", "eb.embedding")
+    val steps = (2 to 4).map { n =>
+      val prevSel = (1 until n).map(i => s"SELECT qid, cid FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""sel$n AS ($prevSel),
+         |ms$n AS (
+         |  SELECT sim.qid, c1 AS cid, max(sim_e4) AS maxsim_e4
+         |  FROM sim JOIN sel$n ON sim.qid = sel$n.qid
+         |    AND sim.c2 = sel$n.cid
+         |  GROUP BY 1, 2),
+         |r$n AS (
+         |  SELECT cand.qid, cand.cid, rel_e4,
+         |    CAST(7 * rel_e4 - 3 * maxsim_e4 AS BIGINT) AS score_x10_e4
+         |  FROM cand JOIN ms$n ON cand.qid = ms$n.qid
+         |    AND cand.cid = ms$n.cid
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$n
+         |    WHERE sel$n.qid = cand.qid AND sel$n.cid = cand.cid)),
+         |s$n AS (
+         |  SELECT qid, cid, CAST($n AS BIGINT) AS step, rel_e4,
+         |    score_x10_e4
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |          ORDER BY score_x10_e4 DESC, cid) AS rn FROM r$n)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+       |           FROM embeddings WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT qid, e.vec_id AS cid,
+       |    CAST(round(($cosQ) * 10000) AS BIGINT) AS rel_e4
+       |  FROM q, embeddings e WHERE e.vec_id <> qid),
+       |cand AS (
+       |  SELECT qid, cid, rel_e4
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |          ORDER BY rel_e4 DESC, cid) AS rnk FROM scored)
+       |  WHERE rnk <= 12),
+       |sim AS (
+       |  SELECT a.qid, a.cid AS c1, b.cid AS c2,
+       |    CAST(round(($cosAB) * 10000) AS BIGINT) AS sim_e4
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+       |  JOIN embeddings ea ON a.cid = ea.vec_id
+       |  JOIN embeddings eb ON b.cid = eb.vec_id),
+       |s1 AS (
+       |  SELECT qid, cid, CAST(1 AS BIGINT) AS step, rel_e4,
+       |    CAST(7 * rel_e4 AS BIGINT) AS score_x10_e4
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |          ORDER BY rel_e4 DESC, cid) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT qid, step, cid, rel_e4, score_x10_e4
+       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+       |ORDER BY qid, step""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q284 — Markov removal-effect attribution (the data-driven
+  // alternative to q242's first/last-touch heuristics): user-day
+  // journeys over the event channels build a first-order Markov
+  // chain with purchase absorbing (paths truncate at the first
+  // purchase; day-end is the implicit null absorber), and each
+  // channel's credit is its REMOVAL EFFECT — how much total
+  // conversion probability disappears when the channel's state is
+  // deleted from the chain. Absorption probabilities come from 16
+  // unrolled value-iteration steps x ← r + Qx on the 4×4 transient
+  // matrix; the iteration EXPRESSIONS are generated once in Scala
+  // and fed verbatim to BOTH engines (Spark selectExpr and the
+  // DuckDB CTE chain), so every IEEE multiply-add runs in the
+  // identical order. Scale shape: one events scan → per-(user, day)
+  // window → 25 transition counts; everything after — the 5-scenario
+  // expansion (baseline + 4 removals), the 16 iterations, the final
+  // shares — is arithmetic on a 5-row frame. Removal drops are
+  // e9-rounded before the exact integer share division.
+  // ---------------------------------------------------------------------
+  private val mkStates = Seq("c" -> "click", "v" -> "view",
+    "s" -> "signup", "e" -> "error")
+
+  /** One value-iteration step x_i ← r_i + Σ_j q_ij·x_j as SQL text —
+    * the SAME strings drive Spark's selectExpr and the DuckDB CTE
+    * chain (fixed left-assoc add order = identical IEEE on both). */
+  private def mkIterExprs: Seq[String] = mkStates.map { case (i, _) =>
+    s"r_$i + " + mkStates.map { case (j, _) => s"q_$i$j * x_$j" }
+      .mkString(" + ") + s" AS x_$i"
+  }
+
+  private def mkCarry: Seq[String] =
+    Seq("scenario") ++
+      mkStates.flatMap { case (i, _) => mkStates.map { case (j, _) =>
+        s"q_$i$j" } } ++
+      mkStates.map { case (i, _) => s"r_$i" } ++
+      mkStates.map { case (j, _) => s"pi_$j" } ++ Seq("pi_p")
+
+  private def q284(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir)
+      .select(col("user_id"), col("ts_s").cast("date").as("d"),
+        col("ts_s"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id", "d")
+      .orderBy(col("ts_s"), col("event_id"))
+    val seqd = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .withColumn("purch_before", count(when(col("event_type") ===
+        "purchase", 1)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    // entry distribution π (first event of each user-day)
+    def share(num: Column, den: Column): Column =
+      num.cast("double") / den.cast("double")
+    val firsts = seqd.filter(col("rn") === 1)
+    def cntF(t: String) = sum((col("event_type") === t).cast("long"))
+    val piCols = Seq(cntF("click"), cntF("view"), cntF("signup"),
+      cntF("error"), cntF("purchase"), count(lit(1)))
+    val pi = firsts.agg(piCols.head, piCols.tail: _*)
+      .toDF("f_c", "f_v", "f_s", "f_e", "f_p", "n_sess")
+    // transition counts from pre-absorption, non-purchase rows
+    val from = seqd.filter(col("purch_before") === 0 &&
+      col("event_type") =!= "purchase")
+    def cntT(a: String, b: String) = sum((col("event_type") === a &&
+      col("nxt") === b).cast("long"))
+    val outCols = mkStates.flatMap { case (_, an) =>
+      mkStates.map { case (_, bn) => cntT(an, bn) } :+
+        cntT(an, "purchase") :+
+        sum((col("event_type") === an).cast("long"))
+    }
+    val tcnt = from.agg(outCols.head, outCols.tail: _*)
+      .toDF(mkStates.flatMap { case (i, _) =>
+        mkStates.map { case (j, _) => s"n_$i$j" } :+ s"n_${i}p" :+
+          s"n_${i}_tot" }: _*)
+    // probabilities, one row; q_ij = n_ij / n_i_tot (0 when no exits)
+    val probs = tcnt.crossJoin(pi).select(
+      (mkStates.flatMap { case (i, _) =>
+        mkStates.map { case (j, _) =>
+          when(col(s"n_${i}_tot") === 0, lit(0.0))
+            .otherwise(share(col(s"n_$i$j"), col(s"n_${i}_tot")))
+            .as(s"q_$i$j") } :+
+          when(col(s"n_${i}_tot") === 0, lit(0.0))
+            .otherwise(share(col(s"n_${i}p"), col(s"n_${i}_tot")))
+            .as(s"r_$i")
+      } ++
+        mkStates.map { case (j, _) =>
+          share(col(s"f_$j"), col("n_sess")).as(s"pi_$j") } :+
+        share(col("f_p"), col("n_sess")).as("pi_p")): _*)
+    // scenario expansion: baseline + remove each channel
+    val scen = s.createDataFrame(
+      Seq(Tuple1("none")) ++ mkStates.map { case (_, n) => Tuple1(n) })
+      .toDF("scenario")
+    val zeroed = probs.crossJoin(broadcast(scen)).select(
+      (col("scenario") +:
+        (mkStates.flatMap { case (i, in) =>
+          mkStates.map { case (j, jn) =>
+            when(col("scenario") === in || col("scenario") === jn,
+              lit(0.0)).otherwise(col(s"q_$i$j")).as(s"q_$i$j") } :+
+            when(col("scenario") === in, lit(0.0))
+              .otherwise(col(s"r_$i")).as(s"r_$i")
+        } ++
+          mkStates.map { case (j, jn) =>
+            when(col("scenario") === jn, lit(0.0))
+              .otherwise(col(s"pi_$j")).as(s"pi_$j") } :+ col("pi_p"))): _*)
+    // 16 value-iteration steps, expressions shared with the oracle
+    var it = zeroed.selectExpr(mkCarry ++
+      mkStates.map { case (i, _) => s"CAST(0.0 AS DOUBLE) AS x_$i" }: _*)
+    for (_ <- 1 to 16)
+      it = it.selectExpr(mkCarry ++ mkIterExprs: _*)
+    val convExpr = "pi_c * x_c + pi_v * x_v + pi_s * x_s + pi_e * x_e" +
+      " + pi_p"
+    val conv = it.selectExpr("scenario", s"$convExpr AS conv")
+      .localCheckpoint() // two branches below (baseline row + channels)
+    val base = conv.filter(col("scenario") === "none")
+      .select(col("conv").as("conv0"))
+    val drops = conv.filter(col("scenario") =!= "none")
+      .crossJoin(broadcast(base))
+      .select(col("scenario").as("channel"),
+        round(col("conv") * 1000000.0).cast("long").as("conv_e6"),
+        round(col("conv0") * 1000000.0).cast("long").as("conv0_e6"),
+        round((col("conv0") - col("conv")) * 1000000000.0).cast("long")
+          .as("drop_e9"))
+    val totDrop = drops.agg(sum("drop_e9").as("tot_drop_e9"))
+    drops.crossJoin(broadcast(totDrop))
+      .select(col("channel"), col("conv_e6"), col("conv0_e6"),
+        col("drop_e9"),
+        round(col("drop_e9").cast("double") /
+          col("tot_drop_e9").cast("double") * 1000000.0).cast("long")
+          .as("share_e6"))
+      .orderBy("channel")
+  }
+
+  private val q284Sql = {
+    val sec = Exact.secSql("ts")
+    // transition-count select list (n_ij, n_ip, n_i_tot per i)
+    val cnts = mkStates.flatMap { case (i, an) =>
+      mkStates.map { case (j, bn) =>
+        s"CAST(sum(CASE WHEN event_type = '$an' AND nxt = '$bn' " +
+          s"THEN 1 ELSE 0 END) AS BIGINT) AS n_$i$j" } ++ Seq(
+        s"CAST(sum(CASE WHEN event_type = '$an' AND nxt = 'purchase' " +
+          s"THEN 1 ELSE 0 END) AS BIGINT) AS n_${i}p",
+        s"CAST(sum(CASE WHEN event_type = '$an' THEN 1 ELSE 0 END) " +
+          s"AS BIGINT) AS n_${i}_tot")
+    }.mkString(",\n    ")
+    val firstCnts = (mkStates.map { case (i, an) =>
+      s"CAST(sum(CASE WHEN event_type = '$an' THEN 1 ELSE 0 END) " +
+        s"AS BIGINT) AS f_$i" } ++ Seq(
+      "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS f_p",
+      "CAST(count(*) AS BIGINT) AS n_sess")).mkString(",\n    ")
+    val probCols = (mkStates.flatMap { case (i, _) =>
+      mkStates.map { case (j, _) =>
+        s"CASE WHEN n_${i}_tot = 0 THEN 0.0 ELSE " +
+          s"CAST(n_$i$j AS DOUBLE) / CAST(n_${i}_tot AS DOUBLE) END " +
+          s"AS q_$i$j" } :+ (
+        s"CASE WHEN n_${i}_tot = 0 THEN 0.0 ELSE " +
+          s"CAST(n_${i}p AS DOUBLE) / CAST(n_${i}_tot AS DOUBLE) END " +
+          s"AS r_$i")
+    } ++ mkStates.map { case (j, _) =>
+      s"CAST(f_$j AS DOUBLE) / CAST(n_sess AS DOUBLE) AS pi_$j" } :+
+      "CAST(f_p AS DOUBLE) / CAST(n_sess AS DOUBLE) AS pi_p")
+      .mkString(",\n    ")
+    val zeroCols = (Seq("scenario") ++ mkStates.flatMap { case (i, in) =>
+      mkStates.map { case (j, jn) =>
+        s"CASE WHEN scenario IN ('$in', '$jn') THEN 0.0 ELSE q_$i$j " +
+          s"END AS q_$i$j" } :+
+        s"CASE WHEN scenario = '$in' THEN 0.0 ELSE r_$i END AS r_$i"
+    } ++ mkStates.map { case (j, jn) =>
+      s"CASE WHEN scenario = '$jn' THEN 0.0 ELSE pi_$j END AS pi_$j" } :+
+      "pi_p").mkString(",\n    ")
+    val carry = mkCarry.mkString(", ")
+    val iters = (1 to 16).map { k =>
+      s"it$k AS (SELECT $carry, ${mkIterExprs.mkString(", ")} " +
+        s"FROM it${k - 1})"
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST($sec AS DATE) AS d, $sec AS ts_s,
+       |    event_id, event_type
+       |  FROM events),
+       |seqd AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY user_id, d
+       |      ORDER BY ts_s, event_id) AS rn,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id, d
+       |      ORDER BY ts_s, event_id) AS nxt,
+       |    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+       |      OVER (PARTITION BY user_id, d ORDER BY ts_s, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS purch_before
+       |  FROM ev),
+       |pi AS (
+       |  SELECT
+       |    $firstCnts
+       |  FROM seqd WHERE rn = 1),
+       |tcnt AS (
+       |  SELECT
+       |    $cnts
+       |  FROM seqd
+       |  WHERE COALESCE(purch_before, 0) = 0
+       |    AND event_type <> 'purchase'),
+       |probs AS (
+       |  SELECT
+       |    $probCols
+       |  FROM tcnt CROSS JOIN pi),
+       |scen AS (SELECT 'none' AS scenario UNION ALL SELECT 'click'
+       |  UNION ALL SELECT 'view' UNION ALL SELECT 'signup'
+       |  UNION ALL SELECT 'error'),
+       |zeroed AS (
+       |  SELECT
+       |    $zeroCols
+       |  FROM probs CROSS JOIN scen),
+       |it0 AS (SELECT $carry,
+       |  ${mkStates.map { case (i, _) =>
+      s"CAST(0.0 AS DOUBLE) AS x_$i" }.mkString(", ")}
+       |  FROM zeroed),
+       |$iters,
+       |conv AS (
+       |  SELECT scenario,
+       |    pi_c * x_c + pi_v * x_v + pi_s * x_s + pi_e * x_e + pi_p
+       |      AS conv
+       |  FROM it16),
+       |base AS (SELECT conv AS conv0 FROM conv WHERE scenario = 'none'),
+       |drops AS (
+       |  SELECT scenario AS channel,
+       |    CAST(round(conv * 1000000.0) AS BIGINT) AS conv_e6,
+       |    CAST(round(conv0 * 1000000.0) AS BIGINT) AS conv0_e6,
+       |    CAST(round((conv0 - conv) * 1000000000.0) AS BIGINT)
+       |      AS drop_e9
+       |  FROM conv CROSS JOIN base WHERE scenario <> 'none'),
+       |tot AS (SELECT CAST(sum(drop_e9) AS BIGINT) AS tot_drop_e9
+       |        FROM drops)
+       |SELECT channel, conv_e6, conv0_e6, drop_e9,
+       |  CAST(round(CAST(drop_e9 AS DOUBLE) / CAST(tot_drop_e9 AS DOUBLE)
+       |    * 1000000.0) AS BIGINT) AS share_e6
+       |FROM drops CROSS JOIN tot
+       |ORDER BY channel""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q285 — weight-of-evidence / information-value feature audit (the
+  // credit-scoring feature screen): bucket the event `value` into
+  // 50-unit bins, outcome = purchase (good) vs error (bad);
+  // WOE_i = ln(p_good_i / p_bad_i), IV = Σ (p_good_i − p_bad_i)·WOE_i.
+  // One ln per BUCKET (≤ 10 of them, the q274 discipline: e6-round
+  // each transcendental at the point it's computed, exact integer
+  // arithmetic after); the IV contribution is e9-rounded per bucket
+  // and summed exactly via an unpartitioned window over the 10-row
+  // bucket table. Degenerate buckets (zero goods or zero bads) are
+  // excluded symmetrically on both engines.
+  // ---------------------------------------------------------------------
+  private def q285(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(floor(col("value") / 50).cast("long").as("bucket"),
+        (col("event_type") === "purchase").cast("long").as("good"))
+    val buckets = e.groupBy("bucket")
+      .agg(sum("good").as("n_good"),
+        sum(lit(1L) - col("good")).as("n_bad"))
+      .filter(col("n_good") > 0 && col("n_bad") > 0)
+      .localCheckpoint() // ≤10 rows; totals + per-bucket share one scan
+    val tot = buckets.agg(sum("n_good").as("tg"), sum("n_bad").as("tb"))
+    val scored = buckets.crossJoin(broadcast(tot))
+      .withColumn("woe_e6",
+        round(log(col("n_good").cast("double") / col("tg").cast("double") /
+          (col("n_bad").cast("double") / col("tb").cast("double")))
+          * 1000000.0).cast("long"))
+      .withColumn("iv_part_e9",
+        round((col("n_good").cast("double") / col("tg").cast("double") -
+          col("n_bad").cast("double") / col("tb").cast("double")) *
+          (col("woe_e6").cast("double") / 1000000.0) * 1000000000.0)
+          .cast("long"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    scored.select(col("bucket"), col("n_good"), col("n_bad"),
+        col("woe_e6"), col("iv_part_e9"),
+        sum("iv_part_e9").over(wAll).as("iv_total_e9"))
+      .orderBy("bucket")
+  }
+
+  private val q285Sql =
+    """WITH e AS (
+      |  SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+      |    CAST(event_type = 'purchase' AS BIGINT) AS good
+      |  FROM events WHERE event_type IN ('purchase', 'error')),
+      |buckets AS (
+      |  SELECT bucket, CAST(sum(good) AS BIGINT) AS n_good,
+      |    CAST(sum(1 - good) AS BIGINT) AS n_bad
+      |  FROM e GROUP BY 1
+      |  HAVING sum(good) > 0 AND sum(1 - good) > 0),
+      |tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+      |               CAST(sum(n_bad) AS BIGINT) AS tb FROM buckets),
+      |scored AS (
+      |  SELECT bucket, n_good, n_bad,
+      |    CAST(round(ln(CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)
+      |      / (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)))
+      |      * 1000000.0) AS BIGINT) AS woe_e6
+      |  FROM buckets CROSS JOIN tot),
+      |parts AS (
+      |  SELECT scored.*,
+      |    CAST(round((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)
+      |      - CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))
+      |      * (CAST(woe_e6 AS DOUBLE) / 1000000.0) * 1000000000.0)
+      |      AS BIGINT) AS iv_part_e9
+      |  FROM scored CROSS JOIN tot)
+      |SELECT bucket, n_good, n_bad, woe_e6, iv_part_e9,
+      |  CAST(sum(iv_part_e9) OVER () AS BIGINT) AS iv_total_e9
+      |FROM parts ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q286 — Bloom-filter false-positive audit: build an m = 2^16-bit,
+  // k = 4-hash Bloom filter over the customer keys (each key sets the
+  // 4 portable-hash bit positions; the filter is the DISTINCT set of
+  // positions — exactly how a distributed build materializes one
+  // before OR-folding to a bitmap), probe it with 2000 keys from a
+  // disjoint id range, and compare the observed false-positive rate
+  // with the textbook (1 − e^{−kn/m})^k — with ln(1−1/m) a
+  // Scala-computed literal, the inner exp the only runtime
+  // transcendental (the q274 precedent), and the ^k as explicit
+  // t·t·t·t. Membership is a positions equi-join (probe grain ≤
+  // 2000·4 rows); nothing is ever collected to the driver.
+  // ---------------------------------------------------------------------
+  private def q286(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    val m = 65536L
+    val lnBase = math.log(1.0 - 1.0 / m) // ln(1 - 2^-16), exact literal
+    val hashes = s.range(0, 4).select(col("id").as("hi"))
+    val bits = t(s, dir, "customer").select(col("c_custkey"))
+      .crossJoin(broadcast(hashes))
+      .select(pmod(h.hash60(concat(lit("bf:"), col("hi"), lit(":"),
+        col("c_custkey"))), lit(m)).as("pos"))
+      .distinct()
+    val nMem = t(s, dir, "customer").agg(count(lit(1)).as("n_members"))
+    val probes = s.range(0, 2000)
+      .select((col("id") + 1000000L).as("pk"))
+      .crossJoin(broadcast(hashes))
+      .select(col("pk"), pmod(h.hash60(concat(lit("bf:"), col("hi"),
+        lit(":"), col("pk"))), lit(m)).as("pos"))
+    val hits = probes.join(bits, "pos")
+      .groupBy("pk").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === 4)
+      .agg(count(lit(1)).as("n_fp"))
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    nMem.crossJoin(nBits).crossJoin(hits)
+      .withColumn("t", lit(1.0) -
+        exp(col("n_members").cast("double") * lit(4.0) * lit(lnBase)))
+      .select(col("n_members"), col("n_bits_set"),
+        round(col("n_bits_set").cast("double") / lit(m.toDouble)
+          * 1000000.0).cast("long").as("load_e6"),
+        lit(2000L).as("n_probes"), col("n_fp"),
+        round(col("n_fp").cast("double") / 2000.0 * 1000000.0)
+          .cast("long").as("fpr_e6"),
+        round(col("t") * col("t") * col("t") * col("t") * 1000000.0)
+          .cast("long").as("theory_e6"))
+  }
+
+  private val q286Sql = {
+    val h = graft.functions.PortableHash
+    val m = 65536L
+    val lnBase = math.log(1.0 - 1.0 / m)
+    val bitPos = h.hash60DuckSql("'bf:' || hi || ':' || c_custkey")
+    val probePos = h.hash60DuckSql("'bf:' || hi || ':' || pk")
+    s"""WITH hashes AS (SELECT CAST(range AS BIGINT) AS hi FROM range(4)),
+       |bits AS (
+       |  SELECT DISTINCT $bitPos % $m AS pos
+       |  FROM customer CROSS JOIN hashes),
+       |nmem AS (SELECT CAST(count(*) AS BIGINT) AS n_members
+       |         FROM customer),
+       |probes AS (
+       |  SELECT pk, $probePos % $m AS pos
+       |  FROM (SELECT CAST(range + 1000000 AS BIGINT) AS pk
+       |        FROM range(2000)) CROSS JOIN hashes),
+       |fp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_fp FROM (
+       |    SELECT pk FROM probes JOIN bits USING (pos)
+       |    GROUP BY pk HAVING count(*) = 4)),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits),
+       |base AS (
+       |  SELECT n_members, n_bits_set, n_fp,
+       |    1.0 - exp(CAST(n_members AS DOUBLE) * 4.0 * ($lnBase)) AS t
+       |  FROM nmem CROSS JOIN nb CROSS JOIN fp)
+       |SELECT n_members, n_bits_set,
+       |  CAST(round(CAST(n_bits_set AS DOUBLE) / ${m.toDouble}
+       |    * 1000000.0) AS BIGINT) AS load_e6,
+       |  CAST(2000 AS BIGINT) AS n_probes, n_fp,
+       |  CAST(round(CAST(n_fp AS DOUBLE) / 2000.0 * 1000000.0) AS BIGINT)
+       |    AS fpr_e6,
+       |  CAST(round(t * t * t * t * 1000000.0) AS BIGINT) AS theory_e6
+       |FROM base""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_ndcg" -> (q275 _),
-    "q276_gini" -> (q276 _),
-    "q277_benford" -> (q277 _),
+    "q276_cohort_ltv" -> (q276 _),
+    "q277_hhi" -> (q277 _),
     "q278_pinball" -> (q278 _),
     "q279_kmv_sketch" -> (q279 _),
     "q280_ewma" -> (q280 _),
     "q281_negative_sampling" -> (q281 _),
-    "q282_fold_balance" -> (q282 _))
+    "q282_fold_balance" -> (q282 _),
+    "q283_mmr_rerank" -> (q283 _),
+    "q284_markov_attribution" -> (q284 _),
+    "q285_woe_iv" -> (q285 _),
+    "q286_bloom_fpr" -> (q286 _))
 
   val oracle: Map[String, String] = Map(
     "q275_ndcg" -> q275Sql,
-    "q276_gini" -> q276Sql,
-    "q277_benford" -> q277Sql,
+    "q276_cohort_ltv" -> q276Sql,
+    "q277_hhi" -> q277Sql,
     "q278_pinball" -> q278Sql,
     "q279_kmv_sketch" -> q279Sql,
     "q280_ewma" -> q280Sql,
     "q281_negative_sampling" -> q281Sql,
-    "q282_fold_balance" -> q282Sql)
+    "q282_fold_balance" -> q282Sql,
+    "q283_mmr_rerank" -> q283Sql,
+    "q284_markov_attribution" -> q284Sql,
+    "q285_woe_iv" -> q285Sql,
+    "q286_bloom_fpr" -> q286Sql)
 }

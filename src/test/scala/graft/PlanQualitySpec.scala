@@ -716,6 +716,38 @@ class PlanQualitySpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p) // the 1-row n_docs scalar
   }
 
+  test("q283: MMR greedy steps run entirely on the pinned candidate " +
+       "table — no corpus rescan, no cartesian") {
+    val p = plan("q283_mmr_rerank")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected checkpoint-only plan, got $scans\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q284: attribution value-iteration and shares run on the " +
+       "pinned 5-row scenario frame — no fact rescan, no sort-merge") {
+    val p = plan("q284_markov_attribution")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected checkpoint-only plan, got $scans\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q285: WOE buckets come off one pinned aggregate; the bucket " +
+       "totals ride as a broadcast") {
+    val p = plan("q285_woe_iv")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected checkpoint-only plan, got $scans\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q286: Bloom membership is an equi-join on bit position — " +
+       "never a cartesian; the filter build is bounded by m") {
+    val p = plan("q286_bloom_fpr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"),
+      p)
+  }
+
   test("q282: fold audit is one fact scan, partial+final aggregate, " +
        "then windows on the 25-row grain") {
     val p = plan("q282_fold_balance")
