@@ -206,7 +206,8 @@ object Metrics {
       |SELECT r_name AS region, CAST(yr AS BIGINT) AS yr,
       |  CAST(count(*) AS BIGINT) AS n_suppliers,
       |  CAST(sum(s_e2) AS BIGINT) AS tot_e2,
-      |  CAST(round(CAST(sum(s_e2 * s_e2) AS DOUBLE)
+      |  -- widen BEFORE the square: INT64·INT64 overflows at 10× scale
+      |  CAST(round(CAST(sum(CAST(s_e2 AS HUGEINT) * s_e2) AS DOUBLE)
       |    / (CAST(sum(s_e2) AS DOUBLE) * CAST(sum(s_e2) AS DOUBLE))
       |    * 100000000.0) AS BIGINT) AS hhi_e8
       |FROM suprev JOIN supreg ON l_suppkey = s_suppkey
@@ -1012,6 +1013,405 @@ object Metrics {
        |FROM base""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q287 — KMV theta-sketch SET OPERATIONS, gated against exact truth:
+  // the click and purchase visit sets are sketched with the SAME
+  // portable hash family (the property that makes bottom-k sketches
+  // composable), the union is sketched from the merged distinct
+  // hashes, and the intersection is estimated by inclusion–exclusion
+  // est_A + est_B − est_U — the DataSketches-theta workflow for
+  // audience-overlap questions that never co-shuffles the raw sets.
+  // All three rank windows run over one tagged union of the two
+  // distinct-visit branches (one events scan, pinned); estimates fall
+  // back to exact below k. Output is one audit row with exact vs
+  // estimated cardinalities side by side.
+  // ---------------------------------------------------------------------
+  private def q287(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    val visits = Tables.eventsSec(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("user_id"),
+        datediff(col("ts_s").cast("date"), lit("2024-01-01")).as("d"))
+      .distinct()
+      .select(col("event_type"),
+        h.hash60(concat(lit("kmv:"), col("user_id"), lit(":"),
+          col("d"))).as("hv"))
+      .localCheckpoint() // one events scan feeds all three sketches
+    val tagged = visits
+      .select(when(col("event_type") === "click", "a").otherwise("b")
+        .as("tag"), col("hv"))
+      .unionByName(visits.select(col("hv")).distinct()
+        .select(lit("u").as("tag"), col("hv")))
+    val wH = Window.partitionBy("tag").orderBy("hv")
+    val sk = tagged.withColumn("rn", row_number().over(wH))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n_exact"),
+        max(when(col("rn") === 64, col("hv"))).as("h_k"))
+      .withColumn("n_est", when(col("h_k").isNull, col("n_exact"))
+        .otherwise(round(lit(63.0) * lit((1L << 60).toDouble) /
+          col("h_k").cast("double")).cast("long")))
+    // pivot the 3-row sketch table to one audit row
+    def g(tag: String, c: String) =
+      max(when(col("tag") === tag, col(c)))
+    sk.agg(
+        g("a", "n_exact").as("n_a"), g("b", "n_exact").as("n_b"),
+        g("u", "n_exact").as("n_union"),
+        (g("a", "n_exact") + g("b", "n_exact") - g("u", "n_exact"))
+          .as("n_inter"),
+        g("a", "n_est").as("est_a"), g("b", "n_est").as("est_b"),
+        g("u", "n_est").as("est_union"),
+        (g("a", "n_est") + g("b", "n_est") - g("u", "n_est"))
+          .as("est_inter"))
+      .withColumn("err_union_e4",
+        round((col("est_union") - col("n_union")).cast("double") /
+          col("n_union").cast("double") * 10000.0).cast("long"))
+  }
+
+  private val q287Sql = {
+    val hv = graft.functions.PortableHash.hash60DuckSql(
+      "'kmv:' || user_id || ':' || d")
+    s"""WITH visits AS (
+       |  SELECT DISTINCT event_type, user_id,
+       |    datediff('day', DATE '2024-01-01',
+       |      CAST(date_trunc('second', ts) AS DATE)) AS d
+       |  FROM events WHERE event_type IN ('click', 'purchase')),
+       |hashed AS (SELECT event_type, $hv AS hv FROM visits),
+       |tagged AS (
+       |  SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END
+       |    AS tag, hv FROM hashed
+       |  UNION ALL
+       |  SELECT 'u' AS tag, hv FROM (SELECT DISTINCT hv FROM hashed)),
+       |sk AS (
+       |  SELECT tag, CAST(count(*) AS BIGINT) AS n_exact,
+       |    max(CASE WHEN rn = 64 THEN hv END) AS h_k
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY tag
+       |          ORDER BY hv) AS rn FROM tagged)
+       |  GROUP BY tag),
+       |est AS (
+       |  SELECT tag, n_exact,
+       |    CASE WHEN h_k IS NULL THEN n_exact
+       |      ELSE CAST(round(63.0 * ${(1L << 60).toDouble}
+       |        / CAST(h_k AS DOUBLE)) AS BIGINT) END AS n_est
+       |  FROM sk),
+       |piv AS (
+       |  SELECT
+       |    max(CASE WHEN tag = 'a' THEN n_exact END) AS n_a,
+       |    max(CASE WHEN tag = 'b' THEN n_exact END) AS n_b,
+       |    max(CASE WHEN tag = 'u' THEN n_exact END) AS n_union,
+       |    max(CASE WHEN tag = 'a' THEN n_exact END)
+       |      + max(CASE WHEN tag = 'b' THEN n_exact END)
+       |      - max(CASE WHEN tag = 'u' THEN n_exact END) AS n_inter,
+       |    max(CASE WHEN tag = 'a' THEN n_est END) AS est_a,
+       |    max(CASE WHEN tag = 'b' THEN n_est END) AS est_b,
+       |    max(CASE WHEN tag = 'u' THEN n_est END) AS est_union,
+       |    max(CASE WHEN tag = 'a' THEN n_est END)
+       |      + max(CASE WHEN tag = 'b' THEN n_est END)
+       |      - max(CASE WHEN tag = 'u' THEN n_est END) AS est_inter
+       |  FROM est)
+       |SELECT *, CAST(round(CAST(est_union - n_union AS DOUBLE)
+       |  / CAST(n_union AS DOUBLE) * 10000.0) AS BIGINT)
+       |  AS err_union_e4
+       |FROM piv""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q288 — ABC/XYZ inventory classification: parts are classed by
+  // cumulative revenue contribution (A ≤ 80%, B ≤ 95%, C rest — the
+  // Pareto cut) × demand variability (coefficient of variation of
+  // monthly quantity: X cv<0.5, Y cv<1, Z else) — the planning matrix
+  // behind every stocking policy. Both classifications are PURE
+  // INTEGER decisions: the Pareto cut compares 10·cum_rev ≤ 8·total
+  // (no share division), and cv thresholds square into
+  // 4·(n·Σq²−(Σq)²) < (Σq)² and (n·Σq²−(Σq)²) < (Σq)² — exact long
+  // arithmetic, no sqrt anywhere. The fact table aggregates to part
+  // grain map-side; the rank window runs over the 20k-row part
+  // aggregate (dimension-sized); output is the ≤9-cell class grid.
+  // ---------------------------------------------------------------------
+  private def q288(s: SparkSession, dir: String): DataFrame = {
+    val byPartMonth = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"),
+        trunc(col("l_shipdate"), "month").as("mon"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("rev_e2"))
+    val byPart = byPartMonth.groupBy("pk")
+      .agg(sum("rev_e2").as("rev_e2"), count(lit(1)).as("n_m"),
+        sum("q").as("sq"), sum(col("q") * col("q")).as("sq2"))
+      .localCheckpoint() // 20k rows; rank + total read this once
+    val wR = Window.orderBy(col("rev_e2").desc, col("pk"))
+    val tot = byPart.agg(sum("rev_e2").as("tot_e2"))
+    val classed = byPart
+      .withColumn("cum_e2", sum("rev_e2").over(
+        wR.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc",
+        when(col("cum_e2") * 10 <= col("tot_e2") * 8, "A")
+          .when(col("cum_e2") * 20 <= col("tot_e2") * 19, "B")
+          .otherwise("C"))
+      // cv² = (n·Σq² − S²)/S² against 0.25 and 1, cross-multiplied
+      .withColumn("varn", col("n_m") * col("sq2") - col("sq") * col("sq"))
+      .withColumn("xyz",
+        when(col("varn") * 4 < col("sq") * col("sq"), "X")
+          .when(col("varn") < col("sq") * col("sq"), "Y")
+          .otherwise("Z"))
+    classed.groupBy("abc", "xyz")
+      .agg(count(lit(1)).as("n_parts"), sum("rev_e2").as("class_rev_e2"))
+      .crossJoin(broadcast(tot))
+      .select(col("abc"), col("xyz"), col("n_parts"), col("class_rev_e2"),
+        round(col("class_rev_e2").cast("double") /
+          col("tot_e2").cast("double") * 1000000.0).cast("long")
+          .as("rev_share_e6"))
+      .orderBy("abc", "xyz")
+  }
+
+  private val q288Sql =
+    """WITH bpm AS (
+      |  SELECT l_partkey AS pk, date_trunc('month', l_shipdate) AS mon,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |      AS BIGINT)) AS BIGINT) AS rev_e2
+      |  FROM lineitem GROUP BY 1, 2),
+      |bp AS (
+      |  SELECT pk, CAST(sum(rev_e2) AS BIGINT) AS rev_e2,
+      |    CAST(count(*) AS BIGINT) AS n_m,
+      |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sq2
+      |  FROM bpm GROUP BY 1),
+      |tot AS (SELECT CAST(sum(rev_e2) AS BIGINT) AS tot_e2 FROM bp),
+      |classed AS (
+      |  SELECT pk, rev_e2, n_m, sq, sq2, tot_e2,
+      |    CAST(sum(rev_e2) OVER (ORDER BY rev_e2 DESC, pk
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_e2,
+      |    n_m * sq2 - sq * sq AS varn
+      |  FROM bp CROSS JOIN tot),
+      |labeled AS (
+      |  SELECT *,
+      |    CASE WHEN cum_e2 * 10 <= tot_e2 * 8 THEN 'A'
+      |      WHEN cum_e2 * 20 <= tot_e2 * 19 THEN 'B' ELSE 'C' END AS abc,
+      |    CASE WHEN varn * 4 < sq * sq THEN 'X'
+      |      WHEN varn < sq * sq THEN 'Y' ELSE 'Z' END AS xyz
+      |  FROM classed)
+      |SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(rev_e2) AS BIGINT) AS class_rev_e2,
+      |  CAST(round(CAST(sum(rev_e2) AS DOUBLE)
+      |    / CAST(max(tot_e2) AS DOUBLE) * 1000000.0) AS BIGINT)
+      |    AS rev_share_e6
+      |FROM labeled GROUP BY abc, xyz ORDER BY abc, xyz""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q289 — deterministic permutation test (exact randomization
+  // inference at scale): are above-mean spenders more active (event
+  // count) than below-mean spenders? The observed |mean-activity
+  // difference| is compared against 200 HASH-SEEDED relabelings of
+  // the user set — the nonparametric test that needs no variance
+  // model, made reproducible by replacing the RNG with the portable
+  // hash (every rerun and both engines see the identical
+  // permutations). The above-mean split is an exact integer compare
+  // (spend·n > total) so both groups are non-empty at every SF. The
+  // fact table collapses to user grain FIRST (one scan); the 200-way
+  // expansion is users×200 (bounded), each permutation an exact-long
+  // conditional sum; |t| values are e6-rounded before comparison so
+  // the p-value is an integer count. p = (1 + #{t_perm ≥ t_obs})/201,
+  // the add-one convention.
+  // ---------------------------------------------------------------------
+  private def q289(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    val base = Tables.eventsSec(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(round(col("value") * 100).cast("long")).as("spend_e2"))
+      .localCheckpoint() // user grain; totals + perms read this
+    val tot = base.agg(count(lit(1)).as("n_u"),
+      sum("spend_e2").as("tot_e2"))
+    val users = base.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n_ev"),
+        (col("spend_e2") * col("n_u") > col("tot_e2")).cast("long")
+          .as("grp"))
+      .localCheckpoint()
+    def tE6(sum1: Column, n1: Column, sum0: Column, n0: Column): Column =
+      round(abs(sum1.cast("double") / n1.cast("double") -
+        sum0.cast("double") / n0.cast("double")) * 1000000.0).cast("long")
+    val obs = users.agg(
+        sum(when(col("grp") === 1, col("n_ev"))).as("s1"),
+        sum(when(col("grp") === 1, 1L)).as("n1"),
+        sum(when(col("grp") === 0, col("n_ev"))).as("s0"),
+        sum(when(col("grp") === 0, 1L)).as("n0"))
+      .select(col("n1"), col("n0"),
+        tE6(col("s1"), col("n1"), col("s0"), col("n0")).as("t_obs_e6"))
+    val perms = users.crossJoin(broadcast(
+        s.range(0, 200).select(col("id").as("p"))))
+      .withColumn("pg", pmod(h.hash60(concat(lit("perm:"), col("p"),
+        lit(":"), col("user_id"))), lit(2L)))
+      .groupBy("p")
+      .agg(sum(when(col("pg") === 1, col("n_ev"))).as("s1"),
+        sum(when(col("pg") === 1, 1L)).as("n1"),
+        sum(when(col("pg") === 0, col("n_ev"))).as("s0"),
+        sum(when(col("pg") === 0, 1L)).as("n0"))
+      .select(col("p"),
+        tE6(col("s1"), col("n1"), col("s0"), col("n0")).as("t_e6"))
+    perms.crossJoin(broadcast(obs))
+      .agg(max("n1").as("n_grp1"), max("n0").as("n_grp0"),
+        max("t_obs_e6").as("t_obs_e6"),
+        sum((col("t_e6") >= col("t_obs_e6")).cast("long")).as("n_ge"))
+      .withColumn("p_value_e6",
+        round((col("n_ge") + 1).cast("double") / 201.0 * 1000000.0)
+          .cast("long"))
+  }
+
+  private val q289Sql = {
+    val pg = graft.functions.PortableHash.hash60DuckSql(
+      "'perm:' || p || ':' || user_id")
+    s"""WITH base AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+       |      AS spend_e2
+       |  FROM events GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_u,
+       |               CAST(sum(spend_e2) AS BIGINT) AS tot_e2 FROM base),
+       |users AS (
+       |  SELECT user_id, n_ev,
+       |    CAST(spend_e2 * n_u > tot_e2 AS BIGINT) AS grp
+       |  FROM base CROSS JOIN tot),
+       |obs AS (
+       |  SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n0,
+       |    CAST(round(abs(
+       |      CAST(sum(CASE WHEN grp = 1 THEN n_ev END) AS DOUBLE)
+       |        / CAST(sum(CASE WHEN grp = 1 THEN 1 END) AS DOUBLE)
+       |      - CAST(sum(CASE WHEN grp = 0 THEN n_ev END) AS DOUBLE)
+       |        / CAST(sum(CASE WHEN grp = 0 THEN 1 END) AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS t_obs_e6
+       |  FROM users),
+       |perms AS (
+       |  SELECT p,
+       |    CAST(round(abs(
+       |      CAST(sum(CASE WHEN pg = 1 THEN n_ev END) AS DOUBLE)
+       |        / CAST(sum(CASE WHEN pg = 1 THEN 1 END) AS DOUBLE)
+       |      - CAST(sum(CASE WHEN pg = 0 THEN n_ev END) AS DOUBLE)
+       |        / CAST(sum(CASE WHEN pg = 0 THEN 1 END) AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS t_e6
+       |  FROM (
+       |    SELECT u.*, p, $pg % 2 AS pg
+       |    FROM users u CROSS JOIN
+       |      (SELECT CAST(range AS BIGINT) AS p FROM range(200)))
+       |  GROUP BY 1)
+       |SELECT max(n1) AS n_grp1, max(n0) AS n_grp0,
+       |  max(t_obs_e6) AS t_obs_e6,
+       |  CAST(sum(CASE WHEN t_e6 >= t_obs_e6 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_ge,
+       |  CAST(round(CAST(sum(CASE WHEN t_e6 >= t_obs_e6 THEN 1 ELSE 0
+       |    END) + 1 AS DOUBLE) / 201.0 * 1000000.0) AS BIGINT)
+       |    AS p_value_e6
+       |FROM perms CROSS JOIN obs""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q290 — sequential-pattern support census (the PrefixSpan-style
+  // question "how many sessions contain a → b → c as a SUBSEQUENCE,
+  // adjacent or not?" — q102's transition matrix only sees adjacent
+  // pairs): for every ordered triple of distinct channels, the count
+  // of user-day sessions with events a, then b, then c in strict
+  // time order. The witness test never enumerates event triples:
+  // a session supports (a,b,c) iff the FIRST b after the session's
+  // earliest a still precedes the session's latest c — so the whole
+  // census runs on a per-session min/max pivot plus one conditional
+  // min per (b-event, a-channel). Shapes: one events scan → session
+  // pivot (groupBy) + per-(session, b) conditional firsts → the
+  // 5×4×3 = 60-combo expansion is two generated unpivots over
+  // session-grain rows (both engines' unpivot/case lists generated
+  // from the same Scala channel list). Supports are exact counts.
+  // ---------------------------------------------------------------------
+  private val spTypes = Seq("click", "view", "signup", "error", "purchase")
+
+  private def q290(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir)
+      .select(col("user_id"), col("ts_s").cast("date").as("d"),
+        Exact.epochS(col("ts_s")).as("ts"), col("event_type"))
+    val pivotAggs = spTypes.flatMap { ty => Seq(
+      min(when(col("event_type") === ty, col("ts"))).as(s"mn_$ty"),
+      max(when(col("event_type") === ty, col("ts"))).as(s"mx_$ty")) }
+    val piv = ev.groupBy("user_id", "d")
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+      .localCheckpoint() // session grain; firsts + the c-join read this
+    val nSess = piv.agg(count(lit(1)).as("n_sessions"))
+    // first b-event strictly after the session's earliest a, per a
+    val firstAggs = spTypes.map { a =>
+      min(when(col("ts") > col(s"mn_$a"), col("ts"))).as(s"f_$a") }
+    val firsts = ev.join(piv.select(
+        (Seq(col("user_id").as("pu"), col("d").as("pd")) ++
+          spTypes.map(a => col(s"mn_$a"))): _*),
+        col("user_id") === col("pu") && col("d") === col("pd"))
+      .groupBy(col("user_id"), col("d"), col("event_type").as("b"))
+      .agg(firstAggs.head, firstAggs.tail: _*)
+    val aStack = spTypes.map(a => s"'$a', f_$a").mkString(", ")
+    val unpivA = firsts.selectExpr("user_id", "d", "b",
+        s"stack(${spTypes.size}, $aStack) AS (a, t_star)")
+      .filter(col("a") =!= col("b") && col("t_star").isNotNull)
+    val cStack = spTypes.map(c => s"'$c', mx_$c").mkString(", ")
+    val withC = unpivA.join(piv.select(
+        (Seq(col("user_id").as("pu"), col("d").as("pd")) ++
+          spTypes.map(c => col(s"mx_$c"))): _*),
+        col("user_id") === col("pu") && col("d") === col("pd"))
+      .selectExpr("user_id", "d", "a", "b", "t_star",
+        s"stack(${spTypes.size}, $cStack) AS (c, mx_c)")
+      .filter(col("c") =!= col("a") && col("c") =!= col("b") &&
+        col("t_star") < col("mx_c"))
+    withC.groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nSess))
+      .select(col("a"), col("b"), col("c"), col("support"),
+        round(col("support").cast("double") /
+          col("n_sessions").cast("double") * 1000000.0).cast("long")
+          .as("share_e6"))
+      .orderBy("a", "b", "c")
+  }
+
+  private val q290Sql = {
+    val sec = Exact.epochSSql("ts")
+    val pivotCols = spTypes.flatMap { ty => Seq(
+      s"min(CASE WHEN event_type = '$ty' THEN ts_l END) AS mn_$ty",
+      s"max(CASE WHEN event_type = '$ty' THEN ts_l END) AS mx_$ty") }
+      .mkString(",\n    ")
+    val firstCols = spTypes.map { a =>
+      s"min(CASE WHEN ev.ts_l > mn_$a THEN ev.ts_l END) AS f_$a" }
+      .mkString(",\n    ")
+    val unpivA = spTypes.map { a =>
+      s"SELECT user_id, d, b, '$a' AS a, f_$a AS t_star FROM firsts" }
+      .mkString("\n  UNION ALL ")
+    val unpivC = spTypes.map { c =>
+      s"SELECT ua.*, '$c' AS c, mx_$c AS mx_c FROM ua " +
+        s"JOIN piv ON ua.user_id = piv.user_id AND ua.d = piv.d" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST($sec AS BIGINT) AS ts_l,
+       |    CAST(date_trunc('second', ts) AS DATE) AS d, event_type
+       |  FROM events),
+       |piv AS (
+       |  SELECT user_id, d,
+       |    $pivotCols
+       |  FROM ev GROUP BY 1, 2),
+       |nsess AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM piv),
+       |firsts AS (
+       |  SELECT ev.user_id, ev.d, ev.event_type AS b,
+       |    $firstCols
+       |  FROM ev JOIN piv ON ev.user_id = piv.user_id AND ev.d = piv.d
+       |  GROUP BY 1, 2, 3),
+       |ua AS (
+       |  SELECT * FROM (
+       |  $unpivA)
+       |  WHERE a <> b AND t_star IS NOT NULL),
+       |uc AS (
+       |  $unpivC),
+       |hits AS (
+       |  SELECT a, b, c, CAST(count(*) AS BIGINT) AS support
+       |  FROM uc WHERE c <> a AND c <> b AND t_star < mx_c
+       |  GROUP BY 1, 2, 3)
+       |SELECT a, b, c, support,
+       |  CAST(round(CAST(support AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+       |    * 1000000.0) AS BIGINT) AS share_e6
+       |FROM hits CROSS JOIN nsess
+       |ORDER BY a, b, c""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_ndcg" -> (q275 _),
     "q276_cohort_ltv" -> (q276 _),
@@ -1024,7 +1424,11 @@ object Metrics {
     "q283_mmr_rerank" -> (q283 _),
     "q284_markov_attribution" -> (q284 _),
     "q285_woe_iv" -> (q285 _),
-    "q286_bloom_fpr" -> (q286 _))
+    "q286_bloom_fpr" -> (q286 _),
+    "q287_theta_setops" -> (q287 _),
+    "q288_abc_xyz" -> (q288 _),
+    "q289_permutation_test" -> (q289 _),
+    "q290_seq_patterns" -> (q290 _))
 
   val oracle: Map[String, String] = Map(
     "q275_ndcg" -> q275Sql,
@@ -1038,5 +1442,9 @@ object Metrics {
     "q283_mmr_rerank" -> q283Sql,
     "q284_markov_attribution" -> q284Sql,
     "q285_woe_iv" -> q285Sql,
-    "q286_bloom_fpr" -> q286Sql)
+    "q286_bloom_fpr" -> q286Sql,
+    "q287_theta_setops" -> q287Sql,
+    "q288_abc_xyz" -> q288Sql,
+    "q289_permutation_test" -> q289Sql,
+    "q290_seq_patterns" -> q290Sql)
 }

@@ -748,6 +748,41 @@ class PlanQualitySpec extends AnyFunSuite {
       p)
   }
 
+  test("q287: theta set-ops run on the pinned distinct-visit table — " +
+       "one scan behind the checkpoint, no joins at fact size") {
+    val p = plan("q287_theta_setops")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected checkpoint-only plan, got $scans\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q288: ABC/XYZ classifies on the pinned part aggregate; the " +
+       "revenue total rides as a broadcast") {
+    val p = plan("q288_abc_xyz")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected checkpoint-only plan, got $scans\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q289: permutation expansion runs on the pinned user grain " +
+       "with the 200-row perm table broadcast — never on events") {
+    val p = plan("q289_permutation_test")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected checkpoint-only plan, got $scans\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("q290: pattern census joins events to the pinned session pivot " +
+       "on (user, day) — no cartesian; one events scan") {
+    val p = plan("q290_seq_patterns")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q282: fold audit is one fact scan, partial+final aggregate, " +
        "then windows on the 25-row grain") {
     val p = plan("q282_fold_balance")
