@@ -1412,6 +1412,189 @@ object Metrics {
        |ORDER BY a, b, c""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q291 — uplift-by-decile table (the heterogeneous-treatment-effect
+  // readout of every holdout experiment): users are deciled by
+  // activity (the pre-treatment covariate), "exposure" is having hit
+  // an error, conversion is any purchase; each decile reports
+  // exposed/control conversion rates and their difference — where
+  // the effect concentrates. Deciles come from an integer row-number
+  // fold ((rn−1)·10 div n — no ntile tie ambiguity, user_id
+  // tiebreak); rates are single e6-rounded divisions of exact longs;
+  // control-empty deciles surface as NULL on both engines rather
+  // than a fake zero. One events scan → user grain → 10-row output.
+  // ---------------------------------------------------------------------
+  private def q291(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.eventsSec(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        max((col("event_type") === "error").cast("long")).as("treated"),
+        max((col("event_type") === "purchase").cast("long")).as("conv"))
+      .localCheckpoint() // user grain; count scalar + deciles share it
+    val nU = users.agg(count(lit(1)).as("n_u"))
+    val wD = Window.orderBy(col("n_ev"), col("user_id"))
+    def rate(num: Column, den: Column): Column =
+      when(den === 0, lit(null)).otherwise(
+        round(num.cast("double") / den.cast("double") * 1000000.0)
+          .cast("long"))
+    users.crossJoin(broadcast(nU))
+      .withColumn("rn", row_number().over(wD).cast("long"))
+      .withColumn("decile", expr("(rn - 1) * 10 div n_u"))
+      .groupBy("decile")
+      .agg(sum("treated").as("n_treat"),
+        sum(lit(1L) - col("treated")).as("n_ctl"),
+        sum(col("treated") * col("conv")).as("conv_treat"),
+        sum((lit(1L) - col("treated")) * col("conv")).as("conv_ctl"))
+      .select(col("decile"), col("n_treat"), col("n_ctl"),
+        rate(col("conv_treat"), col("n_treat")).as("rate_treat_e6"),
+        rate(col("conv_ctl"), col("n_ctl")).as("rate_ctl_e6"))
+      .withColumn("uplift_e6",
+        col("rate_treat_e6") - col("rate_ctl_e6"))
+      .orderBy("decile")
+  }
+
+  private val q291Sql =
+    """WITH users AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+      |    CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS treated,
+      |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS conv
+      |  FROM events GROUP BY 1),
+      |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_u FROM users),
+      |ranked AS (
+      |  SELECT *, (CAST(row_number() OVER (ORDER BY n_ev, user_id)
+      |    AS BIGINT) - 1) * 10 // n_u AS decile
+      |  FROM users CROSS JOIN nu),
+      |agg AS (
+      |  SELECT decile, CAST(sum(treated) AS BIGINT) AS n_treat,
+      |    CAST(sum(1 - treated) AS BIGINT) AS n_ctl,
+      |    CAST(sum(treated * conv) AS BIGINT) AS conv_treat,
+      |    CAST(sum((1 - treated) * conv) AS BIGINT) AS conv_ctl
+      |  FROM ranked GROUP BY 1),
+      |rates AS (
+      |  SELECT decile, n_treat, n_ctl,
+      |    CASE WHEN n_treat = 0 THEN NULL ELSE
+      |      CAST(round(CAST(conv_treat AS DOUBLE)
+      |        / CAST(n_treat AS DOUBLE) * 1000000.0) AS BIGINT) END
+      |      AS rate_treat_e6,
+      |    CASE WHEN n_ctl = 0 THEN NULL ELSE
+      |      CAST(round(CAST(conv_ctl AS DOUBLE)
+      |        / CAST(n_ctl AS DOUBLE) * 1000000.0) AS BIGINT) END
+      |      AS rate_ctl_e6
+      |  FROM agg)
+      |SELECT *, rate_treat_e6 - rate_ctl_e6 AS uplift_e6
+      |FROM rates ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q292 — deterministic random-walk corpus (the node2vec/DeepWalk
+  // input layer): 6-step walks over the undirected customer–supplier
+  // purchase graph, one walker per sampled customer, with every
+  // next-hop chosen by PORTABLE HASH over (walker, step) modulo the
+  // current node's degree — a reproducible replacement for the RNG
+  // that makes the walk corpus identical across reruns, engines, and
+  // cluster layouts (the property an embedding-training pipeline
+  // needs for cacheable corpora). Node ids are namespaced into one
+  // key space (customer·2 / supplier·2+1). Scale shape: the ranked
+  // adjacency (row_number per source) and degree table are built
+  // once and pinned; each of the 6 unrolled steps is ONE equi-join
+  // on (node, picked-rank) — walk state stays walker-grain, the
+  // adjacency is never exploded.
+  // ---------------------------------------------------------------------
+  private def q292(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    val cs = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cn"),
+        (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+    val edges = cs.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionByName(cs.select(col("sn").as("src"), col("cn").as("dst")))
+    val nbr = edges
+      .withColumn("idx", row_number().over(
+        Window.partitionBy("src").orderBy("dst")).cast("long") - 1)
+      .localCheckpoint() // ranked adjacency, read by all 6 steps
+    val deg = nbr.groupBy(col("src").as("dn"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // read by all 6 steps
+    var walk = nbr.select(col("src").as("walker")).distinct()
+      .filter(col("walker") % 2 === 0 && col("walker") % 20 === 0)
+      .select(col("walker"), lit(0L).as("step"),
+        col("walker").as("node"))
+      .localCheckpoint()
+    var frontier = walk
+    for (st <- 1 to 6) {
+      val pick = frontier
+        .join(deg, col("node") === col("dn"))
+        .select(col("walker"),
+          pmod(h.hash60(concat(lit("walk:"), col("walker"), lit(":"),
+            lit(st))), col("deg")).as("pick"), col("node"))
+      // fresh per-step column names: the adjacency re-joins its own
+      // lineage every step, so unqualified src/dst/idx would be
+      // ambiguous under Spark's self-join analysis
+      val nb = nbr.select(col("src").as(s"src_$st"),
+        col("dst").as(s"dst_$st"), col("idx").as(s"idx_$st"))
+      val next = pick
+        .join(nb, col("node") === col(s"src_$st") &&
+          col("pick") === col(s"idx_$st"))
+        .select(col("walker"), lit(st.toLong).as("step"),
+          col(s"dst_$st").as("node"))
+        // pin each walker-grain frontier (≤ |walkers| rows): it feeds
+        // both the next hop and the output union — without the pin the
+        // final plan re-derives step k's join chain 7−k times
+        .localCheckpoint()
+      frontier = next
+      walk = walk.unionByName(next)
+    }
+    walk
+      .select(col("walker"), col("step"), col("node"),
+        (col("node") % 2 === 1).cast("long").as("is_supplier"),
+        expr("node div 2").as("entity_id"))
+      .orderBy("walker", "step")
+  }
+
+  private val q292Sql = {
+    val h = graft.functions.PortableHash
+    val steps = (1 to 6).map { st =>
+      val pick = h.hash60DuckSql(s"'walk:' || walker || ':' || $st")
+      s"""w$st AS (
+         |  SELECT p.walker, CAST($st AS BIGINT) AS step, nbr.dst AS node
+         |  FROM (
+         |    SELECT walker, node, $pick % deg AS pick
+         |    FROM w${st - 1} JOIN deg ON w${st - 1}.node = deg.dn) p
+         |  JOIN nbr ON p.node = nbr.src AND p.pick = nbr.idx)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT cn AS src, sn AS dst FROM cs
+       |  UNION ALL SELECT sn AS src, cn AS dst FROM cs),
+       |nbr AS (
+       |  SELECT src, dst, CAST(row_number() OVER (PARTITION BY src
+       |    ORDER BY dst) AS BIGINT) - 1 AS idx
+       |  FROM edges),
+       |deg AS (SELECT src AS dn, CAST(count(*) AS BIGINT) AS deg
+       |        FROM nbr GROUP BY 1),
+       |w0 AS (
+       |  SELECT DISTINCT src AS walker, CAST(0 AS BIGINT) AS step,
+       |    src AS node
+       |  FROM nbr WHERE src % 2 = 0 AND src % 20 = 0),
+       |$steps,
+       |walks AS (
+       |  SELECT * FROM w0 UNION ALL SELECT * FROM w1
+       |  UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+       |  UNION ALL SELECT * FROM w4 UNION ALL SELECT * FROM w5
+       |  UNION ALL SELECT * FROM w6)
+       |SELECT walker, step, node,
+       |  CAST(node % 2 = 1 AS BIGINT) AS is_supplier,
+       |  node // 2 AS entity_id
+       |FROM walks ORDER BY walker, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_ndcg" -> (q275 _),
     "q276_cohort_ltv" -> (q276 _),
@@ -1428,7 +1611,9 @@ object Metrics {
     "q287_theta_setops" -> (q287 _),
     "q288_abc_xyz" -> (q288 _),
     "q289_permutation_test" -> (q289 _),
-    "q290_seq_patterns" -> (q290 _))
+    "q290_seq_patterns" -> (q290 _),
+    "q291_uplift_deciles" -> (q291 _),
+    "q292_random_walks" -> (q292 _))
 
   val oracle: Map[String, String] = Map(
     "q275_ndcg" -> q275Sql,
@@ -1446,5 +1631,7 @@ object Metrics {
     "q287_theta_setops" -> q287Sql,
     "q288_abc_xyz" -> q288Sql,
     "q289_permutation_test" -> q289Sql,
-    "q290_seq_patterns" -> q290Sql)
+    "q290_seq_patterns" -> q290Sql,
+    "q291_uplift_deciles" -> q291Sql,
+    "q292_random_walks" -> q292Sql)
 }

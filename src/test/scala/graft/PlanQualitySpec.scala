@@ -783,6 +783,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q291: uplift deciles run on the pinned user-grain aggregate " +
+       "with the user-count scalar broadcast — no events rescan") {
+    val p = plan("q291_uplift_deciles")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected checkpoint-only plan, got $scans\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("q292: every walk hop broadcasts the walker frontier against " +
+       "the pinned adjacency — no cartesian, no sort-merge") {
+    val p = plan("q292_random_walks")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected checkpoint-only plan, got $scans\n$p")
+  }
+
   test("q282: fold audit is one fact scan, partial+final aggregate, " +
        "then windows on the 25-row grain") {
     val p = plan("q282_fold_balance")
