@@ -1595,6 +1595,239 @@ object Metrics {
        |FROM walks ORDER BY walker, step""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q293 — covariate-balance audit (standardized mean difference):
+  // before trusting any holdout comparison, check the hash split
+  // itself — for each user covariate (activity, spend, active days),
+  // SMD = (m_A − m_B) / √((v_A + v_B)/2) between the two fold-halves
+  // of the q282-style hash split. |SMD| < 0.1 is the conventional
+  // "balanced" bar. All moments are exact long sums (Σx, Σx², n per
+  // arm); variances use the n·Σx²−S² integer form; the one √ and one
+  // division run over exact integers at the 3-covariate grain. One
+  // events scan → user grain → a 3-row report.
+  // ---------------------------------------------------------------------
+  private def q293(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    val users = Tables.eventsSec(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("v_activity"),
+        sum(round(col("value") * 100).cast("long")).as("v_spend_e2"),
+        countDistinct(col("ts_s").cast("date")).as("v_days"))
+      .withColumn("arm",
+        pmod(h.hash60(concat(lit("fold:"), col("user_id"))), lit(2L)))
+    val melted = users.selectExpr("arm",
+      "stack(3, 'activity', v_activity, 'spend_e2', v_spend_e2, " +
+        "'days', v_days) AS (covariate, x)")
+    val m = melted.groupBy("covariate")
+      .agg(sum(when(col("arm") === 0, 1L)).as("n0"),
+        sum(when(col("arm") === 0, col("x"))).as("s0"),
+        sum(when(col("arm") === 0, col("x") * col("x"))).as("ss0"),
+        sum(when(col("arm") === 1, 1L)).as("n1"),
+        sum(when(col("arm") === 1, col("x"))).as("s1"),
+        sum(when(col("arm") === 1, col("x") * col("x"))).as("ss1"))
+    def mean(sc: Column, n: Column) = sc.cast("double") / n.cast("double")
+    def varp(ss: Column, sc: Column, n: Column) =
+      (n.cast("double") * ss.cast("double") -
+        sc.cast("double") * sc.cast("double")) /
+        (n.cast("double") * n.cast("double"))
+    m.select(col("covariate"), col("n0"), col("n1"),
+        round((mean(col("s0"), col("n0")) - mean(col("s1"), col("n1"))) /
+          sqrt((varp(col("ss0"), col("s0"), col("n0")) +
+            varp(col("ss1"), col("s1"), col("n1"))) / lit(2.0)) * 10000.0)
+          .cast("long").as("smd_e4"))
+      .withColumn("balanced", (abs(col("smd_e4")) < 1000).cast("long"))
+      .orderBy("covariate")
+  }
+
+  private val q293Sql = {
+    val arm = graft.functions.PortableHash.hash60DuckSql(
+      "'fold:' || user_id")
+    s"""WITH users AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS v_activity,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+       |      AS v_spend_e2,
+       |    CAST(count(DISTINCT CAST(date_trunc('second', ts) AS DATE))
+       |      AS BIGINT) AS v_days
+       |  FROM events GROUP BY 1),
+       |armed AS (SELECT *, $arm % 2 AS arm FROM users),
+       |melted AS (
+       |  SELECT arm, 'activity' AS covariate, v_activity AS x FROM armed
+       |  UNION ALL SELECT arm, 'spend_e2', v_spend_e2 FROM armed
+       |  UNION ALL SELECT arm, 'days', v_days FROM armed),
+       |m AS (
+       |  SELECT covariate,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS s0,
+       |    CAST(sum(CASE WHEN arm = 0 THEN x * x END) AS BIGINT) AS ss0,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN arm = 1 THEN x * x END) AS BIGINT) AS ss1
+       |  FROM melted GROUP BY 1)
+       |SELECT covariate, n0, n1,
+       |  CAST(round((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+       |      - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       |    / sqrt(((CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+       |        - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+       |        / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE))
+       |      + (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+       |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+       |        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))) / 2.0)
+       |    * 10000.0) AS BIGINT) AS smd_e4,
+       |  CAST(abs(CAST(round((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+       |      - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       |    / sqrt(((CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+       |        - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+       |        / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE))
+       |      + (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+       |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+       |        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))) / 2.0)
+       |    * 10000.0) AS BIGINT)) < 1000 AS BIGINT) AS balanced
+       |FROM m ORDER BY covariate""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q294 — judge-agreement audit (Cohen's κ): two independent
+  // rule-based quality judges label every document (long-enough
+  // text; rich-enough vocabulary), and κ = (p_o − p_e)/(1 − p_e)
+  // measures agreement beyond chance — the calibration check an
+  // LLM-judge ensemble needs before its labels are trusted for
+  // filtering. The 2×2 confusion matrix is one aggregate of exact
+  // counts over a single documents scan; p_o and p_e are e-rounded
+  // single expressions over those counts. Output: the confusion
+  // cells, observed/expected agreement, and κ in e6.
+  // ---------------------------------------------------------------------
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select((col("n_chars") >= 300).cast("long").as("j1"),
+        (size(split(col("text"), " ")) >= 60).cast("long").as("j2"))
+    def dd(c: Column) = c.cast("double")
+    d.agg(count(lit(1)).as("n"),
+        sum(col("j1") * col("j2")).as("n11"),
+        sum(col("j1") * (lit(1L) - col("j2"))).as("n10"),
+        sum((lit(1L) - col("j1")) * col("j2")).as("n01"),
+        sum((lit(1L) - col("j1")) * (lit(1L) - col("j2"))).as("n00"))
+      .withColumn("po_e6",
+        round(dd(col("n11") + col("n00")) / dd(col("n")) * 1000000.0)
+          .cast("long"))
+      .withColumn("pe_e6",
+        round((dd((col("n11") + col("n10")) * (col("n11") + col("n01"))) +
+          dd((col("n00") + col("n01")) * (col("n00") + col("n10")))) /
+          (dd(col("n")) * dd(col("n"))) * 1000000.0).cast("long"))
+      .withColumn("kappa_e6",
+        round((col("po_e6") - col("pe_e6")).cast("double") /
+          (lit(1000000.0) - col("pe_e6").cast("double")) * 1000000.0)
+          .cast("long"))
+  }
+
+  private val q294Sql =
+    """WITH j AS (
+      |  SELECT CAST(n_chars >= 300 AS BIGINT) AS j1,
+      |    CAST(len(string_split(text, ' ')) >= 60 AS BIGINT) AS j2
+      |  FROM documents),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(j1 * j2) AS BIGINT) AS n11,
+      |    CAST(sum(j1 * (1 - j2)) AS BIGINT) AS n10,
+      |    CAST(sum((1 - j1) * j2) AS BIGINT) AS n01,
+      |    CAST(sum((1 - j1) * (1 - j2)) AS BIGINT) AS n00
+      |  FROM j),
+      |po AS (
+      |  SELECT *,
+      |    CAST(round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * 1000000.0) AS BIGINT) AS po_e6,
+      |    CAST(round((CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+      |      + CAST((n00 + n01) * (n00 + n10) AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1000000.0)
+      |      AS BIGINT) AS pe_e6
+      |  FROM m)
+      |SELECT n, n11, n10, n01, n00, po_e6, pe_e6,
+      |  CAST(round(CAST(po_e6 - pe_e6 AS DOUBLE)
+      |    / (1000000.0 - CAST(pe_e6 AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |    AS kappa_e6
+      |FROM po""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q295 — hierarchical forecast reconciliation (coherence): naive
+  // next-month forecasts made independently per nation don't sum to
+  // the independently-made regional forecasts — the classic
+  // incoherence every planning hierarchy hits. Top-down proportional
+  // reconciliation scales each nation's forecast by its region's
+  // top-level forecast over the bottom-up sum, reported with the
+  // pre-reconciliation incoherence in e6. Forecasts are last-month
+  // revenue (exact cents); the scale factor is one rounded division
+  // per nation; the region grain is ≤25 rows after one fact scan.
+  // ---------------------------------------------------------------------
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-07-01"))
+      .join(t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          expr("n_regionkey = r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .localCheckpoint() // nation + region forecasts share this slice
+    val fNation = base.groupBy(col("r_name"), col("n_name"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("f_e2"))
+    // the "independent" regional forecast: same month, but biased the
+    // way a separate team's model would be — trimmed of each
+    // region's largest single order (so coherence genuinely fails)
+    val wR = Window.partitionBy("r_name")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val fRegion = base
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") > 1)
+      .groupBy(col("r_name").as("r_top")) // renamed: all three frames
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("f_top_e2"))
+    val bu = fNation.groupBy(col("r_name").as("r_bu"))
+      .agg(sum("f_e2").as("bu_e2"))
+    fNation
+      .join(broadcast(bu), col("r_name") === col("r_bu"))
+      .join(broadcast(fRegion), col("r_name") === col("r_top"))
+      .select(col("r_name"), col("n_name"), col("f_e2"),
+        col("bu_e2"), col("f_top_e2"),
+        round(col("f_e2").cast("double") * col("f_top_e2").cast("double")
+          / col("bu_e2").cast("double")).cast("long").as("f_rec_e2"),
+        round((col("bu_e2") - col("f_top_e2")).cast("double") /
+          col("f_top_e2").cast("double") * 1000000.0).cast("long")
+          .as("incoherence_e6"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val q295Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice, n_name, r_name
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE o_orderdate >= TIMESTAMP '2001-07-01'),
+      |fnation AS (
+      |  SELECT r_name, n_name,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS f_e2
+      |  FROM base GROUP BY 1, 2),
+      |fregion AS (
+      |  SELECT r_name,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS f_top_e2
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY r_name
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM base)
+      |  WHERE rn > 1 GROUP BY 1),
+      |bu AS (SELECT r_name, CAST(sum(f_e2) AS BIGINT) AS bu_e2
+      |       FROM fnation GROUP BY 1)
+      |SELECT bu.r_name, n_name, f_e2, bu_e2, f_top_e2,
+      |  CAST(round(CAST(f_e2 AS DOUBLE) * CAST(f_top_e2 AS DOUBLE)
+      |    / CAST(bu_e2 AS DOUBLE)) AS BIGINT) AS f_rec_e2,
+      |  CAST(round(CAST(bu_e2 - f_top_e2 AS DOUBLE)
+      |    / CAST(f_top_e2 AS DOUBLE) * 1000000.0) AS BIGINT)
+      |    AS incoherence_e6
+      |FROM bu JOIN fregion ON bu.r_name = fregion.r_name
+      |JOIN fnation ON bu.r_name = fnation.r_name
+      |ORDER BY bu.r_name, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_ndcg" -> (q275 _),
     "q276_cohort_ltv" -> (q276 _),
@@ -1613,7 +1846,10 @@ object Metrics {
     "q289_permutation_test" -> (q289 _),
     "q290_seq_patterns" -> (q290 _),
     "q291_uplift_deciles" -> (q291 _),
-    "q292_random_walks" -> (q292 _))
+    "q292_random_walks" -> (q292 _),
+    "q293_covariate_balance" -> (q293 _),
+    "q294_judge_kappa" -> (q294 _),
+    "q295_forecast_reconcile" -> (q295 _))
 
   val oracle: Map[String, String] = Map(
     "q275_ndcg" -> q275Sql,
@@ -1633,5 +1869,8 @@ object Metrics {
     "q289_permutation_test" -> q289Sql,
     "q290_seq_patterns" -> q290Sql,
     "q291_uplift_deciles" -> q291Sql,
-    "q292_random_walks" -> q292Sql)
+    "q292_random_walks" -> q292Sql,
+    "q293_covariate_balance" -> q293Sql,
+    "q294_judge_kappa" -> q294Sql,
+    "q295_forecast_reconcile" -> q295Sql)
 }

@@ -801,6 +801,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans == 0, s"expected checkpoint-only plan, got $scans\n$p")
   }
 
+  test("q293: covariate balance is one events scan to user grain; " +
+       "the 3-covariate melt joins nothing") {
+    val p = plan("q293_covariate_balance")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q294: judge kappa is a single-aggregate single-scan plan") {
+    val p = plan("q294_judge_kappa")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one documents scan, got $scans\n$p")
+    assert(!p.contains("Join") && p.contains("partial"), p)
+  }
+
+  test("q295: reconciliation runs on the pinned month slice; the " +
+       "region aggregates ride as broadcasts") {
+    val p = plan("q295_forecast_reconcile")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected checkpoint-only plan, got $scans\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q282: fold audit is one fact scan, partial+final aggregate, " +
        "then windows on the 25-row grain") {
     val p = plan("q282_fold_balance")
