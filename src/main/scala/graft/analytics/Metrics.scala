@@ -1559,7 +1559,7 @@ object Metrics {
     val h = graft.functions.PortableHash
     val steps = (1 to 6).map { st =>
       val pick = h.hash60DuckSql(s"'walk:' || walker || ':' || $st")
-      s"""w$st AS (
+      s"""w$st AS MATERIALIZED (
          |  SELECT p.walker, CAST($st AS BIGINT) AS step, nbr.dst AS node
          |  FROM (
          |    SELECT walker, node, $pick % deg AS pick
@@ -1573,13 +1573,13 @@ object Metrics {
        |edges AS (
        |  SELECT cn AS src, sn AS dst FROM cs
        |  UNION ALL SELECT sn AS src, cn AS dst FROM cs),
-       |nbr AS (
+       |nbr AS MATERIALIZED (
        |  SELECT src, dst, CAST(row_number() OVER (PARTITION BY src
        |    ORDER BY dst) AS BIGINT) - 1 AS idx
        |  FROM edges),
-       |deg AS (SELECT src AS dn, CAST(count(*) AS BIGINT) AS deg
+       |deg AS MATERIALIZED (SELECT src AS dn, CAST(count(*) AS BIGINT) AS deg
        |        FROM nbr GROUP BY 1),
-       |w0 AS (
+       |w0 AS MATERIALIZED (
        |  SELECT DISTINCT src AS walker, CAST(0 AS BIGINT) AS step,
        |    src AS node
        |  FROM nbr WHERE src % 2 = 0 AND src % 20 = 0),
