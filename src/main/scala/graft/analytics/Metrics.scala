@@ -1828,6 +1828,121 @@ object Metrics {
       |JOIN fnation ON bu.r_name = fnation.r_name
       |ORDER BY bu.r_name, n_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q296 — multi-window burn-rate SLO alerting (the SRE-workbook
+  // policy): with a 99% non-error SLO, page when BOTH the fast (1h)
+  // and slow (6h) windows burn error budget faster than threshold —
+  // the two-window AND is what suppresses blips while still catching
+  // slow leaks. Burn thresholds compare as PURE INTEGERS
+  // (burn > 14.4 ⇔ 1000·err > 144·n with a 1% budget), so the page
+  // decision has no float in it; the e2 burn rates in the output are
+  // display-only single divisions. One events scan → hour grain; the
+  // 6h window is a range frame over the ~700-row hourly aggregate.
+  // ---------------------------------------------------------------------
+  private def q296(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.eventsSec(s, dir)
+      .groupBy((Exact.epochS(col("ts_s")).cast("long") / 3600)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "error").cast("long")).as("err"))
+    val w6 = Window.orderBy("h").rangeBetween(-5, 0)
+    hourly
+      .withColumn("n6", sum("n").over(w6))
+      .withColumn("err6", sum("err").over(w6))
+      // 1h burn > 14.4 ⇔ 1000·err > 144·n ; 6h burn > 6 ⇔ 100·err6 > 6·n6
+      .withColumn("fast_hot",
+        (col("err") * 1000 > col("n") * 144).cast("long"))
+      .withColumn("slow_hot",
+        (col("err6") * 100 > col("n6") * 6).cast("long"))
+      .select(col("h"), col("n"), col("err"), col("n6"), col("err6"),
+        round(col("err").cast("double") / col("n").cast("double")
+          / 0.01 * 100.0).cast("long").as("burn1_e2"),
+        round(col("err6").cast("double") / col("n6").cast("double")
+          / 0.01 * 100.0).cast("long").as("burn6_e2"),
+        (col("fast_hot") * col("slow_hot")).as("page"))
+      .orderBy("h")
+  }
+
+  private val q296Sql =
+    s"""WITH hourly AS (
+       |  SELECT CAST(${Exact.epochSSql("ts")} AS BIGINT) // 3600 AS h,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS err
+       |  FROM events GROUP BY 1),
+       |win AS (
+       |  SELECT *,
+       |    CAST(sum(n) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS n6,
+       |    CAST(sum(err) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS err6
+       |  FROM hourly)
+       |SELECT h, n, err, n6, err6,
+       |  CAST(round(CAST(err AS DOUBLE) / CAST(n AS DOUBLE) / 0.01
+       |    * 100.0) AS BIGINT) AS burn1_e2,
+       |  CAST(round(CAST(err6 AS DOUBLE) / CAST(n6 AS DOUBLE) / 0.01
+       |    * 100.0) AS BIGINT) AS burn6_e2,
+       |  CAST((CASE WHEN err * 1000 > n * 144 THEN 1 ELSE 0 END)
+       |    * (CASE WHEN err6 * 100 > n6 * 6 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS page
+       |FROM win ORDER BY h""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q297 — delta-encoding advisor (lakehouse layout telemetry): if
+  // the events table were stored sorted by (user, time), how many
+  // bits would each timestamp delta need? The gap histogram at
+  // bit-length grain — bits = length(bin(gap)), an exact integer via
+  // the binary-string length both engines compute identically — plus
+  // the projected bytes under a byte-aligned delta encoding vs raw
+  // int64, is exactly what a format/layout advisor reports before
+  // choosing encodings. One scan, one user-partitioned lag window,
+  // ≤ ~40 output rows.
+  // ---------------------------------------------------------------------
+  private def q297(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_s"), col("event_id"))
+    val gaps = Tables.eventsSec(s, dir)
+      .select(col("user_id"), col("event_id"),
+        Exact.epochS(col("ts_s")).as("ts_l"), col("ts_s"))
+      .withColumn("gap", col("ts_l") - lag("ts_l", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select(length(bin(col("gap"))).cast("long").as("bits"))
+    val hist = gaps.groupBy("bits").agg(count(lit(1)).as("n"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    hist // total from the ≤40-row histogram, not a second fact scan
+      .withColumn("n_gaps", sum("n").over(wAll))
+      .select(col("bits"), col("n"),
+        round(col("n").cast("double") / col("n_gaps").cast("double")
+          * 1000000.0).cast("long").as("share_e6"),
+        // byte-aligned delta storage for this bucket vs 8-byte raw
+        (col("n") * expr("(bits + 7) div 8")).as("delta_bytes"),
+        (col("n") * 8).as("raw_bytes"))
+      .orderBy("bits")
+  }
+
+  private val q297Sql =
+    s"""WITH base AS (
+       |  SELECT user_id, event_id,
+       |    CAST(${Exact.epochSSql("ts")} AS BIGINT) AS ts_l
+       |  FROM events),
+       |gaps AS (
+       |  SELECT CAST(length(bin(ts_l - lag(ts_l, 1) OVER (
+       |      PARTITION BY user_id ORDER BY ts_l, event_id)))
+       |    AS BIGINT) AS bits
+       |  FROM base
+       |  QUALIFY lag(ts_l, 1) OVER (PARTITION BY user_id
+       |    ORDER BY ts_l, event_id) IS NOT NULL),
+       |hist AS (
+       |  SELECT bits, CAST(count(*) AS BIGINT) AS n
+       |  FROM gaps GROUP BY 1)
+       |SELECT bits, n,
+       |  CAST(round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+       |    * 1000000.0) AS BIGINT) AS share_e6,
+       |  CAST(n * ((bits + 7) // 8) AS BIGINT) AS delta_bytes,
+       |  CAST(n * 8 AS BIGINT) AS raw_bytes
+       |FROM hist ORDER BY bits""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_ndcg" -> (q275 _),
     "q276_cohort_ltv" -> (q276 _),
@@ -1849,7 +1964,9 @@ object Metrics {
     "q292_random_walks" -> (q292 _),
     "q293_covariate_balance" -> (q293 _),
     "q294_judge_kappa" -> (q294 _),
-    "q295_forecast_reconcile" -> (q295 _))
+    "q295_forecast_reconcile" -> (q295 _),
+    "q296_slo_burn" -> (q296 _),
+    "q297_encoding_advisor" -> (q297 _))
 
   val oracle: Map[String, String] = Map(
     "q275_ndcg" -> q275Sql,
@@ -1872,5 +1989,7 @@ object Metrics {
     "q292_random_walks" -> q292Sql,
     "q293_covariate_balance" -> q293Sql,
     "q294_judge_kappa" -> q294Sql,
-    "q295_forecast_reconcile" -> q295Sql)
+    "q295_forecast_reconcile" -> q295Sql,
+    "q296_slo_burn" -> q296Sql,
+    "q297_encoding_advisor" -> q297Sql)
 }

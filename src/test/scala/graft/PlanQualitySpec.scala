@@ -825,6 +825,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q296: burn-rate alerting is one events scan to hour grain; " +
+       "the 6h frame runs on the hourly aggregate") {
+    val p = plan("q296_slo_burn")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q297: encoding advisor totals come from the <=40-row bit " +
+       "histogram window, not a second fact scan") {
+    val p = plan("q297_encoding_advisor")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q282: fold audit is one fact scan, partial+final aggregate, " +
        "then windows on the 25-row grain") {
     val p = plan("q282_fold_balance")
