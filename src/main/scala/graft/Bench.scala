@@ -69,24 +69,58 @@ object Bench {
     // + interpreted-HOF presence, so a q217-style pathology (one
     // query dominating the bench via a per-row lambda) is visible in
     // this run's own artifact, not only in a later judge pass.
-    // Fingerprinting builds the plan without executing it.
+    // PlanStats makes the counts see THROUGH localCheckpoint: each
+    // pin() records its pre-checkpoint DAG while the query is being
+    // constructed (pins execute eagerly, so "constructing" a
+    // checkpointed query runs its pinned subtrees — the honest price
+    // of fingerprinting the iterative queries at all), and the final
+    // plan's counts are added on top. `checkpoints` is the pin-round
+    // count — an iterative query that silently gains rounds regresses
+    // visibly here even if each round's plan is unchanged.
+    graft.core.PlanStats.enable()
     val fingerprints = results.toSeq.sortBy(-_._2).take(10).map {
       case (name, _) =>
         val fp = try {
+          graft.core.PlanStats.reset()
           val p = SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.executedPlan.toString
-          val ex = "Exchange hashpartitioning".r.findAllIn(p).length
-          val bc = "BroadcastExchange".r.findAllIn(p).length
-          val hof = p.toLowerCase.contains("lambdafunction")
-          s"""{"exchanges":$ex,"broadcasts":$bc,"interpreted_hof":$hof}"""
+          val ex = ("Exchange hashpartitioning".r.findAllIn(p).length +
+            "Exchange rangepartitioning".r.findAllIn(p).length) +
+            graft.core.PlanStats.exchanges
+          val bc = "BroadcastExchange".r.findAllIn(p).length +
+            graft.core.PlanStats.broadcasts
+          val cp = graft.core.PlanStats.checkpoints
+          val hof = p.toLowerCase.contains("lambdafunction") ||
+            graft.core.PlanStats.sawInterpretedHof
+          s"""{"exchanges":$ex,"broadcasts":$bc,"checkpoints":$cp,"interpreted_hof":$hof}"""
         } catch { case _: Throwable => """{"err":true}""" }
+        finally spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         s"\"" + name + "\":" + fp
     }.mkString("{", ",", "}")
+    graft.core.PlanStats.disable()
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans_slowest":$fingerprints,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
+    // per-round archive: bench_full.json is overwritten every run, so
+    // cross-round regression tables need a committed copy per round.
+    // Round number = SPARK_GRAFT_ROUND, else max existing BENCH_r*.json
+    // + 1 (the driver writes BENCH_r<N> AFTER this bench runs).
+    if (only.isEmpty) {
+      val roundN = sys.env.get("SPARK_GRAFT_ROUND").flatMap(r =>
+        scala.util.Try(r.toInt).toOption).getOrElse {
+        val re = "BENCH_r0*([0-9]+)\\.json".r
+        val seen = Option(outPath.toAbsolutePath.getParent.toFile.list())
+          .getOrElse(Array.empty[String])
+          .collect { case re(n) => n.toInt }
+        if (seen.nonEmpty) seen.max + 1 else 0
+      }
+      java.nio.file.Files.write(
+        outPath.resolveSibling(s"bench_full_r$roundN.json"),
+        fullJson.getBytes("UTF-8"))
+    }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val mean = if (results.nonEmpty) total / results.size else 0.0
     val failed = results.count(_._2 < 0)

@@ -7,6 +7,7 @@ import graft.core.Tables
 import graft.functions.Vectors
 import graft.operators.Dedup
 import Exact._
+import graft.core.PlanStats.Pinned
 
 /** Advanced analytics surface: the SQL frontend, corrected-mode
   * endpoint aggregates, exact percentiles, grouping sets, IVF-shaped
@@ -745,7 +746,7 @@ object Advanced {
       .groupBy(col("l_shipdate").cast("date").as("day"))
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
         .as("rev"))
-      .localCheckpoint()
+      .pin()
     val lags = (1 to 3).map { k =>
       daily.select(col("day"), col("rev").as("x"))
         .join(daily.select(date_sub(col("day"), k).as("day"),
@@ -846,7 +847,7 @@ object Advanced {
   private def q200(s: SparkSession, dir: String): DataFrame = {
     val items = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct().localCheckpoint()
+      .distinct().pin()
     val nOrders = items.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
@@ -905,7 +906,7 @@ object Advanced {
     val ud = ev(s, dir)
       .select(expr("CAST(ts_s AS LONG) div 86400").as("day"),
         col("user_id"))
-      .distinct().localCheckpoint()
+      .distinct().pin()
     val days = ud.select(col("day")).distinct()
     val wau = ud
       .select(explode(expr("sequence(day, day + 6)")).as("day"),
@@ -1210,7 +1211,7 @@ object Advanced {
           .as("y"))
       .withColumn("cx", expr(s"x div $r")).withColumn("cy",
         expr(s"y div $r"))
-      .localCheckpoint()
+      .pin()
     val probe = pts.select(col("id").as("id_a"), col("x").as("xa"),
         col("y").as("ya"),
         explode(expr("array(-1, 0, 1)")).as("dx"), col("cx"), col("cy"))
@@ -2043,7 +2044,7 @@ object Advanced {
   // ---------------------------------------------------------------------
   private def q167(s: SparkSession, dir: String): DataFrame = {
     val tu = ev(s, dir).select(col("event_type"), col("user_id"))
-      .distinct().localCheckpoint()
+      .distinct().pin()
     val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("sz"))
     val a = tu.select(col("event_type").as("type_a"),
       col("user_id").as("u"))
@@ -2156,7 +2157,7 @@ object Advanced {
       .agg(count(lit(1)).as("n"))
     val capped = Curate.capPerGroup(ui, Seq("user_id"),
         Seq("n" -> true, "item" -> false), 8)
-      .select(col("user_id"), col("item")).localCheckpoint()
+      .select(col("user_id"), col("item")).pin()
     val nUsers = capped.select(col("user_id")).distinct()
       .agg(count(lit(1)).as("n_total"))
     val marg = capped.groupBy(col("item")).agg(count(lit(1)).as("c"))

@@ -8,6 +8,7 @@ import graft.core.Tables
 import graft.functions.{PortableHash, Text}
 import graft.operators.{Curate, Dedup, Layout, Salt}
 import Exact._
+import graft.core.PlanStats.Pinned
 
 /** Corpus-curation gate queries: deterministic weighted sampling,
   * corpus-wide heavy hitters, content-defined shared-span dedup,
@@ -124,7 +125,7 @@ object Curation {
     // aggregate + anti-join); build+action both land inside the timer
     val wins = Dedup.dfPruneFrac(
       Curate.anchorWindowTable(d, "doc_id", "text", win = 8, modulus = 4)
-        .localCheckpoint(),
+        .pin(),
       0.1, d)
     Curate.sharedSpanPairs(wins).orderBy(col("id_a"), col("id_b"))
   }
@@ -210,10 +211,13 @@ object Curation {
   private def q199(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
-    val srcIdx = d.select(col("source")).distinct()
-      .withColumn("src_idx",
-        (row_number().over(Window.orderBy(col("source"))) - 1)
-          .cast("long"))
+    // source list is a small enumeration; the bound is enforced,
+    // not assumed (boundedRank raises if the grain ever grows)
+    val srcIdx = graft.operators.Curate
+      .boundedRank(d.select(col("source")).distinct(), 4096L,
+        "src_rn", col("source"))
+      .withColumn("src_idx", col("src_rn") - 1)
+      .drop("src_rn")
     val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
     val ranked = d
       .withColumn("r", (row_number().over(
@@ -259,7 +263,7 @@ object Curation {
         ntile(10).over(Window.partitionBy(col("source"))
           .orderBy(col("n_chars").asc, col("doc_id").asc))
           .cast("long").as("decile"))
-      .localCheckpoint() // the per-source and pooled passes share it
+      .pin() // the per-source and pooled passes share it
     val ref = ranked.groupBy(col("decile"))
       .agg(expr("sum(n_chars) div count(1)").as("ref_mean"))
     ranked.groupBy(col("source"), col("decile"))
@@ -384,17 +388,18 @@ object Curation {
     val lex = graft.operators.TfIdf.bm25(docs(s, dir), "doc_id", "text",
         bm25Terms, k1 = 1.2, b = 0.75, k = 50)
       .select(col("doc_id"), col("score_e4"))
-      // 50-row post-top-k table: the global window is bounded by k,
-      // not the corpus
-      .withColumn("r_lex", row_number().over(
-        Window.orderBy(col("score_e4").desc, col("doc_id"))).cast("long"))
+    // 50-row post-top-k table: the global window is bounded by k,
+    // not the corpus — and the bound is enforced via boundedRank
+    val lexRanked = graft.operators.Curate
+      .boundedRank(lex, 50L, "r_lex", col("score_e4").desc,
+        col("doc_id"))
       .select(col("doc_id"), col("r_lex"))
     val e = t(s, dir, "embeddings")
     val dense = graft.operators.Similarity.bruteForceTopK(
         e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 50)
       .select(col("vec_id").as("doc_id"),
         col("rank").cast("long").as("r_dense"))
-    lex.join(dense, Seq("doc_id"), "full_outer")
+    lexRanked.join(dense, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("r_lex"), lit(-1L)).as("r_lex"),
         coalesce(col("r_dense"), lit(-1L)).as("r_dense"),
@@ -532,7 +537,7 @@ object Curation {
       .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
       .groupBy(col("center_id"), col("label"))
       .agg(count(lit(1)).as("nij"))
-      .localCheckpoint() // three scalar reductions share one pass
+      .pin() // three scalar reductions share one pass
     val p = cells.agg(
       sum(expr("nij * (nij - 1) div 2")).as("sum_pairs_cells"),
       sum(col("nij")).as("n"))
@@ -741,7 +746,7 @@ object Curation {
     // so the events scan isn't repeated inside the replicated dim
     val dim = fact.select(col("k")).distinct()
       .withColumn("grp", concat(lit("g"), (col("k") % 7).cast("string")))
-      .localCheckpoint()
+      .pin()
     Salt.join(fact, dim, Seq("k"), buckets = 8)
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), fixedSum(col("value")).as("value_total"))

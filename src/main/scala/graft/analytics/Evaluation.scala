@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.PlanStats.Pinned
 
 /** Evaluation tier (session 7, continued): the offline-evaluation
   * harnesses a production ML/data platform runs on logged data —
@@ -116,13 +117,13 @@ object Evaluation {
       .groupBy(col("o_orderpriority").as("prio"),
         expr("datediff(o_orderdate, '1995-01-01') div 7").as("x"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y_e2"))
-      .localCheckpoint()
+      .pin()
     val lag1 = weekly.select(col("prio"), (col("x") + 1).as("x"),
       col("y_e2").as("f_e2"))
     val resid = weekly.join(lag1, Seq("prio", "x"))
       .select(col("prio"), col("x"),
         abs(col("y_e2") - col("f_e2")).as("r_e2"))
-      .localCheckpoint()
+      .pin()
     val cal = resid.filter(col("x") < 280)
     val nCal = cal.groupBy("prio").agg(count(lit(1)).as("n_cal"))
     val wR = Window.partitionBy("prio").orderBy("r_e2", "x")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.PortableHash
+import graft.core.PlanStats.Pinned
 
 /** Frontier analytics surface (session 4): sketch maintenance
   * (count-min heavy hitters), weighted graph traversal (Bellman–Ford),
@@ -66,7 +67,7 @@ object Frontier {
     val cnt = t(s, dir, "lineitem")
       .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
       .withColumn("h", PortableHash.hash60(col("k").cast("string")))
-      .localCheckpoint()
+      .pin()
     def dbStructs = array((0 until CmsD).map(d =>
       struct(lit(d.toLong).as("d"),
         (PortableHash.perm(d, col("h")) % CmsW).as("b"))): _*)
@@ -192,7 +193,7 @@ object Frontier {
     val wc = tok.groupBy(col("w")).agg(
       sum(when(col("part") < 8, 1L).otherwise(0L)).as("c_train"),
       sum(when(col("part") >= 8, 1L).otherwise(0L)).as("c_hold"))
-      .localCheckpoint()
+      .pin()
     val scal = wc.agg(sum(col("c_train")).as("nt"),
       sum(col("c_hold")).as("nh"), count(lit(1)).as("v"))
     wc.crossJoin(broadcast(scal))
@@ -564,7 +565,7 @@ object Frontier {
     // the bounded-heap pass would run twice
     val top = graft.operators.Curate.capPerGroup(wc, Seq("source"),
       Seq("freq" -> true, "w" -> false), 21)
-      .localCheckpoint()
+      .pin()
     val tail = top.filter(col("rank") === 21)
       .select(col("source").as("s2"), col("freq").as("f_tail"))
     top.filter(col("rank") <= 20)

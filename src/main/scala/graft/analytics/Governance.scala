@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.PlanStats.Pinned
 
 /** Governance / corpus-planning surface (session 5): privacy audits,
   * collocation mining, and token-budget allocation — the operational
@@ -105,7 +106,7 @@ object Governance {
       .filter(col("nd") >= greatest(lit(5L), expr("n_docs div 50")) &&
         col("nd") <= expr("n_docs * 4 div 5"))
       .select(col("w"), col("nd"))
-      .localCheckpoint()
+      .pin()
     val pairs = wd.join(broadcast(eligible.select("w")), Seq("w"),
         "left_semi")
       .groupBy(col("doc_id"))
@@ -178,7 +179,7 @@ object Governance {
     // window, the boundary pick AND the final projection — without
     // this the corpus would be re-aggregated once per consumer
     val caps = docs(s, dir).groupBy(col("source"))
-      .agg(sum(col("n_chars")).as("cap")).localCheckpoint()
+      .agg(sum(col("n_chars")).as("cap")).pin()
     val tot = caps.agg(sum(col("cap")).as("tot"),
       count(lit(1)).as("ns"))
     val w = Window.orderBy(col("cap"), col("source"))
@@ -473,7 +474,7 @@ object Governance {
         round(col("v") * 1000000).cast("long").as("v_e6"))
       .groupBy(col("cohort"), col("pos"))
       .agg(sum(col("v_e6")).as("s"), count(lit(1)).as("n"))
-      .localCheckpoint()
+      .pin()
     sums.select(col("cohort").as("cohort_a"), col("pos"),
         col("s").as("sa"), col("n").as("na"))
       .join(sums.select((col("cohort") - 1).as("cohort_a"), col("pos"),

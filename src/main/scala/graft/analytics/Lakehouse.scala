@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.{AsOfJoin, Layout, MergeByKey, Validate}
 import Exact._
+import graft.core.PlanStats.Pinned
 
 /** Lakehouse-maintenance and feature-hygiene gate queries (round 3
   * closing tier): bucketed co-located joins, sketch-state maintenance,
@@ -867,7 +868,7 @@ object Lakehouse {
     val d = t(s, dir, "documents")
     val sh = graft.operators.Dedup.dfPruneFrac(
       graft.operators.Dedup.shingleTable(d, "doc_id", "text", 3)
-        .select("id", "sh").localCheckpoint(),
+        .select("id", "sh").pin(),
       0.1, d)
     graft.operators.Dedup.containmentPairs(sh, 0.4)
       .orderBy(col("id_a"), col("id_b"))
@@ -916,7 +917,7 @@ object Lakehouse {
     val d = t(s, dir, "documents")
     val sh = graft.operators.Dedup.dfPruneFrac(
       graft.operators.Dedup.shingleTable(d, "doc_id", "text", 3)
-        .select("id", "sh").localCheckpoint(),
+        .select("id", "sh").pin(),
       0.1, d)
     graft.operators.Dedup.incrementalJaccardPairs(
         sh, id => id % 10 === 7, 0.2)
@@ -1145,7 +1146,7 @@ object Lakehouse {
           .cast("long").as("ym"),
         (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100
           + dayofmonth(col("l_shipdate"))).cast("long").as("dk"))
-      .agg(count(lit(1)).as("n")).localCheckpoint()
+      .agg(count(lit(1)).as("n")).pin()
     val stats = dtab.groupBy(col("ym"))
       .agg(min(col("dk")).as("min_dk"), max(col("dk")).as("max_dk"),
         sum(col("n")).as("n_rows"))

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{Text, Vectors}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curate, Dedup, Similarity}
 import Exact._
+import graft.core.PlanStats.Pinned
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (SURVEY.md §2.12; BASELINE.json north star). Every query here is
@@ -55,7 +56,7 @@ object LlmOps {
     // downstream operator reads.
     val sh = Dedup.dfPruneFrac(
       Dedup.shingleTable(d, "doc_id", "text", 3).select("id", "sh")
-        .localCheckpoint(),
+        .pin(),
       0.1, d)
     Dedup.jaccardPairs(sh, 0.2)
       .select(col("id_a"), col("id_b"), col("inter"),
@@ -577,51 +578,21 @@ object LlmOps {
   // ---------------------------------------------------------------------
   private def q59(s: SparkSession, dir: String): DataFrame = {
     // Global ntile WITHOUT the single-task `Window.orderBy` funnel:
-    //  1. range-repartition on the (unique) sort key — the sampler
-    //     balances partitions, every task holds a contiguous key range;
-    //  2. sort within partitions; the local row index is the low 33
-    //     bits of monotonically_increasing_id (per-partition counter);
-    //  3. global rank = local index + the sum of earlier partitions'
-    //     sizes, joined in from the tiny per-partition size table
-    //     (O(#partitions) rows — broadcast, no driver collect, no
-    //     Window anywhere in the plan);
-    //  4. decile from rank by the exact NTILE rule: the first
-    //     N mod 10 buckets take ceil(N/10) rows, the rest floor(N/10).
-    // The range exchange is planned once and reused by both the size
-    // pass and the rank pass, so the corpus shuffles exactly once.
+    // the range-repartition + per-partition-offset machinery lives in
+    // Curate.globalRank (extracted so every global decile/rank query
+    // routes through the scale-safe path by default — q291 had
+    // re-derived the funnel independently before the extraction);
+    // the decile then follows from the rank by the exact NTILE rule:
+    // the first N mod 10 buckets take ceil(N/10) rows, the rest
+    // floor(N/10).
     val scored = docs(s, dir)
       .select(col("doc_id"), col("n_chars"),
         Text.qualityScore(col("text")).as("quality"))
-    // localCheckpoint pins ONE materialization of the range exchange:
-    // the size pass and the rank pass below both branch off `base`,
-    // and if Catalyst fails to reuse the exchange (observed at the
-    // ×10 scale smoke once the range sampler goes lossy), each branch
-    // re-runs RangePartitioner with a different RDD-id-derived seed —
-    // different pid boundaries per branch, offsets joined against the
-    // wrong sizes, ranks no longer a permutation. Checkpointing the
-    // narrow projection makes pid/local_idx literal data instead of a
-    // recomputable lineage, which is the only way the two-branch
-    // global-rank trick is sound.
-    val base = scored
-      .repartitionByRange(32, col("quality"), col("doc_id"))
-      .sortWithinPartitions(col("quality"), col("doc_id"))
-      .select(col("doc_id"), col("n_chars"), col("quality"),
-        spark_partition_id().as("pid"),
-        monotonically_increasing_id()
-          .bitwiseAND(lit((1L << 33) - 1)).as("local_idx"))
-      .localCheckpoint()
-    val sizes = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-    // Cumulative offsets over ~32 rows via a broadcast self-join
-    // (deliberately no Window: keeps the whole plan Window-free).
-    val offsets = sizes.as("a")
-      .join(broadcast(sizes.as("b")), col("b.pid") < col("a.pid"), "left")
-      .groupBy(col("a.pid"))
-      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
-    val tot = sizes.agg(sum(col("cnt")).as("n_total"))
-    base
-      .join(broadcast(offsets), Seq("pid"))
+    val ranked = Curate.globalRank(scored,
+      Seq(col("quality"), col("doc_id")))
+    val tot = ranked.agg(count(lit(1)).as("n_total"))
+    ranked
       .crossJoin(broadcast(tot))
-      .withColumn("rnk", col("off") + col("local_idx") + lit(1L))
       .withColumn("decile",
         when(col("rnk") <= expr("(n_total % 10) * (n_total DIV 10 + 1)"),
           expr("(rnk - 1) DIV (n_total DIV 10 + 1) + 1"))
@@ -743,7 +714,7 @@ object LlmOps {
     val d = docs(s, dir)
     val sh = Dedup.dfPruneFrac(
       Dedup.shingleTable(d, "doc_id", "text", 3).select("id", "sh")
-        .localCheckpoint(),
+        .pin(),
       0.1, d)
     val bench = sh.filter(col("id") % 20 === 0)
       .select(col("id").as("bench_id"), col("sh"))
@@ -1195,7 +1166,7 @@ object LlmOps {
           .stripMargin)).as("b"))
       .select(col("b.w1"), col("b.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .localCheckpoint() // four count views + ranking share one pass
+      .pin() // four count views + ranking share one pass
     val c1 = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
       count(lit(1)).as("n1f"))
     val n1b = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
@@ -1357,7 +1328,7 @@ object LlmOps {
       portable = true)
     val sig = Dedup.minhashSignaturesPortable(
       Dedup.shingleTablePortable(docs(s, dir), "doc_id", "text", 3)
-        .select(col("id"), col("sh")), 32).localCheckpoint()
+        .select(col("id"), col("sh")), 32).pin()
     val sa = sig.toDF(sig.columns.map(c =>
       if (c == "id") "id_a" else s"${c}_a"): _*)
     val sb = sig.toDF(sig.columns.map(c =>
@@ -1454,9 +1425,9 @@ object LlmOps {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w").asc).limit(1000)
-    val pts = top
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("freq").desc, col("w").asc)).cast("long"))
+    // post-limit table: ≤1000 rows by construction, bound enforced
+    val pts = graft.operators.Curate
+      .boundedRank(top, 1000L, "rank", col("freq").desc, col("w").asc)
       .select(lit(1L).as("g"),
         expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 10000) AS BIGINT)")
           .as("lx"),
@@ -1631,11 +1602,11 @@ object LlmOps {
   private def q198(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val base = Dedup.shingleTablePortable(d, "doc_id", "text", 3)
-      .select(col("id"), col("sh")).localCheckpoint()
+      .select(col("id"), col("sh")).pin()
     val truth = Dedup.jaccardPairs(Dedup.dfPruneFrac(base, 0.1, d), 0.2)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+      .select(col("id_a"), col("id_b")).pin()
     val cand = Dedup.lshCandidates(Dedup.lshBucketsPortable(
-        Dedup.minhashSignaturesPortable(base, 32), 4)).localCheckpoint()
+        Dedup.minhashSignaturesPortable(base, 32), 4)).pin()
     val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
@@ -1721,7 +1692,7 @@ object LlmOps {
   // ---------------------------------------------------------------------
   private def q197(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3)
-      .select(col("id"), col("shingle")).localCheckpoint()
+      .select(col("id"), col("shingle")).pin()
     val first = sh.groupBy(col("shingle")).agg(min(col("id")).as("fid"))
     sh.join(first, Seq("shingle"))
       .groupBy(col("id").as("doc_id"))
@@ -1773,7 +1744,7 @@ object LlmOps {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .localCheckpoint()
+      .pin()
     def top(pairs: DataFrame, stage: Int): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(lit(stage))

@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.operators.Curate
+import graft.core.PlanStats.Pinned
 
 /** Metrics tier (session 8): ranking quality, concentration,
   * forensic-digit and forecast-loss metrics, a KMV distinct sketch,
@@ -17,6 +19,17 @@ import graft.core.Tables
   * in BOTH the Spark plan and the DuckDB oracle text, so no runtime
   * libm call has to agree between engines; everything downstream is
   * 64-bit integer arithmetic plus at most one final rounded division.
+  *
+  * Accepted exceptions to the no-runtime-libm rule: q285 (one `ln`
+  * per WOE bucket — the argument is a data-dependent ratio of four
+  * aggregate longs, so it cannot be a plan-time literal) and q286
+  * (one `exp` whose argument is n_members · a Scala-literal ln —
+  * n_members is a data-dependent scalar; embedding it would need a
+  * driver collect). Both run JVM Math vs DuckDB libm on IDENTICAL
+  * double inputs; IEEE-correctly-rounded exp/ln has matched across
+  * engines in every smoke so far (q274 precedent), and each value is
+  * e6-rounded at the point it is computed. A mismatch here fails the
+  * gate loudly rather than corrupting downstream integer math.
   */
 object Metrics {
 
@@ -225,11 +238,16 @@ object Metrics {
   // 2-row literal table.
   // ---------------------------------------------------------------------
   private def q278(s: SparkSession, dir: String): DataFrame = {
+    // floor (not truncate-toward-zero) week index: Spark's integer
+    // `div` truncates while DuckDB's `//` floors — they diverge on
+    // dates before the anchor, and the anchor equals the dataset's
+    // min date, so floor on BOTH sides leaves zero margin for a data
+    // variant that shifts dates earlier
     val weekly = t(s, dir, "orders")
       .groupBy(col("o_orderpriority").as("prio"),
-        expr("datediff(o_orderdate, '1995-01-01') div 7").as("x"))
+        expr("floor(datediff(o_orderdate, '1995-01-01') / 7.0)").as("x"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y_e2"))
-      .localCheckpoint()
+      .pin()
     val lag1 = weekly.select(col("prio"), (col("x") + 1).as("x"),
       col("y_e2").as("f_e2"))
     val taus = s.range(0, 2)
@@ -250,7 +268,8 @@ object Metrics {
   private val q278Sql =
     """WITH weekly AS (
       |  SELECT o_orderpriority AS prio,
-      |    datediff('day', TIMESTAMP '1995-01-01', o_orderdate) // 7 AS x,
+      |    CAST(floor(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+      |      / 7.0) AS BIGINT) AS x,
       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
       |      AS y_e2
       |  FROM orders GROUP BY 1, 2),
@@ -364,7 +383,7 @@ object Metrics {
       .groupBy(col("r_name"),
         datediff(col("o_orderdate"), lit("1995-01-01")).as("x"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y_e2"))
-      .localCheckpoint() // both sides of the range self-join read this
+      .pin() // both sides of the range self-join read this
     val hist = daily.select(col("r_name").as("rn_h"), col("x").as("xs"),
       col("y_e2").as("ys_e2"))
     daily.filter(col("x") >= 2340 && col("x") < 2400)
@@ -529,7 +548,7 @@ object Metrics {
           .cast("long").as("rel_e4"))
     val cand = org.apache.spark.sql.graftx.TopKPerKeyPlan
       .topK(scored, Seq("qid"), Seq("rel_e4" -> true, "cid" -> false), 12)
-      .localCheckpoint() // every greedy step reads this 12/query table
+      .pin() // every greedy step reads this 12/query table
     val candSlim = cand.select(col("qid"), col("cid"), col("rel_e4"))
     val sim = cand.select(col("qid"), col("cid").as("c1"),
         col("cv").as("v1"))
@@ -539,7 +558,7 @@ object Metrics {
       .select(col("qid"), col("c1"), col("c2"),
         round(Vectors.cosineNative(col("v1"), col("v2")) * 10000)
           .cast("long").as("sim_e4"))
-      .localCheckpoint()
+      .pin()
     var selected = candSlim
       .withColumn("rn", row_number().over(Window.partitionBy("qid")
         .orderBy(col("rel_e4").desc, col("cid"))))
@@ -735,7 +754,7 @@ object Metrics {
     val convExpr = "pi_c * x_c + pi_v * x_v + pi_s * x_s + pi_e * x_e" +
       " + pi_p"
     val conv = it.selectExpr("scenario", s"$convExpr AS conv")
-      .localCheckpoint() // two branches below (baseline row + channels)
+      .pin() // two branches below (baseline row + channels)
     val base = conv.filter(col("scenario") === "none")
       .select(col("conv").as("conv0"))
     val drops = conv.filter(col("scenario") =!= "none")
@@ -882,7 +901,7 @@ object Metrics {
       .agg(sum("good").as("n_good"),
         sum(lit(1L) - col("good")).as("n_bad"))
       .filter(col("n_good") > 0 && col("n_bad") > 0)
-      .localCheckpoint() // ≤10 rows; totals + per-bucket share one scan
+      .pin() // ≤10 rows; totals + per-bucket share one scan
     val tot = buckets.agg(sum("n_good").as("tg"), sum("n_bad").as("tb"))
     val scored = buckets.crossJoin(broadcast(tot))
       .withColumn("woe_e6",
@@ -1036,7 +1055,7 @@ object Metrics {
       .select(col("event_type"),
         h.hash60(concat(lit("kmv:"), col("user_id"), lit(":"),
           col("d"))).as("hv"))
-      .localCheckpoint() // one events scan feeds all three sketches
+      .pin() // one events scan feeds all three sketches
     val tagged = visits
       .select(when(col("event_type") === "click", "a").otherwise("b")
         .as("tag"), col("hv"))
@@ -1124,8 +1143,9 @@ object Metrics {
   // (no share division), and cv thresholds square into
   // 4·(n·Σq²−(Σq)²) < (Σq)² and (n·Σq²−(Σq)²) < (Σq)² — exact long
   // arithmetic, no sqrt anywhere. The fact table aggregates to part
-  // grain map-side; the rank window runs over the 20k-row part
-  // aggregate (dimension-sized); output is the ≤9-cell class grid.
+  // grain map-side; the Pareto cum-sum routes through
+  // Curate.globalCumSum (part grain scales with the fact tables);
+  // output is the ≤9-cell class grid.
   // ---------------------------------------------------------------------
   private def q288(s: SparkSession, dir: String): DataFrame = {
     val byPartMonth = t(s, dir, "lineitem")
@@ -1137,12 +1157,16 @@ object Metrics {
     val byPart = byPartMonth.groupBy("pk")
       .agg(sum("rev_e2").as("rev_e2"), count(lit(1)).as("n_m"),
         sum("q").as("sq"), sum(col("q") * col("q")).as("sq2"))
-      .localCheckpoint() // 20k rows; rank + total read this once
-    val wR = Window.orderBy(col("rev_e2").desc, col("pk"))
+      .pin() // part grain; cum-sum + total read this once
     val tot = byPart.agg(sum("rev_e2").as("tot_e2"))
-    val classed = byPart
-      .withColumn("cum_e2", sum("rev_e2").over(
-        wR.rowsBetween(Window.unboundedPreceding, 0)))
+    // Pareto cumulative revenue via the scale-safe global running
+    // sum (Curate.globalCumSum: range repartition + broadcast
+    // per-partition offsets) — part grain scales with the fact
+    // tables, so no unpartitioned window here
+    val classed = Curate
+      .globalCumSum(byPart, Seq(col("rev_e2").desc, col("pk")),
+        col("rev_e2"), "cum_e2")
+      .drop("rnk")
       .crossJoin(broadcast(tot))
       .withColumn("abc",
         when(col("cum_e2") * 10 <= col("tot_e2") * 8, "A")
@@ -1219,14 +1243,14 @@ object Metrics {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_ev"),
         sum(round(col("value") * 100).cast("long")).as("spend_e2"))
-      .localCheckpoint() // user grain; totals + perms read this
+      .pin() // user grain; totals + perms read this
     val tot = base.agg(count(lit(1)).as("n_u"),
       sum("spend_e2").as("tot_e2"))
     val users = base.crossJoin(broadcast(tot))
       .select(col("user_id"), col("n_ev"),
         (col("spend_e2") * col("n_u") > col("tot_e2")).cast("long")
           .as("grp"))
-      .localCheckpoint()
+      .pin()
     def tE6(sum1: Column, n1: Column, sum0: Column, n0: Column): Column =
       round(abs(sum1.cast("double") / n1.cast("double") -
         sum0.cast("double") / n0.cast("double")) * 1000000.0).cast("long")
@@ -1331,7 +1355,7 @@ object Metrics {
       max(when(col("event_type") === ty, col("ts"))).as(s"mx_$ty")) }
     val piv = ev.groupBy("user_id", "d")
       .agg(pivotAggs.head, pivotAggs.tail: _*)
-      .localCheckpoint() // session grain; firsts + the c-join read this
+      .pin() // session grain; firsts + the c-join read this
     val nSess = piv.agg(count(lit(1)).as("n_sessions"))
     // first b-event strictly after the session's earliest a, per a
     val firstAggs = spTypes.map { a =>
@@ -1418,9 +1442,10 @@ object Metrics {
   // activity (the pre-treatment covariate), "exposure" is having hit
   // an error, conversion is any purchase; each decile reports
   // exposed/control conversion rates and their difference — where
-  // the effect concentrates. Deciles come from an integer row-number
-  // fold ((rn−1)·10 div n — no ntile tie ambiguity, user_id
-  // tiebreak); rates are single e6-rounded divisions of exact longs;
+  // the effect concentrates. Deciles come from an integer fold of
+  // the scale-safe global rank ((rn−1)·10 div n — no ntile tie
+  // ambiguity, user_id tiebreak, Curate.globalRank so the user-grain
+  // ranking never funnels through one task); rates are single e6-rounded divisions of exact longs;
   // control-empty deciles surface as NULL on both engines rather
   // than a fake zero. One events scan → user grain → 10-row output.
   // ---------------------------------------------------------------------
@@ -1430,15 +1455,18 @@ object Metrics {
       .agg(count(lit(1)).as("n_ev"),
         max((col("event_type") === "error").cast("long")).as("treated"),
         max((col("event_type") === "purchase").cast("long")).as("conv"))
-      .localCheckpoint() // user grain; count scalar + deciles share it
+      .pin() // user grain; count scalar + deciles share it
     val nU = users.agg(count(lit(1)).as("n_u"))
-    val wD = Window.orderBy(col("n_ev"), col("user_id"))
     def rate(num: Column, den: Column): Column =
       when(den === 0, lit(null)).otherwise(
         round(num.cast("double") / den.cast("double") * 1000000.0)
           .cast("long"))
-    users.crossJoin(broadcast(nU))
-      .withColumn("rn", row_number().over(wD).cast("long"))
+    // deciles via the scale-safe global rank (range repartition +
+    // per-partition offsets, Curate.globalRank) — user grain is
+    // 10^8–10^9 rows at 100 TB, far past any single-task
+    // Window.orderBy funnel
+    Curate.globalRank(users, Seq(col("n_ev"), col("user_id")), "rn")
+      .crossJoin(broadcast(nU))
       .withColumn("decile", expr("(rn - 1) * 10 div n_u"))
       .groupBy("decile")
       .agg(sum("treated").as("n_treat"),
@@ -1515,15 +1543,15 @@ object Metrics {
     val nbr = edges
       .withColumn("idx", row_number().over(
         Window.partitionBy("src").orderBy("dst")).cast("long") - 1)
-      .localCheckpoint() // ranked adjacency, read by all 6 steps
+      .pin() // ranked adjacency, read by all 6 steps
     val deg = nbr.groupBy(col("src").as("dn"))
       .agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // read by all 6 steps
+      .pin() // read by all 6 steps
     var walk = nbr.select(col("src").as("walker")).distinct()
       .filter(col("walker") % 2 === 0 && col("walker") % 20 === 0)
       .select(col("walker"), lit(0L).as("step"),
         col("walker").as("node"))
-      .localCheckpoint()
+      .pin()
     var frontier = walk
     for (st <- 1 to 6) {
       val pick = frontier
@@ -1544,7 +1572,7 @@ object Metrics {
         // pin each walker-grain frontier (≤ |walkers| rows): it feeds
         // both the next hop and the output union — without the pin the
         // final plan re-derives step k's join chain 7−k times
-        .localCheckpoint()
+        .pin()
       frontier = next
       walk = walk.unionByName(next)
     }
@@ -1618,13 +1646,19 @@ object Metrics {
     val melted = users.selectExpr("arm",
       "stack(3, 'activity', v_activity, 'spend_e2', v_spend_e2, " +
         "'days', v_days) AS (covariate, x)")
+    // squares accumulate in decimal(38,0) (the q277 discipline):
+    // LONG·LONG headroom shrinks ~100× per 10× scale-up, and on
+    // overflow Spark's non-ANSI sum wraps silently while DuckDB's
+    // HUGEINT accumulator errors — divergent failure modes. The wide
+    // sum only ever feeds a double, so parity is unaffected.
+    def sq(c: Column): Column = c.cast("decimal(38,0)") * c
     val m = melted.groupBy("covariate")
       .agg(sum(when(col("arm") === 0, 1L)).as("n0"),
         sum(when(col("arm") === 0, col("x"))).as("s0"),
-        sum(when(col("arm") === 0, col("x") * col("x"))).as("ss0"),
+        sum(when(col("arm") === 0, sq(col("x")))).as("ss0"),
         sum(when(col("arm") === 1, 1L)).as("n1"),
         sum(when(col("arm") === 1, col("x"))).as("s1"),
-        sum(when(col("arm") === 1, col("x") * col("x"))).as("ss1"))
+        sum(when(col("arm") === 1, sq(col("x")))).as("ss1"))
     def mean(sc: Column, n: Column) = sc.cast("double") / n.cast("double")
     def varp(ss: Column, sc: Column, n: Column) =
       (n.cast("double") * ss.cast("double") -
@@ -1658,10 +1692,10 @@ object Metrics {
        |  SELECT covariate,
        |    CAST(sum(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n0,
        |    CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS s0,
-       |    CAST(sum(CASE WHEN arm = 0 THEN x * x END) AS BIGINT) AS ss0,
+       |    sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x END) AS ss0,
        |    CAST(sum(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n1,
        |    CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS s1,
-       |    CAST(sum(CASE WHEN arm = 1 THEN x * x END) AS BIGINT) AS ss1
+       |    sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x END) AS ss1
        |  FROM melted GROUP BY 1)
        |SELECT covariate, n0, n1,
        |  CAST(round((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
@@ -1767,7 +1801,7 @@ object Metrics {
           expr("n_regionkey = r_regionkey"))
         .select(col("n_nationkey"), col("n_name"), col("r_name"))),
         col("c_nationkey") === col("n_nationkey"))
-      .localCheckpoint() // nation + region forecasts share this slice
+      .pin() // nation + region forecasts share this slice
     val fNation = base.groupBy(col("r_name"), col("n_name"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("f_e2"))
     // the "independent" regional forecast: same month, but biased the
@@ -1790,8 +1824,13 @@ object Metrics {
         col("bu_e2"), col("f_top_e2"),
         round(col("f_e2").cast("double") * col("f_top_e2").cast("double")
           / col("bu_e2").cast("double")).cast("long").as("f_rec_e2"),
-        round((col("bu_e2") - col("f_top_e2")).cast("double") /
-          col("f_top_e2").cast("double") * 1000000.0).cast("long")
+        // a region with exactly one order in the slice has
+        // f_top_e2 = 0: Spark silently casts the resulting Infinity
+        // to Long.MaxValue while DuckDB errors on the round/cast —
+        // surface the degenerate case as NULL on both engines
+        when(col("f_top_e2") === 0, lit(null)).otherwise(
+          round((col("bu_e2") - col("f_top_e2")).cast("double") /
+            col("f_top_e2").cast("double") * 1000000.0).cast("long"))
           .as("incoherence_e6"))
       .orderBy("r_name", "n_name")
   }
@@ -1821,8 +1860,9 @@ object Metrics {
       |SELECT bu.r_name, n_name, f_e2, bu_e2, f_top_e2,
       |  CAST(round(CAST(f_e2 AS DOUBLE) * CAST(f_top_e2 AS DOUBLE)
       |    / CAST(bu_e2 AS DOUBLE)) AS BIGINT) AS f_rec_e2,
-      |  CAST(round(CAST(bu_e2 - f_top_e2 AS DOUBLE)
-      |    / CAST(f_top_e2 AS DOUBLE) * 1000000.0) AS BIGINT)
+      |  CASE WHEN f_top_e2 = 0 THEN NULL ELSE
+      |    CAST(round(CAST(bu_e2 - f_top_e2 AS DOUBLE)
+      |      / CAST(f_top_e2 AS DOUBLE) * 1000000.0) AS BIGINT) END
       |    AS incoherence_e6
       |FROM bu JOIN fregion ON bu.r_name = fregion.r_name
       |JOIN fnation ON bu.r_name = fnation.r_name

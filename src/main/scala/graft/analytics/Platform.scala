@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{PortableHash, Vectors}
 import graft.operators.{Curate, Dedup, Graph}
+import graft.core.PlanStats.Pinned
 
 /** Platform tier (session 6): the operators a production data platform
   * runs ON TOP of the curation/graph/privacy tiers — link prediction
@@ -153,7 +154,7 @@ object Platform {
     val withB = e.select(col("vec_id"), col("embedding"),
         Vectors.signBucket(col("embedding")).as("bucket"))
       .join(assigned.select(col("vec_id"), col("center_id")), Seq("vec_id"))
-      .localCheckpoint()
+      .pin()
     val x = withB.select(col("center_id"), col("bucket"),
       col("vec_id").as("id_a"), col("embedding").as("va"))
     val y = withB.select(col("center_id"), col("bucket"),
@@ -249,7 +250,7 @@ object Platform {
       .filter(length(col("w")) > 0)
       .select(col("doc_id"), col("source"), col("lang"),
         pmod(PortableHash.hash60(col("w")), lit(1024L)).as("b"))
-      .localCheckpoint()
+      .pin()
     val docB = db.groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
     val tgt = db.filter(col("lang") === "en")
@@ -633,7 +634,7 @@ object Platform {
       .groupBy(expr(s"x div $DenseCell").as("cx"),
         expr(s"y div $DenseCell").as("cy"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .pin()
     val core = cells.filter(col("n") >= DenseMinPts)
       .withColumn("cid", col("cx") * 1000 + col("cy"))
     val probes = core
@@ -763,13 +764,13 @@ object Platform {
       .filter(col("a") =!= col("b"))
     val und = raw
       .unionByName(raw.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().pin()
     val keep = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= 64).select(col("a").as("n"))
     val e2 = und
       .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
       .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-      .localCheckpoint()
+      .pin()
     val deg = e2.groupBy(col("a")).agg(count(lit(1)).as("deg"))
     val common = e2.select(col("b").as("mid"), col("a").as("u"))
       .join(e2.select(col("a").as("mid"), col("b").as("v")), Seq("mid"))

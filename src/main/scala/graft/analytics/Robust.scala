@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftx.JaroWinklerE6
 
 import graft.core.Tables
+import graft.core.PlanStats.Pinned
 
 /** Robust-statistics + record-linkage tier (session 7): the
   * distribution-free estimators an analytics platform runs when the
@@ -218,7 +219,7 @@ object Robust {
       .groupBy(col("event_type").as("et"),
         dayofweek(col("ts_s")).cast("long").as("dow"))
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint()
+      .pin()
     val rowm = cells.groupBy("et").agg(sum("o").as("r"))
     val colm = cells.groupBy("dow").agg(sum("o").as("c"))
     val n = cells.agg(sum("o").as("n"))
@@ -542,7 +543,7 @@ object Robust {
           col("o_orderkey") % 40 + 20).cast("long").as("lbl"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("lbl").as("pos"))
-      .localCheckpoint() // 40 rows; pin so the interval join never rescans
+      .pin() // 40 rows; pin so the interval join never rescans
     val w = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = bins
@@ -622,7 +623,7 @@ object Robust {
       .groupBy(col("o_orderpriority").as("prio"),
         datediff(col("o_orderdate"), lit("2001-01-01")).as("x"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y_e2"))
-      .localCheckpoint() // ~1k rows; both join branches read this once
+      .pin() // ~1k rows; both join branches read this once
     val lag7 = daily.select(col("prio"), (col("x") + 7).as("x"),
       col("y_e2").as("f_e2"))
     daily.join(lag7, Seq("prio", "x"))

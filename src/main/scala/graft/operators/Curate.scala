@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PortableHash, Text, Vectors}
+import graft.core.PlanStats.Pinned
 
 /** Corpus-curation operators for training-data pipelines: weighted
   * sampling, exact shared-span detection, and centroid assignment
@@ -267,7 +268,7 @@ object Curate {
       .withColumn("__p_e4",
         round(pow(col("__c").cast("double"), alpha) * 1e4)
           .cast("long"))
-      .localCheckpoint()
+      .pin()
     val s = groups.agg(sum(col("__p_e4")).as("__s"))
     df.join(broadcast(groups), groupCol === col("__g"))
       .crossJoin(broadcast(s))
@@ -312,19 +313,133 @@ object Curate {
         PortableHash.hash60(concat(lit("bs:"), col(keyCol).cast("string")))),
       groupCols, Seq(("__u", false), (keyCol, false)), k)
 
+  /** Global 1-based dense rank over `sortCols` WITHOUT the
+    * single-task `Window.orderBy` funnel — the scale-safe spine every
+    * global decile/rank/ntile query must route through (extracted
+    * from q59 after q291 re-introduced the funnel independently):
+    *
+    *  1. range-repartition on the sort key (`sortCols` must end in a
+    *     unique tiebreak, or ranks of ties are layout-dependent) —
+    *     the sampler balances partitions, every task holds a
+    *     contiguous key range;
+    *  2. sort within partitions; the local row index is the low 33
+    *     bits of monotonically_increasing_id (per-partition counter);
+    *  3. global rank = local index + the sum of earlier partitions'
+    *     sizes, joined in from the tiny per-partition size table
+    *     (O(parts) rows — broadcast, no driver collect, no Window
+    *     anywhere in the plan).
+    *
+    * The pin is load-bearing, not an optimization: the size pass and
+    * the rank pass both branch off `base`, and if Catalyst fails to
+    * reuse the range exchange (observed at the ×10 smoke once the
+    * range sampler goes lossy), each branch re-runs RangePartitioner
+    * with a different RDD-id-derived seed — different boundaries per
+    * branch, offsets joined against the wrong sizes, ranks no longer
+    * a permutation. Checkpointing makes pid/local_idx literal data.
+    *
+    * Output: the input columns plus `rankName` (1-based LongType,
+    * a permutation of 1..N). One full shuffle of the input — the
+    * minimum any global ranking can pay.
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+                 rankName: String = "rnk",
+                 parts: Int = 32): DataFrame = {
+    val base = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .withColumn("__gr_idx", monotonically_increasing_id()
+        .bitwiseAND(lit((1L << 33) - 1)))
+      .pin()
+    val sizes = base.groupBy(col("__gr_pid"))
+      .agg(count(lit(1)).as("__gr_cnt"))
+    // cumulative offsets over O(parts) rows via a broadcast self-join
+    // (deliberately no Window: keeps the whole plan Window-free)
+    val offsets = sizes.as("a")
+      .join(broadcast(sizes.as("b")),
+        col("b.__gr_pid") < col("a.__gr_pid"), "left")
+      .groupBy(col("a.__gr_pid"))
+      .agg(coalesce(sum(col("b.__gr_cnt")), lit(0L)).as("__gr_off"))
+    base.join(broadcast(offsets), Seq("__gr_pid"))
+      .withColumn(rankName, col("__gr_off") + col("__gr_idx") + lit(1L))
+      .drop("__gr_pid", "__gr_idx", "__gr_off")
+  }
+
+  /** Global rank PLUS inclusive running sum of `valueCol` in
+    * `sortCols` order, with the same scale-safe shape as
+    * [[globalRank]] (range repartition + broadcast per-partition
+    * offsets — no unpartitioned window). The Pareto/cumulative-share
+    * spine: ABC classification, Lorenz curves, waterfilling — any
+    * "cumulative X by rank" over a grain that scales with the fact
+    * tables. The within-partition running sum is a window PARTITIONED
+    * by the range-partition id, so each task sums one balanced
+    * partition; the cross-partition carry is the broadcast offset
+    * join, same as the rank path.
+    */
+  def globalCumSum(df: DataFrame, sortCols: Seq[Column],
+                   valueCol: Column, cumName: String,
+                   rankName: String = "rnk",
+                   parts: Int = 32): DataFrame = {
+    val base = df
+      .withColumn("__gc_v", valueCol)
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__gc_pid", spark_partition_id())
+      .withColumn("__gc_idx", monotonically_increasing_id()
+        .bitwiseAND(lit((1L << 33) - 1)))
+      .pin()
+    val sizes = base.groupBy(col("__gc_pid"))
+      .agg(count(lit(1)).as("__gc_cnt"), sum(col("__gc_v")).as("__gc_sum"))
+    val offsets = sizes.as("a")
+      .join(broadcast(sizes.as("b")),
+        col("b.__gc_pid") < col("a.__gc_pid"), "left")
+      .groupBy(col("a.__gc_pid"))
+      .agg(coalesce(sum(col("b.__gc_cnt")), lit(0L)).as("__gc_offn"),
+        coalesce(sum(col("b.__gc_sum")), lit(0L)).as("__gc_offs"))
+    val wLoc = Window.partitionBy(col("__gc_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.join(broadcast(offsets), Seq("__gc_pid"))
+      .withColumn(rankName, col("__gc_offn") + col("__gc_idx") + lit(1L))
+      .withColumn(cumName, col("__gc_offs") + sum(col("__gc_v")).over(wLoc))
+      .drop("__gc_pid", "__gc_idx", "__gc_v", "__gc_offn", "__gc_offs")
+  }
+
+  /** Guarded unpartitioned rank for inputs that are SMALL BY
+    * CONSTRUCTION (a vocabulary, a bin table, a ≤10³-row aggregate):
+    * `row_number()` over a global `Window.orderBy`, but the caller
+    * must DECLARE the cardinality bound, and the plan enforces it —
+    * any row ranked past `maxRows` raises at runtime instead of
+    * silently serializing a grown input through one task. This turns
+    * "bounded today" comments into enforced invariants: a data-model
+    * change that grows the input past its declared bound fails
+    * loudly, pointing at the site that must be rewritten onto
+    * [[globalRank]].
+    */
+  def boundedRank(df: DataFrame, maxRows: Long, rankName: String,
+                  sortCols: Column*): DataFrame = {
+    val rn = row_number().over(Window.orderBy(sortCols: _*)).cast("long")
+    df.withColumn(rankName,
+      when(rn <= maxRows, rn).otherwise(raise_error(lit(
+        s"boundedRank: input exceeded the declared $maxRows-row bound" +
+          " — this site must move to Curate.globalRank"))))
+  }
+
   /** Categorical dictionary encoding (string interning): build a
     * vocabulary of distinct values with dense ids (1-based, ordered
     * by value — deterministic on any engine), broadcast it, and
     * encode the corpus by join. The feature-pipeline primitive that
     * turns repeated strings into ints before training. The only
     * window runs over the DISTINCT vocabulary (vocabulary-sized, not
-    * corpus-sized); the corpus itself sees one broadcast hash join
-    * per encoded column, zero shuffles. */
-  def dictEncode(df: DataFrame, valueCol: String,
-                 idName: String): DataFrame = {
-    val w = Window.orderBy(col(valueCol))
-    val vocab = df.select(col(valueCol)).distinct()
-      .withColumn(idName, row_number().over(w).cast("long"))
+    * corpus-sized) and is bound-enforced via [[boundedRank]]: the
+    * vocabulary must fit `maxVocab` (it is broadcast right after, so
+    * a vocabulary too big to rank in one task was already too big to
+    * encode by broadcast join — the two limits fail together instead
+    * of the window silently becoming the funnel). The corpus itself
+    * sees one broadcast hash join per encoded column, zero shuffles. */
+  def dictEncode(df: DataFrame, valueCol: String, idName: String,
+                 maxVocab: Long = 1L << 22): DataFrame = {
+    val vocab = boundedRank(df.select(col(valueCol)).distinct(),
+      maxVocab, idName, col(valueCol))
     df.join(broadcast(vocab), Seq(valueCol))
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
+import graft.core.PlanStats.Pinned
 
 /** Deduplication operators for training-data pipelines (SURVEY.md
   * §2.12 / BASELINE.json north star). Four tiers, in increasing
@@ -251,7 +252,7 @@ object Dedup {
     val docSets = shingled.groupBy("id")
       .agg(sort_array(collect_list(col("sh"))).as("shs"))
       .withColumn("sz", size(col("shs")).cast("long"))
-      .localCheckpoint()
+      .pin()
     val prefixLen =
       (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     // postings carry (id, sz, pos): the POSITIONAL filter (classic
@@ -391,7 +392,7 @@ object Dedup {
       else
         lshBuckets(minhashSignatures(
           shingleTable(docs, idCol, textCol, shingleN), numHashes),
-          rowsPerBand)).localCheckpoint()
+          rowsPerBand)).pin()
     val candidates = lshCandidates(buckets)
     // Re-shingle ONLY candidate docs for verification: the candidate
     // id set is a tiny broadcast filter pushed below the tokenizer,
@@ -465,10 +466,10 @@ object Dedup {
     val edges = pairs
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .localCheckpoint()
+      .pin()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .pin()
     // labels only ever DECREASE (least of self and neighbors), so
     // Σlabel is strictly monotone until fixpoint — comparing it across
     // rounds is a one-row aggregate per round, not a join+filter probe
@@ -490,7 +491,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
-        .localCheckpoint()
+        .pin()
       val m = metric(next)
       converged = m == prev
       prev = m
@@ -531,10 +532,10 @@ object Dedup {
       .filter(col("hi") =!= col("lo"))
       .distinct()
     var edges = canon(pairs.select(col("id_a").as("a"),
-      col("id_b").as("b"))).localCheckpoint()
+      col("id_b").as("b"))).pin()
     val nodes = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id")))
-      .distinct().localCheckpoint()
+      .distinct().pin()
     // multiset fingerprint of the canonical edge set: modular sums
     // (no overflow cliff) + count — equal across a full round ⇒
     // fixpoint. One scalar row per probe.
@@ -557,13 +558,13 @@ object Dedup {
         .select(col("u"), least(col("u"), col("mv")).as("m"))
       val ls = canon(nbr.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
-        .select(col("v").as("a"), col("m").as("b"))).localCheckpoint()
+        .select(col("v").as("a"), col("m").as("b"))).pin()
       // small-star over the canonical (hi → smaller neighbors) view
       val minsS = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
       val ss = canon(ls.join(minsS, Seq("hi"))
         .select(col("lo").as("a"), col("m").as("b"))
         .unionByName(minsS.select(col("hi").as("a"), col("m").as("b"))))
-        .localCheckpoint()
+        .pin()
       val m = checksum(ss)
       converged = m == prev
       prev = m

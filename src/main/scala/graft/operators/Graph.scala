@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.PlanStats.Pinned
 
 /** Graph propagation operators (SURVEY.md §2.12 follow-on; the
   * iterative-analytics tier next to [[Dedup.connectedComponents]]).
@@ -33,10 +34,10 @@ object Graph {
   def bfsDistances(edges: DataFrame, source: Long,
                    maxDepth: Int = 50): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint()
+      .distinct().pin()
     val spark = edges.sparkSession
     var dist = spark.range(1)
-      .select(lit(source).as("node"), lit(0L).as("dist")).localCheckpoint()
+      .select(lit(source).as("node"), lit(0L).as("dist")).pin()
     var frontier = dist
     var depth = 0
     var done = false
@@ -47,10 +48,10 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(depth.toLong))
-        .localCheckpoint()
+        .pin()
       if (next.isEmpty) done = true
       else {
-        dist = dist.unionByName(next).localCheckpoint()
+        dist = dist.unionByName(next).pin()
         frontier = next
       }
     }
@@ -110,7 +111,7 @@ object Graph {
       .select(greatest(col("id_a"), col("id_b")).as("x"),
         least(col("id_a"), col("id_b")).as("y"))
       .filter(col("x") =!= col("y"))
-      .distinct().localCheckpoint()
+      .distinct().pin()
     val nodes = e.select(col("x").as("node"))
       .unionByName(e.select(col("y").as("node"))).distinct()
     val deg = e.select(col("x").as("n"))
@@ -132,7 +133,7 @@ object Graph {
       .repartition(
         pairs.sparkSession.sessionState.conf.numShufflePartitions,
         col("src"))
-      .localCheckpoint()
+      .pin()
     // wedges (u; v, w) with k(v) < k(w): the closing edge, if present,
     // is oriented v → w by the same total order
     val wedges = oriented.select(col("src"), col("dst").as("v"),
@@ -204,19 +205,19 @@ object Graph {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     val E9 = 1000000000L
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("w").cast("long")).localCheckpoint()
+      col("w").cast("long")).pin()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct().pin()
     val n = nodes.count()
     val small = n <= broadcastMaxNodes
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // out-weight rides along each edge once, up front: per-iteration
     // work is then a single join against the current ranks
     val eOut = e.join(if (small) broadcast(outW) else outW, Seq("src"))
-      .localCheckpoint()
+      .pin()
     var ranks = nodes.withColumn("rank_e9", lit(E9 / n))
     for (_ <- 1 to iterations) {
-      ranks = pageRankStep(eOut, nodes, ranks, n, small).localCheckpoint()
+      ranks = pageRankStep(eOut, nodes, ranks, n, small).pin()
     }
     ranks
   }
@@ -235,15 +236,15 @@ object Graph {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     val E9 = 1000000000L
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("w").cast("long")).localCheckpoint()
+      col("w").cast("long")).pin()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct().pin()
     val nSrc = nodes.filter(isSource(col("node"))).count()
     require(nSrc > 0, "source set matches no graph node")
     val small = nodes.count() <= broadcastMaxNodes
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val eOut = e.join(if (small) broadcast(outW) else outW, Seq("src"))
-      .localCheckpoint()
+      .pin()
     val teleport = when(isSource(col("node")), lit(150000000L / nSrc))
       .otherwise(lit(0L))
     var ranks = nodes.withColumn("rank_e9",
@@ -259,7 +260,7 @@ object Graph {
         .select(col("node"),
           (teleport + expr("850 * coalesce(contrib, 0L) div 1000"))
             .as("rank_e9"))
-        .localCheckpoint()
+        .pin()
     }
     ranks
   }
@@ -282,7 +283,7 @@ object Graph {
                   maxRounds: Int = 100,
                   broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("w").cast("long")).localCheckpoint()
+      col("w").cast("long")).pin()
     // node-sized tables (frontier, tentative distances) broadcast
     // into the edge scan below this bound — the [[BroadcastMaxNodes]]
     // posture: never force a broadcast of something that grows with
@@ -292,7 +293,7 @@ object Graph {
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val spark = edges.sparkSession
     var dist = spark.range(1)
-      .select(lit(source).as("node"), lit(0L).as("dist")).localCheckpoint()
+      .select(lit(source).as("node"), lit(0L).as("dist")).pin()
     var frontier = dist
     var round = 0
     var done = false
@@ -307,14 +308,14 @@ object Graph {
           cand("node") === col("n0"), "left_outer")
         .filter(col("old").isNull || col("nd") < col("old"))
         .select(col("node"), col("nd").as("dist"))
-        .localCheckpoint()
+        .pin()
       if (improved.isEmpty) done = true
       else {
         dist = dist
           .join(bc(improved.select(col("node").as("n1"))),
             dist("node") === col("n1"), "left_anti")
           .unionByName(improved)
-          .localCheckpoint()
+          .pin()
         frontier = improved
       }
     }
@@ -347,8 +348,8 @@ object Graph {
             broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     val a = adj.select(col("u").cast("long"), col("v").cast("long"))
-      .distinct().localCheckpoint()
-    var surv = a.select(col("u").as("node")).distinct().localCheckpoint()
+      .distinct().pin()
+    var surv = a.select(col("u").as("node")).distinct().pin()
     var nSurv = surv.count()
     // the id-only survivor set broadcasts into the adjacency scan
     // while node-sized (same conditional posture as PageRank's rank
@@ -364,7 +365,7 @@ object Graph {
     while (!converged && round < maxRounds) {
       round += 1
       val next = among(surv).filter(col("deg") >= k)
-        .select(col("u").as("node")).localCheckpoint()
+        .select(col("u").as("node")).pin()
       val nNext = next.count()
       if (nNext == nSurv) converged = true
       else { surv = next; nSurv = nNext }
@@ -390,9 +391,9 @@ object Graph {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     val E9 = 1000000000L
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("w").cast("long")).localCheckpoint()
+      col("w").cast("long")).pin()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct().pin()
     val n = nodes.count()
     require(n > 0, "hitsIntExact: edges must be non-empty")
     val small = n <= broadcastMaxNodes
@@ -419,13 +420,13 @@ object Graph {
           Seq("src"))
         .select(col("dst").as("node"), (col("hs") * col("w")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("raw")))
-        .localCheckpoint()
+        .pin()
       hubs = normalized(e
         .join(bc(auths.select(col("node").as("dst"), col("s").as("as_"))),
           Seq("dst"))
         .select(col("src").as("node"), (col("as_") * col("w")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("raw")))
-        .localCheckpoint()
+        .pin()
     }
     hubs.select(col("node"), col("s").as("hub_e9"))
       .join(auths.select(col("node"), col("s").as("auth_e9")), Seq("node"))
@@ -462,10 +463,10 @@ object Graph {
     var e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .repartition(sp, col("src")).localCheckpoint()
+      .repartition(sp, col("src")).pin()
     var nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().pin()
     var result: DataFrame = null
     var outer = 0
     while (!nodes.isEmpty && outer < maxOuter) {
@@ -484,21 +485,21 @@ object Graph {
           .join(e.select(col("dst").as("node")).distinct(),
             Seq("node"), "left_semi")
         val singles = nodes.join(core, Seq("node"), "left_anti")
-          .localCheckpoint()
+          .pin()
         if (singles.isEmpty) peeling = false
         else {
           val settled = singles.select(col("node"),
             col("node").as("lbl"))
           result =
             (if (result == null) settled else result.unionByName(settled))
-              .localCheckpoint()
+              .pin()
           nodes = nodes.join(singles, Seq("node"), "left_anti")
-            .localCheckpoint()
+            .pin()
           e = e.join(singles.select(col("node").as("src")), Seq("src"),
               "left_anti")
             .join(singles.select(col("node").as("dst")), Seq("dst"),
               "left_anti")
-            .repartition(sp, col("src")).localCheckpoint()
+            .repartition(sp, col("src")).pin()
         }
       }
       require(!peeling || pr < maxInner,
@@ -508,7 +509,7 @@ object Graph {
       } else {
       // (1) forward min-label fixpoint on the active subgraph
       var c = nodes.select(col("node"), col("node").as("lbl"))
-        .localCheckpoint()
+        .pin()
       var frontier = c
       var inner = 0
       while (!frontier.isEmpty && inner < maxInner) {
@@ -520,19 +521,19 @@ object Graph {
           .groupBy(col("node")).agg(min(col("plbl")).as("plbl"))
         val improved = cand.join(c, Seq("node"))
           .filter(col("plbl") < col("lbl"))
-          .select(col("node"), col("plbl").as("lbl")).localCheckpoint()
+          .select(col("node"), col("plbl").as("lbl")).pin()
         if (improved.isEmpty) frontier = improved
         else {
           c = c.join(improved.select(col("node").as("n1")),
               col("node") === col("n1"), "left_anti")
-            .unionByName(improved).localCheckpoint()
+            .unionByName(improved).pin()
           frontier = improved
         }
       }
       require(frontier.isEmpty,
         s"SCC forward pass did not converge within $maxInner rounds")
       // (2) multi-source backward BFS from every pivot, color-locked
-      var reached = c.filter(col("node") === col("lbl")).localCheckpoint()
+      var reached = c.filter(col("node") === col("lbl")).pin()
       var bf = reached
       var bRounds = 0
       while (!bf.isEmpty && bRounds < maxInner) {
@@ -544,23 +545,23 @@ object Graph {
           .join(c, Seq("node"))
           .filter(col("lbl") === col("flbl"))
           .select(col("node"), col("lbl"))
-        bf = cand.join(reached, Seq("node"), "left_anti").localCheckpoint()
+        bf = cand.join(reached, Seq("node"), "left_anti").pin()
         if (!bf.isEmpty)
-          reached = reached.unionByName(bf).localCheckpoint()
+          reached = reached.unionByName(bf).pin()
       }
       require(bf.isEmpty,
         s"SCC backward pass did not converge within $maxInner rounds")
       // (3) settle and shrink
       result =
         (if (result == null) reached else result.unionByName(reached))
-          .localCheckpoint()
+          .pin()
       nodes = nodes.join(reached.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .pin()
       e = e.join(reached.select(col("node").as("src")), Seq("src"),
           "left_anti")
         .join(reached.select(col("node").as("dst")), Seq("dst"),
           "left_anti")
-        .repartition(sp, col("src")).localCheckpoint()
+        .repartition(sp, col("src")).pin()
       }
     }
     require(nodes.isEmpty,
@@ -600,7 +601,7 @@ object Graph {
       und.sparkSession.sessionState.conf.numShufflePartitions
     val e = und.select(col("a").cast("long").as("a"),
         col("b").cast("long").as("b"))
-      .repartition(shufflePartitions, col("a")).localCheckpoint()
+      .repartition(shufflePartitions, col("a")).pin()
     val hot = e.groupBy(col("a").as("mid")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= hubThreshold).select("mid")
     val l = e.select(col("a").as("src"), col("b").as("mid"))
@@ -649,7 +650,7 @@ object Graph {
       und.sparkSession.sessionState.conf.numShufflePartitions
     val e = und.select(col("a").cast("long").as("a"),
         col("b").cast("long").as("b"))
-      .repartition(shufflePartitions, col("a")).localCheckpoint()
+      .repartition(shufflePartitions, col("a")).pin()
     // node-grain weights ride the wedge join attached to the right
     // leg (one co-partitioned join on mid) — NOT broadcast: the
     // weight table grows with the graph
@@ -694,14 +695,14 @@ object Graph {
       und.sparkSession.sessionState.conf.numShufflePartitions
     val e = und.select(col("a").cast("long").as("a"),
         col("b").cast("long").as("b"))
-      .repartition(shufflePartitions, col("b")).localCheckpoint()
+      .repartition(shufflePartitions, col("b")).pin()
     val maxLab = e.agg(max(greatest(col("a"), col("b")))).head().getLong(0)
     require(maxLab < 10000000L,
       s"labelPropagation: labels must be < 1e7 (got $maxLab) — the " +
         "tie-break arg-max packs (count, label) into one long")
     var lab = e.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
-      .repartition(shufflePartitions, col("node")).localCheckpoint()
+      .repartition(shufflePartitions, col("node")).pin()
     for (_ <- 1 to rounds) {
       lab = e.join(lab.select(col("node").as("b"), col("lab")), Seq("b"))
         .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
@@ -709,7 +710,7 @@ object Graph {
           col("c") * lit(10000000L) + (lit(9999999L) - col("lab")))
           .as("lab"))
         .select(col("a").as("node"), col("lab"))
-        .repartition(shufflePartitions, col("node")).localCheckpoint()
+        .repartition(shufflePartitions, col("node")).pin()
     }
     lab
   }

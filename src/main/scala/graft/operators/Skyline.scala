@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.PlanStats.Pinned
 
 /** 2-D Pareto front (skyline): the rows not dominated under
   * (minimize `cost`, maximize `gain`) — row r dominates row q when
@@ -38,7 +39,7 @@ object Skyline {
       .repartitionByRange(32, col("__cost"))
       .sortWithinPartitions(col("__cost"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .pin()
     val pmax = perCost.groupBy(col("__pid")).agg(max(col("__gmax")).as("__pm"))
     // strict prefix over earlier partitions: every cost there is
     // strictly cheaper (unique costs + range partitioning)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
+import graft.core.PlanStats.Pinned
 
 /** Structured Streaming variants of the ingestion + trip semantics
   * (SURVEY.md §2.9). The reference's "streaming" is scheduled batch;
@@ -806,7 +807,7 @@ object Streaming {
       .filter(col("window_start") <
         lit(new java.sql.Timestamp(4070908800L * 1000L))) // < 2099-01-01
       .withColumnRenamed("value_total", "value_e4_total")
-      .localCheckpoint()
+      .pin()
     Seq(in, out, ckpt).foreach(deleteRecursively)
     result
   }

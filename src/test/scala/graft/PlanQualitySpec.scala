@@ -849,4 +849,65 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q291: no Window anywhere — deciles route through " +
+       "Curate.globalRank (range repartition + offsets)") {
+    val p = plan("q291_uplift_deciles")
+    assert(!p.contains("WindowExec") && !p.contains("Window "), p)
+  }
+
+  // Source lint, not a plan check: EVERY `Window.orderBy` without a
+  // partitionBy in src/main must be either (a) inside the guarded
+  // Curate.boundedRank helper (which raises at runtime past its
+  // declared bound) or (b) on this allowlist with its bound written
+  // down. A new unpartitioned window — the single-task funnel that
+  // cost q59, q291 and q217 a round each — fails this test until it
+  // is either routed through globalRank/globalCumSum/boundedRank or
+  // consciously allowlisted here with the argument for its bound.
+  test("source lint: unpartitioned Window.orderBy sites are guarded " +
+       "or allowlisted with documented bounds") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val sites = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { f =>
+        val rel = root.relativize(f).toString
+        val src = scala.io.Source.fromFile(f.toFile, "UTF-8")
+        try src.getLines().map(_.trim).filter(l =>
+          l.contains("Window.orderBy") && !l.startsWith("//") &&
+            !l.startsWith("*") && !l.contains("partitionBy"))
+          .map(l => s"$rel :: $l").toList
+        finally src.close()
+      }.toSet
+    val allow = Set(
+      // the guarded helper itself — its bound is a runtime raise
+      "graft/operators/Curate.scala :: val rn = row_number().over(Window.orderBy(sortCols: _*)).cast(\"long\")",
+      // q296: 6h range frame over the HOURLY aggregate — bounded by
+      // the retention window (720 rows/month), not data volume
+      "graft/analytics/Metrics.scala :: val w6 = Window.orderBy(\"h\").rangeBetween(-5, 0)",
+      // q267: cumulative sum over the 40-bin table (o_orderkey % 40)
+      "graft/analytics/Robust.scala :: val w = Window.orderBy(\"bin\")",
+      // q274: Kaplan–Meier curve over day-grain lifetimes — bounded
+      // by the observation span in days
+      "graft/analytics/Evaluation.scala :: val wT = Window.orderBy(\"lt\")",
+      // q217: lag over the 640-row hash-ring bounds (10 shards × 64
+      // vnodes, a literal construction)
+      "graft/analytics/Curation.scala :: lag(col(\"bh\"), 1).over(Window.orderBy(col(\"bh\"))), lit(-1L)))",
+      // 30-day range frame over the DAY-grain aggregate
+      "graft/analytics/Advanced.scala :: val w = Window.orderBy(col(\"day\")).rangeBetween(-29, 0)",
+      // q160: binned-ECDF cumulative window over the e1-rounded value
+      // bins (~10^3–10^4 rows regardless of volume)
+      "graft/analytics/Advanced.scala :: val w = org.apache.spark.sql.expressions.Window.orderBy(col(\"v\"))",
+      // q240: waterfill boundary over the |sources| enumeration
+      "graft/analytics/Governance.scala :: val w = Window.orderBy(col(\"cap\"), col(\"source\"))")
+    val unexpected = sites -- allow
+    val stale = allow -- sites
+    assert(unexpected.isEmpty,
+      s"NEW unpartitioned Window.orderBy site(s) — route through " +
+        s"Curate.globalRank/globalCumSum/boundedRank or allowlist " +
+        s"with a documented bound:\n${unexpected.mkString("\n")}")
+    assert(stale.isEmpty,
+      s"allowlist entries no longer in source (update the lint):\n" +
+        stale.mkString("\n"))
+  }
 }

@@ -58,6 +58,16 @@ def main():
     ).fetchone()[0]
     ncust = con.execute(
         f"SELECT count(*) FROM '{src}/customer.parquet'").fetchone()[0]
+    # the re-drawn o_custkey below is md5 % ncust, which assumes the
+    # customer key space is DENSE and 0-BASED; on a 1-based dataset it
+    # would silently create orphan o_custkey=0 orders and starve key
+    # ncust-1, skewing the smoke with no error — assert instead
+    cmin, cmax = con.execute(
+        f"SELECT min(c_custkey), max(c_custkey)"
+        f" FROM '{src}/customer.parquet'").fetchone()
+    assert cmin == 0 and cmax == ncust - 1, (
+        f"c_custkey must be dense 0..n-1 (got min={cmin}, max={cmax},"
+        f" n={ncust}); the FK redraw would create orphans")
     reps = f"(SELECT unnest(range({k})) AS i)"
 
     # deterministic per-row factor in [0.8, 1.2): md5 hex prefix -> u in
