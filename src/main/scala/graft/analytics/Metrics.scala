@@ -1527,7 +1527,10 @@ object Metrics {
   // adjacency (row_number per source) and degree table are built
   // once and pinned; each of the 6 unrolled steps is ONE equi-join
   // on (node, picked-rank) — walk state stays walker-grain, the
-  // adjacency is never exploded.
+  // adjacency is never exploded. The adjacency is degree-capped at
+  // 512 (walks pick among each node's 512 smallest-id neighbors;
+  // modulus uses the capped degree) so no hub can serialize the
+  // ranking into one task.
   // ---------------------------------------------------------------------
   private def q292(s: SparkSession, dir: String): DataFrame = {
     val h = graft.functions.PortableHash
@@ -1540,13 +1543,19 @@ object Metrics {
       .distinct()
     val edges = cs.select(col("cn").as("src"), col("sn").as("dst"))
       .unionByName(cs.select(col("sn").as("src"), col("cn").as("dst")))
-    val nbr = edges
-      .withColumn("idx", row_number().over(
-        Window.partitionBy("src").orderBy("dst")).cast("long") - 1)
+    // degree-capped ranked adjacency (Graph.rankedAdjacency: the
+    // TopKPerKey bounded-heap plan, no per-src sort group — a
+    // 10^7-degree hub cannot serialize one task). deg below counts
+    // the KEPT rows, so the pick modulus uses the capped degree and
+    // every hash-picked hop still resolves; cap=512 is live at
+    // sf0.1 (max degree 679), so the capping path is oracle-tested
+    // in the gate, not just in specs.
+    val nbr = graft.operators.Graph
+      .rankedAdjacency(edges, maxDeg = 512)
       .pin() // ranked adjacency, read by all 6 steps
     val deg = nbr.groupBy(col("src").as("dn"))
       .agg(count(lit(1)).as("deg"))
-      .pin() // read by all 6 steps
+      .pin() // capped degree, read by all 6 steps
     var walk = nbr.select(col("src").as("walker")).distinct()
       .filter(col("walker") % 2 === 0 && col("walker") % 20 === 0)
       .select(col("walker"), lit(0L).as("step"),
@@ -1602,9 +1611,11 @@ object Metrics {
        |  SELECT cn AS src, sn AS dst FROM cs
        |  UNION ALL SELECT sn AS src, cn AS dst FROM cs),
        |nbr AS MATERIALIZED (
-       |  SELECT src, dst, CAST(row_number() OVER (PARTITION BY src
-       |    ORDER BY dst) AS BIGINT) - 1 AS idx
-       |  FROM edges),
+       |  SELECT src, dst, idx FROM (
+       |    SELECT src, dst, CAST(row_number() OVER (PARTITION BY src
+       |      ORDER BY dst) AS BIGINT) - 1 AS idx
+       |    FROM edges)
+       |  WHERE idx < 512),
        |deg AS MATERIALIZED (SELECT src AS dn, CAST(count(*) AS BIGINT) AS deg
        |        FROM nbr GROUP BY 1),
        |w0 AS MATERIALIZED (

@@ -569,6 +569,30 @@ object Graph {
     result.select(col("node"), col("lbl").as("scc_id"))
   }
 
+  /** Degree-capped ranked adjacency: (src, dst, idx) with idx the
+    * 0-based ascending-dst rank among src's neighbors, keeping only
+    * the `maxDeg` smallest dst per src. The random-walk input shape
+    * (q292): a walker at node v picks neighbor `hash % degC(v)`, so
+    * ranking the top-`maxDeg` neighbors and taking the modulus over
+    * the CAPPED degree (= the row count of this output per src)
+    * preserves the pick-is-always-resolvable invariant while bounding
+    * the per-node work.
+    *
+    * Scale shape: the naive `row_number().over(partitionBy(src))`
+    * sorts each node's whole neighbor list in ONE task — a 10⁷-degree
+    * hub serializes. This routes through the TopKPerKey bounded-heap
+    * plan instead: each map task keeps ≤ maxDeg neighbors per src
+    * (heap insert, no sort), shuffle volume ≤ maxDeg·nodes·partitions
+    * rows INDEPENDENT of hub degree, and the merge side emits the
+    * rank. A hub's surplus neighbors die map-side. */
+  def rankedAdjacency(edges: DataFrame, maxDeg: Int): DataFrame = {
+    require(maxDeg > 0, "maxDeg must be positive")
+    org.apache.spark.sql.graftx.TopKPerKeyPlan
+      .topK(edges.select(col("src"), col("dst")), Seq("src"),
+        Seq("dst" -> false), maxDeg, "idx")
+      .withColumn("idx", col("idx") - 1)
+  }
+
   /** Two-hop reach (friend-of-friend audience size) over a symmetric
     * edge set `und` (a, b): per node, the count of distinct nodes
     * exactly two hops away — mid-join, dedup, anti-join direct edges.

@@ -290,4 +290,28 @@ class GraphSpec extends AnyFunSuite {
       Graph.labelPropagation(big, 2).collect()
     }
   }
+
+  test("rankedAdjacency: deliberate 100k-degree hub — capped to " +
+       "maxDeg kept rows, idx == the window formulation's rank on " +
+       "the kept prefix, no row past the cap") {
+    // hub node 0 with neighbors 1..100_000 (descending insert order
+    // so the bounded heap actually evicts), plus two cold nodes
+    val hub = spark.range(1, 100001)
+      .select(org.apache.spark.sql.functions.lit(0L).as("src"),
+        $"id".as("dst"))
+    val cold = Seq((7L, 3L), (7L, 1L), (8L, 5L)).toDF("src", "dst")
+    val adj = Graph.rankedAdjacency(hub.unionByName(cold), maxDeg = 512)
+      .as[(Long, Long, Long)].collect()
+    val byNode = adj.groupBy(_._1)
+    // hub: exactly 512 kept rows — the 512 SMALLEST dst, idx dense
+    val hubRows = byNode(0L).sortBy(_._3)
+    assert(hubRows.length == 512)
+    assert(hubRows.map(_._2).toSeq == (1L to 512L))
+    assert(hubRows.map(_._3).toSeq == (0L until 512L))
+    // cold nodes: untouched, ranked ascending by dst
+    assert(byNode(7L).sortBy(_._3).map(_._2).toSeq == Seq(1L, 3L))
+    assert(byNode(8L).map(_._2).toSeq == Seq(5L))
+    // no idx at or past the cap anywhere
+    assert(adj.forall(_._3 < 512))
+  }
 }
