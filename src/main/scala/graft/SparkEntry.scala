@@ -26,7 +26,8 @@ object SparkEntry {
     (analytics.Platform.queries, analytics.Platform.oracle),
     (analytics.Robust.queries, analytics.Robust.oracle),
     (analytics.Evaluation.queries, analytics.Evaluation.oracle),
-    (analytics.Metrics.queries, analytics.Metrics.oracle))
+    (analytics.Metrics.queries, analytics.Metrics.oracle),
+    (analytics.Ops.queries, analytics.Ops.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -850,6 +850,58 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  // windowspecdefinition's first argument is the partition spec; an
+  // unpartitioned window starts straight with the sort order, so
+  // "every spec mentions <col>" asserts no single-task window exists
+  private def windowSpecs(p: String): Seq[String] =
+    "windowspecdefinition\\(([^,]+)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+
+  test("q298: skew lint is pure union-of-aggregates — no join, " +
+       "map-side combinable to key grain") {
+    val p = plan("q298_skew_lint")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("q299: rollup is ONE Expand aggregate pass, dims broadcast") {
+    val p = plan("q299_rollup_revenue")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q300: weighted median — the only window is globalCumSum's " +
+       "pid-partitioned running sum, never a per-segment funnel") {
+    val p = plan("q300_weighted_median")
+    val specs = windowSpecs(p)
+    assert(specs.nonEmpty && specs.forall(_.contains("__gc_pid")),
+      s"window specs: $specs\n$p")
+  }
+
+  test("q302: pruning audit ranks through globalRank — no window " +
+       "at all in the plan") {
+    val p = plan("q302_minmax_pruning")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q303: bot screen windows partition by user; final ordering " +
+       "is a bounded TakeOrdered, not a global sort") {
+    val p = plan("q303_bot_regularity")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val specs = windowSpecs(p)
+    assert(specs.forall(_.contains("user_id")), s"$specs")
+  }
+
+  test("q307: CUSUM cum-sum routes through globalCumSum (pid-" +
+       "partitioned window only); argmax is a 1-row aggregate") {
+    val p = plan("q307_cusum_changepoint")
+    val specs = windowSpecs(p)
+    assert(specs.forall(_.contains("__gc_pid")), s"$specs")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q291: no Window anywhere — deciles route through " +
        "Curate.globalRank (range repartition + offsets)") {
     val p = plan("q291_uplift_deciles")
