@@ -599,6 +599,485 @@ object Ops {
       |FROM (SELECT day AS cp_day, n_days, abs(s_scaled) AS s_max,
       |        cum_e2, t, tot_e2 FROM cp)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q308 — lagged cross-correlation (does the error series LEAD the
+  // purchase series?): hourly error and purchase counts, Pearson r
+  // at lags 0..6 h via the n·Σxy−ΣxΣy integer form (squares/products
+  // in decimal(38,0)), one sqrt+division per lag row. The hour grain
+  // is retention-bounded; each lag is ONE equi-join of the pinned
+  // hourly table against itself shifted — never a cross join.
+  // ---------------------------------------------------------------------
+  private def q308(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.eventsSec(s, dir)
+      .groupBy((Exact.epochS(col("ts_s")).cast("long") / 3600)
+        .cast("long").as("h"))
+      .agg(sum((col("event_type") === "error").cast("long")).as("x"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"))
+      .pin() // both sides of every lag join read this
+    val lags = s.range(0, 7).select(col("id").as("lag"))
+    def d(c: Column): Column = c.cast("double")
+    val joined = hourly.select(col("h"), col("x"))
+      .crossJoin(broadcast(lags))
+      .join(hourly.select((col("h")).as("hy"), col("y")),
+        col("hy") === col("h") + col("lag"))
+    joined.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .select(col("lag"), col("n"),
+        round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          / sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+            * (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+          * 1000000.0).cast("long").as("r_e6"))
+      .orderBy("lag")
+  }
+
+  private val q308Sql =
+    """WITH hourly AS (
+      |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600
+      |      AS h,
+      |    CAST(sum(CAST(event_type = 'error' AS BIGINT)) AS BIGINT) AS x,
+      |    CAST(sum(CAST(event_type = 'purchase' AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM events GROUP BY 1),
+      |lags AS (SELECT CAST(unnest(range(7)) AS BIGINT) AS lag),
+      |joined AS (
+      |  SELECT lag, a.x, b.y
+      |  FROM hourly a CROSS JOIN lags
+      |  JOIN hourly b ON b.h = a.h + lag),
+      |m AS (
+      |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM joined GROUP BY 1)
+      |SELECT lag, n,
+      |  CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    * 1000000.0) AS BIGINT) AS r_e6
+      |FROM m ORDER BY lag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q309 — graph-diameter probe by double BFS (the standard lower
+  // bound): BFS from customer-node 0, hop to the farthest reached
+  // node (max dist, min node id tiebreak — a 1-row scalar probe, the
+  // documented driver-probe exception), BFS again from there; the
+  // second eccentricity lower-bounds the diameter. Frontier
+  // expansion keeps every round frontier-sized (operators/Graph);
+  // the oracle is the q156 depth-bounded recursive-CTE pattern run
+  // twice, its second seed a scalar subquery over the first pass.
+  // ---------------------------------------------------------------------
+  private def q309(s: SparkSession, dir: String): DataFrame = {
+    val cs = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cn"),
+        (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+    val edges = cs.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionByName(cs.select(col("sn").as("src"), col("cn").as("dst")))
+      .pin() // both BFS passes scan this
+    val d1 = graft.operators.Graph.bfsDistances(edges, source = 0L,
+      maxDepth = 20)
+    val far = d1.orderBy(col("dist").desc, col("node").asc).limit(1)
+      .collect()(0) // 1-row scalar probe between the two passes
+    val src2 = far.getLong(0)
+    val ecc1 = far.getLong(1)
+    val d2 = graft.operators.Graph.bfsDistances(edges, source = src2,
+      maxDepth = 20)
+    d2.agg(count(lit(1)).as("n_reach2"),
+        max(col("dist")).as("diameter_lb"))
+      .crossJoin(broadcast(d1.agg(count(lit(1)).as("n_reach1"))))
+      .select(lit(0L).as("src1"), lit(ecc1).as("ecc1"),
+        lit(src2).as("src2"), col("diameter_lb"),
+        col("n_reach1"), col("n_reach2"))
+  }
+
+  private val q309Sql =
+    """WITH RECURSIVE cs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS MATERIALIZED (
+      |  SELECT cn AS src, sn AS dst FROM cs
+      |  UNION ALL SELECT sn, cn FROM cs),
+      |r1(node, d) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  UNION
+      |  SELECT CAST(e.dst AS BIGINT), r.d + 1
+      |  FROM r1 r JOIN edges e ON r.node = e.src
+      |  WHERE r.d < 20),
+      |d1 AS MATERIALIZED (
+      |  SELECT node, CAST(min(d) AS BIGINT) AS dist
+      |  FROM r1 GROUP BY 1),
+      |far AS (SELECT node, dist FROM d1
+      |        ORDER BY dist DESC, node ASC LIMIT 1),
+      |r2(node, d) AS (
+      |  SELECT (SELECT node FROM far), CAST(0 AS BIGINT)
+      |  UNION
+      |  SELECT CAST(e.dst AS BIGINT), r.d + 1
+      |  FROM r2 r JOIN edges e ON r.node = e.src
+      |  WHERE r.d < 20),
+      |d2 AS MATERIALIZED (
+      |  SELECT node, CAST(min(d) AS BIGINT) AS dist
+      |  FROM r2 GROUP BY 1)
+      |SELECT CAST(0 AS BIGINT) AS src1,
+      |  (SELECT dist FROM far) AS ecc1,
+      |  (SELECT node FROM far) AS src2,
+      |  (SELECT CAST(max(dist) AS BIGINT) FROM d2) AS diameter_lb,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_reach1,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n_reach2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q310 — partition/file sizing advisor: per table, the EXACT
+  // serialized row-width estimate (fixed widths + actual string
+  // lengths, the arithmetic a planner's statistics collector runs),
+  // total size, and the 128 MB-target file count and rows-per-file
+  // recommendation. One map-side-combinable aggregate per table —
+  // the width estimate is a per-row projection, never a sample.
+  // ---------------------------------------------------------------------
+  private def q310(s: SparkSession, dir: String): DataFrame = {
+    val target = 128L * 1024 * 1024
+    def audit(df: DataFrame, label: String, width: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(width).as("est_bytes"))
+        .select(lit(label).as("table_name"), col("n_rows"),
+          col("est_bytes"),
+          round(col("est_bytes").cast("double") /
+            col("n_rows").cast("double")).cast("long").as("row_bytes"),
+          greatest(lit(1L), expr(s"(est_bytes + ${target - 1}L)" +
+            s" div ${target}L")).as("n_files_128mb"))
+    val strW = (c: String) => length(col(c)).cast("long") + 4L
+    audit(t(s, dir, "orders"), "orders",
+        lit(8L + 8 + 8 + 8) + strW("o_orderstatus") +
+          strW("o_orderpriority"))
+      .unionByName(audit(t(s, dir, "lineitem"), "lineitem",
+        lit(8L * 3 + 4 + 8 * 4 + 8) + strW("l_returnflag") +
+          strW("l_linestatus")))
+      .unionByName(audit(t(s, dir, "events"), "events",
+        lit(8L + 8 + 8 + 8) + strW("event_type") + strW("props")))
+      .unionByName(audit(t(s, dir, "documents"), "documents",
+        lit(8L + 8) + strW("text") + strW("lang") + strW("source")))
+      .orderBy("table_name")
+  }
+
+  private val q310Sql = {
+    val target = 128L * 1024 * 1024
+    def one(tbl: String, width: String) =
+      s"""SELECT '$tbl' AS table_name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum($width) AS BIGINT) AS est_bytes,
+         |  CAST(round(CAST(sum($width) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS row_bytes,
+         |  greatest(1, (CAST(sum($width) AS BIGINT) + ${target - 1})
+         |    // $target) AS n_files_128mb
+         |FROM $tbl""".stripMargin
+    Seq(
+      one("orders", "32 + length(o_orderstatus) + 4" +
+        " + length(o_orderpriority) + 4"),
+      one("lineitem", "68 + length(l_returnflag) + 4" +
+        " + length(l_linestatus) + 4"),
+      one("events", "32 + length(event_type) + 4 + length(props) + 4"),
+      one("documents", "16 + length(text) + 4 + length(lang) + 4" +
+        " + length(source) + 4"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // q311 — retention/TTL audit: orders bucketed by age in whole
+  // years against a FIXED policy date (2002-01-01, just past the
+  // dataset's max order date — a plan literal, never wall-clock:
+  // wall-clock in a gate query breaks reproducibility), with bytes
+  // from the q310 width arithmetic and the reclaimable total under a
+  // 3-year TTL. One scan, age is a per-row integer expression.
+  // ---------------------------------------------------------------------
+  private def q311(s: SparkSession, dir: String): DataFrame = {
+    val width = lit(8L + 8 + 8 + 8) +
+      length(col("o_orderstatus")).cast("long") + 4L +
+      length(col("o_orderpriority")).cast("long") + 4L
+    t(s, dir, "orders")
+      .select(expr("datediff('2002-01-01', o_orderdate) div 365")
+        .cast("long").as("age_years"), width.as("w"))
+      .groupBy("age_years")
+      .agg(count(lit(1)).as("n_rows"), sum("w").as("bytes"))
+      .withColumn("reclaimable", (col("age_years") >= 3).cast("long"))
+      .orderBy("age_years")
+  }
+
+  private val q311Sql =
+    """SELECT datediff('day', o_orderdate, TIMESTAMP '2002-01-01') // 365
+      |    AS age_years,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(32 + length(o_orderstatus) + 4
+      |    + length(o_orderpriority) + 4) AS BIGINT) AS bytes,
+      |  CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') // 365
+      |    >= 3 AS BIGINT) AS reclaimable
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY age_years""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q312 — watermark-delay advisor: treating event_id as ARRIVAL
+  // order, each event's lateness is (highest event time seen before
+  // it arrived) − (its own event time). The running max routes
+  // through Curate.globalCumMax (exclusive frame — the watermark
+  // shape), so the arrival log never funnels through one task; the
+  // report scores candidate delays 0/30/60/300/900 s by how many
+  // late events each would still drop (what `withWatermark` tuning
+  // actually needs). Coverage is an e6 share of ALL events.
+  // ---------------------------------------------------------------------
+  private def q312(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_id"), Exact.epochS(col("ts_s")).cast("long")
+        .as("ts_l"))
+    val late = Curate.globalCumMax(e, Seq(col("event_id")),
+        col("ts_l"), "wm_prev", inclusive = false)
+      .select(greatest(coalesce(col("wm_prev") - col("ts_l"), lit(0L)),
+        lit(0L)).as("late_s"))
+      .pin() // 5 candidate delays share the lateness table
+    val cands = s.range(0, 5).select(element_at(
+      array(lit(0L), lit(30L), lit(60L), lit(300L), lit(900L)),
+      col("id").cast("int") + 1).as("delay_s"))
+    late.crossJoin(broadcast(cands))
+      .groupBy("delay_s")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_s") > col("delay_s")).cast("long"))
+          .as("n_dropped"))
+      .withColumn("coverage_e6",
+        round((col("n_events") - col("n_dropped")).cast("double") /
+          col("n_events").cast("double") * 1000000.0).cast("long"))
+      .orderBy("delay_s")
+  }
+
+  private val q312Sql =
+    """WITH e AS (
+      |  SELECT event_id,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_l
+      |  FROM events),
+      |lateness AS (
+      |  SELECT greatest(coalesce(max(ts_l) OVER (ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_l,
+      |    0), 0) AS late_s
+      |  FROM e),
+      |cands AS (SELECT CAST(unnest([0, 30, 60, 300, 900]) AS BIGINT)
+      |          AS delay_s)
+      |SELECT delay_s, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(late_s > delay_s AS BIGINT)) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(round(CAST(count(*) - sum(CAST(late_s > delay_s AS BIGINT))
+      |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000.0)
+      |    AS BIGINT) AS coverage_e6
+      |FROM lateness CROSS JOIN cands
+      |GROUP BY 1 ORDER BY delay_s""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q313 — audio silence screen (the trim/discard pre-filter an
+  // audio-curation pipeline runs first): every synthetic WAV decodes
+  // through the real RIFF parser into 40-sample frames (the q206
+  // machinery); a frame is silent when its Σs² energy is below 10M.
+  // Per clip: frame counts, silent share, and the leading-silence
+  // run length (min non-silent frame index) — the integer features a
+  // trim decision needs. Oracle recomputes from the waveform's
+  // closed form without parsing a byte.
+  // ---------------------------------------------------------------------
+  private def q313(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val th = 10000000L
+    Multimodal.wavFrameFeatures(
+        Multimodal.syntheticWav(t(s, dir, "documents")), 40)
+      .toDF()
+      .withColumn("silent", (col("energy") < th).cast("long"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"), sum("silent").as("n_silent"),
+        min(when(col("silent") === 0, col("frame_idx")))
+          .as("first_voiced"))
+      .select(col("media_id"), col("n_frames"), col("n_silent"),
+        round(col("n_silent").cast("double") /
+          col("n_frames").cast("double") * 1000000.0).cast("long")
+          .as("silent_share_e6"),
+        coalesce(col("first_voiced"), col("n_frames"))
+          .as("leading_silent"))
+      .orderBy("media_id")
+  }
+
+  private val q313Sql =
+    """WITH d AS (
+      |  SELECT doc_id, 160 + (doc_id % 23) * 8 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+      |v AS (
+      |  SELECT doc_id, i // 40 AS frame_idx,
+      |    ((doc_id * 31 + i * 37) % 2003) - 1001 AS v
+      |  FROM s),
+      |frames AS (
+      |  SELECT doc_id AS media_id, frame_idx,
+      |    CAST(sum(v * v) < 10000000 AS BIGINT) AS silent
+      |  FROM v GROUP BY 1, 2)
+      |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(sum(silent) AS BIGINT) AS n_silent,
+      |  CAST(round(CAST(sum(silent) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+      |    AS silent_share_e6,
+      |  CAST(coalesce(min(CASE WHEN silent = 0 THEN frame_idx END),
+      |    count(*)) AS BIGINT) AS leading_silent
+      |FROM frames GROUP BY media_id
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q314 — t-closeness audit (completing the q238 k-anonymity /
+  // q253 l-diversity privacy triad): for each quasi-identifier class
+  // (event_type × day), the Earth-Mover's Distance between the
+  // class's distribution over the ORDERED sensitive attribute
+  // (value in 100-unit bins) and the global one — for ordered bins,
+  // EMD = Σ|cumulative difference| / (B−1), kept integer by
+  // cross-multiplying the two cumulative counts (cum_c·N − cum_g·n_c)
+  // until one final e6 division. Bins are dense per class (a ≤10-row
+  // broadcast), cumulated by a window over the bin axis partitioned
+  // by class. Output: the 20 worst classes.
+  // ---------------------------------------------------------------------
+  private def q314(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type"), col("ts_s").cast("date").as("day"),
+        floor(col("value") / 100).cast("long").as("bin"))
+      .pin() // class counts + global counts share one scan
+    val classBin = e.groupBy("event_type", "day", "bin")
+      .agg(count(lit(1)).as("nc"))
+    val classes = e.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_class"))
+    val globBin = e.groupBy("bin").agg(count(lit(1)).as("ng"))
+    val tot = e.agg(count(lit(1)).as("n_tot"),
+      countDistinct(col("bin")).as("n_bins"))
+    val dense = classes.crossJoin(broadcast(globBin))
+      .join(classBin, Seq("event_type", "day", "bin"), "left")
+      .na.fill(0L, Seq("nc"))
+    val wB = Window.partitionBy("event_type", "day").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dense
+      .withColumn("cum_c", sum("nc").over(wB))
+      .withColumn("cum_g", sum("ng").over(wB))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("event_type"), col("day"), col("n_class"))
+      .agg(sum(abs(col("cum_c") * col("n_tot") -
+        col("cum_g") * col("n_class"))).as("emd_num"),
+        max(col("n_tot")).as("nt"), max(col("n_bins")).as("nb"))
+      .select(col("event_type"), col("day"), col("n_class"),
+        round(col("emd_num").cast("double") /
+          (col("nt").cast("double") * col("n_class").cast("double") *
+            (col("nb") - 1).cast("double")) * 1000000.0).cast("long")
+          .as("emd_e6"))
+      .orderBy(col("emd_e6").desc, col("event_type"), col("day"))
+      .limit(20)
+  }
+
+  private val q314Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE)
+      |      AS day,
+      |    CAST(floor(value / 100) AS BIGINT) AS bin
+      |  FROM events),
+      |classbin AS (
+      |  SELECT event_type, day, bin, CAST(count(*) AS BIGINT) AS nc
+      |  FROM e GROUP BY 1, 2, 3),
+      |classes AS (
+      |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_class
+      |  FROM e GROUP BY 1, 2),
+      |globbin AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS ng FROM e GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+      |    CAST(count(DISTINCT bin) AS BIGINT) AS n_bins FROM e),
+      |dense AS (
+      |  SELECT c.event_type, c.day, c.n_class, g.bin, g.ng,
+      |    coalesce(cb.nc, 0) AS nc
+      |  FROM classes c CROSS JOIN globbin g
+      |  LEFT JOIN classbin cb ON cb.event_type = c.event_type
+      |    AND cb.day = c.day AND cb.bin = g.bin),
+      |cum AS (
+      |  SELECT *, CAST(sum(nc) OVER (PARTITION BY event_type, day
+      |      ORDER BY bin) AS BIGINT) AS cum_c,
+      |    CAST(sum(ng) OVER (PARTITION BY event_type, day
+      |      ORDER BY bin) AS BIGINT) AS cum_g
+      |  FROM dense)
+      |SELECT event_type, day, n_class,
+      |  CAST(round(CAST(sum(abs(cum_c * n_tot - cum_g * n_class))
+      |      AS DOUBLE)
+      |    / (CAST(n_tot AS DOUBLE) * CAST(n_class AS DOUBLE)
+      |      * CAST(n_bins - 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |    AS emd_e6
+      |FROM cum CROSS JOIN tot
+      |GROUP BY event_type, day, n_class, n_tot, n_bins
+      |ORDER BY emd_e6 DESC, event_type, day LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q315 — join-cardinality estimation audit (the planner's
+  // statistics question, asked OF the data): estimate the
+  // l_partkey self-join size from a 100-heavy-hitter histogram
+  // (exact Σc² over the top 100 keys + uniform-tail assumption for
+  // the rest) and compare with the true Σc² — the error a
+  // histogram-based optimizer would eat on this key. Key counts are
+  // one aggregate; the top-100 cut is a bounded TakeOrdered; all
+  // squares in decimal(38,0).
+  // ---------------------------------------------------------------------
+  private def q315(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .pin() // truth + histogram + tail stats share it
+    val truth = counts.agg(
+      sum(col("c").cast("decimal(38,0)") * col("c")).as("true_pairs"),
+      sum("c").as("n_rows"), count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("c").desc, col("l_partkey")).limit(100)
+    val topAgg = top.agg(
+      sum(col("c").cast("decimal(38,0)") * col("c")).as("hh_pairs"),
+      sum("c").as("hh_rows"), count(lit(1)).as("hh_keys"))
+    truth.crossJoin(broadcast(topAgg))
+      .select(col("n_rows"), col("n_keys"),
+        col("true_pairs").cast("long").as("true_pairs"),
+        (col("hh_pairs").cast("long") +
+          when(col("n_keys") > col("hh_keys"),
+            round((col("n_rows") - col("hh_rows")).cast("double") *
+              ((col("n_rows") - col("hh_rows")).cast("double") /
+                (col("n_keys") - col("hh_keys")).cast("double")))
+              .cast("long")).otherwise(lit(0L))).as("est_pairs"))
+      .withColumn("err_e6",
+        round((col("est_pairs") - col("true_pairs")).cast("double") /
+          col("true_pairs").cast("double") * 1000000.0).cast("long"))
+  }
+
+  private val q315Sql =
+    """WITH counts AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |truth AS (
+      |  SELECT sum(CAST(c AS HUGEINT) * c) AS true_pairs,
+      |    CAST(sum(c) AS BIGINT) AS n_rows,
+      |    CAST(count(*) AS BIGINT) AS n_keys
+      |  FROM counts),
+      |top AS (SELECT * FROM counts ORDER BY c DESC, l_partkey LIMIT 100),
+      |topagg AS (
+      |  SELECT sum(CAST(c AS HUGEINT) * c) AS hh_pairs,
+      |    CAST(sum(c) AS BIGINT) AS hh_rows,
+      |    CAST(count(*) AS BIGINT) AS hh_keys
+      |  FROM top)
+      |SELECT n_rows, n_keys, CAST(true_pairs AS BIGINT) AS true_pairs,
+      |  CAST(hh_pairs AS BIGINT) + CASE WHEN n_keys > hh_keys
+      |    THEN CAST(round(CAST(n_rows - hh_rows AS DOUBLE)
+      |      * (CAST(n_rows - hh_rows AS DOUBLE)
+      |        / CAST(n_keys - hh_keys AS DOUBLE))) AS BIGINT)
+      |    ELSE 0 END AS est_pairs,
+      |  CAST(round((CAST(CAST(hh_pairs AS BIGINT) + CASE WHEN n_keys >
+      |      hh_keys THEN CAST(round(CAST(n_rows - hh_rows AS DOUBLE)
+      |      * (CAST(n_rows - hh_rows AS DOUBLE)
+      |        / CAST(n_keys - hh_keys AS DOUBLE))) AS BIGINT)
+      |      ELSE 0 END - CAST(true_pairs AS BIGINT) AS DOUBLE))
+      |    / CAST(true_pairs AS DOUBLE) * 1000000.0) AS BIGINT)
+      |    AS err_e6
+      |FROM truth CROSS JOIN topagg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q298_skew_lint" -> (q298 _),
     "q299_rollup_revenue" -> (q299 _),
@@ -609,7 +1088,15 @@ object Ops {
     "q304_dq_expectations" -> (q304 _),
     "q305_dp_counts" -> (q305 _),
     "q306_seasonality" -> (q306 _),
-    "q307_cusum_changepoint" -> (q307 _))
+    "q307_cusum_changepoint" -> (q307 _),
+    "q308_xcorr_lag" -> (q308 _),
+    "q309_diameter_probe" -> (q309 _),
+    "q310_partition_advisor" -> (q310 _),
+    "q311_retention_audit" -> (q311 _),
+    "q312_watermark_advisor" -> (q312 _),
+    "q313_wav_silence" -> (q313 _),
+    "q314_t_closeness" -> (q314 _),
+    "q315_join_card_estimate" -> (q315 _))
 
   val oracle: Map[String, String] = Map(
     "q298_skew_lint" -> q298Sql,
@@ -621,5 +1108,13 @@ object Ops {
     "q304_dq_expectations" -> q304Sql,
     "q305_dp_counts" -> q305Sql,
     "q306_seasonality" -> q306Sql,
-    "q307_cusum_changepoint" -> q307Sql)
+    "q307_cusum_changepoint" -> q307Sql,
+    "q308_xcorr_lag" -> q308Sql,
+    "q309_diameter_probe" -> q309Sql,
+    "q310_partition_advisor" -> q310Sql,
+    "q311_retention_audit" -> q311Sql,
+    "q312_watermark_advisor" -> q312Sql,
+    "q313_wav_silence" -> q313Sql,
+    "q314_t_closeness" -> q314Sql,
+    "q315_join_card_estimate" -> q315Sql)
 }

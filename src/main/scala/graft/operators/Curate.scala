@@ -404,6 +404,41 @@ object Curate {
       .drop("__gc_pid", "__gc_idx", "__gc_v", "__gc_offn", "__gc_offs")
   }
 
+  /** Global RUNNING MAX of `valueCol` in `sortCols` order — same
+    * scale-safe shape as [[globalCumSum]] (range repartition +
+    * broadcast per-partition offsets; the within-partition window
+    * partitions by the range-partition id). With `inclusive = false`
+    * the max EXCLUDES the current row (the watermark shape: "highest
+    * event time seen BEFORE this row arrived"); the first row
+    * globally gets NULL, which the caller coalesces. `valueCol` must
+    * be orderable; offsets use `greatest`, which ignores NULL sides.
+    */
+  def globalCumMax(df: DataFrame, sortCols: Seq[Column],
+                   valueCol: Column, maxName: String,
+                   inclusive: Boolean = true,
+                   parts: Int = 32): DataFrame = {
+    val base = df
+      .withColumn("__gm_v", valueCol)
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__gm_pid", spark_partition_id())
+      .pin()
+    val sizes = base.groupBy(col("__gm_pid"))
+      .agg(max(col("__gm_v")).as("__gm_pmax"))
+    val offsets = sizes.as("a")
+      .join(broadcast(sizes.as("b")),
+        col("b.__gm_pid") < col("a.__gm_pid"), "left")
+      .groupBy(col("a.__gm_pid"))
+      .agg(max(col("b.__gm_pmax")).as("__gm_off"))
+    val frameEnd = if (inclusive) 0L else -1L
+    val wLoc = Window.partitionBy(col("__gm_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    base.join(broadcast(offsets), Seq("__gm_pid"))
+      .withColumn(maxName,
+        greatest(col("__gm_off"), max(col("__gm_v")).over(wLoc)))
+      .drop("__gm_pid", "__gm_v", "__gm_off")
+  }
+
   /** Guarded unpartitioned rank for inputs that are SMALL BY
     * CONSTRUCTION (a vocabulary, a bin table, a ≤10³-row aggregate):
     * `row_number()` over a global `Window.orderBy`, but the caller

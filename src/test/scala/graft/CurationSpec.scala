@@ -290,6 +290,40 @@ class CurationSpec extends AnyFunSuite {
       .contains("SortMergeJoin"), "vocab must broadcast")
   }
 
+  test("globalCumMax: exclusive running max carries across range " +
+       "partitions; first row is NULL; globalRank/globalCumSum agree " +
+       "with the window formulation on a multi-partition input") {
+    val rows = (1L to 100L).map(i => (i, (i * 37) % 101))
+    val df = rows.toDF("k", "v")
+    // exclusive running max in k order, computed naively
+    val expect = rows.sortBy(_._1).scanLeft((0L, Option.empty[Long])) {
+      case ((_, prev), (k, v)) =>
+        (k, Some(prev.fold(v)(math.max(_, v))))
+    }.sliding(2).map { case Seq((_, prev), (k, _)) => k -> prev }
+      .toMap
+    val got = Curate
+      .globalCumMax(df, Seq(col("k")), col("v"), "m",
+        inclusive = false, parts = 7)
+      .select("k", "m").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L).isEmpty, "first row must have no prior max")
+    assert(got == expect.updated(1L, None))
+    // rank + cum-sum against the window truth on the same input
+    val rk = Curate.globalRank(df, Seq(col("v"), col("k")), parts = 7)
+      .select("k", "rnk").as[(Long, Long)].collect().toMap
+    val sorted = rows.sortBy(r => (r._2, r._1)).map(_._1).zipWithIndex
+      .map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(rk == sorted)
+    val cs = Curate.globalCumSum(df, Seq(col("k")), col("v"), "c",
+        parts = 7)
+      .select("k", "c").as[(Long, Long)].collect().toMap
+    val cumTruth = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (k, v)) => (k, acc + v) }
+      .drop(1).toMap
+    assert(cs == cumTruth)
+  }
+
   test("redact masks every pattern match and counts them per row") {
     val df = Seq((1L, "aaa bcd eee"), (2L, "xyz"), (3L, ""))
       .toDF("id", "text")

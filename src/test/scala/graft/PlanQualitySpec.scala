@@ -902,6 +902,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q308: lag joins run on the pinned hourly aggregate — no " +
+       "events rescan, no cartesian beyond the 7-row lag broadcast") {
+    val p = plan("q308_xcorr_lag")
+    assert("Scan parquet".r.findAllIn(p).length == 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q312: the only window is globalCumMax's pid-partitioned " +
+       "running max (behind the lateness pin) — the arrival log " +
+       "never funnels into one task") {
+    val p = plan("q312_watermark_advisor")
+    // final plan reads the pinned lateness table: any window visible
+    // here must be the pid-partitioned one; the candidate scoring
+    // itself is scan- and window-free
+    val specs = windowSpecs(p)
+    assert(specs.forall(_.contains("__gm_pid")), s"window specs: $specs")
+    assert("Scan parquet".r.findAllIn(p).length == 0, p)
+  }
+
+  test("q314: t-closeness cumulates per class — every window " +
+       "partitions by the quasi-identifier, bins ride as broadcast") {
+    val p = plan("q314_t_closeness")
+    val specs = windowSpecs(p)
+    assert(specs.nonEmpty && specs.forall(_.contains("event_type")),
+      s"window specs: $specs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q315: heavy-hitter cut is a bounded TakeOrdered on the " +
+       "pinned key-count table — one lineitem scan total") {
+    val p = plan("q315_join_card_estimate")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 0, p)
+  }
+
   test("q291: no Window anywhere — deciles route through " +
        "Curate.globalRank (range repartition + offsets)") {
     val p = plan("q291_uplift_deciles")
