@@ -12,6 +12,31 @@ import graft.sources.Ingest
 class ScaleOpsSpec extends AnyFunSuite {
   import TestSpark.spark
 
+  test("skew lint: the q298 audit flags a planted hot key and " +
+       "clears every gate join key on the driver testdata — the " +
+       "build-time form of the salting rule (a key the lint flags " +
+       "must route through Salt.join, cf. Graph.twoHopReach)") {
+    import spark.implicits._
+    // the gate's shuffled join keys on real testdata: none may trip
+    // the 16x-mean salting threshold the q298 verdict encodes
+    val flagged = analytics.Ops.queries("q298_skew_lint")(
+        spark, TestSpark.sf001)
+      .filter(col("needs_salt") === 1)
+      .select("join_key").as[String].collect().toSet
+    assert(flagged.isEmpty,
+      s"join keys now exceed the salting threshold without a " +
+        s"Salt.join in their plan: $flagged — route them through " +
+        s"Salt.join or document the mitigation")
+    // and the verdict is not vacuous: a planted 20x hot key trips it
+    val hot = (1 to 2000).map(_ => 7L) ++ (1L to 1000L)
+    val df = hot.toDF("k")
+    val audit = df.groupBy("k").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n"), count(lit(1)).as("d"), max("c").as("m"))
+      .select((col("m") * col("d") >= col("n") * 16).cast("long"))
+      .as[Long].head()
+    assert(audit == 1L, "planted 20x skew must trip the verdict")
+  }
+
   test("salted aggregate == plain aggregate on skewed keys") {
     import spark.implicits._
     // skew: one hot key with 50k rows, 100 cold keys
