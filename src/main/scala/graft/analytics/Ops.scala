@@ -1078,6 +1078,35 @@ object Ops {
       |    AS err_e6
       |FROM truth CROSS JOIN topagg""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q324 — the DataSource V2 connector in the gate: read the
+  // deterministic synthetic-events source (sources.v2.SynthEvents —
+  // custom TableProvider with REAL filter pushdown and column
+  // pruning), with an id-range predicate the source absorbs at
+  // planning time (60k rows generated, not 100k), aggregated by
+  // type. The oracle REGENERATES identical rows in DuckDB from
+  // range() through the same portable hash — the connector's whole
+  // row-generation contract is bit-checked, not just row counts.
+  // ---------------------------------------------------------------------
+  private def q324(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.SynthEventsProvider")
+      .option("rows", "100000").load()
+      .filter(col("event_id") >= 20000L && col("event_id") < 80000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value_e2").as("sum_value_e2"),
+        sum("user_id").as("user_checksum"), sum("ts_l").as("ts_checksum"))
+      .orderBy("event_type")
+
+  private val q324Sql = {
+    val gen = graft.sources.v2.SynthEvents.duckSql(20000, 80000, 1500)
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(value_e2) AS BIGINT) AS sum_value_e2,
+       |  CAST(sum(user_id) AS BIGINT) AS user_checksum,
+       |  CAST(sum(ts_l) AS BIGINT) AS ts_checksum
+       |FROM ($gen)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q298_skew_lint" -> (q298 _),
     "q299_rollup_revenue" -> (q299 _),
@@ -1096,7 +1125,8 @@ object Ops {
     "q312_watermark_advisor" -> (q312 _),
     "q313_wav_silence" -> (q313 _),
     "q314_t_closeness" -> (q314 _),
-    "q315_join_card_estimate" -> (q315 _))
+    "q315_join_card_estimate" -> (q315 _),
+    "q324_dsv2_source" -> (q324 _))
 
   val oracle: Map[String, String] = Map(
     "q298_skew_lint" -> q298Sql,
@@ -1116,5 +1146,6 @@ object Ops {
     "q312_watermark_advisor" -> q312Sql,
     "q313_wav_silence" -> q313Sql,
     "q314_t_closeness" -> q314Sql,
-    "q315_join_card_estimate" -> q315Sql)
+    "q315_join_card_estimate" -> q315Sql,
+    "q324_dsv2_source" -> q324Sql)
 }

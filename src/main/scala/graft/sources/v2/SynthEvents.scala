@@ -1,0 +1,207 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 synthetic-events source — the load-generator table
+  * a benchmark or soak harness reads instead of files
+  * (`spark.read.format("graft.sources.v2.SynthEventsProvider")
+  * .option("rows", n)`): every row is a pure deterministic function
+  * of its id through the same portable 60-bit md5 hash the dedup
+  * tier uses ([[graft.functions.PortableHash]]), so the WHOLE SOURCE
+  * is oracle-checkable — DuckDB regenerates identical rows from
+  * `range()` (gate query q324).
+  *
+  * This is the full custom-connector surface (SURVEY §2.1 S1's
+  * "custom TableProvider" option, exercised for real):
+  *
+  *  - [[SupportsPushDownRequiredColumns]]: the reader materializes
+  *    ONLY requested columns — a projection never pays for `props`-
+  *    style wide fields it didn't ask for;
+  *  - [[SupportsPushDownFilters]]: range/equality predicates on
+  *    `event_id` narrow the GENERATED id range at planning time —
+  *    the source-side analogue of parquet row-group pruning (a
+  *    `WHERE event_id < k` scan does k rows of work, not `rows`);
+  *    non-id filters are left for Spark to evaluate (returned as
+  *    residuals);
+  *  - partition planning: the surviving id range splits into `parts`
+  *    equal [[InputPartition]]s, so generation parallelizes exactly
+  *    like a file scan's splits.
+  *
+  * Columns are integers + a low-cardinality string: exact on any
+  * engine, no float parity concerns in the oracle.
+  */
+class SynthEventsProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthEvents.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SynthEventsTable(new CaseInsensitiveStringMap(properties))
+}
+
+object SynthEvents {
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts_l", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value_e2", LongType, nullable = false)))
+
+  val types: IndexedSeq[String] =
+    IndexedSeq("click", "error", "purchase", "signup", "view")
+
+  /** JVM twin of PortableHash.hash60: first 15 hex digits of md5 as
+    * an unsigned long — bit-identical to the Spark column expression
+    * and to hash60DuckSql (asserted in SourcesSpec).
+    */
+  def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"${b & 0xff}%02x").mkString // 16 hex chars
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  def tsL(i: Long): Long = 1704067200L + hash60(s"v2t:$i") % 2592000L
+  def userId(i: Long, users: Long): Long = hash60(s"v2u:$i") % users
+  def eventType(i: Long): String = types((hash60(s"v2e:$i") % 5).toInt)
+  def valueE2(i: Long): Long = hash60(s"v2v:$i") % 100000L
+
+  /** The DuckDB generator for the oracle: identical rows from
+    * range(lo, hi). */
+  def duckSql(lo: Long, hi: Long, users: Long): String = {
+    import graft.functions.PortableHash.hash60DuckSql
+    s"""SELECT CAST(i AS BIGINT) AS event_id,
+       |  1704067200 + ${hash60DuckSql("'v2t:' || i")} % 2592000 AS ts_l,
+       |  ${hash60DuckSql("'v2u:' || i")} % $users AS user_id,
+       |  ['click','error','purchase','signup','view']
+       |    [1 + CAST(${hash60DuckSql("'v2e:' || i")} % 5 AS INT)]
+       |    AS event_type,
+       |  ${hash60DuckSql("'v2v:' || i")} % 100000 AS value_e2
+       |FROM (SELECT unnest(range($lo, $hi)) AS i)""".stripMargin
+  }
+}
+
+class SynthEventsTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val rows = options.getLong("rows", 100000L)
+  private val users = options.getLong("users", 1500L)
+  private val parts = options.getInt("parts", 8)
+
+  override def name(): String = s"synth_events($rows)"
+  override def schema(): StructType = SynthEvents.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(rows, users, parts)
+}
+
+class SynthScanBuilder(rows: Long, users: Long, parts: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = 0L
+  private var hi: Long = rows
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SynthEvents.schema
+
+  // id-range predicates narrow the generated range at PLANNING time;
+  // anything else stays a residual for Spark
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // literals may arrive as Int or Long depending on how the
+    // predicate was written; Number covers both
+    val (accepted, residual) = filters.partition {
+      case GreaterThanOrEqual("event_id", _: Number) => true
+      case GreaterThan("event_id", _: Number) => true
+      case LessThan("event_id", _: Number) => true
+      case LessThanOrEqual("event_id", _: Number) => true
+      case EqualTo("event_id", _: Number) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThanOrEqual(_, v: Number) =>
+        lo = math.max(lo, v.longValue)
+      case GreaterThan(_, v: Number) =>
+        lo = math.max(lo, v.longValue + 1)
+      case LessThan(_, v: Number) =>
+        hi = math.min(hi, v.longValue)
+      case LessThanOrEqual(_, v: Number) =>
+        hi = math.min(hi, v.longValue + 1)
+      case EqualTo(_, v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+      case _ =>
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SynthScan(math.min(lo, hi), hi, users, parts, required)
+}
+
+class SynthScan(val lo: Long, val hi: Long, users: Long, parts: Int,
+                val required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"synth_events PushedRange($lo,$hi) cols=" +
+      required.fieldNames.mkString(",")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, parts)
+    val span = math.max(0L, hi - lo)
+    (0 until n).map { p =>
+      val s = lo + span * p / n
+      val e = lo + span * (p + 1) / n
+      SynthPartition(s, e): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(users, required.fieldNames)
+}
+
+case class SynthPartition(start: Long, end: Long) extends InputPartition
+
+class SynthReaderFactory(users: Long, cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SynthPartition]
+    new PartitionReader[InternalRow] {
+      private var i = sp.start - 1
+      override def next(): Boolean = { i += 1; i < sp.end }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(cols.length)
+        var c = 0
+        while (c < cols.length) {
+          val v: Any = cols(c) match {
+            case "event_id" => i
+            case "ts_l" => SynthEvents.tsL(i)
+            case "user_id" => SynthEvents.userId(i, users)
+            case "event_type" =>
+              UTF8String.fromString(SynthEvents.eventType(i))
+            case "value_e2" => SynthEvents.valueE2(i)
+          }
+          row.update(c, v)
+          c += 1
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

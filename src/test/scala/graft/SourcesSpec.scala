@@ -120,4 +120,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(Files.list(java.nio.file.Paths.get(dir)).toArray
       .map(_.toString).exists(_.contains("day=2024-01-01")))
   }
+
+  test("DSv2 synth source: id-range filters absorbed at planning " +
+       "time, columns pruned to the projection, rows bit-identical " +
+       "to the JVM generator formulas") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.v2.{SynthEvents, SynthScan}
+    val df = spark.read
+      .format("graft.sources.v2.SynthEventsProvider")
+      .option("rows", "1000").load()
+      .filter(col("event_id") >= 200L && col("event_id") < 700L)
+      .select("event_id", "event_type", "value_e2")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }
+    assert(scans.nonEmpty)
+    val sc = scans.head.asInstanceOf[SynthScan]
+    assert(sc.lo == 200L && sc.hi == 700L,
+      s"range not pushed: [${sc.lo}, ${sc.hi})")
+    assert(sc.required.fieldNames.toSet ==
+      Set("event_id", "event_type", "value_e2"), "columns not pruned")
+    assert(df.count() == 500)
+    // rows match the JVM formulas (the same ones the oracle mirrors)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.head == ((200L, SynthEvents.eventType(200L),
+      SynthEvents.valueE2(200L))))
+    assert(got.forall { case (i, t, v) =>
+      t == SynthEvents.eventType(i) && v == SynthEvents.valueE2(i) })
+    // and the JVM hash60 is bit-identical to the Spark column hash
+    val probe = spark.range(5).select(
+      graft.functions.PortableHash.hash60(
+        concat(lit("v2e:"), col("id"))).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(probe == (0L until 5L).map(i => SynthEvents.hash60(s"v2e:$i")))
+  }
 }
