@@ -1107,6 +1107,39 @@ object Ops {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q325 — the connector's STREAMING face in the gate: the same
+  // synthetic source read through readStream (MicroBatchStream:
+  // id-offsets, per-batch range splits), drained with AvailableNow
+  // into a complete-mode aggregate in a memory sink. The oracle is
+  // the same DuckDB row regeneration — batch and stream reads of a
+  // connector must agree bit-for-bit, which is exactly what a
+  // lambda/kappa dual-path deployment needs to prove.
+  // ---------------------------------------------------------------------
+  private def q325(s: SparkSession, dir: String): DataFrame = {
+    val name = "q325_synth_stream_" + java.util.UUID.randomUUID
+      .toString.replace("-", "")
+    val q = s.readStream
+      .format("graft.sources.v2.SynthEventsProvider")
+      .option("rows", "50000").load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value_e2").as("sum_value_e2"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("event_type")
+  }
+
+  private val q325Sql = {
+    val gen = graft.sources.v2.SynthEvents.duckSql(0, 50000, 1500)
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(value_e2) AS BIGINT) AS sum_value_e2
+       |FROM ($gen)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q298_skew_lint" -> (q298 _),
     "q299_rollup_revenue" -> (q299 _),
@@ -1126,7 +1159,8 @@ object Ops {
     "q313_wav_silence" -> (q313 _),
     "q314_t_closeness" -> (q314 _),
     "q315_join_card_estimate" -> (q315 _),
-    "q324_dsv2_source" -> (q324 _))
+    "q324_dsv2_source" -> (q324 _),
+    "q325_dsv2_stream" -> (q325 _))
 
   val oracle: Map[String, String] = Map(
     "q298_skew_lint" -> q298Sql,
@@ -1147,5 +1181,6 @@ object Ops {
     "q313_wav_silence" -> q313Sql,
     "q314_t_closeness" -> q314Sql,
     "q315_join_card_estimate" -> q315Sql,
-    "q324_dsv2_source" -> q324Sql)
+    "q324_dsv2_source" -> q324Sql,
+    "q325_dsv2_stream" -> q325Sql)
 }

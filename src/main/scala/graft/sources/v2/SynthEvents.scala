@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -101,7 +102,8 @@ class SynthEventsTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"synth_events($rows)"
   override def schema(): StructType = SynthEvents.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SynthScanBuilder(rows, users, parts)
 }
@@ -157,6 +159,12 @@ class SynthScan(val lo: Long, val hi: Long, users: Long, parts: Int,
                 val required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // the same generated range served as a micro-batch stream: offsets
+  // are plain row ids, each batch plans the same range splits — the
+  // streaming face of the connector (exercised by q325's bounded
+  // AvailableNow replay)
+  override def toMicroBatchStream(chk: String): MicroBatchStream =
+    new SynthMicroBatchStream(lo, hi, users, parts, required.fieldNames)
   override def description(): String =
     s"synth_events PushedRange($lo,$hi) cols=" +
       required.fieldNames.mkString(",")
@@ -204,4 +212,31 @@ class SynthReaderFactory(users: Long, cols: Array[String])
       override def close(): Unit = ()
     }
   }
+}
+
+case class SynthOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+class SynthMicroBatchStream(lo: Long, hi: Long, users: Long, parts: Int,
+                            cols: Array[String]) extends MicroBatchStream {
+  override def initialOffset(): Offset = SynthOffset(lo)
+  override def latestOffset(): Offset = SynthOffset(hi)
+  override def deserializeOffset(json: String): Offset =
+    SynthOffset(json.toLong)
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[SynthOffset].v
+    val e0 = end.asInstanceOf[SynthOffset].v
+    val n = math.max(1, parts)
+    val span = math.max(0L, e0 - s0)
+    (0 until n).map { p =>
+      SynthPartition(s0 + span * p / n,
+        s0 + span * (p + 1) / n): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(users, cols)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
