@@ -1140,6 +1140,142 @@ object Ops {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q326 — sequence-packing efficiency audit (the pad-vs-concat
+  // question every pretraining pipeline answers before burning
+  // compute): for L=512-token sequences, compare (a) one padded
+  // sequence per document with truncation, (b) per-document
+  // multi-sequence padding, (c) stream concatenation (no padding
+  // waste, but documents bleed across attention boundaries — the
+  // tradeoff the numbers quantify). Token counts are the exact
+  // whitespace tokenization; every strategy reduces to ONE global
+  // aggregate of per-row integer expressions — packing math, not
+  // packing simulation.
+  // ---------------------------------------------------------------------
+  private def q326(s: SparkSession, dir: String): DataFrame = {
+    val L = 512L
+    val base = t(s, dir, "documents")
+      .select(graft.functions.Text.tokenCount(col("text")).as("n"))
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("tok"),
+        sum(least(col("n"), lit(L))).as("kept1"),
+        sum(greatest(col("n") - L, lit(0L))).as("trunc1"),
+        sum(expr(s"(n + ${L - 1}) div $L")).as("seqs_multi"))
+      .pin() // three strategy rows read one scalar row
+    def strat(name: String, seqs: Column, waste: Column,
+              trunc: Column): DataFrame =
+      base.select(lit(name).as("strategy"), seqs.as("n_seqs"),
+        col("tok").as("n_tokens"), waste.as("waste_tokens"),
+        trunc.as("trunc_tokens"))
+        .withColumn("waste_share_e6",
+          round(col("waste_tokens").cast("double") /
+            (col("n_seqs") * L).cast("double") * 1000000.0)
+            .cast("long"))
+    strat("concat_stream", expr(s"(tok + ${L - 1}) div $L"),
+        expr(s"(tok + ${L - 1}) div $L") * L - col("tok"), lit(0L))
+      .unionByName(strat("pad_multi", col("seqs_multi"),
+        col("seqs_multi") * L - col("tok"), lit(0L)))
+      .unionByName(strat("pad_per_doc", col("n_docs"),
+        col("n_docs") * L - col("kept1"), col("trunc1")))
+      .orderBy("strategy")
+  }
+
+  private val q326Sql = {
+    val L = 512L
+    val n = "CAST(len(list_filter(string_split(text, ' '), " +
+      "t -> len(t) > 0)) AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n) AS BIGINT) AS tok,
+       |    CAST(sum(least(n, $L)) AS BIGINT) AS kept1,
+       |    CAST(sum(greatest(n - $L, 0)) AS BIGINT) AS trunc1,
+       |    CAST(sum((n + ${L - 1}) // $L) AS BIGINT) AS seqs_multi
+       |  FROM (SELECT $n AS n FROM documents)),
+       |rows_out AS (
+       |  SELECT 'concat_stream' AS strategy,
+       |    (tok + ${L - 1}) // $L AS n_seqs, tok AS n_tokens,
+       |    (tok + ${L - 1}) // $L * $L - tok AS waste_tokens,
+       |    CAST(0 AS BIGINT) AS trunc_tokens
+       |  FROM base
+       |  UNION ALL
+       |  SELECT 'pad_multi', seqs_multi, tok,
+       |    seqs_multi * $L - tok, CAST(0 AS BIGINT) FROM base
+       |  UNION ALL
+       |  SELECT 'pad_per_doc', n_docs, tok,
+       |    n_docs * $L - kept1, trunc1 FROM base)
+       |SELECT strategy, n_seqs, n_tokens, waste_tokens, trunc_tokens,
+       |  CAST(round(CAST(waste_tokens AS DOUBLE)
+       |    / CAST(n_seqs * $L AS DOUBLE) * 1000000.0) AS BIGINT)
+       |    AS waste_share_e6
+       |FROM rows_out ORDER BY strategy""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q327 — best-of-n candidate selection (the rejection-sampling
+  // shape: n generations per prompt, keep the best by a scored
+  // judge): documents hash into ~500 prompt groups; per group the
+  // winner is the highest e6-rounded quality score (lowest doc id on
+  // ties — argmax via aggregate join-back, the q322 pattern, never a
+  // per-group sort window). Reports the selection lift (best vs
+  // group mean) a best-of-n pipeline buys.
+  // ---------------------------------------------------------------------
+  private def q327(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    val scored = t(s, dir, "documents")
+      .select(pmod(h.hash60(concat(lit("bon:"), col("doc_id"))),
+        lit(500L)).as("prompt_id"), col("doc_id"),
+        round(graft.functions.Text.qualityScore(col("text")) * 1000000.0)
+          .cast("long").as("q_e6"))
+      .pin() // group stats + winner join-back share it
+    val grp = scored.groupBy("prompt_id")
+      .agg(count(lit(1)).as("n_cands"), max("q_e6").as("best_q_e6"),
+        sum("q_e6").as("sum_q_e6"))
+    scored.join(grp.withColumnRenamed("prompt_id", "pid"),
+        col("prompt_id") === col("pid") &&
+          col("q_e6") === col("best_q_e6"))
+      .groupBy(col("prompt_id"))
+      .agg(max("n_cands").as("n_cands"), min("doc_id").as("best_doc"),
+        max("best_q_e6").as("best_q_e6"),
+        max("sum_q_e6").as("sum_q_e6"))
+      .select(col("prompt_id"), col("n_cands"), col("best_doc"),
+        col("best_q_e6"),
+        round(col("sum_q_e6").cast("double") /
+          col("n_cands").cast("double")).cast("long").as("mean_q_e6"))
+      .orderBy("prompt_id")
+  }
+
+  private val q327Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "'bon:' || doc_id")
+    val w = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+    val nTok = s"CAST(len($w) AS BIGINT)"
+    val stops = graft.functions.Text.EnglishStopwords
+      .map(x => s"'$x'").mkString(", ")
+    val nStop = s"CAST(len(list_filter($w, t -> t IN ($stops))) AS BIGINT)"
+    val sumLen =
+      s"CAST(list_sum(list_transform($w, t -> length(t))) AS BIGINT)"
+    val q = s"0.4 * least(1.0, $nTok / 100.0)" +
+      s" + 0.3 * (1.0 - coalesce($nStop / nullif($nTok, 0), 1.0))" +
+      s" + 0.3 * least(1.0, coalesce($sumLen / nullif($nTok, 0), 0.0)" +
+      " / 8.0)"
+    s"""WITH scored AS (
+       |  SELECT $h % 500 AS prompt_id, doc_id,
+       |    CAST(round(($q) * 1000000.0) AS BIGINT) AS q_e6
+       |  FROM documents),
+       |grp AS (
+       |  SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_cands,
+       |    CAST(max(q_e6) AS BIGINT) AS best_q_e6,
+       |    CAST(sum(q_e6) AS BIGINT) AS sum_q_e6
+       |  FROM scored GROUP BY 1)
+       |SELECT prompt_id, max(n_cands) AS n_cands,
+       |  CAST(min(doc_id) AS BIGINT) AS best_doc,
+       |  max(grp.best_q_e6) AS best_q_e6,
+       |  CAST(round(CAST(max(sum_q_e6) AS DOUBLE)
+       |    / CAST(max(n_cands) AS DOUBLE)) AS BIGINT) AS mean_q_e6
+       |FROM scored JOIN grp USING (prompt_id)
+       |WHERE q_e6 = grp.best_q_e6
+       |GROUP BY prompt_id ORDER BY prompt_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q298_skew_lint" -> (q298 _),
     "q299_rollup_revenue" -> (q299 _),
@@ -1160,7 +1296,9 @@ object Ops {
     "q314_t_closeness" -> (q314 _),
     "q315_join_card_estimate" -> (q315 _),
     "q324_dsv2_source" -> (q324 _),
-    "q325_dsv2_stream" -> (q325 _))
+    "q325_dsv2_stream" -> (q325 _),
+    "q326_packing_efficiency" -> (q326 _),
+    "q327_best_of_n" -> (q327 _))
 
   val oracle: Map[String, String] = Map(
     "q298_skew_lint" -> q298Sql,
@@ -1182,5 +1320,7 @@ object Ops {
     "q314_t_closeness" -> q314Sql,
     "q315_join_card_estimate" -> q315Sql,
     "q324_dsv2_source" -> q324Sql,
-    "q325_dsv2_stream" -> q325Sql)
+    "q325_dsv2_stream" -> q325Sql,
+    "q326_packing_efficiency" -> q326Sql,
+    "q327_best_of_n" -> q327Sql)
 }
