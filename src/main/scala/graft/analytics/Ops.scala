@@ -553,8 +553,11 @@ object Ops {
       .pin() // day grain; totals + argmax + side-means share it
     val tot = ranked.agg(max("t").as("n_days"), max("cum_e2").as("tot_e2"))
     val scored = ranked.crossJoin(broadcast(tot))
+      // widen before the multiply: n_days*cum_e2 leaves INT64 around
+      // the 10^4-sf mark, and Spark wraps while DuckDB errors
       .withColumn("s_scaled",
-        col("n_days") * col("cum_e2") - col("t") * col("tot_e2"))
+        col("cum_e2").cast("decimal(38,0)") * col("n_days") -
+          col("tot_e2").cast("decimal(38,0)") * col("t"))
     val cp = scored
       .agg(max_by(struct(col("day"), col("t"), col("cum_e2"),
         col("s_scaled"), col("n_days"), col("tot_e2")),
@@ -563,7 +566,8 @@ object Ops {
       .select(col("m.day").as("cp_day"), col("m.t").as("t"),
         col("m.cum_e2").as("cum_e2"), col("m.s_scaled").as("s_max"),
         col("m.n_days").as("n_days"), col("m.tot_e2").as("tot_e2"))
-    cp.select(col("cp_day"), col("n_days"), abs(col("s_max")).as("s_max"),
+    cp.select(col("cp_day"), col("n_days"),
+      abs(col("s_max")).cast("decimal(38,0)").as("s_max"),
       round(col("cum_e2").cast("double") / col("t").cast("double"))
         .cast("long").as("mean_before_e2"),
       round((col("tot_e2") - col("cum_e2")).cast("double") /
@@ -586,7 +590,8 @@ object Ops {
       |tot AS (SELECT max(t) AS n_days, max(cum_e2) AS tot_e2
       |        FROM ranked),
       |scored AS (
-      |  SELECT *, n_days * cum_e2 - t * tot_e2 AS s_scaled
+      |  SELECT *, CAST(cum_e2 AS HUGEINT) * n_days
+      |      - CAST(tot_e2 AS HUGEINT) * t AS s_scaled
       |  FROM ranked CROSS JOIN tot),
       |cp AS (
       |  SELECT * FROM scored
@@ -963,8 +968,12 @@ object Ops {
       .withColumn("cum_g", sum("ng").over(wB))
       .crossJoin(broadcast(tot))
       .groupBy(col("event_type"), col("day"), col("n_class"))
-      .agg(sum(abs(col("cum_c") * col("n_tot") -
-        col("cum_g") * col("n_class"))).as("emd_num"),
+      // cross-multiplied cumulatives widen to decimal(38,0) BEFORE
+      // the product (the q277/q293 discipline): LONG*LONG wraps
+      // silently in Spark but errors loudly in DuckDB's HUGEINT
+      .agg(sum(abs(col("cum_c").cast("decimal(38,0)") * col("n_tot") -
+        col("cum_g").cast("decimal(38,0)") * col("n_class")))
+        .as("emd_num"),
         max(col("n_tot")).as("nt"), max(col("n_bins")).as("nb"))
       .select(col("event_type"), col("day"), col("n_class"),
         round(col("emd_num").cast("double") /
@@ -1004,7 +1013,8 @@ object Ops {
       |      ORDER BY bin) AS BIGINT) AS cum_g
       |  FROM dense)
       |SELECT event_type, day, n_class,
-      |  CAST(round(CAST(sum(abs(cum_c * n_tot - cum_g * n_class))
+      |  CAST(round(CAST(sum(abs(CAST(cum_c AS HUGEINT) * n_tot
+      |        - CAST(cum_g AS HUGEINT) * n_class))
       |      AS DOUBLE)
       |    / (CAST(n_tot AS DOUBLE) * CAST(n_class AS DOUBLE)
       |      * CAST(n_bins - 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
