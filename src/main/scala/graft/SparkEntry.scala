@@ -28,7 +28,8 @@ object SparkEntry {
     (analytics.Evaluation.queries, analytics.Evaluation.oracle),
     (analytics.Metrics.queries, analytics.Metrics.oracle),
     (analytics.Ops.queries, analytics.Ops.oracle),
-    (analytics.DecisionSupport.queries, analytics.DecisionSupport.oracle))
+    (analytics.DecisionSupport.queries, analytics.DecisionSupport.oracle),
+    (analytics.Safety.queries, analytics.Safety.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -268,6 +268,91 @@ object Advanced {
        |SELECT vec_id, cluster, cluster_size
        |FROM comp JOIN sizes USING (cluster)
        |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q331 — leakage-safe train/val/test assignment: near-duplicate
+  // CLUSTERS (not items) are the unit of split assignment, so two
+  // near-copies can never straddle train and test — the fix operator
+  // for the leakage q188 audits. Pairs → large-star/small-star CC →
+  // every item (singletons included, cluster = own id) → split by
+  // portable hash OF THE CLUSTER id, 80/10/10. The audit column is
+  // the proof: cross_split_pairs re-joins the near-dup pair list to
+  // the assignment on BOTH endpoints and counts pairs whose splits
+  // differ — 0 by construction, and the gate pins it. Pair list is
+  // pinned (it feeds the CC loop and the leak audit); the final
+  // readout is 3 rows.
+  // ---------------------------------------------------------------------
+  private def q331(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val pairs = Dedup.embeddingNearDup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.0)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .select(col("id_a"), col("id_b"))
+      .pin() // feeds the CC loop AND the cross-split leak audit
+    val cc = Dedup.connectedComponentsStar(pairs)
+      .withColumnRenamed("id", "vec_id")
+    val h = pmod(PortableHash.hash60(
+      concat(lit("csplit:"), col("cluster").cast("string"))), lit(100L))
+    val assigned = t(s, dir, "embeddings").select(col("vec_id"))
+      .join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster"))
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .pin() // feeds the 3-row rollup AND both sides of the leak join
+    val leak = pairs
+      .join(assigned.select(col("vec_id").as("id_a"),
+        col("split").as("split_a")), Seq("id_a"))
+      .join(assigned.select(col("vec_id").as("id_b"),
+        col("split").as("split_b")), Seq("id_b"))
+      .agg(coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)
+        .otherwise(0L)), lit(0L)).cast("long").as("cross_split_pairs"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      .crossJoin(broadcast(leak))
+      .orderBy(col("split"))
+  }
+
+  private val q331Sql = {
+    import graft.functions.PortableHash
+    val h = PortableHash.hash60DuckSql("'csplit:' || CAST(cluster AS VARCHAR)")
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM (
+       |$q40Sql
+       |  ) q),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS cluster
+       |  FROM reach GROUP BY src),
+       |clustered AS (
+       |  SELECT e.vec_id, coalesce(c.cluster, e.vec_id) AS cluster
+       |  FROM (SELECT vec_id FROM embeddings) e
+       |  LEFT JOIN comp c USING (vec_id)),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, cluster,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM clustered),
+       |leak AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_split_pairs
+       |  FROM pairs p
+       |  JOIN assigned a ON p.id_a = a.vec_id
+       |  JOIN assigned b ON p.id_b = b.vec_id)
+       |SELECT split, count(*) AS n_items,
+       |  count(DISTINCT cluster) AS n_clusters, cross_split_pairs
+       |FROM assigned CROSS JOIN leak
+       |GROUP BY split, cross_split_pairs
+       |ORDER BY split""".stripMargin
+  }
   // differ from any oracle, so the oracle checks the *semantic
   // contract* instead: exact counts bit-match, and the sketch
   // estimates land within the advertised error bound (flag columns
@@ -3015,6 +3100,7 @@ object Advanced {
     "q62_sql_native_fn" -> (q62 _),
     "q69_dedup_clusters" -> (q69 _),
     "q143_cc_star" -> (q143 _),
+    "q331_leakage_safe_splits" -> (q331 _),
     "q144_triangles" -> (q144 _),
     "q146_spearman" -> (q146 _),
     "q153_cooccurrence" -> (q153 _),
@@ -3080,6 +3166,7 @@ object Advanced {
     "q62_sql_native_fn" -> q62Sql,
     "q69_dedup_clusters" -> q69Sql,
     "q143_cc_star" -> q69Sql,
+    "q331_leakage_safe_splits" -> q331Sql,
     "q144_triangles" -> q144Sql,
     "q146_spearman" -> q146Sql,
     "q153_cooccurrence" -> q153Sql,
