@@ -943,6 +943,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("WindowExec") && !p.contains("Window "), p)
   }
 
+  test("q328: PII scrub is one scan + one hash aggregate — no join, " +
+       "no window, nothing that shuffles more than 20 source rows") {
+    val p = plan("q328_pii_redaction")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q329: memorization index joins on the gram key only — no " +
+       "cartesian/broadcast-nested-loop, no window") {
+    val p = plan("q329_memorization_13gram")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q330: sliding distinct is a bounded explode + aggregates — " +
+       "no window funnel, no cartesian") {
+    val p = plan("q330_rolling_active_users")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q331: leak audit's 1-row count is broadcast onto the 3-row " +
+       "rollup; no window") {
+    val p = plan("q331_leakage_safe_splits")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   // Source lint, not a plan check: EVERY `Window.orderBy` without a
   // partitionBy in src/main must be either (a) inside the guarded
   // Curate.boundedRank helper (which raises at runtime past its
