@@ -29,7 +29,8 @@ object SparkEntry {
     (analytics.Metrics.queries, analytics.Metrics.oracle),
     (analytics.Ops.queries, analytics.Ops.oracle),
     (analytics.DecisionSupport.queries, analytics.DecisionSupport.oracle),
-    (analytics.Safety.queries, analytics.Safety.oracle))
+    (analytics.Safety.queries, analytics.Safety.oracle),
+    (analytics.Features.queries, analytics.Features.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

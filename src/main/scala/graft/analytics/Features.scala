@@ -1,0 +1,197 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.core.PlanStats.Pinned
+import graft.functions.PortableHash
+
+/** Feature-engineering tier (session 10): the derived-signal
+  * operators an ML platform computes from the warehouse — item-item
+  * co-occurrence lift (the association-rule / recsys-candidate
+  * primitive) and leakage-free out-of-fold target encoding (the
+  * categorical-feature primitive whose naive form silently leaks the
+  * label). No reference analogue; cross-engine discipline as
+  * everywhere: exact integer counts, one rounded division at the
+  * end, portable-hash fold assignment identical in both engines.
+  */
+object Features {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------------
+  // q332 — co-purchase lift: for part pairs bought together in ≥2
+  // orders, lift = P(a,b) / (P(a)·P(b)) against order-count
+  // marginals; top 50 by lift. The pair generator self-joins the
+  // DISTINCT (order, part) grain on the order key — co-partitioned,
+  // and per-basket output is d² with d bounded by the order's line
+  // count (≤17 across every scale here; baskets are small by
+  // construction of the domain, so 100 TB grows the number of
+  // baskets, not the per-basket quadratic). Marginal joins are plain
+  // equi-joins on the part key (AQE broadcasts them at dimension
+  // scale); the final readout is a bounded TakeOrdered, never a
+  // global sort. The (order, part) grain feeds three branches
+  // (pairs ×2, marginals) and is pinned once.
+  // ---------------------------------------------------------------------
+  private def q332(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .pin() // feeds both self-join sides and the marginal counts
+    val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
+    val marg = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val pairs = items.select(col("ok"), col("pk").as("pk_a"))
+      .join(items.select(col("ok"), col("pk").as("pk_b")), Seq("ok"))
+      .filter(col("pk_a") < col("pk_b"))
+      .groupBy(col("pk_a"), col("pk_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 2)
+    pairs
+      .join(marg.select(col("pk").as("pk_a"), col("c").as("c_a")), Seq("pk_a"))
+      .join(marg.select(col("pk").as("pk_b"), col("c").as("c_b")), Seq("pk_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pk_a"), col("pk_b"), col("c_a"), col("c_b"), col("c_ab"),
+        round(col("c_ab").cast("double") * col("n_orders") * 1000000.0 /
+          (col("c_a") * col("c_b"))).cast("long").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("pk_a"), col("pk_b"))
+      .limit(50)
+  }
+
+  private val q332Sql =
+    """WITH items AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+      |marg AS (SELECT pk, count(*) AS c FROM items GROUP BY pk),
+      |pc AS (
+      |  SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS c_ab
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT pk_a, pk_b, ia.c AS c_a, ib.c AS c_b, c_ab,
+      |  CAST(round(c_ab * n_orders * 1000000.0 / (ia.c * ib.c)) AS BIGINT)
+      |    AS lift_e6
+      |FROM pc
+      |JOIN marg ia ON pc.pk_a = ia.pk
+      |JOIN marg ib ON pc.pk_b = ib.pk
+      |CROSS JOIN n
+      |ORDER BY lift_e6 DESC, pk_a, pk_b
+      |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q335 — out-of-fold target encoding: the leakage-free categorical
+  // encoding — each (category, fold) cell's encoded value is the
+  // target mean over every OTHER fold, (POS_cat − pos_cell) /
+  // (N_cat − n_cell), so a row never contributes to its own feature.
+  // Fold assignment is the portable hash (identical in both
+  // engines); the target is a fixed-literal price threshold. One
+  // combine-enabled aggregate to the 25-cell (category × fold)
+  // grain, re-aggregated to category and joined back broadcast-size
+  // — at 100 TB the fact scan is the only full pass. The cell grain
+  // feeds two branches and is pinned (25 rows).
+  // ---------------------------------------------------------------------
+  private def q335(s: SparkSession, dir: String): DataFrame = {
+    val fold = pmod(PortableHash.hash60(
+      concat(lit("fold:"), col("o_orderkey"))), lit(5L))
+    val cells = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("cat"), fold.as("fold"),
+        when(col("o_totalprice") > 250000.0, 1L).otherwise(0L).as("y"))
+      .groupBy(col("cat"), col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .pin() // feeds the per-category re-aggregate AND the final join
+    val cat = cells.groupBy(col("cat"))
+      .agg(sum(col("n")).as("n_cat"), sum(col("pos")).as("pos_cat"))
+    cells.join(broadcast(cat), Seq("cat"))
+      .select(col("cat"), col("fold"), col("n"),
+        col("pos").cast("long").as("pos"),
+        round((col("pos_cat") - col("pos")).cast("double") * 1000000.0 /
+          (col("n_cat") - col("n")).cast("double")).cast("long")
+          .as("oof_mean_e6"))
+      .orderBy(col("cat"), col("fold"))
+  }
+
+  private val q335Sql = {
+    val h = PortableHash.hash60DuckSql("'fold:' || CAST(o_orderkey AS VARCHAR)")
+    s"""WITH cells AS (
+       |  SELECT o_orderpriority AS cat, $h % 5 AS fold,
+       |    count(*) AS n,
+       |    CAST(sum(CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS pos
+       |  FROM orders GROUP BY 1, 2),
+       |cat AS (
+       |  SELECT cat, CAST(sum(n) AS BIGINT) AS n_cat,
+       |    CAST(sum(pos) AS BIGINT) AS pos_cat
+       |  FROM cells GROUP BY cat)
+       |SELECT cells.cat AS cat, fold, n, pos,
+       |  CAST(round((pos_cat - pos) * 1000000.0 / (n_cat - n)) AS BIGINT)
+       |    AS oof_mean_e6
+       |FROM cells JOIN cat USING (cat)
+       |ORDER BY cat, fold""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q336 — session-transition census: the first-order Markov
+  // transition table over user event streams — for consecutive
+  // same-user events within a 4 h gap, count (from_type → to_type)
+  // and the conditional probability per source type. The only
+  // window is user-partitioned (never a funnel: per-user event
+  // streams are bounded by human behavior); the census aggregate is
+  // combine-enabled to the ≤|types|² grain and its marginal re-join
+  // is broadcast-size. The grain feeds two branches and is pinned
+  // (25 rows). Second-truncated timestamps per the cross-engine ns
+  // contract.
+  // ---------------------------------------------------------------------
+  private def q336(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_l", "event_id")
+    val trans = Tables.eventsSec(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Exact.epochS(col("ts_s")).cast("long").as("ts_l"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .withColumn("gap", lead("ts_l", 1).over(w) - col("ts_l"))
+      .filter(col("to_type").isNotNull && col("gap") <= 14400L)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .pin() // feeds the from-marginals AND the final join (≤25 rows)
+    val marg = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).cast("long").as("n_from"))
+    trans.join(broadcast(marg), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") * 1000000.0 /
+          col("n_from").cast("double")).cast("long").as("p_e6"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val q336Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_l
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER w AS to_type,
+      |    lead(ts_l) OVER w - ts_l AS gap
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_l, event_id)),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM t WHERE to_type IS NOT NULL AND gap <= 14400
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |  FROM c GROUP BY 1)
+      |SELECT from_type, to_type, n,
+      |  CAST(round(n * 1000000.0 / n_from) AS BIGINT) AS p_e6
+      |FROM c JOIN f USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q332_copurchase_lift" -> (q332 _),
+    "q335_oof_target_encoding" -> (q335 _),
+    "q336_transition_census" -> (q336 _))
+
+  val oracle: Map[String, String] = Map(
+    "q332_copurchase_lift" -> q332Sql,
+    "q335_oof_target_encoding" -> q335Sql,
+    "q336_transition_census" -> q336Sql)
+}

@@ -1286,6 +1286,55 @@ object Ops {
        |GROUP BY prompt_id ORDER BY prompt_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q333 — backfill planner: which published day-partitions did late
+  // data invalidate? The snapshot boundary is deterministic —
+  // everything with event_id ≤ K (K = floor(0.9·max id)) was
+  // "processed"; later-ingested rows whose event time falls on an
+  // already-published day invalidate that partition and size its
+  // backfill. One scan: the K scalar is a broadcast 1-row aggregate,
+  // then a single combine-enabled conditional aggregate to day
+  // grain. This is the planning half of the incremental tier — the
+  // M1 merge executes what this query schedules.
+  // ---------------------------------------------------------------------
+  private def q333(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val k = ev.agg(floor(max(col("event_id")) * 0.9).cast("long").as("k"))
+    ev.crossJoin(broadcast(k))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_id") <= col("k"), 1L).otherwise(0L))
+          .cast("long").as("n_published"),
+        sum(when(col("event_id") > col("k"), 1L).otherwise(0L))
+          .cast("long").as("n_late"))
+      .select(col("day"), col("n_published"), col("n_late"),
+        when(col("n_published") > 0 && col("n_late") > 0, 1L)
+          .otherwise(0L).as("invalidated"),
+        round(col("n_late").cast("double") * 1000000.0 /
+          (col("n_published") + col("n_late")).cast("double"))
+          .cast("long").as("late_share_e6"))
+      .orderBy(col("day"))
+  }
+
+  private val q333Sql =
+    """WITH k AS (
+      |  SELECT CAST(floor(0.9 * max(event_id)) AS BIGINT) AS k
+      |  FROM events),
+      |per AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_id <= k THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_published,
+      |    CAST(sum(CASE WHEN event_id > k THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_late
+      |  FROM events CROSS JOIN k
+      |  GROUP BY 1)
+      |SELECT day, n_published, n_late,
+      |  CAST(CASE WHEN n_published > 0 AND n_late > 0 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS invalidated,
+      |  CAST(round(n_late * 1000000.0 / (n_published + n_late)) AS BIGINT)
+      |    AS late_share_e6
+      |FROM per
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q298_skew_lint" -> (q298 _),
     "q299_rollup_revenue" -> (q299 _),
@@ -1305,6 +1354,7 @@ object Ops {
     "q313_wav_silence" -> (q313 _),
     "q314_t_closeness" -> (q314 _),
     "q315_join_card_estimate" -> (q315 _),
+    "q333_backfill_planner" -> (q333 _),
     "q324_dsv2_source" -> (q324 _),
     "q325_dsv2_stream" -> (q325 _),
     "q326_packing_efficiency" -> (q326 _),
@@ -1329,6 +1379,7 @@ object Ops {
     "q313_wav_silence" -> q313Sql,
     "q314_t_closeness" -> q314Sql,
     "q315_join_card_estimate" -> q315Sql,
+    "q333_backfill_planner" -> q333Sql,
     "q324_dsv2_source" -> q324Sql,
     "q325_dsv2_stream" -> q325Sql,
     "q326_packing_efficiency" -> q326Sql,

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -243,13 +243,97 @@ object Safety {
       |FROM a1 JOIN a7 ON a1.day = a7.rday
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q334 — deletion-impact audit (the right-to-erasure planning
+  // query): a deterministic 2% deletion cohort (portable hash of the
+  // subject key, distinct salt per key domain) is sized against
+  // every fact table BEFORE any rewrite — rows to delete, share, and
+  // how many physical partitions (day for events, month for orders
+  // and lineitem) the rewrite must touch. Events and orders are one
+  // conditional aggregate each; lineitem carries no customer key, so
+  // its cohort membership rides the co-partitioned orderkey join to
+  // orders — the exact join the deletion rewrite itself would run.
+  // Output is 3 rows; at 100 TB the cost is one scan per fact table
+  // plus the lineitem–orders shuffle the rewrite pays anyway.
+  // ---------------------------------------------------------------------
+  private def q334(s: SparkSession, dir: String): DataFrame = {
+    def cohort(prefix: String, key: Column): Column =
+      pmod(PortableHash.hash60(concat(lit(prefix), key.cast("string"))),
+        lit(50L)) === 0L
+    def audit(df: DataFrame, table: String, del: Column,
+              part: Column): DataFrame =
+      df.select(del.as("del"), part.as("part"))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("del"), 1L).otherwise(0L)).as("n_del"))
+        .agg(sum(col("n")).cast("long").as("rows_total"),
+          sum(col("n_del")).cast("long").as("rows_deleted"),
+          count(lit(1)).as("parts_total"),
+          sum(when(col("n_del") > 0, 1L).otherwise(0L)).as("parts_touched"))
+        .select(lit(table).as("table_name"), col("rows_total"),
+          col("rows_deleted"),
+          round(col("rows_deleted").cast("double") * 1000000.0 /
+            col("rows_total").cast("double")).cast("long")
+            .as("del_share_e6"),
+          col("parts_total"), col("parts_touched"))
+    val ev = audit(t(s, dir, "events"), "events",
+      cohort("delu:", col("user_id")), to_date(col("ts")))
+    val ord = audit(t(s, dir, "orders"), "orders",
+      cohort("delc:", col("o_custkey")),
+      date_format(col("o_orderdate"), "yyyy-MM"))
+    val li = audit(
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+          Seq("l_orderkey")),
+      "lineitem", cohort("delc:", col("o_custkey")),
+      date_format(col("l_shipdate"), "yyyy-MM"))
+    ev.unionByName(ord).unionByName(li).orderBy(col("table_name"))
+  }
+
+  private val q334Sql = {
+    def h(prefix: String, key: String) =
+      PortableHash.hash60DuckSql(s"'$prefix' || CAST($key AS VARCHAR)")
+    def one(src: String, table: String, del: String, part: String) =
+      s"""SELECT '$table' AS table_name,
+         |  CAST(sum(n) AS BIGINT) AS rows_total,
+         |  CAST(sum(n_del) AS BIGINT) AS rows_deleted,
+         |  CAST(round(sum(n_del) * 1000000.0 / sum(n)) AS BIGINT)
+         |    AS del_share_e6,
+         |  count(*) AS parts_total,
+         |  CAST(sum(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS parts_touched
+         |FROM (
+         |  SELECT $part AS part, count(*) AS n,
+         |    sum(CASE WHEN $del THEN 1 ELSE 0 END) AS n_del
+         |  FROM $src GROUP BY 1) p""".stripMargin
+    val ev = one("events", "events",
+      s"${h("delu:", "user_id")} % 50 = 0", "CAST(ts AS DATE)")
+    val ord = one("orders", "orders",
+      s"${h("delc:", "o_custkey")} % 50 = 0",
+      "strftime(o_orderdate, '%Y-%m')")
+    val li = one(
+      "(SELECT l.l_shipdate, o.o_custkey FROM lineitem l " +
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey) j",
+      "lineitem", s"${h("delc:", "o_custkey")} % 50 = 0",
+      "strftime(l_shipdate, '%Y-%m')")
+    s"""$ev
+       |UNION ALL
+       |$ord
+       |UNION ALL
+       |$li
+       |ORDER BY table_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q328_pii_redaction" -> (q328 _),
     "q329_memorization_13gram" -> (q329 _),
-    "q330_rolling_active_users" -> (q330 _))
+    "q330_rolling_active_users" -> (q330 _),
+    "q334_deletion_impact" -> (q334 _))
 
   val oracle: Map[String, String] = Map(
     "q328_pii_redaction" -> q328Sql,
     "q329_memorization_13gram" -> q329Sql,
-    "q330_rolling_active_users" -> q330Sql)
+    "q330_rolling_active_users" -> q330Sql,
+    "q334_deletion_impact" -> q334Sql)
 }

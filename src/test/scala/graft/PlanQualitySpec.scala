@@ -973,6 +973,47 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("q332: co-purchase pairs equi-join on the order key; readout " +
+       "is a bounded TakeOrdered, not a global sort") {
+    val p = plan("q332_copurchase_lift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q333: backfill plan is one conditional aggregate under a " +
+       "broadcast scalar — no window, no shuffle join") {
+    val p = plan("q333_backfill_planner")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q334: deletion audit joins lineitem to orders on the order " +
+       "key only — no cartesian, no window") {
+    val p = plan("q334_deletion_impact")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q335: OOF encoding re-joins the 25-cell grain broadcast — " +
+       "no shuffle join, no window") {
+    val p = plan("q335_oof_target_encoding")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q336: transition census marginal re-join is broadcast; the " +
+       "user-partitioned window sits below the pin (source lint " +
+       "guards its partitioning)") {
+    val p = plan("q336_transition_census")
+    // the lead() window is inside the pinned subtree, so the executed
+    // plan above the checkpoint must carry NO window at all
+    assert(windowSpecs(p).isEmpty, s"${windowSpecs(p)}")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   // Source lint, not a plan check: EVERY `Window.orderBy` without a
   // partitionBy in src/main must be either (a) inside the guarded
   // Curate.boundedRank helper (which raises at runtime past its
