@@ -185,13 +185,80 @@ object Features {
       |FROM c JOIN f USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q337 — last-touch attribution: each purchase is attributed to
+  // the SAME user's most recent preceding click within a 7-day
+  // lookback — the as-of-join-on-self shape, expressed as one
+  // user-partitioned carry-forward window (running max of click
+  // timestamps over preceding rows) instead of a range self-join:
+  // one shuffle on user, zero joins, and the lookback bound is a
+  // post-filter on the carried value. Day-grain rollup reports
+  // attribution coverage and the exact total click→purchase delay.
+  // ---------------------------------------------------------------------
+  private def q337(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_l", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.eventsSec(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_s"), Exact.epochS(col("ts_s")).cast("long").as("ts_l"))
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts_l"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("delay", col("ts_l") - col("last_click"))
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("delay") <= 604800L, 1L).otherwise(0L))
+          .cast("long").as("n_attributed_7d"),
+        sum(when(col("delay") <= 86400L, 1L).otherwise(0L))
+          .cast("long").as("n_attributed_1d"),
+        sum(when(col("delay") <= 604800L, col("delay")).otherwise(0L))
+          .cast("long").as("total_delay_s"))
+      .withColumn("attr_share_e6",
+        round(col("n_attributed_7d").cast("double") * 1000000.0 /
+          col("n_purchases").cast("double")).cast("long"))
+      .orderBy(col("day"))
+  }
+
+  private val q337Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    date_trunc('second', ts) AS ts_s,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_l
+      |  FROM events),
+      |attr AS (
+      |  SELECT ts_s, ts_l,
+      |    ts_l - max(CASE WHEN event_type = 'click' THEN ts_l END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_l, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS delay,
+      |    event_type
+      |  FROM e),
+      |per AS (
+      |  SELECT CAST(ts_s AS DATE) AS day, count(*) AS n_purchases,
+      |    CAST(sum(CASE WHEN delay <= 604800 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_attributed_7d,
+      |    CAST(sum(CASE WHEN delay <= 86400 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_attributed_1d,
+      |    CAST(sum(CASE WHEN delay <= 604800 THEN delay ELSE 0 END)
+      |      AS BIGINT) AS total_delay_s
+      |  FROM attr WHERE event_type = 'purchase'
+      |  GROUP BY 1)
+      |SELECT day, n_purchases, n_attributed_7d, n_attributed_1d,
+      |  total_delay_s,
+      |  CAST(round(n_attributed_7d * 1000000.0 / n_purchases) AS BIGINT)
+      |    AS attr_share_e6
+      |FROM per
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q332_copurchase_lift" -> (q332 _),
     "q335_oof_target_encoding" -> (q335 _),
-    "q336_transition_census" -> (q336 _))
+    "q336_transition_census" -> (q336 _),
+    "q337_lasttouch_attribution" -> (q337 _))
 
   val oracle: Map[String, String] = Map(
     "q332_copurchase_lift" -> q332Sql,
     "q335_oof_target_encoding" -> q335Sql,
-    "q336_transition_census" -> q336Sql)
+    "q336_transition_census" -> q336Sql,
+    "q337_lasttouch_attribution" -> q337Sql)
 }

@@ -1003,6 +1003,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("q337: attribution is one user-partitioned carry-forward " +
+       "window — zero joins, no range self-join") {
+    val p = plan("q337_lasttouch_attribution")
+    assert(!p.contains("Join"), p)
+    val specs = windowSpecs(p)
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")), s"$specs")
+  }
+
   test("q336: transition census marginal re-join is broadcast; the " +
        "user-partitioned window sits below the pin (source lint " +
        "guards its partitioning)") {
