@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Cross-round bench regression table.
+
+Usage: python3 tools/bench_diff.py bench_full_r5.json bench_full_r6.json [n]
+
+Prints the n (default 15) largest per-query regressions and
+improvements between two per-query bench archives, plus totals —
+the table the per-round `bench_full_r<N>.json` archives exist for.
+"""
+import json
+import sys
+
+a_path, b_path = sys.argv[1], sys.argv[2]
+n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
+
+a = json.load(open(a_path))["queries"]
+b = json.load(open(b_path))["queries"]
+
+shared = sorted(set(a) & set(b))
+added = sorted(set(b) - set(a))
+removed = sorted(set(a) - set(b))
+
+rows = [(q, a[q], b[q], b[q] - a[q]) for q in shared]
+tot_a = sum(a[q] for q in shared)
+tot_b = sum(b[q] for q in shared)
+
+print(f"shared queries: {len(shared)}  added: {len(added)}  "
+      f"removed: {len(removed)}")
+print(f"shared total: {tot_a:.1f}s -> {tot_b:.1f}s "
+      f"({tot_b - tot_a:+.1f}s)")
+if added:
+    print(f"added total: {sum(b[q] for q in added):.1f}s "
+          f"({', '.join(added[:8])}{'...' if len(added) > 8 else ''})")
+
+print(f"\ntop {n} regressions (delta > 0.2s):")
+for q, ta, tb, d in sorted(rows, key=lambda r: -r[3])[:n]:
+    if d <= 0.2:
+        break
+    print(f"  {q:40s} {ta:7.2f} -> {tb:7.2f}  {d:+.2f}s")
+
+print(f"\ntop {n} improvements (delta < -0.2s):")
+for q, ta, tb, d in sorted(rows, key=lambda r: r[3])[:n]:
+    if d >= -0.2:
+        break
+    print(f"  {q:40s} {ta:7.2f} -> {tb:7.2f}  {d:+.2f}s")
