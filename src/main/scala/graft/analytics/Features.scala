@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.PlanStats.Pinned
 import graft.functions.PortableHash
+import graft.operators.Curate
 
 /** Feature-engineering tier (session 10): the derived-signal
   * operators an ML platform computes from the warehouse — item-item
@@ -250,15 +251,97 @@ object Features {
       |FROM per
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q338 — numeric-feature drift monitor: order value binned into
+  // GLOBAL deciles (over the combined population, so both cohorts
+  // share one bin edge set), then a chi-square contrast of the
+  // early/late cohorts per bin — the standard ML-observability
+  // check that a feature's distribution moved between a reference
+  // window and the current one. Deciling routes through
+  // Curate.globalRank (range repartition + offsets; never an
+  // unpartitioned window) with the exact NTILE rule on the rank;
+  // everything after is a 10-row grain. The chi-square arithmetic
+  // is the identical IEEE expression tree in both engines, one
+  // rounded e6 at the end.
+  // ---------------------------------------------------------------------
+  private def q338(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderdate") < lit("1998-07-01"), 1L).otherwise(0L)
+          .as("is_a"))
+    val ranked = Curate.globalRank(scored,
+      Seq(col("o_totalprice"), col("o_orderkey")))
+    val tot = ranked.agg(count(lit(1)).as("n_total"),
+      sum(col("is_a")).cast("long").as("n_a_tot"))
+    val binned = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile",
+        when(col("rnk") <= expr("(n_total % 10) * (n_total DIV 10 + 1)"),
+          expr("(rnk - 1) DIV (n_total DIV 10 + 1) + 1"))
+        .otherwise(expr("""n_total % 10
+          + (rnk - (n_total % 10) * (n_total DIV 10 + 1) - 1)
+            DIV (n_total DIV 10) + 1""")))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("nd"),
+        sum(col("is_a")).cast("long").as("n_a"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        max(col("n_total")).as("n_total"),
+        max(col("n_a_tot")).as("n_a_tot"))
+    val ea = col("nd").cast("double") * col("n_a_tot") / col("n_total")
+    val eb = col("nd").cast("double") * (col("n_total") - col("n_a_tot")) /
+      col("n_total")
+    val da = col("n_a").cast("double") - ea
+    val db = (col("nd") - col("n_a")).cast("double") - eb
+    binned.select(col("decile"), col("nd"), col("n_a"),
+        (col("nd") - col("n_a")).as("n_b"), col("lo"), col("hi"),
+        round((da * da / ea + db * db / eb) * 1000000.0).cast("long")
+          .as("chi2_e6"))
+      .orderBy(col("decile"))
+  }
+
+  private val q338Sql =
+    """WITH scored AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+      |      THEN 1 ELSE 0 END AS is_a
+      |  FROM orders),
+      |tot AS (
+      |  SELECT count(*) AS n_total, CAST(sum(is_a) AS BIGINT) AS n_a_tot
+      |  FROM scored),
+      |binned AS (
+      |  SELECT o_totalprice, is_a,
+      |    CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+      |      AS BIGINT) AS decile
+      |  FROM scored),
+      |agg AS (
+      |  SELECT decile, count(*) AS nd, CAST(sum(is_a) AS BIGINT) AS n_a,
+      |    min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |  FROM binned GROUP BY decile)
+      |SELECT decile, nd, n_a, nd - n_a AS n_b, lo, hi,
+      |  CAST(round((
+      |      (CAST(n_a AS DOUBLE) - CAST(nd AS DOUBLE) * n_a_tot / n_total)
+      |    * (CAST(n_a AS DOUBLE) - CAST(nd AS DOUBLE) * n_a_tot / n_total)
+      |    / (CAST(nd AS DOUBLE) * n_a_tot / n_total)
+      |    + (CAST(nd - n_a AS DOUBLE)
+      |       - CAST(nd AS DOUBLE) * (n_total - n_a_tot) / n_total)
+      |    * (CAST(nd - n_a AS DOUBLE)
+      |       - CAST(nd AS DOUBLE) * (n_total - n_a_tot) / n_total)
+      |    / (CAST(nd AS DOUBLE) * (n_total - n_a_tot) / n_total)
+      |  ) * 1000000.0) AS BIGINT) AS chi2_e6
+      |FROM agg CROSS JOIN tot
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q332_copurchase_lift" -> (q332 _),
     "q335_oof_target_encoding" -> (q335 _),
     "q336_transition_census" -> (q336 _),
-    "q337_lasttouch_attribution" -> (q337 _))
+    "q337_lasttouch_attribution" -> (q337 _),
+    "q338_decile_drift" -> (q338 _))
 
   val oracle: Map[String, String] = Map(
     "q332_copurchase_lift" -> q332Sql,
     "q335_oof_target_encoding" -> q335Sql,
     "q336_transition_census" -> q336Sql,
-    "q337_lasttouch_attribution" -> q337Sql)
+    "q337_lasttouch_attribution" -> q337Sql,
+    "q338_decile_drift" -> q338Sql)
 }

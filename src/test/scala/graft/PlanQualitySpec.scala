@@ -1003,6 +1003,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("q338: drift deciles route through globalRank — every window " +
+       "is the pid-partitioned offset machinery, never a funnel") {
+    val p = plan("q338_decile_drift")
+    val specs = windowSpecs(p)
+    assert(specs.forall(_.contains("__gc_pid")), s"$specs")
+  }
+
   test("q337: attribution is one user-partitioned carry-forward " +
        "window — zero joins, no range self-join") {
     val p = plan("q337_lasttouch_attribution")
