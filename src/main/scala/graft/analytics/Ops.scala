@@ -1335,6 +1335,112 @@ object Ops {
       |FROM per
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q339 — prefix-cache savings estimator (the KV-cache prefix-
+  // sharing audit an LLM serving layer runs over its corpus): for
+  // prefix lengths L ∈ {4, 8, 16} tokens, how many documents share
+  // an exact L-token prefix, and how many cached tokens that
+  // sharing saves — per prefix group of c docs the cache serves
+  // c−1 of them for free, so saved = (n_docs − n_groups)·L. One
+  // combine-enabled aggregate per L on the prefix string (the
+  // near-dup corpus makes this non-trivial: copies share their full
+  // prefix). 3-row readout.
+  // ---------------------------------------------------------------------
+  private def q339(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    def one(l: Int): DataFrame =
+      t(s, dir, "documents")
+        .select(Text.words(col("text")).as("w"))
+        .filter(size(col("w")) >= l)
+        .select(concat_ws(" ", slice(col("w"), 1, l)).as("prefix"))
+        .groupBy(col("prefix")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_groups"))
+        .select(lit(l.toLong).as("prefix_len"), col("n_docs"),
+          col("n_groups"),
+          ((col("n_docs") - col("n_groups")) * l).as("saved_tokens"),
+          round((col("n_docs") - col("n_groups")).cast("double") *
+            1000000.0 / col("n_docs").cast("double")).cast("long")
+            .as("share_e6"))
+    one(4).unionByName(one(8)).unionByName(one(16))
+      .orderBy(col("prefix_len"))
+  }
+
+  private val q339Sql = {
+    def one(l: Int) =
+      s"""SELECT CAST($l AS BIGINT) AS prefix_len,
+         |  CAST(sum(c) AS BIGINT) AS n_docs,
+         |  count(*) AS n_groups,
+         |  CAST((sum(c) - count(*)) * $l AS BIGINT) AS saved_tokens,
+         |  CAST(round((sum(c) - count(*)) * 1000000.0 / sum(c)) AS BIGINT)
+         |    AS share_e6
+         |FROM (
+         |  SELECT array_to_string(w[1:$l], ' ') AS prefix, count(*) AS c
+         |  FROM (
+         |    SELECT list_filter(string_split(text, ' '),
+         |      x -> length(x) > 0) AS w
+         |    FROM documents) d
+         |  WHERE len(w) >= $l
+         |  GROUP BY 1) g""".stripMargin
+    s"""${one(4)}
+       |UNION ALL
+       |${one(8)}
+       |UNION ALL
+       |${one(16)}
+       |ORDER BY prefix_len""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q340 — ANN bucket-balance audit: the probe-cost skew check for
+  // the sign-LSH index the q26/q49 candidate generators rely on —
+  // bucket the corpus exactly as the index does, then histogram the
+  // bucket SIZES by power-of-two band (floor(log2 c) computed via
+  // binary-representation length, never runtime log2). A balanced
+  // index concentrates mass in a narrow band; a heavy band at the
+  // top means probe cost is dominated by a few fat buckets and the
+  // index needs more planes. Two combine-enabled aggregates; the
+  // readout is ≤ log2(corpus) rows.
+  // ---------------------------------------------------------------------
+  private def q340(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val buckets = t(s, dir, "embeddings")
+      .select(Vectors.signBucket(col("embedding")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .pin() // feeds the histogram AND the 1-row total
+    val tot = buckets.agg(sum(col("c")).cast("long").as("n_total"))
+    buckets
+      .select((length(bin(col("c"))) - 1).cast("long").as("size_band"),
+        col("c"))
+      .groupBy(col("size_band"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("c")).cast("long")
+        .as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("size_band"), col("n_buckets"), col("n_vecs"),
+        round(col("n_vecs").cast("double") * 1000000.0 /
+          col("n_total").cast("double")).cast("long").as("vec_share_e6"))
+      .orderBy(col("size_band"))
+  }
+
+  private val q340Sql = {
+    val bucket = graft.functions.Vectors.signBucketSql("embedding")
+    s"""WITH b AS (
+       |  SELECT $bucket AS bucket FROM embeddings),
+       |sized AS (
+       |  SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM sized),
+       |banded AS (
+       |  SELECT CAST(length(printf('%b', c)) - 1 AS BIGINT) AS size_band,
+       |    c
+       |  FROM sized)
+       |SELECT size_band, count(*) AS n_buckets,
+       |  CAST(sum(c) AS BIGINT) AS n_vecs,
+       |  CAST(round(sum(c) * 1000000.0 / n_total) AS BIGINT)
+       |    AS vec_share_e6
+       |FROM banded CROSS JOIN tot
+       |GROUP BY size_band, n_total
+       |ORDER BY size_band""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q298_skew_lint" -> (q298 _),
     "q299_rollup_revenue" -> (q299 _),
@@ -1355,6 +1461,8 @@ object Ops {
     "q314_t_closeness" -> (q314 _),
     "q315_join_card_estimate" -> (q315 _),
     "q333_backfill_planner" -> (q333 _),
+    "q339_prefix_cache" -> (q339 _),
+    "q340_bucket_balance" -> (q340 _),
     "q324_dsv2_source" -> (q324 _),
     "q325_dsv2_stream" -> (q325 _),
     "q326_packing_efficiency" -> (q326 _),
@@ -1380,6 +1488,8 @@ object Ops {
     "q314_t_closeness" -> q314Sql,
     "q315_join_card_estimate" -> q315Sql,
     "q333_backfill_planner" -> q333Sql,
+    "q339_prefix_cache" -> q339Sql,
+    "q340_bucket_balance" -> q340Sql,
     "q324_dsv2_source" -> q324Sql,
     "q325_dsv2_stream" -> q325Sql,
     "q326_packing_efficiency" -> q326Sql,

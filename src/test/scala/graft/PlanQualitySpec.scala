@@ -1003,6 +1003,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("q339: prefix-cache audit is three grouped aggregates — no " +
+       "join, no window") {
+    val p = plan("q339_prefix_cache")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q340: bucket balance broadcasts the 1-row total onto the " +
+       "band histogram; no window") {
+    val p = plan("q340_bucket_balance")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("q338: drift deciles route through globalRank — every window " +
        "is the pid-partitioned offset machinery, never a funnel") {
     val p = plan("q338_decile_drift")
