@@ -331,7 +331,125 @@ object Features {
       |FROM agg CROSS JOIN tot
       |ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q341 — point-in-time churn label generation: the leakage-prone
+  // ML-data op done right — features are computed STRICTLY before
+  // the cutoff (14-day activity window), the label strictly after
+  // (inactive on the next day), in one conditional aggregate per
+  // user so no future information can reach a feature column. The
+  // readout banks users by feature-window activity and reports the
+  // churn base rate per band (the sanity table a label pipeline
+  // ships with). One scan, user-grain combine aggregate, ≤6-row
+  // output. Second-truncated timestamps per the ns contract.
+  // ---------------------------------------------------------------------
+  private def q341(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "2024-01-22 00:00:00"
+    val featLo = "2024-01-08 00:00:00"
+    val labelHi = "2024-01-23 00:00:00"
+    Tables.eventsSec(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts_s") >= lit(featLo) && col("ts_s") < lit(cutoff),
+          1L).otherwise(0L)).as("n_feat"),
+        sum(when(col("ts_s") >= lit(cutoff) && col("ts_s") < lit(labelHi),
+          1L).otherwise(0L)).as("n_future"))
+      .select(least(col("n_feat") / 10, lit(5L)).cast("long").as("band"),
+        when(col("n_future") === 0L, 1L).otherwise(0L).as("churned"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("churned")).cast("long").as("n_churned"))
+      .withColumn("churn_rate_e6",
+        round(col("n_churned").cast("double") * 1000000.0 /
+          col("n_users").cast("double")).cast("long"))
+      .orderBy(col("band"))
+  }
+
+  private val q341Sql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN date_trunc('second', ts)
+      |          >= TIMESTAMP '2024-01-08 00:00:00'
+      |        AND date_trunc('second', ts)
+      |          < TIMESTAMP '2024-01-22 00:00:00'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_feat,
+      |    CAST(sum(CASE WHEN date_trunc('second', ts)
+      |          >= TIMESTAMP '2024-01-22 00:00:00'
+      |        AND date_trunc('second', ts)
+      |          < TIMESTAMP '2024-01-23 00:00:00'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_future
+      |  FROM events GROUP BY user_id),
+      |labeled AS (
+      |  SELECT least(n_feat // 10, 5) AS band,
+      |    CASE WHEN n_future = 0 THEN 1 ELSE 0 END AS churned
+      |  FROM u)
+      |SELECT band, count(*) AS n_users,
+      |  CAST(sum(churned) AS BIGINT) AS n_churned,
+      |  CAST(round(sum(churned) * 1000000.0 / count(*)) AS BIGINT)
+      |    AS churn_rate_e6
+      |FROM labeled
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q342 — discount-response curve: quantity response per integer
+  // discount band (0–10 %), with arc elasticity between adjacent
+  // bands — (Δq̄/q̄_prev)/(Δd/d_prev), null at the zero-discount
+  // band where the denominator is undefined. Quantities are
+  // integral doubles, summed as exact BIGINTs; the band grain is 11
+  // rows, so the adjacent-band self-join is broadcast and the
+  // elasticity arithmetic is one identical IEEE expression tree in
+  // both engines with a single rounded e6 at the end.
+  // ---------------------------------------------------------------------
+  private def q342(s: SparkSession, dir: String): DataFrame = {
+    val bands = t(s, dir, "lineitem")
+      .select(round(col("l_discount") * 100).cast("long").as("band"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).cast("long").as("sum_q"))
+      .pin() // feeds both sides of the adjacent-band join (11 rows)
+    val avg = col("sum_q").cast("double") / col("n")
+    val cur = bands.select(col("band"), col("n"), col("sum_q"),
+      avg.as("avg_q"))
+    val prev = bands.select((col("band") + 1).as("band"),
+      col("n").as("n_prev"), avg.as("avg_prev"))
+    cur.join(broadcast(prev), Seq("band"), "left")
+      .select(col("band"), col("n"),
+        round(col("avg_q") * 1000000.0).cast("long").as("avg_qty_e6"),
+        when(col("avg_prev").isNotNull && col("band") > 1,
+          round((col("avg_q") - col("avg_prev")) / col("avg_prev") /
+            ((col("band").cast("double") -
+              (col("band") - 1).cast("double")) /
+              (col("band") - 1).cast("double")) * 1000000.0)
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("elasticity_e6"))
+      .orderBy(col("band"))
+  }
+
+  private val q342Sql =
+    """WITH bands AS MATERIALIZED (
+      |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS band,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q
+      |  FROM lineitem GROUP BY 1)
+      |SELECT c.band AS band, c.n AS n,
+      |  CAST(round(CAST(c.sum_q AS DOUBLE) / c.n * 1000000.0) AS BIGINT)
+      |    AS avg_qty_e6,
+      |  CASE WHEN p.band IS NOT NULL AND c.band > 1 THEN
+      |    CAST(round(
+      |      (CAST(c.sum_q AS DOUBLE) / c.n
+      |        - CAST(p.sum_q AS DOUBLE) / p.n)
+      |      / (CAST(p.sum_q AS DOUBLE) / p.n)
+      |      / ((CAST(c.band AS DOUBLE) - CAST(c.band - 1 AS DOUBLE))
+      |         / CAST(c.band - 1 AS DOUBLE))
+      |      * 1000000.0) AS BIGINT)
+      |  ELSE NULL END AS elasticity_e6
+      |FROM bands c
+      |LEFT JOIN bands p ON p.band = c.band - 1
+      |ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q341_churn_labels" -> (q341 _),
+    "q342_discount_curve" -> (q342 _),
     "q332_copurchase_lift" -> (q332 _),
     "q335_oof_target_encoding" -> (q335 _),
     "q336_transition_census" -> (q336 _),
@@ -339,6 +457,8 @@ object Features {
     "q338_decile_drift" -> (q338 _))
 
   val oracle: Map[String, String] = Map(
+    "q341_churn_labels" -> q341Sql,
+    "q342_discount_curve" -> q342Sql,
     "q332_copurchase_lift" -> q332Sql,
     "q335_oof_target_encoding" -> q335Sql,
     "q336_transition_census" -> q336Sql,

@@ -1003,6 +1003,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("q341: churn labels are one conditional user-grain aggregate " +
+       "— no join, no window (point-in-time by construction)") {
+    val p = plan("q341_churn_labels")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q342: discount curve joins the 11-row band grain broadcast; " +
+       "no window") {
+    val p = plan("q342_discount_curve")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("q339: prefix-cache audit is three grouped aggregates — no " +
        "join, no window") {
     val p = plan("q339_prefix_cache")
