@@ -108,18 +108,24 @@ object Bench {
     // cross-round regression tables need a committed copy per round.
     // Round number = SPARK_GRAFT_ROUND, else max existing BENCH_r*.json
     // + 1 (the driver writes BENCH_r<N> AFTER this bench runs).
+    // Round inference needs at least one BENCH_r*.json next to the
+    // output file; with SPARK_GRAFT_BENCH_FULL pointed at a fresh
+    // directory the fallback would restart at r0 and could silently
+    // overwrite an unrelated bench_full_r0.json — so without either
+    // an explicit SPARK_GRAFT_ROUND or an inferable round, skip the
+    // archive (bench_full.json itself is always written).
     if (only.isEmpty) {
-      val roundN = sys.env.get("SPARK_GRAFT_ROUND").flatMap(r =>
-        scala.util.Try(r.toInt).toOption).getOrElse {
+      val roundN: Option[Int] = sys.env.get("SPARK_GRAFT_ROUND").flatMap(r =>
+        scala.util.Try(r.toInt).toOption).orElse {
         val re = "BENCH_r0*([0-9]+)\\.json".r
         val seen = Option(outPath.toAbsolutePath.getParent.toFile.list())
           .getOrElse(Array.empty[String])
           .collect { case re(n) => n.toInt }
-        if (seen.nonEmpty) seen.max + 1 else 0
+        if (seen.nonEmpty) Some(seen.max + 1) else None
       }
-      java.nio.file.Files.write(
-        outPath.resolveSibling(s"bench_full_r$roundN.json"),
-        fullJson.getBytes("UTF-8"))
+      roundN.foreach(n => java.nio.file.Files.write(
+        outPath.resolveSibling(s"bench_full_r$n.json"),
+        fullJson.getBytes("UTF-8")))
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val mean = if (results.nonEmpty) total / results.size else 0.0

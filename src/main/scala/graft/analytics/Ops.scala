@@ -20,7 +20,12 @@ import graft.operators.Curate
   *
   * Cross-engine discipline: integer-exact sums (e2 cents), squares
   * accumulated in decimal(38,0)/HUGEINT, one rounded division at the
-  * end. Accepted runtime-libm exception (the q285/q286 precedent):
+  * end. Final decimals must NOT survive into a result schema: the
+  * correctness driver hashes Spark `Decimal` and DuckDB
+  * HUGEINT→float64 differently even when numerically identical
+  * (the round-6 q307 red row), so every decimal intermediate is
+  * cast back to BIGINT/DOUBLE — with a loud bound guard — before
+  * the final select. Accepted runtime-libm exception (the q285/q286 precedent):
   * q305's Laplace inverse-CDF takes one `ln` per PUBLISHED CELL
   * (≤ 5·31 rows) on an identical hash-derived double in both
   * engines, rounded to an integer at the point of computation.
@@ -566,8 +571,18 @@ object Ops {
       .select(col("m.day").as("cp_day"), col("m.t").as("t"),
         col("m.cum_e2").as("cum_e2"), col("m.s_scaled").as("s_max"),
         col("m.n_days").as("n_days"), col("m.tot_e2").as("tot_e2"))
+    // The decimal widening is for the INTERMEDIATE product only: a
+    // final DecimalType column hashes differently across engines
+    // (Spark Decimal vs DuckDB HUGEINT→float64) even when the value
+    // is identical, so the result schema must leave the decimal
+    // domain. |s_max| ≤ n_days·tot_e2 has ~250× INT64 headroom
+    // through ~sf25; past the envelope the guard fails loudly on
+    // both engines (Spark raise_error, DuckDB HUGEINT→BIGINT cast).
+    val i64Max = lit(Long.MaxValue).cast("decimal(38,0)")
     cp.select(col("cp_day"), col("n_days"),
-      abs(col("s_max")).cast("decimal(38,0)").as("s_max"),
+      when(abs(col("s_max")) <= i64Max, abs(col("s_max")).cast("long"))
+        .otherwise(raise_error(lit("q307: |s_max| exceeds INT64")))
+        .as("s_max"),
       round(col("cum_e2").cast("double") / col("t").cast("double"))
         .cast("long").as("mean_before_e2"),
       round((col("tot_e2") - col("cum_e2")).cast("double") /
@@ -601,7 +616,8 @@ object Ops {
       |    AS BIGINT) AS mean_before_e2,
       |  CAST(round(CAST(tot_e2 - cum_e2 AS DOUBLE)
       |    / CAST(n_days - t AS DOUBLE)) AS BIGINT) AS mean_after_e2
-      |FROM (SELECT day AS cp_day, n_days, abs(s_scaled) AS s_max,
+      |FROM (SELECT day AS cp_day, n_days,
+      |        CAST(abs(s_scaled) AS BIGINT) AS s_max,
       |        cum_e2, t, tot_e2 FROM cp)""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -631,11 +647,21 @@ object Ops {
         sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
         sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
         sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      // a zero-variance window (constant x or y over a lag) zeroes
+      // the sqrt denominator: Spark would cast the Infinity/NaN to
+      // Long.MaxValue while DuckDB errors on CAST(round(inf)) — emit
+      // NULL on both engines instead (the q295 divergent-failure fix)
+      .withColumn("vx", d(col("n")) * d(col("sxx")) -
+        d(col("sx")) * d(col("sx")))
+      .withColumn("vy", d(col("n")) * d(col("syy")) -
+        d(col("sy")) * d(col("sy")))
       .select(col("lag"), col("n"),
-        round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
-          / sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
-            * (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))
-          * 1000000.0).cast("long").as("r_e6"))
+        when(col("vx") === 0.0 || col("vy") === 0.0,
+          lit(null).cast("long"))
+          .otherwise(round((d(col("n")) * d(col("sxy")) -
+            d(col("sx")) * d(col("sy")))
+            / sqrt(col("vx") * col("vy")) * 1000000.0).cast("long"))
+          .as("r_e6"))
       .orderBy("lag")
   }
 
@@ -658,16 +684,19 @@ object Ops {
       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
       |    sum(CAST(y AS HUGEINT) * y) AS syy
-      |  FROM joined GROUP BY 1)
+      |  FROM joined GROUP BY 1),
+      |v AS (
+      |  SELECT *, CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      |  FROM m)
       |SELECT lag, n,
-      |  CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+      |    ELSE CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-      |    * 1000000.0) AS BIGINT) AS r_e6
-      |FROM m ORDER BY lag""".stripMargin
+      |      / sqrt(vx * vy) * 1000000.0) AS BIGINT) END AS r_e6
+      |FROM v ORDER BY lag""".stripMargin
 
   // ---------------------------------------------------------------------
   // q309 — graph-diameter probe by double BFS (the standard lower
@@ -976,9 +1005,13 @@ object Ops {
         .as("emd_num"),
         max(col("n_tot")).as("nt"), max(col("n_bins")).as("nb"))
       .select(col("event_type"), col("day"), col("n_class"),
-        round(col("emd_num").cast("double") /
-          (col("nt").cast("double") * col("n_class").cast("double") *
-            (col("nb") - 1).cast("double")) * 1000000.0).cast("long")
+        // a degenerate single-bin distribution zeroes (nb−1): Spark
+        // would cast the Infinity to Long.MaxValue while DuckDB
+        // errors on the cast — emit NULL on both engines instead
+        when(col("nb") <= 1, lit(null).cast("long"))
+          .otherwise(round(col("emd_num").cast("double") /
+            (col("nt").cast("double") * col("n_class").cast("double") *
+              (col("nb") - 1).cast("double")) * 1000000.0).cast("long"))
           .as("emd_e6"))
       .orderBy(col("emd_e6").desc, col("event_type"), col("day"))
       .limit(20)
@@ -1013,12 +1046,13 @@ object Ops {
       |      ORDER BY bin) AS BIGINT) AS cum_g
       |  FROM dense)
       |SELECT event_type, day, n_class,
-      |  CAST(round(CAST(sum(abs(CAST(cum_c AS HUGEINT) * n_tot
+      |  CASE WHEN n_bins <= 1 THEN NULL
+      |    ELSE CAST(round(CAST(sum(abs(CAST(cum_c AS HUGEINT) * n_tot
       |        - CAST(cum_g AS HUGEINT) * n_class))
       |      AS DOUBLE)
       |    / (CAST(n_tot AS DOUBLE) * CAST(n_class AS DOUBLE)
       |      * CAST(n_bins - 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
-      |    AS emd_e6
+      |    END AS emd_e6
       |FROM cum CROSS JOIN tot
       |GROUP BY event_type, day, n_class, n_tot, n_bins
       |ORDER BY emd_e6 DESC, event_type, day LIMIT 20""".stripMargin

@@ -26,6 +26,15 @@ import org.apache.spark.sql.Dataset
   * Counters are plain atomics, not Spark accumulators: pins execute
   * eagerly on the driver thread during plan construction, so driver-
   * side counting is exact.
+  *
+  * SEQUENTIAL-ONLY CONTRACT: this is a process-global singleton.
+  * While [[enable]]d, exactly one query may be constructed at a time
+  * — concurrent construction interleaves the counters, and the
+  * bench's post-fingerprint cleanup unpersists ALL session
+  * persistent RDDs, not just the fingerprinted query's checkpoint
+  * blocks. The bench runner (the only enabler) is single-threaded
+  * by construction; any future parallel harness must keep the
+  * fingerprint pass outside its parallel section.
   */
 object PlanStats {
 

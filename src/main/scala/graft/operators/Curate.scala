@@ -449,6 +449,13 @@ object Curate {
     * change that grows the input past its declared bound fails
     * loudly, pointing at the site that must be rewritten onto
     * [[globalRank]].
+    *
+    * The bound is a FAIL-LOUD CHECK, not scale protection: the
+    * `raise_error` projection evaluates lazily per CONSUMED row, so
+    * a downstream limit/early-out that never materializes rows past
+    * `maxRows` leaves a violation undetected, and the whole input
+    * still sorts through one task before any raise fires. Callers
+    * that consume a prefix must validate the count separately.
     */
   def boundedRank(df: DataFrame, maxRows: Long, rankName: String,
                   sortCols: Column*): DataFrame = {

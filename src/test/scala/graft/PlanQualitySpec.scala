@@ -1112,4 +1112,41 @@ class PlanQualitySpec extends AnyFunSuite {
       s"allowlist entries no longer in source (update the lint):\n" +
         stale.mkString("\n"))
   }
+
+  // Output-type parity lint (the round-6 q307 lesson): the
+  // correctness driver hashes values AFTER fetching both engines'
+  // results, and some types round-trip differently — Spark
+  // `Decimal('x')` vs DuckDB HUGEINT→float64 `x.0` hash as UNEQUAL
+  // even when numerically identical. So no final result column may
+  // be DecimalType (decimals are for INTERMEDIATE overflow-safe
+  // arithmetic only — cast back to BIGINT/DOUBLE with a bound guard
+  // before the final select) and none may be FloatType (float32
+  // formatting vs DuckDB's float64 is the same hazard). This sweeps
+  // the ANALYZED schema of every gate query, so the q307 class
+  // cannot reach the driver again.
+  test("output-type parity lint: no final Decimal/Float column in " +
+       "any gate query's result schema") {
+    import org.apache.spark.sql.types.{DataType, ArrayType, MapType,
+      StructType, DecimalType, FloatType}
+    def offending(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType => Seq(s"$path: $dt")
+      case FloatType => Seq(s"$path: $dt")
+      case ArrayType(et, _) => offending(et, s"$path[]")
+      case MapType(kt, vt, _) =>
+        offending(kt, s"$path.key") ++ offending(vt, s"$path.value")
+      case st: StructType =>
+        st.fields.toSeq.flatMap(f => offending(f.dataType,
+          s"$path.${f.name}"))
+      case _ => Nil
+    }
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val schema = SparkEntry.queries(name)(spark, TestSpark.sf001).schema
+      schema.fields.toSeq.flatMap(f =>
+        offending(f.dataType, s"$name.${f.name}"))
+    }
+    assert(bad.isEmpty,
+      s"final Decimal/Float column(s) would hash-mismatch the oracle " +
+        s"— cast to BIGINT/DOUBLE before the final select:\n" +
+        bad.mkString("\n"))
+  }
 }
