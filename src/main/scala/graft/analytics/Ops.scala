@@ -1185,6 +1185,32 @@ object Ops {
   }
 
   // ---------------------------------------------------------------------
+  // q343 — the connector's AGGREGATE pushdown in the gate
+  // (SupportsPushDownAggregates — the connector analogue of
+  // answering MIN/MAX/COUNT from parquet footer stats): a global
+  // COUNT(*)/MIN/MAX over the synthetic source with an id-range
+  // filter collapses AT THE SOURCE into one closed-form row — the
+  // scan generates zero rows (plan-asserted in PlanQualitySpec: the
+  // BatchScan reports PushedAggregates and no row-generating
+  // partition survives). Filters push before aggregates, so the
+  // pushed range is the filtered one. The oracle computes the same
+  // aggregate over DuckDB's range() — honest arithmetic, not a
+  // copied literal.
+  // ---------------------------------------------------------------------
+  private def q343(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.SynthEventsProvider")
+      .option("rows", "100000").load()
+      .filter(col("event_id") >= 12345L && col("event_id") < 87654L)
+      .agg(count(lit(1)).as("n_rows"), min("event_id").as("min_id"),
+        max("event_id").as("max_id"))
+
+  private val q343Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(i) AS BIGINT) AS min_id,
+      |  CAST(max(i) AS BIGINT) AS max_id
+      |FROM (SELECT unnest(range(12345, 87654)) AS i)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q326 — sequence-packing efficiency audit (the pad-vs-concat
   // question every pretraining pipeline answers before burning
   // compute): for L=512-token sequences, compare (a) one padded
@@ -1500,7 +1526,8 @@ object Ops {
     "q324_dsv2_source" -> (q324 _),
     "q325_dsv2_stream" -> (q325 _),
     "q326_packing_efficiency" -> (q326 _),
-    "q327_best_of_n" -> (q327 _))
+    "q327_best_of_n" -> (q327 _),
+    "q343_dsv2_agg_pushdown" -> (q343 _))
 
   val oracle: Map[String, String] = Map(
     "q298_skew_lint" -> q298Sql,
@@ -1527,5 +1554,6 @@ object Ops {
     "q324_dsv2_source" -> q324Sql,
     "q325_dsv2_stream" -> q325Sql,
     "q326_packing_efficiency" -> q326Sql,
-    "q327_best_of_n" -> q327Sql)
+    "q327_best_of_n" -> q327Sql,
+    "q343_dsv2_agg_pushdown" -> q343Sql)
 }

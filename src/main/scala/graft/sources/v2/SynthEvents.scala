@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -38,7 +40,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    residuals);
   *  - partition planning: the surviving id range splits into `parts`
   *    equal [[InputPartition]]s, so generation parallelizes exactly
-  *    like a file scan's splits.
+  *    like a file scan's splits;
+  *  - [[SupportsPushDownAggregates]]: ungrouped COUNT(*) /
+  *    COUNT(col) / MIN(event_id) / MAX(event_id) collapse COMPLETELY
+  *    at the source into one closed-form row over the (already
+  *    filter-narrowed) id range — the connector analogue of
+  *    answering MIN/MAX/COUNT from parquet footer stats (gate query
+  *    q343 asserts the plan is Project-over-BatchScan with zero
+  *    aggregate operators). Grouped/distinct aggregates are declined
+  *    and evaluated by Spark over the generated rows.
   *
   * Columns are integers + a low-cardinality string: exact on any
   * engine, no float parity concerns in the oracle.
@@ -110,12 +120,14 @@ class SynthEventsTable(options: CaseInsensitiveStringMap)
 
 class SynthScanBuilder(rows: Long, users: Long, parts: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = rows
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SynthEvents.schema
+  private var aggs: Option[Seq[AggregateFunc]] = None
 
   // id-range predicates narrow the generated range at PLANNING time;
   // anything else stays a residual for Spark
@@ -151,8 +163,86 @@ class SynthScanBuilder(rows: Long, users: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SynthScan(math.min(lo, hi), hi, users, parts, required)
+  // ---- aggregate pushdown: the connector analogue of parquet footer
+  // stats. COUNT(*)/MIN(event_id)/MAX(event_id) over the (already
+  // filter-narrowed — Spark pushes filters BEFORE aggregates) id
+  // range have closed forms: hi−lo, lo, hi−1. The scan then does
+  // ZERO generation work — it emits one precomputed row, exactly as
+  // a parquet reader answers MIN/MAX from footers without touching
+  // pages. Grouped or non-id aggregates are declined and Spark
+  // evaluates them over the generated rows as before.
+  private def isIdRef(e: V2Expression): Boolean = e match {
+    case r: NamedReference =>
+      r.fieldNames.length == 1 && r.fieldNames()(0) == "event_id"
+    case _ => false
+  }
+  private def supported(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    // COUNT(col) over any non-null generated column ≡ COUNT(*);
+    // COUNT(lit) likewise (no nulls anywhere in this source) —
+    // but never COUNT(DISTINCT …)
+    case c: Count if !c.isDistinct =>
+      c.column.isInstanceOf[NamedReference] ||
+        c.column.isInstanceOf[V2Literal[_]]
+    case m: Min => isIdRef(m.column)
+    case m: Max => isIdRef(m.column)
+    case _ => false
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(supported)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supportCompletePushDown(agg) && {
+      aggs = Some(agg.aggregateExpressions.toSeq)
+      true
+    }
+
+  override def build(): Scan = aggs match {
+    case Some(fs) => new SynthAggScan(math.min(lo, hi), hi, fs, pushed)
+    case None => new SynthScan(math.min(lo, hi), hi, users, parts, required)
+  }
+}
+
+/** Completely-pushed-down aggregate over the generated id range: one
+  * partition, one row, closed-form values — no row generation at all.
+  */
+class SynthAggScan(lo: Long, hi: Long, fs: Seq[AggregateFunc],
+                   pushedF: Array[Filter]) extends Scan with Batch {
+  private val empty = hi <= lo
+  override def readSchema(): StructType = StructType(fs.zipWithIndex.map {
+    case (_: CountStar | _: Count, i) =>
+      StructField(s"agg$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"synth_events PushedRange($lo,$hi) PushedAggregates [" +
+      fs.map(_.toString).mkString(", ") + s"] pushedFilters=" +
+      pushedF.mkString(",")
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthPartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = fs.map {
+      case _: CountStar | _: Count => (math.max(0L, hi - lo)): Any
+      case _: Min => if (empty) null else lo
+      case _: Max => if (empty) null else hi - 1
+      case f => throw new IllegalStateException(s"unpushable agg $f")
+    }.toArray
+    new SynthAggReaderFactory(values)
+  }
+}
+
+class SynthAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(values.clone())
+      override def close(): Unit = ()
+    }
 }
 
 class SynthScan(val lo: Long, val hi: Long, users: Long, parts: Int,

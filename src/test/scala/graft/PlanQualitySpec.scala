@@ -1113,6 +1113,15 @@ class PlanQualitySpec extends AnyFunSuite {
         stale.mkString("\n"))
   }
 
+  test("q343: global COUNT/MIN/MAX collapse INSIDE the DSv2 source — " +
+       "the plan is Project-over-BatchScan with PushedAggregates, " +
+       "no aggregate operator, no exchange") {
+    val p = plan("q343_dsv2_agg_pushdown")
+    assert(p.contains("PushedAggregates"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   // Output-type parity lint (the round-6 q307 lesson): the
   // correctness driver hashes values AFTER fetching both engines'
   // results, and some types round-trip differently — Spark

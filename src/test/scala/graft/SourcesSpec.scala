@@ -156,4 +156,37 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(probe == (0L until 5L).map(i => SynthEvents.hash60(s"v2e:$i")))
   }
+
+  test("DSv2 aggregate pushdown: COUNT/MIN/MAX collapse at the " +
+       "source (closed form over the filtered range); empty range " +
+       "gives 0/NULL/NULL; grouped aggregates are declined") {
+    import org.apache.spark.sql.functions._
+    def src = spark.read
+      .format("graft.sources.v2.SynthEventsProvider")
+      .option("rows", "1000").load()
+    val agg = src.filter(col("event_id") >= 100L && col("event_id") < 900L)
+      .agg(count(lit(1)).as("n"), min("event_id").as("mn"),
+        max("event_id").as("mx"))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregates"), p)
+    assert(!p.contains("HashAggregate"), p)
+    val r = agg.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((800L, 100L, 899L)))
+    // empty surviving range: COUNT 0, MIN/MAX NULL — SQL semantics
+    val e = src.filter(col("event_id") >= 5000L)
+      .agg(count(lit(1)).as("n"), min("event_id").as("mn")).collect()(0)
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+    // grouped aggregate must NOT be claimed: the source declines and
+    // Spark aggregates the generated rows itself
+    val g = src.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val gp = g.queryExecution.executedPlan.toString
+    assert(!gp.contains("PushedAggregates"), gp)
+    assert(gp.contains("HashAggregate"), gp)
+    assert(g.agg(sum("n")).collect()(0).getLong(0) == 1000L)
+    // COUNT(DISTINCT …) must not be claimed either
+    val d = src.agg(countDistinct("event_type").as("n"))
+    assert(!d.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(d.collect()(0).getLong(0) == 5L)
+  }
 }
