@@ -40,8 +40,14 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
-    names.foreach(run)
-    names.foreach(run)
+    // pass counts are env-tunable for the big-SF runs: at sf1 a full
+    // 2+2 protocol is hours; 1 warmup + 1 measured pass still gives
+    // growth-factor-accurate numbers (the times are large relative to
+    // noise there). Defaults keep the per-round sf0.1 protocol.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "2").toInt
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    (1 to warmups).foreach(_ => names.foreach(run))
     // a throwing query records -1, never a fast "success": a broken
     // query must not improve the benchmark total
     def measure(): Map[String, Double] = names.map { name =>
@@ -49,13 +55,19 @@ object Bench {
       val ok = run(name)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    // TWO separated measured passes, min per query: steady-state
-    // timing that a transient external load spike (which spans one
-    // pass, not both) cannot inflate. A -1 failure is sticky — min
-    // keeps it.
-    val m1 = measure()
-    val m2 = measure()
-    val results = names.map(n => n -> math.min(m1(n), m2(n))).toMap
+    // SEPARATED measured passes, min per query: steady-state timing
+    // that a transient external load spike (which spans one pass, not
+    // both) cannot inflate. A -1 failure is sticky — min keeps it.
+    val ms = (1 to passes).map(_ => measure())
+    val results = names.map(n => n -> ms.map(_(n)).min).toMap
+    // per-query noise band: max-min across the measured passes. A
+    // cross-round diff smaller than a query's own spread is not a
+    // regression call (tools/bench_diff.py consumes this); one pass
+    // means no band is observable — spread is omitted, not zero.
+    val spreads: Option[Map[String, Double]] = if (passes >= 2)
+      Some(names.map(n =>
+        n -> (ms.map(_(n)).max - ms.map(_(n)).min)).toMap)
+    else None
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The harness that collects this output keeps only the last ~2 kB
     // of stdout; a single JSON line with ~142 per-query timings is
@@ -65,6 +77,9 @@ object Bench {
     // path to the full dump.
     val qs = names.map(n => s"\"" + n + "\":" + results(n))
       .mkString("{", ",", "}")
+    val spreadJson = spreads.map(sp => names.map(n =>
+      s"\"" + n + "\":" + math.rint(sp(n) * 1000) / 1000)
+      .mkString(",\"spread\":{", ",", "}")).getOrElse("")
     // plan fingerprints for the slowest 10: exchange/broadcast counts
     // + interpreted-HOF presence, so a q217-style pathology (one
     // query dominating the bench via a per-row lambda) is visible in
@@ -100,7 +115,7 @@ object Bench {
     }.mkString("{", ",", "}")
     graft.core.PlanStats.disable()
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans_slowest":$fingerprints,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$spreadJson,"plans_slowest":$fingerprints,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))

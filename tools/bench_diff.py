@@ -13,8 +13,15 @@ import sys
 a_path, b_path = sys.argv[1], sys.argv[2]
 n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
 
-a = json.load(open(a_path))["queries"]
-b = json.load(open(b_path))["queries"]
+a_doc = json.load(open(a_path))
+b_doc = json.load(open(b_path))
+a, b = a_doc["queries"], b_doc["queries"]
+# per-query noise band (max-min over the archive's measured passes,
+# round 7+): a delta inside the band of EITHER round is marked "noise"
+# instead of being called a regression/improvement
+spread = {q: max(a_doc.get("spread", {}).get(q, 0.0),
+                 b_doc.get("spread", {}).get(q, 0.0))
+          for q in set(a) | set(b)}
 
 shared = sorted(set(a) & set(b))
 added = sorted(set(b) - set(a))
@@ -32,14 +39,17 @@ if added:
     print(f"added total: {sum(b[q] for q in added):.1f}s "
           f"({', '.join(added[:8])}{'...' if len(added) > 8 else ''})")
 
+def band(q, d):
+    return "  [noise]" if abs(d) <= spread.get(q, 0.0) else ""
+
 print(f"\ntop {n} regressions (delta > 0.2s):")
 for q, ta, tb, d in sorted(rows, key=lambda r: -r[3])[:n]:
     if d <= 0.2:
         break
-    print(f"  {q:40s} {ta:7.2f} -> {tb:7.2f}  {d:+.2f}s")
+    print(f"  {q:40s} {ta:7.2f} -> {tb:7.2f}  {d:+.2f}s{band(q, d)}")
 
 print(f"\ntop {n} improvements (delta < -0.2s):")
 for q, ta, tb, d in sorted(rows, key=lambda r: r[3])[:n]:
     if d >= -0.2:
         break
-    print(f"  {q:40s} {ta:7.2f} -> {tb:7.2f}  {d:+.2f}s")
+    print(f"  {q:40s} {ta:7.2f} -> {tb:7.2f}  {d:+.2f}s{band(q, d)}")
