@@ -339,6 +339,133 @@ object DecisionSupport {
       |JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY rev_e2 DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q344 — important part stock (TPC-H Q11 shape): parts whose total
+  // revenue exceeds 1.5× the AVERAGE part's — the scalar-subquery
+  // HAVING, made scale-invariant (a fixed global fraction empties as
+  // the part count grows). The global total broadcasts back as a
+  // 1-row cross join (never a second fact scan), and the compare
+  // cross-multiplies to exact integers in decimal(38,0):
+  // 2·val_e2·n_parts > 3·tot_e2 — val_e2·n_parts ≈ 1e13·2e7 at
+  // 100 TB overflows INT64, so the PRODUCT is decimal; only BIGINTs
+  // reach the output schema (the q307 lesson). One fact scan feeds
+  // both sides (pin).
+  // ---------------------------------------------------------------------
+  private def q344(s: SparkSession, dir: String): DataFrame = {
+    val perPart = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("val_e2"))
+      .pin() // global total + threshold filter share this aggregate
+    val tot = perPart.agg(sum("val_e2").as("tot_e2"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(tot))
+      .filter(col("val_e2").cast("decimal(38,0)") * 2 * col("n_parts") >
+        col("tot_e2").cast("decimal(38,0)") * 3)
+      .select(col("l_partkey"), col("val_e2"))
+      .orderBy(col("val_e2").desc, col("l_partkey"))
+  }
+
+  private val q344Sql =
+    """WITH perpart AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS val_e2
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(val_e2) AS BIGINT) AS tot_e2,
+      |        CAST(count(*) AS BIGINT) AS n_parts FROM perpart)
+      |SELECT l_partkey, val_e2
+      |FROM perpart, tot
+      |WHERE CAST(val_e2 AS HUGEINT) * 2 * n_parts
+      |  > CAST(tot_e2 AS HUGEINT) * 3
+      |ORDER BY val_e2 DESC, l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q345 — supplier count by part attributes (TPC-H Q16 shape): per
+  // (brand, type, size) group, how many DISTINCT suppliers actually
+  // shipped that part — the part–supplier relation derived from the
+  // fact table (this schema has no partsupp), suppliers in bad
+  // standing (negative balance — the spec's complaints exclusion)
+  // removed by NOT IN, planned as an anti join of a broadcast-sized
+  // exclusion list. The pair-distinct shuffles once on l_partkey ×
+  // l_suppkey; the group count is a second, far smaller aggregate.
+  // ---------------------------------------------------------------------
+  private def q345(s: SparkSession, dir: String): DataFrame = {
+    val badSupp = t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val ps = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+    ps.join(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  private val q345Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_suppkey NOT IN
+      |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q346 — idle wealthy customers (TPC-H Q22 shape): per nation,
+  // customers with above-average positive balance and NO order in the
+  // final quarter — the avg scalar subquery plus NOT EXISTS (against
+  // a filtered order set: in this data every customer has SOME order,
+  // so the spec's never-ordered predicate would be vacuous). The
+  // average compare cross-multiplies to exact integers
+  // (bal_e2·n_pos vs sum_e2 in decimal — bal_e2·n ≈ 1e6·1.5e9 at
+  // 100 TB overflows INT64), and NOT EXISTS plans as a LEFT ANTI
+  // join against the quarter's order keys.
+  // ---------------------------------------------------------------------
+  private def q346(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_e2"))
+      .pin() // average + threshold filter share this scan
+    val avg = cust.filter(col("bal_e2") > 0)
+      .agg(sum("bal_e2").as("sum_e2"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(avg))
+      .filter(col("bal_e2").cast("decimal(38,0)") * col("n_pos") >
+        col("sum_e2").cast("decimal(38,0)"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2001-10-01"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), sum("bal_e2").as("totbal_e2"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val q346Sql =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2
+      |  FROM customer),
+      |a AS (SELECT CAST(sum(bal_e2) AS BIGINT) AS sum_e2,
+      |        CAST(count(*) AS BIGINT) AS n_pos
+      |      FROM cust WHERE bal_e2 > 0)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(bal_e2) AS BIGINT) AS totbal_e2
+      |FROM cust, a
+      |WHERE CAST(bal_e2 AS HUGEINT) * n_pos > CAST(sum_e2 AS HUGEINT)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2001-10-01')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q316_order_count_dist" -> (q316 _),
     "q317_small_qty_revenue" -> (q317 _),
@@ -347,7 +474,10 @@ object DecisionSupport {
     "q320_only_late_supplier" -> (q320 _),
     "q321_promo_share" -> (q321 _),
     "q322_top_supplier_quarter" -> (q322 _),
-    "q323_returned_customers" -> (q323 _))
+    "q323_returned_customers" -> (q323 _),
+    "q344_part_value_fraction" -> (q344 _),
+    "q345_supplier_cnt_by_attrs" -> (q345 _),
+    "q346_idle_customers" -> (q346 _))
 
   val oracle: Map[String, String] = Map(
     "q316_order_count_dist" -> q316Sql,
@@ -357,5 +487,8 @@ object DecisionSupport {
     "q320_only_late_supplier" -> q320Sql,
     "q321_promo_share" -> q321Sql,
     "q322_top_supplier_quarter" -> q322Sql,
-    "q323_returned_customers" -> q323Sql)
+    "q323_returned_customers" -> q323Sql,
+    "q344_part_value_fraction" -> q344Sql,
+    "q345_supplier_cnt_by_attrs" -> q345Sql,
+    "q346_idle_customers" -> q346Sql)
 }
