@@ -263,13 +263,299 @@ object Evaluation {
        |      * 1000000.0) AS BIGINT) END AS surv_e6
        |FROM curve ORDER BY lt""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q348 — clipped n-gram precision (the BLEU modified-precision
+  // core, corpus-graded): for each candidate/reference doc pair,
+  // Σ_g min(cnt_cand(g), cnt_ref(g)) / Σ_g cnt_cand(g) over bigrams —
+  // the clip is what stops "the the the" from scoring. Pairs come
+  // from a BLOCKED pairing (docs sharing their first-3-word key,
+  // each candidate matched to the next doc_id in its block via one
+  // window lead — never all-pairs); gram matching is an equi-join on
+  // (ref_id, gram). Rolled up per language: mean precision e6.
+  // ---------------------------------------------------------------------
+  private def q348(s: SparkSession, dir: String): DataFrame = {
+    val w = graft.functions.Text.words(col("text"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("blk", concat_ws(" ", slice(w, 1, 3)))
+    val pairs = docs
+      .withColumn("ref_id", lead(col("doc_id"), 1).over(
+        Window.partitionBy("blk").orderBy("doc_id")))
+      .filter(col("ref_id").isNotNull)
+      .select(col("doc_id").as("cand_id"), col("ref_id"), col("lang"))
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.Text.shinglesFromTokens(
+          graft.functions.Text.words(col("text")), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .pin() // both sides of the pair join read this grain
+    val cg = grams.select(col("doc_id").as("cand_id"), col("gram"),
+      col("cnt").as("c_cnt"))
+    val rg = grams.select(col("doc_id").as("r_id"), col("gram").as("r_gram"),
+      col("cnt").as("r_cnt"))
+    pairs.join(cg, Seq("cand_id"))
+      .join(rg, col("ref_id") === col("r_id") &&
+        col("gram") === col("r_gram"), "left")
+      .groupBy(col("cand_id"), col("lang"))
+      .agg(sum(least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L))))
+        .as("clipped"), sum("c_cnt").as("total"))
+      .select(col("lang"),
+        round(col("clipped").cast("double") / col("total").cast("double")
+          * 1000000.0).cast("long").as("prec_e6"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"), sum("prec_e6").as("sum_prec_e6"))
+      .select(col("lang"), col("n_pairs"),
+        round(col("sum_prec_e6").cast("double") /
+          col("n_pairs").cast("double")).cast("long").as("mean_prec_e6"))
+      .orderBy(col("lang"))
+  }
+
+  private val q348Sql =
+    """WITH wl AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |blocked AS (
+      |  SELECT doc_id, lang, array_to_string(ws[1:3], ' ') AS blk
+      |  FROM wl),
+      |pairs AS (
+      |  SELECT doc_id AS cand_id,
+      |    lead(doc_id, 1) OVER (PARTITION BY blk ORDER BY doc_id)
+      |      AS ref_id,
+      |    lang
+      |  FROM blocked),
+      |grams AS (
+      |  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(len(ws) - 1),
+      |        i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+      |    FROM wl WHERE len(ws) >= 2)
+      |  GROUP BY 1, 2),
+      |per_pair AS (
+      |  SELECT p.cand_id, p.lang,
+      |    CAST(sum(least(c.cnt, coalesce(r.cnt, 0))) AS BIGINT)
+      |      AS clipped,
+      |    CAST(sum(c.cnt) AS BIGINT) AS total
+      |  FROM pairs p
+      |  JOIN grams c ON c.doc_id = p.cand_id
+      |  LEFT JOIN grams r ON r.doc_id = p.ref_id AND r.gram = c.gram
+      |  WHERE p.ref_id IS NOT NULL
+      |  GROUP BY 1, 2),
+      |prec AS (
+      |  SELECT lang,
+      |    CAST(round(CAST(clipped AS DOUBLE) / CAST(total AS DOUBLE)
+      |      * 1000000.0) AS BIGINT) AS prec_e6
+      |  FROM per_pair)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(round(CAST(sum(prec_e6) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_prec_e6
+      |FROM prec GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q349 — pass@k estimation (the HumanEval-style functional-
+  // correctness metric): given n samples per task of which c are
+  // correct, the unbiased estimator pass@k = 1 − C(n−c,k)/C(n,k)
+  // = 1 − Π_{i<k}(n−c−i)/(n−i). Tasks are 20-sample groups over the
+  // embeddings table; per-sample correctness is a deterministic hash
+  // bit whose rate varies per task (difficulty 20–79%). The k-term
+  // products are EXPLICIT integer factorials-in-miniature (n ≤ 20 →
+  // products ≤ 20^10 ≈ 1e13, 6 digits inside INT64), one double
+  // division at the end; the n−c < k degenerate case clamps to 1.
+  // ---------------------------------------------------------------------
+  private def q349(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    val tasks = t(s, dir, "embeddings")
+      .select((col("vec_id") / 20).cast("long").as("task"), col("vec_id"))
+      .withColumn("diff", pmod(h.hash60(concat(lit("d:"), col("task"))),
+        lit(60L)) + 20L)
+      .withColumn("ok", (pmod(h.hash60(concat(lit("c:"), col("vec_id"))),
+        lit(100L)) < col("diff")).cast("long"))
+      .groupBy("task")
+      .agg(count(lit(1)).as("n"), sum("ok").as("c"))
+    def prodMiss(k: Int): org.apache.spark.sql.Column =
+      (0 until k).map(i => (col("n") - col("c") - i))
+        .reduce(_ * _).cast("double") /
+        (0 until k).map(i => (col("n") - i)).reduce(_ * _).cast("double")
+    def passK(k: Int): org.apache.spark.sql.Column =
+      when(col("n") - col("c") < k, lit(1000000L))
+        .otherwise(round((lit(1.0) - prodMiss(k)) * 1000000.0)
+          .cast("long"))
+    tasks.select(col("task"), col("n"), col("c"),
+      passK(1).as("pass1_e6"), passK(5).as("pass5_e6"),
+      passK(10).as("pass10_e6"))
+      .orderBy(col("task"))
+  }
+
+  private val q349Sql = {
+    val hd = graft.functions.PortableHash.hash60DuckSql(
+      "'d:' || CAST(task AS VARCHAR)")
+    val hc = graft.functions.PortableHash.hash60DuckSql(
+      "'c:' || CAST(vec_id AS VARCHAR)")
+    def num(k: Int) = (0 until k).map(i => s"(n - c - $i)").mkString(" * ")
+    def den(k: Int) = (0 until k).map(i => s"(n - $i)").mkString(" * ")
+    def passK(k: Int, alias: String) =
+      s"""CASE WHEN n - c < $k THEN 1000000
+         |    ELSE CAST(round((1.0 - CAST(${num(k)} AS DOUBLE)
+         |      / CAST(${den(k)} AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |  END AS $alias""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id // 20 AS task, vec_id FROM embeddings),
+       |bits AS (
+       |  SELECT task, vec_id,
+       |    CASE WHEN $hc % 100 < ($hd % 60) + 20 THEN 1 ELSE 0 END AS ok
+       |  FROM base),
+       |tasks AS (
+       |  SELECT task, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(ok) AS BIGINT) AS c
+       |  FROM bits GROUP BY 1)
+       |SELECT task, n, c,
+       |  ${passK(1, "pass1_e6")},
+       |  ${passK(5, "pass5_e6")},
+       |  ${passK(10, "pass10_e6")}
+       |FROM tasks ORDER BY task""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q350 — Bradley–Terry strength fitting, two MM iterations (the
+  // Chatbot-Arena-style pairwise-battle ranking): battles are
+  // consecutive event pairs per user (lag over the time order —
+  // "model" = event type, winner = larger value, ties to the earlier
+  // event); the MM update p_i ← W_i / Σ_j n_ij/(p_i+p_j) (Hunter
+  // 2004) runs twice from uniform init over the 5×5 battle matrix.
+  // Every division is e-rounded to an integer AT the point it's
+  // computed and every cross-term sum is an INTEGER sum (the q285
+  // discipline) — no float accumulation order can diverge between
+  // engines. The matrix grain is ≤ 25 rows; battles aggregate in one
+  // map-side-combinable pass over the event pairs.
+  // ---------------------------------------------------------------------
+  private def q350(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("user_id"), col("ts_s"), col("event_id"),
+        col("event_type"), round(col("value") * 10000).cast("long")
+          .as("v_e4"))
+    val wSpec = Window.partitionBy("user_id")
+      .orderBy(col("ts_s"), col("event_id"))
+    val battles = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wSpec))
+      .withColumn("prev_v", lag(col("v_e4"), 1).over(wSpec))
+      .filter(col("prev_type").isNotNull &&
+        col("prev_type") =!= col("event_type"))
+      .select(col("prev_type").as("a"), col("event_type").as("b"),
+        (col("v_e4") > col("prev_v")).cast("long").as("b_wins"))
+    // symmetric battle matrix at the (i, j) grain, i ≠ j
+    val m = battles.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"), sum("b_wins").as("b_w"))
+    val matrix = m.select(col("a").as("i"), col("b").as("j"),
+        col("n_ab"), (col("n_ab") - col("b_w")).as("w_ij"))
+      .unionByName(m.select(col("b").as("i"), col("a").as("j"),
+        col("n_ab"), col("b_w").as("w_ij")))
+      .groupBy("i", "j")
+      .agg(sum("n_ab").as("n_ij"), sum("w_ij").as("w_ij"))
+      .pin() // both MM iterations read it
+    val wins = matrix.groupBy(col("i"))
+      .agg(sum("w_ij").as("w_i"), sum("n_ij").as("n_i"))
+    // iteration 1 from p = 1: p_i = W_i / (N_i / 2), e9-rounded
+    val p1 = wins.select(col("i").as("k1"),
+      round(col("w_i").cast("double") * 2.0 / col("n_i").cast("double")
+        * 1000000000.0).cast("long").as("p_e9"))
+    // iteration 2: denominator terms n_ij/(p_i+p_j), each e6-rounded
+    // THEN integer-summed — order-independent across engines
+    val p2den = matrix
+      .join(broadcast(p1), col("i") === col("k1"))
+      .withColumnRenamed("p_e9", "pi_e9").drop("k1")
+      .join(broadcast(p1.withColumnRenamed("k1", "k2")
+        .withColumnRenamed("p_e9", "pj_e9")), col("j") === col("k2"))
+      .groupBy(col("i"))
+      .agg(sum(round(col("n_ij").cast("double") * 1.0e9 /
+        (col("pi_e9") + col("pj_e9")).cast("double") * 1000000.0)
+        .cast("long")).as("den_e6"))
+    val p2 = wins.join(p2den, Seq("i"))
+      .select(col("i"), col("w_i"), col("n_i"),
+        round(col("w_i").cast("double") / col("den_e6").cast("double")
+          * 1.0e6 * 1000000000.0).cast("long").as("p2_e9"))
+    val tot = p2.agg(sum("p2_e9").as("tot_e9"))
+    p2.crossJoin(broadcast(tot))
+      .select(col("i").as("model"), col("w_i").as("wins"),
+        col("n_i").as("n_battles"),
+        round(col("p2_e9").cast("double") / col("tot_e9").cast("double")
+          * 1000000.0).cast("long").as("strength_e6"))
+      .orderBy(col("model"))
+  }
+
+  private val q350Sql =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id,
+      |    event_type, CAST(round(value * 10000) AS BIGINT) AS v_e4
+      |  FROM events),
+      |lagged AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_s, event_id) AS prev_type,
+      |    v_e4,
+      |    lag(v_e4) OVER (PARTITION BY user_id
+      |      ORDER BY ts_s, event_id) AS prev_v
+      |  FROM e),
+      |battles AS (
+      |  SELECT prev_type AS a, event_type AS b,
+      |    CASE WHEN v_e4 > prev_v THEN 1 ELSE 0 END AS b_wins
+      |  FROM lagged
+      |  WHERE prev_type IS NOT NULL AND prev_type <> event_type),
+      |m AS (
+      |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab,
+      |    CAST(sum(b_wins) AS BIGINT) AS b_w
+      |  FROM battles GROUP BY 1, 2),
+      |matrix AS (
+      |  SELECT i, j, CAST(sum(n_ab) AS BIGINT) AS n_ij,
+      |    CAST(sum(w_ij) AS BIGINT) AS w_ij
+      |  FROM (
+      |    SELECT a AS i, b AS j, n_ab, n_ab - b_w AS w_ij FROM m
+      |    UNION ALL
+      |    SELECT b AS i, a AS j, n_ab, b_w AS w_ij FROM m)
+      |  GROUP BY 1, 2),
+      |wins AS (
+      |  SELECT i, CAST(sum(w_ij) AS BIGINT) AS w_i,
+      |    CAST(sum(n_ij) AS BIGINT) AS n_i
+      |  FROM matrix GROUP BY 1),
+      |p1 AS (
+      |  SELECT i AS k1,
+      |    CAST(round(CAST(w_i AS DOUBLE) * 2.0 / CAST(n_i AS DOUBLE)
+      |      * 1000000000.0) AS BIGINT) AS p_e9
+      |  FROM wins),
+      |p2den AS (
+      |  SELECT matrix.i,
+      |    CAST(sum(CAST(round(CAST(n_ij AS DOUBLE) * 1e9
+      |      / CAST(pi.p_e9 + pj.p_e9 AS DOUBLE) * 1000000.0)
+      |      AS BIGINT)) AS BIGINT) AS den_e6
+      |  FROM matrix
+      |  JOIN p1 pi ON matrix.i = pi.k1
+      |  JOIN p1 pj ON matrix.j = pj.k1
+      |  GROUP BY 1),
+      |p2 AS (
+      |  SELECT wins.i, w_i, n_i,
+      |    CAST(round(CAST(w_i AS DOUBLE) / CAST(den_e6 AS DOUBLE)
+      |      * 1e6 * 1000000000.0) AS BIGINT) AS p2_e9
+      |  FROM wins JOIN p2den ON wins.i = p2den.i),
+      |tot AS (SELECT CAST(sum(p2_e9) AS BIGINT) AS tot_e9 FROM p2)
+      |SELECT i AS model, w_i AS wins, n_i AS n_battles,
+      |  CAST(round(CAST(p2_e9 AS DOUBLE) / CAST(tot_e9 AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS strength_e6
+      |FROM p2, tot ORDER BY model""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q272_bandit_replay" -> (q272 _),
     "q273_conformal" -> (q273 _),
-    "q274_kaplan_meier" -> (q274 _))
+    "q274_kaplan_meier" -> (q274 _),
+    "q348_ngram_precision" -> (q348 _),
+    "q349_pass_at_k" -> (q349 _),
+    "q350_bradley_terry" -> (q350 _))
 
   val oracle: Map[String, String] = Map(
     "q272_bandit_replay" -> q272Sql,
     "q273_conformal" -> q273Sql,
-    "q274_kaplan_meier" -> q274Sql)
+    "q274_kaplan_meier" -> q274Sql,
+    "q348_ngram_precision" -> q348Sql,
+    "q349_pass_at_k" -> q349Sql,
+    "q350_bradley_terry" -> q350Sql)
 }

@@ -1211,6 +1211,210 @@ object Ops {
       |FROM (SELECT unnest(range(12345, 87654)) AS i)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q347 — guaranteed heavy hitters, two-pass (candidate buckets →
+  // exact verify): keys carrying ≥ 0.5% of all rows, found WITHOUT
+  // ever shuffling the full key grain. Pass 1 aggregates row counts
+  // into 4096 fixed hash buckets — map-side-combinable state of
+  // constant width no matter how many distinct keys exist (the whole
+  // point at 100 TB, where the key space can be billions and a full
+  // groupBy(key) shuffle is the cost you're avoiding). Any key with
+  // count ≥ T lives in a bucket with count ≥ T, so pruning buckets
+  // below T gives NO false negatives; collisions only admit false
+  // candidates, which pass 2 removes by exact count over the
+  // candidate-bucket rows alone. Pruning bites whenever
+  // buckets > 1/φ (4096 > 200 here) — independent of key count.
+  // The threshold compare cross-multiplies to exact integers
+  // (c·200 ≥ n_rows). Keys are floor(value) of events — the
+  // exponential value distribution makes the heavy set (~70 keys)
+  // scale-invariant.
+  // ---------------------------------------------------------------------
+  private def q347(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    val keyed = t(s, dir, "events")
+      .select(floor(col("value")).cast("long").as("k"))
+      .withColumn("bkt", pmod(h.hash60(concat(lit("hh:"), col("k"))),
+        lit(4096L)))
+      .pin() // pass-1 bucket counts + pass-2 candidate rows share it
+    val buckets = keyed.groupBy("bkt").agg(count(lit(1)).as("bc"))
+    val nRows = buckets.agg(sum("bc").as("n_rows"))
+    val candidates = buckets.crossJoin(broadcast(nRows))
+      .filter(col("bc") * 200L >= col("n_rows"))
+      .select(col("bkt").as("cand_bkt"), col("n_rows"))
+    keyed.join(broadcast(candidates), col("bkt") === col("cand_bkt"))
+      .groupBy(col("k"), col("n_rows"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 200L >= col("n_rows"))
+      .select(col("k"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows").cast("double")
+          * 1000000.0).cast("long").as("share_e6"))
+      .orderBy(col("cnt").desc, col("k"))
+  }
+
+  private val q347Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "'hh:' || CAST(k AS VARCHAR)")
+    s"""WITH keyed AS (
+       |  SELECT CAST(floor(value) AS BIGINT) AS k,
+       |    $h % 4096 AS bkt
+       |  FROM events),
+       |buckets AS (SELECT bkt, CAST(count(*) AS BIGINT) AS bc
+       |            FROM keyed GROUP BY 1),
+       |n AS (SELECT CAST(sum(bc) AS BIGINT) AS n_rows FROM buckets),
+       |cand AS (SELECT bkt, n_rows FROM buckets, n
+       |         WHERE bc * 200 >= n_rows)
+       |SELECT k, CAST(count(*) AS BIGINT) AS cnt,
+       |  CAST(round(CAST(count(*) AS DOUBLE) / CAST(max(n_rows) AS DOUBLE)
+       |    * 1000000.0) AS BIGINT) AS share_e6
+       |FROM keyed JOIN cand USING (bkt)
+       |GROUP BY k
+       |HAVING count(*) * 200 >= max(n_rows)
+       |ORDER BY cnt DESC, k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q351 — speculative-decoding acceptance replay (serving
+  // economics, the q339 prefix-cache twin): a draft model proposes
+  // blocks of K=4 tokens; the verifier accepts the prefix up to the
+  // first per-token disagreement and emits one bonus token — so each
+  // verify step yields accepted+1 tokens, and the speedup over
+  // plain autoregression is Σ(accepted+1)/n_blocks. Agreement bits
+  // are deterministic per (doc, pos, token) via the portable hash at
+  // 70%; everything after tokenization is integer window/group
+  // arithmetic on the token grain — one explode, one block-grain
+  // aggregate, one source-grain rollup, no per-pair work.
+  // ---------------------------------------------------------------------
+  private def q351(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(graft.functions.Text.words(col("text"))))
+      .select(col("doc_id"), col("source"),
+        col("pos").cast("long").as("pos"), col("col").as("word"))
+      .withColumn("blk", floor(col("pos") / 4).cast("long"))
+      .withColumn("pib", pmod(col("pos"), lit(4L)))
+      .withColumn("agree",
+        (pmod(h.hash60(concat(lit("spec:"), col("doc_id"), lit(":"),
+          col("pos"), lit(":"), col("word"))), lit(100L)) < 70L)
+          .cast("long"))
+    val blocks = toks.groupBy(col("doc_id"), col("source"), col("blk"))
+      .agg(count(lit(1)).as("bsz"),
+        min(when(col("agree") === 0, col("pib"))).as("first_rej"))
+      .select(col("source"),
+        (coalesce(col("first_rej"), col("bsz")) + 1L).as("emitted"))
+    blocks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blocks"), sum("emitted").as("toks_emitted"))
+      .select(col("source"), col("n_blocks"), col("toks_emitted"),
+        round(col("toks_emitted").cast("double") /
+          col("n_blocks").cast("double") * 1000000.0).cast("long")
+          .as("speedup_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val q351Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "'spec:' || CAST(doc_id AS VARCHAR) || ':' || " +
+        "CAST(pos AS VARCHAR) || ':' || word")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    unnest(range(len(list_filter(string_split(text, ' '),
+       |      w -> length(w) > 0)))) AS pos,
+       |    unnest(list_filter(string_split(text, ' '),
+       |      w -> length(w) > 0)) AS word
+       |  FROM documents),
+       |t2 AS (
+       |  SELECT doc_id, source, pos // 4 AS blk, pos % 4 AS pib,
+       |    CASE WHEN $h % 100 < 70 THEN 1 ELSE 0 END AS agree
+       |  FROM toks),
+       |blocks AS (
+       |  SELECT doc_id, source, blk, CAST(count(*) AS BIGINT) AS bsz,
+       |    min(CASE WHEN agree = 0 THEN pib END) AS first_rej
+       |  FROM t2 GROUP BY 1, 2, 3),
+       |b2 AS (SELECT source, coalesce(first_rej, bsz) + 1 AS emitted
+       |       FROM blocks)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(emitted) AS BIGINT) AS toks_emitted,
+       |  CAST(round(CAST(sum(emitted) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+       |    AS speedup_e6
+       |FROM b2 GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q352 — model-cascade routing frontier (serving economics): route
+  // a request to the SMALL model when router confidence ≥ t, else to
+  // the large one; sweep t over an 11-row literal grain to get the
+  // cost-vs-accuracy frontier a deployment picks its operating point
+  // from. Confidence and per-model correctness are deterministic
+  // hash bits (small-model accuracy rises with confidence —
+  // mod-200 < 80+conf keeps that coupling in pure integers; the
+  // large model is a flat 95%); cost is char-proportional with the
+  // large model 10×. One scan computes the per-doc bits; the sweep
+  // is a broadcast cross join against 11 literal rows, never a
+  // re-scan per threshold.
+  // ---------------------------------------------------------------------
+  private def q352(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("conf", pmod(h.hash60(concat(lit("conf:"),
+        col("doc_id"))), lit(101L)))
+      .withColumn("ok_small", (pmod(h.hash60(concat(lit("sm:"),
+        col("doc_id"))), lit(200L)) < col("conf") + 80L).cast("long"))
+      .withColumn("ok_large", (pmod(h.hash60(concat(lit("lg:"),
+        col("doc_id"))), lit(100L)) < 95L).cast("long"))
+    val grid = s.range(0L, 101L, 10L).select(col("id").as("t"))
+    docs.crossJoin(broadcast(grid))
+      .select(col("t"),
+        when(col("conf") >= col("t"), 1L).otherwise(0L).as("sm"),
+        when(col("conf") >= col("t"), col("ok_small"))
+          .otherwise(col("ok_large")).as("ok"),
+        when(col("conf") >= col("t"), col("n_chars"))
+          .otherwise(col("n_chars") * 10L).as("cost"),
+        (col("n_chars") * 10L).as("full_cost"))
+      .groupBy(col("t"))
+      .agg(sum("sm").as("n_small"), count(lit(1)).as("n_docs"),
+        sum("ok").as("n_ok"), sum("cost").as("cost"),
+        sum("full_cost").as("full_cost"))
+      .select(col("t"), col("n_small"),
+        round(col("n_ok").cast("double") / col("n_docs").cast("double")
+          * 1000000.0).cast("long").as("acc_e6"),
+        round(col("cost").cast("double") / col("full_cost").cast("double")
+          * 1000000.0).cast("long").as("cost_rel_e6"))
+      .orderBy(col("t"))
+  }
+
+  private val q352Sql = {
+    val hc = graft.functions.PortableHash.hash60DuckSql(
+      "'conf:' || CAST(doc_id AS VARCHAR)")
+    val hs = graft.functions.PortableHash.hash60DuckSql(
+      "'sm:' || CAST(doc_id AS VARCHAR)")
+    val hl = graft.functions.PortableHash.hash60DuckSql(
+      "'lg:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH docs AS (
+       |  SELECT doc_id, n_chars,
+       |    $hc % 101 AS conf,
+       |    CASE WHEN $hs % 200 < ($hc % 101) + 80 THEN 1 ELSE 0 END
+       |      AS ok_small,
+       |    CASE WHEN $hl % 100 < 95 THEN 1 ELSE 0 END AS ok_large
+       |  FROM documents),
+       |grid AS (SELECT unnest(range(0, 101, 10)) AS t),
+       |routed AS (
+       |  SELECT t,
+       |    CASE WHEN conf >= t THEN 1 ELSE 0 END AS sm,
+       |    CASE WHEN conf >= t THEN ok_small ELSE ok_large END AS ok,
+       |    CASE WHEN conf >= t THEN n_chars ELSE n_chars * 10 END AS cost,
+       |    n_chars * 10 AS full_cost
+       |  FROM docs, grid)
+       |SELECT t, CAST(sum(sm) AS BIGINT) AS n_small,
+       |  CAST(round(CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    * 1000000.0) AS BIGINT) AS acc_e6,
+       |  CAST(round(CAST(sum(cost) AS DOUBLE)
+       |    / CAST(sum(full_cost) AS DOUBLE) * 1000000.0) AS BIGINT)
+       |    AS cost_rel_e6
+       |FROM routed GROUP BY t ORDER BY t""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q326 — sequence-packing efficiency audit (the pad-vs-concat
   // question every pretraining pipeline answers before burning
   // compute): for L=512-token sequences, compare (a) one padded
@@ -1527,7 +1731,10 @@ object Ops {
     "q325_dsv2_stream" -> (q325 _),
     "q326_packing_efficiency" -> (q326 _),
     "q327_best_of_n" -> (q327 _),
-    "q343_dsv2_agg_pushdown" -> (q343 _))
+    "q343_dsv2_agg_pushdown" -> (q343 _),
+    "q347_heavy_hitters" -> (q347 _),
+    "q351_spec_decode_accept" -> (q351 _),
+    "q352_cascade_frontier" -> (q352 _))
 
   val oracle: Map[String, String] = Map(
     "q298_skew_lint" -> q298Sql,
@@ -1555,5 +1762,8 @@ object Ops {
     "q325_dsv2_stream" -> q325Sql,
     "q326_packing_efficiency" -> q326Sql,
     "q327_best_of_n" -> q327Sql,
-    "q343_dsv2_agg_pushdown" -> q343Sql)
+    "q343_dsv2_agg_pushdown" -> q343Sql,
+    "q347_heavy_hitters" -> q347Sql,
+    "q351_spec_decode_accept" -> q351Sql,
+    "q352_cascade_frontier" -> q352Sql)
 }
