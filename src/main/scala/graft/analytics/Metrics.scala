@@ -1994,7 +1994,212 @@ object Metrics {
        |  CAST(n * 8 AS BIGINT) AS raw_bytes
        |FROM hist ORDER BY bits""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q353 — CUPED variance reduction (controlled-experiment using
+  // pre-period data, Deng et al. 2013): Ŷ_i = Y_i − θ(X_i − X̄) with
+  // θ = cov(X,Y)/var(X), where X is each user's PRE-period purchase
+  // spend and Y the experiment-period spend — the covariate soaks up
+  // between-user variance so the same experiment reads with tighter
+  // error bars. All moments are exact integer sums (cross-products in
+  // decimal(38,0) — x·y ≈ 1e18 at sf1 already brushes INT64); θ is
+  // ONE e6-rounded division, each user's adjustment ONE e-rounded
+  // multiply (θ_e6·dev ≈ 5e12, inside double-exact range), and the
+  // per-arm variance ratio divides once at the end. Zero-variance X
+  // degenerates to θ = 0 (no adjustment) on both engines.
+  // ---------------------------------------------------------------------
+  private def q353(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    def sq(c: Column): Column = c.cast("decimal(38,0)") * c
+    val users = Tables.eventsSec(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_s"),
+        round(col("value") * 10000).cast("long").as("v_e4"))
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("ts_s") < lit("2024-01-16"),
+        col("v_e4"))), lit(0L)).as("x"),
+        coalesce(sum(when(col("ts_s") >= lit("2024-01-16"),
+          col("v_e4"))), lit(0L)).as("y"))
+      .withColumn("arm",
+        pmod(h.hash60(concat(lit("cuped:"), col("user_id"))), lit(2L)))
+      .pin() // pooled θ + per-arm rollup share the user grain
+    val pooled = users.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(sq(col("x"))).as("sxx"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+    val theta = pooled.select(col("n"), col("sx"),
+      when(col("n").cast("decimal(38,0)") * col("sxx") -
+        sq(col("sx")) === 0, lit(0L))
+        .otherwise(round(
+          (col("n").cast("decimal(38,0)") * col("sxy") -
+            col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+          (col("n").cast("decimal(38,0)") * col("sxx") -
+            sq(col("sx"))).cast("double") * 1000000.0).cast("long"))
+        .as("theta_e6"),
+      round(col("sx").cast("double") / col("n").cast("double"))
+        .cast("long").as("xbar_e4"))
+    val adj = users.crossJoin(broadcast(theta))
+      .withColumn("yadj", col("y") -
+        round(col("theta_e6").cast("double") *
+          (col("x") - col("xbar_e4")).cast("double") / 1000000.0)
+          .cast("long"))
+    def varp(ss: Column, sc: Column, n: Column) =
+      (n.cast("decimal(38,0)").cast("double") * ss.cast("double") -
+        sc.cast("double") * sc.cast("double")) /
+        (n.cast("double") * n.cast("double"))
+    adj.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum("y").as("sy"),
+        sum(sq(col("y"))).as("syy"), sum("yadj").as("sa"),
+        sum(sq(col("yadj"))).as("saa"))
+      .select(col("arm"), col("n_users"),
+        round(col("sy").cast("double") / col("n_users").cast("double"))
+          .cast("long").as("mean_y_e4"),
+        round(col("sa").cast("double") / col("n_users").cast("double"))
+          .cast("long").as("mean_yadj_e4"),
+        when(col("n_users").cast("decimal(38,0)") * col("syy") -
+          sq(col("sy")) === 0, lit(null).cast("long"))
+          .otherwise(round((lit(1.0) -
+            varp(col("saa"), col("sa"), col("n_users")) /
+            varp(col("syy"), col("sy"), col("n_users"))) * 1000000.0)
+            .cast("long")).as("varred_e6"))
+      .orderBy(col("arm"))
+  }
+
+  private val q353Sql = {
+    val arm = graft.functions.PortableHash.hash60DuckSql(
+      "'cuped:' || CAST(user_id AS VARCHAR)")
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |    CAST(coalesce(sum(CASE WHEN date_trunc('second', ts)
+       |      < TIMESTAMP '2024-01-16' THEN
+       |      CAST(round(value * 10000) AS BIGINT) END), 0) AS BIGINT)
+       |      AS x,
+       |    CAST(coalesce(sum(CASE WHEN date_trunc('second', ts)
+       |      >= TIMESTAMP '2024-01-16' THEN
+       |      CAST(round(value * 10000) AS BIGINT) END), 0) AS BIGINT)
+       |      AS y,
+       |    $arm % 2 AS arm
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY user_id),
+       |pooled AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM users),
+       |theta AS (
+       |  SELECT
+       |    CASE WHEN CAST(n AS HUGEINT) * sxx
+       |        - CAST(sx AS HUGEINT) * sx = 0 THEN 0
+       |      ELSE CAST(round(
+       |        CAST(CAST(n AS HUGEINT) * sxy
+       |          - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+       |        CAST(CAST(n AS HUGEINT) * sxx
+       |          - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+       |        * 1000000.0) AS BIGINT) END AS theta_e6,
+       |    CAST(round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+       |      AS xbar_e4
+       |  FROM pooled),
+       |adj AS (
+       |  SELECT arm, y,
+       |    y - CAST(round(CAST(theta_e6 AS DOUBLE)
+       |      * CAST(x - xbar_e4 AS DOUBLE) / 1000000.0) AS BIGINT)
+       |      AS yadj
+       |  FROM users, theta)
+       |SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |    AS BIGINT) AS mean_y_e4,
+       |  CAST(round(CAST(sum(yadj) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |    AS BIGINT) AS mean_yadj_e4,
+       |  CASE WHEN CAST(count(*) AS HUGEINT)
+       |      * sum(CAST(y AS HUGEINT) * y)
+       |      - CAST(sum(y) AS HUGEINT) * CAST(sum(y) AS HUGEINT) = 0
+       |    THEN NULL
+       |    ELSE CAST(round((1.0 -
+       |      ((CAST(CAST(count(*) AS HUGEINT) AS DOUBLE)
+       |        * CAST(sum(CAST(yadj AS HUGEINT) * yadj) AS DOUBLE)
+       |        - CAST(sum(yadj) AS DOUBLE) * CAST(sum(yadj) AS DOUBLE))
+       |       / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)))
+       |      / ((CAST(CAST(count(*) AS HUGEINT) AS DOUBLE)
+       |        * CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)
+       |        - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+       |       / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE))))
+       |      * 1000000.0) AS BIGINT) END AS varred_e6
+       |FROM adj GROUP BY arm ORDER BY arm""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q354 — SPRT sequential-test replay (Wald): each event type is an
+  // "experiment" whose trials arrive in time order; conversion
+  // (value > 50) adds ln(p1/p0), non-conversion adds
+  // ln((1−p1)/(1−p0)) (p0=0.3, p1=0.4 — the increments are OFFLINE
+  // e9 literal constants in both engines, no runtime libm), and the
+  // test stops at the first crossing of ±ln(19) (α=β=0.05). The
+  // running LLR is [[Curate.keyedCumSum]] — the per-key cumulative
+  // sum whose rows range-partition on (key, time) so ONE experiment's
+  // history never funnels through one task (the q291 lesson,
+  // keyed) — and the decision row is a min-rank join-back, not a
+  // sequential scan.
+  // ---------------------------------------------------------------------
+  private def q354(s: SparkSession, dir: String): DataFrame = {
+    val lnPosE9 = 287682072L   // round(ln(0.4/0.3)·1e9)
+    val lnNegE9 = -154150680L  // round(ln(0.6/0.7)·1e9)
+    val boundE9 = 2944438979L  // round(ln(19)·1e9) = ln((1−β)/α)
+    val trials = Tables.eventsSec(s, dir)
+      .select(col("event_type").as("exp"), col("ts_s"), col("event_id"),
+        when(round(col("value") * 10000).cast("long") > 500000L,
+          lit(lnPosE9)).otherwise(lit(lnNegE9)).as("llr_e9"))
+    val cum = Curate.keyedCumSum(trials, Seq("exp"),
+      Seq(col("ts_s"), col("event_id")), col("llr_e9"), "cum_e9", "n")
+      .select(col("exp"), col("n"), col("cum_e9"))
+    val firstCross = cum.filter(abs(col("cum_e9")) >= boundE9)
+      .groupBy(col("exp")).agg(min("n").as("n_cross"))
+    val lastN = cum.groupBy(col("exp")).agg(max("n").as("n_max"))
+    val target = lastN.join(firstCross, Seq("exp"), "left")
+      .select(col("exp"), col("n_cross"),
+        coalesce(col("n_cross"), col("n_max")).as("n_dec"))
+    target.join(cum.withColumnRenamed("exp", "e2"),
+        col("exp") === col("e2") && col("n_dec") === col("n"))
+      .select(col("exp"),
+        when(col("n_cross").isNull, lit("continue"))
+          .when(col("cum_e9") > 0, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        col("n_dec"), col("cum_e9").as("llr_e9"))
+      .orderBy(col("exp"))
+  }
+
+  private val q354Sql =
+    """WITH trials AS (
+      |  SELECT event_type AS exp, date_trunc('second', ts) AS ts_s,
+      |    event_id,
+      |    CASE WHEN CAST(round(value * 10000) AS BIGINT) > 500000
+      |      THEN 287682072 ELSE -154150680 END AS llr_e9
+      |  FROM events),
+      |cum AS (
+      |  SELECT exp,
+      |    CAST(row_number() OVER w AS BIGINT) AS n,
+      |    CAST(sum(llr_e9) OVER w AS BIGINT) AS cum_e9
+      |  FROM trials
+      |  WINDOW w AS (PARTITION BY exp ORDER BY ts_s, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |firstcross AS (
+      |  SELECT exp, CAST(min(n) AS BIGINT) AS n_cross
+      |  FROM cum WHERE abs(cum_e9) >= 2944438979 GROUP BY exp),
+      |lastn AS (SELECT exp, CAST(max(n) AS BIGINT) AS n_max
+      |          FROM cum GROUP BY exp),
+      |target AS (
+      |  SELECT l.exp, f.n_cross,
+      |    coalesce(f.n_cross, l.n_max) AS n_dec
+      |  FROM lastn l LEFT JOIN firstcross f ON l.exp = f.exp)
+      |SELECT t.exp,
+      |  CASE WHEN t.n_cross IS NULL THEN 'continue'
+      |    WHEN c.cum_e9 > 0 THEN 'accept_h1'
+      |    ELSE 'accept_h0' END AS decision,
+      |  t.n_dec, c.cum_e9 AS llr_e9
+      |FROM target t JOIN cum c ON t.exp = c.exp AND t.n_dec = c.n
+      |ORDER BY t.exp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q353_cuped" -> (q353 _),
+    "q354_sprt_replay" -> (q354 _),
     "q275_ndcg" -> (q275 _),
     "q276_cohort_ltv" -> (q276 _),
     "q277_hhi" -> (q277 _),
@@ -2020,6 +2225,8 @@ object Metrics {
     "q297_encoding_advisor" -> (q297 _))
 
   val oracle: Map[String, String] = Map(
+    "q353_cuped" -> q353Sql,
+    "q354_sprt_replay" -> q354Sql,
     "q275_ndcg" -> q275Sql,
     "q276_cohort_ltv" -> q276Sql,
     "q277_hhi" -> q277Sql,

@@ -404,6 +404,51 @@ object Curate {
       .drop("__gc_pid", "__gc_idx", "__gc_v", "__gc_offn", "__gc_offs")
   }
 
+  /** PER-KEY rank and inclusive running sum in `sortCols` order — the
+    * keyed generalization of [[globalCumSum]] for the few-keys /
+    * huge-rows-per-key shape (a cumulative sum per experiment, per
+    * tenant, per metric) where `Window.partitionBy(key)` would funnel
+    * each key's entire history through ONE task. Rows range-partition
+    * on (key, sortCols) so one key spans many balanced partitions;
+    * per-(partition, key) counts/sums broadcast back as carry
+    * offsets; the within-partition window partitions by
+    * (partition id, key) — every task touches at most one partition's
+    * slice of any key. Key cardinality must be small enough that
+    * parts × keys stays broadcast-sized (offsets grain), which is
+    * exactly the regime the operator exists for.
+    */
+  def keyedCumSum(df: DataFrame, keyCols: Seq[String],
+                  sortCols: Seq[Column], valueCol: Column,
+                  cumName: String, rankName: String = "rnk",
+                  parts: Int = 32): DataFrame = {
+    val ks = keyCols.map(col)
+    val ordered = ks ++ sortCols
+    val base = df
+      .withColumn("__kc_v", valueCol)
+      .repartitionByRange(parts, ordered: _*)
+      .sortWithinPartitions(ordered: _*)
+      .withColumn("__kc_pid", spark_partition_id())
+      .pin()
+    val sizes = base.groupBy(col("__kc_pid") +: ks: _*)
+      .agg(count(lit(1)).as("__kc_cnt"), sum(col("__kc_v")).as("__kc_sum"))
+    val offsets = sizes.as("a")
+      .join(broadcast(sizes.as("b")),
+        keyCols.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _) &&
+          col("b.__kc_pid") < col("a.__kc_pid"), "left")
+      .groupBy(col("a.__kc_pid").as("__kc_pid") +:
+        keyCols.map(k => col(s"a.$k").as(k)): _*)
+      .agg(coalesce(sum(col("b.__kc_cnt")), lit(0L)).as("__kc_offn"),
+        coalesce(sum(col("b.__kc_sum")), lit(0L)).as("__kc_offs"))
+    val wLoc = Window.partitionBy(col("__kc_pid") +: ks: _*)
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.join(broadcast(offsets), "__kc_pid" +: keyCols)
+      .withColumn(rankName,
+        col("__kc_offn") + count(lit(1)).over(wLoc))
+      .withColumn(cumName, col("__kc_offs") + sum(col("__kc_v")).over(wLoc))
+      .drop("__kc_pid", "__kc_v", "__kc_offn", "__kc_offs")
+  }
+
   /** Global RUNNING MAX of `valueCol` in `sortCols` order — same
     * scale-safe shape as [[globalCumSum]] (range repartition +
     * broadcast per-partition offsets; the within-partition window

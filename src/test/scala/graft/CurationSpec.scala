@@ -324,6 +324,28 @@ class CurationSpec extends AnyFunSuite {
     assert(cs == cumTruth)
   }
 
+  test("keyedCumSum: per-key rank and running sum carry across range " +
+       "partitions and agree with the per-key window truth; keys " +
+       "never mix") {
+    // 3 keys × 40 rows, interleaved, with a value pattern that makes
+    // any cross-key leakage or carry error visible
+    val rows = for (i <- 1L to 120L) yield
+      (s"k${i % 3}", i, (i * 13) % 17)
+    val df = rows.toDF("key", "t", "v")
+    val got = Curate.keyedCumSum(df, Seq("key"), Seq(col("t")),
+        col("v"), "c", "n", parts = 7)
+      .select("key", "t", "n", "c")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val truth = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      rs.sortBy(_._2).zipWithIndex
+        .scanLeft(((k, 0L), (0L, 0L))) { case ((_, (_, acc)), ((_, t, v), i)) =>
+          ((k, t), (i + 1L, acc + v))
+        }.drop(1)
+    }.toMap
+    assert(got == truth)
+  }
+
   test("redact masks every pattern match and counts them per row") {
     val df = Seq((1L, "aaa bcd eee"), (2L, "xyz"), (3L, ""))
       .toDF("id", "text")
