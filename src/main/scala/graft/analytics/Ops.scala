@@ -1415,6 +1415,40 @@ object Ops {
   }
 
   // ---------------------------------------------------------------------
+  // q356 — the connector's RUNTIME filtering in the gate (the DSv2
+  // analogue of dynamic partition pruning): joining the synthetic
+  // source to a FILTERED broadcast dim hands the scan an
+  // IN(event_id, …) predicate at execution time via
+  // SupportsRuntimeV2Filtering — the scan narrows its generated
+  // range to the set's hull and plans exact-id partitions, so
+  // non-matching rows are never generated at all (the plan shows the
+  // scan's RuntimeFilters; asserted in PlanQualitySpec). The oracle
+  // is the same join over DuckDB's regeneration of the id range —
+  // honest arithmetic on both sides.
+  // ---------------------------------------------------------------------
+  private def q356(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "part")
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey"))
+    s.read.format("graft.sources.v2.SynthEventsProvider")
+      .option("rows", "100000").load()
+      .join(broadcast(dim), col("event_id") === col("p_partkey"))
+      .agg(count(lit(1)).as("n_rows"), sum("value_e2").as("sum_value_e2"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+  }
+
+  private val q356Sql = {
+    val gen = graft.sources.v2.SynthEvents.duckSql(0, 100000, 1500)
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(value_e2) AS BIGINT) AS sum_value_e2,
+       |  CAST(min(event_id) AS BIGINT) AS min_id,
+       |  CAST(max(event_id) AS BIGINT) AS max_id
+       |FROM ($gen) ev
+       |JOIN part ON ev.event_id = p_partkey
+       |WHERE p_size = 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q326 — sequence-packing efficiency audit (the pad-vs-concat
   // question every pretraining pipeline answers before burning
   // compute): for L=512-token sequences, compare (a) one padded
@@ -1734,7 +1768,8 @@ object Ops {
     "q343_dsv2_agg_pushdown" -> (q343 _),
     "q347_heavy_hitters" -> (q347 _),
     "q351_spec_decode_accept" -> (q351 _),
-    "q352_cascade_frontier" -> (q352 _))
+    "q352_cascade_frontier" -> (q352 _),
+    "q356_dsv2_runtime_filter" -> (q356 _))
 
   val oracle: Map[String, String] = Map(
     "q298_skew_lint" -> q298Sql,
@@ -1765,5 +1800,6 @@ object Ops {
     "q343_dsv2_agg_pushdown" -> q343Sql,
     "q347_heavy_hitters" -> q347Sql,
     "q351_spec_decode_accept" -> q351Sql,
-    "q352_cascade_frontier" -> q352Sql)
+    "q352_cascade_frontier" -> q352Sql,
+    "q356_dsv2_runtime_filter" -> q356Sql)
 }

@@ -834,6 +834,33 @@ object Windowed {
        |ORDER BY user_id, error_id, click_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q355 — LEFT SEMI stream-stream interval join: the existence-test
+  // completion of the join-type matrix (inner q63, left outer q134,
+  // full outer q155). Each error emits AT MOST ONCE on its first
+  // in-window click — the matched-state tombstone (no re-emission on
+  // a second match) is machinery none of the other three exercise.
+  // Oracle is the batch EXISTS over the same interval condition.
+  // ---------------------------------------------------------------------
+  private def q355(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.semiIntervalJoinReplayFromParquet(
+        s, s"$dir/events.parquet", "error", "click", 600L)
+      .select(col("user_id"), col("error_id"),
+        unix_timestamp(col("err_ts")).as("err_s"))
+      .orderBy(col("user_id"), col("error_id"))
+
+  private val q355Sql =
+    s"""WITH e AS (SELECT user_id, event_id, ${epochSSql("ts")} AS ts_l,
+       |                  event_type FROM events)
+       |SELECT err.user_id, err.event_id AS error_id, err.ts_l AS err_s
+       |FROM e err
+       |WHERE err.event_type = 'error'
+       |  AND EXISTS (
+       |    SELECT 1 FROM e c
+       |    WHERE c.event_type = 'click' AND c.user_id = err.user_id
+       |      AND c.ts_l >= err.ts_l AND c.ts_l <= err.ts_l + 600)
+       |ORDER BY err.user_id, error_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q91 — FORWARD as-of join with tolerance (pandas merge_asof
   // direction='forward'): each click attaches the EARLIEST error of
   // the same user within the next 300 s, or null. Same single-shuffle
@@ -1135,6 +1162,7 @@ object Windowed {
     "q63_stream_interval_join" -> (q63 _),
     "q134_stream_outer_join" -> (q134 _),
     "q155_stream_full_outer" -> (q155 _),
+    "q355_stream_semi_join" -> (q355 _),
     "q85_stream_static_join" -> (q85 _),
     "q99_stream_dedup" -> (q99 _),
     "q102_transitions" -> (q102 _),
@@ -1166,6 +1194,7 @@ object Windowed {
     "q63_stream_interval_join" -> q63Sql,
     "q134_stream_outer_join" -> q134Sql,
     "q155_stream_full_outer" -> q155Sql,
+    "q355_stream_semi_join" -> q355Sql,
     "q85_stream_static_join" -> q85Sql,
     "q99_stream_dedup" -> q99Sql,
     "q102_transitions" -> q102Sql,

@@ -10,7 +10,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -246,7 +247,17 @@ class SynthAggReaderFactory(values: Array[Any])
 }
 
 class SynthScan(val lo: Long, val hi: Long, users: Long, parts: Int,
-                val required: StructType) extends Scan with Batch {
+                val required: StructType)
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  // runtime-narrowed range + optional exact id set: populated by
+  // filter() AFTER planning, BEFORE partition planning — the DPP
+  // contract. Runtime filters are prune-only (the join re-applies
+  // its condition), so ignoring an unrecognized predicate is safe
+  // and narrowing by the IN set's min/max is always sound.
+  private var rlo: Long = lo
+  private var rhi: Long = hi
+  private var allowed: Option[Array[Long]] = None
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // the same generated range served as a micro-batch stream: offsets
@@ -259,14 +270,65 @@ class SynthScan(val lo: Long, val hi: Long, users: Long, parts: Int,
     s"synth_events PushedRange($lo,$hi) cols=" +
       required.fieldNames.mkString(",")
 
+  // ---- runtime filtering (the connector analogue of dynamic
+  // partition pruning): a join against a filtered dim hands the scan
+  // an IN(event_id, ...) predicate at execution time; the generated
+  // range narrows to the set's hull and, for broadcast-sized sets,
+  // partition planning switches to the exact ids — zero non-matching
+  // rows are ever generated, like a parquet scan skipping pruned
+  // partitions entirely.
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("event_id"))
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        val onId = p.children()(0) match {
+          case r: NamedReference =>
+            r.fieldNames.length == 1 && r.fieldNames()(0) == "event_id"
+          case _ => false
+        }
+        val vals = p.children().drop(1).collect {
+          case l: V2Literal[_] if l.value().isInstanceOf[java.lang.Long] =>
+            l.value().asInstanceOf[java.lang.Long].longValue()
+        }
+        if (onId && vals.length == p.children().length - 1 &&
+            vals.nonEmpty) {
+          val inRange = vals.filter(v => v >= rlo && v < rhi).sorted
+          if (inRange.isEmpty) { rhi = rlo }
+          else {
+            rlo = inRange.head
+            rhi = inRange.last + 1
+            // cap keeps each partition's id list broadcast-sized;
+            // beyond it the hull narrowing alone still applies
+            if (inRange.length <= (1 << 20))
+              allowed = Some(inRange.distinct)
+          }
+        }
+      }
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, parts)
-    val span = math.max(0L, hi - lo)
-    (0 until n).map { p =>
-      val s = lo + span * p / n
-      val e = lo + span * (p + 1) / n
-      SynthPartition(s, e): InputPartition
-    }.toArray
+    allowed match {
+      case Some(ids) =>
+        // exact-id partitions: contiguous chunks of the sorted set
+        (0 until n).flatMap { p =>
+          val s = ids.length * p / n
+          val e = ids.length * (p + 1) / n
+          if (e > s) Some(SynthIdsPartition(
+            java.util.Arrays.copyOfRange(ids, s, e)): InputPartition)
+          else None
+        }.toArray
+      case None =>
+        val span = math.max(0L, rhi - rlo)
+        (0 until n).map { p =>
+          val s = rlo + span * p / n
+          val e = rlo + span * (p + 1) / n
+          SynthPartition(s, e): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -275,33 +337,48 @@ class SynthScan(val lo: Long, val hi: Long, users: Long, parts: Int,
 
 case class SynthPartition(start: Long, end: Long) extends InputPartition
 
+/** Exact-id partition planned under a runtime IN filter. */
+case class SynthIdsPartition(ids: Array[Long]) extends InputPartition
+
 class SynthReaderFactory(users: Long, cols: Array[String])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val sp = p.asInstanceOf[SynthPartition]
-    new PartitionReader[InternalRow] {
-      private var i = sp.start - 1
-      override def next(): Boolean = { i += 1; i < sp.end }
-      override def get(): InternalRow = {
-        val row = new GenericInternalRow(cols.length)
-        var c = 0
-        while (c < cols.length) {
-          val v: Any = cols(c) match {
-            case "event_id" => i
-            case "ts_l" => SynthEvents.tsL(i)
-            case "user_id" => SynthEvents.userId(i, users)
-            case "event_type" =>
-              UTF8String.fromString(SynthEvents.eventType(i))
-            case "value_e2" => SynthEvents.valueE2(i)
-          }
-          row.update(c, v)
-          c += 1
-        }
-        row
+  private def rowFor(i: Long): InternalRow = {
+    val row = new GenericInternalRow(cols.length)
+    var c = 0
+    while (c < cols.length) {
+      val v: Any = cols(c) match {
+        case "event_id" => i
+        case "ts_l" => SynthEvents.tsL(i)
+        case "user_id" => SynthEvents.userId(i, users)
+        case "event_type" =>
+          UTF8String.fromString(SynthEvents.eventType(i))
+        case "value_e2" => SynthEvents.valueE2(i)
       }
-      override def close(): Unit = ()
+      row.update(c, v)
+      c += 1
     }
+    row
   }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case sp: SynthPartition =>
+        new PartitionReader[InternalRow] {
+          private var i = sp.start - 1
+          override def next(): Boolean = { i += 1; i < sp.end }
+          override def get(): InternalRow = rowFor(i)
+          override def close(): Unit = ()
+        }
+      case ip: SynthIdsPartition =>
+        new PartitionReader[InternalRow] {
+          private var idx = -1
+          override def next(): Boolean = {
+            idx += 1; idx < ip.ids.length
+          }
+          override def get(): InternalRow = rowFor(ip.ids(idx))
+          override def close(): Unit = ()
+        }
+    }
 }
 
 case class SynthOffset(v: Long) extends Offset {

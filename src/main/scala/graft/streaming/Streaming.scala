@@ -599,6 +599,43 @@ object Streaming {
           col("error_id"), col("err_ts"), col("click_id"), col("click_ts"))
     }.filter(col("user_id") =!= -1L)
 
+  /** LEFT SEMI watermarked stream-stream interval join, bounded
+    * replay — the existence-test shape of the join matrix (inner:
+    * q63, left outer: q134, full outer: q155): each left event emits
+    * AT MOST ONCE, the first time a match arrives, with no right
+    * columns; unmatched left rows are silently evicted at the
+    * watermark rather than emitted null-extended. The state contract
+    * differs from the outer joins — a matched left row is tombstoned
+    * so later matches cannot re-emit it — which is exactly the
+    * machinery under test against the batch EXISTS truth. Sentinel
+    * replay advances both watermarks so matched-state cleanup runs
+    * within the bounded drain.
+    *
+    * Returns (user_id, error_id, err_ts) — left columns only. */
+  def semiIntervalJoinReplayFromParquet(spark: SparkSession,
+                                        srcParquet: String,
+                                        leftType: String,
+                                        rightType: String,
+                                        windowSec: Long): DataFrame =
+    sentinelReplay(spark, srcParquet) { eSec =>
+      // columns renamed apart BEFORE the join (see the left-outer
+      // variant: shared lineage breaks outer/semi state handling)
+      val left = eSec.filter(col("event_type").isin(leftType, "sentinel"))
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts_s").as("err_ts"))
+        .withWatermark("err_ts", "0 seconds")
+      val right = eSec.filter(col("event_type").isin(rightType, "sentinel"))
+        .select(col("user_id").as("r_user"),
+          col("event_id").as("click_id"), col("ts_s").as("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+      left.join(right,
+          col("user_id") === col("r_user") &&
+            col("click_ts") >= col("err_ts") &&
+            col("click_ts") <= col("err_ts") +
+              expr(s"INTERVAL $windowSec SECONDS"),
+          "left_semi")
+    }.filter(col("user_id") =!= -1L)
+
   /** Bounded replay of a parquet table through a stream–static
     * broadcast-dimension join — the continuous form of fact-side
     * enrichment (the reference's weather/municipality enrichments,

@@ -1113,6 +1113,15 @@ class PlanQualitySpec extends AnyFunSuite {
         stale.mkString("\n"))
   }
 
+  test("q356: the dim join plants a dynamic-pruning runtime filter " +
+       "ON the DSv2 scan (SupportsRuntimeV2Filtering) — the scan " +
+       "narrows to the dim's id set at execution, the connector " +
+       "analogue of dynamic partition pruning") {
+    val p = plan("q356_dsv2_runtime_filter")
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(p.contains("RuntimeFilters"), p)
+  }
+
   test("q343: global COUNT/MIN/MAX collapse INSIDE the DSv2 source — " +
        "the plan is Project-over-BatchScan with PushedAggregates, " +
        "no aggregate operator, no exchange") {

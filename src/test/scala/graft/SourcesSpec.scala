@@ -157,6 +157,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(probe == (0L until 5L).map(i => SynthEvents.hash60(s"v2e:$i")))
   }
 
+  test("DSv2 runtime filtering: an IN(event_id) predicate narrows " +
+       "the scan to exact-id partitions (no non-matching row is " +
+       "generated); out-of-range ids drop; a disjoint set plans " +
+       "zero rows") {
+    import org.apache.spark.sql.connector.{expressions => v2e}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import graft.sources.v2.{SynthIdsPartition, SynthScan, SynthScanBuilder}
+    def inPred(ids: Seq[Long]) = new Predicate("IN",
+      (v2e.Expressions.column("event_id") +:
+        ids.map(v => v2e.Expressions.literal(v)
+          : v2e.Expression)).toArray)
+    val scan = new SynthScanBuilder(1000L, 10L, 4).build()
+      .asInstanceOf[SynthScan]
+    scan.filter(Array(inPred(Seq(7L, 3L, 999L, 1000L, 2000L, 3L))))
+    val parts = scan.planInputPartitions()
+    assert(parts.forall(_.isInstanceOf[SynthIdsPartition]))
+    val planned = parts.flatMap(_.asInstanceOf[SynthIdsPartition].ids)
+    // 1000/2000 are outside [0,1000); duplicates collapse; sorted hull
+    assert(planned.sorted.toSeq == Seq(3L, 7L, 999L))
+    val rf = scan.createReaderFactory()
+    val got = parts.flatMap { p =>
+      val r = rf.createReader(p)
+      Iterator.continually(r).takeWhile(_.next()).map(_.get().getLong(0))
+        .toArray
+    }
+    assert(got.sorted.toSeq == Seq(3L, 7L, 999L))
+    val scan2 = new SynthScanBuilder(1000L, 10L, 4).build()
+      .asInstanceOf[SynthScan]
+    scan2.filter(Array(inPred(Seq(5000L, 6000L))))
+    assert(scan2.planInputPartitions().isEmpty ||
+      scan2.planInputPartitions().forall {
+        case SynthIdsPartition(ids) => ids.isEmpty
+        case graft.sources.v2.SynthPartition(s, e) => e <= s
+      })
+  }
+
   test("DSv2 aggregate pushdown: COUNT/MIN/MAX collapse at the " +
        "source (closed form over the filtered range); empty range " +
        "gives 0/NULL/NULL; grouped aggregates are declined") {
