@@ -1449,6 +1449,68 @@ object Ops {
   }
 
   // ---------------------------------------------------------------------
+  // q357 — feature-hashing (hashing-trick) collision audit: before
+  // training on hashed features, measure what the 2^12-bucket hash
+  // space actually does to the live feature vocabulary — distinct
+  // features, buckets used, the heaviest bucket, and the share of
+  // features that collide (share a bucket with another feature).
+  // Features are (lang, word-bigram) pairs from the documents table;
+  // the audit is two aggregates over the distinct-feature grain
+  // (feature → bucket, bucket → load) and one 1-row rollup — the
+  // vocabulary never round-trips through the driver, and at 100 TB
+  // the distinct-feature grain is the only thing shuffled, not the
+  // corpus.
+  // ---------------------------------------------------------------------
+  private def q357(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    val feats = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(graft.functions.Text.shinglesFromTokens(
+          graft.functions.Text.words(col("text")), 2)).as("gram"))
+      .select(concat(col("lang"), lit("|"), col("gram")).as("feat"))
+      .distinct()
+      .withColumn("bkt", pmod(h.hash60(concat(lit("fh:"), col("feat"))),
+        lit(4096L)))
+    val buckets = feats.groupBy("bkt").agg(count(lit(1)).as("load"))
+    buckets.agg(sum("load").as("n_features"),
+        count(lit(1)).as("buckets_used"), max("load").as("max_load"),
+        sum(when(col("load") >= 2, col("load")).otherwise(0L))
+          .as("collided"))
+      .select(col("n_features"), col("buckets_used"), col("max_load"),
+        col("collided"),
+        round(col("collided").cast("double") /
+          col("n_features").cast("double") * 1000000.0).cast("long")
+          .as("collision_rate_e6"))
+  }
+
+  private val q357Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql("'fh:' || feat")
+    s"""WITH wl AS (
+       |  SELECT lang,
+       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |  FROM documents),
+       |feats AS (
+       |  SELECT DISTINCT lang || '|' || gram AS feat
+       |  FROM (
+       |    SELECT lang,
+       |      unnest(list_transform(range(len(ws) - 1),
+       |        i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+       |    FROM wl WHERE len(ws) >= 2)),
+       |buckets AS (
+       |  SELECT $h % 4096 AS bkt, CAST(count(*) AS BIGINT) AS bload
+       |  FROM feats GROUP BY 1)
+       |SELECT CAST(sum(bload) AS BIGINT) AS n_features,
+       |  CAST(count(*) AS BIGINT) AS buckets_used,
+       |  CAST(max(bload) AS BIGINT) AS max_load,
+       |  CAST(sum(CASE WHEN bload >= 2 THEN bload ELSE 0 END) AS BIGINT)
+       |    AS collided,
+       |  CAST(round(CAST(sum(CASE WHEN bload >= 2 THEN bload ELSE 0 END)
+       |      AS DOUBLE) / CAST(sum(bload) AS DOUBLE) * 1000000.0)
+       |    AS BIGINT) AS collision_rate_e6
+       |FROM buckets""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q326 — sequence-packing efficiency audit (the pad-vs-concat
   // question every pretraining pipeline answers before burning
   // compute): for L=512-token sequences, compare (a) one padded
@@ -1769,7 +1831,8 @@ object Ops {
     "q347_heavy_hitters" -> (q347 _),
     "q351_spec_decode_accept" -> (q351 _),
     "q352_cascade_frontier" -> (q352 _),
-    "q356_dsv2_runtime_filter" -> (q356 _))
+    "q356_dsv2_runtime_filter" -> (q356 _),
+    "q357_feature_hashing" -> (q357 _))
 
   val oracle: Map[String, String] = Map(
     "q298_skew_lint" -> q298Sql,
@@ -1801,5 +1864,6 @@ object Ops {
     "q347_heavy_hitters" -> q347Sql,
     "q351_spec_decode_accept" -> q351Sql,
     "q352_cascade_frontier" -> q352Sql,
-    "q356_dsv2_runtime_filter" -> q356Sql)
+    "q356_dsv2_runtime_filter" -> q356Sql,
+    "q357_feature_hashing" -> q357Sql)
 }
