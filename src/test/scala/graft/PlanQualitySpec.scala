@@ -1113,6 +1113,30 @@ class PlanQualitySpec extends AnyFunSuite {
         stale.mkString("\n"))
   }
 
+  test("q347: guaranteed heavy hitters — pass 1 aggregates to the " +
+       "4096-bucket grain and candidates come back as a BROADCAST " +
+       "(the full key grain is only aggregated on candidate-bucket " +
+       "rows); no sort-merge join anywhere") {
+    val p = plan("q347_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q352: the cascade sweep is ONE scan of documents crossed " +
+       "with the broadcast 11-row grid — the threshold grain must " +
+       "not re-scan the corpus") {
+    val p = plan("q352_cascade_frontier")
+    assert("Scan parquet".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q353: CUPED's pooled theta broadcasts back onto the user " +
+       "grain (1-row cross join), never a second events scan") {
+    val p = plan("q353_cuped")
+    assert("Scan parquet".r.findAllIn(p).length <= 1, p)
+  }
+
   test("q356: the dim join plants a dynamic-pruning runtime filter " +
        "ON the DSv2 scan (SupportsRuntimeV2Filtering) — the scan " +
        "narrows to the dim's id set at execution, the connector " +
