@@ -234,6 +234,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("keyedCumSum matches the per-key window truth on random " +
+       "inputs across key counts, row counts, duplicates in the " +
+       "sort key (tiebroken), and partition counts") {
+    import graft.operators.Curate
+    val genCase: Gen[(Int, Int, Int)] = for {
+      nKeys <- Gen.choose(1, 6)
+      nRows <- Gen.choose(1, 400)
+      parts <- Gen.oneOf(1, 2, 3, 7, 32)
+    } yield (nKeys, nRows, parts)
+    cases(genCase, 8).zipWithIndex.foreach {
+      case ((nKeys, nRows, parts), ci) =>
+        // values/sort keys from a seeded Gen; sort key deliberately
+        // collides so the (t, id) tiebreak is load-bearing
+        val rows = (0 until nRows).map { i =>
+          val h = (i * 2654435761L + ci * 97L) & 0x7fffffffL
+          (s"k${h % nKeys}", (h / 7) % 50, i.toLong, (h % 1000) - 500)
+        }
+        val df = rows.toDF("key", "t", "id", "v")
+        val got = Curate.keyedCumSum(df, Seq("key"),
+            Seq(col("t"), col("id")), col("v"), "c", "n", parts = parts)
+          .select("key", "id", "n", "c")
+          .as[(String, Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+        val truth = rows.groupBy(_._1).flatMap { case (k, rs) =>
+          rs.sortBy(r => (r._2, r._3)).zipWithIndex
+            .scanLeft(((k, -1L), (0L, 0L))) {
+              case ((_, (_, acc)), ((_, _, id, v), i)) =>
+                ((k, id), (i + 1L, acc + v))
+            }.drop(1)
+        }.toMap
+        assert(got == truth, s"case $ci: keys=$nKeys rows=$nRows " +
+          s"parts=$parts")
+    }
+  }
+
   test("Poisson bootstrap weights have unit mean within sampling " +
        "error and reproduce exactly on recompute") {
     import graft.operators.Curate
