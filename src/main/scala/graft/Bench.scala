@@ -63,9 +63,13 @@ object Bench {
     // per-query noise band: max-min across the measured passes. A
     // cross-round diff smaller than a query's own spread is not a
     // regression call (tools/bench_diff.py consumes this); one pass
-    // means no band is observable — spread is omitted, not zero.
+    // means no band is observable — spread is omitted, not zero. A
+    // query with ANY failed (-1) pass is omitted too: its max-min
+    // would be (time − (−1)), a meaningless giant band that would
+    // make bench_diff mark every real delta on that query as noise —
+    // no key means bench_diff falls back to no band for it.
     val spreads: Option[Map[String, Double]] = if (passes >= 2)
-      Some(names.map(n =>
+      Some(names.filter(n => ms.forall(_(n) >= 0)).map(n =>
         n -> (ms.map(_(n)).max - ms.map(_(n)).min)).toMap)
     else None
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -77,7 +81,7 @@ object Bench {
     // path to the full dump.
     val qs = names.map(n => s"\"" + n + "\":" + results(n))
       .mkString("{", ",", "}")
-    val spreadJson = spreads.map(sp => names.map(n =>
+    val spreadJson = spreads.map(sp => names.filter(sp.contains).map(n =>
       s"\"" + n + "\":" + math.rint(sp(n) * 1000) / 1000)
       .mkString(",\"spread\":{", ",", "}")).getOrElse("")
     // plan fingerprints for the slowest 10: exchange/broadcast counts

@@ -1211,6 +1211,39 @@ object Ops {
       |FROM (SELECT unnest(range(12345, 87654)) AS i)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q358 — the connector's PARTIAL (grouped) aggregate pushdown:
+  // GROUP BY user_id COUNT/MIN/MAX over the synthetic source takes
+  // the supportCompletePushDown=false path — the scan emits one
+  // partial row per (partition, user) from a bounded per-user
+  // accumulator (constant state width regardless of range length,
+  // the q347 discipline) and Spark finalizes across partitions
+  // (COUNT partials re-aggregated by SUM, MIN/MAX by themselves).
+  // Shuffle volume is parts×users partial rows instead of 60k
+  // generated rows — the smart-storage-node shape. PlanQualitySpec
+  // asserts PushedGroupBy reaches the BatchScan; the oracle
+  // regenerates the rows in DuckDB and aggregates them whole — so
+  // the partial/finalize split itself is what the gate proves
+  // correct.
+  // ---------------------------------------------------------------------
+  private def q358(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.SynthEventsProvider")
+      .option("rows", "100000").load()
+      .filter(col("event_id") >= 30000L && col("event_id") < 90000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min("event_id").as("min_id"),
+        max("event_id").as("max_id"))
+      .orderBy("user_id")
+
+  private val q358Sql = {
+    val gen = graft.sources.v2.SynthEvents.duckSql(30000, 90000, 1500)
+    s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(min(event_id) AS BIGINT) AS min_id,
+       |  CAST(max(event_id) AS BIGINT) AS max_id
+       |FROM ($gen)
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q347 — guaranteed heavy hitters, two-pass (candidate buckets →
   // exact verify): keys carrying ≥ 0.5% of all rows, found WITHOUT
   // ever shuffling the full key grain. Pass 1 aggregates row counts
@@ -1832,7 +1865,8 @@ object Ops {
     "q351_spec_decode_accept" -> (q351 _),
     "q352_cascade_frontier" -> (q352 _),
     "q356_dsv2_runtime_filter" -> (q356 _),
-    "q357_feature_hashing" -> (q357 _))
+    "q357_feature_hashing" -> (q357 _),
+    "q358_dsv2_partial_agg" -> (q358 _))
 
   val oracle: Map[String, String] = Map(
     "q298_skew_lint" -> q298Sql,
@@ -1865,5 +1899,6 @@ object Ops {
     "q351_spec_decode_accept" -> q351Sql,
     "q352_cascade_frontier" -> q352Sql,
     "q356_dsv2_runtime_filter" -> q356Sql,
-    "q357_feature_hashing" -> q357Sql)
+    "q357_feature_hashing" -> q357Sql,
+    "q358_dsv2_partial_agg" -> q358Sql)
 }

@@ -48,7 +48,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    filter-narrowed) id range — the connector analogue of
   *    answering MIN/MAX/COUNT from parquet footer stats (gate query
   *    q343 asserts the plan is Project-over-BatchScan with zero
-  *    aggregate operators). Grouped/distinct aggregates are declined
+  *    aggregate operators); GROUP BY user_id COUNT/MIN/MAX pushes
+  *    PARTIALLY (`supportCompletePushDown = false` — the scan emits
+  *    one partial row per (partition, user), Spark finalizes; gate
+  *    query q358). Other grouped/distinct aggregates are declined
   *    and evaluated by Spark over the generated rows.
   *
   * Columns are integers + a low-cardinality string: exact on any
@@ -180,11 +183,15 @@ class SynthScanBuilder(rows: Long, users: Long, parts: Int)
   private def supported(f: AggregateFunc): Boolean = f match {
     case _: CountStar => true
     // COUNT(col) over any non-null generated column ≡ COUNT(*);
-    // COUNT(lit) likewise (no nulls anywhere in this source) —
-    // but never COUNT(DISTINCT …)
+    // COUNT(lit) likewise — but ONLY a non-NULL literal: SQL's
+    // count(NULL) is 0, not hi−lo, so a NULL literal is declined and
+    // Spark evaluates it over generated rows. Never COUNT(DISTINCT …).
     case c: Count if !c.isDistinct =>
       c.column.isInstanceOf[NamedReference] ||
-        c.column.isInstanceOf[V2Literal[_]]
+        (c.column match {
+          case l: V2Literal[_] => l.value() != null
+          case _ => false
+        })
     case m: Min => isIdRef(m.column)
     case m: Max => isIdRef(m.column)
     case _ => false
@@ -194,15 +201,44 @@ class SynthScanBuilder(rows: Long, users: Long, parts: Int)
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(supported)
 
+  // ---- PARTIAL (grouped) pushdown — the supportCompletePushDown=false
+  // path: GROUP BY user_id with COUNT/MIN(event_id)/MAX(event_id) is
+  // accepted, the scan emits ONE PARTIAL ROW PER (partition, user) —
+  // bounded accumulator state, like a smart storage node returning
+  // per-block pre-aggregates — and Spark finalizes across partitions
+  // (its rewrite re-aggregates COUNT partials with SUM, MIN/MAX with
+  // themselves). Scan output order is Spark's contract: group columns
+  // first, then aggregate columns.
+  private def isUserRef(e: V2Expression): Boolean = e match {
+    case r: NamedReference =>
+      r.fieldNames.length == 1 && r.fieldNames()(0) == "user_id"
+    case _ => false
+  }
+  private def groupedSupported(agg: Aggregation): Boolean =
+    agg.groupByExpressions.length == 1 &&
+      isUserRef(agg.groupByExpressions()(0)) &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(supported)
+
   override def pushAggregation(agg: Aggregation): Boolean =
-    supportCompletePushDown(agg) && {
+    if (supportCompletePushDown(agg)) {
       aggs = Some(agg.aggregateExpressions.toSeq)
       true
-    }
+    } else if (groupedSupported(agg)) {
+      groupAggs = Some(agg.aggregateExpressions.toSeq)
+      true
+    } else false
+
+  private var groupAggs: Option[Seq[AggregateFunc]] = None
 
   override def build(): Scan = aggs match {
     case Some(fs) => new SynthAggScan(math.min(lo, hi), hi, fs, pushed)
-    case None => new SynthScan(math.min(lo, hi), hi, users, parts, required)
+    case None => groupAggs match {
+      case Some(fs) =>
+        new SynthGroupAggScan(math.min(lo, hi), hi, users, parts, fs, pushed)
+      case None =>
+        new SynthScan(math.min(lo, hi), hi, users, parts, required)
+    }
   }
 }
 
@@ -242,6 +278,92 @@ class SynthAggReaderFactory(values: Array[Any])
       private var emitted = false
       override def next(): Boolean = !emitted && { emitted = true; true }
       override def get(): InternalRow = new GenericInternalRow(values.clone())
+      override def close(): Unit = ()
+    }
+}
+
+/** Partially-pushed-down `GROUP BY user_id` aggregate
+  * (`supportCompletePushDown = false`): each id-range partition folds
+  * its generated rows into a per-user accumulator — bounded at
+  * `users` entries, CONSTANT width no matter how many rows the range
+  * spans (the q347 fixed-state discipline) — and emits one partial
+  * row per user; Spark's rewrite finalizes across partitions (COUNT
+  * partials re-aggregate as SUM, MIN/MAX as themselves). The scan
+  * output schema follows Spark's partial-pushdown contract: group
+  * columns first, then one column per aggregate, in declaration
+  * order. Gate query q358 checks the whole path bit-exact against
+  * DuckDB's regeneration; PlanQualitySpec asserts `PushedGroupBy`
+  * reaches the physical BatchScan.
+  */
+class SynthGroupAggScan(lo: Long, hi: Long, users: Long, parts: Int,
+                        fs: Seq[AggregateFunc], pushedF: Array[Filter])
+    extends Scan with Batch {
+  // AggregateFunc is not Serializable — compile the accepted shapes
+  // to opcodes for the executor-side factory (0 = count partial,
+  // 1 = min event_id, 2 = max event_id)
+  private val ops: Array[Int] = fs.map {
+    case _: CountStar | _: Count => 0
+    case _: Min => 1
+    case _: Max => 2
+    case f => throw new IllegalStateException(s"unpushable grouped agg $f")
+  }.toArray
+  override def readSchema(): StructType = StructType(
+    StructField("user_id", LongType, nullable = false) +:
+      fs.zipWithIndex.map { case (_, i) =>
+        StructField(s"agg$i", LongType, nullable = false)
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"synth_events PushedRange($lo,$hi) PushedGroupBy [user_id] " +
+      "PushedAggregates [" + fs.map(_.toString).mkString(", ") +
+      "] mode=partial pushedFilters=" + pushedF.mkString(",")
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, parts)
+    val span = math.max(0L, hi - lo)
+    (0 until n).map { p =>
+      SynthPartition(lo + span * p / n, lo + span * (p + 1) / n):
+        InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthGroupAggReaderFactory(users, ops)
+}
+
+class SynthGroupAggReaderFactory(users: Long, ops: Array[Int])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      // fold the whole range on first advance: per-user
+      // (count, min id, max id) — ≤ `users` entries of fixed width
+      private val sp = p.asInstanceOf[SynthPartition]
+      private var rows: Iterator[InternalRow] = _
+      override def next(): Boolean = {
+        if (rows == null) {
+          val acc = scala.collection.mutable.LongMap.empty[Array[Long]]
+          var i = sp.start
+          while (i < sp.end) {
+            val u = SynthEvents.userId(i, users)
+            val a = acc.getOrElseUpdate(u, Array(0L, Long.MaxValue,
+              Long.MinValue))
+            a(0) += 1L
+            if (i < a(1)) a(1) = i
+            if (i > a(2)) a(2) = i
+            i += 1L
+          }
+          rows = acc.toSeq.sortBy(_._1).iterator.map { case (u, a) =>
+            val row = new GenericInternalRow(1 + ops.length)
+            row.update(0, u)
+            var c = 0
+            while (c < ops.length) {
+              row.update(1 + c, a(ops(c)))
+              c += 1
+            }
+            row
+          }
+        }
+        rows.hasNext
+      }
+      override def get(): InternalRow = rows.next()
       override def close(): Unit = ()
     }
 }
@@ -296,14 +418,33 @@ class SynthScan(val lo: Long, val hi: Long, users: Long, parts: Int,
         if (onId && vals.length == p.children().length - 1 &&
             vals.nonEmpty) {
           val inRange = vals.filter(v => v >= rlo && v < rhi).sorted
-          if (inRange.isEmpty) { rhi = rlo }
-          else {
+          if (inRange.isEmpty) {
+            // disjoint with the narrowed range: NOTHING can match —
+            // clear any earlier id set too, or planInputPartitions
+            // would still generate its (stale) ids
+            rhi = rlo
+            allowed = None
+          } else {
             rlo = inRange.head
             rhi = inRange.last + 1
             // cap keeps each partition's id list broadcast-sized;
             // beyond it the hull narrowing alone still applies
-            if (inRange.length <= (1 << 20))
-              allowed = Some(inRange.distinct)
+            val cur: Option[Array[Long]] =
+              if (inRange.length <= (1 << 20)) Some(inRange.distinct)
+              else None
+            // successive runtime predicates are each NECESSARY, so id
+            // sets INTERSECT (replacing would re-admit ids an earlier
+            // predicate already excluded); a hull-only predicate still
+            // narrows an existing set to the new hull
+            allowed = (allowed, cur) match {
+              case (Some(prev), Some(c)) =>
+                val cs = c.toSet
+                Some(prev.filter(cs.contains))
+              case (Some(prev), None) =>
+                Some(prev.filter(v => v >= rlo && v < rhi))
+              case (None, c) => c
+            }
+            if (allowed.exists(_.isEmpty)) rhi = rlo
           }
         }
       }

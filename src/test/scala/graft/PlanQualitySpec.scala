@@ -1155,6 +1155,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q358: GROUP BY user_id pushes PARTIALLY into the DSv2 source " +
+       "(supportCompletePushDown=false) — the BatchScan reports " +
+       "PushedGroupBy and emits per-(partition,user) partials, and " +
+       "Spark's finalize aggregate sits on top") {
+    val p = plan("q358_dsv2_partial_agg")
+    assert(p.contains("PushedGroupBy"), p)
+    assert(p.contains("mode=partial"), p)
+    // the finalize step must still exist — partial pushdown is a
+    // split, not a collapse
+    assert(p.contains("HashAggregate"), p)
+  }
+
   // Output-type parity lint (the round-6 q307 lesson): the
   // correctness driver hashes values AFTER fetching both engines'
   // results, and some types round-trip differently — Spark
