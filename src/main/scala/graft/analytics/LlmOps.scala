@@ -1108,18 +1108,28 @@ object LlmOps {
       |ORDER BY prefix""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q108 — blocked record linkage: candidate pairs only within the
-  // blocking key (source, n_chars div 25 — the cheap invariant), then
-  // Levenshtein on a 60-char prefix, pairs kept under a distance cap
-  // and reduced per source. The oracle is the identical blocked
-  // self-join in DuckDB — both engines implement classic Levenshtein,
-  // and the gate proves it. All-pairs would be O(n²); blocking bounds
-  // the work at Σ C(block,2), the entity-resolution discipline.
+  // q108 — blocked record linkage, with the blocking ENFORCED, not
+  // hoped for: candidate pairs only within (source, n_chars div 25 —
+  // the cheap invariant) AND a second sorted-neighborhood tier
+  // (within each block, rows sort by prefix and split into chunks of
+  // ≤32; pairs stay chunk-local), then Levenshtein on a 60-char
+  // prefix under a distance cap, reduced per source. The first-tier
+  // keys have FIXED cardinality, so their blocks grow linearly with
+  // data and in-block pairs quadratically (the r7 sf1 bench measured
+  // ×90 on ×10 data); the chunk tier makes pair count LINEAR in n
+  // (≤ n/32 · C(32,2)), and a pair-budget raise_error guard fails the
+  // run loudly if the candidate grain ever exceeds 2²² pairs. At the
+  // gate scales every (source, lb) block is ≤32 docs, so chunking is
+  // the identity there — DedupSpec proves refined ≡ unrefined at the
+  // gated thresholds — while the oracle replays the same chunk
+  // assignment (row_number over (block) ordered by prefix, id), so
+  // the gate stays bit-exact at ANY scale, chunked or not.
   // ---------------------------------------------------------------------
   private def q108(s: SparkSession, dir: String): DataFrame =
     Dedup.blockedEditDistance(docs(s, dir), "doc_id", "text",
         Seq(col("source"), expr("n_chars div 25")),
-        prefixLen = 60, maxDist = 40)
+        prefixLen = 60, maxDist = 40,
+        chunkSize = Some(32), pairBudget = Some(1L << 22))
       .groupBy(col("__bk0").as("source"))
       .agg(count(lit(1)).as("n_pairs"),
         min(col("dist")).cast("long").as("min_dist"),
@@ -1131,10 +1141,15 @@ object LlmOps {
       |  SELECT doc_id, source, n_chars // 25 AS lb,
       |    substring(text, 1, 60) AS t
       |  FROM documents),
+      |ch AS (
+      |  SELECT *, (row_number() OVER (PARTITION BY source, lb
+      |    ORDER BY t, doc_id) - 1) // 32 AS chunk
+      |  FROM d),
       |pairs AS (
       |  SELECT a.source, levenshtein(a.t, b.t) AS dist
-      |  FROM d a JOIN d b
+      |  FROM ch a JOIN ch b
       |    ON a.source = b.source AND a.lb = b.lb
+      |   AND a.chunk = b.chunk
       |   AND a.doc_id < b.doc_id)
       |SELECT source, count(*) AS n_pairs,
       |  CAST(min(dist) AS BIGINT) AS min_dist,

@@ -27,28 +27,53 @@ object Robust {
   // variant of every customer name (digit→letter OCR confusion, one
   // dropped char, or one substituted char, by key mod 3) is linked back
   // against the clean register. Candidate pairs are BLOCKED on
-  // c_custkey % 500 — the scale contract: the scorer never sees the
-  // cross product, only block-local pairs (candidates per dirty record
-  // = block size, independent of table count), which is how linkage
-  // survives 100 TB. Each dirty record keeps its argmax-scored clean
-  // candidate (ties to the smallest key); scoring runs through the
-  // codegen'd [[org.apache.spark.sql.graftx.JaroWinklerE6]] expression
-  // (Spark has no jaro_winkler; a Scala UDF here would box two strings
-  // per candidate pair). DuckDB's jaro_winkler_similarity matches the
-  // expression bit-for-bit at e6 on this pair set (verified exhaustively
-  // — the blocked join is replayed in the oracle).
+  // c_custkey % B — and B is ADAPTIVE, not fixed: a fixed modulus is a
+  // fixed-cardinality blocking key whose blocks grow linearly with the
+  // register and whose pair count grows quadratically (the r7 sf1
+  // bench measured ×50 on ×10 data). B = greatest(500, ceil(n/40)) —
+  // computed from a 1-row count that broadcasts onto both sides, never
+  // a collect — keeps blocks at ~40 records at ANY register size, so
+  // candidates per dirty record are data-invariant and total pair work
+  // is LINEAR in n; the true match (dk = k) always shares dk % B, so
+  // no genuine link is ever blocked away. A bipartite pair-budget
+  // guard (Σ n_clean·n_dirty per block, one block-grain aggregate)
+  // raise_errors past 2²² pairs instead of melting down. At gate
+  // scales (n ≤ 20 000) B stays 500 — bit-identical to the fixed-
+  // modulus formulation — and the oracle replays B from the same
+  // count, so the gate is exact at any scale. Each dirty record keeps
+  // its argmax-scored clean candidate (ties to the smallest key);
+  // scoring runs through the codegen'd
+  // [[org.apache.spark.sql.graftx.JaroWinklerE6]] expression (Spark
+  // has no jaro_winkler; a Scala UDF here would box two strings per
+  // candidate pair). DuckDB's jaro_winkler_similarity matches the
+  // expression bit-for-bit at e6 on this pair set (verified
+  // exhaustively — the blocked join is replayed in the oracle).
   // ---------------------------------------------------------------------
   private def q258(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
       .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+    // adaptive modulus as a 1-row broadcast scalar: blocks stay ~40
+    // records however big the register grows
+    val mod = c.agg(greatest(lit(500L),
+      ((count(lit(1)) + 39L) / 40L).cast("long")).as("__b"))
     val dirty = c.select(col("k").as("dk"),
       when(col("k") % 3 === 0, regexp_replace(col("nm"), "0", "O"))
         .when(col("k") % 3 === 1,
           concat(substring(col("nm"), 1, 5), expr("substring(nm, 7)")))
         .otherwise(concat(substring(col("nm"), 1, 9), lit("X"),
           expr("substring(nm, 11)"))).as("dn"))
-    val scored = c.withColumn("blk", col("k") % 500)
-      .join(dirty.withColumn("blk", col("dk") % 500), "blk")
+    val cb = c.crossJoin(broadcast(mod))
+      .withColumn("blk", col("k") % col("__b")).drop("__b")
+    val db = dirty.crossJoin(broadcast(mod))
+      .withColumn("blk", col("dk") % col("__b")).drop("__b")
+    // bipartite budget: Σ over blocks of n_clean·n_dirty — both sides
+    // have one row per key here, so clean and dirty block sizes match
+    val guard = graft.operators.Dedup.pairBudgetGuard(
+      cb.groupBy("blk").agg(count(lit(1)).as("__n")),
+      col("__n") * col("__n"), 1L << 22, "q258 JW linkage")
+    val scored = cb
+      .join(db, "blk")
+      .crossJoin(broadcast(guard)).drop("__pb_ok")
       .withColumn("jw_e6", JaroWinklerE6.col(col("nm"), col("dn")))
     // argmax as a HASH AGGREGATE (max of a lexicographic struct, ties
     // to the smallest key via the negated field), not a row_number
@@ -67,6 +92,7 @@ object Robust {
 
   private val q258Sql =
     """WITH c AS (SELECT c_custkey AS k, c_name AS nm FROM customer),
+      |p AS (SELECT greatest(500, (count(*) + 39) // 40) AS b FROM c),
       |d AS (SELECT k AS dk,
       |  CASE k % 3 WHEN 0 THEN replace(nm, '0', 'O')
       |             WHEN 1 THEN substr(nm, 1, 5) || substr(nm, 7)
@@ -76,7 +102,7 @@ object Robust {
       |  SELECT d.dk, c.k, d.dn, c.nm,
       |    CAST(round(1000000 * jaro_winkler_similarity(c.nm, d.dn))
       |      AS BIGINT) AS jw_e6
-      |  FROM c JOIN d ON c.k % 500 = d.dk % 500),
+      |  FROM c JOIN d ON c.k % (SELECT b FROM p) = d.dk % (SELECT b FROM p)),
       |best AS (
       |  SELECT dk, k, jw_e6,
       |    row_number() OVER (PARTITION BY dk

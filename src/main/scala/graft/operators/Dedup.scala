@@ -27,6 +27,29 @@ import graft.core.PlanStats.Pinned
   */
 object Dedup {
 
+  /** 1-row pair-budget guard — the [[graft.operators.Curate.boundedRank]]
+    * fail-loud discipline applied to blocking: `blockSizes` is the
+    * per-block size relation, `pairsExpr` the candidate-pair count a
+    * block contributes (`n(n−1)/2` for a self-join, `n_a·n_b` for a
+    * bipartite linkage). The guard SUMS it — one cheap aggregate over
+    * the block grain, never the pair grain — and `raise_error`s past
+    * the declared budget instead of silently launching a quadratic
+    * join. Callers cross-join the returned single row into the pair
+    * pipeline (a 1-row broadcast — the allowlisted scalar shape), so
+    * the check cannot be pruned away and runs before pair work lands.
+    */
+  def pairBudgetGuard(blockSizes: DataFrame, pairsExpr: Column,
+                      budget: Long, what: String): DataFrame =
+    blockSizes.agg(coalesce(sum(pairsExpr), lit(0L)).as("__pb_pairs"))
+      .filter(when(col("__pb_pairs") <= budget, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$what: candidate-pair budget exceeded — "),
+          col("__pb_pairs").cast("string"),
+          lit(s" pairs > declared $budget. Refine the blocking keys " +
+            "(add a chunk tier / raise key cardinality) instead of " +
+            "raising the budget.")))))
+      .select(lit(1L).as("__pb_ok"))
+
   /** Blocked record-linkage join — the entity-resolution primitive:
     * candidate pairs are generated ONLY within a blocking key (the
     * caller's cheap invariant: same source + similar length, same
@@ -36,24 +59,64 @@ object Dedup {
     * prefix cap bounds the per-pair Levenshtein DP at O(prefix²).
     * Pairs are ordered (idCol_a < idCol_b) so each is emitted once.
     *
+    * Scale enforcement (the two knobs a 100 TB run REQUIRES — the
+    * caller's blocking keys alone are a hope, not a bound, because a
+    * fixed-cardinality key's blocks grow linearly with data and its
+    * in-block pairs quadratically):
+    *
+    *  - `chunkSize = Some(c)`: a second blocking tier — within each
+    *    block, rows sort by (prefix, id) and split into chunks of at
+    *    most `c` rows (sorted-neighborhood blocking, Hernández &
+    *    Stolfo's merge/purge discipline: near-duplicates sort
+    *    adjacently, so same-chunk recall is high); pairs are emitted
+    *    within a chunk only. Block sizes become data-invariant:
+    *    total pairs ≤ n/c · C(c,2) — LINEAR in n. The chunk-rank
+    *    window partitions by block (one task per block) — linear
+    *    work, safe while single blocks fit a task (~10⁷ rows), and
+    *    the budget guard fires long before that.
+    *  - `pairBudget = Some(b)`: [[pairBudgetGuard]] over the FINAL
+    *    (chunked) block grain — the run fails loudly if candidate
+    *    pairs exceed `b` instead of melting down quadratically.
+    *
     * Returns (id_a, id_b, block cols…, dist). */
   def blockedEditDistance(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[Column], prefixLen: Int,
-                          maxDist: Int): DataFrame = {
+                          maxDist: Int,
+                          chunkSize: Option[Int] = None,
+                          pairBudget: Option[Long] = None): DataFrame = {
     val names = blockCols.indices.map(i => s"__bk$i")
-    val a = docs.select(
+    val base0 = docs.select(
       (blockCols.zip(names).map { case (c, n) => c.as(n) }) ++
-        Seq(col(idCol).as("id_a"),
-          substring(col(textCol), 1, prefixLen).as("__ta")): _*)
-    val b = docs.select(
-      (blockCols.zip(names).map { case (c, n) => c.as(n) }) ++
-        Seq(col(idCol).as("id_b"),
-          substring(col(textCol), 1, prefixLen).as("__tb")): _*)
-    a.join(b, names)
+        Seq(col(idCol).as("__id"),
+          substring(col(textCol), 1, prefixLen).as("__t")): _*)
+    val (base, keyNames) = chunkSize match {
+      case Some(c) =>
+        val w = Window.partitionBy(names.map(col): _*)
+          .orderBy(col("__t"), col("__id"))
+        (base0.withColumn("__chunk",
+          ((row_number().over(w) - 1) / c).cast("long")),
+          names :+ "__chunk")
+      case None => (base0, names)
+    }
+    val a = base.select(keyNames.map(col) ++
+      Seq(col("__id").as("id_a"), col("__t").as("__ta")): _*)
+    val b = base.select(keyNames.map(col) ++
+      Seq(col("__id").as("id_b"), col("__t").as("__tb")): _*)
+    val joined = a.join(b, keyNames.toSeq)
+    val guarded = pairBudget match {
+      case Some(budget) =>
+        val sizes = base.groupBy(keyNames.map(col): _*)
+          .agg(count(lit(1)).as("__pb_n"))
+        joined.crossJoin(broadcast(pairBudgetGuard(sizes,
+          col("__pb_n") * (col("__pb_n") - 1) / 2, budget,
+          "blockedEditDistance"))).drop("__pb_ok")
+      case None => joined
+    }
+    guarded
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
       .filter(col("dist") <= maxDist)
-      .drop("__ta", "__tb")
+      .drop("__ta", "__tb", "__chunk")
   }
 
   /** Exact dedup: one representative row (min of `idCol`) per distinct

@@ -158,6 +158,59 @@ class DedupSpec extends AnyFunSuite {
       s"only the in-block near pair qualifies, got $out")
   }
 
+  test("blockedEditDistance chunk tier: identity at the gated " +
+       "thresholds (gate-scale blocks fit one chunk — no pair the " +
+       "oracle keeps is lost), pairs chunk-local past it") {
+    import spark.implicits._
+    // the exact q108 configuration on the gate table: refined
+    // (chunk=32) must equal unrefined — every (source, lb) block at
+    // gate scale is smaller than one chunk
+    val gate = graft.core.Tables.load(spark, TestSpark.sf001, "documents")
+    def pairsOf(chunk: Option[Int]): Set[(Long, Long)] =
+      graft.operators.Dedup.blockedEditDistance(
+          gate, "doc_id", "text",
+          Seq(col("source"), expr("n_chars div 25")),
+          prefixLen = 60, maxDist = 40, chunkSize = chunk)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val refined = pairsOf(Some(32))
+    val unrefined = pairsOf(None)
+    assert(refined == unrefined,
+      s"chunking lost ${(unrefined -- refined).size} gate-threshold pairs")
+
+    // a block BIGGER than the chunk: pair count becomes chunk-local
+    // (n/c chunks × C(c,2) — linear in n), not C(n,2)
+    val big = (1L to 100L).map(i => (i, "s", f"t$i%03d"))
+      .toDF("doc_id", "src", "text")
+    val chunked = graft.operators.Dedup.blockedEditDistance(
+      big, "doc_id", "text", Seq(col("src")),
+      prefixLen = 10, maxDist = 10, chunkSize = Some(10))
+    assert(chunked.count() == 10L * 45L, // vs C(100,2) = 4950 unchunked
+      "pairs must stay chunk-local")
+  }
+
+  test("blockedEditDistance pair-budget guard: raise_error past the " +
+       "declared bound instead of a quadratic join; silent under it") {
+    import spark.implicits._
+    val big = (1L to 100L).map(i => (i, "s", f"t$i%03d"))
+      .toDF("doc_id", "src", "text")
+    // C(100,2) = 4950 pairs > 100 budget: fail loudly
+    val ex = intercept[Throwable] {
+      graft.operators.Dedup.blockedEditDistance(
+        big, "doc_id", "text", Seq(col("src")),
+        prefixLen = 10, maxDist = 10, pairBudget = Some(100L)).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("candidate-pair budget")),
+      s"expected the budget raise_error, got: ${messages(ex)}")
+    // within budget: same result as unguarded
+    val n = graft.operators.Dedup.blockedEditDistance(
+      big, "doc_id", "text", Seq(col("src")),
+      prefixLen = 10, maxDist = 10, pairBudget = Some(5000L)).count()
+    assert(n == 4950L)
+  }
+
   test("incrementalJaccardPairs equals the full recompute restricted " +
        "to new-involving pairs, and emits both-new pairs once") {
     import spark.implicits._
