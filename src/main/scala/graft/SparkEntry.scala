@@ -30,7 +30,8 @@ object SparkEntry {
     (analytics.Ops.queries, analytics.Ops.oracle),
     (analytics.DecisionSupport.queries, analytics.DecisionSupport.oracle),
     (analytics.Safety.queries, analytics.Safety.oracle),
-    (analytics.Features.queries, analytics.Features.oracle))
+    (analytics.Features.queries, analytics.Features.oracle),
+    (analytics.Audit.queries, analytics.Audit.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

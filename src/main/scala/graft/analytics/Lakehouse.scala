@@ -508,6 +508,43 @@ object Lakehouse {
        |ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q359 — q125's SCALE PATH, gated: the same null-safe-join readout
+  // computed WITHOUT expanding a single pair. Per bucket class v,
+  // n_pairs = n_c(v)·n_s(v) and Σ(c_bal + s_bal) over pairs =
+  // n_s·Σc_bal + n_c·Σs_bal — so both sides pre-aggregate to ≤8 rows
+  // each and an 8-row join replaces the |C|·|S|-per-bucket row-grain
+  // expansion (the r7 sf1 bench measured q125 at ×34 on ×10 data —
+  // BY SEMANTICS, pair count is quadratic; this is the form a 100 TB
+  // run uses). Cross-products accumulate in decimal(38,0); the final
+  // e2 total casts back to BIGINT before the one double division, so
+  // the result is BIT-IDENTICAL to the row grain's sum-of-longs.
+  // The ORACLE is deliberately the row-grain SQL (q125's own): the
+  // gate proves the aggregate identity itself, converting README's
+  // prose scale path into checked code.
+  // ---------------------------------------------------------------------
+  private def q359(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = t(s, dir, "customer")
+      .select(expr("nullif(c_nationkey % 8, 0)").as("cb"),
+        round(col("c_acctbal") * 100).cast("long").as("c_e2"))
+      .groupBy(col("cb"))
+      .agg(count(lit(1)).cast(dec).as("n_c"),
+        sum(col("c_e2")).cast(dec).as("sum_c_e2"))
+    val sup = t(s, dir, "supplier")
+      .select(expr("nullif(s_nationkey % 8, 0)").as("sb"),
+        round(col("s_acctbal") * 100).cast("long").as("s_e2"))
+      .groupBy(col("sb"))
+      .agg(count(lit(1)).cast(dec).as("n_s"),
+        sum(col("s_e2")).cast(dec).as("sum_s_e2"))
+    c.join(sup, col("cb") <=> col("sb"))
+      .select(coalesce(col("cb"), lit(-1)).as("bucket"),
+        (col("n_c") * col("n_s")).cast("long").as("n_pairs"),
+        ((col("n_s") * col("sum_c_e2") + col("n_c") * col("sum_s_e2"))
+          .cast("long") / 100.0).as("bal_total"))
+      .orderBy(col("bucket"))
+  }
+
+  // ---------------------------------------------------------------------
   // q126 — EXACT z-score outlier detection: flag events where
   // (v − μ)² > 9σ² per event type, evaluated as the cross-multiplied
   // integer inequality (n·v − s)² > 9·(n·q − s²) — no division, no
@@ -1354,6 +1391,7 @@ object Lakehouse {
     "q123_ewma_decay" -> (q123 _),
     "q124_regression_exact" -> (q124 _),
     "q125_null_safe_join" -> (q125 _),
+    "q359_pair_identity" -> (q359 _),
     "q126_outlier_exact" -> (q126 _),
     "q127_group_bins" -> (q127 _),
     "q180_holt_forecast" -> (q180 _),
@@ -1383,6 +1421,9 @@ object Lakehouse {
     "q123_ewma_decay" -> q123Sql,
     "q124_regression_exact" -> q124Sql,
     "q125_null_safe_join" -> q125Sql,
+    // the identity form is checked against the ROW-GRAIN oracle on
+    // purpose — the gate proves the per-bucket aggregate identity
+    "q359_pair_identity" -> q125Sql,
     "q126_outlier_exact" -> q126Sql,
     "q127_group_bins" -> q127Sql,
     "q180_holt_forecast" -> q180Sql,

@@ -343,9 +343,11 @@ object Curate {
     */
   def globalRank(df: DataFrame, sortCols: Seq[Column],
                  rankName: String = "rnk",
-                 parts: Int = 32): DataFrame = {
+                 parts: Int = -1): DataFrame = {
+    val nParts = if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df
-      .repartitionByRange(parts, sortCols: _*)
+      .repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__gr_pid", spark_partition_id())
       .withColumn("__gr_idx", monotonically_increasing_id()
@@ -379,10 +381,12 @@ object Curate {
   def globalCumSum(df: DataFrame, sortCols: Seq[Column],
                    valueCol: Column, cumName: String,
                    rankName: String = "rnk",
-                   parts: Int = 32): DataFrame = {
+                   parts: Int = -1): DataFrame = {
+    val nParts = if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df
       .withColumn("__gc_v", valueCol)
-      .repartitionByRange(parts, sortCols: _*)
+      .repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__gc_pid", spark_partition_id())
       .withColumn("__gc_idx", monotonically_increasing_id()
@@ -416,16 +420,27 @@ object Curate {
     * slice of any key. Key cardinality must be small enough that
     * parts × keys stays broadcast-sized (offsets grain), which is
     * exactly the regime the operator exists for.
+    *
+    * `parts` caps the FIRST-PASS parallelism (each range partition is
+    * one task): the default (-1) adapts to the session's
+    * `spark.sql.shuffle.partitions` — 32 on the local harness, the
+    * cluster-sized setting on a real deployment — so a 100 TB run
+    * does not funnel through 32 tasks. Pass an explicit count to
+    * trade offset-grain size (parts × keys broadcast rows) against
+    * per-task slice size; both passes stay two linear scans either
+    * way.
     */
   def keyedCumSum(df: DataFrame, keyCols: Seq[String],
                   sortCols: Seq[Column], valueCol: Column,
                   cumName: String, rankName: String = "rnk",
-                  parts: Int = 32): DataFrame = {
+                  parts: Int = -1): DataFrame = {
+    val nParts = if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val ks = keyCols.map(col)
     val ordered = ks ++ sortCols
     val base = df
       .withColumn("__kc_v", valueCol)
-      .repartitionByRange(parts, ordered: _*)
+      .repartitionByRange(nParts, ordered: _*)
       .sortWithinPartitions(ordered: _*)
       .withColumn("__kc_pid", spark_partition_id())
       .pin()
@@ -461,10 +476,12 @@ object Curate {
   def globalCumMax(df: DataFrame, sortCols: Seq[Column],
                    valueCol: Column, maxName: String,
                    inclusive: Boolean = true,
-                   parts: Int = 32): DataFrame = {
+                   parts: Int = -1): DataFrame = {
+    val nParts = if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df
       .withColumn("__gm_v", valueCol)
-      .repartitionByRange(parts, sortCols: _*)
+      .repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__gm_pid", spark_partition_id())
       .pin()
