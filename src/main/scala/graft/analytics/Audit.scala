@@ -31,6 +31,96 @@ object Audit {
 
   private val dec = "decimal(38,0)"
 
+  import org.apache.spark.sql.Column
+
+  /** Exact ROC AUC via the rank-sum identity, on the SCORE-GROUP
+    * grain (see q360). `scoreCol` must be integral (collapse floats
+    * to a scaled-long grain first), `labelCol` 0/1. Returns one row
+    * (n_pos, n_neg, auc_e6). */
+  def rocAuc(scored: DataFrame, scoreCol: Column,
+             labelCol: Column): DataFrame = {
+    val g = scored.select(scoreCol.as("v"), labelCol.cast("long").as("y"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    Curate.globalCumSum(g, Seq(col("v")), col("n"), "hi", "__r")
+      .agg(
+        sum(col("np")).cast(dec).as("pos"),
+        sum(col("n") - col("np")).cast(dec).as("neg"),
+        sum((col("np") * (lit(2L) * col("hi") - col("n") + lit(1L)))
+          .cast(dec)).as("s2"))
+      .select(col("pos").cast("long").as("n_pos"),
+        col("neg").cast("long").as("n_neg"),
+        round((col("s2") - col("pos") * (col("pos") + lit(1)))
+            .cast("double") /
+          (col("pos") * col("neg") * lit(2)).cast("double")
+          * 1000000.0).cast("long").as("auc_e6"))
+  }
+
+  /** Exact two-sample KS statistic over an integral value grain (see
+    * q363): `aCol`/`bCol` are 0/1 membership indicators. Returns one
+    * row (n_a, n_b, d_num, v_at, ks_e6) where d_num = max |n_b·C_a −
+    * n_a·C_b| and v_at is the smallest value attaining it. */
+  def ksStatistic(df: DataFrame, valueCol: Column, aCol: Column,
+                  bCol: Column): DataFrame = {
+    val g = df.select(valueCol.as("v"), aCol.cast("long").as("a"),
+        bCol.cast("long").as("b"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    val cum = Curate.globalCumSum(
+      Curate.globalCumSum(g, Seq(col("v")), col("ca"), "cuma", "__r1"),
+      Seq(col("v")), col("cb"), "cumb", "__r2")
+    val tot = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        abs(col("nb").cast(dec) * col("cuma").cast(dec) -
+          col("na").cast(dec) * col("cumb").cast(dec)).as("dn"),
+        col("v"))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(struct(col("dn"), (-col("v")).as("nv"))).as("best"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("best.dn").cast("long").as("d_num"),
+        (-col("best.nv")).as("v_at"),
+        round(col("best.dn").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double"))
+          * 1000000.0).cast("long").as("ks_e6"))
+  }
+
+  /** Exact Gini coefficient of an integral value column (see q362):
+    * ranks by (value, tiebreak) through Curate.globalRank. Returns
+    * one row (n_rows, total, gini_e6). */
+  def gini(df: DataFrame, valueCol: Column, tieCol: Column): DataFrame =
+    Curate.globalRank(df.select(valueCol.as("x"), tieCol.as("tb")),
+        Seq(col("x"), col("tb")), "i")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"),
+        sum((col("i") * col("x")).cast(dec)).as("six"))
+      .select(col("n").cast("long").as("n_rows"),
+        col("sx").cast("long").as("total"),
+        round((lit(2) * col("six") - (col("n") + lit(1)) * col("sx"))
+            .cast("double") /
+          (col("n") * col("sx")).cast("double") * 1000000.0)
+          .cast("long").as("gini_e6"))
+
+  /** Sorted-neighborhood candidate pairs (Hernández–Stolfo merge/
+    * purge; see q369): rows rank globally by `keyCol` (id tiebreak)
+    * and each pairs with its `w` successors via a rank equi-join —
+    * n·w pairs BY CONSTRUCTION at any data size, the linear-pairs
+    * alternative to key blocking. Returns (j, id_a, id_b, key_a,
+    * key_b) with j = rank offset 1..w. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: Column,
+                              keyCol: Column, w: Int): DataFrame = {
+    val ranked = Curate.globalRank(
+      df.select(idCol.as("__id"), keyCol.as("__key")),
+      Seq(col("__key"), col("__id")), "__r")
+    val a = ranked.select(col("__id").as("id_a"), col("__key").as("key_a"),
+        col("__r"), explode(sequence(lit(1L), lit(w.toLong))).as("j"))
+      .withColumn("__rb", col("__r") + col("j"))
+    val b = ranked.select(col("__r").as("__rb"), col("__id").as("id_b"),
+      col("__key").as("key_b"))
+    a.join(b, "__rb").select(col("j"), col("id_a"), col("id_b"),
+      col("key_a"), col("key_b"))
+  }
+
   // ---------------------------------------------------------------------
   // q360 — EXACT ROC AUC via the rank-sum (Mann–Whitney) identity,
   // computed on the SCORE-GROUP grain: scores collapse to e2 longs
@@ -43,27 +133,13 @@ object Audit {
   // (2PN) with S2 = Σ_pos (lo+hi): one e6-rounded division at the
   // end; sums accumulate in decimal(38,0).
   // ---------------------------------------------------------------------
-  private def q360(s: SparkSession, dir: String): DataFrame = {
-    val g = Tables.eventsSec(s, dir)
-      .select(round(col("value") * 100).cast("long").as("v"),
-        when(col("event_type").isin("purchase", "signup"), 1L)
-          .otherwise(0L).as("y"))
-      .groupBy(col("v"))
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
-    val cum = Curate.globalCumSum(g, Seq(col("v")), col("n"), "hi", "__r")
-    cum.agg(
-        sum(col("np")).cast(dec).as("pos"),
-        sum(col("n") - col("np")).cast(dec).as("neg"),
-        sum((col("np") * (lit(2L) * col("hi") - col("n") + lit(1L)))
-          .cast(dec)).as("s2"))
-      .select(col("pos").cast("long").as("n_pos"),
-        col("neg").cast("long").as("n_neg"),
-        round((col("s2") - col("pos") * (col("pos") + lit(1)))
-            .cast("double") /
-          (col("pos") * col("neg") * lit(2)).cast("double")
-          * 1000000.0).cast("long").as("auc_e6"))
+  private def q360(s: SparkSession, dir: String): DataFrame =
+    rocAuc(Tables.eventsSec(s, dir)
+        .select(round(col("value") * 100).cast("long").as("v"),
+          when(col("event_type").isin("purchase", "signup"), 1L)
+            .otherwise(0L).as("y")),
+        col("v"), col("y"))
       .orderBy(col("n_pos"))
-  }
 
   private val q360Sql =
     """WITH e AS (
@@ -132,22 +208,14 @@ object Audit {
   // e6-rounded division. Grain = customers with orders, so the sort
   // is dimension-sized, not fact-sized.
   // ---------------------------------------------------------------------
-  private def q362(s: SparkSession, dir: String): DataFrame = {
-    val spend = t(s, dir, "orders")
-      .groupBy(col("o_custkey").as("k"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
-    Curate.globalRank(spend, Seq(col("x"), col("k")), "i")
-      .agg(count(lit(1)).cast(dec).as("n"),
-        sum(col("x")).cast(dec).as("sx"),
-        sum((col("i") * col("x")).cast(dec)).as("six"))
-      .select(col("n").cast("long").as("n_cust"),
-        col("sx").cast("long").as("total_e2"),
-        round((lit(2) * col("six") - (col("n") + lit(1)) * col("sx"))
-            .cast("double") /
-          (col("n") * col("sx")).cast("double") * 1000000.0)
-          .cast("long").as("gini_e6"))
+  private def q362(s: SparkSession, dir: String): DataFrame =
+    gini(t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x")),
+        col("x"), col("k"))
+      .select(col("n_rows").as("n_cust"), col("total").as("total_e2"),
+        col("gini_e6"))
       .orderBy(col("n_cust"))
-  }
 
   private val q362Sql =
     """WITH spend AS (
@@ -174,33 +242,15 @@ object Audit {
   // argmax takes the smallest value on ties via the negated struct
   // field — deterministic on any engine or partitioning.
   // ---------------------------------------------------------------------
-  private def q363(s: SparkSession, dir: String): DataFrame = {
-    val g = Tables.eventsSec(s, dir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(round(col("value") * 100).cast("long").as("v"),
-        when(col("event_type") === "click", 1L).otherwise(0L).as("a"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"))
-      .groupBy(col("v"))
-      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
-    val cum = Curate.globalCumSum(
-      Curate.globalCumSum(g, Seq(col("v")), col("ca"), "cuma", "__r1"),
-      Seq(col("v")), col("cb"), "cumb", "__r2")
-    val tot = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    cum.crossJoin(broadcast(tot))
-      .select(col("na"), col("nb"),
-        abs(col("nb").cast(dec) * col("cuma").cast(dec) -
-          col("na").cast(dec) * col("cumb").cast(dec)).as("dn"),
-        col("v"))
-      .groupBy(col("na"), col("nb"))
-      .agg(max(struct(col("dn"), (-col("v")).as("nv"))).as("best"))
-      .select(col("na").as("n_a"), col("nb").as("n_b"),
-        col("best.dn").cast("long").as("d_num"),
-        (-col("best.nv")).as("v_at"),
-        round(col("best.dn").cast("double") /
-          (col("na").cast("double") * col("nb").cast("double"))
-          * 1000000.0).cast("long").as("ks_e6"))
+  private def q363(s: SparkSession, dir: String): DataFrame =
+    ksStatistic(Tables.eventsSec(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(round(col("value") * 100).cast("long").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("a"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("b")),
+        col("v"), col("a"), col("b"))
       .orderBy(col("n_a"))
-  }
 
   private val q363Sql =
     """WITH e AS (
@@ -494,18 +544,10 @@ object Audit {
   // the blocked cousin of). Jaro–Winkler scores through the codegen'd
   // expression; per-offset aggregate readout, integer sums only.
   // ---------------------------------------------------------------------
-  private def q369(s: SparkSession, dir: String): DataFrame = {
-    val ranked = Curate.globalRank(
-      t(s, dir, "customer").select(col("c_custkey").as("k"),
-        col("c_name").as("nm")),
-      Seq(col("nm"), col("k")), "r")
-    val a = ranked.select(col("k").as("k_a"), col("nm").as("nm_a"),
-        col("r"), explode(sequence(lit(1L), lit(3L))).as("j"))
-      .withColumn("rb", col("r") + col("j"))
-    val b = ranked.select(col("r").as("rb"), col("k").as("k_b"),
-      col("nm").as("nm_b"))
-    a.join(b, "rb")
-      .withColumn("jw_e6", JaroWinklerE6.col(col("nm_a"), col("nm_b")))
+  private def q369(s: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodPairs(t(s, dir, "customer"),
+        col("c_custkey"), col("c_name"), 3)
+      .withColumn("jw_e6", JaroWinklerE6.col(col("key_a"), col("key_b")))
       .groupBy(col("j"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("jw_e6")).as("sum_jw_e6"),
@@ -513,7 +555,6 @@ object Audit {
         sum(when(col("jw_e6") >= 900000L, 1L).otherwise(0L))
           .as("n_match90"))
       .orderBy(col("j"))
-  }
 
   private val q369Sql =
     """WITH c AS (SELECT c_custkey AS k, c_name AS nm FROM customer),
