@@ -612,6 +612,187 @@ object Audit {
       |ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q371 — EXACT weighted median of line price per return flag,
+  // weighted by quantity: the smallest price whose inclusive
+  // cumulative weight reaches half the flag's total (2·cum ≥ tot —
+  // cross-multiplied, no halving). The per-flag running weight is
+  // [[Curate.keyedCumSum]]'s regime exactly — 3 keys, millions of
+  // rows per key, range-partitioned so no flag funnels through one
+  // task. The min-qualifying-price readout is order-invariant under
+  // price ties (any intra-tie order crosses the threshold inside the
+  // same price group), so the result is deterministic at any
+  // partitioning.
+  // ---------------------------------------------------------------------
+  private def q371(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("p_e2"),
+        round(col("l_quantity")).cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val cum = Curate.keyedCumSum(li, Seq("flag"),
+      Seq(col("p_e2"), col("l_orderkey"), col("l_linenumber")),
+      col("w"), "cumw", "__r")
+    val tot = li.groupBy(col("flag"))
+      .agg(sum(col("w")).as("totw"), count(lit(1)).as("n_rows"))
+    cum.join(broadcast(tot), "flag")
+      .filter(lit(2L) * col("cumw") >= col("totw"))
+      .groupBy(col("flag"), col("totw"), col("n_rows"))
+      .agg(min(col("p_e2")).as("wmedian_e2"))
+      .select(col("flag"), col("n_rows"), col("totw"),
+        col("wmedian_e2"))
+      .orderBy(col("flag"))
+  }
+
+  private val q371Sql =
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p_e2,
+      |    CAST(round(l_quantity) AS BIGINT) AS w,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |c AS (SELECT flag, p_e2,
+      |    sum(w) OVER (PARTITION BY flag
+      |      ORDER BY p_e2, l_orderkey, l_linenumber
+      |      ROWS UNBOUNDED PRECEDING) AS cumw
+      |  FROM li),
+      |tt AS (SELECT flag, sum(w) AS totw, count(*) AS n_rows
+      |       FROM li GROUP BY flag)
+      |SELECT c.flag, CAST(tt.n_rows AS BIGINT) AS n_rows,
+      |  CAST(tt.totw AS BIGINT) AS totw,
+      |  CAST(min(c.p_e2) AS BIGINT) AS wmedian_e2
+      |FROM c JOIN tt ON c.flag = tt.flag
+      |WHERE 2 * c.cumw >= tt.totw
+      |GROUP BY c.flag, tt.n_rows, tt.totw
+      |ORDER BY c.flag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q372 — MAD (median-absolute-deviation) outlier audit per event
+  // type: the ROBUST twin of q126's z-score (one wild day cannot
+  // move a median the way it moves a mean/variance). Both medians
+  // are exact lower-median order statistics computed on the VALUE-
+  // GROUP grain (≤10⁵ rows per type however big the corpus): per-
+  // (type, value) counts, per-type cumulative counts through
+  // [[Curate.keyedCumSum]], min value with 2·cum ≥ n... twice —
+  // once for the median, once for |v − med|. The outlier flag
+  // |v − med| > 3·MAD is a pure integer comparison; no division
+  // anywhere in the query.
+  // ---------------------------------------------------------------------
+  private def q372(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type").as("et"),
+        round(col("value") * 100).cast("long").as("v"))
+    def lowerMedian(df: DataFrame, valCol: String,
+                    outName: String): DataFrame = {
+      val g = df.groupBy(col("et"), col(valCol))
+        .agg(count(lit(1)).as("__c"))
+      val cum = Curate.keyedCumSum(g, Seq("et"), Seq(col(valCol)),
+        col("__c"), "__cum", "__r")
+      val tot = g.groupBy(col("et")).agg(sum(col("__c")).as("__n"))
+      cum.join(broadcast(tot), "et")
+        .filter(lit(2L) * col("__cum") >= col("__n"))
+        .groupBy(col("et"))
+        .agg(min(col(valCol)).as(outName))
+    }
+    val med = lowerMedian(e, "v", "med_e2")
+    val dev = e.join(broadcast(med), "et")
+      .withColumn("d", abs(col("v") - col("med_e2")))
+    val mad = lowerMedian(dev.select(col("et"), col("d")), "d", "mad_e2")
+    dev.join(broadcast(mad), "et")
+      .groupBy(col("et"), col("med_e2"), col("mad_e2"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > lit(3L) * col("mad_e2"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("et").as("event_type"), col("n"), col("med_e2"),
+        col("mad_e2"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q372Sql =
+    """WITH e AS (
+      |  SELECT event_type AS et,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |g1 AS (SELECT et, v, count(*) AS c FROM e GROUP BY et, v),
+      |c1 AS (SELECT et, v,
+      |    sum(c) OVER (PARTITION BY et ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum FROM g1),
+      |t1 AS (SELECT et, sum(c) AS n FROM g1 GROUP BY et),
+      |med AS (SELECT c1.et, min(c1.v) AS med_e2
+      |  FROM c1 JOIN t1 ON c1.et = t1.et
+      |  WHERE 2 * c1.cum >= t1.n GROUP BY c1.et),
+      |dev AS (SELECT e.et, e.v, abs(e.v - med.med_e2) AS d
+      |        FROM e JOIN med ON e.et = med.et),
+      |g2 AS (SELECT et, d, count(*) AS c FROM dev GROUP BY et, d),
+      |c2 AS (SELECT et, d,
+      |    sum(c) OVER (PARTITION BY et ORDER BY d
+      |      ROWS UNBOUNDED PRECEDING) AS cum FROM g2),
+      |t2 AS (SELECT et, sum(c) AS n FROM g2 GROUP BY et),
+      |mad AS (SELECT c2.et, min(c2.d) AS mad_e2
+      |  FROM c2 JOIN t2 ON c2.et = t2.et
+      |  WHERE 2 * c2.cum >= t2.n GROUP BY c2.et)
+      |SELECT dev.et AS event_type, count(*) AS n,
+      |  CAST(med.med_e2 AS BIGINT) AS med_e2,
+      |  CAST(mad.mad_e2 AS BIGINT) AS mad_e2,
+      |  CAST(sum(CASE WHEN dev.d > 3 * mad.mad_e2 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev JOIN med ON dev.et = med.et
+      |         JOIN mad ON dev.et = mad.et
+      |GROUP BY dev.et, med.med_e2, mad.mad_e2
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q373 — 2-D Pareto skyline (earliest-and-most-expensive order
+  // frontier): an order is on the frontier iff no strictly earlier
+  // date carries an equal-or-higher price and it is its own date's
+  // champion. Computed in ONE linear pass instead of the naive
+  // NOT-EXISTS self-join: per-date champions (max price, smallest
+  // key tiebreak via lexicographic struct max — a map-side hash
+  // aggregate), then [[Curate.globalCumMax]] with inclusive=false
+  // gives each date the running max over STRICTLY earlier dates
+  // (range-partitioned two-pass — no unpartitioned window), and the
+  // frontier keeps champions beating that watermark. The frontier
+  // grain is dates, not orders — dimension-sized at any corpus.
+  // ---------------------------------------------------------------------
+  private def q373(s: SparkSession, dir: String): DataFrame = {
+    val champ = t(s, dir, "orders")
+      .select(col("o_orderdate").cast("date").as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("p_e2"),
+        col("o_orderkey"))
+      .groupBy(col("d"))
+      .agg(max(struct(col("p_e2"), (-col("o_orderkey")).as("nk")))
+        .as("best"))
+      .select(col("d"), col("best.p_e2").as("p_e2"),
+        (-col("best.nk")).as("o_orderkey"))
+    Curate.globalCumMax(champ, Seq(col("d")), col("p_e2"), "prevmax",
+        inclusive = false)
+      .filter(col("prevmax").isNull || col("p_e2") > col("prevmax"))
+      .select(col("d"), col("p_e2"), col("o_orderkey"))
+      .orderBy(col("d"))
+  }
+
+  private val q373Sql =
+    """WITH o AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS p_e2,
+      |    o_orderkey
+      |  FROM orders),
+      |champ AS (
+      |  SELECT d, p_e2, o_orderkey FROM (
+      |    SELECT d, p_e2, o_orderkey,
+      |      row_number() OVER (PARTITION BY d
+      |        ORDER BY p_e2 DESC, o_orderkey ASC) AS rn
+      |    FROM o) WHERE rn = 1),
+      |sky AS (
+      |  SELECT d, p_e2, o_orderkey,
+      |    max(p_e2) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      |  FROM champ)
+      |SELECT d, p_e2, o_orderkey
+      |FROM sky
+      |WHERE prevmax IS NULL OR p_e2 > prevmax
+      |ORDER BY d""".stripMargin
+
+  // ---------------------------------------------------------------------
   // registration
   // ---------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -625,7 +806,10 @@ object Audit {
     "q367_bpe_pairs" -> (q367 _),
     "q368_conformal_coverage" -> (q368 _),
     "q369_sorted_neighborhood" -> (q369 _),
-    "q370_type_token" -> (q370 _))
+    "q370_type_token" -> (q370 _),
+    "q371_weighted_median" -> (q371 _),
+    "q372_mad_outliers" -> (q372 _),
+    "q373_pareto_skyline" -> (q373 _))
 
   val oracle: Map[String, String] = Map(
     "q360_roc_auc" -> q360Sql,
@@ -638,5 +822,8 @@ object Audit {
     "q367_bpe_pairs" -> q367Sql,
     "q368_conformal_coverage" -> q368Sql,
     "q369_sorted_neighborhood" -> q369Sql,
-    "q370_type_token" -> q370Sql)
+    "q370_type_token" -> q370Sql,
+    "q371_weighted_median" -> q371Sql,
+    "q372_mad_outliers" -> q372Sql,
+    "q373_pareto_skyline" -> q373Sql)
 }
