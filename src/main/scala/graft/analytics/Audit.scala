@@ -793,6 +793,120 @@ object Audit {
       |ORDER BY d""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q374 — autocorrelation (ACF lags 1..7) of the daily revenue
+  // series, EXACT until the readout: with the mean cross-multiplied
+  // away, ACF_k = Σᵢ(n·yᵢ−S)(n·yᵢ₊ₖ−S) / Σᵢ(n·yᵢ−S)² — integer
+  // products in decimal(38,0) ((n·y−S)² reaches ~10²⁵), one e6
+  // division per lag. The series grain is CALENDAR-bounded (~2 400
+  // days at any corpus size), indexed by Curate.globalRank, and the
+  // lag pairing is a rank equi-join against an exploded 7-lag
+  // sequence — no window, no self-cross.
+  // ---------------------------------------------------------------------
+  private def q374(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val idx = Curate.globalRank(daily, Seq(col("d")), "r")
+      .select(col("r"), col("y"))
+    val tot = idx.agg(count(lit(1)).as("n"), sum(col("y")).as("sv"))
+    val centered = idx.crossJoin(broadcast(tot))
+      .select(col("r"), col("n"),
+        (col("n").cast(dec) * col("y").cast(dec) -
+          col("sv").cast(dec)).as("c"))
+    val den = centered.agg(sum(col("c") * col("c")).as("den"))
+    val a = centered.select(col("r"), col("n"), col("c").as("ca"),
+        explode(sequence(lit(1L), lit(7L))).as("k"))
+      .withColumn("r2", col("r") + col("k"))
+    val b = centered.select(col("r").as("r2"), col("c").as("cb"))
+    a.join(b, "r2")
+      .groupBy(col("k"), col("n"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ca") * col("cb"))
+        .as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("k").as("lag"), col("n_pairs"),
+        round(col("num").cast("double") / col("den").cast("double")
+          * 1000000.0).cast("long").as("acf_e6"))
+      .orderBy(col("lag"))
+  }
+
+  private val q374Sql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT row_number() OVER (ORDER BY d) AS r, y FROM daily),
+      |tt AS (SELECT count(*) AS n, sum(y) AS sv FROM idx),
+      |ctr AS (SELECT r, tt.n, tt.n * y - tt.sv AS c FROM idx, tt),
+      |den AS (SELECT sum(c * c) AS den FROM ctr),
+      |lags AS (SELECT unnest(range(1, 8)) AS k),
+      |p AS (SELECT lags.k, a.n, a.c AS ca, b.c AS cb
+      |      FROM ctr a, lags
+      |      JOIN ctr b ON b.r = a.r + lags.k)
+      |SELECT CAST(p.k AS BIGINT) AS lag, count(*) AS n_pairs,
+      |  CAST(round(CAST(sum(p.ca * p.cb) AS DOUBLE)
+      |    / CAST(den.den AS DOUBLE) * 1000000.0) AS BIGINT) AS acf_e6
+      |FROM p, den
+      |GROUP BY p.k, den.den
+      |ORDER BY lag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q375 — mutual information between event type and value bucket
+  // (the feature-relevance audit: how many nats does knowing the
+  // type tell you about the value?): MI = Σ_cells (c/n)·ln(c·n/
+  // (r·s)). Counts and marginals are exact longs; each cell's term
+  // is ONE fixed IEEE expression from exact integers rounded to an
+  // e9 long AT THE CELL (the weightedTopKSample discipline — the
+  // rounding absorbs last-ulp libm ln divergence), and the total is
+  // an INTEGER sum over the ≤50-cell grain, so reduction order can
+  // never move the result. Corpus cost: one groupBy on a 50-cell
+  // grain plus two marginal aggregates.
+  // ---------------------------------------------------------------------
+  private def q375(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type").as("x"),
+        least(expr("CAST(round(value * 100) AS BIGINT) div 5000"),
+          lit(9L)).as("b"))
+    val cells = e.groupBy(col("x"), col("b")).agg(count(lit(1)).as("c"))
+    val rx = cells.groupBy(col("x")).agg(sum(col("c")).as("rx"))
+    val sy = cells.groupBy(col("b")).agg(sum(col("c")).as("sy"))
+    val n = cells.agg(sum(col("c")).as("n"))
+    cells.join(broadcast(rx), "x").join(broadcast(sy), "b")
+      .crossJoin(broadcast(n))
+      .select(col("n"),
+        round(col("c").cast("double") / col("n").cast("double") *
+          log((col("c").cast("double") * col("n").cast("double")) /
+            (col("rx").cast("double") * col("sy").cast("double")))
+          * 1000000000.0).cast("long").as("term_e9"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("term_e9")).as("mi_e9"))
+      .select(col("n").as("n_events"), col("n_cells"), col("mi_e9"))
+      .orderBy(col("n_events"))
+  }
+
+  private val q375Sql =
+    """WITH e AS (
+      |  SELECT event_type AS x,
+      |    least(CAST(round(value * 100) AS BIGINT) // 5000, 9) AS b
+      |  FROM events),
+      |cells AS (SELECT x, b, count(*) AS c FROM e GROUP BY x, b),
+      |rx AS (SELECT x, sum(c) AS rx FROM cells GROUP BY x),
+      |sy AS (SELECT b, sum(c) AS sy FROM cells GROUP BY b),
+      |n AS (SELECT sum(c) AS n FROM cells),
+      |terms AS (
+      |  SELECT n.n,
+      |    CAST(round(CAST(cells.c AS DOUBLE) / CAST(n.n AS DOUBLE) *
+      |      ln((CAST(cells.c AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+      |         (CAST(rx.rx AS DOUBLE) * CAST(sy.sy AS DOUBLE)))
+      |      * 1000000000.0) AS BIGINT) AS term_e9
+      |  FROM cells JOIN rx USING (x) JOIN sy USING (b), n)
+      |SELECT CAST(n AS BIGINT) AS n_events, count(*) AS n_cells,
+      |  CAST(sum(term_e9) AS BIGINT) AS mi_e9
+      |FROM terms
+      |GROUP BY n
+      |ORDER BY n_events""".stripMargin
+
+  // ---------------------------------------------------------------------
   // registration
   // ---------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -809,7 +923,9 @@ object Audit {
     "q370_type_token" -> (q370 _),
     "q371_weighted_median" -> (q371 _),
     "q372_mad_outliers" -> (q372 _),
-    "q373_pareto_skyline" -> (q373 _))
+    "q373_pareto_skyline" -> (q373 _),
+    "q374_revenue_acf" -> (q374 _),
+    "q375_mutual_info" -> (q375 _))
 
   val oracle: Map[String, String] = Map(
     "q360_roc_auc" -> q360Sql,
@@ -825,5 +941,7 @@ object Audit {
     "q370_type_token" -> q370Sql,
     "q371_weighted_median" -> q371Sql,
     "q372_mad_outliers" -> q372Sql,
-    "q373_pareto_skyline" -> q373Sql)
+    "q373_pareto_skyline" -> q373Sql,
+    "q374_revenue_acf" -> q374Sql,
+    "q375_mutual_info" -> q375Sql)
 }
