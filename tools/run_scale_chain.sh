@@ -45,7 +45,11 @@ mkdir -p "$OUT"
 [ -d /tmp/skew10 ]   || python3 tools/make_skew.py
 
 gate () {  # name sfdir cpus — writes ONLY $OUT/${name}_status.txt
-  local name=$1 sfdir=$2 cpus=$3 st="$OUT/${name}_status.txt"
+  local name=$1 sfdir=$2 cpus=$3
+  # NB: $st must be assigned on its OWN local line — bash expands a
+  # whole `local a=$1 b=${a}` command before any assignment lands, so
+  # referencing ${name} in the same line trips set -u
+  local st="$OUT/${name}_status.txt"
   : > "$st"
   SPARK_GRAFT_CPUS=$cpus \
   java $OPENS $JOPTS -cp "$CLS" graft.Verify "$sfdir" "$OUT/${name}_dump" \
