@@ -1117,8 +1117,10 @@ object LlmOps {
   // keys have FIXED cardinality, so their blocks grow linearly with
   // data and in-block pairs quadratically (the r7 sf1 bench measured
   // ×90 on ×10 data); the chunk tier makes pair count LINEAR in n
-  // (≤ n/32 · C(32,2)), and a pair-budget raise_error guard fails the
-  // run loudly if the candidate grain ever exceeds 2²² pairs. At the
+  // (≤ n/32 · C(32,2) — at most 16 pairs per row at ANY corpus
+  // size), and a pair-budget raise_error guard fails the run loudly
+  // if pairs ever exceed 16 per row — the scale-invariant form of
+  // the bound, so it can only trip if the blocking BREAKS. At the
   // gate scales every (source, lb) block is ≤32 docs, so chunking is
   // the identity there — DedupSpec proves refined ≡ unrefined at the
   // gated thresholds — while the oracle replays the same chunk
@@ -1129,7 +1131,7 @@ object LlmOps {
     Dedup.blockedEditDistance(docs(s, dir), "doc_id", "text",
         Seq(col("source"), expr("n_chars div 25")),
         prefixLen = 60, maxDist = 40,
-        chunkSize = Some(32), pairBudget = Some(1L << 22))
+        chunkSize = Some(32), pairsPerRow = Some(16L))
       .groupBy(col("__bk0").as("source"))
       .agg(count(lit(1)).as("n_pairs"),
         min(col("dist")).cast("long").as("min_dist"),

@@ -37,7 +37,11 @@ object Robust {
   // is LINEAR in n; the true match (dk = k) always shares dk % B, so
   // no genuine link is ever blocked away. A bipartite pair-budget
   // guard (Σ n_clean·n_dirty per block, one block-grain aggregate)
-  // raise_errors past 2²² pairs instead of melting down. At gate
+  // raise_errors past 64 candidate pairs PER RECORD — the scale-
+  // invariant bound (healthy adaptive blocking yields ~40/record at
+  // any n, so a breach means the modulus logic broke; an absolute
+  // bound would spuriously trip on legitimate linear growth — the
+  // round-8 sf1 lesson) — instead of melting down. At gate
   // scales (n ≤ 20 000) B stays 500 — bit-identical to the fixed-
   // modulus formulation — and the oracle replays B from the same
   // count, so the gate is exact at any scale. Each dirty record keeps
@@ -70,7 +74,9 @@ object Robust {
     // have one row per key here, so clean and dirty block sizes match
     val guard = graft.operators.Dedup.pairBudgetGuard(
       cb.groupBy("blk").agg(count(lit(1)).as("__n")),
-      col("__n") * col("__n"), 1L << 22, "q258 JW linkage")
+      (col("__n").cast("decimal(38,0)") * col("__n"))
+        .cast("decimal(38,0)"),
+      col("__n"), 64L, "q258 JW linkage")
     val scored = cb
       .join(db, "blk")
       .crossJoin(broadcast(guard)).drop("__pb_ok")

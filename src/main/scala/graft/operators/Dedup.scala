@@ -31,23 +31,38 @@ object Dedup {
     * fail-loud discipline applied to blocking: `blockSizes` is the
     * per-block size relation, `pairsExpr` the candidate-pair count a
     * block contributes (`n(n−1)/2` for a self-join, `n_a·n_b` for a
-    * bipartite linkage). The guard SUMS it — one cheap aggregate over
-    * the block grain, never the pair grain — and `raise_error`s past
-    * the declared budget instead of silently launching a quadratic
-    * join. Callers cross-join the returned single row into the pair
+    * bipartite linkage; cast to decimal(38,0) if blocks can exceed
+    * ~10⁹ rows), `rowsExpr` the block's row count. The guard SUMS
+    * both — one cheap aggregate over the block grain, never the pair
+    * grain — and `raise_error`s when total pairs exceed
+    * `perRowBudget` × total rows. The budget is PER ROW, not
+    * absolute, on purpose: healthy blocking does work LINEAR in the
+    * data (bounded candidates per record), and a linear budget would
+    * spuriously trip on legitimate growth (the round-8 sf1 lesson —
+    * a fixed 2²² bound fired on 150k records × 40-record blocks,
+    * which is exactly the contract working); what the guard exists
+    * to catch is the SUPERLINEAR deviation — blocks growing with the
+    * data — and pairs-per-row is the scale-invariant detector for
+    * it. Callers cross-join the returned single row into the pair
     * pipeline (a 1-row broadcast — the allowlisted scalar shape), so
     * the check cannot be pruned away and runs before pair work lands.
     */
   def pairBudgetGuard(blockSizes: DataFrame, pairsExpr: Column,
-                      budget: Long, what: String): DataFrame =
-    blockSizes.agg(coalesce(sum(pairsExpr), lit(0L)).as("__pb_pairs"))
-      .filter(when(col("__pb_pairs") <= budget, lit(true))
+                      rowsExpr: Column, perRowBudget: Long,
+                      what: String): DataFrame =
+    blockSizes.agg(coalesce(sum(pairsExpr), lit(0L)).as("__pb_pairs"),
+        coalesce(sum(rowsExpr), lit(0L)).as("__pb_rows"))
+      .filter(when(
+        col("__pb_pairs") <= lit(perRowBudget) * col("__pb_rows"),
+        lit(true))
         .otherwise(raise_error(concat(
           lit(s"$what: candidate-pair budget exceeded — "),
           col("__pb_pairs").cast("string"),
-          lit(s" pairs > declared $budget. Refine the blocking keys " +
-            "(add a chunk tier / raise key cardinality) instead of " +
-            "raising the budget.")))))
+          lit(s" pairs over "), col("__pb_rows").cast("string"),
+          lit(s" rows > the declared $perRowBudget pairs/row. The " +
+            "blocking keys are growing with the data — add a chunk " +
+            "tier / raise key cardinality instead of raising the " +
+            "budget.")))))
       .select(lit(1L).as("__pb_ok"))
 
   /** Blocked record-linkage join — the entity-resolution primitive:
@@ -74,16 +89,19 @@ object Dedup {
     *    window partitions by block (one task per block) — linear
     *    work, safe while single blocks fit a task (~10⁷ rows), and
     *    the budget guard fires long before that.
-    *  - `pairBudget = Some(b)`: [[pairBudgetGuard]] over the FINAL
+    *  - `pairsPerRow = Some(b)`: [[pairBudgetGuard]] over the FINAL
     *    (chunked) block grain — the run fails loudly if candidate
-    *    pairs exceed `b` instead of melting down quadratically.
+    *    pairs exceed `b` per input row (the scale-invariant bound:
+    *    chunked blocking yields ≤ (c−1)/2 pairs/row at ANY corpus
+    *    size, so a breach means the blocking itself broke) instead
+    *    of melting down quadratically.
     *
     * Returns (id_a, id_b, block cols…, dist). */
   def blockedEditDistance(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[Column], prefixLen: Int,
                           maxDist: Int,
                           chunkSize: Option[Int] = None,
-                          pairBudget: Option[Long] = None): DataFrame = {
+                          pairsPerRow: Option[Long] = None): DataFrame = {
     val names = blockCols.indices.map(i => s"__bk$i")
     val base0 = docs.select(
       (blockCols.zip(names).map { case (c, n) => c.as(n) }) ++
@@ -103,12 +121,14 @@ object Dedup {
     val b = base.select(keyNames.map(col) ++
       Seq(col("__id").as("id_b"), col("__t").as("__tb")): _*)
     val joined = a.join(b, keyNames.toSeq)
-    val guarded = pairBudget match {
+    val guarded = pairsPerRow match {
       case Some(budget) =>
         val sizes = base.groupBy(keyNames.map(col): _*)
           .agg(count(lit(1)).as("__pb_n"))
         joined.crossJoin(broadcast(pairBudgetGuard(sizes,
-          col("__pb_n") * (col("__pb_n") - 1) / 2, budget,
+          (col("__pb_n").cast("decimal(38,0)") * (col("__pb_n") - 1)
+            / 2).cast("decimal(38,0)"),
+          col("__pb_n"), budget,
           "blockedEditDistance"))).drop("__pb_ok")
       case None => joined
     }

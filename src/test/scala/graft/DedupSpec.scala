@@ -188,27 +188,36 @@ class DedupSpec extends AnyFunSuite {
       "pairs must stay chunk-local")
   }
 
-  test("blockedEditDistance pair-budget guard: raise_error past the " +
-       "declared bound instead of a quadratic join; silent under it") {
+  test("blockedEditDistance pair-budget guard: raise_error when pairs " +
+       "per ROW exceed the declared bound (the scale-invariant form — " +
+       "linear growth never trips it); silent under it") {
     import spark.implicits._
     val big = (1L to 100L).map(i => (i, "s", f"t$i%03d"))
       .toDF("doc_id", "src", "text")
-    // C(100,2) = 4950 pairs > 100 budget: fail loudly
+    // one 100-row block: C(100,2)/100 = 49.5 pairs/row > 10: fail loudly
     val ex = intercept[Throwable] {
       graft.operators.Dedup.blockedEditDistance(
         big, "doc_id", "text", Seq(col("src")),
-        prefixLen = 10, maxDist = 10, pairBudget = Some(100L)).count()
+        prefixLen = 10, maxDist = 10, pairsPerRow = Some(10L)).count()
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("candidate-pair budget")),
       s"expected the budget raise_error, got: ${messages(ex)}")
-    // within budget: same result as unguarded
+    // within budget (49.5 <= 64 pairs/row): same result as unguarded
     val n = graft.operators.Dedup.blockedEditDistance(
       big, "doc_id", "text", Seq(col("src")),
-      prefixLen = 10, maxDist = 10, pairBudget = Some(5000L)).count()
+      prefixLen = 10, maxDist = 10, pairsPerRow = Some(64L)).count()
     assert(n == 4950L)
+    // chunked + guarded (the q108 shape): chunk tier keeps pairs/row
+    // at (c-1)/2, so the SAME tight budget that fires unchunked
+    // passes chunked — the guard and the fix compose
+    val nc = graft.operators.Dedup.blockedEditDistance(
+      big, "doc_id", "text", Seq(col("src")),
+      prefixLen = 10, maxDist = 10, chunkSize = Some(10),
+      pairsPerRow = Some(10L)).count()
+    assert(nc == 450L)
   }
 
   test("incrementalJaccardPairs equals the full recompute restricted " +
