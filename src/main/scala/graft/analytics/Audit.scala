@@ -46,8 +46,13 @@ object Audit {
       .agg(
         sum(col("np")).cast(dec).as("pos"),
         sum(col("n") - col("np")).cast(dec).as("neg"),
-        sum((col("np") * (lit(2L) * col("hi") - col("n") + lit(1L)))
-          .cast(dec)).as("s2"))
+        // cast BOTH operands to decimal(38,0) BEFORE multiplying —
+        // np·(2·hi−n+1) in LongType silently wraps past ~9.2e18
+        // (hi is a global cumulative count), and the tier's contract
+        // is cross-products in decimal. DuckDB side is HUGEINT.
+        sum(col("np").cast(dec) *
+          (lit(2L) * col("hi") - col("n") + lit(1L)).cast(dec))
+          .as("s2"))
       .select(col("pos").cast("long").as("n_pos"),
         col("neg").cast("long").as("n_neg"),
         round((col("s2") - col("pos") * (col("pos") + lit(1)))
@@ -93,7 +98,9 @@ object Audit {
         Seq(col("x"), col("tb")), "i")
       .agg(count(lit(1)).cast(dec).as("n"),
         sum(col("x")).cast(dec).as("sx"),
-        sum((col("i") * col("x")).cast(dec)).as("six"))
+        // i·x with operands cast to decimal first: the global rank i
+        // reaches n, so the long product wraps past ~9.2e18 rows·value.
+        sum(col("i").cast(dec) * col("x").cast(dec)).as("six"))
       .select(col("n").cast("long").as("n_rows"),
         col("sx").cast("long").as("total"),
         round((lit(2) * col("six") - (col("n") + lit(1)) * col("sx"))
@@ -405,13 +412,21 @@ object Audit {
         .cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
     val n = obs.agg(sum(col("observed")).as("n"))
-    val expD = col("expected_e9").cast("double") / lit(1000000000.0)
+    // n·p_e9 in decimal(38,0) — the long×long product wraps past
+    // n ≈ 3e10 rows (p_e9 ≈ 3e8) while DuckDB would error; and since
+    // the e9-scaled expectation itself outgrows BIGINT there, it
+    // crosses engines as the (div 1e9, mod 1e9) long pair (the q365
+    // discipline). expected_hi is just round-down(n·p) — digit-count
+    // sized at any scale.
+    val expD = col("expected").cast("double") / lit(1000000000.0)
     val obsD = col("observed").cast("double")
     probs.join(obs, Seq("digit"), "left")
       .withColumn("observed", coalesce(col("observed"), lit(0L)))
       .crossJoin(broadcast(n))
-      .withColumn("expected_e9", col("n") * col("p_e9"))
-      .select(col("digit"), col("observed"), col("expected_e9"),
+      .withColumn("expected", col("n").cast(dec) * col("p_e9").cast(dec))
+      .select(col("digit"), col("observed"),
+        expr("expected div 1000000000").as("expected_hi"),
+        expr("CAST(expected % 1000000000 AS BIGINT)").as("expected_lo"),
         round((obsD - expD) * (obsD - expD) / expD * lit(1000000.0))
           .cast("long").as("chi2_term_e6"))
       .orderBy(col("digit"))
@@ -427,18 +442,22 @@ object Audit {
       |    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
       |    count(*) AS observed
       |  FROM orders GROUP BY 1),
-      |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs)
-      |SELECT CAST(probs.digit AS BIGINT) AS digit,
-      |  CAST(coalesce(obs.observed, 0) AS BIGINT) AS observed,
-      |  CAST(n.n * probs.p_e9 AS BIGINT) AS expected_e9,
+      |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs),
+      |j AS (
+      |  SELECT probs.digit AS digit,
+      |    coalesce(obs.observed, 0) AS observed,
+      |    CAST(n.n AS HUGEINT) * probs.p_e9 AS e
+      |  FROM probs LEFT JOIN obs ON probs.digit = obs.digit, n)
+      |SELECT CAST(digit AS BIGINT) AS digit,
+      |  CAST(observed AS BIGINT) AS observed,
+      |  CAST(e // 1000000000 AS BIGINT) AS expected_hi,
+      |  CAST(e % 1000000000 AS BIGINT) AS expected_lo,
       |  CAST(round(
-      |    (CAST(coalesce(obs.observed, 0) AS DOUBLE)
-      |      - CAST(n.n * probs.p_e9 AS DOUBLE) / 1000000000.0)
-      |    * (CAST(coalesce(obs.observed, 0) AS DOUBLE)
-      |      - CAST(n.n * probs.p_e9 AS DOUBLE) / 1000000000.0)
-      |    / (CAST(n.n * probs.p_e9 AS DOUBLE) / 1000000000.0)
+      |    (CAST(observed AS DOUBLE) - CAST(e AS DOUBLE) / 1000000000.0)
+      |    * (CAST(observed AS DOUBLE) - CAST(e AS DOUBLE) / 1000000000.0)
+      |    / (CAST(e AS DOUBLE) / 1000000000.0)
       |    * 1000000.0) AS BIGINT) AS chi2_term_e6
-      |FROM probs LEFT JOIN obs ON probs.digit = obs.digit, n
+      |FROM j
       |ORDER BY digit""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -521,6 +521,15 @@ object Lakehouse {
   // The ORACLE is deliberately the row-grain SQL (q125's own): the
   // gate proves the aggregate identity itself, converting README's
   // prose scale path into checked code.
+  // PRECONDITION (input contract the oracle sharing rests on): the
+  // acctbal columns must be EXACTLY cents-valued (value·100 integral,
+  // as TPC-H decimals are). This side rounds each operand separately
+  // (round(c·100) + round(s·100)) while q125's fixedSum oracle rounds
+  // the pair sum round((c+s)·100); the two coincide iff each round()
+  // is the identity on an integer — i.e. no sub-cent residue. On a
+  // non-cents dataset the pair-sum rounding could differ by ±1 e2 per
+  // pair and the shared oracle would be invalid; use the row-grain
+  // q125 form there.
   // ---------------------------------------------------------------------
   private def q359(s: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"

@@ -74,10 +74,16 @@ object Dedup {
     * prefix cap bounds the per-pair Levenshtein DP at O(prefix²).
     * Pairs are ordered (idCol_a < idCol_b) so each is emitted once.
     *
-    * Scale enforcement (the two knobs a 100 TB run REQUIRES — the
-    * caller's blocking keys alone are a hope, not a bound, because a
-    * fixed-cardinality key's blocks grow linearly with data and its
-    * in-block pairs quadratically):
+    * Scale enforcement is ON BY DEFAULT (chunkSize = Some(32),
+    * pairsPerRow = Some(16)) — the caller's blocking keys alone are a
+    * hope, not a bound, because a fixed-cardinality key's blocks grow
+    * linearly with data and its in-block pairs quadratically. A caller
+    * who wants the unbounded all-pairs-within-block config must pass
+    * `chunkSize = None, pairsPerRow = None` EXPLICITLY, accepting
+    * Σ C(block,2) growth — quadratic in block size, i.e. quadratic in
+    * the data whenever the blocking keys have fixed cardinality. The
+    * opt-out trades that meltdown risk for cross-chunk recall; prefer
+    * raising `chunkSize` over removing it.
     *
     *  - `chunkSize = Some(c)`: a second blocking tier — within each
     *    block, rows sort by (prefix, id) and split into chunks of at
@@ -100,8 +106,8 @@ object Dedup {
   def blockedEditDistance(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[Column], prefixLen: Int,
                           maxDist: Int,
-                          chunkSize: Option[Int] = None,
-                          pairsPerRow: Option[Long] = None): DataFrame = {
+                          chunkSize: Option[Int] = Some(32),
+                          pairsPerRow: Option[Long] = Some(16L)): DataFrame = {
     val names = blockCols.indices.map(i => s"__bk$i")
     val base0 = docs.select(
       (blockCols.zip(names).map { case (c, n) => c.as(n) }) ++
@@ -232,13 +238,45 @@ object Dedup {
     * postings), so the shingle table — the only expensive subtree —
     * is evaluated exactly once and no size lookup join is needed
     * afterwards. */
-  private def intersectionCounts(shingled: DataFrame): DataFrame = {
+  /** Per-posting hot-key tripwire for the all-pairs family: a posting
+    * list of k docs emits C(k,2) pairs from ONE grouped row, so an
+    * un-pruned hot shingle (a boilerplate line shared by half the
+    * corpus) is the meltdown mode of exact pair generation — k ~ n
+    * means n²/2 pairs out of one task. Unlike the linkage budget this
+    * can't be a per-row PAIR budget: legitimate near-dup mass grows
+    * pairs/posting-row linearly with clone-cluster size (measured ×10
+    * on the ×10 replica smoke), and those pairs are the OUTPUT — no
+    * all-pairs algorithm can emit fewer. What IS scale-invariant is
+    * the posting LENGTH itself: a real near-dup cluster is bounded
+    * (df-pruning enforces it as a fraction), so a posting past the
+    * cap means the caller skipped [[dfPrune]] on boilerplate-heavy
+    * data. Default cap 10 000 (~5·10⁷ pairs from one posting — the
+    * single-task ceiling); guarded rows fail the job loudly instead
+    * of melting down. The check rides the already-grouped grain —
+    * zero extra passes. Opt out with `maxPostingLen = None`. */
+  private def postingCapped(ids: Column, cap: Option[Long],
+                            what: String): Column = cap match {
+    case None => ids
+    case Some(c) =>
+      when(size(ids) <= lit(c), ids)
+        .otherwise(raise_error(concat(
+          lit(s"$what: posting list of "), size(ids).cast("string"),
+          lit(s" docs exceeds maxPostingLen=$c — a hot shingle would " +
+            "emit ~k²/2 candidate pairs from one task. df-prune " +
+            "the postings (Dedup.dfPrune/dfPruneFrac) or raise the " +
+            "cap explicitly."))))
+  }
+
+  private def intersectionCounts(shingled: DataFrame,
+                                 maxPostingLen: Option[Long]): DataFrame = {
     val withSz = shingled.select(col("id"), col("sh"),
       count(lit(1)).over(Window.partitionBy("id")).as("sz"))
     withSz
       .groupBy("sh")
       .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .withColumn("ids",
+        postingCapped(col("ids"), maxPostingLen, "jaccard/containment"))
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1),
@@ -251,8 +289,9 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
   }
 
-  def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame =
-    intersectionCounts(shingled)
+  def jaccardPairs(shingled: DataFrame, threshold: Double,
+                   maxPostingLen: Option[Long] = Some(10000L)): DataFrame =
+    intersectionCounts(shingled, maxPostingLen)
       .withColumn("jaccard",
         col("inter") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -271,14 +310,39 @@ object Dedup {
     * `isNew` classifies a document id (applied to both join sides —
     * must be a pure function of the id). */
   def incrementalJaccardPairs(shingled: DataFrame, isNew: Column => Column,
-                              threshold: Double): DataFrame = {
+                              threshold: Double,
+                              maxPostingLen: Option[Long] = Some(10000L))
+      : DataFrame = {
     val withSz = shingled.select(col("id"), col("sh"),
       count(lit(1)).over(Window.partitionBy("id")).as("sz"))
     val newPost = withSz.filter(isNew(col("id")))
       .select(col("id").as("nid"), col("sh"), col("sz").as("nsz"))
     val allPost = withSz
       .select(col("id").as("oid"), col("sh"), col("sz").as("osz"))
-    newPost.join(allPost, Seq("sh"))
+    // hot-posting tripwire (see [[postingCapped]]): there is no
+    // grouped posting grain here (pairs form by equi-join), so the
+    // cap checks the max df through a 1-row broadcast guard — the
+    // build side evaluates before the probe streams, i.e. the run
+    // fails BEFORE the pair explosion materializes. Map-side combine
+    // collapses the count to the distinct-sh grain, so the guard adds
+    // one cheap aggregate, not a second posting shuffle.
+    val joined0 = newPost.join(allPost, Seq("sh"))
+    val joined = maxPostingLen match {
+      case None => joined0
+      case Some(c) =>
+        val guard = shingled.groupBy(col("sh"))
+          .agg(count(lit(1)).as("__df"))
+          .agg(coalesce(max(col("__df")), lit(0L)).as("__mx"))
+          .filter(when(col("__mx") <= lit(c), lit(true))
+            .otherwise(raise_error(concat(
+              lit("incrementalJaccardPairs: posting list of "),
+              col("__mx").cast("string"),
+              lit(s" docs exceeds maxPostingLen=$c — df-prune the " +
+                "postings or raise the cap explicitly.")))))
+          .select(lit(1L).as("__pl_ok"))
+        joined0.crossJoin(broadcast(guard)).drop("__pl_ok")
+    }
+    joined
       .filter(col("nid") =!= col("oid") &&
         (!isNew(col("oid")) || col("nid") < col("oid")))
       .select(
@@ -302,8 +366,9 @@ object Dedup {
     * ≈ |A|/|B| (tiny) but containment 1.0. Same posting-list pair
     * generation and df-prune discipline as [[jaccardPairs]]; only the
     * normalization differs. */
-  def containmentPairs(shingled: DataFrame, threshold: Double): DataFrame =
-    intersectionCounts(shingled)
+  def containmentPairs(shingled: DataFrame, threshold: Double,
+                       maxPostingLen: Option[Long] = Some(10000L)): DataFrame =
+    intersectionCounts(shingled, maxPostingLen)
       .withColumn("containment",
         col("inter") / least(col("size_a"), col("size_b")))
       .filter(col("containment") >= threshold)
@@ -327,7 +392,8 @@ object Dedup {
     * ascending document frequency, which prunes harder but costs a
     * frequency-counting pass — at 100 TB that pass is worth it for
     * hot-key control, layered the same way on this shape. */
-  def ppjoinPairs(shingled: DataFrame, threshold: Double): DataFrame = {
+  def ppjoinPairs(shingled: DataFrame, threshold: Double,
+                  maxPostingLen: Option[Long] = Some(10000L)): DataFrame = {
     // one corpus pass builds the per-doc sorted set table; checkpoint
     // because prefixes, and both verification sides read it (else 3×
     // recompute of the tokenize→shingle→hash chain; on a cluster this
@@ -353,6 +419,9 @@ object Dedup {
       .agg(sort_array(collect_list(
         struct(col("id"), col("sz"), col("pos")))).as("xs"))
       .filter(size(col("xs")) > 1)
+      // hot-prefix-posting tripwire — same meltdown mode as the plain
+      // inverted index, same zero-extra-pass check on the grouped grain
+      .withColumn("xs", postingCapped(col("xs"), maxPostingLen, "ppjoin"))
       .select(explode(expr(
         s"""flatten(transform(xs, (a, i) ->
            |  filter(
@@ -373,7 +442,7 @@ object Dedup {
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val candPostings = docSets.join(broadcast(candIds), Seq("id"), "left_semi")
       .select(col("id"), explode(col("shs")).as("sh"))
-    jaccardPairs(candPostings, threshold)
+    jaccardPairs(candPostings, threshold, maxPostingLen)
       .join(cand, Seq("id_a", "id_b"), "left_semi")
   }
 
@@ -440,14 +509,43 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Candidate pairs from shared band buckets (deduplicated). */
-  def lshCandidates(buckets: DataFrame): DataFrame =
-    buckets.as("x")
+  /** Candidate pairs from shared band buckets (deduplicated).
+    *
+    * A band bucket of k docs emits C(k,2) candidates — the same
+    * hot-key meltdown mode as an un-pruned posting list, hit when the
+    * corpus has a giant exact-duplicate cluster (every clone shares
+    * every band) or the band width is too narrow for the corpus.
+    * Same default posture as [[jaccardPairs]]: a loud
+    * `maxBucketLen` tripwire (1-row broadcast guard on the max
+    * (band,bucket) size — the build side evaluates before the
+    * self-join probe streams, so the run fails BEFORE the pair
+    * explosion). Opt out with `maxBucketLen = None`. */
+  def lshCandidates(buckets: DataFrame,
+                    maxBucketLen: Option[Long] = Some(10000L)): DataFrame = {
+    val joined0 = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+    val joined = maxBucketLen match {
+      case None => joined0
+      case Some(c) =>
+        val guard = buckets.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__bl"))
+          .agg(coalesce(max(col("__bl")), lit(0L)).as("__mx"))
+          .filter(when(col("__mx") <= lit(c), lit(true))
+            .otherwise(raise_error(concat(
+              lit("lshCandidates: band bucket of "),
+              col("__mx").cast("string"),
+              lit(s" docs exceeds maxBucketLen=$c — widen the bands " +
+                "(more rows per band), pre-collapse exact duplicates, " +
+                "or raise the cap explicitly.")))))
+          .select(lit(1L).as("__bl_ok"))
+        joined0.crossJoin(broadcast(guard)).drop("__bl_ok")
+    }
+    joined
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+  }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     * candidates → exact-Jaccard verification. Output matches

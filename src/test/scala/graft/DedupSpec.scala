@@ -89,6 +89,43 @@ class DedupSpec extends AnyFunSuite {
     assert(unpruned > 100L)
   }
 
+  test("maxPostingLen tripwire: a hot posting past the cap fails " +
+       "loudly in jaccardPairs / incrementalJaccardPairs / " +
+       "lshCandidates; under the cap results match the unguarded run") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // one shingle hash shared by 50 docs (posting length 50)
+    val hotSh = (1L to 50L).map(i => (i, 7L)) ++
+      Seq((1L, 11L), (2L, 11L)) // plus one benign 2-doc posting
+    val sh = hotSh.toDF("id", "sh")
+    val ex1 = intercept[Throwable] {
+      Dedup.jaccardPairs(sh, 0.0, maxPostingLen = Some(10L)).count()
+    }
+    assert(msgs(ex1).exists(_.contains("maxPostingLen")), msgs(ex1))
+    val ex2 = intercept[Throwable] {
+      Dedup.incrementalJaccardPairs(sh, id => id % 2 === 1, 0.0,
+        maxPostingLen = Some(10L)).count()
+    }
+    assert(msgs(ex2).exists(_.contains("maxPostingLen")), msgs(ex2))
+    // under the cap: guard is results-preserving (loud, never lossy)
+    val guarded = Dedup.jaccardPairs(sh, 0.0, maxPostingLen = Some(64L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unguarded = Dedup.jaccardPairs(sh, 0.0, maxPostingLen = None)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(guarded == unguarded && guarded.size == 50 * 49 / 2)
+    // LSH: 50 ids in one (band, bucket)
+    val buckets = (1L to 50L).map(i => (i, 0, 99L))
+      .toDF("id", "band", "bucket")
+    val ex3 = intercept[Throwable] {
+      Dedup.lshCandidates(buckets, maxBucketLen = Some(10L)).count()
+    }
+    assert(msgs(ex3).exists(_.contains("maxBucketLen")), msgs(ex3))
+    assert(Dedup.lshCandidates(buckets, maxBucketLen = Some(64L))
+      .count() == 50L * 49 / 2)
+  }
+
   test("connectedComponents: chain, clique, and pair collapse to " +
        "min-id clusters") {
     // chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
@@ -170,7 +207,8 @@ class DedupSpec extends AnyFunSuite {
       graft.operators.Dedup.blockedEditDistance(
           gate, "doc_id", "text",
           Seq(col("source"), expr("n_chars div 25")),
-          prefixLen = 60, maxDist = 40, chunkSize = chunk)
+          prefixLen = 60, maxDist = 40, chunkSize = chunk,
+          pairsPerRow = None) // isolate the chunk tier under test
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val refined = pairsOf(Some(32))
     val unrefined = pairsOf(None)
@@ -195,10 +233,13 @@ class DedupSpec extends AnyFunSuite {
     val big = (1L to 100L).map(i => (i, "s", f"t$i%03d"))
       .toDF("doc_id", "src", "text")
     // one 100-row block: C(100,2)/100 = 49.5 pairs/row > 10: fail loudly
+    // (chunkSize = None: the unchunked config is what the guard exists
+    // to catch — both knobs are now opt-OUT)
     val ex = intercept[Throwable] {
       graft.operators.Dedup.blockedEditDistance(
         big, "doc_id", "text", Seq(col("src")),
-        prefixLen = 10, maxDist = 10, pairsPerRow = Some(10L)).count()
+        prefixLen = 10, maxDist = 10, chunkSize = None,
+        pairsPerRow = Some(10L)).count()
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil
@@ -208,7 +249,8 @@ class DedupSpec extends AnyFunSuite {
     // within budget (49.5 <= 64 pairs/row): same result as unguarded
     val n = graft.operators.Dedup.blockedEditDistance(
       big, "doc_id", "text", Seq(col("src")),
-      prefixLen = 10, maxDist = 10, pairsPerRow = Some(64L)).count()
+      prefixLen = 10, maxDist = 10, chunkSize = None,
+      pairsPerRow = Some(64L)).count()
     assert(n == 4950L)
     // chunked + guarded (the q108 shape): chunk tier keeps pairs/row
     // at (c-1)/2, so the SAME tight budget that fires unchunked
@@ -218,6 +260,22 @@ class DedupSpec extends AnyFunSuite {
       prefixLen = 10, maxDist = 10, chunkSize = Some(10),
       pairsPerRow = Some(10L)).count()
     assert(nc == 450L)
+  }
+
+  test("blockedEditDistance DEFAULTS are the safe config: a block " +
+       "bigger than one chunk gets chunk-local pairs (not C(n,2)) " +
+       "with no argument passed") {
+    import spark.implicits._
+    val big = (1L to 100L).map(i => (i, "s", f"t$i%03d"))
+      .toDF("doc_id", "src", "text")
+    // default chunkSize=Some(32): chunks of 32,32,32,4 ->
+    // 3*C(32,2)+C(4,2) = 1494 pairs (14.94/row, under the default
+    // 16/row budget); the unbounded config would be C(100,2) = 4950
+    val n = graft.operators.Dedup.blockedEditDistance(
+      big, "doc_id", "text", Seq(col("src")),
+      prefixLen = 10, maxDist = 10).count()
+    assert(n == 1494L,
+      s"library default must be the chunked config, got $n pairs")
   }
 
   test("incrementalJaccardPairs equals the full recompute restricted " +

@@ -38,11 +38,18 @@ JOPTS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx40g"
 OUT="/tmp/r${R}_scale"
 mkdir -p "$OUT"
 
-# regenerate any missing smoke dataset (they don't persist in /tmp)
-[ -d /tmp/sf1 ]      || python3 tools/make_sf1.py
-[ -d /tmp/scale10 ]  || python3 tools/make_scale.py
-[ -d /tmp/jitter10 ] || python3 tools/make_jitter.py
-[ -d /tmp/skew10 ]   || python3 tools/make_skew.py
+# regenerate any missing smoke dataset (they don't persist in /tmp).
+# Generators take positional argv; abort the chain if one fails —
+# otherwise the gates below would run against a nonexistent dir.
+regen () {  # dir cmd...
+  local dir=$1; shift
+  [ -d "$dir" ] && return 0
+  "$@" || { echo "FATAL: smoke regeneration failed: $* (for $dir)" >&2; exit 1; }
+}
+regen /tmp/sf1      python3 tools/make_sf1.py 1.0 /tmp/sf1 /root/testdata/sf0.1
+regen /tmp/scale10  python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/scale10 10
+regen /tmp/jitter10 python3 tools/make_jitter.py /root/testdata/sf0.1 /tmp/jitter10 10
+regen /tmp/skew10   python3 tools/make_skew.py /root/testdata/sf0.1 /tmp/skew10
 
 gate () {  # name sfdir cpus — writes ONLY $OUT/${name}_status.txt
   local name=$1 sfdir=$2 cpus=$3
