@@ -1244,6 +1244,45 @@ object Ops {
   }
 
   // ---------------------------------------------------------------------
+  // q376 — the connector's MULTI-KEY + SUM partial pushdown (the
+  // remaining advertised surface after q358's single-key
+  // COUNT/MIN/MAX): GROUP BY (user_id, event_type) with
+  // COUNT/SUM(event_id)/MIN/MAX all fold inside the scan to one
+  // partial row per (partition, user, type) — the accumulator stays
+  // bounded at users×5 entries of fixed width however long the id
+  // range is — and Spark finalizes across partitions (COUNT and SUM
+  // partials re-aggregate as SUM, MIN/MAX as themselves). Shuffle
+  // volume is parts × groups partial rows instead of 60k generated
+  // rows. PlanQualitySpec asserts `PushedGroupBy [user_id,
+  // event_type]` reaches the BatchScan with the finalize aggregate
+  // still on top; the oracle regenerates the rows in DuckDB and
+  // aggregates them whole, so the partial/finalize split is what the
+  // gate proves.
+  // ---------------------------------------------------------------------
+  private def q376(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.SynthEventsProvider")
+      .option("rows", "100000").load()
+      .filter(col("event_id") >= 20000L && col("event_id") < 80000L)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum("event_id").as("sum_id"),
+        min("event_id").as("min_id"),
+        max("event_id").as("max_id"))
+      .orderBy("user_id", "event_type")
+
+  private val q376Sql = {
+    val gen = graft.sources.v2.SynthEvents.duckSql(20000, 80000, 1500)
+    s"""SELECT user_id, event_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+       |  CAST(min(event_id) AS BIGINT) AS min_id,
+       |  CAST(max(event_id) AS BIGINT) AS max_id
+       |FROM ($gen)
+       |GROUP BY user_id, event_type
+       |ORDER BY user_id, event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q347 — guaranteed heavy hitters, two-pass (candidate buckets →
   // exact verify): keys carrying ≥ 0.5% of all rows, found WITHOUT
   // ever shuffling the full key grain. Pass 1 aggregates row counts
@@ -1866,7 +1905,8 @@ object Ops {
     "q352_cascade_frontier" -> (q352 _),
     "q356_dsv2_runtime_filter" -> (q356 _),
     "q357_feature_hashing" -> (q357 _),
-    "q358_dsv2_partial_agg" -> (q358 _))
+    "q358_dsv2_partial_agg" -> (q358 _),
+    "q376_dsv2_multikey_sum" -> (q376 _))
 
   val oracle: Map[String, String] = Map(
     "q298_skew_lint" -> q298Sql,
@@ -1900,5 +1940,6 @@ object Ops {
     "q352_cascade_frontier" -> q352Sql,
     "q356_dsv2_runtime_filter" -> q356Sql,
     "q357_feature_hashing" -> q357Sql,
-    "q358_dsv2_partial_agg" -> q358Sql)
+    "q358_dsv2_partial_agg" -> q358Sql,
+    "q376_dsv2_multikey_sum" -> q376Sql)
 }

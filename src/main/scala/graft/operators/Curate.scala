@@ -419,7 +419,14 @@ object Curate {
     * (partition id, key) — every task touches at most one partition's
     * slice of any key. Key cardinality must be small enough that
     * parts × keys stays broadcast-sized (offsets grain), which is
-    * exactly the regime the operator exists for.
+    * exactly the regime the operator exists for — and that contract
+    * is ENFORCED, not hoped: the offsets build raises loudly when the
+    * (partition, key) grain exceeds `maxOffsetRows` (default 2²⁰ ≈
+    * 1M rows, ~tens of MB broadcast — the driver-safety ceiling).
+    * A trip means the key column is high-cardinality: use a plain
+    * `Window.partitionBy(key)` there instead (many small keys ⇒ the
+    * per-key funnel this operator exists to avoid never forms), or
+    * pass `maxOffsetRows = None` to accept the broadcast explicitly.
     *
     * `parts` caps the FIRST-PASS parallelism (each range partition is
     * one task): the default (-1) adapts to the session's
@@ -433,7 +440,9 @@ object Curate {
   def keyedCumSum(df: DataFrame, keyCols: Seq[String],
                   sortCols: Seq[Column], valueCol: Column,
                   cumName: String, rankName: String = "rnk",
-                  parts: Int = -1): DataFrame = {
+                  parts: Int = -1,
+                  maxOffsetRows: Option[Long] = Some(1L << 20))
+      : DataFrame = {
     val nParts = if (parts > 0) parts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ks = keyCols.map(col)
@@ -454,10 +463,31 @@ object Curate {
         keyCols.map(k => col(s"a.$k").as(k)): _*)
       .agg(coalesce(sum(col("b.__kc_cnt")), lit(0L)).as("__kc_offn"),
         coalesce(sum(col("b.__kc_sum")), lit(0L)).as("__kc_offs"))
+    // offsets-grain tripwire (the scaladoc contract, enforced): the
+    // guard aggregate evaluates inside the offsets broadcast build,
+    // so a high-cardinality key fails the job BEFORE a parts×keys
+    // table lands on the driver. 1-row agg over the already-computed
+    // sizes grain — no extra pass over the data.
+    val offsetsG = maxOffsetRows match {
+      case None => offsets
+      case Some(cap) =>
+        val guard = sizes.agg(count(lit(1)).as("__kc_ng"))
+          .filter(when(col("__kc_ng") <= lit(cap), lit(true))
+            .otherwise(raise_error(concat(
+              lit("keyedCumSum: offsets grain of "),
+              col("__kc_ng").cast("string"),
+              lit(s" (partition, key) rows exceeds maxOffsetRows=$cap " +
+                "— the key column is too high-cardinality for the " +
+                "broadcast-carry shape. Use Window.partitionBy(key) " +
+                "for many-small-keys data, or pass " +
+                "maxOffsetRows = None to accept the broadcast.")))))
+          .select(lit(1L).as("__kc_ok"))
+        offsets.crossJoin(guard).drop("__kc_ok")
+    }
     val wLoc = Window.partitionBy(col("__kc_pid") +: ks: _*)
       .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    base.join(broadcast(offsets), "__kc_pid" +: keyCols)
+    base.join(broadcast(offsetsG), "__kc_pid" +: keyCols)
       .withColumn(rankName,
         col("__kc_offn") + count(lit(1)).over(wLoc))
       .withColumn(cumName, col("__kc_offs") + sum(col("__kc_v")).over(wLoc))

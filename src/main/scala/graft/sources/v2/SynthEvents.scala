@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -48,11 +48,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    filter-narrowed) id range — the connector analogue of
   *    answering MIN/MAX/COUNT from parquet footer stats (gate query
   *    q343 asserts the plan is Project-over-BatchScan with zero
-  *    aggregate operators); GROUP BY user_id COUNT/MIN/MAX pushes
-  *    PARTIALLY (`supportCompletePushDown = false` — the scan emits
-  *    one partial row per (partition, user), Spark finalizes; gate
-  *    query q358). Other grouped/distinct aggregates are declined
-  *    and evaluated by Spark over the generated rows.
+  *    aggregate operators); GROUP BY user_id — and the multi-key
+  *    GROUP BY user_id, event_type (either order, or event_type
+  *    alone) — with COUNT/MIN(event_id)/MAX(event_id)/SUM(event_id)
+  *    pushes PARTIALLY (`supportCompletePushDown = false` — the scan
+  *    emits one partial row per (partition, group), Spark finalizes:
+  *    COUNT and SUM partials re-aggregate as SUM, MIN/MAX as
+  *    themselves; gate queries q358 and q376). Other grouped or
+  *    distinct aggregates are declined and evaluated by Spark over
+  *    the generated rows.
   *
   * Columns are integers + a low-cardinality string: exact on any
   * engine, no float parity concerns in the oracle.
@@ -209,16 +213,27 @@ class SynthScanBuilder(rows: Long, users: Long, parts: Int)
   // (its rewrite re-aggregates COUNT partials with SUM, MIN/MAX with
   // themselves). Scan output order is Spark's contract: group columns
   // first, then aggregate columns.
-  private def isUserRef(e: V2Expression): Boolean = e match {
-    case r: NamedReference =>
-      r.fieldNames.length == 1 && r.fieldNames()(0) == "user_id"
-    case _ => false
+  private def colRef(e: V2Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
   }
-  private def groupedSupported(agg: Aggregation): Boolean =
-    agg.groupByExpressions.length == 1 &&
-      isUserRef(agg.groupByExpressions()(0)) &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(supported)
+  // grouped partials additionally accept SUM(event_id): the per-group
+  // id sum accumulates exactly like count/min/max (one long of state)
+  // and Spark's finalize re-aggregates SUM partials with SUM
+  private def groupedAggOk(f: AggregateFunc): Boolean =
+    supported(f) || (f match {
+      case s: Sum if !s.isDistinct => isIdRef(s.column)
+      case _ => false
+    })
+  private def groupedSupported(agg: Aggregation): Boolean = {
+    val ks = agg.groupByExpressions.toSeq.map(colRef)
+    val keysOk = ks.nonEmpty && ks.forall(_.isDefined) &&
+      ks.flatten.distinct == ks.flatten &&
+      ks.flatten.toSet.subsetOf(Set("user_id", "event_type"))
+    keysOk && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(groupedAggOk)
+  }
 
   override def pushAggregation(agg: Aggregation): Boolean =
     if (supportCompletePushDown(agg)) {
@@ -226,16 +241,19 @@ class SynthScanBuilder(rows: Long, users: Long, parts: Int)
       true
     } else if (groupedSupported(agg)) {
       groupAggs = Some(agg.aggregateExpressions.toSeq)
+      groupKeys = agg.groupByExpressions.toSeq.flatMap(colRef)
       true
     } else false
 
   private var groupAggs: Option[Seq[AggregateFunc]] = None
+  private var groupKeys: Seq[String] = Nil
 
   override def build(): Scan = aggs match {
     case Some(fs) => new SynthAggScan(math.min(lo, hi), hi, fs, pushed)
     case None => groupAggs match {
       case Some(fs) =>
-        new SynthGroupAggScan(math.min(lo, hi), hi, users, parts, fs, pushed)
+        new SynthGroupAggScan(math.min(lo, hi), hi, users, parts,
+          groupKeys, fs, pushed)
       case None =>
         new SynthScan(math.min(lo, hi), hi, users, parts, required)
     }
@@ -296,25 +314,30 @@ class SynthAggReaderFactory(values: Array[Any])
   * reaches the physical BatchScan.
   */
 class SynthGroupAggScan(lo: Long, hi: Long, users: Long, parts: Int,
-                        fs: Seq[AggregateFunc], pushedF: Array[Filter])
+                        keys: Seq[String], fs: Seq[AggregateFunc],
+                        pushedF: Array[Filter])
     extends Scan with Batch {
   // AggregateFunc is not Serializable — compile the accepted shapes
   // to opcodes for the executor-side factory (0 = count partial,
-  // 1 = min event_id, 2 = max event_id)
+  // 1 = min event_id, 2 = max event_id, 3 = sum event_id partial)
   private val ops: Array[Int] = fs.map {
     case _: CountStar | _: Count => 0
     case _: Min => 1
     case _: Max => 2
+    case _: Sum => 3
     case f => throw new IllegalStateException(s"unpushable grouped agg $f")
   }.toArray
   override def readSchema(): StructType = StructType(
-    StructField("user_id", LongType, nullable = false) +:
-      fs.zipWithIndex.map { case (_, i) =>
-        StructField(s"agg$i", LongType, nullable = false)
-      })
+    keys.map {
+      case "user_id" => StructField("user_id", LongType, nullable = false)
+      case k => StructField(k, StringType, nullable = false)
+    } ++ fs.zipWithIndex.map { case (_, i) =>
+      StructField(s"agg$i", LongType, nullable = false)
+    })
   override def toBatch: Batch = this
   override def description(): String =
-    s"synth_events PushedRange($lo,$hi) PushedGroupBy [user_id] " +
+    s"synth_events PushedRange($lo,$hi) PushedGroupBy " +
+      s"[${keys.mkString(", ")}] " +
       "PushedAggregates [" + fs.map(_.toString).mkString(", ") +
       "] mode=partial pushedFilters=" + pushedF.mkString(",")
   override def planInputPartitions(): Array[InputPartition] = {
@@ -326,37 +349,57 @@ class SynthGroupAggScan(lo: Long, hi: Long, users: Long, parts: Int,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthGroupAggReaderFactory(users, ops)
+    new SynthGroupAggReaderFactory(users, keys.toArray, ops)
 }
 
-class SynthGroupAggReaderFactory(users: Long, ops: Array[Int])
+class SynthGroupAggReaderFactory(users: Long, keys: Array[String],
+                                 ops: Array[Int])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      // fold the whole range on first advance: per-user
-      // (count, min id, max id) — ≤ `users` entries of fixed width
+      // fold the whole range on first advance: per-group
+      // (count, min id, max id, sum id) — bounded at users × 5 type
+      // entries of fixed width no matter how long the id range is.
+      // Group key packs as user*8 + typeIdx (5 types < 8); a key
+      // column the query didn't group by contributes 0, so the same
+      // packing serves [user_id], [event_type], and both.
       private val sp = p.asInstanceOf[SynthPartition]
+      private val useUser = keys.contains("user_id")
+      private val useType = keys.contains("event_type")
       private var rows: Iterator[InternalRow] = _
       override def next(): Boolean = {
         if (rows == null) {
           val acc = scala.collection.mutable.LongMap.empty[Array[Long]]
           var i = sp.start
           while (i < sp.end) {
-            val u = SynthEvents.userId(i, users)
-            val a = acc.getOrElseUpdate(u, Array(0L, Long.MaxValue,
-              Long.MinValue))
+            val u = if (useUser) SynthEvents.userId(i, users) else 0L
+            val t = if (useType)
+              (SynthEvents.hash60(s"v2e:$i") % 5).toInt else 0
+            val a = acc.getOrElseUpdate(u * 8L + t,
+              Array(0L, Long.MaxValue, Long.MinValue, 0L))
             a(0) += 1L
             if (i < a(1)) a(1) = i
             if (i > a(2)) a(2) = i
+            // loud on overflow — a silent wrapped partial would
+            // finalize into a wrong answer; ids sum past 2^63 only on
+            // pathological option settings, and then the scan fails
+            a(3) = Math.addExact(a(3), i)
             i += 1L
           }
-          rows = acc.toSeq.sortBy(_._1).iterator.map { case (u, a) =>
-            val row = new GenericInternalRow(1 + ops.length)
-            row.update(0, u)
+          rows = acc.toSeq.sortBy(_._1).iterator.map { case (k, a) =>
+            val row = new GenericInternalRow(keys.length + ops.length)
             var c = 0
-            while (c < ops.length) {
-              row.update(1 + c, a(ops(c)))
+            while (c < keys.length) {
+              row.update(c,
+                if (keys(c) == "user_id") k / 8L
+                else UTF8String.fromString(
+                  SynthEvents.types((k % 8L).toInt)))
               c += 1
+            }
+            var j = 0
+            while (j < ops.length) {
+              row.update(keys.length + j, a(ops(j)))
+              j += 1
             }
             row
           }

@@ -346,6 +346,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got == truth)
   }
 
+  test("keyedCumSum offsets-grain guard: a high-cardinality key " +
+       "raises loudly before the parts×keys broadcast builds; under " +
+       "the cap results are identical to the unguarded run") {
+    // 120 DISTINCT keys at parts=7 -> offsets grain ~120 rows: a cap
+    // of 50 must trip (this is the Window.partitionBy(key) regime)
+    val rows = for (i <- 1L to 120L) yield (s"k$i", i, i % 17)
+    val df = rows.toDF("key", "t", "v")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ex = intercept[Throwable] {
+      Curate.keyedCumSum(df, Seq("key"), Seq(col("t")), col("v"),
+        "c", "n", parts = 7, maxOffsetRows = Some(50L)).count()
+    }
+    assert(msgs(ex).exists(_.contains("maxOffsetRows")), msgs(ex))
+    // results-preserving when under the cap (and None opts out)
+    val a = Curate.keyedCumSum(df, Seq("key"), Seq(col("t")), col("v"),
+        "c", "n", parts = 7, maxOffsetRows = Some(1000L))
+      .select("key", "n", "c").as[(String, Long, Long)].collect().toSet
+    val b = Curate.keyedCumSum(df, Seq("key"), Seq(col("t")), col("v"),
+        "c", "n", parts = 7, maxOffsetRows = None)
+      .select("key", "n", "c").as[(String, Long, Long)].collect().toSet
+    assert(a == b && a.size == 120)
+  }
+
   test("redact masks every pattern match and counts them per row") {
     val df = Seq((1L, "aaa bcd eee"), (2L, "xyz"), (3L, ""))
       .toDF("id", "text")

@@ -1167,6 +1167,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q376: multi-key GROUP BY (user_id, event_type) with SUM pushes " +
+       "PARTIALLY into the DSv2 source — the BatchScan reports both " +
+       "group keys and the Sum aggregate, with the finalize on top") {
+    val p = plan("q376_dsv2_multikey_sum")
+    assert(p.contains("PushedGroupBy [user_id, event_type]"), p)
+    assert(p.toUpperCase.contains("SUM"), p)
+    assert(p.contains("mode=partial"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   // Output-type parity lint (the round-6 q307 lesson): the
   // correctness driver hashes values AFTER fetching both engines'
   // results, and some types round-trip differently — Spark

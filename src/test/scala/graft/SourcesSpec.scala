@@ -195,7 +195,8 @@ class SourcesSpec extends AnyFunSuite {
 
   test("DSv2 aggregate pushdown: COUNT/MIN/MAX collapse at the " +
        "source (closed form over the filtered range); empty range " +
-       "gives 0/NULL/NULL; grouped aggregates are declined") {
+       "gives 0/NULL/NULL; supported groupings push PARTIALLY and " +
+       "unsupported aggregates are declined") {
     import org.apache.spark.sql.functions._
     def src = spark.read
       .format("graft.sources.v2.SynthEventsProvider")
@@ -212,17 +213,32 @@ class SourcesSpec extends AnyFunSuite {
     val e = src.filter(col("event_id") >= 5000L)
       .agg(count(lit(1)).as("n"), min("event_id").as("mn")).collect()(0)
     assert(e.getLong(0) == 0L && e.isNullAt(1))
-    // grouped aggregate must NOT be claimed: the source declines and
-    // Spark aggregates the generated rows itself
+    // a supported grouping pushes PARTIALLY: the scan reports
+    // PushedGroupBy, the finalize HashAggregate stays on top, and the
+    // finalized counts still total the row count
     val g = src.groupBy("event_type").agg(count(lit(1)).as("n"))
     val gp = g.queryExecution.executedPlan.toString
-    assert(!gp.contains("PushedAggregates"), gp)
+    assert(gp.contains("PushedGroupBy [event_type]"), gp)
+    assert(gp.contains("mode=partial"), gp)
     assert(gp.contains("HashAggregate"), gp)
     assert(g.agg(sum("n")).collect()(0).getLong(0) == 1000L)
+    // an UNSUPPORTED grouping (non-generator column ts_l) is declined
+    // entirely and Spark aggregates the generated rows itself
+    val u = src.groupBy("ts_l").agg(count(lit(1)).as("n"))
+    val up = u.queryExecution.executedPlan.toString
+    assert(!up.contains("PushedAggregates"), up)
+    assert(u.agg(sum("n")).collect()(0).getLong(0) == 1000L)
     // COUNT(DISTINCT …) must not be claimed either
     val d = src.agg(countDistinct("event_type").as("n"))
     assert(!d.queryExecution.executedPlan.toString
       .contains("PushedAggregates"))
     assert(d.collect()(0).getLong(0) == 5L)
+    // grouped SUM over event_id pushes partially and finalizes right:
+    // per-group id sums must total the closed-form range sum
+    val sg = src.groupBy("user_id", "event_type")
+      .agg(sum("event_id").as("s"))
+    val sp = sg.queryExecution.executedPlan.toString
+    assert(sp.contains("PushedGroupBy [user_id, event_type]"), sp)
+    assert(sg.agg(sum("s")).collect()(0).getLong(0) == 999L * 1000L / 2L)
   }
 }
