@@ -47,14 +47,40 @@ object Bench {
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "2").toInt
     val passes = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
-    (1 to warmups).foreach(_ => names.foreach(run))
+    // drift canary: a fixed, SF-independent, CPU-bound probe (hash +
+    // reduce over a generated range — no IO, no shuffle) interleaved
+    // every ~50 queries during the measured passes. Its time series
+    // measures MACHINE drift inside the run itself, so a uniform
+    // cross-round shift (the r6/r8 "+17% on identical code" episodes,
+    // previously diagnosed forensically over hours) is read off the
+    // archive directly: same-code runs with canary medians 10% apart
+    // ARE 10% machine drift, and tools/bench_diff.py annotates /
+    // normalizes its regression calls by exactly this ratio.
+    val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def canary(): Unit = {
+      val t0 = System.nanoTime()
+      // pmod keeps the ANSI sum in range (full-range xxhash64 longs
+      // would overflow on the second row); the hash still dominates
+      spark.range(0L, 20000000L, 1L, 8)
+        .selectExpr("pmod(xxhash64(id), 1000000) AS h")
+        .agg(org.apache.spark.sql.functions.sum("h"))
+        .write.mode("overwrite").format("noop").save()
+      canaryTimes += (System.nanoTime() - t0) / 1e9
+    }
+    (1 to warmups).foreach { _ => canary(); names.foreach(run) }
+    canaryTimes.clear() // warmup samples JIT the canary; don't record them
     // a throwing query records -1, never a fast "success": a broken
     // query must not improve the benchmark total
-    def measure(): Map[String, Double] = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok = run(name)
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
+    def measure(): Map[String, Double] = {
+      val out = names.zipWithIndex.map { case (name, i) =>
+        if (i % 50 == 0) canary()
+        val t0 = System.nanoTime()
+        val ok = run(name)
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+      canary() // closing sample per pass
+      out
+    }
     // SEPARATED measured passes, min per query: steady-state timing
     // that a transient external load spike (which spans one pass, not
     // both) cannot inflate. A -1 failure is sticky — min keeps it.
@@ -118,8 +144,14 @@ object Bench {
         s"\"" + name + "\":" + fp
     }.mkString("{", ",", "}")
     graft.core.PlanStats.disable()
+    def r3v(v: Double): Double = math.rint(v * 1000) / 1000
+    val canarySorted = canaryTimes.sorted
+    val canaryMed = if (canarySorted.isEmpty) 0.0
+      else canarySorted(canarySorted.size / 2)
+    val canaryJson = canaryTimes.map(r3v).mkString(
+      s""","canary":{"median":${r3v(canaryMed)},"times":[""", ",", "]}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$spreadJson,"plans_slowest":$fingerprints,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$spreadJson$canaryJson,"plans_slowest":$fingerprints,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
@@ -155,7 +187,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"mean":${r3(mean)},"failed":$failed,"queries":$slowest,"queries_full":"${outPath.toAbsolutePath}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"mean":${r3(mean)},"failed":$failed,"canary_med":${r3(canaryMed)},"queries":$slowest,"queries_full":"${outPath.toAbsolutePath}","sf":"$sfDir"}"""
     // sidecar twin of the stdout line: a parser that misses the tail
     // (sbt banners, truncation) can read this file instead
     java.nio.file.Files.write(

@@ -1,9 +1,11 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftx.JaroWinklerE6
 
+import graft.core.PlanStats.Pinned
 import graft.core.Tables
 import graft.functions.{PortableHash, Text}
 import graft.operators.Curate
@@ -691,8 +693,27 @@ object Audit {
   // are exact lower-median order statistics computed on the VALUE-
   // GROUP grain (≤10⁵ rows per type however big the corpus): per-
   // (type, value) counts, per-type cumulative counts through
-  // [[Curate.keyedCumSum]], min value with 2·cum ≥ n... twice —
-  // once for the median, once for |v − med|. The outlier flag
+  // [[Curate.keyedCumSum]], min value with 2·cum ≥ n.
+  //
+  // ONE corpus pass total (the r8→r9 fusion): the raw events reduce
+  // to the (type, value, count) grain once, pinned; the deviation
+  // grain is DERIVED from it (|v − med| maps value-groups to
+  // dev-groups, summing counts — no re-scan of the events), the MAD
+  // median runs on that derived grain, and even the final
+  // (n, n_outliers) readout is count-weighted over the grain. The
+  // med → dev data dependence makes two median passes semantically
+  // unavoidable (the dev grain cannot exist before the median is
+  // known), but both — and everything after the first aggregate —
+  // touch only grain-sized rows. And because the grain is BOUNDED BY
+  // THE VALUE UNIVERSE, not the corpus (e2-rounded values in
+  // [0, ~561) ⇒ ≤ ~5.7·10⁴ rows per type at ANY data size — measured
+  // identical, 17 792 distinct values, at sf0.1 and the ×10 replica),
+  // the cumulative count uses a plain Window.partitionBy(type): the
+  // per-key funnel that window creates is capped at the universe
+  // size, which is exactly when the partitioned window IS the right
+  // tool and [[Curate.keyedCumSum]]'s range-partitioned carry (for
+  // grains that GROW with the data) would be pure fixed overhead —
+  // this swap cut q372 from 3.9 s to ~1 s at sf0.1. The outlier flag
   // |v − med| > 3·MAD is a pure integer comparison; no division
   // anywhere in the query.
   // ---------------------------------------------------------------------
@@ -700,27 +721,32 @@ object Audit {
     val e = Tables.eventsSec(s, dir)
       .select(col("event_type").as("et"),
         round(col("value") * 100).cast("long").as("v"))
-    def lowerMedian(df: DataFrame, valCol: String,
-                    outName: String): DataFrame = {
-      val g = df.groupBy(col("et"), col(valCol))
-        .agg(count(lit(1)).as("__c"))
-      val cum = Curate.keyedCumSum(g, Seq("et"), Seq(col(valCol)),
-        col("__c"), "__cum", "__r")
-      val tot = g.groupBy(col("et")).agg(sum(col("__c")).as("__n"))
-      cum.join(broadcast(tot), "et")
+    // the one corpus-grain aggregate; both medians, the dev grain and
+    // the readout all derive from these universe-bounded rows
+    val g1 = e.groupBy(col("et"), col("v"))
+      .agg(count(lit(1)).as("__c")).pin()
+    def lowerMedianOfCounts(g: DataFrame, valCol: String,
+                            outName: String): DataFrame = {
+      val w = Window.partitionBy(col("et")).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(col("et"))
+      g.withColumn("__cum", sum(col("__c")).over(w))
+        .withColumn("__n", sum(col("__c")).over(wAll))
         .filter(lit(2L) * col("__cum") >= col("__n"))
         .groupBy(col("et"))
         .agg(min(col(valCol)).as(outName))
     }
-    val med = lowerMedian(e, "v", "med_e2")
-    val dev = e.join(broadcast(med), "et")
-      .withColumn("d", abs(col("v") - col("med_e2")))
-    val mad = lowerMedian(dev.select(col("et"), col("d")), "d", "mad_e2")
-    dev.join(broadcast(mad), "et")
+    val med = lowerMedianOfCounts(g1, "v", "med_e2")
+    val g2 = g1.join(broadcast(med), "et")
+      .select(col("et"), abs(col("v") - col("med_e2")).as("d"), col("__c"))
+      .groupBy(col("et"), col("d"))
+      .agg(sum(col("__c")).as("__c"))
+    val mad = lowerMedianOfCounts(g2, "d", "mad_e2")
+    g2.join(broadcast(med), "et").join(broadcast(mad), "et")
       .groupBy(col("et"), col("med_e2"), col("mad_e2"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("d") > lit(3L) * col("mad_e2"), 1L).otherwise(0L))
-          .as("n_outliers"))
+      .agg(sum(col("__c")).as("n"),
+        sum(when(col("d") > lit(3L) * col("mad_e2"), col("__c"))
+          .otherwise(0L)).as("n_outliers"))
       .select(col("et").as("event_type"), col("n"), col("med_e2"),
         col("mad_e2"), col("n_outliers"))
       .orderBy(col("event_type"))

@@ -16,6 +16,20 @@ n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
 a_doc = json.load(open(a_path))
 b_doc = json.load(open(b_path))
 a, b = a_doc["queries"], b_doc["queries"]
+
+# Drift canary (round 9+): each archive carries the median of an
+# SF-independent CPU probe interleaved through the measured passes.
+# The b/a canary ratio IS the machine-drift factor between the two
+# runs (same-code r8 episodes: totals 403/368/355s — +-13% — with no
+# code change); when both archives carry a canary, b's times are
+# NORMALIZED by that ratio before any call is made, so a uniform
+# environmental shift stops reading as 375 tiny regressions.
+ca = a_doc.get("canary", {}).get("median")
+cb = b_doc.get("canary", {}).get("median")
+drift = (cb / ca) if (ca and cb and ca > 0) else None
+if drift is not None:
+    b = {q: t / drift if t >= 0 else t for q, t in b.items()}
+
 # Per-query noise band: the archives' own max-min over measured
 # passes (round 7+), WITH A CROSS-RUN FLOOR. Round-8 diagnosis (the
 # r7 q144/q127 false alarms): intra-run min-of-2 spread measures
@@ -23,11 +37,15 @@ a, b = a_doc["queries"], b_doc["queries"]
 # q144 spanned 0.40s against its recorded 0.02s band, i.e. suite
 # composition + JIT/GC state move a <3s query ~20x more than its
 # intra-run spread. So a delta is only a regression/improvement call
-# when it clears max(recorded band, 0.15s + 10% of the faster time)
-# — the floor matches the observed cross-run envelope.
+# when it clears max(recorded band, floor). The floor was 0.15s+10%
+# in round 8; the three same-code r8 runs (403.0/367.9/355.4s, +-13%
+# about their mean) showed that sits at the optimistic edge, so
+# UN-normalized comparisons use 0.15s+15%. With a canary on both
+# sides the uniform component is already divided out and the floor
+# drops back to 0.15s+10% (residual per-query jitter).
 def _floor(q):
     base = min(a.get(q, 1e9), b.get(q, 1e9))
-    return 0.15 + 0.10 * base
+    return 0.15 + (0.10 if drift is not None else 0.15) * base
 
 spread = {q: max(a_doc.get("spread", {}).get(q, 0.0),
                  b_doc.get("spread", {}).get(q, 0.0),
@@ -44,6 +62,12 @@ tot_b = sum(b[q] for q in shared)
 
 print(f"shared queries: {len(shared)}  added: {len(added)}  "
       f"removed: {len(removed)}")
+if drift is not None:
+    print(f"canary drift: {ca:.3f}s -> {cb:.3f}s (x{drift:.3f}) — "
+          f"b normalized by the ratio; calls below are drift-corrected")
+else:
+    print("canary: absent in at least one archive — no drift "
+          "normalization; using the wider (+15%) cross-run floor")
 print(f"shared total: {tot_a:.1f}s -> {tot_b:.1f}s "
       f"({tot_b - tot_a:+.1f}s)")
 if added:
