@@ -1,0 +1,675 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Text
+
+/** Data-integrity / statistical-testing tier (session 9): the release
+  * audits a training-data platform runs beyond round 8's model-quality
+  * tier — privacy (l-diversity, complementing q238's k-anonymity),
+  * multi-rater label quality (Fleiss' κ, complementing q364's
+  * two-rater Cohen's κ), retrieval feed quality (MRR / hit@k), robust
+  * location (exact winsorized + trimmed means, complementing q372's
+  * MAD), corpus-mix planning (largest-remainder token-budget
+  * allocation — quotas sum EXACTLY to the budget), heavy-tail shape
+  * (Hill tail-index), and three classic drift/association tests (χ²
+  * independence, Jensen–Shannon divergence, McNemar's paired test).
+  * No reference analogue (the reference delegates analytics to SQL;
+  * README.md:1-3). Cross-engine discipline as everywhere in the gate:
+  * integer/e2-long grains, cross-products in decimal(38,0) (HUGEINT in
+  * the oracle), per-row ln only e9-rounded at the cell before any
+  * cross-row sum (the q375 precedent), ONE IEEE division per readout,
+  * unique-tiebreak ORDER BY, no Decimal/Float in final schemas.
+  */
+object Integrity {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val dec = "decimal(38,0)"
+
+  // ---------------------------------------------------------------------
+  // q377 — l-diversity audit (Machanavajjhala et al.'s complement to
+  // k-anonymity, gated as q238): a class of ≥k records still leaks
+  // if everyone in it shares the SENSITIVE value. Documents group by
+  // the quasi-identifier (source, n_chars÷200) and the sensitive
+  // attribute is lang; for each candidate l the audit reports how
+  // many equivalence classes (and records) have fewer than l distinct
+  // sensitive values. One shuffle to the QI×lang grain, then the
+  // class rollup and the 3-row threshold cross — class cardinality is
+  // bounded by the QI domain, not the corpus (the q238 scale shape).
+  // ---------------------------------------------------------------------
+  private def q377(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), expr("n_chars div 200").as("b"), col("lang"))
+    val classes = d.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("dv"))
+    val ls = s.range(3).select(element_at(
+      array(lit(2L), lit(3L), lit(4L)), col("id").cast("int") + 1).as("l"))
+    classes.crossJoin(broadcast(ls))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("dv") < col("l"), 1L).otherwise(0L))
+          .as("n_classes_below"),
+        sum(when(col("dv") < col("l"), col("n")).otherwise(0L))
+          .as("n_records_below"),
+        min(col("dv")).as("min_diversity"))
+      .orderBy(col("l"))
+  }
+
+  private val q377Sql =
+    """WITH d AS (
+      |  SELECT source, n_chars // 200 AS b, lang FROM documents),
+      |classes AS (
+      |  SELECT source, b, count(*) AS n, count(DISTINCT lang) AS dv
+      |  FROM d GROUP BY 1, 2),
+      |ls AS (SELECT unnest([2, 3, 4]) AS l)
+      |SELECT CAST(l AS BIGINT) AS l,
+      |  count(*) AS n_classes,
+      |  CAST(sum(CASE WHEN dv < l THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_classes_below,
+      |  CAST(sum(CASE WHEN dv < l THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_records_below,
+      |  CAST(min(dv) AS BIGINT) AS min_diversity
+      |FROM classes CROSS JOIN ls
+      |GROUP BY l
+      |ORDER BY l""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q378 — Fleiss' κ multi-rater agreement: three deterministic
+  // document "raters" (chars-based, tokens-based, punctuation-based
+  // quality bucketers, 6 classes — the m>2 generalization q364's
+  // Cohen κ cannot express). With N items, m raters, n_ij ratings of
+  // item i in class j:  P̄ = (ΣΣn_ij² − Nm)/(Nm(m−1)),
+  // P̄e = Σ_j c_j²/(Nm)², κ = (P̄−P̄e)/(1−P̄e). The whole statistic
+  // reduces to three integer sums (A = ΣΣn², c_j marginals, N);
+  // cross-products run in decimal(38,0) (HUGEINT in the oracle) and
+  // κ is ONE e6-rounded division of the cross-multiplied form
+  // κ = (m·(A−Nm)·Nm − m'·Σc²) / (m'·((Nm)² − Σc²)) with m' = m−1
+  // scaled by Nm — algebraically (P̄−P̄e)/(1−P̄e) with both sides
+  // multiplied by (m−1)(Nm)². Corpus cost: one scan to the
+  // (doc, class) grain.
+  // ---------------------------------------------------------------------
+  private def q378(s: SparkSession, dir: String): DataFrame = {
+    val m = 3L
+    val rated = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array(
+          least(expr("n_chars div 150"), lit(5L)),
+          least((size(Text.words(col("text"))) / 30).cast("long"), lit(5L)),
+          least(expr(
+            "(length(text) - length(replace(text, '.'))) div 2"),
+            lit(5L)))).as("cat"))
+    val nij = rated.groupBy(col("doc_id"), col("cat"))
+      .agg(count(lit(1)).as("c"))
+    val base = nij.agg(
+      countDistinct(col("doc_id")).as("n_items"),
+      sum(col("c").cast(dec) * col("c").cast(dec)).as("a2"))
+    val marg = nij.groupBy(col("cat")).agg(sum(col("c")).as("cj"))
+      .agg(coalesce(sum(col("cj").cast(dec) * col("cj").cast(dec)),
+        lit(0L).cast(dec)).as("sc2"))
+    base.crossJoin(broadcast(marg))
+      .select(col("n_items"), col("a2").cast("long").as("a_sum2"),
+        col("sc2").cast("long").as("s_marg2"),
+        round({
+          val nm = col("n_items").cast(dec) * lit(m)
+          val num = (col("a2") - nm) * nm - lit(m - 1).cast(dec) * col("sc2")
+          val den = lit(m - 1).cast(dec) * (nm * nm - col("sc2"))
+          num.cast("double") / den.cast("double") * 1000000.0
+        }).cast("long").as("kappa_e6"))
+      .orderBy(col("n_items"))
+  }
+
+  private val q378Sql =
+    """WITH rated AS (
+      |  SELECT doc_id, unnest([
+      |    least(n_chars // 150, 5),
+      |    least(len(list_filter(string_split(text, ' '),
+      |      w -> length(w) > 0)) // 30, 5),
+      |    least((length(text) - length(replace(text, '.', ''))) // 2, 5)
+      |  ]) AS cat
+      |  FROM documents),
+      |nij AS (SELECT doc_id, cat, count(*) AS c
+      |        FROM rated GROUP BY doc_id, cat),
+      |base AS (SELECT count(DISTINCT doc_id) AS n,
+      |    sum(CAST(c AS HUGEINT) * c) AS a2 FROM nij),
+      |marg AS (SELECT coalesce(sum(CAST(cj AS HUGEINT) * cj), 0) AS sc2
+      |  FROM (SELECT cat, sum(c) AS cj FROM nij GROUP BY cat))
+      |SELECT CAST(base.n AS BIGINT) AS n_items,
+      |  CAST(base.a2 AS BIGINT) AS a_sum2,
+      |  CAST(marg.sc2 AS BIGINT) AS s_marg2,
+      |  CAST(round(
+      |    CAST((base.a2 - base.n * 3) * (base.n * 3)
+      |         - 2 * marg.sc2 AS DOUBLE)
+      |    / CAST(2 * (CAST(base.n AS HUGEINT) * 3 * base.n * 3
+      |                - marg.sc2) AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS kappa_e6
+      |FROM base, marg
+      |ORDER BY n_items""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q379 — MRR@10 / hit@10 of the value-ranked event feed (the
+  // retrieval-quality twin of q275's NDCG): per user, events rank by
+  // (value desc, event_id asc); the first 'purchase' at rank r ≤ 10
+  // contributes reciprocal rank 1/r. Per-user reciprocal ranks are
+  // e6-rounded integers (round(10⁶/r) for r ∈ 1..10 — exact integer
+  // arithmetic on both engines), so the corpus-wide sum is an integer
+  // reduction and the mean is ONE final division. The window
+  // partitions by user — per-user history, the grain that scales out.
+  // ---------------------------------------------------------------------
+  private def q379(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val ranked = Tables.eventsSec(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("event_type"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= 10L)
+    val perUser = ranked.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase", col("r")))
+        .as("first_rel"))
+    perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("first_rel").isNotNull, 1L).otherwise(0L))
+          .as("n_hits"),
+        sum(coalesce(round(lit(1000000.0) / col("first_rel")
+          .cast("double")).cast("long"), lit(0L))).as("rr_sum_e6"))
+      .select(col("n_users"), col("n_hits"), col("rr_sum_e6"),
+        round(col("rr_sum_e6").cast("double") /
+          col("n_users").cast("double")).cast("long").as("mrr_e6"))
+      .orderBy(col("n_users"))
+  }
+
+  private val q379Sql =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, event_id ASC) AS r
+      |  FROM events),
+      |top AS (SELECT * FROM ranked WHERE r <= 10),
+      |per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'purchase' THEN r END) AS first_rel
+      |  FROM top GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hits,
+      |  CAST(sum(coalesce(
+      |    CAST(round(1000000.0 / first_rel) AS BIGINT), 0))
+      |    AS BIGINT) AS rr_sum_e6,
+      |  CAST(round(CAST(sum(coalesce(
+      |      CAST(round(1000000.0 / first_rel) AS BIGINT), 0)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mrr_e6
+      |FROM per_user
+      |ORDER BY n_users""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q380 — EXACT winsorized and trimmed means per event type (the
+  // robust-location family next to q372's MAD): on the value-group
+  // grain (bounded by the e2 value UNIVERSE, the q372 argument), the
+  // 5%/95% winsorizing bounds are lower order statistics
+  // (smallest v with 20·cum ≥ n, smallest v with 20·cum ≥ 19·n) and
+  // the 5% trim drops EXACTLY k = n÷20 rows from each end by rank
+  // overlap: a value group spanning cumulative ranks (cum−c, cum]
+  // loses clamp(k−(cum−c), 0, c) rows to the bottom trim and
+  // clamp(k−(n−cum), 0, c) to the top — partial groups handled
+  // exactly, no row-grain sort anywhere. Sums stay e2 longs; each
+  // mean is ONE e6 division.
+  // ---------------------------------------------------------------------
+  private def q380(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type").as("et"),
+        round(col("value") * 100).cast("long").as("v"))
+    val g = e.groupBy(col("et"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("et")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("et"))
+    val cum = g.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val bounds = cum.groupBy(col("et"), col("n"))
+      .agg(min(when(lit(20L) * col("cum") >= col("n"), col("v")))
+          .as("v_lo"),
+        min(when(lit(20L) * col("cum") >= lit(19L) * col("n"), col("v")))
+          .as("v_hi"))
+    val k = expr("n div 20")
+    cum.join(broadcast(bounds), Seq("et", "n"))
+      .withColumn("kept",
+        col("c")
+          - greatest(least(k - (col("cum") - col("c")), col("c")), lit(0L))
+          - greatest(least(k - (col("n") - col("cum")), col("c")), lit(0L)))
+      .groupBy(col("et"), col("n"), col("v_lo"), col("v_hi"))
+      .agg(
+        sum(col("c") * least(greatest(col("v"), col("v_lo")), col("v_hi")))
+          .as("winsor_sum_e2"),
+        sum(col("kept") * col("v")).as("trim_sum_e2"))
+      .select(col("et").as("event_type"), col("n"),
+        col("v_lo"), col("v_hi"), col("winsor_sum_e2"),
+        col("trim_sum_e2"), (col("n") - lit(2L) * expr("n div 20"))
+          .as("trim_n"),
+        round(col("winsor_sum_e2").cast("double") /
+          col("n").cast("double") * 10000.0).cast("long")
+          .as("winsor_mean_e6"),
+        round(col("trim_sum_e2").cast("double") /
+          (col("n") - lit(2L) * expr("n div 20")).cast("double")
+          * 10000.0).cast("long").as("trim_mean_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q380Sql =
+    """WITH e AS (
+      |  SELECT event_type AS et, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |g AS (SELECT et, v, count(*) AS c FROM e GROUP BY et, v),
+      |cum AS (SELECT et, v, c,
+      |    sum(c) OVER (PARTITION BY et ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY et) AS n
+      |  FROM g),
+      |bounds AS (SELECT et, n,
+      |    min(CASE WHEN 20 * cum >= n THEN v END) AS v_lo,
+      |    min(CASE WHEN 20 * cum >= 19 * n THEN v END) AS v_hi
+      |  FROM cum GROUP BY et, n),
+      |kept AS (SELECT cum.et, cum.n, bounds.v_lo, bounds.v_hi, cum.v,
+      |    cum.c,
+      |    cum.c
+      |      - greatest(least(cum.n // 20 - (cum.cum - cum.c), cum.c), 0)
+      |      - greatest(least(cum.n // 20 - (cum.n - cum.cum), cum.c), 0)
+      |      AS kc
+      |  FROM cum JOIN bounds ON cum.et = bounds.et)
+      |SELECT et AS event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(v_lo AS BIGINT) AS v_lo, CAST(v_hi AS BIGINT) AS v_hi,
+      |  CAST(sum(c * least(greatest(v, v_lo), v_hi)) AS BIGINT)
+      |    AS winsor_sum_e2,
+      |  CAST(sum(kc * v) AS BIGINT) AS trim_sum_e2,
+      |  CAST(n - 2 * (n // 20) AS BIGINT) AS trim_n,
+      |  CAST(round(CAST(sum(c * least(greatest(v, v_lo), v_hi))
+      |      AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0) AS BIGINT)
+      |    AS winsor_mean_e6,
+      |  CAST(round(CAST(sum(kc * v) AS DOUBLE)
+      |      / CAST(n - 2 * (n // 20) AS DOUBLE) * 10000.0) AS BIGINT)
+      |    AS trim_mean_e6
+      |FROM kept
+      |GROUP BY et, n, v_lo, v_hi
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q381 — corpus-mix token-budget allocation by largest remainder
+  // (Hamilton's method — the exact-integer way to turn mixture
+  // weights into per-source token quotas that sum EXACTLY to the
+  // budget, where naive per-source rounding drifts by ±sources/2):
+  // per-source token counts, weights ∝ √tokens (the sub-linear
+  // upsampling a corpus mixer applies to small high-quality sources;
+  // IEEE sqrt is correctly rounded, so round(√t·10³) is bit-identical
+  // cross-engine), floor quotas B·w÷W in decimal(38,0), and the
+  // leftover R = B − Σfloor goes to the R largest remainders
+  // (source-name tiebreak) via a tiny self-join rank on the
+  // source-grain table — no window at all. Gate-checkable invariant:
+  // Σ quota = B exactly.
+  // ---------------------------------------------------------------------
+  private def q381(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"),
+        size(Text.words(col("text"))).cast("long").as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("tokens"))
+      .withColumn("w",
+        round(sqrt(col("tokens").cast("double")) * 1000.0).cast("long"))
+    val tot = toks.agg((sum(col("tokens")).cast(dec) / lit(2))
+        .cast("long").as("b"), sum(col("w")).as("bigw"))
+    val based = toks.crossJoin(broadcast(tot))
+      .withColumn("f",
+        expr(s"CAST(CAST(b AS $dec) * CAST(w AS $dec) div bigw AS BIGINT)"))
+      .withColumn("rem",
+        (col("b").cast(dec) * col("w").cast(dec)
+          - col("f").cast(dec) * col("bigw").cast(dec)).cast("long"))
+    val spare = based.agg((max(col("b")) - sum(col("f"))).as("r"))
+    val rk = based.as("x").join(
+        based.select(col("rem").as("rem2"), col("source").as("source2"))
+          .as("y"),
+        col("y.rem2") > col("x.rem") ||
+          (col("y.rem2") === col("x.rem") &&
+            col("y.source2") < col("x.source")), "left")
+      .groupBy(col("x.source").as("source"), col("x.tokens").as("tokens"),
+        col("x.w").as("w"), col("x.f").as("f"))
+      .agg((count(col("y.source2")) + lit(1L)).as("rnk"))
+    rk.crossJoin(broadcast(spare))
+      .select(col("source"), col("tokens"), col("w").as("weight_e3"),
+        (col("f") + when(col("rnk") <= col("r"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("source"))
+  }
+
+  private val q381Sql =
+    """WITH toks AS (
+      |  SELECT source, CAST(sum(len(list_filter(string_split(text, ' '),
+      |      w -> length(w) > 0))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |ws AS (SELECT source, tokens,
+      |    CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1000.0) AS BIGINT)
+      |      AS w
+      |  FROM toks),
+      |tot AS (SELECT CAST(sum(tokens) // 2 AS BIGINT) AS b,
+      |    CAST(sum(w) AS BIGINT) AS bigw FROM ws),
+      |based AS (
+      |  SELECT source, tokens, w,
+      |    CAST(CAST(b AS HUGEINT) * w // bigw AS BIGINT) AS f,
+      |    CAST(CAST(b AS HUGEINT) * w % bigw AS BIGINT) AS rem,
+      |    b, bigw
+      |  FROM ws, tot),
+      |spare AS (SELECT max(b) - sum(f) AS r FROM based),
+      |rk AS (
+      |  SELECT x.source, x.tokens, x.w, x.f,
+      |    1 + count(y.source) AS rnk
+      |  FROM based x LEFT JOIN based y
+      |    ON y.rem > x.rem OR (y.rem = x.rem AND y.source < x.source)
+      |  GROUP BY x.source, x.tokens, x.w, x.f)
+      |SELECT rk.source, rk.tokens, rk.w AS weight_e3,
+      |  CAST(rk.f + CASE WHEN rk.rnk <= spare.r THEN 1 ELSE 0 END
+      |    AS BIGINT) AS quota
+      |FROM rk, spare
+      |ORDER BY rk.source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q382 — Hill tail-index of the part-degree distribution (how
+  // heavy-tailed is the purchase graph — the number a skew-aware
+  // planner reads before choosing salting factors): α̂ = k / Σ_{i≤k}
+  // ln(d_(i)/d_(k+1)) over the k=100 largest degrees. The degree
+  // grain aggregates once (map-side combinable); the top k+1 is a
+  // bounded TakeOrderedAndProject, never a global sort; the reference
+  // element d_(k+1) is the order-min of the selected set (full
+  // (deg, key) tiebreak). Each ln is e9-rounded AT THE ROW (the q375
+  // discipline) and summed as integers; α̂ is one final division.
+  // ---------------------------------------------------------------------
+  private def q382(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val degs = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("deg"))
+    val top = degs.orderBy(col("deg").desc, col("pk").asc).limit(k + 1)
+    val ref = top.agg(min(struct(col("deg"), (-col("pk")).as("npk")))
+      .as("rf"))
+      .select(col("rf.deg").as("rd"), (-col("rf.npk")).as("rpk"))
+    val terms = top.crossJoin(broadcast(ref))
+      .filter(!(col("deg") === col("rd") && col("pk") === col("rpk")))
+      .select(col("rd"),
+        round(log(col("deg").cast("double") / col("rd").cast("double"))
+          * 1000000000.0).cast("long").as("t_e9"))
+    terms.groupBy(col("rd"))
+      .agg(count(lit(1)).as("k"), sum(col("t_e9")).as("sum_ln_e9"))
+      .select(col("k"), col("rd").as("d_ref"), col("sum_ln_e9"),
+        round(col("k").cast("double") * 1.0e15 /
+          col("sum_ln_e9").cast("double")).cast("long").as("alpha_e6"))
+      .orderBy(col("k"))
+  }
+
+  private val q382Sql =
+    """WITH degs AS (
+      |  SELECT l_partkey AS pk, count(*) AS deg
+      |  FROM lineitem GROUP BY l_partkey),
+      |top AS (SELECT pk, deg FROM degs
+      |        ORDER BY deg DESC, pk ASC LIMIT 101),
+      |ref AS (SELECT deg AS rd, pk AS rpk FROM top
+      |        ORDER BY deg ASC, pk DESC LIMIT 1),
+      |terms AS (
+      |  SELECT ref.rd,
+      |    CAST(round(ln(CAST(top.deg AS DOUBLE) / CAST(ref.rd AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT) AS t_e9
+      |  FROM top, ref
+      |  WHERE NOT (top.deg = ref.rd AND top.pk = ref.rpk))
+      |SELECT count(*) AS k, CAST(rd AS BIGINT) AS d_ref,
+      |  CAST(sum(t_e9) AS BIGINT) AS sum_ln_e9,
+      |  CAST(round(CAST(count(*) AS DOUBLE) * 1.0e15
+      |    / CAST(sum(t_e9) AS DOUBLE)) AS BIGINT) AS alpha_e6
+      |FROM terms
+      |GROUP BY rd
+      |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q383 — χ² test of independence, event type × hour-of-day (does
+  // traffic composition shift across the day? — the contingency twin
+  // of q375's MI on a different margin): χ² = Σ (n·O − r·s)²/(n·r·s)
+  // — the cross-multiplied form with ZERO divisions until each cell's
+  // single e6-rounded term. (n·O − r·s) squares in decimal(38,0)
+  // (HUGEINT in the oracle) before the ONE double conversion per
+  // cell, and the total is an integer sum over the ≤ types×24 cell
+  // grain. Absent cells (O=0) still contribute r·s/n — the LEFT join
+  // from the full margin cross keeps them.
+  // ---------------------------------------------------------------------
+  private def q383(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type").as("x"), hour(col("ts_s")).cast("long")
+        .as("h"))
+    val cells = e.groupBy(col("x"), col("h")).agg(count(lit(1)).as("o"))
+    val rx = cells.groupBy(col("x")).agg(sum(col("o")).as("r"))
+    val sy = cells.groupBy(col("h")).agg(sum(col("o")).as("s"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val full = rx.crossJoin(sy)
+      .join(cells, Seq("x", "h"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    full.crossJoin(broadcast(n))
+      .select(col("n"),
+        round({
+          val d = (col("n").cast(dec) * col("o").cast(dec)
+            - col("r").cast(dec) * col("s").cast(dec))
+          (d * d).cast("double") /
+            (col("n").cast(dec) * col("r").cast(dec) * col("s").cast(dec))
+              .cast("double") * 1000000.0
+        }).cast("long").as("term_e6"),
+        col("x"), col("h"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        ((countDistinct(col("x")) - 1) * (countDistinct(col("h")) - 1))
+          .as("dof"),
+        sum(col("term_e6")).as("chi2_e6"))
+      .select(col("n").as("n_events"), col("n_cells"), col("dof"),
+        col("chi2_e6"))
+      .orderBy(col("n_events"))
+  }
+
+  private val q383Sql =
+    """WITH e AS (
+      |  SELECT event_type AS x,
+      |    CAST(extract(hour FROM ts) AS BIGINT) AS h
+      |  FROM events),
+      |cells AS (SELECT x, h, count(*) AS o FROM e GROUP BY x, h),
+      |rx AS (SELECT x, sum(o) AS r FROM cells GROUP BY x),
+      |sy AS (SELECT h, sum(o) AS s FROM cells GROUP BY h),
+      |n AS (SELECT sum(o) AS n FROM cells),
+      |full_g AS (
+      |  SELECT rx.x, sy.h, rx.r, sy.s, coalesce(cells.o, 0) AS o
+      |  FROM rx CROSS JOIN sy
+      |  LEFT JOIN cells ON cells.x = rx.x AND cells.h = sy.h),
+      |terms AS (
+      |  SELECT n.n,
+      |    CAST(round(
+      |      CAST((CAST(n.n AS HUGEINT) * o - CAST(r AS HUGEINT) * s)
+      |        * (CAST(n.n AS HUGEINT) * o - CAST(r AS HUGEINT) * s)
+      |        AS DOUBLE)
+      |      / CAST(CAST(n.n AS HUGEINT) * r * s AS DOUBLE)
+      |      * 1000000.0) AS BIGINT) AS term_e6,
+      |    full_g.x, full_g.h
+      |  FROM full_g, n)
+      |SELECT CAST(n AS BIGINT) AS n_events, count(*) AS n_cells,
+      |  CAST((count(DISTINCT x) - 1) * (count(DISTINCT h) - 1) AS BIGINT)
+      |    AS dof,
+      |  CAST(sum(term_e6) AS BIGINT) AS chi2_e6
+      |FROM terms
+      |GROUP BY n
+      |ORDER BY n_events""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q384 — Jensen–Shannon divergence between the click and view value
+  // distributions (the symmetric, bounded drift metric a data
+  // platform alerts on — KL blows up on any bucket one side lacks;
+  // JS never does): JS = ½Σp·ln(p/m) + ½Σq·ln(q/m) with m = (p+q)/2.
+  // Each bucket's two terms use the all-integer ratio forms
+  // p/m = 2·a·nB/(a·nB + b·nA) (products in decimal(38,0)/HUGEINT),
+  // e9-rounded AT THE BUCKET (q375 discipline), integer-summed over
+  // the 10-bucket grain; the ÷2 is the one final rounding. Empty-
+  // side buckets contribute 0 via the p>0 guard (lim p·ln p = 0).
+  // ---------------------------------------------------------------------
+  private def q384(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(
+        least(expr("CAST(round(value * 100) AS BIGINT) div 5000"),
+          lit(9L)).as("bkt"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("a"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("b"))
+    val g = e.groupBy(col("bkt"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    val tot = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    def term(cnt: Column, nSelf: Column, oth: Column,
+             nOth: Column): Column = {
+      val num = lit(2L).cast(dec) * cnt.cast(dec) * nOth.cast(dec)
+      val den = cnt.cast(dec) * nOth.cast(dec) +
+        oth.cast(dec) * nSelf.cast(dec)
+      when(cnt > 0L,
+        round(cnt.cast("double") / nSelf.cast("double") *
+          log(num.cast("double") / den.cast("double")) * 1000000000.0)
+          .cast("long")).otherwise(0L)
+    }
+    g.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        term(col("ca"), col("na"), col("cb"), col("nb")).as("tp"),
+        term(col("cb"), col("nb"), col("ca"), col("na")).as("tq"))
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("tp")).as("sum_p_e9"), sum(col("tq")).as("sum_q_e9"))
+      .select(col("na").as("n_click"), col("nb").as("n_view"),
+        col("n_buckets"), col("sum_p_e9"), col("sum_q_e9"),
+        round((col("sum_p_e9") + col("sum_q_e9")).cast("double") / 2.0)
+          .cast("long").as("js_e9"))
+      .orderBy(col("n_click"))
+  }
+
+  private val q384Sql =
+    """WITH e AS (
+      |  SELECT least(CAST(round(value * 100) AS BIGINT) // 5000, 9)
+      |      AS bkt,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |g AS (SELECT bkt, sum(a) AS ca, sum(b) AS cb FROM e GROUP BY bkt),
+      |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+      |terms AS (
+      |  SELECT tot.na, tot.nb,
+      |    CASE WHEN ca > 0 THEN CAST(round(
+      |      CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) *
+      |      ln(CAST(2 * CAST(ca AS HUGEINT) * nb AS DOUBLE) /
+      |         CAST(CAST(ca AS HUGEINT) * nb
+      |              + CAST(cb AS HUGEINT) * na AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT) ELSE 0 END AS tp,
+      |    CASE WHEN cb > 0 THEN CAST(round(
+      |      CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) *
+      |      ln(CAST(2 * CAST(cb AS HUGEINT) * na AS DOUBLE) /
+      |         CAST(CAST(cb AS HUGEINT) * na
+      |              + CAST(ca AS HUGEINT) * nb AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT) ELSE 0 END AS tq
+      |  FROM g, tot)
+      |SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_view,
+      |  count(*) AS n_buckets,
+      |  CAST(sum(tp) AS BIGINT) AS sum_p_e9,
+      |  CAST(sum(tq) AS BIGINT) AS sum_q_e9,
+      |  CAST(round(CAST(sum(tp) + sum(tq) AS DOUBLE) / 2.0) AS BIGINT)
+      |    AS js_e9
+      |FROM terms
+      |GROUP BY na, nb
+      |ORDER BY n_click""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q385 — McNemar's paired test between two deterministic
+  // "classifiers" of the purchase event (a value-threshold model and
+  // a cents-parity model — the paired-model comparison an eval
+  // pipeline runs before swapping models; accuracy deltas without the
+  // pairing are confounded by example difficulty): only the
+  // DISCORDANT pairs matter — b = A right & B wrong, c = the
+  // reverse; χ² = (b−c)²/(b+c), continuity-corrected
+  // (|b−c|−1)²/(b+c). Four exact counts from one corpus scan, two
+  // e6-rounded readout divisions.
+  // ---------------------------------------------------------------------
+  private def q385(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select((col("event_type") === "purchase").as("y"),
+        (col("value") >= 50.0).as("pa"),
+        (pmod(round(col("value") * 100).cast("long"), lit(100L)) >= 50L)
+          .as("pb"))
+      .select((col("pa") === col("y")).as("okA"),
+        (col("pb") === col("y")).as("okB"))
+    e.agg(count(lit(1)).as("n_events"),
+        sum(when(col("okA") && !col("okB"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("okA") && col("okB"), 1L).otherwise(0L)).as("c"))
+      .select(col("n_events"), col("b"), col("c"),
+        round(((col("b") - col("c")) * (col("b") - col("c")))
+          .cast("double") / (col("b") + col("c")).cast("double")
+          * 1000000.0).cast("long").as("chi2_e6"),
+        round({
+          val d = greatest(abs(col("b") - col("c")) - lit(1L), lit(0L))
+          (d * d).cast("double") / (col("b") + col("c")).cast("double") *
+            1000000.0
+        }).cast("long").as("chi2_cc_e6"))
+      .orderBy(col("n_events"))
+  }
+
+  private val q385Sql =
+    """WITH e AS (
+      |  SELECT (event_type = 'purchase') AS y,
+      |    (value >= 50.0) AS pa,
+      |    (CAST(round(value * 100) AS BIGINT) % 100 >= 50) AS pb
+      |  FROM events),
+      |ok AS (SELECT (pa = y) AS oka, (pb = y) AS okb FROM e)
+      |SELECT count(*) AS n_events,
+      |  CAST(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS b,
+      |  CAST(sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS c,
+      |  CAST(round(
+      |    CAST((sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END)
+      |          - sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END))
+      |         * (sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END)
+      |          - sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END))
+      |      AS DOUBLE)
+      |    / CAST(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END)
+      |           + sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END)
+      |      AS DOUBLE) * 1000000.0) AS BIGINT) AS chi2_e6,
+      |  CAST(round(
+      |    CAST(greatest(abs(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0
+      |          END) - sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END))
+      |          - 1, 0)
+      |       * greatest(abs(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0
+      |          END) - sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END))
+      |          - 1, 0)
+      |      AS DOUBLE)
+      |    / CAST(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END)
+      |           + sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END)
+      |      AS DOUBLE) * 1000000.0) AS BIGINT) AS chi2_cc_e6
+      |FROM ok
+      |ORDER BY n_events""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // registration
+  // ---------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q377_l_diversity" -> (q377 _),
+    "q378_fleiss_kappa" -> (q378 _),
+    "q379_feed_mrr" -> (q379 _),
+    "q380_trimmed_means" -> (q380 _),
+    "q381_token_budget" -> (q381 _),
+    "q382_hill_tail" -> (q382 _),
+    "q383_chi2_independence" -> (q383 _),
+    "q384_js_divergence" -> (q384 _),
+    "q385_mcnemar" -> (q385 _))
+
+  val oracle: Map[String, String] = Map(
+    "q377_l_diversity" -> q377Sql,
+    "q378_fleiss_kappa" -> q378Sql,
+    "q379_feed_mrr" -> q379Sql,
+    "q380_trimmed_means" -> q380Sql,
+    "q381_token_budget" -> q381Sql,
+    "q382_hill_tail" -> q382Sql,
+    "q383_chi2_independence" -> q383Sql,
+    "q384_js_divergence" -> q384Sql,
+    "q385_mcnemar" -> q385Sql)
+}

@@ -269,6 +269,79 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rocAuc (rank-sum form) equals the O(n²) pairwise-comparison " +
+       "definition on random tied inputs") {
+    import graft.analytics.Audit
+    val gen = for {
+      n <- Gen.choose(12, 60)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 8L)) // heavy ties on purpose
+      ys <- Gen.listOfN(n, Gen.oneOf(0, 1))
+    } yield vs.zip(ys)
+    cases(gen, 12).foreach { rows =>
+      val pos = rows.filter(_._2 == 1).map(_._1)
+      val neg = rows.filter(_._2 == 0).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        // pairwise definition: P(v_pos > v_neg) + 0.5·P(tie)
+        val wins = (for (p <- pos; q <- neg) yield
+          if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+        val truth = math.rint(
+          wins / (pos.size.toDouble * neg.size) * 1e6).toLong
+        val got = Audit.rocAuc(rows.toDF("v", "y"), col("v"), col("y"))
+          .collect().head
+        assert(got.getAs[Long]("auc_e6") == truth,
+          s"n=${rows.size} pos=${pos.size}")
+        assert(got.getAs[Long]("n_pos") == pos.size.toLong)
+      }
+    }
+  }
+
+  test("ksStatistic equals the brute-force ECDF max over random " +
+       "tied integer samples") {
+    import graft.analytics.Audit
+    val gen = for {
+      n <- Gen.choose(10, 50)
+      rows <- Gen.listOfN(n, for {
+        v <- Gen.choose(0L, 12L)
+        which <- Gen.oneOf(0, 1, 2) // 2 = in both samples
+      } yield (v, if (which != 1) 1L else 0L, if (which != 0) 1L else 0L))
+    } yield rows
+    cases(gen, 12).foreach { rows =>
+      val na = rows.map(_._2).sum
+      val nb = rows.map(_._3).sum
+      if (na > 0 && nb > 0) {
+        val vs = rows.map(_._1).distinct.sorted
+        def cum(sel: ((Long, Long, Long)) => Long)(v: Long): Long =
+          rows.filter(_._1 <= v).map(sel).sum
+        val dn = vs.map(v => math.abs(
+          nb * cum(_._2)(v) - na * cum(_._3)(v))).max
+        val got = Audit.ksStatistic(rows.toDF("v", "a", "b"),
+          col("v"), col("a"), col("b")).collect().head
+        assert(got.getAs[Long]("d_num") == dn, s"rows=$rows")
+        assert(got.getAs[Long]("ks_e6") ==
+          math.rint(dn.toDouble / (na.toDouble * nb) * 1e6).toLong)
+      }
+    }
+  }
+
+  test("gini (rank form) equals the brute-force mean-absolute-" +
+       "difference definition on random positive values") {
+    import graft.analytics.Audit
+    val gen = Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 50L)))
+    cases(gen, 12).foreach { vs =>
+      val n = vs.size.toDouble
+      val sx = vs.sum.toDouble
+      // Σ_i Σ_j |x_i − x_j| / (2 n Σx) — the textbook definition
+      val mad = (for (x <- vs; y <- vs) yield math.abs(x - y)).sum
+      val truth = math.rint(mad / (2.0 * n * sx) * 1e6).toLong
+      val got = Audit.gini(
+        vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+          .toDF("x", "tb"), col("x"), col("tb"))
+        .collect().head
+      assert(got.getAs[Long]("gini_e6") == truth, s"vs=$vs")
+    }
+  }
+
   test("Poisson bootstrap weights have unit mean within sampling " +
        "error and reproduce exactly on recompute") {
     import graft.operators.Curate
