@@ -649,6 +649,407 @@ object Integrity {
       |ORDER BY n_events""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q386 — view→click→purchase funnel conversion per user (the
+  // product-analytics staple): each user's events rank once by
+  // (ts, event_id) — the per-user window grain that scales out — and
+  // a step counts only if its FIRST occurrence comes strictly after
+  // the previous step's first occurrence. Integer ranks make the
+  // strict-order comparison exact on any engine; conversion rates
+  // are e6-rounded single divisions.
+  // ---------------------------------------------------------------------
+  private def q386(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val ranked = Tables.eventsSec(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        col("event_type"))
+      .withColumn("r", row_number().over(w).cast("long"))
+    val firsts = ranked.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("r"))).as("rv"),
+        min(when(col("event_type") === "click", col("r"))).as("rc"),
+        min(when(col("event_type") === "purchase", col("r"))).as("rp"))
+    firsts.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("rv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("rv").isNotNull && col("rc") > col("rv"), 1L)
+          .otherwise(0L)).as("n_click"),
+        sum(when(col("rv").isNotNull && col("rc") > col("rv") &&
+          col("rp") > col("rc"), 1L).otherwise(0L)).as("n_purchase"))
+      .select(col("n_users"), col("n_view"), col("n_click"),
+        col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view").cast("double")
+          * 1000000.0).cast("long").as("view_to_click_e6"),
+        round(col("n_purchase").cast("double") /
+          col("n_click").cast("double") * 1000000.0).cast("long")
+          .as("click_to_purchase_e6"))
+      .orderBy(col("n_users"))
+  }
+
+  private val q386Sql =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY date_trunc('second', ts), event_id) AS r
+      |  FROM events),
+      |firsts AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN r END) AS rv,
+      |    min(CASE WHEN event_type = 'click' THEN r END) AS rc,
+      |    min(CASE WHEN event_type = 'purchase' THEN r END) AS rp
+      |  FROM ranked GROUP BY user_id),
+      |agg AS (
+      |  SELECT count(*) AS n_users,
+      |    sum(CASE WHEN rv IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+      |    sum(CASE WHEN rv IS NOT NULL AND rc > rv THEN 1 ELSE 0 END)
+      |      AS n_click,
+      |    sum(CASE WHEN rv IS NOT NULL AND rc > rv AND rp > rc
+      |      THEN 1 ELSE 0 END) AS n_purchase
+      |  FROM firsts)
+      |SELECT CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(n_view AS BIGINT) AS n_view,
+      |  CAST(n_click AS BIGINT) AS n_click,
+      |  CAST(n_purchase AS BIGINT) AS n_purchase,
+      |  CAST(round(CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS view_to_click_e6,
+      |  CAST(round(CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS click_to_purchase_e6
+      |FROM agg
+      |ORDER BY n_users""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q387 — hash-partition load-imbalance audit (the number a planner
+  // reads before picking partition counts and salting factors):
+  // lineitem keys bucket by the portable 60-bit hash mod 256 and the
+  // audit reports the max/min/empty-bucket profile plus the
+  // max-to-mean skew ratio (cross-multiplied: max·P/n, ONE e6
+  // division). The bucket grain is 256 rows at any corpus size; a
+  // LEFT join from the full bucket dimension keeps empty buckets
+  // visible (an empty bucket is exactly what the audit must see).
+  // ---------------------------------------------------------------------
+  private def q387(s: SparkSession, dir: String): DataFrame = {
+    val p = 256L
+    val h = graft.functions.PortableHash
+    val loads = t(s, dir, "lineitem")
+      .select(pmod(h.hash60(concat(lit("pt:"),
+        col("l_partkey").cast("string"))), lit(p)).as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+    val dim = s.range(p).select(col("id").as("bkt"))
+    dim.join(loads, Seq("bkt"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .agg(sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_load"), min(col("c")).as("min_load"),
+        sum(when(col("c") === 0L, 1L).otherwise(0L)).as("empty_buckets"))
+      .select(lit(p).as("p"), col("n_rows"), col("max_load"),
+        col("min_load"), col("empty_buckets"),
+        round(col("max_load").cast("double") * p.toDouble /
+          col("n_rows").cast("double") * 1000000.0).cast("long")
+          .as("skew_e6"))
+      .orderBy(col("p"))
+  }
+
+  private val q387Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "'pt:' || CAST(l_partkey AS VARCHAR)")
+    s"""WITH loads AS (
+       |  SELECT $h % 256 AS bkt, count(*) AS c
+       |  FROM lineitem GROUP BY 1),
+       |dim AS (SELECT unnest(range(256)) AS bkt),
+       |full_b AS (
+       |  SELECT dim.bkt, coalesce(loads.c, 0) AS c
+       |  FROM dim LEFT JOIN loads ON dim.bkt = loads.bkt)
+       |SELECT CAST(256 AS BIGINT) AS p,
+       |  CAST(sum(c) AS BIGINT) AS n_rows,
+       |  CAST(max(c) AS BIGINT) AS max_load,
+       |  CAST(min(c) AS BIGINT) AS min_load,
+       |  CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS empty_buckets,
+       |  CAST(round(CAST(max(c) AS DOUBLE) * 256.0
+       |    / CAST(sum(c) AS DOUBLE) * 1000000.0) AS BIGINT) AS skew_e6
+       |FROM full_b
+       |ORDER BY p""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q388 — Good–Turing unseen-mass estimate over document 3-gram
+  // shingles (the tokenizer/vocab-planning number: what probability
+  // mass do shingles we have NEVER seen carry? ≈ f₁/N, the Turing
+  // estimator): frequency-of-frequencies over the shingle grain —
+  // f₁ singletons, f₂ doubletons, vocabulary size, total occurrences
+  // — all exact integer counts; the estimate is ONE e6 division.
+  // ---------------------------------------------------------------------
+  private def q388(s: SparkSession, dir: String): DataFrame = {
+    val sh = graft.operators.Dedup.shingleTable(
+      t(s, dir, "documents"), "doc_id", "text", 3)
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+    freq.agg(count(lit(1)).as("vocab"), sum(col("f")).as("n_occ"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("f") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("vocab"), col("n_occ"), col("f1"), col("f2"),
+        round(col("f1").cast("double") / col("n_occ").cast("double")
+          * 1000000.0).cast("long").as("unseen_mass_e6"))
+      .orderBy(col("vocab"))
+  }
+
+  private val q388Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      |  FROM documents),
+      |shing AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(w) - 2),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      |  FROM toks WHERE len(w) >= 3),
+      |freq AS (SELECT shingle, count(*) AS f FROM shing GROUP BY shingle)
+      |SELECT count(*) AS vocab,
+      |  CAST(sum(f) AS BIGINT) AS n_occ,
+      |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |  CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |  CAST(round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(f) AS DOUBLE) * 1000000.0) AS BIGINT)
+      |    AS unseen_mass_e6
+      |FROM freq
+      |ORDER BY vocab""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q389 — Zipf slope of the word-frequency distribution by OLS on
+  // (ln rank, ln freq) over the top-1000 words (the corpus-shape
+  // audit: natural text sits near −1; templated/synthetic corpora
+  // don't): the word grain aggregates once; the top-k is a bounded
+  // TakeOrderedAndProject; ranks come from [[graft.operators.Curate]]
+  // globalRank on the 1000-row survivor set (no unpartitioned
+  // window); each ln is e9-rounded AT THE ROW (q375 discipline);
+  // Σx, Σy, Σxy, Σx² accumulate in decimal(38,0) and the slope is
+  // ONE final division.
+  // ---------------------------------------------------------------------
+  private def q389(s: SparkSession, dir: String): DataFrame = {
+    val k = 1000
+    val words = t(s, dir, "documents")
+      .select(explode(Text.words(col("text"))).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("f"))
+    val top = words.orderBy(col("f").desc, col("wd").asc).limit(k)
+    val ranked = graft.operators.Curate.globalRank(top,
+      Seq(-col("f"), col("wd")), "rnk")
+    val terms = ranked.select(
+      round(log(col("rnk").cast("double")) * 1000000000.0).cast("long")
+        .as("x_e9"),
+      round(log(col("f").cast("double")) * 1000000000.0).cast("long")
+        .as("y_e9"))
+    terms.agg(count(lit(1)).as("n"),
+        sum(col("x_e9").cast(dec)).as("sx"),
+        sum(col("y_e9").cast(dec)).as("sy"),
+        sum(col("x_e9").cast(dec) * col("y_e9").cast(dec)).as("sxy"),
+        sum(col("x_e9").cast(dec) * col("x_e9").cast(dec)).as("sxx"))
+      .select(col("n").as("n_words"),
+        round((col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+            .cast("double") * 1000000.0).cast("long").as("slope_e6"))
+      .orderBy(col("n_words"))
+  }
+
+  private val q389Sql =
+    """WITH words AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '),
+      |    w -> length(w) > 0)) AS wd
+      |  FROM documents),
+      |freq AS (SELECT wd, count(*) AS f FROM words GROUP BY wd),
+      |top AS (SELECT wd, f FROM freq ORDER BY f DESC, wd ASC LIMIT 1000),
+      |ranked AS (SELECT f,
+      |    row_number() OVER (ORDER BY f DESC, wd ASC) AS rnk
+      |  FROM top),
+      |terms AS (
+      |  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000000.0)
+      |      AS BIGINT) AS x_e9,
+      |    CAST(round(ln(CAST(f AS DOUBLE)) * 1000000000.0) AS BIGINT)
+      |      AS y_e9
+      |  FROM ranked),
+      |sums AS (
+      |  SELECT count(*) AS n,
+      |    sum(CAST(x_e9 AS HUGEINT)) AS sx,
+      |    sum(CAST(y_e9 AS HUGEINT)) AS sy,
+      |    sum(CAST(x_e9 AS HUGEINT) * y_e9) AS sxy,
+      |    sum(CAST(x_e9 AS HUGEINT) * x_e9) AS sxx
+      |  FROM terms)
+      |SELECT CAST(n AS BIGINT) AS n_words,
+      |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT)
+      |    AS slope_e6
+      |FROM sums
+      |ORDER BY n_words""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q390 — Fano factor (variance-to-mean ratio of per-hour event
+  // counts) per event type — the burstiness audit that separates
+  // organic traffic (≈1, Poisson) from bots and batch replays (≫1):
+  // hour-bucket counts are the grain; the ratio uses the
+  // cross-multiplied integer form (n·Σx² − (Σx)²)/(n·Σx) with
+  // products in decimal(38,0)/HUGEINT — zero divisions until the ONE
+  // e6-rounded readout.
+  // ---------------------------------------------------------------------
+  private def q390(s: SparkSession, dir: String): DataFrame = {
+    val hb = Tables.eventsSec(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts_s")).as("hb"))
+      .groupBy(col("event_type"), col("hb")).agg(count(lit(1)).as("x"))
+    hb.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("n_events"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        round((col("n_hours").cast(dec) * col("sxx")
+          - col("n_events").cast(dec) * col("n_events").cast(dec))
+            .cast("double") /
+          (col("n_hours").cast(dec) * col("n_events").cast(dec))
+            .cast("double") * 1000000.0).cast("long").as("fano_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q390Sql =
+    """WITH hb AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hb, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT event_type, count(*) AS n_hours,
+      |    CAST(sum(x) AS HUGEINT) AS n_events,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM hb GROUP BY event_type)
+      |SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(round(CAST(n_hours * sxx - n_events * n_events AS DOUBLE)
+      |    / CAST(n_hours * n_events AS DOUBLE) * 1000000.0) AS BIGINT)
+      |    AS fano_e6
+      |FROM agg
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q391 — Wilson score interval for per-type conversion rates (the
+  // experimentation-tier confidence bound that stays sane at small n
+  // and extreme p, unlike the normal approximation): success =
+  // value ≥ 90. The bound is ONE fixed IEEE expression from the two
+  // exact integers (k, n) with z = 1.96 as an offline literal — IEEE
+  // sqrt is correctly rounded and every other op is identical on
+  // both engines, so the e6-rounded endpoints are bit-identical
+  // without any intermediate rounding.
+  // ---------------------------------------------------------------------
+  private def q391(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type"),
+        when(col("value") >= 90.0, 1L).otherwise(0L).as("succ"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("succ")).as("k"))
+    val nD = col("n").cast("double")
+    val pD = col("k").cast("double") / nD
+    val z = lit(1.96)
+    val z2 = z * z
+    val center = pD + z2 / (lit(2.0) * nD)
+    val half = z * sqrt(pD * (lit(1.0) - pD) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    val denom = lit(1.0) + z2 / nD
+    e.select(col("event_type"), col("n"), col("k"),
+        round((center - half) / denom * 1000000.0).cast("long")
+          .as("wilson_lo_e6"),
+        round((center + half) / denom * 1000000.0).cast("long")
+          .as("wilson_hi_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q391Sql =
+    """WITH agg AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CASE WHEN value >= 90.0 THEN 1 ELSE 0 END) AS k
+      |  FROM events GROUP BY event_type),
+      |x AS (
+      |  SELECT event_type, n, k,
+      |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    CAST(n AS DOUBLE) AS nd
+      |  FROM agg)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  CAST(round((p + 1.96 * 1.96 / (2.0 * nd)
+      |      - 1.96 * sqrt(p * (1.0 - p) / nd
+      |        + 1.96 * 1.96 / (4.0 * nd * nd)))
+      |    / (1.0 + 1.96 * 1.96 / nd) * 1000000.0) AS BIGINT)
+      |    AS wilson_lo_e6,
+      |  CAST(round((p + 1.96 * 1.96 / (2.0 * nd)
+      |      + 1.96 * sqrt(p * (1.0 - p) / nd
+      |        + 1.96 * 1.96 / (4.0 * nd * nd)))
+      |    / (1.0 + 1.96 * 1.96 / nd) * 1000000.0) AS BIGINT)
+      |    AS wilson_hi_e6
+      |FROM x
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q392 — event-type transition entropy per user stream (how
+  // predictable is the next event given the current one? — the
+  // sequence-model audit that catches replayed/scripted traffic):
+  // transitions come from one LAG over the per-user window; the
+  // 5×5 transition grain carries exact counts; conditional entropy
+  // H(next|cur) = Σ c/N·ln(r_cur/c) and unigram entropy
+  // H(next) = Σ s/N·ln(N/s) use e9-rounded per-cell terms (q375
+  // discipline) — their gap is the information LAG carries.
+  // ---------------------------------------------------------------------
+  private def q392(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val trans = Tables.eventsSec(s, dir)
+      .select(col("user_id"), col("ts_s"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("c"))
+    val rPrev = trans.groupBy(col("prev")).agg(sum(col("c")).as("r"))
+    val sCur = trans.groupBy(col("cur")).agg(sum(col("c")).as("s"))
+    val n = trans.agg(sum(col("c")).as("n"))
+    val cond = trans.join(broadcast(rPrev), "prev")
+      .crossJoin(broadcast(n))
+      .select(col("n"),
+        round(col("c").cast("double") / col("n").cast("double") *
+          log(col("r").cast("double") / col("c").cast("double"))
+          * 1000000000.0).cast("long").as("t_e9"))
+      .groupBy(col("n")).agg(sum(col("t_e9")).as("h_cond_e9"))
+    val uni = sCur.crossJoin(broadcast(n))
+      .select(col("n"),
+        round(col("s").cast("double") / col("n").cast("double") *
+          log(col("n").cast("double") / col("s").cast("double"))
+          * 1000000000.0).cast("long").as("t_e9"))
+      .groupBy(col("n")).agg(sum(col("t_e9")).as("h_uni_e9"))
+    cond.join(uni, "n")
+      .select(col("n").as("n_transitions"), col("h_cond_e9"),
+        col("h_uni_e9"), (col("h_uni_e9") - col("h_cond_e9"))
+          .as("info_gain_e9"))
+      .orderBy(col("n_transitions"))
+  }
+
+  private val q392Sql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY date_trunc('second', ts), event_id) AS prev
+      |  FROM events),
+      |trans AS (
+      |  SELECT prev, event_type AS cur, count(*) AS c
+      |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur),
+      |rp AS (SELECT prev, sum(c) AS r FROM trans GROUP BY prev),
+      |sc AS (SELECT cur, sum(c) AS s FROM trans GROUP BY cur),
+      |n AS (SELECT sum(c) AS n FROM trans),
+      |cond AS (
+      |  SELECT n.n, CAST(sum(CAST(round(
+      |      CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE) *
+      |      ln(CAST(r AS DOUBLE) / CAST(c AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS h_cond_e9
+      |  FROM trans JOIN rp USING (prev), n GROUP BY n.n),
+      |uni AS (
+      |  SELECT n.n, CAST(sum(CAST(round(
+      |      CAST(s AS DOUBLE) / CAST(n.n AS DOUBLE) *
+      |      ln(CAST(n.n AS DOUBLE) / CAST(s AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS h_uni_e9
+      |  FROM sc, n GROUP BY n.n)
+      |SELECT CAST(cond.n AS BIGINT) AS n_transitions,
+      |  cond.h_cond_e9, uni.h_uni_e9,
+      |  CAST(uni.h_uni_e9 - cond.h_cond_e9 AS BIGINT) AS info_gain_e9
+      |FROM cond JOIN uni ON cond.n = uni.n
+      |ORDER BY n_transitions""".stripMargin
+
+  // ---------------------------------------------------------------------
   // registration
   // ---------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -660,7 +1061,14 @@ object Integrity {
     "q382_hill_tail" -> (q382 _),
     "q383_chi2_independence" -> (q383 _),
     "q384_js_divergence" -> (q384 _),
-    "q385_mcnemar" -> (q385 _))
+    "q385_mcnemar" -> (q385 _),
+    "q386_funnel" -> (q386 _),
+    "q387_partition_skew" -> (q387 _),
+    "q388_good_turing" -> (q388 _),
+    "q389_zipf_slope" -> (q389 _),
+    "q390_fano_burstiness" -> (q390 _),
+    "q391_wilson_interval" -> (q391 _),
+    "q392_transition_entropy" -> (q392 _))
 
   val oracle: Map[String, String] = Map(
     "q377_l_diversity" -> q377Sql,
@@ -671,5 +1079,12 @@ object Integrity {
     "q382_hill_tail" -> q382Sql,
     "q383_chi2_independence" -> q383Sql,
     "q384_js_divergence" -> q384Sql,
-    "q385_mcnemar" -> q385Sql)
+    "q385_mcnemar" -> q385Sql,
+    "q386_funnel" -> q386Sql,
+    "q387_partition_skew" -> q387Sql,
+    "q388_good_turing" -> q388Sql,
+    "q389_zipf_slope" -> q389Sql,
+    "q390_fano_burstiness" -> q390Sql,
+    "q391_wilson_interval" -> q391Sql,
+    "q392_transition_entropy" -> q392Sql)
 }
