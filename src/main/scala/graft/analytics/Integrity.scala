@@ -1050,6 +1050,325 @@ object Integrity {
       |ORDER BY n_transitions""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q393 — Fellegi–Sunter record-linkage scoring over blocked
+  // candidate pairs (the probabilistic layer on top of q108's
+  // blocking: per-field agreement weights ln(m/u), summed into a
+  // match score, thresholded): pairs generate ONLY within the
+  // (source, length-band) block with the chunk tier on (the r9-safe
+  // blockedEditDistance DEFAULTS — this query deliberately calls the
+  // no-argument form the library hands every caller); the field
+  // comparisons (lang equality, length proximity, prefix edit
+  // distance) are exact, and the weights are OFFLINE e6 literals
+  // (ln(0.9/0.1)≈2.197, etc.) so the score is pure integer addition —
+  // no transcendental evaluation anywhere at query time.
+  // ---------------------------------------------------------------------
+  private def q393(s: SparkSession, dir: String): DataFrame = {
+    // agreement/disagreement weights, ln(m/u) and ln((1-m)/(1-u)) as
+    // offline e6 literals: lang (m=.95,u=.5): +642e3/-2303e3;
+    // length±10 (m=.9,u=.2): +1504e3/-2079e3; dist≤5 (m=.8,u=.05):
+    // +2773e3/-1558e3
+    val pairs = graft.operators.Dedup.blockedEditDistance(
+      t(s, dir, "documents"), "doc_id", "text",
+      Seq(col("source"), expr("n_chars div 25")),
+      prefixLen = 40, maxDist = 1000000)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val scored = pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("lang").as("la"),
+        col("n_chars").as("ca")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("lang").as("lb"),
+        col("n_chars").as("cb")), "id_b")
+      .select(col("__bk0").as("source"),
+        (when(col("la") === col("lb"), 642000L).otherwise(-2303000L) +
+          when(abs(col("ca") - col("cb")) <= 10L, 1504000L)
+            .otherwise(-2079000L) +
+          when(col("dist") <= 5, 2773000L).otherwise(-1558000L))
+          .as("score_e6"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("score_e6") >= 2000000L, 1L).otherwise(0L))
+          .as("n_match"),
+        min(col("score_e6")).as("min_score_e6"),
+        max(col("score_e6")).as("max_score_e6"),
+        sum(col("score_e6")).as("sum_score_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val q393Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, n_chars, n_chars // 25 AS lb,
+      |    substring(text, 1, 40) AS t
+      |  FROM documents),
+      |ch AS (
+      |  SELECT *, (row_number() OVER (PARTITION BY source, lb
+      |    ORDER BY t, doc_id) - 1) // 32 AS chunk
+      |  FROM d),
+      |pairs AS (
+      |  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+      |    levenshtein(a.t, b.t) AS dist,
+      |    a.lang AS la, b.lang AS lb2, a.n_chars AS ca, b.n_chars AS cb
+      |  FROM ch a JOIN ch b
+      |    ON a.source = b.source AND a.lb = b.lb AND a.chunk = b.chunk
+      |    AND a.doc_id < b.doc_id),
+      |scored AS (
+      |  SELECT source,
+      |    (CASE WHEN la = lb2 THEN 642000 ELSE -2303000 END +
+      |     CASE WHEN abs(ca - cb) <= 10 THEN 1504000 ELSE -2079000 END +
+      |     CASE WHEN dist <= 5 THEN 2773000 ELSE -1558000 END)
+      |      AS score_e6
+      |  FROM pairs)
+      |SELECT source, count(*) AS n_pairs,
+      |  CAST(sum(CASE WHEN score_e6 >= 2000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_match,
+      |  CAST(min(score_e6) AS BIGINT) AS min_score_e6,
+      |  CAST(max(score_e6) AS BIGINT) AS max_score_e6,
+      |  CAST(sum(score_e6) AS BIGINT) AS sum_score_e6
+      |FROM scored
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q394 — Horvitz–Thompson estimation under stratified deterministic
+  // sampling (the survey-sampling identity a data platform uses to
+  // estimate corpus totals from a cheap sample — and the gate proves
+  // the estimator's arithmetic, not its luck, by comparing against
+  // the exact total): per-type inclusion rates are e4 literals;
+  // inclusion is a pure function of the event id through the portable
+  // hash (reproducible sample, q71's discipline); the HT total
+  // Σ_strata (Σ_sampled v)·10⁴/rate has ONE division per stratum,
+  // e2-rounded. Relative error is the e6 readout.
+  // ---------------------------------------------------------------------
+  private def q394(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash
+    val rates = Map("click" -> 500L, "view" -> 200L, "error" -> 2500L,
+      "purchase" -> 10000L, "signup" -> 5000L)
+    val rateCol = rates.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("event_type") === k, v).otherwise(acc) }
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("ve2"))
+      .withColumn("rate_e4", rateCol)
+      .withColumn("in_sample",
+        pmod(h.hash60(concat(lit("ht:"), col("event_id").cast("string"))),
+          lit(10000L)) < col("rate_e4"))
+    e.groupBy(col("event_type"), col("rate_e4"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(col("ve2")).as("true_sum_e2"),
+        sum(when(col("in_sample"), col("ve2")).otherwise(0L))
+          .as("samp_sum_e2"))
+      .select(col("event_type"), col("rate_e4"), col("n"),
+        col("n_sampled"), col("true_sum_e2"),
+        round(col("samp_sum_e2").cast("double") * 10000.0 /
+          col("rate_e4").cast("double")).cast("long").as("ht_est_e2"),
+        round((round(col("samp_sum_e2").cast("double") * 10000.0 /
+          col("rate_e4").cast("double")) - col("true_sum_e2")
+            .cast("double")) / col("true_sum_e2").cast("double")
+          * 1000000.0).cast("long").as("rel_err_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q394Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "'ht:' || CAST(event_id AS VARCHAR)")
+    s"""WITH e AS (
+       |  SELECT event_type, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS ve2,
+       |    CASE event_type WHEN 'click' THEN 500 WHEN 'view' THEN 200
+       |      WHEN 'error' THEN 2500 WHEN 'purchase' THEN 10000
+       |      WHEN 'signup' THEN 5000 ELSE 0 END AS rate_e4,
+       |    ($h % 10000) AS hv
+       |  FROM events),
+       |agg AS (
+       |  SELECT event_type, rate_e4, count(*) AS n,
+       |    sum(CASE WHEN hv < rate_e4 THEN 1 ELSE 0 END) AS n_sampled,
+       |    sum(ve2) AS true_sum_e2,
+       |    sum(CASE WHEN hv < rate_e4 THEN ve2 ELSE 0 END) AS samp_sum_e2
+       |  FROM e GROUP BY event_type, rate_e4)
+       |SELECT event_type, CAST(rate_e4 AS BIGINT) AS rate_e4,
+       |  CAST(n AS BIGINT) AS n, CAST(n_sampled AS BIGINT) AS n_sampled,
+       |  CAST(true_sum_e2 AS BIGINT) AS true_sum_e2,
+       |  CAST(round(CAST(samp_sum_e2 AS DOUBLE) * 10000.0
+       |    / CAST(rate_e4 AS DOUBLE)) AS BIGINT) AS ht_est_e2,
+       |  CAST(round((round(CAST(samp_sum_e2 AS DOUBLE) * 10000.0
+       |      / CAST(rate_e4 AS DOUBLE)) - CAST(true_sum_e2 AS DOUBLE))
+       |    / CAST(true_sum_e2 AS DOUBLE) * 1000000.0) AS BIGINT)
+       |    AS rel_err_e6
+       |FROM agg
+       |ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q395 — Lincoln–Petersen capture–recapture estimate of the
+  // near-duplicate pair population (how complete is the dedup pass? —
+  // estimated from two INDEPENDENT LSH band families: catch n₁ pairs
+  // with bands 0–3, n₂ with bands 4–7, m in both ⇒ N̂ = n₁·n₂/m, the
+  // mark-recapture identity): candidate pairs per family come from
+  // the shared portable-minhash signature table banded two ways; the
+  // estimate and the per-family recall readouts are single e-rounded
+  // divisions from exact counts. The full pair truth never enters —
+  // that is the point of the estimator.
+  // ---------------------------------------------------------------------
+  private def q395(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val d = t(s, dir, "documents")
+    val sh = graft.operators.Dedup.shingleTablePortable(
+      d, "doc_id", "text", 3).select("id", "sh")
+    val sig = graft.operators.Dedup.minhashSignaturesPortable(sh, 16)
+    def bandPairs(b0: Int, b1: Int): DataFrame = {
+      val bandStructs = (b0 until b1).map { b =>
+        val ms = (b * 2 until (b + 1) * 2).map(h => col(s"m$h"))
+        struct(lit(b).as("band"), PortableHash.bandBucket(b, ms)
+          .as("bucket"))
+      }
+      val buckets = sig.select(col("id"),
+          explode(array(bandStructs: _*)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+      graft.operators.Dedup.lshCandidates(buckets)
+    }
+    val s1 = bandPairs(0, 4).withColumn("in1", lit(1L))
+    val s2 = bandPairs(4, 8).withColumn("in2", lit(1L))
+    val joined = s1.join(s2, Seq("id_a", "id_b"), "full_outer")
+      .select(coalesce(col("in1"), lit(0L)).as("in1"),
+        coalesce(col("in2"), lit(0L)).as("in2"))
+    joined.agg(sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
+        sum(col("in1") * col("in2")).as("m"))
+      .select(col("n1"), col("n2"), col("m"),
+        round(col("n1").cast("double") * col("n2").cast("double") /
+          col("m").cast("double")).cast("long").as("n_est"))
+      .orderBy(col("n1"))
+  }
+
+  private val q395Sql = {
+    import graft.functions.PortableHash
+    val shingleHash = PortableHash.hash60DuckSql("shingle")
+    def minExprs(b0: Int, b1: Int): String =
+      (b0 * 2 until b1 * 2).map(h =>
+        s"min(${PortableHash.permDuckSql(h, "sh")}) AS m$h")
+        .mkString(", ")
+    def bucketSql(b: Int): String =
+      PortableHash.bandBucketDuckSql(b, Seq(s"m${b * 2}", s"m${b * 2 + 1}"))
+    def familySql(b0: Int, b1: Int, nm: String): String = {
+      val buckets = (b0 until b1).map(b =>
+        s"SELECT id, $b AS band, ${bucketSql(b)} AS bucket FROM sig")
+        .mkString(" UNION ALL ")
+      s"""$nm AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM ($buckets) x JOIN ($buckets) y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id)"""
+        .stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+       |  FROM documents),
+       |shing AS (
+       |  SELECT DISTINCT doc_id AS id,
+       |    unnest(list_transform(range(len(w) - 2),
+       |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+       |  FROM toks WHERE len(w) >= 3),
+       |hashed AS (SELECT id, $shingleHash AS sh FROM shing),
+       |sig AS (SELECT id, ${minExprs(0, 8)} FROM hashed GROUP BY id),
+       |${familySql(0, 4, "f1")},
+       |${familySql(4, 8, "f2")},
+       |u AS (
+       |  SELECT coalesce(f1.id_a, f2.id_a) AS id_a,
+       |    CASE WHEN f1.id_a IS NOT NULL THEN 1 ELSE 0 END AS in1,
+       |    CASE WHEN f2.id_a IS NOT NULL THEN 1 ELSE 0 END AS in2
+       |  FROM f1 FULL OUTER JOIN f2
+       |    ON f1.id_a = f2.id_a AND f1.id_b = f2.id_b)
+       |SELECT CAST(sum(in1) AS BIGINT) AS n1,
+       |  CAST(sum(in2) AS BIGINT) AS n2,
+       |  CAST(sum(in1 * in2) AS BIGINT) AS m,
+       |  CAST(round(CAST(sum(in1) AS DOUBLE) * CAST(sum(in2) AS DOUBLE)
+       |    / CAST(sum(in1 * in2) AS DOUBLE)) AS BIGINT) AS n_est
+       |FROM u
+       |ORDER BY n1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q396 — PSI (population stability index) between the first and
+  // second time-half of each event type's value distribution — the
+  // scorecard-monitoring drift metric ops teams page on (PSI > 0.2 ⇒
+  // investigate): Σ (p−q)·ln(p/q) over 10 value buckets with +1
+  // Laplace smoothing on the counts (PSI is undefined on empty
+  // buckets; the smoothing is identical on both engines so the gate
+  // stays exact). Split point = the media-ish fixed timestamp literal
+  // (both halves are corpus-scale). Each bucket's term is e9-rounded
+  // (q375 discipline) with the all-integer ratio a'·nB'/(b'·nA')
+  // inside the ln; the per-type PSI is an integer sum.
+  // ---------------------------------------------------------------------
+  private def q396(s: SparkSession, dir: String): DataFrame = {
+    val split = lit(java.sql.Timestamp.valueOf("2024-06-15 00:00:00"))
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type"),
+        least(expr("CAST(round(value * 100) AS BIGINT) div 5000"),
+          lit(9L)).as("bkt"),
+        when(col("ts_s") < split, 1L).otherwise(0L).as("a"),
+        when(col("ts_s") >= split, 1L).otherwise(0L).as("b"))
+    val dim = s.range(10).select(col("id").as("bkt"))
+    val g = e.groupBy(col("event_type"), col("bkt"))
+      .agg(sum(col("a")).as("ca0"), sum(col("b")).as("cb0"))
+    val types = g.select(col("event_type")).distinct()
+    val full = types.crossJoin(dim)
+      .join(g, Seq("event_type", "bkt"), "left")
+      .select(col("event_type"),
+        (coalesce(col("ca0"), lit(0L)) + 1L).as("ca"),
+        (coalesce(col("cb0"), lit(0L)) + 1L).as("cb"))
+    val tot = full.groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    full.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("na"), col("nb"),
+        round((col("ca").cast("double") / col("na").cast("double")
+          - col("cb").cast("double") / col("nb").cast("double")) *
+          log((col("ca").cast(dec) * col("nb").cast(dec)).cast("double") /
+            (col("cb").cast(dec) * col("na").cast(dec)).cast("double"))
+          * 1000000000.0).cast("long").as("t_e9"))
+      .groupBy(col("event_type"), col("na"), col("nb"))
+      .agg(sum(col("t_e9")).as("psi_e9"))
+      .select(col("event_type"), col("na").as("n_first"),
+        col("nb").as("n_second"), col("psi_e9"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q396Sql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    least(CAST(round(value * 100) AS BIGINT) // 5000, 9) AS bkt,
+      |    CASE WHEN date_trunc('second', ts)
+      |      < TIMESTAMP '2024-06-15 00:00:00' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN date_trunc('second', ts)
+      |      >= TIMESTAMP '2024-06-15 00:00:00' THEN 1 ELSE 0 END AS b
+      |  FROM events),
+      |g AS (SELECT event_type, bkt, sum(a) AS ca0, sum(b) AS cb0
+      |      FROM e GROUP BY event_type, bkt),
+      |types AS (SELECT DISTINCT event_type FROM g),
+      |dim AS (SELECT unnest(range(10)) AS bkt),
+      |full_g AS (
+      |  SELECT types.event_type,
+      |    coalesce(g.ca0, 0) + 1 AS ca, coalesce(g.cb0, 0) + 1 AS cb
+      |  FROM types CROSS JOIN dim
+      |  LEFT JOIN g ON g.event_type = types.event_type
+      |    AND g.bkt = dim.bkt),
+      |tot AS (SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+      |        FROM full_g GROUP BY event_type),
+      |terms AS (
+      |  SELECT full_g.event_type, tot.na, tot.nb,
+      |    CAST(round((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+      |        - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) *
+      |      ln(CAST(CAST(ca AS HUGEINT) * nb AS DOUBLE) /
+      |         CAST(CAST(cb AS HUGEINT) * na AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT) AS t_e9
+      |  FROM full_g JOIN tot ON full_g.event_type = tot.event_type)
+      |SELECT event_type, CAST(na AS BIGINT) AS n_first,
+      |  CAST(nb AS BIGINT) AS n_second,
+      |  CAST(sum(t_e9) AS BIGINT) AS psi_e9
+      |FROM terms
+      |GROUP BY event_type, na, nb
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // registration
   // ---------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1068,7 +1387,11 @@ object Integrity {
     "q389_zipf_slope" -> (q389 _),
     "q390_fano_burstiness" -> (q390 _),
     "q391_wilson_interval" -> (q391 _),
-    "q392_transition_entropy" -> (q392 _))
+    "q392_transition_entropy" -> (q392 _),
+    "q393_fellegi_sunter" -> (q393 _),
+    "q394_horvitz_thompson" -> (q394 _),
+    "q395_capture_recapture" -> (q395 _),
+    "q396_psi_drift" -> (q396 _))
 
   val oracle: Map[String, String] = Map(
     "q377_l_diversity" -> q377Sql,
@@ -1086,5 +1409,9 @@ object Integrity {
     "q389_zipf_slope" -> q389Sql,
     "q390_fano_burstiness" -> q390Sql,
     "q391_wilson_interval" -> q391Sql,
-    "q392_transition_entropy" -> q392Sql)
+    "q392_transition_entropy" -> q392Sql,
+    "q393_fellegi_sunter" -> q393Sql,
+    "q394_horvitz_thompson" -> q394Sql,
+    "q395_capture_recapture" -> q395Sql,
+    "q396_psi_drift" -> q396Sql)
 }
