@@ -445,7 +445,7 @@ object Integrity {
     val rx = cells.groupBy(col("x")).agg(sum(col("o")).as("r"))
     val sy = cells.groupBy(col("h")).agg(sum(col("o")).as("s"))
     val n = cells.agg(sum(col("o")).as("n"))
-    val full = rx.crossJoin(sy)
+    val full = rx.crossJoin(broadcast(sy))
       .join(cells, Seq("x", "h"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
     full.crossJoin(broadcast(n))
@@ -1311,7 +1311,7 @@ object Integrity {
     val g = e.groupBy(col("event_type"), col("bkt"))
       .agg(sum(col("a")).as("ca0"), sum(col("b")).as("cb0"))
     val types = g.select(col("event_type")).distinct()
-    val full = types.crossJoin(dim)
+    val full = types.crossJoin(broadcast(dim))
       .join(g, Seq("event_type", "bkt"), "left")
       .select(col("event_type"),
         (coalesce(col("ca0"), lit(0L)) + 1L).as("ca"),
