@@ -1369,6 +1369,264 @@ object Integrity {
       |ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q397 — RFM customer segmentation (recency / frequency / monetary
+  // quintiles — the warehouse segmentation every CRM export starts
+  // from): per-customer metrics aggregate once; each metric ranks
+  // through [[graft.operators.Curate.globalRank]] (customer tiebreak —
+  // no unpartitioned window) and the quintile is the pure-integer
+  // (5·(rank−1)) div n + 1, so bucket edges are exact on any engine;
+  // the readout is segment-grain (≤125 rows at any corpus size).
+  // ---------------------------------------------------------------------
+  private def q397(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        col("o_orderdate").cast("date").as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("p_e2"))
+    val perCust = o.groupBy(col("ck"))
+      .agg(max(col("d")).as("lastd"), count(lit(1)).as("freq"),
+        sum(col("p_e2")).as("mon_e2"))
+    val maxd = perCust.agg(max(col("lastd")).as("maxd"))
+    val base = perCust.crossJoin(broadcast(maxd))
+      .withColumn("rec_days", datediff(col("maxd"), col("lastd")))
+    def quintile(metric: Column, name: String)(df: DataFrame): DataFrame = {
+      val ranked = graft.operators.Curate.globalRank(
+        df, Seq(metric, col("ck")), s"__r_$name")
+      val n = ranked.agg(count(lit(1)).as("__n"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn(name,
+          expr(s"(5 * (__r_$name - 1)) div __n + 1"))
+        .drop(s"__r_$name", "__n")
+    }
+    // recency quintile 1 = most recent (smallest rec_days)
+    val scored = quintile(col("rec_days"), "rq")(
+      quintile(-col("freq"), "fq")(
+        quintile(-col("mon_e2"), "mq")(base)))
+    scored.groupBy(col("rq"), col("fq"), col("mq"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("mon_e2")).as("mon_total_e2"))
+      .select((col("rq") * 100 + col("fq") * 10 + col("mq"))
+        .as("segment"), col("n_customers"), col("mon_total_e2"))
+      .orderBy(col("segment"))
+  }
+
+  private val q397Sql =
+    """WITH o AS (
+      |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS p_e2
+      |  FROM orders),
+      |pc AS (SELECT ck, max(d) AS lastd, count(*) AS freq,
+      |       sum(p_e2) AS mon_e2 FROM o GROUP BY ck),
+      |mx AS (SELECT max(lastd) AS maxd FROM pc),
+      |base AS (SELECT pc.*, date_diff('day', lastd, maxd) AS rec_days
+      |         FROM pc, mx),
+      |n AS (SELECT count(*) AS n FROM base),
+      |ranked AS (
+      |  SELECT ck, mon_e2,
+      |    row_number() OVER (ORDER BY rec_days, ck) AS r_rq,
+      |    row_number() OVER (ORDER BY -freq, ck) AS r_fq,
+      |    row_number() OVER (ORDER BY -mon_e2, ck) AS r_mq
+      |  FROM base),
+      |scored AS (
+      |  SELECT ck, mon_e2,
+      |    (5 * (r_rq - 1)) // n.n + 1 AS rq,
+      |    (5 * (r_fq - 1)) // n.n + 1 AS fq,
+      |    (5 * (r_mq - 1)) // n.n + 1 AS mq
+      |  FROM ranked, n)
+      |SELECT CAST(rq * 100 + fq * 10 + mq AS BIGINT) AS segment,
+      |  count(*) AS n_customers,
+      |  CAST(sum(mon_e2) AS BIGINT) AS mon_total_e2
+      |FROM scored
+      |GROUP BY 1
+      |ORDER BY segment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q398 — weekly cohort retention matrix (the growth-analytics
+  // staple): users cohort by their first active calendar week; cell
+  // (cohort, offset) counts users active offset weeks later, with an
+  // e6 retention share against the cohort size. Weeks are integer
+  // epoch-day div 7 — no date-truncation semantics to diverge on.
+  // Two shuffles (per-user first week; per-(user, week) activity);
+  // the matrix grain is weeks² — calendar-bounded at any corpus size.
+  // ---------------------------------------------------------------------
+  private def q398(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.eventsSec(s, dir)
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts_s), DATE '1970-01-01') AS BIGINT)" +
+          " div 7").as("wk"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+    val sizes = first.groupBy(col("cw")).agg(count(lit(1)).as("cohort_n"))
+    act.join(first, "user_id")
+      .groupBy(col("cw"), (col("wk") - col("cw")).as("wk_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cw")
+      .select(col("cw").as("cohort_week"), col("wk_offset"),
+        col("cohort_n"), col("n_active"),
+        round(col("n_active").cast("double") /
+          col("cohort_n").cast("double") * 1000000.0).cast("long")
+          .as("retention_e6"))
+      .orderBy(col("cohort_week"), col("wk_offset"))
+  }
+
+  private val q398Sql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '1970-01-01',
+      |      CAST(date_trunc('second', ts) AS DATE)) // 7 AS wk
+      |  FROM events),
+      |first_w AS (SELECT user_id, min(wk) AS cw FROM act GROUP BY user_id),
+      |sizes AS (SELECT cw, count(*) AS cohort_n FROM first_w GROUP BY cw),
+      |cells AS (
+      |  SELECT f.cw, act.wk - f.cw AS wk_offset, count(*) AS n_active
+      |  FROM act JOIN first_w f ON act.user_id = f.user_id
+      |  GROUP BY f.cw, act.wk - f.cw)
+      |SELECT CAST(cells.cw AS BIGINT) AS cohort_week,
+      |  CAST(wk_offset AS BIGINT) AS wk_offset,
+      |  CAST(cohort_n AS BIGINT) AS cohort_n,
+      |  CAST(n_active AS BIGINT) AS n_active,
+      |  CAST(round(CAST(n_active AS DOUBLE) / CAST(cohort_n AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS retention_e6
+      |FROM cells JOIN sizes ON cells.cw = sizes.cw
+      |ORDER BY cohort_week, wk_offset""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q399 — label-centroid cosine similarity matrix over the
+  // embeddings table (the class-separability audit a curriculum /
+  // hard-negative miner reads first): float32 elements widen to
+  // double EXACTLY, e6-round to integers AT THE ELEMENT, and
+  // centroids are integer per-(label, dim) sums — so the 45-pair
+  // cosine matrix is exact integer dot/norm arithmetic (decimal(38,0)
+  // cross-products) with IEEE sqrt at the single e6 readout. The
+  // corpus pass is one explode + hash aggregate; everything after is
+  // label²-grain.
+  // ---------------------------------------------------------------------
+  private def q399(s: SparkSession, dir: String): DataFrame = {
+    val cent = t(s, dir, "embeddings")
+      .select(col("label").cast("long").as("lb"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("lb"), col("dim"),
+        round(col("x").cast("double") * 1000000.0).cast("long").as("xe6"))
+      .groupBy(col("lb"), col("dim"))
+      .agg(sum(col("xe6")).as("sx"), count(lit(1)).as("n"))
+    val a = cent.select(col("lb").as("la"), col("dim"),
+      col("sx").as("sa"))
+    val b = cent.select(col("lb").as("lbb"), col("dim"),
+      col("sx").as("sb"))
+    val pairs = a.join(b, Seq("dim")).filter(col("la") < col("lbb"))
+      .groupBy(col("la"), col("lbb"))
+      .agg(sum(col("sa").cast(dec) * col("sb").cast(dec)).as("dot"),
+        sum(col("sa").cast(dec) * col("sa").cast(dec)).as("ssa"),
+        sum(col("sb").cast(dec) * col("sb").cast(dec)).as("ssb"))
+    pairs.select(col("la").as("label_a"), col("lbb").as("label_b"),
+        round(col("dot").cast("double") /
+          sqrt(col("ssa").cast("double") * col("ssb").cast("double"))
+          * 1000000.0).cast("long").as("cos_e6"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  private val q399Sql =
+    """WITH exploded AS (
+      |  SELECT CAST(label AS BIGINT) AS lb,
+      |    unnest(list_transform(range(len(embedding)),
+      |      i -> {'dim': i,
+      |            'xe6': CAST(round(CAST(embedding[i+1] AS DOUBLE)
+      |                   * 1000000.0) AS BIGINT)})) AS p
+      |  FROM embeddings),
+      |ex AS (SELECT lb, p.dim AS dim, p.xe6 AS xe6 FROM exploded),
+      |cent AS (SELECT lb, dim, sum(xe6) AS sx FROM ex GROUP BY lb, dim),
+      |pairs AS (
+      |  SELECT a.lb AS la, b.lb AS lbb,
+      |    sum(CAST(a.sx AS HUGEINT) * b.sx) AS dot,
+      |    sum(CAST(a.sx AS HUGEINT) * a.sx) AS ssa,
+      |    sum(CAST(b.sx AS HUGEINT) * b.sx) AS ssb
+      |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.lb < b.lb
+      |  GROUP BY a.lb, b.lb)
+      |SELECT la AS label_a, lbb AS label_b,
+      |  CAST(round(CAST(dot AS DOUBLE)
+      |    / sqrt(CAST(ssa AS DOUBLE) * CAST(ssb AS DOUBLE))
+      |    * 1000000.0) AS BIGINT) AS cos_e6
+      |FROM pairs
+      |ORDER BY label_a, label_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q400 — the corpus datasheet (one-row "dataset card" a release
+  // review reads before shipping training data): document count,
+  // token mass, language/source cardinalities, mean length, exact-
+  // duplicate share (via the text-hash grain) and hapax-token share —
+  // every number an exact integer or a single e6 division, composed
+  // from the same primitives the rest of the tier gates one by one.
+  // ---------------------------------------------------------------------
+  private def q400(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), size(Text.words(col("text"))).cast("long")
+          .as("tk"))
+    val base = d.agg(count(lit(1)).as("n_docs"),
+      sum(col("tk")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).as("sum_chars"))
+    val dups = d.groupBy(xxhash64(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1L).as("n_exact_dups"))
+    val hapax = d.select(explode(Text.words(col("text"))).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("f"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    base.crossJoin(broadcast(dups)).crossJoin(broadcast(hapax))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"),
+        round(col("sum_chars").cast("double") /
+          col("n_docs").cast("double") * 100.0).cast("long")
+          .as("mean_chars_e2"),
+        col("n_exact_dups"),
+        round(col("n_exact_dups").cast("double") /
+          col("n_docs").cast("double") * 1000000.0).cast("long")
+          .as("dup_share_e6"),
+        col("vocab"), col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("vocab").cast("double")
+          * 1000000.0).cast("long").as("hapax_share_e6"))
+      .orderBy(col("n_docs"))
+  }
+
+  private val q400Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |    len(list_filter(string_split(text, ' '),
+      |      w -> length(w) > 0)) AS tk
+      |  FROM documents),
+      |base AS (
+      |  SELECT count(*) AS n_docs, sum(tk) AS n_tokens,
+      |    count(DISTINCT lang) AS n_langs,
+      |    count(DISTINCT source) AS n_sources,
+      |    sum(n_chars) AS sum_chars
+      |  FROM d),
+      |dups AS (
+      |  SELECT sum(c - 1) AS n_exact_dups
+      |  FROM (SELECT text, count(*) AS c FROM d GROUP BY text)),
+      |hapax AS (
+      |  SELECT count(*) AS vocab,
+      |    sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS n_hapax
+      |  FROM (SELECT wd, count(*) AS f FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '),
+      |      w -> length(w) > 0)) AS wd FROM d) GROUP BY wd))
+      |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_langs AS BIGINT) AS n_langs,
+      |  CAST(n_sources AS BIGINT) AS n_sources,
+      |  CAST(round(CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |    * 100.0) AS BIGINT) AS mean_chars_e2,
+      |  CAST(n_exact_dups AS BIGINT) AS n_exact_dups,
+      |  CAST(round(CAST(n_exact_dups AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS dup_share_e6,
+      |  CAST(vocab AS BIGINT) AS vocab,
+      |  CAST(n_hapax AS BIGINT) AS n_hapax,
+      |  CAST(round(CAST(n_hapax AS DOUBLE) / CAST(vocab AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS hapax_share_e6
+      |FROM base, dups, hapax
+      |ORDER BY n_docs""".stripMargin
+
+  // ---------------------------------------------------------------------
   // registration
   // ---------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1391,7 +1649,11 @@ object Integrity {
     "q393_fellegi_sunter" -> (q393 _),
     "q394_horvitz_thompson" -> (q394 _),
     "q395_capture_recapture" -> (q395 _),
-    "q396_psi_drift" -> (q396 _))
+    "q396_psi_drift" -> (q396 _),
+    "q397_rfm_segments" -> (q397 _),
+    "q398_cohort_retention" -> (q398 _),
+    "q399_centroid_cosine" -> (q399 _),
+    "q400_dataset_card" -> (q400 _))
 
   val oracle: Map[String, String] = Map(
     "q377_l_diversity" -> q377Sql,
@@ -1413,5 +1675,9 @@ object Integrity {
     "q393_fellegi_sunter" -> q393Sql,
     "q394_horvitz_thompson" -> q394Sql,
     "q395_capture_recapture" -> q395Sql,
-    "q396_psi_drift" -> q396Sql)
+    "q396_psi_drift" -> q396Sql,
+    "q397_rfm_segments" -> q397Sql,
+    "q398_cohort_retention" -> q398Sql,
+    "q399_centroid_cosine" -> q399Sql,
+    "q400_dataset_card" -> q400Sql)
 }
