@@ -1566,6 +1566,11 @@ object Integrity {
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(col("source")).as("n_sources"),
       sum(col("n_chars")).as("sum_chars"))
+    // duplicate grain groups by xxhash64(text) — the repo-wide
+    // shuffle-narrowing convention (8-byte keys, not document
+    // strings; collisions ~n²/2⁶⁴, and a collision would only show
+    // as a gate mismatch vs the oracle's group-by-text — it never
+    // silently passes)
     val dups = d.groupBy(xxhash64(col("text")).as("h"))
       .agg(count(lit(1)).as("c"))
       .agg(sum(col("c") - 1L).as("n_exact_dups"))
