@@ -598,18 +598,28 @@ object Integrity {
           .as("pb"))
       .select((col("pa") === col("y")).as("okA"),
         (col("pb") === col("y")).as("okB"))
+    // b+c = 0 (the two classifiers never disagree) is a legal
+    // degenerate input — the statistic is conventionally 0 (no
+    // evidence of a difference), and an unguarded 0/0 would diverge
+    // across engines (NaN cast vs ANSI error). Squares run in
+    // decimal(38,0) — b−c is corpus-sized, so the long multiply
+    // would overflow past ~3·10⁹ discordant rows.
     e.agg(count(lit(1)).as("n_events"),
         sum(when(col("okA") && !col("okB"), 1L).otherwise(0L)).as("b"),
         sum(when(!col("okA") && col("okB"), 1L).otherwise(0L)).as("c"))
       .select(col("n_events"), col("b"), col("c"),
-        round(((col("b") - col("c")) * (col("b") - col("c")))
-          .cast("double") / (col("b") + col("c")).cast("double")
-          * 1000000.0).cast("long").as("chi2_e6"),
-        round({
-          val d = greatest(abs(col("b") - col("c")) - lit(1L), lit(0L))
-          (d * d).cast("double") / (col("b") + col("c")).cast("double") *
-            1000000.0
-        }).cast("long").as("chi2_cc_e6"))
+        when(col("b") + col("c") > 0,
+          round(((col("b") - col("c")).cast(dec)
+            * (col("b") - col("c")).cast(dec))
+            .cast("double") / (col("b") + col("c")).cast("double")
+            * 1000000.0).cast("long")).otherwise(lit(0L)).as("chi2_e6"),
+        when(col("b") + col("c") > 0,
+          round({
+            val d = greatest(abs(col("b") - col("c")) - lit(1L), lit(0L))
+              .cast(dec)
+            (d * d).cast("double") / (col("b") + col("c")).cast("double") *
+              1000000.0
+          }).cast("long")).otherwise(lit(0L)).as("chi2_cc_e6"))
       .orderBy(col("n_events"))
   }
 
@@ -619,33 +629,24 @@ object Integrity {
       |    (value >= 50.0) AS pa,
       |    (CAST(round(value * 100) AS BIGINT) % 100 >= 50) AS pb
       |  FROM events),
-      |ok AS (SELECT (pa = y) AS oka, (pb = y) AS okb FROM e)
-      |SELECT count(*) AS n_events,
-      |  CAST(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS b,
-      |  CAST(sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS c,
-      |  CAST(round(
-      |    CAST((sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END)
-      |          - sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END))
-      |         * (sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END)
-      |          - sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END))
-      |      AS DOUBLE)
-      |    / CAST(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END)
-      |           + sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END)
-      |      AS DOUBLE) * 1000000.0) AS BIGINT) AS chi2_e6,
-      |  CAST(round(
-      |    CAST(greatest(abs(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0
-      |          END) - sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END))
-      |          - 1, 0)
-      |       * greatest(abs(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0
-      |          END) - sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END))
-      |          - 1, 0)
-      |      AS DOUBLE)
-      |    / CAST(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END)
-      |           + sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END)
-      |      AS DOUBLE) * 1000000.0) AS BIGINT) AS chi2_cc_e6
-      |FROM ok
+      |ok AS (SELECT (pa = y) AS oka, (pb = y) AS okb FROM e),
+      |agg AS (SELECT count(*) AS n_events,
+      |    CAST(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c
+      |  FROM ok)
+      |SELECT n_events, b, c,
+      |  CASE WHEN b + c > 0 THEN CAST(round(
+      |      CAST(CAST(b - c AS HUGEINT) * (b - c) AS DOUBLE)
+      |      / CAST(b + c AS DOUBLE) * 1000000.0) AS BIGINT)
+      |    ELSE 0 END AS chi2_e6,
+      |  CASE WHEN b + c > 0 THEN CAST(round(
+      |      CAST(CAST(greatest(abs(b - c) - 1, 0) AS HUGEINT)
+      |           * greatest(abs(b - c) - 1, 0) AS DOUBLE)
+      |      / CAST(b + c AS DOUBLE) * 1000000.0) AS BIGINT)
+      |    ELSE 0 END AS chi2_cc_e6
+      |FROM agg
       |ORDER BY n_events""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -27,6 +27,8 @@ import graft.core.PlanStats.Pinned
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** 1-row pair-budget guard — the [[graft.operators.Curate.boundedRank]]
     * fail-loud discipline applied to blocking: `blockSizes` is the
     * per-block size relation, `pairsExpr` the candidate-pair count a
@@ -115,6 +117,20 @@ object Dedup {
           substring(col(textCol), 1, prefixLen).as("__t")): _*)
     val (base, keyNames) = chunkSize match {
       case Some(c) =>
+        // Loud one-release notice for the r9 default flip (None →
+        // Some(32)): a caller who relied on the old all-pairs-within-
+        // block default silently loses cross-chunk pairs on blocks
+        // larger than the chunk. The truncation is data-dependent, so
+        // the driver can't see block sizes here without forcing a job;
+        // this warning names the semantics change at plan-build time
+        // and the scaladoc documents the opt-out (`chunkSize = None`).
+        log.warn(
+          s"blockedEditDistance: sorted-neighborhood chunk tier ACTIVE " +
+            s"(chunkSize=$c, the safe default since r9) - candidate " +
+            s"pairs are CHUNK-LOCAL; blocks larger than $c rows will " +
+            s"not emit cross-chunk pairs. Pass chunkSize = None " +
+            s"explicitly for the unbounded all-pairs-within-block " +
+            s"behavior (quadratic in block size).")
         val w = Window.partitionBy(names.map(col): _*)
           .orderBy(col("__t"), col("__id"))
         (base0.withColumn("__chunk",

@@ -39,10 +39,16 @@ class IntegritySpec extends AnyFunSuite {
     val a2 = nij.map(c => c * c).sum
     val cj = ratings.groupBy(_._2).map { case (_, v) => v.size.toLong }
     val sc2 = cj.map(c => c * c).sum
-    val nm = nItems.toDouble * m
-    val pBar = (a2 - nm) / (nm * (m - 1))
-    val pE = sc2 / (nm * nm)
-    val truth = math.rint((pBar - pE) / (1.0 - pE) * 1e6).toLong
+    // Recompute κ in the SAME cross-multiplied integer form the query
+    // divides — κ = ((A−Nm)·Nm − (m−1)·Σc²) / ((m−1)·((Nm)²−Σc²)) —
+    // exact integers up to the one IEEE division, so this checks the
+    // formula, not double evaluation order (the textbook
+    // (P̄−P̄e)/(1−P̄e) form can differ by an ulp and flip the e6
+    // rounding on another dataset).
+    val nm = BigInt(nItems) * m
+    val num = (BigInt(a2) - nm) * nm - BigInt(m - 1) * sc2
+    val den = BigInt(m - 1) * (nm * nm - sc2)
+    val truth = math.rint(num.toDouble / den.toDouble * 1e6).toLong
     val row = q("q378_fleiss_kappa").collect().head
     assert(row.getAs[Long]("n_items") == nItems)
     assert(row.getAs[Long]("a_sum2") == a2)

@@ -27,8 +27,15 @@ a, b = a_doc["queries"], b_doc["queries"]
 ca = a_doc.get("canary", {}).get("median")
 cb = b_doc.get("canary", {}).get("median")
 drift = (cb / ca) if (ca and cb and ca > 0) else None
+b_raw = dict(b)
+b_spread_raw = dict(b_doc.get("spread", {}))
+b_spread = dict(b_spread_raw)
 if drift is not None:
     b = {q: t / drift if t >= 0 else t for q, t in b.items()}
+    # b's recorded noise bands are raw seconds from the same run —
+    # scale them by the same factor so the band is consistent with
+    # the normalized deltas (else the band is off by the drift).
+    b_spread = {q: s / drift for q, s in b_spread_raw.items()}
 
 # Per-query noise band: the archives' own max-min over measured
 # passes (round 7+), WITH A CROSS-RUN FLOOR. Round-8 diagnosis (the
@@ -48,7 +55,7 @@ def _floor(q):
     return 0.15 + (0.10 if drift is not None else 0.15) * base
 
 spread = {q: max(a_doc.get("spread", {}).get(q, 0.0),
-                 b_doc.get("spread", {}).get(q, 0.0),
+                 b_spread.get(q, 0.0),
                  _floor(q))
           for q in set(a) | set(b)}
 
@@ -59,41 +66,71 @@ removed = sorted(set(a) - set(b))
 rows = [(q, a[q], b[q], b[q] - a[q]) for q in shared]
 tot_a = sum(a[q] for q in shared)
 tot_b = sum(b[q] for q in shared)
+tot_b_raw = sum(b_raw[q] for q in shared)
 
 print(f"shared queries: {len(shared)}  added: {len(added)}  "
       f"removed: {len(removed)}")
 if drift is not None:
     print(f"canary drift: {ca:.3f}s -> {cb:.3f}s (x{drift:.3f}) — "
-          f"b normalized by the ratio; calls below are drift-corrected")
+          f"b normalized by the ratio; calls below are drift-corrected.")
+    print("NOTE: the canary is CPU-bound; IO/shuffle-bound queries "
+          "over-correct. Both deltas print below — a query whose RAW "
+          "delta clears the band while the normalized one does not is "
+          "flagged [raw>band] and worth an isolated rerun.")
 else:
     print("canary: absent in at least one archive — no drift "
           "normalization; using the wider (+15%) cross-run floor")
 print(f"shared total: {tot_a:.1f}s -> {tot_b:.1f}s "
-      f"({tot_b - tot_a:+.1f}s)")
+      f"({tot_b - tot_a:+.1f}s normalized; raw {tot_b_raw:.1f}s, "
+      f"{tot_b_raw - tot_a:+.1f}s)")
 if added:
     print(f"added total: {sum(b[q] for q in added):.1f}s "
           f"({', '.join(added[:8])}{'...' if len(added) > 8 else ''})")
 
 def band(q, d):
-    """Three-tier call: inside the band -> noise; inside 2x the band
-    -> the r7 q144/q127 zone, where zero-code-change suite reruns
-    have landed — isolate (fresh JVM, SPARK_GRAFT_BENCH_ONLY=<q>,
-    3 runs) before treating it as real; beyond 2x -> regression."""
+    """Three-tier call on the NORMALIZED delta: inside the band ->
+    noise; inside 2x the band -> the r7 q144/q127 zone, where
+    zero-code-change suite reruns have landed — isolate (fresh JVM,
+    SPARK_GRAFT_BENCH_ONLY=<q>, 3 runs) before treating it as real;
+    beyond 2x -> regression. When the raw (un-normalized) delta
+    clears the raw-scale band but the normalized one sits inside it,
+    flag it: a genuinely IO/shuffle-bound regression can hide just
+    under the CPU-drift correction."""
     s = spread.get(q, 0.0)
+    d_raw = b_raw.get(q, 0.0) - a.get(q, 0.0)
+    s_raw = max(a_doc.get("spread", {}).get(q, 0.0),
+                b_spread_raw.get(q, 0.0), _floor(q))
+    raw_flag = ("  [raw>band]"
+                if abs(d) <= s < abs(d_raw) and abs(d_raw) > s_raw
+                else "")
     if abs(d) <= s:
-        return "  [noise]"
+        return "  [noise]" + raw_flag
     if abs(d) <= 2 * s:
         return "  [isolate before calling]"
     return ""
+
+def row_fmt(q, ta, tb, d):
+    raw = f" (raw {b_raw[q] - ta:+.2f}s)" if drift is not None else ""
+    return f"  {q:40s} {ta:7.2f} -> {tb:7.2f}  {d:+.2f}s{raw}{band(q, d)}"
 
 print(f"\ntop {n} regressions (delta > 0.2s):")
 for q, ta, tb, d in sorted(rows, key=lambda r: -r[3])[:n]:
     if d <= 0.2:
         break
-    print(f"  {q:40s} {ta:7.2f} -> {tb:7.2f}  {d:+.2f}s{band(q, d)}")
+    print(row_fmt(q, ta, tb, d))
 
 print(f"\ntop {n} improvements (delta < -0.2s):")
 for q, ta, tb, d in sorted(rows, key=lambda r: r[3])[:n]:
     if d >= -0.2:
         break
-    print(f"  {q:40s} {ta:7.2f} -> {tb:7.2f}  {d:+.2f}s{band(q, d)}")
+    print(row_fmt(q, ta, tb, d))
+
+# raw-only suspects: normalized delta reads as noise, raw delta
+# clears both bands — the over-correction blind spot.
+suspects = [(q, a[q], b_raw[q]) for q, ta, tb, d in rows
+            if "[raw>band]" in band(q, d)]
+if suspects:
+    print(f"\nraw-only suspects (normalized=noise but raw clears the "
+          f"band; isolate these): ")
+    for q, ta, tbr in suspects[:n]:
+        print(f"  {q:40s} raw {ta:7.2f} -> {tbr:7.2f}  {tbr - ta:+.2f}s")
