@@ -1,17 +1,21 @@
 package graft
 
 import graft.core.GraftSession
+import org.apache.spark.sql.functions._
 
-/** Throwaway profiling harness (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = sys.env.getOrElse("SCRATCH_EXPLAIN", "q03_star_join_agg")
-      .split(",").toSeq
-    names.foreach { n =>
-      println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    if (sys.env.contains("SCRATCH_V2")) {
+      val kg = spark.read
+        .format("graft.sources.v2.SynthEventsProvider")
+        .option("rows", "200000").option("users", "64")
+        .option("layout", "mod").option("userparts", "true").load()
+        .groupBy("user_id")
+        .agg(sum("value_e2").as("sv"), count(lit(1)).as("n"))
+      kg.collect()  // force AQE final plan
+      println("=== AQE-on executed plan ===")
+      println(kg.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

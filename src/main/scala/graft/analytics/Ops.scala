@@ -1283,6 +1283,104 @@ object Ops {
   }
 
   // ---------------------------------------------------------------------
+  // q401 — the connector's TopN pushdown (SupportsPushDownTopN,
+  // COMPLETE: isPartiallyPushed = false): ORDER BY event_id DESC
+  // LIMIT 20 over a filter-narrowed range collapses into ONE
+  // partition emitting the range's last 20 ids in descending order —
+  // Spark's Sort and Limit disappear from the plan entirely
+  // (PlanQualitySpec: BatchScan reports PushedTopN; no
+  // TakeOrderedAndProject, no Sort operator). At 100 TB this is the
+  // "latest-k events" probe answered in O(k) instead of a full scan
+  // + cluster-wide top-k. The oracle re-sorts DuckDB's regenerated
+  // rows — the pushed path must agree with the un-pushed semantics
+  // bit-for-bit.
+  // ---------------------------------------------------------------------
+  private def q401(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.SynthEventsProvider")
+      .option("rows", "100000").load()
+      .filter(col("event_id") >= 20000L && col("event_id") < 80000L)
+      .orderBy(col("event_id").desc)
+      .limit(20)
+
+  private val q401Sql = {
+    val gen = graft.sources.v2.SynthEvents.duckSql(20000, 80000, 1500)
+    s"""SELECT event_id, ts_l, user_id, event_type, value_e2
+       |FROM ($gen)
+       |ORDER BY event_id DESC LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q402 — the connector's REPORTED PARTITIONING
+  // (SupportsReportPartitioning): layout=mod clusters events by
+  // user_id = event_id % users, userparts=true plans one
+  // KEY-DISJOINT partition per user (HasPartitionKey; each partition
+  // enumerates ONLY its own ids by stepping `users` — work
+  // proportional to its rows), and the scan reports
+  // KeyGroupedPartitioning(identity(user_id)). A groupBy(user_id)
+  // over NON-pushable aggregates (sums of value_e2/ts_l) then
+  // satisfies its clustered distribution straight off the read:
+  // partial and final HashAggregate fuse in one codegen span over
+  // the BatchScan with ZERO hash exchange (plan-asserted) — the
+  // connector analogue of aggregating over a bucketed table (the
+  // q117 discipline at the DSv2 boundary). The only exchange in the
+  // plan is the final ORDER BY's range partitioning.
+  // ---------------------------------------------------------------------
+  private def q402(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.SynthEventsProvider")
+      .option("rows", "200000").option("users", "64")
+      .option("layout", "mod").option("userparts", "true").load()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum("value_e2").as("sum_value_e2"),
+        sum("ts_l").as("ts_checksum"))
+      .orderBy("user_id")
+
+  private val q402Sql = {
+    val gen = graft.sources.v2.SynthEvents.duckSql(0, 200000, 64, "mod")
+    s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(value_e2) AS BIGINT) AS sum_value_e2,
+       |  CAST(sum(ts_l) AS BIGINT) AS ts_checksum
+       |FROM ($gen)
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q403 — reported partitioning COMPOSED with the partial grouped
+  // aggregate pushdown: same key-disjoint per-user layout, but the
+  // aggregates (COUNT/SUM/MIN/MAX of event_id) also push into the
+  // scan, so each partition folds ONLY its own user's ids and emits
+  // exactly ONE pre-aggregated row. Spark's aggregate-pushdown
+  // rewrite aliases the group column (`user_id AS group_col_0`),
+  // which breaks KeyGroupedPartitioning propagation through the
+  // Project — so the finalize still plans a hash exchange, but one
+  // carrying `users` ONE-ROW partials (64 rows here; parts×groups
+  // without the layout), not generated data. The TRUE zero-exchange
+  // grouped read is q402 (non-pushed aggregates keep the attribute
+  // identity); this query pins the composed behavior: PushedGroupBy
+  // + mode=partial+keygrouped, per-user fold, bounded exchange.
+  // ---------------------------------------------------------------------
+  private def q403(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.SynthEventsProvider")
+      .option("rows", "200000").option("users", "64")
+      .option("layout", "mod").option("userparts", "true").load()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum("event_id").as("sum_id"),
+        min("event_id").as("min_id"),
+        max("event_id").as("max_id"))
+      .orderBy("user_id")
+
+  private val q403Sql = {
+    val gen = graft.sources.v2.SynthEvents.duckSql(0, 200000, 64, "mod")
+    s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+       |  CAST(min(event_id) AS BIGINT) AS min_id,
+       |  CAST(max(event_id) AS BIGINT) AS max_id
+       |FROM ($gen)
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q347 — guaranteed heavy hitters, two-pass (candidate buckets →
   // exact verify): keys carrying ≥ 0.5% of all rows, found WITHOUT
   // ever shuffling the full key grain. Pass 1 aggregates row counts
@@ -1906,7 +2004,10 @@ object Ops {
     "q356_dsv2_runtime_filter" -> (q356 _),
     "q357_feature_hashing" -> (q357 _),
     "q358_dsv2_partial_agg" -> (q358 _),
-    "q376_dsv2_multikey_sum" -> (q376 _))
+    "q376_dsv2_multikey_sum" -> (q376 _),
+    "q401_dsv2_topn" -> (q401 _),
+    "q402_dsv2_keygrouped" -> (q402 _),
+    "q403_dsv2_keygrouped_pushed" -> (q403 _))
 
   val oracle: Map[String, String] = Map(
     "q298_skew_lint" -> q298Sql,
@@ -1941,5 +2042,8 @@ object Ops {
     "q356_dsv2_runtime_filter" -> q356Sql,
     "q357_feature_hashing" -> q357Sql,
     "q358_dsv2_partial_agg" -> q358Sql,
-    "q376_dsv2_multikey_sum" -> q376Sql)
+    "q376_dsv2_multikey_sum" -> q376Sql,
+    "q401_dsv2_topn" -> q401Sql,
+    "q402_dsv2_keygrouped" -> q402Sql,
+    "q403_dsv2_keygrouped_pushed" -> q403Sql)
 }

@@ -38,6 +38,10 @@ object GraftSession {
       // tables this engine bucketed deliberately, reading 1/N of the
       // files beats scan parallelism
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // honor DSv2 scans' reported KeyGroupedPartitioning (the
+      // SynthEvents userparts mode): a grouped read over the scan's
+      // key runs with zero exchange, like a bucketed table
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -293,14 +293,11 @@ object Dedup {
       .filter(size(col("ids")) > 1)
       .withColumn("ids",
         postingCapped(col("ids"), maxPostingLen, "jaccard/containment"))
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    b -> struct(a.id AS id_a, b.id AS id_b,
-          |                a.sz AS size_a, b.sz AS size_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
+      // codegen-adjacent pair expansion (graftx.PostingPairs): one
+      // tight JVM loop per posting instead of the interpreted
+      // nested-transform HOF chain — same pairs, same order (the
+      // array is sorted, so id_a < id_b), no per-element array churn
+      .select(org.apache.spark.sql.graftx.PostingPairs.col(col("ids")))
       .groupBy("id_a", "id_b", "size_a", "size_b")
       .agg(count(lit(1)).as("inter"))
   }
@@ -438,16 +435,11 @@ object Dedup {
       // hot-prefix-posting tripwire — same meltdown mode as the plain
       // inverted index, same zero-extra-pass check on the grouped grain
       .withColumn("xs", postingCapped(col("xs"), maxPostingLen, "ppjoin"))
-      .select(explode(expr(
-        s"""flatten(transform(xs, (a, i) ->
-           |  filter(
-           |    transform(slice(xs, i + 2, size(xs) - i - 1),
-           |      b -> struct(a.id AS id_a, b.id AS id_b,
-           |        least(a.sz - a.pos, b.sz - b.pos) AS ub,
-           |        a.sz + b.sz AS szsum)),
-           |    p -> p.ub >= ceil($minIsect * p.szsum))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // positional-filtered pair expansion in one compiled loop
+      // (graftx.PrefixFilteredPairs) — same ub/ceil arithmetic as the
+      // composed HOF form, evaluated without lambda dispatch
+      .select(org.apache.spark.sql.graftx.PrefixFilteredPairs
+        .col(col("xs"), minIsect))
       .distinct()
     // verification by co-occurrence counting over ONLY the candidate
     // docs' postings (re-read from the checkpoint, not re-tokenized):

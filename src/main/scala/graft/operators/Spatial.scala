@@ -188,27 +188,17 @@ object Spatial {
   def enrichGrid(points: DataFrame, latCol: String, lonCol: String,
                  municipalities: Seq[Municipality],
                  cellLat: Double = 9.0, cellLon: Double = 18.0): DataFrame = {
-    val spark = points.sparkSession
-    val bcPolys = spark.sparkContext.broadcast(municipalities.toArray)
-    val bcIndex = spark.sparkContext.broadcast(
-      gridIndex(municipalities, cellLat, cellLon))
-    val lookup = udf((lat: Double, lon: Double) => {
-      val cell = ((lat / cellLat).floor.toInt, (lon / cellLon).floor.toInt)
-      bcIndex.value.get(cell).flatMap { cand =>
-        var res: Option[(String, String)] = None
-        var k = 0
-        while (k < cand.length && res.isEmpty) {
-          val mu = bcPolys.value(cand(k))
-          if (mu.contains(lat, lon)) res = Some((mu.name, mu.canton))
-          k += 1
-        }
-        res
-      }
-    })
+    // graftx.PointInPolygons: whole-stage-codegen grid lookup — one
+    // monomorphic JVM call per row returning a pre-built row
+    // reference. This retired the engine's last per-row Scala UDF
+    // (the ScalaUDF boundary cost boxing + Option + tuple conversion
+    // per row); results are bitwise identical (same contains()
+    // arithmetic, same grid, same priority order).
     points
-      .withColumn("__muni", lookup(col(latCol), col(lonCol)))
-      .withColumn("municipality", col("__muni._1"))
-      .withColumn("canton", col("__muni._2"))
+      .withColumn("__muni", org.apache.spark.sql.graftx.PointInPolygons
+        .col(col(latCol), col(lonCol), municipalities, cellLat, cellLon))
+      .withColumn("municipality", col("__muni.municipality"))
+      .withColumn("canton", col("__muni.canton"))
       .drop("__muni")
   }
 }

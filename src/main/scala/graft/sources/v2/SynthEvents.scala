@@ -11,7 +11,9 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -93,16 +95,26 @@ object SynthEvents {
 
   def tsL(i: Long): Long = 1704067200L + hash60(s"v2t:$i") % 2592000L
   def userId(i: Long, users: Long): Long = hash60(s"v2u:$i") % users
+  /** `layout=mod` user assignment: id mod users — the layout whose
+    * per-user id sets are ENUMERABLE (user u owns u, u+users, …), so
+    * a scan can plan key-disjoint per-user partitions doing work
+    * proportional to their own rows. The hash layout stays the
+    * default; mod is the clustered-storage stand-in. */
+  def userIdMod(i: Long, users: Long): Long = i % users
   def eventType(i: Long): String = types((hash60(s"v2e:$i") % 5).toInt)
   def valueE2(i: Long): Long = hash60(s"v2v:$i") % 100000L
 
   /** The DuckDB generator for the oracle: identical rows from
     * range(lo, hi). */
-  def duckSql(lo: Long, hi: Long, users: Long): String = {
+  def duckSql(lo: Long, hi: Long, users: Long,
+              layout: String = "hash"): String = {
     import graft.functions.PortableHash.hash60DuckSql
+    val uid =
+      if (layout == "mod") s"i % $users"
+      else s"${hash60DuckSql("'v2u:' || i")} % $users"
     s"""SELECT CAST(i AS BIGINT) AS event_id,
        |  1704067200 + ${hash60DuckSql("'v2t:' || i")} % 2592000 AS ts_l,
-       |  ${hash60DuckSql("'v2u:' || i")} % $users AS user_id,
+       |  $uid AS user_id,
        |  ['click','error','purchase','signup','view']
        |    [1 + CAST(${hash60DuckSql("'v2e:' || i")} % 5 AS INT)]
        |    AS event_type,
@@ -116,6 +128,17 @@ class SynthEventsTable(options: CaseInsensitiveStringMap)
   private val rows = options.getLong("rows", 100000L)
   private val users = options.getLong("users", 1500L)
   private val parts = options.getInt("parts", 8)
+  // layout=mod: user_id = event_id % users (DuckDB-reproducible like
+  // the hash layout, but per-user id sets are enumerable);
+  // userparts=true (requires mod): plan ONE KEY-DISJOINT PARTITION
+  // PER USER and report KeyGroupedPartitioning(identity(user_id)) —
+  // a grouped read over user_id then runs with ZERO exchange, the
+  // connector analogue of a bucketed table (gate queries q402/q403)
+  private val layout = options.getOrDefault("layout", "hash")
+  private val userparts = options.getBoolean("userparts", false)
+  require(!userparts || layout == "mod",
+    "userparts=true requires layout=mod (per-user id sets must be " +
+      "enumerable for key-disjoint partitions)")
 
   override def name(): String = s"synth_events($rows)"
   override def schema(): StructType = SynthEvents.schema
@@ -123,13 +146,15 @@ class SynthEventsTable(options: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, users, parts)
+    new SynthScanBuilder(rows, users, parts, layout == "mod", userparts)
 }
 
-class SynthScanBuilder(rows: Long, users: Long, parts: Int)
+class SynthScanBuilder(rows: Long, users: Long, parts: Int,
+                       mod: Boolean = false, userparts: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo: Long = 0L
   private var hi: Long = rows
@@ -248,17 +273,89 @@ class SynthScanBuilder(rows: Long, users: Long, parts: Int)
   private var groupAggs: Option[Seq[AggregateFunc]] = None
   private var groupKeys: Seq[String] = Nil
 
+  // ---- LIMIT / TopN pushdown: the generator emits ids in order, so
+  // both have closed forms over the (already filter-narrowed) range.
+  //  - plain LIMIT k: any k rows satisfy the contract — the range
+  //    narrows to its first k ids and every partition shape is kept;
+  //  - TopN (ORDER BY event_id [DESC] LIMIT k): the top ids are the
+  //    range's first (or last, reversed) k — ONE partition emits them
+  //    already sorted, and `isPartiallyPushed = false` lets Spark
+  //    drop its Sort + Limit entirely (plan-asserted by q401 /
+  //    PlanQualitySpec: a BatchScan with `PushedTopN`, no Sort, no
+  //    TakeOrderedAndProject).
+  // Declined after an aggregate pushdown (different output grain) —
+  // Spark doesn't push a limit through its own finalize agg anyway.
+  private var limitK: Option[Int] = None
+  private var topNDesc: Boolean = false
+  private var topNPushed: Boolean = false
+
+  override def pushLimit(limit: Int): Boolean =
+    if (aggs.isDefined || groupAggs.isDefined || limit < 0) false
+    else { limitK = Some(limit); true }
+
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
+    val ok = aggs.isEmpty && groupAggs.isEmpty && limit >= 0 &&
+      orders.length == 1 && isIdRef(orders(0).expression())
+    if (ok) {
+      topNDesc = orders(0).direction() == SortDirection.DESCENDING
+      topNPushed = true
+      limitK = Some(limit)
+    }
+    ok
+  }
+
+  // complete in both shapes: LIMIT returns exactly min(k, range) rows,
+  // TopN returns them in the requested order from one partition
+  override def isPartiallyPushed(): Boolean = false
+
   override def build(): Scan = aggs match {
     case Some(fs) => new SynthAggScan(math.min(lo, hi), hi, fs, pushed)
     case None => groupAggs match {
       case Some(fs) =>
         new SynthGroupAggScan(math.min(lo, hi), hi, users, parts,
-          groupKeys, fs, pushed)
+          groupKeys, fs, pushed, mod, userparts)
       case None =>
-        new SynthScan(math.min(lo, hi), hi, users, parts, required)
+        val l = math.min(lo, hi)
+        limitK match {
+          case Some(k) if topNPushed =>
+            new SynthTopNScan(l, hi, users, required, topNDesc, k, mod)
+          case Some(k) =>
+            new SynthScan(l, math.min(hi, l + k), users, parts, required,
+              mod, userparts, pushedLimit = Some(k))
+          case None =>
+            new SynthScan(l, hi, users, parts, required, mod, userparts)
+        }
     }
   }
 }
+
+/** Completely-pushed-down ORDER BY event_id [DESC] LIMIT k: one
+  * partition emits the first/last k ids of the narrowed range in the
+  * requested order — Spark's Sort and Limit disappear from the plan
+  * (`isPartiallyPushed = false`). k is an `Int`, so single-partition
+  * emission is bounded by contract. */
+class SynthTopNScan(lo: Long, hi: Long, users: Long,
+                    required: StructType, desc: Boolean, k: Int,
+                    mod: Boolean) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"synth_events PushedRange($lo,$hi) PushedTopN " +
+      s"[event_id ${if (desc) "DESC" else "ASC"} LIMIT $k] cols=" +
+      required.fieldNames.mkString(",")
+  override def planInputPartitions(): Array[InputPartition] = {
+    val span = math.max(0L, hi - lo)
+    val n = math.min(span, k.toLong)
+    val (s, e) = if (desc) (hi - n, hi) else (lo, lo + n)
+    Array(SynthOrderedPartition(s, e, desc))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(users, required.fieldNames, mod)
+}
+
+/** Contiguous id range emitted in ascending or descending order. */
+case class SynthOrderedPartition(start: Long, end: Long, desc: Boolean)
+    extends InputPartition
 
 /** Completely-pushed-down aggregate over the generated id range: one
   * partition, one row, closed-form values — no row generation at all.
@@ -315,8 +412,9 @@ class SynthAggReaderFactory(values: Array[Any])
   */
 class SynthGroupAggScan(lo: Long, hi: Long, users: Long, parts: Int,
                         keys: Seq[String], fs: Seq[AggregateFunc],
-                        pushedF: Array[Filter])
-    extends Scan with Batch {
+                        pushedF: Array[Filter],
+                        mod: Boolean = false, userparts: Boolean = false)
+    extends Scan with Batch with SupportsReportPartitioning {
   // AggregateFunc is not Serializable — compile the accepted shapes
   // to opcodes for the executor-side factory (0 = count partial,
   // 1 = min event_id, 2 = max event_id, 3 = sum event_id partial)
@@ -335,25 +433,43 @@ class SynthGroupAggScan(lo: Long, hi: Long, users: Long, parts: Int,
       StructField(s"agg$i", LongType, nullable = false)
     })
   override def toBatch: Batch = this
+  // key-grouped mode: layout=mod + userparts + GROUP BY exactly
+  // [user_id] → one key-disjoint partition per user (its ids are
+  // u, u+users, … — work proportional to its own rows), reported as
+  // KeyGroupedPartitioning(identity(user_id)). The per-partition
+  // "partial" rows are then final by disjointness, and Spark's
+  // finalize aggregate runs WITHOUT an exchange — the connector
+  // analogue of aggregating over a bucketed table (gate query q403).
+  private val keyGrouped = mod && userparts && keys == Seq("user_id")
+  override def outputPartitioning(): Partitioning =
+    if (keyGrouped)
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("user_id")), users.toInt)
+    else new UnknownPartitioning(math.max(1, parts))
   override def description(): String =
     s"synth_events PushedRange($lo,$hi) PushedGroupBy " +
       s"[${keys.mkString(", ")}] " +
       "PushedAggregates [" + fs.map(_.toString).mkString(", ") +
-      "] mode=partial pushedFilters=" + pushedF.mkString(",")
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, parts)
-    val span = math.max(0L, hi - lo)
-    (0 until n).map { p =>
-      SynthPartition(lo + span * p / n, lo + span * (p + 1) / n):
-        InputPartition
-    }.toArray
-  }
+      "] mode=" + (if (keyGrouped) "partial+keygrouped" else "partial") +
+      " pushedFilters=" + pushedF.mkString(",")
+  override def planInputPartitions(): Array[InputPartition] =
+    if (keyGrouped)
+      (0L until users).map(u =>
+        SynthUserPartition(u, lo, hi, users): InputPartition).toArray
+    else {
+      val n = math.max(1, parts)
+      val span = math.max(0L, hi - lo)
+      (0 until n).map { p =>
+        SynthPartition(lo + span * p / n, lo + span * (p + 1) / n):
+          InputPartition
+      }.toArray
+    }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthGroupAggReaderFactory(users, keys.toArray, ops)
+    new SynthGroupAggReaderFactory(users, keys.toArray, ops, mod)
 }
 
 class SynthGroupAggReaderFactory(users: Long, keys: Array[String],
-                                 ops: Array[Int])
+                                 ops: Array[Int], mod: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
@@ -363,16 +479,27 @@ class SynthGroupAggReaderFactory(users: Long, keys: Array[String],
       // Group key packs as user*8 + typeIdx (5 types < 8); a key
       // column the query didn't group by contributes 0, so the same
       // packing serves [user_id], [event_type], and both.
-      private val sp = p.asInstanceOf[SynthPartition]
+      // A SynthUserPartition folds ONLY its user's ids (stepping by
+      // `users` — work proportional to its own rows, never a full
+      // range scan per partition).
       private val useUser = keys.contains("user_id")
       private val useType = keys.contains("event_type")
       private var rows: Iterator[InternalRow] = _
+      private def uid(i: Long): Long =
+        if (mod) SynthEvents.userIdMod(i, users)
+        else SynthEvents.userId(i, users)
       override def next(): Boolean = {
         if (rows == null) {
           val acc = scala.collection.mutable.LongMap.empty[Array[Long]]
-          var i = sp.start
-          while (i < sp.end) {
-            val u = if (useUser) SynthEvents.userId(i, users) else 0L
+          val (first, step, end) = p match {
+            case up: SynthUserPartition =>
+              val off = ((up.u - up.start) % users + users) % users
+              (up.start + off, users, up.end)
+            case sp: SynthPartition => (sp.start, 1L, sp.end)
+          }
+          var i = first
+          while (i < end) {
+            val u = if (useUser) uid(i) else 0L
             val t = if (useType)
               (SynthEvents.hash60(s"v2e:$i") % 5).toInt else 0
             val a = acc.getOrElseUpdate(u * 8L + t,
@@ -384,7 +511,7 @@ class SynthGroupAggReaderFactory(users: Long, keys: Array[String],
             // finalize into a wrong answer; ids sum past 2^63 only on
             // pathological option settings, and then the scan fails
             a(3) = Math.addExact(a(3), i)
-            i += 1L
+            i += step
           }
           rows = acc.toSeq.sortBy(_._1).iterator.map { case (k, a) =>
             val row = new GenericInternalRow(keys.length + ops.length)
@@ -412,8 +539,11 @@ class SynthGroupAggReaderFactory(users: Long, keys: Array[String],
 }
 
 class SynthScan(val lo: Long, val hi: Long, users: Long, parts: Int,
-                val required: StructType)
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+                val required: StructType, mod: Boolean = false,
+                userparts: Boolean = false,
+                pushedLimit: Option[Int] = None)
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
   // runtime-narrowed range + optional exact id set: populated by
   // filter() AFTER planning, BEFORE partition planning — the DPP
   // contract. Runtime filters are prune-only (the join re-applies
@@ -430,10 +560,30 @@ class SynthScan(val lo: Long, val hi: Long, users: Long, parts: Int,
   // streaming face of the connector (exercised by q325's bounded
   // AvailableNow replay)
   override def toMicroBatchStream(chk: String): MicroBatchStream =
-    new SynthMicroBatchStream(lo, hi, users, parts, required.fieldNames)
+    new SynthMicroBatchStream(lo, hi, users, parts, required.fieldNames,
+      mod)
   override def description(): String =
-    s"synth_events PushedRange($lo,$hi) cols=" +
-      required.fieldNames.mkString(",")
+    s"synth_events PushedRange($lo,$hi)" +
+      pushedLimit.map(k => s" PushedLimit($k)").getOrElse("") +
+      (if (keyGrouped) " KeyGroupedBy [user_id]" else "") +
+      " cols=" + required.fieldNames.mkString(",")
+
+  // layout=mod + userparts + user_id in the projection → one
+  // key-disjoint partition per user, reported as
+  // KeyGroupedPartitioning(identity(user_id)): a groupBy(user_id)
+  // over the scan — pushable aggregates or not — satisfies its
+  // clustered distribution straight off the read and plans ZERO
+  // exchanges, like a bucketed-table scan (gate query q402). Not
+  // reported when user_id was pruned away (the transform couldn't
+  // resolve) or under a pushed LIMIT (the k-row cut is range-based,
+  // not key-based).
+  private def keyGrouped = mod && userparts && pushedLimit.isEmpty &&
+    required.fieldNames.contains("user_id")
+  override def outputPartitioning(): Partitioning =
+    if (keyGrouped)
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("user_id")), users.toInt)
+    else new UnknownPartitioning(math.max(1, parts))
 
   // ---- runtime filtering (the connector analogue of dynamic
   // partition pruning): a join against a filtered dim hands the scan
@@ -495,7 +645,13 @@ class SynthScan(val lo: Long, val hi: Long, users: Long, parts: Int,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, parts)
-    allowed match {
+    if (keyGrouped)
+      // one key-disjoint partition per user over the (runtime-
+      // narrowed) range; the `allowed` id set is prune-only, so the
+      // hull narrowing alone is sound here
+      (0L until users).map(u =>
+        SynthUserPartition(u, rlo, rhi, users): InputPartition).toArray
+    else allowed match {
       case Some(ids) =>
         // exact-id partitions: contiguous chunks of the sorted set
         (0 until n).flatMap { p =>
@@ -516,7 +672,7 @@ class SynthScan(val lo: Long, val hi: Long, users: Long, parts: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(users, required.fieldNames)
+    new SynthReaderFactory(users, required.fieldNames, mod)
 }
 
 case class SynthPartition(start: Long, end: Long) extends InputPartition
@@ -524,7 +680,18 @@ case class SynthPartition(start: Long, end: Long) extends InputPartition
 /** Exact-id partition planned under a runtime IN filter. */
 case class SynthIdsPartition(ids: Array[Long]) extends InputPartition
 
-class SynthReaderFactory(users: Long, cols: Array[String])
+/** Key-disjoint per-user partition (layout=mod): user `u` owns ids
+  * ≡ u (mod users) within [start, end). Carries its key for Spark's
+  * key-grouped (storage-partitioned) machinery. */
+case class SynthUserPartition(u: Long, start: Long, end: Long,
+                              users: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](u))
+}
+
+class SynthReaderFactory(users: Long, cols: Array[String],
+                         mod: Boolean = false)
     extends PartitionReaderFactory {
   private def rowFor(i: Long): InternalRow = {
     val row = new GenericInternalRow(cols.length)
@@ -533,7 +700,9 @@ class SynthReaderFactory(users: Long, cols: Array[String])
       val v: Any = cols(c) match {
         case "event_id" => i
         case "ts_l" => SynthEvents.tsL(i)
-        case "user_id" => SynthEvents.userId(i, users)
+        case "user_id" =>
+          if (mod) SynthEvents.userIdMod(i, users)
+          else SynthEvents.userId(i, users)
         case "event_type" =>
           UTF8String.fromString(SynthEvents.eventType(i))
         case "value_e2" => SynthEvents.valueE2(i)
@@ -550,6 +719,24 @@ class SynthReaderFactory(users: Long, cols: Array[String])
         new PartitionReader[InternalRow] {
           private var i = sp.start - 1
           override def next(): Boolean = { i += 1; i < sp.end }
+          override def get(): InternalRow = rowFor(i)
+          override def close(): Unit = ()
+        }
+      case op: SynthOrderedPartition =>
+        new PartitionReader[InternalRow] {
+          private var i = if (op.desc) op.end else op.start - 1
+          override def next(): Boolean =
+            if (op.desc) { i -= 1; i >= op.start }
+            else { i += 1; i < op.end }
+          override def get(): InternalRow = rowFor(i)
+          override def close(): Unit = ()
+        }
+      case up: SynthUserPartition =>
+        new PartitionReader[InternalRow] {
+          private val off =
+            ((up.u - up.start) % up.users + up.users) % up.users
+          private var i = up.start + off - up.users
+          override def next(): Boolean = { i += up.users; i < up.end }
           override def get(): InternalRow = rowFor(i)
           override def close(): Unit = ()
         }
@@ -570,7 +757,8 @@ case class SynthOffset(v: Long) extends Offset {
 }
 
 class SynthMicroBatchStream(lo: Long, hi: Long, users: Long, parts: Int,
-                            cols: Array[String]) extends MicroBatchStream {
+                            cols: Array[String], mod: Boolean = false)
+    extends MicroBatchStream {
   override def initialOffset(): Offset = SynthOffset(lo)
   override def latestOffset(): Offset = SynthOffset(hi)
   override def deserializeOffset(json: String): Offset =
@@ -587,7 +775,7 @@ class SynthMicroBatchStream(lo: Long, hi: Long, users: Long, parts: Int,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(users, cols)
+    new SynthReaderFactory(users, cols, mod)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -1177,6 +1177,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q401: ORDER BY event_id DESC LIMIT k pushes COMPLETELY into " +
+       "the DSv2 source (SupportsPushDownTopN, isPartiallyPushed = " +
+       "false) — no Sort, no TakeOrderedAndProject survives") {
+    val p = plan("q401_dsv2_topn")
+    assert(p.contains("PushedTopN"), p)
+    assert(!p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort"), p)
+  }
+
+  test("q402: the DSv2 scan reports KeyGroupedPartitioning over its " +
+       "per-user partitions — groupBy(user_id) with NON-pushable " +
+       "aggregates runs with ZERO hash exchange (the only exchange " +
+       "is the final ORDER BY's range partitioning)") {
+    val p = plan("q402_dsv2_keygrouped")
+    assert(p.contains("KeyGroupedBy [user_id]"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q403: reported partitioning composes with the pushed grouped " +
+       "aggregate — per-user key-disjoint partitions fold their own " +
+       "ids into ONE partial row each (the finalize exchange carries " +
+       "`users` rows; Spark's pushed-agg rewrite aliases the group " +
+       "column, which blocks full exchange elision — q402 is the " +
+       "zero-exchange case)") {
+    val p = plan("q403_dsv2_keygrouped_pushed")
+    assert(p.contains("mode=partial+keygrouped"), p)
+    assert(p.contains("PushedGroupBy [user_id]"), p)
+    // the pushed partials must reach the exchange pre-aggregated —
+    // the scan, not a row-generating read, feeds the partial agg
+    assert(p.contains("PushedAggregates [COUNT(*), SUM(event_id), " +
+      "MIN(event_id), MAX(event_id)]"), p)
+  }
+
   // Output-type parity lint (the round-6 q307 lesson): the
   // correctness driver hashes values AFTER fetching both engines'
   // results, and some types round-trip differently — Spark
