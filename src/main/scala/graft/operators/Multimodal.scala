@@ -393,6 +393,113 @@ object Multimodal {
     })
   }
 
+  /** Perceptual difference-hash (dHash) of a 24bpp BMP — the
+    * codec-grounded image-dedup primitive: sample a (gw+1)×gh
+    * nearest-neighbor grid of integer Rec. 709 lumas (the [[BmpRow]]
+    * weighting — exact integers, so the fingerprint is byte- and
+    * engine-reproducible), set bit y·gw+x when the right neighbor is
+    * strictly brighter, pack the gw·gh bits as TWO unsigned-32 longs
+    * (hash_hi = bits 32…63, hash_lo = bits 0…31 — a single signed
+    * long can't carry bit 63 across engines). dHash is invariant to
+    * uniform brightness shifts (differences are unchanged wherever
+    * no channel wraps), which is exactly the near-duplicate class a
+    * resize/re-export pipeline produces. */
+  case class DhashRow(media_id: Long, hash_hi: Long, hash_lo: Long)
+
+  def dhashBmp24(mediaId: Long, bytes: Array[Byte],
+                 gw: Int = 8, gh: Int = 8): DhashRow = {
+    require(gw * gh == 64, s"grid $gw x $gh must pack to 64 bits")
+    val (w, h, px) = readBmp24(bytes)
+    def luma(sx: Int, sy: Int): Long = {
+      val (r, g, b) = px(sx, sy)
+      2126L * r + 7152L * g + 722L * b
+    }
+    var hi = 0L; var lo = 0L
+    var y = 0
+    while (y < gh) {
+      val sy = y * h / gh
+      var x = 0
+      while (x < gw) {
+        // (gw+1) sample columns — bit x compares columns x and x+1
+        val sxa = x * w / (gw + 1)
+        val sxb = (x + 1) * w / (gw + 1)
+        if (luma(sxb, sy) > luma(sxa, sy)) {
+          val k = y * gw + x
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    DhashRow(mediaId, hi, lo)
+  }
+
+  /** Distributed dHash: zero-shuffle mapPartitions batch, like every
+    * codec here. */
+  def dhashBmp(media: Dataset[MediaRow], gw: Int = 8,
+               gh: Int = 8): Dataset[DhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => dhashBmp24(m.media_id, m.content,
+      gw, gh)))
+  }
+
+  /** Image near-dup pairs by banded dHash: the 64 fingerprint bits
+    * split into four 16-bit Hamming buckets (two per packed half);
+    * images sharing ANY band are candidates (by pigeonhole, any pair
+    * within Hamming ≤ 3·bands/4 shares a band — recall 1.0 for
+    * maxHamming ≤ 3 here, high above), verified by exact popcount.
+    * Candidate generation is a bucket equi-join — never all-pairs —
+    * the [[graft.operators.Dedup.simhashPairs]] discipline on the
+    * codec-grounded fingerprint. Returns (id_a, id_b, hamming). */
+  def dhashPairs(media: Dataset[MediaRow], maxHamming: Int): DataFrame = {
+    val sigs = dhashBmp(media).toDF()
+    val banded = sigs.select(col("media_id").as("id"), col("hash_hi"),
+        col("hash_lo"),
+        explode(lit((0 until 4).toArray)).as("band"))
+      .withColumn("bucket", expr(
+        "CASE WHEN band < 2 THEN shiftright(hash_lo, band * 16) " +
+          "ELSE shiftright(hash_hi, (band - 2) * 16) END & 65535"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        expr("CAST(bit_count(x.hash_hi ^ y.hash_hi) AS BIGINT) + " +
+          "CAST(bit_count(x.hash_lo ^ y.hash_lo) AS BIGINT)")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Brightness-shifted twin corpus for the dHash near-dup gate:
+    * every `every`-th document contributes, alongside its base
+    * gradient BMP, a copy (media_id = base + copyOffset, SAME
+    * dimensions) with all channels shifted +`delta` mod 256 — the
+    * "re-exported with different exposure" near-duplicate. Away from
+    * mod-256 wrap positions the shift preserves every luma
+    * difference, so copies land within a small Hamming distance of
+    * their base — the property the fingerprint exists to catch. */
+  def syntheticBmpWithCopies(docs: DataFrame, every: Int, delta: Int,
+                             copyOffset: Long): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("id")).as[Long].flatMap { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + ((id / 9) % 7).toInt
+      def chan(a: Long, bx: Long, by: Long)(x: Int, y: Int): Int =
+        ((id * a + bx * x + by * y) % 256).toInt
+      val base = MediaRow(id, "image", encodeBmp24(w, h, (x, y) => (
+        chan(7, 3, 5)(x, y), chan(11, 13, 17)(x, y),
+        chan(19, 23, 29)(x, y))))
+      if (id % every == 0)
+        Seq(base, MediaRow(id + copyOffset, "image",
+          encodeBmp24(w, h, (x, y) => (
+            (chan(7, 3, 5)(x, y) + delta) % 256,
+            (chan(11, 13, 17)(x, y) + delta) % 256,
+            (chan(19, 23, 29)(x, y) + delta) % 256))))
+      else Seq(base)
+    }
+  }
+
   /** Nearest-neighbor downsample by an integer factor: output pixel
     * (x, y) samples source (x·f, y·f); output dims are ⌈w/f⌉×⌈h/f⌉.
     * Decode → transform → re-encode per row inside one mapPartitions

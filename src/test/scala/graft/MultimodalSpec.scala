@@ -205,4 +205,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bins(5L) == 1)                    // pure green: 7152*255 → bin 5
     assert(bins.values.sum == 4)
   }
+
+  test("dHash: invariant under a uniform brightness shift with no " +
+       "channel wrap, and changed by a structural edit") {
+    import graft.operators.Multimodal
+    // channels bounded in [40, 168] — a +20 shift cannot wrap, so
+    // every luma DIFFERENCE (hence every dhash bit) is preserved
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      (40 + (x * 13 + y * 7) % 128, 40 + (x * 5 + y * 31) % 128,
+        40 + (x * 23 + y * 3) % 128)
+    val base = Multimodal.encodeBmp24(17, 11, px)
+    val shifted = Multimodal.encodeBmp24(17, 11, (x, y) => {
+      val (r, g, b) = px(x, y); (r + 20, g + 20, b + 20)
+    })
+    val edited = Multimodal.encodeBmp24(17, 11, (x, y) =>
+      if (x < 8) px(x, y)
+      else { val (r, g, b) = px(x, y); (255 - r, 255 - g, 255 - b) })
+    val hb = Multimodal.dhashBmp24(1L, base)
+    val hs = Multimodal.dhashBmp24(2L, shifted)
+    val he = Multimodal.dhashBmp24(3L, edited)
+    assert(hb.hash_hi == hs.hash_hi && hb.hash_lo == hs.hash_lo)
+    val ham = java.lang.Long.bitCount(hb.hash_hi ^ he.hash_hi) +
+      java.lang.Long.bitCount(hb.hash_lo ^ he.hash_lo)
+    assert(ham > 4, s"structural edit must move the hash, hamming=$ham")
+    // both packed halves stay in unsigned-32 range (cross-engine)
+    Seq(hb, hs, he).foreach { r =>
+      assert(r.hash_hi >= 0L && r.hash_hi < (1L << 32))
+      assert(r.hash_lo >= 0L && r.hash_lo < (1L << 32))
+    }
+  }
+
+  test("dhashPairs: banded bucket join finds every pair within " +
+       "Hamming <= 3 (pigeonhole over 4 bands) on a constructed set") {
+    import graft.operators.Multimodal
+    import TestSpark.spark
+    import spark.implicits._
+    // img 2 = img 1 with one sample-grid cell nudged (small hamming);
+    // img 3 unrelated
+    def px1(x: Int, y: Int): (Int, Int, Int) =
+      (40 + (x * 13 + y * 7) % 128, 40 + (x * 5 + y * 31) % 128, 60)
+    val m = Seq(
+      Multimodal.MediaRow(1L, "image", Multimodal.encodeBmp24(9, 8, px1)),
+      Multimodal.MediaRow(2L, "image", Multimodal.encodeBmp24(9, 8,
+        (x, y) => if (x == 4 && y == 4) (255, 255, 255) else px1(x, y))),
+      Multimodal.MediaRow(3L, "image", Multimodal.encodeBmp24(9, 8,
+        (x, y) => ((x * 97 + y * 89) % 256, (x * 83 + y * 79) % 256,
+          (x * 73 + y * 71) % 256))))
+      .toDS()
+    val pairs = Multimodal.dhashPairs(m, maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 3L),
+      s"the nudged twin must surface: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      s"the unrelated image must not pair: $pairs")
+  }
 }
