@@ -127,4 +127,154 @@ class IntegritySpec extends AnyFunSuite {
     assert(m > 0 && m <= math.min(n1, n2))
     assert(est >= math.max(n1, n2))
   }
+
+  // --- round-10 additions: brute-force third implementations for the
+  // drift/association trio (χ², JS, PSI) and the Fellegi–Sunter
+  // linkage — the queries with the most hand-derived constants.
+
+  test("q383 chi-square equals the brute contingency recompute " +
+       "(full margin cross, cross-multiplied integer form)") {
+    val cells = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .select(col("event_type").as("x"),
+        hour(col("ts_s")).cast("long").as("h"))
+      .as[(String, Long)].collect().toSeq
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val xs = cells.keys.map(_._1).toSeq.distinct
+    val hs = cells.keys.map(_._2).toSeq.distinct
+    val r = xs.map(x => x -> cells.collect {
+      case ((`x`, _), c) => c }.sum).toMap
+    val s2 = hs.map(h => h -> cells.collect {
+      case ((_, `h`), c) => c }.sum).toMap
+    val n = cells.values.sum
+    val chi2 = (for { x <- xs; h <- hs } yield {
+      val o = cells.getOrElse((x, h), 0L)
+      val d = BigInt(n) * o - BigInt(r(x)) * s2(h)
+      math.rint((d * d).toDouble /
+        (BigInt(n) * r(x) * s2(h)).toDouble * 1e6).toLong
+    }).sum
+    val row = q("q383_chi2_independence").collect().head
+    assert(row.getAs[Long]("n_events") == n)
+    assert(row.getAs[Long]("n_cells") == xs.size.toLong * hs.size)
+    assert(row.getAs[Long]("dof") == (xs.size - 1L) * (hs.size - 1L))
+    assert(row.getAs[Long]("chi2_e6") == chi2)
+  }
+
+  test("q384 JS divergence equals the brute per-bucket recompute " +
+       "(integer ratio inside ln, e9-rounded per bucket)") {
+    val ev = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        least(expr("CAST(round(value * 100) AS BIGINT) div 5000"),
+          lit(9L)).as("bkt"))
+      .as[(String, Long)].collect().toSeq
+    val byB = ev.groupBy(_._2).map { case (b, es) =>
+      b -> (es.count(_._1 == "click").toLong,
+        es.count(_._1 == "view").toLong)
+    }
+    val na = byB.values.map(_._1).sum
+    val nb = byB.values.map(_._2).sum
+    def term(c: Long, nSelf: Long, o: Long, nOth: Long): Long =
+      if (c == 0L) 0L
+      else {
+        val num = BigInt(2) * c * nOth
+        val den = BigInt(c) * nOth + BigInt(o) * nSelf
+        math.rint(c.toDouble / nSelf.toDouble *
+          math.log(num.toDouble / den.toDouble) * 1e9).toLong
+      }
+    val sp = byB.values.map { case (ca, cb) => term(ca, na, cb, nb) }.sum
+    val sq = byB.values.map { case (ca, cb) => term(cb, nb, ca, na) }.sum
+    val row = q("q384_js_divergence").collect().head
+    assert(row.getAs[Long]("n_click") == na)
+    assert(row.getAs[Long]("n_view") == nb)
+    assert(row.getAs[Long]("n_buckets") == byB.size.toLong)
+    assert(row.getAs[Long]("sum_p_e9") == sp)
+    assert(row.getAs[Long]("sum_q_e9") == sq)
+    assert(row.getAs[Long]("js_e9") ==
+      math.rint((sp + sq).toDouble / 2.0).toLong)
+  }
+
+  test("q396 PSI equals the brute per-type recompute (Laplace +1 on " +
+       "the full 10-bucket grid, e9-rounded per bucket)") {
+    val split = java.sql.Timestamp.valueOf("2024-06-15 00:00:00")
+    val ev = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .select(col("event_type"),
+        least(expr("CAST(round(value * 100) AS BIGINT) div 5000"),
+          lit(9L)).as("bkt"), col("ts_s"))
+      .as[(String, Long, java.sql.Timestamp)].collect().toSeq
+    val got = q("q396_psi_drift")
+      .select("event_type", "n_first", "n_second", "psi_e9")
+      .as[(String, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    ev.groupBy(_._1).foreach { case (et, es) =>
+      val cs = (0L to 9L).map { b =>
+        val in = es.filter(_._2 == b)
+        (in.count(_._3.before(split)).toLong + 1L,
+          in.count(!_._3.before(split)).toLong + 1L)
+      }
+      val na = cs.map(_._1).sum
+      val nb = cs.map(_._2).sum
+      val psi = cs.map { case (ca, cb) =>
+        math.rint((ca.toDouble / na.toDouble - cb.toDouble / nb.toDouble) *
+          math.log((BigInt(ca) * nb).toDouble /
+            (BigInt(cb) * na).toDouble) * 1e9).toLong
+      }.sum
+      val (_, gNa, gNb, gPsi) = got(et)
+      assert(gNa == na && gNb == nb && gPsi == psi, et)
+    }
+  }
+
+  test("q393 Fellegi-Sunter equals a plain-Scala replay of the " +
+       "chunked blocking, prefix Levenshtein, and weight table") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      var i = 1
+      while (i <= a.length) {
+        var prev = dp(0); dp(0) = i
+        var j = 1
+        while (j <= b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+          prev = cur
+          j += 1
+        }
+        i += 1
+      }
+      dp(b.length)
+    }
+    val byBlock = docs.groupBy(d => (d._4, d._5 / 25))
+    val scored = byBlock.toSeq.flatMap { case ((src, _), ds) =>
+      // chunk tier replay: sort by (prefix40, id), chunks of 32
+      val sorted = ds.map(d => (d._1, d._2.take(40), d._3, d._5))
+        .sortBy(t => (t._2, t._1))
+      sorted.zipWithIndex.groupBy(_._2 / 32).values.flatMap { chunk =>
+        val c = chunk.map(_._1)
+        for {
+          i <- c.indices; j <- c.indices
+          if c(i)._1 < c(j)._1
+        } yield {
+          val (ia, ja) = (c(i), c(j))
+          val dist = lev(ia._2, ja._2)
+          val score =
+            (if (ia._3 == ja._3) 642000L else -2303000L) +
+              (if (math.abs(ia._4 - ja._4) <= 10L) 1504000L
+               else -2079000L) +
+              (if (dist <= 5) 2773000L else -1558000L)
+          (src, score)
+        }
+      }
+    }
+    val want = scored.groupBy(_._1).map { case (srcKey, ps) =>
+      val sc = ps.map(_._2)
+      srcKey -> (sc.size.toLong, sc.count(_ >= 2000000L).toLong,
+        sc.min, sc.max, sc.sum)
+    }
+    val got = q("q393_fellegi_sunter")
+      .select("source", "n_pairs", "n_match", "min_score_e6",
+        "max_score_e6", "sum_score_e6")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (srcKey, w) => assert(got(srcKey) == w, srcKey) }
+  }
 }

@@ -7,7 +7,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BikeStatus, MergeByKey, TripParams, Trips}
+import graft.operators.{BikeStatus, Dedup, MergeByKey, TripParams, Trips}
 
 /** Property-based invariants (SURVEY.md §5.3): trip bounds hold on
   * random snapshot streams with duplicates and out-of-order arrivals;
@@ -359,5 +359,76 @@ class PropertySpec extends AnyFunSuite {
     val again = spark.range(n).select(Curate.poissonWeight(u).as("w"))
       .agg(sum(col("w")).cast("double")).collect()(0).getDouble(0)
     assert(again == stats.getDouble(0))
+  }
+
+  // --- guard laws (the DedupSpec tripwire example promoted to
+  // properties over RANDOM posting/bucket shapes): the hot-key
+  // guards must be exactly loud-never-lossy —
+  //  (a) results-preserving whenever every posting/bucket length is
+  //      at or under the cap (guarded == unguarded, bit for bit);
+  //  (b) raising whenever ANY length exceeds the cap.
+
+  private val genPostingShape: Gen[Seq[(Long, Long)]] = for {
+    nSh <- Gen.choose(2, 8)
+    // per-shingle posting lengths, some small, occasionally long
+    lens <- Gen.listOfN(nSh, Gen.frequency(
+      (4, Gen.choose(1, 4)), (2, Gen.choose(5, 9)),
+      (1, Gen.choose(10, 16))))
+  } yield lens.zipWithIndex.flatMap { case (len, sh) =>
+    // doc ids per posting: a deterministic spread so pairs overlap
+    // across shingles (the jaccard grouping has real work to do)
+    (0 until len).map(j => ((sh * 3 + j * 5 + 1).toLong, sh.toLong))
+  }
+
+  test("guard law (a): jaccardPairs guarded == unguarded on every " +
+       "random posting shape with all lengths <= cap") {
+    cases(genPostingShape, 12).foreach { rows =>
+      val df = rows.toDF("id", "sh")
+      val maxLen = rows.groupBy(_._2).map(_._2.size).max
+      val guarded = Dedup
+        .jaccardPairs(df, 0.0, maxPostingLen = Some(maxLen.toLong))
+        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "inter", "size_a", "size_b")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val unguarded = Dedup.jaccardPairs(df, 0.0, maxPostingLen = None)
+        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "inter", "size_a", "size_b")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(guarded == unguarded, s"shape=$rows")
+    }
+  }
+
+  test("guard law (b): jaccardPairs ALWAYS raises when any posting " +
+       "exceeds the cap; lshCandidates likewise on bucket lengths") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    cases(genPostingShape, 12).foreach { rows =>
+      val df = rows.toDF("id", "sh")
+      val maxLen = rows.groupBy(_._2).map(_._2.size).max
+      if (maxLen > 1) {
+        val ex = intercept[Throwable] {
+          Dedup.jaccardPairs(df, 0.0,
+            maxPostingLen = Some(maxLen - 1L)).count()
+        }
+        assert(msgs(ex).exists(_.contains("maxPostingLen")),
+          s"shape=$rows msgs=${msgs(ex)}")
+      }
+      // same shapes read as (band, bucket) memberships
+      val buckets = rows.map { case (id, sh) => (id, 0, sh) }
+        .toDF("id", "band", "bucket")
+      if (maxLen > 1) {
+        val ex2 = intercept[Throwable] {
+          Dedup.lshCandidates(buckets,
+            maxBucketLen = Some(maxLen - 1L)).count()
+        }
+        assert(msgs(ex2).exists(_.contains("maxBucketLen")),
+          s"shape=$rows msgs=${msgs(ex2)}")
+      }
+      val nPairs = rows.groupBy(_._2).values
+        .map(g => g.size.toLong * (g.size - 1) / 2).sum
+      assert(Dedup.lshCandidates(buckets,
+        maxBucketLen = Some(maxLen.toLong)).count() <= nPairs)
+    }
   }
 }
