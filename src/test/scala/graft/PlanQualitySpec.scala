@@ -1101,7 +1101,13 @@ class PlanQualitySpec extends AnyFunSuite {
       // bins (~10^3–10^4 rows regardless of volume)
       "graft/analytics/Advanced.scala :: val w = org.apache.spark.sql.expressions.Window.orderBy(col(\"v\"))",
       // q240: waterfill boundary over the |sources| enumeration
-      "graft/analytics/Governance.scala :: val w = Window.orderBy(col(\"cap\"), col(\"source\"))")
+      "graft/analytics/Governance.scala :: val w = Window.orderBy(col(\"cap\"), col(\"source\"))",
+      // Shift tier (q405+): every use runs over a DISTINCT-VALUE
+      // table (e2 cents universe / n_chars universe), a day-grain
+      // table, or a (source × lang) hypothesis enumeration — bounded
+      // by a domain/universe, never by data volume (the q160 binned-
+      // ECDF argument, documented at the helper)
+      "graft/analytics/Shift.scala :: private def axis(sort: Column*) = Window.orderBy(sort: _*)")
     val unexpected = sites -- allow
     val stale = allow -- sites
     assert(unexpected.isEmpty,

@@ -1,0 +1,194 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Independent checks for the round-10 distribution-shift tier:
+  * beyond the DuckDB oracle (which shares the SQL formulation), these
+  * recompute the statistics BRUTE-FORCE in plain Scala from the same
+  * parquet — a third implementation that shares no query machinery
+  * with either engine (pairwise O(n²) loops where the queries use
+  * cumulant identities) — and assert the structural laws the
+  * procedures promise (BH step-up prefix property, fence containment).
+  */
+class ShiftSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sf001)
+
+  /** (event_type, e2-quantized value) for click/view at sf0.001 —
+    * small enough for O(n²) pairwise recomputation. */
+  private lazy val cv: Seq[(String, Long)] =
+    graft.core.Tables.load(spark, TestSpark.sf001, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+
+  private lazy val clicks = cv.filter(_._1 == "click").map(_._2)
+  private lazy val views = cv.filter(_._1 == "view").map(_._2)
+
+  test("q405 Wasserstein-1 equals the brute-force CDF integral " +
+       "computed in BigInt from the same events") {
+    val na = clicks.size.toLong
+    val nb = views.size.toLong
+    val support = (clicks ++ views).distinct.sorted
+    var cuma = 0L; var cumb = 0L
+    var mass = BigInt(0)
+    support.sliding(2).foreach { case Seq(v, vn) =>
+      cuma += clicks.count(_ == v); cumb += views.count(_ == v)
+      mass += (BigInt(cuma) * nb - BigInt(cumb) * na).abs * (vn - v)
+    case _ => ()
+    }
+    val w1 = math.rint(mass.toDouble
+      / (na.toDouble * nb.toDouble * 100.0) * 1000000.0).toLong
+    val row = q("q405_wasserstein").collect().head
+    assert(row.getAs[Long]("na") == na)
+    assert(row.getAs[Long]("nb") == nb)
+    assert(row.getAs[Long]("w1_e6") == w1)
+  }
+
+  test("q407 energy-distance masses equal O(n²) pairwise |x−y| sums " +
+       "— the cumulant identity against the literal definition") {
+    def cross(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.map(x => b.iterator.map(y => math.abs(x - y)).sum).sum
+    def self(a: Seq[Long]): Long = {
+      val s = a.toIndexedSeq
+      (0 until s.size).iterator.map(i =>
+        (i + 1 until s.size).iterator.map(j =>
+          math.abs(s(i) - s(j))).sum).sum
+    }
+    val row = q("q407_energy_distance").collect().head
+    assert(row.getAs[Long]("mass_ab") == cross(clicks, views))
+    assert(row.getAs[Long]("mass_aa") == self(clicks))
+    assert(row.getAs[Long]("mass_bb") == self(views))
+  }
+
+  test("q409 Kruskal–Wallis: doubled midranks off the value axis " +
+       "equal literal average-rank assignment, and H matches the " +
+       "replicated rounding chain") {
+    val docs = graft.core.Tables.load(spark, TestSpark.sf001, "documents")
+      .select("source", "n_chars").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+    // literal midranks: sort all values, average the 1-based ranks of
+    // each tie block; doubled to stay integral
+    val all = docs.map(_._2).sorted
+    val drankOf: Map[Long, Long] = all.zipWithIndex
+      .groupBy(_._1)
+      .map { case (v, g) =>
+        val ranks = g.map(_._2 + 1L) // 1-based
+        v -> (2L * ranks.sum / ranks.size) // 2·avg is integral
+      }
+    val bySrc = docs.groupBy(_._1)
+    val n = docs.size.toLong
+    val t = bySrc.values.map { g =>
+      val r2 = g.map(d => drankOf(d._2)).sum
+      val ni = g.size.toLong
+      math.rint(r2.toDouble * r2.toDouble / (4.0 * ni.toDouble)
+        * 1000.0).toLong
+    }.sum
+    val hE6 = math.rint(12000.0 * t.toDouble
+      / (n.toDouble * (n + 1L).toDouble)
+      - 3000000.0 * (n + 1L).toDouble).toLong
+    val row = q("q409_kruskal_wallis").collect().head
+    assert(row.getAs[Long]("n_docs") == n)
+    assert(row.getAs[Long]("sum_r2n_e3") == t)
+    assert(row.getAs[Long]("h_e6") == hE6)
+  }
+
+  test("q410 BH step-up: the selected set is exactly the prefix of " +
+       "the p-ascending order up to k* = max{i : p_i ≤ α·i/m}") {
+    val rows = q("q410_bh_stepup").collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("score_e9"),
+        r.getAs[Long]("thr_e9"), r.getAs[Long]("selected")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    val ks = rows.filter(r => r._2 <= r._3).map(_._1)
+    val kstar = if (ks.isEmpty) 0L else ks.max
+    rows.foreach { case (rnk, _, _, sel) =>
+      assert(sel == (if (rnk <= kstar) 1L else 0L),
+        s"rank $rnk: selected=$sel but kstar=$kstar")
+    }
+    // the step-up property proper: ranks ≤ k* are selected even when
+    // their OWN p exceeds their own threshold
+    assert(rows.filter(_._1 <= kstar).forall(_._4 == 1L))
+  }
+
+  test("q412 ERR@10: the scaled cascade equals an exact BigInt " +
+       "rational recomputation per user") {
+    val events = graft.core.Tables.load(spark, TestSpark.sf001, "events")
+      .select("user_id", "event_id", "value", "event_type")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3)))
+    def g(t: String): Int = t match {
+      case "purchase" => 3; case "signup" => 2; case "click" => 1
+      case _ => 0
+    }
+    val perUser = events.groupBy(_._1).map { case (_, es) =>
+      val top = es.sortBy(e => (-e._3, e._2)).take(10)
+      var gprev = 0L; var acc = BigInt(0)
+      top.zipWithIndex.foreach { case (e, i) =>
+        val r = i + 1
+        val gi = g(e._4)
+        acc += BigInt(2520 / r) * ((1L << gi) - 1) *
+          (BigInt(1) << (30 - gi - gprev.toInt))
+        gprev += gi
+      }
+      acc
+    }.toSeq
+    val sum = perUser.sum
+    val nUsers = perUser.size.toLong
+    val errE9 = math.rint(1000000000.0 * sum.toDouble
+      / (nUsers.toDouble * 2705829396480.0)).toLong
+    val row = q("q412_err_at_10").collect().head
+    assert(row.getAs[Long]("n_users") == nUsers)
+    assert(BigInt(row.getAs[Long]("sum_err_scaled")) == sum)
+    assert(row.getAs[Long]("err_e9") == errE9)
+  }
+
+  test("q414 Tukey fences: quartiles are literal order statistics and" +
+       " every value outside the fences (and none inside) is counted") {
+    val docs = graft.core.Tables.load(spark, TestSpark.sf001, "documents")
+      .select("source", "n_chars").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = q("q414_tukey_fences").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("q1"), r.getAs[Long]("q3"),
+          r.getAs[Long]("n_out"))).toMap
+    docs.groupBy(_._1).foreach { case (src, g) =>
+      val xs = g.map(_._2).sorted
+      val n = xs.size
+      val q1 = xs(((n + 3) / 4) - 1)
+      val q3 = xs(((3 * n + 3) / 4) - 1)
+      val iqr = q3 - q1
+      val out = xs.count(x =>
+        2 * x < 2 * q1 - 3 * iqr || 2 * x > 2 * q3 + 3 * iqr)
+      val (gq1, gq3, gout) = rows(src)
+      assert(gq1 == q1 && gq3 == q3 && gout == out.toLong,
+        s"source $src: got ($gq1,$gq3,$gout) want ($q1,$q3,$out)")
+    }
+  }
+
+  test("q416 Hodges–Lehmann equals the literal median of all " +
+       "pairwise daily-mean differences") {
+    val day = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), to_date(col("ts_s")).cast("string")
+        .as("day"), round(col("value") * 100).cast("long").as("v"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def means(t: String): Seq[Long] =
+      day.filter(_._1 == t).groupBy(_._2).values.map { g =>
+        math.rint(10000.0 * g.map(_._3).sum.toDouble
+          / g.size.toDouble).toLong
+      }.toSeq
+    val xa = means("click"); val xb = means("view")
+    val diffs = (for (a <- xa; b <- xb) yield a - b).sorted
+    val hl = diffs(((diffs.size + 1) / 2) - 1)
+    val row = q("q416_hodges_lehmann").collect().head
+    assert(row.getAs[Long]("n_pairs") == diffs.size.toLong)
+    assert(row.getAs[Long]("hl_e4") == hl)
+  }
+}
