@@ -194,26 +194,40 @@ object Shift {
   // division. E = 0 iff the distributions are equal — the metric
   // property KS/CvM lack (they're only pseudo-metrics on ties).
   // ---------------------------------------------------------------------
-  private def q407(s: SparkSession, dir: String): DataFrame = {
-    val cnt = cvCounts(s, dir)
+  /** Pairwise |x−y| mass identity: from a per-DISTINCT-VALUE count
+    * table (v, ca, cb) — two multisets A and B reduced to the value
+    * grain — returns ONE row (mab, maa, mbb) = Σ|x−y| over A×B,
+    * unordered A-pairs, and unordered B-pairs, via exclusive
+    * cumulants on the sorted value axis (Σ_pairs|x−y| =
+    * Σ_v c(v)·(v·C_below(v) − S_below(v)) from both sides; equal
+    * values contribute zero so strict-below suffices). Never
+    * materializes a pair; the axis is the value UNIVERSE. Columns come
+    * back as decimal(38,0). Public: PropertySpec checks the identity
+    * against literal O(n²) loops on random multisets. */
+  def absDiffMasses(cnt: DataFrame): DataFrame = {
+    val base = cnt
       .withColumn("sa", col("v") * col("ca"))
       .withColumn("sb", col("v") * col("cb"))
-    val tot = cnt.agg(sum("ca").as("na"), sum("cb").as("nb"))
     val wp = axis(col("v")).rowsBetween(Window.unboundedPreceding, -1)
-    val cum = cnt
+    base
       .withColumn("cax", coalesce(sum("ca").over(wp), lit(0L)))
       .withColumn("cbx", coalesce(sum("cb").over(wp), lit(0L)))
       .withColumn("sax", coalesce(sum("sa").over(wp), lit(0L)))
       .withColumn("sbx", coalesce(sum("sb").over(wp), lit(0L)))
-    val masses = cum.agg(
-      sum(col("ca").cast(dec) * (col("v") * col("cbx") - col("sbx"))
-        + col("cb").cast(dec) * (col("v") * col("cax") - col("sax")))
-        .as("mab"),
-      sum(col("ca").cast(dec) * (col("v") * col("cax") - col("sax")))
-        .as("maa"),
-      sum(col("cb").cast(dec) * (col("v") * col("cbx") - col("sbx")))
-        .as("mbb"))
-    masses.crossJoin(broadcast(tot))
+      .agg(
+        sum(col("ca").cast(dec) * (col("v") * col("cbx") - col("sbx"))
+          + col("cb").cast(dec) * (col("v") * col("cax") - col("sax")))
+          .as("mab"),
+        sum(col("ca").cast(dec) * (col("v") * col("cax") - col("sax")))
+          .as("maa"),
+        sum(col("cb").cast(dec) * (col("v") * col("cbx") - col("sbx")))
+          .as("mbb"))
+  }
+
+  private def q407(s: SparkSession, dir: String): DataFrame = {
+    val cnt = cvCounts(s, dir)
+    val tot = cnt.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    absDiffMasses(cnt).crossJoin(broadcast(tot))
       .select(col("na"), col("nb"),
         col("mab").cast("long").as("mass_ab"),
         col("maa").cast("long").as("mass_aa"),
@@ -959,6 +973,591 @@ object Shift {
       |GROUP BY n_a, n_b
       |ORDER BY n_a""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q417 — Anderson–Darling two-sample statistic (Scholz–Stephens
+  // A²akN, the ties-adjusted form of Pettitt's two-sample AD) between
+  // click and view values: the tail-weighted ECDF distance — the
+  // j(N−j) denominator upweights the tails where KS/CvM are least
+  // sensitive, which is exactly where value distributions drift first.
+  // On the doubled mid-cumulant grid (M2 = 2·cumA_below + ca,
+  // B2 = 2·cum_below + l) the halves clear: A² = (N−1)/N² ·
+  // Σ_v l·(N·M2 − na·B2)²/(B2(2N−B2) − N·l) — integer numerator in
+  // decimal(38,0), integer denominator, ONE per-row e9 division (the
+  // 1/N² folded in to keep the rounded term bounded by l), exact sum,
+  // one readout scale. Fully-tied axes hit den = 0 with num = 0 —
+  // the term is dropped on both engines.
+  // ---------------------------------------------------------------------
+  private def q417(s: SparkSession, dir: String): DataFrame = {
+    val cnt = cvCounts(s, dir)
+    val tot = cnt.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      count(lit(1)).as("n_support"))
+    val wp = axis(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val terms = cnt
+      .withColumn("cax", coalesce(sum("ca").over(wp), lit(0L)))
+      .withColumn("cx",
+        coalesce(sum(col("ca") + col("cb")).over(wp), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("nn", col("na") + col("nb"))
+      .withColumn("l", col("ca") + col("cb"))
+      .withColumn("m2", lit(2L) * col("cax") + col("ca"))
+      .withColumn("b2", lit(2L) * col("cx") + col("l"))
+      .withColumn("dnum",
+        col("nn") * col("m2") - col("na") * col("b2"))
+      .withColumn("den", col("b2") * (lit(2L) * col("nn") - col("b2"))
+        - col("nn") * col("l"))
+      .withColumn("r_e9", when(col("den") > 0L,
+        round(lit(1000000000.0)
+          * (col("l").cast(dec) * col("dnum") * col("dnum"))
+            .cast("double")
+          / (col("den").cast("double") * col("nn").cast("double")
+            * col("nn").cast("double"))).cast("long"))
+        .otherwise(0L))
+    terms.groupBy("na", "nb", "n_support", "nn")
+      .agg(sum("r_e9").as("sum_r_e9"))
+      .select(col("na"), col("nb"), col("n_support"), col("sum_r_e9"),
+        round((col("nn") - 1L).cast("double")
+          * col("sum_r_e9").cast("double") / 1000.0)
+          .cast("long").as("a2_e6"))
+      .orderBy("na")
+  }
+
+  private val q417Sql =
+    s"""WITH cnt AS (
+       |  $cvCountsSql),
+       |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+       |  CAST(sum(cb) AS BIGINT) AS nb, count(*) AS n_support FROM cnt),
+       |cum AS (
+       |  SELECT v, ca, cb,
+       |    COALESCE(CAST(sum(ca) OVER w AS BIGINT), 0) AS cax,
+       |    COALESCE(CAST(sum(ca + cb) OVER w AS BIGINT), 0) AS cx
+       |  FROM cnt
+       |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND 1 PRECEDING)),
+       |terms AS (
+       |  SELECT na, nb, n_support, na + nb AS nn, ca + cb AS l,
+       |    2 * cax + ca AS m2, 2 * cx + ca + cb AS b2
+       |  FROM cum CROSS JOIN tot),
+       |terms2 AS (
+       |  SELECT na, nb, n_support, nn, l,
+       |    nn * m2 - na * b2 AS dnum,
+       |    b2 * (2 * nn - b2) - nn * l AS den
+       |  FROM terms),
+       |terms3 AS (
+       |  SELECT na, nb, n_support, nn,
+       |    CASE WHEN den > 0 THEN
+       |      CAST(round(1000000000.0
+       |        * CAST(CAST(l AS HUGEINT) * dnum * dnum AS DOUBLE)
+       |        / (CAST(den AS DOUBLE) * CAST(nn AS DOUBLE)
+       |          * CAST(nn AS DOUBLE))) AS BIGINT)
+       |    ELSE 0 END AS r_e9
+       |  FROM terms2)
+       |SELECT na, nb, n_support, CAST(sum(r_e9) AS BIGINT) AS sum_r_e9,
+       |  CAST(round(CAST(nn - 1 AS DOUBLE)
+       |    * CAST(sum(r_e9) AS DOUBLE) / 1000.0) AS BIGINT) AS a2_e6
+       |FROM terms3
+       |GROUP BY na, nb, n_support, nn
+       |ORDER BY na""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q418 — Cliff's delta per weekday: the effect size belonging to
+  // q260's Mann–Whitney significance — δ = P(X>Y) − P(X<Y) =
+  // (2U − nm)/nm, read DIRECTLY off the same doubled-U cumulant
+  // construction (u_x2 counts ties half, doubled), so δ = (u_x2 −
+  // nm)/nm is ONE e6 division per weekday from exact longs. δ = 0 is
+  // stochastic equality; |δ| ≥ 0.474 is Romano's "large". Same
+  // distinct-value grain and windows as q260 — the significance and
+  // the effect size come out of one reduction shape.
+  // ---------------------------------------------------------------------
+  private def q418(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(dayofweek(col("ts_s")).cast("long").as("dow"),
+        col("event_type"),
+        round(col("value") * 10000).cast("long").as("v_e4"))
+    val cnt = e.groupBy("dow", "v_e4")
+      .agg(sum((col("event_type") === "click").cast("long")).as("ca"),
+        sum((col("event_type") === "view").cast("long")).as("cb"))
+    val w = Window.partitionBy("dow").orderBy("v_e4")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cnt
+      .withColumn("cb_below", coalesce(sum("cb").over(w), lit(0L)))
+      .groupBy("dow")
+      .agg(sum("ca").as("n_click"), sum("cb").as("n_view"),
+        sum(col("ca") * (lit(2) * col("cb_below") + col("cb")))
+          .as("u_click_x2"))
+      .select(col("dow"), col("n_click"), col("n_view"),
+        col("u_click_x2"),
+        round(lit(1000000.0)
+          * (col("u_click_x2") - col("n_click") * col("n_view"))
+            .cast("double")
+          / (col("n_click") * col("n_view")).cast("double"))
+          .cast("long").as("delta_e6"))
+      .orderBy("dow")
+  }
+
+  private val q418Sql =
+    s"""WITH e AS (
+       |  SELECT CAST(dayofweek(date_trunc('second', ts)) + 1 AS BIGINT)
+       |      AS dow,
+       |    event_type,
+       |    CAST(round(value * 10000) AS BIGINT) AS v_e4
+       |  FROM events WHERE event_type IN ('click', 'view')),
+       |cnt AS (
+       |  SELECT dow, v_e4,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cb
+       |  FROM e GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT dow, ca, cb,
+       |    COALESCE(CAST(sum(cb) OVER (PARTITION BY dow ORDER BY v_e4
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS BIGINT), 0) AS cb_below
+       |  FROM cnt),
+       |u AS (
+       |  SELECT dow, CAST(sum(ca) AS BIGINT) AS n_click,
+       |    CAST(sum(cb) AS BIGINT) AS n_view,
+       |    CAST(sum(ca * (2 * cb_below + cb)) AS BIGINT) AS u_click_x2
+       |  FROM cum GROUP BY dow)
+       |SELECT dow, n_click, n_view, u_click_x2,
+       |  CAST(round(1000000.0
+       |    * CAST(u_click_x2 - n_click * n_view AS DOUBLE)
+       |    / CAST(n_click * n_view AS DOUBLE)) AS BIGINT) AS delta_e6
+       |FROM u ORDER BY dow""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q419 — Friedman test + Kendall's W over the three deterministic
+  // document "raters" (q378's chars/tokens/punctuation bucketers as
+  // repeated measures on each document block): do the raters rank
+  // documents concordantly? Within-block doubled midranks
+  // (2·below + eq + 1, eq including self) come from the k²-bounded
+  // within-block self-join (k = 3); the tie-general Friedman form
+  // clears ALL fractions with doubled ranks:
+  // χ²_F = (k−1)(ΣR2_j² − N²k(k+1)²)/(Σdr² − N·k(k+1)²) — exact
+  // integers up to ONE e6 division; W = χ²/(N(k−1)) is a second
+  // readout of the same integers. ΣR2² ≥ 48N² by Cauchy–Schwarz so
+  // the numerator is never negative; a fully-tied corpus hits
+  // den = 0 and reads NULL on both engines.
+  // ---------------------------------------------------------------------
+  private def q419(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val rated = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(array(
+        struct(lit(1L).as("rater"),
+          least(expr("n_chars div 150"), lit(5L)).as("sc")),
+        struct(lit(2L).as("rater"),
+          least((size(Text.words(col("text"))) / 30).cast("long"),
+            lit(5L)).as("sc")),
+        struct(lit(3L).as("rater"),
+          least(expr(
+            "(length(text) - length(replace(text, '.'))) div 2"),
+            lit(5L)).as("sc")))).as("r"))
+      .select(col("doc_id"), col("r.rater").as("rater"),
+        col("r.sc").as("sc"))
+    val dr = rated.as("a")
+      .join(rated.as("b"), col("a.doc_id") === col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.rater").as("rater"),
+        col("a.sc").as("sc"))
+      .agg(sum((col("b.sc") < col("a.sc")).cast("long")).as("below"),
+        sum((col("b.sc") === col("a.sc")).cast("long")).as("eq"))
+      .select(col("doc_id"), col("rater"),
+        (lit(2L) * col("below") + col("eq") + 1L).as("dr"))
+    val stats = dr.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(when(col("rater") === 1L, col("dr"))).as("r2_1"),
+      sum(when(col("rater") === 2L, col("dr"))).as("r2_2"),
+      sum(when(col("rater") === 3L, col("dr"))).as("r2_3"),
+      sum(col("dr") * col("dr")).as("sum_dr2"))
+    stats
+      .withColumn("numer", col("r2_1") * col("r2_1")
+        + col("r2_2") * col("r2_2") + col("r2_3") * col("r2_3")
+        - lit(48L) * col("n_docs") * col("n_docs"))
+      .withColumn("den", col("sum_dr2") - lit(48L) * col("n_docs"))
+      .select(col("n_docs"), col("r2_1"), col("r2_2"), col("r2_3"),
+        col("sum_dr2"),
+        when(col("den") > 0L, round(lit(1000000.0) * lit(2.0)
+          * col("numer").cast("double") / col("den").cast("double"))
+          .cast("long")).otherwise(lit(null).cast("long"))
+          .as("chi2_e6"),
+        when(col("den") > 0L, round(lit(1000000.0)
+          * col("numer").cast("double")
+          / (col("den").cast("double") * col("n_docs").cast("double")))
+          .cast("long")).otherwise(lit(null).cast("long"))
+          .as("w_e6"))
+      .orderBy("n_docs")
+  }
+
+  private val q419Sql =
+    """WITH rated AS (
+      |  SELECT doc_id, 1 AS rater,
+      |    least(n_chars // 150, 5) AS sc FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 2,
+      |    least(len(list_filter(string_split(text, ' '),
+      |      w -> length(w) > 0)) // 30, 5) FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 3,
+      |    least((length(text) - length(replace(text, '.', ''))) // 2, 5)
+      |  FROM documents),
+      |dr AS (
+      |  SELECT a.doc_id, a.rater,
+      |    2 * sum(CASE WHEN b.sc < a.sc THEN 1 ELSE 0 END)
+      |      + sum(CASE WHEN b.sc = a.sc THEN 1 ELSE 0 END) + 1 AS dr
+      |  FROM rated a JOIN rated b ON a.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, a.rater, a.sc),
+      |stats AS (
+      |  SELECT count(DISTINCT doc_id) AS n_docs,
+      |    CAST(sum(CASE WHEN rater = 1 THEN dr END) AS BIGINT) AS r2_1,
+      |    CAST(sum(CASE WHEN rater = 2 THEN dr END) AS BIGINT) AS r2_2,
+      |    CAST(sum(CASE WHEN rater = 3 THEN dr END) AS BIGINT) AS r2_3,
+      |    CAST(sum(dr * dr) AS BIGINT) AS sum_dr2
+      |  FROM dr),
+      |parts AS (
+      |  SELECT *,
+      |    r2_1 * r2_1 + r2_2 * r2_2 + r2_3 * r2_3
+      |      - 48 * n_docs * n_docs AS numer,
+      |    sum_dr2 - 48 * n_docs AS den
+      |  FROM stats)
+      |SELECT n_docs, r2_1, r2_2, r2_3, sum_dr2,
+      |  CASE WHEN den > 0 THEN
+      |    CAST(round(1000000.0 * 2.0 * CAST(numer AS DOUBLE)
+      |      / CAST(den AS DOUBLE)) AS BIGINT) END AS chi2_e6,
+      |  CASE WHEN den > 0 THEN
+      |    CAST(round(1000000.0 * CAST(numer AS DOUBLE)
+      |      / (CAST(den AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+      |      AS BIGINT) END AS w_e6
+      |FROM parts
+      |ORDER BY n_docs""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q420 — Cochran's Q over three deterministic binary screens on
+  // every event (value > 100 units, engagement type, even-user): do k
+  // binary classifiers flag at the same marginal rate? Q =
+  // (k−1)(kΣC_j² − S²)/(kS − ΣR_i²) is ENTIRELY integer sufficient
+  // statistics — column totals C_j, per-item row totals R_i ∈ 0..k,
+  // grand total S — reduced in one scan with map-side combine, ONE e6
+  // readout division. The McNemar (q385) generalization to k > 2.
+  // ---------------------------------------------------------------------
+  private def q420(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(
+        (round(col("value") * 100).cast("long") > 10000L).cast("long")
+          .as("c1"),
+        col("event_type").isin("click", "purchase").cast("long")
+          .as("c2"),
+        (col("user_id") % 2L === 0L).cast("long").as("c3"))
+      .withColumn("r", col("c1") + col("c2") + col("c3"))
+    e.agg(count(lit(1)).as("n_events"),
+        sum("c1").as("s1"), sum("c2").as("s2"), sum("c3").as("s3"),
+        sum(col("r") * col("r")).as("sum_r2"))
+      .withColumn("s", col("s1") + col("s2") + col("s3"))
+      .select(col("n_events"), col("s1"), col("s2"), col("s3"),
+        col("sum_r2"),
+        when(lit(3L) * col("s") - col("sum_r2") > 0L,
+          round(lit(1000000.0) * lit(2.0)
+            * (lit(3L) * (col("s1") * col("s1") + col("s2") * col("s2")
+              + col("s3") * col("s3")) - col("s") * col("s"))
+              .cast("double")
+            / (lit(3L) * col("s") - col("sum_r2")).cast("double"))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("q_e6"))
+      .orderBy("n_events")
+  }
+
+  private val q420Sql =
+    """WITH e AS (
+      |  SELECT
+      |    CASE WHEN CAST(round(value * 100) AS BIGINT) > 10000
+      |      THEN 1 ELSE 0 END AS c1,
+      |    CASE WHEN event_type IN ('click', 'purchase')
+      |      THEN 1 ELSE 0 END AS c2,
+      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS c3
+      |  FROM events),
+      |agg AS (
+      |  SELECT count(*) AS n_events,
+      |    CAST(sum(c1) AS BIGINT) AS s1, CAST(sum(c2) AS BIGINT) AS s2,
+      |    CAST(sum(c3) AS BIGINT) AS s3,
+      |    CAST(sum((c1 + c2 + c3) * (c1 + c2 + c3)) AS BIGINT)
+      |      AS sum_r2
+      |  FROM e),
+      |parts AS (SELECT *, s1 + s2 + s3 AS s FROM agg)
+      |SELECT n_events, s1, s2, s3, sum_r2,
+      |  CASE WHEN 3 * s - sum_r2 > 0 THEN
+      |    CAST(round(1000000.0 * 2.0
+      |      * CAST(3 * (s1 * s1 + s2 * s2 + s3 * s3) - s * s AS DOUBLE)
+      |      / CAST(3 * s - sum_r2 AS DOUBLE)) AS BIGINT)
+      |  END AS q_e6
+      |FROM parts
+      |ORDER BY n_events""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q421 — Theil inequality index of document lengths per source:
+  // T = (1/n)Σ(x/μ)ln(x/μ), the entropy-based concentration measure a
+  // corpus-mix planner reads next to the Gini — T decomposes additively
+  // across subgroups, which Gini does not. Algebra collapses it to
+  // T = (Σ x·ln x)/S + ln(n/S): ONE per-row x·ln x, e9-rounded AT THE
+  // ROW (the q375 discipline), an exact long sum, and a readout chain
+  // with one division and one ln in identical IEEE order on both
+  // engines. Map-side combine does everything; the rollup is the
+  // source domain.
+  // ---------------------------------------------------------------------
+  private def q421(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("source"), col("n_chars").as("x"))
+      .withColumn("xlx_e9", round(col("x").cast("double")
+        * log(col("x").cast("double")) * 1000000000.0).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("xlx_e9").as("sxlx_e9"))
+      .select(col("source"), col("n"), col("sx"),
+        round(col("sxlx_e9").cast("double") / col("sx").cast("double")
+          + lit(1000000000.0) * log(col("n").cast("double")
+            / col("sx").cast("double"))).cast("long").as("theil_e9"))
+      .orderBy("source")
+
+  private val q421Sql =
+    """WITH d AS (
+      |  SELECT source, n_chars AS x,
+      |    CAST(round(CAST(n_chars AS DOUBLE)
+      |      * ln(CAST(n_chars AS DOUBLE)) * 1000000000.0) AS BIGINT)
+      |      AS xlx_e9
+      |  FROM documents),
+      |grp AS (
+      |  SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(xlx_e9) AS BIGINT) AS sxlx_e9
+      |  FROM d GROUP BY source)
+      |SELECT source, n, sx,
+      |  CAST(round(CAST(sxlx_e9 AS DOUBLE) / CAST(sx AS DOUBLE)
+      |    + 1000000000.0 * ln(CAST(n AS DOUBLE) / CAST(sx AS DOUBLE)))
+      |    AS BIGINT) AS theil_e9
+      |FROM grp ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q422 — Mood's median test across sources: the k-group location
+  // test that needs only above/below-the-grand-median counts — the
+  // coarsest, most outlier-proof of the location family (vs q409's
+  // rank-sum KW). The grand median is the exact lower order statistic
+  // off the value-universe axis; the k×2 contingency χ² then runs in
+  // the q383 per-cell discipline: (O·N − R·C)² exact-long cross
+  // products evaluated in DOUBLE in identical op order, e6-rounded
+  // PER CELL, integer-summed. Degenerate margins (median = max) zero
+  // their cells on both engines.
+  // ---------------------------------------------------------------------
+  private def q422(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("source"), col("n_chars").as("x"))
+    val tot = d.agg(count(lit(1)).as("nn"))
+    val wc = axis(col("x")).rowsBetween(Window.unboundedPreceding, 0)
+    val med = d.groupBy("x").agg(count(lit(1)).as("ct"))
+      .withColumn("cum", sum("ct").over(wc))
+      .crossJoin(broadcast(tot))
+      .agg(min(when(col("cum") >= expr("(nn + 1) div 2"), col("x")))
+        .as("med"))
+    val cells = d.crossJoin(broadcast(med))
+      .select(col("source"), (col("x") > col("med")).cast("long")
+        .as("abv"), col("med"))
+      .groupBy("source", "med")
+      .agg(count(lit(1)).as("ni"), sum("abv").as("oi"))
+    val marg = cells.groupBy(lit(1)).agg(sum("ni").as("nn"),
+      sum("oi").as("aa"), count(lit(1)).as("k")).drop("1")
+    def cell(o: Column, r: Column, c: Column, nn: Column): Column =
+      when(r * c > 0L, round(lit(1000000.0)
+        * (o * nn - r * c).cast("double")
+        * (o * nn - r * c).cast("double")
+        / (r.cast("double") * c.cast("double") * nn.cast("double")))
+        .cast("long")).otherwise(0L)
+    cells.crossJoin(broadcast(marg))
+      .withColumn("t1", cell(col("oi"), col("ni"), col("aa"),
+        col("nn")))
+      .withColumn("t2", cell(col("ni") - col("oi"), col("ni"),
+        col("nn") - col("aa"), col("nn")))
+      .groupBy("nn", "k", "med", "aa")
+      .agg(sum(col("t1") + col("t2")).as("chi2_e6"))
+      .select(col("nn").as("n_docs"), col("k").as("k_groups"),
+        col("med").as("median"), col("aa").as("n_above"),
+        col("chi2_e6"))
+      .orderBy("n_docs")
+  }
+
+  private val q422Sql =
+    """WITH d AS (SELECT source, n_chars AS x FROM documents),
+      |tot AS (SELECT count(*) AS nn FROM d),
+      |pv AS (SELECT x, count(*) AS ct FROM d GROUP BY x),
+      |med AS (
+      |  SELECT min(CASE WHEN cum >= (nn + 1) // 2 THEN x END) AS med
+      |  FROM (SELECT x, CAST(sum(ct) OVER (ORDER BY x ROWS BETWEEN
+      |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |    FROM pv) c CROSS JOIN tot),
+      |cells AS (
+      |  SELECT source, med, count(*) AS ni,
+      |    CAST(sum(CASE WHEN x > med THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS oi
+      |  FROM d CROSS JOIN med GROUP BY source, med),
+      |marg AS (SELECT CAST(sum(ni) AS BIGINT) AS nn,
+      |  CAST(sum(oi) AS BIGINT) AS aa, count(*) AS k FROM cells),
+      |terms AS (
+      |  SELECT nn, k, med, aa,
+      |    CASE WHEN ni * aa > 0 THEN
+      |      CAST(round(1000000.0
+      |        * CAST(oi * nn - ni * aa AS DOUBLE)
+      |        * CAST(oi * nn - ni * aa AS DOUBLE)
+      |        / (CAST(ni AS DOUBLE) * CAST(aa AS DOUBLE)
+      |          * CAST(nn AS DOUBLE))) AS BIGINT) ELSE 0 END
+      |    + CASE WHEN ni * (nn - aa) > 0 THEN
+      |      CAST(round(1000000.0
+      |        * CAST((ni - oi) * nn - ni * (nn - aa) AS DOUBLE)
+      |        * CAST((ni - oi) * nn - ni * (nn - aa) AS DOUBLE)
+      |        / (CAST(ni AS DOUBLE) * CAST(nn - aa AS DOUBLE)
+      |          * CAST(nn AS DOUBLE))) AS BIGINT) ELSE 0 END AS t
+      |  FROM cells CROSS JOIN marg)
+      |SELECT nn AS n_docs, CAST(k AS BIGINT) AS k_groups,
+      |  med AS median, aa AS n_above, CAST(sum(t) AS BIGINT)
+      |    AS chi2_e6
+      |FROM terms GROUP BY nn, k, med, aa
+      |ORDER BY n_docs""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q423 — Jonckheere–Terpstra ordered-alternative trend test: does
+  // document length trend MONOTONICALLY across sources in index order
+  // (src0 < src1 < … — e.g. ingestion epochs)? J = Σ_{a<b} U(a,b)
+  // needs every ordered group pair's Mann–Whitney count, computed with
+  // ZERO pair materialization: per-group exclusive cumulants on a
+  // DENSE (group × value-universe) grid (domain-bounded: |groups| ×
+  // |support|), then one equi-join on the value with g_a < g_b —
+  // 2J = Σ c_b(v)·(2·cum_a(<v) + c_a(v)) stays integer through ties.
+  // The z readout uses the standard untied null variance
+  // [N²(2N+3) − Σn²(2n+3)]/72 (ties are midrank-halved in J itself);
+  // mean2 = (N²−Σn²)/2 is always an even-product integer.
+  // ---------------------------------------------------------------------
+  private def q423(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(expr("cast(substring(source, 4) as long)").as("g"),
+        col("n_chars").as("x"))
+    val cnt = d.groupBy("g", "x").agg(count(lit(1)).as("c"))
+    val grid = d.select("x").distinct()
+      .crossJoin(broadcast(d.select("g").distinct()))
+      .join(cnt, Seq("g", "x"), "left").na.fill(0L, Seq("c"))
+    val wg = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid.withColumn("cex", coalesce(sum("c").over(wg), lit(0L)))
+    val j2 = cum.as("a").join(cum.as("b"),
+        col("a.x") === col("b.x") && col("a.g") < col("b.g"))
+      .agg(coalesce(sum(col("b.c")
+        * (lit(2L) * col("a.cex") + col("a.c"))), lit(0L)).as("j_x2"))
+    val stats = d.groupBy("g").agg(count(lit(1)).as("ng"))
+      .agg(sum("ng").as("nn"), count(lit(1)).as("k"),
+        sum(col("ng") * col("ng")).as("sn2"),
+        sum(col("ng") * col("ng") * (lit(2L) * col("ng") + 3L))
+          .as("sn23"))
+    j2.crossJoin(broadcast(stats))
+      .withColumn("mean_j_x2",
+        (col("nn") * col("nn") - col("sn2")) / 2)
+      .withColumn("var_num72", col("nn") * col("nn")
+        * (lit(2L) * col("nn") + 3L) - col("sn23"))
+      .select(col("nn").as("n_docs"), col("k").as("k_groups"),
+        col("j_x2"), col("mean_j_x2").cast("long").as("mean_j_x2"),
+        col("var_num72"),
+        when(col("var_num72") > 0L, round(lit(1000000.0)
+          * (col("j_x2") - col("mean_j_x2")).cast("double")
+          / (lit(2.0) * sqrt(col("var_num72").cast("double") / 72.0)))
+          .cast("long")).otherwise(lit(null).cast("long")).as("z_e6"))
+      .orderBy("n_docs")
+  }
+
+  private val q423Sql =
+    """WITH d AS (
+      |  SELECT CAST(substring(source, 4) AS BIGINT) AS g,
+      |    n_chars AS x
+      |  FROM documents),
+      |cnt AS (SELECT g, x, count(*) AS c FROM d GROUP BY g, x),
+      |grid AS (
+      |  SELECT gs.g, xs.x, COALESCE(cnt.c, 0) AS c
+      |  FROM (SELECT DISTINCT x FROM d) xs
+      |  CROSS JOIN (SELECT DISTINCT g FROM d) gs
+      |  LEFT JOIN cnt ON cnt.g = gs.g AND cnt.x = xs.x),
+      |cum AS (
+      |  SELECT g, x, c,
+      |    COALESCE(CAST(sum(c) OVER (PARTITION BY g ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS BIGINT), 0) AS cex
+      |  FROM grid),
+      |j2 AS (
+      |  SELECT COALESCE(CAST(sum(b.c * (2 * a.cex + a.c)) AS BIGINT),
+      |    0) AS j_x2
+      |  FROM cum a JOIN cum b ON a.x = b.x AND a.g < b.g),
+      |stats AS (
+      |  SELECT CAST(sum(ng) AS BIGINT) AS nn, count(*) AS k,
+      |    CAST(sum(ng * ng) AS BIGINT) AS sn2,
+      |    CAST(sum(ng * ng * (2 * ng + 3)) AS BIGINT) AS sn23
+      |  FROM (SELECT g, count(*) AS ng FROM d GROUP BY g) grp)
+      |SELECT nn AS n_docs, CAST(k AS BIGINT) AS k_groups, j_x2,
+      |  (nn * nn - sn2) // 2 AS mean_j_x2,
+      |  nn * nn * (2 * nn + 3) - sn23 AS var_num72,
+      |  CASE WHEN nn * nn * (2 * nn + 3) - sn23 > 0 THEN
+      |    CAST(round(1000000.0
+      |      * CAST(j_x2 - (nn * nn - sn2) // 2 AS DOUBLE)
+      |      / (2.0 * sqrt(CAST(nn * nn * (2 * nn + 3) - sn23
+      |        AS DOUBLE) / 72.0))) AS BIGINT)
+      |  END AS z_e6
+      |FROM j2 CROSS JOIN stats
+      |ORDER BY n_docs""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q424 — two-sample decile shift (quantile treatment effect): WHERE
+  // in the distribution does click differ from view — uniformly, or
+  // only in the tails? Nine exact type-1 decile order statistics per
+  // side (rank ⌈p·n/10⌉ = (p·n+9) div 10 — observed values, no
+  // interpolation), one row per decile with the integer shift. The
+  // per-side rank windows partition by arm; the decile probe is a
+  // 9-row broadcast join. Complements the single-number distances
+  // (q405–q407, q415) with the full shift PROFILE.
+  // ---------------------------------------------------------------------
+  private def q424(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v"))
+    val wr = Window.partitionBy("event_type")
+      .orderBy(col("v"), col("event_id"))
+    val wn = Window.partitionBy("event_type")
+    val ranked = e
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("ni", count(lit(1)).over(wn))
+    val ps = s.range(1, 10).select(col("id").as("p10"))
+    ranked.join(broadcast(ps),
+        col("rn") === expr("(p10 * ni + 9) div 10"))
+      .groupBy("p10")
+      .agg(min(when(col("event_type") === "click", col("v")))
+        .as("q_click"),
+        min(when(col("event_type") === "view", col("v")))
+          .as("q_view"))
+      .select(col("p10"), col("q_click"), col("q_view"),
+        (col("q_click") - col("q_view")).as("qte"))
+      .orderBy("p10")
+  }
+
+  private val q424Sql =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |ranked AS (
+      |  SELECT event_type, v,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY v, event_id) AS BIGINT) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS ni
+      |  FROM e),
+      |ps AS (SELECT unnest(generate_series(1, 9)) AS p10)
+      |SELECT CAST(p10 AS BIGINT) AS p10,
+      |  min(CASE WHEN event_type = 'click' THEN v END) AS q_click,
+      |  min(CASE WHEN event_type = 'view' THEN v END) AS q_view,
+      |  min(CASE WHEN event_type = 'click' THEN v END)
+      |    - min(CASE WHEN event_type = 'view' THEN v END) AS qte
+      |FROM ranked JOIN ps ON rn = (p10 * ni + 9) // 10
+      |GROUP BY p10
+      |ORDER BY p10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q405_wasserstein" -> (q405 _),
     "q406_cvm_two_sample" -> (q406 _),
@@ -971,7 +1570,15 @@ object Shift {
     "q413_grubbs_outlier" -> (q413 _),
     "q414_tukey_fences" -> (q414 _),
     "q415_cohens_d" -> (q415 _),
-    "q416_hodges_lehmann" -> (q416 _))
+    "q416_hodges_lehmann" -> (q416 _),
+    "q417_anderson_darling" -> (q417 _),
+    "q418_cliffs_delta" -> (q418 _),
+    "q419_friedman_kendall_w" -> (q419 _),
+    "q420_cochrans_q" -> (q420 _),
+    "q421_theil_index" -> (q421 _),
+    "q422_mood_median" -> (q422 _),
+    "q423_jonckheere_terpstra" -> (q423 _),
+    "q424_decile_shift" -> (q424 _))
 
   val oracle: Map[String, String] = Map(
     "q405_wasserstein" -> q405Sql,
@@ -985,5 +1592,13 @@ object Shift {
     "q413_grubbs_outlier" -> q413Sql,
     "q414_tukey_fences" -> q414Sql,
     "q415_cohens_d" -> q415Sql,
-    "q416_hodges_lehmann" -> q416Sql)
+    "q416_hodges_lehmann" -> q416Sql,
+    "q417_anderson_darling" -> q417Sql,
+    "q418_cliffs_delta" -> q418Sql,
+    "q419_friedman_kendall_w" -> q419Sql,
+    "q420_cochrans_q" -> q420Sql,
+    "q421_theil_index" -> q421Sql,
+    "q422_mood_median" -> q422Sql,
+    "q423_jonckheere_terpstra" -> q423Sql,
+    "q424_decile_shift" -> q424Sql)
 }

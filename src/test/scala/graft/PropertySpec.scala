@@ -431,4 +431,36 @@ class PropertySpec extends AnyFunSuite {
         maxBucketLen = Some(maxLen.toLong)).count() <= nPairs)
     }
   }
+
+  test("Shift.absDiffMasses cumulant identity equals literal O(n²) " +
+       "pairwise |x−y| sums on random multisets (incl. negatives, " +
+       "heavy ties, and an empty side)") {
+    import graft.analytics.Shift
+    val genAB: Gen[(List[Long], List[Long])] = for {
+      na <- Gen.choose(0, 50)
+      nb <- Gen.choose(1, 50)
+      a <- Gen.listOfN(na, Gen.choose(-30L, 30L))
+      b <- Gen.listOfN(nb, Gen.choose(-30L, 30L))
+    } yield (a, b)
+    def cross(a: Seq[Long], b: Seq[Long]): BigInt =
+      a.map(x => b.map(y => BigInt(math.abs(x - y))).sum)
+        .foldLeft(BigInt(0))(_ + _)
+    def self(a: Seq[Long]): BigInt = {
+      val s = a.toIndexedSeq
+      (for (i <- s.indices; j <- i + 1 until s.size)
+        yield BigInt(math.abs(s(i) - s(j)))).foldLeft(BigInt(0))(_ + _)
+    }
+    cases(genAB, 12).foreach { case (a, b) =>
+      val cnt = (a.map((_, 1L, 0L)) ++ b.map((_, 0L, 1L)))
+        .toDF("v", "ca", "cb")
+        .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      val r = Shift.absDiffMasses(cnt).collect().head
+      def big(i: Int): BigInt =
+        if (r.isNullAt(i)) BigInt(0)
+        else BigInt(r.getDecimal(i).toBigInteger)
+      assert(big(0) == cross(a, b), s"mab a=$a b=$b")
+      assert(big(1) == self(a), s"maa a=$a")
+      assert(big(2) == self(b), s"mbb b=$b")
+    }
+  }
 }

@@ -171,6 +171,104 @@ class ShiftSpec extends AnyFunSuite {
     }
   }
 
+  test("q417 Anderson–Darling A²akN equals the literal Scholz–" +
+       "Stephens tie-adjusted formula recomputed per distinct value") {
+    val na = clicks.size.toLong
+    val nb = views.size.toLong
+    val nn = na + nb
+    val support = (clicks ++ views).distinct.sorted
+    var cax = 0L; var cx = 0L
+    var sumR = 0L
+    support.foreach { v =>
+      val ca = clicks.count(_ == v).toLong
+      val cb = views.count(_ == v).toLong
+      val l = ca + cb
+      val m2 = 2 * cax + ca
+      val b2 = 2 * cx + l
+      val dnum = nn * m2 - na * b2
+      val den = b2 * (2 * nn - b2) - nn * l
+      if (den > 0)
+        sumR += math.rint(1000000000.0
+          * (BigInt(l) * dnum * dnum).toDouble
+          / (den.toDouble * nn.toDouble * nn.toDouble)).toLong
+      cax += ca; cx += l
+    }
+    val a2 = math.rint((nn - 1L).toDouble * sumR.toDouble / 1000.0)
+      .toLong
+    val row = q("q417_anderson_darling").collect().head
+    assert(row.getAs[Long]("sum_r_e9") == sumR)
+    assert(row.getAs[Long]("a2_e6") == a2)
+  }
+
+  test("q419 Friedman/Kendall-W: within-block doubled midranks and " +
+       "the tie-general chi-square match a literal Scala recompute") {
+    val docs = graft.core.Tables.load(spark, TestSpark.sf001,
+        "documents")
+      .select("doc_id", "text", "n_chars").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def cap5(x: Long) = math.min(x, 5L)
+    val scores: Seq[Array[Long]] = docs.map { case (_, t, nc) =>
+      Array(cap5(nc / 150),
+        cap5(t.split(" ").count(_.nonEmpty).toLong / 30),
+        cap5(t.count(_ == '.').toLong / 2))
+    }
+    // literal doubled midranks within each block of k=3
+    val dr: Seq[Array[Long]] = scores.map { sc =>
+      sc.map(s => 2L * sc.count(_ < s) + sc.count(_ == s) + 1L)
+    }
+    val n = docs.size.toLong
+    val r2 = (0 until 3).map(j => dr.map(_(j)).sum)
+    val sumDr2 = dr.flatten.map(d => d * d).sum
+    val numer = r2.map(x => x * x).sum - 48L * n * n
+    val den = sumDr2 - 48L * n
+    val chi2 = math.rint(1000000.0 * 2.0 * numer.toDouble
+      / den.toDouble).toLong
+    val row = q("q419_friedman_kendall_w").collect().head
+    assert(row.getAs[Long]("r2_1") == r2(0))
+    assert(row.getAs[Long]("r2_2") == r2(1))
+    assert(row.getAs[Long]("r2_3") == r2(2))
+    assert(row.getAs[Long]("sum_dr2") == sumDr2)
+    assert(row.getAs[Long]("chi2_e6") == chi2)
+  }
+
+  test("q423 Jonckheere–Terpstra doubled J equals the literal " +
+       "triple loop over ordered source pairs (ties count half)") {
+    val docs = graft.core.Tables.load(spark, TestSpark.sf001,
+        "documents")
+      .select("source", "n_chars").collect().toSeq
+      .map(r => (r.getString(0).drop(3).toLong, r.getLong(1)))
+    val groups = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val gs = groups.keys.toSeq.sorted
+    var j2 = 0L
+    for {
+      ia <- gs.indices; ib <- ia + 1 until gs.size
+      xa <- groups(gs(ia)); xb <- groups(gs(ib))
+    } {
+      if (xa < xb) j2 += 2L
+      else if (xa == xb) j2 += 1L
+    }
+    val row = q("q423_jonckheere_terpstra").collect().head
+    assert(row.getAs[Long]("j_x2") == j2)
+    val ns = gs.map(g => groups(g).size.toLong)
+    val n = ns.sum
+    assert(row.getAs[Long]("mean_j_x2")
+      == (n * n - ns.map(x => x * x).sum) / 2)
+  }
+
+  test("q424 decile shift: each emitted decile is the literal sorted " +
+       "order statistic at rank ceil(p·n/10) per arm") {
+    val rows = q("q424_decile_shift").collect()
+      .map(r => r.getAs[Long]("p10") ->
+        (r.getAs[Long]("q_click"), r.getAs[Long]("q_view"))).toMap
+    val ac = clicks.sorted.toIndexedSeq
+    val av = views.sorted.toIndexedSeq
+    (1 to 9).foreach { p =>
+      val (gc, gv) = rows(p.toLong)
+      assert(gc == ac(((p * ac.size + 9) / 10) - 1), s"click p=$p")
+      assert(gv == av(((p * av.size + 9) / 10) - 1), s"view p=$p")
+    }
+  }
+
   test("q416 Hodges–Lehmann equals the literal median of all " +
        "pairwise daily-mean differences") {
     val day = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
