@@ -1381,6 +1381,49 @@ object Ops {
   }
 
   // ---------------------------------------------------------------------
+  // q425 — V2 ATOMIC SINK round-trip (the transactional write half of
+  // the connector surface): a numeric projection of lineitem streams
+  // through graft.sources.v2.AtomicTsvSinkProvider — task writers
+  // stage under _staging/<job>/, the driver commit renames and then
+  // atomically publishes a _MANIFEST — and is read back VIA THE
+  // MANIFEST, never by directory listing. The oracle aggregates the
+  // parquet directly, so the gate proves the commit protocol makes
+  // exactly the written rows visible and the TSV serialization is
+  // bit-lossless (q55's round-trip contract at the DSv2 boundary;
+  // crash-path atomicity is AtomicSinkSpec's job).
+  // ---------------------------------------------------------------------
+  private def q425(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_v2_sink").toString
+    val src = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_e2"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_e2"))
+    src.write.format("graft.sources.v2.AtomicTsvSinkProvider")
+      .option("path", tmp).mode("append").save()
+    val back = graft.sources.v2.AtomicTsv.read(s, tmp, StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("qty_e2", LongType),
+      StructField("price_e2", LongType))))
+    back.groupBy((col("l_orderkey") % 7L).as("k"))
+      .agg(count(lit(1)).as("n"), sum("qty_e2").as("sum_qty_e2"),
+        sum("price_e2").as("sum_price_e2"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"))
+      .orderBy("k")
+  }
+
+  private val q425Sql =
+    """SELECT l_orderkey % 7 AS k, count(*) AS n,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_e2,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT) AS sum_price_e2,
+      |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+      |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q347 — guaranteed heavy hitters, two-pass (candidate buckets →
   // exact verify): keys carrying ≥ 0.5% of all rows, found WITHOUT
   // ever shuffling the full key grain. Pass 1 aggregates row counts
@@ -2007,7 +2050,8 @@ object Ops {
     "q376_dsv2_multikey_sum" -> (q376 _),
     "q401_dsv2_topn" -> (q401 _),
     "q402_dsv2_keygrouped" -> (q402 _),
-    "q403_dsv2_keygrouped_pushed" -> (q403 _))
+    "q403_dsv2_keygrouped_pushed" -> (q403 _),
+    "q425_v2_sink_roundtrip" -> (q425 _))
 
   val oracle: Map[String, String] = Map(
     "q298_skew_lint" -> q298Sql,
@@ -2045,5 +2089,6 @@ object Ops {
     "q376_dsv2_multikey_sum" -> q376Sql,
     "q401_dsv2_topn" -> q401Sql,
     "q402_dsv2_keygrouped" -> q402Sql,
-    "q403_dsv2_keygrouped_pushed" -> q403Sql)
+    "q403_dsv2_keygrouped_pushed" -> q403Sql,
+    "q425_v2_sink_roundtrip" -> q425Sql)
 }
