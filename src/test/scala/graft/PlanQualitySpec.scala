@@ -1058,6 +1058,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("Shift tier: global value-axis windows consume the POST-" +
+       "AGGREGATION distinct-value table, never the raw corpus") {
+    for (name <- Seq("q405_wasserstein", "q406_cvm_two_sample",
+        "q407_energy_distance", "q409_kruskal_wallis",
+        "q417_anderson_darling")) {
+      val p = plan(name)
+      val w = p.indexOf("Window")
+      assert(w >= 0, s"$name: no Window in plan")
+      // the window's input subtree (printed below it) must contain
+      // the value-grain HashAggregate: the single-partition window
+      // sees universe-bounded rows, not data-volume rows
+      assert(p.indexOf("HashAggregate", w) > w,
+        s"$name: Window is not fed by the distinct-value aggregate")
+    }
+  }
+
+  test("Shift tier: pair-free constructions stay pair-free — no " +
+       "CartesianProduct (grid/self/pair joins are equi-joins or " +
+       "bounded broadcast crosses)") {
+    for (name <- Seq("q419_friedman_kendall_w",
+        "q423_jonckheere_terpstra", "q416_hodges_lehmann")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name grew a CartesianProduct")
+    }
+  }
+
   // Source lint, not a plan check: EVERY `Window.orderBy` without a
   // partitionBy in src/main must be either (a) inside the guarded
   // Curate.boundedRank helper (which raises at runtime past its
