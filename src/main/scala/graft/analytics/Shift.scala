@@ -577,7 +577,9 @@ object Shift {
       .orderBy("day")
   }
 
-  private val q411Sql =
+  // package-visible: q426's STREAMING Page–Hinkley faces this same
+  // oracle (one walk, two execution models)
+  private[analytics] val q411Sql =
     """WITH day AS (
       |  SELECT CAST(date_trunc('second', ts) AS DATE) AS day,
       |    count(*) AS nd,

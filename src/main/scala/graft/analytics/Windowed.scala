@@ -336,6 +336,18 @@ object Windowed {
       .orderBy(col("user_id"), col("session_start"))
 
   // ---------------------------------------------------------------------
+  // q426 — ONLINE Page–Hinkley drift detection (transformWithState):
+  // the q411 detector run as a STREAM — per-day (count, sum) MapState,
+  // a boundary timer per open day, closed days drained in day order
+  // through the walk state. Faces the SAME DuckDB oracle as the batch
+  // q411: one statistic, two execution models, bit-identical rows
+  // (TwsDriftSpec additionally asserts streaming == batch directly).
+  // ---------------------------------------------------------------------
+  private def q426(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.TwsDrift.replayFromParquet(s, s"$dir/events.parquet")
+      .orderBy(col("day"))
+
+  // ---------------------------------------------------------------------
   // q270/q271 — the other two transformWithState state shapes, both on
   // the EMIT-ON-CLOSE pattern (state absorbs every micro-batch; one
   // flush timer per key fires when the sentinel advances the
@@ -1158,6 +1170,7 @@ object Windowed {
     "q269_tws_sessions" -> (q269 _),
     "q270_tws_topk" -> (q270 _),
     "q271_tws_mapstate" -> (q271 _),
+    "q426_stream_page_hinkley" -> (q426 _),
     "q61_range_frame" -> (q61 _),
     "q63_stream_interval_join" -> (q63 _),
     "q134_stream_outer_join" -> (q134 _),
@@ -1184,6 +1197,7 @@ object Windowed {
     "q269_tws_sessions" -> q53Sql,
     "q270_tws_topk" -> q270Sql,
     "q271_tws_mapstate" -> q271Sql,
+    "q426_stream_page_hinkley" -> Shift.q411Sql,
     "q12_window_running" -> q12Sql,
     "q13_lag_gap" -> q13Sql,
     "q14_sessionize" -> q14Sql,
