@@ -1560,6 +1560,373 @@ object Shift {
       |GROUP BY p10
       |ORDER BY p10""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q427 — log-rank test (Mantel–Cox) with right censoring: do users
+  // who ever purchased stay active longer? Lifetime = last−first
+  // active day; a user still active on the corpus's final day is
+  // CENSORED (contributes to at-risk sets, never to deaths) — the
+  // survival bookkeeping naive churn averages get wrong. At-risk
+  // counts come off the day-span axis as reverse cumulants (≤31
+  // rows); each death time's expected-deaths and variance terms are
+  // e9-rounded AT THE ROW (q375 discipline) in one fixed IEEE chain;
+  // χ² = (O−E)²/V is the single readout division.
+  // ---------------------------------------------------------------------
+  private def q427(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("user_id"), to_date(col("ts_s")).as("d"),
+        col("event_type"))
+    val byUser = e.groupBy("user_id").agg(
+      min(col("d")).as("fd"), max(col("d")).as("ld"),
+      max((col("event_type") === "purchase").cast("long")).as("grp"))
+    val maxDay = e.agg(max(col("d")).as("md"))
+    val users = byUser.crossJoin(broadcast(maxDay))
+      .select(col("grp"),
+        datediff(col("ld"), col("fd")).cast("long").as("t"),
+        (col("ld") < col("md")).cast("long").as("death"))
+    val perT = users.groupBy("t").agg(
+      sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("grp") === 1L && col("death") === 1L, 1L)
+        .otherwise(0L)).as("d1"),
+      sum(when(col("grp") === 0L && col("death") === 1L, 1L)
+        .otherwise(0L)).as("d0"))
+    val wd = axis(col("t").desc).rowsBetween(Window.unboundedPreceding, 0)
+    val terms = perT
+      .withColumn("n1", sum("c1").over(wd))
+      .withColumn("n0", sum("c0").over(wd))
+      .filter(col("d1") + col("d0") > 0L)
+      .withColumn("dt", col("d1") + col("d0"))
+      .withColumn("nt", col("n1") + col("n0"))
+      .withColumn("e1_e9", round(lit(1000000000.0)
+        * col("dt").cast("double") * col("n1").cast("double")
+        / col("nt").cast("double")).cast("long"))
+      .withColumn("v_e9", when(col("nt") > 1L,
+        round(lit(1000000000.0) * col("dt").cast("double")
+          * col("n1").cast("double") / col("nt").cast("double")
+          * col("n0").cast("double") / col("nt").cast("double")
+          * (col("nt") - col("dt")).cast("double")
+          / (col("nt") - 1L).cast("double")).cast("long"))
+        .otherwise(0L))
+    val tot = users.agg(
+      sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("n1_users"),
+      sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("n0_users"))
+    terms.agg(sum("d1").as("o1"), sum("e1_e9").as("e1_e9"),
+        sum("v_e9").as("v_e9"))
+      .crossJoin(broadcast(tot))
+      .select(col("n1_users"), col("n0_users"), col("o1"),
+        col("e1_e9"), col("v_e9"),
+        when(col("v_e9") > 0L, round(lit(1000000.0)
+          * (col("o1") * lit(1000000000L) - col("e1_e9")).cast("double")
+          * (col("o1") * lit(1000000000L) - col("e1_e9")).cast("double")
+          / (lit(1000000000.0) * col("v_e9").cast("double")))
+          .cast("long")).otherwise(lit(null).cast("long"))
+          .as("chi2_e6"))
+      .orderBy("n1_users")
+  }
+
+  private val q427Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('second', ts) AS DATE) AS d,
+      |    event_type
+      |  FROM events),
+      |by_user AS (
+      |  SELECT user_id, min(d) AS fd, max(d) AS ld,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS grp
+      |  FROM e GROUP BY user_id),
+      |md AS (SELECT max(d) AS md FROM e),
+      |users AS (
+      |  SELECT grp, CAST(ld - fd AS BIGINT) AS t,
+      |    CASE WHEN ld < md THEN 1 ELSE 0 END AS death
+      |  FROM by_user CROSS JOIN md),
+      |per_t AS (
+      |  SELECT t,
+      |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c1,
+      |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c0,
+      |    CAST(sum(CASE WHEN grp = 1 AND death = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN grp = 0 AND death = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d0
+      |  FROM users GROUP BY t),
+      |risk AS (
+      |  SELECT *, CAST(sum(c1) OVER w AS BIGINT) AS n1,
+      |    CAST(sum(c0) OVER w AS BIGINT) AS n0
+      |  FROM per_t
+      |  WINDOW w AS (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |terms AS (
+      |  SELECT d1, d1 + d0 AS dt, n1, n0, n1 + n0 AS nt,
+      |    CAST(round(1000000000.0 * CAST(d1 + d0 AS DOUBLE)
+      |      * CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)) AS BIGINT)
+      |      AS e1_e9,
+      |    CASE WHEN n1 + n0 > 1 THEN
+      |      CAST(round(1000000000.0 * CAST(d1 + d0 AS DOUBLE)
+      |        * CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)
+      |        * CAST(n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)
+      |        * CAST(n1 + n0 - (d1 + d0) AS DOUBLE)
+      |        / CAST(n1 + n0 - 1 AS DOUBLE)) AS BIGINT)
+      |    ELSE 0 END AS v_e9
+      |  FROM risk WHERE d1 + d0 > 0),
+      |tot AS (
+      |  SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1_users,
+      |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n0_users
+      |  FROM users),
+      |agg AS (
+      |  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+      |    CAST(sum(e1_e9) AS BIGINT) AS e1_e9,
+      |    CAST(sum(v_e9) AS BIGINT) AS v_e9
+      |  FROM terms)
+      |SELECT n1_users, n0_users, o1, e1_e9, v_e9,
+      |  CASE WHEN v_e9 > 0 THEN
+      |    CAST(round(1000000.0
+      |      * CAST(o1 * 1000000000 - e1_e9 AS DOUBLE)
+      |      * CAST(o1 * 1000000000 - e1_e9 AS DOUBLE)
+      |      / (1000000000.0 * CAST(v_e9 AS DOUBLE))) AS BIGINT)
+      |  END AS chi2_e6
+      |FROM agg CROSS JOIN tot
+      |ORDER BY n1_users""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q428 — Nelson–Aalen cumulative hazard: the hazard-SUM twin of the
+  // gated Kaplan–Meier survival curve (q274 estimates S(t) by a
+  // product; Ĥ(t) = Σ_{s≤t} d_s/n_s estimates −ln S(t) by a sum —
+  // the sum form is what drift monitors difference week over week).
+  // Same censoring bookkeeping as q427; per-time d/n is e9-rounded AT
+  // THE ROW, the cumulative hazard is then an exact integer cumulant
+  // along the ≤31-row day-span axis.
+  // ---------------------------------------------------------------------
+  private def q428(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("user_id"), to_date(col("ts_s")).as("d"))
+    val byUser = e.groupBy("user_id")
+      .agg(min(col("d")).as("fd"), max(col("d")).as("ld"))
+    val maxDay = e.agg(max(col("d")).as("md"))
+    val users = byUser.crossJoin(broadcast(maxDay))
+      .select(datediff(col("ld"), col("fd")).cast("long").as("t"),
+        (col("ld") < col("md")).cast("long").as("death"))
+    val perT = users.groupBy("t").agg(count(lit(1)).as("c"),
+      sum(col("death")).as("dd"))
+    val wd = axis(col("t").desc).rowsBetween(Window.unboundedPreceding, 0)
+    val wa = axis(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    perT
+      .withColumn("n_at_risk", sum("c").over(wd))
+      .withColumn("h_inc_e9", round(lit(1000000000.0)
+        * col("dd").cast("double") / col("n_at_risk").cast("double"))
+        .cast("long"))
+      .withColumn("h_e9", sum("h_inc_e9").over(wa))
+      .select(col("t"), col("n_at_risk"), col("dd").as("d_events"),
+        col("h_e9"))
+      .orderBy("t")
+  }
+
+  private val q428Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('second', ts) AS DATE) AS d
+      |  FROM events),
+      |by_user AS (
+      |  SELECT user_id, min(d) AS fd, max(d) AS ld FROM e
+      |  GROUP BY user_id),
+      |md AS (SELECT max(d) AS md FROM e),
+      |users AS (
+      |  SELECT CAST(ld - fd AS BIGINT) AS t,
+      |    CASE WHEN ld < md THEN 1 ELSE 0 END AS death
+      |  FROM by_user CROSS JOIN md),
+      |per_t AS (
+      |  SELECT t, count(*) AS c, CAST(sum(death) AS BIGINT) AS dd
+      |  FROM users GROUP BY t),
+      |risk AS (
+      |  SELECT *, CAST(sum(c) OVER (ORDER BY t DESC ROWS BETWEEN
+      |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk
+      |  FROM per_t),
+      |inc AS (
+      |  SELECT *, CAST(round(1000000000.0 * CAST(dd AS DOUBLE)
+      |    / CAST(n_at_risk AS DOUBLE)) AS BIGINT) AS h_inc_e9
+      |  FROM risk)
+      |SELECT t, n_at_risk, dd AS d_events,
+      |  CAST(sum(h_inc_e9) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+      |    PRECEDING AND CURRENT ROW) AS BIGINT) AS h_e9
+      |FROM inc ORDER BY t""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q429 — forecast-quality audit (MASE + sMAPE) per event type: the
+  // expanding-mean "model" (q411's μ̂, one day ahead) against the
+  // naive lag-1 forecast. MASE = Σ|y−ŷ_model| / Σ|y−ŷ_naive| needs
+  // NO per-day division — both error sums are exact cents longs and
+  // the ratio is ONE readout division (MASE < 1 ⇔ the model beats
+  // naive, the scale-free forecast verdict). sMAPE terms are
+  // e9-rounded per day. Day grain per type — bounded by span.
+  // ---------------------------------------------------------------------
+  private def q429(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.eventsSec(s, dir)
+      .select(col("event_type"), to_date(col("ts_s")).as("day"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy("event_type", "day").agg(sum("v").as("sd"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wp = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = daily
+      .withColumn("prev", lag(col("sd"), 1).over(w))
+      .withColumn("model", round(sum("sd").over(wp).cast("double")
+        / count(lit(1)).over(wp).cast("double")).cast("long"))
+      .filter(col("prev").isNotNull)
+      .withColumn("em", abs(col("sd") - col("model")))
+      .withColumn("en", abs(col("sd") - col("prev")))
+      .withColumn("sm_e9", round(lit(1000000000.0) * lit(2.0)
+        * abs(col("sd") - col("model")).cast("double")
+        / (col("sd") + col("model")).cast("double")).cast("long"))
+    scored.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days_eval"),
+        sum("em").as("sum_err_model"), sum("en").as("sum_err_naive"),
+        sum("sm_e9").as("sum_smape_e9"))
+      .select(col("event_type"), col("n_days_eval"),
+        col("sum_err_model"), col("sum_err_naive"),
+        when(col("sum_err_naive") > 0L, round(lit(1000000.0)
+          * col("sum_err_model").cast("double")
+          / col("sum_err_naive").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("mase_e6"),
+        round(col("sum_smape_e9").cast("double")
+          / col("n_days_eval").cast("double") / 1000.0).cast("long")
+          .as("smape_e6"))
+      .orderBy("event_type")
+  }
+
+  private val q429Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE)
+      |      AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS sd
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, sd,
+      |    lag(sd) OVER w AS prev,
+      |    CAST(round(CAST(sum(sd) OVER wp AS DOUBLE)
+      |      / CAST(count(*) OVER wp AS DOUBLE)) AS BIGINT) AS model
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+      |    wp AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN
+      |      UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |errs AS (
+      |  SELECT event_type, abs(sd - model) AS em, abs(sd - prev) AS en,
+      |    CAST(round(1000000000.0 * 2.0
+      |      * CAST(abs(sd - model) AS DOUBLE)
+      |      / CAST(sd + model AS DOUBLE)) AS BIGINT) AS sm_e9
+      |  FROM scored WHERE prev IS NOT NULL)
+      |SELECT event_type, count(*) AS n_days_eval,
+      |  CAST(sum(em) AS BIGINT) AS sum_err_model,
+      |  CAST(sum(en) AS BIGINT) AS sum_err_naive,
+      |  CASE WHEN sum(en) > 0 THEN
+      |    CAST(round(1000000.0 * CAST(sum(em) AS DOUBLE)
+      |      / CAST(sum(en) AS DOUBLE)) AS BIGINT) END AS mase_e6,
+      |  CAST(round(CAST(sum(sm_e9) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) / 1000.0) AS BIGINT) AS smape_e6
+      |FROM errs GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q430 — pinball (quantile) loss evaluation: per event type, train
+  // static q10/q50/q90 predictors on the FIRST HALF of days (exact
+  // type-1 order statistics) and score the second half with
+  // L_τ(y,ŷ) = max(τ(y−ŷ), (τ−1)(y−ŷ)) — scaled ×10 so every loss is
+  // an exact long (τ·10 ∈ {1,5,9}). The readout a quantile-forecast
+  // service actually monitors: is the q90 predictor's pinball loss
+  // where a q90 should sit? One rank window per type, a 3-row
+  // broadcast of predictors, exact integer loss sums.
+  // ---------------------------------------------------------------------
+  private def q430(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.eventsSec(s, dir)
+      .select(col("event_type"), to_date(col("ts_s")).as("day"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy("event_type", "day").agg(sum("v").as("sd"))
+    val wDay = Window.partitionBy("event_type").orderBy("day")
+    val wN = Window.partitionBy("event_type")
+    val halved = daily
+      .withColumn("rn", row_number().over(wDay).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+    val train = halved.filter(col("rn") <= expr("n div 2"))
+    val wTrain = Window.partitionBy("event_type")
+      .orderBy(col("sd"), col("day"))
+    val preds = train
+      .withColumn("rt", row_number().over(wTrain).cast("long"))
+      .withColumn("ntr", count(lit(1)).over(wN))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("rt") === expr("(1 * ntr + 9) div 10"), col("sd")))
+          .as("p1"),
+        min(when(col("rt") === expr("(5 * ntr + 9) div 10"), col("sd")))
+          .as("p5"),
+        min(when(col("rt") === expr("(9 * ntr + 9) div 10"), col("sd")))
+          .as("p9"))
+      .select(col("event_type"), explode(array(
+        struct(lit(1L).as("tau10"), col("p1").as("pred")),
+        struct(lit(5L).as("tau10"), col("p5").as("pred")),
+        struct(lit(9L).as("tau10"), col("p9").as("pred")))).as("p"))
+      .select(col("event_type"), col("p.tau10").as("tau10"),
+        col("p.pred").as("pred"))
+    halved.filter(col("rn") > expr("n div 2"))
+      .join(broadcast(preds), Seq("event_type"))
+      .withColumn("loss_x10", greatest(
+        col("tau10") * (col("sd") - col("pred")),
+        (col("tau10") - 10L) * (col("sd") - col("pred"))))
+      .groupBy("event_type", "tau10")
+      .agg(max(col("pred")).as("pred"), count(lit(1)).as("n_test"),
+        sum("loss_x10").as("sum_loss_x10"))
+      .select(col("event_type"), col("tau10"), col("pred"),
+        col("n_test"), col("sum_loss_x10"),
+        round(col("sum_loss_x10").cast("double")
+          / col("n_test").cast("double") / 10.0).cast("long")
+          .as("mean_loss_e0"))
+      .orderBy("event_type", "tau10")
+  }
+
+  private val q430Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE)
+      |      AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS sd
+      |  FROM events GROUP BY 1, 2),
+      |halved AS (
+      |  SELECT event_type, day, sd,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY day) AS BIGINT) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily),
+      |train AS (
+      |  SELECT event_type, sd,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY sd, day) AS BIGINT) AS rt,
+      |    count(*) OVER (PARTITION BY event_type) AS ntr
+      |  FROM halved WHERE rn <= n // 2),
+      |preds0 AS (
+      |  SELECT event_type,
+      |    min(CASE WHEN rt = (1 * ntr + 9) // 10 THEN sd END) AS p1,
+      |    min(CASE WHEN rt = (5 * ntr + 9) // 10 THEN sd END) AS p5,
+      |    min(CASE WHEN rt = (9 * ntr + 9) // 10 THEN sd END) AS p9
+      |  FROM train GROUP BY event_type),
+      |preds AS (
+      |  SELECT event_type, 1 AS tau10, p1 AS pred FROM preds0
+      |  UNION ALL SELECT event_type, 5, p5 FROM preds0
+      |  UNION ALL SELECT event_type, 9, p9 FROM preds0),
+      |test AS (SELECT event_type, sd FROM halved WHERE rn > n // 2),
+      |losses AS (
+      |  SELECT t.event_type, p.tau10, p.pred,
+      |    greatest(p.tau10 * (t.sd - p.pred),
+      |      (p.tau10 - 10) * (t.sd - p.pred)) AS loss_x10
+      |  FROM test t JOIN preds p ON t.event_type = p.event_type)
+      |SELECT event_type, CAST(tau10 AS BIGINT) AS tau10,
+      |  CAST(max(pred) AS BIGINT) AS pred, count(*) AS n_test,
+      |  CAST(sum(loss_x10) AS BIGINT) AS sum_loss_x10,
+      |  CAST(round(CAST(sum(loss_x10) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) / 10.0) AS BIGINT)
+      |    AS mean_loss_e0
+      |FROM losses GROUP BY event_type, tau10
+      |ORDER BY event_type, tau10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q405_wasserstein" -> (q405 _),
     "q406_cvm_two_sample" -> (q406 _),
@@ -1580,7 +1947,11 @@ object Shift {
     "q421_theil_index" -> (q421 _),
     "q422_mood_median" -> (q422 _),
     "q423_jonckheere_terpstra" -> (q423 _),
-    "q424_decile_shift" -> (q424 _))
+    "q424_decile_shift" -> (q424 _),
+    "q427_logrank" -> (q427 _),
+    "q428_nelson_aalen" -> (q428 _),
+    "q429_forecast_mase" -> (q429 _),
+    "q430_pinball_loss" -> (q430 _))
 
   val oracle: Map[String, String] = Map(
     "q405_wasserstein" -> q405Sql,
@@ -1602,5 +1973,9 @@ object Shift {
     "q421_theil_index" -> q421Sql,
     "q422_mood_median" -> q422Sql,
     "q423_jonckheere_terpstra" -> q423Sql,
-    "q424_decile_shift" -> q424Sql)
+    "q424_decile_shift" -> q424Sql,
+    "q427_logrank" -> q427Sql,
+    "q428_nelson_aalen" -> q428Sql,
+    "q429_forecast_mase" -> q429Sql,
+    "q430_pinball_loss" -> q430Sql)
 }

@@ -269,6 +269,90 @@ class ShiftSpec extends AnyFunSuite {
     }
   }
 
+  /** (lifetime t, death flag, ever-purchased group) per user — the
+    * survival bookkeeping for q427/q428, recomputed literally. */
+  private lazy val survival: Seq[(Long, Long, Long)] = {
+    val e = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .select(col("user_id"), to_date(col("ts_s")).cast("string")
+        .as("d"), col("event_type"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))
+        .toEpochDay, r.getString(2)))
+    val maxDay = e.map(_._2).max
+    e.groupBy(_._1).values.map { g =>
+      val fd = g.map(_._2).min; val ld = g.map(_._2).max
+      (ld - fd, if (ld < maxDay) 1L else 0L,
+        if (g.exists(_._3 == "purchase")) 1L else 0L)
+    }.toSeq
+  }
+
+  test("q427 log-rank: O, E and V equal the literal at-risk/death " +
+       "table walked time by time") {
+    val times = survival.map(_._1).distinct.sorted
+    var o1 = 0L; var e1 = 0L; var v = 0L
+    times.foreach { t =>
+      val n1 = survival.count(u => u._1 >= t && u._3 == 1L).toLong
+      val n0 = survival.count(u => u._1 >= t && u._3 == 0L).toLong
+      val d1 = survival.count(u => u._1 == t && u._2 == 1L
+        && u._3 == 1L).toLong
+      val d0 = survival.count(u => u._1 == t && u._2 == 1L
+        && u._3 == 0L).toLong
+      val dt = d1 + d0; val nt = n1 + n0
+      if (dt > 0) {
+        o1 += d1
+        e1 += math.rint(1000000000.0 * dt.toDouble * n1.toDouble
+          / nt.toDouble).toLong
+        if (nt > 1)
+          v += math.rint(1000000000.0 * dt.toDouble * n1.toDouble
+            / nt.toDouble * n0.toDouble / nt.toDouble
+            * (nt - dt).toDouble / (nt - 1).toDouble).toLong
+      }
+    }
+    val row = q("q427_logrank").collect().head
+    assert(row.getAs[Long]("o1") == o1)
+    assert(row.getAs[Long]("e1_e9") == e1)
+    assert(row.getAs[Long]("v_e9") == v)
+  }
+
+  test("q428 Nelson–Aalen: the cumulative hazard is monotone " +
+       "non-decreasing and each increment is d/n at that time") {
+    val rows = q("q428_nelson_aalen").collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_at_risk"),
+        r.getAs[Long]("d_events"), r.getAs[Long]("h_e9")))
+      .sortBy(_._1)
+    var prevH = 0L
+    rows.foreach { case (t, n, d, h) =>
+      val inc = math.rint(1000000000.0 * d.toDouble / n.toDouble)
+        .toLong
+      assert(h == prevH + inc, s"t=$t")
+      assert(h >= prevH, s"t=$t monotone")
+      prevH = h
+    }
+    // at-risk counts telescope: n(t) = users with lifetime >= t
+    rows.foreach { case (t, n, _, _) =>
+      assert(n == survival.count(_._1 >= t).toLong, s"t=$t at-risk")
+    }
+  }
+
+  test("q430 pinball: the q90 predictor under-covers at most 10% of " +
+       "train days by construction, and every loss is non-negative") {
+    val rows = q("q430_pinball_loss").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("tau10"),
+        r.getAs[Long]("pred"), r.getAs[Long]("n_test"),
+        r.getAs[Long]("sum_loss_x10")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, tau, _, n, loss) =>
+      assert(loss >= 0L, s"$et tau=$tau")
+      assert(n > 0L)
+    }
+    // per type, the predictors are monotone in tau (order statistics
+    // of one sorted train set)
+    rows.groupBy(_._1).values.foreach { g =>
+      val byTau = g.sortBy(_._2).map(_._3).toSeq
+      assert(byTau == byTau.sorted, s"preds not monotone: ${g.toSeq}")
+    }
+  }
+
   test("q416 Hodges–Lehmann equals the literal median of all " +
        "pairwise daily-mean differences") {
     val day = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
