@@ -1927,6 +1927,290 @@ object Shift {
       |FROM losses GROUP BY event_type, tau10
       |ORDER BY event_type, tau10""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q431 — stationary distribution of the event-type Markov chain by
+  // power iteration, cross-engine EXACT: transitions come from
+  // per-user LAG pairs (the q392/q102 grain); the probability vector
+  // lives as e9-scaled longs, and every iteration's matrix–vector
+  // product rounds PER TERM (round(v_i·c_ij/r_i) — one deterministic
+  // IEEE division per edge) before the integer sum, so both engines
+  // walk the identical lattice point sequence for all 12 iterations —
+  // the oracle UNROLLS the same 12 steps as generated CTEs. The chain
+  // is the |event_type|² grain — domain-sized; the only corpus pass
+  // is the transition count.
+  // ---------------------------------------------------------------------
+  private val markovIters = 12
+
+  private def q431(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_s"), col("event_id"))
+    val trans = Tables.eventsSec(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+    val rowTot = trans.groupBy("cur").agg(sum("c").as("r"))
+    val edges = trans.join(rowTot, Seq("cur"))
+    val states = rowTot.select(col("cur").as("state"))
+    val nStates = states.count() // domain-sized (≤ event-type universe)
+    var v = states.select(col("state"),
+      lit(1000000000L / nStates).as("v")) // exact integer share
+    for (_ <- 1 to markovIters) {
+      v = edges.join(v, col("cur") === col("state"))
+        .select(col("nxt"),
+          round(col("v").cast("double") * col("c").cast("double")
+            / col("r").cast("double")).cast("long").as("t"))
+        .groupBy(col("nxt")).agg(sum("t").as("v"))
+        .select(col("nxt").as("state"), col("v"))
+    }
+    v.select(col("state").as("event_type"), col("v").as("pi_e9"))
+      .orderBy("event_type")
+  }
+
+  private val q431Sql = {
+    val steps = (1 to markovIters).map { k =>
+      s"""v$k AS (
+         |  SELECT nxt AS state,
+         |    CAST(sum(CAST(round(CAST(v AS DOUBLE) * CAST(c AS DOUBLE)
+         |      / CAST(r AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v
+         |  FROM edges JOIN v${k - 1} ON cur = state
+         |  GROUP BY nxt)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT event_type AS cur,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY date_trunc('second', ts), event_id) AS nxt
+       |  FROM events),
+       |trans AS (
+       |  SELECT cur, nxt, count(*) AS c FROM pairs
+       |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+       |row_tot AS (SELECT cur, CAST(sum(c) AS BIGINT) AS r FROM trans
+       |  GROUP BY cur),
+       |edges AS (SELECT t.cur, t.nxt, t.c, rt.r FROM trans t
+       |  JOIN row_tot rt ON t.cur = rt.cur),
+       |n_states AS (SELECT count(*) AS ns FROM row_tot),
+       |v0 AS (SELECT cur AS state,
+       |  CAST(1000000000 // ns AS BIGINT) AS v
+       |  FROM row_tot CROSS JOIN n_states),
+       |$steps
+       |SELECT state AS event_type, v AS pi_e9 FROM v$markovIters
+       |ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q432 — empirical-Bayes (beta) shrinkage of per-user purchase
+  // rates: the smoothed-rates op every per-entity dashboard needs —
+  // a 3-event user with 1 purchase is NOT a 33% converter. Beta prior
+  // by method of moments on the per-user e9 rates (exact long /
+  // decimal sufficient statistics; α, β emerge from ONE readout chain
+  // in identical IEEE order, e6-rounded; degenerate moments fall back
+  // to the documented Laplace (1,1) prior). Each user's shrunk rate
+  // (k+α)/(n+α+β) is then ONE per-row division of exact longs — the
+  // e6-scaled α/β clear the fractions. Reports the 20 most-shrunk
+  // users (unique tiebreak), i.e. exactly the entities a raw-rate
+  // ranking most misleads on.
+  // ---------------------------------------------------------------------
+  private def q432(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.eventsSec(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "purchase").cast("long")).as("k"))
+      .withColumn("r_e9", round(lit(1000000000.0)
+        * col("k").cast("double") / col("n").cast("double"))
+        .cast("long"))
+    val mom = perUser.agg(count(lit(1)).as("u"), sum("r_e9").as("sr"),
+        sum(col("r_e9").cast(dec) * col("r_e9")).as("sr2"))
+      .withColumn("m", col("sr").cast("double")
+        / (col("u").cast("double") * 1000000000.0))
+      .withColumn("vv", col("sr2").cast("double")
+        / (col("u").cast("double") * 1.0e18)
+        - col("m") * col("m"))
+      .withColumn("phi", col("m") * (lit(1.0) - col("m")) / col("vv")
+        - lit(1.0))
+      .select(
+        when(col("vv") > 0.0 && col("phi") > 0.0,
+          round(lit(1000000.0) * col("m") * col("phi")).cast("long"))
+          .otherwise(1000000L).as("alpha_e6"),
+        when(col("vv") > 0.0 && col("phi") > 0.0,
+          round(lit(1000000.0) * (lit(1.0) - col("m")) * col("phi"))
+            .cast("long"))
+          .otherwise(1000000L).as("beta_e6"))
+    perUser.crossJoin(broadcast(mom))
+      .select(col("user_id"), col("n"), col("k"),
+        round(lit(1000000.0) * col("k").cast("double")
+          / col("n").cast("double")).cast("long").as("raw_e6"),
+        round(lit(1000000.0)
+          * (col("k") * lit(1000000L) + col("alpha_e6")).cast("double")
+          / (col("n") * lit(1000000L) + col("alpha_e6")
+            + col("beta_e6")).cast("double")).cast("long")
+          .as("shrunk_e6"),
+        col("alpha_e6"), col("beta_e6"))
+      .orderBy(abs(col("shrunk_e6") - col("raw_e6")).desc,
+        col("user_id"))
+      .limit(20)
+  }
+
+  private val q432Sql =
+    """WITH per_user AS (
+      |  SELECT user_id, count(*) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS k
+      |  FROM events GROUP BY user_id),
+      |rates AS (
+      |  SELECT *, CAST(round(1000000000.0 * CAST(k AS DOUBLE)
+      |    / CAST(n AS DOUBLE)) AS BIGINT) AS r_e9
+      |  FROM per_user),
+      |mom0 AS (
+      |  SELECT count(*) AS u, CAST(sum(r_e9) AS BIGINT) AS sr,
+      |    sum(CAST(r_e9 AS HUGEINT) * r_e9) AS sr2
+      |  FROM rates),
+      |mom1 AS (
+      |  SELECT u, sr, sr2,
+      |    CAST(sr AS DOUBLE) / (CAST(u AS DOUBLE) * 1000000000.0)
+      |      AS m,
+      |    CAST(sr2 AS DOUBLE) / (CAST(u AS DOUBLE) * 1.0e18)
+      |      - (CAST(sr AS DOUBLE) / (CAST(u AS DOUBLE)
+      |        * 1000000000.0))
+      |      * (CAST(sr AS DOUBLE) / (CAST(u AS DOUBLE)
+      |        * 1000000000.0)) AS vv
+      |  FROM mom0),
+      |mom2 AS (
+      |  SELECT m, vv, m * (1.0 - m) / vv - 1.0 AS phi FROM mom1),
+      |prior AS (
+      |  SELECT
+      |    CASE WHEN vv > 0.0 AND phi > 0.0 THEN
+      |      CAST(round(1000000.0 * m * phi) AS BIGINT)
+      |    ELSE 1000000 END AS alpha_e6,
+      |    CASE WHEN vv > 0.0 AND phi > 0.0 THEN
+      |      CAST(round(1000000.0 * (1.0 - m) * phi) AS BIGINT)
+      |    ELSE 1000000 END AS beta_e6
+      |  FROM mom2)
+      |SELECT user_id, n, k,
+      |  CAST(round(1000000.0 * CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+      |    AS BIGINT) AS raw_e6,
+      |  CAST(round(1000000.0
+      |    * CAST(k * 1000000 + alpha_e6 AS DOUBLE)
+      |    / CAST(n * 1000000 + alpha_e6 + beta_e6 AS DOUBLE))
+      |    AS BIGINT) AS shrunk_e6,
+      |  alpha_e6, beta_e6
+      |FROM per_user CROSS JOIN prior
+      |ORDER BY abs(CAST(round(1000000.0
+      |    * CAST(k * 1000000 + alpha_e6 AS DOUBLE)
+      |    / CAST(n * 1000000 + alpha_e6 + beta_e6 AS DOUBLE))
+      |    AS BIGINT)
+      |  - CAST(round(1000000.0 * CAST(k AS DOUBLE)
+      |    / CAST(n AS DOUBLE)) AS BIGINT)) DESC, user_id
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q433 — bandit-regret replay of the greedy policy: treat event
+  // types as arms (reward = value), replay "pick the arm with the best
+  // PRIOR-days mean" day by day, and charge the realized regret
+  // against the per-day oracle best arm — the offline policy audit an
+  // experimentation platform runs before trusting a bandit rollout.
+  // Per-(arm, day) means and expanding prior means are per-row e4
+  // divisions; arg-max is the packed-key max (mean·8 + reversed arm
+  // index — the q151 tiebreak discipline, alphabetically-first arm
+  // wins ties, day 1 has zero priors and falls back to that
+  // tiebreak); cumulative regret is an exact long cumulant on the
+  // day axis. Only arms OBSERVED on a day are eligible that day —
+  // the identical convention on both engines.
+  // ---------------------------------------------------------------------
+  private def q433(s: SparkSession, dir: String): DataFrame = {
+    val idx = when(col("arm") === "click", 0L)
+      .when(col("arm") === "error", 1L)
+      .when(col("arm") === "purchase", 2L)
+      .when(col("arm") === "signup", 3L).otherwise(4L)
+    val daily = Tables.eventsSec(s, dir)
+      .select(col("event_type").as("arm"), to_date(col("ts_s")).as("day"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy("arm", "day").agg(count(lit(1)).as("nd"),
+        sum("v").as("sd"))
+      .withColumn("mean_e4", round(lit(10000.0) * col("sd").cast("double")
+        / col("nd").cast("double")).cast("long"))
+    val wp = Window.partitionBy("arm").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = daily
+      .withColumn("pn", coalesce(sum("nd").over(wp), lit(0L)))
+      .withColumn("ps", coalesce(sum("sd").over(wp), lit(0L)))
+      .withColumn("prior_e4", when(col("pn") > 0L,
+        round(lit(10000.0) * col("ps").cast("double")
+          / col("pn").cast("double")).cast("long")).otherwise(0L))
+      .withColumn("pick_key", col("prior_e4") * 8L + (lit(4L) - idx))
+      .withColumn("best_key", col("mean_e4") * 8L + (lit(4L) - idx))
+    val keys = scored.groupBy("day").agg(max("pick_key").as("pk"),
+      max("best_key").as("bk"))
+    val picked = scored.alias("s1").join(keys.alias("k1"),
+        col("s1.day") === col("k1.day")
+          && col("s1.pick_key") === col("k1.pk"))
+      .select(col("s1.day").as("day"), col("s1.arm").as("picked_arm"),
+        col("s1.mean_e4").as("picked_mean_e4"))
+    val best = scored.alias("s2").join(keys.alias("k2"),
+        col("s2.day") === col("k2.day")
+          && col("s2.best_key") === col("k2.bk"))
+      .select(col("s2.day").as("day"), col("s2.arm").as("best_arm"),
+        col("s2.mean_e4").as("best_mean_e4"))
+    val wc = axis(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    picked.alias("p").join(best.alias("b"),
+        col("p.day") === col("b.day"))
+      .select(col("p.day").as("day"), col("picked_arm"),
+        col("picked_mean_e4"), col("best_arm"), col("best_mean_e4"))
+      .withColumn("regret_e4", col("best_mean_e4")
+        - col("picked_mean_e4"))
+      .withColumn("cum_regret_e4", sum("regret_e4").over(wc))
+      .orderBy("day")
+  }
+
+  private val q433Sql =
+    """WITH daily AS (
+      |  SELECT event_type AS arm,
+      |    CAST(date_trunc('second', ts) AS DATE) AS day,
+      |    count(*) AS nd,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS sd
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT arm, day,
+      |    CAST(round(10000.0 * CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE))
+      |      AS BIGINT) AS mean_e4,
+      |    COALESCE(CAST(sum(nd) OVER wp AS BIGINT), 0) AS pn,
+      |    COALESCE(CAST(sum(sd) OVER wp AS BIGINT), 0) AS ps,
+      |    CASE arm WHEN 'click' THEN 0 WHEN 'error' THEN 1
+      |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END
+      |      AS idx
+      |  FROM daily
+      |  WINDOW wp AS (PARTITION BY arm ORDER BY day ROWS BETWEEN
+      |    UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |keyed AS (
+      |  SELECT *,
+      |    (CASE WHEN pn > 0 THEN CAST(round(10000.0
+      |      * CAST(ps AS DOUBLE) / CAST(pn AS DOUBLE)) AS BIGINT)
+      |      ELSE 0 END) * 8 + (4 - idx) AS pick_key,
+      |    mean_e4 * 8 + (4 - idx) AS best_key
+      |  FROM scored),
+      |keys AS (
+      |  SELECT day, max(pick_key) AS pk, max(best_key) AS bk
+      |  FROM keyed GROUP BY day),
+      |picked AS (
+      |  SELECT k.day, s.arm AS picked_arm,
+      |    s.mean_e4 AS picked_mean_e4
+      |  FROM keyed s JOIN keys k ON s.day = k.day
+      |    AND s.pick_key = k.pk),
+      |best AS (
+      |  SELECT k.day, s.arm AS best_arm, s.mean_e4 AS best_mean_e4
+      |  FROM keyed s JOIN keys k ON s.day = k.day
+      |    AND s.best_key = k.bk),
+      |joined AS (
+      |  SELECT p.day, p.picked_arm, p.picked_mean_e4, b.best_arm,
+      |    b.best_mean_e4,
+      |    b.best_mean_e4 - p.picked_mean_e4 AS regret_e4
+      |  FROM picked p JOIN best b ON p.day = b.day)
+      |SELECT day, picked_arm, picked_mean_e4, best_arm, best_mean_e4,
+      |  regret_e4,
+      |  CAST(sum(regret_e4) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+      |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_regret_e4
+      |FROM joined ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q405_wasserstein" -> (q405 _),
     "q406_cvm_two_sample" -> (q406 _),
@@ -1951,7 +2235,10 @@ object Shift {
     "q427_logrank" -> (q427 _),
     "q428_nelson_aalen" -> (q428 _),
     "q429_forecast_mase" -> (q429 _),
-    "q430_pinball_loss" -> (q430 _))
+    "q430_pinball_loss" -> (q430 _),
+    "q431_markov_stationary" -> (q431 _),
+    "q432_eb_shrinkage" -> (q432 _),
+    "q433_bandit_regret" -> (q433 _))
 
   val oracle: Map[String, String] = Map(
     "q405_wasserstein" -> q405Sql,
@@ -1977,5 +2264,8 @@ object Shift {
     "q427_logrank" -> q427Sql,
     "q428_nelson_aalen" -> q428Sql,
     "q429_forecast_mase" -> q429Sql,
-    "q430_pinball_loss" -> q430Sql)
+    "q430_pinball_loss" -> q430Sql,
+    "q431_markov_stationary" -> q431Sql,
+    "q432_eb_shrinkage" -> q432Sql,
+    "q433_bandit_regret" -> q433Sql)
 }

@@ -353,6 +353,80 @@ class ShiftSpec extends AnyFunSuite {
     }
   }
 
+  test("q431 Markov stationary: a literal Scala power iteration on " +
+       "the same rounded lattice reproduces pi exactly, and mass is " +
+       "conserved up to per-term rounding") {
+    val e = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        col("event_type"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getString(3)))
+    val trans = e.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(x => (x._3, x._2)).map(_._4)
+      sorted.zip(sorted.drop(1))
+    }.toSeq.groupBy(identity).map { case ((c, n), v) =>
+      (c, n, v.size.toLong) }.toSeq
+    val rowTot = trans.groupBy(_._1).map { case (c, v) =>
+      c -> v.map(_._3).sum }
+    val states = rowTot.keys.toSeq.sorted
+    var v: Map[String, Long] =
+      states.map(_ -> 1000000000L / states.size).toMap
+    (1 to 12).foreach { _ =>
+      val nv = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      trans.foreach { case (c, n, cnt) =>
+        nv(n) += math.rint(v(c).toDouble * cnt.toDouble
+          / rowTot(c).toDouble).toLong
+      }
+      v = states.map(st => st -> nv(st)).toMap
+    }
+    val rows = q("q431_markov_stationary").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == v, s"got $rows want $v")
+    // mass conservation: each of 12 iterations rounds ≤ |edges| terms
+    // by ≤ 0.5 each
+    assert(math.abs(rows.values.sum - 1000000000L)
+      <= 12L * trans.size / 2 + states.size)
+  }
+
+  test("q432 EB shrinkage: every shrunk rate lies between the raw " +
+       "rate and the prior mean (the defining property)") {
+    val rows = q("q432_eb_shrinkage").collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("k"),
+        r.getAs[Long]("raw_e6"), r.getAs[Long]("shrunk_e6"),
+        r.getAs[Long]("alpha_e6"), r.getAs[Long]("beta_e6")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, k, raw, shrunk, a, b) =>
+      val prior = math.rint(1000000.0 * a.toDouble
+        / (a + b).toDouble).toLong
+      val lo = math.min(raw, prior) - 1
+      val hi = math.max(raw, prior) + 1
+      assert(shrunk >= lo && shrunk <= hi,
+        s"n=$n k=$k raw=$raw prior=$prior shrunk=$shrunk")
+    }
+  }
+
+  test("q433 bandit regret: regret is non-negative, zero exactly " +
+       "when the policy picked the oracle arm, and the cumulative " +
+       "column telescopes") {
+    val rows = q("q433_bandit_regret").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[String]("picked_arm"), r.getAs[String]("best_arm"),
+        r.getAs[Long]("picked_mean_e4"), r.getAs[Long]("best_mean_e4"),
+        r.getAs[Long]("regret_e4"), r.getAs[Long]("cum_regret_e4")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { case (day, p, b, pm, bm, reg, cr) =>
+      assert(reg >= 0L, s"$day negative regret")
+      assert(reg == bm - pm, s"$day regret identity")
+      if (p == b) assert(reg == 0L, s"$day picked best but regret>0")
+      cum += reg
+      assert(cr == cum, s"$day cumulative")
+    }
+  }
+
   test("q416 Hodges–Lehmann equals the literal median of all " +
        "pairwise daily-mean differences") {
     val day = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
