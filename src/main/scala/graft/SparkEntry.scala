@@ -33,7 +33,8 @@ object SparkEntry {
     (analytics.Features.queries, analytics.Features.oracle),
     (analytics.Audit.queries, analytics.Audit.oracle),
     (analytics.Integrity.queries, analytics.Integrity.oracle),
-    (analytics.Shift.queries, analytics.Shift.oracle))
+    (analytics.Shift.queries, analytics.Shift.oracle),
+    (analytics.Mining.queries, analytics.Mining.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,339 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Pattern-mining / modeling tier (session 10, continuation): the
+  * classical data-mining and fitting primitives a corpus platform
+  * runs AFTER the statistical-testing tiers have said "these two
+  * snapshots differ" — what co-occurs (association rules), what's the
+  * trend (OLS, Theil–Sen, Mann–Kendall), and the multi-level rollup
+  * that feeds dashboards (CUBE). No reference analogue (the
+  * reference delegates all analytics to SQL;
+  * /root/reference/README.md:1-3).
+  *
+  * Cross-engine discipline as everywhere in the gate: e2 cents
+  * quantization at the scan, exact long/decimal(38,0) sufficient
+  * statistics (HUGEINT in the oracle), readout chains of IEEE ops in
+  * IDENTICAL operation order on both engines (the q261 precedent),
+  * unique-tiebreak ORDER BY, no Decimal/Float in final schemas.
+  *
+  * Scale posture: q434's pair expansion is bounded per order by the
+  * BRAND UNIVERSE (C(25,2)), never by line volume; q435 reduces to
+  * six sufficient statistics per group in one map-side-combined
+  * scan; q436's pairwise table is the 30-day OBSERVATION SPAN
+  * squared (calendar-bounded, raise_error tripwire at 1000 days);
+  * q437 is a plain grouped rollup (8 output rows). Nothing here
+  * materializes a data-volume-driven cross product.
+  */
+object Mining {
+
+  private val dec = "decimal(38,0)"
+
+  /** Unpartitioned-window site for this module (allowlisted in
+    * PlanQualitySpec's source lint): only ever applied to the
+    * day-pair grain (≤ C(1000,2) rows, tripwired) — bounded by the
+    * observation span, never by data volume. */
+  private def axis(sort: Column*) = Window.orderBy(sort: _*)
+
+  // ---------------------------------------------------------------------
+  // q434 — market-basket association rules at the brand grain:
+  // baskets are orders, items are the DISTINCT part brands in each
+  // order (25-brand universe ⇒ ≤ C(25,2) = 300 candidate pairs per
+  // order and ≤ 300 rules total, no matter how many trillions of
+  // lines fed them). For each unordered pair a<b passing relative
+  // min-support (n_ab·1000 ≥ N, i.e. ≥ 0.1 % of orders): support
+  // counts exact, confidence in both directions and lift as one
+  // IEEE chain each (counts < 2^26 per factor ⇒ the double products
+  // are exact through sf1; the division is the only rounding).
+  // Scale: the self-join shuffles on orderkey (co-partitioned with
+  // the basket extraction), the per-brand totals and N broadcast.
+  // ---------------------------------------------------------------------
+  private def q434(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val part = Tables.load(s, dir, "part")
+    val ob = li.join(broadcast(part),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+    val n = ob.agg(countDistinct(col("ok")).as("n_orders"))
+    val per = ob.groupBy("b").agg(count(lit(1)).as("n_one"))
+    val pairs = ob.as("x").join(ob.as("y"),
+        col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("ba"), col("y.b").as("bb"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(per.select(col("b").as("ba"),
+        col("n_one").as("n_a"))), "ba")
+      .join(broadcast(per.select(col("b").as("bb"),
+        col("n_one").as("n_b"))), "bb")
+      .crossJoin(broadcast(n))
+      .filter(col("n_ab") * 1000L >= col("n_orders"))
+      .select(col("ba"), col("bb"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_orders"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double")
+          * 1000000.0).cast("long").as("conf_ab_e6"),
+        round(col("n_ab").cast("double") / col("n_b").cast("double")
+          * 1000000.0).cast("long").as("conf_ba_e6"),
+        round(col("n_ab").cast("double") * col("n_orders").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double"))
+          * 1000000.0).cast("long").as("lift_e6"))
+      .orderBy("ba", "bb")
+  }
+
+  private val q434Sql =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+      |per AS (SELECT b, CAST(count(*) AS BIGINT) AS n_one
+      |  FROM ob GROUP BY b),
+      |pairs AS (
+      |  SELECT x.b AS ba, y.b AS bb, CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+      |  GROUP BY 1, 2)
+      |SELECT ba, bb, n_ab, pa.n_one AS n_a, pb.n_one AS n_b,
+      |  CAST(n_orders AS BIGINT) AS n_orders,
+      |  CAST(round(CAST(n_ab AS DOUBLE) / CAST(pa.n_one AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS conf_ab_e6,
+      |  CAST(round(CAST(n_ab AS DOUBLE) / CAST(pb.n_one AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS conf_ba_e6,
+      |  CAST(round(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+      |    / (CAST(pa.n_one AS DOUBLE) * CAST(pb.n_one AS DOUBLE))
+      |    * 1000000.0) AS BIGINT) AS lift_e6
+      |FROM pairs
+      |  JOIN per pa ON pairs.ba = pa.b
+      |  JOIN per pb ON pairs.bb = pb.b
+      |  CROSS JOIN n
+      |WHERE n_ab * 1000 >= n_orders
+      |ORDER BY ba, bb""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q435 — OLS simple linear regression of line price on quantity,
+  // per return flag: the closed-form normal-equation fit from SIX
+  // exact sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² — x is
+  // e2-quantized quantity, y cents; per-row products < 5·10¹⁰, the
+  // decimal(38,0) sums carry ~10¹³-row headroom). slope = (nΣxy −
+  // ΣxΣy)/(nΣx² − (Σx)²), intercept and R² from the same integers —
+  // each readout ONE written-out IEEE chain, identical on both
+  // engines; den ≤ 0 (degenerate x or y) guarded to 0 on both (the
+  // q385 convention). Scale: one scan, map-side combine to 3 rows.
+  // ---------------------------------------------------------------------
+  private def q435(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        round(col("l_quantity") * 100).cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val st = li.groupBy("rf").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("y").cast(dec) * col("y")).as("syy"))
+    val num = col("n").cast(dec) * col("sxy") -
+      col("sx").cast(dec) * col("sy")
+    val denx = col("n").cast(dec) * col("sxx") -
+      col("sx").cast(dec) * col("sx")
+    val deny = col("n").cast(dec) * col("syy") -
+      col("sy").cast(dec) * col("sy")
+    st.select(col("rf"), col("n"), col("sx"), col("sy"),
+        num.cast("double").as("numd"),
+        denx.cast("double").as("denxd"),
+        deny.cast("double").as("denyd"))
+      .select(col("rf"), col("n"), col("sx"), col("sy"),
+        when(col("denxd") > 0.0,
+          round(col("numd") / col("denxd") * 1000000.0).cast("long"))
+          .otherwise(0L).as("slope_e6"),
+        when(col("denxd") > 0.0,
+          round((col("sy").cast("double") / col("n").cast("double")
+            - col("numd") / col("denxd")
+              * (col("sx").cast("double") / col("n").cast("double")))
+            * 1000000.0).cast("long"))
+          .otherwise(0L).as("intercept_e6"),
+        when(col("denxd") > 0.0 && col("denyd") > 0.0,
+          round(col("numd") * col("numd")
+            / (col("denxd") * col("denyd")) * 1000000.0).cast("long"))
+          .otherwise(0L).as("r2_e6"))
+      .orderBy("rf")
+  }
+
+  private val q435Sql =
+    """WITH li AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |st AS (
+      |  SELECT rf, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM li GROUP BY rf),
+      |d AS (
+      |  SELECT rf, n, sx, sy,
+      |    CAST(CAST(n AS HUGEINT) * sxy
+      |      - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS numd,
+      |    CAST(CAST(n AS HUGEINT) * sxx
+      |      - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS denxd,
+      |    CAST(CAST(n AS HUGEINT) * syy
+      |      - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS denyd
+      |  FROM st)
+      |SELECT rf, n, sx, sy,
+      |  CASE WHEN denxd > 0.0 THEN
+      |    CAST(round(numd / denxd * 1000000.0) AS BIGINT)
+      |    ELSE 0 END AS slope_e6,
+      |  CASE WHEN denxd > 0.0 THEN
+      |    CAST(round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - numd / denxd
+      |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      * 1000000.0) AS BIGINT)
+      |    ELSE 0 END AS intercept_e6,
+      |  CASE WHEN denxd > 0.0 AND denyd > 0.0 THEN
+      |    CAST(round(numd * numd / (denxd * denyd) * 1000000.0)
+      |      AS BIGINT)
+      |    ELSE 0 END AS r2_e6
+      |FROM d ORDER BY rf""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q436 — Theil–Sen slope + Mann–Kendall trend over the daily
+  // purchase-revenue series: the robust regression twin of q435 (a
+  // single outlier day cannot drag the median-of-pairwise-slopes)
+  // and the classic distribution-free trend test, from ONE day-pair
+  // table. The day grain is the 30-day observation span (tripwired
+  // at 1000 days — the expansion is calendar-bounded, never
+  // data-volume-bounded). Pairwise slope: cast-to-double, ×1e6, ÷Δd,
+  // round — three IEEE ops in fixed order (exact-long Δrev keeps the
+  // chain deterministic); the median is the exact lower order
+  // statistic with (da, db) tiebreak. Mann–Kendall S = Σ sign(Δrev)
+  // is exact integer off the same pairs.
+  // ---------------------------------------------------------------------
+  private def q436(s: SparkSession, dir: String): DataFrame = {
+    val day = Tables.eventsSec(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("rev"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long")
+        .as("d"), col("rev"))
+    val cnt = day.agg(count(lit(1)).as("n_days"))
+    val a = day.select(col("d").as("da"), col("rev").as("ra"))
+    val b = day.select(col("d").as("db"), col("rev").as("rb"))
+    val pairs = a.crossJoin(broadcast(b)).crossJoin(broadcast(cnt))
+      .filter(col("da") < col("db"))
+      .withColumn("slope_e6",
+        when(col("n_days") <= 1000L,
+          round((col("rb") - col("ra")).cast("double") * 1000000.0
+            / (col("db") - col("da")).cast("double")).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("theilSen: day grain exceeded 1000 ("),
+            col("n_days").cast("string"),
+            lit(") — aggregate to a coarser grain or raise the bound " +
+              "explicitly.")))))
+      .withColumn("sgn",
+        signum((col("rb") - col("ra")).cast("double")).cast("long"))
+      .withColumn("rn", row_number()
+        .over(axis(col("slope_e6"), col("da"), col("db"))).cast("long"))
+    pairs.groupBy("n_days")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(when(col("rn") ===
+          expr("(n_days * (n_days - 1) div 2 + 1) div 2"),
+          col("slope_e6"))).as("ts_slope_e6"),
+        sum("sgn").as("mk_s"))
+      .select(col("n_days"), col("n_pairs"), col("ts_slope_e6"),
+        col("mk_s"))
+      .orderBy("n_days")
+  }
+
+  private val q436Sql =
+    """WITH day AS (
+      |  SELECT CAST(CAST(date_trunc('second', ts) AS DATE)
+      |      - DATE '1970-01-01' AS BIGINT) AS d,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1),
+      |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM day),
+      |pairs AS (
+      |  SELECT a.d AS da, b.d AS db,
+      |    CAST(round(CAST(b.rev - a.rev AS DOUBLE) * 1000000.0
+      |      / CAST(b.d - a.d AS DOUBLE)) AS BIGINT) AS slope_e6,
+      |    CAST(sign(CAST(b.rev - a.rev AS DOUBLE)) AS BIGINT) AS sgn
+      |  FROM day a JOIN day b ON a.d < b.d),
+      |ranked AS (
+      |  SELECT slope_e6, sgn,
+      |    CAST(row_number() OVER (ORDER BY slope_e6, da, db)
+      |      AS BIGINT) AS rn,
+      |    CAST(count(*) OVER () AS BIGINT) AS np
+      |  FROM pairs)
+      |SELECT n_days, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  min(CASE WHEN rn = (np + 1) // 2 THEN slope_e6 END)
+      |    AS ts_slope_e6,
+      |  CAST(sum(sgn) AS BIGINT) AS mk_s
+      |FROM cnt CROSS JOIN ranked
+      |GROUP BY n_days ORDER BY n_days""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q437 — revenue CUBE over (returnflag, linestatus): the
+  // multi-level rollup surface — all four grouping levels (detail,
+  // each single-axis margin, grand total) in one pass. Spark's
+  // `cube` and DuckDB's GROUP BY CUBE both produce the lattice;
+  // the level id is reconstructed per-engine as 2·grouping(rf) +
+  // grouping(ls) and margins read 'ALL' (the data columns are
+  // non-null, so coalesce is unambiguous). Revenue is exact cents;
+  // the per-row average is ONE readout division. Scale: a grouped
+  // aggregate with 12-row output — the map-side partials do all the
+  // work, the cube expansion multiplies rows by 4 BEFORE the
+  // combine, never after the shuffle.
+  // ---------------------------------------------------------------------
+  private def q437(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rfv"),
+        col("l_linestatus").as("lsv"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_quantity") * 100).cast("long").as("qty_e2"))
+    li.cube(col("rfv"), col("lsv"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("revenue_cents"),
+        sum("qty_e2").as("qty_e2"),
+        (grouping(col("rfv")) * 2 + grouping(col("lsv"))).cast("long")
+          .as("lvl"))
+      .select(col("lvl"),
+        coalesce(col("rfv"), lit("ALL")).as("rf"),
+        coalesce(col("lsv"), lit("ALL")).as("ls"),
+        col("n"), col("revenue_cents"), col("qty_e2"),
+        round(col("revenue_cents").cast("double")
+          / col("n").cast("double")).cast("long").as("avg_cents"))
+      .orderBy("lvl", "rf", "ls")
+  }
+
+  private val q437Sql =
+    """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+      |    AS BIGINT) AS lvl,
+      |  coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT) AS revenue_cents,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_e2,
+      |  CAST(round(CAST(sum(CAST(round(l_extendedprice * 100)
+      |      AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |    AS BIGINT) AS avg_cents
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY lvl, rf, ls""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q434_assoc_rules" -> (q434 _),
+    "q435_ols_regression" -> (q435 _),
+    "q436_theil_sen_mk" -> (q436 _),
+    "q437_revenue_cube" -> (q437 _))
+
+  val oracle: Map[String, String] = Map(
+    "q434_assoc_rules" -> q434Sql,
+    "q435_ols_regression" -> q435Sql,
+    "q436_theil_sen_mk" -> q436Sql,
+    "q437_revenue_cube" -> q437Sql)
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Independent checks for the mining/modeling tier (q434–q437):
+  * beyond the DuckDB oracle (which shares the SQL formulation), these
+  * recompute each statistic BRUTE-FORCE in plain Scala from the same
+  * parquet — basket co-occurrence by literal set intersection, OLS
+  * from the textbook mean-centered form, Theil–Sen by materializing
+  * every pairwise slope, the cube by four independent groupBys — and
+  * assert the structural laws the procedures promise (lift symmetry,
+  * R² ∈ [0,1], Mann–Kendall bounds, cube additivity).
+  */
+class MiningSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sf001)
+
+  // (orderkey, brand) distinct baskets at sf0.001.
+  private lazy val baskets: Map[Long, Set[String]] = {
+    val li = graft.core.Tables.load(spark, TestSpark.sf001, "lineitem")
+    val part = graft.core.Tables.load(spark, TestSpark.sf001, "part")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+  }
+
+  test("q434 association rules match literal basket intersection " +
+       "counts, and lift is symmetric in the pair") {
+    val n = baskets.size.toLong
+    val single = baskets.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val co = baskets.values.toSeq.flatMap { bs =>
+      val s = bs.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val rows = q("q434_assoc_rules").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ba = r.getAs[String]("ba"); val bb = r.getAs[String]("bb")
+      val nab = r.getAs[Long]("n_ab")
+      assert(nab == co((ba, bb)),
+        s"pair ($ba,$bb): engine $nab vs brute ${co((ba, bb))}")
+      assert(r.getAs[Long]("n_a") == single(ba))
+      assert(r.getAs[Long]("n_b") == single(bb))
+      assert(r.getAs[Long]("n_orders") == n)
+      assert(nab * 1000L >= n, "min-support filter violated")
+      // lift recomputed in the same IEEE order
+      val lift = math.rint(nab.toDouble * n.toDouble
+        / (single(ba).toDouble * single(bb).toDouble) * 1e6).toLong
+      assert(r.getAs[Long]("lift_e6") == lift)
+    }
+    // every qualifying brute pair is present (completeness)
+    val keyed = rows.map(r =>
+      (r.getAs[String]("ba"), r.getAs[String]("bb"))).toSet
+    co.filter { case (_, c) => c * 1000L >= n }.keys.foreach(p =>
+      assert(keyed.contains(p), s"missing qualifying pair $p"))
+  }
+
+  test("q435 OLS matches the textbook mean-centered fit per group " +
+       "and R² is in [0, 1e6]") {
+    val xs = graft.core.Tables.load(spark, TestSpark.sf001, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = q("q435_ols_regression").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val g = xs.filter(_._1 == r.getAs[String]("rf"))
+      val n = g.size.toDouble
+      val mx = g.map(_._2).sum.toDouble / n
+      val my = g.map(_._3).sum.toDouble / n
+      val sxy = g.map(t => (t._2 - mx) * (t._3 - my)).sum
+      val sxx = g.map(t => (t._2 - mx) * (t._2 - mx)).sum
+      val syy = g.map(t => (t._3 - my) * (t._3 - my)).sum
+      val slope = sxy / sxx
+      val r2 = sxy * sxy / (sxx * syy)
+      // mean-centered double arithmetic accumulates differently than
+      // the integer sufficient-statistic form: compare within 1e-6
+      // relative (the law, not the bit pattern — the gate checks bits)
+      val se = r.getAs[Long]("slope_e6").toDouble / 1e6
+      val r2e = r.getAs[Long]("r2_e6").toDouble / 1e6
+      assert(math.abs(se - slope) <= math.abs(slope) * 1e-6 + 1e-4,
+        s"slope ${r.getAs[String]("rf")}: $se vs $slope")
+      assert(math.abs(r2e - r2) <= 1e-4, s"r2: $r2e vs $r2")
+      assert(r.getAs[Long]("r2_e6") >= 0L &&
+        r.getAs[Long]("r2_e6") <= 1000000L)
+      val icpt = my - slope * mx
+      val ie = r.getAs[Long]("intercept_e6").toDouble / 1e6
+      assert(math.abs(ie - icpt) <= math.abs(icpt) * 1e-6 + 1e-2,
+        s"intercept: $ie vs $icpt")
+    }
+  }
+
+  test("q436 Theil–Sen slope is the exact lower median of every " +
+       "pairwise slope and Mann–Kendall S matches the literal loop") {
+    val days = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("rev"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long"),
+        col("rev"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val slopes = for {
+      i <- days.indices; j <- (i + 1) until days.size
+    } yield math.rint((days(j)._2 - days(i)._2).toDouble * 1e6
+      / (days(j)._1 - days(i)._1).toDouble).toLong
+    val s = (for {
+      i <- days.indices; j <- (i + 1) until days.size
+    } yield java.lang.Long.signum(days(j)._2 - days(i)._2).toLong).sum
+    val sorted = slopes.sorted
+    val median = sorted((slopes.size + 1) / 2 - 1)
+    val row = q("q436_theil_sen_mk").collect().head
+    assert(row.getAs[Long]("n_days") == days.size.toLong)
+    assert(row.getAs[Long]("n_pairs") == slopes.size.toLong)
+    assert(row.getAs[Long]("ts_slope_e6") == median)
+    assert(row.getAs[Long]("mk_s") == s)
+    assert(math.abs(s) <= slopes.size.toLong)
+  }
+
+  test("q437 cube: all four levels present, margins add up to the " +
+       "grand total, and detail cells match a plain groupBy") {
+    val rows = q("q437_revenue_cube").collect()
+    val byLvl = rows.groupBy(_.getAs[Long]("lvl"))
+    assert(byLvl(0L).length > 1 && byLvl(1L).length >= 2 &&
+      byLvl(2L).length >= 2 && byLvl(3L).length == 1)
+    val total = byLvl(3L).head
+    assert(total.getAs[String]("rf") == "ALL" &&
+      total.getAs[String]("ls") == "ALL")
+    // additivity at every level
+    Seq(0L, 1L, 2L).foreach { l =>
+      assert(byLvl(l).map(_.getAs[Long]("n")).sum ==
+        total.getAs[Long]("n"), s"n at lvl $l")
+      assert(byLvl(l).map(_.getAs[Long]("revenue_cents")).sum ==
+        total.getAs[Long]("revenue_cents"), s"revenue at lvl $l")
+    }
+    // detail cells vs an independent plain groupBy
+    val plain = graft.core.Tables.load(spark, TestSpark.sf001, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("c"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n"), r.getAs[Long]("c")))).toMap
+    byLvl(0L).foreach { r =>
+      val k = (r.getAs[String]("rf"), r.getAs[String]("ls"))
+      assert(plain(k) ==
+        ((r.getAs[Long]("n"), r.getAs[Long]("revenue_cents"))))
+    }
+  }
+}

@@ -1134,7 +1134,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // table, or a (source × lang) hypothesis enumeration — bounded
       // by a domain/universe, never by data volume (the q160 binned-
       // ECDF argument, documented at the helper)
-      "graft/analytics/Shift.scala :: private def axis(sort: Column*) = Window.orderBy(sort: _*)")
+      "graft/analytics/Shift.scala :: private def axis(sort: Column*) = Window.orderBy(sort: _*)",
+      // Mining tier (q434+): only ever applied to the day-pair grain
+      // (≤ C(1000,2) rows, raise_error tripwire at 1000 days) —
+      // bounded by the observation span, never by data volume
+      "graft/analytics/Mining.scala :: private def axis(sort: Column*) = Window.orderBy(sort: _*)")
     val unexpected = sites -- allow
     val stale = allow -- sites
     assert(unexpected.isEmpty,
