@@ -325,15 +325,348 @@ object Mining {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY lvl, rf, ls""".stripMargin
 
+  /** Daily purchase-revenue series (epoch-day index, exact cents) —
+    * shared by q436/q439/q441. Calendar-bounded (30 days in the
+    * testdata; the consumers tripwire at 1000). */
+  private def dayRev(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsSec(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long")
+        .as("d"), col("y"))
+
+  private val dayRevSql =
+    """SELECT CAST(CAST(date_trunc('second', ts) AS DATE)
+      |    - DATE '1970-01-01' AS BIGINT) AS d,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q438 — frequent ordered 2-sequences ("a somewhere before b"):
+  // the sequential-pattern complement of q392's ADJACENT transition
+  // counts — per user, type a precedes type b iff a's FIRST second
+  // strictly precedes b's LAST second (second-granularity semantics,
+  // matching the gate-wide ts truncation; same-second order is
+  // deliberately not consulted). The per-user reduction is to the
+  // (user × 5-type) grain; the pattern join is ≤ 5×4 combinations
+  // per user — bounded by the TYPE UNIVERSE, never by event volume.
+  // Support/confidence/lift exactly as q434 (exact counts, one IEEE
+  // chain each).
+  // ---------------------------------------------------------------------
+  private def q438(s: SparkSession, dir: String): DataFrame = {
+    val ua = Tables.eventsSec(s, dir)
+      .groupBy(col("user_id").as("u"), col("event_type").as("t"))
+      .agg(min("ts_s").as("mn"), max("ts_s").as("mx"))
+    val n = ua.agg(countDistinct(col("u")).as("n_users"))
+    val per = ua.groupBy("t").agg(count(lit(1)).as("n_one"))
+    val sup = ua.as("x").join(ua.as("y"),
+        col("x.u") === col("y.u") && col("x.t") =!= col("y.t") &&
+          col("x.mn") < col("y.mx"))
+      .groupBy(col("x.t").as("ta"), col("y.t").as("tb"))
+      .agg(count(lit(1)).as("n_ab"))
+    sup
+      .join(broadcast(per.select(col("t").as("ta"),
+        col("n_one").as("n_a"))), "ta")
+      .join(broadcast(per.select(col("t").as("tb"),
+        col("n_one").as("n_b"))), "tb")
+      .crossJoin(broadcast(n))
+      .select(col("ta"), col("tb"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_users"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double")
+          * 1000000.0).cast("long").as("conf_e6"),
+        round(col("n_ab").cast("double") * col("n_users").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double"))
+          * 1000000.0).cast("long").as("lift_e6"))
+      .orderBy("ta", "tb")
+  }
+
+  private val q438Sql =
+    """WITH ua AS (
+      |  SELECT user_id AS u, event_type AS t,
+      |    min(date_trunc('second', ts)) AS mn,
+      |    max(date_trunc('second', ts)) AS mx
+      |  FROM events GROUP BY 1, 2),
+      |n AS (SELECT count(DISTINCT u) AS n_users FROM ua),
+      |per AS (SELECT t, CAST(count(*) AS BIGINT) AS n_one
+      |  FROM ua GROUP BY t),
+      |sup AS (
+      |  SELECT x.t AS ta, y.t AS tb, CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM ua x JOIN ua y ON x.u = y.u AND x.t <> y.t
+      |    AND x.mn < y.mx
+      |  GROUP BY 1, 2)
+      |SELECT ta, tb, n_ab, pa.n_one AS n_a, pb.n_one AS n_b,
+      |  CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(round(CAST(n_ab AS DOUBLE) / CAST(pa.n_one AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS conf_e6,
+      |  CAST(round(CAST(n_ab AS DOUBLE) * CAST(n_users AS DOUBLE)
+      |    / (CAST(pa.n_one AS DOUBLE) * CAST(pb.n_one AS DOUBLE))
+      |    * 1000000.0) AS BIGINT) AS lift_e6
+      |FROM sup
+      |  JOIN per pa ON sup.ta = pa.t
+      |  JOIN per pb ON sup.tb = pb.t
+      |  CROSS JOIN n
+      |ORDER BY ta, tb""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q439 — RANSAC line fit on the daily revenue series, INTEGER-EXACT
+  // end to end: every ordered day pair is a candidate model (the
+  // classic sample-size-2 case, run EXHAUSTIVELY — the model space is
+  // the calendar-bounded day-pair grid, so no random sampling is
+  // needed and the result is deterministic); a day is an inlier of
+  // model (a,b) iff |(y−ya)·Δd − Δy·(d−da)| ≤ MAD·Δd — the point-to-
+  // line residual cross-multiplied so NO division ever happens, with
+  // the tolerance band the exact integer MAD of the series (scale-
+  // free by construction). Best model = max inliers, (da,db)
+  // tiebreak; the consensus set is then refit by the q435 OLS chain.
+  // Everything before the two readout divisions is exact longs.
+  // ---------------------------------------------------------------------
+  private def q439(s: SparkSession, dir: String): DataFrame = {
+    val day = dayRev(s, dir)
+    val cnt = day.agg(count(lit(1)).as("n_days"))
+    // the tripwire guards the day index itself, so it cannot be
+    // pruned out of the plan (the q416 pattern)
+    val guard = day.crossJoin(broadcast(cnt))
+      .select(
+        when(col("n_days") <= 1000L, col("d"))
+          .otherwise(raise_error(concat(
+            lit("ransacLine: day grain exceeded 1000 ("),
+            col("n_days").cast("string"),
+            lit(") — aggregate to a coarser grain or raise the bound " +
+              "explicitly.")))).as("d"),
+        col("y"), col("n_days"))
+    // exact lower median of y, then exact lower median of |y - med|
+    val med = guard
+      .withColumn("rn", row_number().over(axis(col("y"), col("d"))))
+      .groupBy("n_days")
+      .agg(min(when(col("rn") === expr("(n_days + 1) div 2"),
+        col("y"))).as("y_med"))
+    val mad = guard.crossJoin(broadcast(med.select("y_med")))
+      .withColumn("dev", abs(col("y") - col("y_med")))
+      .withColumn("rn", row_number().over(axis(col("dev"), col("d"))))
+      .groupBy("n_days")
+      .agg(min(when(col("rn") === expr("(n_days + 1) div 2"),
+        col("dev"))).as("mad"))
+    val a = guard.select(col("d").as("da"), col("y").as("ya"))
+    val b = guard.select(col("d").as("db"), col("y").as("yb"))
+    val models = a.crossJoin(broadcast(b))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), (col("yb") - col("ya")).as("dy"),
+        (col("db") - col("da")).as("dx"), col("ya"))
+    val scored = models
+      .crossJoin(broadcast(guard.select(col("d"), col("y"))))
+      .crossJoin(broadcast(mad))
+      .filter(abs((col("y") - col("ya")) * col("dx")
+        - col("dy") * (col("d") - col("da")))
+        <= col("mad") * col("dx"))
+      .groupBy("n_days", "mad", "da", "db", "dy", "dx", "ya")
+      .agg(count(lit(1)).as("n_inliers"))
+    val best = scored
+      .withColumn("rk", row_number().over(
+        axis(col("n_inliers").desc, col("da"), col("db"))))
+      .filter(col("rk") === 1)
+      .drop("rk")
+    // OLS refit on the consensus set (the q435 sufficient-statistic
+    // chain, x = epoch day, y = cents)
+    val fit = guard.select(col("d"), col("y"))
+      .crossJoin(broadcast(best))
+      .filter(abs((col("y") - col("ya")) * col("dx")
+        - col("dy") * (col("d") - col("da")))
+        <= col("mad") * col("dx"))
+      .groupBy("n_days", "mad", "da", "db", "n_inliers")
+      .agg(count(lit(1)).as("nf"),
+        sum("d").as("sx"), sum("y").as("sy"),
+        sum(col("d").cast(dec) * col("y")).as("sxy"),
+        sum(col("d").cast(dec) * col("d")).as("sxx"))
+    val num = col("nf").cast(dec) * col("sxy") -
+      col("sx").cast(dec) * col("sy")
+    val denx = col("nf").cast(dec) * col("sxx") -
+      col("sx").cast(dec) * col("sx")
+    fit.select(col("n_days"), col("mad"), col("da").as("best_da"),
+        col("db").as("best_db"), col("n_inliers"),
+        num.cast("double").as("numd"), denx.cast("double").as("denxd"),
+        col("sx"), col("sy"), col("nf"))
+      .select(col("n_days"), col("mad"), col("best_da"),
+        col("best_db"), col("n_inliers"),
+        when(col("denxd") > 0.0,
+          round(col("numd") / col("denxd") * 1000000.0).cast("long"))
+          .otherwise(0L).as("refit_slope_e6"),
+        when(col("denxd") > 0.0,
+          round((col("sy").cast("double") / col("nf").cast("double")
+            - col("numd") / col("denxd")
+              * (col("sx").cast("double") / col("nf").cast("double")))
+            * 1000000.0).cast("long"))
+          .otherwise(0L).as("refit_intercept_e6"))
+      .orderBy("n_days")
+  }
+
+  private val q439Sql =
+    s"""WITH day AS (
+       |  $dayRevSql),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM day),
+       |med AS (
+       |  SELECT n_days, min(CASE WHEN rn = (n_days + 1) // 2
+       |      THEN y END) AS y_med
+       |  FROM cnt CROSS JOIN (
+       |    SELECT y, CAST(row_number() OVER (ORDER BY y, d)
+       |      AS BIGINT) AS rn FROM day) r
+       |  GROUP BY n_days),
+       |mad AS (
+       |  SELECT n_days, min(CASE WHEN rn = (n_days + 1) // 2
+       |      THEN dev END) AS mad
+       |  FROM cnt CROSS JOIN (
+       |    SELECT abs(y - y_med) AS dev,
+       |      CAST(row_number() OVER (ORDER BY abs(y - y_med), d)
+       |        AS BIGINT) AS rn
+       |    FROM day CROSS JOIN med) r
+       |  GROUP BY n_days),
+       |models AS (
+       |  SELECT a.d AS da, b.d AS db, b.y - a.y AS dy,
+       |    b.d - a.d AS dx, a.y AS ya
+       |  FROM day a JOIN day b ON a.d < b.d),
+       |scored AS (
+       |  SELECT n_days, mad, da, db, dy, dx, ya,
+       |    CAST(count(*) AS BIGINT) AS n_inliers
+       |  FROM models CROSS JOIN day p CROSS JOIN mad
+       |  WHERE abs((p.y - ya) * dx - dy * (p.d - da)) <= mad * dx
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+       |best AS (
+       |  SELECT * FROM (
+       |    SELECT scored.*, row_number() OVER
+       |      (ORDER BY n_inliers DESC, da, db) AS rk FROM scored) s
+       |  WHERE rk = 1),
+       |fit AS (
+       |  SELECT n_days, mad, da, db, n_inliers,
+       |    CAST(count(*) AS BIGINT) AS nf,
+       |    CAST(sum(p.d) AS BIGINT) AS sx,
+       |    CAST(sum(p.y) AS BIGINT) AS sy,
+       |    sum(CAST(p.d AS HUGEINT) * p.y) AS sxy,
+       |    sum(CAST(p.d AS HUGEINT) * p.d) AS sxx
+       |  FROM day p CROSS JOIN best
+       |  WHERE abs((p.y - ya) * dx - dy * (p.d - da)) <= mad * dx
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |d2 AS (
+       |  SELECT n_days, mad, da AS best_da, db AS best_db, n_inliers,
+       |    nf, sx, sy,
+       |    CAST(CAST(nf AS HUGEINT) * sxy
+       |      - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS numd,
+       |    CAST(CAST(nf AS HUGEINT) * sxx
+       |      - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS denxd
+       |  FROM fit)
+       |SELECT n_days, mad, best_da, best_db, n_inliers,
+       |  CASE WHEN denxd > 0.0 THEN
+       |    CAST(round(numd / denxd * 1000000.0) AS BIGINT)
+       |    ELSE 0 END AS refit_slope_e6,
+       |  CASE WHEN denxd > 0.0 THEN
+       |    CAST(round((CAST(sy AS DOUBLE) / CAST(nf AS DOUBLE)
+       |      - numd / denxd
+       |        * (CAST(sx AS DOUBLE) / CAST(nf AS DOUBLE)))
+       |      * 1000000.0) AS BIGINT)
+       |    ELSE 0 END AS refit_intercept_e6
+       |FROM d2 ORDER BY n_days""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q440 — lead–lag cross-correlation profile between daily click
+  // COUNT and daily purchase REVENUE at lags −7..+7: the
+  // which-series-leads diagnostic behind every "did marketing clicks
+  // drive next-day purchases" question — the two-series complement of
+  // the gated ACF (q374). Per lag L the pairs are (clicks(t),
+  // revenue(t+L)) over overlapping days; Pearson r comes from the
+  // q435 exact sufficient statistics per lag, with sqrt in the
+  // readout (correctly-rounded IEEE, the q415 precedent). The lag
+  // table is a 15-row literal enumeration; the day join is
+  // calendar-bounded.
+  // ---------------------------------------------------------------------
+  private def q440(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir)
+    val dayx = ev.filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long")
+        .as("d"), col("x"))
+    val dayy = dayRev(s, dir)
+    val lags = s.range(-7L, 8L).select(col("id").as("lag"))
+    val pairs = dayx.crossJoin(broadcast(lags))
+      .join(broadcast(dayy.select(col("d").as("dy_d"), col("y"))),
+        col("dy_d") === col("d") + col("lag"))
+    val st = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("y").cast(dec) * col("y")).as("syy"))
+    val num = col("n").cast(dec) * col("sxy") -
+      col("sx").cast(dec) * col("sy")
+    val denx = col("n").cast(dec) * col("sxx") -
+      col("sx").cast(dec) * col("sx")
+    val deny = col("n").cast(dec) * col("syy") -
+      col("sy").cast(dec) * col("sy")
+    st.select(col("lag"), col("n"),
+        num.cast("double").as("numd"),
+        denx.cast("double").as("denxd"),
+        deny.cast("double").as("denyd"))
+      .select(col("lag"), col("n"),
+        when(col("denxd") > 0.0 && col("denyd") > 0.0,
+          round(col("numd") / sqrt(col("denxd") * col("denyd"))
+            * 1000000.0).cast("long"))
+          .otherwise(0L).as("r_e6"))
+      .orderBy("lag")
+  }
+
+  private val q440Sql =
+    s"""WITH dayx AS (
+       |  SELECT CAST(CAST(date_trunc('second', ts) AS DATE)
+       |      - DATE '1970-01-01' AS BIGINT) AS d,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'click'
+       |  GROUP BY 1),
+       |dayy AS (
+       |  $dayRevSql),
+       |lags AS (SELECT CAST(g AS BIGINT) AS lag
+       |  FROM generate_series(-7, 7) t(g)),
+       |pairs AS (
+       |  SELECT lag, x, y
+       |  FROM dayx CROSS JOIN lags
+       |    JOIN dayy ON dayy.d = dayx.d + lag),
+       |st AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM pairs GROUP BY lag),
+       |d2 AS (
+       |  SELECT lag, n,
+       |    CAST(CAST(n AS HUGEINT) * sxy
+       |      - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS numd,
+       |    CAST(CAST(n AS HUGEINT) * sxx
+       |      - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS denxd,
+       |    CAST(CAST(n AS HUGEINT) * syy
+       |      - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS denyd
+       |  FROM st)
+       |SELECT lag, n,
+       |  CASE WHEN denxd > 0.0 AND denyd > 0.0 THEN
+       |    CAST(round(numd / sqrt(denxd * denyd) * 1000000.0)
+       |      AS BIGINT)
+       |    ELSE 0 END AS r_e6
+       |FROM d2 ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q434_assoc_rules" -> (q434 _),
     "q435_ols_regression" -> (q435 _),
     "q436_theil_sen_mk" -> (q436 _),
-    "q437_revenue_cube" -> (q437 _))
+    "q437_revenue_cube" -> (q437 _),
+    "q438_seq2_support" -> (q438 _),
+    "q439_ransac_line" -> (q439 _),
+    "q440_ccf_leadlag" -> (q440 _))
 
   val oracle: Map[String, String] = Map(
     "q434_assoc_rules" -> q434Sql,
     "q435_ols_regression" -> q435Sql,
     "q436_theil_sen_mk" -> q436Sql,
-    "q437_revenue_cube" -> q437Sql)
+    "q437_revenue_cube" -> q437Sql,
+    "q438_seq2_support" -> q438Sql,
+    "q439_ransac_line" -> q439Sql,
+    "q440_ccf_leadlag" -> q440Sql)
 }

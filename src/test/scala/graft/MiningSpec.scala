@@ -155,4 +155,120 @@ class MiningSpec extends AnyFunSuite {
         ((r.getAs[Long]("n"), r.getAs[Long]("revenue_cents"))))
     }
   }
+
+  // per-user (type -> (first second, last second)) at sf0.001
+  private lazy val userSpans
+      : Map[Long, Map[String, (java.sql.Timestamp, java.sql.Timestamp)]] =
+    graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .select(col("user_id"), col("event_type"), col("ts_s"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .groupBy(_._1).map { case (u, xs) =>
+        u -> xs.groupBy(_._2).map { case (t, ys) =>
+          val ts = ys.map(_._3)
+          t -> (ts.minBy(_.getTime), ts.maxBy(_.getTime))
+        }
+      }
+
+  test("q438 ordered 2-sequence supports match the literal " +
+       "first-before-last scan over every user") {
+    val rows = q("q438_seq2_support").collect()
+    assert(rows.length == 20) // 5 types x 4 ordered partners
+    val nUsers = userSpans.size.toLong
+    rows.foreach { r =>
+      val ta = r.getAs[String]("ta"); val tb = r.getAs[String]("tb")
+      val brute = userSpans.values.count { m =>
+        (m.contains(ta) && m.contains(tb)) &&
+          m(ta)._1.getTime < m(tb)._2.getTime
+      }.toLong
+      assert(r.getAs[Long]("n_ab") == brute, s"($ta,$tb)")
+      assert(r.getAs[Long]("n_a") ==
+        userSpans.values.count(_.contains(ta)).toLong)
+      assert(r.getAs[Long]("n_users") == nUsers)
+    }
+  }
+
+  // daily purchase revenue (epoch day, cents) at sf0.001
+  private lazy val revDays: Seq[(Long, Long)] =
+    graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("rev"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long"),
+        col("rev"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+
+  test("q439 RANSAC: the reported model maximizes inliers over the " +
+       "exhaustive model grid (literal recount) and the refit " +
+       "matches OLS on its consensus set") {
+    def lowerMedian(xs: Seq[Long]): Long =
+      xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val med = lowerMedian(revDays.map(_._2))
+    val mad = lowerMedian(revDays.map(t => math.abs(t._2 - med)))
+    def inliers(da: Long, ya: Long, db: Long, yb: Long): Long = {
+      val dx = db - da; val dy = yb - ya
+      revDays.count { case (d, y) =>
+        math.abs((y - ya) * dx - dy * (d - da)) <= mad * dx
+      }.toLong
+    }
+    val all = for {
+      (da, ya) <- revDays; (db, yb) <- revDays if da < db
+    } yield ((da, db), inliers(da, ya, db, yb))
+    val bestN = all.map(_._2).max
+    val best = all.filter(_._2 == bestN).map(_._1).min
+    val row = q("q439_ransac_line").collect().head
+    assert(row.getAs[Long]("mad") == mad)
+    assert(row.getAs[Long]("n_inliers") == bestN)
+    assert((row.getAs[Long]("best_da"), row.getAs[Long]("best_db"))
+      == best)
+    // refit on the brute consensus set, textbook mean-centered OLS
+    val (da, ya) = revDays.find(_._1 == best._1).get
+    val (db, yb) = revDays.find(_._1 == best._2).get
+    val cons = revDays.filter { case (d, y) =>
+      math.abs((y - ya) * (db - da) - (yb - ya) * (d - da)) <=
+        mad * (db - da)
+    }
+    val n = cons.size.toDouble
+    val mx = cons.map(_._1).sum.toDouble / n
+    val my = cons.map(_._2).sum.toDouble / n
+    val slope = cons.map(t => (t._1 - mx) * (t._2 - my)).sum /
+      cons.map(t => (t._1 - mx) * (t._1 - mx)).sum
+    val se = row.getAs[Long]("refit_slope_e6").toDouble / 1e6
+    assert(math.abs(se - slope) <= math.abs(slope) * 1e-6 + 1e-3,
+      s"refit slope $se vs $slope")
+  }
+
+  test("q440 lead-lag profile: r at each lag matches the literal " +
+       "paired Pearson, is bounded by 1e6, and lag 0 pairs all days") {
+    val clicks = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long"),
+        col("x"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rev = revDays.toMap
+    val rows = q("q440_ccf_leadlag").collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val lag = r.getAs[Long]("lag")
+      val pairs = clicks.toSeq.flatMap { case (d, x) =>
+        rev.get(d + lag).map(y => (x.toDouble, y.toDouble))
+      }
+      assert(r.getAs[Long]("n") == pairs.size.toLong)
+      val n = pairs.size.toDouble
+      val mx = pairs.map(_._1).sum / n
+      val my = pairs.map(_._2).sum / n
+      val num = pairs.map(t => (t._1 - mx) * (t._2 - my)).sum
+      val dx = pairs.map(t => (t._1 - mx) * (t._1 - mx)).sum
+      val dy = pairs.map(t => (t._2 - my) * (t._2 - my)).sum
+      val rr = num / math.sqrt(dx * dy)
+      val re = r.getAs[Long]("r_e6")
+      assert(math.abs(re.toDouble / 1e6 - rr) <= 1e-4,
+        s"lag $lag: $re vs $rr")
+      assert(math.abs(re) <= 1000000L)
+      if (lag == 0L) assert(r.getAs[Long]("n") == clicks.size.toLong)
+    }
+  }
 }
