@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object Exact {
 
+  /** Spark's Round(double, 0) semantics in driver/executor Scala:
+    * shortest-decimal BigDecimal, HALF_UP — so a Scala-side walk
+    * (mapPartitions over a bounded grain) lands on exactly the value
+    * `functions.round` / DuckDB `round` would produce. Same helper
+    * shape as the streaming walk's (TwsDrift.sparkRound). */
+  def roundHalfUp(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
   /** Exact sum of a fixed-point column with `scale` decimal digits. */
   def fixedSum(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale)

@@ -652,6 +652,398 @@ object Mining {
        |    ELSE 0 END AS r_e6
        |FROM d2 ORDER BY lag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q441 — Hurst exponent by rescaled-range (R/S) analysis of the
+  // daily revenue series: the long-memory diagnostic (H≈0.5 random
+  // walk, H>0.5 persistent trend) behind burstiness claims about a
+  // feed. Blocks of w ∈ {5,10,15,30} RANKED days (complete blocks
+  // only); within a block the rescaled range collapses to integers:
+  // with D_i = w·cum_i − i·S the identity R/S = (maxD − minD) /
+  // √(w·ΣY² − S²) clears every division — ONE e6-rounded IEEE chain
+  // per block. Per-w mean of block R/S, then H = OLS slope of
+  // ln(R/S) on ln(w) over the ≤4 lattice points (per-point ln
+  // e9-rounded, the q375 discipline). Everything is bounded by the
+  // observation span; the within-block window is partitioned.
+  // ---------------------------------------------------------------------
+  private def q441(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranked = dayRev(s, dir)
+      .withColumn("r", row_number().over(axis(col("d"))).cast("long"))
+    val ws = Seq(5L, 10L, 15L, 30L).toDF("w")
+    val cells = ranked.crossJoin(broadcast(ws))
+      .withColumn("blk", expr("(r - 1) div w"))
+      .withColumn("i", expr("(r - 1) % w + 1"))
+    val wcum = Window.partitionBy("w", "blk").orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cells.withColumn("cum", sum("y").over(wcum))
+    val bs = cells.groupBy("w", "blk")
+      .agg(count(lit(1)).as("cntb"), sum("y").as("sblk"),
+        sum(col("y").cast(dec) * col("y")).as("ssblk"))
+    val drow = cum.join(bs, Seq("w", "blk"))
+      .withColumn("dd", col("w") * col("cum") - col("i") * col("sblk"))
+    val blk = drow.groupBy("w", "blk", "cntb", "sblk", "ssblk")
+      .agg((max("dd") - min("dd")).as("rng"))
+      .filter(col("cntb") === col("w"))
+    val qv = (col("w").cast(dec) * col("ssblk")
+      - col("sblk").cast(dec) * col("sblk")).cast("double")
+    val rs = blk.select(col("w"),
+      when(qv > 0.0, round(col("rng").cast("double") / sqrt(qv)
+        * 1000000.0).cast("long")).otherwise(0L).as("rs_e6"))
+    val perw = rs.groupBy("w")
+      .agg(count(lit(1)).as("n_blocks"),
+        round(sum("rs_e6").cast("double")
+          / count(lit(1)).cast("double")).cast("long").as("rs_mean_e6"))
+    val pts = perw.filter(col("rs_mean_e6") > 0L)
+      .select(
+        round(log(col("w").cast("double")) * 1000000000.0)
+          .cast("long").as("lw"),
+        round(log(col("rs_mean_e6").cast("double") / 1000000.0)
+          * 1000000000.0).cast("long").as("lr"))
+    val fit = pts.agg(count(lit(1)).as("n"),
+      sum("lw").as("sx"), sum("lr").as("sy"),
+      sum(col("lw").cast(dec) * col("lr")).as("sxy"),
+      sum(col("lw").cast(dec) * col("lw")).as("sxx"))
+    val num = (col("n").cast(dec) * col("sxy")
+      - col("sx").cast(dec) * col("sy")).cast("double")
+    val denx = (col("n").cast(dec) * col("sxx")
+      - col("sx").cast(dec) * col("sx")).cast("double")
+    val h = fit.select(
+      when(denx > 0.0, round(num / denx * 1000000.0).cast("long"))
+        .otherwise(0L).as("hurst_e6"))
+    perw.crossJoin(broadcast(h))
+      .select(col("w"), col("n_blocks"), col("rs_mean_e6"),
+        col("hurst_e6"))
+      .orderBy("w")
+  }
+
+  private val q441Sql =
+    s"""WITH day AS (
+       |  $dayRevSql),
+       |ranked AS (SELECT d, y,
+       |  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS r FROM day),
+       |ws AS (SELECT CAST(w AS BIGINT) AS w
+       |  FROM (VALUES (5), (10), (15), (30)) t(w)),
+       |cells AS (SELECT w, (r - 1) // w AS blk, (r - 1) % w + 1 AS i,
+       |  y, r FROM ranked CROSS JOIN ws),
+       |cum AS (SELECT w, blk, i, y, r,
+       |  CAST(sum(y) OVER (PARTITION BY w, blk ORDER BY r
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum
+       |  FROM cells),
+       |bs AS (SELECT w, blk, CAST(count(*) AS BIGINT) AS cntb,
+       |  CAST(sum(y) AS BIGINT) AS sblk,
+       |  sum(CAST(y AS HUGEINT) * y) AS ssblk
+       |  FROM cells GROUP BY 1, 2),
+       |drow AS (SELECT c.w, c.blk, b.cntb, b.sblk, b.ssblk,
+       |  c.w * c.cum - c.i * b.sblk AS dd
+       |  FROM cum c JOIN bs b ON c.w = b.w AND c.blk = b.blk),
+       |blk AS (SELECT w, blk, cntb, sblk, ssblk,
+       |  max(dd) - min(dd) AS rng
+       |  FROM drow GROUP BY 1, 2, 3, 4, 5),
+       |rs AS (SELECT w,
+       |  CASE WHEN CAST(w * ssblk - CAST(sblk AS HUGEINT) * sblk
+       |      AS DOUBLE) > 0.0 THEN
+       |    CAST(round(CAST(rng AS DOUBLE)
+       |      / sqrt(CAST(w * ssblk - CAST(sblk AS HUGEINT) * sblk
+       |        AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |    ELSE 0 END AS rs_e6
+       |  FROM blk WHERE cntb = w),
+       |perw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(round(CAST(sum(rs_e6) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS rs_mean_e6
+       |  FROM rs GROUP BY w),
+       |pts AS (SELECT
+       |  CAST(round(ln(CAST(w AS DOUBLE)) * 1000000000.0) AS BIGINT)
+       |    AS lw,
+       |  CAST(round(ln(CAST(rs_mean_e6 AS DOUBLE) / 1000000.0)
+       |    * 1000000000.0) AS BIGINT) AS lr
+       |  FROM perw WHERE rs_mean_e6 > 0),
+       |fit AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(lw) AS BIGINT) AS sx, CAST(sum(lr) AS BIGINT) AS sy,
+       |  sum(CAST(lw AS HUGEINT) * lr) AS sxy,
+       |  sum(CAST(lw AS HUGEINT) * lw) AS sxx FROM pts),
+       |h AS (SELECT CASE WHEN CAST(CAST(n AS HUGEINT) * sxx
+       |      - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0.0 THEN
+       |    CAST(round(CAST(CAST(n AS HUGEINT) * sxy
+       |        - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       |      / CAST(CAST(n AS HUGEINT) * sxx
+       |        - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+       |      * 1000000.0) AS BIGINT)
+       |    ELSE 0 END AS hurst_e6 FROM fit)
+       |SELECT w, n_blocks, rs_mean_e6, hurst_e6
+       |FROM perw CROSS JOIN h ORDER BY w""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q442 — Holt linear-trend smoothing (double exponential) of daily
+  // revenue, α=1/2, β=1/4: the level+trend recurrence l_t =
+  // α·y_t + (1−α)(l₋₁+b₋₁), b_t = β(l_t−l₋₁) + (1−β)b₋₁ — a TRUE
+  // sequential recurrence (not window-expressible, unlike the gated
+  // EWMA whose truncated-horizon form is). Engine side: a
+  // single-partition mapPartitions walk over the CALENDAR-BOUNDED
+  // day grain (tripwired at 1000 days — the partition holds days,
+  // never raw rows; the reduction to the grain is the distributed
+  // part). Oracle side: a recursive CTE walking the same ranked
+  // days. Both walks round each level/trend update on the integer
+  // cents lattice via HALF_UP (Exact.roundHalfUp ≡ Spark round ≡
+  // DuckDB round), with the pre-rounding sums formed as exact longs
+  // cast ONCE to double — so the two engines take identical steps.
+  // Init: l₁=y₁, b₁=y₂−y₁; n<2 emits nothing on both sides.
+  // ---------------------------------------------------------------------
+  private def q442(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val day = dayRev(s, dir)
+    val cnt = day.agg(count(lit(1)).as("n_days"))
+    val guarded = day.crossJoin(broadcast(cnt))
+      .select(
+        when(col("n_days") <= 1000L, col("d"))
+          .otherwise(raise_error(concat(
+            lit("holtWalk: day grain exceeded 1000 ("),
+            col("n_days").cast("string"),
+            lit(") — aggregate to a coarser grain or raise the bound " +
+              "explicitly.")))).as("d"),
+        col("y"))
+    guarded.as[(Long, Long)].repartition(1)
+      .sortWithinPartitions("d")
+      .mapPartitions { it =>
+        val a = it.toArray
+        if (a.length < 2) Iterator.empty
+        else {
+          var l = a(0)._2
+          var b = a(1)._2 - a(0)._2
+          val out = Array.newBuilder[(Long, Long, Long, Long, Long)]
+          out += ((a(0)._1, a(0)._2, l, b, 0L))
+          var t = 1
+          while (t < a.length) {
+            val (d, y) = a(t)
+            val err = y - (l + b)
+            val lNew = Exact.roundHalfUp((y + l + b).toDouble * 0.5)
+            val bNew =
+              Exact.roundHalfUp((lNew - l + 3L * b).toDouble * 0.25)
+            l = lNew; b = bNew
+            out += ((d, y, l, b, err))
+            t += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("d", "y", "level", "trend", "err")
+      .orderBy("d")
+  }
+
+  private val q442Sql =
+    s"""WITH RECURSIVE day AS (
+       |  $dayRevSql),
+       |ranked AS (SELECT d, y,
+       |  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS r FROM day),
+       |walk(r, d, y, l, b, err) AS (
+       |  SELECT r1.r, r1.d, r1.y, r1.y, r2.y - r1.y, CAST(0 AS BIGINT)
+       |  FROM ranked r1 JOIN ranked r2 ON r1.r = 1 AND r2.r = 2
+       |  UNION ALL
+       |  SELECT n.r, n.d, n.y,
+       |    CAST(round(CAST(n.y + w.l + w.b AS DOUBLE) * 0.5)
+       |      AS BIGINT),
+       |    CAST(round(CAST(CAST(round(CAST(n.y + w.l + w.b AS DOUBLE)
+       |        * 0.5) AS BIGINT) - w.l + 3 * w.b AS DOUBLE) * 0.25)
+       |      AS BIGINT),
+       |    n.y - (w.l + w.b)
+       |  FROM walk w JOIN ranked n ON n.r = w.r + 1)
+       |SELECT d, y, l AS level, b AS trend, err FROM walk
+       |ORDER BY d""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q443 — Gumbel (EVT type-I) fit on 5-day block maxima of daily
+  // revenue + the 12-block return level: the extreme-value
+  // complement of the gated Hill tail index — "how big is the
+  // once-a-quarter day". Method-of-moments fit: β = s·√6/π,
+  // μ = m̄ − γ·β (Euler–Mascheroni as an explicit shared literal),
+  // return level x_T = μ − β·ln(−ln(1−1/T)) at T=12. Block maxima
+  // are exact longs off ranked complete blocks; the fit is ONE
+  // written-out IEEE chain from (nb, Σm, Σm²) with sample variance
+  // cleared as q/(nb·(nb−1)); e2 readouts (cents precision).
+  // ---------------------------------------------------------------------
+  private def q443(s: SparkSession, dir: String): DataFrame = {
+    val ranked = dayRev(s, dir)
+      .withColumn("r", row_number().over(axis(col("d"))).cast("long"))
+      .withColumn("blk", expr("(r - 1) div 5"))
+    val maxima = ranked.groupBy("blk")
+      .agg(count(lit(1)).as("cntb"), max("y").as("m"))
+      .filter(col("cntb") === 5L)
+    val st = maxima.agg(count(lit(1)).as("nb"),
+      sum("m").as("sm"),
+      sum(col("m").cast(dec) * col("m")).as("smm"))
+    // staged exactly like the oracle's d2/d3/d4 CTEs so both engines
+    // evaluate the identical chain
+    val d2 = st.select(col("nb"), col("sm"),
+      (col("nb").cast(dec) * col("smm")
+        - col("sm").cast(dec) * col("sm")).cast("double").as("qd"))
+    val d3 = d2.select(col("nb"), col("sm"), col("qd"),
+      (sqrt(col("qd") / (col("nb").cast("double")
+        * (col("nb").cast("double") - 1.0)))
+        * sqrt(lit(6.0)) / 3.141592653589793).as("betad"))
+    val d4 = d3.select(col("nb"), col("sm"), col("qd"), col("betad"),
+      (col("sm").cast("double") / col("nb").cast("double")
+        - lit(0.5772156649015329) * col("betad")).as("mud"))
+    d4.select(col("nb"), col("sm"),
+        when(col("nb") >= 2L && col("qd") > 0.0,
+          round(col("mud") * 100.0).cast("long"))
+          .otherwise(0L).as("mu_e2"),
+        when(col("nb") >= 2L && col("qd") > 0.0,
+          round(col("betad") * 100.0).cast("long"))
+          .otherwise(0L).as("beta_e2"),
+        when(col("nb") >= 2L && col("qd") > 0.0,
+          round((col("mud") - col("betad")
+            * log(-log(lit(1.0) - lit(1.0) / 12.0))) * 100.0)
+            .cast("long"))
+          .otherwise(0L).as("rl12_e2"))
+      .orderBy("nb")
+  }
+
+  private val q443Sql =
+    s"""WITH day AS (
+       |  $dayRevSql),
+       |ranked AS (SELECT d, y,
+       |  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS r FROM day),
+       |maxima AS (
+       |  SELECT (r - 1) // 5 AS blk, CAST(count(*) AS BIGINT) AS cntb,
+       |    CAST(max(y) AS BIGINT) AS m
+       |  FROM ranked GROUP BY 1),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nb,
+       |    CAST(sum(m) AS BIGINT) AS sm,
+       |    sum(CAST(m AS HUGEINT) * m) AS smm
+       |  FROM maxima WHERE cntb = 5),
+       |d2 AS (
+       |  SELECT nb, sm,
+       |    CAST(CAST(nb AS HUGEINT) * smm
+       |      - CAST(sm AS HUGEINT) * sm AS DOUBLE) AS qd
+       |  FROM st),
+       |d3 AS (
+       |  SELECT nb, sm, qd,
+       |    sqrt(qd / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)))
+       |      * sqrt(6.0) / 3.141592653589793 AS betad
+       |  FROM d2),
+       |d4 AS (
+       |  SELECT nb, sm, qd, betad,
+       |    CAST(sm AS DOUBLE) / CAST(nb AS DOUBLE)
+       |      - 0.5772156649015329 * betad AS mud
+       |  FROM d3)
+       |SELECT nb, sm,
+       |  CASE WHEN nb >= 2 AND qd > 0.0 THEN
+       |    CAST(round(mud * 100.0) AS BIGINT) ELSE 0 END AS mu_e2,
+       |  CASE WHEN nb >= 2 AND qd > 0.0 THEN
+       |    CAST(round(betad * 100.0) AS BIGINT) ELSE 0 END AS beta_e2,
+       |  CASE WHEN nb >= 2 AND qd > 0.0 THEN
+       |    CAST(round((mud - betad * ln(-ln(1.0 - 1.0 / 12.0)))
+       |      * 100.0) AS BIGINT) ELSE 0 END AS rl12_e2
+       |FROM d4 ORDER BY nb""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q444 — iterative proportional fitting (raking) of the
+  // (source × lang) document-count table onto CHARACTER-mass
+  // margins: the classic survey-calibration / corpus-reweighting
+  // step — "keep the cell structure, hit the target mix". Cells and
+  // targets live on the e9 SHARE lattice (scale-free: shares, never
+  // absolute counts, so no overflow at any corpus size); each of the
+  // 3 row+column sweeps rescales a cell by target/current-margin in
+  // ONE rounded IEEE step, both engines walking identical integers
+  // (the q431 lattice discipline; oracle = generated unrolled CTEs).
+  // The grid is bounded by the source × lang UNIVERSE. A zero margin
+  // carries the cell unchanged (guarded identically on both sides).
+  // ---------------------------------------------------------------------
+  private val ipfIters = 3
+
+  private def q444(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val cellsRaw = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+    val tot = cellsRaw.agg(sum("n_docs").as("n_tot"),
+      sum("chars").as("c_tot"))
+    val rowm = cellsRaw.groupBy("source")
+      .agg(sum("chars").as("c_src"))
+    val colm = cellsRaw.groupBy("lang")
+      .agg(sum("chars").as("c_lang"))
+    val base = cellsRaw.crossJoin(broadcast(tot))
+      .join(broadcast(rowm), "source")
+      .join(broadcast(colm), "lang")
+      .select(col("source"), col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_tot").cast("double")
+          * 1000000000.0).cast("long").as("w0"),
+        round(col("c_src").cast("double") / col("c_tot").cast("double")
+          * 1000000000.0).cast("long").as("rt"),
+        round(col("c_lang").cast("double") / col("c_tot").cast("double")
+          * 1000000000.0).cast("long").as("ct"))
+    var cur = base.withColumn("w", col("w0"))
+    for (_ <- 1 to ipfIters) {
+      val rsum = cur.groupBy("source").agg(sum("w").as("rsum"))
+      cur = cur.join(broadcast(rsum), "source")
+        .withColumn("w",
+          when(col("rsum") > 0L,
+            round(col("w").cast("double") * col("rt").cast("double")
+              / col("rsum").cast("double")).cast("long"))
+            .otherwise(col("w")))
+        .drop("rsum")
+      val csum = cur.groupBy("lang").agg(sum("w").as("csum"))
+      cur = cur.join(broadcast(csum), "lang")
+        .withColumn("w",
+          when(col("csum") > 0L,
+            round(col("w").cast("double") * col("ct").cast("double")
+              / col("csum").cast("double")).cast("long"))
+            .otherwise(col("w")))
+        .drop("csum")
+    }
+    cur.select(col("source"), col("lang"), col("n_docs"),
+        col("w0").as("w0_e9"), col("rt").as("rt_e9"),
+        col("ct").as("ct_e9"), col("w").as("w_e9"))
+      .orderBy("source", "lang")
+  }
+
+  private val q444Sql = {
+    val steps = (1 to ipfIters).map { k =>
+      val p = if (k == 1) "w0" else s"wc${k - 1}"
+      s"""rs$k AS (SELECT source, CAST(sum($p) AS BIGINT) AS rsum
+         |  FROM iter${k - 1} GROUP BY source),
+         |rowstep$k AS (
+         |  SELECT i.*, CASE WHEN r.rsum > 0 THEN
+         |      CAST(round(CAST(i.$p AS DOUBLE) * CAST(i.rt AS DOUBLE)
+         |        / CAST(r.rsum AS DOUBLE)) AS BIGINT)
+         |    ELSE i.$p END AS wr$k
+         |  FROM iter${k - 1} i JOIN rs$k r ON i.source = r.source),
+         |cs$k AS (SELECT lang, CAST(sum(wr$k) AS BIGINT) AS csum
+         |  FROM rowstep$k GROUP BY lang),
+         |iter$k AS (
+         |  SELECT i.*, CASE WHEN c.csum > 0 THEN
+         |      CAST(round(CAST(i.wr$k AS DOUBLE) * CAST(i.ct AS DOUBLE)
+         |        / CAST(c.csum AS DOUBLE)) AS BIGINT)
+         |    ELSE i.wr$k END AS wc$k
+         |  FROM rowstep$k i JOIN cs$k c ON i.lang = c.lang)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cells AS (
+       |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS chars
+       |  FROM documents GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot,
+       |  CAST(sum(chars) AS BIGINT) AS c_tot FROM cells),
+       |rowm AS (SELECT source, CAST(sum(chars) AS BIGINT) AS c_src
+       |  FROM cells GROUP BY source),
+       |colm AS (SELECT lang, CAST(sum(chars) AS BIGINT) AS c_lang
+       |  FROM cells GROUP BY lang),
+       |iter0 AS (
+       |  SELECT c.source, c.lang, c.n_docs,
+       |    CAST(round(CAST(c.n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)
+       |      * 1000000000.0) AS BIGINT) AS w0,
+       |    CAST(round(CAST(r.c_src AS DOUBLE) / CAST(c_tot AS DOUBLE)
+       |      * 1000000000.0) AS BIGINT) AS rt,
+       |    CAST(round(CAST(l.c_lang AS DOUBLE) / CAST(c_tot AS DOUBLE)
+       |      * 1000000000.0) AS BIGINT) AS ct
+       |  FROM cells c CROSS JOIN tot
+       |    JOIN rowm r ON c.source = r.source
+       |    JOIN colm l ON c.lang = l.lang),
+       |$steps
+       |SELECT source, lang, n_docs, w0 AS w0_e9, rt AS rt_e9,
+       |  ct AS ct_e9, wc$ipfIters AS w_e9
+       |FROM iter$ipfIters ORDER BY source, lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q434_assoc_rules" -> (q434 _),
     "q435_ols_regression" -> (q435 _),
@@ -659,7 +1051,11 @@ object Mining {
     "q437_revenue_cube" -> (q437 _),
     "q438_seq2_support" -> (q438 _),
     "q439_ransac_line" -> (q439 _),
-    "q440_ccf_leadlag" -> (q440 _))
+    "q440_ccf_leadlag" -> (q440 _),
+    "q441_hurst_rs" -> (q441 _),
+    "q442_holt_walk" -> (q442 _),
+    "q443_gumbel_return" -> (q443 _),
+    "q444_ipf_raking" -> (q444 _))
 
   val oracle: Map[String, String] = Map(
     "q434_assoc_rules" -> q434Sql,
@@ -668,5 +1064,9 @@ object Mining {
     "q437_revenue_cube" -> q437Sql,
     "q438_seq2_support" -> q438Sql,
     "q439_ransac_line" -> q439Sql,
-    "q440_ccf_leadlag" -> q440Sql)
+    "q440_ccf_leadlag" -> q440Sql,
+    "q441_hurst_rs" -> q441Sql,
+    "q442_holt_walk" -> q442Sql,
+    "q443_gumbel_return" -> q443Sql,
+    "q444_ipf_raking" -> q444Sql)
 }

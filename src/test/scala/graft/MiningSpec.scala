@@ -271,4 +271,157 @@ class MiningSpec extends AnyFunSuite {
       if (lag == 0L) assert(r.getAs[Long]("n") == clicks.size.toLong)
     }
   }
+
+  test("q441 Hurst: per-w mean R/S matches the literal block loops " +
+       "and H is the OLS slope of the lattice points") {
+    val ys = revDays.map(_._2)
+    val byW = Seq(5, 10, 15, 30).map { w =>
+      val blocks = ys.grouped(w).filter(_.size == w).toSeq
+      val rss = blocks.map { b =>
+        val s = b.sum
+        val ss = b.map(y => BigInt(y) * y).sum
+        val cums = b.scanLeft(0L)(_ + _).tail
+        val dd = cums.zipWithIndex.map { case (c, i) =>
+          w * c - (i + 1) * s
+        }
+        val q = (BigInt(w) * ss - BigInt(s) * s).toDouble
+        if (q > 0)
+          math.rint((dd.max - dd.min).toDouble / math.sqrt(q) * 1e6)
+            .toLong
+        else 0L
+      }
+      // engine rounds HALF_UP; rint is half-even — recompute with
+      // BigDecimal to match exactly
+      val rssExact = blocks.map { b =>
+        val s = b.sum
+        val ss = b.map(y => BigInt(y) * y).sum
+        val cums = b.scanLeft(0L)(_ + _).tail
+        val dd = cums.zipWithIndex.map { case (c, i) =>
+          w * c - (i + 1) * s
+        }
+        val q = (BigInt(w) * ss - BigInt(s) * s).toDouble
+        if (q > 0)
+          graft.analytics.Exact.roundHalfUp(
+            (dd.max - dd.min).toDouble / math.sqrt(q) * 1e6)
+        else 0L
+      }
+      assert(rss.zip(rssExact).forall { case (a, b) =>
+        math.abs(a - b) <= 1 }) // sanity: the two roundings agree ±1
+      w.toLong -> (blocks.size.toLong,
+        graft.analytics.Exact.roundHalfUp(
+          rssExact.sum.toDouble / rssExact.size.toDouble))
+    }.toMap
+    val rows = q("q441_hurst_rs").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("w")
+      assert(r.getAs[Long]("n_blocks") == byW(w)._1, s"w=$w blocks")
+      assert(r.getAs[Long]("rs_mean_e6") == byW(w)._2, s"w=$w rs")
+    }
+    // H from the same lattice points, textbook OLS
+    val pts = byW.toSeq.filter(_._2._2 > 0).map { case (w, (_, rs)) =>
+      (graft.analytics.Exact.roundHalfUp(math.log(w.toDouble) * 1e9),
+        graft.analytics.Exact.roundHalfUp(
+          math.log(rs.toDouble / 1e6) * 1e9))
+    }
+    val n = pts.size.toDouble
+    val mx = pts.map(_._1).sum.toDouble / n
+    val my = pts.map(_._2).sum.toDouble / n
+    val slope = pts.map(t => (t._1 - mx) * (t._2 - my)).sum /
+      pts.map(t => (t._1 - mx) * (t._1 - mx)).sum
+    val h = rows.head.getAs[Long]("hurst_e6").toDouble / 1e6
+    assert(math.abs(h - slope) <= 1e-4, s"H $h vs $slope")
+    assert(h > 0.0 && h < 1.5, s"H out of plausible range: $h")
+  }
+
+  test("q442 Holt walk: the literal HALF_UP recurrence reproduces " +
+       "every level/trend row and the first error is zero") {
+    val rows = q("q442_holt_walk").collect()
+    assert(rows.length == revDays.size)
+    var l = revDays(0)._2
+    var b = revDays(1)._2 - revDays(0)._2
+    rows.sortBy(_.getAs[Long]("d")).zip(revDays).zipWithIndex.foreach {
+      case ((r, (d, y)), t) =>
+        assert(r.getAs[Long]("d") == d && r.getAs[Long]("y") == y)
+        if (t == 0) {
+          assert(r.getAs[Long]("err") == 0L)
+        } else {
+          val err = y - (l + b)
+          val lNew = graft.analytics.Exact.roundHalfUp(
+            (y + l + b).toDouble * 0.5)
+          val bNew = graft.analytics.Exact.roundHalfUp(
+            (lNew - l + 3L * b).toDouble * 0.25)
+          l = lNew; b = bNew
+          assert(r.getAs[Long]("err") == err, s"err at $d")
+        }
+        assert(r.getAs[Long]("level") == l, s"level at $d")
+        assert(r.getAs[Long]("trend") == b, s"trend at $d")
+    }
+  }
+
+  test("q443 Gumbel: fit matches the textbook method-of-moments on " +
+       "the literal block maxima; mu sits below the maxima mean") {
+    val ms = revDays.map(_._2).grouped(5).filter(_.size == 5)
+      .map(_.max).toSeq
+    val nb = ms.size
+    val sm = ms.sum
+    val mean = sm.toDouble / nb
+    val s2 = ms.map(m => (m - mean) * (m - mean)).sum / (nb - 1.0)
+    val beta = math.sqrt(s2) * math.sqrt(6.0) / math.Pi
+    val mu = mean - 0.5772156649015329 * beta
+    val rl = mu - beta * math.log(-math.log(1.0 - 1.0 / 12.0))
+    val r = q("q443_gumbel_return").collect().head
+    assert(r.getAs[Long]("nb") == nb.toLong)
+    assert(r.getAs[Long]("sm") == sm)
+    assert(math.abs(r.getAs[Long]("mu_e2").toDouble / 100.0 - mu)
+      <= math.abs(mu) * 1e-9 + 0.02, "mu")
+    assert(math.abs(r.getAs[Long]("beta_e2").toDouble / 100.0 - beta)
+      <= math.abs(beta) * 1e-9 + 0.02, "beta")
+    assert(math.abs(r.getAs[Long]("rl12_e2").toDouble / 100.0 - rl)
+      <= math.abs(rl) * 1e-9 + 0.02, "rl")
+    assert(r.getAs[Long]("mu_e2") < sm * 100 / nb, "mu below mean")
+    assert(r.getAs[Long]("rl12_e2") > r.getAs[Long]("mu_e2"),
+      "return level above location")
+  }
+
+  test("q444 IPF raking: the literal 3-sweep replay reproduces every " +
+       "cell and the raked row margins hit the targets within the " +
+       "lattice tolerance") {
+    val rows = q("q444_ipf_raking").collect()
+    assert(rows.nonEmpty)
+    case class Cell(src: String, lang: String, var w: Long,
+                    rt: Long, ct: Long)
+    val cells = rows.map(r => Cell(r.getAs[String]("source"),
+      r.getAs[String]("lang"), r.getAs[Long]("w0_e9"),
+      r.getAs[Long]("rt_e9"), r.getAs[Long]("ct_e9")))
+    for (_ <- 1 to 3) {
+      val rsum = cells.groupBy(_.src).map { case (k, v) =>
+        k -> v.map(_.w).sum }
+      cells.foreach { c =>
+        if (rsum(c.src) > 0)
+          c.w = graft.analytics.Exact.roundHalfUp(
+            c.w.toDouble * c.rt.toDouble / rsum(c.src).toDouble)
+      }
+      val csum = cells.groupBy(_.lang).map { case (k, v) =>
+        k -> v.map(_.w).sum }
+      cells.foreach { c =>
+        if (csum(c.lang) > 0)
+          c.w = graft.analytics.Exact.roundHalfUp(
+            c.w.toDouble * c.ct.toDouble / csum(c.lang).toDouble)
+      }
+    }
+    val byKey = cells.map(c => (c.src, c.lang) -> c.w).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      assert(r.getAs[Long]("w_e9") == byKey(k), s"cell $k")
+    }
+    // after the final COLUMN sweep the column margins are exact to
+    // rounding; row margins are approximately on target (IPF
+    // converges, it does not finish) — allow per-cell rounding slack
+    val colM = cells.groupBy(_.lang).map { case (k, v) =>
+      k -> (v.map(_.w).sum, v.head.ct) }
+    colM.values.foreach { case (got, want) =>
+      assert(math.abs(got - want) <= cells.length.toLong, s"col margin")
+    }
+  }
 }
