@@ -1044,6 +1044,400 @@ object Mining {
        |FROM iter$ipfIters ORDER BY source, lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q445 — EXACT Shapley-value channel attribution: the
+  // coalition-game complement of the gated Markov removal-effect
+  // (q284). Channels are the 4 non-purchase event types; a user's
+  // coalition is the bitmask of channels they touched; the
+  // characteristic function v(S) = converting users whose channel
+  // set ⊆ S. With 4 channels the 2⁴ subset lattice is ENUMERATED
+  // (both engines carry it as a 16-row literal with popcount and
+  // weight precomputed at generation time), and 24·φ_i =
+  // Σ_{S∌i} s!(3−s)!·(v(S∪i)−v(S)) is an EXACT INTEGER — the 4!
+  // denominator cleared, no IEEE until the one share readout.
+  // Scale: users reduce to ≤16 mask rows in one scan; everything
+  // after is 16×16 literal joins.
+  // ---------------------------------------------------------------------
+  private val shapChannels: Seq[(String, Long)] =
+    Seq("click" -> 1L, "error" -> 2L, "signup" -> 4L, "view" -> 8L)
+
+  private def fact(n: Long): Long = (1L to n).product max 1L
+
+  /** (smask, wgt = s!·(3−s)!) for every subset of the 4-channel
+    * universe; the full set's weight is irrelevant (it contains
+    * every channel) and set to 0. */
+  private val shapSubsets: Seq[(Long, Long)] =
+    (0 until 16).map { s =>
+      val pc = java.lang.Integer.bitCount(s).toLong
+      (s.toLong, if (pc >= 4) 0L else fact(pc) * fact(3L - pc))
+    }
+
+  private def q445(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ut = Tables.eventsSec(s, dir)
+      .select(col("user_id").as("u"), col("event_type").as("t"))
+      .distinct()
+    val bitOf = shapChannels.foldLeft(lit(0L)) { case (acc, (n, b)) =>
+      acc + when(col("t") === n, lit(b)).otherwise(0L)
+    }
+    val users = ut.groupBy("u").agg(
+      sum(bitOf).as("mask"),
+      max((col("t") === "purchase").cast("long")).as("conv"))
+    val msk = users.filter(col("conv") === 1L)
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    val subsets = shapSubsets.toDF("smask", "wgt")
+    val vS = subsets.join(broadcast(msk),
+        col("mask").bitwiseAND(lit(15L) - col("smask")) === 0L, "left")
+      .groupBy("smask", "wgt")
+      .agg(coalesce(sum("cnt"), lit(0L)).as("v"))
+    val vFull = vS.filter(col("smask") === 15L)
+      .select(col("v").as("v_full"))
+    val channels = shapChannels.toDF("channel", "bit")
+    val contrib = channels
+      .join(broadcast(vS.select(col("smask"), col("wgt"),
+        col("v").as("v0"))),
+        col("smask").bitwiseAND(col("bit")) === 0L)
+      .join(broadcast(vS.select(col("smask").as("smask1"),
+        col("v").as("v1"))),
+        col("smask1") === col("smask") + col("bit"))
+      .groupBy("channel", "bit")
+      .agg(sum(col("wgt") * (col("v1") - col("v0"))).as("phi24"))
+    contrib.crossJoin(broadcast(vFull))
+      .select(col("channel"), col("bit"), col("phi24"), col("v_full"),
+        when(col("v_full") > 0L,
+          round(col("phi24").cast("double")
+            / (lit(24.0) * col("v_full").cast("double")) * 1000000.0)
+            .cast("long")).otherwise(0L).as("share_e6"))
+      .orderBy("channel")
+  }
+
+  private val q445Sql = {
+    val subsetVals = shapSubsets
+      .map { case (m, w) => s"($m, $w)" }.mkString(", ")
+    val chanVals = shapChannels
+      .map { case (n, b) => s"('$n', $b)" }.mkString(", ")
+    val maskExpr = shapChannels
+      .map { case (n, b) => s"CASE WHEN t = '$n' THEN $b ELSE 0 END" }
+      .mkString(" + ")
+    s"""WITH ut AS (
+       |  SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+       |users AS (
+       |  SELECT u, CAST(sum($maskExpr) AS BIGINT) AS mask,
+       |    max(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM ut GROUP BY u),
+       |msk AS (SELECT mask, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM users WHERE conv = 1 GROUP BY mask),
+       |subsets AS (SELECT CAST(smask AS BIGINT) AS smask,
+       |  CAST(wgt AS BIGINT) AS wgt
+       |  FROM (VALUES $subsetVals) t(smask, wgt)),
+       |vs AS (
+       |  SELECT smask, wgt,
+       |    CAST(coalesce(sum(cnt), 0) AS BIGINT) AS v
+       |  FROM subsets LEFT JOIN msk
+       |    ON (mask & (15 - smask)) = 0
+       |  GROUP BY smask, wgt),
+       |vfull AS (SELECT v AS v_full FROM vs WHERE smask = 15),
+       |channels AS (SELECT channel, CAST(bit AS BIGINT) AS bit
+       |  FROM (VALUES $chanVals) t(channel, bit)),
+       |contrib AS (
+       |  SELECT channel, bit,
+       |    CAST(sum(v0.wgt * (v1.v - v0.v)) AS BIGINT) AS phi24
+       |  FROM channels
+       |    JOIN vs v0 ON (v0.smask & bit) = 0
+       |    JOIN vs v1 ON v1.smask = v0.smask + bit
+       |  GROUP BY channel, bit)
+       |SELECT channel, bit, phi24, v_full,
+       |  CASE WHEN v_full > 0 THEN
+       |    CAST(round(CAST(phi24 AS DOUBLE)
+       |      / (24.0 * CAST(v_full AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |    ELSE 0 END AS share_e6
+       |FROM contrib CROSS JOIN vfull
+       |ORDER BY channel""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q446 — Cochran–Mantel–Haenszel stratified 2×2 test + the MH
+  // pooled odds ratio: "is urgent priority associated with final
+  // status, CONTROLLING for region" — the confounder-adjusted
+  // complement of the gated χ² (q383). Per-stratum cells (a,b,c,d)
+  // are exact longs off one star join; the expected count and
+  // hypergeometric variance are e9-rounded AT THE STRATUM ROW (the
+  // per-row-division discipline), so the pooled sums are exact
+  // integer reductions; the CMH statistic and OR_MH are one readout
+  // chain each. Strata are bounded by the REGION universe.
+  // ---------------------------------------------------------------------
+  private def q446(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val cu = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val na = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val re = Tables.load(s, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val cells = o
+      .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(na), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"),
+        (col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .cast("long").as("e"),
+        (col("o_orderstatus") === "F").cast("long").as("f"))
+      .groupBy("r_name")
+      .agg(sum(col("e") * col("f")).as("a"),
+        sum(col("e") * (lit(1L) - col("f"))).as("b"),
+        sum((lit(1L) - col("e")) * col("f")).as("c"),
+        sum((lit(1L) - col("e")) * (lit(1L) - col("f"))).as("d"))
+    val terms = cells
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("e_e9",
+        round((col("a") + col("b")).cast("double")
+          * (col("a") + col("c")).cast("double")
+          / col("n").cast("double") * 1000000000.0).cast("long"))
+      .withColumn("v_e9",
+        round((col("a") + col("b")).cast("double")
+          * (col("c") + col("d")).cast("double")
+          * (col("a") + col("c")).cast("double")
+          * (col("b") + col("d")).cast("double")
+          / (col("n").cast("double") * col("n").cast("double")
+            * (col("n").cast("double") - 1.0))
+          * 1000000000.0).cast("long"))
+      .withColumn("ad_e9",
+        round(col("a").cast("double") * col("d").cast("double")
+          / col("n").cast("double") * 1000000000.0).cast("long"))
+      .withColumn("bc_e9",
+        round(col("b").cast("double") * col("c").cast("double")
+          / col("n").cast("double") * 1000000000.0).cast("long"))
+      .withColumn("dev_e9", col("a") * 1000000000L - col("e_e9"))
+    val pooled = terms.agg(
+        sum(col("dev_e9").cast(dec)).as("sd"),
+        sum(col("v_e9").cast(dec)).as("sv"),
+        sum(col("ad_e9").cast(dec)).as("sad"),
+        sum(col("bc_e9").cast(dec)).as("sbc"))
+      .select(
+        when(col("sv").cast("double") > 0.0,
+          round(col("sd").cast("double") * col("sd").cast("double")
+            / col("sv").cast("double") / 1000.0).cast("long"))
+          .otherwise(0L).as("cmh_e6"),
+        when(col("sbc").cast("double") > 0.0,
+          round(col("sad").cast("double") / col("sbc").cast("double")
+            * 1000000.0).cast("long"))
+          .otherwise(0L).as("or_mh_e6"))
+    terms.select(col("r_name"), col("a"), col("b"), col("c"),
+        col("d"), col("e_e9"), col("v_e9"))
+      .crossJoin(broadcast(pooled))
+      .orderBy("r_name")
+  }
+
+  private val q446Sql =
+    """WITH cells AS (
+      |  SELECT r_name,
+      |    CAST(sum(e * f) AS BIGINT) AS a,
+      |    CAST(sum(e * (1 - f)) AS BIGINT) AS b,
+      |    CAST(sum((1 - e) * f) AS BIGINT) AS c,
+      |    CAST(sum((1 - e) * (1 - f)) AS BIGINT) AS d
+      |  FROM (
+      |    SELECT r_name,
+      |      CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |        THEN 1 ELSE 0 END AS e,
+      |      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f
+      |    FROM orders
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN nation ON c_nationkey = n_nationkey
+      |      JOIN region ON n_regionkey = r_regionkey) t
+      |  GROUP BY r_name),
+      |terms AS (
+      |  SELECT r_name, a, b, c, d, a + b + c + d AS n,
+      |    CAST(round(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+      |      / CAST(a + b + c + d AS DOUBLE) * 1000000000.0)
+      |      AS BIGINT) AS e_e9,
+      |    CAST(round(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+      |      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+      |      / (CAST(a + b + c + d AS DOUBLE)
+      |        * CAST(a + b + c + d AS DOUBLE)
+      |        * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+      |      * 1000000000.0) AS BIGINT) AS v_e9,
+      |    CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |      / CAST(a + b + c + d AS DOUBLE) * 1000000000.0)
+      |      AS BIGINT) AS ad_e9,
+      |    CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+      |      / CAST(a + b + c + d AS DOUBLE) * 1000000000.0)
+      |      AS BIGINT) AS bc_e9
+      |  FROM cells),
+      |pooled AS (
+      |  SELECT
+      |    CASE WHEN CAST(sum(CAST(v_e9 AS HUGEINT)) AS DOUBLE) > 0.0
+      |      THEN CAST(round(
+      |        CAST(sum(CAST(a * 1000000000 - e_e9 AS HUGEINT))
+      |          AS DOUBLE)
+      |        * CAST(sum(CAST(a * 1000000000 - e_e9 AS HUGEINT))
+      |          AS DOUBLE)
+      |        / CAST(sum(CAST(v_e9 AS HUGEINT)) AS DOUBLE)
+      |        / 1000.0) AS BIGINT)
+      |      ELSE 0 END AS cmh_e6,
+      |    CASE WHEN CAST(sum(CAST(bc_e9 AS HUGEINT)) AS DOUBLE) > 0.0
+      |      THEN CAST(round(
+      |        CAST(sum(CAST(ad_e9 AS HUGEINT)) AS DOUBLE)
+      |        / CAST(sum(CAST(bc_e9 AS HUGEINT)) AS DOUBLE)
+      |        * 1000000.0) AS BIGINT)
+      |      ELSE 0 END AS or_mh_e6
+      |  FROM terms)
+      |SELECT r_name, a, b, c, d, e_e9, v_e9, cmh_e6, or_mh_e6
+      |FROM terms CROSS JOIN pooled
+      |ORDER BY r_name""".stripMargin
+
+  /** q378's three deterministic document raters at the (doc, score,
+    * count) grain — shared input for the reliability pair q447/q448
+    * (spec-parity with Integrity.q378's construction). */
+  private def raterGrain(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array(
+          least(expr("n_chars div 150"), lit(5L)),
+          least((size(graft.functions.Text.words(col("text"))) / 30)
+            .cast("long"), lit(5L)),
+          least(expr(
+            "(length(text) - length(replace(text, '.'))) div 2"),
+            lit(5L)))).as("cat"))
+      .groupBy(col("doc_id"), col("cat"))
+      .agg(count(lit(1)).as("c"))
+
+  private val raterGrainSql =
+    """SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS c
+      |  FROM (
+      |    SELECT doc_id, unnest([
+      |      least(n_chars // 150, 5),
+      |      least(len(list_filter(string_split(text, ' '),
+      |        w -> length(w) > 0)) // 30, 5),
+      |      least((length(text) - length(replace(text, '.', '')))
+      |        // 2, 5)
+      |    ]) AS cat
+      |    FROM documents) r
+      |  GROUP BY doc_id, cat""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q447 — ICC(1): one-way random-effects intraclass correlation of
+  // the three deterministic rater SCORES per document — "how much of
+  // rating variance is the document, not the rater", the continuous
+  // reliability readout Fleiss' κ (q378, same raters) cannot give.
+  // From four exact sufficient statistics (N docs, T = Σx,
+  // A = Σx², B = Σ(per-doc sum)²): MSB = (N·B − T²)/(3N(N−1)),
+  // MSW = (3A − B)/(6N), ICC = (MSB−MSW)/(MSB+2·MSW) — a staged
+  // IEEE chain written identically on both engines. One scan to the
+  // (doc, score) grain.
+  // ---------------------------------------------------------------------
+  private def q447(s: SparkSession, dir: String): DataFrame = {
+    val nij = raterGrain(s, dir)
+    val perDoc = nij.groupBy("doc_id")
+      .agg(sum(col("cat") * col("c")).as("si"))
+    val base = nij.agg(
+      sum(col("cat") * col("c")).as("t"),
+      sum(col("cat").cast(dec) * col("cat") * col("c")).as("a2"))
+    val bsum = perDoc.agg(count(lit(1)).as("n_items"),
+      sum(col("si").cast(dec) * col("si")).as("b2"))
+    val d2 = base.crossJoin(broadcast(bsum))
+      .select(col("n_items"), col("t"),
+        (col("n_items").cast(dec) * col("b2")
+          - col("t").cast(dec) * col("t")).cast("double").as("ssbn"),
+        (lit(3L).cast(dec) * col("a2") - col("b2")).cast("double")
+          .as("sswn"))
+    val d3 = d2.select(col("n_items"), col("t"),
+      (col("ssbn") / (lit(3.0) * col("n_items").cast("double")
+        * (col("n_items").cast("double") - 1.0))).as("msb"),
+      (col("sswn") / (lit(6.0) * col("n_items").cast("double"))).as("msw"))
+    d3.select(col("n_items"), col("t"),
+        round(col("msb") * 1000.0).cast("long").as("msb_e3"),
+        round(col("msw") * 1000.0).cast("long").as("msw_e3"),
+        when(col("n_items") >= 2L
+          && col("msb") + lit(2.0) * col("msw") > 0.0,
+          round((col("msb") - col("msw"))
+            / (col("msb") + lit(2.0) * col("msw")) * 1000000.0)
+            .cast("long")).otherwise(0L).as("icc_e6"))
+      .orderBy("n_items")
+  }
+
+  private val q447Sql =
+    s"""WITH nij AS (
+       |  $raterGrainSql),
+       |perdoc AS (SELECT doc_id, CAST(sum(cat * c) AS BIGINT) AS si
+       |  FROM nij GROUP BY doc_id),
+       |base AS (SELECT CAST(sum(cat * c) AS BIGINT) AS t,
+       |  sum(CAST(cat AS HUGEINT) * cat * c) AS a2 FROM nij),
+       |bsum AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+       |  sum(CAST(si AS HUGEINT) * si) AS b2 FROM perdoc),
+       |d2 AS (
+       |  SELECT n_items, t,
+       |    CAST(CAST(n_items AS HUGEINT) * b2
+       |      - CAST(t AS HUGEINT) * t AS DOUBLE) AS ssbn,
+       |    CAST(3 * a2 - b2 AS DOUBLE) AS sswn
+       |  FROM base CROSS JOIN bsum),
+       |d3 AS (
+       |  SELECT n_items, t,
+       |    ssbn / (3.0 * CAST(n_items AS DOUBLE)
+       |      * (CAST(n_items AS DOUBLE) - 1.0)) AS msb,
+       |    sswn / (6.0 * CAST(n_items AS DOUBLE)) AS msw
+       |  FROM d2)
+       |SELECT n_items, t,
+       |  CAST(round(msb * 1000.0) AS BIGINT) AS msb_e3,
+       |  CAST(round(msw * 1000.0) AS BIGINT) AS msw_e3,
+       |  CASE WHEN n_items >= 2 AND msb + 2.0 * msw > 0.0 THEN
+       |    CAST(round((msb - msw) / (msb + 2.0 * msw) * 1000000.0)
+       |      AS BIGINT)
+       |    ELSE 0 END AS icc_e6
+       |FROM d3 ORDER BY n_items""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q448 — Krippendorff's α (nominal) over the same three raters:
+  // the agreement coefficient that, unlike κ, generalizes to any
+  // number of raters/missing data and is THE reliability standard in
+  // content-analysis/annotation pipelines. With constant m=3 the
+  // whole statistic collapses to integers: observed disagreement
+  // W = ΣΣ n_ic(3−n_ic) (exact long), expected disagreement mass
+  // E = Σ_c n_c(n−n_c) (decimal), and α = 1 − W(n−1)/(2E) — the two
+  // normalizations cleared into ONE readout chain. One scan to the
+  // (doc, category) grain, marginals bounded by the 6-class universe.
+  // ---------------------------------------------------------------------
+  private def q448(s: SparkSession, dir: String): DataFrame = {
+    val nij = raterGrain(s, dir)
+    val base = nij.agg(
+      countDistinct(col("doc_id")).as("n_items"),
+      sum(col("c") * (lit(3L) - col("c"))).as("w_dis"))
+    val marg = nij.groupBy("cat").agg(sum("c").as("nc"))
+    val em = base.crossJoin(broadcast(
+      marg.crossJoin(broadcast(base.select(
+          (col("n_items") * 3L).as("n_tot"))))
+        .agg(sum(col("nc").cast(dec) * (col("n_tot") - col("nc")))
+          .as("e_mass"))))
+    em.select(col("n_items"), (col("n_items") * 3L).as("n_ratings"),
+        col("w_dis"),
+        when(col("e_mass").cast("double") > 0.0,
+          round((lit(1.0) - col("w_dis").cast("double")
+            * (col("n_items").cast("double") * 3.0 - 1.0)
+            / (lit(2.0) * col("e_mass").cast("double"))) * 1000000.0)
+            .cast("long")).otherwise(0L).as("alpha_e6"))
+      .orderBy("n_items")
+  }
+
+  private val q448Sql =
+    s"""WITH nij AS (
+       |  $raterGrainSql),
+       |base AS (SELECT count(DISTINCT doc_id) AS n_items,
+       |  CAST(sum(c * (3 - c)) AS BIGINT) AS w_dis FROM nij),
+       |marg AS (SELECT cat, CAST(sum(c) AS BIGINT) AS nc
+       |  FROM nij GROUP BY cat),
+       |em AS (
+       |  SELECT sum(CAST(nc AS HUGEINT)
+       |    * ((SELECT n_items * 3 FROM base) - nc)) AS e_mass
+       |  FROM marg)
+       |SELECT CAST(n_items AS BIGINT) AS n_items,
+       |  CAST(n_items * 3 AS BIGINT) AS n_ratings, w_dis,
+       |  CASE WHEN CAST(e_mass AS DOUBLE) > 0.0 THEN
+       |    CAST(round((1.0 - CAST(w_dis AS DOUBLE)
+       |      * (CAST(n_items AS DOUBLE) * 3.0 - 1.0)
+       |      / (2.0 * CAST(e_mass AS DOUBLE))) * 1000000.0) AS BIGINT)
+       |    ELSE 0 END AS alpha_e6
+       |FROM base CROSS JOIN em
+       |ORDER BY n_items""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q434_assoc_rules" -> (q434 _),
     "q435_ols_regression" -> (q435 _),
@@ -1055,7 +1449,11 @@ object Mining {
     "q441_hurst_rs" -> (q441 _),
     "q442_holt_walk" -> (q442 _),
     "q443_gumbel_return" -> (q443 _),
-    "q444_ipf_raking" -> (q444 _))
+    "q444_ipf_raking" -> (q444 _),
+    "q445_shapley_attribution" -> (q445 _),
+    "q446_cmh_stratified" -> (q446 _),
+    "q447_icc_reliability" -> (q447 _),
+    "q448_krippendorff_alpha" -> (q448 _))
 
   val oracle: Map[String, String] = Map(
     "q434_assoc_rules" -> q434Sql,
@@ -1068,5 +1466,9 @@ object Mining {
     "q441_hurst_rs" -> q441Sql,
     "q442_holt_walk" -> q442Sql,
     "q443_gumbel_return" -> q443Sql,
-    "q444_ipf_raking" -> q444Sql)
+    "q444_ipf_raking" -> q444Sql,
+    "q445_shapley_attribution" -> q445Sql,
+    "q446_cmh_stratified" -> q446Sql,
+    "q447_icc_reliability" -> q447Sql,
+    "q448_krippendorff_alpha" -> q448Sql)
 }

@@ -424,4 +424,127 @@ class MiningSpec extends AnyFunSuite {
       assert(math.abs(got - want) <= cells.length.toLong, s"col margin")
     }
   }
+
+  test("q445 Shapley: literal 2^4 coalition enumeration reproduces " +
+       "every phi and efficiency holds: sum phi24 = 24*(v(full)-v(0))") {
+    val events = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .select(col("user_id"), col("event_type"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    val chanBit = Map("click" -> 1, "error" -> 2, "signup" -> 4,
+      "view" -> 8)
+    val byUser = events.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val ts = xs.map(_._2).toSet
+      (ts.toSeq.flatMap(chanBit.get).sum, ts.contains("purchase"))
+    }
+    val convMasks = byUser.filter(_._2).map(_._1)
+    def v(s: Int): Long = convMasks.count(m => (m & ~s & 15) == 0).toLong
+    def factI(n: Int): Long = (1 to n).product.toLong max 1L
+    val rows = q("q445_shapley_attribution").collect()
+    assert(rows.length == 4)
+    var total = 0L
+    rows.foreach { r =>
+      val bit = r.getAs[Long]("bit").toInt
+      val phi = (0 until 16).filter(s => (s & bit) == 0).map { s =>
+        val pc = java.lang.Integer.bitCount(s)
+        factI(pc) * factI(3 - pc) * (v(s | bit) - v(s))
+      }.sum
+      assert(r.getAs[Long]("phi24") == phi, s"phi for bit $bit")
+      assert(r.getAs[Long]("v_full") == v(15))
+      total += phi
+    }
+    assert(total == 24L * (v(15) - v(0)), "Shapley efficiency axiom")
+  }
+
+  test("q446 CMH: stratum cells match a literal star-join count and " +
+       "the pooled statistic matches the textbook recompute") {
+    val t = graft.core.Tables.load(spark, TestSpark.sf001, "orders")
+      .join(graft.core.Tables.load(spark, TestSpark.sf001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.core.Tables.load(spark, TestSpark.sf001, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(graft.core.Tables.load(spark, TestSpark.sf001, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("o_orderpriority"),
+        col("o_orderstatus"))
+      .collect().toSeq
+      .map(r => (r.getString(0),
+        Set("1-URGENT", "2-HIGH").contains(r.getString(1)),
+        r.getString(2) == "F"))
+    val rows = q("q446_cmh_stratified").collect()
+    assert(rows.length == 5)
+    var sd = 0.0; var sv = 0.0; var sad = 0.0; var sbc = 0.0
+    rows.foreach { r =>
+      val g = t.filter(_._1 == r.getAs[String]("r_name"))
+      val a = g.count(x => x._2 && x._3).toLong
+      val b = g.count(x => x._2 && !x._3).toLong
+      val c = g.count(x => !x._2 && x._3).toLong
+      val d = g.count(x => !x._2 && !x._3).toLong
+      assert((r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("c"), r.getAs[Long]("d")) == ((a, b, c, d)))
+      val n = (a + b + c + d).toDouble
+      sd += a - (a + b) * (a + c) / n
+      sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+      sad += a * d / n
+      sbc += b * c / n
+    }
+    val cmh = sd * sd / sv
+    val orMh = sad / sbc
+    val got = rows.head
+    assert(math.abs(got.getAs[Long]("cmh_e6").toDouble / 1e6 - cmh)
+      <= 1e-3, s"CMH: ${got.getAs[Long]("cmh_e6")} vs $cmh")
+    assert(math.abs(got.getAs[Long]("or_mh_e6").toDouble / 1e6 - orMh)
+      <= 1e-3, s"OR_MH")
+  }
+
+  // the q378 rater scores per doc at sf0.001, recomputed literally
+  private lazy val raterScores: Seq[Seq[Long]] =
+    graft.core.Tables.load(spark, TestSpark.sf001, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().toSeq.map { r =>
+        val text = r.getString(1); val nc = r.getLong(2)
+        Seq(
+          math.min(nc / 150, 5L),
+          math.min(text.split(" ").count(_.nonEmpty).toLong / 30, 5L),
+          math.min(text.count(_ == '.').toLong / 2, 5L))
+      }
+
+  test("q447 ICC(1) matches the textbook one-way ANOVA on the " +
+       "literal rater scores and lies in [-1, 1]") {
+    val n = raterScores.size
+    val k = 3.0
+    val grand = raterScores.flatten.sum.toDouble / (n * k)
+    val msb = raterScores.map { g =>
+      val m = g.sum.toDouble / k
+      k * (m - grand) * (m - grand)
+    }.sum / (n - 1)
+    val msw = raterScores.map { g =>
+      val m = g.sum.toDouble / k
+      g.map(x => (x - m) * (x - m)).sum
+    }.sum / (n * (k - 1))
+    val icc = (msb - msw) / (msb + (k - 1) * msw)
+    val r = q("q447_icc_reliability").collect().head
+    assert(r.getAs[Long]("n_items") == n.toLong)
+    val got = r.getAs[Long]("icc_e6").toDouble / 1e6
+    assert(math.abs(got - icc) <= 1e-4, s"ICC $got vs $icc")
+    assert(got >= -1.0 && got <= 1.0)
+  }
+
+  test("q448 Krippendorff nominal alpha matches the coincidence " +
+       "recompute on the literal rater categories") {
+    val n = raterScores.size
+    val counts = raterScores.map(g =>
+      g.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong })
+    val w = counts.map(_.values.map(c => c * (3 - c)).sum).sum
+    val nTot = 3L * n
+    val margins = counts.flatten.groupBy(_._1)
+      .map { case (c, xs) => c -> xs.map(_._2).sum }
+    val e = margins.values.map(nc => BigInt(nc) * (nTot - nc)).sum
+    val alpha = 1.0 - w.toDouble * (nTot - 1).toDouble /
+      (2.0 * e.toDouble)
+    val r = q("q448_krippendorff_alpha").collect().head
+    assert(r.getAs[Long]("n_items") == n.toLong)
+    assert(r.getAs[Long]("w_dis") == w)
+    val got = r.getAs[Long]("alpha_e6").toDouble / 1e6
+    assert(math.abs(got - alpha) <= 1e-5, s"alpha $got vs $alpha")
+  }
 }
