@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.PlanStats.Pinned
 import graft.core.Tables
 
 /** Pattern-mining / modeling tier (session 10, continuation): the
@@ -55,10 +56,13 @@ object Mining {
   private def q434(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     val part = Tables.load(s, dir, "part")
+    // pinned: one lineitem scan materializes the (order, brand)
+    // basket grain; totals, per-brand counts and the pair self-join
+    // all read the materialization
     val ob = li.join(broadcast(part),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-      .distinct()
+      .distinct().pin()
     val n = ob.agg(countDistinct(col("ok")).as("n_orders"))
     val per = ob.groupBy("b").agg(count(lit(1)).as("n_one"))
     val pairs = ob.as("x").join(ob.as("y"),
@@ -326,8 +330,12 @@ object Mining {
       |ORDER BY lvl, rf, ls""".stripMargin
 
   /** Daily purchase-revenue series (epoch-day index, exact cents) —
-    * shared by q436/q439/q441. Calendar-bounded (30 days in the
-    * testdata; the consumers tripwire at 1000). */
+    * shared by the day-grain consumers (q439/q441/q442/q443/q449/
+    * q450). Calendar-bounded (30 days in the testdata; the consumers
+    * tripwire at 1000) and PINNED: the fact table is scanned exactly
+    * once per query, the ≤1000-row day grain is materialized, and
+    * every downstream reuse (totals, pair tables, walks) reads the
+    * materialization instead of re-scanning events. */
   private def dayRev(s: SparkSession, dir: String): DataFrame =
     Tables.eventsSec(s, dir)
       .filter(col("event_type") === "purchase")
@@ -335,6 +343,7 @@ object Mining {
       .agg(sum(round(col("value") * 100).cast("long")).as("y"))
       .select(datediff(col("day"), lit("1970-01-01")).cast("long")
         .as("d"), col("y"))
+      .pin()
 
   private val dayRevSql =
     """SELECT CAST(CAST(date_trunc('second', ts) AS DATE)
@@ -356,9 +365,11 @@ object Mining {
   // chain each).
   // ---------------------------------------------------------------------
   private def q438(s: SparkSession, dir: String): DataFrame = {
+    // pinned: one events scan to the (user × type) span grain; the
+    // totals, marginals and the pattern self-join reuse it
     val ua = Tables.eventsSec(s, dir)
       .groupBy(col("user_id").as("u"), col("event_type").as("t"))
-      .agg(min("ts_s").as("mn"), max("ts_s").as("mx"))
+      .agg(min("ts_s").as("mn"), max("ts_s").as("mx")).pin()
     val n = ua.agg(countDistinct(col("u")).as("n_users"))
     val per = ua.groupBy("t").agg(count(lit(1)).as("n_one"))
     val sup = ua.as("x").join(ua.as("y"),
@@ -954,8 +965,11 @@ object Mining {
 
   private def q444(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+    // pinned: one documents scan to the (source × lang) grid; the
+    // totals, margins and base-weight derivations reuse it
     val cellsRaw = docs.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      .pin()
     val tot = cellsRaw.agg(sum("n_docs").as("n_tot"),
       sum("chars").as("c_tot"))
     val rowm = cellsRaw.groupBy("source")
@@ -1083,8 +1097,10 @@ object Mining {
     val users = ut.groupBy("u").agg(
       sum(bitOf).as("mask"),
       max((col("t") === "purchase").cast("long")).as("conv"))
+    // pinned: ONE events scan reduces all users to the ≤16 mask
+    // rows; the three v(S) derivations read the materialization
     val msk = users.filter(col("conv") === 1L)
-      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt")).pin()
     val subsets = shapSubsets.toDF("smask", "wgt")
     val vS = subsets.join(broadcast(msk),
         col("mask").bitwiseAND(lit(15L) - col("smask")) === 0L, "left")
@@ -1208,6 +1224,9 @@ object Mining {
         round(col("b").cast("double") * col("c").cast("double")
           / col("n").cast("double") * 1000000000.0).cast("long"))
       .withColumn("dev_e9", col("a") * 1000000000L - col("e_e9"))
+      // pinned: the star join runs ONCE for the ≤|regions| stratum
+      // rows; the pooled readout reuses the materialization
+      .pin()
     val pooled = terms.agg(
         sum(col("dev_e9").cast(dec)).as("sd"),
         sum(col("v_e9").cast(dec)).as("sv"),
@@ -1300,6 +1319,11 @@ object Mining {
             lit(5L)))).as("cat"))
       .groupBy(col("doc_id"), col("cat"))
       .agg(count(lit(1)).as("c"))
+      // pinned: one corpus scan materializes the (doc, class) grain;
+      // the per-statistic aggregations (item-side and class-side
+      // marginals) read it instead of re-scanning documents — the
+      // Graph-ops edge-materialization posture
+      .pin()
 
   private val raterGrainSql =
     """SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS c
@@ -1438,6 +1462,343 @@ object Mining {
        |FROM base CROSS JOIN em
        |ORDER BY n_items""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q449 — OLS regression diagnostics on the daily-revenue-vs-day
+  // fit: Durbin–Watson serial correlation and the Koenker
+  // (studentized Breusch–Pagan) heteroscedasticity screen — the two
+  // checks that decide whether q435/q439's fits can be trusted.
+  // The residual is computed as an EXACT decimal cross form
+  // R_t = y_t·n·denx − n·num·x_t − sy·denx + num·sx (= e_t·n·denx),
+  // e4-rounded to the lattice AT THE ROW (one IEEE division each);
+  // DW then reads Σ(Δe)²/Σe² off exact decimal sums of the lattice
+  // values, and the BP auxiliary regression of e² on x runs the
+  // q435 sufficient-statistic chain with e² formed in decimal.
+  // Day-grain, tripwire inherited from the 1000-day bound.
+  // ---------------------------------------------------------------------
+  private def q449(s: SparkSession, dir: String): DataFrame = {
+    val day = dayRev(s, dir)
+    val st = day.agg(count(lit(1)).as("n"),
+      sum("d").as("sx"), sum("y").as("sy"),
+      sum(col("d").cast(dec) * col("y")).as("sxy"),
+      sum(col("d").cast(dec) * col("d")).as("sxx"))
+    val fit = st.select(col("n"), col("sx"), col("sy"),
+      (col("n").cast(dec) * col("sxy")
+        - col("sx").cast(dec) * col("sy")).as("num"),
+      (col("n").cast(dec) * col("sxx")
+        - col("sx").cast(dec) * col("sx")).as("denx"))
+    val resid = day.crossJoin(broadcast(fit))
+      .select(col("d"), col("n"),
+        round((col("y").cast(dec) * col("n") * col("denx")
+          - col("n").cast(dec) * col("num") * col("d")
+          - col("sy").cast(dec) * col("denx")
+          + col("num").cast(dec) * col("sx")).cast("double")
+          / (col("n").cast(dec) * col("denx")).cast("double")
+          * 10000.0).cast("long").as("e_e4"))
+    val lagd = resid
+      .withColumn("pe", lag(col("e_e4"), 1).over(axis(col("d"))))
+    val dw = lagd.groupBy("n").agg(
+      sum(col("e_e4").cast(dec) * col("e_e4")).as("se2"),
+      sum(when(col("pe").isNotNull,
+        (col("e_e4") - col("pe")).cast(dec)
+          * (col("e_e4") - col("pe"))).otherwise(lit(0L).cast(dec)))
+        .as("sd2"))
+    // BP auxiliary: regress u on the day index, where u is the
+    // e9 SHARE of the residual energy e²/Σe² (R² is invariant to
+    // affine rescaling of the response, and the share keeps every
+    // cross product inside decimal(38,0) AT ANY DATA SCALE — raw e⁴
+    // powers overflow at sf1)
+    val aux = resid.crossJoin(broadcast(dw.select(col("se2"))))
+      .select(col("d"),
+        when(col("se2").cast("double") > 0.0,
+          round(col("e_e4").cast(dec).multiply(col("e_e4"))
+            .cast("double") / col("se2").cast("double")
+            * 1000000000.0).cast("long")).otherwise(0L).as("u"))
+    val ast = aux.agg(count(lit(1)).as("n"),
+      sum("d").as("ax"), sum("u").as("au"),
+      sum(col("d").cast(dec) * col("u")).as("axu"),
+      sum(col("d").cast(dec) * col("d")).as("axx"),
+      sum(col("u").cast(dec) * col("u")).as("auu"))
+    val anum = (col("n").cast(dec) * col("axu")
+      - col("ax").cast(dec) * col("au")).cast("double")
+    val adenx = (col("n").cast(dec) * col("axx")
+      - col("ax").cast(dec) * col("ax")).cast("double")
+    val adeny = (col("n").cast(dec) * col("auu")
+      - col("au").cast(dec) * col("au")).cast("double")
+    val bp = ast.select(col("n").as("n2"),
+      when(adenx > 0.0 && adeny > 0.0,
+        round(col("n").cast("double") * (anum * anum)
+          / (adenx * adeny) * 1000000.0).cast("long"))
+        .otherwise(0L).as("bp_e6"))
+    dw.crossJoin(broadcast(bp))
+      .select(col("n").as("n_days"),
+        when(col("se2").cast("double") > 0.0,
+          round(col("sd2").cast("double") / col("se2").cast("double")
+            * 1000000.0).cast("long")).otherwise(0L).as("dw_e6"),
+        col("bp_e6"))
+      .orderBy("n_days")
+  }
+
+  private val q449Sql =
+    s"""WITH day AS (
+       |  $dayRevSql),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(d) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |  sum(CAST(d AS HUGEINT) * y) AS sxy,
+       |  sum(CAST(d AS HUGEINT) * d) AS sxx FROM day),
+       |fit AS (SELECT n, sx, sy,
+       |  CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+       |  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx
+       |  FROM st),
+       |resid AS (
+       |  SELECT d, n,
+       |    CAST(round(CAST(CAST(y AS HUGEINT) * n * denx
+       |        - CAST(n AS HUGEINT) * num * d
+       |        - CAST(sy AS HUGEINT) * denx
+       |        + CAST(num AS HUGEINT) * sx AS DOUBLE)
+       |      / CAST(CAST(n AS HUGEINT) * denx AS DOUBLE)
+       |      * 10000.0) AS BIGINT) AS e_e4
+       |  FROM day CROSS JOIN fit),
+       |lagd AS (
+       |  SELECT n, e_e4,
+       |    lag(e_e4) OVER (ORDER BY d) AS pe
+       |  FROM resid),
+       |dw AS (
+       |  SELECT n,
+       |    sum(CAST(e_e4 AS HUGEINT) * e_e4) AS se2,
+       |    sum(CASE WHEN pe IS NOT NULL THEN
+       |      CAST(e_e4 - pe AS HUGEINT) * (e_e4 - pe)
+       |      ELSE 0 END) AS sd2
+       |  FROM lagd GROUP BY n),
+       |aux AS (
+       |  SELECT r.d,
+       |    CASE WHEN CAST(se2 AS DOUBLE) > 0.0 THEN
+       |      CAST(round(CAST(CAST(r.e_e4 AS HUGEINT) * r.e_e4
+       |          AS DOUBLE) / CAST(se2 AS DOUBLE)
+       |        * 1000000000.0) AS BIGINT)
+       |      ELSE 0 END AS u
+       |  FROM resid r CROSS JOIN dw),
+       |ast AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(d) AS BIGINT) AS ax, CAST(sum(u) AS BIGINT) AS au,
+       |  sum(CAST(d AS HUGEINT) * u) AS axu,
+       |  sum(CAST(d AS HUGEINT) * d) AS axx,
+       |  sum(CAST(u AS HUGEINT) * u) AS auu FROM aux),
+       |bp AS (
+       |  SELECT n AS n2,
+       |    CASE WHEN CAST(CAST(n AS HUGEINT) * axx
+       |        - CAST(ax AS HUGEINT) * ax AS DOUBLE) > 0.0
+       |      AND CAST(CAST(n AS HUGEINT) * auu - CAST(au AS HUGEINT) * au AS DOUBLE)
+       |        > 0.0 THEN
+       |      CAST(round(CAST(n AS DOUBLE)
+       |        * (CAST(CAST(n AS HUGEINT) * axu
+       |            - CAST(ax AS HUGEINT) * au AS DOUBLE)
+       |          * CAST(CAST(n AS HUGEINT) * axu
+       |            - CAST(ax AS HUGEINT) * au AS DOUBLE))
+       |        / (CAST(CAST(n AS HUGEINT) * axx
+       |            - CAST(ax AS HUGEINT) * ax AS DOUBLE)
+       |          * CAST(CAST(n AS HUGEINT) * auu - CAST(au AS HUGEINT) * au AS DOUBLE))
+       |        * 1000000.0) AS BIGINT)
+       |      ELSE 0 END AS bp_e6
+       |  FROM ast)
+       |SELECT n AS n_days,
+       |  CASE WHEN CAST(se2 AS DOUBLE) > 0.0 THEN
+       |    CAST(round(CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE)
+       |      * 1000000.0) AS BIGINT)
+       |    ELSE 0 END AS dw_e6,
+       |  bp_e6
+       |FROM dw CROSS JOIN bp
+       |ORDER BY n_days""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q450 — Kendall's τ-b between daily click count and daily
+  // purchase revenue: the tie-corrected concordance coefficient —
+  // the ordinal complement of q440's Pearson profile and q146's
+  // Spearman. All four pair classes (concordant, discordant, x-tie,
+  // y-tie) are EXACT integer counts off the calendar-bounded
+  // day-pair table; τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) is one sqrt
+  // readout. Day grain, 1000-day tripwire.
+  // ---------------------------------------------------------------------
+  private def q450(s: SparkSession, dir: String): DataFrame = {
+    val dayx = Tables.eventsSec(s, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long")
+        .as("d"), col("x"))
+    val joined = dayx.join(broadcast(
+      dayRev(s, dir).select(col("d"), col("y"))), "d")
+    val cnt = joined.agg(count(lit(1)).as("n_days"))
+    val a = joined.select(col("d").as("da"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = joined.select(col("d").as("db"), col("x").as("xb"),
+      col("y").as("yb"))
+    val pairs = a.crossJoin(broadcast(b)).crossJoin(broadcast(cnt))
+      .filter(col("da") < col("db"))
+      .select(col("n_days"),
+        when(col("n_days") <= 1000L,
+          signum(((col("xb") - col("xa"))
+            * (col("yb") - col("ya"))).cast("double")).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("kendallTau: day grain exceeded 1000 ("),
+            col("n_days").cast("string"),
+            lit(") — aggregate to a coarser grain or raise the bound " +
+              "explicitly.")))).as("s"),
+        (col("xa") === col("xb")).cast("long").as("tx"),
+        (col("ya") === col("yb")).cast("long").as("ty"))
+    pairs.groupBy("n_days").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("c_pairs"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).as("d_pairs"),
+        sum("tx").as("tx_pairs"), sum("ty").as("ty_pairs"))
+      .select(col("n_days"), col("n_pairs"), col("c_pairs"),
+        col("d_pairs"), col("tx_pairs"), col("ty_pairs"),
+        when((col("n_pairs") - col("tx_pairs")) > 0L
+          && (col("n_pairs") - col("ty_pairs")) > 0L,
+          round((col("c_pairs") - col("d_pairs")).cast("double")
+            / sqrt((col("n_pairs") - col("tx_pairs")).cast("double")
+              * (col("n_pairs") - col("ty_pairs")).cast("double"))
+            * 1000000.0).cast("long")).otherwise(0L).as("tau_b_e6"))
+      .orderBy("n_days")
+  }
+
+  private val q450Sql =
+    s"""WITH dayx AS (
+       |  SELECT CAST(CAST(date_trunc('second', ts) AS DATE)
+       |      - DATE '1970-01-01' AS BIGINT) AS d,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'click'
+       |  GROUP BY 1),
+       |dayy AS (
+       |  $dayRevSql),
+       |joined AS (SELECT dayx.d, x, y FROM dayx
+       |  JOIN dayy ON dayx.d = dayy.d),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM joined),
+       |pairs AS (
+       |  SELECT n_days,
+       |    CAST(sign(CAST((b.x - a.x) * (b.y - a.y) AS DOUBLE))
+       |      AS BIGINT) AS s,
+       |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+       |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+       |  FROM joined a JOIN joined b ON a.d < b.d CROSS JOIN cnt)
+       |SELECT n_days, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS c_pairs,
+       |  CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS d_pairs,
+       |  CAST(sum(tx) AS BIGINT) AS tx_pairs,
+       |  CAST(sum(ty) AS BIGINT) AS ty_pairs,
+       |  CASE WHEN count(*) - sum(tx) > 0 AND count(*) - sum(ty) > 0
+       |    THEN CAST(round(
+       |      CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+       |        - sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / sqrt(CAST(count(*) - sum(tx) AS DOUBLE)
+       |        * CAST(count(*) - sum(ty) AS DOUBLE))
+       |      * 1000000.0) AS BIGINT)
+       |    ELSE 0 END AS tau_b_e6
+       |FROM pairs GROUP BY n_days ORDER BY n_days""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q451 — Cronbach's α over the three deterministic raters (WITH
+  // rater identity, unlike q447's one-way ICC): the internal-
+  // consistency readout every multi-judge eval pipeline quotes.
+  // α = k/(k−1)·(1 − Σᵢσᵢ²/σ_T²) with per-rater and total-score
+  // SAMPLE variances from exact sufficient statistics — per-rater
+  // cross products in decimal, the variance ratio ONE staged IEEE
+  // chain. One documents scan (the three scores explode from a
+  // single projection); the rater axis is a 3-row universe.
+  // ---------------------------------------------------------------------
+  private def q451(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        least(expr("n_chars div 150"), lit(5L)).as("x1"),
+        least((size(graft.functions.Text.words(col("text"))) / 30)
+          .cast("long"), lit(5L)).as("x2"),
+        least(expr(
+          "(length(text) - length(replace(text, '.'))) div 2"),
+          lit(5L)).as("x3"))
+    val long = docs.select(col("doc_id"),
+      explode(array(
+        struct(lit(1L).as("rater"), col("x1").as("x")),
+        struct(lit(2L).as("rater"), col("x2").as("x")),
+        struct(lit(3L).as("rater"), col("x3").as("x")))).as("rx"))
+      .select(col("doc_id"), col("rx.rater").as("rater"),
+        col("rx.x").as("x"))
+      // pinned: one documents scan; rater-side and item-side
+      // variance aggregations read the materialized long form
+      .pin()
+    val perRater = long.groupBy("rater").agg(
+      count(lit(1)).as("nr"), sum("x").as("srx"),
+      sum(col("x").cast(dec) * col("x")).as("srxx"))
+    val raterVar = perRater.agg(
+      max("nr").as("n_items"),
+      sum((col("nr").cast(dec) * col("srxx")
+        - col("srx").cast(dec) * col("srx")).cast("double")
+        / (col("nr").cast("double")
+          * (col("nr").cast("double") - 1.0))).as("svi"))
+    val totals = long.groupBy("doc_id")
+      .agg(sum("x").as("tt"))
+      .agg(count(lit(1)).as("nt"), sum("tt").as("st"),
+        sum(col("tt").cast(dec) * col("tt")).as("stt"))
+      .select(col("nt"),
+        ((col("nt").cast(dec) * col("stt")
+          - col("st").cast(dec) * col("st")).cast("double")
+          / (col("nt").cast("double")
+            * (col("nt").cast("double") - 1.0))).as("vt"))
+    raterVar.crossJoin(broadcast(totals))
+      .select(col("n_items"),
+        round(col("svi") * 1000.0).cast("long").as("sum_vi_e3"),
+        round(col("vt") * 1000.0).cast("long").as("var_tot_e3"),
+        when(col("vt") > 0.0 && col("n_items") >= 2L,
+          round(lit(1.5) * (lit(1.0) - col("svi") / col("vt"))
+            * 1000000.0).cast("long")).otherwise(0L).as("alpha_e6"))
+      .orderBy("n_items")
+  }
+
+  private val q451Sql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    least(n_chars // 150, 5) AS x1,
+      |    least(len(list_filter(string_split(text, ' '),
+      |      w -> length(w) > 0)) // 30, 5) AS x2,
+      |    least((length(text) - length(replace(text, '.', ''))) // 2,
+      |      5) AS x3
+      |  FROM documents),
+      |lng AS (
+      |  SELECT doc_id, 1 AS rater, x1 AS x FROM docs
+      |  UNION ALL SELECT doc_id, 2, x2 FROM docs
+      |  UNION ALL SELECT doc_id, 3, x3 FROM docs),
+      |perrater AS (
+      |  SELECT rater, CAST(count(*) AS BIGINT) AS nr,
+      |    CAST(sum(x) AS BIGINT) AS srx,
+      |    sum(CAST(x AS HUGEINT) * x) AS srxx
+      |  FROM lng GROUP BY rater),
+      |ratervar AS (
+      |  SELECT CAST(max(nr) AS BIGINT) AS n_items,
+      |    sum(CAST(CAST(nr AS HUGEINT) * srxx
+      |        - CAST(srx AS HUGEINT) * srx AS DOUBLE)
+      |      / (CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1.0)))
+      |      AS svi
+      |  FROM perrater),
+      |totals AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nt,
+      |    CAST(sum(tt) AS BIGINT) AS st,
+      |    sum(CAST(tt AS HUGEINT) * tt) AS stt
+      |  FROM (SELECT doc_id, CAST(sum(x) AS BIGINT) AS tt
+      |    FROM lng GROUP BY doc_id) t),
+      |tv AS (
+      |  SELECT nt,
+      |    CAST(CAST(nt AS HUGEINT) * stt
+      |      - CAST(st AS HUGEINT) * st AS DOUBLE)
+      |    / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0)) AS vt
+      |  FROM totals)
+      |SELECT n_items,
+      |  CAST(round(svi * 1000.0) AS BIGINT) AS sum_vi_e3,
+      |  CAST(round(vt * 1000.0) AS BIGINT) AS var_tot_e3,
+      |  CASE WHEN vt > 0.0 AND n_items >= 2 THEN
+      |    CAST(round(1.5 * (1.0 - svi / vt) * 1000000.0) AS BIGINT)
+      |    ELSE 0 END AS alpha_e6
+      |FROM ratervar CROSS JOIN tv
+      |ORDER BY n_items""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q434_assoc_rules" -> (q434 _),
     "q435_ols_regression" -> (q435 _),
@@ -1453,7 +1814,10 @@ object Mining {
     "q445_shapley_attribution" -> (q445 _),
     "q446_cmh_stratified" -> (q446 _),
     "q447_icc_reliability" -> (q447 _),
-    "q448_krippendorff_alpha" -> (q448 _))
+    "q448_krippendorff_alpha" -> (q448 _),
+    "q449_regression_diag" -> (q449 _),
+    "q450_kendall_tau_b" -> (q450 _),
+    "q451_cronbach_alpha" -> (q451 _))
 
   val oracle: Map[String, String] = Map(
     "q434_assoc_rules" -> q434Sql,
@@ -1470,5 +1834,8 @@ object Mining {
     "q445_shapley_attribution" -> q445Sql,
     "q446_cmh_stratified" -> q446Sql,
     "q447_icc_reliability" -> q447Sql,
-    "q448_krippendorff_alpha" -> q448Sql)
+    "q448_krippendorff_alpha" -> q448Sql,
+    "q449_regression_diag" -> q449Sql,
+    "q450_kendall_tau_b" -> q450Sql,
+    "q451_cronbach_alpha" -> q451Sql)
 }

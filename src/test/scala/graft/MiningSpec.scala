@@ -547,4 +547,90 @@ class MiningSpec extends AnyFunSuite {
     val got = r.getAs[Long]("alpha_e6").toDouble / 1e6
     assert(math.abs(got - alpha) <= 1e-5, s"alpha $got vs $alpha")
   }
+
+  test("q449 regression diagnostics: DW and BP match the literal " +
+       "residual replay, and DW lies in [0, 4]") {
+    val n = revDays.size
+    val sx = revDays.map(_._1).sum
+    val sy = revDays.map(_._2).sum
+    val sxy = revDays.map(t => BigInt(t._1) * t._2).sum
+    val sxx = revDays.map(t => BigInt(t._1) * t._1).sum
+    val num = BigInt(n) * sxy - BigInt(sx) * sy
+    val denx = BigInt(n) * sxx - BigInt(sx) * sx
+    val es = revDays.map { case (d, y) =>
+      val r = BigInt(y) * n * denx - BigInt(n) * num * d -
+        BigInt(sy) * denx + num * sx
+      graft.analytics.Exact.roundHalfUp(
+        r.toDouble / (BigInt(n) * denx).toDouble * 10000.0)
+    }
+    val se2 = es.map(e => BigInt(e) * e).sum
+    val sd2 = es.sliding(2).map { case Seq(a, b) =>
+      BigInt(b - a) * (b - a) }.sum
+    val dw = sd2.toDouble / se2.toDouble
+    val row = q("q449_regression_diag").collect().head
+    val gotDw = row.getAs[Long]("dw_e6").toDouble / 1e6
+    assert(math.abs(gotDw - dw) <= 1e-6, s"DW $gotDw vs $dw")
+    assert(gotDw >= 0.0 && gotDw <= 4.0)
+    // BP on the e9 energy shares, textbook n*R²
+    val us = es.map(e => graft.analytics.Exact.roundHalfUp(
+      (BigInt(e) * e).toDouble / se2.toDouble * 1e9))
+    val mx = revDays.map(_._1).sum.toDouble / n
+    val mu = us.sum.toDouble / n
+    val c = revDays.map(_._1).zip(us)
+      .map { case (x, u) => (x - mx) * (u - mu) }.sum
+    val vx = revDays.map(x => (x._1 - mx) * (x._1 - mx)).sum
+    val vu = us.map(u => (u - mu) * (u - mu)).sum
+    val bp = n * (c * c) / (vx * vu)
+    val gotBp = row.getAs[Long]("bp_e6").toDouble / 1e6
+    assert(math.abs(gotBp - bp) <= 1e-3, s"BP $gotBp vs $bp")
+  }
+
+  test("q450 Kendall tau-b matches the literal pair loop with tie " +
+       "classes, and tau is within [-1, 1]") {
+    val clicks = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long"),
+        col("x"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pts = revDays.flatMap { case (d, y) =>
+      clicks.get(d).map(x => (d, x, y)) }
+    var c = 0L; var dd = 0L; var tx = 0L; var ty = 0L
+    for (i <- pts.indices; j <- (i + 1) until pts.size) {
+      val s = (pts(j)._2 - pts(i)._2) * (pts(j)._3 - pts(i)._3)
+      if (pts(i)._2 == pts(j)._2) tx += 1
+      if (pts(i)._3 == pts(j)._3) ty += 1
+      if (s > 0) c += 1 else if (s < 0) dd += 1
+    }
+    val n0 = pts.size.toLong * (pts.size - 1) / 2
+    val tau = (c - dd).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    val r = q("q450_kendall_tau_b").collect().head
+    assert(r.getAs[Long]("n_pairs") == n0)
+    assert(r.getAs[Long]("c_pairs") == c)
+    assert(r.getAs[Long]("d_pairs") == dd)
+    assert(r.getAs[Long]("tx_pairs") == tx)
+    assert(r.getAs[Long]("ty_pairs") == ty)
+    val got = r.getAs[Long]("tau_b_e6").toDouble / 1e6
+    assert(math.abs(got - tau) <= 1e-5, s"tau $got vs $tau")
+    assert(got >= -1.0 && got <= 1.0)
+  }
+
+  test("q451 Cronbach's alpha matches the textbook variance form " +
+       "on the literal rater scores") {
+    val n = raterScores.size
+    def sampleVar(xs: Seq[Long]): Double = {
+      val m = xs.sum.toDouble / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1.0)
+    }
+    val svi = (0 until 3).map(i =>
+      sampleVar(raterScores.map(_(i)))).sum
+    val vt = sampleVar(raterScores.map(_.sum))
+    val alpha = 1.5 * (1.0 - svi / vt)
+    val r = q("q451_cronbach_alpha").collect().head
+    assert(r.getAs[Long]("n_items") == n.toLong)
+    val got = r.getAs[Long]("alpha_e6").toDouble / 1e6
+    assert(math.abs(got - alpha) <= 1e-5, s"alpha $got vs $alpha")
+  }
 }

@@ -1284,4 +1284,48 @@ class PlanQualitySpec extends AnyFunSuite {
         s"— cast to BIGINT/DOUBLE before the final select:\n" +
         bad.mkString("\n"))
   }
+
+  test("q434: the part dim is BROADCAST into the basket extraction " +
+       "and the brand-pair self-join is never a cartesian — the " +
+       "expansion is bounded per order by the brand universe") {
+    val p = plan("q434_assoc_rules")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q445: Shapley reduces users to the PINNED ≤16-row mask grain " +
+       "(no fact re-scan downstream); the subset lattice joins are " +
+       "broadcast-only, no cartesian, no sort-merge") {
+    val p = plan("q445_shapley_attribution")
+    assert(!p.contains("FileScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q446: CMH's star join runs once into the PINNED stratum " +
+       "grain — the pooled readout never re-runs the join") {
+    val p = plan("q446_cmh_stratified")
+    assert(!p.contains("FileScan"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q442: the Holt walk's single partition sits ABOVE the " +
+       "PINNED day grain — only ≤1000 day rows funnel into the " +
+       "sequential partition, never fact rows") {
+    val p = plan("q442_holt_walk")
+    assert(p.contains("SinglePartition"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q447/q448: each reliability statistic is ONE documents scan " +
+       "(the rater grain is pinned) with broadcast-only composition") {
+    Seq("q447_icc_reliability", "q448_krippendorff_alpha").foreach {
+      n =>
+        val p = plan(n)
+        assert(!p.contains("FileScan"), s"$n\n$p")
+        assert(!p.contains("CartesianProduct"), s"$n\n$p")
+        assert(!p.contains("SortMergeJoin"), s"$n\n$p")
+    }
+  }
 }
