@@ -1799,6 +1799,337 @@ object Mining {
       |FROM ratervar CROSS JOIN tv
       |ORDER BY n_items""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q452 — PR-AUC (precision–recall area, trapezoidal) of the
+  // value-ranked purchase classifier: the eval-tier twin of the
+  // gated exact ROC-AUC (q360) — on imbalanced labels PR is the
+  // curve that moves. Tie-stable BY CONSTRUCTION: the curve is
+  // integrated over the DISTINCT-VALUE axis (each score block is one
+  // PR point; no per-row ranking, no within-tie order dependence),
+  // descending cumulants exactly as the q405 family. Per-segment
+  // trapezoid term e9-rounded AT THE ROW (the per-row-division
+  // discipline), exact sum, one readout. Value-universe bounded.
+  // ---------------------------------------------------------------------
+  private def q452(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir)
+      .select(round(col("value") * 100).cast("long").as("v"),
+        (col("event_type") === "purchase").cast("long").as("pos"))
+      .groupBy("v")
+      .agg(sum("pos").as("pv"), count(lit(1)).as("tv"))
+    val tot = ev.agg(sum("pv").as("p"), sum("tv").as("t"),
+      count(lit(1)).as("n_support"))
+    val wd = axis(col("v").desc).rowsBetween(Window.unboundedPreceding, 0)
+    val wl = axis(col("v").desc)
+    val cum = ev
+      .withColumn("cp", sum("pv").over(wd))
+      .withColumn("ct", sum("tv").over(wd))
+      .withColumn("pp", lag(col("cp"), 1).over(wl))
+      .withColumn("pt", lag(col("ct"), 1).over(wl))
+    val terms = cum.crossJoin(broadcast(tot))
+      .filter(col("p") > 0L)
+      .select(col("p"), col("t"), col("n_support"),
+        round(((col("cp") - coalesce(col("pp"), lit(0L)))
+          .cast("double") / col("p").cast("double"))
+          * ((coalesce(col("pp").cast("double")
+              / col("pt").cast("double"),
+              col("cp").cast("double") / col("ct").cast("double"))
+            + col("cp").cast("double") / col("ct").cast("double"))
+            / 2.0)
+          * 1000000000.0).cast("long").as("term_e9"))
+    terms.groupBy("p", "t", "n_support")
+      .agg(sum("term_e9").as("auc_e9"))
+      .select(col("p").as("n_pos"), col("t").as("n_events"),
+        col("n_support"),
+        round(col("auc_e9").cast("double") / 1000.0).cast("long")
+          .as("pr_auc_e6"))
+      .orderBy("n_pos")
+  }
+
+  private val q452Sql =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS pv,
+      |    CAST(count(*) AS BIGINT) AS tv
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(pv) AS BIGINT) AS p,
+      |  CAST(sum(tv) AS BIGINT) AS t, count(*) AS n_support FROM ev),
+      |cum0 AS (
+      |  SELECT v, pv, tv,
+      |    CAST(sum(pv) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+      |    CAST(sum(tv) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ct
+      |  FROM ev),
+      |cum AS (
+      |  SELECT v, pv, tv, cp, ct,
+      |    lag(cp) OVER (ORDER BY v DESC) AS pp,
+      |    lag(ct) OVER (ORDER BY v DESC) AS pt
+      |  FROM cum0),
+      |terms AS (
+      |  SELECT p, t, n_support,
+      |    CAST(round((CAST(cp - coalesce(pp, 0) AS DOUBLE)
+      |        / CAST(p AS DOUBLE))
+      |      * ((coalesce(CAST(pp AS DOUBLE) / CAST(pt AS DOUBLE),
+      |          CAST(cp AS DOUBLE) / CAST(ct AS DOUBLE))
+      |        + CAST(cp AS DOUBLE) / CAST(ct AS DOUBLE)) / 2.0)
+      |      * 1000000000.0) AS BIGINT) AS term_e9
+      |  FROM cum CROSS JOIN tot WHERE p > 0)
+      |SELECT p AS n_pos, t AS n_events, n_support,
+      |  CAST(round(CAST(CAST(sum(term_e9) AS BIGINT) AS DOUBLE)
+      |    / 1000.0) AS BIGINT) AS pr_auc_e6
+      |FROM terms GROUP BY p, t, n_support
+      |ORDER BY n_pos""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q453 — difference-in-differences: the canonical before/after ×
+  // treated/control causal estimate (complement of the gated CUPED
+  // and uplift deciles). Treated = users who ever signed up; periods
+  // split at the exact LOWER MEDIAN day of the span; the outcome is
+  // per-(user, period) purchase cents on the FULL user×period grid
+  // (non-purchasers contribute exact zeros — left join + coalesce,
+  // never a dropped row). Four cell means e4-rounded at the cell,
+  // DiD = (m11−m10)−(m01−m00) in one chain; the SE pools per-cell
+  // sample variance/n (e9 at the cell row, exact sum, sqrt readout)
+  // and t = DiD/SE. Scale: user-grain reductions, 8-row readout.
+  // ---------------------------------------------------------------------
+  private def q453(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsSec(s, dir)
+      .select(col("user_id").as("u"), col("event_type").as("t"),
+        to_date(col("ts_s")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .pin()
+    val days = ev.select(col("day")).distinct()
+      .withColumn("rn", row_number().over(axis(col("day"))).cast("long"))
+    val nd = days.agg(count(lit(1)).as("n_days"))
+    val med = days.crossJoin(broadcast(nd))
+      .filter(col("rn") === expr("(n_days + 1) div 2"))
+      .select(col("day").as("med_day"))
+    val users = ev.select(col("u")).distinct()
+    // treated = the heavy-signup cohort: per-user signup count
+    // STRICTLY ABOVE the global mean count ("ever signed up" is
+    // degenerate at this event density — every user has every
+    // type). The mean is one broadcast scalar (cross-multiplied
+    // compare, no division), so the split needs no global ranking
+    // and stays non-degenerate at any SF.
+    val sc = ev.filter(col("t") === "signup")
+      .groupBy("u").agg(count(lit(1)).as("n_signup")).pin()
+    val scTot = sc.agg(sum("n_signup").as("tot"),
+      count(lit(1)).as("nu"))
+    val treat = sc.crossJoin(broadcast(scTot))
+      .filter(col("n_signup") * col("nu") > col("tot"))
+      .select(col("u")).withColumn("tr", lit(1L))
+    val grid = users
+      .join(broadcast(treat), Seq("u"), "left")
+      .withColumn("tr", coalesce(col("tr"), lit(0L)))
+      .crossJoin(broadcast(Seq(0L, 1L).toDF("post")))
+    val purch = ev.filter(col("t") === "purchase")
+      .crossJoin(broadcast(med))
+      .groupBy(col("u"),
+        (col("day") > col("med_day")).cast("long").as("post"))
+      .agg(sum("cents").as("y"))
+    val obs = grid.join(purch, Seq("u", "post"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+    val cells = obs.groupBy("tr", "post")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
+      .withColumn("mean_e4", round(col("sy").cast("double")
+        / col("n").cast("double") * 10000.0).cast("long"))
+      .withColumn("varn_e9",
+        when(col("n") >= 2L,
+          round((col("n").cast(dec) * col("syy")
+            - col("sy").cast(dec) * col("sy")).cast("double")
+            / (col("n").cast("double") * (col("n").cast("double") - 1.0))
+            / col("n").cast("double") * 1000000000.0).cast("long"))
+          .otherwise(0L))
+      .pin()
+    val pick = (tr: Long, po: Long, c: String) =>
+      sum(when(col("tr") === tr && col("post") === po,
+        col(c)).otherwise(0L))
+    val summary = cells.agg(
+        pick(1L, 1L, "mean_e4").as("m11"), pick(1L, 0L, "mean_e4").as("m10"),
+        pick(0L, 1L, "mean_e4").as("m01"), pick(0L, 0L, "mean_e4").as("m00"),
+        sum("varn_e9").as("sv"))
+      .select(
+        (col("m11") - col("m10") - (col("m01") - col("m00")))
+          .as("did_e4"),
+        when(col("sv") > 0L,
+          round(sqrt(col("sv").cast("double") / 1000000000.0) * 10000.0)
+            .cast("long")).otherwise(0L).as("se_e4"))
+      .select(col("did_e4"), col("se_e4"),
+        when(col("se_e4") > 0L,
+          round(col("did_e4").cast("double") / col("se_e4").cast("double")
+            * 1000000.0).cast("long")).otherwise(0L).as("t_e6"))
+    cells.select(col("tr"), col("post"), col("n"), col("mean_e4"))
+      .crossJoin(broadcast(summary))
+      .orderBy("tr", "post")
+  }
+
+  private val q453Sql =
+    """WITH ev AS (
+      |  SELECT user_id AS u, event_type AS t,
+      |    CAST(date_trunc('second', ts) AS DATE) AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |days AS (SELECT day, CAST(row_number() OVER (ORDER BY day)
+      |    AS BIGINT) AS rn
+      |  FROM (SELECT DISTINCT day FROM ev) d),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM days),
+      |med AS (SELECT day AS med_day FROM days CROSS JOIN nd
+      |  WHERE rn = (n_days + 1) // 2),
+      |users AS (SELECT DISTINCT u FROM ev),
+      |sc AS (SELECT u, CAST(count(*) AS BIGINT) AS n_signup
+      |  FROM ev WHERE t = 'signup' GROUP BY u),
+      |sctot AS (SELECT CAST(sum(n_signup) AS BIGINT) AS tot,
+      |  CAST(count(*) AS BIGINT) AS nu FROM sc),
+      |treat AS (SELECT u, CAST(1 AS BIGINT) AS tr
+      |  FROM sc CROSS JOIN sctot WHERE n_signup * nu > tot),
+      |grid AS (
+      |  SELECT users.u, CAST(coalesce(tr, 0) AS BIGINT) AS tr,
+      |    CAST(post AS BIGINT) AS post
+      |  FROM users LEFT JOIN treat ON users.u = treat.u
+      |  CROSS JOIN (VALUES (0), (1)) p(post)),
+      |purch AS (
+      |  SELECT u, CASE WHEN day > med_day THEN 1 ELSE 0 END AS post,
+      |    CAST(sum(cents) AS BIGINT) AS y
+      |  FROM ev CROSS JOIN med WHERE t = 'purchase'
+      |  GROUP BY 1, 2),
+      |obs AS (
+      |  SELECT g.tr, g.post, coalesce(y, 0) AS y
+      |  FROM grid g LEFT JOIN purch
+      |    ON g.u = purch.u AND g.post = purch.post),
+      |cells AS (
+      |  SELECT tr, CAST(post AS BIGINT) AS post,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM obs GROUP BY tr, post),
+      |c2 AS (
+      |  SELECT tr, post, n,
+      |    CAST(round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * 10000.0) AS BIGINT) AS mean_e4,
+      |    CASE WHEN n >= 2 THEN
+      |      CAST(round(CAST(CAST(n AS HUGEINT) * syy
+      |          - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |        / CAST(n AS DOUBLE) * 1000000000.0) AS BIGINT)
+      |      ELSE 0 END AS varn_e9
+      |  FROM cells),
+      |s1 AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN tr = 1 AND post = 1 THEN mean_e4
+      |      ELSE 0 END) AS BIGINT) AS m11,
+      |    CAST(sum(CASE WHEN tr = 1 AND post = 0 THEN mean_e4
+      |      ELSE 0 END) AS BIGINT) AS m10,
+      |    CAST(sum(CASE WHEN tr = 0 AND post = 1 THEN mean_e4
+      |      ELSE 0 END) AS BIGINT) AS m01,
+      |    CAST(sum(CASE WHEN tr = 0 AND post = 0 THEN mean_e4
+      |      ELSE 0 END) AS BIGINT) AS m00,
+      |    CAST(sum(varn_e9) AS BIGINT) AS sv
+      |  FROM c2),
+      |s2 AS (
+      |  SELECT m11 - m10 - (m01 - m00) AS did_e4,
+      |    CASE WHEN sv > 0 THEN
+      |      CAST(round(sqrt(CAST(sv AS DOUBLE) / 1000000000.0)
+      |        * 10000.0) AS BIGINT)
+      |      ELSE 0 END AS se_e4
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT did_e4, se_e4,
+      |    CASE WHEN se_e4 > 0 THEN
+      |      CAST(round(CAST(did_e4 AS DOUBLE) / CAST(se_e4 AS DOUBLE)
+      |        * 1000000.0) AS BIGINT)
+      |      ELSE 0 END AS t_e6
+      |  FROM s2)
+      |SELECT tr, post, n, mean_e4, did_e4, se_e4, t_e6
+      |FROM c2 CROSS JOIN s3
+      |ORDER BY tr, post""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q454 — Dunn's post-hoc test after the gated Kruskal–Wallis
+  // (q409, same grouping: n_chars by source): WHICH sources differ,
+  // pairwise, with the tie-corrected rank variance. Mean ranks come
+  // off the same doubled-midrank value-axis reduction (rank sums
+  // exact longs, R̄ᵢ = r2ᵢ/(2nᵢ)); per-pair
+  // z = (R̄ᵢ−R̄ⱼ)/√((N(N+1)/12 − T/(12(N−1)))·(1/nᵢ+1/nⱼ)) is one
+  // IEEE chain on the C(|sources|,2) pair grid — bounded by the
+  // SOURCE UNIVERSE. No p-values (no erf cross-engine): consumers
+  // compare |z| to their corrected critical value, documented here.
+  // ---------------------------------------------------------------------
+  private def q454(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("source"), col("n_chars").as("x"))
+    val pv = d.groupBy("x").agg(count(lit(1)).as("ct"))
+    val wp = axis(col("x")).rowsBetween(Window.unboundedPreceding, -1)
+    val dr = pv
+      .withColumn("cex", coalesce(sum("ct").over(wp), lit(0L)))
+      .select(col("x"),
+        (lit(2L) * col("cex") + col("ct") + 1L).as("drank"), col("ct"))
+      .pin()
+    val grp = d.groupBy("source", "x").agg(count(lit(1)).as("cs"))
+      .join(dr.select("x", "drank"), "x")
+      .groupBy("source")
+      .agg(sum(col("cs") * col("drank")).as("r2"), sum("cs").as("ni"))
+      .pin()
+    val ties = dr.agg(
+      sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tie_d"))
+    val tot = grp.agg(sum("ni").as("n"))
+      .crossJoin(broadcast(ties))
+    val a = grp.select(col("source").as("sa"), col("r2").as("ra"),
+      col("ni").as("na"))
+    val b = grp.select(col("source").as("sb"), col("r2").as("rb"),
+      col("ni").as("nb"))
+    a.crossJoin(broadcast(b)).filter(col("sa") < col("sb"))
+      .crossJoin(broadcast(tot))
+      .select(col("sa"), col("sb"), col("na"), col("nb"),
+        round((col("ra").cast("double")
+          / (lit(2.0) * col("na").cast("double"))
+          - col("rb").cast("double")
+            / (lit(2.0) * col("nb").cast("double")))
+          / sqrt((col("n").cast("double")
+            * (col("n").cast("double") + 1.0) / 12.0
+            - col("tie_d").cast("double")
+              / (lit(12.0) * (col("n").cast("double") - 1.0)))
+            * (lit(1.0) / col("na").cast("double")
+              + lit(1.0) / col("nb").cast("double")))
+          * 1000000.0).cast("long").as("z_e6"))
+      .orderBy("sa", "sb")
+  }
+
+  private val q454Sql =
+    """WITH d AS (SELECT source, n_chars AS x FROM documents),
+      |pv AS (SELECT x, CAST(count(*) AS BIGINT) AS ct
+      |  FROM d GROUP BY x),
+      |dr AS (
+      |  SELECT x,
+      |    2 * coalesce(CAST(sum(ct) OVER (ORDER BY x ROWS BETWEEN
+      |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      + ct + 1 AS drank,
+      |    ct
+      |  FROM pv),
+      |grp AS (
+      |  SELECT source, CAST(sum(cs * drank) AS BIGINT) AS r2,
+      |    CAST(sum(cs) AS BIGINT) AS ni
+      |  FROM (SELECT source, x, CAST(count(*) AS BIGINT) AS cs
+      |        FROM d GROUP BY source, x) g
+      |    JOIN dr USING (x)
+      |  GROUP BY source),
+      |ties AS (SELECT CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tie_d
+      |  FROM dr),
+      |tot AS (SELECT CAST(sum(ni) AS BIGINT) AS n FROM grp)
+      |SELECT a.source AS sa, b.source AS sb, a.ni AS na, b.ni AS nb,
+      |  CAST(round((CAST(a.r2 AS DOUBLE) / (2.0 * CAST(a.ni AS DOUBLE))
+      |      - CAST(b.r2 AS DOUBLE) / (2.0 * CAST(b.ni AS DOUBLE)))
+      |    / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+      |        - CAST(tie_d AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE)
+      |          - 1.0)))
+      |      * (1.0 / CAST(a.ni AS DOUBLE) + 1.0 / CAST(b.ni AS DOUBLE)))
+      |    * 1000000.0) AS BIGINT) AS z_e6
+      |FROM grp a JOIN grp b ON a.source < b.source
+      |  CROSS JOIN ties CROSS JOIN tot
+      |ORDER BY sa, sb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q434_assoc_rules" -> (q434 _),
     "q435_ols_regression" -> (q435 _),
@@ -1817,7 +2148,10 @@ object Mining {
     "q448_krippendorff_alpha" -> (q448 _),
     "q449_regression_diag" -> (q449 _),
     "q450_kendall_tau_b" -> (q450 _),
-    "q451_cronbach_alpha" -> (q451 _))
+    "q451_cronbach_alpha" -> (q451 _),
+    "q452_pr_auc" -> (q452 _),
+    "q453_diff_in_diff" -> (q453 _),
+    "q454_dunn_posthoc" -> (q454 _))
 
   val oracle: Map[String, String] = Map(
     "q434_assoc_rules" -> q434Sql,
@@ -1837,5 +2171,8 @@ object Mining {
     "q448_krippendorff_alpha" -> q448Sql,
     "q449_regression_diag" -> q449Sql,
     "q450_kendall_tau_b" -> q450Sql,
-    "q451_cronbach_alpha" -> q451Sql)
+    "q451_cronbach_alpha" -> q451Sql,
+    "q452_pr_auc" -> q452Sql,
+    "q453_diff_in_diff" -> q453Sql,
+    "q454_dunn_posthoc" -> q454Sql)
 }

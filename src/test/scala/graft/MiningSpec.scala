@@ -633,4 +633,108 @@ class MiningSpec extends AnyFunSuite {
     val got = r.getAs[Long]("alpha_e6").toDouble / 1e6
     assert(math.abs(got - alpha) <= 1e-5, s"alpha $got vs $alpha")
   }
+
+  test("q452 PR-AUC matches the literal block-boundary trapezoid " +
+       "walk and lies in (0, 1]") {
+    val ev = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .select(round(col("value") * 100).cast("long"),
+        (col("event_type") === "purchase").cast("long"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val blocks = ev.groupBy(_._1).toSeq
+      .map { case (v, xs) =>
+        (v, xs.map(_._2).sum, xs.size.toLong) }
+      .sortBy(-_._1)
+    val p = blocks.map(_._2).sum.toDouble
+    var cp = 0L; var ct = 0L
+    var prevP = Option.empty[Double]
+    var area = 0.0
+    blocks.foreach { case (_, pv, tv) =>
+      val dcp = pv
+      cp += pv; ct += tv
+      val prec = cp.toDouble / ct
+      val pPrev = prevP.getOrElse(prec)
+      area += (dcp / p) * ((pPrev + prec) / 2.0)
+      prevP = Some(prec)
+    }
+    val r = q("q452_pr_auc").collect().head
+    assert(r.getAs[Long]("n_pos") == p.toLong)
+    val got = r.getAs[Long]("pr_auc_e6").toDouble / 1e6
+    assert(math.abs(got - area) <= 1e-4, s"PR-AUC $got vs $area")
+    assert(got > 0.0 && got <= 1.0)
+  }
+
+  test("q453 DiD: cell means match a literal user-period grid and " +
+       "the estimate is the cell-mean contrast") {
+    val ev = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts_s")).as("day"),
+        round(col("value") * 100).cast("long"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toLocalDate, r.getLong(3)))
+    val days = ev.map(_._3).distinct.sorted(
+      Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val med = days((days.size + 1) / 2 - 1)
+    val users = ev.map(_._1).distinct
+    val sc = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.size.toLong }
+    val tot = sc.values.sum
+    val nu = sc.size.toLong
+    val treated = sc.collect {
+      case (u, c) if c * nu > tot => u }.toSet
+    assert(treated.nonEmpty && treated.size < users.size,
+      "treatment split must be non-degenerate")
+    val purch = ev.filter(_._2 == "purchase")
+      .groupBy(t => (t._1, t._3.isAfter(med)))
+      .map { case (k, xs) => k -> xs.map(_._4).sum }
+    val rows = q("q453_diff_in_diff").collect()
+    assert(rows.length == 4)
+    val means = rows.map(r => (r.getAs[Long]("tr"),
+      r.getAs[Long]("post")) -> r.getAs[Long]("mean_e4")).toMap
+    Seq((1L, 1L), (1L, 0L), (0L, 1L), (0L, 0L)).foreach {
+      case (tr, po) =>
+        val grp = users.filter(u => treated.contains(u) == (tr == 1L))
+        val ys = grp.map(u => purch.getOrElse((u, po == 1L), 0L))
+        val m = graft.analytics.Exact.roundHalfUp(
+          ys.sum.toDouble / ys.size * 10000.0)
+        assert(means((tr, po)) == m, s"cell ($tr,$po)")
+        assert(rows.find(r => r.getAs[Long]("tr") == tr &&
+          r.getAs[Long]("post") == po).get.getAs[Long]("n")
+          == grp.size.toLong)
+    }
+    val did = means((1L, 1L)) - means((1L, 0L)) -
+      (means((0L, 1L)) - means((0L, 0L)))
+    assert(rows.head.getAs[Long]("did_e4") == did)
+  }
+
+  test("q454 Dunn z-values match the literal midrank recompute and " +
+       "are antisymmetric under group swap") {
+    val xs = graft.core.Tables.load(spark, TestSpark.sf001, "documents")
+      .select(col("source"), col("n_chars"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val n = xs.size.toLong
+    // midranks (as plain doubles — the law, not the bit pattern)
+    val sorted = xs.map(_._2).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, ps) =>
+        v -> ps.map(_._2 + 1).sum.toDouble / ps.size }
+    val tieD = sorted.groupBy(identity).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val byGroup = xs.groupBy(_._1).map { case (s, g) =>
+      s -> (g.map(t => rankOf(t._2)).sum / g.size, g.size.toLong) }
+    val sig2 = n * (n + 1) / 12.0 - tieD / (12.0 * (n - 1))
+    val rows = q("q454_dunn_posthoc").collect()
+    val groups = byGroup.keys.toSeq.sorted
+    assert(rows.length == groups.size * (groups.size - 1) / 2)
+    rows.foreach { r =>
+      val (ma, na) = byGroup(r.getAs[String]("sa"))
+      val (mb, nb) = byGroup(r.getAs[String]("sb"))
+      val z = (ma - mb) / math.sqrt(sig2 * (1.0 / na + 1.0 / nb))
+      val got = r.getAs[Long]("z_e6").toDouble / 1e6
+      assert(math.abs(got - z) <= 1e-4,
+        s"${r.getAs[String]("sa")} vs ${r.getAs[String]("sb")}: " +
+          s"$got vs $z")
+      assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == nb)
+    }
+  }
 }
