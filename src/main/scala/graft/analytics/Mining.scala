@@ -2130,6 +2130,20 @@ object Mining {
       |  CROSS JOIN ties CROSS JOIN tot
       |ORDER BY sa, sb""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q455 — ONLINE Holt linear-trend smoothing (transformWithState):
+  // the q442 walk run as a STREAM — per-day cents MapState, a
+  // boundary timer per open day, closed days drained in day order
+  // through the (level, trend) state with the two-day init stashed
+  // until its second day closes. Faces the SAME DuckDB
+  // recursive-CTE oracle as the batch q442: one recurrence, two
+  // execution models, bit-identical rows (TwsHoltSpec additionally
+  // asserts streaming == batch directly).
+  // ---------------------------------------------------------------------
+  private def q455(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.TwsHolt.replayFromParquet(s, s"$dir/events.parquet")
+      .orderBy(col("d"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q434_assoc_rules" -> (q434 _),
     "q435_ols_regression" -> (q435 _),
@@ -2151,7 +2165,8 @@ object Mining {
     "q451_cronbach_alpha" -> (q451 _),
     "q452_pr_auc" -> (q452 _),
     "q453_diff_in_diff" -> (q453 _),
-    "q454_dunn_posthoc" -> (q454 _))
+    "q454_dunn_posthoc" -> (q454 _),
+    "q455_stream_holt" -> (q455 _))
 
   val oracle: Map[String, String] = Map(
     "q434_assoc_rules" -> q434Sql,
@@ -2174,5 +2189,6 @@ object Mining {
     "q451_cronbach_alpha" -> q451Sql,
     "q452_pr_auc" -> q452Sql,
     "q453_diff_in_diff" -> q453Sql,
-    "q454_dunn_posthoc" -> q454Sql)
+    "q454_dunn_posthoc" -> q454Sql,
+    "q455_stream_holt" -> q442Sql)
 }
