@@ -2144,6 +2144,86 @@ object Mining {
     graft.streaming.TwsHolt.replayFromParquet(s, s"$dir/events.parquet")
       .orderBy(col("d"))
 
+  // ---------------------------------------------------------------------
+  // q456 — skip-gram training-pair extraction (window = 2) + the
+  // unigram^¾ negative-sampling table: the word2vec/embedding
+  // data-prep primitive. Pair generation is the OFFSET-JOIN shape —
+  // tokens equi-join themselves on (doc, pos+δ) for δ ∈ {−2,−1,1,2}
+  // — which is LINEAR in corpus tokens (4×), never the per-doc
+  // len² band join. The negative-sampling weight c^0.75 is computed
+  // as sqrt(c)·sqrt(sqrt(c)) — two CORRECTLY-ROUNDED sqrts and one
+  // multiply, identical on both engines, where pow(c, 0.75) would
+  // be implementation-defined in the last ulp — e9-rounded per word
+  // (exact integer normalization). Top-50 pairs by (count, target,
+  // context) via TakeOrdered — no global window.
+  // ---------------------------------------------------------------------
+  private def q456(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.Text.words(col("text")))
+          .as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("w"))
+      .pin()
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("cu"))
+      .select(col("w"), col("cu"),
+        round(sqrt(col("cu").cast("double"))
+          * sqrt(sqrt(col("cu").cast("double")))
+          * 1000000000.0).cast("long").as("u_e9"))
+      .pin()
+    val utot = uni.agg(sum("u_e9").as("ut"))
+    val deltas = Seq(-2L, -1L, 1L, 2L).toDF("delta")
+    val pairs = tok.crossJoin(broadcast(deltas))
+      .select(col("doc_id"), (col("pos") + col("delta")).as("cpos"),
+        col("w").as("target"))
+      .join(tok.select(col("doc_id"), col("pos").as("cpos"),
+        col("w").as("context")), Seq("doc_id", "cpos"))
+      .groupBy("target", "context")
+      .agg(count(lit(1)).as("n_pair"))
+    pairs
+      .join(broadcast(uni.select(col("w").as("context"),
+        col("u_e9"))), "context")
+      .crossJoin(broadcast(utot))
+      .select(col("target"), col("context"), col("n_pair"),
+        round(col("u_e9").cast("double") / col("ut").cast("double")
+          * 1000000000.0).cast("long").as("ctx_neg_e9"))
+      .orderBy(col("n_pair").desc, col("target"), col("context"))
+      .limit(50)
+  }
+
+  private val q456Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, w FROM (
+      |    SELECT doc_id,
+      |      unnest(range(len(list_filter(string_split(text, ' '),
+      |        x -> length(x) > 0)))) AS pos,
+      |      unnest(list_filter(string_split(text, ' '),
+      |        x -> length(x) > 0)) AS w
+      |    FROM documents) t),
+      |uni AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cu,
+      |    CAST(round(sqrt(CAST(count(*) AS DOUBLE))
+      |      * sqrt(sqrt(CAST(count(*) AS DOUBLE)))
+      |      * 1000000000.0) AS BIGINT) AS u_e9
+      |  FROM tok GROUP BY w),
+      |utot AS (SELECT CAST(sum(u_e9) AS BIGINT) AS ut FROM uni),
+      |pairs AS (
+      |  SELECT a.w AS target, b.w AS context,
+      |    CAST(count(*) AS BIGINT) AS n_pair
+      |  FROM tok a
+      |    CROSS JOIN (VALUES (-2), (-1), (1), (2)) d(delta)
+      |    JOIN tok b ON a.doc_id = b.doc_id
+      |      AND b.pos = a.pos + delta
+      |  GROUP BY 1, 2)
+      |SELECT target, context, n_pair,
+      |  CAST(round(CAST(u_e9 AS DOUBLE) / CAST(ut AS DOUBLE)
+      |    * 1000000000.0) AS BIGINT) AS ctx_neg_e9
+      |FROM pairs JOIN uni ON pairs.context = uni.w
+      |  CROSS JOIN utot
+      |ORDER BY n_pair DESC, target, context
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q434_assoc_rules" -> (q434 _),
     "q435_ols_regression" -> (q435 _),
@@ -2166,7 +2246,8 @@ object Mining {
     "q452_pr_auc" -> (q452 _),
     "q453_diff_in_diff" -> (q453 _),
     "q454_dunn_posthoc" -> (q454 _),
-    "q455_stream_holt" -> (q455 _))
+    "q455_stream_holt" -> (q455 _),
+    "q456_skipgram_pairs" -> (q456 _))
 
   val oracle: Map[String, String] = Map(
     "q434_assoc_rules" -> q434Sql,
@@ -2190,5 +2271,6 @@ object Mining {
     "q452_pr_auc" -> q452Sql,
     "q453_diff_in_diff" -> q453Sql,
     "q454_dunn_posthoc" -> q454Sql,
-    "q455_stream_holt" -> q442Sql)
+    "q455_stream_holt" -> q442Sql,
+    "q456_skipgram_pairs" -> q456Sql)
 }

@@ -737,4 +737,49 @@ class MiningSpec extends AnyFunSuite {
       assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == nb)
     }
   }
+
+  test("q456 skip-gram pairs match a literal sliding-window walk " +
+       "over every document, and the negative-sampling weights are " +
+       "the exact sqrt-composed unigram^0.75 shares") {
+    val docs = graft.core.Tables.load(spark, TestSpark.sf001,
+        "documents")
+      .select(col("text")).collect().toSeq
+      .map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+    val pairCnt = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { ws =>
+      for (i <- ws.indices; d <- Seq(-2, -1, 1, 2)) {
+        val j = i + d
+        if (j >= 0 && j < ws.size) {
+          val k = (ws(i), ws(j))
+          pairCnt(k) = pairCnt.getOrElse(k, 0L) + 1L
+        }
+      }
+    }
+    val uni = docs.flatten.groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val uE9 = uni.map { case (w, c) =>
+      w -> graft.analytics.Exact.roundHalfUp(
+        math.sqrt(c.toDouble) * math.sqrt(math.sqrt(c.toDouble)) * 1e9)
+    }
+    val ut = uE9.values.sum
+    val top = pairCnt.toSeq
+      .sortBy { case ((t, c), n) => (-n, t, c) }.take(50)
+    val rows = q("q456_skipgram_pairs").collect()
+    assert(rows.length == top.size)
+    rows.zip(top).foreach { case (r, ((t, c), n)) =>
+      assert(r.getAs[String]("target") == t &&
+        r.getAs[String]("context") == c &&
+        r.getAs[Long]("n_pair") == n,
+        s"row mismatch: got (${r.getAs[String]("target")}, " +
+          s"${r.getAs[String]("context")}, " +
+          s"${r.getAs[Long]("n_pair")}) want ($t, $c, $n)")
+      val want = graft.analytics.Exact.roundHalfUp(
+        uE9(c).toDouble / ut.toDouble * 1e9)
+      assert(r.getAs[Long]("ctx_neg_e9") == want, s"neg weight of $c")
+    }
+    // symmetry law of the window: count(a,b) == count(b,a)
+    pairCnt.foreach { case ((a, b), n) =>
+      assert(pairCnt((b, a)) == n, s"window symmetry ($a,$b)")
+    }
+  }
 }
