@@ -2224,6 +2224,96 @@ object Mining {
       |ORDER BY n_pair DESC, target, context
       |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q457 — BPE merge learning (5 iterations): the tokenizer-training
+  // primitive — learn the most frequent adjacent symbol pair over
+  // the corpus, merge it everywhere, repeat. Classic BPE trains on
+  // the WORD-FREQUENCY grain (distinct words × counts — bounded by
+  // the vocabulary, not the corpus; one corpus scan builds it), so
+  // each iteration is a vocab-sized pair count + a 1-row argmax +
+  // one rewrite. The symbolization is a MARKER STRING ("␟a ␟b ␟c",
+  // marker = chr(31)): every symbol starts with the marker, so the
+  // merge pattern "␟x ␟y" can never match mid-symbol, and plain
+  // replace() — left-to-right, non-overlapping on BOTH engines — IS
+  // the greedy BPE merge semantics. Argmax tiebreak (count desc,
+  // pair); oracle = generated unrolled CTEs (the q431/q444
+  // discipline). HOF-free: pair extraction indexes split arrays.
+  // ---------------------------------------------------------------------
+  private val bpeIters = 5
+  private val bpeMk = ""
+
+  private def q457(s: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.load(s, dir, "documents")
+      .select(explode(graft.functions.Text.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      // "abc" -> "MKa MKb MKc": insert " MK" before chars 2..len
+      // only ((?!^)(?=.) excludes the end-of-string position), then
+      // prefix the first marker
+      .select(col("n"), concat(lit(bpeMk),
+        regexp_replace(col("w"), "(?!^)(?=.)", " " + bpeMk)).as("s"))
+      .pin()
+    var cur = wf
+    val bests = (1 to bpeIters).map { k =>
+      val pairs = cur
+        .select(col("n"), split(col("s"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("n"), col("a"),
+          explode(sequence(lit(1), size(col("a")) - 1)).as("i"))
+        .select(col("n"), element_at(col("a"), col("i")).as("pa"),
+          element_at(col("a"), col("i") + 1).as("pb"))
+        .groupBy("pa", "pb").agg(sum("n").as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
+        .pin()
+      cur = cur.crossJoin(broadcast(best))
+        .select(col("n"),
+          expr("replace(s, pa || ' ' || pb, pa || substring(pb, 2))")
+            .as("s"))
+      best.select(lit(k.toLong).as("step"),
+        expr("substring(pa, 2)").as("left_sym"),
+        expr("substring(pb, 2)").as("right_sym"), col("cnt"))
+    }
+    bests.reduce(_ unionByName _).orderBy("step")
+  }
+
+  private val q457Sql = {
+    val itInit =
+      """wf AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |    x -> length(x) > 0)) AS w FROM documents) t
+        |  GROUP BY w),
+        |it0 AS (
+        |  SELECT n,
+        |    array_to_string(list_transform(range(1, length(w) + 1),
+        |      i -> chr(31) || substr(w, i::INT, 1)), ' ') AS s
+        |  FROM wf)""".stripMargin
+    val steps = (1 to bpeIters).map { k =>
+      s"""p$k AS (
+         |  SELECT a[i] AS pa, a[i + 1] AS pb,
+         |    CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, string_split(s, ' ') AS a
+         |        FROM it${k - 1} WHERE length(s) > 0) t,
+         |    unnest(generate_series(1, len(a) - 1)) u(i)
+         |  WHERE len(a) >= 2
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT pa, pb, cnt FROM p$k
+         |  ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |it$k AS (
+         |  SELECT n, replace(s, pa || ' ' || pb,
+         |    pa || substr(pb, 2)) AS s
+         |  FROM it${k - 1} CROSS JOIN b$k)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to bpeIters).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, substr(pa, 2) AS left_sym,
+         |  substr(pb, 2) AS right_sym, cnt FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $itInit,
+       |$steps
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q434_assoc_rules" -> (q434 _),
     "q435_ols_regression" -> (q435 _),
@@ -2247,7 +2337,8 @@ object Mining {
     "q453_diff_in_diff" -> (q453 _),
     "q454_dunn_posthoc" -> (q454 _),
     "q455_stream_holt" -> (q455 _),
-    "q456_skipgram_pairs" -> (q456 _))
+    "q456_skipgram_pairs" -> (q456 _),
+    "q457_bpe_merges" -> (q457 _))
 
   val oracle: Map[String, String] = Map(
     "q434_assoc_rules" -> q434Sql,
@@ -2272,5 +2363,6 @@ object Mining {
     "q453_diff_in_diff" -> q453Sql,
     "q454_dunn_posthoc" -> q454Sql,
     "q455_stream_holt" -> q442Sql,
-    "q456_skipgram_pairs" -> q456Sql)
+    "q456_skipgram_pairs" -> q456Sql,
+    "q457_bpe_merges" -> q457Sql)
 }

@@ -782,4 +782,52 @@ class MiningSpec extends AnyFunSuite {
       assert(pairCnt((b, a)) == n, s"window symmetry ($a,$b)")
     }
   }
+
+  test("q457 BPE merges match a literal symbol-list implementation " +
+       "(greedy left-to-right, word-frequency weighted)") {
+    val wf = graft.core.Tables.load(spark, TestSpark.sf001, "documents")
+      .select(col("text")).collect().toSeq
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    var vocab: Map[Vector[String], Long] =
+      wf.map { case (w, n) => w.map(_.toString).toVector -> n }.toMap
+    def mergeWord(syms: Vector[String], a: String, b: String)
+        : Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.size) {
+        if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val learned = (1 to 5).map { _ =>
+      val cnt = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) =>
+            cnt((a, b)) = cnt.getOrElse((a, b), 0L) + n
+          case _ => ()
+        }
+      }
+      val ((ba, bb), bc) = cnt.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      vocab = vocab.toSeq
+        .map { case (s, n) => mergeWord(s, ba, bb) -> n }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      (ba, bb, bc)
+    }
+    val rows = q("q457_bpe_merges").collect().sortBy(_.getAs[Long]("step"))
+    assert(rows.length == 5)
+    rows.zip(learned).foreach { case (r, (a, b, c)) =>
+      assert(r.getAs[String]("left_sym") == a &&
+        r.getAs[String]("right_sym") == b &&
+        r.getAs[Long]("cnt") == c,
+        s"step ${r.getAs[Long]("step")}: engine " +
+          s"(${r.getAs[String]("left_sym")}, " +
+          s"${r.getAs[String]("right_sym")}, ${r.getAs[Long]("cnt")}) " +
+          s"vs literal ($a, $b, $c)")
+    }
+  }
 }
