@@ -986,7 +986,11 @@ object Mining {
           * 1000000000.0).cast("long").as("rt"),
         round(col("c_lang").cast("double") / col("c_tot").cast("double")
           * 1000000000.0).cast("long").as("ct"))
-    var cur = base.withColumn("w", col("w0"))
+    // each sweep pins its (≤ source×lang universe)-row result: the
+    // row/column margin of sweep k is otherwise recomputed from the
+    // whole chained lineage at every later sweep (measured 4.3 s at
+    // sf0.1 for a 100-cell grid — pure plan recompute, not data)
+    var cur = base.withColumn("w", col("w0")).pin()
     for (_ <- 1 to ipfIters) {
       val rsum = cur.groupBy("source").agg(sum("w").as("rsum"))
       cur = cur.join(broadcast(rsum), "source")
@@ -1004,6 +1008,7 @@ object Mining {
               / col("csum").cast("double")).cast("long"))
             .otherwise(col("w")))
         .drop("csum")
+        .pin()
     }
     cur.select(col("source"), col("lang"), col("n_docs"),
         col("w0").as("w0_e9"), col("rt").as("rt_e9"),
@@ -2314,6 +2319,287 @@ object Mining {
        |ORDER BY step""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q458 — Wilcoxon signed-rank test on the paired click-vs-view
+  // DAILY MEAN series: the PAIRED complement of the gated
+  // Mann–Whitney U (q260 family) — same days, two metrics, does one
+  // systematically exceed the other. Day means e4 (the q416
+  // construction); zero differences drop (standard); |d| midranks
+  // come DOUBLED off the |d| value axis (2·below + ct + 1, ties
+  // exact), so W2± = Σ drank over positive/negative days are exact
+  // longs with W2+ + W2− = n(n+1) (spec law). The normal
+  // approximation z carries the tie-corrected variance in ONE chain.
+  // Day grain throughout.
+  // ---------------------------------------------------------------------
+  private def q458(s: SparkSession, dir: String): DataFrame = {
+    val day = Tables.eventsSec(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), to_date(col("ts_s")).as("day"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy("event_type", "day")
+      .agg(round(lit(10000.0) * sum("v").cast("double")
+        / count(lit(1)).cast("double")).cast("long").as("x_e4"))
+    val paired = day.filter(col("event_type") === "click")
+      .select(col("day"), col("x_e4").as("xa"))
+      .join(day.filter(col("event_type") === "view")
+        .select(col("day"), col("x_e4").as("xb")), "day")
+      .select(col("day"), (col("xa") - col("xb")).as("d"))
+      .filter(col("d") =!= 0L)
+      .select(col("day"), col("d"), abs(col("d")).as("ad"))
+      .pin()
+    val av = paired.groupBy("ad").agg(count(lit(1)).as("ct"))
+    val wp = axis(col("ad")).rowsBetween(Window.unboundedPreceding, -1)
+    val dr = av
+      .withColumn("cex", coalesce(sum("ct").over(wp), lit(0L)))
+      .select(col("ad"),
+        (lit(2L) * col("cex") + col("ct") + 1L).as("drank"), col("ct"))
+    val st = paired.join(broadcast(dr.select("ad", "drank")), "ad")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > 0L, col("drank")).otherwise(0L))
+          .as("w2_plus"),
+        sum(when(col("d") < 0L, col("drank")).otherwise(0L))
+          .as("w2_minus"))
+    val ties = dr.agg(
+      sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tie_d"))
+    st.crossJoin(broadcast(ties))
+      .select(col("n"), col("w2_plus"), col("w2_minus"), col("tie_d"),
+        when(col("n") >= 2L,
+          round((col("w2_plus").cast("double") / 2.0
+            - col("n").cast("double") * (col("n").cast("double") + 1.0)
+              / 4.0)
+            / sqrt(col("n").cast("double")
+              * (col("n").cast("double") + 1.0)
+              * (lit(2.0) * col("n").cast("double") + 1.0) / 24.0
+              - col("tie_d").cast("double") / 48.0)
+            * 1000000.0).cast("long")).otherwise(0L).as("z_e6"))
+      .orderBy("n")
+  }
+
+  private val q458Sql =
+    """WITH day AS (
+      |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE)
+      |      AS day,
+      |    CAST(round(10000.0 * CAST(sum(CAST(round(value * 100)
+      |      AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |      AS BIGINT) AS x_e4
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY 1, 2),
+      |paired AS (
+      |  SELECT a.day, a.x_e4 - b.x_e4 AS d,
+      |    abs(a.x_e4 - b.x_e4) AS ad
+      |  FROM day a JOIN day b ON a.day = b.day
+      |  WHERE a.event_type = 'click' AND b.event_type = 'view'
+      |    AND a.x_e4 <> b.x_e4),
+      |av AS (SELECT ad, CAST(count(*) AS BIGINT) AS ct
+      |  FROM paired GROUP BY ad),
+      |dr AS (
+      |  SELECT ad,
+      |    2 * coalesce(CAST(sum(ct) OVER (ORDER BY ad ROWS BETWEEN
+      |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      + ct + 1 AS drank,
+      |    ct
+      |  FROM av),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN d > 0 THEN drank ELSE 0 END) AS BIGINT)
+      |      AS w2_plus,
+      |    CAST(sum(CASE WHEN d < 0 THEN drank ELSE 0 END) AS BIGINT)
+      |      AS w2_minus
+      |  FROM paired JOIN dr USING (ad)),
+      |ties AS (SELECT CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tie_d
+      |  FROM dr)
+      |SELECT n, w2_plus, w2_minus, tie_d,
+      |  CASE WHEN n >= 2 THEN
+      |    CAST(round((CAST(w2_plus AS DOUBLE) / 2.0
+      |      - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+      |      / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+      |        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+      |        - CAST(tie_d AS DOUBLE) / 48.0)
+      |      * 1000000.0) AS BIGINT)
+      |    ELSE 0 END AS z_e6
+      |FROM st CROSS JOIN ties
+      |ORDER BY n""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q459 — Siegel repeated-medians slope on the daily revenue
+  // series: the 50%-breakdown robust regression (Theil–Sen's q436
+  // breaks down at ~29%) — per day i, the median slope to every
+  // other day; then the median of those per-day medians. The inner
+  // medians run over Windows PARTITIONED by the anchor day (n−1
+  // rows each); only the ≤1000-row outer median touches the
+  // allowlisted axis. Slopes use the exact q436 rounding chain;
+  // both medians are exact lower order statistics.
+  // ---------------------------------------------------------------------
+  private def q459(s: SparkSession, dir: String): DataFrame = {
+    val day = dayRev(s, dir)
+    val cnt = day.agg(count(lit(1)).as("n_days"))
+    val a = day.select(col("d").as("da"), col("y").as("ya"))
+    val b = day.select(col("d").as("db"), col("y").as("yb"))
+    val pairs = a.crossJoin(broadcast(b)).crossJoin(broadcast(cnt))
+      .filter(col("da") =!= col("db"))
+      .withColumn("slope_e6",
+        when(col("n_days") <= 1000L,
+          round((col("yb") - col("ya")).cast("double") * 1000000.0
+            / (col("db") - col("da")).cast("double")).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("siegelSlopes: day grain exceeded 1000 ("),
+            col("n_days").cast("string"),
+            lit(") — aggregate to a coarser grain or raise the bound " +
+              "explicitly.")))))
+    val wi = Window.partitionBy(col("da"))
+      .orderBy(col("slope_e6"), col("db"))
+    val inner = pairs
+      .withColumn("rn", row_number().over(wi).cast("long"))
+      .filter(col("rn") === expr("n_days div 2"))
+      .select(col("da"), col("slope_e6").as("med_i"), col("n_days"))
+    inner
+      .withColumn("rn2", row_number()
+        .over(axis(col("med_i"), col("da"))).cast("long"))
+      .groupBy("n_days")
+      .agg(min(when(col("rn2") === expr("(n_days + 1) div 2"),
+        col("med_i"))).as("siegel_slope_e6"))
+      .orderBy("n_days")
+  }
+
+  private val q459Sql =
+    s"""WITH day AS (
+       |  $dayRevSql),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM day),
+       |pairs AS (
+       |  SELECT a.d AS da, b.d AS db,
+       |    CAST(round(CAST(b.y - a.y AS DOUBLE) * 1000000.0
+       |      / CAST(b.d - a.d AS DOUBLE)) AS BIGINT) AS slope_e6
+       |  FROM day a JOIN day b ON a.d <> b.d),
+       |inner_med AS (
+       |  SELECT da, slope_e6 AS med_i, n_days FROM (
+       |    SELECT da, slope_e6, n_days,
+       |      CAST(row_number() OVER (PARTITION BY da
+       |        ORDER BY slope_e6, db) AS BIGINT) AS rn
+       |    FROM pairs CROSS JOIN cnt) t
+       |  WHERE rn = n_days // 2)
+       |SELECT n_days,
+       |  min(CASE WHEN rn2 = (n_days + 1) // 2 THEN med_i END)
+       |    AS siegel_slope_e6
+       |FROM (
+       |  SELECT n_days, med_i,
+       |    CAST(row_number() OVER (ORDER BY med_i, da) AS BIGINT)
+       |      AS rn2
+       |  FROM inner_med) t
+       |GROUP BY n_days ORDER BY n_days""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q460 — partial correlation r(click, purchase | view): does the
+  // click–purchase association survive controlling for overall
+  // browsing volume, or is it all common traffic — the
+  // confounder-adjusted complement of q440's raw profile. Three
+  // daily series from ONE events scan (conditional aggregation to
+  // the pinned day grain); all three pairwise Pearson r's from the
+  // q435 exact sufficient statistics; the textbook
+  // (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) is one staged chain
+  // written identically on both engines.
+  // ---------------------------------------------------------------------
+  private def q460(s: SparkSession, dir: String): DataFrame = {
+    val day = Tables.eventsSec(s, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(
+        sum((col("event_type") === "click").cast("long")).as("x"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("y"),
+        sum((col("event_type") === "view").cast("long")).as("z"))
+      .pin()
+    val st = day.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"),
+      sum(col("x").cast(dec) * col("z")).as("sxz"),
+      sum(col("y").cast(dec) * col("z")).as("syz"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("y").cast(dec) * col("y")).as("syy"),
+      sum(col("z").cast(dec) * col("z")).as("szz"))
+    def num(sab: String, sa: String, sb: String) =
+      (col("n").cast(dec) * col(sab)
+        - col(sa).cast(dec) * col(sb)).cast("double")
+    def den(saa: String, sa: String) =
+      (col("n").cast(dec) * col(saa)
+        - col(sa).cast(dec) * col(sa)).cast("double")
+    val d2 = st.select(col("n"),
+      (num("sxy", "sx", "sy")
+        / sqrt(den("sxx", "sx") * den("syy", "sy"))).as("rxy"),
+      (num("sxz", "sx", "sz")
+        / sqrt(den("sxx", "sx") * den("szz", "sz"))).as("rxz"),
+      (num("syz", "sy", "sz")
+        / sqrt(den("syy", "sy") * den("szz", "sz"))).as("ryz"))
+    d2.select(col("n").as("n_days"),
+        round(col("rxy") * 1000000.0).cast("long").as("rxy_e6"),
+        round(col("rxz") * 1000000.0).cast("long").as("rxz_e6"),
+        round(col("ryz") * 1000000.0).cast("long").as("ryz_e6"),
+        when((lit(1.0) - col("rxz") * col("rxz")) > 0.0
+          && (lit(1.0) - col("ryz") * col("ryz")) > 0.0,
+          round((col("rxy") - col("rxz") * col("ryz"))
+            / sqrt((lit(1.0) - col("rxz") * col("rxz"))
+              * (lit(1.0) - col("ryz") * col("ryz")))
+            * 1000000.0).cast("long")).otherwise(0L)
+          .as("partial_e6"))
+      .orderBy("n_days")
+  }
+
+  private val q460Sql =
+    """WITH day AS (
+      |  SELECT CAST(date_trunc('second', ts) AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN
+      |      CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS y,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS z
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view', 'purchase')
+      |  GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(z) AS BIGINT) AS sz,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+      |    sum(CAST(y AS HUGEINT) * z) AS syz,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(z AS HUGEINT) * z) AS szz
+      |  FROM day),
+      |d2 AS (
+      |  SELECT n,
+      |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+      |        AS DOUBLE)
+      |      / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+      |          - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+      |        * CAST(CAST(n AS HUGEINT) * syy
+      |          - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS rxy,
+      |    CAST(CAST(n AS HUGEINT) * sxz - CAST(sx AS HUGEINT) * sz
+      |        AS DOUBLE)
+      |      / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+      |          - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+      |        * CAST(CAST(n AS HUGEINT) * szz
+      |          - CAST(sz AS HUGEINT) * sz AS DOUBLE)) AS rxz,
+      |    CAST(CAST(n AS HUGEINT) * syz - CAST(sy AS HUGEINT) * sz
+      |        AS DOUBLE)
+      |      / sqrt(CAST(CAST(n AS HUGEINT) * syy
+      |          - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+      |        * CAST(CAST(n AS HUGEINT) * szz
+      |          - CAST(sz AS HUGEINT) * sz AS DOUBLE)) AS ryz
+      |  FROM st)
+      |SELECT n AS n_days,
+      |  CAST(round(rxy * 1000000.0) AS BIGINT) AS rxy_e6,
+      |  CAST(round(rxz * 1000000.0) AS BIGINT) AS rxz_e6,
+      |  CAST(round(ryz * 1000000.0) AS BIGINT) AS ryz_e6,
+      |  CASE WHEN (1.0 - rxz * rxz) > 0.0 AND (1.0 - ryz * ryz) > 0.0
+      |    THEN CAST(round((rxy - rxz * ryz)
+      |      / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+      |      * 1000000.0) AS BIGINT)
+      |    ELSE 0 END AS partial_e6
+      |FROM d2 ORDER BY n_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q434_assoc_rules" -> (q434 _),
     "q435_ols_regression" -> (q435 _),
@@ -2338,7 +2624,10 @@ object Mining {
     "q454_dunn_posthoc" -> (q454 _),
     "q455_stream_holt" -> (q455 _),
     "q456_skipgram_pairs" -> (q456 _),
-    "q457_bpe_merges" -> (q457 _))
+    "q457_bpe_merges" -> (q457 _),
+    "q458_wilcoxon_signed_rank" -> (q458 _),
+    "q459_siegel_slopes" -> (q459 _),
+    "q460_partial_correlation" -> (q460 _))
 
   val oracle: Map[String, String] = Map(
     "q434_assoc_rules" -> q434Sql,
@@ -2364,5 +2653,8 @@ object Mining {
     "q454_dunn_posthoc" -> q454Sql,
     "q455_stream_holt" -> q442Sql,
     "q456_skipgram_pairs" -> q456Sql,
-    "q457_bpe_merges" -> q457Sql)
+    "q457_bpe_merges" -> q457Sql,
+    "q458_wilcoxon_signed_rank" -> q458Sql,
+    "q459_siegel_slopes" -> q459Sql,
+    "q460_partial_correlation" -> q460Sql)
 }

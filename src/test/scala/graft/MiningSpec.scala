@@ -830,4 +830,87 @@ class MiningSpec extends AnyFunSuite {
           s"vs literal ($a, $b, $c)")
     }
   }
+
+  // paired click/view day means (e4) at sf0.001
+  private lazy val pairedMeans: Seq[(Long, Long)] = {
+    val day = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), to_date(col("ts_s")).as("day"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy("event_type", "day")
+      .agg(round(lit(10000.0) * sum("v").cast("double")
+        / count(lit(1)).cast("double")).cast("long").as("m"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val clicks = day.filter(_._1 == "click").map(t => t._2 -> t._3).toMap
+    val views = day.filter(_._1 == "view").map(t => t._2 -> t._3).toMap
+    clicks.keySet.intersect(views.keySet).toSeq.sorted
+      .map(d => (clicks(d), views(d)))
+  }
+
+  test("q458 Wilcoxon signed-rank: W2+ + W2- telescopes to " +
+       "2*(1+..+n) and W matches the literal midrank recompute") {
+    val ds = pairedMeans.map { case (a, b) => a - b }.filter(_ != 0L)
+    val ranks = ds.map(math.abs).sorted.zipWithIndex
+      .groupBy(_._1).map { case (v, ps) =>
+        v -> ps.map(_._2 + 1).sum.toDouble / ps.size }
+    val wPlus = ds.filter(_ > 0).map(d => ranks(math.abs(d))).sum
+    val r = q("q458_wilcoxon_signed_rank").collect().head
+    val n = r.getAs[Long]("n")
+    assert(n == ds.size.toLong)
+    assert(r.getAs[Long]("w2_plus") + r.getAs[Long]("w2_minus")
+      == n * (n + 1), "rank-sum telescope")
+    assert(math.abs(r.getAs[Long]("w2_plus").toDouble / 2.0 - wPlus)
+      < 1e-9, "W+ vs literal midranks")
+  }
+
+  test("q459 Siegel slope matches the literal repeated-medians " +
+       "double loop") {
+    def lowerMedian(xs: Seq[Long]): Long =
+      xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val inner = revDays.map { case (da, ya) =>
+      lowerMedian(revDays.filter(_._1 != da).map { case (db, yb) =>
+        math.rint((yb - ya).toDouble * 1e6 / (db - da).toDouble).toLong
+      })
+    }
+    val want = lowerMedian(inner)
+    val r = q("q459_siegel_slopes").collect().head
+    assert(r.getAs[Long]("n_days") == revDays.size.toLong)
+    assert(r.getAs[Long]("siegel_slope_e6") == want,
+      s"${r.getAs[Long]("siegel_slope_e6")} vs $want")
+  }
+
+  test("q460 partial correlation matches the textbook recompute " +
+       "from the three literal daily series") {
+    val rows = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("event_type"), to_date(col("ts_s")).as("day"),
+        round(col("value") * 100).cast("long"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byDay = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, xs) =>
+      (xs.count(_._1 == "click").toDouble,
+        xs.filter(_._1 == "purchase").map(_._3).sum.toDouble,
+        xs.count(_._1 == "view").toDouble)
+    }
+    def pearson(f: ((Double, Double, Double)) => Double,
+                g: ((Double, Double, Double)) => Double): Double = {
+      val n = byDay.size.toDouble
+      val mx = byDay.map(f).sum / n; val my = byDay.map(g).sum / n
+      byDay.map(t => (f(t) - mx) * (g(t) - my)).sum /
+        math.sqrt(byDay.map(t => (f(t) - mx) * (f(t) - mx)).sum *
+          byDay.map(t => (g(t) - my) * (g(t) - my)).sum)
+    }
+    val rxy = pearson(_._1, _._2)
+    val rxz = pearson(_._1, _._3)
+    val ryz = pearson(_._2, _._3)
+    val part = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    val r = q("q460_partial_correlation").collect().head
+    assert(r.getAs[Long]("n_days") == byDay.size.toLong)
+    assert(math.abs(r.getAs[Long]("rxy_e6").toDouble / 1e6 - rxy)
+      <= 1e-4)
+    assert(math.abs(r.getAs[Long]("partial_e6").toDouble / 1e6 - part)
+      <= 1e-4, s"partial ${r.getAs[Long]("partial_e6")} vs $part")
+  }
 }
