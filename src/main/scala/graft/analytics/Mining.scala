@@ -2600,6 +2600,266 @@ object Mining {
       |    ELSE 0 END AS partial_e6
       |FROM d2 ORDER BY n_days""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q461 — Jarque–Bera normality test of the daily revenue series:
+  // the moment-based screen (skewness² + excess-kurtosis²/4, scaled
+  // by n/6) every parametric assumption upstream (q415 Cohen's d,
+  // q449's diagnostics) quietly makes. Days standardize to an e6
+  // LATTICE (one IEEE chain per row: (y·n − S)/(n·σ), population σ),
+  // so the third/fourth moment sums are EXACT decimals of lattice
+  // values (z⁴ ≤ ~10²⁷ per row — no overflow at any revenue scale
+  // because z is standardized); skew/kurtosis read out with
+  // x^1.5 = x·sqrt(x) (correctly-rounded composition, the q456
+  // argument). Day grain, one pinned scan.
+  // ---------------------------------------------------------------------
+  private def q461(s: SparkSession, dir: String): DataFrame = {
+    val day = dayRev(s, dir)
+    val st = day.agg(count(lit(1)).as("n"), sum("y").as("sy"),
+      sum(col("y").cast(dec) * col("y")).as("syy"))
+    val qv = (col("n").cast(dec) * col("syy")
+      - col("sy").cast(dec) * col("sy")).cast("double")
+    val sd = sqrt(qv) / col("n").cast("double")
+    val z = day.crossJoin(broadcast(
+        st.select(col("n"), col("sy"), sd.as("nsd"))))
+      .select(col("n"),
+        round((col("y").cast("double") * col("n").cast("double")
+          - col("sy").cast("double"))
+          / (col("n").cast("double") * col("nsd")) * 1000000.0)
+          .cast("long").as("z_e6"))
+    val ms = z.groupBy("n").agg(
+      sum(col("z_e6").cast(dec) * col("z_e6")).as("s2"),
+      sum(col("z_e6").cast(dec) * col("z_e6") * col("z_e6")).as("s3"),
+      sum(col("z_e6").cast(dec) * col("z_e6") * col("z_e6")
+        * col("z_e6")).as("s4"))
+    // staged like the oracle (the q443 lesson: never reuse one
+    // compound Column object across output columns)
+    val d2 = ms.select(col("n"), col("s2"),
+      (col("s2").cast("double") / col("n").cast("double")).as("m2"),
+      (col("s3").cast("double") / col("n").cast("double")).as("m3"),
+      (col("s4").cast("double") / col("n").cast("double")).as("m4"))
+    val d3 = d2.select(col("n"), col("s2"),
+      (col("m3") / (col("m2") * sqrt(col("m2")))).as("skew"),
+      (col("m4") / (col("m2") * col("m2")) - 3.0).as("kurt"))
+    d3.select(col("n").as("n_days"),
+        round(col("skew") * 1000000.0).cast("long").as("skew_e6"),
+        round(col("kurt") * 1000000.0).cast("long").as("kurt_e6"),
+        when(col("s2") > 0L,
+          round(col("n").cast("double") / 6.0
+            * (col("skew") * col("skew")
+              + col("kurt") * col("kurt") / 4.0) * 1000000.0)
+            .cast("long")).otherwise(0L).as("jb_e6"))
+      .orderBy("n_days")
+  }
+
+  private val q461Sql =
+    s"""WITH day AS (
+       |  $dayRevSql),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(y) AS BIGINT) AS sy,
+       |  sum(CAST(y AS HUGEINT) * y) AS syy FROM day),
+       |sd AS (SELECT n, sy,
+       |  sqrt(CAST(CAST(n AS HUGEINT) * syy
+       |    - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+       |    / CAST(n AS DOUBLE) AS nsd
+       |  FROM st),
+       |z AS (
+       |  SELECT n,
+       |    CAST(round((CAST(y AS DOUBLE) * CAST(n AS DOUBLE)
+       |      - CAST(sy AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * nsd) * 1000000.0) AS BIGINT)
+       |      AS z_e6
+       |  FROM day CROSS JOIN sd),
+       |ms AS (
+       |  SELECT n,
+       |    sum(CAST(z_e6 AS HUGEINT) * z_e6) AS s2,
+       |    sum(CAST(z_e6 AS HUGEINT) * z_e6 * z_e6) AS s3,
+       |    sum(CAST(z_e6 AS HUGEINT) * z_e6 * z_e6 * z_e6) AS s4
+       |  FROM z GROUP BY n)
+       |SELECT n AS n_days,
+       |  CAST(round(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+       |    / (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |      * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+       |    * 1000000.0) AS BIGINT) AS skew_e6,
+       |  CAST(round((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+       |    / (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0)
+       |    * 1000000.0) AS BIGINT) AS kurt_e6,
+       |  CASE WHEN s2 > 0 THEN
+       |    CAST(round(CAST(n AS DOUBLE) / 6.0
+       |      * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+       |          / (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |            * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+       |        * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+       |          / (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |            * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))))
+       |        + (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+       |            / (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |              * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+       |            - 3.0)
+       |          * (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+       |            / (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |              * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+       |            - 3.0) / 4.0)
+       |      * 1000000.0) AS BIGINT)
+       |    ELSE 0 END AS jb_e6
+       |FROM ms ORDER BY n_days""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q462 — Granger causality, both directions, lag 1: does
+  // yesterday's click count predict today's purchase revenue beyond
+  // revenue's own history (and vice versa) — the time-series causal
+  // screen next to q453's DiD. Each direction is the closed-form
+  // two-regressor OLS F-test: centered cross forms A/B from exact
+  // decimal sufficient statistics, the 2×2 normal-equation solve in
+  // ONE staged double chain (the shared m² scaling cancels in F),
+  // F = (SSE_r − SSE_u)·(m−3)/SSE_u. Lagged pairs come off the
+  // pinned day grain through the allowlisted axis window.
+  // ---------------------------------------------------------------------
+  private def q462(s: SparkSession, dir: String): DataFrame = {
+    val day = Tables.eventsSec(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(
+        sum((col("event_type") === "click").cast("long")).as("x"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("y"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long")
+        .as("d"), col("x"), col("y"))
+      .pin()
+    val wl = axis(col("d"))
+    val lagged = day
+      .withColumn("xl", lag(col("x"), 1).over(wl))
+      .withColumn("yl", lag(col("y"), 1).over(wl))
+      .filter(col("xl").isNotNull && col("yl").isNotNull)
+      .pin()
+
+    def direction(tgt: String, ownLag: String, otherLag: String,
+                  label: String): DataFrame = {
+      val st = lagged.agg(count(lit(1)).as("m"),
+        sum(tgt).as("sy"), sum(ownLag).as("s1"), sum(otherLag).as("s2"),
+        sum(col(ownLag).cast(dec) * col(ownLag)).as("s11"),
+        sum(col(otherLag).cast(dec) * col(otherLag)).as("s22"),
+        sum(col(ownLag).cast(dec) * col(otherLag)).as("s12"),
+        sum(col(ownLag).cast(dec) * col(tgt)).as("s1y"),
+        sum(col(otherLag).cast(dec) * col(tgt)).as("s2y"),
+        sum(col(tgt).cast(dec) * col(tgt)).as("syy2"))
+      val a11 = (col("m").cast(dec) * col("s11")
+        - col("s1").cast(dec) * col("s1")).cast("double")
+      val a22 = (col("m").cast(dec) * col("s22")
+        - col("s2").cast(dec) * col("s2")).cast("double")
+      val a12 = (col("m").cast(dec) * col("s12")
+        - col("s1").cast(dec) * col("s2")).cast("double")
+      val b1 = (col("m").cast(dec) * col("s1y")
+        - col("s1").cast(dec) * col("sy")).cast("double")
+      val b2 = (col("m").cast(dec) * col("s2y")
+        - col("s2").cast(dec) * col("sy")).cast("double")
+      val syy = (col("m").cast(dec) * col("syy2")
+        - col("sy").cast(dec) * col("sy")).cast("double")
+      val d2 = st.select(col("m"), a11.as("a11"), a22.as("a22"),
+        a12.as("a12"), b1.as("b1"), b2.as("b2"), syy.as("syy"))
+      // staged (the q443 lesson): det, then the two SSEs as named
+      // columns, then the one readout — never a compound Column
+      // object reused across expressions
+      val d3 = d2.select(col("m"), col("a11"), col("a22"),
+        col("a12"), col("b1"), col("b2"), col("syy"),
+        (col("a11") * col("a22") - col("a12") * col("a12")).as("det"))
+      val d4 = d3.select(col("m"), col("a11"), col("det"),
+        (col("syy")
+          - ((col("a22") * col("b1") - col("a12") * col("b2"))
+            / col("det") * col("b1")
+            + (col("a11") * col("b2") - col("a12") * col("b1"))
+              / col("det") * col("b2"))).as("sse_u"),
+        (col("syy") - col("b1") * col("b1") / col("a11")).as("sse_r"))
+      d4.select(col("m"),
+        when(col("det") > 0.0 && col("a11") > 0.0
+          && col("sse_u") > 0.0,
+          round((col("sse_r") - col("sse_u"))
+            * (col("m").cast("double") - 3.0) / col("sse_u")
+            * 1000000.0).cast("long")).otherwise(0L)
+          .as(label))
+    }
+    val fxy = direction("y", "yl", "xl", "f_click_to_rev_e6")
+    val fyx = direction("x", "xl", "yl", "f_rev_to_click_e6")
+    fxy.crossJoin(broadcast(fyx.select(col("f_rev_to_click_e6"))))
+      .select(col("m").as("n_obs"), col("f_click_to_rev_e6"),
+        col("f_rev_to_click_e6"))
+      .orderBy("n_obs")
+  }
+
+  private val q462Sql = {
+    def dir(tgt: String, own: String, other: String, label: String) =
+      s"""SELECT m,
+         |    CASE WHEN (a11 * a22 - a12 * a12) > 0.0 AND a11 > 0.0
+         |      AND (syy - ((a22 * b1 - a12 * b2)
+         |          / (a11 * a22 - a12 * a12) * b1
+         |        + (a11 * b2 - a12 * b1)
+         |          / (a11 * a22 - a12 * a12) * b2)) > 0.0
+         |      THEN CAST(round(
+         |        ((syy - b1 * b1 / a11)
+         |          - (syy - ((a22 * b1 - a12 * b2)
+         |              / (a11 * a22 - a12 * a12) * b1
+         |            + (a11 * b2 - a12 * b1)
+         |              / (a11 * a22 - a12 * a12) * b2)))
+         |        * (CAST(m AS DOUBLE) - 3.0)
+         |        / (syy - ((a22 * b1 - a12 * b2)
+         |            / (a11 * a22 - a12 * a12) * b1
+         |          + (a11 * b2 - a12 * b1)
+         |            / (a11 * a22 - a12 * a12) * b2))
+         |        * 1000000.0) AS BIGINT)
+         |      ELSE 0 END AS $label
+         |  FROM (
+         |    SELECT m,
+         |      CAST(CAST(m AS HUGEINT) * s11
+         |        - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS a11,
+         |      CAST(CAST(m AS HUGEINT) * s22
+         |        - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) AS a22,
+         |      CAST(CAST(m AS HUGEINT) * s12
+         |        - CAST(s1 AS HUGEINT) * s2 AS DOUBLE) AS a12,
+         |      CAST(CAST(m AS HUGEINT) * s1y
+         |        - CAST(s1 AS HUGEINT) * sy AS DOUBLE) AS b1,
+         |      CAST(CAST(m AS HUGEINT) * s2y
+         |        - CAST(s2 AS HUGEINT) * sy AS DOUBLE) AS b2,
+         |      CAST(CAST(m AS HUGEINT) * syy2
+         |        - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS syy
+         |    FROM (
+         |      SELECT CAST(count(*) AS BIGINT) AS m,
+         |        CAST(sum($tgt) AS BIGINT) AS sy,
+         |        CAST(sum($own) AS BIGINT) AS s1,
+         |        CAST(sum($other) AS BIGINT) AS s2,
+         |        sum(CAST($own AS HUGEINT) * $own) AS s11,
+         |        sum(CAST($other AS HUGEINT) * $other) AS s22,
+         |        sum(CAST($own AS HUGEINT) * $other) AS s12,
+         |        sum(CAST($own AS HUGEINT) * $tgt) AS s1y,
+         |        sum(CAST($other AS HUGEINT) * $tgt) AS s2y,
+         |        sum(CAST($tgt AS HUGEINT) * $tgt) AS syy2
+         |      FROM lagged) s) d""".stripMargin
+    s"""WITH day AS (
+       |  SELECT CAST(CAST(date_trunc('second', ts) AS DATE)
+       |      - DATE '1970-01-01' AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN
+       |      CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS y
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |  GROUP BY 1),
+       |lagged AS (
+       |  SELECT d, x, y, xl, yl FROM (
+       |    SELECT d, x, y,
+       |      lag(x) OVER (ORDER BY d) AS xl,
+       |      lag(y) OVER (ORDER BY d) AS yl
+       |    FROM day) t
+       |  WHERE xl IS NOT NULL AND yl IS NOT NULL),
+       |fxy AS (
+       |  ${dir("y", "yl", "xl", "f_click_to_rev_e6")}),
+       |fyx AS (
+       |  ${dir("x", "xl", "yl", "f_rev_to_click_e6")})
+       |SELECT fxy.m AS n_obs, f_click_to_rev_e6, f_rev_to_click_e6
+       |FROM fxy CROSS JOIN fyx
+       |ORDER BY n_obs""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q434_assoc_rules" -> (q434 _),
     "q435_ols_regression" -> (q435 _),
@@ -2627,7 +2887,9 @@ object Mining {
     "q457_bpe_merges" -> (q457 _),
     "q458_wilcoxon_signed_rank" -> (q458 _),
     "q459_siegel_slopes" -> (q459 _),
-    "q460_partial_correlation" -> (q460 _))
+    "q460_partial_correlation" -> (q460 _),
+    "q461_jarque_bera" -> (q461 _),
+    "q462_granger_causality" -> (q462 _))
 
   val oracle: Map[String, String] = Map(
     "q434_assoc_rules" -> q434Sql,
@@ -2656,5 +2918,7 @@ object Mining {
     "q457_bpe_merges" -> q457Sql,
     "q458_wilcoxon_signed_rank" -> q458Sql,
     "q459_siegel_slopes" -> q459Sql,
-    "q460_partial_correlation" -> q460Sql)
+    "q460_partial_correlation" -> q460Sql,
+    "q461_jarque_bera" -> q461Sql,
+    "q462_granger_causality" -> q462Sql)
 }

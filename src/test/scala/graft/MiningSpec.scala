@@ -913,4 +913,76 @@ class MiningSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Long]("partial_e6").toDouble / 1e6 - part)
       <= 1e-4, s"partial ${r.getAs[Long]("partial_e6")} vs $part")
   }
+
+  test("q461 Jarque-Bera matches the textbook moments on the " +
+       "literal standardized series") {
+    val ys = revDays.map(_._2.toDouble)
+    val n = ys.size
+    val mean = ys.sum / n
+    val sd = math.sqrt(ys.map(y => (y - mean) * (y - mean)).sum / n)
+    val zs = ys.map(y => (y - mean) / sd)
+    val m2 = zs.map(z => z * z).sum / n
+    val skew = zs.map(z => z * z * z).sum / n / (m2 * math.sqrt(m2))
+    val kurt = zs.map(z => z * z * z * z).sum / n / (m2 * m2) - 3.0
+    val jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    val r = q("q461_jarque_bera").collect().head
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    // the engine works on the e6 standardized lattice — agree to the
+    // lattice tolerance, not bit-for-bit with raw doubles
+    assert(math.abs(r.getAs[Long]("skew_e6").toDouble / 1e6 - skew)
+      <= 1e-3, "skew")
+    assert(math.abs(r.getAs[Long]("kurt_e6").toDouble / 1e6 - kurt)
+      <= 1e-3, "kurt")
+    assert(math.abs(r.getAs[Long]("jb_e6").toDouble / 1e6 - jb)
+      <= 2e-2, s"JB ${r.getAs[Long]("jb_e6")} vs $jb")
+  }
+
+  test("q462 Granger F matches a literal two-regressor OLS on the " +
+       "lagged daily series, and both F's are non-negative") {
+    val rows = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), to_date(col("ts_s")).as("day"),
+        round(col("value") * 100).cast("long"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val series = rows.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (_, xs) =>
+        (xs.count(_._1 == "click").toDouble,
+          xs.filter(_._1 == "purchase").map(_._3).sum.toDouble)
+    }
+    val lagged = series.sliding(2).collect {
+      case Seq((xp, yp), (xc, yc)) => (yc, yp, xp, xc)
+    }.toSeq
+    def fStat(obs: Seq[(Double, Double, Double)]): Double = {
+      // obs = (target, ownLag, otherLag); centered normal equations
+      val m = obs.size.toDouble
+      val my = obs.map(_._1).sum / m
+      val m1 = obs.map(_._2).sum / m
+      val m2 = obs.map(_._3).sum / m
+      val a11 = obs.map(t => (t._2 - m1) * (t._2 - m1)).sum
+      val a22 = obs.map(t => (t._3 - m2) * (t._3 - m2)).sum
+      val a12 = obs.map(t => (t._2 - m1) * (t._3 - m2)).sum
+      val b1 = obs.map(t => (t._2 - m1) * (t._1 - my)).sum
+      val b2 = obs.map(t => (t._3 - m2) * (t._1 - my)).sum
+      val syy = obs.map(t => (t._1 - my) * (t._1 - my)).sum
+      val det = a11 * a22 - a12 * a12
+      val bu = (a22 * b1 - a12 * b2) / det
+      val cu = (a11 * b2 - a12 * b1) / det
+      val sseU = syy - (bu * b1 + cu * b2)
+      val sseR = syy - b1 * b1 / a11
+      (sseR - sseU) * (m - 3.0) / sseU
+    }
+    val fxy = fStat(lagged.map(t => (t._1, t._2, t._3)))
+    val fyx = fStat(lagged.map(t => (t._4, t._3, t._2)))
+    val r = q("q462_granger_causality").collect().head
+    assert(r.getAs[Long]("n_obs") == lagged.size.toLong)
+    assert(math.abs(
+      r.getAs[Long]("f_click_to_rev_e6").toDouble / 1e6 - fxy)
+      <= math.abs(fxy) * 1e-6 + 1e-4, s"F x->y vs $fxy")
+    assert(math.abs(
+      r.getAs[Long]("f_rev_to_click_e6").toDouble / 1e6 - fyx)
+      <= math.abs(fyx) * 1e-6 + 1e-4, s"F y->x vs $fyx")
+    assert(r.getAs[Long]("f_click_to_rev_e6") >= 0L &&
+      r.getAs[Long]("f_rev_to_click_e6") >= 0L)
+  }
 }
