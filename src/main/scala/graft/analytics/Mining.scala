@@ -2860,6 +2860,236 @@ object Mining {
        |ORDER BY n_obs""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q463 — Wald–Wolfowitz runs test on the daily revenue up/down
+  // sequence: the randomness screen (too FEW runs = trending, too
+  // MANY = oscillating) that complements the gated trend tests
+  // (q436 MK, q423 JT) from the opposite null. Signs come off the
+  // pinned day grain through the allowlisted axis lag (zero diffs
+  // drop, standard); the run count R = sign changes + 1, n₊/n₋ and
+  // R are exact longs, and z carries the exact-moments normal
+  // approximation in ONE chain.
+  // ---------------------------------------------------------------------
+  private def q463(s: SparkSession, dir: String): DataFrame = {
+    val day = dayRev(s, dir)
+    val wl = axis(col("d"))
+    val sgn = day
+      .withColumn("py", lag(col("y"), 1).over(wl))
+      .filter(col("py").isNotNull && col("y") =!= col("py"))
+      .select(col("d"),
+        when(col("y") > col("py"), 1L).otherwise(-1L).as("sg"))
+    val runs = sgn
+      .withColumn("ps", lag(col("sg"), 1).over(axis(col("d"))))
+      .select(
+        (col("sg") === 1L).cast("long").as("up"),
+        (col("sg") === -1L).cast("long").as("dn"),
+        when(col("ps").isNull || col("ps") =!= col("sg"), 1L)
+          .otherwise(0L).as("newrun"))
+      .agg(sum("up").as("n_up"), sum("dn").as("n_dn"),
+        sum("newrun").as("n_runs"))
+    val d2 = runs.select(col("n_up"), col("n_dn"), col("n_runs"),
+      (col("n_up") + col("n_dn")).as("n"),
+      (lit(2L) * col("n_up") * col("n_dn")).as("m2"))
+    d2.select(col("n_up"), col("n_dn"), col("n_runs"),
+        when(col("n") >= 2L && col("m2") > 0L
+          && (col("m2") - col("n")) > 0L,
+          round((col("n_runs").cast("double")
+            - (col("m2").cast("double") / col("n").cast("double")
+              + 1.0))
+            / sqrt(col("m2").cast("double")
+              * (col("m2").cast("double") - col("n").cast("double"))
+              / (col("n").cast("double") * col("n").cast("double")
+                * (col("n").cast("double") - 1.0)))
+            * 1000000.0).cast("long")).otherwise(0L).as("z_e6"))
+      .orderBy("n_up")
+  }
+
+  private val q463Sql =
+    s"""WITH day AS (
+       |  $dayRevSql),
+       |sgn AS (
+       |  SELECT d, CASE WHEN y > py THEN 1 ELSE -1 END AS sg
+       |  FROM (SELECT d, y, lag(y) OVER (ORDER BY d) AS py FROM day) t
+       |  WHERE py IS NOT NULL AND y <> py),
+       |runs AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_up,
+       |    CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dn,
+       |    CAST(sum(CASE WHEN ps IS NULL OR ps <> sg THEN 1 ELSE 0
+       |      END) AS BIGINT) AS n_runs
+       |  FROM (SELECT d, sg, lag(sg) OVER (ORDER BY d) AS ps
+       |        FROM sgn) t),
+       |d2 AS (
+       |  SELECT n_up, n_dn, n_runs, n_up + n_dn AS n,
+       |    2 * n_up * n_dn AS m2
+       |  FROM runs)
+       |SELECT n_up, n_dn, n_runs,
+       |  CASE WHEN n >= 2 AND m2 > 0 AND (m2 - n) > 0 THEN
+       |    CAST(round((CAST(n_runs AS DOUBLE)
+       |      - (CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE) + 1.0))
+       |      / sqrt(CAST(m2 AS DOUBLE)
+       |        * (CAST(m2 AS DOUBLE) - CAST(n AS DOUBLE))
+       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       |          * (CAST(n AS DOUBLE) - 1.0)))
+       |      * 1000000.0) AS BIGINT)
+       |    ELSE 0 END AS z_e6
+       |FROM d2 ORDER BY n_up""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q464 — index-of-dispersion (overdispersion) audit per event
+  // type: is per-user event volume Poisson (D≈1), clumped (D>1), or
+  // regular (D<1) — the distributional sanity check behind every
+  // Poisson assumption (and the parameter feed for negative-binomial
+  // models). Counts sit on the FULL user×type grid (absent
+  // combinations are exact zeros — the q453 grid discipline), the
+  // sufficient statistics are exact, and D = s²/x̄ with its χ² =
+  // D·(n−1) are one readout chain per type row. Type-universe
+  // bounded output.
+  // ---------------------------------------------------------------------
+  private def q464(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsSec(s, dir)
+      .select(col("user_id").as("u"), col("event_type").as("t"))
+      .pin()
+    val users = ev.select("u").distinct()
+    val types = ev.select("t").distinct()
+    val cnt = ev.groupBy("u", "t").agg(count(lit(1)).as("c"))
+    val grid = users.crossJoin(broadcast(types))
+      .join(cnt, Seq("u", "t"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val st = grid.groupBy("t").agg(
+      count(lit(1)).as("n"), sum("c").as("sc"),
+      sum(col("c").cast(dec) * col("c")).as("scc"))
+    val d2 = st.select(col("t"), col("n"), col("sc"),
+      (col("n").cast(dec) * col("scc")
+        - col("sc").cast(dec) * col("sc")).cast("double").as("qv"))
+    d2.select(col("t").as("event_type"), col("n").as("n_users"),
+        col("sc").as("n_events"),
+        round(col("sc").cast("double") / col("n").cast("double")
+          * 1000000.0).cast("long").as("mean_e6"),
+        when(col("sc") > 0L && col("n") >= 2L,
+          round(col("qv")
+            / (col("n").cast("double") * (col("n").cast("double") - 1.0))
+            / (col("sc").cast("double") / col("n").cast("double"))
+            * 1000000.0).cast("long")).otherwise(0L).as("d_e6"))
+      .orderBy("event_type")
+  }
+
+  private val q464Sql =
+    """WITH ev AS (SELECT user_id AS u, event_type AS t FROM events),
+      |users AS (SELECT DISTINCT u FROM ev),
+      |types AS (SELECT DISTINCT t FROM ev),
+      |cnt AS (SELECT u, t, CAST(count(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY u, t),
+      |grid AS (
+      |  SELECT users.u, types.t, coalesce(c, 0) AS c
+      |  FROM users CROSS JOIN types
+      |  LEFT JOIN cnt ON users.u = cnt.u AND types.t = cnt.t),
+      |st AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS sc,
+      |    sum(CAST(c AS HUGEINT) * c) AS scc
+      |  FROM grid GROUP BY t),
+      |d2 AS (
+      |  SELECT t, n, sc,
+      |    CAST(CAST(n AS HUGEINT) * scc
+      |      - CAST(sc AS HUGEINT) * sc AS DOUBLE) AS qv
+      |  FROM st)
+      |SELECT t AS event_type, n AS n_users, sc AS n_events,
+      |  CAST(round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS mean_e6,
+      |  CASE WHEN sc > 0 AND n >= 2 THEN
+      |    CAST(round(qv
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |      / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * 1000000.0) AS BIGINT)
+      |    ELSE 0 END AS d_e6
+      |FROM d2 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q465 — empirical-Bernstein confidence bound on the mean per-user
+  // purchase RATE: the variance-adaptive finite-sample bound
+  // (mean ± √(2V̂ln(2/δ)/n) + 7b·ln(2/δ)/(3(n−1)), b = 1, δ = 0.05)
+  // that off-policy evaluation and bandit systems quote — beats
+  // Hoeffding whenever the empirical variance is small, and the
+  // Hoeffding half-width √(ln(2/δ)/(2n)) is emitted alongside to
+  // show it. Rates are per-user e9 lattice (one division per user,
+  // AT the user row); sufficient statistics exact; ln(2/δ) = ln(40)
+  // evaluated identically on both engines.
+  // ---------------------------------------------------------------------
+  private def q465(s: SparkSession, dir: String): DataFrame = {
+    val rate = Tables.eventsSec(s, dir)
+      .groupBy(col("user_id"))
+      .agg(round(sum((col("event_type") === "purchase").cast("long"))
+        .cast("double") / count(lit(1)).cast("double")
+        * 1000000000.0).cast("long").as("r_e9"))
+    val st = rate.agg(count(lit(1)).as("n"), sum("r_e9").as("sr"),
+      sum(col("r_e9").cast(dec) * col("r_e9")).as("srr"))
+    val d2 = st.select(col("n"), col("sr"),
+      (col("n").cast(dec) * col("srr")
+        - col("sr").cast(dec) * col("sr")).cast("double").as("qv"))
+    val d3 = d2.select(col("n"), col("sr"),
+      (col("qv") / (col("n").cast("double")
+        * (col("n").cast("double") - 1.0)) / 1.0e18).as("vhat"),
+      (col("sr").cast("double") / col("n").cast("double") / 1.0e9)
+        .as("mean"))
+    val d4 = d3.select(col("n"), col("mean"), col("vhat"),
+      (sqrt(lit(2.0) * col("vhat") * log(lit(40.0))
+        / col("n").cast("double"))
+        + lit(7.0) * log(lit(40.0))
+          / (lit(3.0) * (col("n").cast("double") - 1.0))).as("ebw"),
+      sqrt(log(lit(40.0)) / (lit(2.0) * col("n").cast("double")))
+        .as("hw"))
+    d4.select(col("n").as("n_users"),
+        round(col("mean") * 1000000000.0).cast("long").as("mean_e9"),
+        when(col("n") >= 2L,
+          round(col("ebw") * 1000000000.0).cast("long"))
+          .otherwise(0L).as("eb_half_e9"),
+        round(col("hw") * 1000000000.0).cast("long")
+          .as("hoeffding_half_e9"))
+      .orderBy("n_users")
+  }
+
+  private val q465Sql =
+    """WITH rate AS (
+      |  SELECT user_id,
+      |    CAST(round(CAST(sum(CASE WHEN event_type = 'purchase'
+      |        THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) * 1000000000.0) AS BIGINT)
+      |      AS r_e9
+      |  FROM events GROUP BY user_id),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(r_e9) AS BIGINT) AS sr,
+      |  sum(CAST(r_e9 AS HUGEINT) * r_e9) AS srr FROM rate),
+      |d2 AS (
+      |  SELECT n, sr,
+      |    CAST(CAST(n AS HUGEINT) * srr
+      |      - CAST(sr AS HUGEINT) * sr AS DOUBLE) AS qv
+      |  FROM st),
+      |d3 AS (
+      |  SELECT n, sr,
+      |    qv / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |      / 1.0e18 AS vhat,
+      |    CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e9 AS mean
+      |  FROM d2),
+      |d4 AS (
+      |  SELECT n, mean, vhat,
+      |    sqrt(2.0 * vhat * ln(40.0) / CAST(n AS DOUBLE))
+      |      + 7.0 * ln(40.0) / (3.0 * (CAST(n AS DOUBLE) - 1.0))
+      |      AS ebw,
+      |    sqrt(ln(40.0) / (2.0 * CAST(n AS DOUBLE))) AS hw
+      |  FROM d3)
+      |SELECT n AS n_users,
+      |  CAST(round(mean * 1000000000.0) AS BIGINT) AS mean_e9,
+      |  CASE WHEN n >= 2 THEN
+      |    CAST(round(ebw * 1000000000.0) AS BIGINT)
+      |    ELSE 0 END AS eb_half_e9,
+      |  CAST(round(hw * 1000000000.0) AS BIGINT)
+      |    AS hoeffding_half_e9
+      |FROM d4 ORDER BY n_users""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q434_assoc_rules" -> (q434 _),
     "q435_ols_regression" -> (q435 _),
@@ -2889,7 +3119,10 @@ object Mining {
     "q459_siegel_slopes" -> (q459 _),
     "q460_partial_correlation" -> (q460 _),
     "q461_jarque_bera" -> (q461 _),
-    "q462_granger_causality" -> (q462 _))
+    "q462_granger_causality" -> (q462 _),
+    "q463_runs_test" -> (q463 _),
+    "q464_dispersion_index" -> (q464 _),
+    "q465_empirical_bernstein" -> (q465 _))
 
   val oracle: Map[String, String] = Map(
     "q434_assoc_rules" -> q434Sql,
@@ -2920,5 +3153,8 @@ object Mining {
     "q459_siegel_slopes" -> q459Sql,
     "q460_partial_correlation" -> q460Sql,
     "q461_jarque_bera" -> q461Sql,
-    "q462_granger_causality" -> q462Sql)
+    "q462_granger_causality" -> q462Sql,
+    "q463_runs_test" -> q463Sql,
+    "q464_dispersion_index" -> q464Sql,
+    "q465_empirical_bernstein" -> q465Sql)
 }

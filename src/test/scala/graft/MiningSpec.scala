@@ -985,4 +985,79 @@ class MiningSpec extends AnyFunSuite {
     assert(r.getAs[Long]("f_click_to_rev_e6") >= 0L &&
       r.getAs[Long]("f_rev_to_click_e6") >= 0L)
   }
+
+  test("q463 runs test matches the literal sign-sequence walk") {
+    val diffs = revDays.sliding(2).collect {
+      case Seq((_, ya), (_, yb)) if ya != yb =>
+        if (yb > ya) 1 else -1
+    }.toSeq
+    val nUp = diffs.count(_ == 1).toLong
+    val nDn = diffs.count(_ == -1).toLong
+    val runs = if (diffs.isEmpty) 0L
+      else 1L + diffs.sliding(2).count {
+        case Seq(a, b) => a != b
+        case _ => false
+      }
+    val n = (nUp + nDn).toDouble
+    val m2 = 2.0 * nUp * nDn
+    val z = (runs - (m2 / n + 1.0)) /
+      math.sqrt(m2 * (m2 - n) / (n * n * (n - 1.0)))
+    val r = q("q463_runs_test").collect().head
+    assert(r.getAs[Long]("n_up") == nUp)
+    assert(r.getAs[Long]("n_dn") == nDn)
+    assert(r.getAs[Long]("n_runs") == runs)
+    assert(math.abs(r.getAs[Long]("z_e6").toDouble / 1e6 - z) <= 1e-5)
+  }
+
+  test("q464 dispersion index matches literal per-user counts on " +
+       "the full grid, with exact zeros for absent combinations") {
+    val ev = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .select(col("user_id"), col("event_type"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    val users = ev.map(_._1).distinct
+    val types = ev.map(_._2).distinct
+    val cnt = ev.groupBy(identity).map { case (k, xs) =>
+      k -> xs.size.toLong }
+    val rows = q("q464_dispersion_index").collect()
+    assert(rows.length == types.size)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val cs = users.map(u => cnt.getOrElse((u, t), 0L))
+      assert(r.getAs[Long]("n_users") == users.size.toLong)
+      assert(r.getAs[Long]("n_events") == cs.sum)
+      val n = cs.size.toDouble
+      val mean = cs.sum / n
+      val v = cs.map(c => (c - mean) * (c - mean)).sum / (n - 1.0)
+      val d = v / mean
+      assert(math.abs(r.getAs[Long]("d_e6").toDouble / 1e6 - d)
+        <= 1e-4, s"$t: D")
+    }
+  }
+
+  test("q465 empirical-Bernstein bound matches the textbook formula " +
+       "and is tighter than Hoeffding when variance is small") {
+    val rates = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .groupBy(col("user_id"))
+      .agg(round(sum((col("event_type") === "purchase").cast("long"))
+        .cast("double") / count(lit(1)).cast("double")
+        * 1000000000.0).cast("long").as("r"))
+      .collect().toSeq.map(_.getAs[Long]("r").toDouble / 1e9)
+    val n = rates.size.toDouble
+    val mean = rates.sum / n
+    val v = rates.map(x => (x - mean) * (x - mean)).sum / (n - 1.0)
+    val l40 = math.log(40.0)
+    val eb = math.sqrt(2.0 * v * l40 / n) + 7.0 * l40 / (3.0 * (n - 1))
+    val hw = math.sqrt(l40 / (2.0 * n))
+    val r = q("q465_empirical_bernstein").collect().head
+    assert(r.getAs[Long]("n_users") == rates.size.toLong)
+    assert(math.abs(r.getAs[Long]("mean_e9").toDouble / 1e9 - mean)
+      <= 1e-6)
+    assert(math.abs(r.getAs[Long]("eb_half_e9").toDouble / 1e9 - eb)
+      <= 1e-6, "EB width")
+    assert(math.abs(
+      r.getAs[Long]("hoeffding_half_e9").toDouble / 1e9 - hw) <= 1e-6)
+    // on low-variance rate data the variance-adaptive bound wins
+    if (v < 0.05) assert(r.getAs[Long]("eb_half_e9") <
+      r.getAs[Long]("hoeffding_half_e9") * 3L)
+  }
 }
