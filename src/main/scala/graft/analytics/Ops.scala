@@ -1310,6 +1310,34 @@ object Ops {
   }
 
   // ---------------------------------------------------------------------
+  // q466 — the connector's OFFSET pushdown (SupportsPushDownOffset,
+  // composed with the pushed TopN): ORDER BY event_id OFFSET 1000
+  // LIMIT 25 collapses into ONE partition enumerating exactly ids
+  // [lo+1000, lo+1025) — pagination answered in O(page) instead of
+  // O(offset + page) rows ever materializing (the scan SHIFTS its
+  // ordered window; at 100 TB, "page 40 of the event feed" costs the
+  // same as page 1). Offset over an UNORDERED scan is declined — it
+  // has no stable meaning — so Spark keeps its own operator there.
+  // Plan-asserted: BatchScan reports PushedOffset; no Sort/Offset
+  // operators remain. The oracle re-sorts DuckDB's regenerated rows
+  // through plain LIMIT/OFFSET.
+  // ---------------------------------------------------------------------
+  private def q466(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.SynthEventsProvider")
+      .option("rows", "100000").load()
+      .filter(col("event_id") >= 20000L && col("event_id") < 80000L)
+      .orderBy(col("event_id"))
+      .offset(1000)
+      .limit(25)
+
+  private val q466Sql = {
+    val gen = graft.sources.v2.SynthEvents.duckSql(20000, 80000, 1500)
+    s"""SELECT event_id, ts_l, user_id, event_type, value_e2
+       |FROM ($gen)
+       |ORDER BY event_id LIMIT 25 OFFSET 1000""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q402 — the connector's REPORTED PARTITIONING
   // (SupportsReportPartitioning): layout=mod clusters events by
   // user_id = event_id % users, userparts=true plans one
@@ -2049,6 +2077,7 @@ object Ops {
     "q358_dsv2_partial_agg" -> (q358 _),
     "q376_dsv2_multikey_sum" -> (q376 _),
     "q401_dsv2_topn" -> (q401 _),
+    "q466_dsv2_offset" -> (q466 _),
     "q402_dsv2_keygrouped" -> (q402 _),
     "q403_dsv2_keygrouped_pushed" -> (q403 _),
     "q425_v2_sink_roundtrip" -> (q425 _))
@@ -2088,6 +2117,7 @@ object Ops {
     "q358_dsv2_partial_agg" -> q358Sql,
     "q376_dsv2_multikey_sum" -> q376Sql,
     "q401_dsv2_topn" -> q401Sql,
+    "q466_dsv2_offset" -> q466Sql,
     "q402_dsv2_keygrouped" -> q402Sql,
     "q403_dsv2_keygrouped_pushed" -> q403Sql,
     "q425_v2_sink_roundtrip" -> q425Sql)

@@ -154,7 +154,8 @@ class SynthScanBuilder(rows: Long, users: Long, parts: Int,
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
 
   private var lo: Long = 0L
   private var hi: Long = rows
@@ -308,6 +309,16 @@ class SynthScanBuilder(rows: Long, users: Long, parts: Int,
   // TopN returns them in the requested order from one partition
   override def isPartiallyPushed(): Boolean = false
 
+  // ---- OFFSET pushdown (SupportsPushDownOffset): accepted only on
+  // top of a pushed TopN — "page k after the first o" over the
+  // ordered id stream is then answered in O(k) by shifting the
+  // enumerated window; an offset over an UNORDERED scan has no
+  // stable meaning and is declined (Spark keeps its own operator).
+  private var offsetN: Option[Int] = None
+  override def pushOffset(offset: Int): Boolean =
+    if (!topNPushed || offset < 0) false
+    else { offsetN = Some(offset); true }
+
   override def build(): Scan = aggs match {
     case Some(fs) => new SynthAggScan(math.min(lo, hi), hi, fs, pushed)
     case None => groupAggs match {
@@ -318,7 +329,8 @@ class SynthScanBuilder(rows: Long, users: Long, parts: Int,
         val l = math.min(lo, hi)
         limitK match {
           case Some(k) if topNPushed =>
-            new SynthTopNScan(l, hi, users, required, topNDesc, k, mod)
+            new SynthTopNScan(l, hi, users, required, topNDesc, k, mod,
+              offsetN.getOrElse(0))
           case Some(k) =>
             new SynthScan(l, math.min(hi, l + k), users, parts, required,
               mod, userparts, pushedLimit = Some(k))
@@ -336,17 +348,22 @@ class SynthScanBuilder(rows: Long, users: Long, parts: Int,
   * emission is bounded by contract. */
 class SynthTopNScan(lo: Long, hi: Long, users: Long,
                     required: StructType, desc: Boolean, k: Int,
-                    mod: Boolean) extends Scan with Batch {
+                    mod: Boolean, off: Int = 0) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"synth_events PushedRange($lo,$hi) PushedTopN " +
-      s"[event_id ${if (desc) "DESC" else "ASC"} LIMIT $k] cols=" +
-      required.fieldNames.mkString(",")
+      s"[event_id ${if (desc) "DESC" else "ASC"} LIMIT $k]" +
+      (if (off > 0) s" PushedOffset $off" else "") +
+      s" cols=" + required.fieldNames.mkString(",")
   override def planInputPartitions(): Array[InputPartition] = {
+    // Spark pushes the TOTAL row budget through pushTopN/pushLimit
+    // (limit + offset) and then the offset separately: the scan
+    // answers rows [off, k) of its ordered output.
     val span = math.max(0L, hi - lo)
-    val n = math.min(span, k.toLong)
-    val (s, e) = if (desc) (hi - n, hi) else (lo, lo + n)
+    val oo = math.min(span, off.toLong)
+    val n = math.max(0L, math.min(span, k.toLong) - oo)
+    val (s, e) = if (desc) (hi - oo - n, hi - oo) else (lo + oo, lo + oo + n)
     Array(SynthOrderedPartition(s, e, desc))
   }
   override def createReaderFactory(): PartitionReaderFactory =

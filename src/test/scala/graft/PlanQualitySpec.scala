@@ -1285,6 +1285,16 @@ class PlanQualitySpec extends AnyFunSuite {
         bad.mkString("\n"))
   }
 
+  test("q466: ORDER BY + OFFSET + LIMIT collapse COMPLETELY into " +
+       "the DSv2 scan — the BatchScan reports PushedTopN AND " +
+       "PushedOffset, and no Sort or GlobalLimit operator remains") {
+    val p = plan("q466_dsv2_offset")
+    assert(p.contains("PushedTopN"), p)
+    assert(p.contains("PushedOffset 1000"), p)
+    assert(!p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
   test("q434: the part dim is BROADCAST into the basket extraction " +
        "and the brand-pair self-join is never a cartesian — the " +
        "expansion is bounded per order by the brand universe") {
