@@ -2254,8 +2254,14 @@ object Mining {
       // "abc" -> "MKa MKb MKc": insert " MK" before chars 2..len
       // only ((?!^)(?=.) excludes the end-of-string position), then
       // prefix the first marker
+      // every symbol is MARKER-prefixed AND space-TERMINATED
+      // ("abc" -> "MKa MKb MKc "): the marker blocks mid-symbol
+      // match STARTS, the terminator blocks mid-symbol match ENDS
+      // (a pair (x, y) where y prefixes the next symbol must not
+      // match across the boundary - the law PropertySpec proves)
       .select(col("n"), concat(lit(bpeMk),
-        regexp_replace(col("w"), "(?!^)(?=.)", " " + bpeMk)).as("s"))
+        regexp_replace(col("w"), "(?!^)(?=.)", " " + bpeMk),
+        lit(" ")).as("s"))
       .pin()
     var cur = wf
     val bests = (1 to bpeIters).map { k =>
@@ -2266,14 +2272,15 @@ object Mining {
           explode(sequence(lit(1), size(col("a")) - 1)).as("i"))
         .select(col("n"), element_at(col("a"), col("i")).as("pa"),
           element_at(col("a"), col("i") + 1).as("pb"))
+        .filter(length(col("pb")) > 0) // the terminator's empty tail
         .groupBy("pa", "pb").agg(sum("n").as("cnt"))
       val best = pairs
         .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
         .pin()
       cur = cur.crossJoin(broadcast(best))
         .select(col("n"),
-          expr("replace(s, pa || ' ' || pb, pa || substring(pb, 2))")
-            .as("s"))
+          expr("replace(s, pa || ' ' || pb || ' ', " +
+            "pa || substring(pb, 2) || ' ')").as("s"))
       best.select(lit(k.toLong).as("step"),
         expr("substring(pa, 2)").as("left_sym"),
         expr("substring(pb, 2)").as("right_sym"), col("cnt"))
@@ -2291,7 +2298,7 @@ object Mining {
         |it0 AS (
         |  SELECT n,
         |    array_to_string(list_transform(range(1, length(w) + 1),
-        |      i -> chr(31) || substr(w, i::INT, 1)), ' ') AS s
+        |      i -> chr(31) || substr(w, i::INT, 1)), ' ') || ' ' AS s
         |  FROM wf)""".stripMargin
     val steps = (1 to bpeIters).map { k =>
       s"""p$k AS (
@@ -2300,13 +2307,13 @@ object Mining {
          |  FROM (SELECT n, string_split(s, ' ') AS a
          |        FROM it${k - 1} WHERE length(s) > 0) t,
          |    unnest(generate_series(1, len(a) - 1)) u(i)
-         |  WHERE len(a) >= 2
+         |  WHERE len(a) >= 2 AND length(a[i + 1]) > 0
          |  GROUP BY 1, 2),
          |b$k AS (SELECT pa, pb, cnt FROM p$k
          |  ORDER BY cnt DESC, pa, pb LIMIT 1),
          |it$k AS (
-         |  SELECT n, replace(s, pa || ' ' || pb,
-         |    pa || substr(pb, 2)) AS s
+         |  SELECT n, replace(s, pa || ' ' || pb || ' ',
+         |    pa || substr(pb, 2) || ' ') AS s
          |  FROM it${k - 1} CROSS JOIN b$k)""".stripMargin
     }.mkString(",\n")
     val out = (1 to bpeIters).map { k =>

@@ -463,4 +463,117 @@ class PropertySpec extends AnyFunSuite {
       assert(big(2) == self(b), s"mbb b=$b")
     }
   }
+
+  // ---- mining-tier laws (q442/q444/q445/q457 algorithm cores) ----
+
+  test("Holt lattice law: on ANY integer series the HALF_UP walk " +
+       "keeps 2·l within 1 of its pre-rounding sum and 4·b within " +
+       "2 of its pre-rounding sum") {
+    val genSeries = Gen.listOfN(12,
+      Gen.choose(-1000000L, 1000000L)).suchThat(_.size >= 2)
+    cases(genSeries, 30).foreach { ys =>
+      var l = ys(0); var b = ys(1) - ys(0)
+      ys.drop(1).foreach { y =>
+        val aSum = y + l + b
+        val lNew = graft.analytics.Exact.roundHalfUp(aSum.toDouble * 0.5)
+        assert(math.abs(2L * lNew - aSum) <= 1L, s"level lattice: $ys")
+        val bSum = lNew - l + 3L * b
+        val bNew = graft.analytics.Exact.roundHalfUp(bSum.toDouble * 0.25)
+        assert(math.abs(4L * bNew - bSum) <= 2L, s"trend lattice: $ys")
+        l = lNew; b = bNew
+      }
+    }
+  }
+
+  test("BPE marker-string law: String.replace on the chr(31)-marker " +
+       "form equals the greedy left-to-right symbol-list merge for " +
+       "ANY word and ANY adjacent pair") {
+    val mk = ""
+    def mergeList(syms: Vector[String], a: String, b: String)
+        : Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.size) {
+        if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val genWord = Gen.listOfN(8, Gen.oneOf("a", "b")).map(_.mkString)
+      .suchThat(_.nonEmpty)
+    val genPair = for {
+      x <- Gen.oneOf("a", "b", "aa", "ab", "ba", "bb")
+      y <- Gen.oneOf("a", "b", "aa", "ab", "ba", "bb")
+    } yield (x, y)
+    cases(Gen.zip(genWord, genPair), 60).foreach {
+      case (w, (pa, pb)) =>
+        // symbolize at the CHAR level, then apply one (pa, pb) merge
+        // in both representations — for multi-char pa/pb the pair
+        // may simply be absent, which must also agree
+        val syms0 = w.map(_.toString).toVector
+        // bring the list to a state where pa/pb exist as symbols by
+        // first merging their constituent chars left-to-right
+        def build(sym: String, v: Vector[String]): Vector[String] =
+          if (sym.length == 1) v
+          else mergeList(build(sym.take(sym.length - 1), v),
+            sym.take(sym.length - 1), sym.last.toString)
+        val staged = build(pb, build(pa, syms0))
+        // marker-prefixed AND space-terminated (the q457 form): the
+        // terminator is what forces the pattern's second symbol to
+        // be COMPLETE — without it, (x, y) false-matches when y
+        // prefixes the following symbol (the bug this law caught)
+        val marker = staged.map(mk + _ + " ").mkString
+        val viaString = marker
+          .replace(mk + pa + " " + mk + pb + " ", mk + pa + pb + " ")
+          .split(" ").filter(_.nonEmpty)
+          .map(_.stripPrefix(mk)).toVector
+        val viaList = mergeList(staged, pa, pb)
+        assert(viaString == viaList,
+          s"w=$w pair=($pa,$pb) staged=$staged: " +
+            s"$viaString vs $viaList")
+    }
+  }
+
+  test("IPF sweep law: after a column sweep on ANY positive grid, " +
+       "every column margin hits its target within one rounding " +
+       "unit per cell") {
+    val genGrid = Gen.listOfN(12,
+      Gen.choose(1L, 1000000000L))
+    val genTargets = Gen.listOfN(4, Gen.choose(1L, 1000000000L))
+    cases(Gen.zip(genGrid, genTargets), 25).foreach {
+      case (cells, targets) =>
+        // 3 rows × 4 cols
+        val grid = cells.grouped(4).toVector
+        val colSums = (0 until 4).map(j => grid.map(_(j)).sum)
+        val swept = grid.map(_.zipWithIndex.map { case (w, j) =>
+          graft.analytics.Exact.roundHalfUp(
+            w.toDouble * targets(j).toDouble / colSums(j).toDouble)
+        })
+        (0 until 4).foreach { j =>
+          val got = swept.map(_(j)).sum
+          assert(math.abs(got - targets(j)) <= grid.size.toLong,
+            s"col $j: $got vs ${targets(j)}")
+        }
+    }
+  }
+
+  test("Shapley weight-table law: with the s!(3-s)! subset weights, " +
+       "24·phi sums to 24·(v(full) − v(empty)) for ANY coalition " +
+       "value function on 4 players") {
+    def factI(n: Int): Long = (1 to n).product.toLong max 1L
+    val genV = Gen.listOfN(16, Gen.choose(0L, 1000L))
+    cases(genV, 40).foreach { vs =>
+      val v = vs.toIndexedSeq
+      val phis = (0 until 4).map { i =>
+        val bit = 1 << i
+        (0 until 16).filter(s => (s & bit) == 0).map { s =>
+          val pc = java.lang.Integer.bitCount(s)
+          factI(pc) * factI(3 - pc) * (v(s | bit) - v(s))
+        }.sum
+      }
+      assert(phis.sum == 24L * (v(15) - v(0)),
+        s"efficiency violated for v=$vs")
+    }
+  }
 }
