@@ -116,21 +116,25 @@ object Mining {
       |ORDER BY ba, bb""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q435 — OLS simple linear regression of line price on quantity,
-  // per return flag: the closed-form normal-equation fit from SIX
-  // exact sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² — x is
-  // e2-quantized quantity, y cents; per-row products < 5·10¹⁰, the
+  // q435 — OLS linear regression of order value on ORDER DATE, per
+  // priority class ("is order value trending over time, and does the
+  // trend differ by priority" — the temporal fit; the price-on-
+  // quantity fit per return flag is the long-gated q124, which this
+  // deliberately does NOT duplicate): the closed-form
+  // normal-equation fit from SIX exact sufficient statistics
+  // (n, Σx, Σy, Σxy, Σx², Σy² — x the epoch day, y cents; the
   // decimal(38,0) sums carry ~10¹³-row headroom). slope = (nΣxy −
   // ΣxΣy)/(nΣx² − (Σx)²), intercept and R² from the same integers —
   // each readout ONE written-out IEEE chain, identical on both
   // engines; den ≤ 0 (degenerate x or y) guarded to 0 on both (the
-  // q385 convention). Scale: one scan, map-side combine to 3 rows.
+  // q385 convention). Scale: one scan, map-side combine to 5 rows.
   // ---------------------------------------------------------------------
   private def q435(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
-      .select(col("l_returnflag").as("rf"),
-        round(col("l_quantity") * 100).cast("long").as("x"),
-        round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val li = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("rf"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("x"),
+        round(col("o_totalprice") * 100).cast("long").as("y"))
     val st = li.groupBy("rf").agg(
       count(lit(1)).as("n"),
       sum("x").as("sx"), sum("y").as("sy"),
@@ -166,10 +170,11 @@ object Mining {
 
   private val q435Sql =
     """WITH li AS (
-      |  SELECT l_returnflag AS rf,
-      |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
-      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
-      |  FROM lineitem),
+      |  SELECT o_orderpriority AS rf,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |      AS BIGINT) AS x,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      |  FROM orders),
       |st AS (
       |  SELECT rf, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,

@@ -63,14 +63,15 @@ class MiningSpec extends AnyFunSuite {
 
   test("q435 OLS matches the textbook mean-centered fit per group " +
        "and R² is in [0, 1e6]") {
-    val xs = graft.core.Tables.load(spark, TestSpark.sf001, "lineitem")
-      .select(col("l_returnflag"),
-        round(col("l_quantity") * 100).cast("long"),
-        round(col("l_extendedprice") * 100).cast("long"))
+    val xs = graft.core.Tables.load(spark, TestSpark.sf001, "orders")
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long"),
+        round(col("o_totalprice") * 100).cast("long"))
       .collect().toSeq
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val rows = q("q435_ols_regression").collect()
-    assert(rows.length == 3)
+    assert(rows.length == 5)
     rows.foreach { r =>
       val g = xs.filter(_._1 == r.getAs[String]("rf"))
       val n = g.size.toDouble
