@@ -41,17 +41,19 @@ object Mining {
   private def axis(sort: Column*) = Window.orderBy(sort: _*)
 
   // ---------------------------------------------------------------------
-  // q434 — market-basket association rules at the brand grain:
-  // baskets are orders, items are the DISTINCT part brands in each
-  // order (25-brand universe ⇒ ≤ C(25,2) = 300 candidate pairs per
-  // order and ≤ 300 rules total, no matter how many trillions of
-  // lines fed them). For each unordered pair a<b passing relative
-  // min-support (n_ab·1000 ≥ N, i.e. ≥ 0.1 % of orders): support
-  // counts exact, confidence in both directions and lift as one
-  // IEEE chain each (counts < 2^26 per factor ⇒ the double products
-  // are exact through sf1; the division is the only rounding).
-  // Scale: the self-join shuffles on orderkey (co-partitioned with
-  // the basket extraction), the per-brand totals and N broadcast.
+  // q434 — Apriori LEVEL-3 mining: frequent brand TRIPLES with the
+  // candidate-pruning step that defines the algorithm (the pair
+  // level is the long-gated q200 — this is the next lattice level,
+  // which q200 does not have). Baskets are orders, items the
+  // DISTINCT part brands; the pair table computes supports, the
+  // FREQUENT pairs (relative min-support n_ab·1000 ≥ N) broadcast,
+  // and triple generation is PRUNED IN-PLAN by downward closure:
+  // the (a,b) extension joins the frequent-pair broadcast BEFORE
+  // the third item attaches, and the (a,c)/(b,c) sub-pairs filter
+  // through the same broadcast — a candidate triple only ever
+  // materializes when all three sub-pairs are frequent, the Apriori
+  // property doing real work in the physical plan. Everything is
+  // bounded by the brand universe per order; supports exact.
   // ---------------------------------------------------------------------
   private def q434(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
@@ -64,28 +66,36 @@ object Mining {
       .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
       .distinct().pin()
     val n = ob.agg(countDistinct(col("ok")).as("n_orders"))
-    val per = ob.groupBy("b").agg(count(lit(1)).as("n_one"))
     val pairs = ob.as("x").join(ob.as("y"),
         col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
       .groupBy(col("x.b").as("ba"), col("y.b").as("bb"))
       .agg(count(lit(1)).as("n_ab"))
-    pairs
-      .join(broadcast(per.select(col("b").as("ba"),
-        col("n_one").as("n_a"))), "ba")
-      .join(broadcast(per.select(col("b").as("bb"),
-        col("n_one").as("n_b"))), "bb")
-      .crossJoin(broadcast(n))
+    // frequent pairs: the broadcast pruning set (≤ C(|brands|, 2))
+    val fp = pairs.crossJoin(broadcast(n))
       .filter(col("n_ab") * 1000L >= col("n_orders"))
-      .select(col("ba"), col("bb"), col("n_ab"), col("n_a"),
-        col("n_b"), col("n_orders"),
-        round(col("n_ab").cast("double") / col("n_a").cast("double")
-          * 1000000.0).cast("long").as("conf_ab_e6"),
-        round(col("n_ab").cast("double") / col("n_b").cast("double")
-          * 1000000.0).cast("long").as("conf_ba_e6"),
-        round(col("n_ab").cast("double") * col("n_orders").cast("double")
-          / (col("n_a").cast("double") * col("n_b").cast("double"))
-          * 1000000.0).cast("long").as("lift_e6"))
-      .orderBy("ba", "bb")
+      .select(col("ba"), col("bb")).pin()
+    val xy = ob.as("x").join(ob.as("y"),
+        col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+      .select(col("x.ok").as("ok"), col("x.b").as("ba"),
+        col("y.b").as("bb"))
+      .join(broadcast(fp), Seq("ba", "bb"), "left_semi")
+    val xyz = xy.join(ob.as("z").select(col("ok"), col("b").as("bc")),
+        Seq("ok"))
+      .filter(col("bb") < col("bc"))
+      .join(broadcast(fp.select(col("ba").as("bb"),
+        col("bb").as("bc"))), Seq("bb", "bc"), "left_semi")
+      .join(broadcast(fp.select(col("ba"), col("bb").as("bc"))),
+        Seq("ba", "bc"), "left_semi")
+    xyz.groupBy("ba", "bb", "bc")
+      .agg(count(lit(1)).as("n_abc"))
+      .crossJoin(broadcast(n))
+      .filter(col("n_abc") * 1000L >= col("n_orders"))
+      .select(col("ba"), col("bb"), col("bc"), col("n_abc"),
+        col("n_orders"),
+        round(col("n_abc").cast("double")
+          / col("n_orders").cast("double") * 1000000.0).cast("long")
+          .as("supp_e6"))
+      .orderBy("ba", "bb", "bc")
   }
 
   private val q434Sql =
@@ -93,27 +103,33 @@ object Mining {
       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
       |n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
-      |per AS (SELECT b, CAST(count(*) AS BIGINT) AS n_one
-      |  FROM ob GROUP BY b),
       |pairs AS (
       |  SELECT x.b AS ba, y.b AS bb, CAST(count(*) AS BIGINT) AS n_ab
       |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
-      |  GROUP BY 1, 2)
-      |SELECT ba, bb, n_ab, pa.n_one AS n_a, pb.n_one AS n_b,
+      |  GROUP BY 1, 2),
+      |fp AS (SELECT ba, bb FROM pairs CROSS JOIN n
+      |  WHERE n_ab * 1000 >= n_orders),
+      |xy AS (
+      |  SELECT x.ok, x.b AS ba, y.b AS bb
+      |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+      |  WHERE EXISTS (SELECT 1 FROM fp
+      |    WHERE fp.ba = x.b AND fp.bb = y.b)),
+      |xyz AS (
+      |  SELECT xy.ba, xy.bb, z.b AS bc
+      |  FROM xy JOIN ob z ON xy.ok = z.ok AND xy.bb < z.b
+      |  WHERE EXISTS (SELECT 1 FROM fp
+      |      WHERE fp.ba = xy.bb AND fp.bb = z.b)
+      |    AND EXISTS (SELECT 1 FROM fp
+      |      WHERE fp.ba = xy.ba AND fp.bb = z.b))
+      |SELECT ba, bb, bc, CAST(count(*) AS BIGINT) AS n_abc,
       |  CAST(n_orders AS BIGINT) AS n_orders,
-      |  CAST(round(CAST(n_ab AS DOUBLE) / CAST(pa.n_one AS DOUBLE)
-      |    * 1000000.0) AS BIGINT) AS conf_ab_e6,
-      |  CAST(round(CAST(n_ab AS DOUBLE) / CAST(pb.n_one AS DOUBLE)
-      |    * 1000000.0) AS BIGINT) AS conf_ba_e6,
-      |  CAST(round(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
-      |    / (CAST(pa.n_one AS DOUBLE) * CAST(pb.n_one AS DOUBLE))
-      |    * 1000000.0) AS BIGINT) AS lift_e6
-      |FROM pairs
-      |  JOIN per pa ON pairs.ba = pa.b
-      |  JOIN per pb ON pairs.bb = pb.b
-      |  CROSS JOIN n
-      |WHERE n_ab * 1000 >= n_orders
-      |ORDER BY ba, bb""".stripMargin
+      |  CAST(round(CAST(count(*) AS DOUBLE)
+      |    / CAST(n_orders AS DOUBLE) * 1000000.0) AS BIGINT)
+      |    AS supp_e6
+      |FROM xyz CROSS JOIN n
+      |GROUP BY ba, bb, bc, n_orders
+      |HAVING count(*) * 1000 >= n_orders
+      |ORDER BY ba, bb, bc""".stripMargin
 
   // ---------------------------------------------------------------------
   // q435 — OLS linear regression of order value on ORDER DATE, per
@@ -3103,7 +3119,7 @@ object Mining {
       |FROM d4 ORDER BY n_users""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q434_assoc_rules" -> (q434 _),
+    "q434_apriori_triples" -> (q434 _),
     "q435_ols_regression" -> (q435 _),
     "q436_theil_sen_mk" -> (q436 _),
     "q437_revenue_cube" -> (q437 _),
@@ -3137,7 +3153,7 @@ object Mining {
     "q465_empirical_bernstein" -> (q465 _))
 
   val oracle: Map[String, String] = Map(
-    "q434_assoc_rules" -> q434Sql,
+    "q434_apriori_triples" -> q434Sql,
     "q435_ols_regression" -> q435Sql,
     "q436_theil_sen_mk" -> q436Sql,
     "q437_revenue_cube" -> q437Sql,

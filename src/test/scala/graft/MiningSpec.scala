@@ -29,36 +29,40 @@ class MiningSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
   }
 
-  test("q434 association rules match literal basket intersection " +
-       "counts, and lift is symmetric in the pair") {
+  test("q434 Apriori triples match literal basket counting, satisfy " +
+       "downward closure, and miss no qualifying triple") {
     val n = baskets.size.toLong
-    val single = baskets.values.toSeq.flatMap(_.toSeq)
-      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
     val co = baskets.values.toSeq.flatMap { bs =>
       val s = bs.toSeq.sorted
       for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
     }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
-    val rows = q("q434_assoc_rules").collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val ba = r.getAs[String]("ba"); val bb = r.getAs[String]("bb")
-      val nab = r.getAs[Long]("n_ab")
-      assert(nab == co((ba, bb)),
-        s"pair ($ba,$bb): engine $nab vs brute ${co((ba, bb))}")
-      assert(r.getAs[Long]("n_a") == single(ba))
-      assert(r.getAs[Long]("n_b") == single(bb))
-      assert(r.getAs[Long]("n_orders") == n)
-      assert(nab * 1000L >= n, "min-support filter violated")
-      // lift recomputed in the same IEEE order
-      val lift = math.rint(nab.toDouble * n.toDouble
-        / (single(ba).toDouble * single(bb).toDouble) * 1e6).toLong
-      assert(r.getAs[Long]("lift_e6") == lift)
+    val freqPair = co.filter { case (_, c) => c * 1000L >= n }.keySet
+    val tri = baskets.values.toSeq.flatMap { bs =>
+      val s = bs.toSeq.sorted
+      for {
+        i <- s.indices; j <- (i + 1) until s.size
+        k <- (j + 1) until s.size
+      } yield (s(i), s(j), s(k))
+    }.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val want = tri.filter { case ((a, b, c), cnt) =>
+      cnt * 1000L >= n && freqPair((a, b)) && freqPair((a, c)) &&
+        freqPair((b, c))
     }
-    // every qualifying brute pair is present (completeness)
-    val keyed = rows.map(r =>
-      (r.getAs[String]("ba"), r.getAs[String]("bb"))).toSet
-    co.filter { case (_, c) => c * 1000L >= n }.keys.foreach(p =>
-      assert(keyed.contains(p), s"missing qualifying pair $p"))
+    val rows = q("q434_apriori_triples").collect()
+    assert(rows.nonEmpty)
+    assert(rows.length == want.size,
+      s"${rows.length} triples vs brute ${want.size}")
+    rows.foreach { r =>
+      val t = (r.getAs[String]("ba"), r.getAs[String]("bb"),
+        r.getAs[String]("bc"))
+      assert(want.contains(t), s"unexpected triple $t")
+      assert(r.getAs[Long]("n_abc") == want(t), s"support of $t")
+      assert(r.getAs[Long]("n_orders") == n)
+      // downward closure: every sub-pair of an emitted triple is
+      // itself frequent (the Apriori property)
+      assert(freqPair((t._1, t._2)) && freqPair((t._1, t._3)) &&
+        freqPair((t._2, t._3)), s"closure violated for $t")
+    }
   }
 
   test("q435 OLS matches the textbook mean-centered fit per group " +

@@ -1295,11 +1295,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Sort "), p)
   }
 
-  test("q434: the part dim is BROADCAST into the basket extraction " +
-       "and the brand-pair self-join is never a cartesian — the " +
-       "expansion is bounded per order by the brand universe") {
-    val p = plan("q434_assoc_rules")
+  test("q434: the Apriori pruning set joins BROADCAST (left-semi) " +
+       "before the third item attaches, and nothing is a cartesian " +
+       "— downward closure does its work in the physical plan") {
+    val p = plan("q434_apriori_triples")
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
