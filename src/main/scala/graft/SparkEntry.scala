@@ -34,7 +34,8 @@ object SparkEntry {
     (analytics.Audit.queries, analytics.Audit.oracle),
     (analytics.Integrity.queries, analytics.Integrity.oracle),
     (analytics.Shift.queries, analytics.Shift.oracle),
-    (analytics.Mining.queries, analytics.Mining.oracle))
+    (analytics.Mining.queries, analytics.Mining.oracle),
+    (analytics.Learn.queries, analytics.Learn.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
