@@ -390,15 +390,402 @@ object Learn {
       |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_dist
       |FROM a2 GROUP BY k ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q471 — jackknife variance of a RATIO estimator (mean cents per
+  // event, per event type), leave-one-DAY-out: the resampling
+  // estimate for a nonlinear statistic where the naive variance
+  // formula is wrong. The pseudo-value grain is the calendar-bounded
+  // (type × day) table; each pseudo-ratio (S−s_i)/(N−n_i) is one
+  // IEEE division e9-rounded AT ITS ROW (the per-row-then-sum
+  // discipline), so the cross-row moments Σr, Σr² are exact
+  // integers and the jackknife se = √((D−1)(DΣr²−(Σr)²))/D is one
+  // identical readout chain. Days that hold the entire type are
+  // excluded (the leave-out set would be empty).
+  // ---------------------------------------------------------------------
+  private def q471(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir).select(
+      col("event_type").as("t"),
+      expr("CAST(datediff(to_date(ts_s), DATE '1970-01-01') AS BIGINT)")
+        .as("ed"),
+      round(col("value") * 100).cast("long").as("c"))
+    val days = ev.groupBy("t", "ed")
+      .agg(count(lit(1)).as("n_i"), sum(col("c")).as("s_i"))
+    val tot = days.groupBy("t").agg(sum(col("n_i")).as("nn"),
+      sum(col("s_i")).as("ss"), count(lit(1)).as("dd"))
+    val pseudo = days.join(tot, Seq("t"))
+      .filter(col("n_i") < col("nn"))
+      .select(col("t"),
+        round((col("ss") - col("s_i")).cast("double")
+            / (col("nn") - col("n_i")).cast("double") * 1000000000.0)
+          .cast("long").as("r_e9"))
+    pseudo.groupBy("t")
+      .agg(count(lit(1)).as("d"), sum(col("r_e9").cast(dec)).as("sr"),
+        sum(col("r_e9").cast(dec) * col("r_e9")).as("srr"))
+      .join(tot, Seq("t"))
+      .select(col("t").as("event_type"), col("d").as("n_days"),
+        round(col("ss").cast("double") / col("nn").cast("double")
+          * 1000000000.0).cast("long").as("r_e9"),
+        round(col("sr").cast("double") / col("d").cast("double"))
+          .cast("long").as("jk_mean_e9"),
+        round(sqrt((col("d").cast(dec) * col("srr") - col("sr") * col("sr"))
+            .cast("double") * (col("d").cast("double") - 1.0))
+          / col("d").cast("double")).cast("long").as("jk_se_e9"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q471Sql =
+    """WITH ev AS (
+      |  SELECT event_type AS t,
+      |    date_diff('day', DATE '1970-01-01',
+      |      CAST(date_trunc('second', ts) AS DATE)) AS ed,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |days AS (
+      |  SELECT t, ed, CAST(count(*) AS BIGINT) AS n_i,
+      |    CAST(sum(c) AS BIGINT) AS s_i
+      |  FROM ev GROUP BY t, ed),
+      |tot AS (
+      |  SELECT t, CAST(sum(n_i) AS BIGINT) AS nn,
+      |    CAST(sum(s_i) AS BIGINT) AS ss,
+      |    CAST(count(*) AS BIGINT) AS dd
+      |  FROM days GROUP BY t),
+      |pseudo AS (
+      |  SELECT days.t,
+      |    CAST(round(CAST(ss - s_i AS DOUBLE)
+      |      / CAST(nn - n_i AS DOUBLE) * 1000000000.0) AS BIGINT) AS r_e9
+      |  FROM days JOIN tot ON days.t = tot.t
+      |  WHERE n_i < nn),
+      |mom AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS d,
+      |    sum(CAST(r_e9 AS HUGEINT)) AS sr,
+      |    sum(CAST(r_e9 AS HUGEINT) * r_e9) AS srr
+      |  FROM pseudo GROUP BY t)
+      |SELECT mom.t AS event_type, d AS n_days,
+      |  CAST(round(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+      |    * 1000000000.0) AS BIGINT) AS r_e9,
+      |  CAST(round(CAST(sr AS DOUBLE) / CAST(d AS DOUBLE)) AS BIGINT)
+      |    AS jk_mean_e9,
+      |  CAST(round(sqrt(CAST(d * srr - sr * sr AS DOUBLE)
+      |      * (CAST(d AS DOUBLE) - 1.0))
+      |    / CAST(d AS DOUBLE)) AS BIGINT) AS jk_se_e9
+      |FROM mom JOIN tot ON mom.t = tot.t
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q472 — coarsened exact matching (CEM) for an observational
+  // average-treatment-effect-on-treated: treated users are those who
+  // purchased in the first 15 observed days; outcome is post-period
+  // spend; covariates (pre-period activity and spend) coarsen into
+  // pure-integer buckets, strata with both arms present match, and
+  // ATT is the treated-count-weighted mean of per-stratum outcome
+  // gaps. The matching step that makes this causal-ish is a GROUP BY
+  // on a ≤16-cell grid — embarrassingly distributable; per-stratum
+  // gaps e6-round at the stratum row (bounded grain), one final
+  // weighted division.
+  // ---------------------------------------------------------------------
+  private def q472(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir).select(col("user_id").as("u"),
+      col("event_type").as("ty"),
+      expr("CAST(datediff(to_date(ts_s), DATE '1970-01-01') AS BIGINT)")
+        .as("ed"),
+      round(col("value") * 100).cast("long").as("c"))
+    val split = ev.agg((min(col("ed")) + 15L).as("sp"))
+    val users = ev.crossJoin(broadcast(split))
+      .groupBy("u")
+      .agg(sum(when(col("ed") < col("sp"), 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("ed") < col("sp"), col("c")).otherwise(0L)).as("s_pre"),
+        max(when(col("ed") < col("sp") && col("ty") === "purchase", 1L)
+          .otherwise(0L)).as("treated"),
+        sum(when(col("ed") >= col("sp"), col("c")).otherwise(0L)).as("y"))
+      .filter(col("n_pre") > 0L)
+      // pure-integer coarsening (trunc-div then least on longs):
+      // a double + cast here would fork the engines — DuckDB rounds
+      // double→int casts where Spark truncates
+      .withColumn("b1",
+        least((col("n_pre") / lit(10L)).cast("long"), lit(3L)))
+      .withColumn("b2",
+        least((col("s_pre") / lit(50000L)).cast("long"), lit(3L)))
+    val strata = users.groupBy("b1", "b2")
+      .agg(sum(col("treated")).as("nt"),
+        sum(lit(1L) - col("treated")).as("nc"),
+        sum(when(col("treated") === 1L, col("y")).otherwise(0L)).as("syt"),
+        sum(when(col("treated") === 0L, col("y")).otherwise(0L)).as("syc"))
+      .filter(col("nt") > 0L && col("nc") > 0L)
+      .withColumn("d_e6",
+        round((col("syt").cast("double") / col("nt").cast("double")
+          - col("syc").cast("double") / col("nc").cast("double"))
+          * 1000000.0).cast("long"))
+    strata.agg(count(lit(1)).as("n_strata"),
+        sum(col("nt")).as("n_treated"), sum(col("nc")).as("n_control"),
+        sum(col("nt").cast(dec) * col("d_e6")).as("wsum"))
+      .select(col("n_strata"), col("n_treated"), col("n_control"),
+        round(col("wsum").cast("double") / col("n_treated").cast("double"))
+          .cast("long").as("att_e6"))
+  }
+
+  private val q472Sql =
+    """WITH ev AS (
+      |  SELECT user_id AS u, event_type AS ty,
+      |    date_diff('day', DATE '1970-01-01',
+      |      CAST(date_trunc('second', ts) AS DATE)) AS ed,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |split AS (SELECT min(ed) + 15 AS sp FROM ev),
+      |users AS (
+      |  SELECT u,
+      |    CAST(sum(CASE WHEN ed < sp THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+      |    CAST(sum(CASE WHEN ed < sp THEN c ELSE 0 END) AS BIGINT) AS s_pre,
+      |    CAST(max(CASE WHEN ed < sp AND ty = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS treated,
+      |    CAST(sum(CASE WHEN ed >= sp THEN c ELSE 0 END) AS BIGINT) AS y
+      |  FROM ev CROSS JOIN split
+      |  GROUP BY u
+      |  HAVING sum(CASE WHEN ed < sp THEN 1 ELSE 0 END) > 0),
+      |bucketed AS (
+      |  SELECT u, treated, y,
+      |    least(n_pre // 10, 3) AS b1,
+      |    least(s_pre // 50000, 3) AS b2
+      |  FROM users),
+      |strata AS (
+      |  SELECT b1, b2,
+      |    CAST(sum(treated) AS BIGINT) AS nt,
+      |    CAST(sum(1 - treated) AS BIGINT) AS nc,
+      |    CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+      |      AS syt,
+      |    CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+      |      AS syc
+      |  FROM bucketed GROUP BY b1, b2
+      |  HAVING sum(treated) > 0 AND sum(1 - treated) > 0),
+      |gaps AS (
+      |  SELECT nt, nc,
+      |    CAST(round((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+      |      - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS d_e6
+      |  FROM strata)
+      |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |  CAST(sum(nt) AS BIGINT) AS n_treated,
+      |  CAST(sum(nc) AS BIGINT) AS n_control,
+      |  CAST(round(CAST(sum(CAST(nt AS HUGEINT) * d_e6) AS DOUBLE)
+      |    / CAST(sum(nt) AS DOUBLE)) AS BIGINT) AS att_e6
+      |FROM gaps""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q473 — grid-DBSCAN over the first two embedding dimensions: the
+  // density-clustering shape that scales — points bucket once into
+  // an ε-grid (cell = 25000 e6-units), density is the 3×3
+  // neighborhood mass (a 9-offset broadcast join on the CELL grain,
+  // never a point-pair join), core cells pass a corpus-relative
+  // threshold (≥1% of all points), and clusters are connected
+  // components of the 8-adjacent core-cell graph
+  // ([[graft.operators.Dedup.connectedComponentsStar]], O(log n)
+  // rounds). Point coordinates shift non-negative before integer
+  // division so Spark's truncation and DuckDB's floor agree. The
+  // oracle replays the components with a recursive transitive-
+  // closure CTE — tractable because the cell graph is
+  // grid-universe-bounded, exactly the property that makes the
+  // operator scale.
+  // ---------------------------------------------------------------------
+  private def q473(s: SparkSession, dir: String): DataFrame = {
+    val cellW = 25000L
+    val pts = t(s, dir, "embeddings")
+      .select(
+        ((round(element_at(col("embedding"), 1).cast("double") * 1000000.0)
+          .cast("long") + lit(1000000L)) / lit(cellW)).cast("long").as("cx"),
+        ((round(element_at(col("embedding"), 2).cast("double") * 1000000.0)
+          .cast("long") + lit(1000000L)) / lit(cellW)).cast("long").as("cy"))
+    val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("cnt")).pin()
+    val n = cells.agg(sum(col("cnt")).as("n_total"))
+    // integer div BEFORE the -1 shift: id/3 is DOUBLE division in
+    // Spark, and trunc(id/3 - 1) folds -0.67 to 0, not -1
+    val offs = s.range(9).select(
+      ((col("id") / 3L).cast("long") - 1L).as("dx"),
+      (col("id") % 3L - 1L).cast("long").as("dy"))
+    val neigh = cells.crossJoin(broadcast(offs))
+      .groupBy((col("cx") + col("dx")).as("cx"),
+        (col("cy") + col("dy")).as("cy"))
+      .agg(sum(col("cnt")).as("nmass"))
+    val core = cells.join(neigh, Seq("cx", "cy"))
+      .crossJoin(broadcast(n))
+      .filter(col("nmass") * 100L >= col("n_total"))
+      .select(col("cx"), col("cy"), col("cnt"),
+        (col("cx") * 4096L + col("cy")).as("ck"))
+      .pin()
+    val edges = core.select(col("cx"), col("cy"), col("ck"))
+      .crossJoin(broadcast(offs))
+      .filter(col("dx") =!= 0L || col("dy") =!= 0L)
+      .select((col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"),
+        col("ck").as("id_a"))
+      .join(core.select(col("cx"), col("cy"), col("ck").as("id_b")),
+        Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.operators.Dedup.connectedComponentsStar(edges)
+    core.join(comp, core("ck") === comp("id"), "left")
+      .select(col("ck"), col("cnt"),
+        coalesce(col("cluster"), col("ck")).as("cluster"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_points"))
+      .orderBy(col("cluster"))
+  }
+
+  private val q473Sql =
+    """WITH RECURSIVE pts AS (
+      |  SELECT (CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000.0)
+      |      AS BIGINT) + 1000000) // 25000 AS cx,
+      |    (CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000.0)
+      |      AS BIGINT) + 1000000) // 25000 AS cy
+      |  FROM embeddings),
+      |cells AS (
+      |  SELECT cx, cy, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM pts GROUP BY cx, cy),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cells),
+      |offs AS (
+      |  SELECT CAST(i // 3 - 1 AS BIGINT) AS dx,
+      |    CAST(i % 3 - 1 AS BIGINT) AS dy
+      |  FROM range(9) t(i)),
+      |neigh AS (
+      |  -- aliases ncx/ncy, NOT cx/cy: DuckDB binds output aliases in
+      |  -- GROUP BY, so "GROUP BY cx + dx" with an output named cx
+      |  -- would double-shift
+      |  SELECT cells.cx + dx AS ncx, cells.cy + dy AS ncy,
+      |    CAST(sum(cnt) AS BIGINT) AS nmass
+      |  FROM cells CROSS JOIN offs
+      |  GROUP BY cells.cx + dx, cells.cy + dy),
+      |core AS (
+      |  SELECT cells.cx, cells.cy, cnt, cells.cx * 4096 + cells.cy AS ck
+      |  FROM cells
+      |  JOIN neigh ON ncx = cells.cx AND ncy = cells.cy
+      |  CROSS JOIN n
+      |  WHERE nmass * 100 >= n_total),
+      |edges AS (
+      |  SELECT a.ck AS src, b.ck AS dst
+      |  FROM core a JOIN core b
+      |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+      |    AND a.ck <> b.ck),
+      |reach(ck, lbl) AS (
+      |  SELECT ck, ck AS lbl FROM core
+      |  UNION
+      |  SELECT e.src, r.lbl
+      |  FROM reach r JOIN edges e ON r.ck = e.dst
+      |  WHERE r.lbl < e.src),
+      |comp AS (SELECT ck, min(lbl) AS cluster FROM reach GROUP BY ck)
+      |SELECT cluster, CAST(count(*) AS BIGINT) AS n_cells,
+      |  CAST(sum(cnt) AS BIGINT) AS n_points
+      |FROM core JOIN comp USING (ck)
+      |GROUP BY cluster
+      |ORDER BY cluster""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q474 — minimizer-sketch near-dup candidates: the genomics
+  // sketching scheme (minimap-style) as the positional alternative
+  // to MinHash — every 5-window of consecutive 3-gram shingles
+  // selects its minimum portable-hash shingle, the distinct selected
+  // set is the doc's sketch, and candidate pairs share a minimizer.
+  // Window selection is a doc-partitioned LEAD + running window min
+  // (never unpartitioned); the posting join df-prunes minimizers in
+  // >50 docs (stop-shingles) before pairing, the same hot-key
+  // discipline as the jaccard family. Jaccard over minimizer sets
+  // reads out per pair; top-20 by shared mass.
+  // ---------------------------------------------------------------------
+  private def q474(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(Text.words(col("text")))
+        .as(Seq("p", "w")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val kg = toks
+      .withColumn("w1", lead(col("w"), 1).over(wDoc))
+      .withColumn("w2", lead(col("w"), 2).over(wDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("p"),
+        graft.functions.PortableHash.hash60(
+          concat_ws(" ", col("w"), col("w1"), col("w2"))).as("h"))
+    val wmin = kg
+      .withColumn("mh", min(col("h")).over(
+        wDoc.rowsBetween(0, 4)))
+      .select(col("doc_id"), col("mh")).distinct().pin()
+    val sizes = wmin.groupBy("doc_id").agg(count(lit(1)).as("m"))
+    val pruned = wmin.join(
+      wmin.groupBy("mh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50L).select("mh"), Seq("mh"))
+    val pairs = pruned.as("a").join(pruned.as("b"),
+        col("a.mh") === col("b.mh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("da"), col("m").as("ma")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("m").as("mb")), Seq("db"))
+      .select(col("da"), col("db"), col("shared"),
+        round(col("shared").cast("double")
+          / (col("ma") + col("mb") - col("shared")).cast("double")
+          * 1000000.0).cast("long").as("jacc_e6"))
+      .orderBy(col("shared").desc, col("da").asc, col("db").asc)
+      .limit(20)
+  }
+
+  private val q474Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "concat_ws(' ', w, w1, w2)")
+    s"""WITH toks AS (
+      |  SELECT doc_id, CAST(q.p AS BIGINT) AS p, q.w AS w FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(len(ws)),
+      |        i -> {'p': i, 'w': ws[i+1]})) AS q
+      |    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+      |      x -> length(x) > 0) AS ws FROM documents))),
+      |kg AS (
+      |  SELECT doc_id, p, $h AS h FROM (
+      |    SELECT doc_id, p, w,
+      |      lead(w, 1) OVER (PARTITION BY doc_id ORDER BY p) AS w1,
+      |      lead(w, 2) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+      |    FROM toks)
+      |  WHERE w2 IS NOT NULL),
+      |wmin AS (
+      |  SELECT DISTINCT doc_id, mh FROM (
+      |    SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mh
+      |    FROM kg)),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m
+      |  FROM wmin GROUP BY doc_id),
+      |pruned AS (
+      |  SELECT wmin.doc_id, mh FROM wmin
+      |  JOIN (SELECT mh FROM wmin GROUP BY mh HAVING count(*) <= 50)
+      |    USING (mh)),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    CAST(count(*) AS BIGINT) AS shared
+      |  FROM pruned a JOIN pruned b
+      |    ON a.mh = b.mh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT da, db, shared,
+      |  CAST(round(CAST(shared AS DOUBLE)
+      |    / CAST(sa.m + sb.m - shared AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS jacc_e6
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = da
+      |JOIN sizes sb ON sb.doc_id = db
+      |ORDER BY shared DESC, da ASC, db ASC
+      |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q467_naive_bayes" -> (q467 _),
     "q468_decision_stump" -> (q468 _),
     "q469_batch_perceptron" -> (q469 _),
-    "q470_kmeans_lloyd" -> (q470 _))
+    "q470_kmeans_lloyd" -> (q470 _),
+    "q471_jackknife_ratio" -> (q471 _),
+    "q472_cem_att" -> (q472 _),
+    "q473_grid_dbscan" -> (q473 _),
+    "q474_minimizer_sketch" -> (q474 _))
 
   val oracle: Map[String, String] = Map(
     "q467_naive_bayes" -> q467Sql,
     "q468_decision_stump" -> q468Sql,
     "q469_batch_perceptron" -> q469Sql,
-    "q470_kmeans_lloyd" -> q470Sql)
+    "q470_kmeans_lloyd" -> q470Sql,
+    "q471_jackknife_ratio" -> q471Sql,
+    "q472_cem_att" -> q472Sql,
+    "q473_grid_dbscan" -> q473Sql,
+    "q474_minimizer_sketch" -> q474Sql)
 }
