@@ -769,6 +769,335 @@ object Learn {
       |LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q475 — repeated-substring span audit (the Lee et al.
+  // "Deduplicating Training Data Makes Language Models Better"
+  // primitive): every word-level 10-gram that occurs more than once
+  // ANYWHERE in the corpus marks its [p, p+9] token span, and
+  // per-doc overlapping/adjacent spans merge into maximal duplicated
+  // runs via the gaps-and-islands pattern (exclusive running max of
+  // span end, doc-partitioned windows only). Output: the 20 most
+  // duplicated docs with span count, duplicated-token mass, and
+  // share. The global duplicate test is one grouped count on the
+  // 10-gram hash grain — the suffix-array result at shuffle cost.
+  // ---------------------------------------------------------------------
+  private def q475(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(Text.words(col("text")))
+        .as(Seq("p", "w")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val leads = (1 to 9).foldLeft(toks) { case (df, i) =>
+      df.withColumn(s"w$i", lead(col("w"), i).over(wDoc))
+    }
+    val grams = leads.filter(col("w9").isNotNull)
+      .select(col("doc_id"), col("p"),
+        graft.functions.PortableHash.hash60(concat_ws(" ",
+          col("w") +: (1 to 9).map(i => col(s"w$i")): _*)).as("h"))
+      .pin()
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1L).select("h")
+    val marked = grams.join(dup, Seq("h"))
+      .select(col("doc_id"), col("p"), (col("p") + 9L).as("pe"))
+    val isl = marked
+      .withColumn("me", max(col("pe")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("me").isNull || col("p") > col("me") + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pe")) - min(col("p")) + 1L).as("len"))
+    val sizes = t(s, dir, "documents")
+      .select(col("doc_id"), size(Text.words(col("text"))).cast("long")
+        .as("n_tokens"))
+    isl.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("len")).as("dup_tokens"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"),
+        round(col("dup_tokens").cast("double")
+          / col("n_tokens").cast("double") * 1000000.0).cast("long")
+          .as("share_e6"))
+      .orderBy(col("dup_tokens").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private val q475Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "concat_ws(' ', w, w1, w2, w3, w4, w5, w6, w7, w8, w9)")
+    s"""WITH toks AS (
+      |  SELECT doc_id, CAST(q.p AS BIGINT) AS p, q.w AS w FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(len(ws)),
+      |        i -> {'p': i, 'w': ws[i+1]})) AS q
+      |    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+      |      x -> length(x) > 0) AS ws FROM documents))),
+      |leads AS (
+      |  SELECT doc_id, p, w,
+      |    lead(w, 1) OVER dw AS w1, lead(w, 2) OVER dw AS w2,
+      |    lead(w, 3) OVER dw AS w3, lead(w, 4) OVER dw AS w4,
+      |    lead(w, 5) OVER dw AS w5, lead(w, 6) OVER dw AS w6,
+      |    lead(w, 7) OVER dw AS w7, lead(w, 8) OVER dw AS w8,
+      |    lead(w, 9) OVER dw AS w9
+      |  FROM toks
+      |  WINDOW dw AS (PARTITION BY doc_id ORDER BY p)),
+      |grams AS (
+      |  SELECT doc_id, p, $h AS h FROM leads WHERE w9 IS NOT NULL),
+      |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+      |marked AS (
+      |  SELECT doc_id, p, p + 9 AS pe FROM grams JOIN dup USING (h)),
+      |isl AS (
+      |  SELECT doc_id, p, pe,
+      |    max(pe) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS me
+      |  FROM marked),
+      |num AS (
+      |  SELECT doc_id, p, pe,
+      |    sum(CASE WHEN me IS NULL OR p > me + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY p
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, island, max(pe) - min(p) + 1 AS len
+      |  FROM num GROUP BY doc_id, island),
+      |sizes AS (
+      |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+      |    x -> length(x) > 0)) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(len) AS BIGINT) AS dup_tokens
+      |  FROM spans GROUP BY doc_id)
+      |SELECT agg.doc_id, n_spans, dup_tokens, n_tokens,
+      |  CAST(round(CAST(dup_tokens AS DOUBLE)
+      |    / CAST(n_tokens AS DOUBLE) * 1000000.0) AS BIGINT) AS share_e6
+      |FROM agg JOIN sizes ON agg.doc_id = sizes.doc_id
+      |ORDER BY dup_tokens DESC, agg.doc_id ASC
+      |LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q476 — the first two gradient-boosting rounds (squared loss,
+  // stump base learners): round 1 fits a stump on the UTC hour to
+  // the cents target, round 2 fits a stump on epoch-day-mod-7 to the
+  // ROUND-1 RESIDUALS — additive boosting exactly as Friedman
+  // defines it, with every statistic exact. Each fit is the q468
+  // machinery on a clock-bounded axis (24/7 rows): cumulants of
+  // (n, Σr, Σr²), argmax of the variance-reduction gain
+  // S²_le/n_le + S²_gt/n_gt on a bit-identical IEEE chain, leaf
+  // predictions round(mean) in integer cents so residuals stay
+  // integers, and SSE before/after in closed form from the exact
+  // sufficient statistics (never a second data pass per candidate).
+  // ---------------------------------------------------------------------
+  private def q476(s: SparkSession, dir: String): DataFrame = {
+    // stump fit on a bounded integer feature axis: returns one row
+    // (thr, pred_le, pred_gt, sse_before, sse_after)
+    def fitStump(data: DataFrame, f: Column, r: Column): DataFrame = {
+      val base = data.select(f.as("f"), r.as("r"))
+      val axis = base.groupBy("f").agg(count(lit(1)).as("nf"),
+        sum(col("r").cast(dec)).as("sf"),
+        sum(col("r").cast(dec) * col("r")).as("qf"))
+      val c1 = graft.operators.Curate.globalCumSum(
+        axis, Seq(col("f")), col("nf"), "n_le", "r1")
+      val c2 = graft.operators.Curate.globalCumSum(
+        c1, Seq(col("f")), col("sf"), "s_le", "r2")
+      val c3 = graft.operators.Curate.globalCumSum(
+        c2, Seq(col("f")), col("qf"), "q_le", "r3")
+        .drop("r1", "r2", "r3")
+      val tot = axis.agg(sum(col("nf")).as("nn"),
+        sum(col("sf")).as("ss"), sum(col("qf")).as("qq"))
+      val scored = c3.crossJoin(broadcast(tot))
+        .filter(col("n_le") < col("nn"))
+        .withColumn("n_gt", col("nn") - col("n_le"))
+        .withColumn("s_gt", col("ss") - col("s_le"))
+        .withColumn("gain",
+          (col("s_le") * col("s_le")).cast("double")
+            / col("n_le").cast("double")
+          + (col("s_gt") * col("s_gt")).cast("double")
+            / col("n_gt").cast("double"))
+      val best = scored
+        .orderBy(col("gain").desc, col("f").asc).limit(1)
+      best.select(col("f").as("thr"),
+        round(col("s_le").cast("double") / col("n_le").cast("double"))
+          .cast("long").as("pred_le"),
+        round(col("s_gt").cast("double") / col("n_gt").cast("double"))
+          .cast("long").as("pred_gt"),
+        col("n_le"), col("s_le"), col("q_le"),
+        col("nn"), col("ss"), col("qq"))
+        .withColumn("mean0",
+          round(col("ss").cast("double") / col("nn").cast("double"))
+            .cast("long"))
+        .select(col("thr"), col("pred_le"), col("pred_gt"),
+          (col("qq") - lit(2L) * col("mean0") * col("ss")
+            + col("nn") * col("mean0").cast(dec) * col("mean0"))
+            .cast("long").as("sse_before"),
+          ((col("q_le") - lit(2L) * col("pred_le") * col("s_le")
+            + col("n_le") * col("pred_le").cast(dec) * col("pred_le"))
+          + ((col("qq") - col("q_le"))
+            - lit(2L) * col("pred_gt") * (col("ss") - col("s_le"))
+            + (col("nn") - col("n_le"))
+              * col("pred_gt").cast(dec) * col("pred_gt")))
+            .cast("long").as("sse_after"))
+    }
+    val ev = Tables.eventsSec(s, dir).select(
+        hour(col("ts_s")).cast("long").as("hr"),
+        pmod(expr("CAST(datediff(to_date(ts_s), DATE '1970-01-01') AS BIGINT)"),
+          lit(7L)).as("dw"),
+        round(col("value") * 100).cast("long").as("y"))
+      .pin()
+    val s1 = fitStump(ev, col("hr"), col("y"))
+    val withRes = ev.crossJoin(broadcast(
+        s1.select(col("thr").as("t1"), col("pred_le").as("pl1"),
+          col("pred_gt").as("pg1"))))
+      .withColumn("r1", col("y") -
+        when(col("hr") <= col("t1"), col("pl1")).otherwise(col("pg1")))
+    val s2 = fitStump(withRes, col("dw"), col("r1"))
+    s1.withColumn("round", lit(1L))
+      .unionByName(s2.withColumn("round", lit(2L)))
+      .select(col("round"), col("thr"), col("pred_le"), col("pred_gt"),
+        col("sse_before"), col("sse_after"))
+      .orderBy(col("round"))
+  }
+
+  private val q476Sql =
+    """WITH ev AS (
+      |  SELECT CAST(hour(date_trunc('second', ts)) AS BIGINT) AS hr,
+      |    CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(date_trunc('second', ts) AS DATE)) % 7 AS BIGINT) AS dw,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |ax1 AS (
+      |  SELECT hr AS f, CAST(count(*) AS BIGINT) AS nf,
+      |    sum(CAST(y AS HUGEINT)) AS sf,
+      |    sum(CAST(y AS HUGEINT) * y) AS qf
+      |  FROM ev GROUP BY hr),
+      |cum1 AS (
+      |  SELECT f, sum(nf) OVER w AS n_le, sum(sf) OVER w AS s_le,
+      |    sum(qf) OVER w AS q_le
+      |  FROM ax1 WINDOW w AS (ORDER BY f)),
+      |tot1 AS (
+      |  SELECT CAST(sum(nf) AS BIGINT) AS nn, sum(sf) AS ss,
+      |    sum(qf) AS qq FROM ax1),
+      |sc1 AS (
+      |  SELECT f, n_le, s_le, q_le, nn, ss, qq,
+      |    nn - n_le AS n_gt, ss - s_le AS s_gt,
+      |    CAST(s_le * s_le AS DOUBLE) / CAST(n_le AS DOUBLE)
+      |      + CAST((ss - s_le) * (ss - s_le) AS DOUBLE)
+      |        / CAST(nn - n_le AS DOUBLE) AS gain
+      |  FROM cum1 CROSS JOIN tot1
+      |  WHERE n_le < nn),
+      |b1 AS (
+      |  SELECT f AS thr,
+      |    CAST(round(CAST(s_le AS DOUBLE) / CAST(n_le AS DOUBLE))
+      |      AS BIGINT) AS pred_le,
+      |    CAST(round(CAST(s_gt AS DOUBLE) / CAST(n_gt AS DOUBLE))
+      |      AS BIGINT) AS pred_gt,
+      |    CAST(round(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      AS BIGINT) AS mean0,
+      |    n_le, s_le, q_le, nn, ss, qq
+      |  FROM sc1 ORDER BY gain DESC, f ASC LIMIT 1),
+      |r1row AS (
+      |  SELECT thr, pred_le, pred_gt,
+      |    CAST(qq - 2 * mean0 * ss + nn * CAST(mean0 AS HUGEINT) * mean0
+      |      AS BIGINT) AS sse_before,
+      |    CAST((q_le - 2 * pred_le * s_le
+      |        + n_le * CAST(pred_le AS HUGEINT) * pred_le)
+      |      + ((qq - q_le) - 2 * pred_gt * (ss - s_le)
+      |        + (nn - n_le) * CAST(pred_gt AS HUGEINT) * pred_gt)
+      |      AS BIGINT) AS sse_after
+      |  FROM b1),
+      |res AS (
+      |  SELECT dw, y - (CASE WHEN hr <= thr THEN pred_le
+      |    ELSE pred_gt END) AS r
+      |  FROM ev CROSS JOIN b1),
+      |ax2 AS (
+      |  SELECT dw AS f, CAST(count(*) AS BIGINT) AS nf,
+      |    sum(CAST(r AS HUGEINT)) AS sf,
+      |    sum(CAST(r AS HUGEINT) * r) AS qf
+      |  FROM res GROUP BY dw),
+      |cum2 AS (
+      |  SELECT f, sum(nf) OVER w AS n_le, sum(sf) OVER w AS s_le,
+      |    sum(qf) OVER w AS q_le
+      |  FROM ax2 WINDOW w AS (ORDER BY f)),
+      |tot2 AS (
+      |  SELECT CAST(sum(nf) AS BIGINT) AS nn, sum(sf) AS ss,
+      |    sum(qf) AS qq FROM ax2),
+      |sc2 AS (
+      |  SELECT f, n_le, s_le, q_le, nn, ss, qq,
+      |    nn - n_le AS n_gt, ss - s_le AS s_gt,
+      |    CAST(s_le * s_le AS DOUBLE) / CAST(n_le AS DOUBLE)
+      |      + CAST((ss - s_le) * (ss - s_le) AS DOUBLE)
+      |        / CAST(nn - n_le AS DOUBLE) AS gain
+      |  FROM cum2 CROSS JOIN tot2
+      |  WHERE n_le < nn),
+      |b2 AS (
+      |  SELECT f AS thr,
+      |    CAST(round(CAST(s_le AS DOUBLE) / CAST(n_le AS DOUBLE))
+      |      AS BIGINT) AS pred_le,
+      |    CAST(round(CAST(s_gt AS DOUBLE) / CAST(n_gt AS DOUBLE))
+      |      AS BIGINT) AS pred_gt,
+      |    CAST(round(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      AS BIGINT) AS mean0,
+      |    n_le, s_le, q_le, nn, ss, qq
+      |  FROM sc2 ORDER BY gain DESC, f ASC LIMIT 1),
+      |r2row AS (
+      |  SELECT thr, pred_le, pred_gt,
+      |    CAST(qq - 2 * mean0 * ss + nn * CAST(mean0 AS HUGEINT) * mean0
+      |      AS BIGINT) AS sse_before,
+      |    CAST((q_le - 2 * pred_le * s_le
+      |        + n_le * CAST(pred_le AS HUGEINT) * pred_le)
+      |      + ((qq - q_le) - 2 * pred_gt * (ss - s_le)
+      |        + (nn - n_le) * CAST(pred_gt AS HUGEINT) * pred_gt)
+      |      AS BIGINT) AS sse_after
+      |  FROM b2)
+      |SELECT CAST(1 AS BIGINT) AS round, thr, pred_le, pred_gt,
+      |  sse_before, sse_after FROM r1row
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS round, thr, pred_le, pred_gt,
+      |  sse_before, sse_after FROM r2row
+      |ORDER BY round""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q477 — weighted sampling WITHOUT replacement
+  // (Efraimidis–Spirakis A-Res): each doc draws a deterministic
+  // uniform u from its portable hash and keys on ln(u)/w (w =
+  // n_chars); the k largest keys ARE a weight-proportional sample
+  // without replacement — the one-pass distributed answer to
+  // "sample 50 docs by length" that a sequential reservoir cannot
+  // give. Per-row ln e9-rounds at the row; top-k is one
+  // TakeOrdered. Deterministic u = (hash mod 10⁹ + 1)/10⁹ keeps
+  // the whole pipeline engine-reproducible (the q131 Poisson-
+  // bootstrap convention).
+  // ---------------------------------------------------------------------
+  private def q477(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").as("w"),
+        (graft.functions.PortableHash.hash60(
+          concat(lit("wsamp:"), col("doc_id").cast("string")))
+          % 1000000000L + 1L).as("u_e9"))
+      .select(col("doc_id"), col("w"),
+        round(log(col("u_e9").cast("double") / 1000000000.0)
+          / col("w").cast("double") * 1000000000.0).cast("long")
+          .as("key_e9"))
+    keyed.orderBy(col("key_e9").desc, col("doc_id").asc).limit(50)
+  }
+
+  private val q477Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "concat('wsamp:', CAST(doc_id AS VARCHAR))")
+    s"""WITH keyed AS (
+      |  SELECT doc_id, n_chars AS w,
+      |    CAST(round(ln(CAST($h % 1000000000 + 1 AS DOUBLE)
+      |        / 1000000000.0)
+      |      / CAST(n_chars AS DOUBLE) * 1000000000.0) AS BIGINT)
+      |      AS key_e9
+      |  FROM documents)
+      |SELECT doc_id, w, key_e9 FROM keyed
+      |ORDER BY key_e9 DESC, doc_id ASC LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q467_naive_bayes" -> (q467 _),
     "q468_decision_stump" -> (q468 _),
@@ -777,7 +1106,10 @@ object Learn {
     "q471_jackknife_ratio" -> (q471 _),
     "q472_cem_att" -> (q472 _),
     "q473_grid_dbscan" -> (q473 _),
-    "q474_minimizer_sketch" -> (q474 _))
+    "q474_minimizer_sketch" -> (q474 _),
+    "q475_repeated_spans" -> (q475 _),
+    "q476_gbdt_rounds" -> (q476 _),
+    "q477_weighted_sample" -> (q477 _))
 
   val oracle: Map[String, String] = Map(
     "q467_naive_bayes" -> q467Sql,
@@ -787,5 +1119,8 @@ object Learn {
     "q471_jackknife_ratio" -> q471Sql,
     "q472_cem_att" -> q472Sql,
     "q473_grid_dbscan" -> q473Sql,
-    "q474_minimizer_sketch" -> q474Sql)
+    "q474_minimizer_sketch" -> q474Sql,
+    "q475_repeated_spans" -> q475Sql,
+    "q476_gbdt_rounds" -> q476Sql,
+    "q477_weighted_sample" -> q477Sql)
 }
