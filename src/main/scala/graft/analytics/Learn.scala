@@ -1098,6 +1098,553 @@ object Learn {
       |ORDER BY key_e9 DESC, doc_id ASC LIMIT 50""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q478 — PCA top component by POWER ITERATION, matrix-free: two
+  // rounds of v ← normalize(Xᵀ(Xv)) over the (id, dim) grain —
+  // never materializing the covariance, which is the only shape that
+  // survives wide X at scale. The 64-row vector broadcasts; each
+  // half-step is one grouped sum (scores per id, loadings per dim);
+  // products Xv stay exact longs, the Xᵀs reduction runs in
+  // decimal(38,0), and the vector re-quantizes to e6 integers after
+  // each normalization (one identical sqrt-divide-round chain), so
+  // both engines walk the same integer lattice. λ reads out as the
+  // pre-normalization magnitude of the final step.
+  // ---------------------------------------------------------------------
+  private def q478(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xv")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        round(col("xv").cast("double") * 1000000.0).cast("long").as("x"))
+      .pin()
+    val v0 = pts.select(col("d")).distinct()
+      .select(col("d"), when(col("d") === 0L, 1000000L).otherwise(0L)
+        .as("v"))
+    // loadings re-quantize to e9 longs BEFORE the norm (raw w ~ 10²²
+    // would overflow decimal(38,0) when squared); the rescale is the
+    // same IEEE chain on both engines, so the lattice stays shared
+    def step(v: DataFrame): DataFrame = {
+      val scores = pts.join(broadcast(v), Seq("d"))
+        .groupBy("vec_id").agg(sum(col("x") * col("v")).as("sc"))
+      val loads = pts.join(scores, Seq("vec_id"))
+        .groupBy("d").agg(sum(col("x").cast(dec) * col("sc")).as("w"))
+        .select(col("d"),
+          round(col("w").cast("double") / 1.0e9).cast("long").as("w9"))
+      val nrm = loads.agg(sum(col("w9").cast(dec) * col("w9")).as("n2"))
+      loads.crossJoin(broadcast(nrm))
+        .select(col("d"),
+          round(col("w9").cast("double")
+            / sqrt(greatest(col("n2").cast("double"), lit(1.0)))
+            * 1000000.0).cast("long").as("v"),
+          col("n2"))
+    }
+    val v1 = step(v0).select("d", "v")
+    val v2 = step(v1)
+    v2.select(col("d").as("dim"), col("v").as("v_e6"),
+        round(sqrt(greatest(col("n2").cast("double"), lit(1.0))) / 1000.0)
+          .cast("long").as("lambda_e6"))
+      .orderBy(col("dim"))
+  }
+
+  private val q478Sql =
+    """WITH pts AS (
+      |  SELECT vec_id, CAST(p.dim AS BIGINT) AS d, p.x AS x FROM (
+      |    SELECT vec_id,
+      |      unnest(list_transform(range(len(embedding)),
+      |        i -> {'dim': i,
+      |              'x': CAST(round(CAST(embedding[i+1] AS DOUBLE)
+      |                   * 1000000.0) AS BIGINT)})) AS p
+      |    FROM embeddings)),
+      |v0 AS (
+      |  SELECT DISTINCT d,
+      |    CASE WHEN d = 0 THEN 1000000 ELSE 0 END AS v
+      |  FROM pts),
+      |sc1 AS (
+      |  SELECT vec_id, CAST(sum(x * v) AS BIGINT) AS sc
+      |  FROM pts JOIN v0 USING (d) GROUP BY vec_id),
+      |ld1 AS (
+      |  SELECT d, CAST(round(CAST(sum(CAST(x AS HUGEINT) * sc) AS DOUBLE)
+      |    / 1.0e9) AS BIGINT) AS w9
+      |  FROM pts JOIN sc1 USING (vec_id) GROUP BY d),
+      |n1 AS (SELECT sum(CAST(w9 AS HUGEINT) * w9) AS n2 FROM ld1),
+      |v1 AS (
+      |  SELECT d, CAST(round(CAST(w9 AS DOUBLE)
+      |    / sqrt(greatest(CAST(n2 AS DOUBLE), 1.0))
+      |    * 1000000.0) AS BIGINT) AS v
+      |  FROM ld1 CROSS JOIN n1),
+      |sc2 AS (
+      |  SELECT vec_id, CAST(sum(x * v) AS BIGINT) AS sc
+      |  FROM pts JOIN v1 USING (d) GROUP BY vec_id),
+      |ld2 AS (
+      |  SELECT d, CAST(round(CAST(sum(CAST(x AS HUGEINT) * sc) AS DOUBLE)
+      |    / 1.0e9) AS BIGINT) AS w9
+      |  FROM pts JOIN sc2 USING (vec_id) GROUP BY d),
+      |n2t AS (SELECT sum(CAST(w9 AS HUGEINT) * w9) AS n2 FROM ld2)
+      |SELECT d AS dim,
+      |  CAST(round(CAST(w9 AS DOUBLE)
+      |    / sqrt(greatest(CAST(n2 AS DOUBLE), 1.0))
+      |    * 1000000.0) AS BIGINT) AS v_e6,
+      |  CAST(round(sqrt(greatest(CAST(n2 AS DOUBLE), 1.0)) / 1000.0)
+      |    AS BIGINT) AS lambda_e6
+      |FROM ld2 CROSS JOIN n2t
+      |ORDER BY dim""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q479 — ridge regression in closed form, 3 features (bias, UTC
+  // hour, epoch-day-mod-7) against cents: w = (XᵀX + λI)⁻¹ Xᵀy
+  // solved by CRAMER'S RULE on exact decimal(38,0) sufficient
+  // statistics — six Gram entries + three moment entries from ONE
+  // map-side-combined scan, 3×3 determinants as integer polynomial
+  // expressions (≲10³⁵ at sf100, inside both engines' 128-bit
+  // decimals), one IEEE division per weight. The distributed-
+  // training point: the data pass is feature-count-bounded
+  // aggregation; the solve is O(p³) on the driver-side literal
+  // plan, p = 3.
+  // ---------------------------------------------------------------------
+  private def q479(s: SparkSession, dir: String): DataFrame = {
+    val lam = 1000L
+    val f = Tables.eventsSec(s, dir).select(
+      hour(col("ts_s")).cast("long").as("h"),
+      pmod(expr("CAST(datediff(to_date(ts_s), DATE '1970-01-01') AS BIGINT)"),
+        lit(7L)).as("dw"),
+      round(col("value") * 100).cast("long").as("y"))
+    val g = f.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("h").cast(dec)).as("sh"),
+      sum(col("dw").cast(dec)).as("sd"),
+      sum(col("h").cast(dec) * col("h")).as("shh"),
+      sum(col("h").cast(dec) * col("dw")).as("shd"),
+      sum(col("dw").cast(dec) * col("dw")).as("sdd"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(col("h").cast(dec) * col("y")).as("shy"),
+      sum(col("dw").cast(dec) * col("y")).as("sdy"))
+    def det3(a: Column, b: Column, c: Column,
+             d: Column, e: Column, fq: Column,
+             p: Column, q: Column, r: Column): Column =
+      a * (e * r - fq * q) - b * (d * r - fq * p) + c * (d * q - e * p)
+    val a11 = col("n") + lit(lam); val a12 = col("sh"); val a13 = col("sd")
+    val a22 = col("shh") + lit(lam); val a23 = col("shd")
+    val a33 = col("sdd") + lit(lam)
+    g.select(col("n").cast("long").as("n"),
+        det3(a11, a12, a13, a12, a22, a23, a13, a23, a33).as("det"),
+        det3(col("sy"), a12, a13, col("shy"), a22, a23,
+          col("sdy"), a23, a33).as("d0"),
+        det3(a11, col("sy"), a13, a12, col("shy"), a23,
+          a13, col("sdy"), a33).as("d1"),
+        det3(a11, a12, col("sy"), a12, a22, col("shy"),
+          a13, a23, col("sdy")).as("d2"))
+      .select(col("n"),
+        round(col("d0").cast("double") / col("det").cast("double")
+          * 1000000.0).cast("long").as("w0_e6"),
+        round(col("d1").cast("double") / col("det").cast("double")
+          * 1000000.0).cast("long").as("w1_e6"),
+        round(col("d2").cast("double") / col("det").cast("double")
+          * 1000000.0).cast("long").as("w2_e6"))
+  }
+
+  private val q479Sql =
+    """WITH f AS (
+      |  SELECT CAST(hour(date_trunc('second', ts)) AS BIGINT) AS h,
+      |    CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(date_trunc('second', ts) AS DATE)) % 7 AS BIGINT) AS dw,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |g AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(h AS HUGEINT)) AS sh,
+      |    sum(CAST(dw AS HUGEINT)) AS sd,
+      |    sum(CAST(h AS HUGEINT) * h) AS shh,
+      |    sum(CAST(h AS HUGEINT) * dw) AS shd,
+      |    sum(CAST(dw AS HUGEINT) * dw) AS sdd,
+      |    sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(h AS HUGEINT) * y) AS shy,
+      |    sum(CAST(dw AS HUGEINT) * y) AS sdy
+      |  FROM f),
+      |d AS (
+      |  SELECT CAST(n AS BIGINT) AS n,
+      |    (n + 1000) * ((shh + 1000) * (sdd + 1000) - shd * shd)
+      |      - sh * (sh * (sdd + 1000) - shd * sd)
+      |      + sd * (sh * shd - (shh + 1000) * sd) AS det,
+      |    sy * ((shh + 1000) * (sdd + 1000) - shd * shd)
+      |      - sh * (shy * (sdd + 1000) - shd * sdy)
+      |      + sd * (shy * shd - (shh + 1000) * sdy) AS d0,
+      |    (n + 1000) * (shy * (sdd + 1000) - shd * sdy)
+      |      - sy * (sh * (sdd + 1000) - shd * sd)
+      |      + sd * (sh * sdy - shy * sd) AS d1,
+      |    (n + 1000) * ((shh + 1000) * sdy - shy * shd)
+      |      - sh * (sh * sdy - shy * sd)
+      |      + sy * (sh * shd - (shh + 1000) * sd) AS d2
+      |  FROM g)
+      |SELECT n,
+      |  CAST(round(CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS w0_e6,
+      |  CAST(round(CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS w1_e6,
+      |  CAST(round(CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS w2_e6
+      |FROM d""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q480 — learning-curve audit: the sample-complexity sweep a
+  // training platform runs before paying for more data. Rows bucket
+  // 0–9 by deterministic hash; for every train fraction k/10
+  // (cumulative buckets < k, k = 1..9) a stump on the UTC hour fits
+  // from (bucket × hour)-grain cumulants — ONE scan feeds all nine
+  // fits — and evaluates on the held-out bucket 9. Train/validation
+  // SSE in closed form from exact sufficient statistics; the
+  // (k × hour) working grain is 216 rows at any corpus size.
+  // ---------------------------------------------------------------------
+  private def q480(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.eventsSec(s, dir).select(
+        hour(col("ts_s")).cast("long").as("hr"),
+        round(col("value") * 100).cast("long").as("y"),
+        (graft.functions.PortableHash.hash60(
+          concat(lit("lc:"), col("event_id").cast("string")))
+          % 10L).as("b"))
+    val bh = ev.groupBy("b", "hr").agg(count(lit(1)).as("nf"),
+      sum(col("y").cast(dec)).as("sf"),
+      sum(col("y").cast(dec) * col("y")).as("qf")).pin()
+    val ks = s.range(1, 10).select(col("id").as("k"))
+    val kh = bh.join(broadcast(ks), col("b") < col("k"))
+      .groupBy("k", "hr").agg(sum(col("nf")).as("nf"),
+        sum(col("sf")).as("sf"), sum(col("qf")).as("qf"))
+    val wK = Window.partitionBy(col("k")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = kh
+      .withColumn("n_le", sum(col("nf")).over(wK))
+      .withColumn("s_le", sum(col("sf")).over(wK))
+      .withColumn("q_le", sum(col("qf")).over(wK))
+    val tot = kh.groupBy("k").agg(sum(col("nf")).as("nn"),
+      sum(col("sf")).as("ss"), sum(col("qf")).as("qq"))
+    // the when() guard is belt-and-braces for ANSI mode: the argmax
+    // join re-evaluates this projection in two subtrees and a
+    // reordered evaluation must not divide on a filtered-out row
+    val scored = cum.join(tot, Seq("k"))
+      .filter(col("n_le") < col("nn"))
+      .withColumn("gain",
+        when(col("n_le") > 0L && col("n_le") < col("nn"),
+          (col("s_le") * col("s_le")).cast("double")
+            / col("n_le").cast("double")
+          + ((col("ss") - col("s_le")) * (col("ss") - col("s_le")))
+            .cast("double") / (col("nn") - col("n_le")).cast("double")))
+    val mg = scored.groupBy("k").agg(max(col("gain")).as("mg"))
+    val thrK = scored.join(mg, Seq("k"))
+      .filter(col("gain") === col("mg"))
+      .groupBy("k").agg(min(col("hr")).as("thr"))
+      .select(col("k").as("tk"), col("thr")) // renamed: self-join lineage
+    val best = scored.join(thrK,
+        scored("k") === col("tk") && scored("hr") === col("thr"))
+      .select(scored("k"), col("thr"), col("n_le"), col("s_le"),
+        col("q_le"), col("nn"), col("ss"), col("qq"))
+      .withColumn("pred_le",
+        round(col("s_le").cast("double") / col("n_le").cast("double"))
+          .cast("long"))
+      .withColumn("pred_gt",
+        round((col("ss") - col("s_le")).cast("double")
+          / (col("nn") - col("n_le")).cast("double")).cast("long"))
+      .withColumn("train_sse",
+        ((col("q_le") - lit(2L) * col("pred_le") * col("s_le")
+          + col("n_le") * col("pred_le").cast(dec) * col("pred_le"))
+        + ((col("qq") - col("q_le"))
+          - lit(2L) * col("pred_gt") * (col("ss") - col("s_le"))
+          + (col("nn") - col("n_le"))
+            * col("pred_gt").cast(dec) * col("pred_gt")))
+          .cast("long"))
+      .pin()
+    val vax = ev.filter(col("b") === 9L).groupBy("hr")
+      .agg(count(lit(1)).as("n9"), sum(col("y").cast(dec)).as("s9"),
+        sum(col("y").cast(dec) * col("y")).as("q9"))
+    val vsse = vax.crossJoin(broadcast(
+        best.select(col("k"), col("thr"), col("pred_le"), col("pred_gt"))))
+      .withColumn("pred", when(col("hr") <= col("thr"), col("pred_le"))
+        .otherwise(col("pred_gt")))
+      .groupBy("k")
+      .agg(sum(col("q9") - lit(2L) * col("pred") * col("s9")
+        + col("n9") * col("pred").cast(dec) * col("pred"))
+        .cast("long").as("val_sse"))
+      .select(col("k").as("vk"), col("val_sse"))
+    best.join(vsse, best("k") === col("vk"))
+      .select(best("k"), col("nn").as("n_train"), col("thr"),
+        col("pred_le"), col("pred_gt"), col("train_sse"), col("val_sse"))
+      .orderBy(col("k"))
+  }
+
+  private val q480Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "concat('lc:', CAST(event_id AS VARCHAR))")
+    s"""WITH ev AS (
+      |  SELECT CAST(hour(date_trunc('second', ts)) AS BIGINT) AS hr,
+      |    CAST(round(value * 100) AS BIGINT) AS y,
+      |    $h % 10 AS b
+      |  FROM events),
+      |bh AS (
+      |  SELECT b, hr, CAST(count(*) AS BIGINT) AS nf,
+      |    sum(CAST(y AS HUGEINT)) AS sf,
+      |    sum(CAST(y AS HUGEINT) * y) AS qf
+      |  FROM ev GROUP BY b, hr),
+      |ks AS (SELECT CAST(i AS BIGINT) AS k FROM range(1, 10) t(i)),
+      |kh AS (
+      |  SELECT k, hr, CAST(sum(nf) AS BIGINT) AS nf,
+      |    sum(sf) AS sf, sum(qf) AS qf
+      |  FROM bh JOIN ks ON b < k GROUP BY k, hr),
+      |cum AS (
+      |  SELECT k, hr, sum(nf) OVER w AS n_le, sum(sf) OVER w AS s_le,
+      |    sum(qf) OVER w AS q_le
+      |  FROM kh WINDOW w AS (PARTITION BY k ORDER BY hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (
+      |  SELECT k, CAST(sum(nf) AS BIGINT) AS nn, sum(sf) AS ss,
+      |    sum(qf) AS qq
+      |  FROM kh GROUP BY k),
+      |scored AS (
+      |  SELECT cum.k, hr, n_le, s_le, q_le, nn, ss, qq,
+      |    CAST(s_le * s_le AS DOUBLE) / CAST(n_le AS DOUBLE)
+      |      + CAST((ss - s_le) * (ss - s_le) AS DOUBLE)
+      |        / CAST(nn - n_le AS DOUBLE) AS gain
+      |  FROM cum JOIN tot ON cum.k = tot.k
+      |  WHERE n_le < nn),
+      |mg AS (SELECT k, max(gain) AS m FROM scored GROUP BY k),
+      |thrk AS (
+      |  SELECT scored.k, min(hr) AS thr
+      |  FROM scored JOIN mg ON scored.k = mg.k AND gain = m
+      |  GROUP BY scored.k),
+      |best AS (
+      |  SELECT s.k, thr, n_le, s_le, q_le, nn, ss, qq,
+      |    CAST(round(CAST(s_le AS DOUBLE) / CAST(n_le AS DOUBLE))
+      |      AS BIGINT) AS pred_le,
+      |    CAST(round(CAST(ss - s_le AS DOUBLE)
+      |      / CAST(nn - n_le AS DOUBLE)) AS BIGINT) AS pred_gt
+      |  FROM scored s JOIN thrk ON s.k = thrk.k AND s.hr = thrk.thr),
+      |trn AS (
+      |  SELECT k, thr, nn, pred_le, pred_gt,
+      |    CAST((q_le - 2 * pred_le * s_le
+      |        + n_le * CAST(pred_le AS HUGEINT) * pred_le)
+      |      + ((qq - q_le) - 2 * pred_gt * (ss - s_le)
+      |        + (nn - n_le) * CAST(pred_gt AS HUGEINT) * pred_gt)
+      |      AS BIGINT) AS train_sse
+      |  FROM best),
+      |vax AS (
+      |  SELECT hr, CAST(count(*) AS BIGINT) AS n9,
+      |    sum(CAST(y AS HUGEINT)) AS s9,
+      |    sum(CAST(y AS HUGEINT) * y) AS q9
+      |  FROM ev WHERE b = 9 GROUP BY hr),
+      |vs AS (
+      |  SELECT k, CAST(sum(q9 - 2 * pred * s9
+      |      + n9 * CAST(pred AS HUGEINT) * pred) AS BIGINT) AS val_sse
+      |  FROM (
+      |    SELECT trn.k, q9, s9, n9,
+      |      CASE WHEN hr <= thr THEN pred_le ELSE pred_gt END AS pred
+      |    FROM vax CROSS JOIN trn)
+      |  GROUP BY k)
+      |SELECT trn.k, nn AS n_train, thr, pred_le, pred_gt, train_sse,
+      |  val_sse
+      |FROM trn JOIN vs ON trn.k = vs.k
+      |ORDER BY trn.k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q481 — Rocchio (nearest-centroid) TF-IDF text classifier with
+  // its confusion matrix: the train-and-eval loop as three grouped
+  // aggregates. TF-IDF weights are exact integers (tf × e6 idf, one
+  // e6 ln per VOCAB word); per-lang centroids are unnormalized SUMS
+  // (cosine is scale-invariant, so skipping the mean division keeps
+  // the centroid exact); scoring joins each doc's sparse vector to
+  // the 50×5 centroid table and argmaxes one identical
+  // dot/√(‖d‖²·‖c‖²) chain per (doc, lang), ties to the smaller
+  // lang. Docs with no vocabulary token drop on both engines alike.
+  // Output: the lang × lang confusion matrix.
+  // ---------------------------------------------------------------------
+  private def q481(s: SparkSession, dir: String): DataFrame = {
+    val v = 50
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(Text.words(col("text"))).as("wd"))
+      .pin()
+    val vocab = words.groupBy("wd").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("wd").asc).limit(v)
+      .select(col("wd"))
+    val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+    val df = words.join(broadcast(vocab), Seq("wd"))
+      .groupBy("wd").agg(countDistinct(col("doc_id")).as("df"))
+    val idf = df.crossJoin(broadcast(nDocs))
+      .select(col("wd"),
+        round(log(col("nd").cast("double") / col("df").cast("double"))
+          * 1000000.0).cast("long").as("idf_e6"))
+    val docw = words.join(broadcast(vocab), Seq("wd"))
+      .groupBy("doc_id", "lang", "wd").agg(count(lit(1)).as("tf"))
+      .join(broadcast(idf), Seq("wd"))
+      .select(col("doc_id"), col("lang"), col("wd"),
+        (col("tf") * col("idf_e6")).as("w"))
+      .pin()
+    val cent = docw.groupBy(col("lang").as("cl"), col("wd"))
+      .agg(sum(col("w").cast(dec)).as("c"))
+    val nc2 = cent.groupBy("cl").agg(sum(col("c") * col("c")).as("nc2"))
+    val nd2 = docw.groupBy("doc_id")
+      .agg(sum(col("w").cast(dec) * col("w")).as("nd2"))
+    val dots = docw.join(broadcast(cent), Seq("wd"))
+      .groupBy("doc_id", "lang", "cl")
+      .agg(sum(col("w").cast(dec) * col("c")).as("dot"))
+    val scoredDocs = dots.join(nd2, Seq("doc_id"))
+      .join(broadcast(nc2), Seq("cl"))
+      .withColumn("score", col("dot").cast("double")
+        / sqrt(col("nd2").cast("double") * col("nc2").cast("double")))
+    val mx = scoredDocs.groupBy("doc_id").agg(max(col("score")).as("ms"))
+    val pred = scoredDocs.join(mx, Seq("doc_id"))
+      .filter(col("score") === col("ms"))
+      .groupBy("doc_id", "lang").agg(min(col("cl")).as("pred_lang"))
+    pred.groupBy(col("lang").as("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  private val q481Sql =
+    """WITH words AS (
+      |  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '),
+      |    w -> length(w) > 0)) AS wd
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT wd FROM (
+      |    SELECT wd, count(*) AS cf FROM words GROUP BY wd
+      |    ORDER BY cf DESC, wd ASC LIMIT 50)),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |idf AS (
+      |  SELECT wd, CAST(round(ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS idf_e6
+      |  FROM (SELECT wd, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |    FROM words JOIN vocab USING (wd) GROUP BY wd)
+      |  CROSS JOIN nd),
+      |docw AS (
+      |  SELECT doc_id, lang, wd, tf * idf_e6 AS w FROM (
+      |    SELECT doc_id, lang, wd, CAST(count(*) AS BIGINT) AS tf
+      |    FROM words JOIN vocab USING (wd) GROUP BY doc_id, lang, wd)
+      |  JOIN idf USING (wd)),
+      |cent AS (
+      |  SELECT lang AS cl, wd, sum(CAST(w AS HUGEINT)) AS c
+      |  FROM docw GROUP BY lang, wd),
+      |nc2 AS (SELECT cl, sum(c * c) AS nc2 FROM cent GROUP BY cl),
+      |nd2 AS (
+      |  SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS nd2
+      |  FROM docw GROUP BY doc_id),
+      |dots AS (
+      |  SELECT doc_id, lang, cl, sum(CAST(w AS HUGEINT) * c) AS dot
+      |  FROM docw JOIN cent USING (wd)
+      |  GROUP BY doc_id, lang, cl),
+      |scored AS (
+      |  SELECT doc_id, lang, cl,
+      |    CAST(dot AS DOUBLE)
+      |      / sqrt(CAST(nd2 AS DOUBLE) * CAST(nc2 AS DOUBLE)) AS score
+      |  FROM dots JOIN nd2 USING (doc_id) JOIN nc2 USING (cl)),
+      |mx AS (SELECT doc_id, max(score) AS ms FROM scored GROUP BY doc_id),
+      |pred AS (
+      |  SELECT scored.doc_id, lang, min(cl) AS pred_lang
+      |  FROM scored JOIN mx ON scored.doc_id = mx.doc_id AND score = ms
+      |  GROUP BY scored.doc_id, lang)
+      |SELECT lang AS true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      |FROM pred
+      |GROUP BY lang, pred_lang
+      |ORDER BY true_lang, pred_lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q482 — bagging: eight Poisson-bootstrap replicates (the q131
+  // engine-reproducible resampling convention — deterministic
+  // Poisson(1) weights from the portable hash) each fit a WEIGHTED
+  // stump on the UTC hour, showing the ensemble's structural
+  // variance directly: per-replicate thresholds and leaf predictions
+  // from weighted cumulants on the (rep × hour) grain. One scan
+  // carries all eight replicates; zero-weight sides are excluded
+  // before the gain division on both engines.
+  // ---------------------------------------------------------------------
+  private def q482(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = graft.functions.PortableHash.hash60(
+        concat(lit("bag:"), col("event_id"), lit(":"), col("rep")))
+      .cast("double") / lit(1.152921504606846976e18)
+    val ev = Tables.eventsSec(s, dir).select(col("event_id"),
+        hour(col("ts_s")).cast("long").as("hr"),
+        round(col("value") * 100).cast("long").as("y"))
+      .withColumn("rep", explode(sequence(lit(0L), lit(7L))))
+      .withColumn("w", graft.operators.Curate.poissonWeight(u).cast("long"))
+    val axis = ev.groupBy("rep", "hr")
+      .agg(sum(col("w")).as("nf"), sum(col("w").cast(dec) * col("y")).as("sf"))
+    val wR = Window.partitionBy(col("rep")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = axis
+      .withColumn("n_le", sum(col("nf")).over(wR))
+      .withColumn("s_le", sum(col("sf")).over(wR))
+    val tot = axis.groupBy("rep").agg(sum(col("nf")).as("nn"),
+      sum(col("sf")).as("ss"))
+    val scored = cum.join(tot, Seq("rep"))
+      .filter(col("n_le") > 0L && col("n_le") < col("nn"))
+      .withColumn("gain",
+        when(col("n_le") > 0L && col("n_le") < col("nn"),
+          (col("s_le") * col("s_le")).cast("double")
+            / col("n_le").cast("double")
+          + ((col("ss") - col("s_le")) * (col("ss") - col("s_le")))
+            .cast("double") / (col("nn") - col("n_le")).cast("double")))
+    val mg = scored.groupBy("rep").agg(max(col("gain")).as("mg"))
+    val thr = scored.join(mg, Seq("rep"))
+      .filter(col("gain") === col("mg"))
+      .groupBy("rep").agg(min(col("hr")).as("thr"))
+      .select(col("rep").as("tr"), col("thr")) // renamed: self-join lineage
+    scored.join(thr,
+        scored("rep") === col("tr") && scored("hr") === col("thr"))
+      .select(scored("rep"), col("thr"),
+        round(col("s_le").cast("double") / col("n_le").cast("double"))
+          .cast("long").as("pred_le"),
+        round((col("ss") - col("s_le")).cast("double")
+          / (col("nn") - col("n_le")).cast("double")).cast("long")
+          .as("pred_gt"),
+        col("nn").as("n_eff"))
+      .orderBy(col("rep"))
+  }
+
+  private val q482Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "'bag:' || CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)")
+    val w = graft.operators.Curate.poissonWeightDuckSql(
+      s"CAST($h AS DOUBLE) / 1.152921504606846976e18")
+    s"""WITH ev AS (
+      |  SELECT event_id,
+      |    CAST(hour(date_trunc('second', ts)) AS BIGINT) AS hr,
+      |    CAST(round(value * 100) AS BIGINT) AS y,
+      |    unnest(range(8)) AS rep
+      |  FROM events),
+      |wtd AS (
+      |  SELECT CAST(rep AS BIGINT) AS rep, hr, y, CAST($w AS BIGINT) AS w
+      |  FROM ev),
+      |axis AS (
+      |  SELECT rep, hr, CAST(sum(w) AS BIGINT) AS nf,
+      |    sum(CAST(w AS HUGEINT) * y) AS sf
+      |  FROM wtd GROUP BY rep, hr),
+      |cum AS (
+      |  SELECT rep, hr, sum(nf) OVER ww AS n_le, sum(sf) OVER ww AS s_le
+      |  FROM axis WINDOW ww AS (PARTITION BY rep ORDER BY hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (
+      |  SELECT rep, CAST(sum(nf) AS BIGINT) AS nn, sum(sf) AS ss
+      |  FROM axis GROUP BY rep),
+      |scored AS (
+      |  SELECT cum.rep, hr, n_le, s_le, nn, ss,
+      |    CAST(s_le * s_le AS DOUBLE) / CAST(n_le AS DOUBLE)
+      |      + CAST((ss - s_le) * (ss - s_le) AS DOUBLE)
+      |        / CAST(nn - n_le AS DOUBLE) AS gain
+      |  FROM cum JOIN tot ON cum.rep = tot.rep
+      |  WHERE n_le > 0 AND n_le < nn),
+      |mg AS (SELECT rep, max(gain) AS m FROM scored GROUP BY rep),
+      |thr AS (
+      |  SELECT scored.rep, min(hr) AS thr
+      |  FROM scored JOIN mg ON scored.rep = mg.rep AND gain = m
+      |  GROUP BY scored.rep)
+      |SELECT s.rep, thr.thr,
+      |  CAST(round(CAST(s_le AS DOUBLE) / CAST(n_le AS DOUBLE))
+      |    AS BIGINT) AS pred_le,
+      |  CAST(round(CAST(ss - s_le AS DOUBLE) / CAST(nn - n_le AS DOUBLE))
+      |    AS BIGINT) AS pred_gt,
+      |  nn AS n_eff
+      |FROM scored s JOIN thr ON s.rep = thr.rep AND s.hr = thr.thr
+      |ORDER BY s.rep""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q467_naive_bayes" -> (q467 _),
     "q468_decision_stump" -> (q468 _),
@@ -1109,7 +1656,12 @@ object Learn {
     "q474_minimizer_sketch" -> (q474 _),
     "q475_repeated_spans" -> (q475 _),
     "q476_gbdt_rounds" -> (q476 _),
-    "q477_weighted_sample" -> (q477 _))
+    "q477_weighted_sample" -> (q477 _),
+    "q478_pca_power" -> (q478 _),
+    "q479_ridge_cramer" -> (q479 _),
+    "q480_learning_curve" -> (q480 _),
+    "q481_rocchio_tfidf" -> (q481 _),
+    "q482_bagged_stumps" -> (q482 _))
 
   val oracle: Map[String, String] = Map(
     "q467_naive_bayes" -> q467Sql,
@@ -1122,5 +1674,10 @@ object Learn {
     "q474_minimizer_sketch" -> q474Sql,
     "q475_repeated_spans" -> q475Sql,
     "q476_gbdt_rounds" -> q476Sql,
-    "q477_weighted_sample" -> q477Sql)
+    "q477_weighted_sample" -> q477Sql,
+    "q478_pca_power" -> q478Sql,
+    "q479_ridge_cramer" -> q479Sql,
+    "q480_learning_curve" -> q480Sql,
+    "q481_rocchio_tfidf" -> q481Sql,
+    "q482_bagged_stumps" -> q482Sql)
 }
