@@ -287,4 +287,215 @@ class LearnSpec extends AnyFunSuite {
     // boosting actually helps on this data: each stump reduces SSE
     assert(sa1 < sb1 && sa2 < sb2)
   }
+
+  test("q479 ridge regression: Cramer's rule replayed in BigInt from " +
+       "the same rows lands on identical weights") {
+    val rows = eventsF.map { case (_, hr, dw, c, _) => (hr, dw, c) }
+    val lam = BigInt(1000)
+    val n = BigInt(rows.size)
+    def S(f: ((Long, Long, Long)) => BigInt): BigInt = rows.map(f).sum
+    val sh = S(r => BigInt(r._1)); val sd = S(r => BigInt(r._2))
+    val shh = S(r => BigInt(r._1) * r._1)
+    val shd = S(r => BigInt(r._1) * r._2)
+    val sdd = S(r => BigInt(r._2) * r._2)
+    val sy = S(r => BigInt(r._3)); val shy = S(r => BigInt(r._1) * r._3)
+    val sdy = S(r => BigInt(r._2) * r._3)
+    def det3(a: BigInt, b: BigInt, c: BigInt, d: BigInt, e: BigInt,
+             f: BigInt, p: BigInt, q: BigInt, r: BigInt): BigInt =
+      a * (e * r - f * q) - b * (d * r - f * p) + c * (d * q - e * p)
+    val a11 = n + lam; val a22 = shh + lam; val a33 = sdd + lam
+    val det = det3(a11, sh, sd, sh, a22, shd, sd, shd, a33)
+    val d0 = det3(sy, sh, sd, shy, a22, shd, sdy, shd, a33)
+    val d1 = det3(a11, sy, sd, sh, shy, shd, sd, sdy, a33)
+    val d2 = det3(a11, sh, sy, sh, a22, shy, sd, shd, sdy)
+    val r = q("q479_ridge_cramer").collect().head
+    assert(r.getAs[Long]("n") == rows.size.toLong)
+    assert(r.getAs[Long]("w0_e6") ==
+      roundHalfUp(d0.toDouble / det.toDouble * 1e6))
+    assert(r.getAs[Long]("w1_e6") ==
+      roundHalfUp(d1.toDouble / det.toDouble * 1e6))
+    assert(r.getAs[Long]("w2_e6") ==
+      roundHalfUp(d2.toDouble / det.toDouble * 1e6))
+  }
+
+  test("q478 PCA power iteration: the integer-lattice walk replayed " +
+       "in plain Scala reproduces the final vector and lambda") {
+    val dims = embPts.head._2.length
+    var v = Array.tabulate(dims)(d => if (d == 0) 1000000L else 0L)
+    var n2Final = BigInt(0)
+    (1 to 2).foreach { _ =>
+      val w = Array.fill(dims)(BigInt(0))
+      embPts.foreach { case (_, x) =>
+        val sc = x.zip(v).map { case (a, b) => a * b }.sum
+        x.indices.foreach(d => w(d) += BigInt(x(d)) * sc)
+      }
+      val w9 = w.map(b => roundHalfUp(b.toDouble / 1e9))
+      val n2 = w9.map(a => BigInt(a) * a).sum
+      n2Final = n2
+      v = w9.map(a => roundHalfUp(
+        a.toDouble / math.sqrt(math.max(n2.toDouble, 1.0)) * 1e6))
+    }
+    val lambda = roundHalfUp(
+      math.sqrt(math.max(n2Final.toDouble, 1.0)) / 1000.0)
+    val got = q("q478_pca_power").collect().sortBy(_.getAs[Long]("dim"))
+    assert(got.length == dims)
+    got.zipWithIndex.foreach { case (r, d) =>
+      assert(r.getAs[Long]("v_e6") == v(d), s"dim $d")
+      assert(r.getAs[Long]("lambda_e6") == lambda)
+    }
+    // a unit vector on the e6 lattice, within quantization slack
+    val norm2 = v.map(a => a.toDouble * a).sum
+    assert(math.abs(math.sqrt(norm2) - 1e6) < 100.0)
+  }
+
+  test("q480 learning curve: each train-fraction stump replayed with " +
+       "exact rational argmax; training sets strictly grow") {
+    val evb = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .select(hour(col("ts_s")).cast("long").as("hr"),
+        round(col("value") * 100).cast("long").as("y"),
+        col("event_id").cast("string").as("eid"))
+      .as[(Long, Long, String)].collect().toSeq
+      .map { case (hr, y, eid) => (hr, y, hash60(s"lc:$eid") % 10L) }
+    def fitAndEval(k: Long): (Long, Long, Long, Long, BigInt, BigInt) = {
+      val train = evb.filter(_._3 < k).map { case (hr, y, _) => (hr, y) }
+      val axis = train.groupBy(_._1).map { case (f, v) =>
+        (f, v.size.toLong, v.map(_._2).map(BigInt(_)).sum,
+          v.map(_._2).map(x => BigInt(x) * x).sum)
+      }.toSeq.sortBy(_._1)
+      val nn = axis.map(_._2).sum
+      val ss = axis.map(_._3).sum; val qq = axis.map(_._4).sum
+      var nLe = 0L; var sLe = BigInt(0); var qLe = BigInt(0)
+      case class C(f: Long, gn: BigInt, gd: BigInt, nLe: Long,
+                   sLe: BigInt, qLe: BigInt)
+      val cands = axis.dropRight(1).map { case (f, nf, sf, qf) =>
+        nLe += nf; sLe += sf; qLe += qf
+        val nGt = nn - nLe; val sGt = ss - sLe
+        C(f, sLe * sLe * nGt + sGt * sGt * nLe, BigInt(nLe) * nGt,
+          nLe, sLe, qLe)
+      }
+      val best = cands.reduceLeft { (a, b) =>
+        val cmp = (a.gn * b.gd).compare(b.gn * a.gd)
+        if (cmp > 0 || (cmp == 0 && a.f < b.f)) a else b
+      }
+      val nGt = nn - best.nLe; val sGt = ss - best.sLe
+      val pl = roundHalfUp(best.sLe.toDouble / best.nLe)
+      val pg = roundHalfUp(sGt.toDouble / nGt)
+      val trainSse =
+        (best.qLe - 2 * BigInt(pl) * best.sLe + BigInt(best.nLe) * pl * pl) +
+        ((qq - best.qLe) - 2 * BigInt(pg) * sGt + BigInt(nGt) * pg * pg)
+      val hold = evb.filter(_._3 == 9L)
+      val valSse = hold.map { case (hr, y, _) =>
+        val p = if (hr <= best.f) pl else pg
+        BigInt(y - p) * (y - p)
+      }.sum
+      (nn, best.f, pl, pg, trainSse, valSse)
+    }
+    val got = q("q480_learning_curve").collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(got.length == 9)
+    var prevN = -1L
+    got.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val (nn, thr, pl, pg, tr, vl) = fitAndEval(k)
+      assert(r.getAs[Long]("n_train") == nn, s"k=$k")
+      assert(r.getAs[Long]("thr") == thr, s"k=$k")
+      assert(r.getAs[Long]("pred_le") == pl && r.getAs[Long]("pred_gt") == pg)
+      assert(BigInt(r.getAs[Long]("train_sse")) == tr, s"k=$k")
+      assert(BigInt(r.getAs[Long]("val_sse")) == vl, s"k=$k")
+      assert(nn > prevN); prevN = nn
+    }
+  }
+
+  test("q481 Rocchio classifier: the full train-and-score loop " +
+       "replayed in plain Scala reproduces the confusion matrix") {
+    val docs = graft.core.Tables.load(spark, TestSpark.sf001, "documents")
+      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .collect().toSeq
+    val toks = docs.map { case (id, lang, t) =>
+      (id, lang, t.split(" ").filter(_.nonEmpty))
+    }
+    val vocab = toks.flatMap(_._3).groupBy(identity)
+      .map { case (w, v) => (w, v.size) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(50).map(_._1).toSet
+    val nDocs = docs.size.toLong
+    val df = toks.flatMap { case (id, _, ws) =>
+      ws.filter(vocab).distinct.map(w => (w, id))
+    }.distinct.groupBy(_._1).map { case (w, v) => (w, v.size.toLong) }
+    val idf = df.map { case (w, d) =>
+      (w, roundHalfUp(math.log(nDocs.toDouble / d) * 1e6))
+    }
+    val docw = toks.map { case (id, lang, ws) =>
+      val tf = ws.filter(vocab).groupBy(identity)
+        .map { case (w, v) => (w, v.size.toLong * idf(w)) }
+      (id, lang, tf)
+    }.filter(_._3.nonEmpty)
+    val cent = docw.groupBy(_._2).map { case (lang, ds) =>
+      (lang, ds.flatMap(_._3).groupBy(_._1)
+        .map { case (w, v) => (w, v.map(x => BigInt(x._2)).sum) })
+    }
+    val nc2 = cent.map { case (l, c) => (l, c.values.map(x => x * x).sum) }
+    val expected = docw.map { case (id, lang, tf) =>
+      val nd2 = tf.values.map(x => BigInt(x) * x).sum
+      val scores = cent.toSeq.map { case (cl, c) =>
+        val dot = tf.map { case (w, x) =>
+          BigInt(x) * c.getOrElse(w, BigInt(0))
+        }.sum
+        (cl, dot.toDouble / math.sqrt(nd2.toDouble * nc2(cl).toDouble))
+      }
+      val ms = scores.map(_._2).max
+      (lang, scores.filter(_._2 == ms).map(_._1).min)
+    }.groupBy(identity).map { case ((t, p), v) => (t, p, v.size.toLong) }
+      .toSeq.sorted
+    val got = q("q481_rocchio_tfidf").collect()
+      .map(r => (r.getAs[String]("true_lang"),
+        r.getAs[String]("pred_lang"), r.getAs[Long]("n"))).toSeq.sorted
+    assert(got == expected)
+  }
+
+  test("q482 bagged stumps: every replicate replayed end-to-end in " +
+       "plain Scala (own md5 + the Poisson CDF literals)") {
+    val cdf = graft.operators.Curate.poissonCdf1
+    val ev = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .select(col("event_id").cast("string").as("eid"),
+        hour(col("ts_s")).cast("long").as("hr"),
+        round(col("value") * 100).cast("long").as("y"))
+      .as[(String, Long, Long)].collect().toSeq
+    def pw(u: Double): Long = {
+      val i = cdf.indexWhere(u < _)
+      (if (i < 0) cdf.length else i).toLong
+    }
+    val expected = (0L to 7L).map { rep =>
+      val wtd = ev.map { case (eid, hr, y) =>
+        val u = hash60(s"bag:$eid:$rep").toDouble / 1.152921504606846976e18
+        (hr, y, pw(u))
+      }
+      val axis = wtd.groupBy(_._1).map { case (f, v) =>
+        (f, v.map(_._3).sum, v.map(r => BigInt(r._3) * r._2).sum)
+      }.toSeq.sortBy(_._1)
+      val nn = axis.map(_._2).sum; val ss = axis.map(_._3).sum
+      var nLe = 0L; var sLe = BigInt(0)
+      case class C(f: Long, gn: BigInt, gd: BigInt, nLe: Long, sLe: BigInt)
+      val cands = axis.dropRight(1).flatMap { case (f, nf, sf) =>
+        nLe += nf; sLe += sf
+        if (nLe == 0L || nLe == nn) None
+        else {
+          val nGt = nn - nLe; val sGt = ss - sLe
+          Some(C(f, sLe * sLe * nGt + sGt * sGt * nLe,
+            BigInt(nLe) * nGt, nLe, sLe))
+        }
+      }
+      val best = cands.reduceLeft { (a, b) =>
+        val cmp = (a.gn * b.gd).compare(b.gn * a.gd)
+        if (cmp > 0 || (cmp == 0 && a.f < b.f)) a else b
+      }
+      val nGt = nn - best.nLe; val sGt = ss - best.sLe
+      (rep, best.f, roundHalfUp(best.sLe.toDouble / best.nLe),
+        roundHalfUp(sGt.toDouble / nGt), nn)
+    }
+    val got = q("q482_bagged_stumps").collect()
+      .map(r => (r.getAs[Long]("rep"), r.getAs[Long]("thr"),
+        r.getAs[Long]("pred_le"), r.getAs[Long]("pred_gt"),
+        r.getAs[Long]("n_eff"))).toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
 }
