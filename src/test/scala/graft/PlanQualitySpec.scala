@@ -1339,4 +1339,53 @@ class PlanQualitySpec extends AnyFunSuite {
         assert(!p.contains("SortMergeJoin"), s"$n\n$p")
     }
   }
+
+  // ----- Learn tier: the distributed-training scale posture -----
+
+  test("Learn tier: parameters broadcast, gradients reduce — the " +
+       "perceptron/k-means/PCA iteration state joins BROADCAST onto " +
+       "the data grain, never cartesian (data-grain equi-joins like " +
+       "the per-point argmin may shuffle; that is the honest shape)") {
+    Seq("q469_batch_perceptron", "q470_kmeans_lloyd", "q478_pca_power")
+      .foreach { n =>
+        val p = plan(n)
+        assert(!p.contains("CartesianProduct"), s"$n\n$p")
+      }
+    // the perceptron never shuffles a join at all: its only joins are
+    // the broadcast 1-row weight vector (BroadcastNestedLoop)
+    assert(!plan("q469_batch_perceptron").contains("SortMergeJoin"))
+    // the k-means/PCA per-pass state joins are hash-broadcast
+    assert(plan("q470_kmeans_lloyd").contains("BroadcastHashJoin"))
+    assert(plan("q478_pca_power").contains("BroadcastHashJoin"))
+  }
+
+  test("Learn tier: the NB/Rocchio vocabulary joins are broadcast " +
+       "hash joins — the token scan is never shuffled against a " +
+       "50-row vocab — and nothing is cartesian") {
+    Seq("q467_naive_bayes", "q481_rocchio_tfidf").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n\n$p")
+    }
+  }
+
+  test("q473: grid-DBSCAN never joins points against points — every " +
+       "join sits on the cell grain, no cartesian anywhere") {
+    val p = plan("q473_grid_dbscan")
+    assert(!p.contains("CartesianProduct"), p)
+    // points appear in exactly one scan-and-bucket pass; the rest of
+    // the plan (neighbor mass, core filter, CC) is cell-grain only
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("q480: one (bucket x hour) cumulant table feeds all nine " +
+       "learning-curve fits — at most the two intended event scans " +
+       "(train grain + holdout axis) appear") {
+    val p = plan("q480_learning_curve")
+    val scans = "Scan parquet".r.findAllIn(p).length +
+      "FileScan".r.findAllIn(p).length
+    assert(scans <= 2, s"scans=$scans\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
