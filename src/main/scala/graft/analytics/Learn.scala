@@ -1645,6 +1645,225 @@ object Learn {
       |ORDER BY s.rep""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q483 — one full ALS alternation (k = 2, ridge λ = 1) on the
+  // customer × brand quantity matrix: the canonical distributed
+  // matrix-factorization step. Item factors initialize
+  // deterministically on the e6 lattice and BROADCAST; the user
+  // solve is one groupBy(customer) building each user's 2×2 normal
+  // equations (Σffᵀ + λI, Σf·r — exact decimal sums over ≤|brands|
+  // terms) closed by Cramer's rule in a single bit-identical
+  // IEEE chain; the item solve then re-aggregates the e6-quantized
+  // user factors per brand the same way. Parameters broadcast,
+  // solves reduce — never a factor-matrix shuffle. Output: the
+  // updated 25-row brand factor table.
+  // ---------------------------------------------------------------------
+  private def q483(s: SparkSession, dir: String): DataFrame = {
+    val lamE12 = 1000000000000L // λ̃ = 1 on the e6·e6 integer scale
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val part = t(s, dir, "part")
+    val r = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("u"), col("p_brand").as("b"))
+      .agg(sum(col("l_quantity").cast("long")).as("r"))
+      .pin()
+    val f0 = r.select("b").distinct()
+      .select(col("b"), lit(1000000L).as("f0"),
+        (graft.functions.PortableHash.hash60(concat(lit("als:"), col("b")))
+          % 1000000L).as("f1"))
+    // user solve: w̃_e6 = round(1e12 · cramer(A, c)) per user
+    val ua = r.join(broadcast(f0), Seq("b"))
+      .groupBy("u").agg(
+        sum(col("f0").cast(dec) * col("f0")).as("a11"),
+        sum(col("f0").cast(dec) * col("f1")).as("a12"),
+        sum(col("f1").cast(dec) * col("f1")).as("a22"),
+        sum(col("f0").cast(dec) * col("r")).as("c0"),
+        sum(col("f1").cast(dec) * col("r")).as("c1"))
+      .select(col("u"),
+        ((col("a11") + lamE12) * (col("a22") + lamE12)
+          - col("a12") * col("a12")).as("det"),
+        (col("c0") * (col("a22") + lamE12) - col("c1") * col("a12"))
+          .as("n0"),
+        ((col("a11") + lamE12) * col("c1") - col("a12") * col("c0"))
+          .as("n1"))
+      .select(col("u"),
+        // user factors land on the e3 lattice, not e6: the item
+        // solve squares and SUMS them over ALL users, and e6-scale
+        // squares would push a corpus-sized determinant past
+        // decimal(38,0) (observed at sf0.1); e3 keeps det ≲ 10³⁷
+        // even at sf100 while the λ/readout scales adjust to match
+        round(col("n0").cast("double") / col("det").cast("double")
+          * 1000000000.0).cast("long").as("w0"),
+        round(col("n1").cast("double") / col("det").cast("double")
+          * 1000000000.0).cast("long").as("w1"))
+    // item solve from the e3 user factors (λ on the e3·e3 scale)
+    val lamE6 = 1000000L
+    r.join(ua, Seq("u"))
+      .groupBy("b").agg(
+        count(lit(1)).as("n_users"),
+        sum(col("w0").cast(dec) * col("w0")).as("a11"),
+        sum(col("w0").cast(dec) * col("w1")).as("a12"),
+        sum(col("w1").cast(dec) * col("w1")).as("a22"),
+        sum(col("w0").cast(dec) * col("r")).as("c0"),
+        sum(col("w1").cast(dec) * col("r")).as("c1"))
+      .select(col("b").as("brand"), col("n_users"),
+        round((col("c0") * (col("a22") + lamE6)
+          - col("c1") * col("a12")).cast("double")
+          / ((col("a11") + lamE6) * (col("a22") + lamE6)
+            - col("a12") * col("a12")).cast("double")
+          * 1000000000.0).cast("long").as("g0_e6"),
+        round(((col("a11") + lamE6) * col("c1")
+          - col("a12") * col("c0")).cast("double")
+          / ((col("a11") + lamE6) * (col("a22") + lamE6)
+            - col("a12") * col("a12")).cast("double")
+          * 1000000000.0).cast("long").as("g1_e6"))
+      .orderBy(col("brand"))
+  }
+
+  private val q483Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql("concat('als:', b)")
+    s"""WITH r AS (
+      |  SELECT o_custkey AS u, p_brand AS b,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY o_custkey, p_brand),
+      |f0 AS (
+      |  SELECT b, CAST(1000000 AS BIGINT) AS f0, $h % 1000000 AS f1
+      |  FROM (SELECT DISTINCT b FROM r)),
+      |ua AS (
+      |  SELECT u,
+      |    sum(CAST(f0 AS HUGEINT) * f0) AS a11,
+      |    sum(CAST(f0 AS HUGEINT) * f1) AS a12,
+      |    sum(CAST(f1 AS HUGEINT) * f1) AS a22,
+      |    sum(CAST(f0 AS HUGEINT) * r.r) AS c0,
+      |    sum(CAST(f1 AS HUGEINT) * r.r) AS c1
+      |  FROM r JOIN f0 USING (b) GROUP BY u),
+      |uw AS (
+      |  SELECT u,
+      |    CAST(round(CAST(c0 * (a22 + 1000000000000)
+      |        - c1 * a12 AS DOUBLE)
+      |      / CAST((a11 + 1000000000000) * (a22 + 1000000000000)
+      |        - a12 * a12 AS DOUBLE)
+      |      * 1000000000.0) AS BIGINT) AS w0,
+      |    CAST(round(CAST((a11 + 1000000000000) * c1
+      |        - a12 * c0 AS DOUBLE)
+      |      / CAST((a11 + 1000000000000) * (a22 + 1000000000000)
+      |        - a12 * a12 AS DOUBLE)
+      |      * 1000000000.0) AS BIGINT) AS w1
+      |  FROM ua),
+      |ia AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS n_users,
+      |    sum(CAST(w0 AS HUGEINT) * w0) AS a11,
+      |    sum(CAST(w0 AS HUGEINT) * w1) AS a12,
+      |    sum(CAST(w1 AS HUGEINT) * w1) AS a22,
+      |    sum(CAST(w0 AS HUGEINT) * r.r) AS c0,
+      |    sum(CAST(w1 AS HUGEINT) * r.r) AS c1
+      |  FROM r JOIN uw USING (u) GROUP BY b)
+      |SELECT b AS brand, n_users,
+      |  CAST(round(CAST(c0 * (a22 + 1000000) - c1 * a12 AS DOUBLE)
+      |    / CAST((a11 + 1000000) * (a22 + 1000000)
+      |      - a12 * a12 AS DOUBLE)
+      |    * 1000000000.0) AS BIGINT) AS g0_e6,
+      |  CAST(round(CAST((a11 + 1000000) * c1 - a12 * c0 AS DOUBLE)
+      |    / CAST((a11 + 1000000) * (a22 + 1000000)
+      |      - a12 * a12 AS DOUBLE)
+      |    * 1000000000.0) AS BIGINT) AS g1_e6
+      |FROM ia ORDER BY brand""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q484 — the damped-bias baseline predictor (the classic
+  // recommender baseline): r̂ = μ + b_item + b_user with each bias a
+  // regularized residual mean, fit in two closed-form passes and
+  // scored in a third — μ e6-rounds ONCE so every residual is an
+  // exact integer, item biases aggregate residuals vs μ, user biases
+  // aggregate residuals vs μ + b_item, and the model RMSE reads out
+  // from one exact decimal SSE. Bias denominators carry the damping
+  // terms (λ_i = 25, λ_u = 10). Output: the 25-row brand bias table
+  // with the (constant) global mean and model RMSE.
+  // ---------------------------------------------------------------------
+  private def q484(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val part = t(s, dir, "part")
+    val r = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("u"), col("p_brand").as("b"))
+      .agg((sum(col("l_quantity").cast("long")) * 1000000L).as("re6"))
+      .pin()
+    val mu = r.agg(round(sum(col("re6").cast(dec)).cast("double")
+      / count(lit(1)).cast("double")).cast("long").as("mu_e6"))
+    val bi = r.crossJoin(broadcast(mu))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_i"),
+        sum((col("re6") - col("mu_e6")).cast(dec)).as("resid"))
+      .select(col("b"), col("n_i"),
+        round(col("resid").cast("double")
+          / (col("n_i") + lit(25L)).cast("double")).cast("long")
+          .as("bi_e6"))
+    val bu = r.crossJoin(broadcast(mu))
+      .join(broadcast(bi.select(col("b"), col("bi_e6"))), Seq("b"))
+      .groupBy("u")
+      .agg(count(lit(1)).as("n_u"),
+        sum((col("re6") - col("mu_e6") - col("bi_e6")).cast(dec))
+          .as("resid"))
+      .select(col("u"),
+        round(col("resid").cast("double")
+          / (col("n_u") + lit(10L)).cast("double")).cast("long")
+          .as("bu_e6"))
+    val sse = r.crossJoin(broadcast(mu))
+      .join(broadcast(bi.select(col("b"), col("bi_e6"))), Seq("b"))
+      .join(bu, Seq("u"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("re6") - col("mu_e6") - col("bi_e6") - col("bu_e6"))
+          .cast(dec)
+          * (col("re6") - col("mu_e6") - col("bi_e6") - col("bu_e6")))
+          .as("sse"))
+      .select(round(sqrt(col("sse").cast("double")
+        / col("n").cast("double"))).cast("long").as("rmse_e6"))
+    bi.crossJoin(broadcast(mu)).crossJoin(broadcast(sse))
+      .select(col("b").as("brand"), col("n_i"), col("bi_e6"),
+        col("mu_e6"), col("rmse_e6"))
+      .orderBy(col("brand"))
+  }
+
+  private val q484Sql =
+    """WITH r AS (
+      |  SELECT o_custkey AS u, p_brand AS b,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) * 1000000 AS BIGINT)
+      |      AS re6
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY o_custkey, p_brand),
+      |mu AS (
+      |  SELECT CAST(round(CAST(sum(CAST(re6 AS HUGEINT)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mu_e6
+      |  FROM r),
+      |bi AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS n_i,
+      |    CAST(round(CAST(sum(CAST(re6 - mu_e6 AS HUGEINT)) AS DOUBLE)
+      |      / CAST(count(*) + 25 AS DOUBLE)) AS BIGINT) AS bi_e6
+      |  FROM r CROSS JOIN mu GROUP BY b),
+      |bu AS (
+      |  SELECT u,
+      |    CAST(round(CAST(sum(CAST(re6 - mu_e6 - bi_e6 AS HUGEINT))
+      |        AS DOUBLE)
+      |      / CAST(count(*) + 10 AS DOUBLE)) AS BIGINT) AS bu_e6
+      |  FROM r CROSS JOIN mu JOIN bi USING (b) GROUP BY u),
+      |sse AS (
+      |  SELECT CAST(round(sqrt(
+      |      CAST(sum(CAST(re6 - mu_e6 - bi_e6 - bu_e6 AS HUGEINT)
+      |        * (re6 - mu_e6 - bi_e6 - bu_e6)) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE))) AS BIGINT) AS rmse_e6
+      |  FROM r CROSS JOIN mu JOIN bi USING (b) JOIN bu USING (u))
+      |SELECT b AS brand, n_i, bi_e6, mu_e6, rmse_e6
+      |FROM bi CROSS JOIN mu CROSS JOIN sse
+      |ORDER BY brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q467_naive_bayes" -> (q467 _),
     "q468_decision_stump" -> (q468 _),
@@ -1661,7 +1880,9 @@ object Learn {
     "q479_ridge_cramer" -> (q479 _),
     "q480_learning_curve" -> (q480 _),
     "q481_rocchio_tfidf" -> (q481 _),
-    "q482_bagged_stumps" -> (q482 _))
+    "q482_bagged_stumps" -> (q482 _),
+    "q483_als_alternation" -> (q483 _),
+    "q484_bias_baseline" -> (q484 _))
 
   val oracle: Map[String, String] = Map(
     "q467_naive_bayes" -> q467Sql,
@@ -1679,5 +1900,7 @@ object Learn {
     "q479_ridge_cramer" -> q479Sql,
     "q480_learning_curve" -> q480Sql,
     "q481_rocchio_tfidf" -> q481Sql,
-    "q482_bagged_stumps" -> q482Sql)
+    "q482_bagged_stumps" -> q482Sql,
+    "q483_als_alternation" -> q483Sql,
+    "q484_bias_baseline" -> q484Sql)
 }
