@@ -498,4 +498,88 @@ class LearnSpec extends AnyFunSuite {
         r.getAs[Long]("n_eff"))).toSeq.sortBy(_._1)
     assert(got == expected)
   }
+
+  private lazy val ratings: Seq[(Long, String, Long)] = {
+    val li = graft.core.Tables.load(spark, TestSpark.sf001, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .as[(Long, Long, Double)].collect().toSeq
+    val ord = graft.core.Tables.load(spark, TestSpark.sf001, "orders")
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect().toMap
+    val brand = graft.core.Tables.load(spark, TestSpark.sf001, "part")
+      .select("p_partkey", "p_brand").as[(Long, String)].collect().toMap
+    li.map { case (ok, pk, qn) => ((ord(ok), brand(pk)), qn.toLong) }
+      .groupBy(_._1).map { case ((u, b), v) => (u, b, v.map(_._2).sum) }
+      .toSeq
+  }
+
+  test("q483 ALS alternation: both Cramer solves replayed in plain " +
+       "Scala over BigInt normal equations reproduce the brand factors") {
+    val lamU = BigInt("1000000000000"); val lamI = BigInt(1000000)
+    val f: Map[String, (Long, Long)] = ratings.map(_._2).distinct
+      .map(b => b -> ((1000000L, hash60(s"als:$b") % 1000000L))).toMap
+    val uw = ratings.groupBy(_._1).map { case (u, rows) =>
+      var (a11, a12, a22, c0, c1) =
+        (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+      rows.foreach { case (_, b, r) =>
+        val (f0, f1) = f(b)
+        a11 += BigInt(f0) * f0; a12 += BigInt(f0) * f1
+        a22 += BigInt(f1) * f1
+        c0 += BigInt(f0) * r; c1 += BigInt(f1) * r
+      }
+      val det = (a11 + lamU) * (a22 + lamU) - a12 * a12
+      val n0 = c0 * (a22 + lamU) - c1 * a12
+      val n1 = (a11 + lamU) * c1 - a12 * c0
+      u -> ((roundHalfUp(n0.toDouble / det.toDouble * 1e9),
+        roundHalfUp(n1.toDouble / det.toDouble * 1e9)))
+    }
+    val expected = ratings.groupBy(_._2).map { case (b, rows) =>
+      var (a11, a12, a22, c0, c1) =
+        (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+      rows.foreach { case (u, _, r) =>
+        val (w0, w1) = uw(u)
+        a11 += BigInt(w0) * w0; a12 += BigInt(w0) * w1
+        a22 += BigInt(w1) * w1
+        c0 += BigInt(w0) * r; c1 += BigInt(w1) * r
+      }
+      val det = (a11 + lamI) * (a22 + lamI) - a12 * a12
+      (b, rows.size.toLong,
+        roundHalfUp((c0 * (a22 + lamI) - c1 * a12).toDouble
+          / det.toDouble * 1e9),
+        roundHalfUp(((a11 + lamI) * c1 - a12 * c0).toDouble
+          / det.toDouble * 1e9))
+    }.toSeq.sortBy(_._1)
+    val got = q("q483_als_alternation").collect()
+      .map(r => (r.getAs[String]("brand"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("g0_e6"), r.getAs[Long]("g1_e6"))).toSeq
+    assert(got == expected)
+  }
+
+  test("q484 damped-bias baseline: the two closed-form passes and the " +
+       "RMSE replayed over BigInt residuals; biases really shrink SSE") {
+    val re6 = ratings.map { case (u, b, r) => (u, b, r * 1000000L) }
+    val n = re6.size.toLong
+    val mu = roundHalfUp(re6.map(r => BigInt(r._3)).sum.toDouble / n)
+    val bi = re6.groupBy(_._2).map { case (b, v) =>
+      (b, v.size.toLong, roundHalfUp(
+        v.map(r => BigInt(r._3 - mu)).sum.toDouble / (v.size + 25)))
+    }
+    val biM = bi.map { case (b, _, x) => (b, x) }.toMap
+    val bu = re6.groupBy(_._1).map { case (u, v) =>
+      (u, roundHalfUp(v.map(r => BigInt(r._3 - mu - biM(r._2))).sum.toDouble
+        / (v.size + 10)))
+    }
+    val sse = re6.map { case (u, b, r) =>
+      val d = BigInt(r - mu - biM(b) - bu(u)); d * d
+    }.sum
+    val rmse = roundHalfUp(math.sqrt(sse.toDouble / n))
+    val sse0 = re6.map { case (_, _, r) => val d = BigInt(r - mu); d * d }.sum
+    assert(sse < sse0) // the biases genuinely explain variance
+    val expected = bi.map { case (b, ni, bie) => (b, ni, bie, mu, rmse) }
+      .toSeq.sortBy(_._1)
+    val got = q("q484_bias_baseline").collect()
+      .map(r => (r.getAs[String]("brand"), r.getAs[Long]("n_i"),
+        r.getAs[Long]("bi_e6"), r.getAs[Long]("mu_e6"),
+        r.getAs[Long]("rmse_e6"))).toSeq
+    assert(got == expected)
+  }
 }
