@@ -1864,6 +1864,119 @@ object Learn {
       |FROM bi CROSS JOIN mu CROSS JOIN sse
       |ORDER BY brand""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q485 — MacQueen ONLINE k-means (K = 2, 1-D) over the daily
+  // revenue series: each day in order assigns to the nearer centroid
+  // and moves it to the count-weighted running mean — MacQueen's
+  // one-point-one-update online variant, where q470 is Lloyd's batch
+  // variant; the two are the classic k-means execution disciplines.
+  // The walk is sequential BY DEFINITION, so it runs as the q442
+  // single-partition pattern: only the pinned, raise_error-guarded
+  // (≤1000 rows) day grain funnels into one partition, never fact
+  // rows, and the recurrence is the SHARED
+  // [[graft.streaming.TwsKmeans.step]] the streaming twin (q486)
+  // executes — the two engines and the two execution modes all face
+  // one recursive-CTE oracle.
+  // ---------------------------------------------------------------------
+  private def dayRevL(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsSec(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long")
+        .as("d"), col("y"))
+      .pin()
+
+  private def q485(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.TwsKmeans
+    val day = dayRevL(s, dir)
+    val cnt = day.agg(count(lit(1)).as("n_days"))
+    val guarded = day.crossJoin(broadcast(cnt))
+      .select(
+        when(col("n_days") <= 1000L, col("d"))
+          .otherwise(raise_error(concat(
+            lit("macqueenWalk: day grain exceeded 1000 ("),
+            col("n_days").cast("string"),
+            lit(") — aggregate to a coarser grain or raise the bound " +
+              "explicitly.")))).as("d"),
+        col("y"))
+    guarded.as[(Long, Long)].repartition(1)
+      .sortWithinPartitions("d")
+      .mapPartitions { it =>
+        val a = it.toArray
+        if (a.length < 2) Iterator.empty
+        else {
+          var w = TwsKmeans.KmWalk(a(0)._2, 1L, a(1)._2, 1L,
+            started = true, hasFirst = true, a(0)._1, a(0)._2)
+          val out =
+            Array.newBuilder[(Long, Long, Long, Long, Long, Long, Long)]
+          out += ((a(0)._1, a(0)._2, 1L, w.c1, w.n1, w.c2, w.n2))
+          out += ((a(1)._1, a(1)._2, 2L, w.c1, w.n1, w.c2, w.n2))
+          var t = 2
+          while (t < a.length) {
+            val (d, y) = a(t)
+            val (k, w2) = TwsKmeans.step(w, y)
+            w = w2
+            out += ((d, y, k, w.c1, w.n1, w.c2, w.n2))
+            t += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("d", "y", "k", "c1", "n1", "c2", "n2")
+      .orderBy("d")
+  }
+
+  private val q485Sql =
+    """WITH RECURSIVE day AS (
+      |  SELECT CAST(CAST(date_trunc('second', ts) AS DATE)
+      |      - DATE '1970-01-01' AS BIGINT) AS d,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1),
+      |ranked AS (SELECT d, y,
+      |  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS r FROM day),
+      |walk(r, d, y, k, c1, n1, c2, n2) AS (
+      |  SELECT r1.r, r1.d, r1.y, CAST(1 AS BIGINT), r1.y,
+      |    CAST(1 AS BIGINT), r2.y, CAST(1 AS BIGINT)
+      |  FROM ranked r1 JOIN ranked r2 ON r1.r = 1 AND r2.r = 2
+      |  UNION ALL
+      |  SELECT n.r, n.d, n.y,
+      |    CASE WHEN n.r = 2 THEN 2
+      |      WHEN abs(n.y - w.c1) <= abs(n.y - w.c2) THEN 1
+      |      ELSE 2 END,
+      |    CASE WHEN n.r = 2 THEN w.c1
+      |      WHEN abs(n.y - w.c1) <= abs(n.y - w.c2)
+      |        THEN CAST(round(CAST(w.c1 * w.n1 + n.y AS DOUBLE)
+      |          / CAST(w.n1 + 1 AS DOUBLE)) AS BIGINT)
+      |      ELSE w.c1 END,
+      |    CASE WHEN n.r = 2 THEN w.n1
+      |      WHEN abs(n.y - w.c1) <= abs(n.y - w.c2) THEN w.n1 + 1
+      |      ELSE w.n1 END,
+      |    CASE WHEN n.r = 2 THEN w.c2
+      |      WHEN abs(n.y - w.c1) <= abs(n.y - w.c2) THEN w.c2
+      |      ELSE CAST(round(CAST(w.c2 * w.n2 + n.y AS DOUBLE)
+      |        / CAST(w.n2 + 1 AS DOUBLE)) AS BIGINT) END,
+      |    CASE WHEN n.r = 2 THEN w.n2
+      |      WHEN abs(n.y - w.c1) <= abs(n.y - w.c2) THEN w.n2
+      |      ELSE w.n2 + 1 END
+      |  FROM walk w JOIN ranked n ON n.r = w.r + 1)
+      |SELECT d, y, k, c1, n1, c2, n2 FROM walk ORDER BY d""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q486 — the STREAMING twin of q485 (transformWithState): the same
+  // MacQueen recurrence — literally the same [[TwsKmeans.step]]
+  // function — executed as days CLOSE in event time (per-day sums in
+  // MapState, boundary timers drain closed days in order). Gated
+  // against the SAME recursive-CTE oracle as the batch walk, so
+  // batch, stream, and DuckDB triangulate one semantics (the q455
+  // stream-Holt discipline).
+  // ---------------------------------------------------------------------
+  private def q486(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.TwsKmeans.replayFromParquet(s, s"$dir/events.parquet")
+      .orderBy(col("d"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q467_naive_bayes" -> (q467 _),
     "q468_decision_stump" -> (q468 _),
@@ -1882,7 +1995,9 @@ object Learn {
     "q481_rocchio_tfidf" -> (q481 _),
     "q482_bagged_stumps" -> (q482 _),
     "q483_als_alternation" -> (q483 _),
-    "q484_bias_baseline" -> (q484 _))
+    "q484_bias_baseline" -> (q484 _),
+    "q485_macqueen_walk" -> (q485 _),
+    "q486_stream_macqueen" -> (q486 _))
 
   val oracle: Map[String, String] = Map(
     "q467_naive_bayes" -> q467Sql,
@@ -1902,5 +2017,7 @@ object Learn {
     "q481_rocchio_tfidf" -> q481Sql,
     "q482_bagged_stumps" -> q482Sql,
     "q483_als_alternation" -> q483Sql,
-    "q484_bias_baseline" -> q484Sql)
+    "q484_bias_baseline" -> q484Sql,
+    "q485_macqueen_walk" -> q485Sql,
+    "q486_stream_macqueen" -> q485Sql)
 }

@@ -582,4 +582,35 @@ class LearnSpec extends AnyFunSuite {
         r.getAs[Long]("rmse_e6"))).toSeq
     assert(got == expected)
   }
+
+  test("q485/q486 MacQueen: the streaming twin equals the batch walk " +
+       "row-for-row, and a plain-Scala replay equals both") {
+    def rows(name: String) = q(name).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("y"),
+        r.getAs[Long]("k"), r.getAs[Long]("c1"), r.getAs[Long]("n1"),
+        r.getAs[Long]("c2"), r.getAs[Long]("n2"))).toSeq
+    val batch = rows("q485_macqueen_walk")
+    val stream = rows("q486_stream_macqueen")
+    assert(batch == stream)
+    // third implementation: the day series replayed as a literal loop
+    val day = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long")
+        .as("d"), col("y"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    var (c1, n1, c2, n2) = (day(0)._2, 1L, day(1)._2, 1L)
+    val expected = Seq((day(0)._1, day(0)._2, 1L, c1, n1, c2, n2),
+      (day(1)._1, day(1)._2, 2L, c1, n1, c2, n2)) ++
+      day.drop(2).map { case (d, y) =>
+        val k = if (math.abs(y - c1) <= math.abs(y - c2)) 1L else 2L
+        if (k == 1L) { c1 = roundHalfUp((c1 * n1 + y).toDouble / (n1 + 1)); n1 += 1 }
+        else { c2 = roundHalfUp((c2 * n2 + y).toDouble / (n2 + 1)); n2 += 1 }
+        (d, y, k, c1, n1, c2, n2)
+      }
+    assert(batch == expected)
+    // both clusters are actually in use on this data
+    assert(batch.last._5 > 1L && batch.last._7 > 1L)
+  }
 }
