@@ -1977,6 +1977,236 @@ object Learn {
     graft.streaming.TwsKmeans.replayFromParquet(s, s"$dir/events.parquet")
       .orderBy(col("d"))
 
+  // ---------------------------------------------------------------------
+  // q487 — greedy facility-location data selection (submodular
+  // max-coverage, k = 5): pick the five documents that together
+  // cover the most distinct 3-gram shingles — the coverage-based
+  // subset-selection primitive LLM curation uses to choose a small
+  // representative corpus slice. Lazy-greedy is inherently
+  // sequential in k, so the loop runs k BOUNDED rounds, each ONE
+  // distributed aggregate: per-doc marginal gain = |S_d \ covered|
+  // via an anti-join against the broadcast covered set (≤ the
+  // selected docs' shingles — small by construction), then a
+  // TakeOrdered argmax with doc-id tiebreak. The 1−1/e guarantee is
+  // the textbook one; the plan shape is k scans of the pinned
+  // shingle table, never a doc × doc join.
+  // ---------------------------------------------------------------------
+  private def q487(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(Text.words(col("text")))
+        .as(Seq("p", "w")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val sh = toks
+      .withColumn("w1", lead(col("w"), 1).over(wDoc))
+      .withColumn("w2", lead(col("w"), 2).over(wDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.PortableHash.hash60(
+          concat_ws(" ", col("w"), col("w1"), col("w2"))).as("h"))
+      .distinct().pin()
+    var covered: DataFrame = null // grows by ≤ one doc's shingles/round
+    var picks = Seq.empty[(Long, Long, Long, Long)]
+    var totalCovered = 0L
+    (1 to 5).foreach { round =>
+      val remaining = picks.map(_._2) match {
+        case sel if sel.nonEmpty => sh.filter(!col("doc_id").isin(sel: _*))
+        case _ => sh
+      }
+      val uncovered = covered match {
+        case null => remaining
+        case c => remaining.join(broadcast(c), Seq("h"), "left_anti")
+      }
+      val gains = uncovered.groupBy("doc_id")
+        .agg(count(lit(1)).as("gain"))
+      val win = gains.orderBy(col("gain").desc, col("doc_id").asc)
+        .limit(1).collect().headOption
+      win.foreach { r =>
+        val doc = r.getAs[Long]("doc_id"); val g = r.getAs[Long]("gain")
+        totalCovered += g
+        picks :+= ((round.toLong, doc, g, totalCovered))
+        val newCov = sh.filter(col("doc_id") === doc).select("h")
+        covered = if (covered == null) newCov
+          else covered.unionByName(newCov).distinct()
+        covered = covered.pin()
+      }
+    }
+    import s.implicits._
+    picks.toDF("round", "doc_id", "gain", "covered_total")
+      .orderBy("round")
+  }
+
+  private val q487Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "concat_ws(' ', w, w1, w2)")
+    // five unrolled greedy rounds; wN = the round-N winner, covN =
+    // the union of winners' shingles through round N
+    // MATERIALIZED + ANTI JOIN are load-bearing: without them DuckDB
+    // re-inlines the whole cov-chain into every round's NOT IN and
+    // the oracle goes quadratic-in-rounds over the shingle table
+    // (observed: >7 min at sf1 vs seconds materialized)
+    def round(n: Int): String = {
+      val prevSel = (1 until n).map(i => s"SELECT doc_id FROM w$i")
+        .mkString(" UNION ALL ")
+      val src =
+        if (n == 1) "sh"
+        else s"(FROM sh ANTI JOIN cov${n - 1} USING (h)\n" +
+          s"         |    WHERE doc_id NOT IN ($prevSel))"
+      s"""g$n AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+         |  FROM $src
+         |  GROUP BY doc_id),
+         |w$n AS (SELECT doc_id, gain FROM g$n
+         |  ORDER BY gain DESC, doc_id ASC LIMIT 1),
+         |cov$n AS MATERIALIZED (
+         |  ${if (n == 1) "SELECT DISTINCT h FROM sh JOIN w1 USING (doc_id)"
+            else s"SELECT h FROM cov${n - 1} UNION " +
+              s"SELECT h FROM sh JOIN w$n USING (doc_id)"})""".stripMargin
+    }
+    s"""WITH toks AS (
+      |  SELECT doc_id, CAST(q.p AS BIGINT) AS p, q.w AS w FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(len(ws)),
+      |        i -> {'p': i, 'w': ws[i+1]})) AS q
+      |    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+      |      x -> length(x) > 0) AS ws FROM documents))),
+      |sh AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, $h AS h FROM (
+      |    SELECT doc_id, p, w,
+      |      lead(w, 1) OVER dw AS w1, lead(w, 2) OVER dw AS w2
+      |    FROM toks WINDOW dw AS (PARTITION BY doc_id ORDER BY p))
+      |  WHERE w2 IS NOT NULL),
+      |${(1 to 5).map(round).mkString(",\n")}
+      |SELECT r.round, r.doc_id, r.gain,
+      |  CAST(sum(r.gain) OVER (ORDER BY r.round) AS BIGINT)
+      |    AS covered_total
+      |FROM (
+      |  SELECT CAST(1 AS BIGINT) AS round, doc_id, gain FROM w1
+      |  UNION ALL SELECT CAST(2 AS BIGINT), doc_id, gain FROM w2
+      |  UNION ALL SELECT CAST(3 AS BIGINT), doc_id, gain FROM w3
+      |  UNION ALL SELECT CAST(4 AS BIGINT), doc_id, gain FROM w4
+      |  UNION ALL SELECT CAST(5 AS BIGINT), doc_id, gain FROM w5) r
+      |ORDER BY r.round""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q488 — confident-learning label-noise screen on the Rocchio
+  // scores: for every doc the margin between its best-scoring lang
+  // centroid and its OWN label's centroid — a large positive margin
+  // with pred ≠ true is exactly the "likely mislabeled" signal of
+  // Northcutt's confident learning. Reuses q481's train-and-score
+  // shape verbatim (integer TF-IDF, unnormalized centroids, one
+  // identical cosine chain), adds the per-doc true-label score
+  // lookup, e6-rounds the margin AT THE DOC ROW, and emits the
+  // top-20 suspects (margin desc, doc_id asc).
+  // ---------------------------------------------------------------------
+  private def q488(s: SparkSession, dir: String): DataFrame = {
+    val v = 50
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(Text.words(col("text"))).as("wd"))
+      .pin()
+    val vocab = words.groupBy("wd").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("wd").asc).limit(v)
+      .select(col("wd"))
+    val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+    val idf = words.join(broadcast(vocab), Seq("wd"))
+      .groupBy("wd").agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("wd"),
+        round(log(col("nd").cast("double") / col("df").cast("double"))
+          * 1000000.0).cast("long").as("idf_e6"))
+    val docw = words.join(broadcast(vocab), Seq("wd"))
+      .groupBy("doc_id", "lang", "wd").agg(count(lit(1)).as("tf"))
+      .join(broadcast(idf), Seq("wd"))
+      .select(col("doc_id"), col("lang"), col("wd"),
+        (col("tf") * col("idf_e6")).as("w"))
+      .pin()
+    val cent = docw.groupBy(col("lang").as("cl"), col("wd"))
+      .agg(sum(col("w").cast(dec)).as("c"))
+    val nc2 = cent.groupBy("cl").agg(sum(col("c") * col("c")).as("nc2"))
+    val nd2 = docw.groupBy("doc_id")
+      .agg(sum(col("w").cast(dec) * col("w")).as("nd2"))
+    val scored = docw.join(broadcast(cent), Seq("wd"))
+      .groupBy("doc_id", "lang", "cl")
+      .agg(sum(col("w").cast(dec) * col("c")).as("dot"))
+      .join(nd2, Seq("doc_id"))
+      .join(broadcast(nc2), Seq("cl"))
+      .withColumn("score_e6",
+        round(col("dot").cast("double")
+          / sqrt(col("nd2").cast("double") * col("nc2").cast("double"))
+          * 1000000.0).cast("long"))
+    val best = scored.groupBy("doc_id")
+      .agg(max(col("score_e6")).as("ms"))
+    val pred = scored.join(best, Seq("doc_id"))
+      .filter(col("score_e6") === col("ms"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(col("cl")).as("pred_lang"), min(col("ms")).as("best_e6"))
+    val own = scored.filter(col("cl") === col("lang"))
+      .select(col("doc_id"), col("score_e6").as("own_e6"))
+    pred.join(own, Seq("doc_id"))
+      .filter(col("pred_lang") =!= col("lang"))
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        col("pred_lang"), (col("best_e6") - col("own_e6")).as("margin_e6"))
+      .orderBy(col("margin_e6").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private val q488Sql =
+    """WITH words AS (
+      |  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '),
+      |    w -> length(w) > 0)) AS wd
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT wd FROM (
+      |    SELECT wd, count(*) AS cf FROM words GROUP BY wd
+      |    ORDER BY cf DESC, wd ASC LIMIT 50)),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |idf AS (
+      |  SELECT wd, CAST(round(ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS idf_e6
+      |  FROM (SELECT wd, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |    FROM words JOIN vocab USING (wd) GROUP BY wd)
+      |  CROSS JOIN nd),
+      |docw AS (
+      |  SELECT doc_id, lang, wd, tf * idf_e6 AS w FROM (
+      |    SELECT doc_id, lang, wd, CAST(count(*) AS BIGINT) AS tf
+      |    FROM words JOIN vocab USING (wd) GROUP BY doc_id, lang, wd)
+      |  JOIN idf USING (wd)),
+      |cent AS (
+      |  SELECT lang AS cl, wd, sum(CAST(w AS HUGEINT)) AS c
+      |  FROM docw GROUP BY lang, wd),
+      |nc2 AS (SELECT cl, sum(c * c) AS nc2 FROM cent GROUP BY cl),
+      |nd2 AS (
+      |  SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS nd2
+      |  FROM docw GROUP BY doc_id),
+      |scored AS (
+      |  SELECT doc_id, lang, cl,
+      |    CAST(round(CAST(dot AS DOUBLE)
+      |      / sqrt(CAST(nd2 AS DOUBLE) * CAST(nc2 AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS score_e6
+      |  FROM (
+      |    SELECT doc_id, lang, cl, sum(CAST(w AS HUGEINT) * c) AS dot
+      |    FROM docw JOIN cent USING (wd)
+      |    GROUP BY doc_id, lang, cl)
+      |  JOIN nd2 USING (doc_id) JOIN nc2 USING (cl)),
+      |best AS (SELECT doc_id, max(score_e6) AS ms
+      |  FROM scored GROUP BY doc_id),
+      |pred AS (
+      |  SELECT scored.doc_id, lang, min(cl) AS pred_lang,
+      |    min(ms) AS best_e6
+      |  FROM scored JOIN best ON scored.doc_id = best.doc_id
+      |    AND score_e6 = ms
+      |  GROUP BY scored.doc_id, lang),
+      |own AS (
+      |  SELECT doc_id, score_e6 AS own_e6 FROM scored WHERE cl = lang)
+      |SELECT pred.doc_id, lang AS true_lang, pred_lang,
+      |  best_e6 - own_e6 AS margin_e6
+      |FROM pred JOIN own ON pred.doc_id = own.doc_id
+      |WHERE pred_lang <> lang
+      |ORDER BY margin_e6 DESC, pred.doc_id ASC
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q467_naive_bayes" -> (q467 _),
     "q468_decision_stump" -> (q468 _),
@@ -1997,7 +2227,9 @@ object Learn {
     "q483_als_alternation" -> (q483 _),
     "q484_bias_baseline" -> (q484 _),
     "q485_macqueen_walk" -> (q485 _),
-    "q486_stream_macqueen" -> (q486 _))
+    "q486_stream_macqueen" -> (q486 _),
+    "q487_greedy_coverage" -> (q487 _),
+    "q488_label_noise" -> (q488 _))
 
   val oracle: Map[String, String] = Map(
     "q467_naive_bayes" -> q467Sql,
@@ -2019,5 +2251,7 @@ object Learn {
     "q483_als_alternation" -> q483Sql,
     "q484_bias_baseline" -> q484Sql,
     "q485_macqueen_walk" -> q485Sql,
-    "q486_stream_macqueen" -> q485Sql)
+    "q486_stream_macqueen" -> q485Sql,
+    "q487_greedy_coverage" -> q487Sql,
+    "q488_label_noise" -> q488Sql)
 }

@@ -613,4 +613,77 @@ class LearnSpec extends AnyFunSuite {
     // both clusters are actually in use on this data
     assert(batch.last._5 > 1L && batch.last._7 > 1L)
   }
+
+  test("q487 greedy coverage: the k=5 loop replayed over plain-Scala " +
+       "STRING shingle sets (no hashes); marginal gains non-increasing " +
+       "(submodularity)") {
+    val sets: Map[Long, Set[String]] = docTok.map { case (id, ws) =>
+      (id, ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet)
+    }.toMap
+    var covered = Set.empty[String]
+    var chosen = Set.empty[Long]
+    val expected = (1 to 5).map { round =>
+      val (doc, gain) = sets.view.filterKeys(!chosen(_))
+        .map { case (id, s) => (id, (s -- covered).size.toLong) }
+        .toSeq.minBy { case (id, g) => (-g, id) }
+      covered ++= sets(doc); chosen += doc
+      (round.toLong, doc, gain, covered.size.toLong)
+    }
+    val got = q("q487_greedy_coverage").collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("gain"), r.getAs[Long]("covered_total"))).toSeq
+      .sortBy(_._1)
+    assert(got == expected)
+    got.sliding(2).foreach { case Seq(a, b) => assert(a._3 >= b._3)
+      case _ => }
+  }
+
+  test("q488 label-noise screen: margins recomputed through the " +
+       "Rocchio scala replay; every suspect mispredicted with a " +
+       "positive margin, ranked descending") {
+    val docs = graft.core.Tables.load(spark, TestSpark.sf001, "documents")
+      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .collect().toSeq
+    val toks = docs.map { case (id, lang, t) =>
+      (id, lang, t.split(" ").filter(_.nonEmpty))
+    }
+    val vocab = toks.flatMap(_._3).groupBy(identity)
+      .map { case (w, v) => (w, v.size) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(50).map(_._1).toSet
+    val nDocs = docs.size.toLong
+    val df = toks.flatMap { case (id, _, ws) =>
+      ws.filter(vocab).distinct.map(w => (w, id))
+    }.distinct.groupBy(_._1).map { case (w, v) => (w, v.size.toLong) }
+    val idf = df.map { case (w, d) =>
+      (w, roundHalfUp(math.log(nDocs.toDouble / d) * 1e6))
+    }
+    val docw = toks.map { case (id, lang, ws) =>
+      (id, lang, ws.filter(vocab).groupBy(identity)
+        .map { case (w, v) => (w, v.size.toLong * idf(w)) })
+    }.filter(_._3.nonEmpty)
+    val cent = docw.groupBy(_._2).map { case (lang, ds) =>
+      (lang, ds.flatMap(_._3).groupBy(_._1)
+        .map { case (w, v) => (w, v.map(x => BigInt(x._2)).sum) })
+    }
+    val nc2 = cent.map { case (l, c) => (l, c.values.map(x => x * x).sum) }
+    val expected = docw.flatMap { case (id, lang, tf) =>
+      val nd2 = tf.values.map(x => BigInt(x) * x).sum
+      val scores = cent.toSeq.map { case (cl, c) =>
+        val dot = tf.map { case (w, x) =>
+          BigInt(x) * c.getOrElse(w, BigInt(0))
+        }.sum
+        (cl, roundHalfUp(dot.toDouble
+          / math.sqrt(nd2.toDouble * nc2(cl).toDouble) * 1e6))
+      }
+      val ms = scores.map(_._2).max
+      val pred = scores.filter(_._2 == ms).map(_._1).min
+      val own = scores.find(_._1 == lang).get._2
+      if (pred != lang) Some((id, lang, pred, ms - own)) else None
+    }.sortBy { case (id, _, _, m) => (-m, id) }.take(20)
+    val got = q("q488_label_noise").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("true_lang"),
+        r.getAs[String]("pred_lang"), r.getAs[Long]("margin_e6"))).toSeq
+    assert(got == expected)
+    got.foreach { case (_, t, p, m) => assert(t != p && m > 0L) }
+  }
 }
