@@ -619,7 +619,44 @@ object Learn {
         Seq("cx", "cy"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val comp = graft.operators.Dedup.connectedComponentsStar(edges)
+    // components via a single-partition union-find over the
+    // raise_error-guarded CELL-EDGE grain (the q442 bounded-walk
+    // pattern): the grid is universe-bounded by construction
+    // (≤ 81×81 cells at this ε regardless of corpus size), so the
+    // O(log n) distributed star contraction would spend its rounds
+    // on a driver-scale graph — only cell edges funnel into the one
+    // partition, never points
+    import s.implicits._
+    val nCells = core.agg(count(lit(1)).as("nc"))
+    val comp = edges.crossJoin(broadcast(nCells))
+      .select(
+        when(col("nc") <= 100000L, col("id_a"))
+          .otherwise(raise_error(concat(
+            lit("gridDbscan: cell universe exceeded 100000 ("),
+            col("nc").cast("string"),
+            lit(") — widen the cell or raise the bound explicitly."))))
+          .as("id_a"),
+        col("id_b"))
+      .as[(Long, Long)].repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val ids = parent.keys.toSeq ++ parent.values.toSeq
+        ids.distinct.map(id => (id, find(id))).iterator
+      }
+      .toDF("id", "cluster")
     core.join(comp, core("ck") === comp("id"), "left")
       .select(col("ck"), col("cnt"),
         coalesce(col("cluster"), col("ck")).as("cluster"))
