@@ -936,13 +936,16 @@ object Learn {
       val axis = base.groupBy("f").agg(count(lit(1)).as("nf"),
         sum(col("r").cast(dec)).as("sf"),
         sum(col("r").cast(dec) * col("r")).as("qf"))
-      val c1 = graft.operators.Curate.globalCumSum(
-        axis, Seq(col("f")), col("nf"), "n_le", "r1")
-      val c2 = graft.operators.Curate.globalCumSum(
-        c1, Seq(col("f")), col("sf"), "s_le", "r2")
-      val c3 = graft.operators.Curate.globalCumSum(
-        c2, Seq(col("f")), col("qf"), "q_le", "r3")
-        .drop("r1", "r2", "r3")
+      // cumulants via a broadcast triangular self-join (the
+      // globalRank offsets idiom): the axis is CLOCK-BOUNDED
+      // (hour/day-of-week, ≤24 rows → ≤576 joined rows), so three
+      // range-partitioned globalCumSums would pay six shuffles and
+      // checkpoints for nothing
+      val c3 = axis.as("a").join(broadcast(axis.as("b")),
+          col("b.f") <= col("a.f"))
+        .groupBy(col("a.f").as("f"))
+        .agg(sum(col("b.nf")).as("n_le"), sum(col("b.sf")).as("s_le"),
+          sum(col("b.qf")).as("q_le"))
       val tot = axis.agg(sum(col("nf")).as("nn"),
         sum(col("sf")).as("ss"), sum(col("qf")).as("qq"))
       val scored = c3.crossJoin(broadcast(tot))
