@@ -2247,6 +2247,185 @@ object Learn {
       |ORDER BY margin_e6 DESC, pred.doc_id ASC
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q489 — one-shot model averaging (the FedAvg/parameter-averaging
+  // tradeoff, exactly): eight hash shards each train a TWO-epoch
+  // batch perceptron locally (after epoch 2 the shard models diverge
+  // nonlinearly — their misclassified sets differ), the averaged
+  // model w̄ = round(Σw_s/8) competes against the full-batch
+  // two-epoch model, and ALL TEN models evaluate in ONE data pass
+  // (events × broadcast 10-row model table). Everything is integer
+  // except the one rounding division in the average. The readout IS
+  // the distributed-training lesson: local epochs are cheap but
+  // averaging is not equivalent to batch training.
+  // ---------------------------------------------------------------------
+  private def q489(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.eventsSec(s, dir).select(
+        when(col("event_type") === "purchase", 1L).otherwise(-1L).as("y"),
+        lit(1L).as("x0"),
+        hour(col("ts_s")).cast("long").as("x1"),
+        pmod(expr("CAST(datediff(to_date(ts_s), DATE '1970-01-01') AS BIGINT)"),
+          lit(7L)).as("x2"),
+        (round(col("value") * 100).cast("long") / lit(10000L))
+          .cast("long").as("x3"),
+        (graft.functions.PortableHash.hash60(
+          concat(lit("fa:"), col("event_id").cast("string")))
+          % 8L).as("sh"))
+      .pin()
+    // local epoch 1: from w=0 every row is misclassified per shard
+    val w1 = f.groupBy("sh").agg(
+      sum((col("y") * col("x0")).cast(dec)).as("w0"),
+      sum((col("y") * col("x1")).cast(dec)).as("w1"),
+      sum((col("y") * col("x2")).cast(dec)).as("w2"),
+      sum((col("y") * col("x3")).cast(dec)).as("w3"))
+      .select(col("sh"), col("w0").cast("long").as("w0"),
+        col("w1").cast("long").as("w1"), col("w2").cast("long").as("w2"),
+        col("w3").cast("long").as("w3"))
+    // local epoch 2: margins against the own shard's w1
+    val w2 = f.join(broadcast(w1.select(col("sh"),
+        col("w0").as("p0"), col("w1").as("p1"),
+        col("w2").as("p2"), col("w3").as("p3"))), Seq("sh"))
+      .withColumn("__mis",
+        col("y") * (col("p0") * col("x0") + col("p1") * col("x1")
+          + col("p2") * col("x2") + col("p3") * col("x3")) <= 0L)
+      .groupBy("sh").agg(
+        (first(col("p0")) + sum(when(col("__mis"), col("y") * col("x0"))
+          .otherwise(0L).cast(dec)).cast("long")).as("w0"),
+        (first(col("p1")) + sum(when(col("__mis"), col("y") * col("x1"))
+          .otherwise(0L).cast(dec)).cast("long")).as("w1"),
+        (first(col("p2")) + sum(when(col("__mis"), col("y") * col("x2"))
+          .otherwise(0L).cast(dec)).cast("long")).as("w2"),
+        (first(col("p3")) + sum(when(col("__mis"), col("y") * col("x3"))
+          .otherwise(0L).cast(dec)).cast("long")).as("w3"))
+      .pin()
+    val avg = w2.agg(
+      round(sum(col("w0")).cast("double") / 8.0).cast("long").as("w0"),
+      round(sum(col("w1")).cast("double") / 8.0).cast("long").as("w1"),
+      round(sum(col("w2")).cast("double") / 8.0).cast("long").as("w2"),
+      round(sum(col("w3")).cast("double") / 8.0).cast("long").as("w3"))
+      .select(lit("avg").as("model"), col("w0"), col("w1"), col("w2"),
+        col("w3"))
+    // full-batch two-epoch twin (the q469 recurrence, epochs 1-2)
+    val g1 = f.agg(
+      sum((col("y") * col("x0")).cast(dec)).as("w0"),
+      sum((col("y") * col("x1")).cast(dec)).as("w1"),
+      sum((col("y") * col("x2")).cast(dec)).as("w2"),
+      sum((col("y") * col("x3")).cast(dec)).as("w3"))
+      .select(col("w0").cast("long").as("w0"),
+        col("w1").cast("long").as("w1"), col("w2").cast("long").as("w2"),
+        col("w3").cast("long").as("w3"))
+    val g2 = f.crossJoin(broadcast(g1.select(
+        col("w0").as("p0"), col("w1").as("p1"),
+        col("w2").as("p2"), col("w3").as("p3"))))
+      .withColumn("__mis",
+        col("y") * (col("p0") * col("x0") + col("p1") * col("x1")
+          + col("p2") * col("x2") + col("p3") * col("x3")) <= 0L)
+      .agg(
+        (first(col("p0")) + sum(when(col("__mis"), col("y") * col("x0"))
+          .otherwise(0L).cast(dec)).cast("long")).as("w0"),
+        (first(col("p1")) + sum(when(col("__mis"), col("y") * col("x1"))
+          .otherwise(0L).cast(dec)).cast("long")).as("w1"),
+        (first(col("p2")) + sum(when(col("__mis"), col("y") * col("x2"))
+          .otherwise(0L).cast(dec)).cast("long")).as("w2"),
+        (first(col("p3")) + sum(when(col("__mis"), col("y") * col("x3"))
+          .otherwise(0L).cast(dec)).cast("long")).as("w3"))
+      .select(lit("full").as("model"), col("w0"), col("w1"), col("w2"),
+        col("w3"))
+    val models = w2
+      .select(concat(lit("shard"), col("sh").cast("string")).as("model"),
+        col("w0"), col("w1"), col("w2"), col("w3"))
+      .unionByName(avg).unionByName(g2)
+    val evaled = f.crossJoin(broadcast(models.select(
+        col("model").as("m"), col("w0").as("e0"), col("w1").as("e1"),
+        col("w2").as("e2"), col("w3").as("e3"))))
+      .withColumn("__mis",
+        col("y") * (col("e0") * col("x0") + col("e1") * col("x1")
+          + col("e2") * col("x2") + col("e3") * col("x3")) <= 0L)
+      .groupBy(col("m").as("model"))
+      .agg(sum(when(col("__mis"), 1L).otherwise(0L)).as("n_mis"))
+    models.join(evaled, Seq("model"))
+      .select(col("model"), col("w0"), col("w1"), col("w2"), col("w3"),
+        col("n_mis"))
+      .orderBy(col("model"))
+  }
+
+  private val q489Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "concat('fa:', CAST(event_id AS VARCHAR))")
+    s"""WITH f AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS y,
+      |    CAST(1 AS BIGINT) AS x0,
+      |    CAST(hour(date_trunc('second', ts)) AS BIGINT) AS x1,
+      |    CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(date_trunc('second', ts) AS DATE)) % 7 AS BIGINT) AS x2,
+      |    CAST(round(value * 100) AS BIGINT) // 10000 AS x3,
+      |    $h % 8 AS sh
+      |  FROM events),
+      |w1 AS (
+      |  SELECT sh, CAST(sum(y * x0) AS BIGINT) AS w0,
+      |    CAST(sum(y * x1) AS BIGINT) AS w1,
+      |    CAST(sum(y * x2) AS BIGINT) AS w2,
+      |    CAST(sum(y * x3) AS BIGINT) AS w3
+      |  FROM f GROUP BY sh),
+      |m2 AS (
+      |  SELECT f.*, w1.w0 AS p0, w1.w1 AS p1, w1.w2 AS p2, w1.w3 AS p3,
+      |    (y * (w1.w0*x0 + w1.w1*x1 + w1.w2*x2 + w1.w3*x3) <= 0) AS mis
+      |  FROM f JOIN w1 USING (sh)),
+      |w2 AS (
+      |  SELECT sh,
+      |    CAST(any_value(p0)
+      |      + sum(CASE WHEN mis THEN y * x0 ELSE 0 END) AS BIGINT) AS w0,
+      |    CAST(any_value(p1)
+      |      + sum(CASE WHEN mis THEN y * x1 ELSE 0 END) AS BIGINT) AS w1,
+      |    CAST(any_value(p2)
+      |      + sum(CASE WHEN mis THEN y * x2 ELSE 0 END) AS BIGINT) AS w2,
+      |    CAST(any_value(p3)
+      |      + sum(CASE WHEN mis THEN y * x3 ELSE 0 END) AS BIGINT) AS w3
+      |  FROM m2 GROUP BY sh),
+      |avgm AS (
+      |  SELECT 'avg' AS model,
+      |    CAST(round(CAST(sum(w0) AS DOUBLE) / 8.0) AS BIGINT) AS w0,
+      |    CAST(round(CAST(sum(w1) AS DOUBLE) / 8.0) AS BIGINT) AS w1,
+      |    CAST(round(CAST(sum(w2) AS DOUBLE) / 8.0) AS BIGINT) AS w2,
+      |    CAST(round(CAST(sum(w3) AS DOUBLE) / 8.0) AS BIGINT) AS w3
+      |  FROM w2),
+      |g1 AS (
+      |  SELECT CAST(sum(y * x0) AS BIGINT) AS w0,
+      |    CAST(sum(y * x1) AS BIGINT) AS w1,
+      |    CAST(sum(y * x2) AS BIGINT) AS w2,
+      |    CAST(sum(y * x3) AS BIGINT) AS w3
+      |  FROM f),
+      |gm2 AS (
+      |  SELECT f.*, g1.w0 AS p0, g1.w1 AS p1, g1.w2 AS p2, g1.w3 AS p3,
+      |    (y * (g1.w0*x0 + g1.w1*x1 + g1.w2*x2 + g1.w3*x3) <= 0) AS mis
+      |  FROM f CROSS JOIN g1),
+      |g2 AS (
+      |  SELECT 'full' AS model,
+      |    CAST(any_value(p0)
+      |      + sum(CASE WHEN mis THEN y * x0 ELSE 0 END) AS BIGINT) AS w0,
+      |    CAST(any_value(p1)
+      |      + sum(CASE WHEN mis THEN y * x1 ELSE 0 END) AS BIGINT) AS w1,
+      |    CAST(any_value(p2)
+      |      + sum(CASE WHEN mis THEN y * x2 ELSE 0 END) AS BIGINT) AS w2,
+      |    CAST(any_value(p3)
+      |      + sum(CASE WHEN mis THEN y * x3 ELSE 0 END) AS BIGINT) AS w3
+      |  FROM gm2),
+      |models AS (
+      |  SELECT concat('shard', CAST(sh AS VARCHAR)) AS model,
+      |    w0, w1, w2, w3 FROM w2
+      |  UNION ALL SELECT model, w0, w1, w2, w3 FROM avgm
+      |  UNION ALL SELECT model, w0, w1, w2, w3 FROM g2),
+      |evaled AS (
+      |  SELECT model, CAST(sum(CASE WHEN
+      |      y * (m.w0*x0 + m.w1*x1 + m.w2*x2 + m.w3*x3) <= 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_mis
+      |  FROM f CROSS JOIN models m
+      |  GROUP BY model)
+      |SELECT models.model, w0, w1, w2, w3, n_mis
+      |FROM models JOIN evaled USING (model)
+      |ORDER BY models.model""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q467_naive_bayes" -> (q467 _),
     "q468_decision_stump" -> (q468 _),
@@ -2269,7 +2448,8 @@ object Learn {
     "q485_macqueen_walk" -> (q485 _),
     "q486_stream_macqueen" -> (q486 _),
     "q487_greedy_coverage" -> (q487 _),
-    "q488_label_noise" -> (q488 _))
+    "q488_label_noise" -> (q488 _),
+    "q489_model_averaging" -> (q489 _))
 
   val oracle: Map[String, String] = Map(
     "q467_naive_bayes" -> q467Sql,
@@ -2293,5 +2473,6 @@ object Learn {
     "q485_macqueen_walk" -> q485Sql,
     "q486_stream_macqueen" -> q485Sql,
     "q487_greedy_coverage" -> q487Sql,
-    "q488_label_noise" -> q488Sql)
+    "q488_label_noise" -> q488Sql,
+    "q489_model_averaging" -> q489Sql)
 }

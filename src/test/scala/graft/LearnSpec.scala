@@ -686,4 +686,52 @@ class LearnSpec extends AnyFunSuite {
     assert(got == expected)
     got.foreach { case (_, t, p, m) => assert(t != p && m > 0L) }
   }
+
+  test("q489 model averaging: shard, averaged, and full-batch models " +
+       "replayed as plain-Scala loops; the average is NOT the full " +
+       "model (the tradeoff the op exists to show)") {
+    val rows = graft.core.Tables.eventsSec(spark, TestSpark.sf001)
+      .select(col("event_id").cast("string").as("eid"),
+        when(col("event_type") === "purchase", 1L).otherwise(-1L).as("y"),
+        hour(col("ts_s")).cast("long").as("hr"),
+        pmod(expr(
+          "CAST(datediff(to_date(ts_s), DATE '1970-01-01') AS BIGINT)"),
+          lit(7L)).as("dw"),
+        round(col("value") * 100).cast("long").as("c"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+      .map { case (eid, y, hr, dw, c) =>
+        (hash60(s"fa:$eid") % 8L, y, Array(1L, hr, dw, c / 10000L))
+      }
+    def twoEpochs(data: Seq[(Long, Array[Long])]): Seq[Long] = {
+      val w1 = (0 to 3).map(j => data.map { case (y, x) => y * x(j) }.sum)
+      val mis = data.filter { case (y, x) =>
+        y * x.zip(w1).map { case (a, b) => a * b }.sum <= 0L
+      }
+      (0 to 3).map(j => w1(j) + mis.map { case (y, x) => y * x(j) }.sum)
+    }
+    val shard = (0L to 7L).map { s =>
+      s -> twoEpochs(rows.collect { case (sh, y, x) if sh == s => (y, x) })
+    }.toMap
+    val avg = (0 to 3).map(j =>
+      roundHalfUp(shard.values.map(_(j)).sum.toDouble / 8.0))
+    val full = twoEpochs(rows.map { case (_, y, x) => (y, x) })
+    def nMis(w: Seq[Long]): Long = rows.count { case (_, y, x) =>
+      y * x.zip(w).map { case (a, b) => a * b }.sum <= 0L
+    }.toLong
+    val expected = (shard.map { case (s, w) =>
+      (s"shard$s", w(0), w(1), w(2), w(3), nMis(w))
+    }.toSeq :+ (("avg", avg(0), avg(1), avg(2), avg(3), nMis(avg)))
+      :+ (("full", full(0), full(1), full(2), full(3), nMis(full))))
+      .sortBy(_._1)
+    val got = q("q489_model_averaging").collect()
+      .map(r => (r.getAs[String]("model"), r.getAs[Long]("w0"),
+        r.getAs[Long]("w1"), r.getAs[Long]("w2"), r.getAs[Long]("w3"),
+        r.getAs[Long]("n_mis"))).toSeq.sortBy(_._1)
+    assert(got == expected)
+    // the averaged model differs from the full-batch model: epoch 2
+    // makes shard training nonlinear, which is the whole point
+    val a = got.find(_._1 == "avg").get
+    val fl = got.find(_._1 == "full").get
+    assert((a._2, a._3, a._4, a._5) != ((fl._2, fl._3, fl._4, fl._5)))
+  }
 }
