@@ -206,8 +206,13 @@ object Learn {
         hour(col("ts_s")).cast("long").as("x1"),
         pmod(expr("CAST(datediff(to_date(ts_s), DATE '1970-01-01') AS BIGINT)"),
           lit(7L)).as("x2"),
-        (round(col("value") * 100).cast("long") / lit(10000L))
-          .cast("long").as("x3"))
+        // floor division (x - pmod(x,1e4))/1e4 matches DuckDB's `//`
+        // for ALL signs; plain `/`+cast truncates toward zero and would
+        // fork on negative cents (value_e2 is non-negative today, but
+        // the form shouldn't depend on that).
+        (((round(col("value") * 100).cast("long")
+          - pmod(round(col("value") * 100).cast("long"), lit(10000L)))
+          / lit(10000L)).cast("long")).as("x3"))
       .pin()
     def epoch(prev: Option[DataFrame], k: Int): DataFrame = {
       val mis = prev match {
@@ -721,8 +726,14 @@ object Learn {
   // Window selection is a doc-partitioned LEAD + running window min
   // (never unpartitioned); the posting join df-prunes minimizers in
   // >50 docs (stop-shingles) before pairing, the same hot-key
-  // discipline as the jaccard family. Jaccard over minimizer sets
-  // reads out per pair; top-20 by shared mass.
+  // discipline as the jaccard family. NOTE the readout semantics:
+  // jacc_e6 is a PRUNED-HYBRID jaccard — `shared` counts only df≤50
+  // minimizers while ma/mb are the UNPRUNED sketch sizes, so pairs
+  // sharing hot minimizers read systematically LOW. That is the
+  // intended candidate-ranking estimate (hot minimizers carry no
+  // discriminative signal), deterministic and identical on both
+  // engines; it is not the plain minimizer-set jaccard. Top-20 by
+  // shared mass.
   // ---------------------------------------------------------------------
   private def q474(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2266,8 +2277,9 @@ object Learn {
         hour(col("ts_s")).cast("long").as("x1"),
         pmod(expr("CAST(datediff(to_date(ts_s), DATE '1970-01-01') AS BIGINT)"),
           lit(7L)).as("x2"),
-        (round(col("value") * 100).cast("long") / lit(10000L))
-          .cast("long").as("x3"),
+        (((round(col("value") * 100).cast("long")
+          - pmod(round(col("value") * 100).cast("long"), lit(10000L)))
+          / lit(10000L)).cast("long")).as("x3"),  // floor-div, see q469
         (graft.functions.PortableHash.hash60(
           concat(lit("fa:"), col("event_id").cast("string")))
           % 8L).as("sh"))

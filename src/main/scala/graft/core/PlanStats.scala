@@ -44,6 +44,21 @@ object PlanStats {
   private val cp = new AtomicInteger(0)
   private val hof = new AtomicBoolean(false)
 
+  // Test-only plan-text log: when enabled, every pin's pre-checkpoint
+  // executed plan is captured verbatim so a spec can assert whole-query
+  // invariants (e.g. "the source is scanned exactly once") that the
+  // final plan alone cannot show once lineage is truncated. Same
+  // SEQUENTIAL-ONLY contract as the counters.
+  private val logOn = new AtomicBoolean(false)
+  private val logBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def enablePlanLog(): Unit = { logBuf.clear(); logOn.set(true) }
+  def disablePlanLog(): Unit = logOn.set(false)
+  def loggedPlans: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    logBuf.iterator.asScala.toSeq
+  }
+
   def enable(): Unit = on.set(true)
   def disable(): Unit = on.set(false)
   def reset(): Unit = { ex.set(0); bc.set(0); cp.set(0); hof.set(false) }
@@ -57,12 +72,15 @@ object PlanStats {
     * the dataset's executed plan and add them to the accumulator.
     * No-op unless [[enable]]d.
     */
-  def record(ds: Dataset[_]): Unit = if (on.get()) {
+  def record(ds: Dataset[_]): Unit = if (on.get() || logOn.get()) {
     val p = ds.queryExecution.executedPlan.toString
-    ex.addAndGet(countIn(p, "Exchange hashpartitioning") +
-      countIn(p, "Exchange rangepartitioning"))
-    bc.addAndGet(countIn(p, "BroadcastExchange"))
-    if (p.toLowerCase.contains("lambdafunction")) hof.set(true)
+    if (on.get()) {
+      ex.addAndGet(countIn(p, "Exchange hashpartitioning") +
+        countIn(p, "Exchange rangepartitioning"))
+      bc.addAndGet(countIn(p, "BroadcastExchange"))
+      if (p.toLowerCase.contains("lambdafunction")) hof.set(true)
+    }
+    if (logOn.get()) logBuf.add(p)
   }
 
   private def countIn(hay: String, needle: String): Int = {
@@ -78,7 +96,8 @@ object PlanStats {
       * include the pre-checkpoint subtrees.
       */
     def pin(): Dataset[T] = {
-      if (on.get()) { cp.incrementAndGet(); record(ds) }
+      if (on.get()) cp.incrementAndGet()
+      record(ds)
       ds.localCheckpoint()
     }
   }

@@ -38,7 +38,7 @@ class LearnSpec extends AnyFunSuite {
           lit(7L)).as("dw"),
         round(col("value") * 100).cast("long").as("c"))
       .as[(Long, Long, Long, Long)].collect().toSeq
-      .map { case (y, hr, dw, c) => (y, hr, dw, c, c / 10000L) }
+      .map { case (y, hr, dw, c) => (y, hr, dw, c, Math.floorDiv(c, 10000L)) }
 
   test("q469 batch perceptron: three epochs replayed as a plain-Scala " +
        "loop land on identical weights and misclassification counts") {
@@ -700,7 +700,7 @@ class LearnSpec extends AnyFunSuite {
         round(col("value") * 100).cast("long").as("c"))
       .as[(String, Long, Long, Long, Long)].collect().toSeq
       .map { case (eid, y, hr, dw, c) =>
-        (hash60(s"fa:$eid") % 8L, y, Array(1L, hr, dw, c / 10000L))
+        (hash60(s"fa:$eid") % 8L, y, Array(1L, hr, dw, Math.floorDiv(c, 10000L)))
       }
     def twoEpochs(data: Seq[(Long, Array[Long])]): Seq[Long] = {
       val w1 = (0 to 3).map(j => data.map { case (y, x) => y * x(j) }.sum)

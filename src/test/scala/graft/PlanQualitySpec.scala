@@ -1369,14 +1369,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("q473: grid-DBSCAN never joins points against points — every " +
-       "join sits on the cell grain, no cartesian anywhere") {
-    val p = plan("q473_grid_dbscan")
-    assert(!p.contains("CartesianProduct"), p)
-    // points appear in exactly one scan-and-bucket pass; the rest of
-    // the plan (neighbor mass, core filter, CC) is cell-grain only
-    assert(!p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"), p)
+  test("q473: grid-DBSCAN scans the embeddings source exactly once — " +
+       "every later join (neighbor mass, core filter, CC) sits on the " +
+       "cell grain, no cartesian anywhere") {
+    // the query pins aggressively, so the final plan alone can't show
+    // the scan count — capture every pre-checkpoint subtree too
+    graft.core.PlanStats.enablePlanLog()
+    val fin = try plan("q473_grid_dbscan")
+              finally graft.core.PlanStats.disablePlanLog()
+    val full = (graft.core.PlanStats.loggedPlans :+ fin).mkString("\n")
+    // count physical scan nodes ("FileScan parquet" would match a
+    // naive "Scan parquet" too — don't double-count)
+    val scans = "FileScan".r.findAllIn(full).length +
+      "BatchScan".r.findAllIn(full).length
+    assert(scans == 1, s"scans=$scans\n$full")
+    assert(!full.contains("CartesianProduct"), full)
   }
 
   test("q480: one (bucket x hour) cumulant table feeds all nine " +
