@@ -23,7 +23,7 @@ object GrowthProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
-    val spark = GraftSession.builder(32).getOrCreate()
+    val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
     val d = graft.core.Tables.load(spark, dir, "documents")
     val nDocs = d.count()

@@ -51,6 +51,15 @@ object GraftSession {
   def local(cores: Int = 4): SparkSession = {
     val spark = builder(cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // post-pushdown optimizer rule (the "User Provided Optimizers"
+    // batch runs AFTER early scan pushdown — extensions'
+    // injectOptimizerRule would run BEFORE it): re-resolves a DSv2
+    // scan's reported KeyGroupedPartitioning that Spark's
+    // aggregate-pushdown rewrite drops; see the rule's scaladoc
+    if (!spark.experimental.extraOptimizations
+          .contains(org.apache.spark.sql.graftx.RestoreReportedPartitioningRule))
+      spark.experimental.extraOptimizations ++=
+        Seq(org.apache.spark.sql.graftx.RestoreReportedPartitioningRule)
     spark
   }
 }

@@ -283,21 +283,67 @@ object Dedup {
             "cap explicitly."))))
   }
 
+  /** Target candidate-pair rows per reduce partition for the adaptive
+    * expansion width. The pair-count aggregate is the one shuffle in
+    * the all-pairs family whose input volume is CANDIDATE mass, not
+    * corpus mass — Σ C(df,2) over the postings, easily 1000× the row
+    * count — so inheriting the session's corpus-sized
+    * `spark.sql.shuffle.partitions` melts exactly when the operator
+    * matters most (measured: 1.2 B candidates over 32 local
+    * partitions = 37 M pair rows each, per-candidate cost ×1.5–×2.9).
+    * 4 M pair rows ≈ 150–400 MB of shuffle input per task — sized to
+    * hash-aggregate in executor memory without spill. */
+  private val pairsPerPartition = 4L * 1000 * 1000
+
+  /** Hard ceiling on the adaptive width (2 M partitions ≈ 8×10¹²
+    * candidates at the target — far past any sane single job; above
+    * it the df-prune discipline, not partition width, is the fix). */
+  private val maxAdaptiveWidth = 2 * 1000 * 1000
+
   private def intersectionCounts(shingled: DataFrame,
                                  maxPostingLen: Option[Long]): DataFrame = {
     val withSz = shingled.select(col("id"), col("sh"),
       count(lit(1)).over(Window.partitionBy("id")).as("sz"))
-    withSz
+    val grouped = withSz
       .groupBy("sh")
       .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("ids"))
       .filter(size(col("ids")) > 1)
       .withColumn("ids",
         postingCapped(col("ids"), maxPostingLen, "jaccard/containment"))
-      // codegen-adjacent pair expansion (graftx.PostingPairs): one
-      // tight JVM loop per posting instead of the interpreted
-      // nested-transform HOF chain — same pairs, same order (the
-      // array is sorted, so id_a < id_b), no per-element array churn
+      // pin the grouped postings: (a) the candidate-mass probe below
+      // and the pair expansion then share ONE evaluation of the
+      // expensive shingle subtree, and (b) the probe is a 1-row
+      // aggregate over the pinned grain, not a second corpus pass
+      .pin()
+    // Σ C(k,2) — the exact pair-expansion output size, known BEFORE
+    // any pair materializes. Integer division is exact (k(k-1) even).
+    val mass = grouped
+      .agg(coalesce(sum(expr(
+        "CAST(size(ids) AS BIGINT) * (CAST(size(ids) AS BIGINT) - 1)"))
+        .cast("long"), lit(0L)).as("m"))
+      .head().getLong(0) / 2L
+    val session = grouped.sparkSession.sessionState.conf.numShufflePartitions
+    val width = math.min(maxAdaptiveWidth.toLong,
+      math.max(session.toLong,
+        (mass + pairsPerPartition - 1L) / pairsPerPartition)).toInt
+    // codegen-adjacent pair expansion (graftx.PostingPairs): one
+    // tight JVM loop per posting instead of the interpreted
+    // nested-transform HOF chain — same pairs, same order (the
+    // array is sorted, so id_a < id_b), no per-element array churn
+    val expanded = grouped
       .select(org.apache.spark.sql.graftx.PostingPairs.col(col("ids")))
+    // widen the count shuffle with the MEASURED candidate mass when
+    // the session default would overload it; hash layout (id_a, id_b)
+    // satisfies the aggregate's clustering, so this is still exactly
+    // one exchange. Pre-shuffle partial agg is forfeited, but it only
+    // ever merged pairs whose shared shingles collided into one map
+    // partition (~inter/width of rows) — noise, while the width is
+    // the difference between in-memory aggregation and spill.
+    val laidOut =
+      if (width > session)
+        expanded.repartition(width, col("id_a"), col("id_b"))
+      else expanded
+    laidOut
       .groupBy("id_a", "id_b", "size_a", "size_b")
       .agg(count(lit(1)).as("inter"))
   }

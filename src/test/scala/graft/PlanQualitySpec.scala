@@ -1235,17 +1235,19 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("q403: reported partitioning composes with the pushed grouped " +
        "aggregate — per-user key-disjoint partitions fold their own " +
-       "ids into ONE partial row each (the finalize exchange carries " +
-       "`users` rows; Spark's pushed-agg rewrite aliases the group " +
-       "column, which blocks full exchange elision — q402 is the " +
-       "zero-exchange case)") {
+       "ids into ONE partial row each AND the finalize aggregate runs " +
+       "with ZERO hash exchange (RestoreReportedPartitioningRule " +
+       "re-binds the reported KeyGroupedPartitioning that Spark's " +
+       "pushed-agg rewrite drops; the only exchange left is the final " +
+       "ORDER BY's range partitioning)") {
     val p = plan("q403_dsv2_keygrouped_pushed")
     assert(p.contains("mode=partial+keygrouped"), p)
     assert(p.contains("PushedGroupBy [user_id]"), p)
-    // the pushed partials must reach the exchange pre-aggregated —
+    // the pushed partials must reach the aggregate pre-aggregated —
     // the scan, not a row-generating read, feeds the partial agg
     assert(p.contains("PushedAggregates [COUNT(*), SUM(event_id), " +
       "MIN(event_id), MAX(event_id)]"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
   // Output-type parity lint (the round-6 q307 lesson): the

@@ -5,9 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for the whole forked test JVM. */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = graft.core.GraftSession.builder(4).getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+    graft.core.GraftSession.local(4)
   }
   val sf001 = "/root/testdata/sf0.001"
 }
