@@ -35,7 +35,8 @@ object SparkEntry {
     (analytics.Integrity.queries, analytics.Integrity.oracle),
     (analytics.Shift.queries, analytics.Shift.oracle),
     (analytics.Mining.queries, analytics.Mining.oracle),
-    (analytics.Learn.queries, analytics.Learn.oracle))
+    (analytics.Learn.queries, analytics.Learn.oracle),
+    (analytics.Refine.queries, analytics.Refine.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

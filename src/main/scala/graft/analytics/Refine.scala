@@ -1,0 +1,751 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.core.PlanStats.Pinned
+
+/** Round-11 tier: the refinement ring a training-data platform runs
+  * AFTER the corpus exists — forecast/spectral structure of the feed
+  * (is next week's volume predictable? is there a weekly cycle?),
+  * robust location/scale (medians the heavy tail can't bend),
+  * fairness audits of the cheap quality filters (does the proxy
+  * pass-rate fork across languages?), selection under a token budget
+  * (which sources to keep), sketch-vs-exact estimation audits, and
+  * causal readouts (discontinuity, propensity-stratified ATT).
+  * No reference analogue (the reference delegates all analytics to
+  * SQL; /root/reference/README.md:1-3).
+  *
+  * Cross-engine discipline as everywhere in the gate: per-row e2/e4
+  * quantization at the scan, exact long/decimal(38,0) sufficient
+  * statistics (HUGEINT in the oracle), per-row IEEE chains in
+  * IDENTICAL operation order on both engines rounded AT THE ROW
+  * before any cross-row sum (the q375 precedent), literal spectral
+  * coefficients embedded identically on both engines (never libm
+  * cos/sin at query time — q491), unique-tiebreak ORDER BY, no
+  * Decimal/Float in final schemas.
+  *
+  * Scale posture: every statistic reduces to a universe- or
+  * span-bounded grain before any window or pairwise construction —
+  * the DAY grain (≤ observation span, tripwired at 1000 via the
+  * [[dayGuard]] pattern), the e2-cents DISTINCT-VALUE grain
+  * (≤ ~10⁵ rows), or a group enumeration (langs × buckets). The one
+  * corpus-sized pass is always a map-side-combined aggregate.
+  */
+object Refine {
+
+  private val dec = "decimal(38,0)"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Unpartitioned-window site for this module (allowlisted in
+    * PlanQualitySpec's source lint): only ever applied to the
+    * day grain (≤ observation span, tripwired at 1000 days), the
+    * day-pair grain (≤ C(1000,2)), or an e2-quantized distinct-value
+    * universe (≤ ~10⁵ rows) — bounded by a span/universe, never by
+    * data volume. */
+  private def axis(sort: Column*) = Window.orderBy(sort: _*)
+
+  /** Day-grain purchase revenue in exact cents: the shared bounded
+    * series for the forecast/spectral block. One map-side-combined
+    * scan; the result is observation-span-sized. */
+  private def daySeries(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsSec(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts_s")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("d"),
+        col("y"))
+
+  private val daySeriesSql =
+    """SELECT CAST(CAST(date_trunc('second', ts) AS DATE)
+      |    - DATE '1970-01-01' AS BIGINT) AS d,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
+  /** Span tripwire: any day-grain pairwise/window construction in
+    * this module guards on ≤1000 days (the Mining q436 discipline) —
+    * a loud raise_error, never a silent quadratic blowup. */
+  private def dayGuard(nDays: Column, what: String, inner: Column): Column =
+    when(nDays <= 1000L, inner)
+      .otherwise(raise_error(concat(
+        lit(s"$what: day grain exceeded 1000 ("), nDays.cast("string"),
+        lit(") — aggregate to a coarser grain or raise the bound " +
+          "explicitly."))))
+
+  // ---------------------------------------------------------------------
+  // q490 — classical seasonal decomposition + exact trend: the
+  // additive day-of-week index (per-dow mean minus grand mean, one
+  // IEEE chain per GROUP) and the OLS trend of the deseasonalized
+  // series (six exact cumulants, q435's discipline — one division at
+  // readout). This is Holt–Winters' seasonal step made batch-exact:
+  // the seasonal state is a 7-row table, the trend two scalars, and
+  // the corpus pass is the one grouped scan in [[daySeries]].
+  // ---------------------------------------------------------------------
+  private def q490(s: SparkSession, dir: String): DataFrame = {
+    val day = daySeries(s, dir).withColumn("dow", pmod(col("d"), lit(7L)))
+      .pin()
+    val tot = day.agg(sum(col("y")).cast(dec).as("sy"),
+      count(lit(1)).as("n"))
+    val sea = day.groupBy("dow")
+      .agg(sum(col("y")).cast(dec).as("syw"), count(lit(1)).as("nw"))
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("nw"),
+        round((col("syw").cast("double") / col("nw").cast("double")
+          - col("sy").cast("double") / col("n").cast("double")) * 100.0)
+          .cast("long").as("s_e2"))
+    val mn = day.agg(min(col("d")).as("d0"))
+    val adj = day.join(broadcast(sea.select(col("dow"), col("s_e2"))), "dow")
+      .crossJoin(broadcast(mn))
+      .select((col("d") - col("d0")).as("x"),
+        (col("y") * 100L - col("s_e2")).as("v"))
+    val cum = adj.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum(col("v").cast(dec)).as("sv"),
+      sum((col("x").cast(dec)) * (col("v").cast(dec))).as("sxv"))
+    val trend = cum.select(
+      round((col("n").cast("double") * col("sxv").cast("double")
+        - col("sx").cast("double") * col("sv").cast("double"))
+        / (col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+        * 10000.0).cast("long").as("slope_e6"),
+      round((col("sv").cast("double") / col("n").cast("double")
+        - (col("n").cast("double") * col("sxv").cast("double")
+          - col("sx").cast("double") * col("sv").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          * (col("sx").cast("double") / col("n").cast("double")))
+        / 100.0 * 100.0).cast("long").as("icept_e2"))
+    sea.crossJoin(broadcast(trend))
+      .select(col("dow"), col("nw"), col("s_e2"), col("slope_e6"),
+        col("icept_e2"))
+      .orderBy("dow")
+  }
+
+  private val q490Sql =
+    s"""WITH day AS (
+      |  SELECT d, y, d % 7 AS dow FROM ($daySeriesSql)),
+      |tot AS (
+      |  SELECT CAST(sum(y) AS DECIMAL(38,0)) AS sy, count(*) AS n
+      |  FROM day),
+      |sea AS (
+      |  SELECT dow, count(*) AS nw,
+      |    CAST(round((CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * 100.0)
+      |      AS BIGINT) AS s_e2
+      |  FROM day CROSS JOIN tot GROUP BY dow, sy, n),
+      |mn AS (SELECT min(d) AS d0 FROM day),
+      |adj AS (
+      |  SELECT day.d - d0 AS x, day.y * 100 - s_e2 AS v
+      |  FROM day JOIN sea ON day.dow = sea.dow CROSS JOIN mn),
+      |cum AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(sum(v) AS DECIMAL(38,0)) AS sv,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS sxv
+      |  FROM adj),
+      |trend AS (
+      |  SELECT
+      |    CAST(round((CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * 10000.0) AS BIGINT) AS slope_e6,
+      |    CAST(round((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      / 100.0 * 100.0) AS BIGINT) AS icept_e2
+      |  FROM cum)
+      |SELECT dow, nw, s_e2, slope_e6, icept_e2
+      |FROM sea CROSS JOIN trend
+      |ORDER BY dow""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q491 — weekly-harmonic DFT power (Goertzel-by-aggregation): the
+  // spectral energy of the revenue series at periods 7, 7/2, 7/3,
+  // computed as FOUR exact integer sums per harmonic — Σ y·c[(t·k)%7]
+  // and Σ y·s[(t·k)%7] with the cos/sin tables embedded as e6 LONG
+  // LITERALS on BOTH engines (never libm at query time: cos() is not
+  // IEEE-identical across engines; seven literals are). One scan,
+  // map-side combine; sqrt only at the 3-row readout.
+  // ---------------------------------------------------------------------
+  private val cos7e6 = Seq(1000000L, 623490L, -222521L, -900969L,
+    -900969L, -222521L, 623490L)
+  private val sin7e6 = Seq(0L, 781831L, 974928L, 433884L,
+    -433884L, -974928L, -781831L)
+
+  private def q491(s: SparkSession, dir: String): DataFrame = {
+    val day = daySeries(s, dir).pin()
+    val mn = day.agg(min(col("d")).as("d0"))
+    val ks = s.range(1, 4).select(col("id").as("k"))
+    val withT = day.crossJoin(broadcast(mn))
+      .select((col("d") - col("d0")).as("t"), col("y"))
+      .crossJoin(broadcast(ks))
+      .withColumn("j", pmod(col("t") * col("k"), lit(7L)))
+      .withColumn("c", element_at(
+        array(cos7e6.map(lit): _*), (col("j") + 1L).cast("int")))
+      .withColumn("sn", element_at(
+        array(sin7e6.map(lit): _*), (col("j") + 1L).cast("int")))
+    withT.groupBy("k")
+      .agg(sum((col("y") * col("c")).cast(dec)).as("a"),
+        sum((col("y") * col("sn")).cast(dec)).as("b"))
+      .select(col("k"), col("a").cast("long").as("a_e6"),
+        col("b").cast("long").as("b_e6"),
+        round(sqrt(col("a").cast("double") * col("a").cast("double")
+          + col("b").cast("double") * col("b").cast("double")) / 1000.0)
+          .cast("long").as("amp_e3"))
+      .orderBy("k")
+  }
+
+  private val q491Sql = {
+    val cl = cos7e6.mkString("[", ", ", "]")
+    val sl = sin7e6.mkString("[", ", ", "]")
+    s"""WITH day AS ($daySeriesSql),
+      |mn AS (SELECT min(d) AS d0 FROM day),
+      |ks AS (SELECT CAST(unnest(range(1, 4)) AS BIGINT) AS k),
+      |wt AS (
+      |  SELECT (d - d0) AS t, y, k,
+      |    ((d - d0) * k) % 7 AS j
+      |  FROM day CROSS JOIN mn CROSS JOIN ks),
+      |cs AS (
+      |  SELECT k, y,
+      |    ($cl)[CAST(j AS INT) + 1] AS c,
+      |    ($sl)[CAST(j AS INT) + 1] AS sn
+      |  FROM wt),
+      |agg AS (
+      |  SELECT k, CAST(sum(y * c) AS DECIMAL(38,0)) AS a,
+      |    CAST(sum(y * sn) AS DECIMAL(38,0)) AS b
+      |  FROM cs GROUP BY k)
+      |SELECT k, CAST(a AS BIGINT) AS a_e6, CAST(b AS BIGINT) AS b_e6,
+      |  CAST(round(sqrt(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+      |    + CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) / 1000.0)
+      |    AS BIGINT) AS amp_e3
+      |FROM agg ORDER BY k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q492 — Yule–Walker AR(2) fit of the revenue series: exact
+  // n-scaled autocovariances (z_d = n·y_d − Σy keeps the demeaning
+  // integer; γ_k = Σ z_d·z_{d+k} in decimal(38,0) over CALENDAR-lag
+  // self-joins on the day grain) and the closed-form φ₁, φ₂ — the
+  // lag-2 partial autocorrelation — at the 1-row readout. The
+  // whole recursion of Durbin–Levinson at order 2, with zero
+  // floating point before the final ratios.
+  // ---------------------------------------------------------------------
+  private def q492(s: SparkSession, dir: String): DataFrame = {
+    val day = daySeries(s, dir).pin()
+    val tot = day.agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+    val z = day.crossJoin(broadcast(tot))
+      .select(col("d"), (col("n") * col("y") - col("sy")).as("z"),
+        col("n"))
+      .pin()
+    def gamma(k: Int): DataFrame = {
+      val a = z.select(col("d"), col("z").as("za"))
+      val b = z.select((col("d") - lit(k.toLong)).as("d"),
+        col("z").as("zb"))
+      a.join(b, "d")
+        .agg(sum(col("za").cast(dec) * col("zb").cast(dec)).as(s"g$k"))
+    }
+    val n1 = z.select(col("n")).limit(1)
+    n1.crossJoin(broadcast(gamma(0))).crossJoin(broadcast(gamma(1)))
+      .crossJoin(broadcast(gamma(2)))
+      .select(col("n").as("n_days"),
+        round(col("g1").cast("double") / col("g0").cast("double")
+          * 1000000000.0).cast("long").as("r1_e9"),
+        round(col("g2").cast("double") / col("g0").cast("double")
+          * 1000000000.0).cast("long").as("r2_e9"),
+        round((col("g1").cast("double") / col("g0").cast("double"))
+          * (lit(1.0) - col("g2").cast("double") / col("g0").cast("double"))
+          / (lit(1.0) - (col("g1").cast("double") / col("g0").cast("double"))
+            * (col("g1").cast("double") / col("g0").cast("double")))
+          * 1000000000.0).cast("long").as("phi1_e9"),
+        round((col("g2").cast("double") / col("g0").cast("double")
+          - (col("g1").cast("double") / col("g0").cast("double"))
+            * (col("g1").cast("double") / col("g0").cast("double")))
+          / (lit(1.0) - (col("g1").cast("double") / col("g0").cast("double"))
+            * (col("g1").cast("double") / col("g0").cast("double")))
+          * 1000000000.0).cast("long").as("phi2_e9"))
+  }
+
+  private val q492Sql =
+    s"""WITH day AS ($daySeriesSql),
+      |tot AS (
+      |  SELECT CAST(sum(y) AS BIGINT) AS sy, count(*) AS n FROM day),
+      |z AS (
+      |  SELECT d, n * y - sy AS z, n FROM day CROSS JOIN tot),
+      |g0 AS (
+      |  SELECT CAST(sum(CAST(z AS DECIMAL(38,0)) * CAST(z AS
+      |    DECIMAL(38,0))) AS DECIMAL(38,0)) AS g0 FROM z),
+      |g1 AS (
+      |  SELECT CAST(sum(CAST(a.z AS DECIMAL(38,0)) * CAST(b.z AS
+      |    DECIMAL(38,0))) AS DECIMAL(38,0)) AS g1
+      |  FROM z a JOIN z b ON a.d = b.d - 1),
+      |g2 AS (
+      |  SELECT CAST(sum(CAST(a.z AS DECIMAL(38,0)) * CAST(b.z AS
+      |    DECIMAL(38,0))) AS DECIMAL(38,0)) AS g2
+      |  FROM z a JOIN z b ON a.d = b.d - 2),
+      |n1 AS (SELECT n FROM z LIMIT 1)
+      |SELECT n AS n_days,
+      |  CAST(round(CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE)
+      |    * 1000000000.0) AS BIGINT) AS r1_e9,
+      |  CAST(round(CAST(g2 AS DOUBLE) / CAST(g0 AS DOUBLE)
+      |    * 1000000000.0) AS BIGINT) AS r2_e9,
+      |  CAST(round((CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE))
+      |    * (1.0 - CAST(g2 AS DOUBLE) / CAST(g0 AS DOUBLE))
+      |    / (1.0 - (CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE))
+      |      * (CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE)))
+      |    * 1000000000.0) AS BIGINT) AS phi1_e9,
+      |  CAST(round((CAST(g2 AS DOUBLE) / CAST(g0 AS DOUBLE)
+      |    - (CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE))
+      |      * (CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE)))
+      |    / (1.0 - (CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE))
+      |      * (CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE)))
+      |    * 1000000000.0) AS BIGINT) AS phi2_e9
+      |FROM n1 CROSS JOIN g0 CROSS JOIN g1 CROSS JOIN g2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q493 — forecast-error suite for the seasonal-naive baseline
+  // (ŷ_d = y_{d−7}): MAPE and sMAPE as per-row e9-rounded ratio
+  // terms summed exactly, WAPE and MASE as pure integer-sum ratios
+  // with ONE division each at the 1-row readout. q429 gates MASE
+  // alone; this is the full suite a forecast scorecard carries, on
+  // calendar-lag self-joins of the bounded day grain.
+  // ---------------------------------------------------------------------
+  private def q493(s: SparkSession, dir: String): DataFrame = {
+    val day = daySeries(s, dir).pin()
+    val f = day.select(col("d"), col("y"))
+      .join(day.select((col("d") + 7L).as("d"), col("y").as("yf")), "d")
+      .select(col("d"), col("y"), col("yf"),
+        abs(col("y") - col("yf")).as("ae"),
+        round(abs(col("y") - col("yf")).cast("double")
+          / col("y").cast("double") * 1000000000.0).cast("long")
+          .as("mape_t"),
+        round(lit(2.0) * abs(col("y") - col("yf")).cast("double")
+          / (col("y") + col("yf")).cast("double") * 1000000000.0)
+          .cast("long").as("smape_t"))
+    val d1 = day.select(col("d"), col("y"))
+      .join(day.select((col("d") + 1L).as("d"), col("y").as("yp")), "d")
+      .agg(sum(abs(col("y") - col("yp")).cast(dec)).as("sd1"),
+        count(lit(1)).as("n1"))
+    f.agg(count(lit(1)).as("n_f"),
+        sum(col("ae").cast(dec)).as("sae"),
+        sum(col("y").cast(dec)).as("syy"),
+        sum(col("mape_t").cast(dec)).as("smt"),
+        sum(col("smape_t").cast(dec)).as("sst"))
+      .crossJoin(broadcast(d1))
+      .select(col("n_f"),
+        round(col("smt").cast("double") / col("n_f").cast("double"))
+          .cast("long").as("mape_e9"),
+        round(col("sst").cast("double") / col("n_f").cast("double"))
+          .cast("long").as("smape_e9"),
+        round(col("sae").cast("double") / col("syy").cast("double")
+          * 1000000.0).cast("long").as("wape_e6"),
+        round((col("sae").cast("double") / col("n_f").cast("double"))
+          / (col("sd1").cast("double") / col("n1").cast("double"))
+          * 1000000.0).cast("long").as("mase_e6"))
+  }
+
+  private val q493Sql =
+    s"""WITH day AS ($daySeriesSql),
+      |f AS (
+      |  SELECT a.d, a.y, b.y AS yf, abs(a.y - b.y) AS ae,
+      |    CAST(round(CAST(abs(a.y - b.y) AS DOUBLE)
+      |      / CAST(a.y AS DOUBLE) * 1000000000.0) AS BIGINT) AS mape_t,
+      |    CAST(round(2.0 * CAST(abs(a.y - b.y) AS DOUBLE)
+      |      / CAST(a.y + b.y AS DOUBLE) * 1000000000.0) AS BIGINT)
+      |      AS smape_t
+      |  FROM day a JOIN day b ON a.d = b.d + 7),
+      |d1 AS (
+      |  SELECT CAST(sum(abs(a.y - b.y)) AS DECIMAL(38,0)) AS sd1,
+      |    count(*) AS n1
+      |  FROM day a JOIN day b ON a.d = b.d + 1),
+      |agg AS (
+      |  SELECT count(*) AS n_f,
+      |    CAST(sum(ae) AS DECIMAL(38,0)) AS sae,
+      |    CAST(sum(y) AS DECIMAL(38,0)) AS syy,
+      |    CAST(sum(mape_t) AS DECIMAL(38,0)) AS smt,
+      |    CAST(sum(smape_t) AS DECIMAL(38,0)) AS sst
+      |  FROM f)
+      |SELECT n_f,
+      |  CAST(round(CAST(smt AS DOUBLE) / CAST(n_f AS DOUBLE))
+      |    AS BIGINT) AS mape_e9,
+      |  CAST(round(CAST(sst AS DOUBLE) / CAST(n_f AS DOUBLE))
+      |    AS BIGINT) AS smape_e9,
+      |  CAST(round(CAST(sae AS DOUBLE) / CAST(syy AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS wape_e6,
+      |  CAST(round((CAST(sae AS DOUBLE) / CAST(n_f AS DOUBLE))
+      |    / (CAST(sd1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |    * 1000000.0) AS BIGINT) AS mase_e6
+      |FROM agg CROSS JOIN d1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q494 — STL-lite residual outliers: trend = centered 7-day moving
+  // average (explicit Σ/count over a ±3 CALENDAR range frame — never
+  // engine-native avg, whose internal order could differ), seasonal =
+  // per-dow mean of the detrended series, residual = y − trend −
+  // seasonal, and the outlier fence is 2×1.4826×MAD of the residuals (2σ-equivalent —
+  // a monitoring fence, not a discovery one)
+  // with the MAD an EXACT lower median via row_number on the bounded
+  // day axis. Everything e2-quantized at each stage boundary.
+  // ---------------------------------------------------------------------
+  private def q494(s: SparkSession, dir: String): DataFrame = {
+    val day = daySeries(s, dir).pin()
+    val wMa = axis(col("d")).rangeBetween(-3, 3)
+    val tr = day
+      .withColumn("sf", sum(col("y")).over(wMa))
+      .withColumn("cf", count(lit(1)).over(wMa))
+      .select(col("d"), col("y"),
+        round(col("sf").cast("double") / col("cf").cast("double")
+          * 100.0).cast("long").as("tr_e2"))
+      .withColumn("detr", col("y") * 100L - col("tr_e2"))
+      .withColumn("dow", pmod(col("d"), lit(7L)))
+      .pin()
+    val sea = tr.groupBy("dow")
+      .agg(round(sum(col("detr")).cast("double")
+        / count(lit(1)).cast("double")).cast("long").as("s_e2"))
+    val res = tr.join(broadcast(sea), "dow")
+      .select(col("d"), col("y"),
+        (col("detr") - col("s_e2")).as("resid_e2"))
+      .pin()
+    val nc = res.agg(count(lit(1)).as("n"))
+    val mad = res.crossJoin(broadcast(nc))
+      .withColumn("ar", abs(col("resid_e2")))
+      .withColumn("rn",
+        row_number().over(axis(col("ar"), col("d"))).cast("long"))
+      .filter(col("rn") === ((col("n") + 1L) / 2L).cast("long"))
+      .select(dayGuard(col("n"), "stlOutliers", col("ar")).as("mad_e2"))
+    res.crossJoin(broadcast(mad))
+      .filter(abs(col("resid_e2")) * 10000L > lit(2L) * 14826L
+        * col("mad_e2"))
+      .select(col("d"), col("y"), col("resid_e2"), col("mad_e2"))
+      .orderBy("d")
+  }
+
+  private val q494Sql =
+    s"""WITH day AS ($daySeriesSql),
+      |tr AS (
+      |  SELECT d, y,
+      |    CAST(round(CAST(sum(y) OVER w AS DOUBLE)
+      |      / CAST(count(*) OVER w AS DOUBLE) * 100.0) AS BIGINT)
+      |      AS tr_e2
+      |  FROM day
+      |  WINDOW w AS (ORDER BY d RANGE BETWEEN 3 PRECEDING
+      |    AND 3 FOLLOWING)),
+      |det AS (
+      |  SELECT d, y, y * 100 - tr_e2 AS detr, d % 7 AS dow FROM tr),
+      |sea AS (
+      |  SELECT dow, CAST(round(CAST(sum(detr) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS s_e2
+      |  FROM det GROUP BY dow),
+      |res AS (
+      |  SELECT d, y, detr - s_e2 AS resid_e2
+      |  FROM det JOIN sea ON det.dow = sea.dow),
+      |nc AS (SELECT count(*) AS n FROM res),
+      |mad AS (
+      |  SELECT ar AS mad_e2 FROM (
+      |    SELECT abs(resid_e2) AS ar,
+      |      row_number() OVER (ORDER BY abs(resid_e2), d) AS rn, n
+      |    FROM res CROSS JOIN nc)
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT d, y, resid_e2, mad_e2
+      |FROM res CROSS JOIN mad
+      |WHERE abs(resid_e2) * 10000 > 2 * 14826 * mad_e2
+      |ORDER BY d""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q495 — Huber M-estimator of location (one IRLS step from the
+  // median): the robust mean of click value. Median and MAD are
+  // EXACT lower medians computed on the e2-cents DISTINCT-VALUE
+  // grain (cumulative counts over the value universe — the q160
+  // binned-ECDF shape, bounded by the universe, never data volume);
+  // the reweighted pass computes per-row e9-rounded Huber weights
+  // w = min(1, 1.345·MAD/|x−m|) and exactly sums w·x in decimal.
+  // ---------------------------------------------------------------------
+  /** Exact lower median of a (v, cnt) value-universe table. */
+  private def universeMedian(counts: DataFrame): DataFrame = {
+    val n = counts.agg(sum(col("cnt")).as("n"))
+    counts.crossJoin(broadcast(n))
+      .withColumn("cum", sum(col("cnt")).over(axis(col("v"))))
+      .filter(col("cum") >= ((col("n") + 1L) / 2L).cast("long"))
+      .agg(min(col("v")).as("med"))
+  }
+
+  private def q495(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.eventsSec(s, dir)
+      .filter(col("event_type") === "click")
+      .select(round(col("value") * 100).cast("long").as("x"))
+      .pin()
+    val counts = x.groupBy(col("x").as("v"))
+      .agg(count(lit(1)).as("cnt")).pin()
+    val m0 = universeMedian(counts)
+    val madC = counts.crossJoin(broadcast(m0))
+      .groupBy(abs(col("v") - col("med")).as("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = universeMedian(madC).select(col("med").as("mad"))
+    val w = x.crossJoin(broadcast(m0)).crossJoin(broadcast(mad))
+      .withColumn("w_e9",
+        when(abs(col("x") - col("med")).cast("double") * 1000.0
+          <= lit(1345.0) * col("mad").cast("double"), lit(1000000000L))
+          .otherwise(round(lit(1345.0) * col("mad").cast("double")
+            / (abs(col("x") - col("med")).cast("double") * 1000.0)
+            * 1000000000.0).cast("long")))
+    w.agg(count(lit(1)).as("n"),
+        min(col("med")).as("m0"),
+        min(col("mad")).as("mad"),
+        sum(col("w_e9").cast(dec)).as("sw"),
+        sum(col("w_e9").cast(dec) * col("x").cast(dec)).as("swx"))
+      .select(col("n"), col("m0"), col("mad"),
+        col("sw").cast("long").as("sum_w_e9"),
+        round(col("swx").cast("double") / col("sw").cast("double")
+          * 1000000.0).cast("long").as("m1_e6"))
+  }
+
+  private val q495Sql =
+    """WITH x AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'click'),
+      |counts AS (SELECT x AS v, count(*) AS cnt FROM x GROUP BY x),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+      |m0 AS (
+      |  SELECT min(v) AS med FROM (
+      |    SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, n
+      |    FROM counts CROSS JOIN n)
+      |  WHERE cum >= (n + 1) // 2),
+      |madc AS (
+      |  SELECT abs(v - med) AS v, CAST(sum(cnt) AS BIGINT) AS cnt
+      |  FROM counts CROSS JOIN m0 GROUP BY abs(v - med)),
+      |nm AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM madc),
+      |mad AS (
+      |  SELECT min(v) AS mad FROM (
+      |    SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, n
+      |    FROM madc CROSS JOIN nm)
+      |  WHERE cum >= (n + 1) // 2),
+      |w AS (
+      |  SELECT x, med, mad,
+      |    CASE WHEN CAST(abs(x - med) AS DOUBLE) * 1000.0
+      |        <= 1345.0 * CAST(mad AS DOUBLE) THEN 1000000000
+      |      ELSE CAST(round(1345.0 * CAST(mad AS DOUBLE)
+      |        / (CAST(abs(x - med) AS DOUBLE) * 1000.0)
+      |        * 1000000000.0) AS BIGINT) END AS w_e9
+      |  FROM x CROSS JOIN m0 CROSS JOIN mad)
+      |SELECT count(*) AS n, min(med) AS m0, min(mad) AS mad,
+      |  CAST(CAST(sum(w_e9) AS DECIMAL(38,0)) AS BIGINT) AS sum_w_e9,
+      |  CAST(round(CAST(sum(CAST(w_e9 AS DECIMAL(38,0))
+      |    * CAST(x AS DECIMAL(38,0))) AS DOUBLE)
+      |    / CAST(sum(CAST(w_e9 AS DECIMAL(38,0))) AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS m1_e6
+      |FROM w""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q496 — Qn scale estimator (Rousseeuw–Croux) on the day grain:
+  // the k-th order statistic of the C(n,2) pairwise absolute
+  // differences with k = C(h,2), h = ⌊n/2⌋+1 — the 50%-breakdown
+  // scale that needs no location estimate. Day-pair construction is
+  // span-bounded and tripwired; the order statistic is an exact
+  // row_number pick. Pure integers end to end.
+  // ---------------------------------------------------------------------
+  private def q496(s: SparkSession, dir: String): DataFrame = {
+    val day = daySeries(s, dir).pin()
+    val nc = day.agg(count(lit(1)).as("n"))
+    val a = day.select(col("d").as("da"), col("y").as("ya"))
+    val b = day.select(col("d").as("db"), col("y").as("yb"))
+    val pairs = a.crossJoin(broadcast(b)).crossJoin(broadcast(nc))
+      .filter(col("da") < col("db"))
+      .select(col("n"),
+        dayGuard(col("n"), "qnScale", abs(col("ya") - col("yb")))
+          .as("diff"),
+        col("da"), col("db"))
+      .withColumn("h", (col("n") / 2L).cast("long") + 1L)
+      .withColumn("kk", (col("h") * (col("h") - 1L) / 2L).cast("long"))
+      .withColumn("rn", row_number()
+        .over(axis(col("diff"), col("da"), col("db"))).cast("long"))
+    pairs.filter(col("rn") === col("kk"))
+      .select(col("n").as("n_days"), col("h"), col("kk").as("k"),
+        col("diff").as("qn"))
+  }
+
+  private val q496Sql =
+    s"""WITH day AS ($daySeriesSql),
+      |nc AS (SELECT count(*) AS n FROM day),
+      |pairs AS (
+      |  SELECT n, abs(a.y - b.y) AS diff, a.d AS da, b.d AS db,
+      |    n // 2 + 1 AS h, (n // 2 + 1) * (n // 2) // 2 AS kk,
+      |    row_number() OVER (ORDER BY abs(a.y - b.y), a.d, b.d) AS rn
+      |  FROM day a JOIN day b ON a.d < b.d CROSS JOIN nc)
+      |SELECT n AS n_days, h, kk AS k, diff AS qn
+      |FROM pairs WHERE rn = kk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q497 — medcouple (robust skewness) on the day grain: the lower
+  // median of the kernel h(x_i, x_j) = ((x_j−med) − (med−x_i)) /
+  // (x_j − x_i) over strict pairs x_i < med < x_j. The kernel is one
+  // per-PAIR e9-rounded IEEE chain on the span-bounded day-pair
+  // grain; median/pick logic is exact row_number. (Ties AT the
+  // median are excluded by the strict inequalities — documented
+  // simplification of the zero-kernel tie rule.)
+  // ---------------------------------------------------------------------
+  private def q497(s: SparkSession, dir: String): DataFrame = {
+    val day = daySeries(s, dir).pin()
+    val nc = day.agg(count(lit(1)).as("n"))
+    val med = day.crossJoin(broadcast(nc))
+      .withColumn("rn", row_number().over(axis(col("y"), col("d")))
+        .cast("long"))
+      .filter(col("rn") === ((col("n") + 1L) / 2L).cast("long"))
+      .select(dayGuard(col("n"), "medcouple", col("y")).as("med"))
+    val lo = day.crossJoin(broadcast(med)).filter(col("y") < col("med"))
+      .select(col("d").as("di"), col("y").as("xi"), col("med"))
+    val hi = day.crossJoin(broadcast(med)).filter(col("y") > col("med"))
+      .select(col("d").as("dj"), col("y").as("xj"))
+    val h = lo.crossJoin(broadcast(hi))
+      .select(col("di"), col("dj"),
+        round(((col("xj") - col("med")) - (col("med") - col("xi")))
+          .cast("double") / (col("xj") - col("xi")).cast("double")
+          * 1000000000.0).cast("long").as("h_e9"))
+    val nh = h.agg(count(lit(1)).as("nh"))
+    h.crossJoin(broadcast(nh))
+      .withColumn("rn", row_number()
+        .over(axis(col("h_e9"), col("di"), col("dj"))).cast("long"))
+      .filter(col("rn") === ((col("nh") + 1L) / 2L).cast("long"))
+      .select(col("nh").as("n_pairs"), col("h_e9").as("mc_e9"))
+  }
+
+  private val q497Sql =
+    s"""WITH day AS ($daySeriesSql),
+      |nc AS (SELECT count(*) AS n FROM day),
+      |med AS (
+      |  SELECT y AS med FROM (
+      |    SELECT y, row_number() OVER (ORDER BY y, d) AS rn, n
+      |    FROM day CROSS JOIN nc)
+      |  WHERE rn = (n + 1) // 2),
+      |h AS (
+      |  SELECT a.d AS di, b.d AS dj,
+      |    CAST(round(CAST((b.y - med) - (med - a.y) AS DOUBLE)
+      |      / CAST(b.y - a.y AS DOUBLE) * 1000000000.0) AS BIGINT)
+      |      AS h_e9
+      |  FROM day a CROSS JOIN med CROSS JOIN day b
+      |  WHERE a.y < med AND b.y > med),
+      |nh AS (SELECT count(*) AS nh FROM h)
+      |SELECT nh AS n_pairs, h_e9 AS mc_e9 FROM (
+      |  SELECT h_e9, row_number() OVER (ORDER BY h_e9, di, dj) AS rn,
+      |    nh
+      |  FROM h CROSS JOIN nh)
+      |WHERE rn = (nh + 1) // 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q498 — biweight midvariance of click value: the robust variance
+  // whose weights (1−u²)² taper smoothly to zero at u = (x−m)/(9·MAD)
+  // = ±1. Median/MAD ride the same value-universe grain as q495; the
+  // corpus pass computes per-row numerator/denominator terms as ONE
+  // IEEE chain each, e0/e9-rounded AT THE ROW, summed exactly; the
+  // n·ΣA/(ΣB)² readout is one division.
+  // ---------------------------------------------------------------------
+  private def q498(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.eventsSec(s, dir)
+      .filter(col("event_type") === "click")
+      .select(round(col("value") * 100).cast("long").as("x"))
+      .pin()
+    val counts = x.groupBy(col("x").as("v"))
+      .agg(count(lit(1)).as("cnt")).pin()
+    val m0 = universeMedian(counts)
+    val madC = counts.crossJoin(broadcast(m0))
+      .groupBy(abs(col("v") - col("med")).as("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = universeMedian(madC).select(col("med").as("mad"))
+    val terms = x.crossJoin(broadcast(m0)).crossJoin(broadcast(mad))
+      .withColumn("u", (col("x") - col("med")).cast("double")
+        / (lit(9.0) * col("mad").cast("double")))
+      .filter(abs(col("u")) < 1.0)
+      .select(col("med"), col("mad"),
+        round((col("x") - col("med")).cast("double")
+          * (col("x") - col("med")).cast("double")
+          * (lit(1.0) - col("u") * col("u"))
+          * (lit(1.0) - col("u") * col("u"))
+          * (lit(1.0) - col("u") * col("u"))
+          * (lit(1.0) - col("u") * col("u"))).cast("long").as("a_t"),
+        round((lit(1.0) - col("u") * col("u"))
+          * (lit(1.0) - lit(5.0) * col("u") * col("u"))
+          * 1000000000.0).cast("long").as("b_t"))
+    terms.agg(count(lit(1)).as("n_used"),
+        min(col("med")).as("m0"), min(col("mad")).as("mad"),
+        sum(col("a_t").cast(dec)).as("sa"),
+        sum(col("b_t").cast(dec)).as("sb"))
+      .select(col("n_used"), col("m0"), col("mad"),
+        round(col("n_used").cast("double") * col("sa").cast("double")
+          / ((col("sb").cast("double") / 1000000000.0)
+            * (col("sb").cast("double") / 1000000000.0)) * 1000.0)
+          .cast("long").as("bwmv_e3"))
+  }
+
+  private val q498Sql =
+    """WITH x AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'click'),
+      |counts AS (SELECT x AS v, count(*) AS cnt FROM x GROUP BY x),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+      |m0 AS (
+      |  SELECT min(v) AS med FROM (
+      |    SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, n
+      |    FROM counts CROSS JOIN n)
+      |  WHERE cum >= (n + 1) // 2),
+      |madc AS (
+      |  SELECT abs(v - med) AS v, CAST(sum(cnt) AS BIGINT) AS cnt
+      |  FROM counts CROSS JOIN m0 GROUP BY abs(v - med)),
+      |nm AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM madc),
+      |mad AS (
+      |  SELECT min(v) AS mad FROM (
+      |    SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, n
+      |    FROM madc CROSS JOIN nm)
+      |  WHERE cum >= (n + 1) // 2),
+      |terms AS (
+      |  SELECT med, mad,
+      |    CAST(round(CAST(x - med AS DOUBLE) * CAST(x - med AS DOUBLE)
+      |      * (1.0 - u * u) * (1.0 - u * u) * (1.0 - u * u)
+      |      * (1.0 - u * u)) AS BIGINT) AS a_t,
+      |    CAST(round((1.0 - u * u) * (1.0 - 5.0 * u * u)
+      |      * 1000000000.0) AS BIGINT) AS b_t
+      |  FROM (
+      |    SELECT x, med, mad, CAST(x - med AS DOUBLE)
+      |      / (9.0 * CAST(mad AS DOUBLE)) AS u
+      |    FROM x CROSS JOIN m0 CROSS JOIN mad)
+      |  WHERE abs(u) < 1.0)
+      |SELECT count(*) AS n_used, min(med) AS m0, min(mad) AS mad,
+      |  CAST(round(CAST(count(*) AS DOUBLE)
+      |    * CAST(CAST(sum(a_t) AS DECIMAL(38,0)) AS DOUBLE)
+      |    / ((CAST(CAST(sum(b_t) AS DECIMAL(38,0)) AS DOUBLE)
+      |      / 1000000000.0)
+      |      * (CAST(CAST(sum(b_t) AS DECIMAL(38,0)) AS DOUBLE)
+      |        / 1000000000.0)) * 1000.0) AS BIGINT) AS bwmv_e3
+      |FROM terms""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q490_seasonal_trend" -> (q490 _),
+    "q491_dft_weekly" -> (q491 _),
+    "q492_yule_walker" -> (q492 _),
+    "q493_smape_suite" -> (q493 _),
+    "q494_stl_outliers" -> (q494 _),
+    "q495_huber_location" -> (q495 _),
+    "q496_qn_scale" -> (q496 _),
+    "q497_medcouple" -> (q497 _),
+    "q498_biweight_midvar" -> (q498 _))
+
+  val oracle: Map[String, String] = Map(
+    "q490_seasonal_trend" -> q490Sql,
+    "q491_dft_weekly" -> q491Sql,
+    "q492_yule_walker" -> q492Sql,
+    "q493_smape_suite" -> q493Sql,
+    "q494_stl_outliers" -> q494Sql,
+    "q495_huber_location" -> q495Sql,
+    "q496_qn_scale" -> q496Sql,
+    "q497_medcouple" -> q497Sql,
+    "q498_biweight_midvar" -> q498Sql)
+}

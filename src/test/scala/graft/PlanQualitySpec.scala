@@ -1138,7 +1138,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // Mining tier (q434+): only ever applied to the day-pair grain
       // (≤ C(1000,2) rows, raise_error tripwire at 1000 days) —
       // bounded by the observation span, never by data volume
-      "graft/analytics/Mining.scala :: private def axis(sort: Column*) = Window.orderBy(sort: _*)")
+      "graft/analytics/Mining.scala :: private def axis(sort: Column*) = Window.orderBy(sort: _*)",
+      // Refine tier (q490+): day grain (tripwired at 1000 days via
+      // dayGuard), day-pair grain, or an e2 distinct-value universe
+      // (~10^5 rows) — bounded by a span/universe, never data volume
+      "graft/analytics/Refine.scala :: private def axis(sort: Column*) = Window.orderBy(sort: _*)")
     val unexpected = sites -- allow
     val stale = allow -- sites
     assert(unexpected.isEmpty,
