@@ -727,6 +727,447 @@ object Refine {
       |        / 1000000000.0)) * 1000.0) AS BIGINT) AS bwmv_e3
       |FROM terms""".stripMargin
 
+  // =====================================================================
+  // Fairness-audit block (q499-q502): the cheap quality filter every
+  // corpus pipeline runs (token count >= 60) audited across LANGUAGE
+  // as the protected attribute, and across SOURCE for the 80% rule.
+  // All rates are exact integer counts with one per-GROUP IEEE chain
+  // at the readout (group grain: 5 langs / 20 sources — enumeration-
+  // bounded, never data-sized).
+  // =====================================================================
+
+  /** Per-document audit grain: lang, source, token count, n_chars,
+    * and the quality-filter verdict. ONE corpus scan feeds the whole
+    * fairness block. */
+  private def audited(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(graft.functions.Text.words(col("text"))).cast("long")
+          .as("tk"))
+      .withColumn("pass", (col("tk") >= 60L).cast("long"))
+
+  private val auditedSql =
+    """SELECT doc_id, lang, source, n_chars,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    x -> length(x) > 0)) AS BIGINT) AS tk,
+      |  CASE WHEN len(list_filter(string_split(text, ' '),
+      |    x -> length(x) > 0)) >= 60 THEN 1 ELSE 0 END AS pass
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q499 — demographic-parity audit of the quality filter: per-lang
+  // pass rate, its gap against the corpus rate, and the Wilson 95%
+  // lower bound (z = 1.96 as a literal, the q391 formula applied per
+  // group) — the fairness scorecard row a filter ships with.
+  // ---------------------------------------------------------------------
+  private def q499(s: SparkSession, dir: String): DataFrame = {
+    val a = audited(s, dir).pin()
+    val tot = a.agg(sum(col("pass")).as("tp"), count(lit(1)).as("tn"))
+    a.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("pass")).as("n_pass"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"), col("n_pass"),
+        round(col("n_pass").cast("double") / col("n").cast("double")
+          * 1000000.0).cast("long").as("rate_e6"),
+        round((col("n_pass").cast("double") / col("n").cast("double")
+          - col("tp").cast("double") / col("tn").cast("double"))
+          * 1000000.0).cast("long").as("gap_e6"),
+        round(((col("n_pass").cast("double") / col("n").cast("double")
+          + lit(3.8416) / (lit(2.0) * col("n").cast("double")))
+          - lit(1.96) * sqrt(
+            (col("n_pass").cast("double") / col("n").cast("double"))
+            * (lit(1.0) - col("n_pass").cast("double")
+              / col("n").cast("double")) / col("n").cast("double")
+            + lit(3.8416) / (lit(4.0) * col("n").cast("double")
+              * col("n").cast("double"))))
+          / (lit(1.0) + lit(3.8416) / col("n").cast("double"))
+          * 1000000.0).cast("long").as("wilson_lo_e6"))
+      .orderBy("lang")
+  }
+
+  private val q499Sql =
+    s"""WITH a AS ($auditedSql),
+      |tot AS (SELECT CAST(sum(pass) AS BIGINT) AS tp, count(*) AS tn
+      |  FROM a),
+      |g AS (SELECT lang, count(*) AS n, CAST(sum(pass) AS BIGINT)
+      |  AS n_pass FROM a GROUP BY lang)
+      |SELECT lang, n, n_pass,
+      |  CAST(round(CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS rate_e6,
+      |  CAST(round((CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) * 1000000.0)
+      |    AS BIGINT) AS gap_e6,
+      |  CAST(round(((CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE)
+      |    + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+      |    - 1.96 * sqrt(
+      |      (CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (1.0 - CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(n AS DOUBLE)
+      |      + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |    / (1.0 + 3.8416 / CAST(n AS DOUBLE)) * 1000000.0)
+      |    AS BIGINT) AS wilson_lo_e6
+      |FROM g CROSS JOIN tot
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q500 — equalized-odds audit: ground truth = "long document"
+  // (n_chars above the EXACT corpus lower median, computed on the
+  // n_chars value universe), prediction = the token filter. Per-lang
+  // TPR/FPR with gaps against the pooled rates — does the cheap
+  // token proxy find long documents equally well in every language?
+  // ---------------------------------------------------------------------
+  private def q500(s: SparkSession, dir: String): DataFrame = {
+    val a = audited(s, dir).pin()
+    val med = universeMedian(
+      a.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt")))
+    val lab = a.crossJoin(broadcast(med))
+      .withColumn("truth", (col("n_chars") > col("med")).cast("long"))
+      .pin()
+    val pool = lab.agg(
+      sum(col("pass") * col("truth")).as("ptp"),
+      sum(col("truth")).as("pt"),
+      sum(col("pass") * (lit(1L) - col("truth"))).as("pfp"),
+      sum(lit(1L) - col("truth")).as("pf"))
+    lab.groupBy("lang")
+      .agg(sum(col("pass") * col("truth")).as("tp"),
+        sum((lit(1L) - col("pass")) * col("truth")).as("fn"),
+        sum(col("pass") * (lit(1L) - col("truth"))).as("fp"),
+        sum((lit(1L) - col("pass")) * (lit(1L) - col("truth"))).as("tn"))
+      .crossJoin(broadcast(pool))
+      .select(col("lang"), col("tp"), col("fn"), col("fp"), col("tn"),
+        round(col("tp").cast("double")
+          / (col("tp") + col("fn")).cast("double") * 1000000.0)
+          .cast("long").as("tpr_e6"),
+        round(col("fp").cast("double")
+          / (col("fp") + col("tn")).cast("double") * 1000000.0)
+          .cast("long").as("fpr_e6"),
+        round((col("tp").cast("double")
+          / (col("tp") + col("fn")).cast("double")
+          - col("ptp").cast("double") / col("pt").cast("double"))
+          * 1000000.0).cast("long").as("tpr_gap_e6"),
+        round((col("fp").cast("double")
+          / (col("fp") + col("tn")).cast("double")
+          - col("pfp").cast("double") / col("pf").cast("double"))
+          * 1000000.0).cast("long").as("fpr_gap_e6"))
+      .orderBy("lang")
+  }
+
+  private val q500Sql =
+    s"""WITH a AS ($auditedSql),
+      |counts AS (SELECT n_chars AS v, count(*) AS cnt FROM a
+      |  GROUP BY n_chars),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+      |med AS (
+      |  SELECT min(v) AS med FROM (
+      |    SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, n
+      |    FROM counts CROSS JOIN n)
+      |  WHERE cum >= (n + 1) // 2),
+      |lab AS (
+      |  SELECT a.*, CASE WHEN n_chars > med THEN 1 ELSE 0 END AS truth
+      |  FROM a CROSS JOIN med),
+      |pool AS (
+      |  SELECT CAST(sum(pass * truth) AS BIGINT) AS ptp,
+      |    CAST(sum(truth) AS BIGINT) AS pt,
+      |    CAST(sum(pass * (1 - truth)) AS BIGINT) AS pfp,
+      |    CAST(sum(1 - truth) AS BIGINT) AS pf
+      |  FROM lab),
+      |g AS (
+      |  SELECT lang,
+      |    CAST(sum(pass * truth) AS BIGINT) AS tp,
+      |    CAST(sum((1 - pass) * truth) AS BIGINT) AS fn,
+      |    CAST(sum(pass * (1 - truth)) AS BIGINT) AS fp,
+      |    CAST(sum((1 - pass) * (1 - truth)) AS BIGINT) AS tn
+      |  FROM lab GROUP BY lang)
+      |SELECT lang, tp, fn, fp, tn,
+      |  CAST(round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS tpr_e6,
+      |  CAST(round(CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS fpr_e6,
+      |  CAST(round((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+      |    - CAST(ptp AS DOUBLE) / CAST(pt AS DOUBLE)) * 1000000.0)
+      |    AS BIGINT) AS tpr_gap_e6,
+      |  CAST(round((CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE)
+      |    - CAST(pfp AS DOUBLE) / CAST(pf AS DOUBLE)) * 1000000.0)
+      |    AS BIGINT) AS fpr_gap_e6
+      |FROM g CROSS JOIN pool
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q501 — per-group calibration (ECE) of a length-based score: the
+  // score "P(long doc) = bucket midpoint" from n_chars deciles
+  // (bucket = min(n_chars/60, 9) — a fixed grid, not a data-driven
+  // one) audited per language: ECE = Sigma n_b/n * |obs_b - pred_b|
+  // with the per-bucket gap e6-rounded BEFORE the weighted sum (the
+  // round-at-the-row discipline applied at the bucket grain).
+  // ---------------------------------------------------------------------
+  private def q501(s: SparkSession, dir: String): DataFrame = {
+    val a = audited(s, dir).pin()
+    val med = universeMedian(
+      a.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt")))
+    val lab = a.crossJoin(broadcast(med))
+      .withColumn("truth", (col("n_chars") > col("med")).cast("long"))
+      .withColumn("b", least((col("n_chars") / 60L).cast("long"), lit(9L)))
+    val buckets = lab.groupBy("lang", "b")
+      .agg(count(lit(1)).as("nb"), sum(col("truth")).as("ob"))
+      .withColumn("term_e6",
+        round(abs(col("ob").cast("double") / col("nb").cast("double")
+          - (col("b").cast("double") * 2.0 + 1.0) / 20.0) * 1000000.0)
+          .cast("long"))
+    buckets.groupBy("lang")
+      .agg(sum(col("nb")).as("n"),
+        sum(col("nb") * col("term_e6")).as("wsum"))
+      .select(col("lang"), col("n"),
+        round(col("wsum").cast("double") / col("n").cast("double"))
+          .cast("long").as("ece_e6"))
+      .orderBy("lang")
+  }
+
+  private val q501Sql =
+    s"""WITH a AS ($auditedSql),
+      |counts AS (SELECT n_chars AS v, count(*) AS cnt FROM a
+      |  GROUP BY n_chars),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+      |med AS (
+      |  SELECT min(v) AS med FROM (
+      |    SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, n
+      |    FROM counts CROSS JOIN n)
+      |  WHERE cum >= (n + 1) // 2),
+      |lab AS (
+      |  SELECT a.*, CASE WHEN n_chars > med THEN 1 ELSE 0 END AS truth,
+      |    least(n_chars // 60, 9) AS b
+      |  FROM a CROSS JOIN med),
+      |buckets AS (
+      |  SELECT lang, b, count(*) AS nb,
+      |    CAST(sum(truth) AS BIGINT) AS ob,
+      |    CAST(round(abs(CAST(sum(truth) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE)
+      |      - (CAST(b AS DOUBLE) * 2.0 + 1.0) / 20.0) * 1000000.0)
+      |      AS BIGINT) AS term_e6
+      |  FROM lab GROUP BY lang, b)
+      |SELECT lang, CAST(sum(nb) AS BIGINT) AS n,
+      |  CAST(round(CAST(sum(nb * term_e6) AS DOUBLE)
+      |    / CAST(sum(nb) AS DOUBLE)) AS BIGINT) AS ece_e6
+      |FROM buckets GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q502 — disparate impact (the four-fifths rule) across SOURCES:
+  // each source's filter pass rate against the best source's rate;
+  // ratios under 0.8 flag. The reference group is data-driven (max
+  // rate, source-name tiebreak) but resolved with exact integer
+  // cross-multiplication — no float enters the argmax.
+  // ---------------------------------------------------------------------
+  private def q502(s: SparkSession, dir: String): DataFrame = {
+    val g = audited(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("pass")).as("n_pass"))
+      .pin()
+    // argmax by exact cross-multiplication: best np/n, tiebreak source
+    val ref = g.as("x").join(g.as("y"),
+        col("y.n_pass") * col("x.n") > col("x.n_pass") * col("y.n")
+          || (col("y.n_pass") * col("x.n") === col("x.n_pass") * col("y.n")
+            && col("y.source") < col("x.source")), "left_anti")
+      .select(col("source").as("ref_source"), col("n").as("rn"),
+        col("n_pass").as("rnp"))
+    g.crossJoin(broadcast(ref))
+      .select(col("source"), col("n"), col("n_pass"), col("ref_source"),
+        round(col("n_pass").cast("double") / col("n").cast("double")
+          * 1000000.0).cast("long").as("rate_e6"),
+        round((col("n_pass").cast("double") / col("n").cast("double"))
+          / (col("rnp").cast("double") / col("rn").cast("double"))
+          * 1000000.0).cast("long").as("di_e6"),
+        (col("n_pass") * col("rn") * 5L
+          < col("rnp") * col("n") * 4L).cast("long").as("flag80"))
+      .orderBy("source")
+  }
+
+  private val q502Sql =
+    s"""WITH a AS ($auditedSql),
+      |g AS (SELECT source, count(*) AS n, CAST(sum(pass) AS BIGINT)
+      |  AS n_pass FROM a GROUP BY source),
+      |ref AS (
+      |  SELECT x.source AS ref_source, x.n AS rn, x.n_pass AS rnp
+      |  FROM g x
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM g y
+      |    WHERE y.n_pass * x.n > x.n_pass * y.n
+      |      OR (y.n_pass * x.n = x.n_pass * y.n
+      |        AND y.source < x.source)))
+      |SELECT source, n, n_pass, ref_source,
+      |  CAST(round(CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS rate_e6,
+      |  CAST(round((CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(rnp AS DOUBLE) / CAST(rn AS DOUBLE)) * 1000000.0)
+      |    AS BIGINT) AS di_e6,
+      |  CAST(CASE WHEN n_pass * rn * 5 < rnp * n * 4 THEN 1 ELSE 0
+      |    END AS BIGINT) AS flag80
+      |FROM g CROSS JOIN ref
+      |ORDER BY source""".stripMargin
+
+  // =====================================================================
+  // Budget/selection block (q503-q505): which sources to keep under a
+  // token budget, how to reweight domains, and how to order the
+  // curriculum — all on enumeration-bounded group grains.
+  // =====================================================================
+
+  // ---------------------------------------------------------------------
+  // q503 — greedy knapsack under a token budget: sources ranked by
+  // exact-integer value density (quality docs per token, argsorted by
+  // cross-multiplication-safe e9 density), taken greedily while the
+  // cumulative token cost fits 40% of the corpus. The classic
+  // fractional-knapsack upper bound rides along: greedy is optimal up
+  // to the one split item, and the readout shows exactly where the
+  // budget line cuts.
+  // ---------------------------------------------------------------------
+  private def q503(s: SparkSession, dir: String): DataFrame = {
+    val g = audited(s, dir)
+      .groupBy("source")
+      .agg(sum(col("tk")).as("cost"), sum(col("pass")).as("value"))
+      .pin()
+    val tot = g.agg(sum(col("cost")).as("tc"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("budget", ((col("tc") * 2L) / 5L).cast("long"))
+      .withColumn("density_e9",
+        round(col("value").cast("double") / col("cost").cast("double")
+          * 1000000000.0).cast("long"))
+      .withColumn("cum_cost", sum(col("cost"))
+        .over(axis(col("density_e9").desc, col("source"))))
+      .withColumn("picked", (col("cum_cost") <= col("budget"))
+        .cast("long"))
+      .select(col("source"), col("cost"), col("value"),
+        col("density_e9"), col("cum_cost"), col("budget"), col("picked"))
+      .orderBy(col("density_e9").desc, col("source"))
+  }
+
+  private val q503Sql =
+    s"""WITH a AS ($auditedSql),
+      |g AS (SELECT source, CAST(sum(tk) AS BIGINT) AS cost,
+      |  CAST(sum(pass) AS BIGINT) AS value FROM a GROUP BY source),
+      |tot AS (SELECT CAST(sum(cost) AS BIGINT) AS tc FROM g),
+      |d AS (
+      |  SELECT source, cost, value, (tc * 2) // 5 AS budget,
+      |    CAST(round(CAST(value AS DOUBLE) / CAST(cost AS DOUBLE)
+      |      * 1000000000.0) AS BIGINT) AS density_e9
+      |  FROM g CROSS JOIN tot)
+      |SELECT source, cost, value, density_e9,
+      |  CAST(sum(cost) OVER (ORDER BY density_e9 DESC, source)
+      |    AS BIGINT) AS cum_cost,
+      |  budget,
+      |  CAST(CASE WHEN CAST(sum(cost) OVER (ORDER BY density_e9 DESC,
+      |    source) AS BIGINT) <= budget THEN 1 ELSE 0 END AS BIGINT)
+      |    AS picked
+      |FROM d
+      |ORDER BY density_e9 DESC, source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q504 — one DoReMi-style domain-reweighting step: languages whose
+  // documents run longer than the corpus mean (the excess-loss proxy)
+  // get exponentially upweighted (eta = 1 per 100 tokens of excess),
+  // then the weights normalize. Exp evaluates once per GROUP
+  // (5 rows), e9-rounded before the exact normalizing sum — the
+  // multiplicative-weights update with zero data-sized float.
+  // ---------------------------------------------------------------------
+  private def q504(s: SparkSession, dir: String): DataFrame = {
+    val a = audited(s, dir).pin()
+    val tot = a.agg(sum(col("tk")).as("st"), count(lit(1)).as("nt"))
+    val g = a.groupBy("lang")
+      .agg(sum(col("tk")).as("sl"), count(lit(1)).as("nl"))
+      .crossJoin(broadcast(tot))
+      .withColumn("excess_e3",
+        round((col("sl").cast("double") / col("nl").cast("double")
+          - col("st").cast("double") / col("nt").cast("double"))
+          * 1000.0).cast("long"))
+      .withColumn("e_e9",
+        round(exp(col("excess_e3").cast("double") / 100000.0)
+          * 1000000000.0).cast("long"))
+      .pin()
+    val z = g.agg(sum(col("e_e9")).as("zz"))
+    g.crossJoin(broadcast(z))
+      .select(col("lang"), col("nl").as("n_docs"), col("excess_e3"),
+        round(col("e_e9").cast("double") / col("zz").cast("double")
+          * 1000000.0).cast("long").as("w_e6"))
+      .orderBy("lang")
+  }
+
+  private val q504Sql =
+    s"""WITH a AS ($auditedSql),
+      |tot AS (SELECT CAST(sum(tk) AS BIGINT) AS st, count(*) AS nt
+      |  FROM a),
+      |g AS (
+      |  SELECT lang, CAST(sum(tk) AS BIGINT) AS sl, count(*) AS nl
+      |  FROM a GROUP BY lang),
+      |e AS (
+      |  SELECT lang, nl,
+      |    CAST(round((CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+      |      - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000.0)
+      |      AS BIGINT) AS excess_e3
+      |  FROM g CROSS JOIN tot),
+      |w AS (
+      |  SELECT lang, nl, excess_e3,
+      |    CAST(round(exp(CAST(excess_e3 AS DOUBLE) / 100000.0)
+      |      * 1000000000.0) AS BIGINT) AS e_e9
+      |  FROM e),
+      |z AS (SELECT CAST(sum(e_e9) AS BIGINT) AS zz FROM w)
+      |SELECT lang, nl AS n_docs, excess_e3,
+      |  CAST(round(CAST(e_e9 AS DOUBLE) / CAST(zz AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS w_e6
+      |FROM w CROSS JOIN z
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q505 — curriculum binning: documents split into difficulty
+  // quartiles by EXACT n_chars quantile thresholds (cum*4 >= k*n on
+  // the value universe — the lower-quantile convention, no
+  // interpolation), then the (quartile x lang) census with mean
+  // tokens per cell. The ordering a curriculum loader would replay.
+  // ---------------------------------------------------------------------
+  private def q505(s: SparkSession, dir: String): DataFrame = {
+    val a = audited(s, dir).pin()
+    val counts = a.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = counts.agg(sum(col("cnt")).as("n"))
+    val cum = counts.crossJoin(broadcast(n))
+      .withColumn("cum", sum(col("cnt")).over(axis(col("v"))))
+    val thr = (1 to 3).map { k =>
+      cum.filter(col("cum") * 4L >= lit(k.toLong) * col("n"))
+        .agg(min(col("v")).as(s"t$k"))
+    }.reduce(_.crossJoin(_))
+    a.crossJoin(broadcast(thr))
+      .withColumn("q",
+        (col("n_chars") > col("t1")).cast("long")
+          + (col("n_chars") > col("t2")).cast("long")
+          + (col("n_chars") > col("t3")).cast("long"))
+      .groupBy("q", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("tk")).cast("double")
+          / count(lit(1)).cast("double") * 1000.0).cast("long")
+          .as("mean_tk_e3"))
+      .orderBy("q", "lang")
+  }
+
+  private val q505Sql =
+    s"""WITH a AS ($auditedSql),
+      |counts AS (SELECT n_chars AS v, count(*) AS cnt FROM a
+      |  GROUP BY n_chars),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+      |cum AS (
+      |  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, n
+      |  FROM counts CROSS JOIN n),
+      |thr AS (
+      |  SELECT
+      |    (SELECT min(v) FROM cum WHERE cum * 4 >= 1 * n) AS t1,
+      |    (SELECT min(v) FROM cum WHERE cum * 4 >= 2 * n) AS t2,
+      |    (SELECT min(v) FROM cum WHERE cum * 4 >= 3 * n) AS t3)
+      |SELECT CAST(CASE WHEN n_chars > t1 THEN 1 ELSE 0 END
+      |    + CASE WHEN n_chars > t2 THEN 1 ELSE 0 END
+      |    + CASE WHEN n_chars > t3 THEN 1 ELSE 0 END AS BIGINT) AS q,
+      |  lang, count(*) AS n_docs,
+      |  CAST(round(CAST(sum(tk) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    * 1000.0) AS BIGINT) AS mean_tk_e3
+      |FROM a CROSS JOIN thr
+      |GROUP BY 1, lang
+      |ORDER BY q, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q490_seasonal_trend" -> (q490 _),
     "q491_dft_weekly" -> (q491 _),
@@ -736,7 +1177,14 @@ object Refine {
     "q495_huber_location" -> (q495 _),
     "q496_qn_scale" -> (q496 _),
     "q497_medcouple" -> (q497 _),
-    "q498_biweight_midvar" -> (q498 _))
+    "q498_biweight_midvar" -> (q498 _),
+    "q499_parity_gap" -> (q499 _),
+    "q500_equalized_odds" -> (q500 _),
+    "q501_group_calibration" -> (q501 _),
+    "q502_disparate_impact" -> (q502 _),
+    "q503_budget_greedy" -> (q503 _),
+    "q504_doremi_step" -> (q504 _),
+    "q505_curriculum_bins" -> (q505 _))
 
   val oracle: Map[String, String] = Map(
     "q490_seasonal_trend" -> q490Sql,
@@ -747,5 +1195,12 @@ object Refine {
     "q495_huber_location" -> q495Sql,
     "q496_qn_scale" -> q496Sql,
     "q497_medcouple" -> q497Sql,
-    "q498_biweight_midvar" -> q498Sql)
+    "q498_biweight_midvar" -> q498Sql,
+    "q499_parity_gap" -> q499Sql,
+    "q500_equalized_odds" -> q500Sql,
+    "q501_group_calibration" -> q501Sql,
+    "q502_disparate_impact" -> q502Sql,
+    "q503_budget_greedy" -> q503Sql,
+    "q504_doremi_step" -> q504Sql,
+    "q505_curriculum_bins" -> q505Sql)
 }
