@@ -1168,6 +1168,610 @@ object Refine {
       |GROUP BY 1, lang
       |ORDER BY q, lang""".stripMargin
 
+  // =====================================================================
+  // Estimation/causal/eval block (q506-q512).
+  // =====================================================================
+
+  // ---------------------------------------------------------------------
+  // q506 — AMS F2 sketch audit: the second frequency moment of user
+  // activity estimated by 16 sign-hash counters X_j = Sigma s_j(u)n_u
+  // (each an exact integer sum; s_j from the portable hash's low
+  // bit), read out as the lower median of X_j^2 against the EXACT F2
+  // — the sketch-vs-truth gate discipline (q41/q228) applied to the
+  // moment sketch. One corpus pass computes all 16 estimators AND
+  // the exact moment; the median runs on a 16-row grain.
+  // ---------------------------------------------------------------------
+  private def q506(s: SparkSession, dir: String): DataFrame = {
+    val nu = Tables.eventsSec(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_u")).pin()
+    val f2 = nu.agg(sum((col("n_u") * col("n_u")).cast(dec))
+      .cast("long").as("f2_exact"))
+    val js = s.range(16).select(col("id").as("j"))
+    val ests = nu.crossJoin(broadcast(js))
+      .withColumn("sgn", lit(1L) - lit(2L)
+        * pmod(graft.functions.PortableHash.hash60(
+          concat(lit("ams:"), col("j").cast("string"), lit(":"),
+            col("user_id").cast("string"))), lit(2L)))
+      .groupBy("j")
+      .agg(sum(col("sgn") * col("n_u")).as("x"))
+      .select(col("j"), (col("x") * col("x")).as("est"))
+    val med = ests
+      .withColumn("rn", row_number().over(axis(col("est"), col("j")))
+        .cast("long"))
+      .filter(col("rn") === 8L)
+      .select(col("est").as("f2_est"))
+    f2.crossJoin(broadcast(med))
+      .select(col("f2_exact"), col("f2_est"),
+        round((col("f2_est") - col("f2_exact")).cast("double")
+          / col("f2_exact").cast("double") * 1000000.0).cast("long")
+          .as("rel_err_e6"))
+  }
+
+  private val q506Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "concat('ams:', CAST(j AS VARCHAR), ':', CAST(user_id AS VARCHAR))")
+    s"""WITH nu AS (
+      |  SELECT user_id, count(*) AS n_u FROM events GROUP BY user_id),
+      |f2 AS (
+      |  SELECT CAST(sum(CAST(n_u AS DECIMAL(38,0))
+      |    * CAST(n_u AS DECIMAL(38,0))) AS BIGINT) AS f2_exact
+      |  FROM nu),
+      |js AS (SELECT CAST(unnest(range(16)) AS BIGINT) AS j),
+      |ests AS (
+      |  SELECT j, x * x AS est FROM (
+      |    SELECT j, CAST(sum((1 - 2 * ($h % 2)) * n_u) AS BIGINT) AS x
+      |    FROM nu CROSS JOIN js GROUP BY j)),
+      |med AS (
+      |  SELECT est AS f2_est FROM (
+      |    SELECT est, row_number() OVER (ORDER BY est, j) AS rn
+      |    FROM ests)
+      |  WHERE rn = 8)
+      |SELECT f2_exact, f2_est,
+      |  CAST(round(CAST(f2_est - f2_exact AS DOUBLE)
+      |    / CAST(f2_exact AS DOUBLE) * 1000000.0) AS BIGINT)
+      |    AS rel_err_e6
+      |FROM f2 CROSS JOIN med""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q507 — design effect of language-stratified sampling for the
+  // mean-n_chars estimator (proportional allocation): deff =
+  // Sigma W_h s_h^2 / s^2 from exact per-stratum cumulants — the
+  // survey-sampling readout that says how much the strata buy. The
+  // per-stratum variance is the one IEEE chain per GROUP; the deff
+  // division happens once.
+  // ---------------------------------------------------------------------
+  private def q507(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("lang"), col("n_chars").as("x")).pin()
+    val tot = d.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    val g = d.groupBy("lang")
+      .agg(count(lit(1)).as("nh"),
+        sum(col("x").cast(dec)).as("sh"),
+        sum((col("x") * col("x")).cast(dec)).as("shh"))
+      .crossJoin(broadcast(tot))
+      .withColumn("var_h_e3",
+        round((col("nh").cast("double") * col("shh").cast("double")
+          - col("sh").cast("double") * col("sh").cast("double"))
+          / (col("nh").cast("double") * (col("nh").cast("double")
+            - 1.0)) * 1000.0).cast("long"))
+      .pin()
+    val deff = g.agg(
+        sum(col("nh") * col("var_h_e3")).as("wv"),
+        min(col("n")).as("n"), min(col("sx").cast("double")).as("sxd"),
+        min(col("sxx").cast("double")).as("sxxd"))
+      .select(round(col("wv").cast("double") / col("n").cast("double")
+        / ((col("n").cast("double") * col("sxxd")
+          - col("sxd") * col("sxd"))
+          / (col("n").cast("double") * (col("n").cast("double") - 1.0))
+          * 1000.0) * 1000000.0).cast("long").as("deff_e6"))
+    g.crossJoin(broadcast(deff))
+      .select(col("lang"), col("nh"), col("var_h_e3"), col("deff_e6"))
+      .orderBy("lang")
+  }
+
+  private val q507Sql =
+    """WITH d AS (SELECT lang, n_chars AS x FROM documents),
+      |tot AS (
+      |  SELECT count(*) AS n, CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
+      |  FROM d),
+      |g AS (
+      |  SELECT lang, count(*) AS nh,
+      |    CAST(round((CAST(count(*) AS DOUBLE)
+      |      * CAST(sum(x * x) AS DOUBLE)
+      |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+      |      / (CAST(count(*) AS DOUBLE)
+      |        * (CAST(count(*) AS DOUBLE) - 1.0)) * 1000.0) AS BIGINT)
+      |      AS var_h_e3
+      |  FROM d GROUP BY lang),
+      |deff AS (
+      |  SELECT CAST(round(CAST(sum(nh * var_h_e3) AS DOUBLE)
+      |    / CAST(n AS DOUBLE)
+      |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |      * 1000.0) * 1000000.0) AS BIGINT) AS deff_e6
+      |  FROM g CROSS JOIN tot GROUP BY n, sx, sxx)
+      |SELECT lang, nh, var_h_e3, deff_e6
+      |FROM g CROSS JOIN deff
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q510 — regression discontinuity at a price cutoff: orders within
+  // a +/-50000-cent bandwidth of the 25M-cent cutoff, local-linear
+  // fit on EACH side (six exact cumulants per side, x centered at
+  // the cutoff so the intercept IS the boundary value), jump =
+  // alpha_right - alpha_left. The causal-inference readout with zero
+  // float before the two per-side divisions.
+  // ---------------------------------------------------------------------
+  private def q510(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = 25000000L
+    val bw = 5000000L
+    val li = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("y"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (round(col("o_totalprice") * 100).cast("long") - cutoff)
+          .as("x"))
+      .filter(abs(col("x")) < bw && col("x") =!= 0L)
+      .join(li, "o_orderkey")
+      .withColumn("side", (col("x") > 0L).cast("long"))
+      .pin()
+    val fit = o.groupBy("side")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum((col("x").cast(dec)) * (col("x").cast(dec))).as("sxx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x").cast(dec)) * (col("y").cast(dec))).as("sxy"))
+      .withColumn("beta_e9",
+        round((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          * 1000000000.0).cast("long"))
+      .withColumn("alpha_e6",
+        round((col("sy").cast("double") / col("n").cast("double")
+          - (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("sx").cast("double") / col("n").cast("double")))
+          * 1000000.0).cast("long"))
+      .pin()
+    val l = fit.filter(col("side") === 0L)
+      .select(col("n").as("n_l"), col("alpha_e6").as("alpha_l_e6"),
+        col("beta_e9").as("beta_l_e9"))
+    val r = fit.filter(col("side") === 1L)
+      .select(col("n").as("n_r"), col("alpha_e6").as("alpha_r_e6"),
+        col("beta_e9").as("beta_r_e9"))
+    l.crossJoin(broadcast(r))
+      .select(col("n_l"), col("n_r"), col("alpha_l_e6"),
+        col("alpha_r_e6"), col("beta_l_e9"), col("beta_r_e9"),
+        (col("alpha_r_e6") - col("alpha_l_e6")).as("jump_e6"))
+  }
+
+  private val q510Sql =
+    """WITH li AS (
+      |  SELECT l_orderkey AS o_orderkey, count(*) AS y
+      |  FROM lineitem GROUP BY 1),
+      |o AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) - 25000000
+      |      AS x, y,
+      |    CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+      |      - 25000000 > 0 THEN 1 ELSE 0 END AS side
+      |  FROM orders JOIN li USING (o_orderkey)
+      |  WHERE abs(CAST(round(o_totalprice * 100) AS BIGINT)
+      |    - 25000000) < 5000000
+      |    AND CAST(round(o_totalprice * 100) AS BIGINT)
+      |      - 25000000 != 0),
+      |fit AS (
+      |  SELECT side, count(*) AS n,
+      |    CAST(round((CAST(count(*) AS DOUBLE)
+      |      * CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS
+      |        DECIMAL(38,0))) AS DOUBLE)
+      |      - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+      |      / (CAST(count(*) AS DOUBLE)
+      |        * CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS
+      |          DECIMAL(38,0))) AS DOUBLE)
+      |        - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT) AS beta_e9,
+      |    CAST(round((CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |      - (CAST(count(*) AS DOUBLE)
+      |        * CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS
+      |          DECIMAL(38,0))) AS DOUBLE)
+      |        - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+      |        / (CAST(count(*) AS DOUBLE)
+      |          * CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS
+      |            DECIMAL(38,0))) AS DOUBLE)
+      |          - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+      |        * (CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+      |      * 1000000.0) AS BIGINT) AS alpha_e6
+      |  FROM o GROUP BY side)
+      |SELECT l.n AS n_l, r.n AS n_r,
+      |  l.alpha_e6 AS alpha_l_e6, r.alpha_e6 AS alpha_r_e6,
+      |  l.beta_e9 AS beta_l_e9, r.beta_e9 AS beta_r_e9,
+      |  r.alpha_e6 - l.alpha_e6 AS jump_e6
+      |FROM (SELECT * FROM fit WHERE side = 0) l
+      |CROSS JOIN (SELECT * FROM fit WHERE side = 1) r""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q511 — stratified-propensity ATT: treated = heavy purchaser
+  // (purchase count above the exact corpus median), outcome = total
+  // click value, strata = activity bands. Within each stratum with
+  // both arms present, the treated-vs-control outcome gap weights by
+  // the stratum's treated mass — the coarsened-propensity estimator
+  // (q472's CEM discipline with a propensity-style weighting
+  // readout). Per-stratum IEEE chains only at the stratum grain.
+  // ---------------------------------------------------------------------
+  private def q511(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.eventsSec(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("ne"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"),
+        sum(when(col("event_type") === "click",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("y"))
+      .pin()
+    val med = universeMedian(
+      u.groupBy(col("np").as("v")).agg(count(lit(1)).as("cnt")))
+    val lab = u.crossJoin(broadcast(med))
+      .withColumn("tr", (col("np") > col("med")).cast("long"))
+      .withColumn("st", least(greatest((col("ne") - 40L) / 10L,
+        lit(0L)).cast("long"), lit(4L)))
+    val g = lab.groupBy("st")
+      .agg(sum(col("tr")).as("nt"),
+        sum(lit(1L) - col("tr")).as("nc"),
+        sum(col("tr") * col("y")).as("syt"),
+        sum((lit(1L) - col("tr")) * col("y")).as("syc"))
+      .filter(col("nt") > 0L && col("nc") > 0L)
+      .withColumn("gap_e3",
+        round((col("syt").cast("double") / col("nt").cast("double")
+          - col("syc").cast("double") / col("nc").cast("double"))
+          * 1000.0).cast("long"))
+      .pin()
+    val att = g.agg(sum(col("nt")).as("t_tot"),
+        sum(col("nt") * col("gap_e3")).as("wg"))
+      .select(round(col("wg").cast("double")
+        / col("t_tot").cast("double")).cast("long").as("att_e3"))
+    g.crossJoin(broadcast(att))
+      .select(col("st"), col("nt"), col("nc"), col("gap_e3"),
+        col("att_e3"))
+      .orderBy("st")
+  }
+
+  private val q511Sql =
+    """WITH u AS (
+      |  SELECT user_id, count(*) AS ne,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS np,
+      |    CAST(sum(CASE WHEN event_type = 'click'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |counts AS (SELECT np AS v, count(*) AS cnt FROM u GROUP BY np),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+      |med AS (
+      |  SELECT min(v) AS med FROM (
+      |    SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, n
+      |    FROM counts CROSS JOIN n)
+      |  WHERE cum >= (n + 1) // 2),
+      |lab AS (
+      |  SELECT u.*, CASE WHEN np > med THEN 1 ELSE 0 END AS tr,
+      |    least(greatest((ne - 40) // 10, 0), 4) AS st
+      |  FROM u CROSS JOIN med),
+      |g AS (
+      |  SELECT st, CAST(sum(tr) AS BIGINT) AS nt,
+      |    CAST(sum(1 - tr) AS BIGINT) AS nc,
+      |    CAST(round((CAST(sum(tr * y) AS DOUBLE)
+      |      / CAST(sum(tr) AS DOUBLE)
+      |      - CAST(sum((1 - tr) * y) AS DOUBLE)
+      |      / CAST(sum(1 - tr) AS DOUBLE)) * 1000.0) AS BIGINT)
+      |      AS gap_e3
+      |  FROM lab GROUP BY st
+      |  HAVING sum(tr) > 0 AND sum(1 - tr) > 0),
+      |att AS (
+      |  SELECT CAST(round(CAST(sum(nt * gap_e3) AS DOUBLE)
+      |    / CAST(sum(nt) AS DOUBLE)) AS BIGINT) AS att_e3
+      |  FROM g)
+      |SELECT st, nt, nc, gap_e3, att_e3
+      |FROM g CROSS JOIN att
+      |ORDER BY st""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q512 — Murphy decomposition of the Brier score (REL/RES/UNC):
+  // score = each user's e2-rounded click share, outcome = heavy
+  // purchaser. Bins are the score's own e2 universe (<=101 rows);
+  // the per-bin reliability and resolution terms e9-round BEFORE the
+  // n_k-weighted exact sums, and REL - RES + UNC reconstructs the
+  // Brier score — the calibration identity as an auditable equation.
+  // ---------------------------------------------------------------------
+  private def q512(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.eventsSec(s, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("ncl"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("nv"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      .filter(col("ncl") + col("nv") > 0L)
+      .pin()
+    val med = universeMedian(
+      u.groupBy(col("np").as("v")).agg(count(lit(1)).as("cnt")))
+    val lab = u.crossJoin(broadcast(med))
+      .select(round(col("ncl").cast("double")
+        / (col("ncl") + col("nv")).cast("double") * 100.0)
+        .cast("long").as("b"),
+        (col("np") > col("med")).cast("long").as("o"))
+      .pin()
+    val tot = lab.agg(count(lit(1)).as("n"), sum(col("o")).as("so"))
+    val bins = lab.groupBy("b")
+      .agg(count(lit(1)).as("nk"), sum(col("o")).as("ok"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"), col("nk"), col("n"), col("so"),
+        round((col("b").cast("double") / 100.0
+          - col("ok").cast("double") / col("nk").cast("double"))
+          * (col("b").cast("double") / 100.0
+            - col("ok").cast("double") / col("nk").cast("double"))
+          * 1000000000.0).cast("long").as("rel_t_e9"),
+        round((col("ok").cast("double") / col("nk").cast("double")
+          - col("so").cast("double") / col("n").cast("double"))
+          * (col("ok").cast("double") / col("nk").cast("double")
+            - col("so").cast("double") / col("n").cast("double"))
+          * 1000000000.0).cast("long").as("res_t_e9"))
+    bins.groupBy("n", "so")
+      .agg(sum(col("nk") * col("rel_t_e9")).as("srel"),
+        sum(col("nk") * col("res_t_e9")).as("sres"))
+      .select(col("n"),
+        round(col("srel").cast("double") / col("n").cast("double"))
+          .cast("long").as("rel_e9"),
+        round(col("sres").cast("double") / col("n").cast("double"))
+          .cast("long").as("res_e9"),
+        round((col("so").cast("double") / col("n").cast("double"))
+          * (lit(1.0) - col("so").cast("double")
+            / col("n").cast("double")) * 1000000000.0).cast("long")
+          .as("unc_e9"))
+  }
+
+  private val q512Sql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ncl,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nv,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS np
+      |  FROM events GROUP BY user_id
+      |  HAVING sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |    + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0),
+      |counts AS (SELECT np AS v, count(*) AS cnt FROM u GROUP BY np),
+      |n0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+      |med AS (
+      |  SELECT min(v) AS med FROM (
+      |    SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, n
+      |    FROM counts CROSS JOIN n0)
+      |  WHERE cum >= (n + 1) // 2),
+      |lab AS (
+      |  SELECT CAST(round(CAST(ncl AS DOUBLE)
+      |      / CAST(ncl + nv AS DOUBLE) * 100.0) AS BIGINT) AS b,
+      |    CASE WHEN np > med THEN 1 ELSE 0 END AS o
+      |  FROM u CROSS JOIN med),
+      |tot AS (SELECT count(*) AS n, CAST(sum(o) AS BIGINT) AS so
+      |  FROM lab),
+      |bins AS (
+      |  SELECT b, count(*) AS nk, n, so,
+      |    CAST(round((CAST(b AS DOUBLE) / 100.0
+      |      - CAST(sum(o) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |      * (CAST(b AS DOUBLE) / 100.0
+      |        - CAST(sum(o) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT) AS rel_t_e9,
+      |    CAST(round((CAST(sum(o) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |      - CAST(so AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(sum(o) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |        - CAST(so AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT) AS res_t_e9
+      |  FROM lab CROSS JOIN tot GROUP BY b, n, so)
+      |SELECT n,
+      |  CAST(round(CAST(sum(nk * rel_t_e9) AS DOUBLE)
+      |    / CAST(n AS DOUBLE)) AS BIGINT) AS rel_e9,
+      |  CAST(round(CAST(sum(nk * res_t_e9) AS DOUBLE)
+      |    / CAST(n AS DOUBLE)) AS BIGINT) AS res_e9,
+      |  CAST(round((CAST(so AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * (1.0 - CAST(so AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * 1000000000.0) AS BIGINT) AS unc_e9
+      |FROM bins GROUP BY n, so""".stripMargin
+
+  // =====================================================================
+  // Graph-cohesion block (q508-q509) over the q144/q191 synthetic
+  // co-purchase projection (lineitem partkey<->suppkey mod 4000,
+  // sparse 1/12 slice): degree-oriented triangle machinery — the
+  // skew-proof O(m^1.5) shape — reused for edge support and
+  // community quality.
+  // =====================================================================
+
+  /** Distinct undirected edges (x > y) of the sparse co-purchase
+    * projection. */
+  private def trussEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 12 === 1)
+      .select(greatest(col("l_partkey") % 4000, col("l_suppkey") % 4000)
+        .as("x"),
+        least(col("l_partkey") % 4000, col("l_suppkey") % 4000).as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct()
+
+  private val trussEdgesSql =
+    """SELECT DISTINCT
+      |  greatest(l_partkey % 4000, l_suppkey % 4000) AS x,
+      |  least(l_partkey % 4000, l_suppkey % 4000) AS y
+      |FROM lineitem
+      |WHERE l_orderkey % 12 = 1
+      |  AND l_partkey % 4000 != l_suppkey % 4000""".stripMargin
+
+  /** Per-edge triangle support via degree-oriented wedges (each
+    * triangle found once from its lowest-(degree,id) corner, then
+    * credited to all three edges) — the q144 skew discipline. */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val deg = e.select(col("x").as("n")).union(e.select(col("y")))
+      .groupBy("n")
+      .agg((count(lit(1)) * 1000000000L + col("n")).as("k"))
+    val o = e
+      .join(deg.select(col("n").as("x"), col("k").as("kx")), "x")
+      .join(deg.select(col("n").as("y"), col("k").as("ky")), "y")
+      .select(
+        when(col("kx") < col("ky"), col("x")).otherwise(col("y"))
+          .as("src"),
+        when(col("kx") < col("ky"), col("y")).otherwise(col("x"))
+          .as("dst"),
+        greatest(col("kx"), col("ky")).as("kdst"))
+    val w = o.as("o1").join(o.as("o2"),
+        col("o1.src") === col("o2.src")
+          && col("o1.kdst") < col("o2.kdst"))
+      .select(col("o1.src").as("u"), col("o1.dst").as("v"),
+        col("o2.dst").as("w"))
+    val tris = w.join(o.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_semi")
+    val triEdges = tris.select(greatest(col("u"), col("v")).as("x"),
+        least(col("u"), col("v")).as("y"))
+      .union(tris.select(greatest(col("u"), col("w")),
+        least(col("u"), col("w"))))
+      .union(tris.select(greatest(col("v"), col("w")),
+        least(col("v"), col("w"))))
+      .groupBy("x", "y").agg(count(lit(1)).as("support"))
+    e.join(triEdges, Seq("x", "y"), "left")
+      .select(col("x"), col("y"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** One support-block of the truss oracle, parameterized by the
+    * input edge relation name (emitted twice — one per peel round). */
+  private def supportSqlBlock(in: String, pre: String): String =
+    s"""${pre}deg AS (
+      |  SELECT n, CAST(count(*) AS BIGINT) * 1000000000 + n AS k
+      |  FROM (SELECT x AS n FROM $in UNION ALL SELECT y FROM $in)
+      |  GROUP BY n),
+      |${pre}o AS (
+      |  SELECT CASE WHEN dx.k < dy.k THEN e.x ELSE e.y END AS src,
+      |    CASE WHEN dx.k < dy.k THEN e.y ELSE e.x END AS dst,
+      |    greatest(dx.k, dy.k) AS kdst
+      |  FROM $in e JOIN ${pre}deg dx ON dx.n = e.x
+      |  JOIN ${pre}deg dy ON dy.n = e.y),
+      |${pre}tris AS (
+      |  SELECT wd.u, wd.v, wd.w FROM (
+      |    SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+      |    FROM ${pre}o o1 JOIN ${pre}o o2 ON o1.src = o2.src
+      |    WHERE o1.kdst < o2.kdst) wd
+      |  WHERE EXISTS (SELECT 1 FROM ${pre}o o
+      |    WHERE o.src = wd.v AND o.dst = wd.w)),
+      |${pre}sup AS (
+      |  SELECT e.x, e.y, CAST(COALESCE(t.c, 0) AS BIGINT) AS support
+      |  FROM $in e LEFT JOIN (
+      |    SELECT x, y, count(*) AS c FROM (
+      |      SELECT greatest(u, v) AS x, least(u, v) AS y
+      |        FROM ${pre}tris
+      |      UNION ALL SELECT greatest(u, w), least(u, w)
+      |        FROM ${pre}tris
+      |      UNION ALL SELECT greatest(v, w), least(v, w)
+      |        FROM ${pre}tris) GROUP BY x, y) t
+      |    ON t.x = e.x AND t.y = e.y)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q508 — 3-truss peel (two rounds): every edge's triangle support,
+  // peel edges with support 0, recompute support on the survivors —
+  // each round is one degree-oriented triangle pass (O(m^1.5), no
+  // skew cliff), and the round count is a CONSTANT of the query, not
+  // data-driven (the bounded-rounds discipline of the graph tier).
+  // Readout: surviving edges with their before/after support.
+  // ---------------------------------------------------------------------
+  private def q508(s: SparkSession, dir: String): DataFrame = {
+    val e0 = trussEdges(s, dir).pin()
+    val s0 = edgeSupport(e0).pin()
+    val e1 = s0.filter(col("support") > 0L).select("x", "y").pin()
+    val s1 = edgeSupport(e1)
+    s1.filter(col("support") > 0L)
+      .join(s0.select(col("x"), col("y"), col("support").as("sup0")),
+        Seq("x", "y"))
+      .select(col("x"), col("y"), col("sup0"),
+        col("support").as("sup1"))
+      .orderBy("x", "y")
+  }
+
+  private val q508Sql =
+    s"""WITH e0 AS ($trussEdgesSql),
+      |${supportSqlBlock("e0", "r0")},
+      |e1 AS (SELECT x, y FROM r0sup WHERE support > 0),
+      |${supportSqlBlock("e1", "r1")}
+      |SELECT s1.x, s1.y, s0.support AS sup0, s1.support AS sup1
+      |FROM r1sup s1 JOIN r0sup s0 ON s0.x = s1.x AND s0.y = s1.y
+      |WHERE s1.support > 0
+      |ORDER BY s1.x, s1.y""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q509 — modularity of a fixed partition (community = node % 10)
+  // on the co-purchase projection: Q = Sigma_c (m_c/m - (d_c/2m)^2)
+  // from exact intra-edge and degree-mass counts — the community-
+  // quality readout, one number per community plus the total, with
+  // the only floats in the 10-row readout.
+  // ---------------------------------------------------------------------
+  private def q509(s: SparkSession, dir: String): DataFrame = {
+    val e = trussEdges(s, dir).pin()
+    val m = e.agg(count(lit(1)).as("m"))
+    val degC = e.select(col("x").as("n")).union(e.select(col("y")))
+      .select(pmod(col("n"), lit(10L)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("dc"))
+    val intra = e.filter(pmod(col("x"), lit(10L))
+        === pmod(col("y"), lit(10L)))
+      .groupBy(pmod(col("x"), lit(10L)).as("c"))
+      .agg(count(lit(1)).as("mc"))
+    val terms = degC.join(intra, Seq("c"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("c"), coalesce(col("mc"), lit(0L)).as("mc"),
+        col("dc"), col("m"))
+      .withColumn("q_e9",
+        round((col("mc").cast("double") / col("m").cast("double")
+          - (col("dc").cast("double")
+            / (lit(2.0) * col("m").cast("double")))
+            * (col("dc").cast("double")
+              / (lit(2.0) * col("m").cast("double"))))
+          * 1000000000.0).cast("long"))
+      .pin()
+    val tot = terms.agg(sum(col("q_e9")).as("q_total_e9"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("c"), col("mc"), col("dc"), col("q_e9"),
+        col("q_total_e9"))
+      .orderBy("c")
+  }
+
+  private val q509Sql =
+    s"""WITH e AS ($trussEdgesSql),
+      |m AS (SELECT count(*) AS m FROM e),
+      |degc AS (
+      |  SELECT n % 10 AS c, CAST(count(*) AS BIGINT) AS dc
+      |  FROM (SELECT x AS n FROM e UNION ALL SELECT y FROM e)
+      |  GROUP BY n % 10),
+      |intra AS (
+      |  SELECT x % 10 AS c, CAST(count(*) AS BIGINT) AS mc
+      |  FROM e WHERE x % 10 = y % 10 GROUP BY x % 10),
+      |terms AS (
+      |  SELECT degc.c, CAST(COALESCE(mc, 0) AS BIGINT) AS mc, dc,
+      |    CAST(round((CAST(COALESCE(mc, 0) AS DOUBLE)
+      |      / CAST(m AS DOUBLE)
+      |      - (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+      |        * (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
+      |      * 1000000000.0) AS BIGINT) AS q_e9
+      |  FROM degc LEFT JOIN intra ON degc.c = intra.c CROSS JOIN m),
+      |tot AS (SELECT CAST(sum(q_e9) AS BIGINT) AS q_total_e9
+      |  FROM terms)
+      |SELECT c, mc, dc, q_e9, q_total_e9
+      |FROM terms CROSS JOIN tot
+      |ORDER BY c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q490_seasonal_trend" -> (q490 _),
     "q491_dft_weekly" -> (q491 _),
@@ -1184,7 +1788,14 @@ object Refine {
     "q502_disparate_impact" -> (q502 _),
     "q503_budget_greedy" -> (q503 _),
     "q504_doremi_step" -> (q504 _),
-    "q505_curriculum_bins" -> (q505 _))
+    "q505_curriculum_bins" -> (q505 _),
+    "q506_ams_f2" -> (q506 _),
+    "q507_design_effect" -> (q507 _),
+    "q510_rdd_cutoff" -> (q510 _),
+    "q511_strat_att" -> (q511 _),
+    "q512_brier_decomp" -> (q512 _),
+    "q508_ktruss_peel" -> (q508 _),
+    "q509_modularity" -> (q509 _))
 
   val oracle: Map[String, String] = Map(
     "q490_seasonal_trend" -> q490Sql,
@@ -1202,5 +1813,12 @@ object Refine {
     "q502_disparate_impact" -> q502Sql,
     "q503_budget_greedy" -> q503Sql,
     "q504_doremi_step" -> q504Sql,
-    "q505_curriculum_bins" -> q505Sql)
+    "q505_curriculum_bins" -> q505Sql,
+    "q506_ams_f2" -> q506Sql,
+    "q507_design_effect" -> q507Sql,
+    "q510_rdd_cutoff" -> q510Sql,
+    "q511_strat_att" -> q511Sql,
+    "q512_brier_decomp" -> q512Sql,
+    "q508_ktruss_peel" -> q508Sql,
+    "q509_modularity" -> q509Sql)
 }
