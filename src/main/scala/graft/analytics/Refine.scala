@@ -1772,6 +1772,315 @@ object Refine {
       |FROM terms CROSS JOIN tot
       |ORDER BY c""".stripMargin
 
+  // =====================================================================
+  // Ranking/linkage/panel block (q513-q516).
+  // =====================================================================
+
+  /** RBO weights (1-p)p^(d-1) at p=0.9, e12-rounded — computed ONCE
+    * in plan-building Scala and injected as identical literals into
+    * BOTH engines (the q491 literal-table discipline: no pow() at
+    * query time). */
+  private val rboWe12: Seq[Long] = (1 to 20).map(d =>
+    math.round(0.1 * math.pow(0.9, d - 1) * 1e12))
+
+  // ---------------------------------------------------------------------
+  // q513 — rank-biased overlap between the revenue-ranked and the
+  // quantity-ranked brand lists (depth 20, p = 0.9): per-depth
+  // overlap counts are exact integers over the 25-brand universe;
+  // each depth's contribution rounds e9 from its literal weight; the
+  // truncated RBO is their exact sum. The rank-stability readout two
+  // retrieval stacks get compared with.
+  // ---------------------------------------------------------------------
+  private def q513(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    val g = li.join(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand")), "l_partkey")
+      .groupBy("p_brand")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("rev"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .pin()
+    val ra = g.select(col("p_brand"),
+      row_number().over(axis(col("rev").desc, col("p_brand")))
+        .cast("long").as("rka"))
+    val rb = g.select(col("p_brand"),
+      row_number().over(axis(col("qty").desc, col("p_brand")))
+        .cast("long").as("rkb"))
+    val both = ra.join(rb, "p_brand")
+    val ds = s.range(1, 21).select(col("id").as("d"))
+    val xd = both.crossJoin(broadcast(ds))
+      .groupBy("d")
+      .agg(sum((col("rka") <= col("d") && col("rkb") <= col("d"))
+        .cast("long")).as("xd"))
+      .withColumn("w_e12", element_at(array(rboWe12.map(lit): _*),
+        col("d").cast("int")))
+      .withColumn("term_e9",
+        round(col("xd").cast("double") / col("d").cast("double")
+          * col("w_e12").cast("double") / 1000.0).cast("long"))
+      .pin()
+    val tot = xd.agg(sum(col("term_e9")).as("rbo_e9"))
+    xd.crossJoin(broadcast(tot))
+      .select(col("d"), col("xd"), col("term_e9"), col("rbo_e9"))
+      .orderBy("d")
+  }
+
+  private val q513Sql = {
+    val wl = rboWe12.mkString("[", ", ", "]")
+    s"""WITH g AS (
+      |  SELECT p_brand,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  GROUP BY p_brand),
+      |ra AS (SELECT p_brand,
+      |  row_number() OVER (ORDER BY rev DESC, p_brand) AS rka FROM g),
+      |rb AS (SELECT p_brand,
+      |  row_number() OVER (ORDER BY qty DESC, p_brand) AS rkb FROM g),
+      |bo AS (SELECT ra.p_brand, rka, rkb FROM ra JOIN rb USING
+      |  (p_brand)),
+      |ds AS (SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS d),
+      |xd AS (
+      |  SELECT d, CAST(sum(CASE WHEN rka <= d AND rkb <= d THEN 1
+      |      ELSE 0 END) AS BIGINT) AS xd,
+      |    ($wl)[CAST(d AS INT)] AS w_e12
+      |  FROM bo CROSS JOIN ds GROUP BY d),
+      |terms AS (
+      |  SELECT d, xd,
+      |    CAST(round(CAST(xd AS DOUBLE) / CAST(d AS DOUBLE)
+      |      * CAST(w_e12 AS DOUBLE) / 1000.0) AS BIGINT) AS term_e9
+      |  FROM xd),
+      |tot AS (SELECT CAST(sum(term_e9) AS BIGINT) AS rbo_e9
+      |  FROM terms)
+      |SELECT d, xd, term_e9, rbo_e9
+      |FROM terms CROSS JOIN tot
+      |ORDER BY d""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q514 — lift@k of the click-count ranking for finding heavy
+  // purchasers: top-k selection is orderBy+limit (the q07
+  // TakeOrderedAndProject shape — never a corpus-wide rank), the
+  // within-top-k rank is a window on the 100-row bounded result, and
+  // precision/lift read out against the exact corpus base rate.
+  // ---------------------------------------------------------------------
+  private def q514(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.eventsSec(s, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("ncl"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      .pin()
+    val med = universeMedian(
+      u.groupBy(col("np").as("v")).agg(count(lit(1)).as("cnt")))
+    val lab = u.crossJoin(broadcast(med))
+      .withColumn("pos", (col("np") > col("med")).cast("long"))
+      .pin()
+    val base = lab.agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    val top = lab.orderBy(col("ncl").desc, col("user_id"))
+      .limit(100)
+      .withColumn("rn", row_number()
+        .over(axis(col("ncl").desc, col("user_id"))).cast("long"))
+    val ks = s.range(3).select(
+      element_at(array(lit(25L), lit(50L), lit(100L)),
+        (col("id") + 1L).cast("int")).as("k"))
+    top.crossJoin(broadcast(ks))
+      .filter(col("rn") <= col("k"))
+      .groupBy("k")
+      .agg(sum(col("pos")).as("tp"))
+      .crossJoin(broadcast(base))
+      .select(col("k"), col("tp"),
+        round(col("tp").cast("double") / col("k").cast("double")
+          * 1000000.0).cast("long").as("prec_e6"),
+        round((col("tp").cast("double") / col("k").cast("double"))
+          / (col("p").cast("double") / col("n").cast("double"))
+          * 1000000.0).cast("long").as("lift_e6"))
+      .orderBy("k")
+  }
+
+  private val q514Sql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ncl,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS np
+      |  FROM events GROUP BY user_id),
+      |counts AS (SELECT np AS v, count(*) AS cnt FROM u GROUP BY np),
+      |n0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+      |med AS (
+      |  SELECT min(v) AS med FROM (
+      |    SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, n
+      |    FROM counts CROSS JOIN n0)
+      |  WHERE cum >= (n + 1) // 2),
+      |lab AS (
+      |  SELECT u.*, CASE WHEN np > med THEN 1 ELSE 0 END AS pos
+      |  FROM u CROSS JOIN med),
+      |base AS (SELECT count(*) AS n, CAST(sum(pos) AS BIGINT) AS p
+      |  FROM lab),
+      |top AS (
+      |  SELECT *, row_number() OVER (ORDER BY ncl DESC, user_id)
+      |    AS rn
+      |  FROM lab ORDER BY ncl DESC, user_id LIMIT 100),
+      |ks AS (SELECT CAST(unnest([25, 50, 100]) AS BIGINT) AS k)
+      |SELECT k, CAST(sum(pos) AS BIGINT) AS tp,
+      |  CAST(round(CAST(sum(pos) AS DOUBLE) / CAST(k AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS prec_e6,
+      |  CAST(round((CAST(sum(pos) AS DOUBLE) / CAST(k AS DOUBLE))
+      |    / (CAST(p AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
+      |    AS BIGINT) AS lift_e6
+      |FROM top CROSS JOIN ks CROSS JOIN base
+      |WHERE rn <= k
+      |GROUP BY k, p, n
+      |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q515 — edit-distance record linkage on behavioral signatures:
+  // each user's first-12-event type-initial string (deterministic
+  // (ts, event_id) order), BLOCKED by total event count so pairs
+  // form only inside same-activity cells — the q108 blocking
+  // discipline with a loud >200-per-block tripwire — then native
+  // levenshtein() on both engines. Emits pairs at distance <= 6.
+  // ---------------------------------------------------------------------
+  private def q515(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir)
+      .select(col("user_id"), col("ts_s"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"),
+        col("event_type"))
+    val sig = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("ne"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("nc"),
+        concat_ws("", slice(transform(sort_array(collect_list(
+          struct(col("ts_s"), col("event_id"), col("ini")))),
+          x => x.getField("ini")), 1, 12)).as("sig"))
+      .pin()
+    val blk = sig.groupBy("ne")
+      .agg(count(lit(1)).as("bn"))
+    val guarded = sig.join(blk, Seq("ne"))
+      .withColumn("sig", when(col("bn") <= 200L, col("sig"))
+        .otherwise(raise_error(concat(
+          lit("editLinkage: block of "), col("bn").cast("string"),
+          lit(" users exceeds 200 — refine the blocking key or raise " +
+            "the bound explicitly.")))))
+    guarded.as("a").join(guarded.as("b"),
+        col("a.ne") === col("b.ne")
+          && col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"),
+        levenshtein(col("a.sig"), col("b.sig")).cast("long").as("dist"))
+      .filter(col("dist") <= 6L)
+      .orderBy("ua", "ub")
+  }
+
+  private val q515Sql =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id,
+      |    substr(event_type, 1, 1) AS ini, event_type
+      |  FROM events),
+      |sig AS (
+      |  SELECT user_id, count(*) AS ne,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS np,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nc,
+      |    substr(string_agg(ini, '' ORDER BY ts_s, event_id), 1, 12)
+      |      AS sig
+      |  FROM ev GROUP BY user_id)
+      |SELECT a.user_id AS ua, b.user_id AS ub,
+      |  CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
+      |FROM sig a JOIN sig b
+      |  ON a.ne = b.ne AND a.user_id < b.user_id
+      |WHERE levenshtein(a.sig, b.sig) <= 6
+      |ORDER BY ua, ub""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q516 — two-way fixed-effects slope (user FE + day FE): the panel
+  // regression of purchase cents on hour-of-day after double
+  // demeaning. Group means are one IEEE ratio per USER/DAY (group
+  // grains), the demeaned values e6-round AT THE ROW, and the slope
+  // is one division over exact decimal sums of the rounded values —
+  // the within-estimator with no data-sized float accumulation.
+  // ---------------------------------------------------------------------
+  private def q516(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsSec(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        to_date(col("ts_s")).as("day"),
+        hour(col("ts_s")).cast("long").as("x"),
+        round(col("value") * 100).cast("long").as("y"))
+      .pin()
+    val gu = ev.groupBy("user_id")
+      .agg(sum(col("x")).as("sxu"), sum(col("y")).as("syu"),
+        count(lit(1)).as("nu"))
+    val gd = ev.groupBy("day")
+      .agg(sum(col("x")).as("sxd"), sum(col("y")).as("syd"),
+        count(lit(1)).as("nd"))
+    val gg = ev.agg(sum(col("x")).as("sxg"), sum(col("y")).as("syg"),
+      count(lit(1)).as("ng"))
+    val w = ev.join(gu, "user_id").join(gd, "day")
+      .crossJoin(broadcast(gg))
+      .select(
+        round((col("x").cast("double")
+          - col("sxu").cast("double") / col("nu").cast("double")
+          - col("sxd").cast("double") / col("nd").cast("double")
+          + col("sxg").cast("double") / col("ng").cast("double"))
+          * 1000000.0).cast("long").as("xt_e6"),
+        round((col("y").cast("double")
+          - col("syu").cast("double") / col("nu").cast("double")
+          - col("syd").cast("double") / col("nd").cast("double")
+          + col("syg").cast("double") / col("ng").cast("double"))
+          * 1000000.0).cast("long").as("yt_e6"))
+    w.agg(count(lit(1)).as("n"),
+        sum(col("xt_e6").cast(dec) * col("yt_e6").cast(dec)).as("sxy"),
+        sum(col("xt_e6").cast(dec) * col("xt_e6").cast(dec)).as("sxx"))
+      .select(col("n"),
+        round(col("sxy").cast("double") / col("sxx").cast("double")
+          * 1000000000.0).cast("long").as("slope_e9"))
+  }
+
+  private val q516Sql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('second', ts) AS DATE) AS day,
+      |    CAST(hour(date_trunc('second', ts)) AS BIGINT) AS x,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase'),
+      |gu AS (
+      |  SELECT user_id, CAST(sum(x) AS BIGINT) AS sxu,
+      |    CAST(sum(y) AS BIGINT) AS syu, count(*) AS nu
+      |  FROM ev GROUP BY user_id),
+      |gd AS (
+      |  SELECT day, CAST(sum(x) AS BIGINT) AS sxd,
+      |    CAST(sum(y) AS BIGINT) AS syd, count(*) AS nd
+      |  FROM ev GROUP BY day),
+      |gg AS (
+      |  SELECT CAST(sum(x) AS BIGINT) AS sxg,
+      |    CAST(sum(y) AS BIGINT) AS syg, count(*) AS ng FROM ev),
+      |w AS (
+      |  SELECT
+      |    CAST(round((CAST(x AS DOUBLE)
+      |      - CAST(sxu AS DOUBLE) / CAST(nu AS DOUBLE)
+      |      - CAST(sxd AS DOUBLE) / CAST(nd AS DOUBLE)
+      |      + CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE)) * 1000000.0)
+      |      AS BIGINT) AS xt_e6,
+      |    CAST(round((CAST(y AS DOUBLE)
+      |      - CAST(syu AS DOUBLE) / CAST(nu AS DOUBLE)
+      |      - CAST(syd AS DOUBLE) / CAST(nd AS DOUBLE)
+      |      + CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE)) * 1000000.0)
+      |      AS BIGINT) AS yt_e6
+      |  FROM ev JOIN gu USING (user_id) JOIN gd USING (day)
+      |  CROSS JOIN gg)
+      |SELECT count(*) AS n,
+      |  CAST(round(CAST(sum(CAST(xt_e6 AS DECIMAL(38,0))
+      |    * CAST(yt_e6 AS DECIMAL(38,0))) AS DOUBLE)
+      |    / CAST(sum(CAST(xt_e6 AS DECIMAL(38,0))
+      |      * CAST(xt_e6 AS DECIMAL(38,0))) AS DOUBLE)
+      |    * 1000000000.0) AS BIGINT) AS slope_e9
+      |FROM w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q490_seasonal_trend" -> (q490 _),
     "q491_dft_weekly" -> (q491 _),
@@ -1795,7 +2104,11 @@ object Refine {
     "q511_strat_att" -> (q511 _),
     "q512_brier_decomp" -> (q512 _),
     "q508_ktruss_peel" -> (q508 _),
-    "q509_modularity" -> (q509 _))
+    "q509_modularity" -> (q509 _),
+    "q513_rbo_brands" -> (q513 _),
+    "q514_lift_at_k" -> (q514 _),
+    "q515_edit_linkage" -> (q515 _),
+    "q516_twoway_fe" -> (q516 _))
 
   val oracle: Map[String, String] = Map(
     "q490_seasonal_trend" -> q490Sql,
@@ -1820,5 +2133,9 @@ object Refine {
     "q511_strat_att" -> q511Sql,
     "q512_brier_decomp" -> q512Sql,
     "q508_ktruss_peel" -> q508Sql,
-    "q509_modularity" -> q509Sql)
+    "q509_modularity" -> q509Sql,
+    "q513_rbo_brands" -> q513Sql,
+    "q514_lift_at_k" -> q514Sql,
+    "q515_edit_linkage" -> q515Sql,
+    "q516_twoway_fe" -> q516Sql)
 }
