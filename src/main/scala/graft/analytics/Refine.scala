@@ -2081,6 +2081,50 @@ object Refine {
       |    * 1000000000.0) AS BIGINT) AS slope_e9
       |FROM w""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q517 — REAL PNG decode in the gate: a closed-form gradient image
+  // per document is encoded as a genuine PNG (zlib IDAT via
+  // java.util.zip.Deflater, scanline filter CYCLING through all five
+  // types, chunk CRCs) and parsed back by the validating decoder
+  // (signature, per-chunk CRC, IHDR contract, Inflater, unfilter
+  // incl. Paeth) in a mapPartitions batch. The oracle recomputes the
+  // channel sums and per-pixel max luma from the gradient's closed
+  // form without touching a byte — q132's discipline on the second
+  // real image codec.
+  // ---------------------------------------------------------------------
+  private def q517(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    graft.operators.Multimodal.decodePngBatch(
+        graft.operators.Multimodal.syntheticPng(t(s, dir, "documents")))
+      .toDF()
+      .orderBy(c("media_id"))
+  }
+
+  private val q517Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+      |    CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |v AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id * 13 + 7 * x + 11 * y) % 256 AS r,
+      |    (doc_id * 17 + 19 * x + 23 * y) % 256 AS g,
+      |    (doc_id * 29 + 31 * x + 37 * y) % 256 AS b
+      |  FROM px)
+      |SELECT doc_id AS media_id,
+      |  CAST(max(w) AS INTEGER) AS width,
+      |  CAST(max(h) AS INTEGER) AS height,
+      |  CAST(sum(r) AS BIGINT) AS r_sum,
+      |  CAST(sum(g) AS BIGINT) AS g_sum,
+      |  CAST(sum(b) AS BIGINT) AS b_sum,
+      |  CAST(max(2126 * r + 7152 * g + 722 * b) AS BIGINT) AS lum_max
+      |FROM v
+      |GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q490_seasonal_trend" -> (q490 _),
     "q491_dft_weekly" -> (q491 _),
@@ -2108,7 +2152,8 @@ object Refine {
     "q513_rbo_brands" -> (q513 _),
     "q514_lift_at_k" -> (q514 _),
     "q515_edit_linkage" -> (q515 _),
-    "q516_twoway_fe" -> (q516 _))
+    "q516_twoway_fe" -> (q516 _),
+    "q517_png_decode" -> (q517 _))
 
   val oracle: Map[String, String] = Map(
     "q490_seasonal_trend" -> q490Sql,
@@ -2137,5 +2182,6 @@ object Refine {
     "q513_rbo_brands" -> q513Sql,
     "q514_lift_at_k" -> q514Sql,
     "q515_edit_linkage" -> q515Sql,
-    "q516_twoway_fe" -> q516Sql)
+    "q516_twoway_fe" -> q516Sql,
+    "q517_png_decode" -> q517Sql)
 }

@@ -534,4 +534,200 @@ object Multimodal {
         ((id * 19 + 23L * x + 29L * y) % 256).toInt)))
     }
   }
+
+  // =====================================================================
+  // PNG codec (round 11): the one media format addable with zero
+  // external libraries — zlib lives in java.util.zip. The encoder
+  // CYCLES the scanline filter type (y % 5 → None/Sub/Up/Average/
+  // Paeth), so a decoder that mishandles ANY of the five filters, the
+  // Paeth predictor's tie-breaking, byte-order, or chunk CRCs cannot
+  // round-trip the closed-form gradient the q517 oracle recomputes.
+  // =====================================================================
+
+  /** Decoded 8-bit RGB PNG features — same shape as [[BmpRow]]. */
+  case class PngRow(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      r_sum: Long,
+      g_sum: Long,
+      b_sum: Long,
+      lum_max: Long)
+
+  private def crc32(parts: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32()
+    parts.foreach(c.update)
+    c.getValue.toInt
+  }
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+    val t = tpe.getBytes("US-ASCII")
+    be32(data.length) ++ t ++ data ++ be32(crc32(t, data))
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode an 8-bit RGB (color type 2) PNG. Scanline y uses filter
+    * type y % 5 — deliberately exercising every filter. */
+  def encodePng(width: Int, height: Int,
+                px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val bpp = 3
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        cur(x * 3) = r & 0xff; cur(x * 3 + 1) = g & 0xff
+        cur(x * 3 + 2) = b & 0xff
+        x += 1
+      }
+      val ft = y % 5
+      raw(y * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val b = if (y > 0) prev(i) else 0
+        val c = if (y > 0 && i >= bpp) prev(i - bpp) else 0
+        val f = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - (a + b) / 2
+          case 4 => cur(i) - paeth(a, b, c)
+        }
+        raw(y * (stride + 1) + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, RGB, deflate, adaptive, no interlace
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Parse an 8-bit RGB PNG (validates the signature, every chunk's
+    * CRC, the IHDR contract — depth 8 / color type 2 / deflate /
+    * no interlace — inflates the IDAT stream, and UNFILTERS all five
+    * scanline filter types incl. the Paeth predictor) and extract the
+    * same one-pass features as [[decodeBmp24]]. */
+  def decodePng(mediaId: Long, bytes: Array[Byte]): PngRow = {
+    require(bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G', "not a PNG")
+    var pos = 8
+    var width = 0; var height = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && pos + 8 <= bytes.length) {
+      def b32(o: Int): Int =
+        ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+          ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+      val len = b32(pos)
+      val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = b32(pos + 8 + len)
+      val c = new java.util.zip.CRC32()
+      c.update(bytes, pos + 4, 4 + len)
+      require(c.getValue.toInt == crc, s"bad CRC on $tpe chunk")
+      tpe match {
+        case "IHDR" =>
+          width = b32(pos + 8); height = b32(pos + 12)
+          require(bytes(pos + 16) == 8, "unsupported bit depth")
+          require(bytes(pos + 17) == 2, "unsupported color type")
+          require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0 &&
+            bytes(pos + 20) == 0, "unsupported compression/interlace")
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunk: CRC-checked, content skipped
+      }
+      pos += 12 + len
+    }
+    require(done && width > 0 && height > 0, "truncated PNG")
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val bpp = 3
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    var off = 0
+    while (!inf.finished() && off < raw.length)
+      off += inf.inflate(raw, off, raw.length - off)
+    inf.end()
+    require(off == raw.length, "short IDAT stream")
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var rs = 0L; var gs = 0L; var bs = 0L; var lmax = 0L
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      var i = 0
+      while (i < stride) {
+        val f = raw(y * (stride + 1) + 1 + i) & 0xff
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val b = if (y > 0) prev(i) else 0
+        val c = if (y > 0 && i >= bpp) prev(i - bpp) else 0
+        cur(i) = (ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + (a + b) / 2
+          case 4 => f + paeth(a, b, c)
+          case _ => throw new IllegalStateException(s"bad filter $ft")
+        }) & 0xff
+        i += 1
+      }
+      var x = 0
+      while (x < width) {
+        val r = cur(x * 3); val g = cur(x * 3 + 1); val b = cur(x * 3 + 2)
+        rs += r; gs += g; bs += b
+        val lum = 2126L * r + 7152L * g + 722L * b
+        if (lum > lmax) lmax = lum
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    PngRow(mediaId, width, height, rs, gs, bs, lmax)
+  }
+
+  /** Synthetic closed-form gradient PNG per document (the q132 BMP
+    * discipline on the PNG codec — different mixing constants so the
+    * two image gates can never mask each other). */
+  def syntheticPng(docs: org.apache.spark.sql.DataFrame)
+      : Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + (id / 9) % 7).toInt
+      MediaRow(id, "image", encodePng(w, h, (x, y) => (
+        ((id * 13 + 7L * x + 11L * y) % 256).toInt,
+        ((id * 17 + 19L * x + 23L * y) % 256).toInt,
+        ((id * 29 + 31L * x + 37L * y) % 256).toInt)))
+    }
+  }
+
+  /** Distributed PNG decode: same batch shape as [[decodeBmp]]. */
+  def decodePngBatch(media: Dataset[MediaRow]): Dataset[PngRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => decodePng(m.media_id, m.content)))
+  }
 }

@@ -260,4 +260,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
       s"the unrelated image must not pair: $pairs")
   }
+
+  test("PNG codec: encode/decode round-trips the exact pixels through " +
+       "zlib across ALL FIVE scanline filters (the encoder cycles " +
+       "filter y % 5), and every chunk CRC validates") {
+    import graft.operators.Multimodal
+    // 11 rows => filters 0..4 each used at least twice
+    val w = 7; val h = 11
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 41 + y * 59) % 256, (x * 13 + y * 7 + 128) % 256,
+        (255 - x * 29 - y * 3 + 512) % 256)
+    val bytes = Multimodal.encodePng(w, h, px)
+    val row = Multimodal.decodePng(42L, bytes)
+    assert(row.width == w && row.height == h)
+    var rs = 0L; var gs = 0L; var bs = 0L; var lm = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      rs += r; gs += g; bs += b
+      lm = math.max(lm, 2126L * r + 7152L * g + 722L * b)
+    }
+    assert(row.r_sum == rs && row.g_sum == gs && row.b_sum == bs)
+    assert(row.lum_max == lm)
+  }
+
+  test("PNG codec: a flipped IDAT byte fails the CRC check loudly — " +
+       "corrupt media must never decode silently") {
+    import graft.operators.Multimodal
+    val bytes = Multimodal.encodePng(5, 5, (x, y) => (x * 40, y * 40, 7))
+    // find the IDAT chunk and flip one payload byte
+    var pos = 8
+    var idatOff = -1
+    while (idatOff < 0) {
+      val len = ((bytes(pos) & 0xff) << 24) | ((bytes(pos + 1) & 0xff) << 16) |
+        ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
+      if (tpe == "IDAT") idatOff = pos + 8 else pos += 12 + len
+    }
+    val bad = bytes.clone()
+    bad(idatOff) = (bad(idatOff) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodePng(1L, bad)
+    }
+    assert(e.getMessage.contains("CRC"))
+  }
 }
