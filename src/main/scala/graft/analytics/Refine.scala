@@ -2125,6 +2125,44 @@ object Refine {
       |GROUP BY doc_id
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q518 — STREAMING count-min sketch (transformWithState): the 4x64
+  // portable-hash counter grid absorbs the event stream (state O(1)
+  // regardless of user cardinality — the property that makes the
+  // sketch the 100 TB tool), exact per-user counts ride along as the
+  // audit surface, and the sentinel flush emits every user's
+  // (exact, estimate, relative overestimate). The oracle replays the
+  // identical grid in plain SQL — same md5 hash, same cells, same
+  // min-over-rows.
+  // ---------------------------------------------------------------------
+  private def q518(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.TwsCountMin
+      .replayFromParquet(s, s"$dir/events.parquet")
+      .orderBy(col("user_id"))
+
+  private val q518Sql = {
+    val h = graft.functions.PortableHash.hash60DuckSql(
+      "concat('cm:', CAST(j AS VARCHAR), ':', CAST(user_id AS VARCHAR))")
+    s"""WITH ev AS (SELECT user_id FROM events),
+      |js AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS j),
+      |cells AS (
+      |  SELECT j, $h % 64 AS hh, CAST(count(*) AS BIGINT) AS c
+      |  FROM ev CROSS JOIN js GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT user_id, count(*) AS n_exact FROM ev GROUP BY user_id),
+      |uj AS (
+      |  SELECT user_id, n_exact, j, $h % 64 AS hh
+      |  FROM exact CROSS JOIN js),
+      |est AS (
+      |  SELECT user_id, min(n_exact) AS n_exact,
+      |    CAST(min(c) AS BIGINT) AS n_est
+      |  FROM uj JOIN cells USING (j, hh) GROUP BY user_id)
+      |SELECT user_id, n_exact, n_est,
+      |  CAST(round(CAST(n_est - n_exact AS DOUBLE)
+      |    / CAST(n_exact AS DOUBLE) * 1000000.0) AS BIGINT) AS over_e6
+      |FROM est ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q490_seasonal_trend" -> (q490 _),
     "q491_dft_weekly" -> (q491 _),
@@ -2153,7 +2191,8 @@ object Refine {
     "q514_lift_at_k" -> (q514 _),
     "q515_edit_linkage" -> (q515 _),
     "q516_twoway_fe" -> (q516 _),
-    "q517_png_decode" -> (q517 _))
+    "q517_png_decode" -> (q517 _),
+    "q518_stream_countmin" -> (q518 _))
 
   val oracle: Map[String, String] = Map(
     "q490_seasonal_trend" -> q490Sql,
@@ -2183,5 +2222,6 @@ object Refine {
     "q514_lift_at_k" -> q514Sql,
     "q515_edit_linkage" -> q515Sql,
     "q516_twoway_fe" -> q516Sql,
-    "q517_png_decode" -> q517Sql)
+    "q517_png_decode" -> q517Sql,
+    "q518_stream_countmin" -> q518Sql)
 }

@@ -24,6 +24,15 @@ object PortableHash {
   /** Modulus for permutation/bucket arithmetic: 2^31 - 1 (prime). */
   val P: Long = 2147483647L
 
+  /** Plain-JVM twin of [[hash60]] for executor-side imperative code
+    * (streaming StatefulProcessors, codecs): md5 hex prefix, digit-
+    * identical to the Spark column form and the DuckDB SQL form. */
+  def hash60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** 60-bit portable hash of a string column (Spark side): the fused
     * digest-to-long expression ([[org.apache.spark.sql.graftx.Md5Prefix60]]),
     * bit-identical to [[hash60Composed]] (Md5PrefixSpec) at ~2× less
