@@ -2163,6 +2163,295 @@ object Refine {
       |FROM est ORDER BY user_id""".stripMargin
   }
 
+  // =====================================================================
+  // Distribution-alignment / audit closers (q519-q522).
+  // =====================================================================
+
+  // ---------------------------------------------------------------------
+  // q519 — one Sinkhorn iteration toward a balanced (lang x source)
+  // transport plan: the doc-count matrix row-normalizes to the
+  // uniform lang marginal, then column-normalizes to the uniform
+  // source marginal — the optimal-transport primitive behind
+  // distribution-matched data mixing, on the 5x20 enumeration grid
+  // (two IEEE chains per CELL, e9-rounded at each normalization).
+  // ---------------------------------------------------------------------
+  private def q519(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("c")).pin()
+    val nl = m.select(countDistinct(col("lang")).as("kl"),
+      countDistinct(col("source")).as("ks"))
+    val row = m.groupBy("lang").agg(sum(col("c")).as("rs"))
+    val p1 = m.join(broadcast(row), "lang").crossJoin(broadcast(nl))
+      .select(col("lang"), col("source"), col("c"), col("kl"), col("ks"),
+        round(col("c").cast("double") / col("rs").cast("double")
+          / col("kl").cast("double") * 1000000000.0).cast("long")
+          .as("p1_e9"))
+      .pin()
+    val colSum = p1.groupBy("source").agg(sum(col("p1_e9")).as("cs"))
+    p1.join(broadcast(colSum), "source")
+      .select(col("lang"), col("source"), col("c"), col("p1_e9"),
+        round(col("p1_e9").cast("double") / col("cs").cast("double")
+          / col("ks").cast("double") * 1000000000.0).cast("long")
+          .as("p2_e9"))
+      .orderBy("lang", "source")
+  }
+
+  private val q519Sql =
+    """WITH m AS (
+      |  SELECT lang, source, count(*) AS c FROM documents
+      |  GROUP BY lang, source),
+      |nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS kl,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS ks FROM m),
+      |row_s AS (SELECT lang, CAST(sum(c) AS BIGINT) AS rs FROM m
+      |  GROUP BY lang),
+      |p1 AS (
+      |  SELECT lang, source, c, kl, ks,
+      |    CAST(round(CAST(c AS DOUBLE) / CAST(rs AS DOUBLE)
+      |      / CAST(kl AS DOUBLE) * 1000000000.0) AS BIGINT) AS p1_e9
+      |  FROM m JOIN row_s USING (lang) CROSS JOIN nl),
+      |cs AS (SELECT source, CAST(sum(p1_e9) AS BIGINT) AS cs FROM p1
+      |  GROUP BY source)
+      |SELECT lang, source, c, p1_e9,
+      |  CAST(round(CAST(p1_e9 AS DOUBLE) / CAST(cs AS DOUBLE)
+      |    / CAST(ks AS DOUBLE) * 1000000000.0) AS BIGINT) AS p2_e9
+      |FROM p1 JOIN cs USING (source)
+      |ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q520 — MMD^2 between the first and second half of the revenue
+  // series (RBF kernel on the span-bounded day-pair grain): the
+  // kernel two-sample statistic behind distribution-shift detection
+  // on learned representations. exp() evaluates once per DAY PAIR
+  // (<= C(1000,2), tripwired), e9-rounded at the pair; the unbiased
+  // within/cross sums are exact integers after that.
+  // ---------------------------------------------------------------------
+  private def q520(s: SparkSession, dir: String): DataFrame = {
+    val day = daySeries(s, dir).pin()
+    val nc = day.agg(count(lit(1)).as("n"), min(col("d")).as("d0"))
+    val lab = day.crossJoin(broadcast(nc))
+      .select(col("d"), col("y"), col("n"),
+        ((col("d") - col("d0")) * 2L < col("n")).cast("long").as("g"))
+      .pin()
+    // bandwidth: the EXACT median pairwise |y_i - y_j| (day grain)
+    val a0 = lab.select(col("d").as("da"), col("y").as("ya"),
+      col("g").as("ga"), col("n"))
+    val b0 = lab.select(col("d").as("db"), col("y").as("yb"),
+      col("g").as("gb"))
+    val pairs = a0.crossJoin(broadcast(b0))
+      .filter(col("da") < col("db"))
+      .select(col("n"),
+        dayGuard(col("n"), "mmdHalves", abs(col("ya") - col("yb")))
+          .as("ad"),
+        col("da"), col("db"), col("ga"), col("gb"))
+      .pin()
+    val np = pairs.agg(count(lit(1)).as("npair"))
+    val bw = pairs.crossJoin(broadcast(np))
+      .withColumn("rn", row_number()
+        .over(axis(col("ad"), col("da"), col("db"))).cast("long"))
+      .filter(col("rn") === ((col("npair") + 1L) / 2L).cast("long"))
+      .select(col("ad").as("h"))
+    val k = pairs.crossJoin(broadcast(bw))
+      .select(col("ga"), col("gb"),
+        round(exp((col("ad").cast("double") * col("ad").cast("double"))
+          / (col("h").cast("double") * col("h").cast("double"))
+          * -1.0) * 1000000000.0).cast("long").as("k_e9"))
+    val sums = k.agg(
+      sum(when(col("ga") === 1L && col("gb") === 1L, col("k_e9"))
+        .otherwise(0L)).as("sxx"),
+      sum(when(col("ga") === 0L && col("gb") === 0L, col("k_e9"))
+        .otherwise(0L)).as("syy"),
+      sum(when(col("ga") =!= col("gb"), col("k_e9")).otherwise(0L))
+        .as("sxy"))
+    val cnts = lab.agg(sum(col("g")).as("nx"),
+      sum(lit(1L) - col("g")).as("ny"))
+    sums.crossJoin(broadcast(cnts)).crossJoin(broadcast(bw))
+      .select(col("nx"), col("ny"), col("h").as("bandwidth"),
+        (round(col("sxx").cast("double") * 2.0
+          / (col("nx").cast("double") * (col("nx").cast("double") - 1.0)))
+          + round(col("syy").cast("double") * 2.0
+            / (col("ny").cast("double")
+              * (col("ny").cast("double") - 1.0)))
+          - round(col("sxy").cast("double") * 2.0
+            / (col("nx").cast("double") * col("ny").cast("double"))))
+          .cast("long").as("mmd2_e9"))
+  }
+
+  private val q520Sql =
+    s"""WITH day AS ($daySeriesSql),
+      |nc AS (SELECT count(*) AS n, min(d) AS d0 FROM day),
+      |lab AS (
+      |  SELECT d, y, n,
+      |    CASE WHEN (d - d0) * 2 < n THEN 1 ELSE 0 END AS g
+      |  FROM day CROSS JOIN nc),
+      |pairs AS (
+      |  SELECT a.n, abs(a.y - b.y) AS ad, a.d AS da, b.d AS db,
+      |    a.g AS ga, b.g AS gb
+      |  FROM lab a JOIN lab b ON a.d < b.d),
+      |np AS (SELECT count(*) AS npair FROM pairs),
+      |bw AS (
+      |  SELECT ad AS h FROM (
+      |    SELECT ad, row_number() OVER (ORDER BY ad, da, db) AS rn,
+      |      npair
+      |    FROM pairs CROSS JOIN np)
+      |  WHERE rn = (npair + 1) // 2),
+      |k AS (
+      |  SELECT ga, gb,
+      |    CAST(round(exp(-(CAST(ad AS DOUBLE) * CAST(ad AS DOUBLE))
+      |      / (CAST(h AS DOUBLE) * CAST(h AS DOUBLE)))
+      |      * 1000000000.0) AS BIGINT) AS k_e9
+      |  FROM pairs CROSS JOIN bw),
+      |sums AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN ga = 1 AND gb = 1 THEN k_e9 ELSE 0 END)
+      |      AS BIGINT) AS sxx,
+      |    CAST(sum(CASE WHEN ga = 0 AND gb = 0 THEN k_e9 ELSE 0 END)
+      |      AS BIGINT) AS syy,
+      |    CAST(sum(CASE WHEN ga != gb THEN k_e9 ELSE 0 END)
+      |      AS BIGINT) AS sxy
+      |  FROM k),
+      |cnts AS (SELECT CAST(sum(g) AS BIGINT) AS nx,
+      |  CAST(sum(1 - g) AS BIGINT) AS ny FROM lab)
+      |SELECT nx, ny, h AS bandwidth,
+      |  CAST(round(CAST(sxx AS DOUBLE) * 2.0
+      |      / (CAST(nx AS DOUBLE) * (CAST(nx AS DOUBLE) - 1.0)))
+      |    + round(CAST(syy AS DOUBLE) * 2.0
+      |      / (CAST(ny AS DOUBLE) * (CAST(ny AS DOUBLE) - 1.0)))
+      |    - round(CAST(sxy AS DOUBLE) * 2.0
+      |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) AS BIGINT)
+      |    AS mmd2_e9
+      |FROM sums CROSS JOIN cnts CROSS JOIN bw""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q521 — Simpson's-paradox audit: the pooled association between
+  // the token filter and the "long document" label vs the SAME
+  // association inside every language stratum, as exact
+  // cross-product differences (ad - bc, integer — sign flips need no
+  // float at all). Flags any stratum whose association sign
+  // contradicts the pooled sign — the aggregation trap every
+  // corpus-level dashboard must check before reporting a trend.
+  // ---------------------------------------------------------------------
+  private def q521(s: SparkSession, dir: String): DataFrame = {
+    val a = audited(s, dir).pin()
+    val med = universeMedian(
+      a.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt")))
+    val lab = a.crossJoin(broadcast(med))
+      .withColumn("truth", (col("n_chars") > col("med")).cast("long"))
+      .pin()
+    def cells(g: org.apache.spark.sql.RelationalGroupedDataset)
+        : DataFrame = g
+      .agg(sum(col("pass") * col("truth")).as("aa"),
+        sum(col("pass") * (lit(1L) - col("truth"))).as("bb"),
+        sum((lit(1L) - col("pass")) * col("truth")).as("cc"),
+        sum((lit(1L) - col("pass")) * (lit(1L) - col("truth")))
+          .as("dd"))
+    val pool = cells(lab.groupBy())
+      .select((col("aa") * col("dd") - col("bb") * col("cc"))
+        .as("pooled_assoc"))
+    cells(lab.groupBy("lang"))
+      .withColumn("assoc", col("aa") * col("dd") - col("bb") * col("cc"))
+      .crossJoin(broadcast(pool))
+      .select(col("lang"), col("aa"), col("bb"), col("cc"), col("dd"),
+        col("assoc"), col("pooled_assoc"),
+        (signum(col("assoc").cast("double")).cast("long")
+          =!= signum(col("pooled_assoc").cast("double")).cast("long"))
+          .cast("long").as("flips"))
+      .orderBy("lang")
+  }
+
+  private val q521Sql =
+    s"""WITH a AS ($auditedSql),
+      |counts AS (SELECT n_chars AS v, count(*) AS cnt FROM a
+      |  GROUP BY n_chars),
+      |n0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+      |med AS (
+      |  SELECT min(v) AS med FROM (
+      |    SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, n
+      |    FROM counts CROSS JOIN n0)
+      |  WHERE cum >= (n + 1) // 2),
+      |lab AS (
+      |  SELECT a.*, CASE WHEN n_chars > med THEN 1 ELSE 0 END AS truth
+      |  FROM a CROSS JOIN med),
+      |pool AS (
+      |  SELECT CAST(sum(pass * truth) AS BIGINT)
+      |      * CAST(sum((1 - pass) * (1 - truth)) AS BIGINT)
+      |    - CAST(sum(pass * (1 - truth)) AS BIGINT)
+      |      * CAST(sum((1 - pass) * truth) AS BIGINT) AS pooled_assoc
+      |  FROM lab),
+      |g AS (
+      |  SELECT lang,
+      |    CAST(sum(pass * truth) AS BIGINT) AS aa,
+      |    CAST(sum(pass * (1 - truth)) AS BIGINT) AS bb,
+      |    CAST(sum((1 - pass) * truth) AS BIGINT) AS cc,
+      |    CAST(sum((1 - pass) * (1 - truth)) AS BIGINT) AS dd
+      |  FROM lab GROUP BY lang)
+      |SELECT lang, aa, bb, cc, dd,
+      |  aa * dd - bb * cc AS assoc, pooled_assoc,
+      |  CAST(CASE WHEN sign(CAST(aa * dd - bb * cc AS DOUBLE))
+      |    != sign(CAST(pooled_assoc AS DOUBLE)) THEN 1 ELSE 0 END
+      |    AS BIGINT) AS flips
+      |FROM g CROSS JOIN pool
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q522 — A/B test power analysis from observed variance: the
+  // per-event-type sample size needed to detect a 2% lift of the
+  // mean value at alpha=.05 / power=.80 — n = 2 (z_a + z_b)^2 s^2 /
+  // delta^2 with the z-sum squared embedded as the literal 7.849
+  // ((1.96 + 0.8416)^2) on both engines, s^2 from exact cumulants.
+  // The experimentation-platform sizing readout.
+  // ---------------------------------------------------------------------
+  private def q522(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsSec(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("x"))
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      .select(col("event_type"), col("n"),
+        round(col("sx").cast("double") / col("n").cast("double"))
+          .cast("long").as("mean_c"),
+        round((col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          / (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+          .cast("long").as("var_c2"),
+        round(lit(2.0) * lit(7.849)
+          * ((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            / (col("n").cast("double")
+              * (col("n").cast("double") - 1.0)))
+          / ((col("sx").cast("double") / col("n").cast("double")
+            * 0.02) * (col("sx").cast("double")
+            / col("n").cast("double") * 0.02))).cast("long")
+          .as("n_needed"))
+      .orderBy("event_type")
+  }
+
+  private val q522Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CAST(round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+      |    AS mean_c,
+      |  CAST(round((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+      |    AS BIGINT) AS var_c2,
+      |  CAST(round(2.0 * 7.849
+      |    * ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+      |    / ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 0.02)
+      |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 0.02)))
+      |    AS BIGINT) AS n_needed
+      |FROM g ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q490_seasonal_trend" -> (q490 _),
     "q491_dft_weekly" -> (q491 _),
@@ -2192,7 +2481,11 @@ object Refine {
     "q515_edit_linkage" -> (q515 _),
     "q516_twoway_fe" -> (q516 _),
     "q517_png_decode" -> (q517 _),
-    "q518_stream_countmin" -> (q518 _))
+    "q518_stream_countmin" -> (q518 _),
+    "q519_sinkhorn_step" -> (q519 _),
+    "q520_mmd_halves" -> (q520 _),
+    "q521_simpson_audit" -> (q521 _),
+    "q522_power_analysis" -> (q522 _))
 
   val oracle: Map[String, String] = Map(
     "q490_seasonal_trend" -> q490Sql,
@@ -2223,5 +2516,9 @@ object Refine {
     "q515_edit_linkage" -> q515Sql,
     "q516_twoway_fe" -> q516Sql,
     "q517_png_decode" -> q517Sql,
-    "q518_stream_countmin" -> q518Sql)
+    "q518_stream_countmin" -> q518Sql,
+    "q519_sinkhorn_step" -> q519Sql,
+    "q520_mmd_halves" -> q520Sql,
+    "q521_simpson_audit" -> q521Sql,
+    "q522_power_analysis" -> q522Sql)
 }
