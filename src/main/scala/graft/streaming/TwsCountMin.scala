@@ -60,19 +60,32 @@ object TwsCountMin {
         getHandle.registerTimer(flushAtMs)
         armed.update(true)
       }
+      // batch the micro-batch LOCALLY first: one state-store write
+      // per touched user/cell per micro-batch instead of five per
+      // EVENT (RocksDB write amplification was the whole cost of the
+      // naive per-row form — 12 s for 100k events at sf0.1), and the
+      // four md5 cell hashes compute once per DISTINCT user, not per
+      // event.
+      val localExact = scala.collection.mutable.LongMap.empty[Long]
       rows.foreach { user =>
-        if (user >= 0L) { // the replay sentinel (-1) never counts
-          var j = 0
-          while (j < depth) {
-            val c = cellOf(j, user)
-            cells.updateValue(c,
-              (if (cells.containsKey(c)) cells.getValue(c) else 0L) + 1L)
-            j += 1
-          }
-          exact.updateValue(user,
-            (if (exact.containsKey(user)) exact.getValue(user) else 0L)
-              + 1L)
+        if (user >= 0L) // the replay sentinel (-1) never counts
+          localExact(user) = localExact.getOrElse(user, 0L) + 1L
+      }
+      val localCells = scala.collection.mutable.LongMap.empty[Long]
+      localExact.foreach { case (user, inc) =>
+        var j = 0
+        while (j < depth) {
+          val c = cellOf(j, user)
+          localCells(c) = localCells.getOrElse(c, 0L) + inc
+          j += 1
         }
+        exact.updateValue(user,
+          (if (exact.containsKey(user)) exact.getValue(user) else 0L)
+            + inc)
+      }
+      localCells.foreach { case (c, inc) =>
+        cells.updateValue(c,
+          (if (cells.containsKey(c)) cells.getValue(c) else 0L) + inc)
       }
       Iterator.empty
     }
