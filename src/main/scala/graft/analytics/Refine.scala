@@ -1939,10 +1939,14 @@ object Refine {
   // ---------------------------------------------------------------------
   // q515 — edit-distance record linkage on behavioral signatures:
   // each user's first-12-event type-initial string (deterministic
-  // (ts, event_id) order), BLOCKED by total event count so pairs
-  // form only inside same-activity cells — the q108 blocking
-  // discipline with a loud >200-per-block tripwire — then native
-  // levenshtein() on both engines. Emits pairs at distance <= 6.
+  // (ts, event_id) order), BLOCKED by (total event count, 3-char
+  // signature prefix) so pairs form only inside same-activity,
+  // same-opening cells — prefix blocking is the standard
+  // recall-for-scale trade (a pair whose first three initials differ
+  // is never compared), and the block-size bound is then
+  // n / (|ne range| x 125 prefixes) — with the q108 discipline's
+  // loud >200-per-block tripwire — then native levenshtein() on both
+  // engines. Emits pairs at distance <= 6.
   // ---------------------------------------------------------------------
   private def q515(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.eventsSec(s, dir)
@@ -1958,17 +1962,18 @@ object Refine {
         concat_ws("", slice(transform(sort_array(collect_list(
           struct(col("ts_s"), col("event_id"), col("ini")))),
           x => x.getField("ini")), 1, 12)).as("sig"))
+      .withColumn("p3", substring(col("sig"), 1, 3))
       .pin()
-    val blk = sig.groupBy("ne")
+    val blk = sig.groupBy("ne", "p3")
       .agg(count(lit(1)).as("bn"))
-    val guarded = sig.join(blk, Seq("ne"))
+    val guarded = sig.join(blk, Seq("ne", "p3"))
       .withColumn("sig", when(col("bn") <= 200L, col("sig"))
         .otherwise(raise_error(concat(
           lit("editLinkage: block of "), col("bn").cast("string"),
           lit(" users exceeds 200 — refine the blocking key or raise " +
             "the bound explicitly.")))))
     guarded.as("a").join(guarded.as("b"),
-        col("a.ne") === col("b.ne")
+        col("a.ne") === col("b.ne") && col("a.p3") === col("b.p3")
           && col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"),
         levenshtein(col("a.sig"), col("b.sig")).cast("long").as("dist"))
@@ -1993,7 +1998,9 @@ object Refine {
       |SELECT a.user_id AS ua, b.user_id AS ub,
       |  CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
       |FROM sig a JOIN sig b
-      |  ON a.ne = b.ne AND a.user_id < b.user_id
+      |  ON a.ne = b.ne
+      |  AND substr(a.sig, 1, 3) = substr(b.sig, 1, 3)
+      |  AND a.user_id < b.user_id
       |WHERE levenshtein(a.sig, b.sig) <= 6
       |ORDER BY ua, ub""".stripMargin
 
