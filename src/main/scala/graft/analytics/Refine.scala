@@ -2459,6 +2459,94 @@ object Refine {
       |    AS BIGINT) AS n_needed
       |FROM g ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q523 — Markov ORDER test: does the event stream carry memory
+  // beyond one step? Second-order conditional entropy
+  // H(next | prev2, prev1) against first-order H(next | prev1)
+  // computed on the IDENTICAL trigram support (both roll up from the
+  // one 5^3-bounded trigram grain, so the comparison is apples to
+  // apples), per-cell e9-rounded ln terms (the q375/q392
+  // discipline). order_gain ~ 0 means one step of memory suffices —
+  // the audit that justifies (or indicts) a first-order model.
+  // ---------------------------------------------------------------------
+  private def q523(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val tri = Tables.eventsSec(s, dir)
+      .select(col("user_id"), col("ts_s"), col("event_id"),
+        col("event_type"))
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .filter(col("p2").isNotNull)
+      .groupBy(col("p2"), col("p1"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("c"))
+      .pin()
+    val n = tri.agg(sum(col("c")).as("n"))
+    val ctx2 = tri.groupBy("p2", "p1").agg(sum(col("c")).as("r2"))
+    val h2 = tri.join(broadcast(ctx2), Seq("p2", "p1"))
+      .crossJoin(broadcast(n))
+      .select(col("n"),
+        round(col("c").cast("double") / col("n").cast("double")
+          * log(col("r2").cast("double") / col("c").cast("double"))
+          * 1000000000.0).cast("long").as("t"))
+      .groupBy("n").agg(sum(col("t")).as("h2_e9"))
+    val big = tri.groupBy(col("p1"), col("cur"))
+      .agg(sum(col("c")).as("c1"))
+    val ctx1 = big.groupBy("p1").agg(sum(col("c1")).as("r1"))
+    val h1 = big.join(broadcast(ctx1), Seq("p1"))
+      .crossJoin(broadcast(n))
+      .select(col("n"),
+        round(col("c1").cast("double") / col("n").cast("double")
+          * log(col("r1").cast("double") / col("c1").cast("double"))
+          * 1000000000.0).cast("long").as("t"))
+      .groupBy("n").agg(sum(col("t")).as("h1_e9"))
+    h1.join(h2, "n")
+      .select(col("n").as("n_trigrams"), col("h1_e9"), col("h2_e9"),
+        (col("h1_e9") - col("h2_e9")).as("order_gain_e9"))
+  }
+
+  private val q523Sql =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id,
+      |    event_type
+      |  FROM events),
+      |lagd AS (
+      |  SELECT event_type AS cur,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts_s, event_id) AS p1,
+      |    lag(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY ts_s, event_id) AS p2
+      |  FROM ev),
+      |tri AS (
+      |  SELECT p2, p1, cur, count(*) AS c FROM lagd
+      |  WHERE p2 IS NOT NULL GROUP BY p2, p1, cur),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tri),
+      |ctx2 AS (SELECT p2, p1, CAST(sum(c) AS BIGINT) AS r2 FROM tri
+      |  GROUP BY p2, p1),
+      |h2 AS (
+      |  SELECT n, CAST(sum(t) AS BIGINT) AS h2_e9 FROM (
+      |    SELECT n,
+      |      CAST(round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * ln(CAST(r2 AS DOUBLE) / CAST(c AS DOUBLE))
+      |        * 1000000000.0) AS BIGINT) AS t
+      |    FROM tri JOIN ctx2 USING (p2, p1) CROSS JOIN n)
+      |  GROUP BY n),
+      |big AS (SELECT p1, cur, CAST(sum(c) AS BIGINT) AS c1 FROM tri
+      |  GROUP BY p1, cur),
+      |ctx1 AS (SELECT p1, CAST(sum(c1) AS BIGINT) AS r1 FROM big
+      |  GROUP BY p1),
+      |h1 AS (
+      |  SELECT n, CAST(sum(t) AS BIGINT) AS h1_e9 FROM (
+      |    SELECT n,
+      |      CAST(round(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * ln(CAST(r1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+      |        * 1000000000.0) AS BIGINT) AS t
+      |    FROM big JOIN ctx1 USING (p1) CROSS JOIN n)
+      |  GROUP BY n)
+      |SELECT n AS n_trigrams, h1_e9, h2_e9,
+      |  h1_e9 - h2_e9 AS order_gain_e9
+      |FROM h1 JOIN h2 USING (n)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q490_seasonal_trend" -> (q490 _),
     "q491_dft_weekly" -> (q491 _),
@@ -2492,7 +2580,8 @@ object Refine {
     "q519_sinkhorn_step" -> (q519 _),
     "q520_mmd_halves" -> (q520 _),
     "q521_simpson_audit" -> (q521 _),
-    "q522_power_analysis" -> (q522 _))
+    "q522_power_analysis" -> (q522 _),
+    "q523_markov_order" -> (q523 _))
 
   val oracle: Map[String, String] = Map(
     "q490_seasonal_trend" -> q490Sql,
@@ -2527,5 +2616,6 @@ object Refine {
     "q519_sinkhorn_step" -> q519Sql,
     "q520_mmd_halves" -> q520Sql,
     "q521_simpson_audit" -> q521Sql,
-    "q522_power_analysis" -> q522Sql)
+    "q522_power_analysis" -> q522Sql,
+    "q523_markov_order" -> q523Sql)
 }
