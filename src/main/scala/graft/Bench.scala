@@ -67,18 +67,59 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       canaryTimes += (System.nanoTime() - t0) / 1e9
     }
-    (1 to warmups).foreach { _ => canary(); names.foreach(run) }
+    // second canary (round 12): a fixed-size SHUFFLE + localCheckpoint
+    // probe. The CPU canary is blind to exactly the medium the
+    // checkpoint/streaming tier is sensitive to — shuffle-file and
+    // block-manager disk IO plus page-cache state accumulated over a
+    // 500-query gate (the r10/r11 q309 episodes: isolated 4.06 s vs
+    // in-gate 8.02 s at an IDENTICAL CPU canary). This probe writes
+    // real shuffle files (1 M rows repartitioned by key), materializes
+    // a checkpoint through the block manager, and reads both back —
+    // so its time series moves with the same machine state those
+    // queries feel. tools/bench_diff.py normalizes IO-class queries
+    // (any pin()/streaming-start during their run, see `ioclass`
+    // below) by THIS canary's ratio and the rest by the CPU one.
+    val ioCanaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def ioCanary(): Unit = {
+      val t0 = System.nanoTime()
+      val pinned = spark.range(0L, 1000000L, 1L, 8)
+        .selectExpr("id", "pmod(xxhash64(id), 4096) AS k")
+        .repartition(32, org.apache.spark.sql.functions.col("k"))
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("id").as("s"))
+        .localCheckpoint()
+      pinned.write.mode("overwrite").format("noop").save()
+      ioCanaryTimes += (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    (1 to warmups).foreach { _ => canary(); ioCanary(); names.foreach(run) }
     canaryTimes.clear() // warmup samples JIT the canary; don't record them
+    ioCanaryTimes.clear()
     // a throwing query records -1, never a fast "success": a broken
     // query must not improve the benchmark total
+    // per-query IO classification, recorded DURING the measured passes
+    // in PlanStats light-count mode (atomic increments only — no plan
+    // text is rendered, so the measurement itself is undisturbed):
+    // ioclass(q) = pin()/checkpoint rounds + streaming-query starts
+    // observed while q ran. Any positive value marks q IO-class for
+    // bench_diff's canary selection.
+    val ioClass = scala.collection.mutable.Map.empty[String, Int]
     def measure(): Map[String, Double] = {
+      graft.core.PlanStats.enableLightCount()
       val out = names.zipWithIndex.map { case (name, i) =>
-        if (i % 50 == 0) canary()
+        if (i % 50 == 0) { canary(); ioCanary() }
+        graft.core.PlanStats.reset()
         val t0 = System.nanoTime()
         val ok = run(name)
+        val io = graft.core.PlanStats.checkpoints +
+          graft.core.PlanStats.streamingStarts +
+          graft.core.PlanStats.batchSinkIos
+        ioClass(name) = math.max(ioClass.getOrElse(name, 0), io)
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
-      canary() // closing sample per pass
+      graft.core.PlanStats.disableLightCount()
+      canary(); ioCanary() // closing samples per pass
       out
     }
     // SEPARATED measured passes, min per query: steady-state timing
@@ -150,8 +191,17 @@ object Bench {
       else canarySorted(canarySorted.size / 2)
     val canaryJson = canaryTimes.map(r3v).mkString(
       s""","canary":{"median":${r3v(canaryMed)},"times":[""", ",", "]}")
+    val ioSorted = ioCanaryTimes.sorted
+    val ioCanaryMed = if (ioSorted.isEmpty) 0.0 else ioSorted(ioSorted.size / 2)
+    val ioCanaryJson = ioCanaryTimes.map(r3v).mkString(
+      s""","canary_io":{"median":${r3v(ioCanaryMed)},"times":[""", ",", "]}")
+    // only the positive entries: ~100 IO-class queries of 523, and
+    // absence = CPU-class, so the map stays small
+    val ioClassJson = names.filter(n => ioClass.getOrElse(n, 0) > 0)
+      .map(n => s"\"" + n + "\":" + ioClass(n))
+      .mkString(""","ioclass":{""", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$spreadJson$canaryJson,"plans_slowest":$fingerprints,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$spreadJson$canaryJson$ioCanaryJson$ioClassJson,"plans_slowest":$fingerprints,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
@@ -187,7 +237,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"mean":${r3(mean)},"failed":$failed,"canary_med":${r3(canaryMed)},"queries":$slowest,"queries_full":"${outPath.toAbsolutePath}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"mean":${r3(mean)},"failed":$failed,"canary_med":${r3(canaryMed)},"canary_io_med":${r3(ioCanaryMed)},"queries":$slowest,"queries_full":"${outPath.toAbsolutePath}","sf":"$sfDir"}"""
     // sidecar twin of the stdout line: a parser that misses the tail
     // (sbt banners, truncation) can read this file instead
     java.nio.file.Files.write(

@@ -288,6 +288,7 @@ object Lakehouse {
     val ev = Tables.eventsSec(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
       round(col("value") * 100).cast("long").as("cents"))
+    graft.core.PlanStats.markBatchSinkIo()
     ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
     Layout.dynamicOverwrite(
       ev.filter(col("event_type") === "click")
@@ -842,6 +843,7 @@ object Lakehouse {
     val base = tmp("dpp", dir)
     val ev = Tables.eventsSec(s, dir).select(col("event_id"),
       round(col("value") * 100).cast("long").as("cents"), col("event_type"))
+    graft.core.PlanStats.markBatchSinkIo()
     ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
     val fact = s.read.parquet(base)
     val dim = Tables.eventsSec(s, dir).select(col("event_type")).distinct()

@@ -1163,6 +1163,7 @@ object Ops {
   private def q325(s: SparkSession, dir: String): DataFrame = {
     val name = "q325_synth_stream_" + java.util.UUID.randomUUID
       .toString.replace("-", "")
+    graft.core.PlanStats.markStreamingStart()
     val q = s.readStream
       .format("graft.sources.v2.SynthEventsProvider")
       .option("rows", "50000").load()
@@ -1428,6 +1429,7 @@ object Ops {
       .select(col("l_orderkey"), col("l_partkey"),
         round(col("l_quantity") * 100).cast("long").as("qty_e2"),
         round(col("l_extendedprice") * 100).cast("long").as("price_e2"))
+    graft.core.PlanStats.markBatchSinkIo()
     src.write.format("graft.sources.v2.AtomicTsvSinkProvider")
       .option("path", tmp).mode("append").save()
     val back = graft.sources.v2.AtomicTsv.read(s, tmp, StructType(Seq(

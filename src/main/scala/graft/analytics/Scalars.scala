@@ -726,6 +726,7 @@ object Scalars {
     val d = t(s, dir, "documents")
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_schema_evo").toString
+    graft.core.PlanStats.markBatchSinkIo()
     d.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("lang"))
       .write.mode("overwrite").parquet(s"$tmp/batch=1")

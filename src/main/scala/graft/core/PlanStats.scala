@@ -44,6 +44,37 @@ object PlanStats {
   private val cp = new AtomicInteger(0)
   private val hof = new AtomicBoolean(false)
 
+  // Light-count mode: bump ONLY the cheap counters (checkpoint rounds,
+  // streaming starts) without rendering any plan text — an atomic
+  // check + increment per pin, safe to leave on during MEASURED bench
+  // passes. The bench uses it to classify each query as IO-bound
+  // (pins/state-store IO present) vs CPU-bound, so tools/bench_diff.py
+  // can normalize each class by the matching drift canary.
+  private val lightOn = new AtomicBoolean(false)
+  private val sst = new AtomicInteger(0)
+
+  def enableLightCount(): Unit = lightOn.set(true)
+  def disableLightCount(): Unit = lightOn.set(false)
+
+  /** Streaming-query start marker: every library site that starts a
+    * Structured Streaming query with a checkpointLocation calls this,
+    * so state-store/HDFS-checkpoint IO is visible to the bench's
+    * query classification even though no `pin()` is involved.
+    */
+  def markStreamingStart(): Unit =
+    if (on.get() || lightOn.get()) sst.incrementAndGet()
+  def streamingStarts: Int = sst.get()
+
+  /** Batch file-sink marker: library sites that write real files mid-
+    * query (merge/upsert targets, compaction layouts, ingest sinks)
+    * call this, so disk-IO-bound batch queries join the IO class even
+    * without pins or streams (q142's upsert path is pure file IO).
+    */
+  private val bio = new AtomicInteger(0)
+  def markBatchSinkIo(): Unit =
+    if (on.get() || lightOn.get()) bio.incrementAndGet()
+  def batchSinkIos: Int = bio.get()
+
   // Test-only plan-text log: when enabled, every pin's pre-checkpoint
   // executed plan is captured verbatim so a spec can assert whole-query
   // invariants (e.g. "the source is scanned exactly once") that the
@@ -61,7 +92,9 @@ object PlanStats {
 
   def enable(): Unit = on.set(true)
   def disable(): Unit = on.set(false)
-  def reset(): Unit = { ex.set(0); bc.set(0); cp.set(0); hof.set(false) }
+  def reset(): Unit = {
+    ex.set(0); bc.set(0); cp.set(0); hof.set(false); sst.set(0); bio.set(0)
+  }
 
   def exchanges: Int = ex.get()
   def broadcasts: Int = bc.get()
@@ -96,7 +129,7 @@ object PlanStats {
       * include the pre-checkpoint subtrees.
       */
     def pin(): Dataset[T] = {
-      if (on.get()) cp.incrementAndGet()
+      if (on.get() || lightOn.get()) cp.incrementAndGet()
       record(ds)
       ds.localCheckpoint()
     }

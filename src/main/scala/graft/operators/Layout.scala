@@ -42,12 +42,14 @@ object Layout {
     * row-group stats prune 2-D box queries. `numFiles` sizes the
     * range exchange (at scale: total bytes / target file size). */
   def zorderWrite(df: DataFrame, zKey: Column, numFiles: Int,
-                  path: String): Unit =
+                  path: String): Unit = {
+    graft.core.PlanStats.markBatchSinkIo()
     df.withColumn("__z", zKey)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Write `df` as a hash-bucketed, bucket-sorted catalog table at
     * `path`. Two tables bucketed the same way on their join key
@@ -76,6 +78,7 @@ object Layout {
     * joins downstream. */
   def bucketedWrite(df: DataFrame, table: String, path: String,
                     bucketCol: String, numBuckets: Int): Unit = {
+    graft.core.PlanStats.markBatchSinkIo()
     df.repartition(numBuckets, col(bucketCol))
       .write.mode("overwrite")
       .format("parquet")
@@ -119,9 +122,11 @@ object Layout {
     * overwrite mode would truncate everything first; `dynamic` scopes
     * the delete to partitions the incoming frame actually carries. */
   def dynamicOverwrite(df: DataFrame, partitionCol: String,
-                       path: String): Unit =
+                       path: String): Unit = {
+    graft.core.PlanStats.markBatchSinkIo()
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
+  }
 }

@@ -167,6 +167,7 @@ object MergeByKey {
         merge(inScope, updates, keys).unionByName(outScope)
       } else updates
 
+    graft.core.PlanStats.markBatchSinkIo()
     merged.write.mode("overwrite").parquet(tmp.toString)
     // swap via rename-aside, never delete-before-promote: at every
     // instant the full table exists at dest, old, or tmp, and the

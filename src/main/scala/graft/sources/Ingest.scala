@@ -62,6 +62,7 @@ object Ingest {
     val sorted = if (sortCols.nonEmpty)
       sized.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
     else sized
+    graft.core.PlanStats.markBatchSinkIo()
     val w = sorted.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
@@ -76,6 +77,7 @@ object Ingest {
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     bucketCols: Seq[String], sortCols: Seq[String] = Nil)
       : Unit = {
+    graft.core.PlanStats.markBatchSinkIo()
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
@@ -83,15 +85,19 @@ object Ingest {
   }
 
   /** CSV sink with header (S7, notebook cells 0-1). */
-  def writeCsv(df: DataFrame, path: String): Unit =
+  def writeCsv(df: DataFrame, path: String): Unit = {
+    graft.core.PlanStats.markBatchSinkIo()
     df.write.mode("overwrite").option("header", "true").csv(path)
+  }
 
   /** JSON-lines sink — the interchange twin of [[readJson]]: one
     * object per line, schema re-imposed by the reader (JSONL carries
     * no schema; inferring one at read time would cost a full extra
     * pass over the data at scale). */
-  def writeJson(df: DataFrame, path: String): Unit =
+  def writeJson(df: DataFrame, path: String): Unit = {
+    graft.core.PlanStats.markBatchSinkIo()
     df.write.mode("overwrite").json(path)
+  }
 
   /** ORC sink/scan pair — the columnar interchange format next to
     * parquet (vectorized reader, predicate pushdown and column
@@ -99,8 +105,10 @@ object Ingest {
     * reader never pays a footer-inference pass across a large
     * directory). Binary round-trip: doubles and longs come back
     * bit-identical. */
-  def writeOrc(df: DataFrame, path: String): Unit =
+  def writeOrc(df: DataFrame, path: String): Unit = {
+    graft.core.PlanStats.markBatchSinkIo()
     df.write.mode("overwrite").orc(path)
+  }
 
   def readOrc(spark: SparkSession, path: String,
               schema: StructType): DataFrame =
@@ -133,6 +141,7 @@ object Ingest {
     val n = df.count()
     val files =
       math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    graft.core.PlanStats.markBatchSinkIo()
     df.repartition(files).write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(dest, old))

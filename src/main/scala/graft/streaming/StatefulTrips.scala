@@ -310,6 +310,7 @@ object StatefulTrips {
       val stream = spark.readStream
         .schema(full.schema).parquet(in.toString + "/data")
         .as[BikeStatus]
+      graft.core.PlanStats.markStreamingStart()
       val q = deriveTripsE4(stream, p, flushOnSilence = false)
         .writeStream
         .format("parquet")

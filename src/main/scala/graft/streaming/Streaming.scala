@@ -116,6 +116,7 @@ object Streaming {
     val eSec =
       e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
     withStatePartitions(spark) {
+      graft.core.PlanStats.markStreamingStart()
       val q = dedupWithinWatermark(eSec, "ts_s", keys, delay)
         .writeStream.format("parquet")
         .option("path", out.toString)
@@ -237,6 +238,7 @@ object Streaming {
     val eSec =
       e.withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
     withStatePartitions(spark) {
+      graft.core.PlanStats.markStreamingStart()
       val q = aggStream(eSec)
         .writeStream.format("parquet")
         .option("path", out.toString)
@@ -509,6 +511,7 @@ object Streaming {
       .drop("r_user")
 
     withStatePartitions(spark) {
+      graft.core.PlanStats.markStreamingStart()
       val q = joined.writeStream.format("parquet")
         .option("path", out.toString)
         .option("checkpointLocation", ckpt.toString)
@@ -667,6 +670,7 @@ object Streaming {
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val joined = stream.join(broadcast(dim),
       stream(streamKey) === dim(dimKey), "inner")
+    graft.core.PlanStats.markStreamingStart()
     val q = joined.writeStream.format("parquet")
       .option("path", out.toString)
       .option("checkpointLocation", ckpt.toString)
@@ -693,7 +697,8 @@ object Streaming {
   def mergeStream(updates: DataFrame, targetPath: String, ckptPath: String,
                   keys: Seq[String],
                   transform: DataFrame => DataFrame = identity)
-      : StreamingQuery =
+      : StreamingQuery = {
+    graft.core.PlanStats.markStreamingStart()
     updates.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = transform(batch)
@@ -703,6 +708,7 @@ object Streaming {
       .option("checkpointLocation", ckptPath)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Bounded replay of the events table through the foreachBatch →
     * keyed-merge sink ([[mergeStream]]) — the reference's daily
@@ -829,6 +835,7 @@ object Streaming {
       .withColumn("ts_s", graft.analytics.Exact.secFromAny(e, "ts"))
       .withColumn("value_e4", round(col("value") * 10000).cast("long"))
     withStatePartitions(spark) {
+      graft.core.PlanStats.markStreamingStart()
       val q = tumblingStats(eSec, "ts_s", "value_e4", window, delay)
         .writeStream.format("parquet")
         .option("path", out.toString)
@@ -855,6 +862,7 @@ object Streaming {
   def runToMemory(stream: DataFrame, name: String,
                   outputMode: String = "append"): DataFrame = {
     val spark = stream.sparkSession
+    graft.core.PlanStats.markStreamingStart()
     val q: StreamingQuery = stream.writeStream
       .format("memory")
       .queryName(name)

@@ -39,7 +39,13 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
   * already handled (`Some(_)`) are never touched.
   */
 object RestoreReportedPartitioningRule extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  // Respect Spark's kill switch for key-grouped planning: the built-in
+  // V2ScanPartitioningAndOrdering only fills keyGroupedPartitioning when
+  // spark.sql.sources.v2.bucketing.enabled is on, so this repair rule
+  // must gate on the same conf or it would force KGP in sessions that
+  // disabled it.
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.v2BucketingEnabled) plan else plan.transform {
     case d @ DataSourceV2ScanRelation(
         relation, scan: SupportsReportPartitioning, _, None, _)
         if scan.outputPartitioning().isInstanceOf[V2KeyGroupedPartitioning] =>

@@ -27,15 +27,37 @@ a, b = a_doc["queries"], b_doc["queries"]
 ca = a_doc.get("canary", {}).get("median")
 cb = b_doc.get("canary", {}).get("median")
 drift = (cb / ca) if (ca and cb and ca > 0) else None
+
+# IO canary (round 12+): each archive may also carry the median of a
+# fixed-size SHUFFLE+localCheckpoint probe ("canary_io") and a map
+# "ioclass" of queries observed doing checkpoint/streaming IO during
+# the measured passes. The CPU canary is blind to shuffle-file /
+# block-manager / page-cache state — the exact medium the
+# checkpoint/streaming tier is sensitive to (r11: shared-set +11%
+# with the CPU canary FLAT, concentrated in that tier) — so IO-class
+# queries are normalized by the IO canary's ratio and everything
+# else by the CPU one.
+ia = a_doc.get("canary_io", {}).get("median")
+ib = b_doc.get("canary_io", {}).get("median")
+io_drift = (ib / ia) if (ia and ib and ia > 0) else None
+ioclass = set(a_doc.get("ioclass", {})) | set(b_doc.get("ioclass", {}))
+
+
+def _factor(q):
+    if io_drift is not None and q in ioclass:
+        return io_drift
+    return drift
+
+
 b_raw = dict(b)
 b_spread_raw = dict(b_doc.get("spread", {}))
 b_spread = dict(b_spread_raw)
 if drift is not None:
-    b = {q: t / drift if t >= 0 else t for q, t in b.items()}
+    b = {q: t / (_factor(q) or 1.0) if t >= 0 else t for q, t in b.items()}
     # b's recorded noise bands are raw seconds from the same run —
     # scale them by the same factor so the band is consistent with
     # the normalized deltas (else the band is off by the drift).
-    b_spread = {q: s / drift for q, s in b_spread_raw.items()}
+    b_spread = {q: s / (_factor(q) or 1.0) for q, s in b_spread_raw.items()}
 
 # Per-query noise band: the archives' own max-min over measured
 # passes (round 7+), WITH A CROSS-RUN FLOOR. Round-8 diagnosis (the
@@ -73,10 +95,18 @@ print(f"shared queries: {len(shared)}  added: {len(added)}  "
 if drift is not None:
     print(f"canary drift: {ca:.3f}s -> {cb:.3f}s (x{drift:.3f}) — "
           f"b normalized by the ratio; calls below are drift-corrected.")
-    print("NOTE: the canary is CPU-bound; IO/shuffle-bound queries "
-          "over-correct. Both deltas print below — a query whose RAW "
-          "delta clears the band while the normalized one does not is "
-          "flagged [raw>band] and worth an isolated rerun.")
+    if io_drift is not None:
+        print(f"io canary drift: {ia:.3f}s -> {ib:.3f}s (x{io_drift:.3f})"
+              f" — {len(ioclass)} IO-class queries (checkpoint/streaming"
+              f" observed in-run) normalized by THIS ratio instead.")
+    else:
+        print("io canary: absent in at least one archive — IO-class "
+              "queries normalized by the CPU canary (over/under-corrects "
+              "when disk state drifts; see [raw>band] flags).")
+    print("NOTE: the CPU canary is blind to shuffle/disk state. Both "
+          "deltas print below — a query whose RAW delta clears the "
+          "band while the normalized one does not is flagged "
+          "[raw>band] and worth an isolated rerun.")
 else:
     print("canary: absent in at least one archive — no drift "
           "normalization; using the wider (+15%) cross-run floor")
@@ -111,7 +141,8 @@ def band(q, d):
 
 def row_fmt(q, ta, tb, d):
     raw = f" (raw {b_raw[q] - ta:+.2f}s)" if drift is not None else ""
-    return f"  {q:40s} {ta:7.2f} -> {tb:7.2f}  {d:+.2f}s{raw}{band(q, d)}"
+    io = " [io]" if (io_drift is not None and q in ioclass) else ""
+    return f"  {q:40s} {ta:7.2f} -> {tb:7.2f}  {d:+.2f}s{raw}{io}{band(q, d)}"
 
 print(f"\ntop {n} regressions (delta > 0.2s):")
 for q, ta, tb, d in sorted(rows, key=lambda r: -r[3])[:n]:
