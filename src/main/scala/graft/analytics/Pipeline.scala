@@ -850,12 +850,17 @@ object Pipeline {
           copyOffset = 10000000L), maxHamming = 4)
       .orderBy(col("id_a"), col("id_b"))
 
-  private val q404Sql =
-    """WITH m AS (
+  /** Closed-form oracle for the dHash near-dup gates, parameterized
+    * by the twin cadence and id offset: q404 (BMP twins) and q524
+    * (PNG-re-encoded twins) share it VERBATIM because the oracle
+    * replays pixels, not containers — which is precisely the
+    * cross-codec claim q524 makes about the Spark side. */
+  private def dhashNeardupSql(every: Int, offset: Long): String =
+    s"""WITH m AS (
       |  SELECT doc_id AS id, doc_id AS bid, 0 AS d FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000000, doc_id, 2 FROM documents
-      |  WHERE doc_id % 5 = 0),
+      |  SELECT doc_id + $offset, doc_id, 2 FROM documents
+      |  WHERE doc_id % $every = 0),
       |dims AS (
       |  SELECT id, bid, d,
       |    CAST(8 + bid % 9 AS BIGINT) AS w,
@@ -913,8 +918,80 @@ object Pipeline {
       |  + bit_count(xor(sa.hash_lo, sb.hash_lo)) <= 4
       |ORDER BY id_a, id_b""".stripMargin
 
+  private val q404Sql = dhashNeardupSql(every = 5, offset = 10000000L)
+
+  // ---------------------------------------------------------------------
+  // q524 — CROSS-CODEC perceptual near-dup (new r12): the q404
+  // pipeline over a MIXED corpus — every document's gradient BMP
+  // plus, for every 7th document, a PNG RE-ENCODE of the same
+  // gradient brightness-shifted +2 (media_id = base + 2·10⁷). The
+  // dHash batch dispatches per container signature into one shared
+  // luma/grid core, so a PNG re-export of a BMP lands in the same
+  // Hamming band as its base — the "same image, different codec,
+  // different exposure" dedup class a real crawl corpus is full of.
+  // The oracle is q404's closed form verbatim (pixels, not
+  // containers) at the q524 cadence/offset.
+  // ---------------------------------------------------------------------
+  private def q524(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.dhashPairs(
+        graft.operators.Multimodal.syntheticMixedWithPngCopies(
+          t(s, dir, "documents"), every = 7, delta = 2,
+          copyOffset = 20000000L), maxHamming = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q524Sql = dhashNeardupSql(every = 7, offset = 20000000L)
+
+  // ---------------------------------------------------------------------
+  // q525 — REAL GIF decode in the gate (new r12): a closed-form
+  // palette-gradient image per document is encoded as a genuine
+  // GIF89a (256-entry global color table, REAL LZW compression with
+  // variable 9→12-bit codes and clear-code resets) and parsed back
+  // by the validating decoder (header, color table, extension-block
+  // walking, LZW incl. the KwKwK case, pixel-count check) in a
+  // mapPartitions batch. The oracle composes pixel index and palette
+  // in closed form without touching a byte — the q132/q517
+  // discipline on the third real image codec, this one exercising
+  // LZW instead of zlib.
+  // ---------------------------------------------------------------------
+  private def q525(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeGifBatch(
+        graft.operators.Multimodal.syntheticGif(t(s, dir, "documents")))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  private val q525Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+      |    CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |idx AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id * 23 + 5 * x + 3 * y) % 256 AS i
+      |  FROM px),
+      |v AS (
+      |  SELECT doc_id, w, h,
+      |    (3 * i + 5) % 256 AS r,
+      |    (7 * i + 1) % 256 AS g,
+      |    (11 * i + 2) % 256 AS b
+      |  FROM idx)
+      |SELECT doc_id AS media_id,
+      |  CAST(max(w) AS INTEGER) AS width,
+      |  CAST(max(h) AS INTEGER) AS height,
+      |  CAST(sum(r) AS BIGINT) AS r_sum,
+      |  CAST(sum(g) AS BIGINT) AS g_sum,
+      |  CAST(sum(b) AS BIGINT) AS b_sum,
+      |  CAST(max(2126 * r + 7152 * g + 722 * b) AS BIGINT) AS lum_max
+      |FROM v
+      |GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q404_image_dhash_neardup" -> (q404 _),
+    "q524_crosscodec_dhash_neardup" -> (q524 _),
+    "q525_gif_decode" -> (q525 _),
     "q173_pit_features" -> (q173 _),
     "q171_streaming_trips" -> (q171 _),
     "q142_mobility_pipeline" -> (q142 _),
@@ -933,6 +1010,8 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "q404_image_dhash_neardup" -> q404Sql,
+    "q524_crosscodec_dhash_neardup" -> q524Sql,
+    "q525_gif_decode" -> q525Sql,
     "q173_pit_features" -> q173Sql,
     "q171_streaming_trips" -> q171Sql,
     "q142_mobility_pipeline" -> q142Sql,

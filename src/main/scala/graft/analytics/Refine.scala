@@ -1194,7 +1194,11 @@ object Refine {
             col("user_id").cast("string"))), lit(2L)))
       .groupBy("j")
       .agg(sum(col("sgn") * col("n_u")).as("x"))
-      .select(col("j"), (col("x") * col("x")).as("est"))
+      // square in decimal(38,0) (the f2_exact discipline): raw long
+      // x*x would silently wrap on Spark while DuckDB raises — cast
+      // back to long only at this bounded 16-row grain.
+      .select(col("j"),
+        (col("x").cast(dec) * col("x").cast(dec)).cast("long").as("est"))
     val med = ests
       .withColumn("rn", row_number().over(axis(col("est"), col("j")))
         .cast("long"))
@@ -1218,7 +1222,8 @@ object Refine {
       |  FROM nu),
       |js AS (SELECT CAST(unnest(range(16)) AS BIGINT) AS j),
       |ests AS (
-      |  SELECT j, x * x AS est FROM (
+      |  SELECT j, CAST(CAST(x AS DECIMAL(38,0))
+      |    * CAST(x AS DECIMAL(38,0)) AS BIGINT) AS est FROM (
       |    SELECT j, CAST(sum((1 - 2 * ($h % 2)) * n_u) AS BIGINT) AS x
       |    FROM nu CROSS JOIN js GROUP BY j)),
       |med AS (
@@ -1301,7 +1306,7 @@ object Refine {
 
   // ---------------------------------------------------------------------
   // q510 — regression discontinuity at a price cutoff: orders within
-  // a +/-50000-cent bandwidth of the 25M-cent cutoff, local-linear
+  // a +/-5M-cent ($50k) bandwidth of the 25M-cent cutoff, local-linear
   // fit on EACH side (six exact cumulants per side, x centered at
   // the cutoff so the intercept IS the boundary value), jump =
   // alpha_right - alpha_left. The causal-inference readout with zero
@@ -1621,7 +1626,7 @@ object Refine {
     val deg = e.select(col("x").as("n")).union(e.select(col("y")))
       .groupBy("n")
       .agg((count(lit(1)) * 1000000000L + col("n")).as("k"))
-    val o = e
+    val oRaw = e
       .join(deg.select(col("n").as("x"), col("k").as("kx")), "x")
       .join(deg.select(col("n").as("y"), col("k").as("ky")), "y")
       .select(
@@ -1630,12 +1635,26 @@ object Refine {
         when(col("kx") < col("ky"), col("y")).otherwise(col("x"))
           .as("dst"),
         greatest(col("kx"), col("ky")).as("kdst"))
+    // adaptive wedge width (the r11 Dedup adaptive-expansion pattern,
+    // applied per the r11 verdict): wedge mass Σ C(outdeg,2) probed
+    // as one 1-row aggregate on the narrow degree joins over the
+    // caller-pinned edge set; both wedge-grain shuffles (the wedge
+    // self-join and the closing-edge semi-join) widen to
+    // ceil(mass/4M) when the session default would overload them —
+    // same plan at gate scale, flat per-wedge cost at the ×30 point.
+    val width = graft.operators.Graph.wedgeWidth(oRaw)
+    val session = e.sparkSession.sessionState.conf.numShufflePartitions
+    val o = if (width > session) oRaw.repartition(width, col("src")).pin()
+            else oRaw
     val w = o.as("o1").join(o.as("o2"),
         col("o1.src") === col("o2.src")
           && col("o1.kdst") < col("o2.kdst"))
       .select(col("o1.src").as("u"), col("o1.dst").as("v"),
         col("o2.dst").as("w"))
-    val tris = w.join(o.select(col("src").as("v"), col("dst").as("w")),
+    val wLaid =
+      if (width > session) w.repartition(width, col("v"), col("w"))
+      else w
+    val tris = wLaid.join(o.select(col("src").as("v"), col("dst").as("w")),
       Seq("v", "w"), "left_semi")
     val triEdges = tris.select(greatest(col("u"), col("v")).as("x"),
         least(col("u"), col("v")).as("y"))

@@ -106,6 +106,40 @@ object Graph {
     * closing-edge semi-join), one final groupBy — everything integer,
     * so the result is engine-exact. Returns (node, n_triangles) for
     * every node of the graph, zeros included. */
+  /** Target wedge rows per reduce partition for the adaptive wedge
+    * width — the [[Dedup]] pairsPerPartition discipline applied to
+    * the triangle family: the wedge join's output volume is Σ
+    * C(outdeg,2) over the ORIENTED edges (wedge mass), not edge
+    * count, so inheriting the session's edge-sized shuffle width
+    * melts exactly when the graph densifies (measured r11: q508 at
+    * the organic ×30 point, 183.5 s, growth exponent 1.22 under 32
+    * fixed partitions while per-wedge cost was falling). 4 M wedge
+    * rows ≈ 100–200 MB of shuffle input per task. */
+  private[graft] val wedgesPerPartition = 4L * 1000 * 1000
+
+  /** Hard ceiling on the adaptive wedge width (same rationale as
+    * Dedup.maxAdaptiveWidth: past 2 M partitions the degree
+    * orientation / input slicing, not width, is the fix). */
+  private[graft] val maxWedgeWidth = 2 * 1000 * 1000
+
+  /** Probe the wedge mass Σ C(outdeg,2) of an oriented edge set —
+    * ONE 1-row aggregate (out-degree histogram folded into a sum),
+    * known BEFORE any wedge materializes — and size the wedge-grain
+    * shuffle width from it. Callers pass an `oriented` frame whose
+    * upstream is pinned, so the probe re-evaluates only the narrow
+    * degree joins, never the source scan. Never narrower than the
+    * session default. */
+  private[graft] def wedgeWidth(oriented: DataFrame): Int = {
+    val mass = oriented.groupBy(col("src"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1)")).cast("long"), lit(0L)))
+      .head().getLong(0) / 2L
+    val session =
+      oriented.sparkSession.sessionState.conf.numShufflePartitions
+    math.min(maxWedgeWidth.toLong, math.max(session.toLong,
+      (mass + wedgesPerPartition - 1L) / wedgesPerPartition)).toInt
+  }
+
   def triangleCounts(pairs: DataFrame): DataFrame = {
     val e = pairs
       .select(greatest(col("id_a"), col("id_b")).as("x"),
@@ -119,20 +153,23 @@ object Graph {
       .groupBy(col("n"))
       .agg((count(lit(1)) * lit(1000000000L) + col("n")).as("k"))
     // orient each edge from the smaller (degree, id) key
-    val oriented = e
+    val orientedRaw = e
       .join(deg.select(col("n").as("x"), col("k").as("kx")), Seq("x"))
       .join(deg.select(col("n").as("y"), col("k").as("ky")), Seq("y"))
       .select(
         when(col("kx") < col("ky"), col("x")).otherwise(col("y")).as("src"),
         when(col("kx") < col("ky"), col("y")).otherwise(col("x")).as("dst"),
         greatest(col("kx"), col("ky")).as("kdst"))
-      // explicit-count repartition: AQE would coalesce a small edge
-      // set to one partition, and the wedge self-join's m^1.5 output
-      // inherits the stream side's partitioning — a single-task wedge
-      // blow-up (same hazard fixed in [[twoHopReach]])
-      .repartition(
-        pairs.sparkSession.sessionState.conf.numShufflePartitions,
-        col("src"))
+    // adaptive wedge width from the MEASURED wedge mass (probe cost:
+    // the narrow degree joins over pinned e, once)
+    val width = wedgeWidth(orientedRaw)
+    val session = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    // explicit-count repartition: AQE would coalesce a small edge
+    // set to one partition, and the wedge self-join's m^1.5 output
+    // inherits the stream side's partitioning — a single-task wedge
+    // blow-up (same hazard fixed in [[twoHopReach]])
+    val oriented = orientedRaw
+      .repartition(width, col("src"))
       .pin()
     // wedges (u; v, w) with k(v) < k(w): the closing edge, if present,
     // is oriented v → w by the same total order
@@ -142,7 +179,14 @@ object Graph {
         col("kdst").as("kw")), Seq("src"))
       .filter(col("kv") < col("kw"))
       .select(col("src").as("u"), col("v"), col("w"))
-    val tris = wedges.join(
+    // widen the closing-edge shuffle too: its input is wedge-grain.
+    // The explicit hash layout on (v, w) satisfies the semi-join's
+    // clustering, so this is the join's own exchange made wider,
+    // not an extra one.
+    val wedgesLaid =
+      if (width > session) wedges.repartition(width, col("v"), col("w"))
+      else wedges
+    val tris = wedgesLaid.join(
       oriented.select(col("src").as("v"), col("dst").as("w")),
       Seq("v", "w"), "left_semi")
     val perNode = tris.select(col("u").as("node"))

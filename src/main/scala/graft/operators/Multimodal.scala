@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is real and tested — schemas, partition-local
   * batch iteration via `mapPartitions` on a typed Dataset (the Scala
   * analogue of `mapInPandas`: one iterator per partition, zero
-  * driver involvement), and explicit output schemas. The actual codec
-  * call is STUBBED (`decodeStub`) because no image/audio library
-  * ships in this container: it derives deterministic pseudo-metadata
-  * and features from the bytes, so every downstream operator (joins
-  * on metadata, ANN over extracted features, frame sampling) is
-  * exercised end-to-end with stable results.
+  * driver involvement), and explicit output schemas. FOUR real codecs
+  * live here — RIFF/WAV, 24bpp BMP, PNG (zlib + all five scanline
+  * filters), and GIF (real LZW) — all written against public specs
+  * with zero external libraries; only the remaining kinds (JPEG,
+  * video containers) route through the labeled `decodeStub`, which
+  * derives deterministic pseudo-metadata and features from the bytes
+  * so every downstream operator (joins on metadata, ANN over
+  * extracted features, frame sampling) is still exercised end-to-end
+  * with stable results.
   */
 object Multimodal {
 
@@ -406,10 +409,16 @@ object Multimodal {
     * resize/re-export pipeline produces. */
   case class DhashRow(media_id: Long, hash_hi: Long, hash_lo: Long)
 
-  def dhashBmp24(mediaId: Long, bytes: Array[Byte],
-                 gw: Int = 8, gh: Int = 8): DhashRow = {
+  /** Codec-independent dHash core over a decoded pixel accessor —
+    * the shared luma/grid/bit-packing path under [[dhashBmp24]] and
+    * the PNG branch of [[dhashImage]]: identical pixels produce an
+    * identical fingerprint regardless of the container format, which
+    * is exactly the cross-codec re-encode dedup property q524 gates.
+    */
+  private def dhashCore(mediaId: Long, w: Int, h: Int,
+                        px: (Int, Int) => (Int, Int, Int),
+                        gw: Int, gh: Int): DhashRow = {
     require(gw * gh == 64, s"grid $gw x $gh must pack to 64 bits")
-    val (w, h, px) = readBmp24(bytes)
     def luma(sx: Int, sy: Int): Long = {
       val (r, g, b) = px(sx, sy)
       2126L * r + 7152L * g + 722L * b
@@ -434,8 +443,35 @@ object Multimodal {
     DhashRow(mediaId, hi, lo)
   }
 
+  def dhashBmp24(mediaId: Long, bytes: Array[Byte],
+                 gw: Int = 8, gh: Int = 8): DhashRow = {
+    val (w, h, px) = readBmp24(bytes)
+    dhashCore(mediaId, w, h, px, gw, gh)
+  }
+
+  /** Decoder-dispatching dHash: PNG by signature, 24bpp BMP
+    * otherwise — both through [[dhashCore]], so a PNG re-encode of a
+    * BMP lands on the SAME fingerprint (and a brightness-shifted
+    * re-encode within the same Hamming band). */
+  def dhashImage(mediaId: Long, bytes: Array[Byte],
+                 gw: Int = 8, gh: Int = 8): DhashRow =
+    if (looksLikePng(bytes)) {
+      val (w, h, px) = readPng(bytes)
+      dhashCore(mediaId, w, h, px, gw, gh)
+    } else dhashBmp24(mediaId, bytes, gw, gh)
+
   /** Distributed dHash: zero-shuffle mapPartitions batch, like every
-    * codec here. */
+    * codec here. Dispatches per row on the container signature, so a
+    * mixed BMP/PNG corpus hashes in one pass. */
+  def dhash(media: Dataset[MediaRow], gw: Int = 8,
+            gh: Int = 8): Dataset[DhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => dhashImage(m.media_id, m.content,
+      gw, gh)))
+  }
+
+  /** BMP-only entry retained for callers that want the strict 24bpp
+    * contract (a PNG byte stream here is a loud decode error). */
   def dhashBmp(media: Dataset[MediaRow], gw: Int = 8,
                gh: Int = 8): Dataset[DhashRow] = {
     import media.sparkSession.implicits._
@@ -452,7 +488,7 @@ object Multimodal {
     * the [[graft.operators.Dedup.simhashPairs]] discipline on the
     * codec-grounded fingerprint. Returns (id_a, id_b, hamming). */
   def dhashPairs(media: Dataset[MediaRow], maxHamming: Int): DataFrame = {
-    val sigs = dhashBmp(media).toDF()
+    val sigs = dhash(media).toDF()
     val banded = sigs.select(col("media_id").as("id"), col("hash_hi"),
         col("hash_lo"),
         explode(lit((0 until 4).toArray)).as("band"))
@@ -493,6 +529,35 @@ object Multimodal {
       if (id % every == 0)
         Seq(base, MediaRow(id + copyOffset, "image",
           encodeBmp24(w, h, (x, y) => (
+            (chan(7, 3, 5)(x, y) + delta) % 256,
+            (chan(11, 13, 17)(x, y) + delta) % 256,
+            (chan(19, 23, 29)(x, y) + delta) % 256))))
+      else Seq(base)
+    }
+  }
+
+  /** Mixed-format twin corpus for the cross-codec dedup gate: every
+    * document contributes its gradient BMP (the [[syntheticBmpWithCopies]]
+    * channel constants), and every `every`-th document ALSO a PNG
+    * RE-ENCODE of the same gradient brightness-shifted +`delta` mod
+    * 256 (media_id = base + copyOffset) — the "re-exported through a
+    * different codec with different exposure" near-duplicate. The
+    * dHash pipeline must dispatch per container and land each PNG
+    * twin in the same Hamming band as its BMP base. */
+  def syntheticMixedWithPngCopies(docs: DataFrame, every: Int, delta: Int,
+                                  copyOffset: Long): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("id")).as[Long].flatMap { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + ((id / 9) % 7).toInt
+      def chan(a: Long, bx: Long, by: Long)(x: Int, y: Int): Int =
+        ((id * a + bx * x + by * y) % 256).toInt
+      val base = MediaRow(id, "image", encodeBmp24(w, h, (x, y) => (
+        chan(7, 3, 5)(x, y), chan(11, 13, 17)(x, y),
+        chan(19, 23, 29)(x, y))))
+      if (id % every == 0)
+        Seq(base, MediaRow(id + copyOffset, "image",
+          encodePng(w, h, (x, y) => (
             (chan(7, 3, 5)(x, y) + delta) % 256,
             (chan(11, 13, 17)(x, y) + delta) % 256,
             (chan(19, 23, 29)(x, y) + delta) % 256))))
@@ -627,14 +692,21 @@ object Multimodal {
       chunk("IEND", Array.emptyByteArray)
   }
 
+  /** True when the byte stream carries the PNG signature. */
+  def looksLikePng(bytes: Array[Byte]): Boolean =
+    bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+
   /** Parse an 8-bit RGB PNG (validates the signature, every chunk's
     * CRC, the IHDR contract — depth 8 / color type 2 / deflate /
     * no interlace — inflates the IDAT stream, and UNFILTERS all five
-    * scanline filter types incl. the Paeth predictor) and extract the
-    * same one-pass features as [[decodeBmp24]]. */
-  def decodePng(mediaId: Long, bytes: Array[Byte]): PngRow = {
-    require(bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
-      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G', "not a PNG")
+    * scanline filter types incl. the Paeth predictor) into a
+    * (width, height, pixel-accessor) triple — the [[readBmp24]]
+    * shape, so every per-pixel feature (decode stats, dHash, luma
+    * histogram) composes over either codec through one interface. */
+  def readPng(bytes: Array[Byte])
+      : (Int, Int, (Int, Int) => (Int, Int, Int)) = {
+    require(looksLikePng(bytes), "not a PNG")
     var pos = 8
     var width = 0; var height = 0
     val idat = new java.io.ByteArrayOutputStream()
@@ -669,13 +741,19 @@ object Multimodal {
     val stride = width * bpp
     val raw = new Array[Byte]((stride + 1) * height)
     var off = 0
-    while (!inf.finished() && off < raw.length)
-      off += inf.inflate(raw, off, raw.length - off)
+    var made = 1
+    // inflate() returning 0 before finished() means premature end of
+    // stream or a preset-dictionary request — fail loudly via the
+    // short-stream require below instead of spinning forever.
+    while (!inf.finished() && off < raw.length && made > 0) {
+      made = inf.inflate(raw, off, raw.length - off)
+      off += made
+    }
     inf.end()
     require(off == raw.length, "short IDAT stream")
     val cur = new Array[Int](stride)
     val prev = new Array[Int](stride)
-    var rs = 0L; var gs = 0L; var bs = 0L; var lmax = 0L
+    val pix = new Array[Byte](stride * height)
     var y = 0
     while (y < height) {
       val ft = raw(y * (stride + 1)) & 0xff
@@ -693,20 +771,339 @@ object Multimodal {
           case 4 => f + paeth(a, b, c)
           case _ => throw new IllegalStateException(s"bad filter $ft")
         }) & 0xff
+        pix(y * stride + i) = cur(i).toByte
         i += 1
       }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    (width, height, (x: Int, y: Int) => {
+      val o = y * stride + x * 3
+      ((pix(o) & 0xff, pix(o + 1) & 0xff, pix(o + 2) & 0xff))
+    })
+  }
+
+  /** One-pass PNG feature extraction over the [[readPng]] accessor —
+    * the same features as [[decodeBmp24]]. */
+  def decodePng(mediaId: Long, bytes: Array[Byte]): PngRow = {
+    val (width, height, px) = readPng(bytes)
+    var rs = 0L; var gs = 0L; var bs = 0L; var lmax = 0L
+    var y = 0
+    while (y < height) {
       var x = 0
       while (x < width) {
-        val r = cur(x * 3); val g = cur(x * 3 + 1); val b = cur(x * 3 + 2)
+        val (r, g, b) = px(x, y)
         rs += r; gs += g; bs += b
         val lum = 2126L * r + 7152L * g + 722L * b
         if (lum > lmax) lmax = lum
         x += 1
       }
-      System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
     PngRow(mediaId, width, height, rs, gs, bs, lmax)
+  }
+
+  // =====================================================================
+  // GIF codec (round 12): the third real image container, written
+  // against the public GIF89a specification with zero external
+  // libraries — the compression here is LZW (variable-width codes
+  // growing 9→12 bits, dictionary to 4096 entries, clear-code resets,
+  // the KwKwK just-defined-code case), not zlib, so this codec
+  // exercises a genuinely different decode path than PNG. The encoder
+  // is a REAL LZW compressor (its dictionary fills, its code width
+  // bumps, and it emits mid-stream clear resets on large images), so
+  // a decoder that mishandles any of those cannot round-trip the
+  // closed-form gradient the q525 oracle recomputes byte-free.
+  // =====================================================================
+
+  /** Decoded GIF features — the [[PngRow]] shape on the third codec. */
+  case class GifRow(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      r_sum: Long,
+      g_sum: Long,
+      b_sum: Long,
+      lum_max: Long)
+
+  /** GIF-variant LZW compress of a byte stream of `minCode`-bit
+    * symbols: initial width minCode+1, clear = 2^minCode, EOI =
+    * clear+1, width bumps when the next free code reaches 2^width
+    * (cap 12), clear-and-reset when the table fills. LSB-first bit
+    * packing per the spec. */
+  private def lzwEncode(indices: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var width = minCode + 1
+    var next = eoi + 1
+    val dict = new java.util.HashMap[Integer, Integer]()
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0
+    var bitCnt = 0
+    def emit(code: Int): Unit = {
+      bitBuf |= code << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(bitBuf & 0xff); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    emit(clear)
+    var cur = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i) & 0xff
+      val key = Integer.valueOf((cur << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        // width bump BEFORE the add (the compress.c order): the
+        // decoder's table add lags ours by exactly one code, so its
+        // bump fires one code later than an after-add check here
+        // would — checking the PRE-add counter keeps both sides
+        // reading/writing the boundary code at the same width.
+        if (next == (1 << width) && width < 12) width += 1
+        if (next < 4096) {
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+        } else {
+          // table full: reset so the decoder's table mirrors ours
+          emit(clear)
+          dict.clear(); width = minCode + 1; next = eoi + 1
+        }
+        cur = k
+      }
+      i += 1
+    }
+    emit(cur)
+    emit(eoi)
+    if (bitCnt > 0) out.write(bitBuf & 0xff)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decompress: the exact inverse contract of
+    * [[lzwEncode]] including the KwKwK case (a code equal to the
+    * next free slot expands to prev-chain + its own first byte).
+    * Validates stream shape loudly — a literal out of palette range,
+    * a dangling code past the table, or a short stream all throw. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        expected: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var width = minCode + 1
+    var next = eoi + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new java.io.ByteArrayOutputStream(expected)
+    var bitPos = 0
+    def read(): Int = {
+      require(bitPos + width <= data.length * 8, "short LZW stream")
+      var v = 0
+      var got = 0
+      while (got < width) {
+        val byte = data(bitPos >> 3) & 0xff
+        val avail = 8 - (bitPos & 7)
+        val take = math.min(avail, width - got)
+        v |= (((byte >> (bitPos & 7)) & ((1 << take) - 1)) << got)
+        got += take
+        bitPos += take
+      }
+      v
+    }
+    // expand a table chain into out, returning its first byte
+    val stack = new Array[Byte](4096)
+    def expand(code0: Int): Int = {
+      var sp = 0
+      var c = code0
+      while (c >= clear + 2) {
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+      }
+      require(c < clear, s"corrupt LZW chain root $c")
+      stack(sp) = c.toByte; sp += 1
+      var first = -1
+      while (sp > 0) {
+        sp -= 1
+        if (first < 0) first = stack(sp) & 0xff
+        out.write(stack(sp) & 0xff)
+      }
+      first
+    }
+    var prev = -1
+    var done = false
+    while (!done && out.size < expected) {
+      val code = read()
+      if (code == clear) {
+        width = minCode + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        require(code < clear, s"first code after clear must be a " +
+          s"literal, got $code")
+        out.write(code)
+        prev = code
+      } else {
+        require(code <= next, s"code $code past table end $next")
+        val first =
+          if (code == next) {
+            // KwKwK: prev-chain + its own first byte
+            var c = prev
+            while (c >= clear + 2) c = prefix(c)
+            expand(prev) // writes prev-chain
+            out.write(c)
+            c
+          } else expand(code)
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first.toByte
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    require(out.size == expected,
+      s"GIF pixel count ${out.size} != expected $expected")
+    out.toByteArray
+  }
+
+  /** Encode a GIF89a with a 256-entry global color table and one
+    * full-frame image, LZW-compressed by the real compressor. */
+  def encodeGif(width: Int, height: Int, pxIdx: (Int, Int) => Int,
+                palette: Int => (Int, Int, Int)): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(width); w16(height)
+    w8(0xf7) // GCT present, 8-bit color resolution, 256-entry table
+    w8(0); w8(0) // background index, aspect
+    var i = 0
+    while (i < 256) {
+      val (r, g, b) = palette(i); w8(r); w8(g); w8(b); i += 1
+    }
+    w8(0x2c) // image descriptor
+    w16(0); w16(0); w16(width); w16(height)
+    w8(0) // no local color table, not interlaced
+    val indices = new Array[Byte](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        indices(y * width + x) = (pxIdx(x, y) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    w8(8) // LZW minimum code size
+    val data = lzwEncode(indices, 8)
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(255, data.length - off)
+      w8(n); out.write(data, off, n); off += n
+    }
+    w8(0) // block terminator
+    w8(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Parse a GIF (87a or 89a): global color table, extension blocks
+    * skipped structurally, one image descriptor (local color table
+    * honored if present; interlace rejected), REAL LZW decode, and
+    * the [[decodeBmp24]] feature set through the palette. */
+  def decodeGif(mediaId: Long, bytes: Array[Byte]): GifRow = {
+    require(bytes.length > 13 &&
+      (bytes.startsWith("GIF89a".getBytes("US-ASCII")) ||
+        bytes.startsWith("GIF87a".getBytes("US-ASCII"))), "not a GIF")
+    var pos = 6
+    def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
+    def u16(): Int = { val v = u8(); v | (u8() << 8) }
+    val sw = u16(); val sh = u16()
+    val flags = u8()
+    u8(); u8() // background index, aspect
+    val gct: Array[Byte] =
+      if ((flags & 0x80) != 0) {
+        val n = 2 << (flags & 7)
+        val t = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+        pos += 3 * n
+        t
+      } else Array.emptyByteArray
+    var row: GifRow = null
+    var done = false
+    while (!done) {
+      require(pos < bytes.length, "truncated GIF")
+      u8() match {
+        case 0x3b => done = true
+        case 0x21 => // extension: label + sub-blocks, skipped
+          u8()
+          var n = u8()
+          while (n != 0) { pos += n; n = u8() }
+        case 0x2c =>
+          require(row == null, "multi-frame GIF unsupported")
+          u16(); u16() // left, top
+          val iw = u16(); val ih = u16()
+          val f = u8()
+          require((f & 0x40) == 0, "interlaced GIF unsupported")
+          val table =
+            if ((f & 0x80) != 0) {
+              val n = 2 << (f & 7)
+              val t = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+              pos += 3 * n
+              t
+            } else gct
+          require(table.nonEmpty, "no color table")
+          val minCode = u8()
+          val data = new java.io.ByteArrayOutputStream()
+          var n = u8()
+          while (n != 0) {
+            require(pos + n <= bytes.length, "truncated GIF sub-block")
+            data.write(bytes, pos, n); pos += n; n = u8()
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
+          var rs = 0L; var gs = 0L; var bs = 0L; var lmax = 0L
+          var i = 0
+          while (i < idx.length) {
+            val k = (idx(i) & 0xff) * 3
+            require(k + 2 < table.length, "palette index out of range")
+            val r = table(k) & 0xff
+            val g = table(k + 1) & 0xff
+            val b = table(k + 2) & 0xff
+            rs += r; gs += g; bs += b
+            val lum = 2126L * r + 7152L * g + 722L * b
+            if (lum > lmax) lmax = lum
+            i += 1
+          }
+          row = GifRow(mediaId, iw, ih, rs, gs, bs, lmax)
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown GIF block 0x${other.toHexString}")
+      }
+    }
+    require(row != null, "GIF carries no image")
+    require(row.width == sw && row.height == sh,
+      "frame/screen dimension mismatch")
+    row
+  }
+
+  /** Synthetic closed-form gradient GIF per document: palette entry
+    * i = ((3i+5)%256, (7i+1)%256, (11i+2)%256), pixel index (x,y) =
+    * (id·23 + 5x + 3y) % 256 — constants disjoint from the BMP/PNG
+    * gates so the three codecs can never mask each other. */
+  def syntheticGif(docs: org.apache.spark.sql.DataFrame)
+      : Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + (id / 9) % 7).toInt
+      MediaRow(id, "image", encodeGif(w, h,
+        (x, y) => ((id * 23 + 5L * x + 3L * y) % 256).toInt,
+        i => ((3 * i + 5) % 256, (7 * i + 1) % 256, (11 * i + 2) % 256)))
+    }
+  }
+
+  /** Distributed GIF decode: same batch shape as [[decodeBmp]]. */
+  def decodeGifBatch(media: Dataset[MediaRow]): Dataset[GifRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => decodeGif(m.media_id, m.content)))
   }
 
   /** Synthetic closed-form gradient PNG per document (the q132 BMP

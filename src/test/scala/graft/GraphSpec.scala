@@ -314,4 +314,25 @@ class GraphSpec extends AnyFunSuite {
     // no idx at or past the cap anywhere
     assert(adj.forall(_._3 < 512))
   }
+
+  test("wedgeWidth: session width on small graphs; ceil(mass/4M), " +
+       "capped, when the measured wedge mass exceeds the session " +
+       "default's capacity") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val session = spark.sessionState.conf.numShufflePartitions
+    // K4 oriented from any corner: tiny mass -> session width
+    val small = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L))
+      .toDF("src", "dst").withColumn("kdst", col("dst"))
+    assert(Graph.wedgeWidth(small) == session)
+    // one star of out-degree 20000: mass = C(20000,2) ~ 2.0e8 ->
+    // ceil(2.0e8 / 4e6) = 50 partitions (> the 32 session default)
+    val star = spark.range(20000)
+      .select(lit(0L).as("src"), col("id").as("dst"),
+        col("id").as("kdst"))
+    val w = Graph.wedgeWidth(star)
+    val mass = 20000L * 19999L / 2
+    val expect = math.max(session.toLong,
+      (mass + 4000000L - 1) / 4000000L).toInt
+    assert(w == expect, s"width $w != $expect")
+  }
 }

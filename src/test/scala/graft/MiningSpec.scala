@@ -430,6 +430,61 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("q444 IPF raking THIRD implementation: margins, base shares " +
+       "and all 3 sweeps derived from the raw documents table in " +
+       "plain Scala — no operator column reused — match every output " +
+       "column bit-exactly") {
+    val docs = graft.core.Tables.load(spark, TestSpark.sf001, "documents")
+      .select(col("source"), col("lang"), col("n_chars"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byCell = docs.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+      k -> (xs.size.toLong, xs.map(_._3).sum)
+    }
+    val nTot = byCell.values.map(_._1).sum
+    val cTot = byCell.values.map(_._2).sum
+    val cSrc = byCell.toSeq.groupBy(_._1._1).map { case (s, xs) =>
+      s -> xs.map(_._2._2).sum }
+    val cLang = byCell.toSeq.groupBy(_._1._2).map { case (l, xs) =>
+      l -> xs.map(_._2._2).sum }
+    def e9(num: Long, den: Long): Long =
+      graft.analytics.Exact.roundHalfUp(
+        num.toDouble / den.toDouble * 1000000000.0)
+    case class C(src: String, lang: String, nDocs: Long, w0: Long,
+                 rt: Long, ct: Long, var w: Long)
+    val cells = byCell.toSeq.map { case ((s, l), (n, _)) =>
+      C(s, l, n, e9(n, nTot), e9(cSrc(s), cTot), e9(cLang(l), cTot),
+        e9(n, nTot))
+    }
+    for (_ <- 1 to 3) {
+      val rsum = cells.groupBy(_.src).map { case (k, v) =>
+        k -> v.map(_.w).sum }
+      cells.foreach { c =>
+        if (rsum(c.src) > 0) c.w = graft.analytics.Exact.roundHalfUp(
+          c.w.toDouble * c.rt.toDouble / rsum(c.src).toDouble)
+      }
+      val csum = cells.groupBy(_.lang).map { case (k, v) =>
+        k -> v.map(_.w).sum }
+      cells.foreach { c =>
+        if (csum(c.lang) > 0) c.w = graft.analytics.Exact.roundHalfUp(
+          c.w.toDouble * c.ct.toDouble / csum(c.lang).toDouble)
+      }
+    }
+    val want = cells.map(c => (c.src, c.lang) ->
+      (c.nDocs, c.w0, c.rt, c.ct, c.w)).toMap
+    val rows = q("q444_ipf_raking").collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      val (n, w0, rt, ct, w) = want(k)
+      assert(r.getAs[Long]("n_docs") == n, s"n_docs $k")
+      assert(r.getAs[Long]("w0_e9") == w0, s"w0 $k")
+      assert(r.getAs[Long]("rt_e9") == rt, s"rt $k")
+      assert(r.getAs[Long]("ct_e9") == ct, s"ct $k")
+      assert(r.getAs[Long]("w_e9") == w, s"w $k")
+    }
+  }
+
   test("q445 Shapley: literal 2^4 coalition enumeration reproduces " +
        "every phi and efficiency holds: sum phi24 = 24*(v(full)-v(0))") {
     val events = graft.core.Tables.eventsSec(spark, TestSpark.sf001)

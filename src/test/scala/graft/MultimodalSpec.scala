@@ -303,4 +303,121 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("CRC"))
   }
+
+  test("PNG codec: a truncated IDAT stream fails loudly (short IDAT), " +
+       "never hangs the inflate loop") {
+    import graft.operators.Multimodal
+    val bytes = Multimodal.encodePng(6, 6, (x, y) => (x * 30, y * 30, 99))
+    // re-chunk with the IDAT payload cut in half (CRC recomputed so
+    // only the STREAM is short, not the container)
+    var pos = 8
+    var out = bytes.slice(0, 8)
+    var done = false
+    while (!done) {
+      val len = ((bytes(pos) & 0xff) << 24) | ((bytes(pos + 1) & 0xff) << 16) |
+        ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
+      val data = bytes.slice(pos + 8, pos + 8 + len)
+      val kept = if (tpe == "IDAT") data.take(data.length / 2) else data
+      val t = tpe.getBytes("US-ASCII")
+      val c = new java.util.zip.CRC32(); c.update(t); c.update(kept)
+      def be(v: Int) = Array(((v >>> 24) & 0xff).toByte,
+        ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+        (v & 0xff).toByte)
+      out = out ++ be(kept.length) ++ t ++ kept ++ be(c.getValue.toInt)
+      if (tpe == "IEND") done = true
+      pos += 12 + len
+    }
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodePng(1L, out)
+    }
+    assert(e.getMessage.contains("short IDAT"))
+  }
+
+  test("GIF codec: encode/decode round-trips closed-form features " +
+       "through REAL LZW on a small gradient") {
+    import graft.operators.Multimodal
+    val w = 13; val h = 11
+    def idx(x: Int, y: Int): Int = (x * 5 + y * 3) % 256
+    def pal(i: Int): (Int, Int, Int) =
+      ((3 * i + 5) % 256, (7 * i + 1) % 256, (11 * i + 2) % 256)
+    val bytes = Multimodal.encodeGif(w, h, idx, pal)
+    val row = Multimodal.decodeGif(9L, bytes)
+    assert(row.width == w && row.height == h)
+    var rs = 0L; var gs = 0L; var bs = 0L; var lm = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pal(idx(x, y))
+      rs += r; gs += g; bs += b
+      lm = math.max(lm, 2126L * r + 7152L * g + 722L * b)
+    }
+    assert(row.r_sum == rs && row.g_sum == gs && row.b_sum == bs)
+    assert(row.lum_max == lm)
+  }
+
+  test("GIF codec: a large high-entropy image forces the LZW table " +
+       "to FILL and mid-stream clear-reset, and still round-trips " +
+       "(dictionary growth, width bumps 9 to 12, KwKwK all exercised)") {
+    import graft.operators.Multimodal
+    // 150x150 = 22500 px; the mixed-congruence pattern defeats long
+    // matches so the dictionary fills (>4096 misses) and the encoder
+    // emits at least one mid-stream clear
+    val w = 150; val h = 150
+    def idx(x: Int, y: Int): Int = (x * x * 7 + y * 13 + x * y) % 256
+    def pal(i: Int): (Int, Int, Int) = (i, (i * 2) % 256, (255 - i))
+    val bytes = Multimodal.encodeGif(w, h, idx, pal)
+    val row = Multimodal.decodeGif(1L, bytes)
+    assert(row.width == w && row.height == h)
+    var rs = 0L
+    for (y <- 0 until h; x <- 0 until w) rs += pal(idx(x, y))._1
+    assert(row.r_sum == rs)
+    // KwKwK explicitly: the classic ababab… stream makes the decoder
+    // hit a code equal to its next free slot immediately
+    val kw = Multimodal.encodeGif(6, 1,
+      (x, _) => if (x % 2 == 0) 1 else 2, pal)
+    val kr = Multimodal.decodeGif(2L, kw)
+    assert(kr.r_sum == 3 * pal(1)._1 + 3 * pal(2)._1)
+  }
+
+  test("GIF codec: a pixel-count shortfall fails loudly, never " +
+       "returns a short image") {
+    import graft.operators.Multimodal
+    val bytes = Multimodal.encodeGif(20, 20,
+      (x, y) => (x + y) % 256, i => (i, i, i)).clone()
+    // widen the declared dimensions to 21x20: the container stays
+    // structurally valid but the LZW stream now under-delivers
+    // pixels. Screen width is little-endian at offset 6; the image
+    // descriptor (after the 768-byte GCT) carries width at +5.
+    bytes(6) = 21
+    val desc = 6 + 7 + 768
+    assert(bytes(desc) == 0x2c)
+    bytes(desc + 5) = 21
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeGif(1L, bytes)
+    }
+    assert(e.getMessage.contains("LZW") ||
+      e.getMessage.contains("pixel count"), e.getMessage)
+  }
+
+  test("cross-codec dHash: a PNG re-encode of a BMP yields the " +
+       "IDENTICAL fingerprint through dhashImage dispatch, and a " +
+       "brightness-shifted PNG twin stays within the Hamming band") {
+    import graft.operators.Multimodal
+    val w = 13; val h = 10
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 17 + y * 5) % 200, (x * 3 + y * 11) % 200, (x * 7 + y * 2) % 200)
+    val bmp = Multimodal.encodeBmp24(w, h, px)
+    val png = Multimodal.encodePng(w, h, px)
+    val a = Multimodal.dhashImage(1L, bmp)
+    val b = Multimodal.dhashImage(2L, png)
+    assert(a.hash_hi == b.hash_hi && a.hash_lo == b.hash_lo)
+    // +2 shift with no channel past 253 => differences preserved =>
+    // hamming must be 0 here (no wrap positions in this gradient)
+    val shifted = Multimodal.encodePng(w, h, (x, y) => {
+      val (r, g, b0) = px(x, y); (r + 2, g + 2, b0 + 2)
+    })
+    val c = Multimodal.dhashImage(3L, shifted)
+    val ham = java.lang.Long.bitCount(a.hash_hi ^ c.hash_hi) +
+      java.lang.Long.bitCount(a.hash_lo ^ c.hash_lo)
+    assert(ham == 0, s"shift-invariance violated: hamming $ham")
+  }
 }
