@@ -1,8 +1,97 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Chunked gate-bench coordinator (round 12): the one-JVM 523-query
+    * gate accumulates shuffle-file/page-cache/block-manager state that
+    * inflates the checkpoint/streaming tier's numbers late in the run
+    * (the r11 +11% episode, classified as interference by isolated
+    * rerun — see README). With SPARK_GRAFT_BENCH_CHUNKS=N the suite
+    * runs as N FRESH CHILD JVMs over contiguous query ranges, each a
+    * normal single-JVM bench with its own warmups and BOTH canaries;
+    * the merged archive carries every chunk's full document under
+    * "chunks" so tools/bench_diff.py can normalize each query by ITS
+    * OWN chunk's canaries. The driver contract (one summary line on
+    * stdout) is preserved; default (env unset) stays one-JVM.
+    */
+  private def runChunked(n: Int, sfDir: String): Unit = {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val per = math.ceil(names.size.toDouble / n).toInt
+    val groups = names.grouped(per).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_chunks")
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util",
+      "java.util.concurrent", "java.util.concurrent.atomic",
+      "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+      "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    case class Chunk(full: String, summary: String)
+    val chunks = groups.zipWithIndex.map { case (g, i) =>
+      val dir = java.nio.file.Files.createDirectory(
+        tmp.resolve(s"chunk_$i"))
+      val out = dir.resolve("full.json")
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        "-cp", cp, "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", g.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_FULL", out.toString)
+      pb.environment().remove("SPARK_GRAFT_BENCH_CHUNKS")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(dir.resolve("log").toFile)
+      System.err.println(s"[bench] chunk ${i + 1}/${groups.size} " +
+        s"(${g.size} queries, fresh JVM) ...")
+      val code = pb.start().waitFor()
+      require(code == 0,
+        s"chunk $i exited $code — see ${dir.resolve("log")}")
+      Chunk(
+        new String(java.nio.file.Files.readAllBytes(out), "UTF-8"),
+        new String(java.nio.file.Files.readAllBytes(
+          dir.resolve("BENCH_SUMMARY.json")), "UTF-8"))
+    }
+    def ext(re: String, s: String): Option[String] =
+      re.r.findFirstMatchIn(s).map(_.group(1))
+    val total = chunks
+      .map(c => ext("\"value\":([-0-9.Ee+]+)", c.summary).get.toDouble).sum
+    val failed = chunks
+      .map(c => ext("\"failed\":([0-9]+)", c.summary).get.toInt).sum
+    // global slowest-5 from the chunk summaries' own slowest-5 maps
+    val pair = "\"(q[^\"]+)\":([-0-9.Ee+]+)".r
+    val slow = chunks.flatMap { c =>
+      ext("\"queries\":\\{([^}]*)\\}", c.summary).toSeq.flatMap(body =>
+        pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble))
+    }.sortBy(-_._2).take(5)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val merged =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","chunked":true,"n_chunks":${chunks.size},"chunks":[${chunks.map(_.full).mkString(",")}],"sf":"$sfDir"}"""
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
+    java.nio.file.Files.write(outPath, merged.getBytes("UTF-8"))
+    val slowJson = slow.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val canaries = chunks.map(c =>
+      ext("\"canary_med\":([-0-9.Ee+]+)", c.summary).getOrElse("0"))
+      .mkString("[", ",", "]")
+    val ioCanaries = chunks.map(c =>
+      ext("\"canary_io_med\":([-0-9.Ee+]+)", c.summary).getOrElse("0"))
+      .mkString("[", ",", "]")
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${SparkEntry.queries.size},"mean":${r3(total / SparkEntry.queries.size)},"failed":$failed,"chunked":true,"chunk_canaries":$canaries,"chunk_io_canaries":$ioCanaries,"queries":$slowJson,"queries_full":"${outPath.toAbsolutePath}","sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      outPath.resolveSibling("BENCH_SUMMARY.json"),
+      summary.getBytes("UTF-8"))
+    println(summary)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val chunkedN = sys.env.get("SPARK_GRAFT_BENCH_CHUNKS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 2)
+    if (chunkedN.isDefined) { runChunked(chunkedN.get, sfDir); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // the engine's session factory: UTC, nanosAsLong, AQE + extensions
     val spark = graft.core.GraftSession.local(cpus)

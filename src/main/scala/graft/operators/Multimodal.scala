@@ -449,14 +449,24 @@ object Multimodal {
     dhashCore(mediaId, w, h, px, gw, gh)
   }
 
-  /** Decoder-dispatching dHash: PNG by signature, 24bpp BMP
-    * otherwise — both through [[dhashCore]], so a PNG re-encode of a
-    * BMP lands on the SAME fingerprint (and a brightness-shifted
-    * re-encode within the same Hamming band). */
+  /** True when the byte stream carries a GIF signature. */
+  def looksLikeGif(bytes: Array[Byte]): Boolean =
+    bytes.length > 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8' &&
+      (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+
+  /** Decoder-dispatching dHash: PNG or GIF by signature, 24bpp BMP
+    * otherwise — all through [[dhashCore]], so a re-encode of the
+    * same pixels through ANY of the three codecs lands on the SAME
+    * fingerprint (and a brightness-shifted re-encode within the same
+    * Hamming band). */
   def dhashImage(mediaId: Long, bytes: Array[Byte],
                  gw: Int = 8, gh: Int = 8): DhashRow =
     if (looksLikePng(bytes)) {
       val (w, h, px) = readPng(bytes)
+      dhashCore(mediaId, w, h, px, gw, gh)
+    } else if (looksLikeGif(bytes)) {
+      val (w, h, px) = readGif(bytes)
       dhashCore(mediaId, w, h, px, gw, gh)
     } else dhashBmp24(mediaId, bytes, gw, gh)
 
@@ -1006,20 +1016,46 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Parse a GIF (87a or 89a): global color table, extension blocks
-    * skipped structurally, one image descriptor (local color table
-    * honored if present; interlace rejected), REAL LZW decode, and
-    * the [[decodeBmp24]] feature set through the palette. */
+  /** Parse a GIF (87a or 89a) via [[readGif]] and extract the
+    * [[decodeBmp24]] feature set through the palette, cross-checking
+    * the frame dimensions against the logical screen. */
   def decodeGif(mediaId: Long, bytes: Array[Byte]): GifRow = {
+    val (w, h, px) = readGif(bytes)
+    val sw = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
+    val sh = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    require(w == sw && h == sh, "frame/screen dimension mismatch")
+    var rs = 0L; var gs = 0L; var bs = 0L; var lmax = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        rs += r; gs += g; bs += b
+        val lum = 2126L * r + 7152L * g + 722L * b
+        if (lum > lmax) lmax = lum
+        x += 1
+      }
+      y += 1
+    }
+    GifRow(mediaId, w, h, rs, gs, bs, lmax)
+  }
+
+  /** GIF as a (width, height, pixel-accessor) triple — the
+    * [[readBmp24]]/[[readPng]] shape, so dHash and any per-pixel
+    * feature compose over the third codec too. Decodes the LZW
+    * stream once into an index buffer; the accessor maps indices
+    * through the color table on read. */
+  def readGif(bytes: Array[Byte])
+      : (Int, Int, (Int, Int) => (Int, Int, Int)) = {
     require(bytes.length > 13 &&
       (bytes.startsWith("GIF89a".getBytes("US-ASCII")) ||
         bytes.startsWith("GIF87a".getBytes("US-ASCII"))), "not a GIF")
     var pos = 6
     def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
     def u16(): Int = { val v = u8(); v | (u8() << 8) }
-    val sw = u16(); val sh = u16()
+    u16(); u16() // screen dims validated by decodeGif
     val flags = u8()
-    u8(); u8() // background index, aspect
+    u8(); u8()
     val gct: Array[Byte] =
       if ((flags & 0x80) != 0) {
         val n = 2 << (flags & 7)
@@ -1027,19 +1063,19 @@ object Multimodal {
         pos += 3 * n
         t
       } else Array.emptyByteArray
-    var row: GifRow = null
+    var out: (Int, Int, (Int, Int) => (Int, Int, Int)) = null
     var done = false
     while (!done) {
       require(pos < bytes.length, "truncated GIF")
       u8() match {
         case 0x3b => done = true
-        case 0x21 => // extension: label + sub-blocks, skipped
+        case 0x21 =>
           u8()
           var n = u8()
           while (n != 0) { pos += n; n = u8() }
         case 0x2c =>
-          require(row == null, "multi-frame GIF unsupported")
-          u16(); u16() // left, top
+          require(out == null, "multi-frame GIF unsupported")
+          u16(); u16()
           val iw = u16(); val ih = u16()
           val f = u8()
           require((f & 0x40) == 0, "interlaced GIF unsupported")
@@ -1059,29 +1095,18 @@ object Multimodal {
             data.write(bytes, pos, n); pos += n; n = u8()
           }
           val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
-          var rs = 0L; var gs = 0L; var bs = 0L; var lmax = 0L
-          var i = 0
-          while (i < idx.length) {
-            val k = (idx(i) & 0xff) * 3
+          out = (iw, ih, (x: Int, y: Int) => {
+            val k = (idx(y * iw + x) & 0xff) * 3
             require(k + 2 < table.length, "palette index out of range")
-            val r = table(k) & 0xff
-            val g = table(k + 1) & 0xff
-            val b = table(k + 2) & 0xff
-            rs += r; gs += g; bs += b
-            val lum = 2126L * r + 7152L * g + 722L * b
-            if (lum > lmax) lmax = lum
-            i += 1
-          }
-          row = GifRow(mediaId, iw, ih, rs, gs, bs, lmax)
+            (table(k) & 0xff, table(k + 1) & 0xff, table(k + 2) & 0xff)
+          })
         case other =>
           throw new IllegalArgumentException(
             s"unknown GIF block 0x${other.toHexString}")
       }
     }
-    require(row != null, "GIF carries no image")
-    require(row.width == sw && row.height == sh,
-      "frame/screen dimension mismatch")
-    row
+    require(out != null, "GIF carries no image")
+    out
   }
 
   /** Synthetic closed-form gradient GIF per document: palette entry

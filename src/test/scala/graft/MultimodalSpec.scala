@@ -419,5 +419,19 @@ class MultimodalSpec extends AnyFunSuite {
     val ham = java.lang.Long.bitCount(a.hash_hi ^ c.hash_hi) +
       java.lang.Long.bitCount(a.hash_lo ^ c.hash_lo)
     assert(ham == 0, s"shift-invariance violated: hamming $ham")
+    // third codec through the same dispatch: a GIF whose palette maps
+    // index i to the SAME pixels as px (identity over the used range
+    // is impossible with one palette, so use a single-channel image
+    // where index == luma-determining value on all three channels)
+    def grey(x: Int, y: Int): (Int, Int, Int) = {
+      val v = (x * 17 + y * 5) % 200; (v, v, v)
+    }
+    val gBmp = Multimodal.encodeBmp24(w, h, grey)
+    val gGif = Multimodal.encodeGif(w, h,
+      (x, y) => (x * 17 + y * 5) % 200, i => (i, i, i))
+    val d1 = Multimodal.dhashImage(4L, gBmp)
+    val d2 = Multimodal.dhashImage(5L, gGif)
+    assert(d1.hash_hi == d2.hash_hi && d1.hash_lo == d2.hash_lo,
+      "GIF re-encode must fingerprint identically to its BMP twin")
   }
 }

@@ -15,6 +15,47 @@ n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
 
 a_doc = json.load(open(a_path))
 b_doc = json.load(open(b_path))
+
+
+def flatten(doc):
+    """Chunked archives (round 12+, SPARK_GRAFT_BENCH_CHUNKS): merge
+    the per-chunk documents into one flat archive and attach each
+    query's OWN chunk's canary medians as per-query maps — the whole
+    point of chunking is that a query's drift correction comes from
+    the canaries that ran in its JVM."""
+    if "chunks" not in doc:
+        return doc
+    out = {k: v for k, v in doc.items() if k != "chunks"}
+    out["queries"] = {}
+    out["spread"] = {}
+    out["ioclass"] = {}
+    out["_per_can"] = {}
+    out["_per_io"] = {}
+    cpu_meds, io_meds = [], []
+    for ch in doc["chunks"]:
+        out["queries"].update(ch.get("queries", {}))
+        out["spread"].update(ch.get("spread", {}))
+        out["ioclass"].update(ch.get("ioclass", {}))
+        cm = ch.get("canary", {}).get("median")
+        im = ch.get("canary_io", {}).get("median")
+        if cm:
+            cpu_meds.append(cm)
+        if im:
+            io_meds.append(im)
+        for q in ch.get("queries", {}):
+            if cm:
+                out["_per_can"][q] = cm
+            if im:
+                out["_per_io"][q] = im
+    if cpu_meds:
+        out["canary"] = {"median": sorted(cpu_meds)[len(cpu_meds) // 2]}
+    if io_meds:
+        out["canary_io"] = {"median": sorted(io_meds)[len(io_meds) // 2]}
+    return out
+
+
+a_doc = flatten(a_doc)
+b_doc = flatten(b_doc)
 a, b = a_doc["queries"], b_doc["queries"]
 
 # Drift canary (round 9+): each archive carries the median of an
@@ -44,8 +85,17 @@ ioclass = set(a_doc.get("ioclass", {})) | set(b_doc.get("ioclass", {}))
 
 
 def _factor(q):
-    if io_drift is not None and q in ioclass:
-        return io_drift
+    """Per-query drift ratio: prefer the query's own chunk canaries
+    (chunked archives), the IO pair for IO-class queries, the global
+    CPU pair otherwise."""
+    ca_q = a_doc.get("_per_can", {}).get(q, ca)
+    cb_q = b_doc.get("_per_can", {}).get(q, cb)
+    ia_q = a_doc.get("_per_io", {}).get(q, ia)
+    ib_q = b_doc.get("_per_io", {}).get(q, ib)
+    if q in ioclass and ia_q and ib_q:
+        return ib_q / ia_q
+    if ca_q and cb_q:
+        return cb_q / ca_q
     return drift
 
 
