@@ -215,11 +215,15 @@ object Advanced {
   // an iterative distributed algorithm.
   // ---------------------------------------------------------------------
   private def q69(s: SparkSession, dir: String): DataFrame = {
+    // pair list pinned (r12): the CC operator derives its input twice
+    // (edge pin + node pin) — unpinned, each derivation re-ran the
+    // bucket self-join + cosine chain (the q331 posture)
     val pairs = Dedup.embeddingNearDup(
         t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.0)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .filter(col("cos") >= 0.3)
       .select(col("id_a"), col("id_b"))
+      .pin()
     val cc = Dedup.connectedComponents(pairs)
     cc.join(cc.groupBy(col("cluster"))
         .agg(count(lit(1)).as("cluster_size")), Seq("cluster"))
@@ -237,11 +241,13 @@ object Advanced {
   // closure.
   // ---------------------------------------------------------------------
   private def q143(s: SparkSession, dir: String): DataFrame = {
+    // pair list pinned (r12) — the q69 rationale
     val pairs = Dedup.embeddingNearDup(
         t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.0)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .filter(col("cos") >= 0.3)
       .select(col("id_a"), col("id_b"))
+      .pin()
     val cc = Dedup.connectedComponentsStar(pairs)
     cc.join(cc.groupBy(col("cluster"))
         .agg(count(lit(1)).as("cluster_size")), Seq("cluster"))
@@ -1557,14 +1563,22 @@ object Advanced {
   // ---------------------------------------------------------------------
   private def q172(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Validate
+    // pin the narrow (event_type, v) projection (r12): the two
+    // grouped-percentile operators each make a bracket pass and an
+    // exact boundary pass, and the final screen scans it again — five
+    // derivations of the same parquet scan + round/cast before the
+    // pin, one 16-byte-row materialization after (guide §5: reuse is
+    // real and recompute is the expensive side). Same for dev below
+    // (MAD bracket + boundary + final aggregate = three scans).
     val e = ev(s, dir).select(col("event_type"),
-      round(col("value") * 10000).cast("long").as("v"))
+      round(col("value") * 10000).cast("long").as("v")).pin()
     val med = Validate.groupedPercentilesExact(e, col("event_type"),
         "event_type", col("v"), Seq(0.5), Seq("m"))
       .select(col("event_type"),
         round(col("m") * 2).cast("long").as("med2"))
     val dev = e.join(broadcast(med), "event_type")
       .withColumn("dev4", abs(lit(4) * col("v") - lit(2) * col("med2")))
+      .pin()
     val mad = Validate.groupedPercentilesExact(dev, col("event_type"),
         "event_type", col("dev4"), Seq(0.5), Seq("md"))
       .select(col("event_type"),
@@ -1933,6 +1947,11 @@ object Advanced {
   // ---------------------------------------------------------------------
   private def q185(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Validate
+    // NOT pinned (r12 decision): unlike q172 (5+ derivations incl. a
+    // joined dev table — pin measured −37%), this query derives the
+    // projection only 4× and the A/B read the pin as a consistent
+    // +0.14 s — re-decoding two parquet columns is cheaper here than
+    // materializing + re-reading the row-format checkpoint.
     val e = ev(s, dir).select(col("event_type"),
       round(col("value") * 10000).cast("long").as("v"))
     val ps = Validate.groupedPercentilesExact(e, col("event_type"),

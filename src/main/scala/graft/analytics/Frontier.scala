@@ -436,10 +436,14 @@ object Frontier {
   // ---------------------------------------------------------------------
   private def q234(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Validate
+    // pinned (r12): three percentile-operator passes over the
+    // non-missing slice plus the imputation join's own scan — one
+    // narrow materialization, four fewer parquet re-derivations
     val e = Tables.eventsSec(s, dir)
       .select(col("event_type"), col("event_id"),
         round(col("value") * 10000).cast("long").as("v"))
       .withColumn("miss", (col("event_id") % 7 === 0).cast("long"))
+      .pin()
     val med = Validate.groupedPercentilesExact(
         e.filter(col("miss") === 0), col("event_type"), "event_type",
         col("v"), Seq(0.5), Seq("m"))

@@ -97,9 +97,13 @@ object Governance {
   private val PmiTopK = 25
 
   private def q239(s: SparkSession, dir: String): DataFrame = {
+    // pinned (r12): the tokenize + distinct corpus pass fed BOTH the
+    // df aggregate and the pair-generation semi-join — two full
+    // explode/shuffle derivations of the same (doc_id, w) table; one
+    // narrow materialization now feeds both (the q488 words posture)
     val wd = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0).distinct()
+      .filter(length(col("w")) > 0).distinct().pin()
     val df = wd.groupBy(col("w")).agg(count(lit(1)).as("nd"))
     val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
     val eligible = df.crossJoin(broadcast(nDocs))

@@ -626,8 +626,10 @@ object Lakehouse {
   // one binned aggregate.
   // ---------------------------------------------------------------------
   private def q127(s: SparkSession, dir: String): DataFrame = {
+    // pinned (r12): three percentile-operator passes + the binned
+    // aggregate's scan — the q172 rationale
     val e = Tables.eventsSec(s, dir).select(col("event_type"),
-      round(col("value") * 10000).cast("long").as("v"))
+      round(col("value") * 10000).cast("long").as("v")).pin()
     // exact quartiles WITHOUT per-group full-column buffers: the q113
     // approx-bracket + exact-boundary-pass machinery, grouped
     val bounds = graft.operators.Validate.groupedPercentilesExact(

@@ -870,10 +870,14 @@ object LlmOps {
   // ---------------------------------------------------------------------
   private def q184(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // pinned (r12): connectedComponentsStar derives its input twice
+    // (its edge pin and its node pin) — unpinned, each derivation
+    // re-ran minhashDedup's candidate verification chain; the pair
+    // list is tiny (near-dup pairs), so pinning it is free
     val pairs = Dedup.minhashDedup(d, "doc_id", "text",
         shingleN = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.2,
         portable = true)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")).pin()
     val comp = Dedup.connectedComponentsStar(pairs)
     val clusters = comp.groupBy(col("cluster"))
       .agg(count(lit(1)).as("sz"), min(col("id")).as("rep"))
@@ -1340,12 +1344,25 @@ object LlmOps {
   // only candidate docs (the q22 broadcast-prune discipline).
   // ---------------------------------------------------------------------
   private def q222(s: SparkSession, dir: String): DataFrame = {
-    val verified = Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
-      shingleN = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.0,
-      portable = true)
-    val sig = Dedup.minhashSignaturesPortable(
-      Dedup.shingleTablePortable(docs(s, dir), "doc_id", "text", 3)
-        .select(col("id"), col("sh")), 32).pin()
+    // r12: ONE tokenize→shingle corpus pass, pinned, shared by the
+    // signature table, the LSH bucket chain and the exact-Jaccard
+    // verifier. Before, this query ran the tokenizer three times:
+    // minhashDedup's internal bucket chain over the corpus, the
+    // estimator's own signature table over the corpus again, and the
+    // verifier's candidate re-shingle. Same pipeline stages
+    // (signatures → buckets → candidates → exact verify → per-pair
+    // error), identical rows at every grain — minhashDedup's body is
+    // replayed here against the shared tables instead of raw text.
+    val sh = Dedup.shingleTablePortable(docs(s, dir), "doc_id", "text", 3)
+      .select(col("id"), col("sh")).pin()
+    val sig = Dedup.minhashSignaturesPortable(sh, 32).pin()
+    val candidates = Dedup.lshCandidates(
+      Dedup.lshBucketsPortable(sig, 4)).pin()
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candSh = sh.join(broadcast(candIds), Seq("id"), "left_semi")
+    val verified = Dedup.jaccardPairs(candSh, 0.0)
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
     val sa = sig.toDF(sig.columns.map(c =>
       if (c == "id") "id_a" else s"${c}_a"): _*)
     val sb = sig.toDF(sig.columns.map(c =>

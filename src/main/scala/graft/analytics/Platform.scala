@@ -165,6 +165,7 @@ object Platform {
         round(Vectors.cosineNative(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= 0.3)
       .select(col("id_a"), col("id_b"))
+      .pin() // r12: CC derives its input twice (edge + node pins)
     val cc = Dedup.connectedComponentsStar(pairs)
     withB.select(col("vec_id"), col("center_id"))
       .join(cc.select(col("id").as("vec_id"), col("cluster")),
@@ -647,6 +648,7 @@ object Platform {
         Seq("cx", "cy"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+      .pin() // r12: CC derives its input twice (edge + node pins)
     val cc = Dedup.connectedComponentsStar(pairs)
     val clusters = core
       .join(cc.select(col("id").as("cid"), col("cluster")),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.PlanStats.Pinned
 
 /** Distribution-shift / effect-size / multiple-testing tier
   * (session 10): the statistical machinery a training-data platform
@@ -1951,8 +1952,16 @@ object Shift {
       .filter(col("nxt").isNotNull)
       .groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
     val rowTot = trans.groupBy("cur").agg(sum("c").as("r"))
-    val edges = trans.join(rowTot, Seq("cur"))
-    val states = rowTot.select(col("cur").as("state"))
+    // pin the domain-sized edge table (r12): without it the corpus
+    // pass (events window + transition count) ran TWICE — once under
+    // states.count() and once inside the final 12-step plan — and the
+    // unrolled loop replanned the whole corpus subtree 12 times
+    // (ReusedExchange dedups the execution, not the planning). The
+    // pinned grain is |event_type|² rows, the measured corpus pass
+    // happens exactly once, and each power-iteration joins a
+    // checkpoint scan. Same lattice walk, identical result.
+    val edges = trans.join(rowTot, Seq("cur")).pin()
+    val states = edges.select(col("cur").as("state")).distinct()
     val nStates = states.count() // domain-sized (≤ event-type universe)
     var v = states.select(col("state"),
       lit(1000000000L / nStates).as("v")) // exact integer share

@@ -45,6 +45,25 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE rewrites a sort-merge join to shuffled-hash at runtime
+      // when EVERY post-shuffle partition is under this byte bound
+      // (guide §3.1; default 0 = off). r12 interleaved A/B over the
+      // non-broadcast join family: −5.6% (q184 −0.63 s, q434
+      // −0.50 s, q143 −0.27 s), no regression beyond the harness's
+      // +0.15 s bias floor. Deliberately AQE-ONLY — the static
+      // preferSortMergeJoin=false variant also converts the
+      // BUCKET-SORTED co-located joins (q117/q128), where the scan
+      // order makes sort-merge free and a hash build is pure waste;
+      // the AQE rule only fires on joins that actually shuffle, so
+      // the bucketed discipline is untouched. Scale-safe by
+      // construction: the bound is per post-shuffle partition
+      // (measured, not estimated), and partition count scales with
+      // the data; sort-merge stays the fallback wherever the bound
+      // fails.
+      // (env-overridable so perf A/Bs and clusters with other
+      // per-task memory budgets can retune without a rebuild)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "256m"))
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests and ad-hoc runs. */

@@ -33,6 +33,18 @@ object Graph {
     * engine-exact. Returns (node, dist) for REACHED nodes only. */
   def bfsDistances(edges: DataFrame, source: Long,
                    maxDepth: Int = 50): DataFrame = {
+    // Edge layout deliberately stays distinct-on-(src,dst) (r12
+    // finding): a repartition(src)+dropDuplicates variant — zero
+    // e-side exchange per round once the frontier outgrows broadcast
+    // — measured slightly SLOWER at sf0.1 (interleaved A/B: q156
+    // +0.26 s, q309 +0.29 s against a +0.15 s same-code bias floor)
+    // because hash-repartitioning the RAW pair stream forfeits
+    // distinct()'s map-side partial dedup (guide §2.3: aggregate
+    // before you shuffle), and the local frontier joins broadcast
+    // anyway, so the src layout never pays. On a cluster where the
+    // frontier exceeds broadcast, add `.repartition(n, col("src"))`
+    // AFTER the distinct (one extra narrow exchange of the deduped
+    // set) rather than instead of it.
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().pin()
     val spark = edges.sparkSession
@@ -51,6 +63,13 @@ object Graph {
         .pin()
       if (next.isEmpty) done = true
       else {
+        // the settled set re-pins per round DELIBERATELY: an r12
+        // lazy-union variant (accumulate pinned frontiers, union
+        // without re-pinning) measured consistently SLOWER on the
+        // interleaved A/B (q309 +0.63 s, q156 +0.39 s, q241 +0.71 s
+        // at sf0.1) — the per-round anti-join over a growing
+        // union-of-checkpoint-scans costs more in planning + task
+        // count than the one narrow re-materialization saves.
         dist = dist.unionByName(next).pin()
         frontier = next
       }

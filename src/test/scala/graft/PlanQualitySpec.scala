@@ -279,7 +279,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // the bucket self-join's output feeds an aggregate (the distinct)
     // whose grouping is just the two id columns — no embedding column
     // in any exchange below the vector joins
-    assert(qe.contains("BroadcastHashJoin") || qe.contains("SortMergeJoin"), qe)
+    assert(qe.contains("BroadcastHashJoin") || qe.contains("SortMergeJoin")
+      || qe.contains("ShuffledHashJoin"), qe)
     assert("Exchange hashpartitioning\\(id_a#\\d+L, id_b#\\d+L".r
       .findFirstIn(qe).isDefined || qe.contains("HashAggregate(keys=[id_a"),
       qe)
