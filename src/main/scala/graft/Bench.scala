@@ -194,18 +194,37 @@ object Bench {
     // observed while q ran. Any positive value marks q IO-class for
     // bench_diff's canary selection.
     val ioClass = scala.collection.mutable.Map.empty[String, Int]
+    // scaling observability (round 13; PERF_r12 `suspect_cpus_ignored`):
+    // per-query completed-task count and summed task time, from a
+    // cumulative listener differenced OUTSIDE the timed region (the
+    // bus drain happens after the per-query clock stops, and before
+    // the next query's clock starts). At sf0.1 a wall ratio of ≈1
+    // between 8 and 32 cores plus equal task counts/task-seconds is
+    // the signature of "parallel but overhead-bound", which the
+    // wall-clock-only archive could not distinguish from "serial".
+    val taskProbe = org.apache.spark.sql.graftx.TaskProbe
+    taskProbe.install(spark.sparkContext)
+    val taskCounts = scala.collection.mutable.Map.empty[String, Long]
+    val taskSecs = scala.collection.mutable.Map.empty[String, Double]
     def measure(): Map[String, Double] = {
       graft.core.PlanStats.enableLightCount()
+      var snap = taskProbe.snapshot(spark.sparkContext)
       val out = names.zipWithIndex.map { case (name, i) =>
-        if (i % 50 == 0) { canary(); ioCanary() }
+        if (i % 50 == 0) { canary(); ioCanary()
+          snap = taskProbe.snapshot(spark.sparkContext) }
         graft.core.PlanStats.reset()
         val t0 = System.nanoTime()
         val ok = run(name)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val now = taskProbe.snapshot(spark.sparkContext)
+        taskCounts(name) = now._1 - snap._1
+        taskSecs(name) = math.rint((now._2 - snap._2) / 1000.0 * 1000) / 1000
+        snap = now
         val io = graft.core.PlanStats.checkpoints +
           graft.core.PlanStats.streamingStarts +
           graft.core.PlanStats.batchSinkIos
         ioClass(name) = math.max(ioClass.getOrElse(name, 0), io)
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        name -> (if (ok) dt else -1.0)
       }.toMap
       graft.core.PlanStats.disableLightCount()
       canary(); ioCanary() // closing samples per pass
@@ -289,8 +308,18 @@ object Bench {
     val ioClassJson = names.filter(n => ioClass.getOrElse(n, 0) > 0)
       .map(n => s"\"" + n + "\":" + ioClass(n))
       .mkString(""","ioclass":{""", ",", "}")
+    // per-query task counts + summed task seconds (last measured
+    // pass): the scaling-contract evidence — identical tasks and
+    // task_sec at different $SPARK_GRAFT_CPUS values proves the
+    // parallelism is real and the ≈1 wall ratio is fixed overhead
+    val tasksJson = names.filter(taskCounts.contains)
+      .map(n => s"\"" + n + "\":" + taskCounts(n))
+      .mkString(""","tasks":{""", ",", "}")
+    val taskSecJson = names.filter(taskSecs.contains)
+      .map(n => s"\"" + n + "\":" + taskSecs(n))
+      .mkString(""","task_sec":{""", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$spreadJson$canaryJson$ioCanaryJson$ioClassJson,"plans_slowest":$fingerprints,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$spreadJson$canaryJson$ioCanaryJson$ioClassJson$tasksJson$taskSecJson,"plans_slowest":$fingerprints,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))

@@ -488,17 +488,26 @@ object Curation {
   // driver-side matrix) survives 100 TB.
   // ---------------------------------------------------------------------
   private def q204(s: SparkSession, dir: String): DataFrame = {
-    val x = t(s, dir, "embeddings").select(expr(
-      "transform(embedding, v -> " +
-        "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))").as("xe"))
-    x.select(explode(expr(
-      """flatten(transform(sequence(1, size(xe)), i ->
-        |  transform(sequence(i, size(xe)), j -> named_struct(
-        |    'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
-        |    'p', element_at(xe, i) * element_at(xe, j)))))""".stripMargin))
-        .as("c"))
-      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("c.p")).as("dot_e8"))
+    // r13: two chained posexplode generators instead of the
+    // flatten(transform(transform(...))) HOF — the lambda chain was
+    // interpreted (no whole-stage codegen; `interpreted_hof: true` in
+    // the r12 bench fingerprint, 2.27 s). GenerateExec + Slice are
+    // codegen, so the whole upper-triangle expansion now compiles:
+    // row → (i0, xi, tail-slice) → (i, j, p) with i = i0+1 (1-based),
+    // j = i+j0 (j0 indexes the slice, whose head is x[i] itself — the
+    // diagonal). Same cells, same per-element e4 rounding, same
+    // aggregate: bit-identical output (oracle-checked).
+    val e = t(s, dir, "embeddings").select(col("embedding").as("x"))
+    e.select(posexplode(col("x")).as(Seq("i0", "xi")), col("x"))
+      .select(col("i0"), col("xi"),
+        expr("slice(x, i0 + 1, size(x) - i0)").as("xs"))
+      .select(col("i0"), col("xi"), posexplode(col("xs")).as(Seq("j0", "xj")))
+      .select((col("i0") + 1).cast("long").as("i"),
+        (col("i0") + col("j0") + 1).cast("long").as("j"),
+        (expr("CAST(round(CAST(xi AS DOUBLE) * 10000) AS BIGINT)") *
+          expr("CAST(round(CAST(xj AS DOUBLE) * 10000) AS BIGINT)")).as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("dot_e8"))
       .orderBy(col("i"), col("j"))
   }
 

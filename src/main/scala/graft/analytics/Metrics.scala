@@ -1561,9 +1561,20 @@ object Metrics {
       .select(col("walker"), lit(0L).as("step"),
         col("walker").as("node"))
       .pin()
+    // r13: checkpointed frames have no size stats, so the planner
+    // never auto-broadcasts the walker-grain frontier — each step's
+    // two joins fell to AQE runtime conversion, paying the map-side
+    // shuffle write of the frontier AND of the adjacency/degree
+    // stream first. One cheap count on the pinned grain (walkers are
+    // one row each, every step) gates an explicit broadcast hint
+    // below Graph.BroadcastMaxNodes; above it the shuffle join
+    // stands — same rows either way.
+    val walkerSmall =
+      walk.count() <= graft.operators.Graph.BroadcastMaxNodes
     var frontier = walk
     for (st <- 1 to 6) {
-      val pick = frontier
+      val f = if (walkerSmall) broadcast(frontier) else frontier
+      val pick = f
         .join(deg, col("node") === col("dn"))
         .select(col("walker"),
           pmod(h.hash60(concat(lit("walk:"), col("walker"), lit(":"),
@@ -1573,7 +1584,7 @@ object Metrics {
       // ambiguous under Spark's self-join analysis
       val nb = nbr.select(col("src").as(s"src_$st"),
         col("dst").as(s"dst_$st"), col("idx").as(s"idx_$st"))
-      val next = pick
+      val next = (if (walkerSmall) broadcast(pick) else pick)
         .join(nb, col("node") === col(s"src_$st") &&
           col("pick") === col(s"idx_$st"))
         .select(col("walker"), lit(st.toLong).as("step"),

@@ -1642,7 +1642,10 @@ object Refine {
     // self-join and the closing-edge semi-join) widen to
     // ceil(mass/4M) when the session default would overload them —
     // same plan at gate scale, flat per-wedge cost at the ×30 point.
-    val width = graft.operators.Graph.wedgeWidth(oRaw)
+    // probe gated on the pinned edge count (r13): small peels prove
+    // via the mass upper bound that the session width suffices and
+    // skip the probe's aggregate job
+    val width = graft.operators.Graph.wedgeWidth(oRaw, Some(e.count()))
     val session = e.sparkSession.sessionState.conf.numShufflePartitions
     val o = if (width > session) oRaw.repartition(width, col("src")).pin()
             else oRaw

@@ -64,6 +64,14 @@ object GraftSession {
       // per-task memory budgets can retune without a rebuild)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "256m"))
+      // COUPLING (r12 advice): the AQE SMJ→SHJ rewrite fires only
+      // while every post-shuffle partition is under the threshold
+      // above, and partition sizing follows advisoryPartitionSizeInBytes
+      // — raising the advisory size past the SHJ threshold would
+      // silently disable the adopted optimization. Pinned explicitly
+      // (at Spark's 64m default) so a later retune sees the pair
+      // together; keep advisory ≤ SHJ threshold.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests and ad-hoc runs. */

@@ -127,6 +127,18 @@ object PlanStats {
     /** Fingerprint-then-checkpoint. Library code pins with this, not
       * with a bare `localCheckpoint()`, so the bench's fingerprints
       * include the pre-checkpoint subtrees.
+      *
+      * SCALE CAVEAT (r12 advice): `localCheckpoint` trades fault
+      * tolerance for speed — the pinned partitions live in executor
+      * local storage and CANNOT be recomputed if an executor dies.
+      * For the tiny pair-list/domain-grain pins that is a free win at
+      * any scale; for the corpus-sized pins (q127/q172/q234's
+      * (event_type, v) projections, q239's (doc_id, word) table) a
+      * 100 TB run materializes a multi-TB intermediate, so a cluster
+      * deployment should either budget executor storage for it or
+      * swap these sites to reliable `checkpoint()`/recompute — the
+      * within-query reuse (3–5 derivations of the same scan) is what
+      * the A/Bs measured, not the storage medium.
       */
     def pin(): Dataset[T] = {
       if (on.get() || lightOn.get()) cp.incrementAndGet()

@@ -51,17 +51,33 @@ object Graph {
     var dist = spark.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist")).pin()
     var frontier = dist
+    // r13: checkpointed frames carry no size stats, so the planner
+    // never auto-broadcasts the frontier or the settled set — it
+    // falls to AQE's runtime conversion, which still pays each join's
+    // map-side shuffle write first. The loop KNOWS both sizes for
+    // free (the per-round emptiness probe is a count; the settled set
+    // is the disjoint union of all frontiers), so broadcast is hinted
+    // explicitly below [[BroadcastMaxNodes]] and degrades to the
+    // shuffle join above it — same rows either way.
+    var frontierN = 1L
+    var distN = 1L
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
       depth += 1
-      val next = frontier
+      val f = if (frontierN <= BroadcastMaxNodes) broadcast(frontier)
+              else frontier
+      val settled = dist.select(col("node"))
+      val next = f
         .join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
-        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .join(if (distN <= BroadcastMaxNodes) broadcast(settled)
+              else settled,
+          Seq("node"), "left_anti")
         .withColumn("dist", lit(depth.toLong))
         .pin()
-      if (next.isEmpty) done = true
+      val n = next.count() // the emptiness probe, now also the size
+      if (n == 0L) done = true
       else {
         // the settled set re-pins per round DELIBERATELY: an r12
         // lazy-union variant (accumulate pinned frontiers, union
@@ -72,6 +88,8 @@ object Graph {
         // count than the one narrow re-materialization saves.
         dist = dist.unionByName(next).pin()
         frontier = next
+        frontierN = n
+        distN += n
       }
     }
     dist
@@ -141,20 +159,40 @@ object Graph {
     * orientation / input slicing, not width, is the fix). */
   private[graft] val maxWedgeWidth = 2 * 1000 * 1000
 
+  /** Upper bound on the wedge mass Σ C(outdeg,2) reachable from `m`
+    * degree-oriented edges: the orientation caps out-degree at √(2m)
+    * (a node of out-degree d has d neighbors of degree ≥ d, so
+    * 2m ≥ d²), hence mass ≤ Σ outdeg·√(2m)/2 = m·√(2m)/2. Used as a
+    * probe-skip gate, never as the width itself. */
+  private[graft] def wedgeMassUpperBound(m: Long): Double =
+    m.toDouble * math.sqrt(2.0 * math.max(0L, m)) / 2.0
+
   /** Probe the wedge mass Σ C(outdeg,2) of an oriented edge set —
     * ONE 1-row aggregate (out-degree histogram folded into a sum),
     * known BEFORE any wedge materializes — and size the wedge-grain
     * shuffle width from it. Callers pass an `oriented` frame whose
     * upstream is pinned, so the probe re-evaluates only the narrow
     * degree joins, never the source scan. Never narrower than the
-    * session default. */
-  private[graft] def wedgeWidth(oriented: DataFrame): Int = {
+    * session default.
+    *
+    * `pinnedEdges` (when the caller has the edge count cheap — one
+    * single-stage count of its already-pinned grain) gates the probe:
+    * if even [[wedgeMassUpperBound]] fits the session width's
+    * capacity (session × wedgesPerPartition), the probe cannot
+    * change the answer, so its aggregate job is skipped outright —
+    * the r12 round's one measured regression (q191 +11%) was exactly
+    * this probe taxing a graph far too small to ever widen. */
+  private[graft] def wedgeWidth(oriented: DataFrame,
+                                pinnedEdges: Option[Long] = None): Int = {
+    val session =
+      oriented.sparkSession.sessionState.conf.numShufflePartitions
+    val capacity = session.toDouble * wedgesPerPartition
+    if (pinnedEdges.exists(m => wedgeMassUpperBound(m) <= capacity))
+      return session
     val mass = oriented.groupBy(col("src"))
       .agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(expr("c * (c - 1)")).cast("long"), lit(0L)))
       .head().getLong(0) / 2L
-    val session =
-      oriented.sparkSession.sessionState.conf.numShufflePartitions
     math.min(maxWedgeWidth.toLong, math.max(session.toLong,
       (mass + wedgesPerPartition - 1L) / wedgesPerPartition)).toInt
   }
@@ -180,8 +218,10 @@ object Graph {
         when(col("kx") < col("ky"), col("y")).otherwise(col("x")).as("dst"),
         greatest(col("kx"), col("ky")).as("kdst"))
     // adaptive wedge width from the MEASURED wedge mass (probe cost:
-    // the narrow degree joins over pinned e, once)
-    val width = wedgeWidth(orientedRaw)
+    // the narrow degree joins over pinned e, once) — probe skipped
+    // entirely when the pinned edge count proves the mass bound fits
+    // the session width (r13; kills the probe tax on small graphs)
+    val width = wedgeWidth(orientedRaw, Some(e.count()))
     val session = pairs.sparkSession.sessionState.conf.numShufflePartitions
     // explicit-count repartition: AQE would coalesce a small edge
     // set to one partition, and the wedge self-join's m^1.5 output
@@ -790,8 +830,17 @@ object Graph {
     var lab = e.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
       .repartition(shufflePartitions, col("node")).pin()
+    // the label table is node-sized; when it fits broadcast capacity
+    // ([[BroadcastMaxNodes]], the pageRankIntExact discipline) hint
+    // it into the per-round edge join — the checkpointed table has
+    // no size stats, so without the hint the planner sort-merges the
+    // EDGE side every round (r13; the count is one cheap job on the
+    // pinned grain). Labels are identical either way — only the
+    // physical join changes; above the bound the shuffle join stands.
+    val small = lab.count() <= BroadcastMaxNodes
     for (_ <- 1 to rounds) {
-      lab = e.join(lab.select(col("node").as("b"), col("lab")), Seq("b"))
+      val labIn = lab.select(col("node").as("b"), col("lab"))
+      lab = e.join(if (small) broadcast(labIn) else labIn, Seq("b"))
         .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
         .groupBy(col("a")).agg(max_by(col("lab"),
           col("c") * lit(10000000L) + (lit(9999999L) - col("lab")))

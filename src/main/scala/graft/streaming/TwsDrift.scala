@@ -65,7 +65,17 @@ object TwsDrift {
                                  rows: Iterator[(Long, Long)],
                                  timerValues: TimerValues)
         : Iterator[PhOut] = {
+      // accumulate the micro-batch into a local map first (the q228
+      // count-min batching precedent, r13): state-store ops are the
+      // per-event cost — one MapState read+write per TOUCHED DAY per
+      // micro-batch instead of one per event. Addition is
+      // order-free, so the final state is bit-identical.
+      val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
       rows.foreach { case (day, v) =>
+        val c = acc.getOrElse(day, (0L, 0L))
+        acc(day) = (c._1 + 1L, c._2 + v)
+      }
+      acc.foreach { case (day, (n, s)) =>
         val cur =
           if (days.containsKey(day)) days.getValue(day)
           else {
@@ -73,7 +83,7 @@ object TwsDrift {
             getHandle.registerTimer((day + 1L) * 86400000L)
             (0L, 0L)
           }
-        days.updateValue(day, (cur._1 + 1L, cur._2 + v))
+        days.updateValue(day, (cur._1 + n, cur._2 + s))
       }
       Iterator.empty
     }

@@ -60,16 +60,23 @@ object TwsHolt {
                                  rows: Iterator[(Long, Long, Long)],
                                  timerValues: TimerValues)
         : Iterator[HoltOut] = {
+      // micro-batch accumulated locally first (q228 count-min
+      // batching precedent, r13): one MapState read+write per
+      // touched day per batch, not per event; sums are order-free so
+      // the state is bit-identical
+      val acc = scala.collection.mutable.HashMap.empty[Long, Long]
       rows.foreach { case (day, cents, isPurchase) =>
-        if (isPurchase == 1L) {
-          val cur =
-            if (days.containsKey(day)) days.getValue(day)
-            else {
-              getHandle.registerTimer((day + 1L) * 86400000L)
-              0L
-            }
-          days.updateValue(day, cur + cents)
-        }
+        if (isPurchase == 1L)
+          acc(day) = acc.getOrElse(day, 0L) + cents
+      }
+      acc.foreach { case (day, cents) =>
+        val cur =
+          if (days.containsKey(day)) days.getValue(day)
+          else {
+            getHandle.registerTimer((day + 1L) * 86400000L)
+            0L
+          }
+        days.updateValue(day, cur + cents)
       }
       Iterator.empty
     }

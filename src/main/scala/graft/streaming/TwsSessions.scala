@@ -144,9 +144,17 @@ class TwsCategoryCounts(flushEpochMs: Long)
   override def handleInputRows(
       user: Long, rows: Iterator[(Long, String)],
       timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+    // micro-batch counted locally first (q228 count-min batching
+    // precedent, r13): one MapState read+write per touched category
+    // per batch, not per event; counts are order-free so the state
+    // is bit-identical
+    val acc = scala.collection.mutable.HashMap.empty[String, Long]
     rows.foreach { case (_, cat) =>
+      acc(cat) = acc.getOrElse(cat, 0L) + 1L
+    }
+    acc.foreach { case (cat, n) =>
       val cur = if (state.containsKey(cat)) state.getValue(cat) else 0L
-      state.updateValue(cat, cur + 1L)
+      state.updateValue(cat, cur + n)
     }
     getHandle.registerTimer(flushEpochMs)
     Iterator.empty

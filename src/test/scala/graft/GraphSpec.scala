@@ -335,4 +335,32 @@ class GraphSpec extends AnyFunSuite {
       (mass + 4000000L - 1) / 4000000L).toInt
     assert(w == expect, s"width $w != $expect")
   }
+
+  test("wedgeWidth probe-skip gate: a pinned edge count whose mass " +
+       "upper bound fits the session capacity skips the probe job " +
+       "entirely; a large count still probes") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val session = spark.sessionState.conf.numShufflePartitions
+    // mass bound m·√(2m)/2 for m=49_359 (the q191 fixture's sf0.1
+    // edge count) ≈ 7.8e6 ≤ session×4M — gate must fire. The frame
+    // poisons evaluation with raise_error: if the probe ran, this
+    // test would throw instead of returning the session width.
+    val poisoned = spark.range(1).select(
+      expr("CAST(raise_error('wedge probe must be skipped') AS LONG)")
+        .as("src"),
+      lit(1L).as("dst"), lit(1L).as("kdst"))
+    assert(Graph.wedgeWidth(poisoned, Some(49359L)) == session)
+    // gate must NOT fire when the bound exceeds capacity: for
+    // m=10M the bound ≈ 2.2e10 > session×4M, so the probe runs and
+    // the star graph still widens exactly as the ungated call does
+    val star = spark.range(20000)
+      .select(lit(0L).as("src"), col("id").as("dst"),
+        col("id").as("kdst"))
+    assert(Graph.wedgeWidth(star, Some(10L * 1000 * 1000)) ==
+      Graph.wedgeWidth(star))
+    // bound is monotone and zero-safe
+    assert(Graph.wedgeMassUpperBound(0L) == 0.0)
+    assert(Graph.wedgeMassUpperBound(100L) <
+      Graph.wedgeMassUpperBound(101L))
+  }
 }
