@@ -25,11 +25,33 @@ object PlanDump {
           s"ambiguous prefix $n: ${many.mkString(", ")}")
       }
       try {
+        // SPARK_GRAFT_PLANDUMP_PINS=1 additionally captures every
+        // pin's PRE-CHECKPOINT executed plan (r13): iterative/pinned
+        // queries do their real work inside checkpointed subtrees,
+        // which the final static explain cannot show once lineage is
+        // truncated — the pinned-subtree log is where a join-strategy
+        // or codegen claim about those queries is checkable.
+        val dumpPins = sys.env.get("SPARK_GRAFT_PLANDUMP_PINS")
+          .exists(_ == "1")
+        if (dumpPins) graft.core.PlanStats.enablePlanLog()
         val df = SparkEntry.queries(full)(spark, sfDir)
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.write(outDir.resolve(s"${full}_$suffix.txt"),
           txt.getBytes("UTF-8"))
+        if (dumpPins) {
+          graft.core.PlanStats.disablePlanLog()
+          val pins = graft.core.PlanStats.loggedPlans
+          if (pins.nonEmpty) {
+            val body = pins.zipWithIndex.map { case (p, i) =>
+              s"== Pinned subtree ${i + 1}/${pins.size} " +
+                s"(pre-checkpoint executed plan) ==\n$p"
+            }.mkString("\n")
+            java.nio.file.Files.write(
+              outDir.resolve(s"${full}_${suffix}_pins.txt"),
+              body.getBytes("UTF-8"))
+          }
+        }
         System.err.println(s"[plandump] wrote $full")
       } catch { case e: Throwable =>
         System.err.println(s"[plandump] FAIL $full: $e")

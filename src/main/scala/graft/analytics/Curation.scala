@@ -488,24 +488,20 @@ object Curation {
   // driver-side matrix) survives 100 TB.
   // ---------------------------------------------------------------------
   private def q204(s: SparkSession, dir: String): DataFrame = {
-    // r13: two chained posexplode generators instead of the
-    // flatten(transform(transform(...))) HOF — the lambda chain was
-    // interpreted (no whole-stage codegen; `interpreted_hof: true` in
-    // the r12 bench fingerprint, 2.27 s). GenerateExec + Slice are
-    // codegen, so the whole upper-triangle expansion now compiles:
-    // row → (i0, xi, tail-slice) → (i, j, p) with i = i0+1 (1-based),
-    // j = i+j0 (j0 indexes the slice, whose head is x[i] itself — the
-    // diagonal). Same cells, same per-element e4 rounding, same
-    // aggregate: bit-identical output (oracle-checked).
-    val e = t(s, dir, "embeddings").select(col("embedding").as("x"))
-    e.select(posexplode(col("x")).as(Seq("i0", "xi")), col("x"))
-      .select(col("i0"), col("xi"),
-        expr("slice(x, i0 + 1, size(x) - i0)").as("xs"))
-      .select(col("i0"), col("xi"), posexplode(col("xs")).as(Seq("j0", "xj")))
-      .select((col("i0") + 1).cast("long").as("i"),
-        (col("i0") + col("j0") + 1).cast("long").as("j"),
-        (expr("CAST(round(CAST(xi AS DOUBLE) * 10000) AS BIGINT)") *
-          expr("CAST(round(CAST(xj AS DOUBLE) * 10000) AS BIGINT)")).as("p"))
+    // r13: native cell generator (graftx.GramCells, the PostingPairs
+    // discipline) instead of the flatten(transform(transform(...)))
+    // HOF — the lambda chain was interpreted (no whole-stage codegen;
+    // `interpreted_hof: true` in the r12 bench fingerprint, 2.27 s)
+    // and allocated sequence/struct/flatten arrays per row. A chained
+    // double-posexplode rewrite was codegen but copied an array slice
+    // into every intermediate row and measured SLOWER (r13 A/B:
+    // +0.7 s) — the generator emits each (i, j, p) cell from one
+    // tight loop over a single rounded copy of the vector. Same
+    // cells, same e4 rounding (shortest-decimal HALF_UP), same
+    // aggregate: bit-identical output (oracle-checked; parity with
+    // the composed form locked by CurationSpec).
+    t(s, dir, "embeddings")
+      .select(org.apache.spark.sql.graftx.GramCells.col(col("embedding")))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"), sum(col("p")).as("dot_e8"))
       .orderBy(col("i"), col("j"))

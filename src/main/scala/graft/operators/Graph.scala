@@ -830,17 +830,16 @@ object Graph {
     var lab = e.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
       .repartition(shufflePartitions, col("node")).pin()
-    // the label table is node-sized; when it fits broadcast capacity
-    // ([[BroadcastMaxNodes]], the pageRankIntExact discipline) hint
-    // it into the per-round edge join — the checkpointed table has
-    // no size stats, so without the hint the planner sort-merges the
-    // EDGE side every round (r13; the count is one cheap job on the
-    // pinned grain). Labels are identical either way — only the
-    // physical join changes; above the bound the shuffle join stands.
-    val small = lab.count() <= BroadcastMaxNodes
+    // Broadcast-hinting the label table into the per-round edge join
+    // (the bfsDistances r13 change) was tried here and REJECTED by
+    // measurement: 7 interleaved fresh-JVM rounds at sf0.1, 5 slower,
+    // median ≈ +0.3 s (/tmp/ab_wave1, /tmp/ab_q247q309). Unlike the
+    // BFS frontier joins, e (hash(b)) and lab (hash(node→b)) are
+    // ALREADY co-partitioned by construction, so the join runs with
+    // zero exchange and the hint only replaces a cheap local hash
+    // build with a per-round driver collect + rebroadcast.
     for (_ <- 1 to rounds) {
-      val labIn = lab.select(col("node").as("b"), col("lab"))
-      lab = e.join(if (small) broadcast(labIn) else labIn, Seq("b"))
+      lab = e.join(lab.select(col("node").as("b"), col("lab")), Seq("b"))
         .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
         .groupBy(col("a")).agg(max_by(col("lab"),
           col("c") * lit(10000000L) + (lit(9999999L) - col("lab")))

@@ -401,6 +401,37 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("GramCells generator is row-for-row identical to the composed " +
+       "HOF upper-triangle expansion, including null components") {
+    val real = graft.core.Tables.load(spark, TestSpark.sf001, "embeddings")
+      .limit(100).select(col("embedding"))
+    val adversarial = Seq(
+      Seq(0.5f, -0.25f, 0.125f),            // tiny vector
+      Seq(1.0f),                            // single component
+      Seq(0.123456f, -0.999999f, 0.000049f, -0.000051f)) // round edges
+      .toDF("embedding")
+    // a vector with a null component: p must be null for its cells
+    val withNull = spark.sql(
+      "SELECT array(CAST(0.5 AS FLOAT), CAST(NULL AS FLOAT), " +
+        "CAST(-0.25 AS FLOAT)) AS embedding")
+    val vecs = real.unionByName(adversarial).unionByName(withNull)
+    val gen = vecs.select(
+      org.apache.spark.sql.graftx.GramCells.col(col("embedding")))
+    val composed = vecs
+      .select(expr("transform(embedding, v -> " +
+        "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))").as("xe"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(xe)), i ->
+          |  transform(sequence(i, size(xe)), j -> named_struct(
+          |    'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+          |    'p', element_at(xe, i) * element_at(xe, j)))))"""
+          .stripMargin)).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+    assert(gen.exceptAll(composed).isEmpty &&
+      composed.exceptAll(gen).isEmpty,
+      "GramCells diverged from the composed HOF form")
+  }
+
   test("bloom probe admits every true key (no false negatives) and " +
        "prunes most others") {
     val keys = spark.range(0, 2000).filter(col("id") % 2 === 0)
