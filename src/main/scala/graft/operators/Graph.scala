@@ -572,6 +572,18 @@ object Graph {
       .distinct().pin()
     var result: DataFrame = null
     var outer = 0
+    // The bfsDistances r13 gated-broadcast rework was tried on every
+    // node-grain join in this operator and REJECTED by measurement:
+    // interleaved fresh-JVM A/B at sf0.1, q241 SLOWER in all 3
+    // paired rounds (min 4.10 → 5.26 s, +28%; /tmp/ab_q241). The
+    // difference from BFS: SCC runs DOZENS of inner fixpoint rounds
+    // (trim + forward-label + backward passes), each with 2–4 joins
+    // whose small sides are minuscule — a broadcast hint per join
+    // per round adds a driver collect + broadcast-build job each
+    // time, which costs more than the tiny shuffles it replaces.
+    // `bc` is kept as the identity so the rejected variant is one
+    // edit away for a future cluster-scale re-A/B.
+    def bc(nodeGrain: DataFrame): DataFrame = nodeGrain
     while (!nodes.isEmpty && outer < maxOuter) {
       outer += 1
       // (0) trim: a node with no in-edges or no out-edges in the
@@ -585,9 +597,9 @@ object Graph {
       while (peeling && pr < maxInner && !nodes.isEmpty) {
         pr += 1
         val core = e.select(col("src").as("node")).distinct()
-          .join(e.select(col("dst").as("node")).distinct(),
+          .join(bc(e.select(col("dst").as("node")).distinct()),
             Seq("node"), "left_semi")
-        val singles = nodes.join(core, Seq("node"), "left_anti")
+        val singles = nodes.join(bc(core), Seq("node"), "left_anti")
           .pin()
         if (singles.isEmpty) peeling = false
         else {
@@ -596,11 +608,11 @@ object Graph {
           result =
             (if (result == null) settled else result.unionByName(settled))
               .pin()
-          nodes = nodes.join(singles, Seq("node"), "left_anti")
+          nodes = nodes.join(bc(singles), Seq("node"), "left_anti")
             .pin()
-          e = e.join(singles.select(col("node").as("src")), Seq("src"),
+          e = e.join(bc(singles.select(col("node").as("src"))), Seq("src"),
               "left_anti")
-            .join(singles.select(col("node").as("dst")), Seq("dst"),
+            .join(bc(singles.select(col("node").as("dst"))), Seq("dst"),
               "left_anti")
             .repartition(sp, col("src")).pin()
         }
@@ -618,16 +630,16 @@ object Graph {
       while (!frontier.isEmpty && inner < maxInner) {
         inner += 1
         val cand = e
-          .join(frontier.select(col("node").as("src"),
-            col("lbl").as("plbl")), Seq("src"))
+          .join(bc(frontier.select(col("node").as("src"),
+            col("lbl").as("plbl"))), Seq("src"))
           .select(col("dst").as("node"), col("plbl"))
           .groupBy(col("node")).agg(min(col("plbl")).as("plbl"))
-        val improved = cand.join(c, Seq("node"))
+        val improved = cand.join(bc(c), Seq("node"))
           .filter(col("plbl") < col("lbl"))
           .select(col("node"), col("plbl").as("lbl")).pin()
         if (improved.isEmpty) frontier = improved
         else {
-          c = c.join(improved.select(col("node").as("n1")),
+          c = c.join(bc(improved.select(col("node").as("n1"))),
               col("node") === col("n1"), "left_anti")
             .unionByName(improved).pin()
           frontier = improved
@@ -642,13 +654,13 @@ object Graph {
       while (!bf.isEmpty && bRounds < maxInner) {
         bRounds += 1
         val cand = e
-          .join(bf.select(col("node").as("dst"), col("lbl").as("flbl")),
+          .join(bc(bf.select(col("node").as("dst"), col("lbl").as("flbl"))),
             Seq("dst"))
           .select(col("src").as("node"), col("flbl")).distinct()
-          .join(c, Seq("node"))
+          .join(bc(c), Seq("node"))
           .filter(col("lbl") === col("flbl"))
           .select(col("node"), col("lbl"))
-        bf = cand.join(reached, Seq("node"), "left_anti").pin()
+        bf = cand.join(bc(reached), Seq("node"), "left_anti").pin()
         if (!bf.isEmpty)
           reached = reached.unionByName(bf).pin()
       }
@@ -658,11 +670,12 @@ object Graph {
       result =
         (if (result == null) reached else result.unionByName(reached))
           .pin()
-      nodes = nodes.join(reached.select("node"), Seq("node"), "left_anti")
-        .pin()
-      e = e.join(reached.select(col("node").as("src")), Seq("src"),
+      nodes = nodes.join(bc(reached.select("node")), Seq("node"),
           "left_anti")
-        .join(reached.select(col("node").as("dst")), Seq("dst"),
+        .pin()
+      e = e.join(bc(reached.select(col("node").as("src"))), Seq("src"),
+          "left_anti")
+        .join(bc(reached.select(col("node").as("dst"))), Seq("dst"),
           "left_anti")
         .repartition(sp, col("src")).pin()
       }
